@@ -1,13 +1,432 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DistanceMetric, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, MetadataFilter, Metrics, TopK}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin)
+  * per operator from SURVEY.md §2. Column names and types are aligned
+  * pairwise; float outputs are rounded to 4 decimals on BOTH sides
+  * (the reference's own tests are epsilon-based, src/distance.rs:85),
+  * and all float math is done in Double with identical operation order
+  * so the values agree bit-for-bit before rounding.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings with the reference-shaped metadata map: even ids carry
+    * {label, parity}, odd ids only {parity} — so the Ne/Exists filters
+    * exercise the absent-key semantics (src/storage.rs:64-66). */
+  private def embWithMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").withColumn("meta",
+      when(col("vec_id") % 2 === 0,
+        map(lit("label"), col("label").cast("string"), lit("parity"), lit("even")))
+        .otherwise(map(lit("parity"), lit("odd"))))
+
+  /** Single-row DataFrame holding the query vector (vec_id=0) —
+    * broadcast into the scan, no driver-side collect. */
+  private def queryRow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").where(col("vec_id") === 0).select(col("embedding"))
+
+  // ---------------------------------------------------------------
+  // DuckDB SQL fragment generators (shared shape with the Spark exprs)
+  // ---------------------------------------------------------------
+
+  /** Σ-style fold over two list columns: euclidean / dot in DuckDB. */
+  private def sqlSqDist(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+  private def sqlCosDist(a: String, b: String): String =
+    s"(1 - least(greatest(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}), -1), 1))"
+
+  /** DuckDB twin of TextFunctions.rollingHash over a string expr. */
+  private def sqlRollHash(s: String): String =
+    s"list_reduce(list_prepend(CAST(${TF.HashSeed} AS BIGINT), list_transform(list_filter(string_split($s, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % ${TF.HashMod})"
+
+  private def sqlTokens(text: String): String =
+    s"list_filter(string_split($text, ' '), t -> t <> '')"
+
+  /** DuckDB twin of TextFunctions.shingleHashes(text, 3). */
+  private def sqlShingleHashes(text: String): String = {
+    val toks = sqlTokens(text)
+    val sh = s"list_transform(range(0, greatest(len($toks) - 2, 0)), i -> array_to_string(($toks)[i+1:i+3], ' '))"
+    s"list_transform($sh, s -> ${sqlRollHash("s")})"
+  }
+
+  private val sqlStopList: String =
+    TF.EnglishStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def sqlStopFrac(text: String): String = {
+    val toks = sqlTokens(text)
+    s"(len(list_filter($toks, t -> lower(t) IN $sqlStopList)) * 1.0 / len($toks))"
+  }
+  private def sqlPunctRatio(text: String): String =
+    s"((length($text) - length(regexp_replace($text, '[.,;:!?]', '', 'g'))) * 1.0 / length($text))"
+
+  // ---------------------------------------------------------------
+  // Flagship
+  // ---------------------------------------------------------------
+
+  /** Flagship: batch k-NN similarity join on sf0.001 (reference J1). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = t(spark, dir, "embeddings")
+    TopK.knnJoin(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+  }
+
+  // ---------------------------------------------------------------
+  // queries + oracleSql
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational plumbing -------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- k-NN core (K1/K2/K3, F1-F4) -----------------------------
+    "knn_euclidean" -> ((s, dir) => {
+      TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", 10, DistanceMetric.Euclidean)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "knn_cosine" -> ((s, dir) => {
+      TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", 10, DistanceMetric.Cosine)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "knn_dot" -> ((s, dir) => {
+      TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", 10, DistanceMetric.DotProduct)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "knn_filtered" -> ((s, dir) => {
+      TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", 10, DistanceMetric.Euclidean,
+        filter = Some(col("label") === 3))
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    "knn_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      TopK.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("id"), round(col("distance"), 4).as("distance"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- vector scalar functions (F5-F7) -------------------------
+    "vec_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), round(VF.norm(col("embedding")), 4).as("nrm"))
+        .orderBy(col("vec_id"))
+    }),
+    "vec_normalize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(VF.normalize(col("embedding")), 1), 4).as("n0"))
+        .orderBy(col("vec_id"))
+    }),
+    "vec_arith" -> ((s, dir) => {
+      val v = VF.vecAdd(col("embedding"), VF.vecScale(reverse(col("embedding")), lit(2.0)))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(v, 1), 4).as("s0"),
+          round(element_at(v, 2), 4).as("s1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- point ops (C3/C5/S8) ------------------------------------
+    "point_lookup" -> ((s, dir) => {
+      t(s, dir, "embeddings").where(col("vec_id") === 42)
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+    }),
+    "list_ids" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id")).orderBy(col("vec_id"))),
+    "count_rows" -> ((s, dir) =>
+      t(s, dir, "embeddings").agg(count(lit(1)).as("n"))),
+
+    // ---- metadata filters (P1-P5) --------------------------------
+    "filter_eq" -> ((s, dir) => {
+      val f = MetadataFilter.Eq("label", "3")
+      embWithMeta(s, dir).where(f.compile(col("meta")))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "filter_ne" -> ((s, dir) => {
+      val f = MetadataFilter.Ne("label", "3")
+      embWithMeta(s, dir).where(f.compile(col("meta")))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "filter_exists" -> ((s, dir) => {
+      val f = MetadataFilter.Exists("label")
+      embWithMeta(s, dir).where(f.compile(col("meta")))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "filter_and_or" -> ((s, dir) => {
+      // parsed from the reference's JSON wire format (README.md:165-181)
+      val f = MetadataFilter.fromJson(
+        """{"op":"and","filters":[
+             {"op":"ne","field":"label","value":"9"},
+             {"op":"or","filters":[
+               {"op":"eq","field":"label","value":"3"},
+               {"op":"eq","field":"parity","value":"odd"}]}]}""")
+      embWithMeta(s, dir).where(f.compile(col("meta")))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // ---- log fold / metrics (C1/C2, A1-A3) -----------------------
+    "log_latest_wins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+    "log_counters" -> ((s, dir) =>
+      Metrics.opCounters(t(s, dir, "events"), "event_type").orderBy(col("op"))),
+    "metrics_mean" -> ((s, dir) =>
+      t(s, dir, "events").agg(round(avg(col("value")), 4).as("mean"))),
+    "metrics_percentiles" -> ((s, dir) => {
+      Metrics.nearestRankPercentiles(t(s, dir, "events"), "value", Seq(50, 95, 99))
+        .select(col("p"), round(col("value"), 4).as("value"))
+    }),
+
+    // ---- streaming-shaped windowed agg (§2.10) -------------------
+    // ts arrives as epoch-nanos BIGINT (nanosAsLong); the hour bucket
+    // uses integer `div` — double division would lose precision above
+    // 2^53 and could misplace boundary rows.
+    "events_windowed" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(expr("(ts div 3600000000000) * 3600").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // ---- text analysis [EXT] -------------------------------------
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.stopwordFraction(col("text")), 4).as("stop_frac"),
+          round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.langIdHeuristic(col("text")).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.rollingHash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup family [EXT] --------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.1)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.simhash32(col("text")).as("sim"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.closestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 20)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val knnDist = sqlSqDist("e.embedding", "q.qv")
+    val cosDist = sqlCosDist("e.embedding", "q.qv")
+    val dotNeg = s"(- ${sqlDot("e.embedding", "q.qv")})"
+    def knnSql(dist: String, where: String = ""): String =
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round($dist, 4) AS distance
+         |FROM embeddings e CROSS JOIN q $where
+         |ORDER BY $dist ASC, e.vec_id ASC LIMIT 10""".stripMargin
+
+    val mhCols = (0 until 8).map { j =>
+      s"CASE WHEN len(sh) = 0 THEN NULL ELSE list_min(list_transform(sh, h -> (${TF.minhashA(j)} * h + ${TF.minhashB(j)}) % ${TF.HashMod})) END AS mh_$j"
+    }.mkString(",\n  ")
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q_join_revenue" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "knn_euclidean" -> knnSql(knnDist),
+      "knn_cosine" -> knnSql(cosDist),
+      "knn_dot" -> knnSql(dotNeg),
+      "knn_filtered" -> knnSql(knnDist, "WHERE e.label = 3"),
+      "knn_batch" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT q.query_id, e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
+           |      FROM embeddings e CROSS JOIN q),
+           |r AS (SELECT query_id, id, dist,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+           |      FROM d)
+           |SELECT query_id, id, round(dist, 4) AS distance, rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "vec_norm" ->
+        s"SELECT vec_id, round(${sqlNorm("embedding")}, 4) AS nrm FROM embeddings ORDER BY vec_id",
+      "vec_normalize" ->
+        s"SELECT vec_id, round(CAST(embedding[1] AS DOUBLE) / ${sqlNorm("embedding")}, 4) AS n0 FROM embeddings ORDER BY vec_id",
+      "vec_arith" ->
+        s"""SELECT vec_id,
+           |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[len(embedding)] AS DOUBLE) * 2.0, 4) AS s0,
+           |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) * 2.0, 4) AS s1
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "point_lookup" ->
+        "SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings WHERE vec_id = 42",
+      "list_ids" -> "SELECT vec_id FROM embeddings ORDER BY vec_id",
+      "count_rows" -> "SELECT count(*) AS n FROM embeddings",
+
+      "filter_eq" ->
+        "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0 AND CAST(label AS VARCHAR) = '3' ORDER BY vec_id",
+      "filter_ne" ->
+        "SELECT vec_id FROM embeddings WHERE (vec_id % 2 = 1) OR CAST(label AS VARCHAR) <> '3' ORDER BY vec_id",
+      "filter_exists" ->
+        "SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id",
+      "filter_and_or" ->
+        """SELECT vec_id FROM embeddings
+          |WHERE (CASE WHEN vec_id % 2 = 0 THEN CAST(label AS VARCHAR) <> '9' ELSE TRUE END)
+          |  AND ((vec_id % 2 = 0 AND CAST(label AS VARCHAR) = '3') OR (vec_id % 2 = 1))
+          |ORDER BY vec_id""".stripMargin,
+
+      "log_latest_wins" ->
+        """WITH r AS (SELECT user_id, event_type, value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, event_type AS last_op, round(value, 4) AS last_value
+          |FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+      "log_counters" ->
+        "SELECT event_type AS op, count(*) AS n FROM events GROUP BY event_type ORDER BY op",
+      "metrics_mean" -> "SELECT round(avg(value), 4) AS mean FROM events",
+      "metrics_percentiles" ->
+        """WITH s AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn
+          |  FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT count(value) AS n FROM events)
+          |SELECT p, round(value, 4) AS value
+          |FROM (VALUES (50), (95), (99)) t(p) CROSS JOIN c
+          |JOIN s ON s.rn = least(CAST(round(p / 100.0 * (n - 1)) AS BIGINT), n - 1)
+          |ORDER BY p""".stripMargin,
+
+      "events_windowed" ->
+        """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS ws,
+          |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+      "text_tokens" ->
+        s"SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  round(${sqlStopFrac("text")}, 4) AS stop_frac,
+           |  round(${sqlPunctRatio("text")}, 4) AS punct_ratio,
+           |  round(least(len(${sqlTokens("text")}) / 64.0, 1.0)
+           |    * (CASE WHEN ${sqlStopFrac("text")} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+           |    * (1.0 - ${sqlPunctRatio("text")}), 4) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "lang_id" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN ${sqlStopFrac("text")} >= 0.05 THEN 'en' ELSE 'other' END AS pred
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "doc_fingerprint" ->
+        s"SELECT doc_id, ${sqlRollHash("text")} AS fp FROM documents ORDER BY doc_id",
+
+      "dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS group_size
+          |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      "dedup_jaccard" ->
+        s"""WITH sh AS (SELECT doc_id AS doc, unnest(list_distinct(${sqlShingleHashes("text")})) AS sh FROM documents),
+           |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+           |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+           |shf AS (SELECT s.doc, s.sh FROM sh s JOIN freq USING (sh) WHERE f BETWEEN 2 AND 1000),
+           |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+           |          FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc = inter.doc_a JOIN sizes sb ON sb.doc = inter.doc_b
+           |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash" ->
+        s"""WITH s AS (SELECT doc_id, ${sqlShingleHashes("text")} AS sh FROM documents)
+           |SELECT doc_id,
+           |  $mhCols
+           |FROM s ORDER BY doc_id""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+           |th AS (SELECT doc_id, ${sqlRollHash("t")} AS h FROM tok),
+           |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           |         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b)
+           |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+           |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dedup_embedding" ->
+        s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ${sqlCosDist("a.embedding", "b.embedding")} AS cd
+           |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(cd, 4) AS cos_dist
+           |FROM p ORDER BY cd ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline expression library ([EXT] per BASELINE.json: the
+  * operations a large-scale training-data pipeline needs). Everything
+  * is built from codegen'd higher-order array functions — no UDFs — and
+  * every hash is a platform-independent polynomial rolling hash, so the
+  * DuckDB oracle can reproduce results bit-for-bit (Spark's builtin
+  * `hash`/`xxhash64` have no DuckDB twin).
+  */
+object TextFunctions {
+
+  /** Modulus for all rolling hashes: large prime < 2^30 so that
+    * a*h+b stays well inside Long range. */
+  val HashMod = 1000000007L
+  /** Seed of the rolling hash (any small constant). */
+  val HashSeed = 7L
+
+  /** Whitespace tokens. Single-space split (the fixture corpus is
+    * single-space separated); empty tokens filtered so the result is
+    * identical to DuckDB's string_split. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Polynomial rolling hash over UTF-8 code points of a string:
+    * h = fold(chars, seed, (acc,c) -> (acc*31 + c) mod P).
+    * DuckDB twin:
+    *   list_reduce(list_prepend(7::BIGINT,
+    *     list_transform(string_split(s,''), c -> ascii(c)::BIGINT)),
+    *     (a,b) -> (a*31+b) % 1000000007)
+    */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(HashSeed),
+      (acc, c) => (acc * 31 + ascii(c)) % HashMod)
+
+  /** Word n-gram shingles of a text, as strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Rolling hashes of the word n-gram shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), sh => rollingHash(sh))
+
+  /** Deterministic affine constants for the minhash family. Public
+    * standard construction: h_j(x) = (a_j*x + b_j) mod P with fixed
+    * odd a_j (Broder 1997 min-wise permutations). */
+  def minhashA(j: Int): Long = 2L * j + 1 + 104729L * j
+  def minhashB(j: Int): Long = 7919L * (j + 1)
+
+  /** j-th minhash of a text's n-gram shingle set. */
+  def minhash(text: Column, n: Int, j: Int): Column = {
+    val hs = shingleHashes(text, n)
+    when(size(hs) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(hs,
+        h => (lit(minhashA(j)) * h + lit(minhashB(j))) % HashMod)))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (Charikar 2002): for each
+    * bit position b, sum ±1 across token hashes by bit b, emit bit b
+    * if the sum is positive.
+    */
+  def simhash32(text: Column): Column = {
+    val hs = transform(tokens(text), t => rollingHash(t))
+    val bitSums = aggregate(
+      hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (cnt, b) => cnt + when((call_function("shiftright", h, b) % 2) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)),
+        (cnt, b) => when(cnt > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup pairing). */
+  def hammingDistance(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  /** Small English stopword list used by the language-ID heuristic and
+    * quality score. Kept tiny and fixed so the oracle can embed it. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+      "for", "with", "at", "by", "from", "as", "it", "that", "this")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => lower(t).isin(EnglishStopwords: _*))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs with a
+    * sane stopword share and little punctuation. Deterministic and
+    * SQL-expressible (oracle mirrors the same formula). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(64.0), lit(1.0))
+    val stopOk = when(stopwordFraction(text).between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+    val punctOk = lit(1.0) - punctRatio(text)
+    round(lenScore * stopOk * punctOk, 4)
+  }
+
+  /** N-gram-free language-ID heuristic: 'en' when the English stopword
+    * share clears a threshold, else 'other'. (The fixture corpus is
+    * synthetic; the point is the deterministic, scalable shape of the
+    * operator, not linguistic accuracy.) */
+  def langIdHeuristic(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordFraction(text) >= threshold, lit("en")).otherwise(lit("other"))
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance metrics of the reference engine as a closed ADT
+  * (reference: src/distance.rs:8-16). Each metric emits a Catalyst
+  * `Column` expression over two `ARRAY<FLOAT|DOUBLE>` columns, so the
+  * whole distance computation stays inside whole-stage codegen — no
+  * UDF, no serialization boundary.
+  *
+  * Convention preserved from the reference (src/distance.rs:25-31):
+  * DotProduct is NEGATED so that "smaller = closer" holds uniformly
+  * across all three metrics.
+  *
+  * Math is done in Double: the reference computes in f32 but its own
+  * tests compare with epsilon (src/distance.rs:85), so bit-level f32
+  * parity is not part of the contract — Double matches the DuckDB
+  * oracle's arithmetic instead.
+  */
+sealed trait DistanceMetric {
+  /** Distance column between two array columns (smaller = closer). */
+  def distance(a: Column, b: Column): Column
+  def name: String
+}
+
+object DistanceMetric {
+  case object Euclidean extends DistanceMetric {
+    def distance(a: Column, b: Column): Column =
+      VectorFunctions.euclideanDistance(a, b)
+    val name = "euclidean"
+  }
+  case object Cosine extends DistanceMetric {
+    def distance(a: Column, b: Column): Column =
+      VectorFunctions.cosineDistance(a, b)
+    val name = "cosine"
+  }
+  case object DotProduct extends DistanceMetric {
+    // Negated (reference src/distance.rs:29-31): larger dot = closer.
+    def distance(a: Column, b: Column): Column =
+      -VectorFunctions.dotProduct(a, b)
+    val name = "dot"
+  }
+
+  def fromString(s: String): DistanceMetric = s.toLowerCase match {
+    case "euclidean" | "l2"      => Euclidean
+    case "cosine"                => Cosine
+    case "dot" | "dotproduct"    => DotProduct
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+}
+
+/** Vector expression library (reference: src/vector.rs, src/distance.rs).
+  *
+  * Every function decomposes into built-in higher-order array functions
+  * (`zip_with` / `aggregate` / `transform`) which Catalyst codegens —
+  * no UDFs anywhere. Inputs are `ARRAY<FLOAT>` or `ARRAY<DOUBLE>`
+  * columns; outputs are Double (scalars) or ARRAY<DOUBLE> (vectors).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ (reference src/distance.rs:67-73). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** sqrt(Σ (aᵢ-bᵢ)²) (reference src/distance.rs:37-44). */
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** L2 norm sqrt(Σ x²) (reference src/vector.rs:35-37). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** 1 - clamp(dot/(‖a‖·‖b‖), -1, 1); zero-norm input → NULL
+    * (the reference errors, src/distance.rs:51-55 — NULL is the
+    * columnar analogue; callers can add a validation check).
+    */
+  def cosineDistance(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    val sim = dotProduct(a, b) / (na * nb)
+    val clamped = least(greatest(sim, lit(-1.0)), lit(1.0))
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(lit(1.0) - clamped)
+  }
+
+  /** Scale to unit length; zero vector → NULL (reference src/vector.rs:40-58). */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, lit(null).cast("array<double>"))
+      .otherwise(transform(d(a), x => x / n))
+  }
+
+  /** Elementwise add (reference src/vector.rs:76-89). */
+  def vecAdd(a: Column, b: Column): Column = zip_with(d(a), d(b), (x, y) => x + y)
+
+  /** Elementwise subtract (reference src/vector.rs:92-105). */
+  def vecSub(a: Column, b: Column): Column = zip_with(d(a), d(b), (x, y) => x - y)
+
+  /** Scalar multiply (reference src/vector.rs:108-122). */
+  def vecScale(a: Column, s: Column): Column = transform(d(a), x => x * s)
+
+  /** Dimension-check guard: true iff the array has the expected size
+    * (reference src/storage.rs:144-154 enforces one dimension per store).
+    */
+  def dimCheck(a: Column, dim: Int): Column = size(a) === dim
+}

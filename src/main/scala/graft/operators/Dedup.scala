@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication operators for training-data pipelines ([EXT]).
+  *
+  * Scale design: every variant is either a hash-groupBy (one shuffle on
+  * a short key) or an LSH-style candidate-generation join (explode to
+  * (bucket, id), join on bucket, verify candidates only) — never a full
+  * O(n²) cross join. The exact-pair verifiers run only on candidate
+  * pairs. `closestPairs`' exact cross product exists solely as the
+  * small-data ground truth for recall testing of the LSH paths.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text
+    * with the canonical (minimum) doc id and the group size.
+    * Shuffle key = md5 — uniformly distributed, skew-free.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Ids to drop under exact dedup (everything but the keeper). */
+  def exactDropIds(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(exactGroups(docs, idCol, textCol).where(col("group_size") > 1)
+        .select(col("content_hash").as("h"), col("keeper")), "h")
+      .where(col(idCol) =!= col("keeper"))
+      .select(col(idCol))
+
+  /** N-gram Jaccard similarity pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on shingle (candidate pairs
+    * share ≥1 shingle), count intersections, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Returns pairs with jaccard ≥ minJaccard.
+    *
+    * Scale: the shingle join is an equi-join on the shingle hash; very
+    * frequent shingles are the skew risk — `maxShingleFreq` drops
+    * shingles shared by more than that many docs (standard stop-shingle
+    * trick), bounding any single join key's fan-out.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.1,
+                   maxShingleFreq: Long = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(TF.shingleHashes(col(textCol), n))).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .where(col("f") <= maxShingleFreq && col("f") >= 2)
+    val shF = sh.join(rare.select("sh"), "sh")
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = shF.as("a").join(shF.as("b"), "sh")
+      .where(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signature matrix: (id, mh_0 .. mh_{numHashes-1}).
+    * Docs with fewer than n tokens have NULL signatures (no shingles).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 8): DataFrame = {
+    val cols = (0 until numHashes).map(j => TF.minhash(col(textCol), n, j).as(s"mh_$j"))
+    docs.select((col(idCol) +: cols): _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (rowsPerBand
+    * hashes per band), bucket-join on (band, banded-signature), verify
+    * with true Jaccard, keep pairs ≥ minJaccard.
+    *
+    * This is the 100 TB path: candidates come from equality joins on
+    * band buckets (shuffle on short keys), and the expensive exact
+    * verification runs only on the candidate set.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      .where(col("mh_0").isNotNull)
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(col(idCol).as("doc"),
+        lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "sig"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val texts = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    cand
+      .join(texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardExact(col("text_a"), col("text_b"), n).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact shingle-set Jaccard between two texts as a single Column
+    * (used to verify LSH candidates without a second join). */
+  def jaccardExact(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(TF.shingleHashes(a, n))
+    val sb = array_distinct(TF.shingleHashes(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** SimHash near-dup pairs: docs whose 32-bit simhashes are within
+    * maxHamming bits. Candidates via 4-byte block buckets (two
+    * simhashes within hamming ≤3 of each other share at least one of
+    * the 4 bytes — pigeonhole), verified by exact hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col(idCol).as("doc"), TF.simhash32(col(textCol)).as("sim"))
+    val blocks = (0 until 4).map { blk =>
+      withSim.select(col("doc"), col("sim"), lit(blk).as("blk"),
+        (call_function("shiftright", col("sim"), lit(8 * blk)) % 256).as("key"))
+    }.reduce(_ unionByName _)
+    blocks.as("a").join(blocks.as("b"), Seq("blk", "key"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        TF.hammingDistance(col("a.sim"), col("b.sim")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact closest pairs by embedding cosine distance — O(n²) ground
+    * truth for the ANN/LSH near-dup paths; only for test-scale data or
+    * within LSH buckets. */
+  def closestPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   topN: Int): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VF.cosineDistance(col("v_a"), col("v_b")).as("cos_dist"))
+      .orderBy(col("cos_dist").asc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference engine's only predicate language: a recursive tagged
+  * JSON AST over the per-row string metadata map
+  * (reference: src/storage.rs:45-71, wire shape README.md:165-181).
+  *
+  * Semantics preserved exactly:
+  *  - Eq(f,v):  meta[f] == v; absent field ⇒ false  (storage.rs:64)
+  *  - Ne(f,v):  meta[f] != v; absent field ⇒ TRUE   (storage.rs:65 —
+  *              Rust `Option` semantics: None != Some(v))
+  *  - Exists(f): field present                       (storage.rs:66)
+  *  - And(fs):  all match; empty ⇒ true              (storage.rs:67)
+  *  - Or(fs):   any match; empty ⇒ false             (storage.rs:68)
+  *
+  * `compile` turns the AST into a Catalyst `Column`, so Catalyst gets
+  * predicate pushdown / pruning for free — the reference instead
+  * post-filters a 3× over-fetched candidate list (storage.rs:268-270);
+  * exact pre-filtering is a strict refinement (SURVEY.md §2.5 K3).
+  */
+sealed trait MetadataFilter {
+  /** Compile against a MAP<STRING,STRING> metadata column. */
+  def compile(meta: Column): Column = this match {
+    case MetadataFilter.Eq(f, v)  => meta.getItem(f) === lit(v)
+    // null-safe inequality: an absent key (null lookup) must pass.
+    case MetadataFilter.Ne(f, v)  => !(meta.getItem(f) <=> lit(v))
+    case MetadataFilter.Exists(f) => meta.getItem(f).isNotNull
+    case MetadataFilter.And(fs) =>
+      fs.map(_.compile(meta)).reduceOption(_ && _).getOrElse(lit(true))
+    case MetadataFilter.Or(fs) =>
+      fs.map(_.compile(meta)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Reference-semantics evaluator over an in-memory map — used by the
+    * property tests as the ground truth the compiled Column must match
+    * (mirrors src/storage.rs:62-70 verbatim).
+    */
+  def matches(meta: Map[String, String]): Boolean = this match {
+    case MetadataFilter.Eq(f, v)  => meta.get(f).contains(v)
+    case MetadataFilter.Ne(f, v)  => !meta.get(f).contains(v)
+    case MetadataFilter.Exists(f) => meta.contains(f)
+    case MetadataFilter.And(fs)   => fs.forall(_.matches(meta))
+    case MetadataFilter.Or(fs)    => fs.exists(_.matches(meta))
+  }
+}
+
+object MetadataFilter {
+  final case class Eq(field: String, value: String) extends MetadataFilter
+  final case class Ne(field: String, value: String) extends MetadataFilter
+  final case class Exists(field: String) extends MetadataFilter
+  final case class And(filters: Seq[MetadataFilter]) extends MetadataFilter
+  final case class Or(filters: Seq[MetadataFilter]) extends MetadataFilter
+
+  /** Parse the reference's JSON wire format, e.g.
+    * {"op":"and","filters":[{"op":"eq","field":"color","value":"red"},
+    *                        {"op":"exists","field":"size"}]}
+    * (serde tag attribute: src/storage.rs:46).
+    */
+  def fromJson(json: String): MetadataFilter =
+    fromJValue(JsonMethods.parse(json))
+
+  private def fromJValue(jv: JValue): MetadataFilter = {
+    def str(o: JValue, k: String): String = o \ k match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"filter field '$k' missing or not a string: $other")
+    }
+    jv \ "op" match {
+      case JString("eq")     => Eq(str(jv, "field"), str(jv, "value"))
+      case JString("ne")     => Ne(str(jv, "field"), str(jv, "value"))
+      case JString("exists") => Exists(str(jv, "field"))
+      case JString("and")    => And(children(jv))
+      case JString("or")     => Or(children(jv))
+      case other => throw new IllegalArgumentException(s"unknown filter op: $other")
+    }
+  }
+
+  private def children(jv: JValue): Seq[MetadataFilter] = jv \ "filters" match {
+    case JArray(items) => items.map(fromJValue)
+    case JNothing      => Seq.empty
+    case other => throw new IllegalArgumentException(s"'filters' not an array: $other")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational-metrics aggregates (reference: src/metrics.rs).
+  *
+  * The reference keeps monotonic op counters and computes query-latency
+  * percentiles with a NEAREST-RANK-WITH-ROUNDING rule
+  * (metrics.rs:62-72): sort ascending, take index
+  * round(p/100 · (n-1)), clamped. That exact rule is reproduced here.
+  */
+object Metrics {
+
+  /** Op counters (metrics.rs:25-50): count per operation type. */
+  def opCounters(log: DataFrame, opCol: String): DataFrame =
+    log.groupBy(col(opCol).as("op")).agg(count(lit(1)).as("n"))
+
+  /** Exact nearest-rank percentiles of a numeric column.
+    *
+    * Distributed implementation: range-partitioned sort + zipWithIndex
+    * (no single-partition window), then pick the target ranks. Cost is
+    * one full sort of ONE double column — the scalable exact answer.
+    * For sketch-accuracy-is-fine cases use `approxPercentiles`.
+    *
+    * Index rule identical to metrics.rs:66-70:
+    *   idx = round(p/100 * (n-1)), half away from zero, clamped.
+    */
+  def nearestRankPercentiles(df: DataFrame, valueCol: String,
+                             ps: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(col(valueCol).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity)
+    val n = sorted.count()
+    val wanted: Map[Long, Seq[Int]] = ps
+      .map(p => p -> math.min(math.round(p / 100.0 * (n - 1)), n - 1))
+      .groupBy(_._2).map { case (i, pairs) => i -> pairs.map(_._1) }
+    val wantedB = spark.sparkContext.broadcast(wanted)
+    sorted.zipWithIndex()
+      .flatMap { case (v, i) =>
+        wantedB.value.getOrElse(i, Nil).map(p => (p, v)) }
+      .toDF("p", "value")
+      .orderBy("p")
+  }
+
+  /** Sketch-based percentiles — the constant-memory path for 100 TB. */
+  def approxPercentiles(df: DataFrame, valueCol: String,
+                        ps: Seq[Int], accuracy: Int = 10000): DataFrame = {
+    val fracs = array(ps.map(p => lit(p / 100.0)): _*)
+    df.select(percentile_approx(col(valueCol), fracs, lit(accuracy)).as("vs"))
+      .select(posexplode(col("vs")))
+      .select(element_at(typedLit(ps), col("pos") + 1).as("p"), col("col").as("value"))
+  }
+
+  /** Mean of a numeric column (metrics.rs:53-59). */
+  def mean(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(avg(col(valueCol)).as("mean"))
+}

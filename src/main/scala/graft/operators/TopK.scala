@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.DistanceMetric
+
+/** One scored candidate: (internal id, distance). Ordering is the
+  * engine's declared deterministic total order — distance ASC then id
+  * ASC (SURVEY.md §1.3: a refinement of the reference, whose flat index
+  * is tie-nondeterministic, src/flat_index.rs:62).
+  */
+final case class Scored(id: Long, distance: Double)
+
+object Scored {
+  implicit val ordering: Ordering[Scored] =
+    Ordering.by((s: Scored) => (s.distance, s.id))
+}
+
+/** Bounded top-k typed aggregate. The buffer never exceeds k elements,
+  * so map-side partial aggregation (ObjectHashAggregate) reduces the
+  * shuffle for a batch k-NN join from |queries|×|data| rows to
+  * |queries|×|partitions|×k — the property that makes the k-NN join
+  * viable at 100 TB. Buffer kept as a sorted Vector (k is small;
+  * insertion is O(k)).
+  */
+final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  def zero: Seq[Scored] = Vector.empty
+
+  def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.length < k) insert(b, a)
+    else if (Scored.ordering.lt(a, b.last)) insert(b, a).dropRight(1)
+    else b
+
+  private def insert(b: Seq[Scored], a: Scored): Seq[Scored] = {
+    val i = b.indexWhere(x => Scored.ordering.lt(a, x)) match {
+      case -1 => b.length
+      case n  => n
+    }
+    (b.take(i) :+ a) ++ b.drop(i)
+  }
+
+  def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+    b2.foldLeft(b1)(reduce)
+
+  def finish(r: Seq[Scored]): Seq[Scored] = r
+
+  def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
+
+/** The engine's primary physical operator: exact k-nearest-neighbor
+  * search (reference: src/flat_index.rs:52-65, src/storage.rs:217-290).
+  *
+  * Single query → `orderBy(distance, id).limit(k)`, which Catalyst
+  * plans as TakeOrderedAndProject: a per-partition bounded heap plus a
+  * driver merge of k rows per partition — a distributed top-k with no
+  * global sort and no full shuffle.
+  *
+  * Filtered search (reference K3) pre-filters exactly instead of the
+  * reference's 3×-over-fetch post-filter heuristic (storage.rs:268-270)
+  * — a strict refinement: never returns fewer than k matches when k
+  * matches exist, and Catalyst pushes the predicate into the scan.
+  */
+object TopK {
+
+  /** Exact k-NN of `queryVec` (a literal vector) against `data`.
+    * Output: (idCol, distance) — distance ASC, id ASC, k rows.
+    */
+  def knn(data: DataFrame, idCol: String, vecCol: String,
+          queryVec: Seq[Double], k: Int,
+          metric: DistanceMetric = DistanceMetric.Euclidean,
+          filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(data.where).getOrElse(data)
+    filtered
+      .select(col(idCol),
+        metric.distance(col(vecCol), typedLit(queryVec)).as("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact k-NN where the query vector is itself a (single) row of a
+    * DataFrame — broadcast cross join keeps the plan fully distributed
+    * (no driver-side collect of the query vector).
+    */
+  def knnOf(data: DataFrame, idCol: String, vecCol: String,
+            query: DataFrame, queryVecCol: String, k: Int,
+            metric: DistanceMetric = DistanceMetric.Euclidean,
+            filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(data.where).getOrElse(data)
+    filtered
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qvec"))))
+      .select(col(idCol),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN: the k-NN similarity join (reference J1,
+    * src/storage.rs:302-310 — a sequential loop there; here one
+    * distributed job). `queries` is broadcast; each data partition
+    * scores its rows against every query and feeds a bounded top-k
+    * aggregate, so the shuffle carries only partial top-k lists.
+    *
+    * Output: (query_id, id, distance, rank) with rank 1..k per query,
+    * deterministic (distance ASC, id ASC).
+    */
+  def knnJoin(data: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int,
+              metric: DistanceMetric = DistanceMetric.Euclidean,
+              filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(data.where).getOrElse(data)
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec")))
+    val scored = filtered
+      .crossJoin(q)
+      .select(col("query_id"), col(idCol).cast("long").as("id"),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("distance")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("id"),
+        col("col.distance").as("distance"), (col("pos") + 1).as("rank"))
+  }
+}

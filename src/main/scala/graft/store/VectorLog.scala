@@ -1,0 +1,115 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Log-structured vector store — the Spark-native form of the
+  * reference's WAL + snapshot persistence
+  * (reference: src/persistence/wal.rs, snapshot.rs, engine.rs).
+  *
+  * Layout:
+  *   {root}/log/       append-only Parquet of mutation rows
+  *                     (seq, op, id, embedding, meta)
+  *   {root}/snapshot/  compacted latest-wins state + _manifest.json
+  *
+  * Semantic mapping (SURVEY.md §3.3):
+  *  - fsync-per-entry WAL append  → atomic-per-job Parquet append
+  *  - upsert = remove old + insert (storage.rs:156-161) → latest seq
+  *    wins in the fold
+  *  - delete tombstone (wal.rs Delete) → op='delete' row folded out
+  *  - checkpoint every N entries (engine.rs:199-204) → compact() job
+  *  - crash recovery snapshot+replay (engine.rs:44-73) → recover() =
+  *    snapshot ∪ log tail, folded
+  *
+  * Unlike the reference (which drops metadata from both WAL and
+  * snapshot — engine.rs:222-227), metadata is durable here.
+  *
+  * Scale notes: the latest-wins fold shuffles by `id` hash — at 100 TB
+  * the log MUST be compacted regularly so the window runs over
+  * snapshot ∪ small-tail rather than the full history; `compact()` is
+  * that job. The snapshot is written partitioned-by-nothing but could
+  * be bucketed by id for shuffle-free recovery joins at larger scale.
+  */
+object VectorLog {
+
+  val logSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false), // 'insert' | 'delete'
+    StructField("id", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  def logDir(root: String) = s"$root/log"
+  def snapshotDir(root: String) = s"$root/snapshot"
+
+  /** Append a batch of mutations. All-or-nothing per batch (documented
+    * refinement of the reference's fail-fast sequential loop,
+    * storage.rs:293-298 — Spark job commits are atomic).
+    * Rows must carry (seq, op, id, embedding, meta).
+    */
+  def append(batch: DataFrame, root: String): Unit =
+    batch.select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(logDir(root))
+
+  /** Enforce the store's single-dimension invariant on an insert batch
+    * (reference src/storage.rs:144-154): returns rows failing the check.
+    */
+  def dimensionViolations(batch: DataFrame, dim: Int): DataFrame =
+    batch.where(col("op") === "insert" && size(col("embedding")) =!= dim)
+
+  /** Latest-wins fold of a mutation log: one row per live id
+    * (reference upsert semantics storage.rs:156-161 + delete
+    * storage.rs:175-192). Deterministic: highest seq wins.
+    */
+  def fold(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("op") =!= "delete")
+      .drop("__rn")
+  }
+
+  /** The live view = snapshot ∪ log tail, folded. Missing pieces are
+    * tolerated (empty store / never compacted / just compacted).
+    */
+  def liveView(spark: SparkSession, root: String): DataFrame = {
+    val pieces = Seq(snapshotDir(root), logDir(root)).flatMap { dir =>
+      try Some(spark.read.schema(logSchema).parquet(dir))
+      catch { case _: Exception => None }
+    }
+    pieces match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+      case ps => fold(ps.reduce(_ unionByName _))
+    }
+  }
+
+  /** Checkpoint: rewrite the snapshot as the folded live view and
+    * truncate the log (reference engine.rs:187-196). The snapshot keeps
+    * the log schema (op='insert') so recovery is a plain union.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val live = liveView(spark, root).cache()
+    val staging = s"$root/snapshot_staging"
+    live.write.mode("overwrite").parquet(staging)
+    val maxSeq = live.agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
+    val n = live.count()
+    live.unpersist()
+    // swap staging → snapshot, then truncate the log
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val snap = new org.apache.hadoop.fs.Path(snapshotDir(root))
+    fs.delete(snap, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), snap)
+    fs.delete(new org.apache.hadoop.fs.Path(logDir(root)), true)
+    // human-readable manifest, analogue of snapshot.rs manifest.json
+    val manifest = s"""{"count":$n,"max_seq":$maxSeq}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest.json"), true)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+  }
+
+  /** Crash recovery = read whatever exists and fold (engine.rs:44-73). */
+  def recover(spark: SparkSession, root: String): DataFrame =
+    liveView(spark, root)
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's correctness gate: run DuckDB on
+oracle_sql.json and diff against the Verify parquet dumps."""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        bad.append((name, f"duckdb error: {e}"))
+        continue
+    try:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+    except Exception as e:
+        bad.append((name, f"spark output missing: {e}"))
+        continue
+    # canonicalize: sort columns by name, sort rows, stringify
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif str(df[c].dtype).startswith("float"):
+                df[c] = df[c].round(4)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    e, g = canon(exp), canon(got)
+    if list(e.columns) != list(g.columns):
+        bad.append((name, f"columns differ: oracle={list(e.columns)} spark={list(g.columns)}"))
+        continue
+    if len(e) != len(g):
+        bad.append((name, f"row count differ: oracle={len(e)} spark={len(g)}"))
+        continue
+    diff_cols = []
+    for c in e.columns:
+        a, b = e[c], g[c]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            an, bn = pd.to_numeric(a, errors="coerce"), pd.to_numeric(b, errors="coerce")
+            eq = ((an - bn).abs() < 1e-9) | (an.isna() & bn.isna())
+        else:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            i = (~eq).idxmax()
+            diff_cols.append(f"{c}[row{i}]: oracle={a[i]} spark={b[i]}")
+    if diff_cols:
+        bad.append((name, "; ".join(diff_cols[:3])))
+    else:
+        ok.append(name)
+
+print(f"PASS {len(ok)}: {' '.join(ok)}")
+for name, why in bad:
+    print(f"FAIL {name}: {why}")
+missing = set(oracle) - set(ok) - {n for n, _ in bad}
+sys.exit(1 if bad else 0)
