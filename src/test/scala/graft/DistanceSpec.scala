@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DistanceMetric, VectorFunctions => VF}
+
+/** Reference known-value tests (src/distance.rs:75-144, vector.rs:124-187),
+  * epsilon-compared exactly as the reference does (distance.rs:85). */
+class DistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eps = 1e-4
+
+  private def one(colExpr: org.apache.spark.sql.Column): Option[Double] = {
+    val row = Seq(1).toDF("x").select(colExpr.as("v")).head
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
+  }
+
+  private def arr(xs: Double*) = typedLit(xs)
+
+  test("euclidean distance of <1,2,3> vs <4,5,6> is 5.196152") {
+    assert(math.abs(one(VF.euclideanDistance(arr(1, 2, 3), arr(4, 5, 6))).get - 5.196152) < eps)
+  }
+
+  test("euclidean distance to self is 0") {
+    assert(one(VF.euclideanDistance(arr(1, 2, 3), arr(1, 2, 3))).get === 0.0)
+  }
+
+  test("dot product of <1,2,3>·<4,5,6> is 32") {
+    assert(one(VF.dotProduct(arr(1, 2, 3), arr(4, 5, 6))).get === 32.0)
+  }
+
+  test("cosine distance: identical=0, orthogonal=1, opposite=2") {
+    assert(math.abs(one(VF.cosineDistance(arr(1, 0), arr(2, 0))).get) < eps)
+    assert(math.abs(one(VF.cosineDistance(arr(1, 0), arr(0, 1))).get - 1.0) < eps)
+    assert(math.abs(one(VF.cosineDistance(arr(1, 0), arr(-1, 0))).get - 2.0) < eps)
+  }
+
+  test("cosine distance on zero vector is null (reference errors)") {
+    assert(one(VF.cosineDistance(arr(0, 0), arr(1, 1))).isEmpty)
+  }
+
+  test("negated dot-product metric orders larger dot first") {
+    // reference src/distance.rs:25-31: smaller = closer for all metrics
+    val close = one(DistanceMetric.DotProduct.distance(arr(1, 1), arr(10, 10))).get
+    val far = one(DistanceMetric.DotProduct.distance(arr(1, 1), arr(1, 0))).get
+    assert(close < far)
+  }
+
+  test("norm of <3,4> is 5; normalize yields unit vector; zero vector → null") {
+    assert(math.abs(one(VF.norm(arr(3, 4))).get - 5.0) < eps)
+    val n = one(VF.norm(VF.normalize(arr(3, 4)))).get
+    assert(math.abs(n - 1.0) < eps)
+    val z = Seq(1).toDF("x").select(VF.normalize(arr(0, 0)).as("v")).head
+    assert(z.isNullAt(0))
+  }
+
+  test("vector add / sub / scale are elementwise") {
+    val added = Seq(1).toDF("x")
+      .select(VF.vecAdd(arr(1, 2), arr(10, 20)).as("v")).head.getSeq[Double](0)
+    assert(added == Seq(11.0, 22.0))
+    val subbed = Seq(1).toDF("x")
+      .select(VF.vecSub(arr(10, 20), arr(1, 2)).as("v")).head.getSeq[Double](0)
+    assert(subbed == Seq(9.0, 18.0))
+    val scaled = Seq(1).toDF("x")
+      .select(VF.vecScale(arr(1, 2), lit(2.5)).as("v")).head.getSeq[Double](0)
+    assert(scaled == Seq(2.5, 5.0))
+  }
+
+  test("dimension check flags mismatched vectors (reference DimensionMismatch)") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
+    val bad = df.where(!VF.dimCheck(col("v"), 2)).select("id").as[Long].collect()
+    assert(bad.toSeq == Seq(2L))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.MetadataFilter
+import graft.operators.MetadataFilter._
+
+/** Filter-compiler truth table (reference src/storage.rs:456-575) plus a
+  * generator-based property check: for random filter ASTs and random
+  * metadata maps, the compiled Column must agree with the direct
+  * Rust-semantics evaluator (`matches`). SURVEY §7.4 risk-2 mitigation.
+  */
+class FilterCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val meta = Map("color" -> "red", "size" -> "large")
+
+  private def evalOn(m: Map[String, String], f: MetadataFilter): Boolean =
+    Seq(m).toDF("meta").where(f.compile(col("meta"))).count() == 1
+
+  test("eq matches present value, rejects wrong/absent") {
+    assert(evalOn(meta, Eq("color", "red")))
+    assert(!evalOn(meta, Eq("color", "blue")))
+    assert(!evalOn(meta, Eq("missing", "red")))
+  }
+
+  test("ne: absent field ⇒ TRUE (Rust Option semantics)") {
+    assert(!evalOn(meta, Ne("color", "red")))
+    assert(evalOn(meta, Ne("color", "blue")))
+    assert(evalOn(meta, Ne("missing", "anything")))
+  }
+
+  test("exists") {
+    assert(evalOn(meta, Exists("color")))
+    assert(!evalOn(meta, Exists("missing")))
+  }
+
+  test("empty and ⇒ true; empty or ⇒ false (iter().all / iter().any)") {
+    assert(evalOn(meta, And(Nil)))
+    assert(!evalOn(meta, Or(Nil)))
+  }
+
+  test("nested and/or") {
+    assert(evalOn(meta, And(Seq(Eq("color", "red"), Exists("size")))))
+    assert(!evalOn(meta, And(Seq(Eq("color", "red"), Eq("size", "small")))))
+    assert(evalOn(meta, Or(Seq(Eq("color", "blue"), Eq("size", "large")))))
+  }
+
+  test("json wire format parses (reference README.md:165-181)") {
+    val f = MetadataFilter.fromJson(
+      """{"op":"and","filters":[{"op":"eq","field":"color","value":"red"},
+        |{"op":"or","filters":[{"op":"exists","field":"size"},
+        |{"op":"ne","field":"x","value":"y"}]}]}""".stripMargin)
+    assert(f == And(Seq(Eq("color", "red"),
+      Or(Seq(Exists("size"), Ne("x", "y"))))))
+  }
+
+  // --- property: compiled Column ≡ reference evaluator --------------
+
+  private val keys = Gen.oneOf("a", "b", "c", "d")
+  private val values = Gen.oneOf("1", "2", "3")
+
+  private def filterGen(depth: Int): Gen[MetadataFilter] =
+    if (depth == 0)
+      Gen.oneOf(
+        Gen.zip(keys, values).map { case (k, v) => Eq(k, v) },
+        Gen.zip(keys, values).map { case (k, v) => Ne(k, v) },
+        keys.map(Exists(_)))
+    else
+      Gen.frequency(
+        3 -> filterGen(0),
+        1 -> Gen.listOfN(2, filterGen(depth - 1)).map(And(_)),
+        1 -> Gen.listOfN(2, filterGen(depth - 1)).map(Or(_)),
+        1 -> Gen.const(And(Nil)),
+        1 -> Gen.const(Or(Nil)))
+
+  private val caseGen: Gen[(Map[String, String], MetadataFilter)] =
+    Gen.zip(Gen.mapOf(Gen.zip(keys, values)), filterGen(2))
+
+  test("property: compiled filter agrees with reference semantics (200 cases)") {
+    val cases = (0 until 200).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(42L + i)))
+    // one Spark job: every case becomes a boolean column over a 1-row DF
+    val cols = cases.zipWithIndex.map { case ((m, f), i) =>
+      coalesce(f.compile(typedLit(m)), lit(false)).as(s"c$i")
+    }
+    val row = Seq(1).toDF("x").select(cols: _*).head
+    cases.zipWithIndex.foreach { case ((m, f), i) =>
+      assert(row.getBoolean(i) == f.matches(m),
+        s"case $i: filter=$f meta=$m expected=${f.matches(m)}")
+    }
+  }
+}

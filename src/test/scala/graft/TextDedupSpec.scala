@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+/** Text pipeline + dedup family on crafted micro-corpora. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Scala reimplementation of the rolling hash (the cross-platform spec)
+  private def rollHashRef(s: String): Long =
+    s.foldLeft(TF.HashSeed)((acc, c) => (acc * 31 + c.toInt) % TF.HashMod)
+
+  test("rollingHash matches the scalar reference implementation") {
+    val texts = Seq("abc", "hello world", "", "Spark 4", "ααβ")
+    val got = texts.toDF("t")
+      .select(TF.rollingHash(col("t")).as("h")).as[Long].collect().toSeq
+    assert(got == texts.map(rollHashRef))
+  }
+
+  test("tokens/shingles: counts and boundaries") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val counts = df.select(TF.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(counts == Seq(4, 2, 0))
+    val sh = df.select(TF.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty) // fewer tokens than n
+  }
+
+  test("simhash: identical texts equal, disjoint texts differ") {
+    val df = Seq(
+      (1L, "spark query engine for large data"),
+      (2L, "spark query engine for large data"),
+      (3L, "zzz yyy xxx www vvv uuu")).toDF("id", "t")
+    val sims = df.select(col("id"), TF.simhash32(col("t")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+    assert(sims.values.forall(s => s >= 0 && s < (1L << 32)))
+  }
+
+  test("exact dedup groups duplicates and keeps min id") {
+    val docs = Seq(
+      (10L, "same text"), (11L, "same text"), (12L, "other text")).toDF("id", "t")
+    val groups = Dedup.exactGroups(docs, "id", "t")
+      .select("keeper", "group_size").as[(Long, Long)].collect().toSet
+    assert(groups == Set((10L, 2L), (12L, 1L)))
+    val drops = Dedup.exactDropIds(docs, "id", "t").as[Long].collect().toSeq
+    assert(drops == Seq(11L))
+  }
+
+  test("jaccard pairs find planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val far = "completely different words appear in this unrelated sentence here"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "t")
+    val pairs = Dedup.jaccardPairs(docs, "id", "t", n = 3, minJaccard = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash-LSH pairs find planted near-duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "t")
+    val pairs = Dedup.minhashLshPairs(docs, "id", "t",
+      n = 3, numHashes = 8, rowsPerBand = 2, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash pairs find exact dup via hamming 0") {
+    val docs = Seq(
+      (1L, "spark engine large scale data processing pipeline"),
+      (2L, "spark engine large scale data processing pipeline"),
+      (3L, "totally unrelated content about gardening and cooking")).toDF("id", "t")
+    val pairs = Dedup.simhashPairs(docs, "id", "t", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("quality score is in [0,1] and penalizes stopword-free text") {
+    val docs = Seq(
+      "the quick brown fox is on the run to the store for a bit of food",
+      "zzz yyy xxx").toDF("t")
+    val scores = docs.select(TF.qualityScore(col("t"))).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("langIdHeuristic flags stopword-rich text as en") {
+    val df = Seq("the cat is on the mat", "zzz yyy xxx").toDF("t")
+    val preds = df.select(TF.langIdHeuristic(col("t"))).as[String].collect().toSeq
+    assert(preds == Seq("en", "other"))
+  }
+}

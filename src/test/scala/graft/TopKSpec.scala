@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.DistanceMetric
+import graft.operators.{Scored, TopK, TopKAgg}
+
+/** Top-k semantics: exact ordering with (distance, id) tiebreak,
+  * filtered search, and the batch k-NN join vs a window-based oracle
+  * (reference flat_index.rs:76-115, storage.rs:217-290, 302-322). */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 named 3-d vectors mirroring the reference demo set (examples/demo.sh)
+  private lazy val demo = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), "red"),
+    (1L, Seq(0.9f, 0.1f, 0.0f), "red"),
+    (2L, Seq(0.0f, 1.0f, 0.0f), "green"),
+    (3L, Seq(0.0f, 0.9f, 0.1f), "green"),
+    (4L, Seq(0.0f, 0.0f, 1.0f), "blue"),
+    (5L, Seq(1.0f, 0.0f, 0.0f), "blue") // exact dup of 0 → tie
+  ).toDF("id", "vec", "color")
+
+  test("knn returns k nearest, distance asc, id tiebreak on exact ties") {
+    val res = TopK.knn(demo, "id", "vec", Seq(1.0, 0.0, 0.0), 3)
+      .select("id").as[Long].collect().toSeq
+    // ids 0 and 5 are both at distance 0 → id asc; then 1
+    assert(res == Seq(0L, 5L, 1L))
+  }
+
+  test("filtered knn pre-filters exactly (returns k matches when they exist)") {
+    val res = TopK.knn(demo, "id", "vec", Seq(1.0, 0.0, 0.0), 2,
+      filter = Some(col("color") === "green"))
+      .select("id").as[Long].collect().toSeq
+    // d(q,3)=√1.82 < d(q,2)=√2
+    assert(res == Seq(3L, 2L))
+  }
+
+  test("empty store returns empty result (reference storage.rs:218)") {
+    val res = TopK.knn(demo.where(lit(false)), "id", "vec", Seq(1.0, 0.0, 0.0), 3)
+    assert(res.count() == 0)
+  }
+
+  test("knnJoin matches the window-based formulation on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 4)
+    val got = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .select(col("query_id").cast("long"), col("id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    // oracle: cross join + window (the formulation we chose NOT to use
+    // at scale, but correct by construction)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{VectorFunctions => VF}
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val expected = emb.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        VF.euclideanDistance(col("embedding"), col("qv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(got == expected)
+  }
+
+  test("TopKAgg buffer is bounded at k and merge-order-independent") {
+    val agg = new TopKAgg(3)
+    val items = (1L to 100L).map(i => Scored(i, 100.0 - i.toDouble))
+    val b1 = items.take(50).foldLeft(agg.zero)(agg.reduce)
+    val b2 = items.drop(50).foldLeft(agg.zero)(agg.reduce)
+    assert(b1.length <= 3 && b2.length <= 3)
+    val m12 = agg.merge(b1, b2)
+    val m21 = agg.merge(b2, b1)
+    assert(m12 == m21)
+    // smallest distances are for the LARGEST ids here (100-i)
+    assert(m12.map(_.id) == Seq(100L, 99L, 98L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.store.VectorLog
+
+/** Log-structured store: upsert/delete fold, compaction, recovery
+  * (reference storage.rs:156-192, persistence/engine.rs:44-73,187-196). */
+class VectorLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mutation(seq: Long, op: String, id: String, v: Seq[Float]) =
+    (seq, op, id, v, Map("src" -> "test"))
+
+  private def batchDf(rows: Seq[(Long, String, String, Seq[Float], Map[String, String])]) =
+    rows.toDF("seq", "op", "id", "embedding", "meta")
+
+  test("fold: upsert latest-wins, delete removes, metadata durable") {
+    val log = batchDf(Seq(
+      mutation(1, "insert", "a", Seq(1f, 1f)),
+      mutation(2, "insert", "b", Seq(2f, 2f)),
+      mutation(3, "insert", "a", Seq(9f, 9f)), // upsert of a
+      mutation(4, "delete", "b", null),
+      mutation(5, "insert", "c", Seq(3f, 3f))))
+    val live = VectorLog.fold(log)
+      .select("id", "embedding").as[(String, Seq[Float])].collect().toMap
+    assert(live.keySet == Set("a", "c"))
+    assert(live("a") == Seq(9f, 9f)) // latest wins
+  }
+
+  test("append → compact → recover roundtrip preserves the live view") {
+    val root = Files.createTempDirectory("vlog").toString
+    VectorLog.append(batchDf(Seq(
+      mutation(1, "insert", "a", Seq(1f, 0f)),
+      mutation(2, "insert", "b", Seq(0f, 1f)))), root)
+    VectorLog.append(batchDf(Seq(
+      mutation(3, "delete", "a", null),
+      mutation(4, "insert", "c", Seq(1f, 1f)))), root)
+
+    val before = VectorLog.liveView(spark, root)
+      .select("id").as[String].collect().toSet
+    assert(before == Set("b", "c"))
+
+    VectorLog.compact(spark, root)
+    // post-compaction: snapshot only, log truncated; same live view
+    val after = VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet
+    assert(after == Set("b", "c"))
+
+    // new mutations on top of the snapshot still fold correctly
+    VectorLog.append(batchDf(Seq(mutation(5, "delete", "b", null))), root)
+    val afterDelete = VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet
+    assert(afterDelete == Set("c"))
+  }
+
+  test("recovery from an empty/missing root is an empty store") {
+    val root = Files.createTempDirectory("vlog-empty").toString
+    assert(VectorLog.recover(spark, root).count() == 0)
+  }
+
+  test("dimension violations are detected (reference DimensionMismatch)") {
+    val bad = batchDf(Seq(
+      mutation(1, "insert", "a", Seq(1f, 2f)),
+      mutation(2, "insert", "b", Seq(1f, 2f, 3f))))
+    val violations = VectorLog.dimensionViolations(bad, 2)
+      .select("id").as[String].collect().toSeq
+    assert(violations == Seq("b"))
+  }
+}
