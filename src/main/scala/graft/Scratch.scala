@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc experiment harness (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val pairs = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+    pairs.explain("formatted")
+    val t0 = System.nanoTime()
+    println("rows=" + pairs.count())
+    println("sec=" + (System.nanoTime() - t0) / 1e9)
+    spark.stop()
+  }
+}

@@ -54,11 +54,17 @@ object SparkEntry {
   private def sqlTokens(text: String): String =
     s"list_filter(string_split($text, ' '), t -> t <> '')"
 
-  /** DuckDB twin of TextFunctions.shingleHashes(text, 3). */
-  private def sqlShingleHashes(text: String): String = {
-    val toks = sqlTokens(text)
-    val sh = s"list_transform(range(0, greatest(len($toks) - 2, 0)), i -> array_to_string(($toks)[i+1:i+3], ' '))"
-    s"list_transform($sh, s -> ${sqlRollHash("s")})"
+  /** DuckDB twin of TextFunctions.tokenHashes. */
+  private def sqlTokenHashes(text: String): String =
+    s"list_transform(${sqlTokens(text)}, t -> ${sqlRollHash("t")})"
+
+  /** DuckDB twin of TextFunctions.shingleHashesFromTokens over a
+    * column named `th` (n-gram fold of token hashes). */
+  private def sqlShingleHashesOfTh(n: Int): String = {
+    val fold = (0 until n).foldLeft(s"CAST(${TF.HashSeed} AS BIGINT)") {
+      (acc, k) => s"(($acc * 31 + th[i+${k + 1}]) % ${TF.HashMod})"
+    }
+    s"list_transform(range(0, greatest(len(th) - ${n - 1}, 0)), i -> $fold)"
   }
 
   private val sqlStopList: String =
@@ -399,7 +405,9 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS group_size
           |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
       "dedup_jaccard" ->
-        s"""WITH sh AS (SELECT doc_id AS doc, unnest(list_distinct(${sqlShingleHashes("text")})) AS sh FROM documents),
+        s"""WITH tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
+           |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(3)}) AS shs FROM tha),
+           |sh AS (SELECT doc, unnest(shs) AS sh FROM sha),
            |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
            |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
            |shf AS (SELECT s.doc, s.sh FROM sh s JOIN freq USING (sh) WHERE f BETWEEN 2 AND 1000),
@@ -410,7 +418,8 @@ object SparkEntry {
            |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash" ->
-        s"""WITH s AS (SELECT doc_id, ${sqlShingleHashes("text")} AS sh FROM documents)
+        s"""WITH tha AS (SELECT doc_id, ${sqlTokenHashes("text")} AS th FROM documents),
+           |s AS (SELECT doc_id, ${sqlShingleHashesOfTh(3)} AS sh FROM tha)
            |SELECT doc_id,
            |  $mhCols
            |FROM s ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused distance kernels as native Catalyst expressions with
+  * whole-stage-codegen loops over the float arrays.
+  *
+  * The higher-order-function formulation (VectorFunctions) allocates an
+  * intermediate array per zip_with/transform per row; for pairwise
+  * workloads (k-NN join, embedding near-dup) that allocation dominates.
+  * These expressions generate a single primitive `for` loop instead —
+  * identical math (double accumulation, left-to-right element order) so
+  * results stay bit-equal to the HOF path and the DuckDB oracle.
+  *
+  * Inputs: two ARRAY<FLOAT> columns. Output: DOUBLE.
+  * Null result on null input or length mismatch (the columnar analogue
+  * of the reference's DimensionMismatch, src/distance.rs:18-23).
+  */
+abstract class FusedVecBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT|DOUBLE> args, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  private def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  /** Interpreted element fetch as double. */
+  protected def elemL(x: ArrayData, i: Int): Double =
+    if (isDouble(left)) x.getDouble(i) else x.getFloat(i).toDouble
+  protected def elemR(x: ArrayData, i: Int): Double =
+    if (isDouble(right)) x.getDouble(i) else x.getFloat(i).toDouble
+
+  /** Codegen element fetch as double. */
+  protected def genElemL(arr: String, i: String): String =
+    if (isDouble(left)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+  protected def genElemR(arr: String, i: String): String =
+    if (isDouble(right)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+}
+
+/** sqrt(Σ (aᵢ-bᵢ)²) — fused form of VectorFunctions.euclideanDistance. */
+case class FusedEuclidean(left: Expression, right: Expression) extends FusedVecBinary {
+  override def prettyName: String = "fused_euclidean"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = elemL(x, i) - elemR(y, i)
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${genElemL(a, i)} - ${genElemR(b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($acc);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ aᵢ·bᵢ — fused form of VectorFunctions.dotProduct (not negated;
+  * the DotProduct metric negates at the Column layer). */
+case class FusedDot(left: Expression, right: Expression) extends FusedVecBinary {
+  override def prettyName: String = "fused_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += elemL(x, i) * elemR(y, i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${genElemL(a, i)} * ${genElemR(b, i)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 1 - clamp(dot/(‖a‖·‖b‖), -1, 1) in ONE pass (dot and both norms
+  * accumulated in the same loop); zero-norm → null, matching
+  * VectorFunctions.cosineDistance and the reference's zero-norm error
+  * (src/distance.rs:51-55). */
+case class FusedCosine(left: Expression, right: Expression) extends FusedVecBinary {
+  override def prettyName: String = "fused_cosine"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = elemL(x, i)
+        val yi = elemR(y, i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else {
+        val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        1.0 - math.min(math.max(sim, -1.0), 1.0)
+      }
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = ${genElemL(a, i)};
+         |    double $yi = ${genElemR(b, i)};
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $sim = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    ${ev.value} = 1.0 - java.lang.Math.min(java.lang.Math.max($sim, -1.0), 1.0);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object FusedDistance {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def euclidean(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedEuclidean(expr(a), expr(b)))
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedDot(expr(a), expr(b)))
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedCosine(expr(a), expr(b)))
+}

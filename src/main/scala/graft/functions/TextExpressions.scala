@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash h = fold(codepoints, seed, (a,c)->(a*31+c) mod P)
+  * as a native codegen expression.
+  *
+  * Semantics identical to the HOF form (split('')+ascii fold) and to the
+  * DuckDB oracle twin, but a single loop over the string's code points —
+  * the HOF form allocates a per-character string array per row, which
+  * dominated the text-dedup pipelines.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  protected override def nullSafeEval(v: Any): Any =
+    RollingHash.hash(v.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RollingHash {
+  /** Static kernel referenced from generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = TextFunctions.HashSeed
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % TextFunctions.HashMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def column(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

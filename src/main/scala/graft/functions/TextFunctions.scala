@@ -28,18 +28,23 @@ object TextFunctions {
 
   /** Polynomial rolling hash over UTF-8 code points of a string:
     * h = fold(chars, seed, (acc,c) -> (acc*31 + c) mod P).
+    * Dispatches to the fused codegen kernel (RollingHash expression).
     * DuckDB twin:
     *   list_reduce(list_prepend(7::BIGINT,
     *     list_transform(string_split(s,''), c -> ascii(c)::BIGINT)),
     *     (a,b) -> (a*31+b) % 1000000007)
     */
-  def rollingHash(s: Column): Column =
+  def rollingHash(s: Column): Column = RollingHash.column(s)
+
+  /** HOF formulation of the same hash (kept as the cross-check twin of
+    * the fused kernel; see TextDedupSpec). */
+  def rollingHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(HashSeed),
       (acc, c) => (acc * 31 + ascii(c)) % HashMod)
 
-  /** Word n-gram shingles of a text, as strings. */
+  /** Word n-gram shingles of a text, as strings (display/debug form). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array())
@@ -48,9 +53,37 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** Rolling hashes of the word n-gram shingles. */
+  /** Rolling hash of every whitespace token. Hash once per token —
+    * the shingle hashes below combine these, so each character of the
+    * corpus is hashed exactly once (vs ~n× when hashing shingle
+    * strings directly). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => rollingHash(t))
+
+  /** n-gram shingle hashes from a token-hash array:
+    * shingle_i = fold over (th_i..th_{i+n-1}) with (acc*31 + th) mod P.
+    *
+    * Formulated as zip_with over shifted slices — NOT element_at inside
+    * a per-element lambda. Every reference to `th` here is an array
+    * argument evaluated once per ROW; an element_at(th, i) inside a
+    * transform lambda would re-evaluate the whole (possibly inlined)
+    * token-hash subtree once per ELEMENT, which turns O(T) hashing into
+    * O(T·n) per doc after Catalyst collapses projections.
+    */
+  def shingleHashesFromTokens(th: Column, n: Int): Column = {
+    // acc_i after step k = hash of (th_i .. th_{i+k}); shorter slices
+    // pad with null, which poisons (and thereby drops) the tail entries.
+    val acc0 = transform(th, x => (lit(HashSeed) * 31 + x) % HashMod)
+    val folded = (1 until n).foldLeft(acc0) { (acc, k) =>
+      zip_with(acc, slice(th, lit(k + 1), size(th)), (a, b) => (a * 31 + b) % HashMod)
+    }
+    slice(folded, lit(1), greatest(size(th) - (n - 1), lit(0)))
+  }
+
+  /** Convenience single-expression form (duplicates the token-hash
+    * computation n times — fine for tests/small exprs, not hot paths). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), sh => rollingHash(sh))
+    shingleHashesFromTokens(tokenHashes(text), n)
 
   /** Deterministic affine constants for the minhash family. Public
     * standard construction: h_j(x) = (a_j*x + b_j) mod P with fixed

@@ -25,20 +25,20 @@ sealed trait DistanceMetric {
 }
 
 object DistanceMetric {
+  // Metrics dispatch to the fused codegen kernels (FusedDistance) —
+  // bit-identical to the HOF forms in VectorFunctions but a single
+  // primitive loop per row pair instead of per-row array allocations.
   case object Euclidean extends DistanceMetric {
-    def distance(a: Column, b: Column): Column =
-      VectorFunctions.euclideanDistance(a, b)
+    def distance(a: Column, b: Column): Column = FusedDistance.euclidean(a, b)
     val name = "euclidean"
   }
   case object Cosine extends DistanceMetric {
-    def distance(a: Column, b: Column): Column =
-      VectorFunctions.cosineDistance(a, b)
+    def distance(a: Column, b: Column): Column = FusedDistance.cosine(a, b)
     val name = "cosine"
   }
   case object DotProduct extends DistanceMetric {
     // Negated (reference src/distance.rs:29-31): larger dot = closer.
-    def distance(a: Column, b: Column): Column =
-      -VectorFunctions.dotProduct(a, b)
+    def distance(a: Column, b: Column): Column = -FusedDistance.dot(a, b)
     val name = "dot"
   }
 

@@ -45,8 +45,8 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.1,
                    maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(TF.shingleHashes(col(textCol), n))).as("sh"))
+    val sh = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("f"))
       .where(col("f") <= maxShingleFreq && col("f") >= 2)
     val shF = sh.join(rare.select("sh"), "sh")
@@ -64,13 +64,33 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** (doc, shs): distinct shingle-hash set per doc, materialized in
+    * staged projections so token hashes and shingle hashes are each
+    * computed exactly once per doc (CollapseProject will not inline a
+    * non-cheap multi-referenced expression).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), TF.tokenHashes(col(textCol)).as("th"))
+      .select(col("doc"), array_distinct(TF.shingleHashesFromTokens(col("th"), n)).as("shs"))
+
   /** MinHash signature matrix: (id, mh_0 .. mh_{numHashes-1}).
     * Docs with fewer than n tokens have NULL signatures (no shingles).
+    * Single pass: the shingle-hash array is materialized once, then
+    * each mh_j is one array_min over an affine transform of it.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 8): DataFrame = {
-    val cols = (0 until numHashes).map(j => TF.minhash(col(textCol), n, j).as(s"mh_$j"))
-    docs.select((col(idCol) +: cols): _*)
+    val withSh = docs
+      .select(col(idCol), TF.tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol), TF.shingleHashesFromTokens(col("__th"), n).as("__sh"))
+    val cols = (0 until numHashes).map { j =>
+      when(size(col("__sh")) === 0, lit(null).cast("long"))
+        .otherwise(array_min(transform(col("__sh"),
+          h => (lit(TF.minhashA(j)) * h + lit(TF.minhashB(j))) % TF.HashMod)))
+        .as(s"mh_$j")
+    }
+    withSh.select((col(idCol) +: cols): _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature (rowsPerBand
@@ -96,12 +116,17 @@ object Dedup {
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    val texts = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
-    cand
-      .join(texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
-      .join(texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+    // verify candidates against the precomputed shingle sets (no
+    // re-tokenization of the text)
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val verified = cand
+      .join(sets.select(col("doc").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+    val inter = size(array_intersect(col("shs_a"), col("shs_b"))).cast("double")
+    val union = (size(col("shs_a")) + size(col("shs_b"))).cast("double") - inter
+    verified
       .select(col("doc_a"), col("doc_b"),
-        jaccardExact(col("text_a"), col("text_b"), n).as("jaccard"))
+        when(union === 0.0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -144,7 +169,7 @@ object Dedup {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VF.cosineDistance(col("v_a"), col("v_b")).as("cos_dist"))
+        graft.functions.FusedDistance.cosine(col("v_a"), col("v_b")).as("cos_dist"))
       .orderBy(col("cos_dist").asc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between public `Column`s and catalyst `Expression`s.
+  * Spark 4 moved this conversion behind `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils); extension libraries
+  * access it from inside the sql package — this object is the single
+  * place in this codebase that does so.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
