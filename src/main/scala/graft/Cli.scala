@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DistanceMetric
+import graft.operators.{MetadataFilter, TopK}
+import graft.sources.Ingest
+import graft.store.VectorLog
+
+/** CLI shim mirroring the reference's one-shot commands
+  * (src/main.rs:33-63): insert / get / delete / search / list / count
+  * against a persistent store root. One Spark job per invocation, like
+  * the reference's one-shot in-memory mode — the serving path is batch
+  * by design (BASELINE.json: no low-latency ANN serving).
+  *
+  * Usage:
+  *   graft.Cli <root> insert <id> <csv-vector>
+  *   graft.Cli <root> get <id>
+  *   graft.Cli <root> delete <id>
+  *   graft.Cli <root> search <csv-vector> <k> [euclidean|cosine|dot] [filter-json]
+  *   graft.Cli <root> list
+  *   graft.Cli <root> count
+  *   graft.Cli <root> compact
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toIndexedSeq).foreach(df => df.show(50, truncate = false))
+    finally spark.stop()
+  }
+
+  /** Command dispatch; returns a DataFrame to display for query verbs. */
+  def run(spark: SparkSession, args: Seq[String]): Option[DataFrame] = {
+    import spark.implicits._
+    require(args.length >= 2, "usage: <root> <verb> [args...]")
+    val root = args(0)
+    def live = VectorLog.recover(spark, root)
+    def nextSeq: Long = {
+      val cur = try VectorLog.liveView(spark, root)
+        .agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
+      catch { case _: Exception => 0L }
+      cur + 1
+    }
+
+    args(1) match {
+      case "insert" =>
+        val Seq(id, csv) = args.slice(2, 4)
+        val vec = csv.split(",").map(_.trim.toFloat).toSeq
+        VectorLog.append(
+          Seq((nextSeq, "insert", id, vec, Map.empty[String, String]))
+            .toDF("seq", "op", "id", "embedding", "meta"), root)
+        None
+      case "delete" =>
+        val id = args(2)
+        VectorLog.append(
+          Seq((nextSeq, "delete", id, null: Seq[Float], Map.empty[String, String]))
+            .toDF("seq", "op", "id", "embedding", "meta"), root)
+        None
+      case "get" =>
+        Some(live.where(col("id") === args(2)).select("id", "embedding", "meta"))
+      case "search" =>
+        val vec = args(2).split(",").map(_.trim.toDouble).toSeq
+        val k = if (args.length > 3) args(3).toInt else 10
+        val metric = if (args.length > 4) DistanceMetric.fromString(args(4))
+                     else DistanceMetric.Euclidean
+        val filter = if (args.length > 5)
+          Some(MetadataFilter.fromJson(args(5)).compile(col("meta")))
+        else None
+        Some(TopK.knn(live, "id", "embedding", vec, k, metric, filter))
+      case "list" =>
+        Some(live.select("id").orderBy("id"))
+      case "count" =>
+        Some(live.agg(count(lit(1)).as("n")))
+      case "compact" =>
+        VectorLog.compact(spark, root); None
+      case other =>
+        throw new IllegalArgumentException(s"unknown verb: $other")
+    }
+  }
+}

@@ -287,6 +287,49 @@ object SparkEntry {
       Dedup.closestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 20)
         .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
     }),
+    // LSH-bucketed embedding near-dup: the 100 TB path for
+    // dedup_embedding (candidates from band buckets, no cross join).
+    // Approximate → no SQL oracle; recall-gated in AnnSpec.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      graft.index.LshIndex.nearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", maxCosDist = 0.35, numPlanes = 16, numBands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- ANN (K4/K5) — approximate, recall-gated, no SQL oracle ----
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assigned, model) = graft.index.IvfIndex.build(emb, "vec_id", "embedding",
+        nClusters = 16)
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
+        q, k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+
+    // ---- multimodal [EXT]: binary payload feature extraction --------
+    // documents.text as the stand-in payload (no media files in the
+    // fixtures); features are SQL-expressible so the oracle can check
+    // the plumbing end-to-end.
+    "multimodal_features" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"),
+          TF.rollingHash(substring(col("text"), 1, 16)).as("chunk_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE-ish regex tokenizer [EXT] ------------------------------
+    "text_tokens_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("n_subtokens"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -436,6 +479,16 @@ object SparkEntry {
            |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(cd, 4) AS cos_dist
            |FROM p ORDER BY cd ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+      "multimodal_features" ->
+        s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+           |  ${sqlRollHash("substr(text, 1, 16)")} AS chunk_fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_tokens_bpe" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subtokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
     )
   }
 }

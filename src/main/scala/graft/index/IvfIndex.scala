@@ -1,0 +1,116 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DistanceMetric, FusedDistance}
+import graft.operators.TopK
+
+/** IVF (inverted-file) approximate nearest-neighbor index — the
+  * engine's analogue of the reference's HNSW access path
+  * (src/hnsw/graph.rs). Parity is defined by the reference's own
+  * acceptance criterion — recall@k vs the exact search
+  * (tests/recall_test.rs:18-80) — not by structure: a single-node
+  * navigable graph does not distribute, an inverted file does
+  * (BASELINE.json: "MLlib for batch index build").
+  *
+  * Build: MLlib KMeans over a sample → nClusters centroids; every
+  * vector is assigned to its nearest centroid (one narrow `cluster`
+  * column — at scale this is the partition/bucket key).
+  * Search: probe the nprobe nearest centroids only; exact top-k within
+  * the probed partitions. Recall/latency trades via nprobe — the
+  * runtime knob mirroring the reference's `search_with_ef`
+  * (src/hnsw/mod.rs:44-53, K5).
+  */
+object IvfIndex {
+
+  /** Centroids are small (nClusters × dim floats) and live on the
+    * driver — the analogue of the reference's in-memory entry points.
+    * Assignments are a DataFrame and scale with the data. */
+  final case class Model(centroids: Array[Array[Float]]) {
+    def closestClusters(query: Seq[Float], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) =>
+          var acc = 0.0
+          var j = 0
+          while (j < c.length) {
+            val d = c(j) - query(j); acc += d * d; j += 1
+          }
+          (acc, i)
+        }
+        .sortBy(_._1).take(nprobe).map(_._2).toIndexedSeq
+  }
+
+  /** Build the index: returns (assignments with a `cluster` column,
+    * driver-side model). `sampleFraction` bounds the KMeans fit cost on
+    * big tables; assignment of ALL rows is a single broadcast-free map.
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            nClusters: Int = 16, maxIter: Int = 10, seed: Long = 42L,
+            sampleFraction: Double = 1.0): (DataFrame, Model) = {
+    val features = emb
+      .select(col(idCol), col(vecCol),
+        array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val fitOn =
+      if (sampleFraction >= 1.0) features
+      else features.sample(withReplacement = false, sampleFraction, seed)
+    val km = new KMeans()
+      .setK(nClusters).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+    val model = km.fit(fitOn)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val assigned = model.transform(features).drop("__features")
+    (assigned, Model(centroids))
+  }
+
+  /** Approximate k-NN: probe `nprobe` clusters, exact top-k inside.
+    * Returns (id, distance, cluster). */
+  def search(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
+             query: Seq[Float], k: Int, nprobe: Int,
+             metric: DistanceMetric = DistanceMetric.Euclidean,
+             filter: Option[Column] = None): DataFrame = {
+    val probes = model.closestClusters(query, nprobe)
+    // partition pruning: only the probed clusters are scanned
+    val pruned = assigned.where(col("cluster").isin(probes: _*))
+    TopK.knn(pruned, idCol, vecCol, query.map(_.toDouble), k, metric, filter)
+  }
+
+  /** Batch approximate k-NN join: assign each query to its nprobe
+    * clusters (queries are broadcast-scale), then equi-join on cluster
+    * — candidate generation is a hash join on a short int key, NOT a
+    * cross join — and keep top-k per query with the bounded aggregate.
+    */
+  def searchJoin(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
+                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                 k: Int, nprobe: Int,
+                 metric: DistanceMetric = DistanceMetric.Euclidean): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = spark.createDataFrame(
+      model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cluster", "__centroid")
+    // rank centroids per query, keep nprobe
+    val qAssign = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
+      .crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("__qvec"), col("cluster"),
+        FusedDistance.euclidean(col("__qvec"), col("__centroid")).as("__cd"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("__cd").asc, col("cluster").asc)))
+      .where(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("cluster"))
+    val scored = assigned
+      .join(broadcast(qAssign), "cluster")
+      .select(col("query_id"), col(idCol).cast("long").as("id"),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.operators.TopKAgg(k), Encoders.product[graft.operators.Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("id"), col("distance")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("id"),
+        col("col.distance").as("distance"), (col("pos") + 1).cast("long").as("rank"))
+  }
+}

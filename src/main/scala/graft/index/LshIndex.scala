@@ -1,0 +1,54 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FusedDistance
+
+/** Random-hyperplane (sign) LSH for cosine similarity (Charikar 2002).
+  * The scale path for embedding near-dup detection: bucket on a
+  * signature of sign bits, generate candidate pairs inside buckets
+  * only, verify candidates with the exact fused cosine — never a full
+  * cross join. The closestPairs exact form (Dedup) is its small-data
+  * ground truth; recall tested in AnnSpec.
+  */
+object LshIndex {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  def makePlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-bit signature packed into a LONG column. */
+  def signature(vecCol: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(FusedDistance.dot(vecCol, typedLit(p.toSeq)) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate pairs by cosine distance below `maxCosDist`.
+    * Banding: the signature is split into `numBands` contiguous bands;
+    * pairs agreeing on ANY band become candidates (standard OR-of-ANDs
+    * amplification), then exact cosine verification.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   maxCosDist: Double, numPlanes: Int = 16, numBands: Int = 4,
+                   seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = makePlanes(numPlanes, dim, seed)
+    val bitsPerBand = numPlanes / numBands
+    val sigd = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signature(col(vecCol), planes).as("sig"))
+    val banded = (0 until numBands).map { b =>
+      sigd.select(col("id"), col("v"), lit(b).as("band"),
+        shiftright(col("sig"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        FusedDistance.cosine(col("a.v"), col("b.v")).as("cos_dist"))
+      .where(col("cos_dist") <= maxCosDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling ([EXT]): image/audio/video payloads are
+  * opaque BINARY columns with typed metadata; decode / feature-extract
+  * run per-partition over iterator batches (the Scala analogue of
+  * mapInPandas batch processing — one decoder instantiation per
+  * partition, streaming through rows without materializing the
+  * partition).
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` is a deterministic fake that "decodes"
+  * bytes into a 16-bin byte histogram. The Spark-side plumbing —
+  * schema, batching, partitioning, feature shape — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Deterministic fake decoder: 16-bin byte histogram, L1-normalized.
+    * Stands in for a real image/audio decoder (??? in production). */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload == null || payload.isEmpty) return bins
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { bins(j) /= payload.length; j += 1 }
+    bins
+  }
+
+  /** Fake "resize": keep every `stride`-th byte (stands in for an image
+    * downscale; preserves determinism + byte-level testability). */
+  def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] =
+    if (payload == null) Array.emptyByteArray
+    else payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+
+  /** Fake frame sampler for "video": split payload into frameSize
+    * chunks, keep every `everyN`-th chunk. */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyN: Int): Seq[Array[Byte]] =
+    if (payload == null) Seq.empty
+    else payload.grouped(frameSize).zipWithIndex
+      .collect { case (f, i) if i % everyN == 0 => f }.toSeq
+
+  /** Feature extraction over a media table: per-partition iterator
+    * processing (decoder state initialized once per partition), emitting
+    * (media_id, n_bytes, features[16]).
+    */
+  def extractFeatures(media: DataFrame, idCol: String = "media_id",
+                      payloadCol: String = "payload"): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (real codec handle)
+        rows.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          MediaFeatures(id, bytes.length.toLong, decodeStub(bytes).toSeq)
+        }
+      }
+  }
+}
+
+final case class MediaFeatures(media_id: Long, n_bytes: Long, features: Seq[Float])

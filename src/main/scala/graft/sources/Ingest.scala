@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest surfaces (SURVEY §2.1).
+  *  - S1: CSV vector parse — `Vector::from_str("1.0,2.0,3.0")`
+  *    (reference src/vector.rs:61-73): split, trim, parse f32;
+  *    a malformed float yields NULL in that slot (the columnar
+  *    analogue of the reference's parse error).
+  *  - S2: JSON ingest — `InsertRequest{id, vector, metadata?}`
+  *    (reference src/server/routes.rs:21-27) via from_json /
+  *    spark.read.json with the canonical insert schema.
+  */
+object Ingest {
+
+  /** S1: parse a "1.0, 2.0, 3.0" string column into ARRAY<FLOAT>.
+    * try_cast: a malformed float becomes a NULL slot instead of an
+    * ANSI-mode exception (callers gate on csvVectorIsValid). */
+  def parseCsvVector(s: Column): Column =
+    transform(split(s, ","), x => trim(x).try_cast(FloatType))
+
+  /** True iff the CSV vector parsed cleanly (no bad floats, non-empty). */
+  def csvVectorIsValid(s: Column): Column = {
+    val parsed = parseCsvVector(s)
+    size(parsed) > 0 && !exists(parsed, x => x.isNull)
+  }
+
+  /** Canonical JSON insert-request schema (id, vector, metadata?). */
+  val insertSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vector", ArrayType(FloatType), nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  /** S2: parse a JSON string column of insert requests. */
+  def parseInsertJson(s: Column): Column = from_json(s, insertSchema)
+
+  /** S2 (file form): read a JSON-lines file of insert requests. */
+  def readInsertJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(insertSchema).json(path)
+}

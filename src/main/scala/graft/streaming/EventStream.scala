@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.store.VectorLog
+
+/** Structured-Streaming surface (SURVEY §2.10). The reference's WAL is
+  * an ordered, durable, append-only change log (src/persistence/wal.rs);
+  * its streaming analogue here is a file-source stream over the log
+  * directory: `spark.readStream` tails new Parquet files as ingest
+  * appends them (S4 "live tailing").
+  */
+object EventStream {
+
+  /** Tail a VectorLog log directory as a stream of mutation rows. */
+  def logTail(spark: SparkSession, root: String): DataFrame =
+    spark.readStream.schema(VectorLog.logSchema)
+      .parquet(VectorLog.logDir(root))
+
+  /** Live latest-wins store state maintained with arbitrary streaming
+    * state (mapGroupsWithState keyed by vector id): each update emits
+    * the id's current (seq, op, embedding) — op='delete' marks removal.
+    * This is the streaming form of VectorLog.fold: same semantics,
+    * incremental instead of batch.
+    */
+  def liveState(log: DataFrame): Dataset[LiveRow] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col("seq"), col("op"), col("id"), col("embedding"))
+      .as[(Long, String, String, Seq[Float])]
+      .groupByKey(_._3)
+      .mapGroupsWithState[LiveRow, LiveRow](GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[LiveRow]) =>
+          val latestBatch = rows.maxBy(_._1)
+          val prior = state.getOption
+          val winner =
+            if (prior.exists(_.seq >= latestBatch._1)) prior.get
+            else LiveRow(id, latestBatch._1, latestBatch._2, latestBatch._4)
+          state.update(winner)
+          winner
+      }
+  }
+
+  /** Event-time windowed aggregation with a watermark — the standard
+    * streaming query shape (counts + sums per tumbling window per op).
+    * `tsNanosCol` is epoch-nanos BIGINT (how the engine reads the
+    * events table); converted to a proper timestamp for watermarking.
+    */
+  def windowedCounts(events: DataFrame, tsNanosCol: String,
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros((col(tsNanosCol) / 1000).cast("long")))
+      .withWatermark("__ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("__ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+}
+
+/** Latest-known state of one vector id in the streaming fold. */
+final case class LiveRow(id: String, seq: Long, op: String, embedding: Seq[Float])

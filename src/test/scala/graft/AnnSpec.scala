@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.{IvfIndex, LshIndex}
+import graft.operators.{Dedup, TopK}
+
+/** ANN acceptance — parity with the reference is its own recall
+  * criterion (tests/recall_test.rs): recall@k = |ANN ∩ exact| / k
+  * against the exact search as ground truth.
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("IVF batch search reaches recall@10 >= 0.85 at nprobe=8/16") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"recall $mean%.3f below threshold")
+  }
+
+  test("IVF single-query search returns k rows from probed clusters only") {
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head
+    val res = IvfIndex.search(assigned, model, "vec_id", "embedding", q, 5, nprobe = 4)
+    assert(res.count() == 5)
+    // nprobe=all clusters degrades to exact search
+    val allProbes = IvfIndex.search(assigned, model, "vec_id", "embedding", q, 5, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(allProbes == exact)
+  }
+
+  test("LSH near-dup pairs recall >= 0.8 vs exact closest pairs") {
+    // ground truth: the 20 closest pairs by cosine distance
+    val truth = Dedup.closestPairs(emb, "vec_id", "embedding", topN = 20)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos_dist"))
+      .as[(Long, Long, Double)].collect()
+    val tau = truth.map(_._3).max + 1e-9
+    val got = LshIndex.nearDupPairs(emb, "vec_id", "embedding",
+      maxCosDist = tau, numPlanes = 16, numBands = 8)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val recall = got.intersect(truthSet).size.toDouble / truthSet.size
+    info(f"LSH near-dup recall = $recall%.3f (|candidates|=${got.size})")
+    assert(recall >= 0.8, f"recall $recall%.3f below threshold")
+  }
+}

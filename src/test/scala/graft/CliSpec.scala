@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+/** CLI shim end-to-end: insert → search → delete → list over a store
+  * root (mirrors the reference demo flow, examples/demo.sh). */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insert/search/delete/list/count/compact flow") {
+    val root = Files.createTempDirectory("cli-store").toString
+    def run(args: String*) = Cli.run(spark, root +: args)
+
+    run("insert", "sunset", "0.9,0.1,0.0")
+    run("insert", "ocean", "0.0,0.2,0.9")
+    run("insert", "fire", "1.0,0.1,0.0")
+
+    val hits = run("search", "1.0,0.0,0.0", "2").get
+      .select("id").as[String].collect().toSeq
+    assert(hits == Seq("fire", "sunset"))
+
+    run("delete", "fire")
+    val afterDelete = run("search", "1.0,0.0,0.0", "2").get
+      .select("id").as[String].collect().toSeq
+    assert(afterDelete == Seq("sunset", "ocean"))
+
+    assert(run("count").get.as[Long].head == 2)
+    assert(run("list").get.as[String].collect().toSeq == Seq("ocean", "sunset"))
+
+    run("compact")
+    assert(run("count").get.as[Long].head == 2)
+
+    // upsert after compaction: latest wins
+    run("insert", "sunset", "0.0,1.0,0.0")
+    val v = run("get", "sunset").get.select("embedding")
+      .as[Seq[Float]].head
+    assert(v == Seq(0.0f, 1.0f, 0.0f))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Ingest
+
+/** Multimodal stub pipeline + CSV/JSON ingest surfaces. */
+class MultimodalIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures: histogram features over binary payloads, batched per partition") {
+    val media = Seq(
+      (1L, "image", "aaaabbbb".getBytes("UTF-8")),
+      (2L, "audio", Array[Byte](0, 16, 32, 48)),
+      (3L, "image", Array.emptyByteArray))
+      .toDF("media_id", "media_type", "payload")
+      .repartition(2)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 8)
+    assert(feats(1L).features.sum === 1.0f) // L1-normalized histogram
+    // 'a'=0x61 and 'b'=0x62 share bin 6
+    assert(feats(1L).features(6) == 1.0f)
+    assert(feats(2L).n_bytes == 4)
+    // bytes 0,16,32,48 land in bins 0..3, 0.25 each
+    assert(feats(2L).features.take(4).forall(_ == 0.25f))
+    assert(feats(3L).n_bytes == 0 && feats(3L).features.forall(_ == 0f))
+  }
+
+  test("resize + frame-sample stubs are deterministic byte ops") {
+    val bytes = (0 until 12).map(_.toByte).toArray
+    assert(Multimodal.resizeStub(bytes, 3).toSeq == Seq[Byte](0, 3, 6, 9))
+    val frames = Multimodal.frameSampleStub(bytes, frameSize = 4, everyN = 2)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(frames(1).toSeq == Seq[Byte](8, 9, 10, 11))
+  }
+
+  test("S1: csv vector parse — trim, parse, null on malformed") {
+    val df = Seq("1.0, 2.5,3", "bad,1.0", "").toDF("s")
+    val parsed = df.select(
+      Ingest.parseCsvVector(col("s")).as("v"),
+      Ingest.csvVectorIsValid(col("s")).as("ok"))
+      .as[(Seq[Option[Float]], Boolean)].collect()
+    assert(parsed(0)._1.flatten == Seq(1.0f, 2.5f, 3.0f) && parsed(0)._2)
+    assert(parsed(1)._1.head.isEmpty && !parsed(1)._2) // "bad" → null slot
+  }
+
+  test("S2: json insert-request ingest (string + file forms)") {
+    val json = """{"id":"v1","vector":[1.0,2.0],"metadata":{"color":"red"}}"""
+    val row = Seq(json).toDF("j")
+      .select(Ingest.parseInsertJson(col("j")).as("r"))
+      .select("r.id", "r.vector", "r.metadata")
+      .as[(String, Seq[Float], Map[String, String])].head
+    assert(row == (("v1", Seq(1.0f, 2.0f), Map("color" -> "red"))))
+
+    val dir = Files.createTempDirectory("ingest").toString
+    Files.writeString(Paths.get(s"$dir/a.json"),
+      json + "\n" + """{"id":"v2","vector":[3.0]}""" + "\n")
+    val read = Ingest.readInsertJson(spark, dir)
+    assert(read.count() == 2)
+    assert(read.where(col("metadata").isNull).select("id").as[String].head == "v2")
+  }
+}
