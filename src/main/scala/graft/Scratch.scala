@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc experiment harness (not part of the driver contract). */
+/** Ad-hoc experiment harness (not part of the driver contract):
+  * prints the physical plan of selected queries for plan review. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -14,12 +14,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val pairs = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
-    pairs.explain("formatted")
-    val t0 = System.nanoTime()
-    println("rows=" + pairs.count())
-    println("sec=" + (System.nanoTime() - t0) / 1e9)
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq("knn_filtered", "knn_batch", "q1_agg")
+    names.foreach { n =>
+      println(s"========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -244,12 +244,24 @@ object SparkEntry {
         .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // staged projections: tokens → raw components → rounded outputs,
+    // so tokenization/stopword counting run once per doc instead of
+    // once per derived column.
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
-          round(TF.stopwordFraction(col("text")), 4).as("stop_frac"),
-          round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
-          TF.qualityScore(col("text")).as("quality"))
+          when(size(col("__toks")) === 0, lit(0.0)).otherwise(
+            size(filter(col("__toks"), tk => lower(tk).isin(TF.EnglishStopwords: _*)))
+              .cast("double") / size(col("__toks")).cast("double")).as("__stop"),
+          TF.punctRatio(col("text")).as("__punct"),
+          size(col("__toks")).cast("double").as("__nt"))
+        .select(col("doc_id"),
+          round(col("__stop"), 4).as("stop_frac"),
+          round(col("__punct"), 4).as("punct_ratio"),
+          round(least(col("__nt") / lit(64.0), lit(1.0))
+            * when(col("__stop").between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+            * (lit(1.0) - col("__punct")), 4).as("quality"))
         .orderBy(col("doc_id"))
     }),
     "lang_id" -> ((s, dir) => {
@@ -329,6 +341,50 @@ object SparkEntry {
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
             .cast("long").as("n_subtokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- semi-structured extraction (events.props JSON) -------------
+    "json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- distinct aggregation --------------------------------------
+    "metrics_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("op"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    }),
+
+    // ---- sessionization (gap > 30 min starts a new session) ---------
+    "events_sessionized" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull
+          || (col("ts") - col("__prev")) > 1800L * 1000000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- grouped top-k (k nearest per label group) ------------------
+    "knn_per_label" -> ((s, dir) => {
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      t(s, dir, "embeddings")
+        .crossJoin(broadcast(queryRow(s, dir).select(col("embedding").as("__qvec"))))
+        .select(col("label"), col("vec_id"),
+          DistanceMetric.Euclidean.distance(col("embedding"), col("__qvec")).as("distance"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("label"), col("vec_id"),
+          round(col("distance"), 4).as("distance"), col("rank").cast("long").as("rank"))
+        .orderBy(col("label"), col("rank"))
     }),
   )
 
@@ -489,6 +545,30 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subtokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "json_props" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+      "metrics_distinct" ->
+        """SELECT event_type AS op, count(DISTINCT user_id) AS users, count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY op""".stripMargin,
+      "events_sessionized" ->
+        """WITH o AS (SELECT user_id, ts,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+          |  FROM events)
+          |SELECT user_id,
+          |  CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "knn_per_label" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |d AS (SELECT e.label, e.vec_id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
+           |      FROM embeddings e CROSS JOIN q),
+           |r AS (SELECT label, vec_id, dist,
+           |        row_number() OVER (PARTITION BY label ORDER BY dist ASC, vec_id ASC) AS rank
+           |      FROM d)
+           |SELECT label, vec_id, round(dist, 4) AS distance, rank
+           |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
     )
   }
 }

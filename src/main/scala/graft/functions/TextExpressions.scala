@@ -46,3 +46,48 @@ object RollingHash {
   def column(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 }
+
+/** 32-bit SimHash over an ARRAY<BIGINT> of token hashes (Charikar
+  * 2002) as one fused loop — same per-bit ±1 vote semantics as the
+  * HOF/oracle formulation but without the per-token 32-element
+  * intermediate arrays.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  protected override def nullSafeEval(v: Any): Any =
+    SimHash32.hash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash32 {
+  def hash(hs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def column(c: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+}

@@ -101,20 +101,9 @@ object TextFunctions {
 
   /** 32-bit SimHash over whitespace tokens (Charikar 2002): for each
     * bit position b, sum ±1 across token hashes by bit b, emit bit b
-    * if the sum is positive.
+    * if the sum is positive. Fused kernel (SimHash32 expression).
     */
-  def simhash32(text: Column): Column = {
-    val hs = transform(tokens(text), t => rollingHash(t))
-    val bitSums = aggregate(
-      hs,
-      array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
-        (cnt, b) => cnt + when((call_function("shiftright", h, b) % 2) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(31)),
-        (cnt, b) => when(cnt > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash32(text: Column): Column = SimHash32.column(tokenHashes(text))
 
   /** Hamming distance between two simhash values (for near-dup pairing). */
   def hammingDistance(a: Column, b: Column): Column =
