@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Ad-hoc experiment harness (not part of the driver contract):
-  * prints the physical plan of selected queries for plan review. */
+/** Ad-hoc experiment harness (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -14,12 +14,29 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq("knn_filtered", "knn_batch", "q1_agg")
-    names.foreach { n =>
-      println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def timeIt[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
+
+    import graft.functions.{TextFunctions => TF}
+    val sets = operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+    timeIt("shingleSets count")(println(sets.count()))
+    val sh = sets.select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+    timeIt("explode count")(println(sh.count()))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .where(col("f") <= 1000 && col("f") >= 2)
+    timeIt("freq count")(println(freq.count()))
+    val shF = sh.join(freq.select("sh"), "sh")
+    timeIt("shF count")(println(shF.count()))
+    val joined = shF.as("a").join(shF.as("b"), "sh").where(col("a.doc") < col("b.doc"))
+    timeIt("selfjoin count")(println(joined.count()))
+    timeIt("full jaccard")(println(
+      operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1).count()))
     spark.stop()
   }
 }

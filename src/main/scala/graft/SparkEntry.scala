@@ -147,6 +147,17 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // J2: batch k-NN with one shared filter applied to the data side
+    // before the join (reference src/storage.rs:313-322)
+    "knn_batch_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      TopK.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        filter = Some(col("label") % 2 === 0))
+        .select(col("query_id"), col("id"), round(col("distance"), 4).as("distance"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- vector scalar functions (F5-F7) -------------------------
     "vec_norm" -> ((s, dir) => {
@@ -427,6 +438,15 @@ object SparkEntry {
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
            |d AS (SELECT q.query_id, e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
            |      FROM embeddings e CROSS JOIN q),
+           |r AS (SELECT query_id, id, dist,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+           |      FROM d)
+           |SELECT query_id, id, round(dist, 4) AS distance, rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "knn_batch_filtered" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT q.query_id, e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
+           |      FROM embeddings e CROSS JOIN q WHERE e.label % 2 = 0),
            |r AS (SELECT query_id, id, dist,
            |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
            |      FROM d)

@@ -45,19 +45,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.1,
                    maxShingleFreq: Long = 1000): DataFrame = {
+    // set size rides along with every exploded shingle row, so no
+    // join-back to a separate per-doc sizes table is needed and the
+    // shingle pipeline is evaluated in only two subplans (frequency
+    // pass + self-join sides, the latter dedupable by ReuseExchange).
     val sh = shingleSets(docs, idCol, textCol, n)
-      .select(col("doc"), explode(col("shs")).as("sh"))
+      .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("f"))
       .where(col("f") <= maxShingleFreq && col("f") >= 2)
     val shF = sh.join(rare.select("sh"), "sh")
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = shF.as("a").join(shF.as("b"), "sh")
+    shF.as("a").join(shF.as("b"), "sh")
       .where(col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .groupBy(col("a.doc").as("doc_a"), col("a.sz").as("sz_a"),
+        col("b.doc").as("doc_b"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))

@@ -35,6 +35,30 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.85, f"recall $mean%.3f below threshold")
   }
 
+  test("nprobe is the recall/latency knob (K5): recall is monotone in nprobe") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    def recallAt(nprobe: Int): Double = {
+      val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nprobe = nprobe)
+        .select(col("query_id").cast("long"), col("id"))
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    val r16 = recallAt(16)
+    info(f"recall@10: nprobe=2 → $r2%.3f, nprobe=8 → $r8%.3f, nprobe=16 → $r16%.3f")
+    assert(r2 <= r8 + 1e-9 && r8 <= r16 + 1e-9)
+    assert(r16 >= 0.999, "probing all clusters must recover exact results")
+  }
+
   test("IVF single-query search returns k rows from probed clusters only") {
     val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
     val q = emb.where(col("vec_id") === 0)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan guards: the scale properties this engine depends on
+  * are plan shapes, not just results — pin them so a refactor that
+  * silently degrades (full sort instead of top-k, lost pushdown,
+  * unbounded shuffle) fails the suite.
+  */
+class PlanSpec extends SparkSpec {
+
+  // sf0.01, not sf0.001: AnnSpec caches the sf0.001 embeddings table in
+  // the shared session, which would swap the parquet scan for an
+  // InMemoryRelation and hide PushedFilters/ReadSchema.
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("knn uses TakeOrderedAndProject (distributed top-k), not a global sort") {
+    val p = plan("knn_euclidean")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("fused_euclidean"), p)
+  }
+
+  test("filtered knn pushes the predicate into the parquet scan") {
+    val p = plan("knn_filtered")
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"), p)
+  }
+
+  test("batch knn join shuffles only bounded top-k buffers (partial agg before exchange)") {
+    val p = plan("knn_batch")
+    assert(p.contains("partial_topkagg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // queries side is broadcast, never shuffled
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("metadata-only query prunes the embedding column from the scan") {
+    val p = plan("filter_eq")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("embedding")),
+      s"embedding column should be pruned:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("q1_agg does map-side partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("join query broadcasts the small dimension side") {
+    val p = plan("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
