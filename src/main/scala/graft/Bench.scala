@@ -13,11 +13,13 @@ object Bench {
   // pipelines. Keep it small enough that a bench round stays in minutes.
   val headline: Seq[String] = Seq(
     "knn_euclidean", "knn_cosine", "knn_batch", "knn_filtered",
+    "knn_per_label", "ann_ivf",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
+    "events_sessionized", "json_props",
     "text_quality", "doc_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_embedding")
+    "dedup_embedding", "dedup_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.IvfIndex
+import graft.operators.TopK
+
+/** Replica of the reference's recall acceptance suite
+  * (tests/recall_test.rs:67-80): random uniform vectors at three
+  * geometries, recall@10 of the approximate index vs exact ground
+  * truth. The reference gates HNSW at ≥0.90/0.90/0.85; the IVF index
+  * is gated at the same thresholds with its own knob (nprobe) set to
+  * a comparable work ratio.
+  */
+class RecallGeometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVectors(n: Int, d: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(d)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def meanRecall(n: Int, d: Int, nQueries: Int,
+                         nClusters: Int, nprobe: Int): Double = {
+    val data = randomVectors(n, d, seed = 42).cache()
+    val queries = data.where(col("vec_id") < nQueries)
+    val exact = TopK.knnJoin(data, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(data, "vec_id", "embedding",
+      nClusters = nClusters, seed = 42)
+    val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nprobe = nprobe)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    data.unpersist()
+    val rs = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    rs.sum / rs.size
+  }
+
+  test("recall@10 >= 0.90 at n=100, d=32 (reference recall_test.rs:67-70)") {
+    val r = meanRecall(n = 100, d = 32, nQueries = 50, nClusters = 8, nprobe = 5)
+    info(f"recall = $r%.3f")
+    assert(r >= 0.90)
+  }
+
+  test("recall@10 >= 0.90 at n=1000, d=64 (reference recall_test.rs:72-75)") {
+    val r = meanRecall(n = 1000, d = 64, nQueries = 50, nClusters = 16, nprobe = 8)
+    info(f"recall = $r%.3f")
+    assert(r >= 0.90)
+  }
+
+  test("recall@10 >= 0.85 at n=5000, d=128 (reference recall_test.rs:77-80)") {
+    val r = meanRecall(n = 5000, d = 128, nQueries = 20, nClusters = 32, nprobe = 16)
+    info(f"recall = $r%.3f")
+    assert(r >= 0.85)
+  }
+}
