@@ -67,6 +67,18 @@ object SparkEntry {
     s"list_transform(range(0, greatest(len(th) - ${n - 1}, 0)), i -> $fold)"
   }
 
+  /** Shared CTE chain ending in jpairs(doc_a, doc_b, jac) — the DuckDB
+    * twin of Dedup.jaccardPairs (used by dedup_jaccard + dedup_corpus). */
+  private def sqlJaccardCtes: String =
+    s"""tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
+       |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(3)}) AS shs FROM tha),
+       |sh AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha),
+       |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+       |shf AS (SELECT s.doc, s.sz, s.sh FROM sh s JOIN freq USING (sh) WHERE f BETWEEN 2 AND 1000),
+       |inter AS (SELECT a.doc AS doc_a, a.sz AS sz_a, b.doc AS doc_b, b.sz AS sz_b, count(*) AS i
+       |          FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc GROUP BY 1, 2, 3, 4),
+       |jpairs AS (SELECT doc_a, doc_b, i * 1.0 / (sz_a + sz_b - i) AS jac FROM inter)""".stripMargin
+
   private val sqlStopList: String =
     TF.EnglishStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def sqlStopFrac(text: String): String = {
@@ -301,6 +313,12 @@ object SparkEntry {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // end-to-end corpus dedup: survivors after exact + near-dup drops
+    "dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TF.simhash32(col("text")).as("sim"))
@@ -524,18 +542,20 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS group_size
           |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
       "dedup_jaccard" ->
-        s"""WITH tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
-           |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(3)}) AS shs FROM tha),
-           |sh AS (SELECT doc, unnest(shs) AS sh FROM sha),
-           |sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
-           |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
-           |shf AS (SELECT s.doc, s.sh FROM sh s JOIN freq USING (sh) WHERE f BETWEEN 2 AND 1000),
-           |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
-           |          FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-           |FROM inter JOIN sizes sa ON sa.doc = inter.doc_a JOIN sizes sb ON sb.doc = inter.doc_b
-           |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
+        s"""WITH $sqlJaccardCtes
+           |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+           |FROM jpairs WHERE jac >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_corpus" ->
+        s"""WITH $sqlJaccardCtes,
+           |near AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jac >= 0.3),
+           |exact AS (SELECT doc_id FROM (
+           |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           |    FROM documents) WHERE doc_id <> keeper)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM near)
+           |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+           |ORDER BY doc_id""".stripMargin,
       "dedup_minhash" ->
         s"""WITH tha AS (SELECT doc_id, ${sqlTokenHashes("text")} AS th FROM documents),
            |s AS (SELECT doc_id, ${sqlShingleHashesOfTh(3)} AS sh FROM tha)

@@ -65,6 +65,32 @@ object IvfIndex {
     (assigned, Model(centroids))
   }
 
+  /** Persist the index: assignments PARTITIONED BY cluster (each probe
+    * then reads only its cluster directories — file-level partition
+    * pruning, the on-disk form of the inverted file) + centroids table.
+    */
+  def write(assigned: DataFrame, model: Model, path: String): Unit = {
+    assigned.write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$path/assignments")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. Centroids are small → driver-side. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Model) = {
+    val assigned = spark.read.parquet(s"$path/assignments")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+    (assigned, Model(centroids))
+  }
+
   /** Approximate k-NN: probe `nprobe` clusters, exact top-k inside.
     * Returns (id, distance, cluster). */
   def search(assigned: DataFrame, model: Model, idCol: String, vecCol: String,

@@ -161,6 +161,21 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end corpus dedup: the surviving document set after
+    * dropping (a) exact duplicates — every doc that is not the minimum
+    * id of its content-hash group — and (b) near-duplicates — the
+    * higher id of every shingle-jaccard pair ≥ minJaccard (greedy
+    * pairwise policy, deterministic; a transitive-closure variant would
+    * need iterative connected components).
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+    val exactDrops = exactDropIds(docs, idCol, textCol)
+    val nearDrops = jaccardPairs(docs, idCol, textCol, n, minJaccard)
+      .select(col("doc_b").as(idCol))
+    docs.join(exactDrops.unionByName(nearDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Exact closest pairs by embedding cosine distance — O(n²) ground
     * truth for the ANN/LSH near-dup paths; only for test-scale data or
     * within LSH buckets. */

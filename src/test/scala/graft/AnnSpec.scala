@@ -73,6 +73,30 @@ class AnnSpec extends SparkSpec {
     assert(allProbes == exact)
   }
 
+  test("stored IVF index: cluster-partitioned parquet, probes prune partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    IvfIndex.write(assigned, model, path)
+    val (loaded, loadedModel) = IvfIndex.load(spark, path)
+    assert(loadedModel.centroids.length == 16)
+    assert(loadedModel.centroids.zip(model.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    val fromStored = IvfIndex.search(loaded, loadedModel, "vec_id", "embedding", q, 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val fromMemory = IvfIndex.search(assigned, model, "vec_id", "embedding", q, 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fromStored == fromMemory)
+
+    // the probe must reach the scan as a PARTITION filter (file pruning),
+    // not a post-scan predicate
+    val probed = IvfIndex.search(loaded, loadedModel, "vec_id", "embedding", q, 5, nprobe = 4)
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [cluster"), plan)
+  }
+
   test("LSH near-dup pairs recall >= 0.8 vs exact closest pairs") {
     // ground truth: the 20 closest pairs by cosine distance
     val truth = Dedup.closestPairs(emb, "vec_id", "embedding", topN = 20)
