@@ -313,6 +313,14 @@ object SparkEntry {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // MinHash-LSH near-dup pairs: banding + bucket join + exact verify.
+    // Fully deterministic (affine minhashes, no randomness) → oracle.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, minJaccard = 0.3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // end-to-end corpus dedup: survivors after exact + near-dup drops
     "dedup_corpus" -> ((s, dir) => {
       Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
@@ -546,6 +554,27 @@ object SparkEntry {
            |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
            |FROM jpairs WHERE jac >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_pairs" -> {
+        val bandRows = (0 until 4).map { b =>
+          s"SELECT doc_id, $b AS band, concat(mh_${2 * b}, '_', mh_${2 * b + 1}) AS sigk FROM sig WHERE mh_0 IS NOT NULL"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH tha AS (SELECT doc_id, ${sqlTokenHashes("text")} AS th FROM documents),
+           |s AS (SELECT doc_id, ${sqlShingleHashesOfTh(3)} AS sh FROM tha),
+           |shaset AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+           |sig AS (SELECT doc_id, $mhCols FROM s),
+           |bands AS (
+           |  $bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b ON a.band = b.band AND a.sigk = b.sigk
+           |         WHERE a.doc_id < b.doc_id),
+           |ver AS (SELECT doc_a, doc_b,
+           |          len(list_intersect(sa.shs, sb.shs)) * 1.0 /
+           |          (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jac
+           |        FROM cand JOIN shaset sa ON sa.doc_id = cand.doc_a
+           |                  JOIN shaset sb ON sb.doc_id = cand.doc_b)
+           |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+           |FROM ver WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+      },
       "dedup_corpus" ->
         s"""WITH $sqlJaccardCtes,
            |near AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jac >= 0.3),

@@ -66,6 +66,25 @@ class DistanceSpec extends SparkSpec {
     assert(scaled == Seq(2.5, 5.0))
   }
 
+  test("fused kernels are BITWISE equal to the HOF forms on real embeddings") {
+    import graft.functions.FusedDistance
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+      VF.euclideanDistance(col("embedding"), col("qv")).as("e_hof"),
+      FusedDistance.euclidean(col("embedding"), col("qv")).as("e_fused"),
+      VF.dotProduct(col("embedding"), col("qv")).as("d_hof"),
+      FusedDistance.dot(col("embedding"), col("qv")).as("d_fused"),
+      VF.cosineDistance(col("embedding"), col("qv")).as("c_hof"),
+      FusedDistance.cosine(col("embedding"), col("qv")).as("c_fused"))
+    // === on doubles is bitwise here: identical operation order required
+    val mismatches = both.where(
+      col("e_hof") =!= col("e_fused") ||
+        col("d_hof") =!= col("d_fused") ||
+        col("c_hof") =!= col("c_fused")).count()
+    assert(mismatches == 0)
+  }
+
   test("dimension check flags mismatched vectors (reference DimensionMismatch)") {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     val bad = df.where(!VF.dimCheck(col("v"), 2)).select("id").as[Long].collect()
