@@ -231,13 +231,16 @@ object SparkEntry {
     }),
 
     // ---- log fold / metrics (C1/C2, A1-A3) -----------------------
+    // max_by aggregation, not a window: partial combine keeps the
+    // shuffle at one candidate per (id, partition) — see VectorLog.fold
     "log_latest_wins" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      t(s, dir, "events").withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1 && col("event_type") =!= "error")
-        .select(col("user_id"), col("event_type").as("last_op"),
-          round(col("value"), 4).as("last_value"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__w"))
+        .where(col("__w.event_type") =!= "error")
+        .select(col("user_id"), col("__w.event_type").as("last_op"),
+          round(col("__w.value"), 4).as("last_value"))
         .orderBy(col("user_id"))
     }),
     "log_counters" -> ((s, dir) =>

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for heavy-hitter keys.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these
+  * helpers cover the aggregation shape AQE does not rewrite: a
+  * `groupBy(key)` where one key holds a large share of all rows, so a
+  * single reducer becomes the straggler. Salting splits each key into
+  * `saltFactor` sub-keys (first, partial aggregation per sub-key),
+  * then combines the partials (second, tiny aggregation).
+  *
+  * Only ALGEBRAIC aggregates decompose this way (sum/count/min/max and
+  * anything built from them); avg must be expressed as sum/count by the
+  * caller.
+  */
+object Skew {
+
+  /** Salted sum/count aggregation: semantically identical to
+    * `df.groupBy(keys).agg(sum(valueCol), count(*))` but with the
+    * heavy-key reduction spread over `saltFactor` tasks.
+    */
+  def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
+                     saltFactor: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("n"))
+
+  /** Generic two-phase salted aggregation over algebraic partials:
+    * caller supplies the partial aggregates and the matching combiners
+    * (column name → combine expression over the partial column).
+    */
+  def salted(df: DataFrame, keyCol: String, saltFactor: Int,
+             partials: Seq[Column], combine: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(combine.head, combine.tail: _*)
+}

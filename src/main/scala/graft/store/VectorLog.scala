@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,13 +61,21 @@ object VectorLog {
   /** Latest-wins fold of a mutation log: one row per live id
     * (reference upsert semantics storage.rs:156-161 + delete
     * storage.rs:175-192). Deterministic: highest seq wins.
+    *
+    * Implemented as max_by aggregation, NOT a row_number window: the
+    * aggregate gets map-side partial combine, so a hot id with millions
+    * of versions shuffles one candidate row per input partition instead
+    * of every version — the window form shuffles the full history of
+    * every id to one task.
     */
-  def fold(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
-    log.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col("op") =!= "delete")
-      .drop("__rn")
-  }
+  def fold(log: DataFrame): DataFrame =
+    log.groupBy(col("id"))
+      .agg(max_by(
+        struct(col("seq"), col("op"), col("embedding"), col("meta")),
+        col("seq")).as("__w"))
+      .where(col("__w.op") =!= "delete")
+      .select(col("__w.seq").as("seq"), col("__w.op").as("op"), col("id"),
+        col("__w.embedding").as("embedding"), col("__w.meta").as("meta"))
 
   /** The live view = snapshot ∪ log tail, folded. Missing pieces are
     * tolerated (empty store / never compacted / just compacted).

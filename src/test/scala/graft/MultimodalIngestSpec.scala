@@ -48,6 +48,25 @@ class MultimodalIngestSpec extends SparkSpec {
     assert(parsed(1)._1.head.isEmpty && !parsed(1)._2) // "bad" → null slot
   }
 
+  test("S1 table form: csv vector table roundtrips through parse") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val dir = Files.createTempDirectory("csv-vectors").toString
+    // export as (vec_id, "x1,x2,...") csv — the reference CLI's wire form
+    emb.select(col("vec_id"),
+      concat_ws(",", col("embedding")).as("vec_csv"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").csv(dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Ingest.parseCsvVector(col("vec_csv")).as("embedding"))
+    val orig = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val parsed = back.as[(Long, Seq[Float])].collect().toMap
+    assert(parsed.keySet == orig.keySet)
+    // float→string→float roundtrip is exact for java Float.toString
+    assert(orig.forall { case (id, v) => parsed(id) == v })
+  }
+
   test("S2: json insert-request ingest (string + file forms)") {
     val json = """{"id":"v1","vector":[1.0,2.0],"metadata":{"color":"red"}}"""
     val row = Seq(json).toDF("j")

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted aggregation ≡ direct aggregation on a skewed key space. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSumCount matches direct groupBy on 90%-one-key data") {
+    // heavy hitter: 90% of rows share key "hot"
+    val rows = (1 to 10000).map { i =>
+      (if (i % 10 == 0) s"cold_${i % 7}" else "hot", i.toDouble)
+    }
+    val df = rows.toDF("k", "v").repartition(8)
+
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("sum"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", saltFactor = 16)
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("generic salted partial/combine matches direct min/max") {
+    val rows = (1 to 5000).map(i => ("hot", i.toLong))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = Skew.salted(df, "k", 8,
+      partials = Seq(min("v").as("__pmin"), max("v").as("__pmax")),
+      combine = Seq(min("__pmin").as("min_v"), max("__pmax").as("max_v")))
+      .as[(String, Long, Long)].head
+    assert(got == (("hot", 1L, 5000L)))
+  }
+}
