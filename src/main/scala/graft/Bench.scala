@@ -12,8 +12,8 @@ object Bench {
   // Headline set: the engine's primary operators + the heaviest [EXT]
   // pipelines. Keep it small enough that a bench round stays in minutes.
   val headline: Seq[String] = Seq(
-    "knn_euclidean", "knn_cosine", "knn_batch", "knn_filtered",
-    "knn_per_label", "ann_ivf",
+    "knn_euclidean", "knn_cosine", "knn_batch", "knn_batch_bulk",
+    "knn_filtered", "knn_per_label", "ann_ivf",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
     "events_sessionized", "json_props",

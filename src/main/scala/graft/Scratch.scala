@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc experiment harness (not part of the driver contract). */
+/** Ad-hoc experiment harness (not part of the driver contract).
+  * Current experiment: operator scaling on a 500k-row replicated
+  * embedding table (250× sf0.1). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -14,29 +16,51 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import spark.implicits._
 
     def timeIt[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
 
-    import graft.functions.{TextFunctions => TF}
-    val sets = operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
-    timeIt("shingleSets count")(println(sets.count()))
-    val sh = sets.select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
-    timeIt("explode count")(println(sh.count()))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-      .where(col("f") <= 1000 && col("f") >= 2)
-    timeIt("freq count")(println(freq.count()))
-    val shF = sh.join(freq.select("sh"), "sh")
-    timeIt("shF count")(println(shF.count()))
-    val joined = shF.as("a").join(shF.as("b"), "sh").where(col("a.doc") < col("b.doc"))
-    timeIt("selfjoin count")(println(joined.count()))
-    timeIt("full jaccard")(println(
-      operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1).count()))
+    // 2000 × 250 = 500k rows, 64-dim, ids made unique per replica
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val big = base.crossJoin(spark.range(250).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet("/tmp/big_embeddings")
+    val emb = spark.read.parquet("/tmp/big_embeddings")
+    println(s"[scale] rows=${emb.count()}")
+
+    val q = base.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+
+    timeIt("exact knn k=10 over 500k")(
+      operators.TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10).collect())
+
+    val queries = emb.where(col("vec_id") < 64)
+    timeIt("batch knnJoin 64 queries x 500k")(
+      operators.TopK.knnJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10).count())
+
+    timeIt("batch knnJoinBulk 64 queries x 500k")(
+      operators.TopK.knnJoinBulk(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10).count())
+
+    val (assigned, model) = timeIt("IVF build k=64 (sample fit)")(
+      index.IvfIndex.build(emb, "vec_id", "embedding",
+        nClusters = 64, maxIter = 5, sampleFraction = 0.1))
+    assigned.write.mode("overwrite").parquet("/tmp/big_ivf")
+    val stored = spark.read.parquet("/tmp/big_ivf")
+    timeIt("IVF probe nprobe=8/64 (materialized index)")(
+      index.IvfIndex.search(stored, model, "vec_id", "embedding", q, 10, 8).collect())
+
+    timeIt("vec_norm over 500k")(
+      emb.select(functions.VectorFunctions.norm(col("embedding"))).write
+        .format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }

@@ -159,6 +159,16 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // same J1 semantics, bulk aggregation path (no join materialized) —
+    // identical results, checked against the same oracle
+    "knn_batch_bulk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      TopK.knnJoinBulk(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("id"), round(col("distance"), 4).as("distance"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // J2: batch k-NN with one shared filter applied to the data side
     // before the join (reference src/storage.rs:313-322)
     "knn_batch_filtered" -> ((s, dir) => {
@@ -464,6 +474,15 @@ object SparkEntry {
       "knn_dot" -> knnSql(dotNeg),
       "knn_filtered" -> knnSql(knnDist, "WHERE e.label = 3"),
       "knn_batch" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |d AS (SELECT q.query_id, e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
+           |      FROM embeddings e CROSS JOIN q),
+           |r AS (SELECT query_id, id, dist,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+           |      FROM d)
+           |SELECT query_id, id, round(dist, 4) AS distance, rank
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "knn_batch_bulk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
            |d AS (SELECT q.query_id, e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
            |      FROM embeddings e CROSS JOIN q),

@@ -98,6 +98,107 @@ object TopK {
       .limit(k)
   }
 
+  /** Bounded insertion buffer of the k smallest (distance, id) pairs —
+    * primitive arrays, ascending order, O(k) insert, O(1) reject. */
+  final class KSmallest(k: Int) extends Serializable {
+    val dists = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+
+    def push(id: Long, d: Double): Unit = {
+      if (size == k) {
+        val w = size - 1
+        if (d > dists(w) || (d == dists(w) && id > ids(w))) return
+      }
+      var i = math.min(size, k - 1)
+      while (i > 0 && (d < dists(i - 1) || (d == dists(i - 1) && id < ids(i - 1)))) {
+        dists(i) = dists(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      dists(i) = d; ids(i) = id
+      if (size < k) size += 1
+    }
+
+    def merge(other: KSmallest): KSmallest = {
+      var i = 0
+      while (i < other.size) { push(other.ids(i), other.dists(i)); i += 1 }
+      this
+    }
+  }
+
+  /** Bulk batch k-NN: evaluates EVERY query against each data row in a
+    * single per-partition pass with primitive loops — no join, so the
+    * N×Q intermediate rows of the join formulation are never
+    * materialized (at 64 queries × 500k rows that row machinery, not
+    * the FLOPs, dominates). Shuffle/driver traffic is P×Q×k buffer
+    * entries. Same math and (distance, id) order as knnJoin —
+    * results are identical.
+    *
+    * Queries are collected to the driver and broadcast: this is the
+    * path for query sets that fit in memory (up to ~10⁵); beyond that
+    * use IvfIndex.searchJoin, which prunes candidates by cluster.
+    */
+  def knnJoinBulk(data: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int,
+                  metric: DistanceMetric = DistanceMetric.Euclidean,
+                  filter: Option[Column] = None): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val qVecs = qRows.map(_._2)
+    val bc = spark.sparkContext.broadcast(qVecs)
+    val metricName = metric.name
+    val filtered = filter.map(data.where).getOrElse(data)
+
+    val partials = filtered
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .rdd.mapPartitions { iter =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new KSmallest(k))
+        iter.foreach { case (id, vSeq) =>
+          val v = vSeq.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            val d = metricName match {
+              case "euclidean" =>
+                var acc = 0.0; var i = 0
+                while (i < v.length) {
+                  val t = v(i).toDouble - q(i).toDouble; acc += t * t; i += 1 }
+                math.sqrt(acc)
+              case "dot" =>
+                var acc = 0.0; var i = 0
+                while (i < v.length) { acc += v(i).toDouble * q(i).toDouble; i += 1 }
+                -acc
+              case _ => // cosine
+                var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+                while (i < v.length) {
+                  val x = v(i).toDouble; val y = q(i).toDouble
+                  dot += x * y; na += x * x; nb += y * y; i += 1
+                }
+                if (na == 0.0 || nb == 0.0) Double.NaN
+                else 1.0 - math.min(math.max(dot / (math.sqrt(na) * math.sqrt(nb)), -1.0), 1.0)
+            }
+            if (!d.isNaN) heaps(qi).push(id, d)
+            qi += 1
+          }
+        }
+        Iterator.single(heaps)
+      }
+    val merged = partials.reduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i).merge(b(i)); i += 1 }; a
+    }
+    val rows = merged.zipWithIndex.flatMap { case (h, qi) =>
+      (0 until h.size).map { r =>
+        (qRows(qi)._1, h.ids(r), h.dists(r), (r + 1).toLong) }
+    }.toIndexedSeq
+    rows.toDF("query_id", "id", "distance", "rank")
+  }
+
   /** Batch k-NN: the k-NN similarity join (reference J1,
     * src/storage.rs:302-310 — a sequential loop there; here one
     * distributed job). `queries` is broadcast; each data partition

@@ -66,6 +66,23 @@ class TopKSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("knnJoinBulk matches knnJoin exactly for all metrics") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 6)
+    for (metric <- Seq(DistanceMetric.Euclidean, DistanceMetric.Cosine,
+      DistanceMetric.DotProduct)) {
+      val viaJoin = TopK.knnJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, metric)
+        .select(col("query_id").cast("long"), col("id"),
+          col("distance"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val viaBulk = TopK.knnJoinBulk(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, metric)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(viaBulk == viaJoin, s"metric=${metric.name}")
+    }
+  }
+
   test("TopKAgg buffer is bounded at k and merge-order-independent") {
     val agg = new TopKAgg(3)
     val items = (1L to 100L).map(i => Scored(i, 100.0 - i.toDouble))
