@@ -184,13 +184,18 @@ object SparkEntry {
     // ---- vector scalar functions (F5-F7) -------------------------
     "vec_norm" -> ((s, dir) => {
       t(s, dir, "embeddings")
-        .select(col("vec_id"), round(VF.norm(col("embedding")), 4).as("nrm"))
+        .select(col("vec_id"),
+          round(graft.functions.FusedDistance.norm(col("embedding")), 4).as("nrm"))
         .orderBy(col("vec_id"))
     }),
     "vec_normalize" -> ((s, dir) => {
+      // first element of the normalized vector: x0 / ||x|| (fused norm)
+      val nrm = graft.functions.FusedDistance.norm(col("embedding"))
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(element_at(VF.normalize(col("embedding")), 1), 4).as("n0"))
+          round(when(nrm === 0.0, lit(null).cast("double"))
+            .otherwise(element_at(col("embedding").cast("array<double>"), 1) / nrm), 4)
+            .as("n0"))
         .orderBy(col("vec_id"))
     }),
     "vec_arith" -> ((s, dir) => {

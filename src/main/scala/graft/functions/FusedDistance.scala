@@ -206,6 +206,54 @@ case class FusedCosine(left: Expression, right: Expression) extends FusedVecBina
     copy(left = l, right = r)
 }
 
+/** sqrt(Σ x²) — fused form of VectorFunctions.norm (unary). */
+case class FusedNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fused_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fused_norm requires ARRAY<FLOAT|DOUBLE>, got ${other.simpleString}")
+  }
+
+  private def isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xi = if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      acc += xi * xi; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xi = ctx.freshName("xi")
+      val get = if (isDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $get;
+         |  $acc += $xi * $xi;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object FusedDistance {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -217,4 +265,6 @@ object FusedDistance {
     ColumnBridge.column(FusedDot(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(FusedCosine(expr(a), expr(b)))
+  def norm(a: Column): Column =
+    ColumnBridge.column(FusedNorm(expr(a)))
 }

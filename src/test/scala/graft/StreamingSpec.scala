@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamLive == batchLive)
   }
 
+  test("stream-static join: streaming queries scored against the static store") {
+    // static side: the embeddings table; stream side: query vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qDir = Files.createTempDirectory("query-stream").toString
+    emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .write.mode("overwrite").parquet(qDir)
+
+    val queryStream = spark.readStream
+      .schema("query_id BIGINT, qvec ARRAY<FLOAT>")
+      .parquet(qDir)
+    val scored = queryStream.join(emb, expr("true"), "inner")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.FusedDistance.euclidean(col("embedding"), col("qvec")).as("d"))
+      .where(col("d") < 0.5)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("stream_scored").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_scored")
+    // each query at least matches itself at distance 0
+    assert(got.where(col("query_id") === col("vec_id")).count() == 2)
+  }
+
   test("windowed counts with watermark over the events table match batch") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // batch ground truth (same bucketing as the oracle query)
