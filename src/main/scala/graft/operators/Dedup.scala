@@ -47,8 +47,10 @@ object Dedup {
                    maxShingleFreq: Long = 1000): DataFrame = {
     // set size rides along with every exploded shingle row, so no
     // join-back to a separate per-doc sizes table is needed and the
-    // shingle pipeline is evaluated in only two subplans (frequency
-    // pass + self-join sides, the latter dedupable by ReuseExchange).
+    // shingle pipeline is evaluated in only three subplans (frequency
+    // pass + self-join sides). Measured: persisting this table costs
+    // more than recomputing it at bench scale; at cluster scale it
+    // would instead be a materialized shingle-index table.
     val sh = shingleSets(docs, idCol, textCol, n)
       .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("f"))
