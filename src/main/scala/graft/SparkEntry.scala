@@ -207,6 +207,21 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // int8 scalar quantization (storage lever for 100 TB embeddings):
+    // scale factor + first two codes, oracle-checked
+    "vec_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VF.quantizeScale(col("embedding")).as("__scale"))
+      emb.select(col("vec_id"),
+        round(col("__scale"), 4).as("scale"),
+        round(element_at(col("embedding").cast("array<double>"), 1) * col("__scale"))
+          .cast("long").as("q0"),
+        round(element_at(col("embedding").cast("array<double>"), 2) * col("__scale"))
+          .cast("long").as("q1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- point ops (C3/C5/S8) ------------------------------------
     "point_lookup" -> ((s, dir) => {
       t(s, dir, "embeddings").where(col("vec_id") === 42)
@@ -515,6 +530,15 @@ object SparkEntry {
            |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[len(embedding)] AS DOUBLE) * 2.0, 4) AS s0,
            |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) * 2.0, 4) AS s1
            |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "vec_quantize" ->
+        s"""WITH s AS (SELECT vec_id, embedding,
+           |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           |  FROM embeddings)
+           |SELECT vec_id, round(scale, 4) AS scale,
+           |  CAST(round(CAST(embedding[1] AS DOUBLE) * scale) AS BIGINT) AS q0,
+           |  CAST(round(CAST(embedding[2] AS DOUBLE) * scale) AS BIGINT) AS q1
+           |FROM s ORDER BY vec_id""".stripMargin,
 
       "point_lookup" ->
         "SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings WHERE vec_id = 42",

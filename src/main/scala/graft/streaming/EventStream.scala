@@ -43,6 +43,46 @@ object EventStream {
       }
   }
 
+  /** Continuous k-NN: maintains the exact top-k per query over a
+    * stream of inserts (the reference's serving loop, as a streaming
+    * query). Each arriving vector is scored against every registered
+    * query (stateless flatMap over the broadcast query set); a
+    * per-query bounded state keeps the current top-k and emits it on
+    * every update. Deletes are not folded here — production would
+    * compose this with liveState or periodically re-seed from the
+    * compacted snapshot.
+    */
+  def continuousKnn(log: DataFrame, queries: Array[(Long, Array[Float])],
+                    k: Int): Dataset[KnnTop] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    log.where(col("op") === "insert")
+      .select(col("id"), col("embedding"))
+      .as[(String, Seq[Float])]
+      .flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        bc.value.iterator.map { case (qid, q) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) {
+            val d = v(i).toDouble - q(i).toDouble; acc += d * d; i += 1
+          }
+          (qid, id, math.sqrt(acc))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[Vector[(String, Double)], KnnTop](GroupStateTimeout.NoTimeout) {
+        case (qid, rows, state: GroupState[Vector[(String, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Vector.empty) ++
+            rows.map(r => (r._2, r._3)))
+            .sortBy { case (id, d) => (d, id) }
+            .take(k)
+          state.update(merged)
+          KnnTop(qid, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   /** Event-time windowed aggregation with a watermark — the standard
     * streaming query shape (counts + sums per tumbling window per op).
     * `tsNanosCol` is epoch-nanos BIGINT (how the engine reads the
@@ -63,3 +103,6 @@ object EventStream {
 
 /** Latest-known state of one vector id in the streaming fold. */
 final case class LiveRow(id: String, seq: Long, op: String, embedding: Seq[Float])
+
+/** Current top-k of one registered query in the continuous k-NN. */
+final case class KnnTop(query_id: Long, ids: Seq[String], distances: Seq[Double])

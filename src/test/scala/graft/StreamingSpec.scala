@@ -56,6 +56,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamLive == batchLive)
   }
 
+  test("continuous knn: stateful top-k over an insert stream matches batch search") {
+    val root = Files.createTempDirectory("cont-knn").toString
+    VectorLog.append(Seq(
+      mutation(1, "insert", "a", Seq(1f, 0f)),
+      mutation(2, "insert", "b", Seq(0f, 1f)),
+      mutation(3, "insert", "c", Seq(0.9f, 0.1f)))
+      .toDF("seq", "op", "id", "embedding", "meta"), root)
+
+    val queries = Array((0L, Array(1f, 0f)))
+    val q = EventStream.continuousKnn(
+      EventStream.logTail(spark, root), queries, k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cont_knn").start()
+    q.processAllAvailable()
+
+    // a closer vector arrives in a second batch and must displace 'c'
+    VectorLog.append(Seq(
+      mutation(4, "insert", "d", Seq(1f, 0.01f)))
+      .toDF("seq", "op", "id", "embedding", "meta"), root)
+    q.processAllAvailable()
+    q.stop()
+
+    // two update rows exist (one per batch); the final state is the one
+    // with the better second-best distance (d displaced c)
+    val last = spark.sql(
+      "SELECT ids FROM cont_knn ORDER BY distances[1] ASC LIMIT 1")
+      .as[Seq[String]].head
+    // batch ground truth over the full log
+    val live = VectorLog.recover(spark, root)
+    val expected = graft.operators.TopK.knn(live, "id", "embedding",
+      Seq(1.0, 0.0), 2).select("id").as[String].collect().toSeq
+    assert(last == expected) // a (exact match), then d
+  }
+
   test("stream-static join: streaming queries scored against the static store") {
     // static side: the embeddings table; stream side: query vectors
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -83,6 +83,39 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() returns rows; every query has an oracle or is flagged approximate") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the only rows-only entries are the approximate (recall-gated) ones
+    assert(noOracle == Set("ann_ivf", "dedup_embedding_lsh"), noOracle)
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("quantize/dequantize roundtrip error is bounded by the step size") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val q = emb.select(col("vec_id"), col("embedding"),
+      VF.quantizeScale(col("embedding")).as("scale"))
+      .select(col("embedding"),
+        VF.dequantize(VF.quantize(col("embedding")), col("scale")).as("back"),
+        (lit(0.5) / col("scale")).as("step"))
+    val bad = q.where(exists(
+      zip_with(col("embedding").cast("array<double>"), col("back"),
+        (a, b) => abs(a - b)),
+      e => e > col("step") + lit(1e-12))).count()
+    assert(bad == 0)
+  }
+
+  test("approx percentiles are close to exact nearest-rank values") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val exact = graft.operators.Metrics.nearestRankPercentiles(events, "value", Seq(50, 95))
+      .as[(Int, Double)].collect().toMap
+    val approx = graft.operators.Metrics.approxPercentiles(events, "value", Seq(50, 95))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(exact(50) - approx(50)) < 0.5)
+    assert(math.abs(exact(95) - approx(95)) < 0.5)
+  }
+
   test("TopKAgg buffer is bounded at k and merge-order-independent") {
     val agg = new TopKAgg(3)
     val items = (1L to 100L).map(i => Scored(i, 100.0 - i.toDouble))
