@@ -27,37 +27,37 @@ object Scratch {
 
     // 2000 × 250 = 500k rows, 64-dim, ids made unique per replica
     val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val big = base.crossJoin(spark.range(250).toDF("rep"))
+    val big = base.crossJoin(spark.range(2500).toDF("rep"))
       .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
         col("embedding"), col("label"))
-      .repartition(32)
+      .repartition(64)
       .write.mode("overwrite").parquet("/tmp/big_embeddings")
     val emb = spark.read.parquet("/tmp/big_embeddings")
     println(s"[scale] rows=${emb.count()}")
 
     val q = base.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
 
-    timeIt("exact knn k=10 over 500k")(
+    timeIt("exact knn k=10 over 5M")(
       operators.TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10).collect())
 
-    val queries = emb.where(col("vec_id") < 64)
-    timeIt("batch knnJoin 64 queries x 500k")(
+    val queries = emb.where(col("vec_id") < 16)
+    timeIt("batch knnJoin 16 queries x 5M")(
       operators.TopK.knnJoin(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10).count())
 
-    timeIt("batch knnJoinBulk 64 queries x 500k")(
+    timeIt("batch knnJoinBulk 16 queries x 5M")(
       operators.TopK.knnJoinBulk(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10).count())
 
-    val (assigned, model) = timeIt("IVF build k=64 (sample fit)")(
+    val (assigned, model) = timeIt("IVF build k=64 over 5M (2% sample fit)")(
       index.IvfIndex.build(emb, "vec_id", "embedding",
-        nClusters = 64, maxIter = 5, sampleFraction = 0.1))
+        nClusters = 64, maxIter = 5, sampleFraction = 0.02))
     assigned.write.mode("overwrite").parquet("/tmp/big_ivf")
     val stored = spark.read.parquet("/tmp/big_ivf")
-    timeIt("IVF probe nprobe=8/64 (materialized index)")(
+    timeIt("IVF probe nprobe=8/64 over 5M (materialized)")(
       index.IvfIndex.search(stored, model, "vec_id", "embedding", q, 10, 8).collect())
 
-    timeIt("vec_norm over 500k")(
+    timeIt("vec_norm over 5M")(
       emb.select(functions.VectorFunctions.norm(col("embedding"))).write
         .format("noop").mode("overwrite").save())
 

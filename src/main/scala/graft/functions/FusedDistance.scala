@@ -259,6 +259,18 @@ object FusedDistance {
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
+  /** Literal query vector with PRIMITIVE float backing.
+    * `typedLit(Seq[Double])` folds to a GenericArrayData of boxed
+    * values, and the fused kernels then unbox every element for every
+    * row (measured 7× on a 5M-row exact k-NN). UnsafeArrayData gives
+    * the kernels direct primitive reads.
+    */
+  def litVec(v: Seq[Double]): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(v.map(_.toFloat).toArray),
+      ArrayType(FloatType, containsNull = false)))
+
   def euclidean(a: Column, b: Column): Column =
     ColumnBridge.column(FusedEuclidean(expr(a), expr(b)))
   def dot(a: Column, b: Column): Column =

@@ -76,7 +76,8 @@ object TopK {
     val filtered = filter.map(data.where).getOrElse(data)
     filtered
       .select(col(idCol),
-        metric.distance(col(vecCol), typedLit(queryVec)).as("distance"))
+        metric.distance(col(vecCol),
+          graft.functions.FusedDistance.litVec(queryVec)).as("distance"))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }
