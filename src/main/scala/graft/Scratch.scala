@@ -40,6 +40,15 @@ object Scratch {
     timeIt("exact knn k=10 over 5M")(
       operators.TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10).collect())
 
+    timeIt("distance-only scan over 5M (no top-k)")(
+      emb.select(functions.FusedDistance.euclidean(col("embedding"),
+        functions.FusedDistance.litVec(q.map(_.toDouble))).as("d"))
+        .write.format("noop").mode("overwrite").save())
+
+    timeIt("knnJoinBulk single query over 5M")(
+      operators.TopK.knnJoinBulk(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 10).count())
+
     val queries = emb.where(col("vec_id") < 16)
     timeIt("batch knnJoin 16 queries x 5M")(
       operators.TopK.knnJoin(emb, "vec_id", "embedding",
