@@ -129,6 +129,36 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    "q_parts_by_brand" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+    "q_supplier_region" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+    // top-k by aggregate (heavy-hitter users), a TakeOrdered over an agg
+    "events_top_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 4).as("total_value"), count(lit(1)).as("n"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
     // ---- k-NN core (K1/K2/K3, F1-F4) -----------------------------
     "knn_euclidean" -> ((s, dir) => {
       TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -488,6 +518,22 @@ object SparkEntry {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q_parts_by_brand" ->
+        """SELECT p_brand, count(*) AS n_parts,
+          |  min(p_size) AS min_size, max(p_size) AS max_size,
+          |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+          |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      "q_supplier_region" ->
+        """SELECT r_name, count(*) AS n_suppliers,
+          |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "events_top_users" ->
+        """SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
+          |FROM events GROUP BY user_id
+          |ORDER BY round(sum(value), 4) DESC, user_id ASC LIMIT 10""".stripMargin,
 
       "knn_euclidean" -> knnSql(knnDist),
       "knn_cosine" -> knnSql(cosDist),
