@@ -384,6 +384,16 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // connected components over the near-dup graph (transitive closure
+    // of jaccard >= 0.3 pairs) — iterative min-label propagation,
+    // oracle = recursive CTE
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
     // end-to-end corpus dedup: survivors after exact + near-dup drops
     "dedup_corpus" -> ((s, dir) => {
       Dedup.dedupedCorpus(t(s, dir, "documents"), "doc_id", "text",
@@ -672,6 +682,16 @@ object SparkEntry {
            |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
            |FROM ver WHERE jac >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
       },
+      "dedup_components" ->
+        s"""WITH RECURSIVE $sqlJaccardCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3
+           |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+           |SELECT node AS doc_id, min(r) AS component
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
       "dedup_corpus" ->
         s"""WITH $sqlJaccardCtes,
            |near AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jac >= 0.3),

@@ -178,6 +178,44 @@ object Dedup {
     docs.join(exactDrops.unionByName(nearDrops).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair graph by
+    * iterative min-label propagation: every node ends labeled with the
+    * smallest id reachable from it. This is the transitive-closure
+    * form of corpus dedup (greedy pairwise dropping in dedupedCorpus
+    * can orphan chains a-b-c).
+    *
+    * Each iteration is one join + one aggregation (both equi on the
+    * node id); iterations needed = graph diameter in label-hops, which
+    * for near-dup clusters is tiny. Convergence is checked with a
+    * cheap count per iteration.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own label ∪ neighbors' labels, keep the min
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Exact closest pairs by embedding cosine distance — O(n²) ground
     * truth for the ANN/LSH near-dup paths; only for test-scale data or
     * within LSH buckets. */
