@@ -252,6 +252,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // per-label centroid (elementwise mean vector): first two
+    // components as scalars for the oracle
+    "vec_centroid_by_label" -> ((s, dir) => {
+      VF.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"),
+          round(element_at(col("centroid"), 1), 4).as("c0"),
+          round(element_at(col("centroid"), 2), 4).as("c1"),
+          col("n"))
+        .orderBy(col("label"))
+    }),
+
     // ---- point ops (C3/C5/S8) ------------------------------------
     "point_lookup" -> ((s, dir) => {
       t(s, dir, "embeddings").where(col("vec_id") === 42)
@@ -587,6 +598,12 @@ object SparkEntry {
            |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) * 2.0, 4) AS s1
            |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+      "vec_centroid_by_label" ->
+        """SELECT label,
+          |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+          |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+          |  count(*) AS n
+          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
       "vec_quantize" ->
         s"""WITH s AS (SELECT vec_id, embedding,
            |    127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale

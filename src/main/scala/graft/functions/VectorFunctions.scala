@@ -124,4 +124,22 @@ object VectorFunctions {
   /** Approximate inverse: qᵢ / scale. */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") / scale)
+
+  /** Per-group elementwise mean vector (centroid). Fully declarative:
+    * posexplode to (key, pos, component), average per (key, pos), then
+    * reassemble ordered arrays with sort_array over (pos, value)
+    * structs. Three narrow shuffles, no collect — scales to any group
+    * count; group skew is bounded because the exploded rows hash on
+    * (key, pos), spreading one hot key over `dim` reducers.
+    */
+  def centroids(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(keyCol), posexplode(d(col(vecCol))))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("col")).as("c"), count(lit(1)).as("n"))
+      .groupBy(col(keyCol))
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"),
+        max(col("n")).as("n"))
 }
