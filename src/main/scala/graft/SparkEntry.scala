@@ -411,6 +411,13 @@ object SparkEntry {
         n = 3, minJaccard = 0.3)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // transitive variant: keep only the component-minimum of each
+    // near-dup cluster (chains collapse fully)
+    "dedup_corpus_transitive" -> ((s, dir) => {
+      Dedup.dedupedCorpusTransitive(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TF.simhash32(col("text")).as("sim"))
@@ -712,6 +719,23 @@ object SparkEntry {
       "dedup_corpus" ->
         s"""WITH $sqlJaccardCtes,
            |near AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs WHERE jac >= 0.3),
+           |exact AS (SELECT doc_id FROM (
+           |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           |    FROM documents) WHERE doc_id <> keeper)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM near)
+           |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+           |ORDER BY doc_id""".stripMargin,
+      "dedup_corpus_transitive" ->
+        s"""WITH RECURSIVE $sqlJaccardCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3
+           |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+           |near AS (SELECT node AS doc_id FROM reach GROUP BY node
+           |         HAVING node <> min(r)),
            |exact AS (SELECT doc_id FROM (
            |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
            |    FROM documents) WHERE doc_id <> keeper)

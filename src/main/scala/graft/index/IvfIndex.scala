@@ -29,18 +29,28 @@ object IvfIndex {
   /** Centroids are small (nClusters × dim floats) and live on the
     * driver — the analogue of the reference's in-memory entry points.
     * Assignments are a DataFrame and scale with the data. */
-  final case class Model(centroids: Array[Array[Float]]) {
-    def closestClusters(query: Seq[Float], nprobe: Int): Seq[Int] =
+  final case class Model(centroids: Array[Array[Float]],
+                         metric: DistanceMetric = DistanceMetric.Euclidean) {
+    def closestClusters(query: Seq[Float], nprobe: Int): Seq[Int] = {
+      // cosine indexes cluster in the normalized space — normalize the
+      // probe the same way so euclidean-to-centroid ranks by angle
+      val q: Seq[Float] = metric match {
+        case DistanceMetric.Cosine =>
+          val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+          if (n == 0.0) query else query.map(x => (x / n).toFloat)
+        case _ => query
+      }
       centroids.zipWithIndex
         .map { case (c, i) =>
           var acc = 0.0
           var j = 0
           while (j < c.length) {
-            val d = c(j) - query(j); acc += d * d; j += 1
+            val d = c(j) - q(j); acc += d * d; j += 1
           }
           (acc, i)
         }
         .sortBy(_._1).take(nprobe).map(_._2).toIndexedSeq
+    }
   }
 
   /** Build the index: returns (assignments with a `cluster` column,
@@ -49,10 +59,18 @@ object IvfIndex {
     */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             nClusters: Int = 16, maxIter: Int = 10, seed: Long = 42L,
-            sampleFraction: Double = 1.0): (DataFrame, Model) = {
+            sampleFraction: Double = 1.0,
+            metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, Model) = {
+    // cosine: cluster on the unit sphere (spherical k-means shape) so
+    // euclidean centroid distance ranks clusters by angle
+    val featVec = metric match {
+      case DistanceMetric.Cosine =>
+        graft.functions.VectorFunctions.normalize(col(vecCol))
+      case _ => col(vecCol).cast("array<double>")
+    }
     val features = emb
       .select(col(idCol), col(vecCol),
-        array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+        array_to_vector(featVec).as("__features"))
     val fitOn =
       if (sampleFraction >= 1.0) features
       else features.sample(withReplacement = false, sampleFraction, seed)
@@ -62,7 +80,7 @@ object IvfIndex {
     val model = km.fit(fitOn)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val assigned = model.transform(features).drop("__features")
-    (assigned, Model(centroids))
+    (assigned, Model(centroids, metric))
   }
 
   /** Persist the index: assignments PARTITIONED BY cluster (each probe
@@ -75,32 +93,32 @@ object IvfIndex {
     val spark = assigned.sparkSession
     import spark.implicits._
     model.centroids.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "centroid")
+      .map { case (c, i) => (i, c.toSeq, model.metric.name) }
+      .toDF("cluster", "centroid", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Load a persisted index. Centroids are small → driver-side. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Model) = {
     val assigned = spark.read.parquet(s"$path/assignments")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select(col("cluster"), col("centroid"))
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid"), col("metric"))
       .collect()
       .sortBy(_.getInt(0))
-      .map(_.getSeq[Float](1).toArray)
-    (assigned, Model(centroids))
+    val centroids = rows.map(_.getSeq[Float](1).toArray)
+    val metric = DistanceMetric.fromString(rows.head.getString(2))
+    (assigned, Model(centroids, metric))
   }
 
   /** Approximate k-NN: probe `nprobe` clusters, exact top-k inside.
     * Returns (id, distance, cluster). */
   def search(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
              query: Seq[Float], k: Int, nprobe: Int,
-             metric: DistanceMetric = DistanceMetric.Euclidean,
              filter: Option[Column] = None): DataFrame = {
     val probes = model.closestClusters(query, nprobe)
     // partition pruning: only the probed clusters are scanned
     val pruned = assigned.where(col("cluster").isin(probes: _*))
-    TopK.knn(pruned, idCol, vecCol, query.map(_.toDouble), k, metric, filter)
+    TopK.knn(pruned, idCol, vecCol, query.map(_.toDouble), k, model.metric, filter)
   }
 
   /** Batch approximate k-NN join: assign each query to its nprobe

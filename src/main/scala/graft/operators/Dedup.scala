@@ -216,6 +216,20 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Transitive-closure corpus dedup: drop every doc that is not the
+    * minimum id of its near-dup connected component, plus exact-dup
+    * non-keepers. Unlike the greedy dedupedCorpus, a chain a-b-c
+    * collapses to exactly {a}. */
+  def dedupedCorpusTransitive(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, minJaccard)
+    val nearDrops = connectedComponents(pairs, "doc_a", "doc_b")
+      .where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val exactDrops = exactDropIds(docs, idCol, textCol)
+    docs.join(nearDrops.unionByName(exactDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Exact closest pairs by embedding cosine distance — O(n²) ground
     * truth for the ANN/LSH near-dup paths; only for test-scale data or
     * within LSH buckets. */

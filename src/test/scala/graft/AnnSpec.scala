@@ -73,6 +73,28 @@ class AnnSpec extends SparkSpec {
     assert(allProbes == exact)
   }
 
+  test("cosine-mode IVF (spherical clustering) reaches recall@10 >= 0.85") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10,
+      metric = graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding",
+      nClusters = 16, metric = graft.functions.DistanceMetric.Cosine)
+    val recalls = exact.map { case (qid, truth) =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select("embedding").as[Seq[Float]].head
+      val got = IvfIndex.search(assigned, model, "vec_id", "embedding",
+        qv, k = 10, nprobe = 8)
+        .select("vec_id").as[Long].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"cosine IVF mean recall@10 = $mean%.3f")
+    assert(mean >= 0.85)
+  }
+
   test("stored IVF index: cluster-partitioned parquet, probes prune partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
     val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
