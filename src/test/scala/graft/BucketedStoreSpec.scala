@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Bucketed store layout: pre-bucketing both sides of a co-located
+  * join on the id eliminates the shuffle entirely — the on-disk
+  * pattern the engine would use at 100 TB for store⋈metadata joins
+  * and log folds (NOTES.md candidate work, README scale design).
+  */
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join of two tables bucketed on the key plans without a shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS labels_bucketed")
+    // a DROP on a table the catalog no longer knows leaves its files
+    // behind; clear the managed locations so saveAsTable can recreate
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("emb_bucketed", "labels_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    emb.write.bucketBy(8, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("emb_bucketed")
+    emb.select(col("vec_id"), col("label"))
+      .write.bucketBy(8, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("labels_bucketed")
+
+    // force the non-broadcast path: the point is that the SHUFFLE
+    // disappears, which broadcast would mask on test-sized tables
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("emb_bucketed").drop("label")
+        .join(spark.table("labels_bucketed"), "vec_id")
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == emb.count())
+
+      // contrast: the same join over plain parquet DOES shuffle —
+      // bucketing is what removed the exchange
+      val plain = emb.drop("label")
+        .join(emb.select(col("vec_id"), col("label")).repartition(7), "vec_id")
+      val plainPlan = plain.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plainPlan.contains("Exchange"), plainPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
