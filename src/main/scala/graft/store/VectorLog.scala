@@ -81,9 +81,12 @@ object VectorLog {
     * tolerated (empty store / never compacted / just compacted).
     */
   def liveView(spark: SparkSession, root: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val pieces = Seq(snapshotDir(root), logDir(root)).flatMap { dir =>
-      try Some(spark.read.schema(logSchema).parquet(dir))
-      catch { case _: Exception => None }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (p.getFileSystem(conf).exists(p))
+        Some(spark.read.schema(logSchema).parquet(dir))
+      else None
     }
     pieces match {
       case Nil => spark.createDataFrame(

@@ -116,6 +116,32 @@ class TopKSpec extends SparkSpec {
     assert(math.abs(exact(95) - approx(95)) < 0.5)
   }
 
+  test("property: TopKAgg, KSmallest and sort-take agree on random inputs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(12)
+      // duplicate distances on purpose to exercise the id tiebreak
+      val items = (0 until n).map(i =>
+        Scored(rnd.nextInt(1000).toLong, rnd.nextInt(20).toDouble))
+        // ids must be unique for a deterministic expected order
+        .zipWithIndex.map { case (s, i) => Scored(i.toLong * 7 % 997, s.distance) }
+      val expected = items.sorted(Scored.ordering).take(k)
+
+      val agg = new TopKAgg(k)
+      val split = rnd.nextInt(n + 1)
+      val viaAgg = agg.merge(
+        items.take(split).foldLeft(agg.zero)(agg.reduce),
+        items.drop(split).foldLeft(agg.zero)(agg.reduce))
+      assert(viaAgg == expected, s"trial $trial (agg)")
+
+      val ks = new TopK.KSmallest(k)
+      items.foreach(s => ks.push(s.id, s.distance))
+      val viaKs = (0 until ks.size).map(i => Scored(ks.ids(i), ks.dists(i)))
+      assert(viaKs == expected, s"trial $trial (ksmallest)")
+    }
+  }
+
   test("TopKAgg buffer is bounded at k and merge-order-independent") {
     val agg = new TopKAgg(3)
     val items = (1L to 100L).map(i => Scored(i, 100.0 - i.toDouble))
