@@ -83,6 +83,29 @@ object IvfIndex {
     (assigned, Model(centroids, metric))
   }
 
+  /** Incrementally assign NEW rows (e.g. a log tail) to the existing
+    * centroids — index maintenance without a rebuild. Map-only: the
+    * centroid matrix is broadcast as literals and each row picks its
+    * nearest centroid with the fused kernel; append the result to the
+    * stored assignments (same schema). At 100 TB the index rebuilds on
+    * compaction cadence and absorbs tails with this between rebuilds.
+    */
+  def assign(rows: DataFrame, model: Model, vecCol: String): DataFrame = {
+    val vec = model.metric match {
+      case DistanceMetric.Cosine =>
+        graft.functions.VectorFunctions.normalize(col(vecCol))
+      case _ => col(vecCol)
+    }
+    val dists = model.centroids.map { c =>
+      FusedDistance.euclidean(vec, typedLit(c.toSeq))
+    }
+    // index of the minimum distance, ties to the lower cluster id
+    // (same rule as KMeans transform)
+    val best = dists.zipWithIndex.map { case (d, i) => struct(d, lit(i)) }
+    rows.withColumn("cluster",
+      least(best: _*).getField("col2"))
+  }
+
   /** Persist the index: assignments PARTITIONED BY cluster (each probe
     * then reads only its cluster directories — file-level partition
     * pruning, the on-disk form of the inverted file) + centroids table.

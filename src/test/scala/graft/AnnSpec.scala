@@ -119,6 +119,40 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cluster"), plan)
   }
 
+  test("incremental assign matches the built index's cluster choices") {
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val built = assigned.select(col("vec_id").cast("long"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val incremental = IvfIndex.assign(emb, model, "embedding")
+      .select(col("vec_id").cast("long"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val agree = built.count { case (id, c) => incremental(id) == c }
+    // identical up to fp ulps in the two distance formulations
+    assert(agree >= (built.size * 0.99).toInt, s"$agree/${built.size}")
+  }
+
+  test("ingest → store → search end-to-end (JSON requests to ranked results)") {
+    import graft.sources.Ingest
+    import graft.store.VectorLog
+    val dir = java.nio.file.Files.createTempDirectory("ingest-e2e")
+    java.nio.file.Files.writeString(dir.resolve("batch.json"),
+      """{"id":"red","vector":[1.0,0.0],"metadata":{"hue":"warm"}}
+        |{"id":"blue","vector":[0.0,1.0],"metadata":{"hue":"cool"}}
+        |{"id":"pink","vector":[0.9,0.1],"metadata":{"hue":"warm"}}
+        |""".stripMargin)
+    val root = java.nio.file.Files.createTempDirectory("ingest-store").toString
+    val batch = Ingest.readInsertJson(spark, dir.toString)
+      .select(monotonically_increasing_id().as("seq"), lit("insert").as("op"),
+        col("id"), col("vector").as("embedding"), col("metadata").as("meta"))
+    VectorLog.append(batch, root)
+    val live = VectorLog.recover(spark, root)
+    val hits = TopK.knn(live, "id", "embedding", Seq(1.0, 0.0), 2,
+      filter = Some(graft.operators.MetadataFilter.Eq("hue", "warm")
+        .compile(col("meta"))))
+      .select("id").as[String].collect().toSeq
+    assert(hits == Seq("red", "pink"))
+  }
+
   test("LSH near-dup pairs recall >= 0.8 vs exact closest pairs") {
     // ground truth: the 20 closest pairs by cosine distance
     val truth = Dedup.closestPairs(emb, "vec_id", "embedding", topN = 20)
