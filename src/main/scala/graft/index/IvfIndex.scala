@@ -151,18 +151,25 @@ object IvfIndex {
     */
   def searchJoin(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
-                 k: Int, nprobe: Int,
-                 metric: DistanceMetric = DistanceMetric.Euclidean): DataFrame = {
+                 k: Int, nprobe: Int): DataFrame = {
+    val metric = model.metric
     val spark = queries.sparkSession
     val centDf = spark.createDataFrame(
       model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) })
       .toDF("cluster", "__centroid")
-    // rank centroids per query, keep nprobe
+    // rank centroids per query, keep nprobe. For cosine models the
+    // centroids live in normalized space, so the probe vector must be
+    // normalized the same way (mirrors Model.closestClusters).
+    val probeVec = metric match {
+      case DistanceMetric.Cosine =>
+        graft.functions.VectorFunctions.normalize(col("__qvec"))
+      case _ => col("__qvec")
+    }
     val qAssign = queries
       .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
       .crossJoin(broadcast(centDf))
       .select(col("query_id"), col("__qvec"), col("cluster"),
-        FusedDistance.euclidean(col("__qvec"), col("__centroid")).as("__cd"))
+        FusedDistance.euclidean(probeVec, col("__centroid")).as("__cd"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("__cd").asc, col("cluster").asc)))
