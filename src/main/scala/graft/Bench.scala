@@ -11,15 +11,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   // Headline set: the engine's primary operators + the heaviest [EXT]
   // pipelines. Keep it small enough that a bench round stays in minutes.
+  // No cartesian products here: embedding near-dup is represented by its
+  // scale path (LSH bucket join), and batch ANN by the cluster equi-join
+  // — the exact cross-join ground truths stay test-scoped (AnnSpec).
   val headline: Seq[String] = Seq(
     "knn_euclidean", "knn_cosine", "knn_batch", "knn_batch_bulk",
-    "knn_filtered", "knn_per_label", "ann_ivf",
+    "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
     "events_sessionized", "json_props",
     "text_quality", "doc_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_embedding", "dedup_embedding_lsh")
+    "dedup_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +61,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout under sbt arrives wrapped in "[info]" prefixes, which broke
+    // the driver's JSON parse in round 1 — also write the bare line to a
+    // file the driver (or a human) can read without de-prefixing.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

@@ -42,12 +42,11 @@ object Cli {
     require(args.length >= 2, "usage: <root> <verb> [args...]")
     val root = args(0)
     def live = VectorLog.recover(spark, root)
-    def nextSeq: Long = {
-      val cur = try VectorLog.liveView(spark, root)
-        .agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
-      catch { case _: Exception => 0L }
-      cur + 1
-    }
+    // Allocate above the RAW max seq (tombstones included): the folded
+    // view drops delete rows, and a seq at-or-below a tail tombstone
+    // would lose to it in the fold — re-insert-after-delete would be
+    // permanently invisible.
+    def nextSeq: Long = VectorLog.maxSeq(spark, root) + 1
 
     args(1) match {
       case "insert" =>

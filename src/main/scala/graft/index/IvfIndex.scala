@@ -99,11 +99,17 @@ object IvfIndex {
     val dists = model.centroids.map { c =>
       FusedDistance.euclidean(vec, typedLit(c.toSeq))
     }
-    // index of the minimum distance, ties to the lower cluster id
-    // (same rule as KMeans transform)
-    val best = dists.zipWithIndex.map { case (d, i) => struct(d, lit(i)) }
+    // index of the minimum distance, ties to the lower cluster id (same
+    // rule as KMeans transform). Fields are named explicitly — struct
+    // ordering must not lean on auto-generated "colN" names — and a NULL
+    // distance (zero vector under cosine, dimension mismatch) yields a
+    // NULL cluster instead of silently winning the least() comparison.
+    val best = dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("cluster"))
+    }
     rows.withColumn("cluster",
-      least(best: _*).getField("col2"))
+      when(dists.head.isNull, lit(null).cast("int"))
+        .otherwise(least(best: _*).getField("cluster")))
   }
 
   /** Persist the index: assignments PARTITIONED BY cluster (each probe
@@ -179,6 +185,7 @@ object IvfIndex {
       .join(broadcast(qAssign), "cluster")
       .select(col("query_id"), col(idCol).cast("long").as("id"),
         metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .where(col("distance").isNotNull) // same exclusion rule as TopK.knn
     import org.apache.spark.sql.Encoders
     val topk = udaf(new graft.operators.TopKAgg(k), Encoders.product[graft.operators.Scored])
     scored.groupBy("query_id")

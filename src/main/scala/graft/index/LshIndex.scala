@@ -31,14 +31,26 @@ object LshIndex {
     * Banding: the signature is split into `numBands` contiguous bands;
     * pairs agreeing on ANY band become candidates (standard OR-of-ANDs
     * amplification), then exact cosine verification.
+    *
+    * `dim` ≤ 0 (the default) infers the plane dimension from the first
+    * row — a wrong explicit dim would NULL every FusedDot sign test and
+    * silently collapse all buckets into one (an O(n²) cross join).
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    maxCosDist: Double, numPlanes: Int = 16, numBands: Int = 4,
-                   seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val planes = makePlanes(numPlanes, dim, seed)
+                   seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val planeDim =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol))).where(col(vecCol).isNotNull)
+        .head.getInt(0)
+    val planes = makePlanes(numPlanes, planeDim, seed)
     val bitsPerBand = numPlanes / numBands
-    val sigd = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signature(col(vecCol), planes).as("sig"))
+    // enforce the store's single-dimension invariant here instead of
+    // letting null dot-products fold every row into bucket 0
+    val sigd = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === planeDim)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        signature(col(vecCol), planes).as("sig"))
     val banded = (0 until numBands).map { b =>
       sigd.select(col("id"), col("v"), lit(b).as("band"),
         shiftright(col("sig"), b * bitsPerBand)

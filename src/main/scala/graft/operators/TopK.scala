@@ -78,6 +78,11 @@ object TopK {
       .select(col(idCol),
         metric.distance(col(vecCol),
           graft.functions.FusedDistance.litVec(queryVec)).as("distance"))
+      // NULL distance = zero-norm under cosine or dimension mismatch;
+      // the reference errors on those rows — here they are excluded
+      // from results (same rule as knnJoin/knnJoinBulk), never ranked
+      // first (Spark's asc is NULLS FIRST).
+      .where(col("distance").isNotNull)
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }
@@ -95,6 +100,7 @@ object TopK {
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qvec"))))
       .select(col(idCol),
         metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .where(col("distance").isNotNull) // same exclusion rule as knn
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }
@@ -221,6 +227,9 @@ object TopK {
       .crossJoin(q)
       .select(col("query_id"), col(idCol).cast("long").as("id"),
         metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      // drop NULL distances before the typed aggregate (its Scored
+      // encoder would fail on null) — same rule as knn/knnJoinBulk
+      .where(col("distance").isNotNull)
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored
       .groupBy(col("query_id"))

@@ -42,6 +42,8 @@ object VectorLog {
 
   def logDir(root: String) = s"$root/log"
   def snapshotDir(root: String) = s"$root/snapshot"
+  def snapshotOldDir(root: String) = s"$root/snapshot_old"
+  def stagingDir(root: String) = s"$root/snapshot_staging"
 
   /** Append a batch of mutations. All-or-nothing per batch (documented
     * refinement of the reference's fail-fast sequential loop,
@@ -77,44 +79,107 @@ object VectorLog {
       .select(col("__w.seq").as("seq"), col("__w.op").as("op"), col("id"),
         col("__w.embedding").as("embedding"), col("__w.meta").as("meta"))
 
-  /** The live view = snapshot ∪ log tail, folded. Missing pieces are
-    * tolerated (empty store / never compacted / just compacted).
-    */
-  def liveView(spark: SparkSession, root: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val pieces = Seq(snapshotDir(root), logDir(root)).flatMap { dir =>
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (p.getFileSystem(conf).exists(p))
-        Some(spark.read.schema(logSchema).parquet(dir))
-      else None
-    }
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def hasSuccessMarker(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/_SUCCESS")
+
+  /** Read one store piece, tolerating a crashed writer's garbage:
+    * `_temporary`/`_`-prefixed paths are hidden from the file listing by
+    * Hadoop's path filter, and `ignoreCorruptFiles` skips a torn
+    * non-hidden part file — the Spark analogue of the reference's
+    * stop-at-corrupt-tail WAL replay (src/persistence/wal.rs:66-110),
+    * except recovery keeps every intact file rather than truncating at
+    * the first bad offset (Parquet files are independent, WAL bytes are
+    * not). */
+  private def readPiece(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(logSchema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dir)
+
+  /** The snapshot piece to recover from: the committed snapshot, else a
+    * fully-written staging snapshot (crash after the old snapshot was
+    * renamed aside but before staging was renamed in), else the
+    * renamed-aside old snapshot. Each fallback is consistent with
+    * whatever log state can coexist with it — see compact(). */
+  private def snapshotPiece(spark: SparkSession, root: String): Option[DataFrame] =
+    if (exists(spark, snapshotDir(root)))
+      Some(readPiece(spark, snapshotDir(root)))
+    else if (hasSuccessMarker(spark, stagingDir(root)))
+      Some(readPiece(spark, stagingDir(root)))
+    else if (exists(spark, snapshotOldDir(root)))
+      Some(readPiece(spark, snapshotOldDir(root)))
+    else None
+
+  /** Raw (pre-fold) union of every surviving piece — the full mutation
+    * history including delete tombstones. */
+  def raw(spark: SparkSession, root: String): DataFrame = {
+    val pieces = snapshotPiece(spark, root).toSeq ++
+      (if (exists(spark, logDir(root))) Seq(readPiece(spark, logDir(root))) else Nil)
     pieces match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
-      case ps => fold(ps.reduce(_ unionByName _))
+      case ps => ps.reduce(_ unionByName _)
     }
   }
+
+  /** Highest sequence number anywhere in the store, INCLUDING delete
+    * tombstones. Writers must allocate seqs above this — deriving the
+    * next seq from the folded live view would drop tombstone seqs, and
+    * a re-insert after a tail delete would then lose to the tombstone
+    * in the fold (permanently invisible row). */
+  def maxSeq(spark: SparkSession, root: String): Long =
+    raw(spark, root).agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
+
+  /** The live view = snapshot ∪ log tail, folded. Missing pieces are
+    * tolerated (empty store / never compacted / just compacted).
+    */
+  def liveView(spark: SparkSession, root: String): DataFrame =
+    fold(raw(spark, root))
 
   /** Checkpoint: rewrite the snapshot as the folded live view and
     * truncate the log (reference engine.rs:187-196). The snapshot keeps
     * the log schema (op='insert') so recovery is a plain union.
     */
   def compact(spark: SparkSession, root: String): Unit = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val fs0 = new org.apache.hadoop.fs.Path(root).getFileSystem(conf0)
+    // Heal a previously crashed commit FIRST: if staging was committed
+    // but never renamed in, promote it now — otherwise liveView below
+    // would read staging while this compact overwrites it.
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(snapshotDir(root)))
+        && hasSuccessMarker(spark, stagingDir(root))) {
+      fs0.rename(new org.apache.hadoop.fs.Path(stagingDir(root)),
+        new org.apache.hadoop.fs.Path(snapshotDir(root)))
+    }
     val live = liveView(spark, root).cache()
-    val staging = s"$root/snapshot_staging"
+    val staging = stagingDir(root)
     live.write.mode("overwrite").parquet(staging)
-    val maxSeq = live.agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
+    val seqHigh = live.agg(coalesce(max("seq"), lit(0L))).head.getLong(0)
     val n = live.count()
     live.unpersist()
-    // swap staging → snapshot, then truncate the log
+    // Commit protocol — every crash window leaves a recoverable store
+    // (snapshotPiece picks the right surviving piece):
+    //   1. rename snapshot → snapshot_old   (old state kept, not deleted)
+    //   2. rename staging  → snapshot       (the commit point)
+    //   3. delete log, delete snapshot_old  (cleanup, both idempotent:
+    //      snapshot ∪ leftover-log refolds to the same state)
+    // The old delete-then-rename order lost the whole snapshot if the
+    // process died between the two calls.
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val snap = new org.apache.hadoop.fs.Path(snapshotDir(root))
-    fs.delete(snap, true)
+    val snapOld = new org.apache.hadoop.fs.Path(snapshotOldDir(root))
+    fs.delete(snapOld, true) // leftovers from a previously crashed compact
+    if (fs.exists(snap)) fs.rename(snap, snapOld)
     fs.rename(new org.apache.hadoop.fs.Path(staging), snap)
     fs.delete(new org.apache.hadoop.fs.Path(logDir(root)), true)
+    fs.delete(snapOld, true)
     // human-readable manifest, analogue of snapshot.rs manifest.json
-    val manifest = s"""{"count":$n,"max_seq":$maxSeq}"""
+    val manifest = s"""{"count":$n,"max_seq":$seqHigh}"""
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest.json"), true)
     out.write(manifest.getBytes("UTF-8")); out.close()
   }

@@ -153,6 +153,53 @@ class AnnSpec extends SparkSpec {
     assert(hits == Seq("red", "pink"))
   }
 
+  test("dedup_embedding_lsh demo config is non-empty with full recall at both SFs") {
+    // pins the EXACT SparkEntry configuration (maxCosDist=0.58,
+    // 32 planes / 16 bands) — round 1 shipped a config that returned
+    // 0 rows at sf0.01 and proved nothing
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exact = e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").cast("long").as("ia"),
+          col("b.vec_id").cast("long").as("ib"),
+          graft.functions.FusedDistance.cosine(
+            col("a.embedding"), col("b.embedding")).as("cd"))
+        .where(col("cd") <= 0.58)
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+      val got = LshIndex.nearDupPairs(e, "vec_id", "embedding",
+        maxCosDist = 0.58, numPlanes = 32, numBands = 16)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty && got.nonEmpty, s"$sf: demo must emit pairs")
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      info(f"$sf: exact=${exact.size} lsh=${got.size} recall=$recall%.3f")
+      assert(recall >= 0.9, f"$sf recall $recall%.3f")
+      // verification is exact, so no false positives past the threshold
+      assert(got.subsetOf(exact))
+    }
+  }
+
+  test("ann_search_join demo config (cosine index, k=5, nprobe=8) recall >= 0.8") {
+    val queries = emb.where(col("vec_id") < 64)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5,
+      metric = graft.functions.DistanceMetric.Cosine)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding",
+      nClusters = 16, metric = graft.functions.DistanceMetric.Cosine)
+    val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nprobe = 8)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    info(f"cosine searchJoin mean recall@5 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.8, f"recall $mean%.3f below threshold")
+  }
+
   test("LSH near-dup pairs recall >= 0.8 vs exact closest pairs") {
     // ground truth: the 20 closest pairs by cosine distance
     val truth = Dedup.closestPairs(emb, "vec_id", "embedding", topN = 20)

@@ -59,6 +59,93 @@ class VectorLogSpec extends SparkSpec {
     assert(VectorLog.recover(spark, root).count() == 0)
   }
 
+  test("crash-tail recovery: a failed append's garbage does not poison the log") {
+    // the Spark analogue of the reference's truncated-WAL replay test
+    // (persistence/wal.rs:163-187): a crashed append job leaves
+    // _temporary dirs and torn part files; recovery must return the
+    // pre-crash state
+    val root = Files.createTempDirectory("vlog-crash").toString
+    VectorLog.append(batchDf(Seq(
+      mutation(1, "insert", "a", Seq(1f, 0f)),
+      mutation(2, "insert", "b", Seq(0f, 1f)))), root)
+    val logDir = java.nio.file.Paths.get(VectorLog.logDir(root))
+    // leftover task-attempt dir from a dead executor
+    val tmp = logDir.resolve("_temporary/0/task_001")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    // torn non-hidden part file (incomplete write, no parquet footer)
+    Files.write(logDir.resolve("part-99999-torn.snappy.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val recovered = VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet
+    assert(recovered == Set("a", "b"))
+    // compaction over the damaged log also succeeds and cleans it up
+    VectorLog.compact(spark, root)
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("reinsert after a tail delete stays visible (raw maxSeq, not folded)") {
+    // ADVICE r1: deriving next-seq from the folded view drops tombstone
+    // seqs — a re-insert then ties/loses to the tombstone and vanishes
+    val root = Files.createTempDirectory("vlog-reinsert").toString
+    Cli.run(spark, Seq(root, "insert", "x", "1.0,2.0"))
+    Cli.run(spark, Seq(root, "delete", "x"))
+    assert(VectorLog.maxSeq(spark, root) == 2) // tombstone seq counted
+    Cli.run(spark, Seq(root, "insert", "x", "3.0,4.0"))
+    val live = VectorLog.recover(spark, root)
+      .select("id", "embedding").as[(String, Seq[Float])].collect().toMap
+    assert(live == Map("x" -> Seq(3f, 4f)))
+  }
+
+  test("compact crash windows: every intermediate state recovers the same view") {
+    // simulate the three dangerous windows of the compact commit
+    // protocol by reproducing its filesystem states directly
+    val root = Files.createTempDirectory("vlog-cwin").toString
+    VectorLog.append(batchDf(Seq(
+      mutation(1, "insert", "a", Seq(1f, 0f)),
+      mutation(2, "insert", "b", Seq(0f, 1f)),
+      mutation(3, "delete", "a", null))), root)
+    val want = Set("b")
+
+    // window 1: staging fully written, snapshot/log untouched
+    VectorLog.liveView(spark, root).write.mode("overwrite")
+      .parquet(VectorLog.stagingDir(root))
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == want)
+
+    // window 2: snapshot renamed aside (none existed → skip), staging
+    // present with _SUCCESS, log still present — staging is preferred
+    // over refolding, and refolding staging ∪ log is idempotent
+    // (simulate by deleting nothing further; state == window 1 when no
+    // prior snapshot exists, so instead complete a compact and then
+    // re-create window 2 from it)
+    VectorLog.compact(spark, root)
+    VectorLog.append(batchDf(Seq(mutation(4, "insert", "c", Seq(1f, 1f)))), root)
+    val want2 = Set("b", "c")
+    VectorLog.liveView(spark, root).write.mode("overwrite")
+      .parquet(VectorLog.stagingDir(root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(VectorLog.snapshotDir(root)),
+      new org.apache.hadoop.fs.Path(VectorLog.snapshotOldDir(root)))
+    // crash here: no snapshot, staging committed, old aside, log present
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == want2)
+
+    // window 3: staging was torn (no _SUCCESS) → falls back to the
+    // renamed-aside old snapshot ∪ log
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${VectorLog.stagingDir(root)}/_SUCCESS"), false)
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == want2)
+
+    // a fresh compact from the damaged state heals everything
+    VectorLog.compact(spark, root)
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == want2)
+  }
+
   test("dimension violations are detected (reference DimensionMismatch)") {
     val bad = batchDf(Seq(
       mutation(1, "insert", "a", Seq(1f, 2f)),
