@@ -528,6 +528,44 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- engine-side metrics (A1-A3 over the engine's OWN log) ------
+    // The serving path records per-op latencies into {root}/metrics
+    // (MetricsRecorder, mirroring src/metrics.rs + routes.rs:267-271).
+    // This entry replays a fixed workload — 2 store mutations folded, a
+    // delete, 3 timed searches — flushes the recorder, and aggregates
+    // the self-recorded log. Latency VALUES are wall-clock, so the
+    // deterministic (oracle-checked) outputs are the op counts and the
+    // count of rows carrying a latency; the latency aggregates
+    // themselves are asserted positive in ServerSpec/MetricsSpec.
+    "metrics_self" -> ((s, dir) => {
+      import s.implicits._
+      val root = "/tmp/graft_selfmetrics"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val rec = new graft.server.MetricsRecorder(s, root)
+      val store = graft.store.VectorLog
+      store.append(Seq(
+        (1L, "insert", "a", Seq(1f, 0f), Map.empty[String, String]),
+        (2L, "insert", "b", Seq(0f, 1f), Map.empty[String, String]))
+        .toDF("seq", "op", "id", "embedding", "meta"), root)
+      rec.recordInsert(); rec.recordInsert()
+      store.append(Seq((3L, "delete", "b", null: Seq[Float],
+        Map.empty[String, String])).toDF("seq", "op", "id", "embedding", "meta"), root)
+      rec.recordDelete()
+      val live = store.recover(s, root)
+      (1 to 3).foreach { k =>
+        val t0 = System.nanoTime()
+        TopK.knn(live, "id", "embedding", Seq(1.0, 0.0), k).count()
+        rec.recordQuery((System.nanoTime() - t0) / 1e3)
+      }
+      rec.flush()
+      s.read.parquet(s"$root/metrics")
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), count(col("latency_us")).as("n_timed"))
+        .orderBy(col("op"))
+    }),
+
     // ---- distinct aggregation --------------------------------------
     "metrics_distinct" -> ((s, dir) => {
       t(s, dir, "events")
@@ -825,6 +863,10 @@ object SparkEntry {
       "json_props" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,
+      "metrics_self" ->
+        """SELECT op, count(*) AS n, count(latency_us) AS n_timed
+          |FROM read_parquet('/tmp/graft_selfmetrics/metrics/*.parquet')
+          |GROUP BY op ORDER BY op""".stripMargin,
       "metrics_distinct" ->
         """SELECT event_type AS op, count(DISTINCT user_id) AS users, count(*) AS n
           |FROM events GROUP BY event_type ORDER BY op""".stripMargin,

@@ -63,6 +63,10 @@ object MetadataFilter {
   def fromJson(json: String): MetadataFilter =
     fromJValue(JsonMethods.parse(json))
 
+  /** Parse from an already-parsed JSON subtree (e.g. the `filter` field
+    * of a search request on the HTTP wire, routes.rs:31-34). */
+  def fromJsonValue(jv: JValue): MetadataFilter = fromJValue(jv)
+
   private def fromJValue(jv: JValue): MetadataFilter = {
     def str(o: JValue, k: String): String = o \ k match {
       case JString(s) => s

@@ -1,0 +1,77 @@
+package graft.server
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-side metrics collector — the analogue of the reference's
+  * `MetricsCollector` (src/metrics.rs:7-72): op counters plus raw query
+  * latencies in microseconds, recorded at the serving boundary
+  * (src/server/routes.rs:267-271). Two deliberate differences:
+  *
+  *  - Durability: `flush()` appends the per-op rows to
+  *    `{root}/metrics` as Parquet, so the engine's A1–A3 aggregation
+  *    operators (graft.operators.Metrics) run over the engine's OWN
+  *    recorded history — at scale this is the metrics firehose landing
+  *    next to the data instead of a driver-local Vec<f64>.
+  *  - The aggregate accessors reproduce the reference's math exactly
+  *    (mean over all recorded latencies; nearest-rank percentile with
+  *    `round(p/100 * (n-1))`, src/metrics.rs:53-72) so /metrics
+  *    responses are comparable across the two engines.
+  */
+final class MetricsRecorder(spark: SparkSession, root: String) {
+
+  /** (op, latency_us); latency is recorded for queries only, like the
+    * reference (insert/delete are counted, not timed). */
+  private val ops = ArrayBuffer.empty[(String, Option[Double])]
+  private var flushedUpTo = 0
+
+  def recordQuery(latencyUs: Double): Unit =
+    synchronized { ops += (("query", Some(latencyUs))) }
+  def recordInsert(): Unit = synchronized { ops += (("insert", None)) }
+  def recordDelete(): Unit = synchronized { ops += (("delete", None)) }
+
+  def totalQueries: Long = synchronized { ops.count(_._1 == "query").toLong }
+  def totalInserts: Long = synchronized { ops.count(_._1 == "insert").toLong }
+  def totalDeletes: Long = synchronized { ops.count(_._1 == "delete").toLong }
+
+  private def latencies: Seq[Double] =
+    synchronized { ops.collect { case ("query", Some(us)) => us }.toSeq }
+
+  /** Mean query latency in µs; 0 when none (src/metrics.rs:53-59). */
+  def avgQueryLatencyUs: Double = {
+    val ls = latencies
+    if (ls.isEmpty) 0.0 else ls.sum / ls.length
+  }
+
+  /** Nearest-rank percentile, the reference's exact formula:
+    * index = round(p/100 * (n-1)) over the sorted latencies
+    * (src/metrics.rs:62-72). */
+  def percentileQueryLatencyUs(p: Double): Double = {
+    val ls = latencies
+    if (ls.isEmpty) 0.0
+    else {
+      val sorted = ls.sorted
+      val idx = math.round(p / 100.0 * (sorted.length - 1)).toInt
+      sorted(math.min(idx, sorted.length - 1))
+    }
+  }
+
+  /** Append rows recorded since the last flush to `{root}/metrics`. */
+  def flush(): Unit = synchronized {
+    val pending = ops.drop(flushedUpTo)
+    if (pending.nonEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("latency_us", DoubleType, nullable = true)))
+      val rows = pending.toSeq.map { case (op, us) =>
+        Row(op, us.map(Double.box).orNull)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").parquet(s"$root/metrics")
+      flushedUpTo = ops.length
+    }
+  }
+}

@@ -1,0 +1,283 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.functions.DistanceMetric
+import graft.operators.{MetadataFilter, TopK}
+import graft.store.VectorLog
+
+/** HTTP serving shim over the log-structured store — the engine's form
+  * of the reference's Axum server (src/server/routes.rs:102-120), same
+  * nine routes, same wire shapes, same status codes:
+  *
+  *   POST   /vectors        insert {id, vector, metadata?}      → 201
+  *   GET    /vectors        list ids                            → 200
+  *   POST   /vectors/batch  {vectors:[{id,vector,metadata?}]}   → 201
+  *   GET    /vectors/{id}   {id, dimension, vector, metadata?}  → 200/404
+  *   DELETE /vectors/{id}   tombstone                           → 200/404
+  *   POST   /search         {vector, k?, filter?}               → 200/400
+  *   POST   /search/batch   {queries:[{vector,k?}], filter?}    → 200/400
+  *   GET    /health         {status, vector_count}              → 200
+  *   GET    /metrics        totals + avg/p50/p95/p99 µs         → 200
+  *
+  * Mutations append to the VectorLog (latest-wins fold on read);
+  * searches run TopK over a cached live view refreshed after each
+  * mutation. Query latencies and op counts are recorded into the
+  * MetricsRecorder at this boundary, mirroring routes.rs:267-271.
+  * Uses the JDK's built-in HttpServer — serving is single-threaded by
+  * design (the store's writer lock in the reference; here it also
+  * keeps Spark job submission serial).
+  */
+final class VectorServer(spark: SparkSession, root: String,
+                         metric: DistanceMetric = DistanceMetric.Euclidean,
+                         port: Int = 0) {
+
+  val metrics = new MetricsRecorder(spark, root)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null) // serve on the dispatcher thread: serial, like the writer lock
+
+  // The server is the single writer, so the next sequence number and the
+  // enforced dimension are cached (seeded from the RAW log — tombstone
+  // seqs included, see VectorLog.maxSeq).
+  private var seqCounter: Long = VectorLog.maxSeq(spark, root)
+  private var live: DataFrame = VectorLog.recover(spark, root).cache()
+  private var dimension: Option[Int] =
+    live.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = { metrics.flush(); server.stop(0) }
+
+  private def refresh(): Unit = {
+    live.unpersist()
+    live = VectorLog.recover(spark, root).cache()
+  }
+
+  // --- wire helpers -------------------------------------------------
+
+  private def respond(ex: HttpExchange, status: Int, json: JValue): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, JObject("error" -> JString(msg)))
+
+  private def body(ex: HttpExchange): JValue =
+    JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def vecOf(jv: JValue): Seq[Float] = jv match {
+    case JArray(xs) => xs.map {
+      case JDouble(d) => d.toFloat
+      case JInt(i)    => i.toFloat
+      case JLong(l)   => l.toFloat
+      case other => throw new IllegalArgumentException(s"non-numeric vector element: $other")
+    }
+    case other => throw new IllegalArgumentException(s"'vector' not an array: $other")
+  }
+
+  private def metaOf(jv: JValue): Map[String, String] = jv match {
+    case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  private def jVec(v: Seq[Float]): JValue = JArray(v.map(x => JDouble(x.toDouble)).toList)
+
+  // --- store operations ---------------------------------------------
+
+  private def appendRows(rows: Seq[(Long, String, String, Seq[Float], Map[String, String])]): Unit = {
+    import spark.implicits._
+    VectorLog.append(rows.toDF("seq", "op", "id", "embedding", "meta"), root)
+    refresh()
+  }
+
+  /** Enforce the store-wide dimension invariant (storage.rs:144-154):
+    * first insert fixes the dimension, later mismatches are rejected. */
+  private def checkDims(vecs: Seq[Seq[Float]]): Option[String] = {
+    val expected = dimension.orElse(vecs.headOption.map(_.length))
+    expected.flatMap { d =>
+      vecs.find(_.length != d).map(v =>
+        s"Dimension mismatch: expected $d, got ${v.length}")
+    }
+  }
+
+  private def liveRow(id: String): Option[(Seq[Float], Map[String, String])] =
+    live.where(col("id") === id).select("embedding", "meta")
+      .collect().headOption.map { r =>
+        (r.getSeq[Float](0),
+          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+      }
+
+  private def runSearch(vec: Seq[Float], k: Int,
+                        filter: Option[MetadataFilter]): Seq[(String, Double)] =
+    TopK.knn(live, "id", "embedding", vec.map(_.toDouble), k, metric,
+      filter.map(_.compile(col("meta"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  private def searchResponse(hits: Seq[(String, Double)]): JValue =
+    JArray(hits.map { case (id, d) =>
+      JObject("id" -> JString(id), "distance" -> JDouble(d))
+    }.toList)
+
+  // --- routing --------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val segments = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+    try {
+      (ex.getRequestMethod, segments) match {
+        case ("POST", Seq("vectors"))          => insert(ex)
+        case ("GET", Seq("vectors"))           => list(ex)
+        case ("POST", Seq("vectors", "batch")) => batchInsert(ex)
+        case ("GET", Seq("vectors", id))       => get(ex, id)
+        case ("DELETE", Seq("vectors", id))    => delete(ex, id)
+        case ("POST", Seq("search"))           => search(ex)
+        case ("POST", Seq("search", "batch"))  => batchSearch(ex)
+        case ("GET", Seq("health"))            => health(ex)
+        case ("GET", Seq("metrics"))           => metricsEndpoint(ex)
+        case _ => err(ex, 404, "no such route")
+      }
+    } catch {
+      case e: IllegalArgumentException => err(ex, 400, e.getMessage)
+      case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
+    }
+  }
+
+  // --- handlers (shapes mirror routes.rs handlers 1:1) ----------------
+
+  private def insert(ex: HttpExchange): Unit = {
+    val req = body(ex)
+    val id = (req \ "id") match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"'id' missing: $other")
+    }
+    val vec = vecOf(req \ "vector")
+    checkDims(Seq(vec)) match {
+      case Some(msg) => err(ex, 400, msg)
+      case None =>
+        seqCounter += 1
+        appendRows(Seq((seqCounter, "insert", id, vec, metaOf(req \ "metadata"))))
+        if (dimension.isEmpty) dimension = Some(vec.length)
+        metrics.recordInsert()
+        respond(ex, 201, JObject("id" -> JString(id), "status" -> JString("inserted")))
+    }
+  }
+
+  private def batchInsert(ex: HttpExchange): Unit = {
+    val items = (body(ex) \ "vectors") match {
+      case JArray(xs) => xs.map { item =>
+        val id = (item \ "id") match {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"'id' missing: $other")
+        }
+        (id, vecOf(item \ "vector"), metaOf(item \ "metadata"))
+      }
+      case other => throw new IllegalArgumentException(s"'vectors' not an array: $other")
+    }
+    checkDims(items.map(_._2)) match {
+      case Some(msg) => err(ex, 400, msg) // atomic: nothing appended
+      case None =>
+        val rows = items.map { case (id, vec, meta) =>
+          seqCounter += 1
+          (seqCounter, "insert", id, vec, meta)
+        }
+        appendRows(rows)
+        if (dimension.isEmpty) dimension = items.headOption.map(_._2.length)
+        items.foreach(_ => metrics.recordInsert())
+        respond(ex, 201, JObject("inserted" -> JInt(items.length)))
+    }
+  }
+
+  private def get(ex: HttpExchange, id: String): Unit =
+    liveRow(id) match {
+      case None => err(ex, 404, s"Vector not found: $id")
+      case Some((vec, meta)) =>
+        val base = List(
+          "id" -> JString(id),
+          "dimension" -> JInt(vec.length),
+          "vector" -> jVec(vec))
+        // reference skips the field entirely when empty (routes.rs:73)
+        val withMeta = if (meta.isEmpty) base
+          else base :+ ("metadata" -> JObject(
+            meta.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))
+        respond(ex, 200, JObject(withMeta))
+    }
+
+  private def delete(ex: HttpExchange, id: String): Unit =
+    liveRow(id) match {
+      case None => err(ex, 404, s"Vector not found: $id")
+      case Some(_) =>
+        seqCounter += 1
+        appendRows(Seq((seqCounter, "delete", id,
+          null: Seq[Float], Map.empty[String, String])))
+        metrics.recordDelete()
+        respond(ex, 200, JObject("id" -> JString(id), "status" -> JString("deleted")))
+    }
+
+  private def search(ex: HttpExchange): Unit = {
+    val req = body(ex)
+    val vec = vecOf(req \ "vector")
+    val k = (req \ "k") match { case JInt(n) => n.toInt; case _ => 10 }
+    val filter = (req \ "filter") match {
+      case JNothing | JNull => None
+      case f => Some(MetadataFilter.fromJsonValue(f))
+    }
+    val t0 = System.nanoTime()
+    val hits = runSearch(vec, k, filter)
+    metrics.recordQuery((System.nanoTime() - t0) / 1e3)
+    respond(ex, 200, searchResponse(hits))
+  }
+
+  private def batchSearch(ex: HttpExchange): Unit = {
+    val req = body(ex)
+    val queries = (req \ "queries") match {
+      case JArray(xs) => xs.map { q =>
+        val k = (q \ "k") match { case JInt(n) => n.toInt; case _ => 10 }
+        (vecOf(q \ "vector"), k)
+      }
+      case other => throw new IllegalArgumentException(s"'queries' not an array: $other")
+    }
+    val filter = (req \ "filter") match {
+      case JNothing | JNull => None
+      case f => Some(MetadataFilter.fromJsonValue(f))
+    }
+    // one latency record per HTTP call, like routes.rs:365-369
+    val t0 = System.nanoTime()
+    val all = queries.map { case (vec, k) => runSearch(vec, k, filter) }
+    metrics.recordQuery((System.nanoTime() - t0) / 1e3)
+    respond(ex, 200, JArray(all.map(searchResponse).toList))
+  }
+
+  private def list(ex: HttpExchange): Unit = {
+    val ids = live.select("id").orderBy("id")
+      .collect().map(_.getString(0)).toList
+    respond(ex, 200, JArray(ids.map(JString(_))))
+  }
+
+  private def health(ex: HttpExchange): Unit =
+    respond(ex, 200, JObject(
+      "status" -> JString("ok"),
+      "vector_count" -> JInt(live.count())))
+
+  private def metricsEndpoint(ex: HttpExchange): Unit =
+    respond(ex, 200, JObject(
+      "total_queries" -> JInt(metrics.totalQueries),
+      "total_inserts" -> JInt(metrics.totalInserts),
+      "total_deletes" -> JInt(metrics.totalDeletes),
+      "avg_query_latency_us" -> JDouble(metrics.avgQueryLatencyUs),
+      "p50_query_latency_us" -> JDouble(metrics.percentileQueryLatencyUs(50.0)),
+      "p95_query_latency_us" -> JDouble(metrics.percentileQueryLatencyUs(95.0)),
+      "p99_query_latency_us" -> JDouble(metrics.percentileQueryLatencyUs(99.0))))
+}

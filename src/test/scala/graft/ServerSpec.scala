@@ -1,0 +1,228 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.server.VectorServer
+
+/** In-process HTTP endpoint tests mirroring the reference's Axum route
+  * tests (src/server/routes.rs:433-722): insert with/without metadata,
+  * get, filtered and unfiltered search, batch insert, batch search
+  * with/without filter, delete, dimension mismatch, health, metrics.
+  */
+class ServerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer(f: (String, VectorServer) => Unit): Unit = {
+    val root = Files.createTempDirectory("server-store").toString
+    val srv = new VectorServer(spark, root)
+    val port = srv.start()
+    try f(s"http://127.0.0.1:$port", srv)
+    finally srv.stop()
+  }
+
+  private def send(method: String, url: String, body: String = null): (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
+  }
+
+  private def insertV1V2(base: String): Unit = {
+    assert(send("POST", s"$base/vectors",
+      """{"id":"v1","vector":[1.0,2.0,3.0],"metadata":{"color":"red"}}""")._1 == 201)
+    assert(send("POST", s"$base/vectors",
+      """{"id":"v2","vector":[4.0,5.0,6.0],"metadata":{"color":"blue"}}""")._1 == 201)
+  }
+
+  test("insert with metadata returns 201 (routes.rs test_insert_with_metadata)") {
+    withServer { (base, _) =>
+      val (status, body) = send("POST", s"$base/vectors",
+        """{"id":"v1","vector":[1.0,2.0,3.0],"metadata":{"color":"red"}}""")
+      assert(status == 201)
+      assert(body \ "id" == JString("v1"))
+      assert(body \ "status" == JString("inserted"))
+    }
+  }
+
+  test("insert without metadata is accepted (backward compat)") {
+    withServer { (base, _) =>
+      val (status, _) = send("POST", s"$base/vectors",
+        """{"id":"v1","vector":[1.0,2.0,3.0]}""")
+      assert(status == 201)
+    }
+  }
+
+  test("get returns id, dimension, vector and metadata (test_get_vector_returns_data)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("GET", s"$base/vectors/v1")
+      assert(status == 200)
+      assert(body \ "id" == JString("v1"))
+      assert(body \ "dimension" == JInt(3))
+      assert((body \ "vector") == JArray(List(JDouble(1.0), JDouble(2.0), JDouble(3.0))))
+      assert(body \ "metadata" \ "color" == JString("red"))
+    }
+  }
+
+  test("get of a missing id is 404; metadata field omitted when empty") {
+    withServer { (base, _) =>
+      assert(send("GET", s"$base/vectors/nope")._1 == 404)
+      send("POST", s"$base/vectors", """{"id":"bare","vector":[1.0,0.0,0.0]}""")
+      val (_, body) = send("GET", s"$base/vectors/bare")
+      assert((body \ "metadata") == JNothing) // routes.rs skip_serializing_if
+    }
+  }
+
+  test("search with filter returns only matching vectors (test_search_with_filter)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":10,
+           "filter":{"op":"eq","field":"color","value":"red"}}""")
+      assert(status == 200)
+      val JArray(results) = body: @unchecked
+      assert(results.length == 1)
+      assert(results.head \ "id" == JString("v1"))
+    }
+  }
+
+  test("search without filter returns nearest first (backward compat)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":1}""")
+      assert(status == 200)
+      val JArray(results) = body: @unchecked
+      assert(results.length == 1)
+      assert(results.head \ "id" == JString("v1"))
+      assert((results.head \ "distance") == JDouble(0.0))
+    }
+  }
+
+  test("batch insert is atomic and counted (test_batch_insert_endpoint)") {
+    withServer { (base, _) =>
+      val (status, body) = send("POST", s"$base/vectors/batch",
+        """{"vectors":[{"id":"v1","vector":[1.0,0.0,0.0]},
+                       {"id":"v2","vector":[0.0,1.0,0.0],"metadata":{"x":"y"}}]}""")
+      assert(status == 201)
+      assert(body \ "inserted" == JInt(2))
+      val (_, health) = send("GET", s"$base/health")
+      assert(health \ "vector_count" == JInt(2))
+    }
+  }
+
+  test("batch search returns one ranked list per query (test_batch_search_endpoint)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("POST", s"$base/search/batch",
+        """{"queries":[{"vector":[1.0,2.0,3.0],"k":1},
+                       {"vector":[4.0,5.0,6.0],"k":1}]}""")
+      assert(status == 200)
+      val JArray(lists) = body: @unchecked
+      assert(lists.length == 2)
+      assert(lists(0).asInstanceOf[JArray].arr.head \ "id" == JString("v1"))
+      assert(lists(1).asInstanceOf[JArray].arr.head \ "id" == JString("v2"))
+    }
+  }
+
+  test("batch search applies the shared filter to every query (test_batch_search_with_filter_endpoint)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("POST", s"$base/search/batch",
+        """{"queries":[{"vector":[1.0,2.0,3.0],"k":10},
+                       {"vector":[4.0,5.0,6.0],"k":10}],
+           "filter":{"op":"eq","field":"color","value":"red"}}""")
+      assert(status == 200)
+      val JArray(lists) = body: @unchecked
+      assert(lists.length == 2)
+      // both queries can only see v1
+      lists.foreach { l =>
+        val JArray(hits) = l: @unchecked
+        assert(hits.length == 1)
+        assert(hits.head \ "id" == JString("v1"))
+      }
+    }
+  }
+
+  test("delete tombstones the id; reinsert after delete is visible") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      assert(send("DELETE", s"$base/vectors/v1")._1 == 200)
+      assert(send("GET", s"$base/vectors/v1")._1 == 404)
+      assert(send("DELETE", s"$base/vectors/v1")._1 == 404) // idempotence: already gone
+      // reinsert-after-delete must win over the tombstone (r1 ADVICE)
+      assert(send("POST", s"$base/vectors",
+        """{"id":"v1","vector":[7.0,8.0,9.0]}""")._1 == 201)
+      val (status, body) = send("GET", s"$base/vectors/v1")
+      assert(status == 200)
+      assert((body \ "vector") == JArray(List(JDouble(7.0), JDouble(8.0), JDouble(9.0))))
+    }
+  }
+
+  test("dimension mismatch is rejected with 400 (storage.rs DimensionMismatch)") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (status, body) = send("POST", s"$base/vectors",
+        """{"id":"bad","vector":[1.0,2.0]}""")
+      assert(status == 400)
+      assert((body \ "error").asInstanceOf[JString].s.contains("Dimension mismatch"))
+      // batch with one bad row: atomic, nothing inserted
+      val (bs, _) = send("POST", s"$base/vectors/batch",
+        """{"vectors":[{"id":"ok","vector":[1.0,1.0,1.0]},
+                       {"id":"bad2","vector":[1.0]}]}""")
+      assert(bs == 400)
+      assert(send("GET", s"$base/vectors/ok")._1 == 404)
+    }
+  }
+
+  test("list and health reflect the live store") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val (_, ids) = send("GET", s"$base/vectors")
+      assert(ids == JArray(List(JString("v1"), JString("v2"))))
+      val (_, health) = send("GET", s"$base/health")
+      assert(health \ "status" == JString("ok"))
+      assert(health \ "vector_count" == JInt(2))
+    }
+  }
+
+  test("metrics: counters and self-recorded query latencies, durable on stop") {
+    val root = Files.createTempDirectory("server-store").toString
+    val srv = new VectorServer(spark, root)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      insertV1V2(base)
+      send("POST", s"$base/search", """{"vector":[1.0,2.0,3.0],"k":2}""")
+      send("POST", s"$base/search", """{"vector":[4.0,5.0,6.0],"k":2}""")
+      send("DELETE", s"$base/vectors/v2")
+      val (status, m) = send("GET", s"$base/metrics")
+      assert(status == 200)
+      assert(m \ "total_inserts" == JInt(2))
+      assert(m \ "total_queries" == JInt(2))
+      assert(m \ "total_deletes" == JInt(1))
+      val JDouble(avg) = (m \ "avg_query_latency_us"): @unchecked
+      val JDouble(p50) = (m \ "p50_query_latency_us"): @unchecked
+      val JDouble(p99) = (m \ "p99_query_latency_us"): @unchecked
+      assert(avg > 0.0 && p50 > 0.0 && p50 <= p99)
+    } finally srv.stop()
+    // stop() flushed the recorder: the engine's own metrics log is on
+    // disk and the A1-A3 operators aggregate it
+    val log = spark.read.parquet(s"$root/metrics")
+    val counters = graft.operators.Metrics.opCounters(log, "op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counters == Map("insert" -> 2L, "query" -> 2L, "delete" -> 1L))
+    val lat = log.where(org.apache.spark.sql.functions.col("latency_us").isNotNull)
+    assert(lat.count() == 2)
+  }
+}
