@@ -32,35 +32,70 @@ object LshIndex {
     * pairs agreeing on ANY band become candidates (standard OR-of-ANDs
     * amplification), then exact cosine verification.
     *
+    * A pair colliding in m bands appears m times in the bucket join —
+    * instead of a distinct() shuffle, each pair is kept only in its
+    * FIRST matching band, computed from the XOR of the two full
+    * signatures. The filter runs before the cosine projection, so the
+    * exact verification runs exactly once per unique candidate pair
+    * and the dedup costs no extra exchange.
+    *
     * `dim` ≤ 0 (the default) infers the plane dimension from the first
     * row — a wrong explicit dim would NULL every FusedDot sign test and
     * silently collapse all buckets into one (an O(n²) cross join).
+    *
+    * `carryVectors`: true rides the vectors through the band shuffle
+    * (numBands× amplification of the vector payload, zero extra joins)
+    * — right when bands are weakly selective or rows are narrow. false
+    * keeps the band table at (id, sig, band, key) and re-fetches the
+    * two vectors by id equi-join for surviving candidates only — right
+    * for production near-dup cuts (small candidate sets) over wide
+    * rows at 100 TB.
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    maxCosDist: Double, numPlanes: Int = 16, numBands: Int = 4,
-                   seed: Long = 42L, dim: Int = -1): DataFrame = {
+                   seed: Long = 42L, dim: Int = -1,
+                   carryVectors: Boolean = true): DataFrame = {
     val planeDim =
       if (dim > 0) dim
       else emb.select(size(col(vecCol))).where(col(vecCol).isNotNull)
         .head.getInt(0)
     val planes = makePlanes(numPlanes, planeDim, seed)
     val bitsPerBand = numPlanes / numBands
+    val mask = (1L << bitsPerBand) - 1
     // enforce the store's single-dimension invariant here instead of
     // letting null dot-products fold every row into bucket 0
-    val sigd = emb
+    val clean = emb
       .where(col(vecCol).isNotNull && size(col(vecCol)) === planeDim)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        signature(col(vecCol), planes).as("sig"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigd0 = clean.select(col("id"), col("v"),
+      signature(col("v"), planes).as("sig"))
+    val sigd = if (carryVectors) sigd0 else sigd0.drop("v")
     val banded = (0 until numBands).map { b =>
-      sigd.select(col("id"), col("v"), lit(b).as("band"),
-        shiftright(col("sig"), b * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))
+      sigd.withColumn("band", lit(b))
+        .withColumn("key",
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
     }.reduce(_ unionByName _)
-    banded.as("a").join(banded.as("b"), Seq("band", "key"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        FusedDistance.cosine(col("a.v"), col("b.v")).as("cos_dist"))
+    // lowest band index where the two signatures agree (always defined
+    // for joined rows — they matched on at least the joined band)
+    val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
+    val firstMatch = (0 until numBands).foldRight(lit(numBands).cast("int")) {
+      (j, acc) =>
+        when(shiftright(xorSig, j * bitsPerBand).bitwiseAND(lit(mask)) === 0,
+          lit(j)).otherwise(acc)
+    }
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .where(col("a.id") < col("b.id") && col("band") === firstMatch)
+    val withVecs =
+      if (carryVectors)
+        cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v").as("__va"), col("b.v").as("__vb"))
+      else
+        cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .join(clean.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+          .join(clean.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+    withVecs
+      .select(col("id_a"), col("id_b"),
+        FusedDistance.cosine(col("__va"), col("__vb")).as("cos_dist"))
       .where(col("cos_dist") <= maxCosDist)
-      .distinct()
   }
 }
