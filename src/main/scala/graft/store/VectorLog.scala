@@ -187,4 +187,55 @@ object VectorLog {
   /** Crash recovery = read whatever exists and fold (engine.rs:44-73). */
   def recover(spark: SparkSession, root: String): DataFrame =
     liveView(spark, root)
+
+  // ---- bucketed snapshot layout (the 100 TB recovery shape) ----------
+
+  /** Compact into a BUCKETED snapshot table: the folded live view is
+    * written `bucketBy(buckets, "id")`, so every later id-keyed use of
+    * the snapshot — recovery merge, store⋈metadata join, point lookup
+    * by bucket pruning — reads it pre-clustered and never shuffles it.
+    * Spark ties bucket metadata to the catalog, hence a table name +
+    * external location under the store root rather than a bare path.
+    */
+  def compactBucketed(spark: SparkSession, root: String, table: String,
+                      buckets: Int = 32): Unit = {
+    val live = liveView(spark, root).cache()
+    live.count()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    live.write
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$root/snapshot_bucketed")
+      .mode("overwrite")
+      .saveAsTable(table)
+    live.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(logDir(root)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(snapshotDir(root)), true)
+  }
+
+  /** Live view over a bucketed snapshot + log tail WITHOUT re-folding
+    * the snapshot: the tail (small, between compactions) is folded
+    * alone, then merged with an anti-join — snapshot rows survive
+    * unless the tail touched their id. The snapshot side is never
+    * shuffled: the tail is broadcast (or hashed into the snapshot's
+    * bucket layout), which is the property that makes recovery O(tail)
+    * instead of O(store) at 100 TB. The plain liveView instead
+    * re-folds snapshot ∪ tail — fine when compaction keeps the log
+    * short, quadratic-feeling when it does not.
+    */
+  def bucketedView(spark: SparkSession, table: String, root: String): DataFrame = {
+    val snap = spark.table(table)
+    if (!exists(spark, logDir(root))) snap
+    else {
+      val tail = fold(readPiece(spark, logDir(root)))
+      // tombstoned ids are inside the folded tail only as survivors;
+      // ids deleted by the tail must ALSO leave the snapshot — anti-join
+      // on every id the tail mentions (including deletes), then append
+      // the tail's survivors
+      val touched = readPiece(spark, logDir(root)).select("id").distinct()
+      snap.join(touched, Seq("id"), "left_anti")
+        .unionByName(tail.select(snap.columns.map(col).toIndexedSeq: _*))
+    }
+  }
 }

@@ -53,4 +53,52 @@ class BucketedStoreSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("bucketed snapshot: O(tail) recovery merge, snapshot side never shuffles") {
+    import graft.store.VectorLog
+    val root = java.nio.file.Files.createTempDirectory("vlog-bucketed").toString
+    def m(seq: Long, op: String, id: String, v: Seq[Float]) =
+      (seq, op, id, v, Map("src" -> "test"))
+    VectorLog.append(Seq(
+      m(1, "insert", "a", Seq(1f, 0f)),
+      m(2, "insert", "b", Seq(0f, 1f)),
+      m(3, "insert", "c", Seq(1f, 1f))).toDF("seq", "op", "id", "embedding", "meta"), root)
+
+    spark.sql("DROP TABLE IF EXISTS snap_bucketed")
+    VectorLog.compactBucketed(spark, root, "snap_bucketed", buckets = 4)
+
+    // tail after compaction: upsert a, delete b, insert d
+    VectorLog.append(Seq(
+      m(4, "insert", "a", Seq(9f, 9f)),
+      m(5, "delete", "b", null),
+      m(6, "insert", "d", Seq(2f, 2f))).toDF("seq", "op", "id", "embedding", "meta"), root)
+
+    val view = VectorLog.bucketedView(spark, "snap_bucketed", root)
+    val got = view.select("id", "embedding")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(got == Map("a" -> Seq(9f, 9f), "c" -> Seq(1f, 1f), "d" -> Seq(2f, 2f)))
+
+    // the merge must not shuffle the snapshot: the anti-join against the
+    // (small) touched-id set is a broadcast join — the snapshot flows
+    // from its bucketed scan into the join with no Exchange in between
+    // (the planner reports the scan itself as non-bucketed here because
+    // a broadcast join needs no clustering — the bucketing pays off in
+    // the fold below)
+    val plan = view.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+
+    // and an id-keyed aggregation over the snapshot alone — the fold
+    // shape — plans with zero exchanges (bucket-clustered input)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val folded = graft.store.VectorLog.fold(spark.table("snap_bucketed"))
+      val foldPlan = folded.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!foldPlan.contains("Exchange"),
+        s"fold over the bucketed snapshot must not shuffle:\n$foldPlan")
+      assert(folded.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
