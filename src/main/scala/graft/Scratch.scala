@@ -70,6 +70,44 @@ object Scratch {
       emb.select(functions.VectorFunctions.norm(col("embedding"))).write
         .format("noop").mode("overwrite").save())
 
+    // ---- round-2 additions ------------------------------------------
+
+    timeIt("IVF searchJoin 64 queries nprobe=8/64 over 5M (materialized)")(
+      index.IvfIndex.searchJoin(stored, model, "vec_id", "embedding",
+        emb.where(col("vec_id") < 64), "vec_id", "embedding",
+        k = 10, nprobe = 8).count())
+
+    // NOTE: LSH near-dup is NOT measured on this table — the 2500×
+    // replication makes every replica pair a true duplicate (~6e9 true
+    // pairs), so any correct near-dup algorithm explodes by
+    // construction. Its scale behavior is covered by the
+    // dedup_embedding_lsh bench entry on real (duplicate-free) data.
+
+    // bucketed recovery merge vs full refold at a 5M-row store with a
+    // 1k-row tail — the O(tail) vs O(store) recovery claim, measured
+    val storeRoot = "/tmp/big_store"
+    val fs = new org.apache.hadoop.fs.Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storeRoot), true)
+    store.VectorLog.append(
+      emb.select(col("vec_id").cast("long").as("seq"), lit("insert").as("op"),
+        col("vec_id").cast("string").as("id"), col("embedding"),
+        map(lit("label"), col("label").cast("string")).as("meta")), storeRoot)
+    spark.sql("DROP TABLE IF EXISTS big_snap")
+    timeIt("compactBucketed 5M rows (32 buckets)")(
+      store.VectorLog.compactBucketed(spark, storeRoot, "big_snap"))
+    store.VectorLog.append(
+      emb.where(col("vec_id") < 1000)
+        .select((col("vec_id") + 10000000L).as("seq"), lit("insert").as("op"),
+          col("vec_id").cast("string").as("id"), col("embedding"),
+          map(lit("label"), lit("updated")).as("meta")), storeRoot)
+    timeIt("bucketedView merge (1k tail over 5M snapshot)")(
+      store.VectorLog.bucketedView(spark, "big_snap", storeRoot).count())
+    timeIt("full refold of snapshot ∪ tail (the liveView shape)")(
+      store.VectorLog.fold(spark.table("big_snap").unionByName(
+        spark.read.schema(store.VectorLog.logSchema)
+          .parquet(store.VectorLog.logDir(storeRoot)))).count())
+
     spark.stop()
   }
 }

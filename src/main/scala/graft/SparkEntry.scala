@@ -39,15 +39,25 @@ object SparkEntry {
     * cluster-partitioned index and measure SEARCH, not build. First call
     * per sf dir pays the build and persists via IvfIndex.write.
     */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, graft.index.IvfIndex.Model)]()
+
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
-    val path = s"/tmp/graft_ivf/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
-    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists()) {
-      val (assigned, model) = graft.index.IvfIndex.build(
-        t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16, metric = metric)
-      graft.index.IvfIndex.write(assigned, model, path)
-    }
-    graft.index.IvfIndex.load(s, path)
+    // "v2" = on-disk layout version; bump when IvfIndex.write changes so
+    // stale caches from earlier rounds can never be loaded
+    val path = s"/tmp/graft_ivf/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
+    // memoized per session: a served index keeps its centroid table
+    // resident instead of re-collecting it on every query
+    ivfCache.computeIfAbsent((s, path), { _ =>
+      if (!new java.io.File(s"$path/assignments/_SUCCESS").exists()) {
+        val (assigned, model) = graft.index.IvfIndex.build(
+          t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16, metric = metric)
+        graft.index.IvfIndex.write(assigned, model, path)
+      }
+      graft.index.IvfIndex.load(s, path)
+    })
   }
 
   // ---------------------------------------------------------------
@@ -129,6 +139,9 @@ object SparkEntry {
     // results — double sums can differ in the last cent at lineitem
     // magnitudes, and decimal casts round half-up vs half-even. The final
     // `/ 100.0` is a single exact-input IEEE division, identical on both.
+    // Full TPC-H Q1 column set. Scaled-long sums stay exact up to
+    // Σ|x|·scale < 2^63 (ample through sf100 per group); past that the
+    // same pattern holds with decimal(38,0) sums.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -137,11 +150,18 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("__bp"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
             .cast("long")).as("__dp"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * 1000000).cast("long")).as("__ch"),
+          sum(round(col("l_discount") * 100).cast("long")).as("__d"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           (col("__q") / 100.0).as("sum_qty"),
           (col("__bp") / 100.0).as("sum_base_price"),
           (col("__dp") / 10000.0).as("sum_disc_price"),
+          (col("__ch") / 1000000.0).as("sum_charge"),
+          (col("__q") / (col("count_order") * lit(100.0))).as("avg_qty"),
+          (col("__bp") / (col("count_order") * lit(100.0))).as("avg_price"),
+          (col("__d") / (col("count_order") * lit(100.0))).as("avg_disc"),
           col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -623,6 +643,10 @@ object SparkEntry {
           |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
           |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+          |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_qty,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_price,
+          |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_disc,
           |  count(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,

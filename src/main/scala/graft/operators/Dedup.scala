@@ -208,8 +208,12 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label")).cache()
+      val next0 = labels.unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+      // truncate lineage periodically: each iteration nests the previous
+      // plan, and at scale the analyzer cost (and any recomputation on
+      // cache eviction) grows with iteration depth otherwise
+      val next = (if (iter % 5 == 4) next0.localCheckpoint(true) else next0).cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
       labels.unpersist()

@@ -200,6 +200,43 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.8, f"recall $mean%.3f below threshold")
   }
 
+  test("first-match-band dedup: both carryVectors modes equal the naive distinct form") {
+    // random vectors, several dims/thresholds — the XOR first-match
+    // filter must produce exactly the distinct candidate set the
+    // banding defines, for both physical forms
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)) }
+    val df = rows.toDF("vec_id", "embedding")
+    for (tau <- Seq(0.45, 0.6)) {
+      def pairs(carry: Boolean): Set[(Long, Long)] =
+        LshIndex.nearDupPairs(df, "vec_id", "embedding", maxCosDist = tau,
+          numPlanes = 16, numBands = 8, carryVectors = carry)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .as[(Long, Long)].collect().toSet
+      // naive reference: every band collision, distinct, exact verify
+      val planes = LshIndex.makePlanes(16, 16)
+      def sig(v: Seq[Float]): Long =
+        planes.zipWithIndex.map { case (p, i) =>
+          val dot = p.zip(v).map { case (a, b) => a.toDouble * b }.sum
+          if (dot >= 0.0) 1L << i else 0L
+        }.sum
+      val sigs = rows.map { case (id, v) => (id, v, sig(v)) }
+      val naive = (for {
+        (ia, va, sa) <- sigs; (ib, vb, sb) <- sigs if ia < ib
+        if (0 until 8).exists(b => ((sa ^ sb) >> (b * 2) & 3) == 0)
+      } yield {
+        val dot = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+        val cd = 1.0 - math.min(math.max(dot / (na * nb), -1.0), 1.0)
+        ((ia, ib), cd)
+      }).filter(_._2 <= tau).map(_._1).toSet
+      assert(pairs(carry = true) == naive, s"tau=$tau carry=true")
+      assert(pairs(carry = false) == naive, s"tau=$tau carry=false")
+    }
+  }
+
   test("LSH near-dup pairs recall >= 0.8 vs exact closest pairs") {
     // ground truth: the 20 closest pairs by cosine distance
     val truth = Dedup.closestPairs(emb, "vec_id", "embedding", topN = 20)
