@@ -19,9 +19,11 @@ import graft.store.VectorLog
   *   graft.Cli <root> get <id>
   *   graft.Cli <root> delete <id>
   *   graft.Cli <root> search <csv-vector> <k> [euclidean|cosine|dot] [filter-json]
+  *   graft.Cli <root> searchann <csv-vector> <k> [nprobe]   (IVF path, reference --index hnsw)
   *   graft.Cli <root> list
   *   graft.Cli <root> count
   *   graft.Cli <root> compact
+  *   graft.Cli <root> serve [port] [metric]                 (HTTP API, reference `serve`)
   */
 object Cli {
 
@@ -73,12 +75,38 @@ object Cli {
           Some(MetadataFilter.fromJson(args(5)).compile(col("meta")))
         else None
         Some(TopK.knn(live, "id", "embedding", vec, k, metric, filter))
+      // the reference's `--index hnsw` analogue: approximate store-level
+      // search through an IVF built over the live view (cluster count
+      // adapted to store size — a CLI store may hold only a few rows)
+      case "searchann" =>
+        val vec = args(2).split(",").map(_.trim.toFloat).toSeq
+        val k = if (args.length > 3) args(3).toInt else 10
+        val n = live.count()
+        val nClusters = math.max(2, math.min(16, (n / 4).toInt)) // MLlib KMeans needs k >= 2
+        val nprobe = if (args.length > 4) args(4).toInt
+                     else math.max(1, nClusters / 2)
+        val (assigned, model) = graft.index.IvfIndex.build(
+          live, "id", "embedding", nClusters = nClusters)
+        Some(graft.index.IvfIndex.search(assigned, model, "id", "embedding",
+          vec, k, nprobe))
       case "list" =>
         Some(live.select("id").orderBy("id"))
       case "count" =>
         Some(live.agg(count(lit(1)).as("n")))
       case "compact" =>
         VectorLog.compact(spark, root); None
+      // the reference's `serve` verb (src/main.rs:56-61): blocks until
+      // killed; an optional seconds argument bounds the lifetime (tests)
+      case "serve" =>
+        val port = if (args.length > 2) args(2).toInt else 3000
+        val metric = if (args.length > 3) DistanceMetric.fromString(args(3))
+                     else DistanceMetric.Euclidean
+        val srv = new graft.server.VectorServer(spark, root, metric, port)
+        val bound = srv.start()
+        println(s"[serve] listening on 127.0.0.1:$bound")
+        if (args.length > 4) { Thread.sleep(args(4).toLong * 1000); srv.stop() }
+        else Thread.currentThread().join() // serve until killed
+        None
       case other =>
         throw new IllegalArgumentException(s"unknown verb: $other")
     }

@@ -36,4 +36,43 @@ class CliSpec extends SparkSpec {
       .as[Seq[Float]].head
     assert(v == Seq(0.0f, 1.0f, 0.0f))
   }
+
+  test("searchann: IVF store-level search (reference --index hnsw analogue)") {
+    val root = Files.createTempDirectory("cli-ann").toString
+    def run(args: String*) = Cli.run(spark, root +: args)
+    run("insert", "sunset", "0.9,0.1,0.0")
+    run("insert", "ocean", "0.0,0.2,0.9")
+    run("insert", "fire", "1.0,0.1,0.0")
+    // tiny store: probe all clusters → degrades to exact search
+    val hits = run("searchann", "1.0,0.0,0.0", "2", "2").get
+      .select("id").as[String].collect().toSeq
+    assert(hits == Seq("fire", "sunset"))
+  }
+
+  test("serve verb: HTTP surface over a CLI-built store, bounded lifetime") {
+    val root = Files.createTempDirectory("cli-serve").toString
+    Cli.run(spark, Seq(root, "insert", "sunset", "0.9,0.1,0.0"))
+    // port 0 = ephemeral; capture the bound port from the serve banner
+    val out = new java.io.ByteArrayOutputStream()
+    val t = new Thread(() => Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq(root, "serve", "0", "euclidean", "3"))
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 10000
+    var port = -1
+    while (port < 0 && System.currentTimeMillis() < deadline) {
+      val m = "listening on 127.0.0.1:(\\d+)".r.findFirstMatchIn(out.toString)
+      m.foreach(g => port = g.group(1).toInt)
+      if (port < 0) Thread.sleep(100)
+    }
+    assert(port > 0, s"server did not report a port: ${out.toString}")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("\"vector_count\":1"))
+    t.join(15000)
+    assert(!t.isAlive)
+  }
 }

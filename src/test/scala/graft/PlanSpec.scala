@@ -56,4 +56,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("batch ANN cluster join dynamically prunes index partitions") {
+    // the probed-cluster set must reach the partitioned index scan as a
+    // runtime partition filter (DPP) — the on-disk inverted file is only
+    // an index if probes skip the other clusters' directories
+    val p = plan("ann_search_join")
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
