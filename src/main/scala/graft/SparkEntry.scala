@@ -548,6 +548,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- skew-safe aggregation ([EXT], heavy-hitter keys) -----------
+    // events has only 5 event_type keys — the classic straggler shape
+    // for groupBy at scale. The salted two-phase aggregation spreads
+    // each key over 16 sub-keys; values are summed as scaled longs so
+    // the result is bit-identical no matter how the salt partitions the
+    // additions (double sums would drift in the last bits).
+    "skew_salted_agg" -> ((s, dir) => {
+      val scaled = t(s, dir, "events")
+        .select(col("event_type").as("op"),
+          round(col("value") * 10000).cast("long").as("v"))
+      graft.operators.Skew.saltedSumCount(scaled, "op", "v")
+        .select(col("op"), (col("sum") / 10000.0).as("sum_value"), col("n"))
+        .orderBy(col("op"))
+    }),
+
     // ---- engine-side metrics (A1-A3 over the engine's OWN log) ------
     // The serving path records per-op latencies into {root}/metrics
     // (MetricsRecorder, mirroring src/metrics.rs + routes.rs:267-271).
@@ -887,6 +902,11 @@ object SparkEntry {
       "json_props" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,
+      "skew_salted_agg" ->
+        """SELECT event_type AS op,
+          |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY op""".stripMargin,
       "metrics_self" ->
         """SELECT op, count(*) AS n, count(latency_us) AS n_timed
           |FROM read_parquet('/tmp/graft_selfmetrics/metrics/*.parquet')

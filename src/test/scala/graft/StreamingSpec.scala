@@ -56,6 +56,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamLive == batchLive)
   }
 
+  test("HTTP ingest feeds the streaming tail: serve + stream compose") {
+    // the serving path appends to the same log the streaming source
+    // tails — inserts made over the wire surface in the streaming fold
+    val root = Files.createTempDirectory("serve-stream").toString
+    val srv = new graft.server.VectorServer(spark, root)
+    val port = srv.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String) =
+      client.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    try {
+      post("/vectors", """{"id":"red","vector":[1.0,0.0]}""")
+      val q = EventStream.liveState(EventStream.logTail(spark, root))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("served_state")
+        .start()
+      q.processAllAvailable()
+      // more wire traffic while the stream is up
+      post("/vectors", """{"id":"blue","vector":[0.0,1.0]}""")
+      client.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/vectors/red"))
+        .DELETE().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      q.processAllAvailable()
+      q.stop()
+      val states = spark.sql(
+        """SELECT id, op FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) rn
+          |  FROM served_state) WHERE rn = 1""".stripMargin)
+        .as[(String, String)].collect().toMap
+      assert(states("blue") == "insert")
+      assert(states("red") == "delete")
+    } finally srv.stop()
+  }
+
   test("continuous knn: stateful top-k over an insert stream matches batch search") {
     val root = Files.createTempDirectory("cont-knn").toString
     VectorLog.append(Seq(
