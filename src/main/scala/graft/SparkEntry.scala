@@ -531,6 +531,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- real audio decode, oracle-checked --------------------------
+    // WAV payloads are SYNTHESIZED from each document's bytes (sample_i
+    // = byte_i·128 − 16384 at 8 kHz mono), run through the real RIFF
+    // parser (MediaCodec.decodeWav via Multimodal.describe), and the
+    // decoded duration/rms are checked against DuckDB computing the
+    // same math directly from the text — an independent engine verifies
+    // the decoder, not just the plumbing.
+    "multimodal_wav" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val samples = text.getBytes("UTF-8")
+            .map(b => ((b & 0xFF) * 128 - 16384).toShort)
+          (id, graft.operators.MediaCodec.encodeWav(1, 8000, samples))
+        }
+        .toDF("media_id", "payload")
+      graft.operators.Multimodal.describe(media)
+        .select(col("media_id").as("doc_id"), col("kind"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          round(element_at(col("features"), 4), 4).as("duration_ms"),
+          round(element_at(col("features"), 5), 4).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE-ish regex tokenizer [EXT] ------------------------------
     "text_tokens_bpe" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -894,6 +920,15 @@ object SparkEntry {
            |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
            |  ${sqlRollHash("substr(text, 1, 16)")} AS chunk_fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "multimodal_wav" ->
+        """SELECT doc_id, 'audio/wav' AS kind,
+          |  CAST(strlen(text) AS BIGINT) AS n_frames,
+          |  round(strlen(text) * 1000.0 / 8000, 4) AS duration_ms,
+          |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+          |    round(sqrt(list_sum(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+          |      c -> ((ascii(c) * 128 - 16384) / 32768.0) * ((ascii(c) * 128 - 16384) / 32768.0)))
+          |      / strlen(text)), 4) END AS rms
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "text_tokens_bpe" ->
         """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_subtokens

@@ -1,0 +1,180 @@
+package graft.operators
+
+/** Dependency-free decoders for UNCOMPRESSED media containers: RIFF/WAVE
+  * PCM audio and 24-bit BI_RGB BMP images are pure byte-layout formats,
+  * so "decode" needs no codec library — only compressed formats
+  * (JPEG/MP3/H.264) stay behind `Multimodal.decodeStub`. This upgrades
+  * the multimodal pipeline from stub-only to real decode → feature
+  * extraction → resize / frame-sample for the formats the environment
+  * can honestly support.
+  *
+  * All parsing is defensive: malformed payloads return None rather than
+  * throwing, so a corrupt row degrades to the opaque path instead of
+  * failing the partition.
+  */
+object MediaCodec {
+
+  // little-endian primitive readers
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def i16(b: Array[Byte], o: Int): Int = u16(b, o).toShort.toInt
+  private def u32(b: Array[Byte], o: Int): Long =
+    (u16(b, o).toLong) | (u16(b, o + 2).toLong << 16)
+  private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+  /** Parsed PCM stream: channel-0 samples normalized to [-1, 1]. */
+  final case class Wav(numChannels: Int, sampleRate: Int,
+                       bitsPerSample: Int, samples: Array[Double]) {
+    def numFrames: Int = samples.length
+    def durationMs: Double = numFrames * 1000.0 / sampleRate
+    def rms: Double =
+      if (samples.isEmpty) 0.0
+      else math.sqrt(samples.map(s => s * s).sum / samples.length)
+    def peak: Double = if (samples.isEmpty) 0.0 else samples.map(math.abs).max
+  }
+
+  /** Parse a RIFF/WAVE container with 16-bit PCM data (audioFormat=1).
+    * Chunk walk per the RIFF spec: [id:4][size:4LE][data:size] padded to
+    * even offsets. Returns None for non-PCM, non-16-bit, or truncated
+    * payloads.
+    */
+  def decodeWav(b: Array[Byte]): Option[Wav] = {
+    if (!isWav(b)) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, length)
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val size = u32(b, off + 4).toInt
+      val body = off + 8
+      if (body + size > b.length) return None // truncated chunk
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = u16(b, body)
+          if (audioFormat != 1) return None // compressed → not our job
+          fmt = Some((u16(b, body + 2), u32(b, body + 4).toInt, u16(b, body + 14)))
+        case "data" => data = Some((body, size))
+        case _ => () // skip LIST/INFO/etc.
+      }
+      off = body + size + (size & 1) // RIFF pads chunks to even sizes
+    }
+    for {
+      (channels, rate, bits) <- fmt
+      if bits == 16 && channels >= 1 && rate > 0
+      (dOff, dLen) <- data
+    } yield {
+      val bytesPerFrame = 2 * channels
+      val frames = dLen / bytesPerFrame
+      val samples = new Array[Double](frames)
+      var i = 0
+      while (i < frames) {
+        samples(i) = i16(b, dOff + i * bytesPerFrame) / 32768.0
+        i += 1
+      }
+      Wav(channels, rate, bits, samples)
+    }
+  }
+
+  /** Encode interleaved 16-bit PCM into a minimal RIFF/WAVE container —
+    * the sink side of the audio path (and the fixture generator for the
+    * decode oracle). */
+  def encodeWav(channels: Int, rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array
+  }
+
+  /** Audio frame-sampling: keep every `everyN`-th sample (a real
+    * decimating downsample of the decoded PCM, not a byte stub). */
+  def downsample(samples: Array[Double], everyN: Int): Array[Double] = {
+    val out = new Array[Double]((samples.length + everyN - 1) / everyN)
+    var i = 0
+    while (i < out.length) { out(i) = samples(i * everyN); i += 1 }
+    out
+  }
+
+  /** Decoded image: row-major top-down packed RGB. */
+  final case class Rgb(width: Int, height: Int, pixels: Array[Byte]) {
+    def meanChannel(c: Int): Double = {
+      if (width * height == 0) return 0.0
+      var sum = 0L
+      var i = c
+      while (i < pixels.length) { sum += pixels(i) & 0xFF; i += 3 }
+      sum.toDouble / (width * height)
+    }
+  }
+
+  /** Parse a 24-bit uncompressed (BI_RGB) BMP: BITMAPFILEHEADER
+    * (pixel-array offset at byte 10) + BITMAPINFOHEADER (width @18,
+    * height @22, bpp @28, compression @30). Rows are 4-byte aligned,
+    * stored bottom-up (positive height) in BGR order — both are
+    * normalized away here.
+    */
+  def decodeBmp(b: Array[Byte]): Option[Rgb] = {
+    if (!isBmp(b)) return None
+    val dataOff = u32(b, 10).toInt
+    val width = i32(b, 18)
+    val rawHeight = i32(b, 22)
+    val bpp = u16(b, 28)
+    val compression = u32(b, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0) return None
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (dataOff + rowSize.toLong * height > b.length) return None
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val src = dataOff + srcRow * rowSize
+      var x = 0
+      while (x < width) {
+        val s = src + x * 3
+        val d = (y * width + x) * 3
+        out(d) = b(s + 2)     // R (BMP stores BGR)
+        out(d + 1) = b(s + 1) // G
+        out(d + 2) = b(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Rgb(width, height, out))
+  }
+
+  /** Nearest-neighbor resize of packed RGB — a real image resize with
+    * no interpolation library. */
+  def resizeNearest(img: Rgb, w2: Int, h2: Int): Rgb = {
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * img.width / w2
+        val s = (sy * img.width + sx) * 3
+        val d = (y * w2 + x) * 3
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1)
+        out(d + 2) = img.pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Rgb(w2, h2, out)
+  }
+}

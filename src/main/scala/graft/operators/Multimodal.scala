@@ -71,6 +71,45 @@ object Multimodal {
         }
       }
   }
+
+  /** REAL decode where the format permits: sniffs the payload's magic
+    * bytes and runs the dependency-free MediaCodec parsers — RIFF/WAVE
+    * PCM → (channels, sample rate, frames, duration ms, rms, peak);
+    * 24-bit BMP → (width, height, mean R, mean G, mean B). Payloads in
+    * compressed formats (the ones that genuinely need absent codec
+    * libraries) fall back to the opaque histogram with kind="opaque".
+    * Same per-partition iterator shape as extractFeatures.
+    */
+  def describe(media: DataFrame, idCol: String = "media_id",
+               payloadCol: String = "payload"): Dataset[MediaInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          MediaCodec.decodeWav(payload) match {
+            case Some(w) =>
+              MediaInfo(id, "audio/wav", Seq(w.numChannels.toDouble,
+                w.sampleRate.toDouble, w.numFrames.toDouble,
+                w.durationMs, w.rms, w.peak))
+            case None => MediaCodec.decodeBmp(payload) match {
+              case Some(img) =>
+                MediaInfo(id, "image/bmp", Seq(img.width.toDouble,
+                  img.height.toDouble, img.meanChannel(0),
+                  img.meanChannel(1), img.meanChannel(2)))
+              case None =>
+                MediaInfo(id, "opaque",
+                  decodeStub(if (payload == null) Array.emptyByteArray
+                             else payload).map(_.toDouble).toSeq)
+            }
+          }
+        }
+      }
+  }
 }
 
 final case class MediaFeatures(media_id: Long, n_bytes: Long, features: Seq[Float])
+
+/** Sniffed kind + kind-specific feature vector from the real decoders. */
+final case class MediaInfo(media_id: Long, kind: String, features: Seq[Double])

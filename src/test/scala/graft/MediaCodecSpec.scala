@@ -1,0 +1,118 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/** Real (dependency-free) media decode: RIFF/WAVE PCM and 24-bit BMP
+  * are pure byte-layout formats, synthesized here byte-for-byte and
+  * checked against known values — the decode is real, only compressed
+  * codecs remain stubbed.
+  */
+class MediaCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal valid RIFF/WAVE with 16-bit PCM and an extra junk chunk
+    * (decoders must skip unknown chunks, per spec). */
+  private def wavBytes(channels: Int, rate: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
+    val data = ByteBuffer.allocate(frames.length * channels * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    frames.foreach(f => f.foreach(s => data.putShort(s.toShort)))
+    val fmt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    fmt.putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    val junk = "note".getBytes ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // odd size → padded
+    val body = new ByteArrayOutputStream()
+    body.write("WAVE".getBytes)
+    body.write("fmt ".getBytes); body.write(le32(16)); body.write(fmt.array)
+    body.write(junk)
+    body.write("data".getBytes); body.write(le32(data.capacity())); body.write(data.array)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(le32(body.size)); body.writeTo(out)
+    out.toByteArray
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array
+
+  /** Minimal 24-bit bottom-up BMP; rows 4-byte padded. Pixels given
+    * top-down row-major as (r,g,b). */
+  private def bmpBytes(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                       // reserved, pixel offset
+    buf.putInt(40).putInt(w).putInt(h)            // header size, w, +h = bottom-up
+      .putShort(1).putShort(24).putInt(0)         // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) {               // bottom-up storage
+      for (x <- 0 until w) {
+        val (r, g, b) = px(y * w + x)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+      }
+      (w * 3 until rowSize).foreach(_ => buf.put(0.toByte)) // row padding
+    }
+    buf.array
+  }
+
+  test("WAV: header parse, channel-0 extraction, duration/rms/peak known values") {
+    // stereo, 8000 Hz, 4 frames; channel 0 = [0, 16384, -32768, 16384]
+    val b = wavBytes(2, 8000, Seq(
+      Seq(0, 99), Seq(16384, 99), Seq(-32768, 99), Seq(16384, 99)))
+    val w = MediaCodec.decodeWav(b).get
+    assert(w.numChannels == 2 && w.sampleRate == 8000 && w.numFrames == 4)
+    assert(w.samples.toSeq == Seq(0.0, 0.5, -1.0, 0.5))
+    assert(w.durationMs == 0.5)
+    assert(math.abs(w.rms - math.sqrt((0.0 + 0.25 + 1.0 + 0.25) / 4)) < 1e-12)
+    assert(w.peak == 1.0)
+    assert(MediaCodec.downsample(w.samples, 2).toSeq == Seq(0.0, -1.0))
+  }
+
+  test("WAV: truncated / compressed / non-wav payloads are rejected, not thrown") {
+    val good = wavBytes(1, 8000, Seq(Seq(1), Seq(2)))
+    assert(MediaCodec.decodeWav(good.take(20)).isEmpty)     // truncated chunk
+    val nonPcm = good.clone
+    nonPcm(20) = 7 // audioFormat != 1 (fmt body starts at offset 20)
+    assert(MediaCodec.decodeWav(nonPcm).isEmpty)
+    assert(MediaCodec.decodeWav("JPEGJPEGJPEGJPEG".getBytes).isEmpty)
+  }
+
+  test("BMP: bottom-up BGR with row padding decodes to top-down RGB; resize; means") {
+    // 3x2 image, distinct channels per pixel
+    val px = Seq(
+      (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val img = MediaCodec.decodeBmp(bmpBytes(3, 2, px)).get
+    assert(img.width == 3 && img.height == 2)
+    val got = img.pixels.grouped(3)
+      .map(p => (p(0) & 0xFF, p(1) & 0xFF, p(2) & 0xFF)).toSeq
+    assert(got == px) // padding and BGR/bottom-up normalized away
+    assert(img.meanChannel(0) == px.map(_._1).sum / 6.0)
+    assert(img.meanChannel(2) == px.map(_._3).sum / 6.0)
+    // nearest-neighbor down to 1x1 keeps the top-left sample
+    val tiny = MediaCodec.resizeNearest(img, 1, 1)
+    assert(tiny.pixels.toSeq.map(_ & 0xFF) == Seq(255, 0, 0))
+    // and up to 6x2 duplicates columns
+    val wide = MediaCodec.resizeNearest(img, 6, 2)
+    assert(wide.width == 6 && wide.pixels.length == 36)
+  }
+
+  test("describe: sniffed decode over a mixed media table, per-partition") {
+    val wav = wavBytes(1, 16000, Seq(Seq(16384), Seq(-16384)))
+    val bmp = bmpBytes(2, 1, Seq((100, 150, 200), (50, 60, 70)))
+    val junk = "not-a-container".getBytes
+    val media = Seq((1L, "audio", wav), (2L, "image", bmp), (3L, "blob", junk))
+      .toDF("media_id", "media_type", "payload")
+    val infos = Multimodal.describe(media)
+      .collect().map(i => i.media_id -> i).toMap
+    assert(infos(1L).kind == "audio/wav")
+    assert(infos(1L).features.take(4) == Seq(1.0, 16000.0, 2.0, 0.125))
+    assert(infos(2L).kind == "image/bmp")
+    assert(infos(2L).features == Seq(2.0, 1.0, 75.0, 105.0, 135.0))
+    assert(infos(3L).kind == "opaque" && infos(3L).features.length == 16)
+  }
+}
