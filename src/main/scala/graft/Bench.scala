@@ -20,7 +20,7 @@ object Bench {
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
     "events_sessionized", "json_props",
-    "text_quality", "doc_fingerprint",
+    "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_embedding_lsh")
 
