@@ -45,9 +45,9 @@ object SparkEntry {
 
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
-    // "v2" = on-disk layout version; bump when IvfIndex.write changes so
+    // "v3" = on-disk layout version; bump when IvfIndex.write changes so
     // stale caches from earlier rounds can never be loaded
-    val path = s"/tmp/graft_ivf/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
+    val path = s"/tmp/graft_ivf/v3_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
     // memoized per session: a served index keeps its centroid table
     // resident instead of re-collecting it on every query
     ivfCache.computeIfAbsent((s, path), { _ =>

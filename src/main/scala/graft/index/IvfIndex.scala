@@ -28,16 +28,25 @@ object IvfIndex {
 
   /** Centroids are small (nClusters × dim floats) and live on the
     * driver — the analogue of the reference's in-memory entry points.
-    * Assignments are a DataFrame and scale with the data. */
+    * Assignments are a DataFrame and scale with the data.
+    *
+    * `phi` is only meaningful for dot-product models: the max data-
+    * vector norm used by the MIPS→euclidean augmentation (see build).
+    */
   final case class Model(centroids: Array[Array[Float]],
-                         metric: DistanceMetric = DistanceMetric.Euclidean) {
+                         metric: DistanceMetric = DistanceMetric.Euclidean,
+                         phi: Double = 0.0) {
     def closestClusters(query: Seq[Float], nprobe: Int): Seq[Int] = {
       // cosine indexes cluster in the normalized space — normalize the
-      // probe the same way so euclidean-to-centroid ranks by angle
+      // probe the same way so euclidean-to-centroid ranks by angle.
+      // dot-product indexes cluster in the (d+1) augmented space — the
+      // probe gets the standard zero extra coordinate, under which
+      // euclidean-to-centroid order equals inner-product order.
       val q: Seq[Float] = metric match {
         case DistanceMetric.Cosine =>
           val n = math.sqrt(query.map(x => x.toDouble * x).sum)
           if (n == 0.0) query else query.map(x => (x / n).toFloat)
+        case DistanceMetric.DotProduct => query :+ 0.0f
         case _ => query
       }
       centroids.zipWithIndex
@@ -62,10 +71,22 @@ object IvfIndex {
             sampleFraction: Double = 1.0,
             metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, Model) = {
     // cosine: cluster on the unit sphere (spherical k-means shape) so
-    // euclidean centroid distance ranks clusters by angle
+    // euclidean centroid distance ranks clusters by angle.
+    // dot-product (MIPS): euclidean clusters over raw vectors do NOT
+    // rank by inner product — use the standard norm augmentation
+    // (Bachrach et al. 2014): x → [x, sqrt(φ² − ‖x‖²)] with φ = max
+    // data norm puts every point on a sphere of radius φ, where
+    // euclidean NN of the zero-extended query equals max inner product.
+    val phi = metric match {
+      case DistanceMetric.DotProduct =>
+        emb.agg(max(graft.functions.FusedDistance.norm(col(vecCol))))
+          .head.getDouble(0)
+      case _ => 0.0
+    }
     val featVec = metric match {
       case DistanceMetric.Cosine =>
         graft.functions.VectorFunctions.normalize(col(vecCol))
+      case DistanceMetric.DotProduct => augment(col(vecCol), phi)
       case _ => col(vecCol).cast("array<double>")
     }
     val features = emb
@@ -80,8 +101,17 @@ object IvfIndex {
     val model = km.fit(fitOn)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val assigned = model.transform(features).drop("__features")
-    (assigned, Model(centroids, metric))
+    (assigned, Model(centroids, metric, phi))
   }
+
+  /** The MIPS augmentation column: [x, sqrt(max(φ²−‖x‖², 0))] as
+    * doubles (the guard covers post-build rows whose norm drifted above
+    * the build-time φ). */
+  private def augment(vec: Column, phi: Double): Column =
+    concat(vec.cast("array<double>"),
+      array(sqrt(greatest(
+        lit(phi * phi) - pow(graft.functions.FusedDistance.norm(vec), 2),
+        lit(0.0)))))
 
   /** Incrementally assign NEW rows (e.g. a log tail) to the existing
     * centroids — index maintenance without a rebuild. Map-only: the
@@ -94,6 +124,7 @@ object IvfIndex {
     val vec = model.metric match {
       case DistanceMetric.Cosine =>
         graft.functions.VectorFunctions.normalize(col(vecCol))
+      case DistanceMetric.DotProduct => augment(col(vecCol), model.phi)
       case _ => col(vecCol)
     }
     val dists = model.centroids.map { c =>
@@ -122,8 +153,8 @@ object IvfIndex {
     val spark = assigned.sparkSession
     import spark.implicits._
     model.centroids.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (i, c.toSeq, model.metric.name) }
-      .toDF("cluster", "centroid", "metric")
+      .map { case (c, i) => (i, c.toSeq, model.metric.name, model.phi) }
+      .toDF("cluster", "centroid", "metric", "phi")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -131,12 +162,12 @@ object IvfIndex {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Model) = {
     val assigned = spark.read.parquet(s"$path/assignments")
     val rows = spark.read.parquet(s"$path/centroids")
-      .select(col("cluster"), col("centroid"), col("metric"))
+      .select(col("cluster"), col("centroid"), col("metric"), col("phi"))
       .collect()
       .sortBy(_.getInt(0))
     val centroids = rows.map(_.getSeq[Float](1).toArray)
     val metric = DistanceMetric.fromString(rows.head.getString(2))
-    (assigned, Model(centroids, metric))
+    (assigned, Model(centroids, metric, rows.head.getDouble(3)))
   }
 
   /** Approximate k-NN: probe `nprobe` clusters, exact top-k inside.
@@ -169,6 +200,8 @@ object IvfIndex {
     val probeVec = metric match {
       case DistanceMetric.Cosine =>
         graft.functions.VectorFunctions.normalize(col("__qvec"))
+      case DistanceMetric.DotProduct => // zero-extended MIPS probe
+        concat(col("__qvec").cast("array<double>"), array(lit(0.0)))
       case _ => col("__qvec")
     }
     val qAssign = queries

@@ -95,6 +95,35 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.85)
   }
 
+  test("dot-product IVF (MIPS norm augmentation) reaches recall@10 >= 0.85") {
+    // euclidean clusters over raw vectors do NOT rank by inner product;
+    // the [x, sqrt(phi^2 - |x|^2)] augmentation must fix that
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10,
+      metric = graft.functions.DistanceMetric.DotProduct)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding",
+      nClusters = 16, metric = graft.functions.DistanceMetric.DotProduct)
+    assert(model.phi > 0.0)
+    val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    info(f"MIPS IVF mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"recall $mean%.3f below threshold")
+    // single-query path agrees (Model.closestClusters zero-extension)
+    val q0 = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    val single = IvfIndex.search(assigned, model, "vec_id", "embedding",
+      q0, k = 10, nprobe = 16)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(single == exact(0L), "nprobe=all must recover the exact MIPS top-k")
+  }
+
   test("stored IVF index: cluster-partitioned parquet, probes prune partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
     val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
