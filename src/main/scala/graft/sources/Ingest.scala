@@ -39,4 +39,30 @@ object Ingest {
   /** S2 (file form): read a JSON-lines file of insert requests. */
   def readInsertJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(insertSchema).json(path)
+
+  /** Media ingest: land raw files as the canonical media table via the
+    * binaryFile source — (media_id = dense hash of the path, media_type
+    * from the extension, payload, meta{path, mod_time, length}). This
+    * is the 100 TB ingestion shape for image/audio/video: executors
+    * stream file contents straight into BINARY cells, no driver I/O;
+    * `glob` limits the listing (e.g. "*.wav").
+    *
+    * binaryFile caps single files at spark.sql.sources.binaryFile
+    * .maxLength (Int.MaxValue) — beyond that (long video), store
+    * chunked payloads keyed by (media_id, chunk) and frame-sample per
+    * chunk.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("media_type"),
+        col("content").as("payload"),
+        map(lit("path"), col("path"),
+          lit("mod_time"), col("modificationTime").cast("string"),
+          lit("length"), col("length").cast("string")).as("meta"))
 }

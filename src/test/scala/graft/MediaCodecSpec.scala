@@ -101,6 +101,25 @@ class MediaCodecSpec extends SparkSpec {
     assert(wide.width == 6 && wide.pixels.length == 36)
   }
 
+  test("binaryFile ingest → describe: files on disk to decoded features") {
+    val dir = java.nio.file.Files.createTempDirectory("media-ingest")
+    java.nio.file.Files.write(dir.resolve("tone.wav"),
+      wavBytes(1, 8000, Seq(Seq(16384), Seq(-16384), Seq(0))))
+    java.nio.file.Files.write(dir.resolve("dot.bmp"),
+      bmpBytes(1, 1, Seq((9, 8, 7))))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "just text".getBytes)
+    val media = graft.sources.Ingest.readBinaryDir(spark, dir.toString)
+    assert(media.columns.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+    val byType = Multimodal.describe(media).collect()
+      .groupBy(_.kind).view.mapValues(_.length).toMap
+    assert(byType == Map("audio/wav" -> 1, "image/bmp" -> 1, "opaque" -> 1))
+    // glob narrows the listing at the source, not post-scan
+    val wavsOnly = graft.sources.Ingest.readBinaryDir(spark, dir.toString, "*.wav")
+    assert(wavsOnly.count() == 1)
+    assert(wavsOnly.select("media_type").as[String].head == "wav")
+  }
+
   test("describe: sniffed decode over a mixed media table, per-partition") {
     val wav = wavBytes(1, 16000, Seq(Seq(16384), Seq(-16384)))
     val bmp = bmpBytes(2, 1, Seq((100, 150, 200), (50, 60, 70)))
