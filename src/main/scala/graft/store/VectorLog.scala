@@ -199,19 +199,32 @@ object VectorLog {
     */
   def compactBucketed(spark: SparkSession, root: String, table: String,
                       buckets: Int = 32): Unit = {
-    val live = liveView(spark, root).cache()
-    live.count()
+    // Once a store is bucketed-compacted its state lives in the TABLE,
+    // not the snapshot dir — a re-compaction must merge table ∪ log
+    // (bucketedView), not the dir pieces, or everything absent from the
+    // tail would be dropped. The merged state is materialized to the
+    // staging dir FIRST so overwriting the table never reads from the
+    // table being overwritten (and a crash mid-write leaves staging).
+    val live =
+      if (spark.catalog.tableExists(table)) bucketedView(spark, table, root)
+      else liveView(spark, root)
+    live.write.mode("overwrite").parquet(stagingDir(root))
+    val staged = spark.read.schema(logSchema).parquet(stagingDir(root))
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    live.write
+    staged.write
       .bucketBy(buckets, "id").sortBy("id")
       .option("path", s"$root/snapshot_bucketed")
       .mode("overwrite")
       .saveAsTable(table)
-    live.unpersist()
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(logDir(root)), true)
     fs.delete(new org.apache.hadoop.fs.Path(snapshotDir(root)), true)
+    // also clear crash leftovers of the plain-compact protocol: a stale
+    // snapshot_old/staging would otherwise be resurrected by a later
+    // liveView fallback even though its state is already folded here
+    fs.delete(new org.apache.hadoop.fs.Path(snapshotOldDir(root)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir(root)), true)
   }
 
   /** Live view over a bucketed snapshot + log tail WITHOUT re-folding

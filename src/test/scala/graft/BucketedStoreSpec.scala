@@ -87,6 +87,21 @@ class BucketedStoreSpec extends SparkSpec {
     val plan = view.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
 
+    // RE-compaction must merge table ∪ log, not just the dir pieces:
+    // append another row, re-compact into the SAME table, and every id
+    // absent from the tail must survive (c came only from the table)
+    VectorLog.append(Seq(m(7, "insert", "e", Seq(3f, 3f)))
+      .toDF("seq", "op", "id", "embedding", "meta"), root)
+    VectorLog.compactBucketed(spark, root, "snap_bucketed", buckets = 4)
+    val fsx = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsx.exists(new org.apache.hadoop.fs.Path(VectorLog.stagingDir(root))))
+    assert(!fsx.exists(new org.apache.hadoop.fs.Path(VectorLog.logDir(root))))
+    assert(VectorLog.bucketedView(spark, "snap_bucketed", root)
+      .select("id", "embedding").as[(String, Seq[Float])].collect().toMap ==
+      Map("a" -> Seq(9f, 9f), "c" -> Seq(1f, 1f), "d" -> Seq(2f, 2f),
+        "e" -> Seq(3f, 3f)))
+
     // and an id-keyed aggregation over the snapshot alone — the fold
     // shape — plans with zero exchanges (bucket-clustered input)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -96,7 +111,7 @@ class BucketedStoreSpec extends SparkSpec {
       val foldPlan = folded.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!foldPlan.contains("Exchange"),
         s"fold over the bucketed snapshot must not shuffle:\n$foldPlan")
-      assert(folded.count() == 3)
+      assert(folded.count() == 4)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
