@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FusedCosine, FusedDot, FusedEuclidean, FusedNorm, RollingHash, SimHash32}
+
+/** SQL surface for the engine's native kernels: registers the fused
+  * Catalyst expressions as SQL functions so `spark.sql("SELECT
+  * graft_cosine(a, b) ...")` works anywhere the library's Scala API
+  * does — notebooks, thrift server, plain SQL pipelines.
+  *
+  * Two entry points for the two Spark idioms:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the SparkSessionExtensions path), or
+  *  - `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        f(args(0), args(1))
+      })
+
+  private def unary(name: String, f: Expression => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+        f(args.head)
+      })
+
+  /** The engine's SQL function set (same semantics as the Column API;
+    * the kernels are the single source of truth for the math). */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    binary("graft_euclidean", FusedEuclidean(_, _)),
+    binary("graft_dot", FusedDot(_, _)),
+    binary("graft_cosine", FusedCosine(_, _)),
+    unary("graft_norm", FusedNorm(_)),
+    unary("graft_rolling_hash", RollingHash(_)),
+    // the raw kernel: takes the token-hash ARRAY<LONG>; tokenize in SQL
+    // with transform(split(...), t -> graft_rolling_hash(t)) — SQL
+    // composition mirrors the Column API's TextFunctions.simhash32
+    unary("graft_simhash32", SimHash32(_)))
+
+  /** Register on an already-running session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

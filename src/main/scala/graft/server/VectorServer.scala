@@ -35,9 +35,16 @@ import graft.store.VectorLog
   * design (the store's writer lock in the reference; here it also
   * keeps Spark job submission serial).
   */
+/** @param compactEvery checkpoint cadence in MUTATIONS — after this
+  *   many inserts/deletes the log is folded into the snapshot and
+  *   truncated, the reference's `checkpoint_interval` write-path hook
+  *   (src/persistence/engine.rs:22-29, 199-204). 0 disables (compact
+  *   on demand via the CLI). Safe here because the server is the
+  *   single writer and serving is serial.
+  */
 final class VectorServer(spark: SparkSession, root: String,
                          metric: DistanceMetric = DistanceMetric.Euclidean,
-                         port: Int = 0) {
+                         port: Int = 0, compactEvery: Int = 0) {
 
   val metrics = new MetricsRecorder(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -60,6 +67,19 @@ final class VectorServer(spark: SparkSession, root: String,
   private def refresh(): Unit = {
     live.unpersist()
     live = VectorLog.recover(spark, root).cache()
+  }
+
+  private var mutationsSinceCompact = 0
+
+  /** Write-path checkpoint hook (engine.rs:199-204): every
+    * `compactEvery` mutations, fold log into snapshot + truncate. */
+  private def afterMutation(n: Int): Unit = {
+    mutationsSinceCompact += n
+    if (compactEvery > 0 && mutationsSinceCompact >= compactEvery) {
+      VectorLog.compact(spark, root)
+      mutationsSinceCompact = 0
+      refresh()
+    }
   }
 
   // --- wire helpers -------------------------------------------------
@@ -171,6 +191,7 @@ final class VectorServer(spark: SparkSession, root: String,
         appendRows(Seq((seqCounter, "insert", id, vec, metaOf(req \ "metadata"))))
         if (dimension.isEmpty) dimension = Some(vec.length)
         metrics.recordInsert()
+        afterMutation(1)
         respond(ex, 201, JObject("id" -> JString(id), "status" -> JString("inserted")))
     }
   }
@@ -196,6 +217,7 @@ final class VectorServer(spark: SparkSession, root: String,
         appendRows(rows)
         if (dimension.isEmpty) dimension = items.headOption.map(_._2.length)
         items.foreach(_ => metrics.recordInsert())
+        afterMutation(items.length)
         respond(ex, 201, JObject("inserted" -> JInt(items.length)))
     }
   }
@@ -223,6 +245,7 @@ final class VectorServer(spark: SparkSession, root: String,
         appendRows(Seq((seqCounter, "delete", id,
           null: Seq[Float], Map.empty[String, String])))
         metrics.recordDelete()
+        afterMutation(1)
         respond(ex, 200, JObject("id" -> JString(id), "status" -> JString("deleted")))
     }
 

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL function registration: the fused kernels callable from plain
+  * SQL, values identical to the Column API (same Expressions). */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API bit-for-bit") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f)),
+      (Seq(0.5f, -0.5f, 1.0f), Seq(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+
+    val viaSql = spark.sql(
+      """SELECT graft_euclidean(a, b) AS e, graft_dot(a, b) AS d,
+        |       graft_cosine(a, b) AS c, graft_norm(a) AS n
+        |FROM vecs""".stripMargin)
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    val viaCols = df.select(
+      graft.functions.FusedDistance.euclidean(col("a"), col("b")),
+      graft.functions.FusedDistance.dot(col("a"), col("b")),
+      graft.functions.FusedDistance.cosine(col("a"), col("b")),
+      graft.functions.FusedDistance.norm(col("a")))
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(viaSql == viaCols)
+    // known values: identical vectors → distance 0, cos_dist 0, norm 3
+    assert(viaSql.head._1 == 0.0 && viaSql.head._3 == 0.0 && viaSql.head._4 == 3.0)
+
+    // text kernels compose in pure SQL (registered functions work
+    // inside SQL lambdas), matching the Column API pipeline
+    val hashes = spark.sql(
+      """SELECT graft_rolling_hash('abc') AS h,
+        |  graft_simhash32(transform(filter(split('a b', ' '), t -> t <> ''),
+        |    t -> graft_rolling_hash(t))) AS s""".stripMargin)
+      .as[(Long, Long)].head()
+    val viaCol = Seq("abc").toDF("t")
+      .select(graft.functions.TextFunctions.rollingHash(col("t")))
+      .as[Long].head()
+    val simViaCol = Seq("a b").toDF("t")
+      .select(graft.functions.TextFunctions.simhash32(col("t")))
+      .as[Long].head()
+    assert(hashes._1 == viaCol)
+    assert(hashes._2 == simViaCol)
+
+    // arity errors surface as analysis-time failures, not executor blowups
+    intercept[Exception](spark.sql("SELECT graft_norm(a, b) FROM vecs").collect())
+  }
+
+  test("extensions class injects the same set (spark.sql.extensions path)") {
+    // The injectFunction list is shared with register() — pin the names
+    // so the config-based path stays in sync with the live-session path
+    assert(GraftExtensions.definitions.map(_._1.funcName).toSet ==
+      Set("graft_euclidean", "graft_dot", "graft_cosine", "graft_norm",
+        "graft_rolling_hash", "graft_simhash32"))
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

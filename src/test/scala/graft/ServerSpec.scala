@@ -196,6 +196,36 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("write-path auto-compaction: checkpoint_interval folds log into snapshot") {
+    val root = Files.createTempDirectory("server-compact").toString
+    val srv = new VectorServer(spark, root, compactEvery = 3)
+    val port = srv.start()
+    val base = s"http://127.0.0.1:$port"
+    try {
+      (1 to 3).foreach(i => send("POST", s"$base/vectors",
+        s"""{"id":"v$i","vector":[$i.0,0.0]}"""))
+      // 3rd mutation crossed the cadence → log truncated, snapshot holds all
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        graft.store.VectorLog.logDir(root))))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        graft.store.VectorLog.snapshotDir(root))))
+      // serving continues seamlessly across the checkpoint, and the next
+      // mutation opens a fresh log with seqs above the snapshot's
+      assert(send("POST", s"$base/vectors",
+        """{"id":"v4","vector":[4.0,0.0]}""")._1 == 201)
+      val (_, health) = send("GET", s"$base/health")
+      assert(health \ "vector_count" == JInt(4))
+      assert(send("GET", s"$base/vectors/v1")._1 == 200)
+      // reinsert-after-delete still safe post-compaction
+      send("DELETE", s"$base/vectors/v4")
+      send("POST", s"$base/vectors", """{"id":"v4","vector":[9.0,0.0]}""")
+      val (st, body) = send("GET", s"$base/vectors/v4")
+      assert(st == 200 && (body \ "vector") == JArray(List(JDouble(9.0), JDouble(0.0))))
+    } finally srv.stop()
+  }
+
   test("metrics: counters and self-recorded query latencies, durable on stop") {
     val root = Files.createTempDirectory("server-store").toString
     val srv = new VectorServer(spark, root)
