@@ -72,6 +72,55 @@ object Multimodal {
       }
   }
 
+  /** Chunk a binary payload column into fixed-size pieces:
+    * (idCol, chunk, payload-slice). This is the storage shape for media
+    * past the binaryFile source's 2 GiB single-cell cap — a long video
+    * becomes many independently-processable rows, and chunk is the
+    * secondary sort/partition key. Pure Column ops (sequence + explode
+    * + binary substring), no UDF.
+    */
+  def chunkBinary(media: DataFrame, chunkSize: Int,
+                  idCol: String = "media_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    require(chunkSize > 0)
+    val nChunks = ceil(octet_length(col(payloadCol)) / lit(chunkSize.toDouble))
+      .cast("int")
+    media
+      .select(col(idCol), col(payloadCol),
+        explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)).as("chunk"))
+      .select(col(idCol), col("chunk"),
+        substring(col(payloadCol), col("chunk") * chunkSize + 1, lit(chunkSize))
+          .as(payloadCol))
+  }
+
+  /** Frame-sample a CHUNKED payload table without ever reassembling the
+    * file: frames are fixed-size and `chunkSize` must be a multiple of
+    * `frameSize`, so every chunk holds whole frames and the global
+    * frame index is chunk·framesPerChunk + local. Emits every
+    * `everyN`-th frame as (idCol, frame_idx, frame). The work
+    * distributes over chunk rows — a 1-hour video is thousands of
+    * independent tasks, not one 2 GB cell.
+    */
+  def frameSampleChunked(chunked: DataFrame, chunkSize: Int, frameSize: Int,
+                         everyN: Int, idCol: String = "media_id",
+                         payloadCol: String = "payload"): DataFrame = {
+    require(frameSize > 0 && chunkSize % frameSize == 0,
+      s"chunkSize $chunkSize must be a multiple of frameSize $frameSize")
+    val framesPerChunk = chunkSize / frameSize
+    val localFrames = octet_length(col(payloadCol)) / lit(frameSize) // full frames only
+    chunked
+      // an empty/short tail chunk holds no full frame — drop it BEFORE
+      // sequence(), whose stop < start would generate descending indices
+      .where(octet_length(col(payloadCol)) >= frameSize)
+      .select(col(idCol), col("chunk"),
+        explode(sequence(lit(0), localFrames.cast("int") - 1)).as("__lf"),
+        col(payloadCol))
+      .select(col(idCol),
+        (col("chunk") * framesPerChunk + col("__lf")).cast("long").as("frame_idx"),
+        substring(col(payloadCol), col("__lf") * frameSize + 1, lit(frameSize)).as("frame"))
+      .where((col("frame_idx") % everyN) === 0)
+  }
+
   /** REAL decode where the format permits: sniffs the payload's magic
     * bytes and runs the dependency-free MediaCodec parsers — RIFF/WAVE
     * PCM → (channels, sample rate, frames, duration ms, rms, peak);

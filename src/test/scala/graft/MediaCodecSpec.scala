@@ -120,6 +120,38 @@ class MediaCodecSpec extends SparkSpec {
     assert(wavsOnly.select("media_type").as[String].head == "wav")
   }
 
+  test("chunked payloads: frame-sample across chunk boundaries, no reassembly") {
+    // 10 frames of 4 bytes (frame i = [i, i+1, i+2, i+3]); chunks hold
+    // 2 frames each
+    val payload = (0 until 10).flatMap(i =>
+      Seq(i, i + 1, i + 2, i + 3)).map(_.toByte).toArray
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val chunked = Multimodal.chunkBinary(media, chunkSize = 8)
+    assert(chunked.count() == 5)
+    val chunkSizes = chunked
+      .select(org.apache.spark.sql.functions.octet_length(col("payload")))
+      .as[Int].collect().toSeq
+    assert(chunkSizes.forall(_ == 8))
+
+    val frames = Multimodal.frameSampleChunked(chunked,
+      chunkSize = 8, frameSize = 4, everyN = 3)
+      .orderBy("frame_idx")
+      .select(col("frame_idx"), col("frame"))
+      .as[(Long, Array[Byte])].collect()
+    assert(frames.map(_._1).toSeq == Seq(0L, 3L, 6L, 9L))
+    frames.foreach { case (idx, bytes) =>
+      assert(bytes.toSeq == Seq(idx, idx + 1, idx + 2, idx + 3).map(_.toByte),
+        s"frame $idx content")
+    }
+
+    // a ragged tail (not a whole frame) is dropped, not mis-sliced
+    val ragged = Seq((8L, payload.take(11))).toDF("media_id", "payload")
+    val raggedFrames = Multimodal.frameSampleChunked(
+      Multimodal.chunkBinary(ragged, 8), 8, 4, 1)
+      .select("frame_idx").as[Long].collect().toSeq.sorted
+    assert(raggedFrames == Seq(0L, 1L)) // 11 bytes = 2 full frames
+  }
+
   test("describe: sniffed decode over a mixed media table, per-partition") {
     val wav = wavBytes(1, 16000, Seq(Seq(16384), Seq(-16384)))
     val bmp = bmpBytes(2, 1, Seq((100, 150, 200), (50, 60, 70)))
