@@ -16,7 +16,7 @@ object Bench {
   // — the exact cross-join ground truths stay test-scoped (AnnSpec).
   val headline: Seq[String] = Seq(
     "knn_euclidean", "knn_cosine", "knn_batch", "knn_batch_bulk",
-    "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join",
+    "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join", "ann_pq",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
     "events_sessionized", "json_props",

@@ -43,6 +43,22 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, graft.index.IvfIndex.Model)]()
 
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, graft.index.PqIndex.Model)]()
+
+  /** Build-once PQ codes per sf dir (deterministic seeds). The codes
+    * table is cached in memory — index build is compaction-cadence
+    * work, queries measure ADC + rerank. */
+  private def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) =
+    pqCache.computeIfAbsent((s, dir), { _ =>
+      val (codes, model) = graft.index.PqIndex.build(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, codesPerSub = 16)
+      val cached = codes.cache()
+      cached.count()
+      (cached, model)
+    })
+
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
     // "v3" = on-disk layout version; bump when IvfIndex.write changes so
@@ -502,6 +518,17 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0)
       graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
         q, k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    // PQ shortlist-then-rerank: 32× compressed codes prune via ADC
+    // table lookups, exact distance re-ranks the shortlist — the
+    // billion-scale storage/recall trade (recall-gated in PqSpec).
+    "ann_pq" -> ((s, dir) => {
+      val (codes, model) = pqFor(s, dir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      graft.index.PqIndex.searchRerank(codes, t(s, dir, "embeddings"), model,
+        "vec_id", "embedding", q, k = 10, overfetch = 10)
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
     // Batch ANN via the cluster equi-join (the 100 TB batch path):

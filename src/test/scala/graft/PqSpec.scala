@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.PqIndex
+import graft.operators.TopK
+
+/** Product quantization: code compactness, encode determinism, ADC
+  * math, and the shortlist-then-rerank recall gate against exact
+  * search. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("codes are m small ints; encode is deterministic and model-reusable") {
+    val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    assert(model.m == 8 && model.dsub == 8)
+    val rows = codes.select(col("vec_id"), col("codes")).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(rows.size == emb.count())
+    assert(rows.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // re-encoding with the same model reproduces the codes exactly
+    val again = PqIndex.encode(emb, model, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    assert(again == rows)
+  }
+
+  test("ADC score equals the sum of per-subspace table entries (known math)") {
+    val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 4, codesPerSub = 8)
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    val table = model.adcTable(q)
+    val scored = PqIndex.adcScores(codes, model, "vec_id", q)
+      .select(col("vec_id"), col("adc_dist")).as[(Long, Double)].collect().toMap
+    val codeMap = codes.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    codeMap.foreach { case (id, cs) =>
+      val expected = cs.zipWithIndex.map { case (c, j) => table(j)(c) }.sum
+      assert(math.abs(scored(id) - expected) < 1e-9, s"id $id")
+    }
+  }
+
+  test("shortlist-then-rerank recovers exact-search recall@10 >= 0.8") {
+    val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val recalls = queries.map { case (qid, q) =>
+      val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val got = PqIndex.searchRerank(codes, emb, model, "vec_id", "embedding",
+        q, k = 10, overfetch = 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    val pureAdc = {
+      val (qid, q) = queries.head
+      val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val adc = PqIndex.search(codes, model, "vec_id", q, 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      adc.intersect(exact).size.toDouble / exact.size
+    }
+    info(f"PQ rerank mean recall@10 = $mean%.3f over ${recalls.length} queries (pure-ADC first-query recall $pureAdc%.2f)")
+    assert(mean >= 0.8, f"recall $mean%.3f below threshold")
+  }
+
+  test("compression: 64-dim float vector -> 8 codes (32x fewer values)") {
+    val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    assert(emb.select(size(col("embedding"))).head.getInt(0) == 64)
+    assert(codes.select(size(col("codes"))).head.getInt(0) == 8)
+    assert(model.codebooks.map(_.length).toSeq == Seq.fill(8)(16))
+  }
+}
