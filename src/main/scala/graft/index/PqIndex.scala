@@ -113,6 +113,27 @@ object PqIndex {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
 
+  /** IVF-PQ: the canonical billion-scale layout — the IVF cluster
+    * column prunes candidates to the probed partitions (file-level
+    * pruning on the persisted form), PQ codes score the survivors with
+    * table lookups, and the exact distance re-ranks the shortlist.
+    * Composition of the two indexes at the DataFrame level: `assigned`
+    * is IvfIndex's (id, cluster) table, `codes` is this index's codes
+    * table, joined on the id.
+    */
+  def searchIvfPq(assigned: DataFrame, ivfModel: IvfIndex.Model,
+                  codes: DataFrame, pqModel: Model,
+                  emb: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Float], k: Int, nprobe: Int,
+                  overfetch: Int = 10): DataFrame = {
+    val probes = ivfModel.closestClusters(query, nprobe)
+    val prunedIds = assigned.where(col("cluster").isin(probes: _*))
+      .select(col(idCol))
+    val prunedCodes = codes.join(prunedIds, idCol)
+    searchRerank(prunedCodes, emb, pqModel, idCol, vecCol,
+      query, k, overfetch)
+  }
+
   /** Shortlist-then-rerank: ADC prunes to `overfetch`·k candidates,
     * the exact fused distance re-ranks the shortlist against the
     * original vectors (one broadcast-scale semi-join — the shortlist is

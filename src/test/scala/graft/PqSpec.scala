@@ -69,6 +69,27 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.8, f"recall $mean%.3f below threshold")
   }
 
+  test("IVF-PQ composition: cluster pruning + ADC + rerank, recall@10 >= 0.7") {
+    val (assigned, ivfModel) = graft.index.IvfIndex.build(
+      emb, "vec_id", "embedding", nClusters = 16)
+    val (codes, pqModel) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val recalls = queries.map { case (_, q) =>
+      val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val got = PqIndex.searchIvfPq(assigned, ivfModel, codes, pqModel,
+        emb, "vec_id", "embedding", q, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF-PQ mean recall@10 = $mean%.3f over ${recalls.length} queries")
+    // compound approximation (cluster pruning ~0.86 × PQ rerank ~0.82)
+    assert(mean >= 0.7, f"recall $mean%.3f below threshold")
+  }
+
   test("compression: 64-dim float vector -> 8 codes (32x fewer values)") {
     val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
       m = 8, codesPerSub = 16)
