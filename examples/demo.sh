@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# demo.sh — the reference's interactive HTTP demo (examples/demo.sh
+# upstream), verbatim workflow against this engine's server.
+# Run: bash examples/demo.sh      (needs sbt + curl; jq optional)
+
+set -euo pipefail
+
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
+PROJECT_ROOT="$(cd "$SCRIPT_DIR/.." && pwd)"
+BASE_URL="http://127.0.0.1:3000"
+STORE="$(mktemp -d /tmp/graft-demo-XXXX)"
+SERVER_PID=""
+JQ="$(command -v jq || echo cat)"
+
+cleanup() {
+    if [ -n "$SERVER_PID" ]; then
+        echo ""
+        echo "=== Cleaning up ==="
+        kill "$SERVER_PID" 2>/dev/null || true
+        wait "$SERVER_PID" 2>/dev/null || true
+        echo "Server stopped."
+    fi
+}
+trap cleanup EXIT
+
+echo "============================================"
+echo "  graft (Spark vector engine) — HTTP demo"
+echo "============================================"
+
+echo "=== Step 1+2: Building and starting the server ==="
+(cd "$PROJECT_ROOT" && sbt -batch "runMain graft.Cli $STORE serve 3000") &
+SERVER_PID=$!
+
+echo "=== Step 3: Waiting for server to be ready ==="
+for i in $(seq 1 300); do
+    if curl -sf "$BASE_URL/health" > /dev/null 2>&1; then
+        echo "Server is ready!"; break
+    fi
+    [ "$i" -eq 300 ] && { echo "ERROR: server not ready"; exit 1; }
+    sleep 0.5
+done
+
+echo "=== Step 4: Inserting vectors with metadata ==="
+curl -s -X POST "$BASE_URL/vectors" -d '{"id":"sunset","vector":[0.9,0.1,0.0],"metadata":{"color":"red","category":"nature"}}' | $JQ .
+curl -s -X POST "$BASE_URL/vectors" -d '{"id":"ocean","vector":[0.0,0.2,0.9],"metadata":{"color":"blue","category":"nature"}}' | $JQ .
+curl -s -X POST "$BASE_URL/vectors" -d '{"id":"fire-truck","vector":[0.8,0.2,0.1],"metadata":{"color":"red","category":"vehicle"}}' | $JQ .
+
+echo "=== Step 5: Listing all stored vector IDs ==="
+curl -s "$BASE_URL/vectors" | $JQ .
+
+echo "=== Step 6: Getting vector details for 'sunset' ==="
+curl -s "$BASE_URL/vectors/sunset" | $JQ .
+
+echo "=== Step 7: Searching for nearest neighbors (warm red, k=3) ==="
+curl -s -X POST "$BASE_URL/search" -d '{"vector":[0.85,0.15,0.05],"k":3}' | $JQ .
+
+echo "=== Step 8: Filtered search (color = red only) ==="
+curl -s -X POST "$BASE_URL/search" -d '{"vector":[0.85,0.15,0.05],"k":3,"filter":{"op":"eq","field":"color","value":"red"}}' | $JQ .
+
+echo "=== Step 9: Batch insert (3 more vectors) ==="
+curl -s -X POST "$BASE_URL/vectors/batch" -d '{"vectors":[
+  {"id":"grass","vector":[0.1,0.8,0.2],"metadata":{"color":"green","category":"nature"}},
+  {"id":"sky","vector":[0.1,0.3,0.8],"metadata":{"color":"blue","category":"nature"}},
+  {"id":"taxi","vector":[0.7,0.7,0.0],"metadata":{"color":"yellow","category":"vehicle"}}]}' | $JQ .
+
+echo "=== Step 10: Batch search (red + blue directions, k=2 each) ==="
+curl -s -X POST "$BASE_URL/search/batch" -d '{"queries":[{"vector":[0.9,0.1,0.0],"k":2},{"vector":[0.0,0.1,0.9],"k":2}]}' | $JQ .
+
+echo "=== Step 11: Batch search with filter (nature only) ==="
+curl -s -X POST "$BASE_URL/search/batch" -d '{"queries":[{"vector":[0.9,0.1,0.0],"k":2},{"vector":[0.0,0.1,0.9],"k":2}],"filter":{"op":"eq","field":"category","value":"nature"}}' | $JQ .
+
+echo "=== Step 12: Deleting 'fire-truck' ==="
+curl -s -X DELETE "$BASE_URL/vectors/fire-truck" | $JQ .
+
+echo "=== Step 13: Verifying deletion (listing IDs) ==="
+curl -s "$BASE_URL/vectors" | $JQ .
+
+echo "=== Step 14: Checking metrics ==="
+curl -s "$BASE_URL/metrics" | $JQ .
+
+echo "=== Step 15: Final health check ==="
+curl -s "$BASE_URL/health" | $JQ .
+
+echo "============================================"
+echo "  Demo complete!"
+echo "============================================"

@@ -1,0 +1,109 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.server.VectorServer
+
+/** The reference's 15-step demo workflow (examples/demo.sh upstream,
+  * mirrored at examples/demo.sh here) executed in-process end-to-end —
+  * the "a reference user could switch" claim as one test.
+  */
+class DemoFlowSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def call(method: String, url: String, body: String = null): (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
+  }
+
+  private def ids(jv: JValue): Seq[String] =
+    jv.asInstanceOf[JArray].arr.map { case JString(s) => s; case other => other.toString }
+
+  private def hitIds(jv: JValue): Seq[String] =
+    jv.asInstanceOf[JArray].arr.map(h => (h \ "id").asInstanceOf[JString].s)
+
+  test("the reference demo.sh flow, step for step") {
+    val root = Files.createTempDirectory("demo-store").toString
+    val srv = new VectorServer(spark, root)
+    val base = s"http://127.0.0.1:${srv.start()}"
+    try {
+      // steps 4: three inserts with metadata
+      assert(call("POST", s"$base/vectors",
+        """{"id":"sunset","vector":[0.9,0.1,0.0],"metadata":{"color":"red","category":"nature"}}""")._1 == 201)
+      assert(call("POST", s"$base/vectors",
+        """{"id":"ocean","vector":[0.0,0.2,0.9],"metadata":{"color":"blue","category":"nature"}}""")._1 == 201)
+      assert(call("POST", s"$base/vectors",
+        """{"id":"fire-truck","vector":[0.8,0.2,0.1],"metadata":{"color":"red","category":"vehicle"}}""")._1 == 201)
+
+      // step 5: list
+      assert(ids(call("GET", s"$base/vectors")._2).toSet ==
+        Set("sunset", "ocean", "fire-truck"))
+
+      // step 6: get
+      val (_, sunset) = call("GET", s"$base/vectors/sunset")
+      assert(sunset \ "dimension" == JInt(3))
+      assert(sunset \ "metadata" \ "category" == JString("nature"))
+
+      // step 7: warm-red search ranks sunset, fire-truck first
+      val (_, s7) = call("POST", s"$base/search",
+        """{"vector":[0.85,0.15,0.05],"k":3}""")
+      assert(hitIds(s7) == Seq("sunset", "fire-truck", "ocean"))
+
+      // step 8: red filter keeps only the red pair, same order
+      val (_, s8) = call("POST", s"$base/search",
+        """{"vector":[0.85,0.15,0.05],"k":3,"filter":{"op":"eq","field":"color","value":"red"}}""")
+      assert(hitIds(s8) == Seq("sunset", "fire-truck"))
+
+      // step 9: batch insert
+      val (_, s9) = call("POST", s"$base/vectors/batch",
+        """{"vectors":[
+             {"id":"grass","vector":[0.1,0.8,0.2],"metadata":{"color":"green","category":"nature"}},
+             {"id":"sky","vector":[0.1,0.3,0.8],"metadata":{"color":"blue","category":"nature"}},
+             {"id":"taxi","vector":[0.7,0.7,0.0],"metadata":{"color":"yellow","category":"vehicle"}}]}""")
+      assert(s9 \ "inserted" == JInt(3))
+
+      // step 10: batch search, red direction then blue direction
+      val (_, s10) = call("POST", s"$base/search/batch",
+        """{"queries":[{"vector":[0.9,0.1,0.0],"k":2},{"vector":[0.0,0.1,0.9],"k":2}]}""")
+      val JArray(lists10) = s10: @unchecked
+      assert(hitIds(lists10(0)).head == "sunset")
+      assert(hitIds(lists10(1)).head == "ocean")
+
+      // step 11: nature filter applies to every query
+      val (_, s11) = call("POST", s"$base/search/batch",
+        """{"queries":[{"vector":[0.9,0.1,0.0],"k":2},{"vector":[0.0,0.1,0.9],"k":2}],
+           "filter":{"op":"eq","field":"category","value":"nature"}}""")
+      val JArray(lists11) = s11: @unchecked
+      val natureIds = Set("sunset", "ocean", "grass", "sky")
+      lists11.foreach(l => assert(hitIds(l).forall(natureIds.contains)))
+
+      // steps 12-13: delete fire-truck, verify gone
+      assert(call("DELETE", s"$base/vectors/fire-truck")._1 == 200)
+      assert(!ids(call("GET", s"$base/vectors")._2).contains("fire-truck"))
+
+      // step 14: metrics counted every op class
+      val (_, m) = call("GET", s"$base/metrics")
+      assert(m \ "total_inserts" == JInt(6))
+      assert(m \ "total_deletes" == JInt(1))
+      assert(m \ "total_queries" == JInt(4)) // 2 searches + 2 batch calls
+      val JDouble(avg) = (m \ "avg_query_latency_us"): @unchecked
+      assert(avg > 0.0)
+
+      // step 15: health
+      val (_, h) = call("GET", s"$base/health")
+      assert(h \ "status" == JString("ok") && h \ "vector_count" == JInt(5))
+    } finally srv.stop()
+  }
+}
