@@ -242,6 +242,21 @@ object SparkEntry {
         queryRow(s, dir), "embedding", 10, DistanceMetric.DotProduct)
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
+    // the same k-NN spelled in pure SQL through the registered kernels
+    // (GraftExtensions) — the engine's SQL surface is driver-verified
+    // against the identical DuckDB oracle as the Column-API form
+    "knn_sql" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        s"""SELECT e.vec_id,
+           |  round(graft_euclidean(e.embedding, q.qv), 4) AS distance
+           |FROM graft_embeddings e
+           |CROSS JOIN (SELECT embedding AS qv FROM graft_embeddings
+           |            WHERE vec_id = 0) q
+           |ORDER BY graft_euclidean(e.embedding, q.qv) ASC, e.vec_id ASC
+           |LIMIT 10""".stripMargin)
+    }),
     "knn_filtered" -> ((s, dir) => {
       TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryRow(s, dir), "embedding", 10, DistanceMetric.Euclidean,
@@ -743,6 +758,7 @@ object SparkEntry {
           |ORDER BY round(sum(value), 4) DESC, user_id ASC LIMIT 10""".stripMargin,
 
       "knn_euclidean" -> knnSql(knnDist),
+      "knn_sql" -> knnSql(knnDist),
       "knn_cosine" -> knnSql(cosDist),
       "knn_dot" -> knnSql(dotNeg),
       "knn_filtered" -> knnSql(knnDist, "WHERE e.label = 3"),
