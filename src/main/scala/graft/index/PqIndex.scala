@@ -134,6 +134,68 @@ object PqIndex {
       query, k, overfetch)
   }
 
+  /** RESIDUAL IVF-PQ (the FAISS IVFPQ design): codes quantize
+    * x − centroid(cluster) instead of x, so the codebooks only have to
+    * cover the within-cluster spread — tighter quantization for the
+    * same bits. The centroid matrix rides as a literal array indexed by
+    * the row's cluster; the residual is a zip_with subtraction.
+    * Returns (id, cluster, codes) and the residual model.
+    */
+  def buildResidual(assigned: DataFrame, ivfModel: IvfIndex.Model,
+                    idCol: String, vecCol: String,
+                    m: Int = 8, codesPerSub: Int = 16, maxIter: Int = 10,
+                    seed: Long = 42L, sampleFraction: Double = 1.0): (DataFrame, Model) = {
+    val residualDf = assigned.select(col(idCol), col("cluster"),
+      residualCol(vecCol, ivfModel).as("__residual"))
+    val (codes, model) = build(residualDf, idCol, "__residual",
+      m, codesPerSub, maxIter, seed, sampleFraction)
+    (codes.join(assigned.select(col(idCol), col("cluster")), idCol)
+      .select(col(idCol), col("cluster"), col("codes")), model)
+  }
+
+  private def residualCol(vecCol: String, ivfModel: IvfIndex.Model): Column = {
+    val cents = typedLit(ivfModel.centroids.map(_.toSeq).toSeq)
+    zip_with(col(vecCol).cast("array<double>"),
+      element_at(cents, col("cluster") + 1),
+      (x, c) => x - c)
+  }
+
+  /** Residual IVF-PQ search: probe `nprobe` clusters; each probed
+    * cluster gets its own ADC table for (query − centroid_c), shipped
+    * together as one literal map cluster→table so a single pass scores
+    * every candidate with its cluster's table; exact rerank on the
+    * shortlist. */
+  def searchResidual(codesWithCluster: DataFrame, ivfModel: IvfIndex.Model,
+                     pqModel: Model, emb: DataFrame,
+                     idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, nprobe: Int,
+                     overfetch: Int = 10): DataFrame = {
+    val probes = ivfModel.closestClusters(query, nprobe)
+    val tables: Map[Int, Seq[Seq[Double]]] = probes.map { c =>
+      val cent = ivfModel.centroids(c)
+      val qRes = query.zip(cent).map { case (x, cc) => (x - cc).toFloat }
+      c -> pqModel.adcTable(qRes)
+    }.toMap
+    val tableLit = typedLit(tables)
+    val shortlist = codesWithCluster
+      .where(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        aggregate(
+          zip_with(col("codes"), element_at(tableLit, col("cluster")),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k * overfetch)
+      .select(col(idCol))
+    emb.join(broadcast(shortlist), idCol)
+      .select(col(idCol),
+        FusedDistance.euclidean(col(vecCol),
+          FusedDistance.litVec(query.map(_.toDouble))).as("distance"))
+      .where(col("distance").isNotNull)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Shortlist-then-rerank: ADC prunes to `overfetch`·k candidates,
     * the exact fused distance re-ranks the shortlist against the
     * original vectors (one broadcast-scale semi-join — the shortlist is

@@ -90,6 +90,40 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.7, f"recall $mean%.3f below threshold")
   }
 
+  test("residual IVF-PQ: per-cluster residual codes, recall@10 >= plain IVF-PQ") {
+    val (assigned, ivfModel) = graft.index.IvfIndex.build(
+      emb, "vec_id", "embedding", nClusters = 16)
+    val (resCodes, resModel) = PqIndex.buildResidual(
+      assigned, ivfModel, "vec_id", "embedding", m = 8, codesPerSub = 16)
+    // residual codes still m small ints with cluster alongside
+    assert(resCodes.columns.toSeq == Seq("vec_id", "cluster", "codes"))
+
+    val (plainCodes, plainModel) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    def recallOf(search: Seq[Float] => Set[Long]): Double = {
+      val rs = queries.map { case (_, q) =>
+        val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10)
+          .select(col("vec_id").cast("long")).as[Long].collect().toSet
+        search(q).intersect(exact).size.toDouble / exact.size
+      }
+      rs.sum / rs.length
+    }
+    val residual = recallOf(q =>
+      PqIndex.searchResidual(resCodes, ivfModel, resModel, emb,
+        "vec_id", "embedding", q, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet)
+    val plain = recallOf(q =>
+      PqIndex.searchIvfPq(assigned, ivfModel, plainCodes, plainModel, emb,
+        "vec_id", "embedding", q, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet)
+    info(f"residual IVF-PQ recall@10 = $residual%.3f vs plain IVF-PQ $plain%.3f")
+    assert(residual >= 0.7)
+    assert(residual >= plain - 0.05, // residual must not be worse
+      f"residual $residual%.3f << plain $plain%.3f")
+  }
+
   test("compression: 64-dim float vector -> 8 codes (32x fewer values)") {
     val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
       m = 8, codesPerSub = 16)
