@@ -77,6 +77,16 @@ object Scratch {
         emb.where(col("vec_id") < 64), "vec_id", "embedding",
         k = 10, nprobe = 8).count())
 
+    // PQ at 5M: build on a 2% sample, encode everything, ADC+rerank
+    val (pqCodes, pqModel) = timeIt("PQ build+encode 5M (m=8, 2% sample fit)")(
+      index.PqIndex.build(emb, "vec_id", "embedding",
+        m = 8, codesPerSub = 16, maxIter = 5, sampleFraction = 0.02))
+    pqCodes.write.mode("overwrite").parquet("/tmp/big_pq")
+    val storedCodes = spark.read.parquet("/tmp/big_pq")
+    timeIt("PQ ADC+rerank k=10 over 5M (materialized codes)")(
+      index.PqIndex.searchRerank(storedCodes, emb, pqModel,
+        "vec_id", "embedding", q, k = 10, overfetch = 10).collect())
+
     // NOTE: LSH near-dup is NOT measured on this table — the 2500×
     // replication makes every replica pair a true duplicate (~6e9 true
     // pairs), so any correct near-dup algorithm explodes by
