@@ -106,6 +106,34 @@ object PqIndex {
         lit(0.0), (acc, x) => acc + x).as("adc_dist"))
   }
 
+  /** Persist: codes as Parquet (the compressed corpus — at scale THIS
+    * is what replaces the raw embedding column in the hot path), plus
+    * the flattened codebooks. */
+  def write(codes: DataFrame, model: Model, path: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    (for {
+      (book, j) <- model.codebooks.zipWithIndex.toIndexedSeq
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent.toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load a persisted PQ index (codebooks are tiny → driver-side). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Model) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+    val codebooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }.toArray
+    (codes, Model(codebooks))
+  }
+
   /** Pure-ADC top-k (no rerank): cheapest, lowest recall. */
   def search(codes: DataFrame, model: Model, idCol: String,
              query: Seq[Float], k: Int): DataFrame =

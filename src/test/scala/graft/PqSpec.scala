@@ -124,6 +124,25 @@ class PqSpec extends SparkSpec {
       f"residual $residual%.3f << plain $plain%.3f")
   }
 
+  test("persisted PQ index roundtrips: codes, codebooks and search results") {
+    val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    val path = java.nio.file.Files.createTempDirectory("pq-index").toString
+    PqIndex.write(codes, model, path)
+    val (loadedCodes, loadedModel) = PqIndex.load(spark, path)
+    assert(loadedModel.m == model.m && loadedModel.dsub == model.dsub)
+    assert(loadedModel.codebooks.zip(model.codebooks).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    val fromStored = PqIndex.searchRerank(loadedCodes, emb, loadedModel,
+      "vec_id", "embedding", q, k = 5)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+    val fromMemory = PqIndex.searchRerank(codes, emb, model,
+      "vec_id", "embedding", q, k = 5)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+    assert(fromStored == fromMemory)
+  }
+
   test("compression: 64-dim float vector -> 8 codes (32x fewer values)") {
     val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
       m = 8, codesPerSub = 16)
