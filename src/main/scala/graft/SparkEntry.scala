@@ -47,17 +47,21 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, graft.index.PqIndex.Model)]()
 
-  /** Build-once PQ codes per sf dir (deterministic seeds). The codes
-    * table is cached in memory — index build is compaction-cadence
-    * work, queries measure ADC + rerank. */
-  private def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) =
-    pqCache.computeIfAbsent((s, dir), { _ =>
-      val (codes, model) = graft.index.PqIndex.build(
-        t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, codesPerSub = 16)
-      val cached = codes.cache()
-      cached.count()
-      (cached, model)
+  /** Build-once PQ index per sf dir (deterministic seeds), persisted
+    * and served from disk like ivfFor — index build is
+    * compaction-cadence work, queries measure ADC + rerank over the
+    * stored codes. */
+  private def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
+    val path = s"/tmp/graft_pq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    pqCache.computeIfAbsent((s, path), { _ =>
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists()) {
+        val (codes, model) = graft.index.PqIndex.build(
+          t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, codesPerSub = 16)
+        graft.index.PqIndex.write(codes, model, path)
+      }
+      graft.index.PqIndex.load(s, path)
     })
+  }
 
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
