@@ -57,4 +57,27 @@ class RecallGeometrySpec extends SparkSpec {
     info(f"recall = $r%.3f")
     assert(r >= 0.85)
   }
+
+  test("PQ rerank clears the middle reference geometry (n=1000, d=64) at >= 0.90") {
+    // the compressed path held to the same acceptance bar as the
+    // reference's middle geometry: ADC shortlist + exact rerank
+    import graft.index.PqIndex
+    val data = randomVectors(n = 1000, d = 64, seed = 42).cache()
+    val (codes, model) = PqIndex.build(data, "vec_id", "embedding",
+      m = 8, codesPerSub = 32, seed = 42)
+    val queries = data.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val rs = queries.map { case (_, q) =>
+      val exact = TopK.knn(data, "vec_id", "embedding", q.map(_.toDouble), 10)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val got = PqIndex.searchRerank(codes, data, model, "vec_id", "embedding",
+        q, k = 10, overfetch = 20)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    data.unpersist()
+    val mean = rs.sum / rs.length
+    info(f"PQ rerank recall = $mean%.3f over ${rs.length} queries")
+    assert(mean >= 0.90)
+  }
 }
