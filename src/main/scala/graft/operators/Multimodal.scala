@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * partition, streaming through rows without materializing the
   * partition).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` is a deterministic fake that "decodes"
-  * bytes into a 16-bin byte histogram. The Spark-side plumbing —
-  * schema, batching, partitioning, feature shape — is real and tested.
+  * Decode is REAL for uncompressed containers (MediaCodec: RIFF/WAVE
+  * PCM, 24-bit BMP — pure byte formats, no library needed; see
+  * `describe`). Only compressed codecs (JPEG/MP3/H.264), which would
+  * genuinely require libraries absent from this environment, fall back
+  * to `decodeStub` — a deterministic 16-bin byte histogram. The
+  * Spark-side plumbing — schema, batching, partitioning, chunking,
+  * feature shape — is real and tested either way.
   */
 object Multimodal {
 
