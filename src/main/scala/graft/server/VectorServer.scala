@@ -171,6 +171,10 @@ final class VectorServer(spark: SparkSession, root: String,
       }
     } catch {
       case e: IllegalArgumentException => err(ex, 400, e.getMessage)
+      // malformed request JSON is the caller's fault, not a server
+      // error (Axum's Json extractor rejects with 4xx the same way)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        err(ex, 400, s"malformed JSON: ${e.getOriginalMessage}")
       case e: Exception => err(ex, 500, String.valueOf(e.getMessage))
     }
   }

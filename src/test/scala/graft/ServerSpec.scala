@@ -185,6 +185,18 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("malformed JSON and unknown routes are client errors, not 500s") {
+    withServer { (base, _) =>
+      val (status, body) = send("POST", s"$base/vectors", """{"id": "x", "vector": [1.0""")
+      assert(status == 400, body)
+      assert((body \ "error").asInstanceOf[JString].s.contains("malformed JSON"))
+      assert(send("GET", s"$base/nope")._1 == 404)
+      // and the server still serves normally afterwards
+      assert(send("POST", s"$base/vectors",
+        """{"id":"ok","vector":[1.0,2.0]}""")._1 == 201)
+    }
+  }
+
   test("list and health reflect the live store") {
     withServer { (base, _) =>
       insertV1V2(base)
