@@ -49,20 +49,29 @@ final class VectorServer(spark: SparkSession, root: String,
   val metrics = new MetricsRecorder(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(null) // serve on the dispatcher thread: serial, like the writer lock
+  // RwLock semantics like the reference (routes.rs store.read()/write()):
+  // reads run concurrently on a thread pool — each search is a Spark
+  // action over the immutable `live` snapshot, which is thread-safe —
+  // while mutations serialize on `writeLock` below.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
+
+  private val writeLock = new Object
 
   // The server is the single writer, so the next sequence number and the
   // enforced dimension are cached (seeded from the RAW log — tombstone
-  // seqs included, see VectorLog.maxSeq).
+  // seqs included, see VectorLog.maxSeq). All three fields are only
+  // written under writeLock; `live` is volatile so readers always see
+  // the latest committed snapshot.
   private var seqCounter: Long = VectorLog.maxSeq(spark, root)
-  private var live: DataFrame = VectorLog.recover(spark, root).cache()
+  @volatile private var live: DataFrame = VectorLog.recover(spark, root).cache()
   private var dimension: Option[Int] =
     live.where(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { metrics.flush(); server.stop(0) }
+  def stop(): Unit = { metrics.flush(); server.stop(0); pool.shutdown() }
 
   private def refresh(): Unit = {
     live.unpersist()
@@ -188,15 +197,17 @@ final class VectorServer(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(s"'id' missing: $other")
     }
     val vec = vecOf(req \ "vector")
-    checkDims(Seq(vec)) match {
-      case Some(msg) => err(ex, 400, msg)
-      case None =>
-        seqCounter += 1
-        appendRows(Seq((seqCounter, "insert", id, vec, metaOf(req \ "metadata"))))
-        if (dimension.isEmpty) dimension = Some(vec.length)
-        metrics.recordInsert()
-        afterMutation(1)
-        respond(ex, 201, JObject("id" -> JString(id), "status" -> JString("inserted")))
+    writeLock.synchronized {
+      checkDims(Seq(vec)) match {
+        case Some(msg) => err(ex, 400, msg)
+        case None =>
+          seqCounter += 1
+          appendRows(Seq((seqCounter, "insert", id, vec, metaOf(req \ "metadata"))))
+          if (dimension.isEmpty) dimension = Some(vec.length)
+          metrics.recordInsert()
+          afterMutation(1)
+          respond(ex, 201, JObject("id" -> JString(id), "status" -> JString("inserted")))
+      }
     }
   }
 
@@ -211,18 +222,20 @@ final class VectorServer(spark: SparkSession, root: String,
       }
       case other => throw new IllegalArgumentException(s"'vectors' not an array: $other")
     }
-    checkDims(items.map(_._2)) match {
-      case Some(msg) => err(ex, 400, msg) // atomic: nothing appended
-      case None =>
-        val rows = items.map { case (id, vec, meta) =>
-          seqCounter += 1
-          (seqCounter, "insert", id, vec, meta)
-        }
-        appendRows(rows)
-        if (dimension.isEmpty) dimension = items.headOption.map(_._2.length)
-        items.foreach(_ => metrics.recordInsert())
-        afterMutation(items.length)
-        respond(ex, 201, JObject("inserted" -> JInt(items.length)))
+    writeLock.synchronized {
+      checkDims(items.map(_._2)) match {
+        case Some(msg) => err(ex, 400, msg) // atomic: nothing appended
+        case None =>
+          val rows = items.map { case (id, vec, meta) =>
+            seqCounter += 1
+            (seqCounter, "insert", id, vec, meta)
+          }
+          appendRows(rows)
+          if (dimension.isEmpty) dimension = items.headOption.map(_._2.length)
+          items.foreach(_ => metrics.recordInsert())
+          afterMutation(items.length)
+          respond(ex, 201, JObject("inserted" -> JInt(items.length)))
+      }
     }
   }
 
@@ -242,15 +255,17 @@ final class VectorServer(spark: SparkSession, root: String,
     }
 
   private def delete(ex: HttpExchange, id: String): Unit =
-    liveRow(id) match {
-      case None => err(ex, 404, s"Vector not found: $id")
-      case Some(_) =>
-        seqCounter += 1
-        appendRows(Seq((seqCounter, "delete", id,
-          null: Seq[Float], Map.empty[String, String])))
-        metrics.recordDelete()
-        afterMutation(1)
-        respond(ex, 200, JObject("id" -> JString(id), "status" -> JString("deleted")))
+    writeLock.synchronized {
+      liveRow(id) match {
+        case None => err(ex, 404, s"Vector not found: $id")
+        case Some(_) =>
+          seqCounter += 1
+          appendRows(Seq((seqCounter, "delete", id,
+            null: Seq[Float], Map.empty[String, String])))
+          metrics.recordDelete()
+          afterMutation(1)
+          respond(ex, 200, JObject("id" -> JString(id), "status" -> JString("deleted")))
+      }
     }
 
   private def search(ex: HttpExchange): Unit = {

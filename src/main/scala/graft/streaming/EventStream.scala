@@ -83,6 +83,37 @@ object EventStream {
       }
   }
 
+  /** Streaming ingestion (S2's streaming form): tail a directory of
+    * JSON insert-request files and append every micro-batch to the
+    * store atomically, with the reference's checkpoint-every-N
+    * auto-compaction on the write path (engine.rs:199-204). Seqs
+    * continue from the store's RAW max (tombstones included) and are
+    * assigned within a batch by id order — deterministic, and
+    * latest-wins only cares about relative order per id.
+    */
+  def ingestStream(spark: SparkSession, jsonDir: String, root: String,
+                   compactEvery: Long = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val mutations = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.readStream.schema(graft.sources.Ingest.insertSchema).json(jsonDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val base = VectorLog.maxSeq(spark, root)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+        val rows = batch
+          .withColumn("seq", row_number().over(w).cast("long") + base)
+          .select(col("seq"), lit("insert").as("op"), col("id"),
+            col("vector").as("embedding"), col("metadata").as("meta"))
+        VectorLog.append(rows, root)
+        val n = mutations.addAndGet(batch.count())
+        if (compactEvery > 0 && n >= compactEvery) {
+          VectorLog.compact(spark, root)
+          mutations.set(0)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Event-time windowed aggregation with a watermark — the standard
     * streaming query shape (counts + sums per tumbling window per op).
     * `tsNanosCol` is epoch-nanos BIGINT (how the engine reads the

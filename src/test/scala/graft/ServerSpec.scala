@@ -238,6 +238,46 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent reads during writes: RwLock semantics, no torn state") {
+    withServer { (base, _) =>
+      insertV1V2(base)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.CountDownLatch(24)
+      // 16 concurrent searches racing 8 writers
+      (1 to 16).foreach { i =>
+        pool.submit(new Runnable { def run(): Unit = {
+          try {
+            val (st, body) = send("POST", s"$base/search",
+              """{"vector":[1.0,2.0,3.0],"k":10}""")
+            if (st != 200) errors.add(s"search $i -> $st")
+            // whatever snapshot a read sees, v1 (identical vector) ranks first
+            val JArray(hits) = body: @unchecked
+            if (hits.nonEmpty && (hits.head \ "id") != JString("v1"))
+              errors.add(s"search $i wrong head: ${hits.head}")
+          } catch { case e: Exception => errors.add(s"search $i: $e") }
+          finally done.countDown()
+        }})
+      }
+      (1 to 8).foreach { i =>
+        pool.submit(new Runnable { def run(): Unit = {
+          try {
+            val (st, _) = send("POST", s"$base/vectors",
+              s"""{"id":"w$i","vector":[$i.0,0.0,1.0]}""")
+            if (st != 201) errors.add(s"insert w$i -> $st")
+          } catch { case e: Exception => errors.add(s"insert w$i: $e") }
+          finally done.countDown()
+        }})
+      }
+      assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errors.isEmpty, errors.toString)
+      // all writes landed exactly once (serialized seq allocation)
+      val (_, health) = send("GET", s"$base/health")
+      assert(health \ "vector_count" == JInt(10)) // v1 v2 + 8 writers
+    }
+  }
+
   test("metrics: counters and self-recorded query latencies, durable on stop") {
     val root = Files.createTempDirectory("server-store").toString
     val srv = new VectorServer(spark, root)

@@ -92,6 +92,42 @@ class StreamingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("ingestStream: JSON files stream into the store with auto-compaction") {
+    val jsonDir = Files.createTempDirectory("ingest-json")
+    val root = Files.createTempDirectory("ingest-root").toString
+    Files.writeString(jsonDir.resolve("batch1.json"),
+      """{"id":"a","vector":[1.0,0.0],"metadata":{"src":"s"}}
+        |{"id":"b","vector":[0.0,1.0],"metadata":{"src":"s"}}
+        |""".stripMargin)
+    val q = EventStream.ingestStream(spark, jsonDir.toString, root, compactEvery = 3)
+    try {
+      q.processAllAvailable()
+      assert(VectorLog.recover(spark, root)
+        .select("id").as[String].collect().toSet == Set("a", "b"))
+      // second wave crosses the compaction cadence (2 + 2 >= 3) and
+      // upserts a — latest-wins across the checkpoint
+      Files.writeString(jsonDir.resolve("batch2.json"),
+        """{"id":"a","vector":[9.0,9.0],"metadata":{"src":"s2"}}
+          |{"id":"c","vector":[1.0,1.0],"metadata":{"src":"s2"}}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(VectorLog.snapshotDir(root))))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(VectorLog.logDir(root))))
+      val live = VectorLog.recover(spark, root)
+        .select("id", "embedding").as[(String, Seq[Float])].collect().toMap
+      assert(live == Map("a" -> Seq(9f, 9f), "b" -> Seq(0f, 1f), "c" -> Seq(1f, 1f)))
+      // post-compaction ingestion continues with safe seqs
+      Files.writeString(jsonDir.resolve("batch3.json"),
+        """{"id":"d","vector":[2.0,2.0],"metadata":{"src":"s3"}}
+          |""".stripMargin)
+      q.processAllAvailable()
+      assert(VectorLog.recover(spark, root)
+        .select("id").as[String].collect().toSet == Set("a", "b", "c", "d"))
+    } finally q.stop()
+  }
+
   test("continuous knn: stateful top-k over an insert stream matches batch search") {
     val root = Files.createTempDirectory("cont-knn").toString
     VectorLog.append(Seq(
