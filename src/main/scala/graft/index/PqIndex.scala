@@ -63,8 +63,11 @@ object PqIndex {
       .head.getInt(0)
     require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
     val dsub = dim / m
+    // train only on well-formed vectors (NULL/mismatched rows would
+    // feed short slices into the KMeans fit); encode() nulls them out
+    val clean = emb.where(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim))
     val codebooks = (0 until m).map { j =>
-      val sliceDf = emb.select(
+      val sliceDf = clean.select(
         array_to_vector(sliceCol(col(vecCol), j, dsub)).as("__features"))
       val fitOn =
         if (sampleFraction >= 1.0) sliceDf
@@ -91,7 +94,15 @@ object PqIndex {
       }
       least(best.toIndexedSeq: _*).getField("code")
     }
-    emb.select(col(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
+    // NULL / dimension-mismatched vectors must encode to NULL codes:
+    // the least()-of-structs argmin tie-breaks all-NULL distances to
+    // code 0, so garbage rows would otherwise get plausible-looking
+    // codes and rank into pure-ADC top-k — same NULL-exclusion rule as
+    // TopK.knn and IvfIndex.searchJoin.
+    val dim = model.m * model.dsub
+    emb.select(col(idCol),
+      when(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim),
+        array(codeCols.toIndexedSeq: _*)).as("codes"))
   }
 
   /** ADC scores for one query over the codes table: approximate squared
@@ -138,6 +149,9 @@ object PqIndex {
   def search(codes: DataFrame, model: Model, idCol: String,
              query: Seq[Float], k: Int): DataFrame =
     adcScores(codes, model, idCol, query)
+      // NULL codes score NULL, and asc ordering puts nulls FIRST — an
+      // unfiltered garbage row would take the #1 slot
+      .where(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
 
@@ -212,6 +226,7 @@ object PqIndex {
           zip_with(col("codes"), element_at(tableLit, col("cluster")),
             (c, t) => element_at(t, c + 1)),
           lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .where(col("adc_dist").isNotNull) // NULL codes must not hold shortlist slots
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k * overfetch)
       .select(col(idCol))

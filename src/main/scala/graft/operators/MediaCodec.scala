@@ -54,9 +54,13 @@ object MediaCodec {
     var data: Option[(Int, Int)] = None     // (offset, length)
     while (off + 8 <= b.length) {
       val id = tag(b, off)
-      val size = u32(b, off + 4).toInt
+      // u32 stays a Long until after the bounds check: a size >= 2^31
+      // truncated to Int goes negative, which once made `off` stall or
+      // walk backwards (executor hang / OOB reads on hostile payloads)
+      val sizeL = u32(b, off + 4)
       val body = off + 8
-      if (body + size > b.length) return None // truncated chunk
+      if (body + sizeL > b.length) return None // truncated or absurd chunk
+      val size = sizeL.toInt // safe: sizeL <= b.length - body
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = u16(b, body)
@@ -128,16 +132,22 @@ object MediaCodec {
     */
   def decodeBmp(b: Array[Byte]): Option[Rgb] = {
     if (!isBmp(b)) return None
-    val dataOff = u32(b, 10).toInt
+    // offset/row math in Long: a u32 dataOff >= 2^31 truncated to Int is
+    // negative and used to slip past the bounds check, and width*3
+    // overflows Int for hostile widths
+    val dataOffL = u32(b, 10)
     val width = i32(b, 18)
     val rawHeight = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = u32(b, 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0) return None
+    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0
+      || rawHeight == Int.MinValue) return None // abs(MinValue) is negative
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    if (dataOff + rowSize.toLong * height > b.length) return None
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    if (dataOffL + rowSizeL * height > b.length) return None
+    val dataOff = dataOffL.toInt   // both safe after the Long-side check:
+    val rowSize = rowSizeL.toInt   // dataOff + rowSize*height <= b.length
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

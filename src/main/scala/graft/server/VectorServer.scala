@@ -65,7 +65,8 @@ final class VectorServer(spark: SparkSession, root: String,
   // the latest committed snapshot.
   private var seqCounter: Long = VectorLog.maxSeq(spark, root)
   @volatile private var live: DataFrame = VectorLog.recover(spark, root).cache()
-  private var dimension: Option[Int] =
+  // volatile: read by concurrent search threads for the 400 check
+  @volatile private var dimension: Option[Int] =
     live.where(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
@@ -142,6 +143,16 @@ final class VectorServer(spark: SparkSession, root: String,
         s"Dimension mismatch: expected $d, got ${v.length}")
     }
   }
+
+  /** Search-side twin of checkDims (reference maps storage's
+    * DimensionMismatch to 400 in search_vectors too, routes.rs:258-264):
+    * query vectors must match the store's dimension. No dimension yet
+    * (empty store) → no check, searches return [] like the reference. */
+  private def checkQueryDims(vecs: Seq[Seq[Float]]): Option[String] =
+    dimension.flatMap { d =>
+      vecs.find(_.length != d).map(v =>
+        s"Dimension mismatch: expected $d, got ${v.length}")
+    }
 
   private def liveRow(id: String): Option[(Seq[Float], Map[String, String])] =
     live.where(col("id") === id).select("embedding", "meta")
@@ -276,10 +287,14 @@ final class VectorServer(spark: SparkSession, root: String,
       case JNothing | JNull => None
       case f => Some(MetadataFilter.fromJsonValue(f))
     }
-    val t0 = System.nanoTime()
-    val hits = runSearch(vec, k, filter)
-    metrics.recordQuery((System.nanoTime() - t0) / 1e3)
-    respond(ex, 200, searchResponse(hits))
+    checkQueryDims(Seq(vec)) match {
+      case Some(msg) => err(ex, 400, msg)
+      case None =>
+        val t0 = System.nanoTime()
+        val hits = runSearch(vec, k, filter)
+        metrics.recordQuery((System.nanoTime() - t0) / 1e3)
+        respond(ex, 200, searchResponse(hits))
+    }
   }
 
   private def batchSearch(ex: HttpExchange): Unit = {
@@ -295,11 +310,15 @@ final class VectorServer(spark: SparkSession, root: String,
       case JNothing | JNull => None
       case f => Some(MetadataFilter.fromJsonValue(f))
     }
-    // one latency record per HTTP call, like routes.rs:365-369
-    val t0 = System.nanoTime()
-    val all = queries.map { case (vec, k) => runSearch(vec, k, filter) }
-    metrics.recordQuery((System.nanoTime() - t0) / 1e3)
-    respond(ex, 200, JArray(all.map(searchResponse).toList))
+    checkQueryDims(queries.map(_._1)) match {
+      case Some(msg) => err(ex, 400, msg) // whole batch rejected, like insert
+      case None =>
+        // one latency record per HTTP call, like routes.rs:365-369
+        val t0 = System.nanoTime()
+        val all = queries.map { case (vec, k) => runSearch(vec, k, filter) }
+        metrics.recordQuery((System.nanoTime() - t0) / 1e3)
+        respond(ex, 200, JArray(all.map(searchResponse).toList))
+    }
   }
 
   private def list(ex: HttpExchange): Unit = {

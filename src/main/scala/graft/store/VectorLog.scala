@@ -44,6 +44,15 @@ object VectorLog {
   def snapshotDir(root: String) = s"$root/snapshot"
   def snapshotOldDir(root: String) = s"$root/snapshot_old"
   def stagingDir(root: String) = s"$root/snapshot_staging"
+  def bucketedSnapshotDir(root: String) = s"$root/snapshot_bucketed"
+
+  /** A root whose snapshot lives in the bucketed table layout (written
+    * by compactBucketed). The mode is detectable from the root alone —
+    * no catalog needed — so a fresh session, the plain Cli, or a
+    * VectorServer pointed here still sees the full store instead of
+    * silently reading an empty one. */
+  def isBucketed(spark: SparkSession, root: String): Boolean =
+    exists(spark, bucketedSnapshotDir(root))
 
   /** Append a batch of mutations. All-or-nothing per batch (documented
     * refinement of the reference's fail-fast sequential loop,
@@ -115,9 +124,18 @@ object VectorLog {
     else None
 
   /** Raw (pre-fold) union of every surviving piece — the full mutation
-    * history including delete tombstones. */
+    * history including delete tombstones. A bucketed snapshot's files
+    * are plain Parquet in the log schema, so they participate as a
+    * piece like any other: raw/liveView/maxSeq/recover give the same
+    * answers on a bucketed root (the catalog table is only needed for
+    * the shuffle-free bucketedView merge, not for correctness). If a
+    * crash left both the bucketed dir and the plain pieces behind, the
+    * union double-counts identical rows and the latest-wins fold
+    * deduplicates them — idempotent by construction. */
   def raw(spark: SparkSession, root: String): DataFrame = {
     val pieces = snapshotPiece(spark, root).toSeq ++
+      (if (isBucketed(spark, root))
+        Seq(readPiece(spark, bucketedSnapshotDir(root))) else Nil) ++
       (if (exists(spark, logDir(root))) Seq(readPiece(spark, logDir(root))) else Nil)
     pieces match {
       case Nil => spark.createDataFrame(
@@ -145,6 +163,11 @@ object VectorLog {
     * the log schema (op='insert') so recovery is a plain union.
     */
   def compact(spark: SparkSession, root: String): Unit = {
+    // A plain compact on a bucketed root would write a second snapshot
+    // beside the bucketed one and strand the catalog table — fail fast
+    // instead of silently forking the store's state.
+    if (isBucketed(spark, root)) throw new IllegalStateException(
+      s"store at $root is bucketed-compacted; use compactBucketed instead of compact")
     val conf0 = spark.sparkContext.hadoopConfiguration
     val fs0 = new org.apache.hadoop.fs.Path(root).getFileSystem(conf0)
     // Heal a previously crashed commit FIRST: if staging was committed

@@ -88,8 +88,10 @@ object EventStream {
     * store atomically, with the reference's checkpoint-every-N
     * auto-compaction on the write path (engine.rs:199-204). Seqs
     * continue from the store's RAW max (tombstones included) and are
-    * assigned within a batch by id order — deterministic, and
-    * latest-wins only cares about relative order per id.
+    * assigned within a batch by ARRIVAL order per id — the reference
+    * applies mutations in arrival order, and latest-wins only compares
+    * seqs within one id, so per-id ranks (unique per id, all > base)
+    * are exactly the contract the fold needs.
     */
   def ingestStream(spark: SparkSession, jsonDir: String, root: String,
                    compactEvery: Long = 0): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -98,8 +100,17 @@ object EventStream {
       .writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val base = VectorLog.maxSeq(spark, root)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+        // Arrival order captured BEFORE the shuffle: for a file-source
+        // micro-batch, monotonically_increasing_id is (partition ≪ 33 |
+        // row offset) = file-listing order × in-file order, which is
+        // deterministic for a given batch. The old Window.orderBy("id")
+        // tie-broke two same-id mutations nondeterministically AND
+        // funneled the whole batch through a single task; partitioning
+        // the window by id fixes both (shuffles by id — scales out).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("__arr"))
         val rows = batch
+          .withColumn("__arr", monotonically_increasing_id())
           .withColumn("seq", row_number().over(w).cast("long") + base)
           .select(col("seq"), lit("insert").as("op"), col("id"),
             col("vector").as("embedding"), col("metadata").as("meta"))

@@ -54,6 +54,36 @@ class BucketedStoreSpec extends SparkSpec {
     }
   }
 
+  test("bucketed root without catalog: liveView/maxSeq/recover see the store; plain compact refuses") {
+    import graft.store.VectorLog
+    val root = java.nio.file.Files.createTempDirectory("vlog-bucketed-mode").toString
+    def m(seq: Long, op: String, id: String, v: Seq[Float]) =
+      (seq, op, id, v, Map("src" -> "test"))
+    VectorLog.append(Seq(
+      m(1, "insert", "a", Seq(1f, 0f)),
+      m(2, "insert", "b", Seq(0f, 1f)),
+      m(3, "insert", "c", Seq(1f, 1f))).toDF("seq", "op", "id", "embedding", "meta"), root)
+    spark.sql("DROP TABLE IF EXISTS snap_mode")
+    VectorLog.compactBucketed(spark, root, "snap_mode", buckets = 4)
+    // drop the (external) table: files stay, catalog entry gone — the
+    // fresh-session / plain-Cli / VectorServer-restart scenario that
+    // used to silently see an EMPTY store and restart seqs at 1
+    spark.sql("DROP TABLE snap_mode")
+    assert(VectorLog.isBucketed(spark, root))
+    assert(VectorLog.maxSeq(spark, root) == 3) // not 0
+    assert(VectorLog.recover(spark, root).select("id")
+      .as[String].collect().toSet == Set("a", "b", "c"))
+    // a post-compaction tail folds against the bucketed snapshot files
+    VectorLog.append(Seq(m(4, "delete", "a", null))
+      .toDF("seq", "op", "id", "embedding", "meta"), root)
+    assert(VectorLog.liveView(spark, root).select("id")
+      .as[String].collect().toSet == Set("b", "c"))
+    assert(VectorLog.maxSeq(spark, root) == 4) // tombstone seq included
+    // and a plain compact must not fork the store's state
+    val e = intercept[IllegalStateException](VectorLog.compact(spark, root))
+    assert(e.getMessage.contains("compactBucketed"))
+  }
+
   test("bucketed snapshot: O(tail) recovery merge, snapshot side never shuffles") {
     import graft.store.VectorLog
     val root = java.nio.file.Files.createTempDirectory("vlog-bucketed").toString

@@ -81,6 +81,36 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeWav("JPEGJPEGJPEGJPEG".getBytes).isEmpty)
   }
 
+  test("hostile payloads: >=2^31 chunk sizes / offsets reject without hanging") {
+    // RIFF chunk size 0xFFFFFFF8 once truncated to a negative Int and
+    // left the chunk walk stuck at the same offset forever
+    def hostileWav(size: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le32(0x7FFFFFF0))
+      out.write("WAVE".getBytes)
+      out.write("junk".getBytes)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(size.toInt).array) // raw LE bits of the u32
+      out.write(new Array[Byte](32))
+      out.toByteArray
+    }
+    assert(MediaCodec.decodeWav(hostileWav(0xFFFFFFF8L)).isEmpty) // off would stall
+    assert(MediaCodec.decodeWav(hostileWav(0x80000004L)).isEmpty) // off would go backwards
+    assert(MediaCodec.decodeWav(hostileWav(0xFFFFFFFFL)).isEmpty)
+
+    // BMP pixel-array offset >= 2^31: wrapped negative, passed the old
+    // bounds check, then threw on pixel reads
+    val bmp = bmpBytes(2, 2, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)))
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = bmp.clone
+      ByteBuffer.wrap(c, off, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+      c
+    }
+    assert(MediaCodec.decodeBmp(patched(10, 0xFFFFFFF0)).isEmpty) // huge dataOff
+    assert(MediaCodec.decodeBmp(patched(18, 0x7FFFFFFF)).isEmpty) // width*3 overflows Int
+    assert(MediaCodec.decodeBmp(patched(22, Int.MinValue)).isEmpty) // abs() stays negative
+  }
+
   test("BMP: bottom-up BGR with row padding decodes to top-down RGB; resize; means") {
     // 3x2 image, distinct channels per pixel
     val px = Seq(

@@ -28,6 +28,32 @@ class PqSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("NULL / dimension-mismatched vectors get NULL codes and never rank") {
+    val (_, model) = PqIndex.build(emb, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    val dirty = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (100000L, null.asInstanceOf[Seq[Float]]),
+        (100001L, Seq(1f, 2f, 3f)) // wrong dimension (64 expected)
+      ).toDF("vec_id", "embedding"))
+    val codes = PqIndex.encode(dirty, model, "vec_id", "embedding")
+    val bad = codes.where(col("vec_id") >= 100000L)
+      .select(col("codes")).collect()
+    assert(bad.length == 2 && bad.forall(_.isNullAt(0)),
+      "garbage rows must encode to NULL codes, not plausible code 0s")
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    // pure ADC: nulls sort first under asc, so an unfiltered garbage row
+    // would take the #1 slot — assert they are excluded entirely
+    val top = PqIndex.search(codes, model, "vec_id", q, 10)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(top.size == 10 && !top.exists(_ >= 100000L))
+    // and they must not consume rerank shortlist slots either
+    val rr = PqIndex.searchRerank(codes, dirty, model, "vec_id", "embedding",
+      q, k = 10, overfetch = 2)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(rr.size == 10 && !rr.exists(_ >= 100000L))
+  }
+
   test("ADC score equals the sum of per-subspace table entries (known math)") {
     val (codes, model) = PqIndex.build(emb, "vec_id", "embedding",
       m = 4, codesPerSub = 8)

@@ -182,6 +182,16 @@ class ServerSpec extends SparkSpec {
                        {"id":"bad2","vector":[1.0]}]}""")
       assert(bs == 400)
       assert(send("GET", s"$base/vectors/ok")._1 == 404)
+      // search-side mismatch is 400 too (routes.rs maps DimensionMismatch
+      // in search_vectors), not a silent 200-with-[]
+      val (ss, sb) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0],"k":3}""")
+      assert(ss == 400)
+      assert((sb \ "error").asInstanceOf[JString].s.contains("Dimension mismatch"))
+      val (bss, bsb) = send("POST", s"$base/search/batch",
+        """{"queries":[{"vector":[1.0,2.0,3.0]},{"vector":[1.0]}]}""")
+      assert(bss == 400)
+      assert((bsb \ "error").asInstanceOf[JString].s.contains("Dimension mismatch"))
     }
   }
 

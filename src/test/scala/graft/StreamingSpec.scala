@@ -128,6 +128,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream: same-id mutations in one batch fold in arrival order") {
+    val jsonDir = Files.createTempDirectory("ingest-dup")
+    val root = Files.createTempDirectory("ingest-dup-root").toString
+    // two mutations for 'x' in ONE micro-batch: the later line must win
+    // deterministically (the old orderBy("id") window tie-broke them
+    // arbitrarily — ADVICE r2)
+    Files.writeString(jsonDir.resolve("batch.json"),
+      """{"id":"x","vector":[1.0,0.0],"metadata":{"v":"first"}}
+        |{"id":"y","vector":[5.0,5.0],"metadata":{"v":"only"}}
+        |{"id":"x","vector":[2.0,0.0],"metadata":{"v":"second"}}
+        |""".stripMargin)
+    val q = EventStream.ingestStream(spark, jsonDir.toString, root)
+    try {
+      q.processAllAvailable()
+      val live = VectorLog.recover(spark, root)
+        .select("id", "embedding", "meta")
+        .as[(String, Seq[Float], Map[String, String])]
+        .map(r => r._1 -> ((r._2, r._3))).collect().toMap
+      assert(live("x") == ((Seq(2f, 0f), Map("v" -> "second"))),
+        "later line in the batch file must win the fold")
+      assert(live("y") == ((Seq(5f, 5f), Map("v" -> "only"))))
+    } finally q.stop()
+  }
+
   test("continuous knn: stateful top-k over an insert stream matches batch search") {
     val root = Files.createTempDirectory("cont-knn").toString
     VectorLog.append(Seq(
