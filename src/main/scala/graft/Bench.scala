@@ -19,7 +19,8 @@ object Bench {
     "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join", "ann_pq",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
-    "events_sessionized", "json_props",
+    "events_sessionized", "events_asof", "json_props",
+    "data_split", "doc_pack",
     "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_embedding_lsh")

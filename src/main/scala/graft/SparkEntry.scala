@@ -694,6 +694,41 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- as-of join [EXT]: attribution without a range join ---------
+    // each click carries the user's most recent prior (or simultaneous)
+    // purchase — union + per-user window, one shuffle, no O(L×R) blowup
+    "events_asof" -> ((s, dir) => {
+      // µs granularity on BOTH engines: DuckDB truncates TIMESTAMP(NANOS)
+      // parquet to µs at scan time, so the as-of ordering must be µs too
+      // or sub-µs purchase/click pairs would join differently
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 4).as("click_value"))
+      // one row per (user, ts): deterministic right side on ties
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .asOf(clicks, purchases, "user_id", "ts_us", "ts_us", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("click_value"),
+          round(col("asof_purchase_value"), 4).as("purchase_value"),
+          (col("ts_us") - col("asof_ts")).as("us_since_purchase"))
+    }),
+
+    // ---- deterministic corpus split [EXT] ---------------------------
+    "data_split" -> ((s, dir) =>
+      graft.operators.TrainingData.hashSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // ---- sequence packing [EXT]: concat-then-chunk per shard --------
+    "doc_pack" -> ((s, dir) =>
+      graft.operators.TrainingData.packSequences(
+        t(s, dir, "documents"), "source", "doc_id",
+        floor(col("n_chars") / 4), capacity = 2048)
+        .select(col("doc_id"), col("source"), col("tokens"),
+          col("tok_start"), col("pack_id"))),
+
     // ---- grouped top-k (k nearest per label group) ------------------
     "knn_per_label" -> ((s, dir) => {
       val w = Window.partitionBy(col("label"))
@@ -1013,6 +1048,33 @@ object SparkEntry {
            |      FROM d)
            |SELECT label, vec_id, round(dist, 4) AS distance, rank
            |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+      // DuckDB's native ASOF JOIN is the independent check of the
+      // union+window formulation (inclusive >= semantics on both sides)
+      "events_asof" ->
+        """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)),
+          |c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, round(value, 4) AS click_value
+          |      FROM events WHERE event_type = 'click')
+          |SELECT c.event_id, c.user_id, c.click_value,
+          |  round(p.purchase_value, 4) AS purchase_value,
+          |  c.ts_us - p.ts_us AS us_since_purchase
+          |FROM c ASOF LEFT JOIN p
+          |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""".stripMargin,
+      "data_split" ->
+        """SELECT doc_id,
+          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+          |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+          |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents""".stripMargin,
+      "doc_pack" ->
+        """WITH d AS (SELECT doc_id, source, n_chars // 4 AS tokens FROM documents),
+          |c AS (SELECT doc_id, source, tokens,
+          |        sum(tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+          |                          ROWS UNBOUNDED PRECEDING) - tokens AS tok_start
+          |      FROM d)
+          |SELECT doc_id, source, tokens, tok_start, tok_start // 2048 AS pack_id
+          |FROM c""".stripMargin,
     )
   }
 }

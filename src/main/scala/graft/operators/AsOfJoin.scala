@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: each left row picks up the LATEST right row with
+  * `right.ts <= left.ts` for the same key (DuckDB/kdb ASOF JOIN,
+  * pandas merge_asof). The reference has no relational joins at all
+  * (SURVEY §2.6) — this is an [EXT] operator for event attribution in
+  * training-data pipelines (tag each interaction with the most recent
+  * prior conversion / model version / config epoch).
+  *
+  * Deliberately NOT a range join: both sides are tagged and unioned,
+  * then ONE window partitioned by the key and ordered by (ts, tag)
+  * carries the latest right-side row forward with last(ignoreNulls).
+  * One shuffle on the key and a sort — no per-key O(L×R) candidate
+  * blowup, which is what kills a range-join formulation at 100 TB when
+  * hot keys have millions of rows on both sides.
+  */
+object AsOfJoin {
+
+  /** @param carry right-side columns to attach to each left row,
+    *   emitted as `{prefix}{col}` plus `{prefix}ts` (the matched right
+    *   timestamp); all NULL when no right row precedes the left row
+    *   (left-join semantics).
+    *
+    * Ties: a right row at exactly left.ts IS eligible (inclusive, like
+    * DuckDB's `ON l.ts >= r.ts`). Multiple right rows sharing (key, ts)
+    * are ambiguous under any as-of contract — pre-aggregate the right
+    * side to one row per (key, ts) for a deterministic result.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String, carry: Seq[String],
+           prefix: String = "asof_"): DataFrame =
+    asOfMulti(left, right, Seq(key), leftTs, rightTs, carry, prefix)
+
+  /** As-of join keyed by several columns (the window partitions by all
+    * of them). */
+  def asOfMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String, carry: Seq[String],
+                prefix: String = "asof_"): DataFrame = {
+    // the whole right row rides in ONE struct: last(ignoreNulls) skips
+    // left rows (struct is null there) but never skips a matched right
+    // row just because one of its carry FIELDS is null
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
+        struct((col(rightTs).as("ts") +: carry.map(col)): _*).as("__r")): _*)
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc) // right sorts first on ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = left.columns.map(col).toSeq ++
+      (col(s"__r.ts").as(s"${prefix}ts") +:
+        carry.map(c => col(s"__r.$c").as(s"$prefix$c")))
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(outCols: _*)
+  }
+}

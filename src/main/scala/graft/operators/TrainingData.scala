@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] corpus-preparation operators a training-data pipeline needs
+  * on top of the reference's query surface: deterministic dataset
+  * splits and context-window sequence packing. Both are pure column
+  * expressions / single-window jobs — no sampling state, no driver
+  * loops — so they run unchanged from 60k rows to 100 TB.
+  */
+object TrainingData {
+
+  /** Split bucket in [0, 100): first 8 hex chars of md5(id), mod 100.
+    * A pure function of the id — stable across runs, engines and
+    * cluster layouts, which is what makes train/test membership
+    * reproducible without materializing membership lists. */
+  def splitBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Deterministic train/val/test assignment by hash bucket
+    * (train < trainPct <= val < trainPct+valPct <= test). */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("bucket", splitBucket(col(idCol)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Sequence packing, concat-then-chunk (the standard LLM pretraining
+    * layout): per shard, documents are concatenated in id order and cut
+    * every `capacity` tokens; a document's pack is the chunk its first
+    * token lands in (`pack_id = tok_start div capacity`). The window
+    * partitions by the shard column, so task size is bounded by the
+    * largest shard, not the corpus — a global ordering would funnel
+    * 100 TB through one task.
+    *
+    * Emits `tokens` (the evaluated token count), `tok_start` (offset of
+    * the document's first token in its shard's stream) and `pack_id`.
+    */
+  def packSequences(docs: DataFrame, shardCol: String, idCol: String,
+                    tokensCol: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+    docs.withColumn("tokens", tokensCol.cast("long"))
+      .withColumn("tok_start", sum(col("tokens")).over(w) - col("tokens"))
+      // integer div, not floor(double /): exact above 2^53 token offsets
+      .withColumn("pack_id", expr(s"tok_start div $capacity"))
+  }
+}

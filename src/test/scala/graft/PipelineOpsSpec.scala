@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, TrainingData}
+
+/** [EXT] corpus-pipeline operators: as-of join semantics, deterministic
+  * hash splits, sequence packing — known-value tests; the DuckDB twins
+  * (events_asof / data_split / doc_pack) cross-check at sf0.01.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right <= left per key, inclusive ties, left-join nulls") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 50L), (3L, "u2", 10L),
+      (4L, "u3", 7L)).toDF("event_id", "k", "ts")
+    val right = Seq(("u1", 50L, "a"), ("u1", 80L, "b"), ("u1", 120L, "c"),
+      ("u2", 11L, "z")).toDF("k", "ts", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("tag"))
+      .select(col("event_id"), col("asof_ts"), col("asof_tag"))
+      .as[(Long, Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(80L), Some("b")))) // latest of {50, 80} <= 100
+    assert(got(2L) == ((Some(50L), Some("a")))) // tie at 50 is inclusive
+    assert(got(3L) == ((None, None)))           // only future right rows
+    assert(got(4L) == ((None, None)))           // key absent on the right
+    assert(got.size == 4)                       // every left row survives
+  }
+
+  test("asOf: a null carry FIELD does not fall back to an older right row") {
+    val left = Seq((1L, "u", 100L)).toDF("event_id", "k", "ts")
+    val right = Seq(("u", 10L, Some("old")), ("u", 90L, None))
+      .toDF("k", "ts", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("tag"))
+      .select(col("asof_ts"), col("asof_tag"))
+      .as[(Option[Long], Option[String])].head()
+    assert(got == ((Some(90L), None)), // the ts=90 ROW matched; its field is null
+      "carry struct must ride whole rows, not skip null fields")
+  }
+
+  test("hashSplit: known md5 bucket and ~80/10/10 proportions") {
+    // md5('42') first 8 hex chars = a1d0c6e8 -> 2714814184 -> bucket 84
+    val one = TrainingData.hashSplit(Seq(42L).toDF("doc_id"), "doc_id")
+      .select(col("bucket"), col("split")).as[(Long, String)].head()
+    assert(one == ((84L, "val")))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count().toDouble
+    val bysplit = TrainingData.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bysplit.keySet == Set("train", "val", "test"))
+    assert(math.abs(bysplit("train") / n - 0.80) < 0.08, bysplit.toString)
+    assert(math.abs(bysplit("val") / n - 0.10) < 0.06, bysplit.toString)
+    // split is a pure function of the id: same ids → identical assignment
+    val again = TrainingData.hashSplit(docs.orderBy(rand(7)), "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == bysplit)
+  }
+
+  test("packSequences: concat-then-chunk boundaries per shard") {
+    val docs = Seq(
+      (1L, "s", 4L), (2L, "s", 4L), (3L, "s", 4L), (4L, "s", 4L),
+      (5L, "t", 11L), (6L, "t", 1L)).toDF("doc_id", "source", "toks")
+    val got = TrainingData.packSequences(docs, "source", "doc_id",
+      col("toks"), capacity = 10)
+      .select(col("doc_id"), col("tok_start"), col("pack_id"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // shard s: starts 0,4,8,12 → packs 0,0,0,1; shard t: starts 0,11
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((4L, 0L)), 3L -> ((8L, 0L)), 4L -> ((12L, 1L)),
+      5L -> ((0L, 0L)), 6L -> ((11L, 1L))))
+  }
+}

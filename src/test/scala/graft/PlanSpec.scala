@@ -57,6 +57,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("as-of join plans as union+window, never a range/nested-loop join") {
+    val p = plan("events_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not fall back to a range-join candidate blowup:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("data_split is a pure projection: zero exchanges") {
+    val p = plan("data_split")
+    assert(!p.contains("Exchange"), s"hash split must not shuffle:\n$p")
+  }
+
+  test("doc_pack shuffles once, by shard") {
+    val p = plan("doc_pack")
+    // formatted explain prints each node once in the tree ("+- Exchange (3)")
+    // and once in the details ("(3) Exchange") — count the details form
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
+    assert(exchanges == 1, s"expected exactly one exchange (by shard):\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("batch ANN cluster join dynamically prunes index partitions") {
     // the probed-cluster set must reach the partitioned index scan as a
     // runtime partition filter (DPP) — the on-disk inverted file is only
