@@ -63,6 +63,28 @@ object SparkEntry {
     })
   }
 
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once SQ8 codes over the persisted IVF assignments (the
+    * middle storage tier): cluster-partitioned int8 lists served from
+    * disk; encode cost is compaction-cadence work like the other
+    * indexes. */
+  private def sqFor(s: SparkSession, dir: String): (DataFrame, graft.index.IvfIndex.Model) = {
+    val (assigned, model) = ivfFor(s, dir)
+    val path = s"/tmp/graft_sq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val codes = sqCache.computeIfAbsent((s, path), { _ =>
+      if (!new java.io.File(s"$path/sq_codes/_SUCCESS").exists()) {
+        val dim = assigned.where(col("embedding").isNotNull)
+          .select(size(col("embedding"))).head.getInt(0)
+        graft.index.SqIndex.write(
+          graft.index.SqIndex.encode(assigned, "vec_id", "embedding", dim), path)
+      }
+      graft.index.SqIndex.load(s, path)
+    })
+    (codes, model)
+  }
+
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
     // "v3" = on-disk layout version; bump when IvfIndex.write changes so
@@ -548,6 +570,16 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0)
       graft.index.PqIndex.searchRerank(codes, t(s, dir, "embeddings"), model,
         "vec_id", "embedding", q, k = 10, overfetch = 10)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    // SQ8 tier: int8 inverted lists (4× smaller probe IO), quantized
+    // distance shortlists, exact rerank — recall-gated in SqSpec.
+    "ann_ivf_sq" -> ((s, dir) => {
+      val (codes, model) = sqFor(s, dir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      graft.index.SqIndex.searchRerank(codes, t(s, dir, "embeddings"), model,
+        "vec_id", "embedding", q, k = 10, nprobe = 8)
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
     // Batch ANN via the cluster equi-join (the 100 TB batch path):

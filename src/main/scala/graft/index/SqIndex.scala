@@ -1,0 +1,93 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FusedDistance, VectorFunctions => VF}
+
+/** Scalar-quantized (int8) IVF lists — the middle storage tier between
+  * raw float vectors (4 B/component) and PQ codes (~1 bit/component):
+  * each vector stores one double scale plus int8 codes, 4× smaller than
+  * float32 at ~0.4% max per-component error, so quantized distances are
+  * nearly exact and a small rerank shortlist recovers full recall —
+  * where PQ's much coarser codes need a large one. The tiering at scale
+  * is: hot exact search over raw vectors, warm SQ8 lists (this), cold /
+  * billion-scale PQ codes.
+  *
+  * Composes with IvfIndex exactly like PqIndex does: the `cluster`
+  * column prunes candidates to the probed inverted lists (file-level
+  * partition pruning on the persisted form), the quantized distance
+  * scores the survivors, the exact distance reranks the shortlist.
+  * Everything is declarative column math — no UDFs, no driver loops.
+  */
+object SqIndex {
+
+  /** Quantize every assigned row → (id, cluster, scale, codes):
+    * symmetric per-row int8 (scale = 127/max|x|, code = round(x·scale),
+    * VectorFunctions.quantize). NULL vectors, zero vectors (no scale)
+    * and dimension drift encode to NULL codes and never rank —
+    * the TopK/IvfIndex/PqIndex NULL-exclusion rule.
+    */
+  def encode(assigned: DataFrame, idCol: String, vecCol: String,
+             dim: Int): DataFrame =
+    assigned.select(col(idCol), col("cluster"),
+      VF.quantizeScale(col(vecCol)).as("scale"),
+      when(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim)
+        && VF.quantizeScale(col(vecCol)).isNotNull,
+        VF.quantize(col(vecCol)).cast("array<tinyint>")).as("codes"))
+
+  /** Quantized euclidean distance: sqrt(Σ (codeᵢ/scale − qᵢ)²) — the
+    * codes dequantize on the fly inside the fold; length mismatch or
+    * NULL codes yield NULL (filtered by callers). */
+  def approxDist(codes: Column, scale: Column, query: Seq[Double]): Column =
+    sqrt(aggregate(
+      zip_with(codes, FusedDistance.litVec(query),
+        (c, v) => {
+          val x = c.cast("double") / scale - v
+          x * x
+        }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Persist: codes partitioned by cluster — the on-disk inverted file
+    * with 4×-compressed payloads (probes read only their cluster
+    * directories AND a quarter of the bytes). */
+  def write(codes: DataFrame, path: String): Unit =
+    codes.write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$path/sq_codes")
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sq_codes")
+
+  /** Pure-quantized top-k within the probed clusters (no raw-vector
+    * access at all — the IO shape when the float tier is cold). */
+  def search(sq: DataFrame, model: IvfIndex.Model, idCol: String,
+             query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val probes = model.closestClusters(query, nprobe)
+    sq.where(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        approxDist(col("codes"), col("scale"), query.map(_.toDouble))
+          .as("distance"))
+      .where(col("distance").isNotNull)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Shortlist-then-rerank: quantized distance prunes to overfetch·k
+    * candidates inside the probed clusters, the exact fused distance
+    * re-ranks them against the raw vectors. int8 distortion is tiny, so
+    * a small overfetch recovers exact-tier recall. */
+  def searchRerank(sq: DataFrame, emb: DataFrame, model: IvfIndex.Model,
+                   idCol: String, vecCol: String,
+                   query: Seq[Float], k: Int, nprobe: Int,
+                   overfetch: Int = 4): DataFrame = {
+    val shortlist = search(sq, model, idCol, query, k * overfetch, nprobe)
+      .select(col(idCol))
+    emb.join(broadcast(shortlist), idCol)
+      .select(col(idCol),
+        FusedDistance.euclidean(col(vecCol),
+          FusedDistance.litVec(query.map(_.toDouble))).as("distance"))
+      .where(col("distance").isNotNull)
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

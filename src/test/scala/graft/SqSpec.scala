@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfIndex, SqIndex}
+import graft.operators.TopK
+
+/** Scalar-quantized (int8) IVF tier: code compactness, quantized
+  * distance accuracy, recall vs the exact probe, NULL exclusion and
+  * persistence. */
+class SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private lazy val built = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+
+  test("codes are int8 arrays with a per-row scale; roundtrip persists") {
+    val (assigned, _) = built
+    val codes = SqIndex.encode(assigned, "vec_id", "embedding", 64)
+    val schema = codes.schema
+    assert(schema("codes").dataType.simpleString == "array<tinyint>",
+      schema("codes").dataType.simpleString)
+    assert(schema("scale").dataType.simpleString == "double")
+    val row = codes.where(col("vec_id") === 0)
+      .select(col("scale"), col("codes")).head
+    val scale = row.getDouble(0)
+    val cs = row.getSeq[Byte](1)
+    assert(cs.length == 64 && cs.forall(c => c >= -127 && c <= 127))
+    // codes reproduce the vector to within half a quantization step
+    val v = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    v.zip(cs).foreach { case (x, c) =>
+      assert(math.abs(c / scale - x) <= 0.5 / scale + 1e-12) }
+
+    val path = java.nio.file.Files.createTempDirectory("sq-index").toString
+    SqIndex.write(codes, path)
+    val loaded = SqIndex.load(spark, path)
+    assert(loaded.count() == codes.count())
+    // partitioned by cluster on disk — the probe prunes directories
+    assert(new java.io.File(s"$path/sq_codes").listFiles()
+      .exists(_.getName.startsWith("cluster=")))
+  }
+
+  test("quantized distance is within 1% of exact on real vectors") {
+    val (assigned, _) = built
+    val codes = SqIndex.encode(assigned, "vec_id", "embedding", 64)
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val qd = q.map(_.toDouble)
+    val approx = codes.select(col("vec_id"),
+      SqIndex.approxDist(col("codes"), col("scale"), qd).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val exact = emb.select(col("vec_id"),
+      graft.functions.FusedDistance.euclidean(col("embedding"),
+        graft.functions.FusedDistance.litVec(qd)).as("d"))
+      .as[(Long, Double)].collect().toMap
+    exact.filter(_._1 != 0L).foreach { case (id, e) =>
+      assert(math.abs(approx(id) - e) / e < 0.01,
+        s"id $id approx ${approx(id)} vs exact $e") }
+  }
+
+  test("SQ rerank recovers the exact probe's top-k (recall@10 >= 0.9)") {
+    val (assigned, model) = built
+    val codes = SqIndex.encode(assigned, "vec_id", "embedding", 64)
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val recalls = queries.map { case (_, q) =>
+      // baseline: exact search over the SAME probed clusters — isolates
+      // quantization loss from cluster-pruning loss
+      val probed = IvfIndex.search(assigned, model, "vec_id", "embedding",
+        q, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val got = SqIndex.searchRerank(codes, emb, model, "vec_id", "embedding",
+        q, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      got.intersect(probed).size.toDouble / probed.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"SQ8 rerank recall@10 vs exact probe = $mean%.3f over ${recalls.length} queries")
+    assert(mean >= 0.9, f"recall $mean%.3f below threshold")
+    // pure-quantized search (no raw-vector access) is also near-exact
+    val (_, q0) = queries.head
+    val probed = IvfIndex.search(assigned, model, "vec_id", "embedding",
+      q0, 10, 8).select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val pure = SqIndex.search(codes, model, "vec_id", q0, 10, 8)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(pure.intersect(probed).size >= 8, s"pure-SQ got $pure vs $probed")
+  }
+
+  test("NULL / zero / dimension-mismatched vectors get NULL codes and never rank") {
+    val (assigned, model) = built
+    val dirty = assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      .unionByName(Seq(
+        (200000L, null.asInstanceOf[Seq[Float]], 0),
+        (200001L, Seq(1f, 2f), 0),            // wrong dimension
+        (200002L, Seq.fill(64)(0f), 0)        // zero vector: no scale
+      ).toDF("vec_id", "embedding", "cluster"))
+    val codes = SqIndex.encode(dirty, "vec_id", "embedding", 64)
+    val bad = codes.where(col("vec_id") >= 200000L).select("codes").collect()
+    assert(bad.length == 3 && bad.forall(_.isNullAt(0)))
+    val q = emb.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val top = SqIndex.search(codes, model, "vec_id", q, 10, nprobe = 16)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(top.size == 10 && !top.exists(_ >= 200000L))
+  }
+}
