@@ -243,6 +243,29 @@ object SparkEntry {
           (col("__a") / 100.0).as("sum_acctbal"))
         .orderBy(col("r_name"))
     }),
+    // hierarchical totals in ONE pass (rollup grouping sets): region,
+    // region+nation, and grand total — exact-cents money sums
+    "q_rollup" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(round(col("s_acctbal") * 100).cast("long")).as("__a"))
+        .select(col("r_name"), col("n_name"), col("n_suppliers"),
+          (col("__a") / 100.0).as("sum_acctbal"))
+    }),
+    // set operations (EXCEPT/INTERSECT distinct semantics) over the
+    // customer-key domain
+    "q_setops" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, dir, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      a.except(b).withColumn("which", lit("except"))
+        .unionByName(a.intersect(b).withColumn("which", lit("intersect")))
+    }),
     // top-k by aggregate (heavy-hitter users), a TakeOrdered over an agg
     "events_top_users" -> ((s, dir) => {
       t(s, dir, "events")
@@ -827,6 +850,20 @@ object SparkEntry {
         """SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
           |FROM events GROUP BY user_id
           |ORDER BY round(sum(value), 4) DESC, user_id ASC LIMIT 10""".stripMargin,
+      "q_rollup" ->
+        """SELECT r_name, n_name, count(*) AS n_suppliers,
+          |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+      "q_setops" ->
+        """SELECT custkey, 'except' AS which FROM
+          |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+          |   EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          |UNION ALL
+          |SELECT custkey, 'intersect' AS which FROM
+          |  (SELECT DISTINCT o_custkey AS custkey FROM orders
+          |   INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin,
 
       "knn_euclidean" -> knnSql(knnDist),
       "knn_sql" -> knnSql(knnDist),

@@ -125,6 +125,25 @@ object EventStream {
       .start()
   }
 
+  /** Streaming exact deduplication — the pipeline's dedup_exact
+    * (content-hash groupBy) as a continuous query: the FIRST arrival of
+    * each content hash passes through, later copies are dropped by
+    * Spark's keyed dedup state. With `watermarkCol`/`delay` set, state
+    * is bounded to the watermark horizon (dropDuplicatesWithinWatermark)
+    * — the shape that runs forever on an unbounded firehose; without
+    * it, state grows with distinct content (fine for bounded backfills).
+    */
+  def dedupExactStream(docs: DataFrame, contentCol: String,
+                       watermarkCol: Option[String] = None,
+                       delay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(contentCol).cast("binary")))
+    watermarkCol match {
+      case Some(ts) => hashed.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** Event-time windowed aggregation with a watermark — the standard
     * streaming query shape (counts + sums per tumbling window per op).
     * `tsNanosCol` is epoch-nanos BIGINT (how the engine reads the

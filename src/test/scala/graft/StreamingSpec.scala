@@ -152,6 +152,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactStream: first arrival of each content wins across batches") {
+    val jsonDir = Files.createTempDirectory("dedup-stream")
+    Files.writeString(jsonDir.resolve("a.json"),
+      """{"doc_id":1,"text":"alpha"}
+        |{"doc_id":2,"text":"beta"}
+        |{"doc_id":3,"text":"alpha"}
+        |""".stripMargin)
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema).json(jsonDir.toString)
+    val q = EventStream.dedupExactStream(stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      // a later batch re-sends known content plus one new doc
+      Files.writeString(jsonDir.resolve("b.json"),
+        """{"doc_id":4,"text":"beta"}
+          |{"doc_id":5,"text":"gamma"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("text").as[String].collect().toSeq
+      assert(got.sorted == Seq("alpha", "beta", "gamma"),
+        s"each content exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("continuous knn: stateful top-k over an insert stream matches batch search") {
     val root = Files.createTempDirectory("cont-knn").toString
     VectorLog.append(Seq(
