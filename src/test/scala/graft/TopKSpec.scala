@@ -87,8 +87,8 @@ class TopKSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the only rows-only entries are the approximate (recall-gated) ones
-    assert(noOracle == Set("ann_ivf", "ann_pq", "ann_search_join",
-      "dedup_embedding_lsh"), noOracle)
+    assert(noOracle == Set("ann_ivf", "ann_pq", "ann_ivf_sq",
+      "ann_search_join", "dedup_embedding_lsh"), noOracle)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
