@@ -118,6 +118,60 @@ object Scratch {
         spark.read.schema(store.VectorLog.logSchema)
           .parquet(store.VectorLog.logDir(storeRoot)))).count())
 
+    // ---- round-3 additions ------------------------------------------
+
+    // SQ8 tier at 5M: encode once, quantized shortlist + exact rerank
+    val sqCodes = timeIt("SQ8 encode 5M (int8 + per-row scale)") {
+      index.SqIndex.write(
+        index.SqIndex.encode(stored, "vec_id", "embedding", 64), "/tmp/big_sq")
+      index.SqIndex.load(spark, "/tmp/big_sq")
+    }
+    timeIt("SQ8 quantized+rerank k=10 nprobe=8/64 over 5M")(
+      index.SqIndex.searchRerank(sqCodes, emb, model,
+        "vec_id", "embedding", q, k = 10, nprobe = 8).collect())
+
+    // as-of join at 5M×5M-shaped load: replicate events 50× with
+    // distinct user ids (attribution joins replicate fine — every
+    // replica is an independent user timeline, unlike near-dup tables)
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev.crossJoin(spark.range(50).toDF("rep"))
+      .select((col("user_id") + col("rep") * 100000L).as("user_id"),
+        col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+      .repartition(64)
+      .write.mode("overwrite").parquet("/tmp/big_events")
+    val bigEv = spark.read.parquet("/tmp/big_events")
+    println(s"[scale] events rows=${bigEv.count()}")
+    val clicks = bigEv.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val purchases = bigEv.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("purchase_value"))
+    timeIt("asOf join 100k clicks vs 99k purchases across 250k users (5M events)")(
+      operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts_us", "ts_us",
+        Seq("purchase_value")).write.format("noop").mode("overwrite").save())
+
+    // sequence packing over 5M docs: the per-shard window is the scale
+    // lever — compare against a single global ordering
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.crossJoin(spark.range(1000).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
+        concat(col("source"), lit("_"), col("rep") % 64).as("source"),
+        col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet("/tmp/big_docs")
+    val bigDocs = spark.read.parquet("/tmp/big_docs")
+    println(s"[scale] docs rows=${bigDocs.count()}")
+    timeIt("packSequences 5M docs, 320 shards")(
+      operators.TrainingData.packSequences(bigDocs, "source", "doc_id",
+        floor(col("n_chars") / 4), 2048)
+        .write.format("noop").mode("overwrite").save())
+    timeIt("packSequences 5M docs, ONE global shard (the anti-pattern)")(
+      operators.TrainingData.packSequences(
+        bigDocs.withColumn("all", lit("x")), "all", "doc_id",
+        floor(col("n_chars") / 4), 2048)
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }

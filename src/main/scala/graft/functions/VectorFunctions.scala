@@ -119,7 +119,12 @@ object VectorFunctions {
   }
 
   def quantize(a: Column): Column =
-    transform(d(a), x => round(x * quantizeScale(a)).cast("int"))
+    // scale rides as a repeated ARRAY argument of zip_with: array args
+    // evaluate once per ROW, whereas `quantizeScale(a)` referenced
+    // inside a transform lambda re-evaluates the max-abs subtree once
+    // per ELEMENT (the NOTES.md trap — 64× on 64-dim vectors)
+    zip_with(d(a), array_repeat(quantizeScale(a), size(a)),
+      (x, s) => round(x * s).cast("int"))
 
   /** Approximate inverse: qᵢ / scale. */
   def dequantize(q: Column, scale: Column): Column =

@@ -24,17 +24,28 @@ object SqIndex {
 
   /** Quantize every assigned row → (id, cluster, scale, codes):
     * symmetric per-row int8 (scale = 127/max|x|, code = round(x·scale),
-    * VectorFunctions.quantize). NULL vectors, zero vectors (no scale)
-    * and dimension drift encode to NULL codes and never rank —
-    * the TopK/IvfIndex/PqIndex NULL-exclusion rule.
+    * the VectorFunctions.quantize contract). NULL vectors, zero vectors
+    * (no scale) and dimension drift encode to NULL codes and never rank
+    * — the TopK/IvfIndex/PqIndex NULL-exclusion rule.
+    *
+    * The scale is PROJECTED in its own select before the transform
+    * lambda uses it: a lambda referencing `quantizeScale(vec)` directly
+    * re-evaluates the whole max-abs subtree once per ELEMENT (the
+    * NOTES.md per-element-lambda trap — measured 187 s vs 4 s for the
+    * 5M-row encode). The two `scale` uses below keep CollapseProject
+    * from re-inlining it.
     */
   def encode(assigned: DataFrame, idCol: String, vecCol: String,
              dim: Int): DataFrame =
-    assigned.select(col(idCol), col("cluster"),
-      VF.quantizeScale(col(vecCol)).as("scale"),
-      when(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim)
-        && VF.quantizeScale(col(vecCol)).isNotNull,
-        VF.quantize(col(vecCol)).cast("array<tinyint>")).as("codes"))
+    assigned
+      .select(col(idCol), col("cluster"), col(vecCol),
+        VF.quantizeScale(col(vecCol)).as("scale"))
+      .select(col(idCol), col("cluster"), col("scale"),
+        when(col(vecCol).isNotNull && size(col(vecCol)) === lit(dim)
+          && col("scale").isNotNull,
+          transform(col(vecCol).cast("array<double>"),
+            x => round(x * col("scale")).cast("int"))
+            .cast("array<tinyint>")).as("codes"))
 
   /** Quantized euclidean distance: sqrt(Σ (codeᵢ/scale − qᵢ)²) — the
     * codes dequantize on the fly inside the fold; length mismatch or
