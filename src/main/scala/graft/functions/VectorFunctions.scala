@@ -87,11 +87,15 @@ object VectorFunctions {
       .otherwise(lit(1.0) - clamped)
   }
 
-  /** Scale to unit length; zero vector → NULL (reference src/vector.rs:40-58). */
+  /** Scale to unit length; zero vector → NULL (reference src/vector.rs:40-58).
+    * The norm rides as a repeated zip_with array argument — referencing
+    * `norm(a)` inside a transform lambda re-evaluates the whole
+    * aggregate per ELEMENT (O(dim²) per row, the NOTES.md trap), and
+    * this sits in the cosine IVF build/assign hot path. */
   def normalize(a: Column): Column = {
     val n = norm(a)
     when(n === 0.0, lit(null).cast("array<double>"))
-      .otherwise(transform(d(a), x => x / n))
+      .otherwise(zip_with(d(a), array_repeat(norm(a), size(a)), (x, nn) => x / nn))
   }
 
   /** Elementwise add (reference src/vector.rs:76-89). */
