@@ -514,6 +514,18 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // incremental dedup: even doc_ids play "today's batch", odd ids the
+    // existing corpus — batch×corpus candidate join, corpus never
+    // self-joined or re-hashed
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardPairsAgainst(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, minJaccard = 0.1)
+        .select(col("doc_new"), col("doc_corpus"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_new"), col("doc_corpus"))
+    }),
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -988,6 +1000,19 @@ object SparkEntry {
            |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
            |FROM jpairs WHERE jac >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_incremental" ->
+        s"""WITH tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
+           |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(3)}) AS shs FROM tha),
+           |shc AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha WHERE doc % 2 = 1),
+           |freqc AS (SELECT sh, count(*) AS f FROM shc GROUP BY sh),
+           |shcf AS (SELECT s.doc, s.sz, s.sh FROM shc s JOIN freqc USING (sh) WHERE f <= 1000),
+           |shn AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha WHERE doc % 2 = 0),
+           |inter AS (SELECT n.doc AS doc_new, n.sz AS sz_n, c.doc AS doc_corpus, c.sz AS sz_c, count(*) AS i
+           |          FROM shn n JOIN shcf c USING (sh) GROUP BY 1, 2, 3, 4)
+           |SELECT doc_new, doc_corpus,
+           |  round(i * 1.0 / (sz_n + sz_c - i), 4) AS jaccard
+           |FROM inter WHERE i * 1.0 / (sz_n + sz_c - i) >= 0.1
+           |ORDER BY doc_new, doc_corpus""".stripMargin,
       "dedup_minhash_pairs" -> {
         val bandRows = (0 until 4).map { b =>
           s"SELECT doc_id, $b AS band, concat(mh_${2 * b}, '_', mh_${2 * b + 1}) AS sigk FROM sig WHERE mh_0 IS NOT NULL"

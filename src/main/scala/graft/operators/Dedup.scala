@@ -72,6 +72,40 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup: Jaccard pairs between a batch of NEW docs
+    * and an existing corpus — the continuous-ingest shape (dedup each
+    * crawl batch against everything already kept). Only the batch is
+    * hashed fresh; the corpus side is its inverted shingle index, which
+    * at scale is a MATERIALIZED table maintained on compaction cadence
+    * (like the ANN indexes) so corpus text is never re-tokenized per
+    * batch. Candidate generation is the same equi-join on the shingle
+    * hash as jaccardPairs — batch×corpus, never corpus×corpus — with
+    * the stop-shingle cap applied to the corpus side (the big one).
+    * Returns (doc_new, doc_corpus, jaccard ≥ minJaccard).
+    */
+  def jaccardPairsAgainst(corpus: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, minJaccard: Double = 0.1,
+                          maxShingleFreq: Long = 1000): DataFrame = {
+    val corpusSh = shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc").as("doc_corpus"), size(col("shs")).as("sz_c"),
+        explode(col("shs")).as("sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val corpusF = corpusSh.withColumn("__f", count(lit(1)).over(w))
+      .where(col("__f") <= maxShingleFreq)
+      .drop("__f")
+    val batchSh = shingleSets(newDocs, idCol, textCol, n)
+      .select(col("doc").as("doc_new"), size(col("shs")).as("sz_n"),
+        explode(col("shs")).as("sh"))
+    corpusF.join(batchSh, "sh")
+      .groupBy(col("doc_new"), col("sz_n"), col("doc_corpus"), col("sz_c"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_new"), col("doc_corpus"),
+        (col("inter").cast("double") /
+          (col("sz_n") + col("sz_c") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** (doc, shs): distinct shingle-hash set per doc, materialized in
     * staged projections so token hashes and shingle hashes are each
     * computed exactly once per doc (CollapseProject will not inline a

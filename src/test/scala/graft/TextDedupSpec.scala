@@ -60,6 +60,32 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental dedup: batch pairs against corpus only, never within either side") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val near2 = "the quick brown fox jumps over the lazy cow again and again"
+    val far = "completely different words appear in this unrelated sentence here"
+    val corpus = Seq((1L, base), (2L, far)).toDF("id", "t")
+    // batch holds TWO near-dups of each other plus a near-dup of corpus
+    // doc 1: only batch×corpus pairs may come back
+    val batch = Seq((10L, near), (11L, near2)).toDF("id", "t")
+    val got = Dedup.jaccardPairsAgainst(corpus, batch, "id", "t",
+      n = 3, minJaccard = 0.2)
+      .select("doc_new", "doc_corpus").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 1L)),
+      s"expected only batch-vs-corpus pairs, got $got")
+    // cross-set result agrees with the full jaccardPairs restricted to
+    // cross pairs (same threshold, same shingle math)
+    val full = Dedup.jaccardPairs(corpus.unionByName(batch), "id", "t",
+      n = 3, minJaccard = 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a < 10 && b >= 10 => (b, a)
+      case (a, b) if b < 10 && a >= 10 => (a, b)
+    }
+    assert(got == crossFromFull)
+  }
+
   test("minhash-LSH pairs find planted near-duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
