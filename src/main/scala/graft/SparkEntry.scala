@@ -817,6 +817,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"),
           col("tok_start"), col("pack_id"))),
 
+    // ---- window frame (moving aggregate per user timeline) ----------
+    "events_moving" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 4).as("avg3"),
+          round(sum(col("value")).over(w), 4).as("sum3"))
+    }),
+
     // ---- grouped top-k (k nearest per label group) ------------------
     "knn_per_label" -> ((s, dir) => {
       val w = Window.partitionBy(col("label"))
@@ -1163,6 +1175,13 @@ object SparkEntry {
            |      FROM d)
            |SELECT label, vec_id, round(dist, 4) AS distance, rank
            |FROM r WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+      "events_moving" ->
+        """SELECT event_id, user_id,
+          |  round(avg(value) OVER w, 4) AS avg3,
+          |  round(sum(value) OVER w, 4) AS sum3
+          |FROM events WHERE event_type = 'purchase'
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
       // DuckDB's native ASOF JOIN is the independent check of the
       // union+window formulation (inclusive >= semantics on both sides)
       "events_asof" ->
