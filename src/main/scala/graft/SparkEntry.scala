@@ -47,6 +47,17 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, graft.index.PqIndex.Model)]()
 
+  /** Committed-marker check through the Hadoop FS API (like
+    * VectorLog.exists) so the bench-harness index caches behave on
+    * non-local filesystems too. The `v{N}_` prefix in each cache path
+    * is the freshness contract: bump N whenever the on-disk layout OR
+    * the build inputs/logic change — the path encodes the version, the
+    * marker only says "this build finished". */
+  private def successExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Build-once PQ index per sf dir (deterministic seeds), persisted
     * and served from disk like ivfFor — index build is
     * compaction-cadence work, queries measure ADC + rerank over the
@@ -54,7 +65,7 @@ object SparkEntry {
   private def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
     val path = s"/tmp/graft_pq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     pqCache.computeIfAbsent((s, path), { _ =>
-      if (!new java.io.File(s"$path/codes/_SUCCESS").exists()) {
+      if (!successExists(s, s"$path/codes")) {
         val (codes, model) = graft.index.PqIndex.build(
           t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, codesPerSub = 16)
         graft.index.PqIndex.write(codes, model, path)
@@ -76,7 +87,7 @@ object SparkEntry {
   private def shingleIndexFor(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_shingle/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     shingleCache.computeIfAbsent((s, path), { _ =>
-      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      if (!successExists(s, path)) {
         graft.operators.Dedup.corpusShingleIndex(
           t(s, dir, "documents").where(col("doc_id") % 2 === 1),
           "doc_id", "text", n = 3, maxShingleFreq = 1000)
@@ -94,7 +105,7 @@ object SparkEntry {
     val (assigned, model) = ivfFor(s, dir)
     val path = s"/tmp/graft_sq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     val codes = sqCache.computeIfAbsent((s, path), { _ =>
-      if (!new java.io.File(s"$path/sq_codes/_SUCCESS").exists()) {
+      if (!successExists(s, s"$path/sq_codes")) {
         val dim = assigned.where(col("embedding").isNotNull)
           .select(size(col("embedding"))).head.getInt(0)
         graft.index.SqIndex.write(
@@ -113,7 +124,7 @@ object SparkEntry {
     // memoized per session: a served index keeps its centroid table
     // resident instead of re-collecting it on every query
     ivfCache.computeIfAbsent((s, path), { _ =>
-      if (!new java.io.File(s"$path/assignments/_SUCCESS").exists()) {
+      if (!successExists(s, s"$path/assignments")) {
         val (assigned, model) = graft.index.IvfIndex.build(
           t(s, dir, "embeddings"), "vec_id", "embedding", nClusters = 16, metric = metric)
         graft.index.IvfIndex.write(assigned, model, path)
@@ -1204,8 +1215,8 @@ object SparkEntry {
       "doc_pack" ->
         """WITH d AS (SELECT doc_id, source, n_chars // 4 AS tokens FROM documents),
           |c AS (SELECT doc_id, source, tokens,
-          |        sum(tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
-          |                          ROWS UNBOUNDED PRECEDING) - tokens AS tok_start
+          |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+          |                          ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS tok_start
           |      FROM d)
           |SELECT doc_id, source, tokens, tok_start, tok_start // 2048 AS pack_id
           |FROM c""".stripMargin,

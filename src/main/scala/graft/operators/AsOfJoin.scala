@@ -40,6 +40,13 @@ object AsOfJoin {
   def asOfMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String, carry: Seq[String],
                 prefix: String = "asof_"): DataFrame = {
+    // __ts/__tag/__r are plumbing names; an input already using one
+    // would be silently overwritten by withColumn and corrupt the
+    // output, so reject up front
+    val reserved = Set("__ts", "__tag", "__r")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asOf inputs must not contain reserved column(s): ${clash.mkString(", ")}")
     // the whole right row rides in ONE struct: last(ignoreNulls) skips
     // left rows (struct is null there) but never skips a matched right
     // row just because one of its carry FIELDS is null

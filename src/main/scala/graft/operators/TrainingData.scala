@@ -43,7 +43,12 @@ object TrainingData {
   def packSequences(docs: DataFrame, shardCol: String, idCol: String,
                     tokensCol: Column, capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    // ROWS frame, not the default RANGE: with duplicate (shard, id)
+    // rows RANGE makes all order-peers share one cumulative sum, so
+    // tok_start would be ambiguous. idCol should still be unique per
+    // shard for a deterministic packing order.
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("tokens", tokensCol.cast("long"))
       .withColumn("tok_start", sum(col("tokens")).over(w) - col("tokens"))
       // integer div, not floor(double /): exact above 2^53 token offsets

@@ -33,6 +33,13 @@ import org.apache.spark.sql.types._
   */
 object VectorLog {
 
+  /** seq contract: strictly increasing PER ID — the latest-wins fold
+    * only ever compares seqs within one id, and streaming ingest
+    * (EventStream.ingestStream) allocates base + per-id rank, so two
+    * different ids may share a seq value. Consumers must not assume
+    * global uniqueness; VectorServer's single-writer allocator happens
+    * to produce globally unique seqs, but that is not part of the
+    * schema contract. */
   val logSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("op", StringType, nullable = false), // 'insert' | 'delete'

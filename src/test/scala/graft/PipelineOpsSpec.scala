@@ -70,4 +70,25 @@ class PipelineOpsSpec extends SparkSpec {
       1L -> ((0L, 0L)), 2L -> ((4L, 0L)), 3L -> ((8L, 0L)), 4L -> ((12L, 1L)),
       5L -> ((0L, 0L)), 6L -> ((11L, 1L))))
   }
+
+  test("packSequences: ROWS frame — order-peers get distinct offsets") {
+    // duplicate (shard, id): the default RANGE frame would hand both
+    // peers ONE cumulative sum; the ROWS frame keeps offsets distinct
+    // (which of the two comes first stays ambiguous — documented)
+    val docs = Seq((1L, "s", 4L), (1L, "s", 6L))
+      .toDF("doc_id", "source", "toks")
+    val starts = TrainingData.packSequences(docs, "source", "doc_id",
+      col("toks"), capacity = 10)
+      .select(col("tok_start")).as[Long].collect().sorted
+    assert(starts.length == 2 && starts(0) == 0L && starts(0) != starts(1))
+  }
+
+  test("asOf: rejects inputs that use reserved plumbing columns") {
+    val left = Seq((1L, "u", 100L, "x")).toDF("event_id", "k", "ts", "__tag")
+    val right = Seq(("u", 10L, "a")).toDF("k", "ts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", "ts", Seq("tag"))
+    }
+    assert(e.getMessage.contains("__tag"))
+  }
 }
