@@ -179,6 +179,17 @@ object SparkEntry {
        |          FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc GROUP BY 1, 2, 3, 4),
        |jpairs AS (SELECT doc_a, doc_b, i * 1.0 / (sz_a + sz_b - i) AS jac FROM inter)""".stripMargin
 
+  /** CTE chain ending in p(doc_train, doc_eval, overlap) — the DuckDB
+    * twin of Decontaminate.contaminationPairs at n=5 over the even
+    * (train) / odd (eval) doc_id split. */
+  private def sqlDecontamCtes: String =
+    s"""tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
+       |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(5)}) AS shs FROM tha),
+       |tr AS (SELECT doc AS doc_train, unnest(shs) AS sh FROM sha WHERE doc % 2 = 0),
+       |ev AS (SELECT doc AS doc_eval, unnest(shs) AS sh FROM sha WHERE doc % 2 = 1),
+       |p AS (SELECT doc_train, doc_eval, count(*) AS overlap
+       |      FROM tr JOIN ev USING (sh) GROUP BY 1, 2)""".stripMargin
+
   private val sqlStopList: String =
     TF.EnglishStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def sqlStopFrac(text: String): String = {
@@ -828,6 +839,56 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"),
           col("tok_start"), col("pack_id"))),
 
+    // ---- decontamination [EXT]: train/eval n-gram overlap -----------
+    // even doc_ids play the training corpus, odd ids the eval set;
+    // the eval-side inverted 5-gram index is broadcast (benchmarks
+    // are tiny next to a 100 TB corpus)
+    "decontam_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationPairs(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, minOverlap = 5)
+        .orderBy(col("doc_train"), col("doc_eval"))
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.decontaminate(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 5, minOverlap = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- repetition stats [EXT]: Gopher-style quality filters -------
+    "doc_repetition" -> ((s, dir) =>
+      graft.operators.Decontaminate.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text", ns = Seq(1, 2))
+        .select(col("doc").as("doc_id"), col("n_tokens"),
+          round(col("top1_frac"), 4).as("top1_frac"),
+          round(col("top2_frac"), 4).as("top2_frac"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dataset mixing [EXT]: weighted source sampling -------------
+    "data_mix" -> ((s, dir) =>
+      graft.operators.TrainingData.mixSources(
+        t(s, dir, "documents"), "doc_id", "source",
+        weights = Map("src0" -> 2.5, "src1" -> 0.3, "src2" -> 0.0),
+        defaultWeight = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch"),
+          round(col("weight"), 1).as("weight"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // ---- token-budget curation [EXT]: best docs per source ----------
+    "data_budget" -> ((s, dir) =>
+      graft.operators.TrainingData.selectToBudget(
+        t(s, dir, "documents"), "source", "doc_id",
+        floor(col("n_chars") / 4), TF.qualityScore(col("text")),
+        budget = 2000)
+        .select(col("doc_id"), col("source"), col("tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))),
+
     // ---- window frame (moving aggregate per user timeline) ----------
     "events_moving" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1220,6 +1281,57 @@ object SparkEntry {
           |      FROM d)
           |SELECT doc_id, source, tokens, tok_start, tok_start // 2048 AS pack_id
           |FROM c""".stripMargin,
+      "decontam_pairs" ->
+        s"""WITH $sqlDecontamCtes
+           |SELECT doc_train, doc_eval, overlap FROM p WHERE overlap >= 5
+           |ORDER BY doc_train, doc_eval""".stripMargin,
+      "decontam_clean" ->
+        s"""WITH $sqlDecontamCtes
+           |SELECT doc_id FROM documents
+           |WHERE doc_id % 2 = 0
+           |  AND doc_id NOT IN (SELECT doc_train FROM p WHERE overlap >= 5)
+           |ORDER BY doc_id""".stripMargin,
+      "doc_repetition" ->
+        s"""WITH tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
+           |g1 AS (SELECT doc, unnest(th) AS g FROM tha),
+           |c1 AS (SELECT doc, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+           |t1 AS (SELECT doc, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS f1
+           |       FROM c1 GROUP BY doc),
+           |sha2 AS (SELECT doc, ${sqlShingleHashesOfTh(2)} AS sh2 FROM tha),
+           |g2 AS (SELECT doc, unnest(sh2) AS g FROM sha2),
+           |c2 AS (SELECT doc, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+           |t2 AS (SELECT doc, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS f2
+           |       FROM c2 GROUP BY doc)
+           |SELECT tha.doc AS doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+           |  round(f1, 4) AS top1_frac, round(f2, 4) AS top2_frac
+           |FROM tha LEFT JOIN t1 ON tha.doc = t1.doc LEFT JOIN t2 ON tha.doc = t2.doc
+           |ORDER BY doc_id""".stripMargin,
+      "data_mix" ->
+        """WITH w AS (SELECT * FROM (VALUES ('src0', 2.5), ('src1', 0.3), ('src2', 0.0))
+          |            AS t(source, wt)),
+          |d AS (SELECT doc_id, documents.source, coalesce(wt, 1.0) AS weight
+          |      FROM documents LEFT JOIN w ON documents.source = w.source),
+          |e AS (SELECT doc_id, source, weight,
+          |        unnest(range(0, CAST(ceil(weight) AS BIGINT))) AS epoch
+          |      FROM d WHERE weight > 0)
+          |SELECT doc_id, source, epoch, round(weight, 1) AS weight
+          |FROM e
+          |WHERE epoch < floor(weight)
+          |   OR ('0x' || substr(md5(doc_id || ':' || epoch), 1, 8))::BIGINT % 10000
+          |      < (weight - floor(weight)) * 10000
+          |ORDER BY doc_id, epoch""".stripMargin,
+      "data_budget" ->
+        s"""WITH d AS (SELECT doc_id, source, n_chars // 4 AS tokens,
+           |  round(least(len(${sqlTokens("text")}) / 64.0, 1.0)
+           |    * (CASE WHEN ${sqlStopFrac("text")} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+           |    * (1.0 - ${sqlPunctRatio("text")}), 4) AS q
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, tokens,
+           |  CAST(sum(tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+           |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM d)
+           |SELECT doc_id, source, tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+           |ORDER BY source, cum_tokens""".stripMargin,
     )
   }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** [EXT] benchmark decontamination: find (and drop) training documents
+  * that share n-gram spans with an evaluation set — the standard
+  * pre-training hygiene step (GPT-3 appendix C / PaLM style: a train
+  * doc is contaminated when it collides with any eval doc on enough
+  * distinct n-grams). The reference has no corpus operators at all
+  * (SURVEY §2.6); this composes the same inverted n-gram index shape
+  * as Dedup.jaccardPairs.
+  *
+  * Scale shape: the EVAL side is small by construction (benchmarks are
+  * thousands of docs, the corpus is billions), so its exploded n-gram
+  * index is broadcast — the 100 TB train side is scanned map-side with
+  * NO shuffle of unmatched rows; only colliding (train_doc, eval_doc,
+  * gram) hits reach the count aggregation. Never join train×train.
+  */
+object Decontaminate {
+
+  /** (doc_train, doc_eval, overlap) for every train/eval pair sharing
+    * at least `minOverlap` DISTINCT n-gram hashes.
+    *
+    * `maxGramFreq` caps how many EVAL docs may share one n-gram before
+    * it is dropped from the index (boilerplate spans that would fan
+    * every matching train doc out to the whole eval set); at the
+    * default it keeps everything.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5, minOverlap: Long = 5,
+                         maxGramFreq: Long = Long.MaxValue): DataFrame = {
+    val evalIdx = {
+      val g = Dedup.shingleSets(eval, idCol, textCol, n)
+        .select(col("doc").as("doc_eval"), explode(col("shs")).as("sh"))
+      if (maxGramFreq == Long.MaxValue) g
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        g.withColumn("__f", count(lit(1)).over(w))
+          .where(col("__f") <= maxGramFreq).drop("__f")
+      }
+    }
+    val trainG = Dedup.shingleSets(train, idCol, textCol, n)
+      .select(col("doc").as("doc_train"), explode(col("shs")).as("sh"))
+    trainG.join(broadcast(evalIdx), "sh")
+      .groupBy(col("doc_train"), col("doc_eval"))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
+  /** The decontaminated corpus: train rows whose id appears in NO
+    * contaminated pair (left-anti join on the pair set — distributed,
+    * no membership list ever collected). */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 5, minOverlap: Long = 5,
+                    maxGramFreq: Long = Long.MaxValue): DataFrame = {
+    val bad = contaminationPairs(train, eval, idCol, textCol, n,
+      minOverlap, maxGramFreq)
+      .select(col("doc_train")).distinct()
+    train.join(broadcast(bad), train(idCol) === bad("doc_train"),
+      "left_anti")
+  }
+
+  /** Per-document repetition statistics (Gopher-style quality
+    * filters): the fraction of all n-gram occurrences taken by the
+    * single most frequent n-gram, for each requested n. Highly
+    * repetitive machine-generated text scores near 1; natural text
+    * stays low. Emitted as `top{n}_frac` columns plus `n_tokens`.
+    *
+    * Shape: one explode + two-level aggregation per n — partial
+    * map-side combine on (doc, gram), then a per-doc max/sum. All
+    * counting is over 64-bit gram HASHES, so long strings never
+    * shuffle.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty, "need at least one n-gram size")
+    val base = docs.select(col(idCol).as("doc"),
+      TF.tokenHashes(col(textCol)).as("th"))
+    val stats = ns.map { n =>
+      val grams =
+        if (n == 1) base.select(col("doc"), explode(col("th")).as("g"))
+        else base.select(col("doc"),
+          explode(TF.shingleHashesFromTokens(col("th"), n)).as("g"))
+      grams.groupBy(col("doc"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc"))
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as(s"top${n}_frac"))
+    }
+    val counts = base.select(col("doc"), size(col("th")).cast("long").as("n_tokens"))
+    stats.foldLeft(counts)((acc, s) => acc.join(s, Seq("doc"), "left"))
+  }
+
+  /** Duplicate-line fraction (Gopher filter): share of a document's
+    * non-empty lines that are repeats of an earlier line, plus the
+    * share of line characters inside those repeats. Pure higher-order
+    * array expressions — no shuffle, no UDF; single-line documents
+    * score 0.0. */
+  def dupLineStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= "")
+    docs.select(col(idCol).as("doc"), lines.as("__lines"))
+      .select(col("doc"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        when(size(col("__lines")) === 0, lit(0.0))
+          .otherwise((size(col("__lines")) - size(array_distinct(col("__lines"))))
+            .cast("double") / size(col("__lines")).cast("double"))
+          .as("dup_line_frac"),
+        when(size(col("__lines")) === 0, lit(0.0))
+          .otherwise((aggregate(col("__lines"), lit(0L), (acc, l) => acc + length(l)) -
+            aggregate(array_distinct(col("__lines")), lit(0L), (acc, l) => acc + length(l)))
+            .cast("double") /
+            greatest(aggregate(col("__lines"), lit(0L), (acc, l) => acc + length(l)), lit(1L))
+              .cast("double"))
+          .as("dup_line_char_frac"))
+  }
+}

@@ -54,4 +54,68 @@ object TrainingData {
       // integer div, not floor(double /): exact above 2^53 token offsets
       .withColumn("pack_id", expr(s"tok_start div $capacity"))
   }
+
+  /** Deterministic per-(id, epoch) sampling bucket in [0, 10000):
+    * md5 over "id:epoch" so each oversampling epoch draws an
+    * independent subsample. */
+  private def mixBucket(idCol: Column, epoch: Column): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(":"), epoch.cast("string"))),
+      1, 8), 16, 10).cast("long") % 10000
+
+  /** Weighted source mixing (the pre-training "data recipe"): each
+    * source is re-weighted by a sampling factor — weight 0.3 keeps a
+    * deterministic 30% subsample, weight 2.5 emits every doc twice
+    * plus a 50% subsample as a third copy. Output rows carry `epoch`
+    * (0-based copy number) and `weight`.
+    *
+    * Membership is a pure hash of (id, epoch) — reproducible across
+    * runs and cluster layouts, like hashSplit, with no sampling state.
+    * Scale shape: the recipe is a handful of rows, broadcast; the
+    * corpus side is one projection + a bounded explode (ceil(weight)
+    * copies) — no shuffle at all.
+    */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Double],
+                 defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "mix weights must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val recipe = weights.toSeq.toDF(sourceCol, "__w")
+    docs.join(broadcast(recipe), Seq(sourceCol), "left")
+      .withColumn("weight", coalesce(col("__w"), lit(defaultWeight)))
+      .drop("__w")
+      // weight 0 drops the source BEFORE the explode — sequence(0, -1)
+      // would count backwards, not produce an empty array
+      .where(col("weight") > 0)
+      // epochs 0 .. ceil(w)-1; full epochs keep everything, the last
+      // partial epoch keeps a bucket < frac·10000 subsample. The
+      // threshold stays a DOUBLE comparison: casting it to long would
+      // truncate where other engines round (0.3·10000 is 2999.99…),
+      // so membership would disagree at the boundary bucket.
+      .withColumn("epoch",
+        explode(sequence(lit(0L), ceil(col("weight")).cast("long") - 1)))
+      .where(col("epoch") < floor(col("weight")) ||
+        mixBucket(col(idCol), col("epoch")) <
+          (col("weight") - floor(col("weight"))) * 10000)
+  }
+
+  /** Quality-ranked token-budget selection: per shard (e.g. source),
+    * take documents in descending score order until the cumulative
+    * token count would exceed `budget` — the "keep the best N tokens
+    * per source" curation step. Emits `cum_tokens` (inclusive running
+    * total). One window per shard; task size bounded by the largest
+    * shard, like packSequences.
+    */
+  def selectToBudget(docs: DataFrame, shardCol: String, idCol: String,
+                     tokensCol: Column, scoreCol: Column,
+                     budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("tokens", tokensCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
 }

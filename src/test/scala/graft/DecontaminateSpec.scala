@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, TrainingData}
+
+/** [EXT] decontamination + Gopher-style repetition filters + dataset
+  * mixing/curation: planted-fixture semantics tests; the DuckDB twins
+  * (decontam_pairs / decontam_clean / doc_repetition / data_mix /
+  * data_budget) cross-check at sf0.01.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("contaminationPairs: planted eval span is flagged, clean doc is not") {
+    // train doc 1 embeds the eval doc verbatim → shares all its
+    // 5-grams; train doc 2 shares none
+    val train = Seq(
+      (1L, s"intro words $evalDoc closing words"),
+      (2L, "completely different tokens with no shared span at all here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val pairs = Decontaminate.contaminationPairs(train, eval, "doc_id", "text",
+      n = 5, minOverlap = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1)
+    val (tr, ev, overlap) = pairs.head
+    assert(tr == 1L && ev == 100L)
+    assert(overlap == 4L) // 8-token eval doc → 4 distinct 5-grams, all present
+  }
+
+  test("decontaminate: drops flagged docs, keeps the rest intact") {
+    val train = Seq(
+      (1L, s"$evalDoc padded out"),
+      (2L, "unrelated text that stays in the corpus after cleaning runs")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(train, eval, "doc_id", "text",
+      n = 5, minOverlap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("contaminationPairs: maxGramFreq drops boilerplate grams") {
+    // the same span appears in BOTH eval docs → gram freq 2 on the
+    // eval side; capping at 1 removes it from the index entirely
+    val train = Seq((1L, s"x y $evalDoc")).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc), (101L, s"$evalDoc trailing"))
+      .toDF("doc_id", "text")
+    val capped = Decontaminate.contaminationPairs(train, eval, "doc_id", "text",
+      n = 5, minOverlap = 1, maxGramFreq = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("repetitionStats: known top-gram fractions") {
+    // "a a a b": top1 = 3/4; bigrams (a,a),(a,a),(a,b): top2 = 2/3
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = Decontaminate.repetitionStats(docs, "doc_id", "text", ns = Seq(1, 2))
+      .select(col("n_tokens"), col("top1_frac"), col("top2_frac"))
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == 4L)
+    assert(math.abs(r._2 - 0.75) < 1e-12)
+    assert(math.abs(r._3 - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("dupLineStats: repeated lines counted, single-line doc scores 0") {
+    val docs = Seq(
+      (1L, "same line\nother\nsame line\n"),
+      (2L, "just one line")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.dupLineStats(docs, "doc_id", "text")
+      .select(col("doc"), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (n1, f1, c1) = got(1L)
+    assert(n1 == 3L && math.abs(f1 - 1.0 / 3.0) < 1e-12)
+    // chars: 9 + 5 + 9 = 23 total, 9 inside the repeat
+    assert(math.abs(c1 - 9.0 / 23.0) < 1e-12)
+    assert(got(2L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("mixSources: epochs, fractional sampling, zero weight, determinism") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    val mixed = TrainingData.mixSources(docs, "doc_id", "source",
+      weights = Map("s0" -> 2.5, "s1" -> 0.0))
+    val rows = mixed.select(col("doc_id"), col("epoch"))
+      .as[(Long, Long)].collect()
+    // s1 (weight 0) vanishes entirely
+    assert(rows.forall(_._1 % 2 == 0))
+    // every s0 doc appears in full epochs 0 and 1
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc.size == 100 && byDoc.values.forall(_.startsWith(Seq(0L, 1L))))
+    // epoch 2 keeps roughly half (hash-sampled at 0.5)
+    val e2 = rows.count(_._2 == 2L)
+    assert(e2 > 25 && e2 < 75, s"epoch-2 sample was $e2/100")
+    // pure function of (id, epoch): identical on re-run
+    val again = TrainingData.mixSources(docs, "doc_id", "source",
+      weights = Map("s0" -> 2.5, "s1" -> 0.0))
+      .select(col("doc_id"), col("epoch")).as[(Long, Long)].collect()
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("mixSources: defaultWeight applies to unlisted sources") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    val mixed = TrainingData.mixSources(docs, "doc_id", "source",
+      weights = Map("a" -> 1.0), defaultWeight = 1.0)
+      .select(col("doc_id"), col("epoch"), col("weight"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mixed == Set((1L, 0L, 1.0), (2L, 0L, 1.0)))
+  }
+
+  test("selectToBudget: best-scored docs kept until the budget fills") {
+    val docs = Seq(
+      // shard s: scores 0.9 (40 toks), 0.8 (50), 0.7 (30) — budget 100
+      // keeps the first two (cum 40, 90); the third would hit 120
+      (1L, "s", 40L, 0.9), (2L, "s", 50L, 0.8), (3L, "s", 30L, 0.7),
+      // shard t: a single doc larger than the budget is dropped
+      (4L, "t", 150L, 0.99)
+    ).toDF("doc_id", "shard", "toks", "score")
+    val kept = TrainingData.selectToBudget(docs, "shard", "doc_id",
+      col("toks"), col("score"), budget = 100)
+      .select(col("doc_id"), col("cum_tokens"))
+      .as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 40L, 2L -> 90L))
+  }
+
+  test("selectToBudget: score ties break by id for a deterministic cut") {
+    val docs = Seq((1L, "s", 60L, 0.5), (2L, "s", 60L, 0.5))
+      .toDF("doc_id", "shard", "toks", "score")
+    val kept = TrainingData.selectToBudget(docs, "shard", "doc_id",
+      col("toks"), col("score"), budget = 100)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+}

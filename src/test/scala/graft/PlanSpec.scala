@@ -79,6 +79,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("decontamination broadcasts the eval-side index, never a cartesian") {
+    val p = plan("decontam_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval n-gram index must broadcast (benchmarks are tiny vs the corpus):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("data_mix is broadcast-join + explode: no data shuffle") {
+    val p = plan("data_mix")
+    // the only exchange allowed is the broadcast of the recipe table
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mixing must not shuffle the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("Generate"), p) // the bounded epoch explode
+  }
+
   test("batch ANN cluster join dynamically prunes index partitions") {
     // the probed-cluster set must reach the partitioned index scan as a
     // runtime partition filter (DPP) — the on-disk inverted file is only
