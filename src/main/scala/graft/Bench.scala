@@ -21,8 +21,8 @@ object Bench {
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",
     "events_sessionized", "events_asof", "json_props",
-    "data_split", "doc_pack", "data_mix", "data_budget",
-    "decontam_pairs", "doc_repetition",
+    "data_split", "doc_pack", "data_mix", "data_budget", "data_shuffle",
+    "decontam_pairs", "doc_repetition", "bm25_search",
     "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_incremental", "dedup_embedding_lsh")

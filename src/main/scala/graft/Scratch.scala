@@ -172,6 +172,55 @@ object Scratch {
         floor(col("n_chars") / 4), 2048)
         .write.format("noop").mode("overwrite").save())
 
+    // ---- round-4 additions ------------------------------------------
+
+    // 5M docs WITH text (for the text-pipeline operators): unique ids,
+    // 64 source shards
+    docs.crossJoin(spark.range(1000).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
+        col("text"),
+        concat(col("source"), lit("_"), col("rep") % 64).as("source"),
+        col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet("/tmp/big_textdocs")
+    val bigText = spark.read.parquet("/tmp/big_textdocs")
+    println(s"[scale] text docs rows=${bigText.count()}")
+
+    // decontamination: 2.5M-replica train side vs a SMALL eval set
+    // (the production shape: benchmark suites are tiny, the corpus
+    // is not) — eval index broadcasts, train is scanned once
+    val evalSet = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    timeIt("decontam 2.5M train docs vs 2.5k eval docs (broadcast index)")(
+      operators.Decontaminate.contaminationPairs(
+        bigText.where(col("doc_id") % 2 === 0), evalSet,
+        "doc_id", "text", n = 5, minOverlap = 5)
+        .write.format("noop").mode("overwrite").save())
+
+    timeIt("mixSources 5M docs (weights incl. 2.5x oversample)")(
+      operators.TrainingData.mixSources(bigText, "doc_id", "source",
+        weights = Map("src0_0" -> 2.5, "src1_1" -> 0.3), defaultWeight = 1.0)
+        .write.format("noop").mode("overwrite").save())
+
+    timeIt("selectToBudget 5M docs, 320 shards (quality-ranked cumsum)")(
+      operators.TrainingData.selectToBudget(bigText, "source", "doc_id",
+        floor(col("n_chars") / 4), functions.TextFunctions.qualityScore(col("text")),
+        budget = 500000L)
+        .write.format("noop").mode("overwrite").save())
+
+    timeIt("shuffleDeterministic 5M docs, 64 shards")(
+      operators.TrainingData.shuffleDeterministic(bigText, "doc_id", 64)
+        .write.format("noop").mode("overwrite").save())
+
+    timeIt("bm25Search 4-term query over 5M docs")(
+      operators.Lexical.bm25Search(bigText, "doc_id", "text",
+        Seq("spark", "vector", "join", "stream"), k = 20).collect())
+
+    timeIt("repetitionStats (1,2)-grams over 5M docs")(
+      operators.Decontaminate.repetitionStats(bigText, "doc_id", "text",
+        ns = Seq(1, 2))
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }

@@ -889,6 +889,21 @@ object SparkEntry {
           col("cum_tokens"))
         .orderBy(col("source"), col("cum_tokens"))),
 
+    // ---- lexical retrieval [EXT]: BM25 keyword search ---------------
+    "bm25_search" -> ((s, dir) =>
+      graft.operators.Lexical.bm25Search(t(s, dir, "documents"),
+        "doc_id", "text", query = Seq("spark", "vector", "join", "stream"),
+        k = 20)
+        .select(col("doc").as("doc_id"), col("dl"),
+          round(col("score"), 4).as("score"))),
+
+    // ---- deterministic corpus shuffle [EXT] -------------------------
+    "data_shuffle" -> ((s, dir) =>
+      graft.operators.TrainingData.shuffleDeterministic(
+        t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
     // ---- window frame (moving aggregate per user timeline) ----------
     "events_moving" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1281,6 +1296,37 @@ object SparkEntry {
           |      FROM d)
           |SELECT doc_id, source, tokens, tok_start, tok_start // 2048 AS pack_id
           |FROM c""".stripMargin,
+      "bm25_search" -> {
+        val terms = Seq("spark", "vector", "join", "stream")
+        val toks = sqlTokens("text")
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+        }.mkString(",\n           |        ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+          .mkString(", ")
+        // per-term score written with EXACTLY the engine's operator
+        // order/associativity so the doubles agree bit-for-bit
+        val scoreTerms = terms.indices.map(i =>
+          s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * CAST(tf_$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))")
+          .mkString("(", ") + (", ")")
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS tk FROM documents),
+           |pd AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl,
+           |        $tfs
+           |       FROM tk),
+           |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM pd),
+           |sc AS (SELECT doc, dl, $scoreTerms AS score FROM pd CROSS JOIN st)
+           |SELECT doc AS doc_id, dl, round(score, 4) AS score
+           |FROM sc WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 20""".stripMargin
+      },
+      "data_shuffle" ->
+        """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+          |s AS (SELECT doc_id, key,
+          |        CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT) AS shard
+          |      FROM k)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+          |FROM s ORDER BY shard, pos""".stripMargin,
       "decontam_pairs" ->
         s"""WITH $sqlDecontamCtes
            |SELECT doc_train, doc_eval, overlap FROM p WHERE overlap >= 5

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** [EXT] lexical (keyword) retrieval: BM25 scoring of a fixed query
+  * against the corpus — the sparse complement to the dense k-NN path
+  * (production retrieval is typically hybrid). The reference has no
+  * text search at all; this is the standard Robertson/Sparck-Jones
+  * BM25 re-expressed as two integer aggregations plus one per-row
+  * double projection.
+  *
+  * Determinism note (the oracle-parity invariant): cross-row DOUBLE
+  * sums are partial-aggregation-order dependent, so all aggregation
+  * here is over INTEGERS (term counts, document lengths) — the only
+  * floating-point math happens per-row, in one projection, with a
+  * fixed term order, so Spark and any other engine produce
+  * bit-identical scores.
+  *
+  * Scale shape: corpus stats (N, avgdl, per-term df) are a handful of
+  * numbers computed by one integer aggregation and broadcast back via
+  * a single-row cross join — the corpus itself is scanned once, never
+  * shuffled (tf counting groups by doc id only, which parquet bucketing
+  * can make exchange-free). Top-k is TakeOrderedAndProject.
+  */
+object Lexical {
+
+  /** BM25 top-k: (doc, dl, score) for the `k` best-scoring documents.
+    * Documents matching no query term are not returned (score 0).
+    *
+    * @param query distinct lowercase terms; compared against raw
+    *   whitespace tokens (same tokenizer as every text operator here)
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 query: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && query.distinct == query,
+      "query must be non-empty distinct terms")
+    val toks = docs.select(col(idCol).as("doc"),
+      TF.tokens(col(textCol)).as("__tk"))
+
+    // per-doc: length + one INTEGER tf column per query term (fixed
+    // pivot, not a (doc, term) group-by — keeps the later double math
+    // in one row, in one fixed order)
+    def tfCol(t: String): Column =
+      size(filter(col("__tk"), x => x === t)).cast("long")
+    val perDoc = toks.select(
+      col("doc") +: size(col("__tk")).cast("long").as("dl") +:
+        query.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+
+    // corpus stats: one integer aggregation → a single broadcast row
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      query.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols: _*)
+
+    // per-row BM25: idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)), summed in query order
+    val joined = perDoc.join(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val score = query.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce(_ + _)
+    joined.select(col("doc"), col("dl"), score.as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+}

@@ -118,4 +118,24 @@ object TrainingData {
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .where(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic global shuffle (the "shuffle the corpus before
+    * training" step): every doc gets a stable pseudo-random `shard`
+    * and a dense `pos` within it, both pure functions of the id — the
+    * order is reproducible across runs and engines, unlike
+    * `orderBy(rand())`. One window per shard; a single global sort
+    * would funnel the corpus through one task's order key range,
+    * shards keep task size bounded at 1/numShards.
+    */
+  def shuffleDeterministic(docs: DataFrame, idCol: String,
+                           numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key").asc, col(idCol).asc)
+    docs.withColumn("__key", key)
+      .withColumn("shard",
+        (conv(substring(col("__key"), 1, 8), 16, 10).cast("long") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
 }

@@ -160,6 +160,28 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").cast("long").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming sessionization: per-user session windows with a
+    * watermark bounding state — the streaming twin of the lag-based
+    * batch `events_sessionized`. `session_window` merges events whose
+    * gap is strictly under `gap` (sessions are [start, last+gap)
+    * half-open), matching the batch "gap > 30 min starts a new
+    * session" rule everywhere except an exact-gap tie. State per key
+    * is one open session, evicted once the watermark passes its end —
+    * bounded regardless of stream length.
+    */
+  def sessionizeStream(events: DataFrame, tsNanosCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros((col(tsNanosCol) / 1000).cast("long")))
+      .withWatermark("__ts", watermark)
+      .groupBy(session_window(col("__ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"))
 }
 
 /** Latest-known state of one vector id in the streaming fold. */

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Lexical, TrainingData}
+
+/** [EXT] lexical retrieval + deterministic corpus shuffle: hand-checked
+  * BM25 values; the DuckDB twins (bm25_search / data_shuffle)
+  * cross-check at sf0.01.
+  */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Search: hand-computed scores, ordering and exclusion") {
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = Lexical.bm25Search(docs, "doc_id", "text",
+      query = Seq("x", "z"), k = 10)
+      .select(col("doc"), col("score")).as[(Long, Double)].collect()
+
+    // N=3, avgdl=3; idf_x=ln(1+2.5/1.5), idf_z=ln(1+1.5/2.5)
+    val (k1, b) = (1.2, 0.75)
+    def term(tf: Double, df: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / 3.0))
+    }
+    val exp = Seq(
+      1L -> term(2, 1, 3),               // only "x" matches
+      3L -> term(4, 2, 4),               // only "z"
+      2L -> term(1, 2, 2))               // only "z"
+    assert(got.map(_._1).toSeq == exp.map(_._1), "descending-score order")
+    got.toMap.foreach { case (d, s) =>
+      assert(math.abs(s - exp.toMap.apply(d)) < 1e-12, s"doc $d")
+    }
+    // a doc matching no term never appears
+    val none = Lexical.bm25Search(docs, "doc_id", "text", Seq("missing"), 10)
+    assert(none.count() == 0)
+  }
+
+  test("bm25Search: k truncates by score then id") {
+    val docs = Seq((1L, "q"), (2L, "q"), (3L, "q")).toDF("doc_id", "text")
+    // identical docs → identical scores; ties break by doc asc
+    val got = Lexical.bm25Search(docs, "doc_id", "text", Seq("q"), k = 2)
+      .select(col("doc")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("shuffleDeterministic: stable, dense positions, bounded shards") {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = TrainingData.shuffleDeterministic(docs, "doc_id", numShards = 4)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect()
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $sh")
+    }
+    // every shard got a reasonable share (hash balance, not skew)
+    assert(a.groupBy(_._2).size == 4)
+    assert(a.groupBy(_._2).values.map(_.size).min > 20)
+    // pure function of the id: identical on re-run over reordered input
+    val b = TrainingData.shuffleDeterministic(docs.orderBy(rand(11)), "doc_id", 4)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Int, Long)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+  }
+}

@@ -266,4 +266,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("session windows over the event stream match the batch lag fold") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // batch ground truth on the same µs-truncated timestamps the
+    // stream uses: per user, number of >30min-gap sessions and events
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us").asc)
+    val expected = events
+      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull
+        || (col("__us") - col("__prev")) >= 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val streamDir = Files.createTempDirectory("events-sessions")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamed = spark.readStream.schema(events.schema)
+      .parquet(streamDir.toString)
+    val q = EventStream.sessionizeStream(streamed, "ts")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }
