@@ -190,6 +190,29 @@ object SparkEntry {
        |p AS (SELECT doc_train, doc_eval, count(*) AS overlap
        |      FROM tr JOIN ev USING (sh) GROUP BY 1, 2)""".stripMargin
 
+  /** CTE chain ending in sc(doc, dl, score) — the DuckDB twin of
+    * Lexical.bm25Search over the fixed demo query terms, written with
+    * EXACTLY the engine's operator order/associativity so the doubles
+    * agree bit-for-bit. */
+  private def sqlBm25Ctes: String = {
+    val terms = Seq("spark", "vector", "join", "stream")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n       |        ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    val scoreTerms = terms.indices.map(i =>
+      s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * CAST(tf_$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))")
+      .mkString("(", ") + (", ")")
+    s"""tk AS (SELECT doc_id AS doc, ${sqlTokens("text")} AS tk FROM documents),
+       |pd AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl,
+       |        $tfs
+       |       FROM tk),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM pd),
+       |sc AS (SELECT doc, dl, $scoreTerms AS score FROM pd CROSS JOIN st)""".stripMargin
+  }
+
   private val sqlStopList: String =
     TF.EnglishStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def sqlStopFrac(text: String): String = {
@@ -897,6 +920,33 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("dl"),
           round(col("score"), 4).as("score"))),
 
+    // ---- hybrid retrieval [EXT]: RRF over lexical + dense ranks -----
+    // rank-based fusion: BM25 top-50 and exact-knn top-50 each get
+    // 1-based ranks (the slices are tiny, so the global rank windows
+    // run over 50 rows, not the corpus), then reciprocal-rank fusion
+    "hybrid_search" -> ((s, dir) => {
+      val wB = Window.orderBy(col("score").desc, col("doc").asc)
+      val bm = graft.operators.Lexical.bm25Search(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "join", "stream"), k = 50)
+        .withColumn("rank", row_number().over(wB))
+        .select(col("doc").as("id"), col("rank"))
+      val wK = Window.orderBy(col("distance").asc, col("vec_id").asc)
+      val kn = TopK.knnOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", 50, DistanceMetric.Euclidean)
+        .withColumn("rank", row_number().over(wK))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Lexical.rrfFuse(bm, kn, "id", topK = 20)
+        .select(col("id"), round(col("rrf"), 6).as("rrf"))
+    }),
+
+    // ---- curriculum banding [EXT]: quality tiers per source ---------
+    "data_curriculum" -> ((s, dir) =>
+      graft.operators.TrainingData.curriculumBands(
+        t(s, dir, "documents"), "source", "doc_id",
+        TF.qualityScore(col("text")), bands = 4)
+        .select(col("doc_id"), col("source"), col("band").cast("long").as("band"))
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic corpus shuffle [EXT] -------------------------
     "data_shuffle" -> ((s, dir) =>
       graft.operators.TrainingData.shuffleDeterministic(
@@ -1296,29 +1346,35 @@ object SparkEntry {
           |      FROM d)
           |SELECT doc_id, source, tokens, tok_start, tok_start // 2048 AS pack_id
           |FROM c""".stripMargin,
-      "bm25_search" -> {
-        val terms = Seq("spark", "vector", "join", "stream")
-        val toks = sqlTokens("text")
-        val tfs = terms.zipWithIndex.map { case (t, i) =>
-          s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
-        }.mkString(",\n           |        ")
-        val dfs = terms.indices.map(i =>
-          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
-          .mkString(", ")
-        // per-term score written with EXACTLY the engine's operator
-        // order/associativity so the doubles agree bit-for-bit
-        val scoreTerms = terms.indices.map(i =>
-          s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * CAST(tf_$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))")
-          .mkString("(", ") + (", ")")
-        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS tk FROM documents),
-           |pd AS (SELECT doc, CAST(len(tk) AS BIGINT) AS dl,
-           |        $tfs
-           |       FROM tk),
-           |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM pd),
-           |sc AS (SELECT doc, dl, $scoreTerms AS score FROM pd CROSS JOIN st)
+      "bm25_search" ->
+        s"""WITH $sqlBm25Ctes
            |SELECT doc AS doc_id, dl, round(score, 4) AS score
-           |FROM sc WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 20""".stripMargin
-      },
+           |FROM sc WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 20""".stripMargin,
+      "hybrid_search" ->
+        s"""WITH $sqlBm25Ctes,
+           |bm AS (SELECT doc AS id,
+           |         CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS INT) AS rank
+           |       FROM sc WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 50),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |dn AS (SELECT e.vec_id AS id, ${sqlSqDist("e.embedding", "q.qv")} AS dist
+           |       FROM embeddings e CROSS JOIN q),
+           |kn AS (SELECT id, CAST(row_number() OVER (ORDER BY dist ASC, id ASC) AS INT) AS rank
+           |       FROM dn WHERE dist IS NOT NULL ORDER BY dist ASC, id ASC LIMIT 50),
+           |f AS (SELECT coalesce(bm.id, kn.id) AS id,
+           |        coalesce(1.0 / (60.0 + CAST(bm.rank AS DOUBLE)), 0.0)
+           |          + coalesce(1.0 / (60.0 + CAST(kn.rank AS DOUBLE)), 0.0) AS rrf
+           |      FROM bm FULL OUTER JOIN kn ON bm.id = kn.id)
+           |SELECT id, round(rrf, 6) AS rrf FROM f
+           |ORDER BY rrf DESC, id ASC LIMIT 20""".stripMargin,
+      "data_curriculum" ->
+        s"""WITH d AS (SELECT doc_id, source,
+           |  round(least(len(${sqlTokens("text")}) / 64.0, 1.0)
+           |    * (CASE WHEN ${sqlStopFrac("text")} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+           |    * (1.0 - ${sqlPunctRatio("text")}), 4) AS q
+           |  FROM documents)
+           |SELECT doc_id, source,
+           |  ntile(4) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS band
+           |FROM d ORDER BY doc_id""".stripMargin,
       "data_shuffle" ->
         """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
           |s AS (SELECT doc_id, key,

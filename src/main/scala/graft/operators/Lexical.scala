@@ -72,4 +72,29 @@ object Lexical {
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of two rankings (the standard hybrid
+    * lexical+dense combiner): rrf = Σ 1/(k0 + rank), full-outer over
+    * ids so an item ranked by only one system still scores. Rank-based
+    * fusion needs no score normalization across systems — BM25 scores
+    * and vector distances never mix directly. Both inputs must carry
+    * (idCol, rankCol) with rank 1-based and deterministic (break
+    * score ties by id).
+    *
+    * Scale shape: rankings are top-N slices (tiny), so this is
+    * driver-light arithmetic over two small tables — the heavy work
+    * happened in the systems that produced them.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              topK: Int, k0: Int = 60): DataFrame = {
+    val fa = a.select(col(idCol), col("rank").as("__ra"))
+    val fb = b.select(col(idCol), col("rank").as("__rb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(k0).cast("double") + col("__ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0).cast("double") + col("__rb").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

@@ -138,4 +138,17 @@ object TrainingData {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__key")
   }
+
+  /** Curriculum banding: per shard, split documents into `bands`
+    * equal-size quality tiers (band 1 = best). ntile over a
+    * deterministic ordering (score desc, id asc) — a curriculum
+    * scheduler then feeds bands in order, or re-weights them via
+    * [[mixSources]]. One window per shard, like packSequences. */
+  def curriculumBands(docs: DataFrame, shardCol: String, idCol: String,
+                      scoreCol: Column, bands: Int): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    docs.withColumn("band", ntile(bands).over(w))
+  }
 }

@@ -45,6 +45,30 @@ class LexicalSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("rrfFuse: known fusion scores, one-sided items still rank") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Lexical.rrfFuse(a, b, "id", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-12) // both systems
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-12)              // lexical only
+    assert(math.abs(got(40L) - 1.0 / 62) < 1e-12)              // dense only
+    assert(got.size == 4)
+    // doc in both systems outranks a top-1 in just one
+    assert(got(20L) > got(10L))
+  }
+
+  test("curriculumBands: quality quartiles per shard, ties broken by id") {
+    val docs = (1L to 8L).map(i => (i, "s", 9.0 - i)) // strictly ranked
+      .toDF("doc_id", "shard", "q")
+    val got = TrainingData.curriculumBands(docs, "shard", "doc_id",
+      col("q"), bands = 4)
+      .select(col("doc_id"), col("band")).as[(Long, Int)].collect().toMap
+    // 8 docs / 4 bands = 2 each, best quality (lowest id here) first
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
   test("shuffleDeterministic: stable, dense positions, bounded shards") {
     val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = TrainingData.shuffleDeterministic(docs, "doc_id", numShards = 4)
