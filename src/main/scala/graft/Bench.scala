@@ -25,7 +25,9 @@ object Bench {
     "decontam_pairs", "doc_repetition", "bm25_search",
     "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_incremental", "dedup_embedding_lsh")
+    "dedup_incremental", "dedup_embedding_lsh",
+    "knn_radius", "pack_assemble", "corpus_ngrams", "unigram_logprob",
+    "pii_redact", "dedup_representative")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

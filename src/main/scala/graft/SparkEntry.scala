@@ -97,6 +97,25 @@ object SparkEntry {
     })
   }
 
+  /** Build-once materialized shingle index over the FULL documents
+    * table — the artifact full-corpus near-dup dedup self-joins
+    * (dedup_jaccard). Separate from [[shingleIndexFor]] (odd-id corpus
+    * half) because the stop-shingle frequency cap is computed over the
+    * index's own corpus, so the two tables are not filters of each
+    * other. */
+  private def fullShingleIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_shingle/v1full_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, path)) {
+        graft.operators.Dedup.corpusShingleIndex(
+          t(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxShingleFreq = 1000)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Build-once SQ8 codes over the persisted IVF assignments (the
     * middle storage tier): cluster-partitioned int8 lists served from
     * disk; encode cost is compaction-cadence work like the other
@@ -573,9 +592,13 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("content_hash"))
     }),
+    // full-corpus near-dup pairs served from the MATERIALIZED inverted
+    // shingle index (built once per sf dir, compaction cadence): the
+    // query is just the candidate self-join + verify — the corpus is
+    // never re-tokenized per dedup pass. Same output as the inline
+    // Dedup.jaccardPairs form (DedupSpec pins the equivalence).
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.1)
+      Dedup.jaccardPairsFromIndex(fullShingleIndexFor(s, dir), minJaccard = 0.1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -980,6 +1003,66 @@ object SparkEntry {
           round(col("distance"), 4).as("distance"), col("rank").cast("long").as("rank"))
         .orderBy(col("label"), col("rank"))
     }),
+
+    // ---- radius (range) search: all vectors within r ----------------
+    // scan + codegen'd distance filter, no heap, no shuffle until the
+    // presentation sort — r = 1.26 admits ~5% of the corpus here
+    "knn_radius" -> ((s, dir) => {
+      TopK.radiusOf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryRow(s, dir), "embedding", maxDist = 1.26, DistanceMetric.Euclidean)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+
+    // ---- pack assembly [EXT]: materialize packed sequences ----------
+    "pack_assemble" -> ((s, dir) =>
+      graft.operators.TrainingData.assemblePacks(
+        t(s, dir, "documents"), "source", "doc_id", "text",
+        floor(col("n_chars") / 4), capacity = 2048)
+        .select(col("source"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), col("content_md5"))
+        .orderBy(col("source"), col("pack_id"))),
+
+    // ---- corpus n-gram heavy hitters [EXT]: boilerplate report ------
+    "corpus_ngrams" -> ((s, dir) =>
+      graft.operators.CorpusStats.topNgrams(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)),
+
+    // ---- unigram-LM doc scoring [EXT]: perplexity proxy -------------
+    "unigram_logprob" -> ((s, dir) =>
+      graft.operators.CorpusStats.unigramLogProb(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_tokens"),
+          round(col("nll"), 4).as("nll"))
+        .orderBy(col("doc_id"))),
+
+    // ---- PII redaction [EXT] ----------------------------------------
+    // the corpus text is synthetic and PII-free, so the demo plants
+    // deterministic PII derived from doc_id on BOTH engines, then
+    // scrubs it — what's verified is the redactor, not the fixture
+    "pii_redact" -> ((s, dir) =>
+      graft.operators.Privacy.redact(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org or +1-555-"),
+            lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")).as("text")),
+        "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- near-dup cluster representatives [EXT] ---------------------
+    // keep the best member of each near-dup component (longest text,
+    // id tiebreak) instead of blindly keeping the lowest id
+    "dedup_representative" -> ((s, dir) =>
+      Dedup.representativesFromPairs(
+        Dedup.jaccardPairsFromIndex(fullShingleIndexFor(s, dir), minJaccard = 0.3),
+        t(s, dir, "documents"), "doc_id", col("n_chars"))
+        .select(col("component"), col("keeper"),
+          col("quality").cast("long").as("quality"), col("n_members"))
+        .orderBy(col("component"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1434,6 +1517,83 @@ object SparkEntry {
            |  FROM d)
            |SELECT doc_id, source, tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
            |ORDER BY source, cum_tokens""".stripMargin,
+      "knn_radius" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, round(${sqlSqDist("e.embedding", "q.qv")}, 4) AS distance
+           |FROM embeddings e CROSS JOIN q
+           |WHERE ${sqlSqDist("e.embedding", "q.qv")} <= 1.26
+           |ORDER BY ${sqlSqDist("e.embedding", "q.qv")} ASC, e.vec_id ASC""".stripMargin,
+      "pack_assemble" ->
+        """WITH d AS (SELECT doc_id, source, text, n_chars // 4 AS tokens FROM documents),
+          |c AS (SELECT doc_id, source, text, tokens,
+          |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+          |                               ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS tok_start
+          |      FROM d)
+          |SELECT source, CAST(tok_start // 2048 AS BIGINT) AS pack_id,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+          |  md5(string_agg(text, chr(1) ORDER BY doc_id ASC)) AS content_md5
+          |FROM c GROUP BY source, tok_start // 2048
+          |ORDER BY source, pack_id""".stripMargin,
+      "corpus_ngrams" ->
+        s"""WITH tk AS (SELECT doc_id AS doc, ${sqlTokens("text")} AS tk FROM documents),
+           |ng AS (SELECT doc, unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
+           |                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS ngram
+           |       FROM tk),
+           |pd AS (SELECT ngram, doc, count(*) AS c FROM ng GROUP BY 1, 2)
+           |SELECT ngram, CAST(sum(c) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS doc_freq
+           |FROM pd GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+      "unigram_logprob" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+           |dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+           |tf AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1),
+           |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)
+           |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           |  round(sum(CAST(dt.c AS DOUBLE) * -ln(CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+           |        / CAST(sum(dt.c) AS DOUBLE), 4) AS nll
+           |FROM dt JOIN tf USING (t) CROSS JOIN tot
+           |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin,
+      "pii_redact" ->
+        """WITH aug AS (SELECT doc_id,
+          |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+          |      || CAST(doc_id % 7 AS VARCHAR) || '.org or +1-555-'
+          |      || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+          |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+          |  FROM documents),
+          |r1 AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          |  FROM aug),
+          |r2 AS (SELECT doc_id, n_email,
+          |    CAST(len(regexp_extract_all(t1, '\+\d{1,2}-\d{3}-\d{3,4}-?\d{0,4}')) AS BIGINT) AS n_phone,
+          |    regexp_replace(t1, '\+\d{1,2}-\d{3}-\d{3,4}-?\d{0,4}', '<PHONE>', 'g') AS t2
+          |  FROM r1),
+          |r3 AS (SELECT doc_id, n_email, n_phone,
+          |    CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          |    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+          |  FROM r2)
+          |SELECT doc_id, n_email, n_phone, n_ip, md5(t3) AS redacted_md5
+          |FROM r3 ORDER BY doc_id""".stripMargin,
+      "dedup_representative" ->
+        s"""WITH RECURSIVE $sqlJaccardCtes,
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3
+           |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+           |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+           |m AS (SELECT c.component, c.node, d.n_chars FROM comp c
+           |      JOIN documents d ON d.doc_id = c.node),
+           |rk AS (SELECT component, node, n_chars,
+           |        row_number() OVER (PARTITION BY component
+           |                           ORDER BY n_chars DESC, node ASC) AS rn,
+           |        count(*) OVER (PARTITION BY component) AS nm
+           |       FROM m)
+           |SELECT component, node AS keeper, CAST(n_chars AS BIGINT) AS quality,
+           |  CAST(nm AS BIGINT) AS n_members
+           |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
     )
   }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-level statistics for training-data curation ([EXT]): the
+  * boilerplate detector (corpus-wide n-gram heavy hitters) and a
+  * unigram language-model scorer (the cheap perplexity proxy used to
+  * quality-rank web text before the expensive model-based filters).
+  *
+  * Scale design: both operators are pure aggregation pipelines over
+  * exploded token/n-gram rows — every shuffle key is a token or n-gram
+  * string, and every aggregate is algebraic (map-side partial combine).
+  * The n-gram counter aggregates per-(ngram, doc) FIRST, so a single
+  * boilerplate n-gram repeated millions of times inside one document
+  * collapses locally before the corpus-wide shuffle — the two-phase
+  * shape that keeps hot n-grams from funneling raw rows to one reducer.
+  */
+object CorpusStats {
+
+  /** Word n-grams of a tokenized text column as an array of
+    * space-joined strings. zip_with over shifted slices: the slice
+    * arguments are evaluated once per row (a per-element
+    * `element_at(tokens, i)` lambda would re-evaluate the whole token
+    * subtree once per element — measured 40× on dedup_jaccard). */
+  private def ngramArray(tokens: org.apache.spark.sql.Column, n: Int) = {
+    require(n >= 1, "n must be >= 1")
+    val m = greatest(size(tokens) - (n - 1), lit(0))
+    val shifted = (1 to n).map(i => slice(tokens, lit(i), m))
+    shifted.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Corpus-wide top-k n-grams: (ngram, cnt, doc_freq), ordered by
+    * total count desc then ngram asc. `cnt` counts every occurrence,
+    * `doc_freq` counts distinct documents — the pair a boilerplate /
+    * contamination report needs (high cnt + high doc_freq = template
+    * text; high cnt + low doc_freq = within-doc repetition). */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, k: Int = 50): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), explode(ngramArray(col("__tk"), n)).as("ngram"))
+      .groupBy(col("ngram"), col("doc"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc.groupBy(col("ngram"))
+      .agg(sum(col("__c")).cast("long").as("cnt"),
+        count(lit(1)).cast("long").as("doc_freq"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Per-document average negative log-likelihood under the corpus's
+    * own unigram model: nll(d) = Σ_t c_{d,t} · −ln(tf_t / N) / |d|.
+    * Low = stereotypical text, high = rare-token soup — the standard
+    * first-pass quality signal (CCNet uses a 5-gram LM; the unigram
+    * form is the same plumbing with a trivially distributable model).
+    *
+    * The model (token → corpus frequency) is itself a DataFrame joined
+    * back on the token key: at 100 TB the vocabulary is far too large
+    * to broadcast, and the equi-join on the token string shuffles both
+    * sides by the same key Spark already aggregated on. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = docs
+      .select(col(idCol).as("doc"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tf = docTok.groupBy(col("t")).agg(sum(col("c")).cast("long").as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n"))
+    docTok.join(tf, "t")
+      .crossJoin(total)
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        (sum(col("c").cast("double") *
+          -log(col("tf").cast("double") / col("n").cast("double")))
+          / sum(col("c")).cast("double")).as("nll"))
+  }
+}

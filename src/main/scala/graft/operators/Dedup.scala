@@ -91,6 +91,29 @@ object Dedup {
       corpusShingleIndex(corpus, idCol, textCol, n, maxShingleFreq),
       newDocs, idCol, textCol, n, minJaccard)
 
+  /** Full-corpus Jaccard pairs served from a MATERIALIZED inverted
+    * shingle index (the [[corpusShingleIndex]] artifact read back from
+    * its table): the same candidate equi-join + verify as
+    * [[jaccardPairs]], but the tokenize→shingle→explode pipeline never
+    * runs at query time — at scale the index is maintained on
+    * compaction cadence and each dedup pass is just the self-join.
+    * Shingles with corpus frequency 1 may still be present (the index
+    * keeps them for batch-vs-corpus probes); they produce no cross-doc
+    * candidates here, so the result is identical to [[jaccardPairs]]
+    * at the same frequency cap. */
+  def jaccardPairsFromIndex(index: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val a = index.select(col("doc_corpus").as("doc_a"), col("sz_c").as("sz_a"), col("sh"))
+    val b = index.select(col("doc_corpus").as("doc_b"), col("sz_c").as("sz_b"), col("sh"))
+    a.join(b, "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** The corpus's inverted shingle index: (sh, doc_corpus, sz_c) rows
     * after the stop-shingle cap — the artifact a production pipeline
     * MATERIALIZES on compaction cadence (write it partitioned/bucketed
@@ -290,6 +313,43 @@ object Dedup {
       .select(col("node").as(idCol))
     val exactDrops = exactDropIds(docs, idCol, textCol)
     docs.join(nearDrops.unionByName(exactDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Representative selection over the near-dup graph: for every
+    * connected component of jaccard ≥ minJaccard pairs, keep the
+    * highest-quality member (quality desc, id asc tiebreak) — the
+    * curation policy that beats "keep the lowest id" when members
+    * differ in length/cleanliness. Output: one row per component with
+    * the keeper's id, its quality and the member count.
+    *
+    * Scale: components come from [[connectedComponents]] (iterative
+    * min-label joins); the argmax is a per-component window whose
+    * partitions are near-dup clusters — naturally tiny (huge clusters
+    * mean the corpus should have been exact-deduped first). */
+  def representatives(docs: DataFrame, idCol: String, textCol: String,
+                      qualityCol: Column, n: Int = 3,
+                      minJaccard: Double = 0.3): DataFrame =
+    representativesFromPairs(jaccardPairs(docs, idCol, textCol, n, minJaccard),
+      docs, idCol, qualityCol)
+
+  /** Pair-graph form of [[representatives]]: callers with a
+    * materialized shingle index supply
+    * [[jaccardPairsFromIndex]] output and skip corpus re-tokenization
+    * entirely. */
+  def representativesFromPairs(pairs: DataFrame, docs: DataFrame,
+                               idCol: String, qualityCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val members = comps
+      .join(docs.select(col(idCol).as("node"), qualityCol.as("quality")), "node")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("node").asc)
+    members
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .where(col("__rn") === 1)
+      .select(col("component"), col("node").as("keeper"),
+        col("quality"), col("n_members").cast("long").as("n_members"))
   }
 
   /** Exact closest pairs by embedding cosine distance — O(n²) ground

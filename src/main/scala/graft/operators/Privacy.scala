@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training corpora ([EXT]): regex-scrub emails,
+  * IPv4 addresses and phone numbers before text ever reaches a model.
+  *
+  * Pure per-row map — no shuffle, fully codegen'd regexp_replace /
+  * regexp_count, so it rides inside whole-stage codegen next to
+  * whatever filter produced the rows. The patterns deliberately stay
+  * inside the common regex subset (no lookbehind, no backreferences)
+  * so the same pattern string runs identically on Java regex (Spark)
+  * and RE2-family engines (the usual scrubber fleet).
+  */
+object Privacy {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,2}-\\d{3}-\\d{3,4}-?\\d{0,4}"
+
+  /** Redaction order matters: emails first (their local/domain parts
+    * contain dot-separated digit runs an IP pattern could claim), then
+    * phones, then IPs. */
+  def redactText(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+
+  /** Scrub `textCol`, keeping per-category hit counts for the audit
+    * trail (a privacy pipeline must report WHAT it removed, not just
+    * return clean text). Counts are taken at the same stage the
+    * corresponding replacement runs at, so categories never
+    * double-count each other's spans. */
+  def redact(docs: DataFrame, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    docs
+      .withColumn("n_email", regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn("n_phone", regexp_count(noEmail, lit(PhonePattern)).cast("long"))
+      .withColumn("n_ip", regexp_count(noPhone, lit(Ipv4Pattern)).cast("long"))
+      .withColumn("redacted", regexp_replace(noPhone, Ipv4Pattern, "<IP>"))
+  }
+}

@@ -87,6 +87,42 @@ object TopK {
       .limit(k)
   }
 
+  /** Radius (range) search: every vector within `maxDist` of the
+    * query, nearest first. Unlike k-NN there is no bounded heap to
+    * exploit — the operator is a straight scan + filter, which is
+    * exactly what makes it scale: no shuffle at all until the final
+    * presentation sort, and the distance predicate sits inside
+    * whole-stage codegen next to the scan. Callers who only need the
+    * SET (e.g. near-dup radius sweeps) should drop the sort.
+    */
+  def radius(data: DataFrame, idCol: String, vecCol: String,
+             queryVec: Seq[Double], maxDist: Double,
+             metric: DistanceMetric = DistanceMetric.Euclidean,
+             filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(data.where).getOrElse(data)
+    filtered
+      .select(col(idCol),
+        metric.distance(col(vecCol),
+          graft.functions.FusedDistance.litVec(queryVec)).as("distance"))
+      .where(col("distance").isNotNull && col("distance") <= maxDist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+  }
+
+  /** Radius search with the query vector as a (single) DataFrame row —
+    * broadcast cross join, same shape as [[knnOf]]. */
+  def radiusOf(data: DataFrame, idCol: String, vecCol: String,
+               query: DataFrame, queryVecCol: String, maxDist: Double,
+               metric: DistanceMetric = DistanceMetric.Euclidean,
+               filter: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(data.where).getOrElse(data)
+    filtered
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qvec"))))
+      .select(col(idCol),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .where(col("distance").isNotNull && col("distance") <= maxDist)
+      .orderBy(col("distance").asc, col(idCol).asc)
+  }
+
   /** Exact k-NN where the query vector is itself a (single) row of a
     * DataFrame — broadcast cross join keeps the plan fully distributed
     * (no driver-side collect of the query vector).

@@ -151,4 +151,29 @@ object TrainingData {
       .orderBy(scoreCol.desc, col(idCol).asc)
     docs.withColumn("band", ntile(bands).over(w))
   }
+
+  /** Pack assembly — the materialization step after [[packSequences]]:
+    * per (shard, pack), gather the member documents in id order and
+    * emit the pack's concatenated text stream (as an md5 content
+    * fingerprint — the writer that streams actual bytes is a sink
+    * concern), member count and token total.
+    *
+    * groupBy on (shard, pack_id) with a collect_list partial
+    * aggregate: a pack holds at most `capacity` tokens by
+    * construction, so every group — and therefore every collected
+    * buffer — is bounded by the pack capacity no matter how large the
+    * corpus is. The sort happens inside the row (array_sort of
+    * (id, text) structs), not as a shuffle-wide orderBy. */
+  def assemblePacks(docs: DataFrame, shardCol: String, idCol: String,
+                    textCol: String, tokensCol: Column, capacity: Int): DataFrame = {
+    val packed = packSequences(docs, shardCol, idCol, tokensCol, capacity)
+    packed.groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tokens")).cast("long").as("pack_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          "\u0001")).as("content_md5"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection ([EXT]): the MinHash-LSH
+  * banding scheme of Dedup.minhashLshPairs run as a continuous query —
+  * every arriving document is checked against everything already seen
+  * that shares a band bucket, without ever re-scanning the corpus.
+  *
+  * Shape: stateless minhash/banding projection → groupByKey on the
+  * band bucket → flatMapGroupsWithState holding the doc ids previously
+  * seen in that bucket. State is sharded by bucket key (the same short
+  * key the batch path joins on), so it spreads across executors and no
+  * single group holds more than `maxBucketState` ids — the cap turns a
+  * degenerate hot bucket (e.g. empty-ish docs all colliding) into
+  * bounded memory instead of OOM, at the cost of missing pairs among
+  * the overflow; real pipelines exact-dedup first, making hot buckets
+  * rare.
+  *
+  * Emits CANDIDATE pairs (same contract as the batch LSH candidate
+  * stage): a pair appears once per shared bucket, so downstream
+  * verification (exact Jaccard against a doc store, or simply
+  * `dropDuplicates("doc_a","doc_b")`) owns both dedup and the
+  * false-positive filter.
+  */
+object StreamingDedup {
+
+  final case class BandRow(bucket: String, doc: Long)
+  final case class CandidatePair(doc_a: Long, doc_b: Long, bucket: String)
+
+  /** Candidate near-dup pairs over a (possibly streaming) documents
+    * frame with a long id column and a text column. Works identically
+    * on a batch frame (state then lives within the single batch). */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                     maxBucketState: Int = 64): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val sig = Dedup.minhashSignatures(docs, idCol, textCol, n, numHashes)
+      .where(col("mh_0").isNotNull)
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(concat_ws("_", (lit(b) +: parts): _*).as("bucket"),
+        col(idCol).cast("long").as("doc"))
+    }.reduce(_ unionByName _)
+    bands.as[BandRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[CandidatePair]
+          // deterministic processing order within the micro-batch
+          rows.map(_.doc).toVector.distinct.sorted.foreach { d =>
+            if (!seen.contains(d)) {
+              seen.foreach { s =>
+                out += (if (s < d) CandidatePair(s, d, bucket)
+                        else CandidatePair(d, s, bucket))
+              }
+              if (seen.length < maxBucketState) seen = seen :+ d
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Dedup, Privacy, TopK, TrainingData}
+import graft.functions.DistanceMetric
+
+/** Round-5 corpus-curation operators: n-gram heavy hitters, unigram-LM
+  * scoring, PII redaction, pack assembly, near-dup representatives,
+  * radius search, and the materialized-index form of jaccardPairs.
+  * Known-value tests here; the DuckDB twins cross-check at sf0.01.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNgrams: counts and doc frequencies on a known corpus") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2 (overlapping: a b c, b c a, c a b, a b c)
+      (2L, "a b c"),         // "a b c" x1
+      (3L, "x y")            // too short for a trigram
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 10)
+      .as[(String, Long, Long)].collect().toList
+    // doc1 trigrams: [a b c, b c a, c a b, a b c]; doc2: [a b c]
+    assert(got.head == (("a b c", 3L, 2L)))
+    assert(got.toSet == Set(("a b c", 3L, 2L), ("b c a", 1L, 1L), ("c a b", 1L, 1L)))
+    // ordering: cnt desc then ngram asc
+    assert(got.map(_._1) == List("a b c", "b c a", "c a b"))
+  }
+
+  test("topNgrams: n=1 degenerates to token counts") {
+    val docs = Seq((1L, "w w v")).toDF("doc_id", "text")
+    val got = CorpusStats.topNgrams(docs, "doc_id", "text", n = 1, k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("w", 2L, 1L), ("v", 1L, 1L)))
+  }
+
+  test("unigramLogProb: hand-computed nll on a two-doc corpus") {
+    // corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pa = -math.log(3.0 / 4.0)
+    val pb = -math.log(1.0 / 4.0)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - pa) < 1e-12)        // 3·(−ln pa)/3
+    assert(math.abs(got(2L)._2 - pb) < 1e-12)
+    // rare-token doc scores strictly higher (the quality signal)
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("Privacy.redact: known hits, counts, and ordering email>phone>ip") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call +1-555-0123-4 or ping 192.168.0.1 fast"),
+      (3L, "clean text no pii 1234 5.6 here")
+    ).toDF("doc_id", "text")
+    val got = Privacy.redact(docs, "text")
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"), col("redacted"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5 == "mail <EMAIL> now")
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) == ((1L, 0L, 0L)))
+    assert(got(2L)._5 == "call <PHONE> or ping <IP> fast")
+    assert((got(2L)._2, got(2L)._3, got(2L)._4) == ((0L, 1L, 1L)))
+    // "5.6" and "1234" are not PII under any pattern
+    assert(got(3L)._5 == "clean text no pii 1234 5.6 here")
+    assert((got(3L)._2, got(3L)._3, got(3L)._4) == ((0L, 0L, 0L)))
+  }
+
+  test("Privacy.redact: an email's host segment is not double-counted as an IP") {
+    val docs = Seq((1L, "x 1.2.3.4@10.0.0.1.com y")).toDF("doc_id", "text")
+    val r = Privacy.redact(docs, "text")
+      .select(col("n_email"), col("n_ip"), col("redacted"))
+      .as[(Long, Long, String)].head()
+    assert(r._1 == 1L)
+    assert(r._2 == 0L) // consumed by the email replacement first
+    assert(r._3 == "x <EMAIL> y")
+  }
+
+  test("assemblePacks: groups, token totals and content hash on a known shard") {
+    val docs = Seq(
+      (1L, "s", "aa", 3L), (2L, "s", "bb", 3L), (3L, "s", "cc", 3L)
+    ).toDF("doc_id", "shard", "text", "tok")
+    // capacity 6: docs 1,2 start in pack 0 (tok_start 0,3); doc 3 at 6 -> pack 1
+    val got = TrainingData.assemblePacks(docs, "shard", "doc_id", "text",
+      col("tok"), capacity = 6)
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"), col("content_md5"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(got.map(t => (t._1, t._2, t._3)) == List((0L, 2L, 6L), (1L, 1L, 3L)))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.head._4 == md5hex("aa\u0001bb"))
+    assert(got(1)._4 == md5hex("cc"))
+  }
+
+  test("radius search: exactly the vectors within r, sorted, null-safe") {
+    val data = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(3f, 4f)), (3L, Seq(1f, 0f)),
+      (4L, Seq(6f, 8f))
+    ).toDF("vec_id", "embedding")
+    val got = TopK.radius(data, "vec_id", "embedding", Seq(0.0, 0.0),
+      maxDist = 5.0, DistanceMetric.Euclidean)
+      .as[(Long, Double)].collect().toList
+    assert(got == List((1L, 0.0), (3L, 1.0), (2L, 5.0))) // inclusive boundary
+  }
+
+  test("radiusOf matches radius (broadcast-join vs literal form)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+    val qv = q.head.getSeq[Float](0).map(_.toDouble)
+    val a = TopK.radius(emb, "vec_id", "embedding", qv, 1.30)
+      .as[(Long, Double)].collect().toList
+    val b = TopK.radiusOf(emb, "vec_id", "embedding", q, "embedding", 1.30)
+      .as[(Long, Double)].collect().toList
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("jaccardPairsFromIndex over a materialized index == inline jaccardPairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("shingle-ix").toString
+    Dedup.corpusShingleIndex(docs, "doc_id", "text", n = 3, maxShingleFreq = 1000)
+      .write.mode("overwrite").parquet(dir)
+    val fromIx = Dedup.jaccardPairsFromIndex(spark.read.parquet(dir), minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIx == inline)
+    assert(fromIx.nonEmpty)
+  }
+
+  test("representatives: best-quality member wins, with id tiebreak") {
+    // chain a-b-c near-dups via shared text; quality = len
+    val docs = Seq(
+      (1L, "p q r s t u v w", 10L),
+      (2L, "p q r s t u v w x", 99L),   // longest -> keeper
+      (3L, "p q r s t u v w x", 99L),   // same quality, higher id loses
+      (7L, "completely different words here no overlap at all", 5L)
+    ).toDF("doc_id", "text", "quality")
+    val got = Dedup.representatives(docs, "doc_id", "text", col("quality"),
+      n = 3, minJaccard = 0.3)
+      .select(col("component"), col("keeper"), col("n_members"))
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 3L))) // one component {1,2,3}, keeper 2
+  }
+}

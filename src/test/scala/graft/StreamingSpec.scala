@@ -300,4 +300,35 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("streaming minhash-LSH: near-dup candidates found across micro-batches") {
+    import spark.implicits._
+    val dupText = "spark streams dedup repeated documents quickly across batches today"
+    val otherText = "completely unrelated words about gardens rivers mountains and weather"
+    val dir = Files.createTempDirectory("stream-dedup")
+    Seq((1L, dupText), (2L, otherText)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir.toString)
+    val out = graft.streaming.StreamingDedup.candidatePairs(docs, "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cand").start()
+    q.processAllAvailable()
+    // no near-dups within batch 1: 1 and 2 share no shingles
+    assert(spark.table("neardup_cand").count() == 0)
+
+    // batch 2: an exact copy of doc 1 plus another fresh doc
+    Seq((3L, dupText), (4L, "more fresh text with nothing in common here at all"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("neardup_cand")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), // cross-batch dup vs state, nothing else
+      s"got $pairs")
+  }
 }
