@@ -1053,6 +1053,14 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))),
 
+    // ---- lexical doc similarity [EXT]: tf-idf more-like-this --------
+    // candidates from the postings equi-join on the query doc's terms;
+    // the query vector (one doc) is broadcast
+    "doc_similar" -> ((s, dir) =>
+      graft.operators.Lexical.moreLikeThis(t(s, dir, "documents"),
+        "doc_id", "text", queryDocId = 0L, k = 10)
+        .select(col("doc").as("doc_id"), round(col("cosine"), 4).as("cosine"))),
+
     // ---- near-dup cluster representatives [EXT] ---------------------
     // keep the best member of each near-dup component (longest text,
     // id tiebreak) instead of blindly keeping the lowest id
@@ -1575,6 +1583,23 @@ object SparkEntry {
           |  FROM r2)
           |SELECT doc_id, n_email, n_phone, n_ip, md5(t3) AS redacted_md5
           |FROM r3 ORDER BY doc_id""".stripMargin,
+      "doc_similar" ->
+        s"""WITH tok AS (SELECT doc_id AS doc, unnest(${sqlTokens("text")}) AS t FROM documents),
+           |cnt AS (SELECT doc, t, count(*) AS c FROM tok GROUP BY 1, 2),
+           |dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM cnt GROUP BY 1),
+           |nn AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM cnt),
+           |w AS (SELECT doc, t,
+           |        CAST(c AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+           |      FROM cnt JOIN dfs USING (t) CROSS JOIN nn),
+           |nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+           |q AS (SELECT t, w AS qw FROM w WHERE doc = 0),
+           |qn AS (SELECT nrm AS qnrm FROM nrm WHERE doc = 0),
+           |d AS (SELECT w.doc, sum(w.w * q.qw) AS dot
+           |      FROM w JOIN q USING (t) WHERE w.doc <> 0 GROUP BY w.doc)
+           |SELECT d.doc AS doc_id,
+           |  round(d.dot / (nrm.nrm * qn.qnrm), 4) AS cosine
+           |FROM d JOIN nrm ON nrm.doc = d.doc CROSS JOIN qn
+           |ORDER BY d.dot / (nrm.nrm * qn.qnrm) DESC, d.doc ASC LIMIT 10""".stripMargin,
       "dedup_representative" ->
         s"""WITH RECURSIVE $sqlJaccardCtes,
            |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3

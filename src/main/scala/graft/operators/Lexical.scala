@@ -73,6 +73,58 @@ object Lexical {
       .limit(k)
   }
 
+  /** Sparse TF-IDF postings: one row per (doc, term) with the raw
+    * count, the term's document frequency and the tf-idf weight
+    * tf·ln(N/df). This IS the inverted index — materialize it
+    * partitioned by term and every similarity query below becomes a
+    * postings join that never touches documents outside the query's
+    * term set. */
+  def tfidfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val df = counts.groupBy(col("t")).agg(count(lit(1)).cast("long").as("df"))
+    val n = counts.select(col("doc")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    counts.join(df, "t").crossJoin(n)
+      .select(col("doc"), col("t"), col("c").cast("long").as("c"), col("df"),
+        (col("c").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("w"))
+  }
+
+  /** "More like this": top-k documents by TF-IDF cosine similarity to
+    * one query document. Candidate generation is an equi-join on the
+    * term — only documents sharing ≥1 term with the query are ever
+    * scored, and at scale (postings materialized, partitioned by term)
+    * the scan touches only the query's own postings lists. The query
+    * side is one document's sparse vector — broadcast.
+    *
+    * Cross-row double sums (dot products, norms) make the low digits
+    * partial-order sensitive; consumers comparing across engines
+    * should round (the oracle twin rounds to 4, like unigram_logprob).
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   queryDocId: Long, k: Int): DataFrame = {
+    val postings = tfidfPostings(docs, idCol, textCol)
+    val norms = postings.groupBy(col("doc"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val qside = postings.where(col("doc") === queryDocId)
+      .select(col("t"), col("w").as("qw"))
+    val qnorm = norms.where(col("doc") === queryDocId)
+      .select(col("nrm").as("qnrm"))
+    postings.where(col("doc") =!= queryDocId)
+      .join(broadcast(qside), "t")
+      .groupBy(col("doc"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, "doc")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc"),
+        (col("dot") / (col("nrm") * col("qnrm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of two rankings (the standard hybrid
     * lexical+dense combiner): rrf = Σ 1/(k0 + rank), full-outer over
     * ids so an item ranked by only one system still scores. Rank-based

@@ -130,6 +130,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(fromIx.nonEmpty)
   }
 
+  test("moreLikeThis: an identical doc scores cosine 1, disjoint docs are absent") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),     // identical -> cosine 1
+      (2L, "alpha beta zzz yyy"),         // partial overlap
+      (3L, "qqq rrr sss ttt")             // disjoint -> no candidate row
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Lexical
+      .moreLikeThis(docs, "doc_id", "text", queryDocId = 0L, k = 10)
+      .as[(Long, Double)].collect().toList
+    assert(got.map(_._1) == List(1L, 2L))
+    assert(math.abs(got.head._2 - 1.0) < 1e-12)
+    assert(got(1)._2 > 0 && got(1)._2 < 1.0)
+  }
+
   test("representatives: best-quality member wins, with id tiebreak") {
     // chain a-b-c near-dups via shared text; quality = len
     val docs = Seq(
