@@ -4,8 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc experiment harness (not part of the driver contract).
-  * Current experiment: operator scaling on a 500k-row replicated
-  * embedding table (250× sf0.1). */
+  * Current experiment: round-5 corpus-analytics operators on a
+  * 5M-document replicated corpus (1000× sf0.1). Replication caveat:
+  * counts/frequencies just scale (fine for perf), but near-dup ops
+  * would see every replica pair as a true duplicate — do NOT measure
+  * pair-emitting dedup here (see NOTES.md).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -24,202 +28,65 @@ object Scratch {
       println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    // 2000 × 250 = 500k rows, 64-dim, ids made unique per replica
-    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val big = base.crossJoin(spark.range(2500).toDF("rep"))
+    // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
+    // shard-partitioned ops keep their real task-size distribution
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    base.crossJoin(spark.range(1000).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
+        col("text"), col("lang"),
+        concat(col("source"), lit("_"), (col("rep") % 32).cast("string")).as("source"),
+        col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet("/tmp/big_documents")
+    val docs = spark.read.parquet("/tmp/big_documents")
+    println(s"[scale] rows=${docs.count()}")
+
+    timeIt("topNgrams n=3 top-50 over 5M docs")(
+      operators.CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 50).collect())
+
+    timeIt("unigramLogProb over 5M docs")(
+      noop(operators.CorpusStats.unigramLogProb(docs, "doc_id", "text")))
+
+    val withPii = docs.select(col("doc_id"),
+      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+        lit("@ex.org 10.1.2."), (col("doc_id") % 100).cast("string")).as("text"))
+    timeIt("Privacy.redact over 5M docs")(
+      noop(operators.Privacy.redact(withPii, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("redacted"))))
+
+    timeIt("assemblePacks over 5M docs (640 shards)")(
+      noop(operators.TrainingData.assemblePacks(docs, "source", "doc_id",
+        "text", floor(col("n_chars") / 4), capacity = 2048)))
+
+    timeIt("tfidf postings BUILD over 5M docs (index cadence)")(
+      operators.Lexical.tfidfPostings(docs, "doc_id", "text")
+        .repartitionByRange(16, col("t")).sortWithinPartitions("t")
+        .write.mode("overwrite").parquet("/tmp/big_postings"))
+    val postings = spark.read.parquet("/tmp/big_postings")
+    timeIt("tfidf norms BUILD (index cadence)")(
+      operators.Lexical.tfidfNorms(postings)
+        .write.mode("overwrite").parquet("/tmp/big_norms"))
+    val norms = spark.read.parquet("/tmp/big_norms")
+    timeIt("moreLikeThis top-10 SERVED (term-pruned postings join)")(
+      operators.Lexical.moreLikeThisServed(postings, norms,
+        queryDocId = 0L, k = 10).collect())
+
+    // radius search on the 5M embedding replica (vector side)
+    val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    ebase.crossJoin(spark.range(2500).toDF("rep"))
       .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
         col("embedding"), col("label"))
       .repartition(64)
       .write.mode("overwrite").parquet("/tmp/big_embeddings")
     val emb = spark.read.parquet("/tmp/big_embeddings")
-    println(s"[scale] rows=${emb.count()}")
-
-    val q = base.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
-
-    timeIt("exact knn k=10 over 5M")(
-      operators.TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble), 10).collect())
-
-    timeIt("distance-only scan over 5M (no top-k)")(
-      emb.select(functions.FusedDistance.euclidean(col("embedding"),
-        functions.FusedDistance.litVec(q.map(_.toDouble))).as("d"))
-        .write.format("noop").mode("overwrite").save())
-
-    timeIt("knnJoinBulk single query over 5M")(
-      operators.TopK.knnJoinBulk(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 10).count())
-
-    val queries = emb.where(col("vec_id") < 16)
-    timeIt("batch knnJoin 16 queries x 5M")(
-      operators.TopK.knnJoin(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 10).count())
-
-    timeIt("batch knnJoinBulk 16 queries x 5M")(
-      operators.TopK.knnJoinBulk(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 10).count())
-
-    val (assigned, model) = timeIt("IVF build k=64 over 5M (2% sample fit)")(
-      index.IvfIndex.build(emb, "vec_id", "embedding",
-        nClusters = 64, maxIter = 5, sampleFraction = 0.02))
-    assigned.write.mode("overwrite").parquet("/tmp/big_ivf")
-    val stored = spark.read.parquet("/tmp/big_ivf")
-    timeIt("IVF probe nprobe=8/64 over 5M (materialized)")(
-      index.IvfIndex.search(stored, model, "vec_id", "embedding", q, 10, 8).collect())
-
-    timeIt("vec_norm over 5M")(
-      emb.select(functions.VectorFunctions.norm(col("embedding"))).write
-        .format("noop").mode("overwrite").save())
-
-    // ---- round-2 additions ------------------------------------------
-
-    timeIt("IVF searchJoin 64 queries nprobe=8/64 over 5M (materialized)")(
-      index.IvfIndex.searchJoin(stored, model, "vec_id", "embedding",
-        emb.where(col("vec_id") < 64), "vec_id", "embedding",
-        k = 10, nprobe = 8).count())
-
-    // PQ at 5M: build on a 2% sample, encode everything, ADC+rerank
-    val (pqCodes, pqModel) = timeIt("PQ build+encode 5M (m=8, 2% sample fit)")(
-      index.PqIndex.build(emb, "vec_id", "embedding",
-        m = 8, codesPerSub = 16, maxIter = 5, sampleFraction = 0.02))
-    pqCodes.write.mode("overwrite").parquet("/tmp/big_pq")
-    val storedCodes = spark.read.parquet("/tmp/big_pq")
-    timeIt("PQ ADC+rerank k=10 over 5M (materialized codes)")(
-      index.PqIndex.searchRerank(storedCodes, emb, pqModel,
-        "vec_id", "embedding", q, k = 10, overfetch = 10).collect())
-
-    // NOTE: LSH near-dup is NOT measured on this table — the 2500×
-    // replication makes every replica pair a true duplicate (~6e9 true
-    // pairs), so any correct near-dup algorithm explodes by
-    // construction. Its scale behavior is covered by the
-    // dedup_embedding_lsh bench entry on real (duplicate-free) data.
-
-    // bucketed recovery merge vs full refold at a 5M-row store with a
-    // 1k-row tail — the O(tail) vs O(store) recovery claim, measured
-    val storeRoot = "/tmp/big_store"
-    val fs = new org.apache.hadoop.fs.Path(storeRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(storeRoot), true)
-    store.VectorLog.append(
-      emb.select(col("vec_id").cast("long").as("seq"), lit("insert").as("op"),
-        col("vec_id").cast("string").as("id"), col("embedding"),
-        map(lit("label"), col("label").cast("string")).as("meta")), storeRoot)
-    spark.sql("DROP TABLE IF EXISTS big_snap")
-    timeIt("compactBucketed 5M rows (32 buckets)")(
-      store.VectorLog.compactBucketed(spark, storeRoot, "big_snap"))
-    store.VectorLog.append(
-      emb.where(col("vec_id") < 1000)
-        .select((col("vec_id") + 10000000L).as("seq"), lit("insert").as("op"),
-          col("vec_id").cast("string").as("id"), col("embedding"),
-          map(lit("label"), lit("updated")).as("meta")), storeRoot)
-    timeIt("bucketedView merge (1k tail over 5M snapshot)")(
-      store.VectorLog.bucketedView(spark, "big_snap", storeRoot).count())
-    timeIt("full refold of snapshot ∪ tail (the liveView shape)")(
-      store.VectorLog.fold(spark.table("big_snap").unionByName(
-        spark.read.schema(store.VectorLog.logSchema)
-          .parquet(store.VectorLog.logDir(storeRoot)))).count())
-
-    // ---- round-3 additions ------------------------------------------
-
-    // SQ8 tier at 5M: encode once, quantized shortlist + exact rerank
-    val sqCodes = timeIt("SQ8 encode 5M (int8 + per-row scale)") {
-      index.SqIndex.write(
-        index.SqIndex.encode(stored, "vec_id", "embedding", 64), "/tmp/big_sq")
-      index.SqIndex.load(spark, "/tmp/big_sq")
-    }
-    timeIt("SQ8 quantized+rerank k=10 nprobe=8/64 over 5M")(
-      index.SqIndex.searchRerank(sqCodes, emb, model,
-        "vec_id", "embedding", q, k = 10, nprobe = 8).collect())
-
-    // as-of join at 5M×5M-shaped load: replicate events 50× with
-    // distinct user ids (attribution joins replicate fine — every
-    // replica is an independent user timeline, unlike near-dup tables)
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    ev.crossJoin(spark.range(50).toDF("rep"))
-      .select((col("user_id") + col("rep") * 100000L).as("user_id"),
-        col("event_id"), col("event_type"), col("value"),
-        expr("ts div 1000").as("ts_us"))
-      .repartition(64)
-      .write.mode("overwrite").parquet("/tmp/big_events")
-    val bigEv = spark.read.parquet("/tmp/big_events")
-    println(s"[scale] events rows=${bigEv.count()}")
-    val clicks = bigEv.where(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-    val purchases = bigEv.where(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts_us"))
-      .agg(max(col("value")).as("purchase_value"))
-    timeIt("asOf join 100k clicks vs 99k purchases across 250k users (5M events)")(
-      operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts_us", "ts_us",
-        Seq("purchase_value")).write.format("noop").mode("overwrite").save())
-
-    // sequence packing over 5M docs: the per-shard window is the scale
-    // lever — compare against a single global ordering
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    docs.crossJoin(spark.range(1000).toDF("rep"))
-      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
-        concat(col("source"), lit("_"), col("rep") % 64).as("source"),
-        col("n_chars"))
-      .repartition(64)
-      .write.mode("overwrite").parquet("/tmp/big_docs")
-    val bigDocs = spark.read.parquet("/tmp/big_docs")
-    println(s"[scale] docs rows=${bigDocs.count()}")
-    timeIt("packSequences 5M docs, 320 shards")(
-      operators.TrainingData.packSequences(bigDocs, "source", "doc_id",
-        floor(col("n_chars") / 4), 2048)
-        .write.format("noop").mode("overwrite").save())
-    timeIt("packSequences 5M docs, ONE global shard (the anti-pattern)")(
-      operators.TrainingData.packSequences(
-        bigDocs.withColumn("all", lit("x")), "all", "doc_id",
-        floor(col("n_chars") / 4), 2048)
-        .write.format("noop").mode("overwrite").save())
-
-    // ---- round-4 additions ------------------------------------------
-
-    // 5M docs WITH text (for the text-pipeline operators): unique ids,
-    // 64 source shards
-    docs.crossJoin(spark.range(1000).toDF("rep"))
-      .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
-        col("text"),
-        concat(col("source"), lit("_"), col("rep") % 64).as("source"),
-        col("n_chars"))
-      .repartition(64)
-      .write.mode("overwrite").parquet("/tmp/big_textdocs")
-    val bigText = spark.read.parquet("/tmp/big_textdocs")
-    println(s"[scale] text docs rows=${bigText.count()}")
-
-    // decontamination: 2.5M-replica train side vs a SMALL eval set
-    // (the production shape: benchmark suites are tiny, the corpus
-    // is not) — eval index broadcasts, train is scanned once
-    val evalSet = docs.where(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("text"))
-    timeIt("decontam 2.5M train docs vs 2.5k eval docs (broadcast index)")(
-      operators.Decontaminate.contaminationPairs(
-        bigText.where(col("doc_id") % 2 === 0), evalSet,
-        "doc_id", "text", n = 5, minOverlap = 5)
-        .write.format("noop").mode("overwrite").save())
-
-    timeIt("mixSources 5M docs (weights incl. 2.5x oversample)")(
-      operators.TrainingData.mixSources(bigText, "doc_id", "source",
-        weights = Map("src0_0" -> 2.5, "src1_1" -> 0.3), defaultWeight = 1.0)
-        .write.format("noop").mode("overwrite").save())
-
-    timeIt("selectToBudget 5M docs, 320 shards (quality-ranked cumsum)")(
-      operators.TrainingData.selectToBudget(bigText, "source", "doc_id",
-        floor(col("n_chars") / 4), functions.TextFunctions.qualityScore(col("text")),
-        budget = 500000L)
-        .write.format("noop").mode("overwrite").save())
-
-    timeIt("shuffleDeterministic 5M docs, 64 shards")(
-      operators.TrainingData.shuffleDeterministic(bigText, "doc_id", 64)
-        .write.format("noop").mode("overwrite").save())
-
-    timeIt("bm25Search 4-term query over 5M docs")(
-      operators.Lexical.bm25Search(bigText, "doc_id", "text",
-        Seq("spark", "vector", "join", "stream"), k = 20).collect())
-
-    timeIt("repetitionStats (1,2)-grams over 5M docs")(
-      operators.Decontaminate.repetitionStats(bigText, "doc_id", "text",
-        ns = Seq(1, 2))
-        .write.format("noop").mode("overwrite").save())
+    println(s"[scale] emb rows=${emb.count()}")
+    val q = ebase.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
+    timeIt("radius search r=1.26 over 5M vectors")(
+      operators.TopK.radius(emb, "vec_id", "embedding",
+        q.map(_.toDouble), maxDist = 1.26).count())
 
     spark.stop()
   }

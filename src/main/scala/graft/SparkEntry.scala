@@ -116,6 +116,30 @@ object SparkEntry {
     })
   }
 
+  /** Build-once materialized tf-idf postings (the lexical inverted
+    * index) per sf dir — doc_similar serves the candidate join from
+    * this table, never re-tokenizing the corpus per query (the
+    * compaction-cadence pattern shared with the ANN/shingle indexes). */
+  private def postingsFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = s"/tmp/graft_postings/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val post = shingleCache.computeIfAbsent((s, s"$path/postings"), { _ =>
+      if (!successExists(s, s"$path/postings")) {
+        // range-sorted by term so a query's IN-filter prunes row groups
+        graft.operators.Lexical.tfidfPostings(
+          t(s, dir, "documents"), "doc_id", "text")
+          .repartitionByRange(8, col("t")).sortWithinPartitions("t")
+          .write.mode("overwrite").parquet(s"$path/postings")
+        graft.operators.Lexical.tfidfNorms(s.read.parquet(s"$path/postings"))
+          .write.mode("overwrite").parquet(s"$path/norms")
+      }
+      s.read.parquet(s"$path/postings")
+    })
+    val nrm = shingleCache.computeIfAbsent((s, s"$path/norms"), { _ =>
+      s.read.parquet(s"$path/norms")
+    })
+    (post, nrm)
+  }
+
   /** Build-once SQ8 codes over the persisted IVF assignments (the
     * middle storage tier): cluster-partitioned int8 lists served from
     * disk; encode cost is compaction-cadence work like the other
@@ -1056,10 +1080,12 @@ object SparkEntry {
     // ---- lexical doc similarity [EXT]: tf-idf more-like-this --------
     // candidates from the postings equi-join on the query doc's terms;
     // the query vector (one doc) is broadcast
-    "doc_similar" -> ((s, dir) =>
-      graft.operators.Lexical.moreLikeThis(t(s, dir, "documents"),
-        "doc_id", "text", queryDocId = 0L, k = 10)
-        .select(col("doc").as("doc_id"), round(col("cosine"), 4).as("cosine"))),
+    "doc_similar" -> ((s, dir) => {
+      val (post, nrm) = postingsFor(s, dir)
+      graft.operators.Lexical.moreLikeThisServed(post, nrm,
+        queryDocId = 0L, k = 10)
+        .select(col("doc").as("doc_id"), round(col("cosine"), 4).as("cosine"))
+    }),
 
     // ---- near-dup cluster representatives [EXT] ---------------------
     // keep the best member of each near-dup component (longest text,

@@ -145,6 +145,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1)._2 > 0 && got(1)._2 < 1.0)
   }
 
+  test("moreLikeThisServed from materialized postings == inline moreLikeThis") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("postings-ix").toString
+    graft.operators.Lexical.tfidfPostings(docs, "doc_id", "text")
+      .repartitionByRange(2, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+    graft.operators.Lexical.tfidfNorms(post)
+      .write.mode("overwrite").parquet(s"$dir/norms")
+    val served = graft.operators.Lexical.moreLikeThisServed(post,
+      spark.read.parquet(s"$dir/norms"), queryDocId = 0L, k = 10)
+      .as[(Long, Double)].collect().toList
+    val inline = graft.operators.Lexical.moreLikeThis(docs, "doc_id", "text",
+      queryDocId = 0L, k = 10).as[(Long, Double)].collect().toList
+    assert(served.map(_._1) == inline.map(_._1))
+    served.zip(inline).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9) // partial-agg order noise only
+    }
+    assert(served.nonEmpty)
+  }
+
   test("representatives: best-quality member wins, with id tiebreak") {
     // chain a-b-c near-dups via shared text; quality = len
     val docs = Seq(
