@@ -103,4 +103,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruningexpression"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("pii_redact never hash-shuffles: only the presentation sort exchanges") {
+    val p = plan("pii_redact")
+    assert(!p.contains("hashpartitioning"),
+      s"redaction must not shuffle data (per-row regex map):\n$p")
+    // the single allowed exchange is the oracle entry's ORDER BY
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
+    assert(exchanges <= 1, s"expected at most the sort exchange:\n$p")
+  }
+
+  test("corpus_ngrams is the two-phase agg + distributed top-k, no extra shuffle") {
+    val p = plan("corpus_ngrams")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
+    // (ngram, doc) exchange + (ngram) exchange; top-k is TakeOrdered
+    assert(exchanges == 2, s"expected exactly two exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("doc_similar pushes the query's term list into the postings scan") {
+    val p = plan("doc_similar")
+    // the IN filter over the query doc's terms must reach parquet
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(t, [")), p)
+    // query side broadcast; no shuffle of the postings for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("knn_radius: single-row query broadcast, codegen distance filter, no data join") {
+    val p = plan("knn_radius")
+    // the 1-row query vector rides a broadcast (knnOf pattern); the
+    // data side must never shuffle for a join
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("fused_euclidean"), p)
+  }
 }
