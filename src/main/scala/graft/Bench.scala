@@ -27,7 +27,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_incremental", "dedup_embedding_lsh",
     "knn_radius", "pack_assemble", "corpus_ngrams", "unigram_logprob",
-    "pii_redact", "dedup_representative", "doc_similar")
+    "pii_redact", "dedup_representative", "doc_similar", "skew_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1077,6 +1077,21 @@ object SparkEntry {
           md5(col("redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))),
 
+    // ---- salted fact-dim join [EXT]: hot-key skew mitigation --------
+    // semantically a plain equi-join; the salt spreads any hot orderkey
+    // over 8 reducers (quantity is integer-valued — BIGINT sums, exact)
+    "skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ord, Seq("orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- lexical doc similarity [EXT]: tf-idf more-like-this --------
     // candidates from the postings equi-join on the query doc's terms;
     // the query vector (one doc) is broadcast
@@ -1609,6 +1624,12 @@ object SparkEntry {
           |  FROM r2)
           |SELECT doc_id, n_email, n_phone, n_ip, md5(t3) AS redacted_md5
           |FROM r3 ORDER BY doc_id""".stripMargin,
+      "skew_salted_join" ->
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "doc_similar" ->
         s"""WITH tok AS (SELECT doc_id AS doc, unnest(${sqlTokens("text")}) AS t FROM documents),
            |cnt AS (SELECT doc, t, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -41,4 +41,29 @@ object Skew {
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(keyCol))
       .agg(combine.head, combine.tail: _*)
+
+  /** Salted equi-join: semantically identical to
+    * `left.join(right, keys)` but a hot join key's rows land on
+    * `saltFactor` reducers instead of one. The left (big, skewed) side
+    * gets a random-ish but DETERMINISTIC salt in [0, saltFactor); the
+    * right side is replicated saltFactor× with every salt value, so
+    * each (key, salt) bucket joins exactly once. Use when the right
+    * side is too big to broadcast but small enough that saltFactor×
+    * replication is cheaper than one straggler task — the standard
+    * manual fallback where AQE's skew splitting cannot apply (e.g.
+    * the skewed side is not a shuffle file but an upstream agg).
+    *
+    * Reserved column: `__salt` must not exist on either input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
+  }
 }

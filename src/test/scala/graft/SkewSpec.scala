@@ -31,4 +31,24 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long, Long)].head
     assert(got == (("hot", 1L, 5000L)))
   }
+
+  test("saltedJoin matches the plain equi-join row-for-row on hot-key data") {
+    // 95% of fact rows share key 1; dim has one row per key
+    val fact = (1 to 4000).map(i => (if (i % 20 == 0) i.toLong % 50 else 1L, i.toLong))
+      .toDF("k", "v").repartition(8)
+    val dim = (0L to 50L).map(k => (k, s"d_$k")).toDF("k", "tag")
+    val direct = fact.join(dim, Seq("k"))
+      .as[(Long, Long, String)].collect().sorted.toList
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), saltFactor = 8)
+      .as[(Long, Long, String)].collect().sorted.toList
+    assert(salted == direct) // exact multiset equality, fan-out included
+  }
+
+  test("saltedJoin rejects inputs that already carry the reserved __salt column") {
+    val df = Seq((1L, 2L)).toDF("k", "__salt")
+    val other = Seq((1L, "x")).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, other, Seq("k"))
+    }
+  }
 }
