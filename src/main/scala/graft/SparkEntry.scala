@@ -146,7 +146,7 @@ object SparkEntry {
     * indexes. */
   private def sqFor(s: SparkSession, dir: String): (DataFrame, graft.index.IvfIndex.Model) = {
     val (assigned, model) = ivfFor(s, dir)
-    val path = s"/tmp/graft_sq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val path = s"/tmp/graft_sq/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     val codes = sqCache.computeIfAbsent((s, path), { _ =>
       if (!successExists(s, s"$path/sq_codes")) {
         val dim = assigned.where(col("embedding").isNotNull)
@@ -161,9 +161,9 @@ object SparkEntry {
 
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
-    // "v3" = on-disk layout version; bump when IvfIndex.write changes so
+    // "v4" = on-disk layout version; bump when IvfIndex.write changes so
     // stale caches from earlier rounds can never be loaded
-    val path = s"/tmp/graft_ivf/v3_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
+    val path = s"/tmp/graft_ivf/v4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${metric.name}"
     // memoized per session: a served index keeps its centroid table
     // resident instead of re-collecting it on every query
     ivfCache.computeIfAbsent((s, path), { _ =>
@@ -707,6 +707,19 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0)
       graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
         q, k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+    // Filtered ANN (K3 composed with K4): the metadata predicate rides
+    // INSIDE the partition-pruned probe scan — exact pre-filter
+    // semantics (never fewer than k matches when k exist in the probed
+    // clusters), not the reference's 3x over-fetch post-filter.
+    // Approximate → rows-only; recall-gated in AnnSpec.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val (assigned, model) = ivfFor(s, dir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
+        q, k = 10, nprobe = 8, filter = Some(col("label") === 3))
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
     // PQ shortlist-then-rerank: 32× compressed codes prune via ADC

@@ -89,9 +89,11 @@ object IvfIndex {
       case DistanceMetric.DotProduct => augment(col(vecCol), phi)
       case _ => col(vecCol).cast("array<double>")
     }
+    // keep ALL input columns (not just id+vector): the assignments
+    // table is what filtered probes scan, so metadata filters (K3
+    // composed with K4) must find their columns in the index
     val features = emb
-      .select(col(idCol), col(vecCol),
-        array_to_vector(featVec).as("__features"))
+      .withColumn("__features", array_to_vector(featVec))
     val fitOn =
       if (sampleFraction >= 1.0) features
       else features.sample(withReplacement = false, sampleFraction, seed)

@@ -35,6 +35,24 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.85, f"recall $mean%.3f below threshold")
   }
 
+  test("filtered IVF probe (K3∘K4): exact pre-filter semantics + recall gate") {
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head
+    val exact = TopK.knn(emb, "vec_id", "embedding", q.map(_.toDouble),
+      k = 10, filter = Some(col("label") === 3))
+      .select("vec_id").as[Long].collect().toSet
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val got = IvfIndex.search(assigned, model, "vec_id", "embedding",
+      q, k = 10, nprobe = 8, filter = Some(col("label") === 3))
+      .select("vec_id").as[Long].collect()
+    // pre-filter semantics: every returned id satisfies the predicate
+    val label3 = emb.where(col("label") === 3).select("vec_id").as[Long].collect().toSet
+    assert(got.forall(label3.contains))
+    val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+    info(f"filtered IVF recall@10 = $recall%.3f")
+    assert(recall >= 0.85, f"recall $recall%.3f below threshold")
+  }
+
   test("nprobe is the recall/latency knob (K5): recall is monotone in nprobe") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = TopK.knnJoin(emb, "vec_id", "embedding",
