@@ -1027,19 +1027,17 @@ object SparkEntry {
     }),
 
     // ---- grouped top-k (k nearest per label group) ------------------
-    "knn_per_label" -> ((s, dir) => {
-      val w = Window.partitionBy(col("label"))
-        .orderBy(col("distance").asc, col("vec_id").asc)
-      t(s, dir, "embeddings")
-        .crossJoin(broadcast(queryRow(s, dir).select(col("embedding").as("__qvec"))))
-        .select(col("label"), col("vec_id"),
-          DistanceMetric.Euclidean.distance(col("embedding"), col("__qvec")).as("distance"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
+    // bounded TopKAgg per label (map-side partial aggregation, k-row
+    // buffers) — the row_number window form shuffles the whole scored
+    // corpus by the 10-value label key and sorts each partition just to
+    // keep 3 rows; this shape shuffles only |labels|×|partitions|×k
+    // buffer entries (PlanSpec pins partial-agg-no-window)
+    "knn_per_label" -> ((s, dir) =>
+      TopK.knnPerGroup(t(s, dir, "embeddings"), "label", "vec_id", "embedding",
+        queryRow(s, dir), "embedding", k = 3, DistanceMetric.Euclidean)
         .select(col("label"), col("vec_id"),
           round(col("distance"), 4).as("distance"), col("rank").cast("long").as("rank"))
-        .orderBy(col("label"), col("rank"))
-    }),
+        .orderBy(col("label"), col("rank"))),
 
     // ---- radius (range) search: all vectors within r ----------------
     // scan + codegen'd distance filter, no heap, no shuffle until the
@@ -1065,9 +1063,12 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)),
 
     // ---- unigram-LM doc scoring [EXT]: perplexity proxy -------------
+    // headSize=64 < the fixture's ~200-word vocabulary so BOTH branches
+    // of the hybrid model join (broadcast head / equi-join tail) carry
+    // rows here; production default is 1024
     "unigram_logprob" -> ((s, dir) =>
       graft.operators.CorpusStats.unigramLogProb(
-        t(s, dir, "documents"), "doc_id", "text")
+        t(s, dir, "documents"), "doc_id", "text", headSize = 64)
         .select(col("doc").as("doc_id"), col("n_tokens"),
           round(col("nll"), 4).as("nll"))
         .orderBy(col("doc_id"))),

@@ -242,6 +242,36 @@ object TopK {
     rows.toDF("query_id", "id", "distance", "rank")
   }
 
+  /** Grouped top-k: the k nearest rows per group-key value, via the
+    * bounded [[TopKAgg]]. Map-side partial aggregation keeps the
+    * shuffle at |groups| × |partitions| × k buffer rows; the window
+    * formulation (`row_number().over(Window.partitionBy(group))`)
+    * shuffles the ENTIRE scored input by the group key and sorts each
+    * partition — with a low-cardinality group key that is the textbook
+    * straggler at scale (10 labels → 10 reducers each sorting 10% of
+    * the corpus to keep k rows).
+    *
+    * Output: (groupCol, idCol, distance, rank 1..k), deterministic
+    * (distance ASC, id ASC within each group).
+    */
+  def knnPerGroup(data: DataFrame, groupCol: String, idCol: String,
+                  vecCol: String, query: DataFrame, queryVecCol: String,
+                  k: Int,
+                  metric: DistanceMetric = DistanceMetric.Euclidean): DataFrame = {
+    val scored = data
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qvec"))))
+      .select(col(groupCol), col(idCol).cast("long").as("id"),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .where(col("distance").isNotNull) // same exclusion rule as knn
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored
+      .groupBy(col(groupCol))
+      .agg(topk(col("id"), col("distance")).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.distance").as("distance"), (col("pos") + 1).as("rank"))
+  }
+
   /** Batch k-NN: the k-NN similarity join (reference J1,
     * src/storage.rs:302-310 — a sequential loop there; here one
     * distributed job). `queries` is broadcast; each data partition

@@ -132,6 +132,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("knn_per_label uses the bounded top-k aggregate, never a window sort") {
+    // the window form shuffles the entire scored corpus by the 10-value
+    // label key and sorts each partition — the low-cardinality straggler
+    // at 100×; TopKAgg shuffles only |labels|×|partitions|×k buffers
+    val p = plan("knn_per_label")
+    assert(p.contains("partial_topkagg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"grouped top-k must not use a window sort:\n$p")
+  }
+
+  test("unigram_logprob joins the vocabulary head via broadcast (stop-word skew fix)") {
+    // hot tokens ("the") have doc_freq ≈ N — they must ride the
+    // broadcast branch of the hybrid model join, never an equi-join key
+    val p = plan("unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("knn_radius: single-row query broadcast, codegen distance filter, no data join") {
     val p = plan("knn_radius")
     // the 1-row query vector rides a broadcast (knnOf pattern); the
