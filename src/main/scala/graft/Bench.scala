@@ -25,7 +25,7 @@ object Bench {
     "decontam_pairs", "doc_repetition", "bm25_search",
     "text_quality", "doc_fingerprint", "multimodal_wav", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-    "dedup_incremental", "dedup_embedding_lsh",
+    "dedup_incremental", "dedup_embedding_lsh", "dedup_lsh_planted",
     "knn_radius", "pack_assemble", "corpus_ngrams", "unigram_logprob",
     "pii_redact", "dedup_representative", "doc_similar", "skew_salted_join")
 

@@ -697,6 +697,36 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Selective-cut LSH over PLANTED near-dups (the fixtures have none;
+    // same plant-on-both-engines trick as pii_redact): one ±3%
+    // deterministically perturbed copy of each doc with vec_id < 60,
+    // τ=0.15, 16-bit bands. Far pairs (θ≈60°) collide at ~0.66^16 per
+    // band, so candidates ≪ n²/2 (AnnSpec asserts the pruning factor)
+    // — unlike the τ=0.58 demo cut, where banding cannot prune. The
+    // exact verification makes the output deterministic, so THIS LSH
+    // entry has a full DuckDB oracle: the O(n²) exact pair scan over
+    // the same planted table (base capped at vec_id < 300 to keep the
+    // oracle's cross join test-scale).
+    "dedup_lsh_planted" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      // two-stage select: the perturbation must see the ORIGINAL vec_id
+      // — aliasing vec_id+100000 in the same projection makes Spark's
+      // lateral-column-alias resolution capture the lambda's vec_id
+      // reference (silently diverging from the oracle; found the hard way)
+      val planted = base.where(col("vec_id") < 60)
+        .select(col("vec_id"),
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") *
+              (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.index.LshIndex.nearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", maxCosDist = 0.15, numPlanes = 64, numBands = 4,
+        carryVectors = false)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- ANN (K4/K5) — approximate, recall-gated, no SQL oracle ----
     // Probes the persisted cluster-partitioned index (see ivfFor): the
@@ -1406,6 +1436,26 @@ object SparkEntry {
            |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(cd, 4) AS cos_dist
            |FROM p ORDER BY cd ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+
+      // exact O(n²) pair scan over the SAME deterministic planting as
+      // the Spark entry — valid as an oracle because the LSH path's
+      // exact verification makes its survivors deterministic, and
+      // AnnSpec separately proves the banding finds every planted pair
+      "dedup_lsh_planted" ->
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+           |all_v AS (
+           |  SELECT vec_id, embedding FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000 AS vec_id,
+           |    list_transform(range(1, len(embedding)+1),
+           |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+           |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL)) AS embedding
+           |  FROM base WHERE vec_id < 60),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ${sqlCosDist("a.embedding", "b.embedding")} AS cd
+           |  FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(cd, 4) AS cos_dist
+           |FROM p WHERE cd <= 0.15 ORDER BY id_a, id_b""".stripMargin,
 
       "multimodal_features" ->
         s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

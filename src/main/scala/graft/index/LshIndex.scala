@@ -54,7 +54,25 @@ object LshIndex {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    maxCosDist: Double, numPlanes: Int = 16, numBands: Int = 4,
                    seed: Long = 42L, dim: Int = -1,
-                   carryVectors: Boolean = true): DataFrame = {
+                   carryVectors: Boolean = true): DataFrame =
+    candidatePairs(emb, idCol, vecCol, numPlanes, numBands, seed, dim,
+      carryVectors)
+      .select(col("id_a"), col("id_b"),
+        FusedDistance.cosine(col("__va"), col("__vb")).as("cos_dist"))
+      .where(col("cos_dist") <= maxCosDist)
+
+  /** The banding CANDIDATE pairs — [[nearDupPairs]] before its exact
+    * cosine verification, exposed so the pruning factor (candidates vs
+    * n(n−1)/2) is itself measurable and testable: an LSH config only
+    * earns its keep when this count is far below the cross-join's.
+    * Each unique colliding pair appears exactly once (first-matching-
+    * band filter, no distinct shuffle); output carries the two vectors
+    * (`__va`, `__vb`) for the verification step.
+    */
+  def candidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int = 16, numBands: Int = 4,
+                     seed: Long = 42L, dim: Int = -1,
+                     carryVectors: Boolean = true): DataFrame = {
     val planeDim =
       if (dim > 0) dim
       else emb.select(size(col(vecCol))).where(col(vecCol).isNotNull)
@@ -85,17 +103,12 @@ object LshIndex {
     }
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .where(col("a.id") < col("b.id") && col("band") === firstMatch)
-    val withVecs =
-      if (carryVectors)
-        cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.v").as("__va"), col("b.v").as("__vb"))
-      else
-        cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .join(clean.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
-          .join(clean.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
-    withVecs
-      .select(col("id_a"), col("id_b"),
-        FusedDistance.cosine(col("__va"), col("__vb")).as("cos_dist"))
-      .where(col("cos_dist") <= maxCosDist)
+    if (carryVectors)
+      cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("__va"), col("b.v").as("__vb"))
+    else
+      cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .join(clean.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+        .join(clean.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
   }
 }
