@@ -44,8 +44,15 @@ object Scratch {
     val docs = spark.read.parquet("/tmp/big_documents")
     println(s"[scale] rows=${docs.count()}")
 
-    timeIt("topNgrams n=3 top-50 over 5M docs")(
+    val exactTop = timeIt("topNgrams n=3 top-50 over 5M docs")(
       operators.CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 50).collect())
+
+    val sketchTop = timeIt("topNgramsSketch n=3 top-50 over 5M docs")(
+      operators.CorpusStats.topNgramsSketch(docs, "doc_id", "text", n = 3, k = 50)
+        .collect())
+    println(s"[scale] sketch==exact top-50: ${exactTop.sameElements(sketchTop)}")
+
+    if (args.headOption.contains("ngrams")) { spark.stop(); return }
 
     timeIt("unigramLogProb over 5M docs")(
       noop(operators.CorpusStats.unigramLogProb(docs, "doc_id", "text")))

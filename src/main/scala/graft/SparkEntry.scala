@@ -1092,6 +1092,14 @@ object SparkEntry {
       graft.operators.CorpusStats.topNgrams(
         t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)),
 
+    // MG-sketch + exact-recount form: identical output whenever the
+    // candidate set covers the true top-k (here capacity ≫ distinct
+    // trigrams, so always) — the shape whose first shuffle is bounded
+    // by partitions × capacity instead of |distinct n-grams|
+    "corpus_ngrams_sketch" -> ((s, dir) =>
+      graft.operators.CorpusStats.topNgramsSketch(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, k = 50)),
+
     // ---- unigram-LM doc scoring [EXT]: perplexity proxy -------------
     // headSize=64 < the fixture's ~200-word vocabulary so BOTH branches
     // of the hybrid model join (broadcast head / equi-join tail) carry
@@ -1649,6 +1657,16 @@ object SparkEntry {
           |FROM c GROUP BY source, tok_start // 2048
           |ORDER BY source, pack_id""".stripMargin,
       "corpus_ngrams" ->
+        s"""WITH tk AS (SELECT doc_id AS doc, ${sqlTokens("text")} AS tk FROM documents),
+           |ng AS (SELECT doc, unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
+           |                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS ngram
+           |       FROM tk),
+           |pd AS (SELECT ngram, doc, count(*) AS c FROM ng GROUP BY 1, 2)
+           |SELECT ngram, CAST(sum(c) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS doc_freq
+           |FROM pd GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+      // the sketch's recount phase is exact, so the twin is the same
+      // exact aggregation as corpus_ngrams
+      "corpus_ngrams_sketch" ->
         s"""WITH tk AS (SELECT doc_id AS doc, ${sqlTokens("text")} AS tk FROM documents),
            |ng AS (SELECT doc, unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
            |                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS ngram

@@ -52,6 +52,73 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Approximate corpus top-k n-grams via per-partition Misra–Gries
+    * heavy-hitter summaries + one exact recount of the candidates —
+    * the 100 TB upgrade over [[topNgrams]] when approximation of the
+    * CANDIDATE SET is acceptable (NOTES.md: at 5M docs the exact form
+    * spends its 66 s shuffling ~350M distinct trigram strings; here
+    * the first shuffle carries at most partitions × capacity rows).
+    *
+    * Phase 1 (sketch): each partition keeps a capacity-bounded
+    * Misra–Gries summary of its n-gram stream (insert if present or
+    * under capacity, else decrement-all-and-evict-zeros); summing the
+    * per-partition counters underestimates each true count by at most
+    * total/capacity, which Zipf-shaped boilerplate clears by orders of
+    * magnitude. Phase 2 (recount): the top k·overscan candidates by
+    * sketch estimate are recounted EXACTLY — same two-phase aggregate
+    * as [[topNgrams]] but with the candidate IN-filter pushed below
+    * the shuffle, so only candidate rows ever exchange. Output schema,
+    * values, and order equal [[topNgrams]] whenever the candidate set
+    * covers the true top k (CorpusOpsSpec asserts exact equality on
+    * the fixtures).
+    *
+    * The MG guarantee is additive: each estimate undercounts by at most
+    * streamLength/capacity, so the candidate set is trustworthy exactly
+    * when true heavy hitters clear that bound (web boilerplate does by
+    * orders of magnitude). A NEARLY-FLAT corpus has no heavy hitters to
+    * find — there the sketch needs capacity ≳ distinct n-grams per
+    * partition to degrade gracefully to exact (the 64k default covers
+    * the fixtures; it is ~2 MB of strings per partition).
+    */
+  def topNgramsSketch(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 50,
+                      capacity: Int = 65536, overscan: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ngrams = docs
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("__tk"))
+      .select(col("doc"), explode(ngramArray(col("__tk"), n)).as("ngram"))
+    val partials = ngrams.select(col("ngram")).as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { g =>
+        if (counts.contains(g) || counts.size < capacity)
+          counts.update(g, counts.getOrElse(g, 0L) + 1L)
+        else {
+          // classic MG step: decrement every counter, evict zeros; the
+          // arriving element is implicitly decremented to 0 (dropped)
+          counts.mapValuesInPlace((_, v) => v - 1L)
+          counts.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counts.iterator
+    }.toDF("ngram", "c")
+    // candidate strings are k·overscan rows — driver-side by design
+    val candidates = partials.groupBy(col("ngram"))
+      .agg(sum(col("c")).as("est"))
+      .orderBy(col("est").desc, col("ngram").asc)
+      .limit(k * overscan)
+      .select("ngram").as[String].collect().toSeq
+    ngrams
+      .where(col("ngram").isin(candidates: _*))
+      .groupBy(col("ngram"), col("doc"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__c")).cast("long").as("cnt"),
+        count(lit(1)).cast("long").as("doc_freq"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Per-document average negative log-likelihood under the corpus's
     * own unigram model: nll(d) = Σ_t c_{d,t} · −ln(tf_t / N) / |d|.
     * Low = stereotypical text, high = rare-token soup — the standard

@@ -35,6 +35,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set(("w", 2L, 1L), ("v", 1L, 1L)))
   }
 
+  test("topNgramsSketch equals the exact topNgrams on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 50)
+      .as[(String, Long, Long)].collect().toList
+    val sketch = CorpusStats.topNgramsSketch(docs, "doc_id", "text", n = 3, k = 50)
+      .as[(String, Long, Long)].collect().toList
+    // the recount phase makes the winners EXACT whenever the MG
+    // candidate set covers the true top-k — on fixtures: identical
+    assert(sketch == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("topNgramsSketch survives capacity pressure (capacity < distinct n-grams)") {
+    // force MG evictions: capacity 8 against a corpus with a clear
+    // heavy hitter + noise tail; the hitter must still surface with
+    // its exact count
+    val noise = (0 until 200).map(i => (i.toLong, s"n$i m$i o$i p$i"))
+    val hot = (1000 until 1100).map(i => (i.toLong, "the same boiler plate"))
+    val docs = (noise ++ hot).toDF("doc_id", "text")
+    val got = CorpusStats.topNgramsSketch(docs, "doc_id", "text",
+      n = 3, k = 2, capacity = 8, overscan = 4)
+      .as[(String, Long, Long)].collect().toList
+    // tie at cnt=100 breaks by ngram asc: "same…" < "the…"
+    assert(got.head == (("same boiler plate", 100L, 100L)), got.toString)
+    assert(got(1) == (("the same boiler", 100L, 100L)), got.toString)
+  }
+
   test("unigramLogProb: hand-computed nll on a two-doc corpus") {
     // corpus: a a a b  -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
