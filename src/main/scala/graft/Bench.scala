@@ -28,7 +28,10 @@ object Bench {
     "dedup_incremental", "dedup_embedding_lsh", "dedup_lsh_planted",
     "knn_radius", "pack_assemble", "corpus_ngrams", "corpus_ngrams_sketch",
     "unigram_logprob",
-    "pii_redact", "dedup_representative", "doc_similar", "skew_salted_join")
+    "pii_redact", "dedup_representative", "doc_similar", "skew_salted_join",
+    "text_clean", "boilerplate_strip", "quality_rel_filter", "dsir_weights",
+    "bloom_prune_join", "zorder_key", "ann_lsh_multiprobe", "semantic_dedup",
+    "corpus_vocab", "len_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

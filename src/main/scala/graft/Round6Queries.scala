@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, ZOrder}
+import graft.operators.{Curation, RuntimeFilter}
+
+/** Round-6 [EXT] queries + DuckDB oracle twins (SURVEY §2.17):
+  * text normalization, corpus-frequency boilerplate removal, relative
+  * quality filtering, DSIR importance weights, bloom runtime-filter
+  * join pruning, z-order layout keys. Split out of SparkEntry so the
+  * contract file stays readable (VERDICT r5 §next-round item 7);
+  * SparkEntry merges these maps into its own.
+  */
+object Round6Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Deterministic markup noise derived from doc_id, planted identically
+    * on both engines (the corpus is synthetic and markup-free — what is
+    * verified is the cleaner, not the fixture; same trick as
+    * pii_redact). */
+  private def plantedHtml = concat(
+    lit("<div id=\""), col("doc_id").cast("string"),
+    lit("\" class='c"), (col("doc_id") % 5).cast("string"), lit("'><p>"),
+    col("text"), lit("</p>&nbsp;&amp; <br/>"),
+    when(col("doc_id") % 3 === 0, lit(" &lt;extra&gt;   spaced"))
+      .otherwise(lit("")),
+    lit("</div>"))
+
+  private val plantedHtmlSql: String =
+    """('<div id="' || CAST(doc_id AS VARCHAR) || '" class=''c' ||
+      | CAST(doc_id % 5 AS VARCHAR) || '''><p>' || text ||
+      | '</p>&nbsp;&amp; <br/>' ||
+      | (CASE WHEN doc_id % 3 = 0 THEN ' &lt;extra&gt;   spaced' ELSE '' END)
+      | || '</div>')""".stripMargin.replace("\n", "")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text cleaning [EXT]: markup strip + entity decode ----------
+    // pure zero-shuffle projection (PlanSpec-pinned); n_tags is the
+    // "was this HTML?" curation signal
+    "text_clean" -> ((s, dir) =>
+      Curation.cleanText(
+        t(s, dir, "documents").select(col("doc_id"), plantedHtml.as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_tags"), md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- boilerplate strip [EXT]: C4-style corpus-frequency line dedup
+    // hot-chunk set is bounded by totalChunks/minFreq and rides a
+    // single-row broadcast; documents never shuffle (PlanSpec-pinned)
+    "boilerplate_strip" -> ((s, dir) =>
+      Curation.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 4, minFreq = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- relative quality filter [EXT]: per-source percentile cutoff
+    // cutoffs from ONE |sources|-row aggregate broadcast back — never a
+    // corpus-wide window by the low-cardinality source key
+    "quality_rel_filter" -> ((s, dir) =>
+      Curation.qualityRelativeFilter(t(s, dir, "documents"),
+        "source", "doc_id", TF.qualityScore(col("text")), pct = 0.25)
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("cutoff"), 4).as("cutoff"))
+        .orderBy(col("doc_id"))),
+
+    // ---- DSIR importance weights [EXT] ------------------------------
+    // headSize=16 < the fixture vocabulary so BOTH branches of the
+    // Zipf head-broadcast hybrid carry rows; production default 1024
+    "dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2"), headSize = 16)
+        .select(col("doc").as("doc_id"), col("n_tokens"),
+          round(col("logw"), 4).as("logw"))
+        .orderBy(col("doc_id"))),
+
+    // ---- bloom runtime-filter join [EXT] ----------------------------
+    // semantically the plain orders⋈lineitem (the oracle IS the plain
+    // join): the bloom of urgent-order keys kills ~80% of lineitem
+    // before the shuffle; false positives die in the real join
+    "bloom_prune_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pruned = RuntimeFilter.bloomPrune(
+        t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+      pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- multi-probe LSH search [EXT] -------------------------------
+    // single-band bucket table (1× corpus footprint); queries probe
+    // their bucket + all Hamming-1 neighbors — recall that would
+    // otherwise cost extra corpus replicas (bands) scales only the
+    // |queries| join side (Lv et al., VLDB 2007). Approximate → no
+    // oracle; AnnSpec gates recall@1 ≥ 0.95 on planted near-dups where
+    // single-probe demonstrably misses.
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val buckets = graft.index.LshIndex.bucketTable(emb, "vec_id", "embedding",
+        numPlanes = 16, numBands = 1)
+      val qs = emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      graft.index.LshIndex.searchMultiProbe(buckets, qs, "vec_id", "embedding",
+        k = 5, numPlanes = 16, numBands = 1, probeBits = 1)
+        .select(col("qid"), col("id"), round(col("cos_dist"), 4).as("cos_dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- SemDeDup-style semantic dedup [EXT] ------------------------
+    // the full semantic-dedup pipeline shape (Abbas et al. 2023):
+    // LSH candidate pairs at a SELECTIVE cosine cut over planted
+    // near-dups → connected components → keep one representative per
+    // component (the original: quality = −vec_id). Exact verification
+    // makes the output deterministic, so unlike a raw ANN entry this
+    // composition has a full DuckDB oracle (O(n²) pair scan +
+    // recursive-CTE components, the dedup_representative twin's shape)
+    "semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").where(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      // two-stage select: the perturbation must see the ORIGINAL
+      // vec_id (lateral-column-alias trap, see dedup_lsh_planted)
+      val planted = base.where(col("vec_id") < 60)
+        .select(col("vec_id"),
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") *
+              (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val all = base.unionByName(planted)
+      val pairs = graft.index.LshIndex.nearDupPairs(all, "vec_id", "embedding",
+        maxCosDist = 0.15, numPlanes = 64, numBands = 4, carryVectors = false)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.Dedup.representativesFromPairs(pairs, all,
+        "vec_id", (-col("vec_id")).cast("double"))
+        .select(col("component"), col("keeper"), col("n_members"))
+        .orderBy(col("component"))
+    }),
+
+    // ---- corpus vocabulary stats [EXT] ------------------------------
+    // exact distinct over the per-(source, token) pre-aggregate (hot
+    // tokens collapse map-side); the 100 TB path swaps in the HLL
+    // sketch — CurationSpec pins it within 5% of this exact form
+    "corpus_vocab" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabStats(
+        t(s, dir, "documents"), "source", "text")
+        .select(col("grp").as("source"), col("n_tokens"), col("n_distinct"))
+        .orderBy(col("source"))),
+
+    // ---- doc-length quantiles [EXT] ---------------------------------
+    // ONE |sources|-row exact-percentile aggregate (no corpus sort);
+    // the 100 TB path is percentile_approx's mergeable KLL-style
+    // sketch — CurationSpec pins its error against this exact form
+    "len_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          percentile(col("n_chars"), lit(0.25)).as("__p25"),
+          percentile(col("n_chars"), lit(0.5)).as("__p50"),
+          percentile(col("n_chars"), lit(0.75)).as("__p75"))
+        .select(col("source"),
+          round(col("__p25"), 4).as("p25"),
+          round(col("__p50"), 4).as("p50"),
+          round(col("__p75"), 4).as("p75"))
+        .orderBy(col("source"))),
+
+    // ---- z-order layout key [EXT] -----------------------------------
+    // the Morton key a 100 TB table range-partitions by so parquet
+    // min/max stats prune on EITHER dimension; straight-line codegen'd
+    // long arithmetic (ZOrderSpec demonstrates the extent shrink)
+    "zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          ZOrder.zValue(col("l_partkey") % 65536, col("l_suppkey") % 65536).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_clean" ->
+      s"""WITH pl AS (SELECT doc_id, $plantedHtmlSql AS s FROM documents),
+         |cl AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(s, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(s, '<[^>]*>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS clean
+         | FROM pl)
+         |SELECT doc_id, n_tags, md5(clean) AS clean_md5 FROM cl
+         |ORDER BY doc_id""".stripMargin,
+
+    "boilerplate_strip" ->
+      s"""WITH tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok,
+         |        generate_subscripts(tk, 1) AS ord FROM tk),
+         |ch AS (SELECT doc_id, CAST((ord - 1) // 4 AS BIGINT) AS grp,
+         |       string_agg(tok, ' ' ORDER BY ord) AS chunk
+         |       FROM tok GROUP BY 1, 2),
+         |hot AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) >= 3),
+         |kept AS (SELECT doc_id, grp, chunk FROM ch
+         |         WHERE chunk NOT IN (SELECT chunk FROM hot)),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |       FROM ch GROUP BY 1),
+         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |       string_agg(chunk, ' ' ORDER BY grp) AS clean
+         |       FROM kept GROUP BY 1)
+         |SELECT n.doc_id, n.n_chunks,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  md5(coalesce(k.clean, '')) AS clean_md5
+         |FROM nc n LEFT JOIN ka k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "quality_rel_filter" -> {
+      val qual =
+        s"""round(least(len(${SparkEntry.sqlTokens("text")}) / 64.0, 1.0)
+           |    * (CASE WHEN ${SparkEntry.sqlStopFrac("text")} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+           |    * (1.0 - ${SparkEntry.sqlPunctRatio("text")}), 4)""".stripMargin
+      s"""WITH q AS (SELECT doc_id, source, $qual AS quality FROM documents),
+         |c AS (SELECT source, quantile_cont(quality, 0.25) AS cutoff
+         |      FROM q GROUP BY 1)
+         |SELECT q.doc_id, q.source, q.quality, round(c.cutoff, 4) AS cutoff
+         |FROM q JOIN c USING (source) WHERE q.quality > c.cutoff
+         |ORDER BY q.doc_id""".stripMargin
+    },
+
+    "dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, source, ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
+         |dt AS (SELECT doc_id, (source IN ('src0', 'src1', 'src2')) AS tgt,
+         |       unnest(tk) AS t FROM tk),
+         |dtc AS (SELECT doc_id, tgt, t, CAST(count(*) AS BIGINT) AS c
+         |        FROM dt GROUP BY 1, 2, 3),
+         |raw AS (SELECT t, CAST(sum(c) AS BIGINT) AS raw_tf FROM dtc GROUP BY 1),
+         |tgt AS (SELECT t, CAST(sum(c) AS BIGINT) AS tgt_tf FROM dtc WHERE tgt GROUP BY 1),
+         |model AS (SELECT r.t, r.raw_tf, coalesce(g.tgt_tf, 0) AS tgt_tf
+         |          FROM raw r LEFT JOIN tgt g USING (t)),
+         |tot AS (SELECT CAST(sum(raw_tf) AS BIGINT) AS n_raw,
+         |        CAST(sum(tgt_tf) AS BIGINT) AS n_tgt,
+         |        CAST(count(*) AS BIGINT) AS v FROM model),
+         |lr AS (SELECT t, (ln((CAST(tgt_tf AS DOUBLE) + 1.0) / (CAST(n_tgt AS DOUBLE) + CAST(v AS DOUBLE)))
+         |               - ln((CAST(raw_tf AS DOUBLE) + 1.0) / (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))) AS lr
+         |      FROM model CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  round(sum(CAST(c AS DOUBLE) * lr), 4) AS logw
+         |FROM dtc JOIN lr USING (t) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "bloom_prune_join" ->
+      s"""SELECT l.l_returnflag,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         |all_v AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL)) AS embedding
+         |  FROM base WHERE vec_id < 60),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${SparkEntry.sqlCosDist("a.embedding", "b.embedding")} AS cd
+         |  FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id),
+         |e AS (SELECT id_a, id_b FROM p WHERE cd <= 0.15),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM e
+         |          UNION SELECT id_b, id_a FROM e),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |rk AS (SELECT component, node,
+         |        row_number() OVER (PARTITION BY component
+         |                           ORDER BY node ASC) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS nm
+         |       FROM comp)
+         |SELECT component, node AS keeper, CAST(nm AS BIGINT) AS n_members
+         |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "corpus_vocab" ->
+      s"""WITH dt AS (SELECT source, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |           FROM documents),
+         |pt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+         |       FROM dt GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct
+         |FROM pt GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "len_quantiles" ->
+      s"""SELECT source,
+         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "zorder_key" -> {
+      val xTerms = (0 until 16).map(i =>
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})")
+      val yTerms = (0 until 16).map(i =>
+        s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})")
+      val z = (xTerms ++ yTerms).mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($z AS BIGINT) AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    },
+  )
+}

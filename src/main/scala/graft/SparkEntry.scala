@@ -16,7 +16,7 @@ import graft.operators.{Dedup, MetadataFilter, Metrics, TopK}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** embeddings with the reference-shaped metadata map: even ids carry
@@ -187,14 +187,14 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def sqlNorm(a: String): String =
     s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
-  private def sqlCosDist(a: String, b: String): String =
+  private[graft] def sqlCosDist(a: String, b: String): String =
     s"(1 - least(greatest(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}), -1), 1))"
 
   /** DuckDB twin of TextFunctions.rollingHash over a string expr. */
   private def sqlRollHash(s: String): String =
     s"list_reduce(list_prepend(CAST(${TF.HashSeed} AS BIGINT), list_transform(list_filter(string_split($s, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % ${TF.HashMod})"
 
-  private def sqlTokens(text: String): String =
+  private[graft] def sqlTokens(text: String): String =
     s"list_filter(string_split($text, ' '), t -> t <> '')"
 
   /** DuckDB twin of TextFunctions.tokenHashes. */
@@ -258,11 +258,11 @@ object SparkEntry {
 
   private val sqlStopList: String =
     TF.EnglishStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-  private def sqlStopFrac(text: String): String = {
+  private[graft] def sqlStopFrac(text: String): String = {
     val toks = sqlTokens(text)
     s"(len(list_filter($toks, t -> lower(t) IN $sqlStopList)) * 1.0 / len($toks))"
   }
-  private def sqlPunctRatio(text: String): String =
+  private[graft] def sqlPunctRatio(text: String): String =
     s"((length($text) - length(regexp_replace($text, '[.,;:!?]', '', 'g'))) * 1.0 / length($text))"
 
   // ---------------------------------------------------------------
@@ -281,7 +281,10 @@ object SparkEntry {
   // queries + oracleSql
   // ---------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ Round6Queries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
     // Money sums are done in exact integer cents (round(x*100) as BIGINT,
     // then sum): integer addition is order-independent, so Spark's and
@@ -1748,6 +1751,6 @@ object SparkEntry {
            |SELECT component, node AS keeper, CAST(n_chars AS BIGINT) AS quality,
            |  CAST(nm AS BIGINT) AS n_members
            |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
-    )
+    ) ++ Round6Queries.oracleSql
   }
 }

@@ -61,6 +61,89 @@ object LshIndex {
         FusedDistance.cosine(col("__va"), col("__vb")).as("cos_dist"))
       .where(col("cos_dist") <= maxCosDist)
 
+  /** LSH bucket table for serving: (id, band, key, v) — each row
+    * replicated once per band, keyed by that band's signature slice.
+    * Build once on compaction cadence (like IvfIndex assignments),
+    * optionally persisted + partitioned by (band, key) for pruning. */
+  def bucketTable(emb: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int = 16, numBands: Int = 4,
+                  seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val planeDim =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol))).where(col(vecCol).isNotNull)
+        .head.getInt(0)
+    val planes = makePlanes(numPlanes, planeDim, seed)
+    val bitsPerBand = numPlanes / numBands
+    val mask = (1L << bitsPerBand) - 1
+    val sigd = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === planeDim)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        signature(col(vecCol), planes).as("sig"))
+    (0 until numBands).map { b =>
+      sigd.select(col("id"), col("v"), lit(b).as("band"),
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Multi-probe LSH top-k search (Lv et al., VLDB 2007): the query
+    * probes its own bucket PLUS every bucket at Hamming distance ≤
+    * `probeBits` within each band — recall that would otherwise need
+    * more bands (more corpus replicas, more shuffle) is bought with
+    * query-side probes instead, which cost nothing at corpus scale:
+    * the expansion multiplies only the |queries|-row side of the
+    * equi-join, while the bucketed corpus stays `numBands`× once.
+    * A 1-band / 17-probe config reaches several-band recall with a
+    * quarter of the index footprint — the knob a 100 TB deployment
+    * tunes instead of rebuilding the index wider.
+    *
+    * Candidates sharing several (band, key) cells dedupe per (query,
+    * id) with a bounded min-aggregate BEFORE the exact-cosine top-k,
+    * so verification runs once per unique candidate.
+    */
+  def searchMultiProbe(buckets: DataFrame, queries: DataFrame,
+                       qIdCol: String, qVecCol: String, k: Int,
+                       numPlanes: Int, numBands: Int,
+                       probeBits: Int = 1, seed: Long = 42L): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
+    val planeDim = queries.select(size(col(qVecCol)))
+      .where(col(qVecCol).isNotNull).head.getInt(0)
+    val planes = makePlanes(numPlanes, planeDim, seed)
+    val bitsPerBand = numPlanes / numBands
+    val mask = (1L << bitsPerBand) - 1
+    val qsig = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      signature(col(qVecCol), planes).as("sig"))
+    // per band: the exact key + (if probeBits=1) each single-bit flip
+    val probed = (0 until numBands).map { b =>
+      val key = shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+      val probeKeys =
+        if (probeBits == 0) array(key)
+        else array(key +: (0 until bitsPerBand)
+          .map(i => key.bitwiseXOR(lit(1L << i))): _*)
+      qsig.select(col("qid"), col("qv"), lit(b).as("band"),
+        explode(probeKeys).as("key"))
+    }.reduce(_ unionByName _)
+    // score at the match site, THEN collapse duplicate (qid, id) cells
+    // with a slim (qid, id, dist) partial-agg shuffle — the vectors
+    // never shuffle; the per-query ranking is the bounded TopKAgg
+    // (map-side k-row buffers), never a window sort by qid
+    val scored = probed.join(buckets, Seq("band", "key"))
+      .select(col("qid"),
+        col("id").cast("long").as("id"),
+        graft.functions.FusedDistance.cosine(col("qv"), col("v")).as("cos_dist"))
+      .where(col("cos_dist").isNotNull)
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("cos_dist")).as("cos_dist"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.operators.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.operators.Scored])
+    scored
+      .groupBy(col("qid"))
+      .agg(topk(col("id"), col("cos_dist")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.distance").as("cos_dist"), (col("pos") + 1).as("rank"))
+  }
+
   /** The banding CANDIDATE pairs — [[nearDupPairs]] before its exact
     * cosine verification, exposed so the pruning factor (candidates vs
     * n(n−1)/2) is itself measurable and testable: an LSH config only

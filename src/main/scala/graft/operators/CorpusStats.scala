@@ -25,7 +25,7 @@ object CorpusStats {
     * arguments are evaluated once per row (a per-element
     * `element_at(tokens, i)` lambda would re-evaluate the whole token
     * subtree once per element — measured 40× on dedup_jaccard). */
-  private def ngramArray(tokens: org.apache.spark.sql.Column, n: Int) = {
+  private[operators] def ngramArray(tokens: org.apache.spark.sql.Column, n: Int) = {
     require(n >= 1, "n must be >= 1")
     val m = greatest(size(tokens) - (n - 1), lit(0))
     val shifted = (1 to n).map(i => slice(tokens, lit(i), m))
@@ -117,6 +117,27 @@ object CorpusStats {
         count(lit(1)).cast("long").as("doc_freq"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
+  }
+
+  /** Per-group corpus vocabulary stats: total tokens + EXACT distinct
+    * tokens per group — the baseline the sketch path is judged against.
+    *
+    * Scale shape: the exact distinct is computed over the per-(group,
+    * token) pre-aggregate, so a hot token collapses map-side before the
+    * distinct shuffle, and the final count per group is a plain count
+    * of that pre-aggregate (never `countDistinct` over raw rows, whose
+    * shuffle carries every token occurrence). At 100 TB swap the exact
+    * count for `approx_count_distinct` (HyperLogLog++): one pass, a
+    * fixed-size mergeable sketch per group, NO second shuffle —
+    * CurationSpec pins the sketch within 5% of this exact form. */
+  def vocabStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(groupCol).as("grp"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"))
   }
 
   /** Per-document average negative log-likelihood under the corpus's

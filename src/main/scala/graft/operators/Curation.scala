@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Round-6 [EXT] corpus-curation operators: the text-normalization and
+  * selection stages a pre-training pipeline runs between raw ingest and
+  * dedup/tokenization. None exist in the reference (its data model is
+  * id+vector+metadata only); they are the document-side complement to
+  * the vector operators, designed shuffle-first for 100 TB:
+  *
+  *  - [[cleanText]]        — zero-shuffle projection (like Privacy.redact)
+  *  - [[stripBoilerplate]] — two-phase agg builds a SMALL hot-chunk set
+  *                           (bounded by totalChunks/minFreq), broadcast
+  *                           back as one row; docs never shuffle
+  *  - [[qualityRelativeFilter]] — per-group cutoffs via one tiny agg,
+  *                           broadcast join back (never a corpus-wide
+  *                           window by a low-cardinality source key)
+  *  - [[dsirWeights]]      — hashed-unigram importance weights (DSIR,
+  *                           Xie et al. 2023); the model is two freq
+  *                           tables, joined back with the same Zipf
+  *                           head-broadcast hybrid as
+  *                           CorpusStats.unigramLogProb
+  */
+object Curation {
+
+  // ---------------------------------------------------------------
+  // text cleaning
+  // ---------------------------------------------------------------
+
+  /** Markup-strip + entity-decode + whitespace-collapse, the C4/CCNet
+    * first stage. Pure per-row projection: zero shuffle, whole-stage
+    * codegen, patterns in the Java-regex ∩ RE2 subset (same constraint
+    * as Privacy.redact so the operator ports to RE2-based engines).
+    *
+    * Returns (idCol, n_tags, clean) where n_tags counts the markup
+    * tags removed — the cheap "was this HTML?" signal curation filters
+    * key on. Entity decode happens AFTER tag-strip (an entity inside a
+    * tag attribute is gone already) and whitespace-collapse last.
+    */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tagPat = "<[^>]*>"
+    val s0 = col(textCol)
+    val nTags = regexp_count(s0, lit(tagPat)).cast("long").as("n_tags")
+    val s1 = regexp_replace(s0, tagPat, " ")
+    val s2 = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(s1, "&nbsp;", " "),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&amp;", "&") // ampersand LAST so "&amp;lt;" decodes to "&lt;" not "<"
+    val s3 = trim(regexp_replace(s2, "\\s+", " "))
+    df.select(col(idCol), nTags, s3.as("clean"))
+  }
+
+  // ---------------------------------------------------------------
+  // corpus-frequency boilerplate removal (C4-style line dedup)
+  // ---------------------------------------------------------------
+
+  /** Token-chunk array of a text column: consecutive `chunkTokens`-token
+    * windows (the fixture corpus has no newlines, so fixed-size token
+    * chunks stand in for lines — on real web text pass the line split
+    * instead). The trailing ragged chunk is kept. Built from the
+    * zip_with n-gram fold (args evaluated once per row) + an indexed
+    * filter keeping every chunkTokens-th gram — NOT a per-element
+    * `slice(tokens, i*c+1, c)` lambda, which re-evaluates the token
+    * subtree once per element (NOTES.md: measured 40×).
+    */
+  private[graft] def tokenChunks(tokens: Column, chunkTokens: Int): Column = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val cg = CorpusStats.ngramArray(tokens, chunkTokens)
+    val full = filter(cg, (_, i) => i % chunkTokens === 0)
+    val tailLen = size(tokens) % chunkTokens
+    val tailChunk = concat_ws(" ",
+      slice(tokens, size(tokens) - tailLen + 1, tailLen))
+    when(tailLen === 0, full).otherwise(concat(full, array(tailChunk)))
+  }
+
+  /** Corpus-frequency boilerplate removal — the C4 rule "drop any line
+    * occurring ≥ minFreq times in the corpus" applied to token chunks.
+    *
+    * Scale shape: phase 1 collapses chunk occurrences per (chunk, doc)
+    * BEFORE the corpus-wide count (a nav-bar chunk repeated inside one
+    * page never fans raw rows into the global shuffle), and keeps only
+    * chunks with total count ≥ minFreq — a set bounded by
+    * totalChunks/minFreq regardless of corpus size. Phase 2 folds that
+    * set into ONE array row, cross-joins it broadcast, and filters each
+    * doc's chunk array in place: the documents themselves never
+    * shuffle, never explode. At extreme scale swap the exact hot array
+    * for a bloom filter (RuntimeFilter.bloomOf) — same plan shape.
+    *
+    * Output: (idCol, n_chunks, n_kept, clean) with chunk order
+    * preserved; a fully-boilerplate doc yields n_kept=0 and clean="".
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 4, minFreq: Long = 3): DataFrame = {
+    val docChunks = df.select(
+      col(idCol),
+      tokenChunks(TF.tokens(col(textCol)), chunkTokens).as("__chunks"))
+    val hot = docChunks
+      .select(col(idCol), explode(col("__chunks")).as("chunk"))
+      .groupBy(col("chunk"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("chunk"))
+      .agg(sum(col("__c")).as("f"))
+      .where(col("f") >= minFreq)
+      .agg(collect_set(col("chunk")).as("__hot"))
+    val kept = filter(col("__chunks"),
+      c => !array_contains(coalesce(col("__hot"), array().cast("array<string>")), c))
+    docChunks
+      .crossJoin(broadcast(hot))
+      .select(col(idCol),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("clean"))
+  }
+
+  // ---------------------------------------------------------------
+  // per-group relative quality filtering (FineWeb-style)
+  // ---------------------------------------------------------------
+
+  /** Keep documents whose quality strictly exceeds their group's
+    * `pct`-percentile — the relative form of quality filtering (a fixed
+    * global threshold over-prunes clean sources and under-prunes noisy
+    * ones; filtering against each source's own distribution is the
+    * FineWeb/RefinedWeb recipe).
+    *
+    * Scale shape: cutoffs come from ONE aggregation producing
+    * |groups| rows (exact `percentile` — its state is a per-group value
+    * histogram, fine for bounded score cardinalities; swap in
+    * percentile_approx beyond that), broadcast-joined back. Never a
+    * corpus-wide window partitioned by the low-cardinality group key —
+    * that shape funnels each group's full corpus slice through one
+    * reducer and sorts it just to read off one rank.
+    */
+  def qualityRelativeFilter(df: DataFrame, groupCol: String, idCol: String,
+                            quality: Column, pct: Double = 0.25): DataFrame = {
+    val scored = df.select(col(idCol), col(groupCol), quality.as("quality"))
+    val cutoffs = scored.groupBy(col(groupCol))
+      .agg(percentile(col("quality"), lit(pct)).as("cutoff"))
+    scored.join(broadcast(cutoffs), Seq(groupCol))
+      .where(col("quality") > col("cutoff"))
+  }
+
+  // ---------------------------------------------------------------
+  // DSIR importance weights
+  // ---------------------------------------------------------------
+
+  /** Per-document importance weight for target-distribution resampling
+    * (DSIR, Xie et al. NeurIPS 2023): under add-1-smoothed unigram LMs
+    * of the target slice vs the whole corpus,
+    *
+    *   w(d) = Σ_t c_{d,t} · [ ln p_target(t) − ln p_raw(t) ]
+    *
+    * Docs scoring high look like the target domain; sampling ∝ exp(w)
+    * reshapes the corpus toward it. The reference pipeline hashes
+    * n-grams into a fixed bucket space; unigrams over a tokenized
+    * column are the same plumbing (swap TF.tokens for an n-gram+hash
+    * expression to match exactly).
+    *
+    * Scale shape: both LMs are two-phase aggregates (per-doc collapse
+    * first); the log-ratio model table is |vocab| rows and joins back
+    * token-level with the Zipf head-broadcast hybrid of
+    * CorpusStats.unigramLogProb — the top-`headSize` tokens by raw
+    * frequency (where ALL the join skew lives) ride a broadcast, the
+    * rare tail takes the equi-join. Smoothing uses the raw-corpus
+    * vocabulary size V on both numerator and denominator, so tokens
+    * absent from the target still get finite mass (c_t = 0 → 1/(N_t+V)).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, headSize: Int = 1024): DataFrame = {
+    val docTok = df
+      .select(col(idCol).as("doc"), isTarget.as("__tgt"),
+        explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("__tgt"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val rawTf = docTok.groupBy(col("t")).agg(sum(col("c")).cast("long").as("raw_tf"))
+    val tgtTf = docTok.where(col("__tgt"))
+      .groupBy(col("t")).agg(sum(col("c")).cast("long").as("tgt_tf"))
+    // model table: one row per raw-vocab token; target counts left-joined
+    // (absent => 0), log-ratio under add-1 smoothing
+    val model = rawTf.join(tgtTf, Seq("t"), "left")
+      .select(col("t"), col("raw_tf"),
+        coalesce(col("tgt_tf"), lit(0L)).as("tgt_tf"))
+    val totals = model.agg(
+      sum(col("raw_tf")).cast("long").as("n_raw"),
+      sum(col("tgt_tf")).cast("long").as("n_tgt"),
+      count(lit(1)).cast("long").as("v"))
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("t"), col("raw_tf"),
+        (log((col("tgt_tf").cast("double") + 1.0)
+            / (col("n_tgt").cast("double") + col("v").cast("double")))
+          - log((col("raw_tf").cast("double") + 1.0)
+            / (col("n_raw").cast("double") + col("v").cast("double")))).as("lr"))
+    val head = lr.orderBy(col("raw_tf").desc, col("t").asc).limit(headSize)
+      .select(col("t"), col("lr"))
+    val tail = lr.select(col("t"), col("lr"))
+      .join(broadcast(head.select(col("t"))), Seq("t"), "left_anti")
+    val scored = docTok.join(broadcast(head), Seq("t"))
+      .unionByName(docTok.join(tail, Seq("t")))
+    scored.groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
+  }
+}

@@ -117,6 +117,39 @@ class AnnSpec extends SparkSpec {
         s"missing ${(truth -- got).take(5)}, extra ${(got -- truth).take(5)}")
   }
 
+  test("multi-probe LSH search: query-side probes buy the recall extra bands would") {
+    // corpus bucketed ONCE (single 16-bit band = 1× index footprint);
+    // the planted copies (cos_dist ~1e-4) query for their originals.
+    // Single-probe misses every pair whose signatures differ in the one
+    // band; Hamming-1 query probes recover the 1-bit misses at zero
+    // corpus cost — the multi-probe trade (Lv et al., VLDB 2007): probe
+    // count scales the |queries| side only, never the corpus replicas.
+    val planted = emb.where(col("vec_id") < 50)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val buckets = LshIndex.bucketTable(emb, "vec_id", "embedding",
+      numPlanes = 16, numBands = 1)
+    def recallAt1(probeBits: Int): Double = {
+      val got = LshIndex.searchMultiProbe(buckets, planted,
+        "vec_id", "embedding", k = 1,
+        numPlanes = 16, numBands = 1, probeBits = probeBits)
+        .where(col("rank") === 1)
+        .select(col("qid").cast("long"), col("id"))
+        .as[(Long, Long)].collect().toMap
+      (0L until 50L).count(i => got.get(i + 100000L).contains(i)) / 50.0
+    }
+    val single = recallAt1(0)
+    val multi = recallAt1(1)
+    info(f"recall@1: single-probe $single%.2f, multi-probe $multi%.2f")
+    assert(multi > single,
+      f"multi-probe must recover single-probe's band misses ($multi%.2f vs $single%.2f)")
+    assert(multi >= 0.95, f"multi-probe recall@1 $multi%.2f below 0.95")
+  }
+
   test("nprobe is the recall/latency knob (K5): recall is monotone in nprobe") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = TopK.knnJoin(emb, "vec_id", "embedding",

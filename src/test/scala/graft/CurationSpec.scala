@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Curation
+
+/** Known-value specs for the round-6 curation operators (SURVEY §2.17):
+  * cleanText, tokenChunks/stripBoilerplate, qualityRelativeFilter,
+  * dsirWeights. Each is additionally hash-gated against its DuckDB twin
+  * by the driver (CORRECTNESS); these pin the semantics on hand-built
+  * fixtures where every expected value is computed in the test.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- cleanText ----------------
+
+  test("cleanText strips tags, counts them, and collapses whitespace") {
+    val df = Seq((1L, "<p>hello <b>big</b>  world</p>")).toDF("id", "text")
+    val r = Curation.cleanText(df, "id", "text").head
+    assert(r.getAs[Long]("n_tags") === 4L)
+    assert(r.getAs[String]("clean") === "hello big world")
+  }
+
+  test("cleanText decodes entities AFTER tag-strip, ampersand last") {
+    // &amp;lt; must decode to the literal "&lt;", NOT to "<" — the
+    // ampersand pass runs last exactly so double-encoded entities
+    // resolve one level, like a real HTML unescape
+    val df = Seq((1L, "x &amp;lt; y &nbsp; z &lt;w&gt;")).toDF("id", "text")
+    val r = Curation.cleanText(df, "id", "text").head
+    assert(r.getAs[String]("clean") === "x &lt; y z <w>")
+    assert(r.getAs[Long]("n_tags") === 0L)
+  }
+
+  test("cleanText: tag interior never survives, attributes included") {
+    val df = Seq((1L, "a<div class=\"x\" id='7'>b</div>c")).toDF("id", "text")
+    val r = Curation.cleanText(df, "id", "text").head
+    assert(r.getAs[String]("clean") === "a b c")
+    assert(r.getAs[Long]("n_tags") === 2L)
+  }
+
+  // ---------------- tokenChunks ----------------
+
+  private def chunksOf(text: String, c: Int): Seq[String] =
+    Seq((1L, text)).toDF("id", "text")
+      .select(Curation.tokenChunks(TF.tokens(col("text")), c).as("ch"))
+      .head.getSeq[String](0)
+
+  test("tokenChunks: exact multiple -> whole chunks only") {
+    assert(chunksOf("a b c d e f g h", 4) === Seq("a b c d", "e f g h"))
+  }
+
+  test("tokenChunks: ragged tail kept as a short final chunk") {
+    assert(chunksOf("a b c d e f g h i j", 4) ===
+      Seq("a b c d", "e f g h", "i j"))
+  }
+
+  test("tokenChunks: text shorter than one chunk is a single chunk") {
+    assert(chunksOf("a b c", 4) === Seq("a b c"))
+  }
+
+  // ---------------- stripBoilerplate ----------------
+
+  test("stripBoilerplate removes corpus-frequent chunks, keeps rare ones") {
+    // boiler (4 tokens) appears in docs 1,2,3 => freq 3 >= minFreq 3;
+    // "rare" chunk appears in docs 1,2 => freq 2, kept
+    val boiler = "nav home about contact"
+    val rare = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"$boiler $rare one two three four"),
+      (2L, s"$boiler $rare five six seven eight"),
+      (3L, s"$boiler nine ten eleven twelve"),
+      (4L, s"$boiler $boiler")
+    ).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text",
+      chunkTokens = 4, minFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_chunks")).toSeq === Seq(3L, 3L, 2L, 2L))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq === Seq(2L, 2L, 1L, 0L))
+    assert(out(0).getAs[String]("clean") === s"$rare one two three four")
+    assert(out(2).getAs[String]("clean") === "nine ten eleven twelve")
+    // fully-boilerplate doc: present in output with empty clean text
+    assert(out(3).getAs[String]("clean") === "")
+  }
+
+  test("stripBoilerplate counts within-doc repeats toward corpus frequency") {
+    // the C4 rule counts occurrences, not documents: one page repeating
+    // its own nav bar 3 times trips the threshold alone
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "real content stays here")
+    ).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text",
+      chunkTokens = 4, minFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept") === 0L)
+    assert(out(1).getAs[String]("clean") === "real content stays here")
+  }
+
+  // ---------------- qualityRelativeFilter ----------------
+
+  test("qualityRelativeFilter keeps docs strictly above their group's percentile") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 5L, 10.0), ("b", 6L, 10.0), ("b", 7L, 10.0), ("b", 8L, 10.0)
+    ).toDF("src", "id", "q")
+    val out = Curation.qualityRelativeFilter(df, "src", "id", col("q"), 0.25)
+      .orderBy("id").collect()
+    // group a: p25 of [1,2,3,4] = 1.75 -> keep 2,3,4; group b uniform:
+    // cutoff 10, nothing STRICTLY above -> all dropped (the relative
+    // filter is a no-op-proof: it can never keep a uniform group's tail)
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(2L, 3L, 4L))
+    assert(out.forall(_.getAs[Double]("cutoff") === 1.75))
+  }
+
+  // ---------------- dsirWeights ----------------
+
+  test("dsirWeights matches the hand-computed add-1-smoothed log-ratio") {
+    // target doc: "a a b"; raw adds "b c"
+    // raw: a=2 b=2 c=1, N_r=5, V=3; target: a=2 b=1, N_t=3
+    val df = Seq(
+      (1L, "a a b", true),
+      (2L, "b c", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirWeights(df, "doc_id", "text", col("tgt"), headSize = 2)
+      .orderBy("doc")
+      .collect()
+    def lr(tgtTf: Long, rawTf: Long): Double =
+      math.log((tgtTf + 1.0) / (3.0 + 3.0)) - math.log((rawTf + 1.0) / (5.0 + 3.0))
+    val w1 = 2 * lr(2, 2) + 1 * lr(1, 2)
+    val w2 = 1 * lr(1, 2) + 1 * lr(0, 1)
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L, 2L))
+    assert(math.abs(out(0).getAs[Double]("logw") - w1) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("logw") - w2) < 1e-9)
+    // the target-looking doc must outscore the off-target one
+    assert(w1 > w2)
+  }
+
+  // ---------------- sketch-vs-exact scale paths ----------------
+
+  test("HLL sketch distinct stays within 5% of vocabStats' exact distinct") {
+    // at 100 TB the exact distinct's second shuffle is replaced by
+    // approx_count_distinct's fixed-size mergeable HLL sketch — this
+    // pins the accuracy contract that swap relies on
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = graft.operators.CorpusStats.vocabStats(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct")).toMap
+    val approx = docs
+      .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(approx_count_distinct(col("t"), 0.02).as("d"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("d")).toMap
+    assert(exact.keySet === approx.keySet)
+    for ((srcKey, ex) <- exact) {
+      val er = math.abs(approx(srcKey) - ex).toDouble / ex
+      assert(er <= 0.05, s"$srcKey: exact=$ex approx=${approx(srcKey)} err=$er")
+    }
+  }
+
+  test("percentile_approx stays within 2% of the exact per-group percentile") {
+    // same contract for quantiles: the KLL-style sketch is the 100 TB
+    // path; exact `percentile` (len_quantiles) is the gated baseline
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = docs.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("p"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("p")).toMap
+    val approx = docs.groupBy("source")
+      .agg(percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(10000)).as("p"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("p")).toMap
+    for ((srcKey, ex) <- exact) {
+      val er = math.abs(approx(srcKey) - ex) / ex
+      assert(er <= 0.02, s"$srcKey: exact=$ex approx=${approx(srcKey)} err=$er")
+    }
+  }
+
+  test("dsirWeights: headSize 0 tail-only and large head-only forms agree") {
+    // the hybrid split is a physical choice, not a semantic one — any
+    // headSize yields identical weights
+    val df = Seq(
+      (1L, "x x y z", true),
+      (2L, "y z z w", false),
+      (3L, "w w x y", true)
+    ).toDF("doc_id", "text", "tgt")
+    def run(h: Int): Map[Long, Double] =
+      Curation.dsirWeights(df, "doc_id", "text", col("tgt"), headSize = h)
+        .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Double]("logw")).toMap
+    val all = run(100); val none = run(0); val mid = run(2)
+    for (k <- all.keys) {
+      assert(math.abs(all(k) - none(k)) < 1e-12)
+      assert(math.abs(all(k) - mid(k)) < 1e-12)
+    }
+  }
+}

@@ -158,4 +158,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("fused_euclidean"), p)
   }
+
+  test("text_clean is a zero-shuffle projection (only the presentation sort exchanges)") {
+    val p = plan("text_clean")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // exactly the rangepartitioning exchange of the final orderBy
+    assert(exchanges <= 1, s"expected <=1 exchange:\n$p")
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("boilerplate_strip broadcasts the one-row hot-chunk set; docs never hash-shuffle") {
+    val p = plan("boilerplate_strip")
+    // the hot set is folded to a single array row and cross-joined
+    // broadcast — document rows must not appear on any join's shuffle side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("quality_rel_filter: cutoffs ride a broadcast join, never a corpus window") {
+    val p = plan("quality_rel_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"per-group cutoff must not be a window:\n$p")
+  }
+
+  test("dsir_weights: model head joins via broadcast (Zipf skew fix), tail via equi-join") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("bloom_prune_join: might_contain filter sits on the fact scan before the join") {
+    val p = plan("bloom_prune_join")
+    assert(p.contains("might_contain"), p)
+    // the filtered fact then joins the small dim broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the bloom predicate must be BELOW the join: in formatted explain
+    // the Filter listing the predicate appears in the scan subtree
+    val filterLine = p.linesIterator.find(l => l.contains("might_contain"))
+    assert(filterLine.isDefined, p)
+  }
+
+  test("zorder_key: distributed top-k, never a global sort of the fact table") {
+    val p = plan("zorder_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

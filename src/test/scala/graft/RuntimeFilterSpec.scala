@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.RuntimeFilter
+
+/** Bloom runtime-filter semantics: a bloom semi-join reduction may keep
+  * extra rows (false positives) but must NEVER drop a true match — so
+  * composed with the real join it is exactly the plain join, just with
+  * a smaller shuffle. Fixtures are parquet-backed (a LocalRelation
+  * would let ConvertToLocalRelation evaluate the probe predicate at
+  * optimization time and hide it from the plan). */
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = {
+    val d = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+    (0L until 2000L).map(i => (i, i % 400)).toDF("rid", "k")
+      .write.mode("overwrite").parquet(s"$d/fact")
+    (0L until 40L).map(i => (i * 3, s"d${i * 3}")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$d/dim")
+    d
+  }
+  private def fact: DataFrame = spark.read.parquet(s"$base/fact")
+  private def dim: DataFrame = spark.read.parquet(s"$base/dim")
+
+  test("bloomPrune never drops a true match (no false negatives)") {
+    val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", expectedItems = 1000L)
+      .select("rid", "k")
+    val trueMatches = fact.join(dim.select("k"), Seq("k"), "left_semi")
+      .select("rid", "k")
+    assert(trueMatches.except(pruned).count() === 0L)
+  }
+
+  test("bloomPrune actually prunes (selectivity reaches the scan side)") {
+    val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", expectedItems = 1000L)
+    val n = pruned.count()
+    val total = fact.count()
+    // dim's 40 keys cover 27 of the fact's 400 key values; with fpp ~3%
+    // the pruned set must sit far below the full fact table
+    assert(n < total / 2, s"pruned=$n total=$total")
+  }
+
+  test("bloom + real join == plain join, bit for bit") {
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("rid")).as("s"))
+      .select("k", "n", "s")
+    val viaBloom = agg(RuntimeFilter.bloomPrune(fact, dim, "k", "k", 1000L)
+      .join(dim, Seq("k")))
+    val plain = agg(fact.join(dim, Seq("k")))
+    assert(viaBloom.except(plain).count() === 0L)
+    assert(plain.except(viaBloom).count() === 0L)
+  }
+
+  test("probe predicate is Catalyst's might_contain (codegen, not a UDF)") {
+    val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", 1000L)
+    val p = pruned.queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"), p)
+  }
+}

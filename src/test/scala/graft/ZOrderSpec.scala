@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+
+/** Morton-key correctness + the layout property that justifies it: a
+  * z-sorted table's partitions are small rectangles in (x, y) space, so
+  * parquet min/max stats prune on EITHER column; a lexicographic sort
+  * gives the trailing column full-range extents in every partition. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def z(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .head.getLong(0)
+
+  test("zValue interleaves bits: x even positions, y odd") {
+    assert(z(1, 0) === 1L)   // x bit0 -> position 0
+    assert(z(0, 1) === 2L)   // y bit0 -> position 1
+    assert(z(2, 0) === 4L)   // x bit1 -> position 2
+    assert(z(3, 5) === 39L)  // x=11b -> 1+4; y=101b -> 2+32
+    assert(z(65535, 65535) === (1L << 32) - 1)
+  }
+
+  test("zValue masks to 16 bits (values beyond the budget wrap, never overflow)") {
+    assert(z(65536, 0) === z(0, 0))
+    assert(z(65537, 1) === z(1, 1))
+  }
+
+  test("z-layout partitions are rectangles: both dims' extents shrink") {
+    // 64x64 grid, 16 partitions of 256 rows each. Under z-order every
+    // partition covers a ~16x16 block (<=32 per dim when a bucket
+    // straddles two aligned blocks); under an x-major lexicographic
+    // sort each partition spans the FULL y range.
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val rows = grid.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def extents(sorted: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      sorted.grouped(256).map { part =>
+        (part.map(_._1).max - part.map(_._1).min,
+         part.map(_._2).max - part.map(_._2).min)
+      }.toSeq
+    val zExt = extents(rows.toSeq)
+    assert(zExt.forall { case (ex, ey) => ex <= 32 && ey <= 32 },
+      s"z-order extents: $zExt")
+    val lex = grid.sortBy(identity)
+    val lexExt = extents(lex)
+    // lexicographic: y spans 0..63 in every partition
+    assert(lexExt.forall(_._2 === 63L))
+    val avgZy = zExt.map(_._2).sum.toDouble / zExt.size
+    assert(avgZy < 32.0, s"avg z-layout y-extent $avgZy should be < half of lex's 63")
+  }
+}

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Emit TESTS_r{N}.json from an `sbt test` log — the auditable artifact
+backing any "sbt test green" claim (ADVICE r5): suite list, test/suite
+counts, failure count, wall time, and the log's own summary line.
+
+Usage: tools/tests_artifact.py <sbt-test-log> <out.json>
+"""
+import json, re, sys, datetime
+
+log_path, out_path = sys.argv[1], sys.argv[2]
+text = open(log_path, errors="replace").read()
+
+suites = re.findall(r"^\[info\] (\w+Spec):$", text, re.M)
+m = re.search(r"Total number of tests run: (\d+)", text)
+total = int(m.group(1)) if m else None
+m = re.search(r"Suites: completed (\d+), aborted (\d+)", text)
+completed, aborted = (int(m.group(1)), int(m.group(2))) if m else (None, None)
+m = re.search(
+    r"Tests: succeeded (\d+), failed (\d+), canceled (\d+), ignored (\d+)", text)
+succeeded, failed, canceled, ignored = (
+    tuple(int(g) for g in m.groups()) if m else (None,) * 4)
+m = re.search(r"Run completed in (.+?)\.$", text, re.M)
+wall = m.group(1) if m else None
+m = re.search(r"Total time: (\d+) s", text)
+sbt_total_s = int(m.group(1)) if m else None
+
+out = {
+    "generated_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+    "all_passed": "All tests passed." in text,
+    "tests_run": total,
+    "succeeded": succeeded,
+    "failed": failed,
+    "canceled": canceled,
+    "ignored": ignored,
+    "suites_completed": completed,
+    "suites_aborted": aborted,
+    "scalatest_wall": wall,
+    "sbt_total_sec": sbt_total_s,
+    "suites": sorted(set(suites)),
+}
+json.dump(out, open(out_path, "w"), indent=2)
+print(f"wrote {out_path}: {total} tests / {completed} suites, failed={failed}")
