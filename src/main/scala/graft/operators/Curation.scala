@@ -40,11 +40,14 @@ object Curation {
     * key on. Entity decode happens AFTER tag-strip (an entity inside a
     * tag attribute is gone already) and whitespace-collapse last.
     */
-  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tagPat = "<[^>]*>"
-    val s0 = col(textCol)
-    val nTags = regexp_count(s0, lit(tagPat)).cast("long").as("n_tags")
-    val s1 = regexp_replace(s0, tagPat, " ")
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tagCount(col(textCol)), cleanTextCol(col(textCol)))
+
+  /** The tag-strip/decode/collapse chain as a reusable Column — pure
+    * projection, so it composes into batch AND streaming selects
+    * (StreamingCuration) without a join. */
+  def cleanTextCol(s0: Column): Column = {
+    val s1 = regexp_replace(s0, "<[^>]*>", " ")
     val s2 = regexp_replace(
       regexp_replace(
         regexp_replace(
@@ -54,9 +57,12 @@ object Curation {
           "&gt;", ">"),
         "&quot;", "\""),
       "&amp;", "&") // ampersand LAST so "&amp;lt;" decodes to "&lt;" not "<"
-    val s3 = trim(regexp_replace(s2, "\\s+", " "))
-    df.select(col(idCol), nTags, s3.as("clean"))
+    trim(regexp_replace(s2, "\\s+", " ")).as("clean")
   }
+
+  /** Markup-tag count of the RAW text — the "was this HTML?" signal. */
+  def tagCount(s0: Column): Column =
+    regexp_count(s0, lit("<[^>]*>")).cast("long").as("n_tags")
 
   // ---------------------------------------------------------------
   // corpus-frequency boilerplate removal (C4-style line dedup)

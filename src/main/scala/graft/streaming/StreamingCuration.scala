@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Curation
+
+/** Streaming curation front-end ([EXT], the online twin of
+  * `operators.Curation`): clean + score each arriving document and keep
+  * those strictly above their source's quality cutoff.
+  *
+  * The whole pipeline is STATELESS — pure projections (cleanText,
+  * qualityScore) plus a stream-static broadcast join against the
+  * cutoff table, so it runs in append mode with zero streaming state
+  * on an unbounded firehose. The cutoffs are the batch side's job
+  * (Curation.qualityRelativeFilter's aggregate, recomputed on
+  * compaction cadence like the ANN/shingle indexes): a streaming query
+  * cannot see "its source's percentile" without unbounded state, and
+  * splitting model-build (batch) from model-apply (stream) is exactly
+  * how the production pipelines run.
+  */
+object StreamingCuration {
+
+  /** Static per-group cutoff table: (groupCol, cutoff) at `pct` of the
+    * quality distribution — build on the batch corpus, feed to
+    * [[filterStream]]. */
+  def qualityCutoffs(corpus: DataFrame, groupCol: String, textCol: String,
+                     pct: Double = 0.25): DataFrame =
+    corpus
+      .select(col(groupCol), TF.qualityScore(col(textCol)).as("__q"))
+      .groupBy(col(groupCol))
+      .agg(percentile(col("__q"), lit(pct)).as("cutoff"))
+
+  /** Clean + score + relative-filter a streaming documents source.
+    * Output: (idCol, groupCol, quality, cutoff, clean) for docs with
+    * quality strictly above their group's cutoff; groups absent from
+    * the cutoff table pass with a NULL cutoff (new sources are kept
+    * until the next cutoff rebuild knows their distribution). */
+  def filterStream(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, cutoffs: DataFrame): DataFrame =
+    docs
+      .select(col(idCol), col(groupCol),
+        Curation.cleanTextCol(col(textCol)))
+      .select(col(idCol), col(groupCol),
+        TF.qualityScore(col("clean")).as("quality"), col("clean"))
+      .join(broadcast(cutoffs), Seq(groupCol), "left")
+      .where(col("cutoff").isNull || col("quality") > col("cutoff"))
+}

@@ -331,4 +331,50 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), // cross-batch dup vs state, nothing else
       s"got $pairs")
   }
+  test("streaming curation: stateless clean+score+relative-filter with static cutoffs") {
+    import spark.implicits._
+    // batch corpus fixes the cutoffs: source A's quality distribution
+    // comes from doc lengths (qualityScore's length term: len/64 capped)
+    val corpus = Seq(
+      ("A", "the and of words " * 4), ("A", "the and of words " * 8),
+      ("A", "the and of words " * 12), ("A", "the and of words " * 16),
+      ("B", "the of " * 2)
+    ).zipWithIndex.map { case ((srcName, t), i) => (i.toLong, srcName, t.trim) }
+      .toDF("doc_id", "source", "text")
+    val cutoffs = graft.streaming.StreamingCuration.qualityCutoffs(
+      corpus, "source", "text", pct = 0.5)
+    val cutA = cutoffs.where(col("source") === "A")
+      .select("cutoff").as[Double].head
+
+    val dir = Files.createTempDirectory("stream-curation")
+    // streamed docs carry markup that must be stripped BEFORE scoring;
+    // doc 10 cleans to a long good doc (above A's median), doc 11 to a
+    // short one (below), doc 12's source is unknown -> passes with
+    // NULL cutoff
+    Seq(
+      (10L, "A", "<p>" + ("the and of words " * 16).trim + "</p>"),
+      (11L, "A", "<div class='x'>" + ("the and of words " * 2).trim + "</div>"),
+      (12L, "C", "brand new source doc &amp; short")
+    ).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING").parquet(dir.toString)
+    val q = graft.streaming.StreamingCuration.filterStream(
+      stream, "doc_id", "text", "source", cutoffs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .select(col("doc_id"), col("quality"), col("clean")).collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(10L, 12L), s"expected docs 10 and 12, got $ids")
+      // the markup was stripped before scoring: doc 10's clean text has
+      // no tags and its quality clears the batch cutoff
+      val d10 = rows.find(_.getAs[Long]("doc_id") == 10L).get
+      assert(!d10.getAs[String]("clean").contains("<"))
+      assert(d10.getAs[Double]("quality") > cutA)
+    } finally q.stop()
+  }
 }

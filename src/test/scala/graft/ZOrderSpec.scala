@@ -53,4 +53,35 @@ class ZOrderSpec extends SparkSpec {
     val avgZy = zExt.map(_._2).sum.toDouble / zExt.size
     assert(avgZy < 32.0, s"avg z-layout y-extent $avgZy should be < half of lex's 63")
   }
+
+  test("z-layout file skipping: a y-only predicate prunes files an x-sort cannot") {
+    // the end-to-end payoff: write the same grid as 16 parquet files
+    // under (a) z-order range partitioning and (b) plain x-sort, then
+    // count how many files a y-box query must touch judging by each
+    // file's min/max — exactly the stats a parquet footer records and
+    // a 100 TB scan planner prunes on. Under x-sort every file spans
+    // the full y range (zero pruning); z-order files are rectangles.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    grid.withColumn("z", ZOrder.zValue(col("x"), col("y")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/xsort")
+    def filesTouched(path: String, yLo: Long, yHi: Long): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      (stats.where(col("ymax") >= yLo && col("ymin") <= yHi).count(),
+        stats.count())
+    }
+    val (zHit, zTotal) = filesTouched(s"$dir/zorder", 8, 15)
+    val (xHit, xTotal) = filesTouched(s"$dir/xsort", 8, 15)
+    info(s"y-box [8,15]: z-order touches $zHit/$zTotal files, x-sort $xHit/$xTotal")
+    assert(xHit === xTotal, "x-sort cannot prune a y-only predicate")
+    assert(zHit * 2 <= zTotal,
+      s"z-order must prune at least half the files for an 1/8-height box ($zHit/$zTotal)")
+  }
 }
