@@ -24,6 +24,7 @@ import graft.store.VectorLog
   *   graft.Cli <root> count
   *   graft.Cli <root> compact
   *   graft.Cli <root> serve [port] [metric]                 (HTTP API, reference `serve`)
+  *   graft.Cli <docsDir> curate <outDir> [minFreq] [pct]    (clean → strip → filter pipeline)
   */
 object Cli {
 
@@ -107,6 +108,32 @@ object Cli {
         if (args.length > 4) { Thread.sleep(args(4).toLong * 1000); srv.stop() }
         else Thread.currentThread().join() // serve until killed
         None
+      // curation pipeline over a documents parquet dir (root = input):
+      // clean markup -> strip corpus-frequent boilerplate chunks ->
+      // keep docs above their source's quality percentile -> parquet.
+      // One batch job, the offline shape of StreamingCuration.
+      case "curate" =>
+        val outDir = args(2)
+        val minFreq = if (args.length > 3) args(3).toLong else 3L
+        val pct = if (args.length > 4) args(4).toDouble else 0.25
+        val docs = spark.read.parquet(root)
+        val cleaned = docs
+          .select(col("doc_id"), col("source"),
+            graft.operators.Curation.cleanTextCol(col("text")))
+        val stripped = graft.operators.Curation.stripBoilerplate(
+          cleaned.withColumnRenamed("clean", "text"), "doc_id", "text",
+          chunkTokens = 4, minFreq = minFreq)
+          .join(cleaned.select(col("doc_id"), col("source")), "doc_id")
+          .withColumnRenamed("clean", "text")
+        val kept = graft.operators.Curation.qualityRelativeFilter(
+          stripped, "source", "doc_id",
+          graft.functions.TextFunctions.qualityScore(col("text")), pct)
+        val out = kept
+          .join(stripped.select(col("doc_id"), col("text"),
+            col("n_chunks"), col("n_kept")), "doc_id")
+        out.write.mode("overwrite").parquet(outDir)
+        Some(out.agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chunks") - col("n_kept")).as("chunks_removed")))
       case other =>
         throw new IllegalArgumentException(s"unknown verb: $other")
     }

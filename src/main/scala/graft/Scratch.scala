@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc experiment harness (not part of the driver contract).
-  * Current experiment: round-5 corpus-analytics operators on a
-  * 5M-document replicated corpus (1000× sf0.1). Replication caveat:
-  * counts/frequencies just scale (fine for perf), but near-dup ops
-  * would see every replica pair as a true duplicate — do NOT measure
-  * pair-emitting dedup here (see NOTES.md).
+  * Current experiment: round-6 curation + runtime-pruning operators at
+  * 5M documents / 9.6M fact rows (replicated sf0.1 — counts scale,
+  * fine for perf; do NOT measure pair-emitting dedup on replicas, every
+  * replica pair is a true dup). Earlier rounds' measured numbers live
+  * in NOTES.md; this file is always the CURRENT experiment.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -31,69 +31,105 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // optional section gate: "curation" | "joins" | "lsh" runs just that
+    val section = args.headOption.getOrElse("all")
+    def gated(name: String)(body: => Unit): Unit =
+      if (section == "all" || section == name) body
+
     // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
-    // shard-partitioned ops keep their real task-size distribution
+    // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    base.crossJoin(spark.range(1000).toDF("rep"))
+    if (section == "all" || section == "curation") base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
         col("text"), col("lang"),
         concat(col("source"), lit("_"), (col("rep") % 32).cast("string")).as("source"),
         col("n_chars"))
       .repartition(64)
       .write.mode("overwrite").parquet("/tmp/big_documents")
-    val docs = spark.read.parquet("/tmp/big_documents")
-    println(s"[scale] rows=${docs.count()}")
+    lazy val docs = spark.read.parquet("/tmp/big_documents")
+    gated("curation")(println(s"[scale] rows=${docs.count()}"))
 
-    val exactTop = timeIt("topNgrams n=3 top-50 over 5M docs")(
-      operators.CorpusStats.topNgrams(docs, "doc_id", "text", n = 3, k = 50).collect())
+    gated("curation") {
+      // --- curation front-end at 5M docs ---
+      val withHtml = docs.select(col("doc_id"), col("source"),
+        concat(lit("<div id='"), col("doc_id").cast("string"), lit("'><p>"),
+          col("text"), lit("</p>&nbsp;&amp;</div>")).as("text"))
+      timeIt("cleanText over 5M docs (zero shuffle)")(
+        noop(operators.Curation.cleanText(withHtml, "doc_id", "text")))
 
-    val sketchTop = timeIt("topNgramsSketch n=3 top-50 over 5M docs")(
-      operators.CorpusStats.topNgramsSketch(docs, "doc_id", "text", n = 3, k = 50)
-        .collect())
-    println(s"[scale] sketch==exact top-50: ${exactTop.sameElements(sketchTop)}")
+      // minFreq=3000 sits above the 1000× replication floor, so the hot
+      // set is the base corpus's real freq>=3 boilerplate (×1000), not
+      // every chunk — the realistic small-hot-set regime
+      timeIt("stripBoilerplate over 5M docs (minFreq=3000)")(
+        noop(operators.Curation.stripBoilerplate(docs, "doc_id", "text",
+          chunkTokens = 4, minFreq = 3000)))
 
-    if (args.headOption.contains("ngrams")) { spark.stop(); return }
+      timeIt("qualityRelativeFilter over 5M docs (640 sources)")(
+        noop(operators.Curation.qualityRelativeFilter(docs, "source", "doc_id",
+          graft.functions.TextFunctions.qualityScore(col("text")), 0.25)))
 
-    timeIt("unigramLogProb over 5M docs")(
-      noop(operators.CorpusStats.unigramLogProb(docs, "doc_id", "text")))
+      timeIt("dsirWeights over 5M docs")(
+        noop(operators.Curation.dsirWeights(docs, "doc_id", "text",
+          isTarget = col("source").startsWith("src0"), headSize = 1024)))
 
-    val withPii = docs.select(col("doc_id"),
-      concat(col("text"), lit(" u"), col("doc_id").cast("string"),
-        lit("@ex.org 10.1.2."), (col("doc_id") % 100).cast("string")).as("text"))
-    timeIt("Privacy.redact over 5M docs")(
-      noop(operators.Privacy.redact(withPii, "text")
-        .select(col("doc_id"), col("n_email"), col("n_ip"), col("redacted"))))
+      timeIt("vocabStats EXACT distinct per source")(
+        noop(operators.CorpusStats.vocabStats(docs, "source", "text")))
+      timeIt("vocab HLL sketch per source (one pass, no 2nd shuffle)")(
+        noop(docs.select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy("source").agg(approx_count_distinct(col("t"), 0.02).as("d"))))
+    }
 
-    timeIt("assemblePacks over 5M docs (640 shards)")(
-      noop(operators.TrainingData.assemblePacks(docs, "source", "doc_id",
-        "text", floor(col("n_chars") / 4), capacity = 2048)))
+    gated("joins") {
+      // --- bloom runtime filter at 9.6M fact rows ---
+      val lbase = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      lbase.crossJoin(spark.range(16).toDF("rep"))
+        .select((col("l_orderkey") + col("rep") * 1000000L).as("l_orderkey"),
+          col("l_quantity"), col("l_returnflag"))
+        .repartition(64)
+        .write.mode("overwrite").parquet("/tmp/big_lineitem")
+      val obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      obase.crossJoin(spark.range(16).toDF("rep"))
+        .select((col("o_orderkey") + col("rep") * 1000000L).as("o_orderkey"),
+          col("o_orderpriority"))
+        .repartition(16)
+        .write.mode("overwrite").parquet("/tmp/big_orders")
+      val li = spark.read.parquet("/tmp/big_lineitem")
+      val urgent = spark.read.parquet("/tmp/big_orders")
+        .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      println(s"[scale] lineitem=${li.count()} urgent_orders=${urgent.count()}")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("q"))
+      timeIt("plain join 9.6M lineitem x urgent orders")(
+        noop(agg(li.join(urgent, li("l_orderkey") === urgent("o_orderkey")))))
+      timeIt("bloom-pruned join (build + probe + join)")(
+        noop(agg(operators.RuntimeFilter
+          .bloomPrune(li, urgent, "l_orderkey", "o_orderkey", 1000000L)
+          .join(urgent, col("l_orderkey") === urgent("o_orderkey")))))
+    }
 
-    timeIt("tfidf postings BUILD over 5M docs (index cadence)")(
-      operators.Lexical.tfidfPostings(docs, "doc_id", "text")
-        .repartitionByRange(16, col("t")).sortWithinPartitions("t")
-        .write.mode("overwrite").parquet("/tmp/big_postings"))
-    val postings = spark.read.parquet("/tmp/big_postings")
-    timeIt("tfidf norms BUILD (index cadence)")(
-      operators.Lexical.tfidfNorms(postings)
-        .write.mode("overwrite").parquet("/tmp/big_norms"))
-    val norms = spark.read.parquet("/tmp/big_norms")
-    timeIt("moreLikeThis top-10 SERVED (term-pruned postings join)")(
-      operators.Lexical.moreLikeThisServed(postings, norms,
-        queryDocId = 0L, k = 10).collect())
-
-    // radius search on the 5M embedding replica (vector side)
-    val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    ebase.crossJoin(spark.range(2500).toDF("rep"))
-      .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
-        col("embedding"), col("label"))
-      .repartition(64)
-      .write.mode("overwrite").parquet("/tmp/big_embeddings")
-    val emb = spark.read.parquet("/tmp/big_embeddings")
-    println(s"[scale] emb rows=${emb.count()}")
-    val q = ebase.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head
-    timeIt("radius search r=1.26 over 5M vectors")(
-      operators.TopK.radius(emb, "vec_id", "embedding",
-        q.map(_.toDouble), maxDist = 1.26).count())
+    gated("lsh") {
+      // --- multi-probe LSH search over 5M vectors ---
+      val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      ebase.crossJoin(spark.range(2500).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(64)
+        .write.mode("overwrite").parquet("/tmp/big_embeddings")
+      val emb = spark.read.parquet("/tmp/big_embeddings")
+      println(s"[scale] emb rows=${emb.count()}")
+      timeIt("LSH bucketTable BUILD 5M vectors (index cadence)")(
+        index.LshIndex.bucketTable(emb, "vec_id", "embedding",
+          numPlanes = 16, numBands = 1)
+          .write.mode("overwrite").parquet("/tmp/big_lsh_buckets"))
+      val buckets = spark.read.parquet("/tmp/big_lsh_buckets")
+      val queries = ebase.where(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      timeIt("multi-probe LSH search: 100 queries x 17 probes over 5M")(
+        index.LshIndex.searchMultiProbe(buckets, queries, "vec_id", "embedding",
+          k = 10, numPlanes = 16, numBands = 1, probeBits = 1).collect())
+    }
 
     spark.stop()
   }

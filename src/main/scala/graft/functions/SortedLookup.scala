@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+
+/** Membership test against a SORTED long array by binary search —
+  * O(log n) per probe where `array_contains` is O(n).
+  *
+  * Why it exists: broadcast hot-set membership (Curation.
+  * stripBoilerplate) probes a few-thousand-entry set once per token
+  * chunk — hundreds of millions of probes at corpus scale. A linear
+  * array scan made that the entire operator cost (measured 352 s for
+  * 190M probes × ~5k entries at 5M docs; the binary search makes the
+  * probe ~log₂(5k)=12 long-compares). Same single-subtree codegen
+  * pattern as the FusedDistance kernels.
+  *
+  * The array MUST be sorted ascending with no nulls (callers build it
+  * with sort_array(collect_set(...))); the probe value must be LONG.
+  * Null array or null probe → false (nothing is a member of nothing).
+  */
+case class SortedLongContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) if right.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_contains needs (array<bigint>, bigint), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val arr = left.eval(input)
+    val v = right.eval(input)
+    if (arr == null || v == null) false
+    else {
+      val a = arr.asInstanceOf[ArrayData]
+      val target = v.asInstanceOf[Long]
+      var lo = 0
+      var hi = a.numElements() - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val m = a.getLong(mid)
+        if (m == target) found = true
+        else if (m < target) lo = mid + 1
+        else hi = mid - 1
+      }
+      found
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val v = right.genCode(ctx)
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val m = ctx.freshName("m")
+    ev.copy(
+      code = code"""
+        ${a.code}
+        ${v.code}
+        boolean ${ev.value} = false;
+        if (!${a.isNull} && !${v.isNull}) {
+          int $lo = 0;
+          int $hi = ${a.value}.numElements() - 1;
+          while ($lo <= $hi) {
+            int $mid = ($lo + $hi) >>> 1;
+            long $m = ${a.value}.getLong($mid);
+            if ($m == ${v.value}) { ${ev.value} = true; break; }
+            else if ($m < ${v.value}) { $lo = $mid + 1; }
+            else { $hi = $mid - 1; }
+          }
+        }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongContains =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_long_contains"
+}
+
+object SortedLookup {
+  /** `sortedArr` must be sorted ascending (sort_array). O(log n). */
+  def containsSortedLong(sortedArr: Column, value: Column): Column =
+    ColumnBridge.column(SortedLongContains(
+      ColumnBridge.expression(sortedArr), ColumnBridge.expression(value)))
+}

@@ -95,19 +95,29 @@ object Curation {
     * page never fans raw rows into the global shuffle), and keeps only
     * chunks with total count ≥ minFreq — a set bounded by
     * totalChunks/minFreq regardless of corpus size. Phase 2 folds that
-    * set into ONE array row, cross-joins it broadcast, and filters each
-    * doc's chunk array in place: the documents themselves never
-    * shuffle, never explode. At extreme scale swap the exact hot array
-    * for a bloom filter (RuntimeFilter.bloomOf) — same plan shape.
+    * set into ONE sorted 64-bit-hash array row, cross-joins it
+    * broadcast, and filters each doc's chunk array in place: the
+    * documents themselves never shuffle, never explode. Membership is
+    * the custom binary-search expression (SortedLongContains) — the
+    * probe runs once per chunk occurrence corpus-wide, and a linear
+    * array_contains made membership the ENTIRE operator cost at 5M
+    * docs (measured 352 s → see NOTES.md; log₂ probes fix it).
+    * Membership is by xxhash64 of the chunk (like md5-keyed exact
+    * dedup): a false strip needs a 64-bit collision between a hot and
+    * a non-hot chunk, P ≈ |hot|·|distinct|/2⁶⁴.
     *
     * Output: (idCol, n_chunks, n_kept, clean) with chunk order
     * preserved; a fully-boilerplate doc yields n_kept=0 and clean="".
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        chunkTokens: Int = 4, minFreq: Long = 3): DataFrame = {
+    // chunking feeds both the hot-set build and the output pass —
+    // persist so the tokenize+fold runs once (the 100 TB form keeps
+    // this table on disk at compaction cadence, like the shingle index)
     val docChunks = df.select(
       col(idCol),
       tokenChunks(TF.tokens(col(textCol)), chunkTokens).as("__chunks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = docChunks
       .select(col(idCol), explode(col("__chunks")).as("chunk"))
       .groupBy(col("chunk"), col(idCol))
@@ -115,9 +125,10 @@ object Curation {
       .groupBy(col("chunk"))
       .agg(sum(col("__c")).as("f"))
       .where(col("f") >= minFreq)
-      .agg(collect_set(col("chunk")).as("__hot"))
+      .agg(sort_array(collect_set(xxhash64(col("chunk")))).as("__hot"))
     val kept = filter(col("__chunks"),
-      c => !array_contains(coalesce(col("__hot"), array().cast("array<string>")), c))
+      c => !graft.functions.SortedLookup.containsSortedLong(
+        coalesce(col("__hot"), array().cast("array<bigint>")), xxhash64(c)))
     docChunks
       .crossJoin(broadcast(hot))
       .select(col(idCol),
@@ -146,7 +157,11 @@ object Curation {
     */
   def qualityRelativeFilter(df: DataFrame, groupCol: String, idCol: String,
                             quality: Column, pct: Double = 0.25): DataFrame = {
+    // the score feeds the cutoff aggregate AND the filter pass — the
+    // slim (id, group, quality) projection persists so the quality
+    // expression (tokenize + stopword scan) evaluates once per doc
     val scored = df.select(col(idCol), col(groupCol), quality.as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cutoffs = scored.groupBy(col(groupCol))
       .agg(percentile(col("quality"), lit(pct)).as("cutoff"))
     scored.join(broadcast(cutoffs), Seq(groupCol))
@@ -180,19 +195,22 @@ object Curation {
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, headSize: Int = 1024): DataFrame = {
+    // per-(doc, token) counts feed BOTH model aggregates and the final
+    // scoring join — persist, or the corpus-wide explode recomputes
+    // once per consumer (measured 304 s → 1 explode's worth at 5M
+    // docs; a 100 TB pipeline materializes this table on disk the same
+    // way the shingle/postings indexes are)
     val docTok = df
       .select(col(idCol).as("doc"), isTarget.as("__tgt"),
         explode(TF.tokens(col(textCol))).as("t"))
       .groupBy(col("doc"), col("__tgt"), col("t"))
       .agg(count(lit(1)).as("c"))
-    val rawTf = docTok.groupBy(col("t")).agg(sum(col("c")).cast("long").as("raw_tf"))
-    val tgtTf = docTok.where(col("__tgt"))
-      .groupBy(col("t")).agg(sum(col("c")).cast("long").as("tgt_tf"))
-    // model table: one row per raw-vocab token; target counts left-joined
-    // (absent => 0), log-ratio under add-1 smoothing
-    val model = rawTf.join(tgtTf, Seq("t"), "left")
-      .select(col("t"), col("raw_tf"),
-        coalesce(col("tgt_tf"), lit(0L)).as("tgt_tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both LMs in ONE pass: target counts via conditional sum, never a
+    // second scan + rawTf⋈tgtTf join
+    val model = docTok.groupBy(col("t")).agg(
+      sum(col("c")).cast("long").as("raw_tf"),
+      sum(when(col("__tgt"), col("c")).otherwise(lit(0L))).cast("long").as("tgt_tf"))
     val totals = model.agg(
       sum(col("raw_tf")).cast("long").as("n_raw"),
       sum(col("tgt_tf")).cast("long").as("n_tgt"),

@@ -75,4 +75,29 @@ class CliSpec extends SparkSpec {
     t.join(15000)
     assert(!t.isAlive)
   }
+  test("curate verb: clean -> strip -> relative-filter pipeline to parquet") {
+    val tmp = Files.createTempDirectory("cli-curate").toString
+    val in = s"$tmp/docs"
+    val out = s"$tmp/curated"
+    val boiler = "nav home about contact"
+    // source A: four docs of rising length (relative filter drops the
+    // bottom quartile), each wrapped in markup and led by boilerplate
+    // filler tokens unique per (doc, position) so only the shared nav
+    // chunk is corpus-frequent
+    val docs = (1 to 4).map { i =>
+      val filler = (1 to 8 * i).map(j => s"d${i}t$j").mkString(" ")
+      (i.toLong, "A", s"<p>$boiler $filler</p>")
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "source", "text").write.parquet(in)
+
+    val summary = Cli.run(spark, Seq(in, "curate", out, "3", "0.25")).get.collect()(0)
+    val kept = spark.read.parquet(out)
+    // quartile filter keeps 3 of 4; boilerplate chunk stripped from each
+    assert(summary.getAs[Long]("kept_docs") === 3L)
+    assert(kept.count() === 3L)
+    val texts = kept.select("text").as[String].collect()
+    assert(texts.forall(!_.contains(boiler)), "boilerplate chunk must be stripped")
+    assert(texts.forall(!_.contains("<p>")), "markup must be cleaned")
+  }
 }

@@ -137,6 +137,26 @@ class CurationSpec extends SparkSpec {
     assert(w1 > w2)
   }
 
+  // ---------------- SortedLongContains kernel ----------------
+
+  test("SortedLongContains: binary search agrees with linear membership everywhere") {
+    val arr = Seq(-50L, -3L, 0L, 7L, 9L, 100L, 1L << 40)
+    val probes = (-60L to 110L) ++ Seq(1L << 40, (1L << 40) + 1, Long.MinValue, Long.MaxValue)
+    val got = probes.toDF("v")
+      .select(col("v"), graft.functions.SortedLookup.containsSortedLong(
+        typedLit(arr), col("v")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    for (p <- probes) assert(got(p) === arr.contains(p), s"probe $p")
+  }
+
+  test("SortedLongContains: empty array and null probe are both false") {
+    val r = Seq((Some(5L)), (None: Option[Long])).toDF("v")
+      .select(graft.functions.SortedLookup.containsSortedLong(
+        typedLit(Seq.empty[Long]), col("v")).as("hit"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(r === Seq(false, false))
+  }
+
   // ---------------- sketch-vs-exact scale paths ----------------
 
   test("HLL sketch distinct stays within 5% of vocabStats' exact distinct") {

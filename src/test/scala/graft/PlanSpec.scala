@@ -161,8 +161,8 @@ class PlanSpec extends SparkSpec {
 
   test("text_clean is a zero-shuffle projection (only the presentation sort exchanges)") {
     val p = plan("text_clean")
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
     // exactly the rangepartitioning exchange of the final orderBy
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
     assert(exchanges <= 1, s"expected <=1 exchange:\n$p")
     assert(!p.contains("hashpartitioning"), p)
   }
