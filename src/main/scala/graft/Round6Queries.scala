@@ -136,9 +136,20 @@ object Round6Queries {
               .cast("float")).as("embedding"))
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val all = base.unionByName(planted)
+      // the pair set is tiny but its DAG (64-plane signatures + band
+      // join + exact verify) is deep — pin the rows eagerly so the CC
+      // loop's per-iteration actions re-plan over a 60-row local
+      // relation instead of the full LSH pipeline (bench: 9.0→ see
+      // NOTES; the pattern every iterative consumer of a deep DAG needs)
+      // 32 planes (not 64): the planted pairs sit at cos_dist ~1e-4, so
+      // 8-bit bands still catch every one (per-pair miss P≈2e-6, fixed
+      // seed → deterministic), and halving the signature halves the
+      // dominant cost — janino-compiling the 64-kernel fused-dot
+      // signature, which the 4-branch band union duplicates per branch
       val pairs = graft.index.LshIndex.nearDupPairs(all, "vec_id", "embedding",
-        maxCosDist = 0.15, numPlanes = 64, numBands = 4, carryVectors = false)
+        maxCosDist = 0.15, numPlanes = 32, numBands = 4, carryVectors = false)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint(true)
       graft.operators.Dedup.representativesFromPairs(pairs, all,
         "vec_id", (-col("vec_id")).cast("double"))
         .select(col("component"), col("keeper"), col("n_members"))

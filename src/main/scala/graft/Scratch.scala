@@ -131,6 +131,47 @@ object Scratch {
           k = 10, numPlanes = 16, numBands = 1, probeBits = 1).collect())
     }
 
+    gated("semdedup") {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("semantic_dedup")(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      println(f"[scale] semantic_dedup sf0.1 best-of-3: ${Seq.fill(3)(once()).min}%.2f s")
+    }
+
+    gated("semprof") {
+      import org.apache.spark.sql.functions._
+      val dir = "/root/testdata/sf0.1"
+      def tsec[T](name: String)(f: => T): T = timeIt(name)(f)
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") < 60)
+        .select(col("vec_id"),
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") *
+              (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val all = base.unionByName(planted)
+      val pairs = tsec("LSH pairs -> localCheckpoint") {
+        index.LshIndex.nearDupPairs(all, "vec_id", "embedding",
+          maxCosDist = 0.15, numPlanes = 64, numBands = 4, carryVectors = false)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .localCheckpoint(true)
+      }
+      val comps = tsec("connectedComponents")(
+        operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+          .localCheckpoint(true))
+      tsec("representatives tail") {
+        operators.Dedup.representativesFromPairs(pairs, all,
+          "vec_id", (-col("vec_id")).cast("double"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     spark.stop()
   }
 }
