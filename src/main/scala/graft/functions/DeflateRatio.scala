@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** zlib-compressibility of a string: deflate(bytes).length / length —
+  * the Gopher-style quality signal (highly repetitive/templated text
+  * compresses far below ~0.4; unique-token prose sits much higher).
+  * Complements the exact n-gram repetition stats: deflate sees ALL
+  * redundancy at once, not one n at a time.
+  *
+  * Codegen'd like the other fused kernels; the compressor is a
+  * ThreadLocal (one native zlib stream per task thread, reset per
+  * row) so the hot loop never allocates. Empty input → 1.0 by
+  * convention (nothing to compress, nothing saved). No DuckDB oracle
+  * exists for zlib byte-level output, so this ships spec-gated
+  * (ordering + bounds), like the recall-gated ANN entries.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio needs STRING, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeflateRatio.ratio($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_ratio"
+}
+
+object DeflateRatio {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+  }
+
+  /** deflated size / raw size; 1.0 for empty input. */
+  def ratio(bytes: Array[Byte]): Double = {
+    if (bytes.length == 0) return 1.0
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](1024)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / bytes.length
+  }
+
+  def column(s: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(s)))
+}

@@ -137,6 +137,73 @@ class CurationSpec extends SparkSpec {
     assert(w1 > w2)
   }
 
+  // ---------------- deflate-ratio quality signal ----------------
+
+  test("deflateRatio: repetitive text compresses far below unique-token prose") {
+    val repetitive = "spam ham " * 200
+    val unique = (1 to 400).map(i => s"tok${i * 7919}").mkString(" ")
+    val rows = Seq((1L, repetitive), (2L, unique), (3L, "")).toDF("id", "text")
+      .select(col("id"), graft.functions.DeflateRatio.column(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < 0.1, s"boilerplate must compress hard: ${rows(1L)}")
+    assert(rows(2L) > 0.3, s"unique tokens must resist: ${rows(2L)}")
+    assert(rows(2L) > 3 * rows(1L))
+    assert(rows(3L) === 1.0, "empty input is 1.0 by convention")
+    // bounds: deflate never inflates past header overhead on real text
+    assert(rows.values.forall(v => v > 0.0 && v <= 1.5))
+  }
+
+  test("deflateRatio: interpreted eval equals codegen path") {
+    // eval() (used by non-codegen contexts) and doGenCode both route
+    // through DeflateRatio.ratio — pin value equality through the two
+    // entry points like DistanceSpec does for the fused kernels
+    val text = "alpha beta alpha beta gamma " * 30
+    val viaDf = Seq(Tuple1(text)).toDF("t")
+      .select(graft.functions.DeflateRatio.column(col("t")).as("r"))
+      .head.getDouble(0)
+    val direct = graft.functions.DeflateRatio.ratio(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(math.abs(viaDf - direct) < 1e-12)
+  }
+
+  // ---------------- property invariants ----------------
+
+  test("property: tokenChunks reassembles to the original text for any chunk size") {
+    // losslessness invariant: filtering NOTHING and joining the chunks
+    // must reproduce the tokenized text — guards the full-chunk/ragged-
+    // tail seam for every (length, chunkTokens) combination
+    val gen = org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.chooseNum(0, 23),
+      org.scalacheck.Gen.chooseNum(1, 7))
+    val params = org.scalacheck.Gen.Parameters.default
+    val cases = (1 to 60).flatMap(i =>
+      gen.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+    for (((n, c), i) <- cases.zipWithIndex) {
+      val text = (1 to n).map(j => s"w$j").mkString(" ")
+      val joined = Seq((i.toLong, text)).toDF("id", "text")
+        .select(concat_ws(" ",
+          Curation.tokenChunks(TF.tokens(col("text")), c)).as("t"))
+        .head.getString(0)
+      assert(joined === text, s"n=$n c=$c")
+    }
+  }
+
+  test("property: SortedLongContains agrees with linear scan on random sorted arrays") {
+    val params = org.scalacheck.Gen.Parameters.default
+    val arrGen = org.scalacheck.Gen.listOfN(12,
+      org.scalacheck.Gen.chooseNum(-100L, 100L))
+    for (i <- 1 to 40) {
+      val arr = arrGen.apply(params, org.scalacheck.rng.Seed(i.toLong))
+        .getOrElse(Nil).distinct.sorted
+      val probes = (-105L to 105L by 7L) ++ arr.take(3)
+      val got = probes.toDF("v")
+        .select(col("v"), graft.functions.SortedLookup.containsSortedLong(
+          typedLit(arr), col("v")).as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      for (p <- probes) assert(got(p) === arr.contains(p), s"seed=$i probe=$p arr=$arr")
+    }
+  }
+
   // ---------------- SortedLongContains kernel ----------------
 
   test("SortedLongContains: binary search agrees with linear membership everywhere") {
