@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FusedCosine, FusedDot, FusedEuclidean, FusedNorm, RollingHash, SimHash32}
+import graft.functions.{DeflateRatio, FusedCosine, FusedDot, FusedEuclidean, FusedNorm, RollingHash, SimHash32, SortedLongContains}
 
 /** SQL surface for the engine's native kernels: registers the fused
   * Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -52,7 +52,11 @@ object GraftExtensions {
     // the raw kernel: takes the token-hash ARRAY<LONG>; tokenize in SQL
     // with transform(split(...), t -> graft_rolling_hash(t)) — SQL
     // composition mirrors the Column API's TextFunctions.simhash32
-    unary("graft_simhash32", SimHash32(_)))
+    unary("graft_simhash32", SimHash32(_)),
+    // r6 kernels: sorted-set membership (array must be sort_array'd)
+    // and the Gopher zlib-compressibility quality signal
+    binary("graft_sorted_contains", SortedLongContains(_, _)),
+    unary("graft_deflate_ratio", DeflateRatio(_)))
 
   /** Register on an already-running session (idempotent). */
   def register(spark: SparkSession): Unit =

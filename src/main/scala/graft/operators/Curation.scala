@@ -40,8 +40,13 @@ object Curation {
     * key on. Entity decode happens AFTER tag-strip (an entity inside a
     * tag attribute is gone already) and whitespace-collapse last.
     */
-  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tagCount(col(textCol)), cleanTextCol(col(textCol)))
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text normalizes to "" (a cleaning stage emits a cleaned row
+    // for every input row — null-propagation would silently poison
+    // every downstream chunk/score expression instead)
+    val s = coalesce(col(textCol), lit(""))
+    df.select(col(idCol), tagCount(s), cleanTextCol(s))
+  }
 
   /** The tag-strip/decode/collapse chain as a reusable Column — pure
     * projection, so it composes into batch AND streaming selects
@@ -116,7 +121,9 @@ object Curation {
     // this table on disk at compaction cadence, like the shingle index)
     val docChunks = df.select(
       col(idCol),
-      tokenChunks(TF.tokens(col(textCol)), chunkTokens).as("__chunks"))
+      // null text → zero chunks (doc stays in the output with clean="")
+      tokenChunks(TF.tokens(coalesce(col(textCol), lit(""))), chunkTokens)
+        .as("__chunks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = docChunks
       .select(col(idCol), explode(col("__chunks")).as("chunk"))

@@ -137,6 +137,35 @@ class CurationSpec extends SparkSpec {
     assert(w1 > w2)
   }
 
+  // ---------------- null-input contracts ----------------
+
+  test("null text: cleanText emits an empty clean row, stripBoilerplate zero chunks") {
+    val df = Seq((1L, null: String), (2L, "<p>real</p>")).toDF("doc_id", "text")
+    val cleaned = Curation.cleanText(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(cleaned(0).getAs[Long]("n_tags") === 0L)
+    assert(cleaned(0).getAs[String]("clean") === "")
+    assert(cleaned(1).getAs[String]("clean") === "real")
+
+    val stripped = Curation.stripBoilerplate(df, "doc_id", "text",
+      chunkTokens = 4, minFreq = 3).orderBy("doc_id").collect()
+    // the null doc survives with zero chunks, never poisons the hot set
+    assert(stripped.length === 2)
+    assert(stripped(0).getAs[Long]("n_chunks") === 0L)
+    assert(stripped(0).getAs[String]("clean") === "")
+  }
+
+  test("null text: null-quality docs are dropped by the relative filter") {
+    val df = Seq(("a", 1L, null: String), ("a", 2L, "x " * 20),
+      ("a", 3L, "y " * 40), ("a", 4L, "z " * 60), ("a", 5L, "w " * 80))
+      .toDF("src", "id", "text")
+    val out = Curation.qualityRelativeFilter(df, "src", "id",
+      TF.qualityScore(col("text")), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(!out.contains(1L), "null-quality doc must not pass the cutoff")
+    assert(out.nonEmpty)
+  }
+
   // ---------------- deflate-ratio quality signal ----------------
 
   test("deflateRatio: repetitive text compresses far below unique-token prose") {

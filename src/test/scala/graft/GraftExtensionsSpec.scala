@@ -47,6 +47,16 @@ class GraftExtensionsSpec extends SparkSpec {
 
     // arity errors surface as analysis-time failures, not executor blowups
     intercept[Exception](spark.sql("SELECT graft_norm(a, b) FROM vecs").collect())
+
+    // r6 kernels compose in plain SQL like the rest
+    val hit = spark.sql(
+      "SELECT graft_sorted_contains(sort_array(array(9L, 1L, 5L)), 5L)")
+      .as[Boolean].head()
+    assert(hit)
+    val ratio = spark.sql(
+      "SELECT graft_deflate_ratio(repeat('spam ham ', 100))")
+      .as[Double].head()
+    assert(ratio < 0.2)
   }
 
   test("extensions class injects the same set (spark.sql.extensions path)") {
@@ -54,7 +64,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // so the config-based path stays in sync with the live-session path
     assert(GraftExtensions.definitions.map(_._1.funcName).toSet ==
       Set("graft_euclidean", "graft_dot", "graft_cosine", "graft_norm",
-        "graft_rolling_hash", "graft_simhash32"))
+        "graft_rolling_hash", "graft_simhash32",
+        "graft_sorted_contains", "graft_deflate_ratio"))
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 }
