@@ -17,6 +17,27 @@ object Round6Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
 
+  private val lshCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once single-band LSH bucket table per sf dir, persisted and
+    * served from disk like the IVF/PQ/shingle/postings indexes — the
+    * multiprobe query measures SEARCH, not signature build. Bucket-key
+    * sorted within files so a probe's (band, key) equi-join reads
+    * clustered rows. */
+  private def lshBucketsFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_lshbuckets/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    lshCache.computeIfAbsent((s, path), { _ =>
+      if (!SparkEntry.successExists(s, path)) {
+        graft.index.LshIndex.bucketTable(t(s, dir, "embeddings"),
+          "vec_id", "embedding", numPlanes = 16, numBands = 1)
+          .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Deterministic markup noise derived from doc_id, planted identically
     * on both engines (the corpus is synthetic and markup-free — what is
     * verified is the cleaner, not the fixture; same trick as
@@ -105,8 +126,7 @@ object Round6Queries {
     // single-probe demonstrably misses.
     "ann_lsh_multiprobe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val buckets = graft.index.LshIndex.bucketTable(emb, "vec_id", "embedding",
-        numPlanes = 16, numBands = 1)
+      val buckets = lshBucketsFor(s, dir)
       val qs = emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
       graft.index.LshIndex.searchMultiProbe(buckets, qs, "vec_id", "embedding",
         k = 5, numPlanes = 16, numBands = 1, probeBits = 1)

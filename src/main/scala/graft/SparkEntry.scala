@@ -53,7 +53,7 @@ object SparkEntry {
     * is the freshness contract: bump N whenever the on-disk layout OR
     * the build inputs/logic change — the path encodes the version, the
     * marker only says "this build finished". */
-  private def successExists(s: SparkSession, path: String): Boolean = {
+  private[graft] def successExists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }

@@ -53,6 +53,27 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(plain.except(viaBloom).count() === 0L)
   }
 
+  test("null keys on either side never change bloom+join vs plain join") {
+    // XxHash64 hashes a NULL to its seed (not to null), so null dim
+    // keys enter the bloom and null fact keys probe it — harmless
+    // either way, because the real inner join drops null matches on
+    // both plans; exactness must hold regardless
+    val d = java.nio.file.Files.createTempDirectory("graft_rtf_null").toString
+    Seq((1L, Some(3L)), (2L, None), (3L, Some(9L)), (4L, Some(4L)))
+      .toDF("rid", "k").write.parquet(s"$d/fact")
+    Seq((Some(3L), "a"), (None: Option[Long], "b"), (Some(5L), "c"))
+      .toDF("k", "v").write.parquet(s"$d/dim")
+    val f = spark.read.parquet(s"$d/fact")
+    val dm = spark.read.parquet(s"$d/dim")
+    def agg(df: DataFrame) =
+      df.select("rid", "k", "v").orderBy("rid").collect().toSeq
+    val plain = agg(f.join(dm, Seq("k")))
+    val bloomed = agg(RuntimeFilter.bloomPrune(f, dm, "k", "k", 100L)
+      .join(dm, Seq("k")))
+    assert(bloomed === plain)
+    assert(plain.map(_.getAs[Long]("rid")) === Seq(1L))
+  }
+
   test("probe predicate is Catalyst's might_contain (codegen, not a UDF)") {
     val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", 1000L)
     val p = pruned.queryExecution.executedPlan.toString()
