@@ -98,6 +98,16 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[String]("clean") === "real content stays here")
   }
 
+  test("stripBoilerplate: empty hot set is the identity (nothing stripped)") {
+    val docs = Seq((1L, "all chunks here are unique"),
+      (2L, "and so are these other words")).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs, "doc_id", "text",
+      chunkTokens = 4, minFreq = 99).orderBy("doc_id").collect()
+    assert(out.map(r => r.getAs[Long]("n_kept")).toSeq ===
+      out.map(r => r.getAs[Long]("n_chunks")).toSeq)
+    assert(out(0).getAs[String]("clean") === "all chunks here are unique")
+  }
+
   // ---------------- qualityRelativeFilter ----------------
 
   test("qualityRelativeFilter keeps docs strictly above their group's percentile") {

@@ -74,6 +74,16 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(plain.map(_.getAs[Long]("rid")) === Seq(1L))
   }
 
+  test("empty dim side: bloom prunes everything, matching the empty plain join") {
+    val emptyDim = dim.where(col("k") < 0)
+    val pruned = RuntimeFilter.bloomPrune(fact, emptyDim, "k", "k", 100L)
+    // BloomFilterAggregate over zero rows yields a NULL bloom; the
+    // probe then evaluates NULL -> filter keeps nothing — exactly the
+    // empty join's result, not a crash and not a full passthrough
+    assert(pruned.count() === 0L)
+    assert(fact.join(emptyDim, Seq("k")).count() === 0L)
+  }
+
   test("probe predicate is Catalyst's might_contain (codegen, not a UDF)") {
     val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", 1000L)
     val p = pruned.queryExecution.executedPlan.toString()
