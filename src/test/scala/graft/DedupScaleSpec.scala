@@ -1,0 +1,92 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+import graft.operators.Dedup
+
+/** Scale-shape guards for the connected-components loop (VERDICT r6
+  * item 2): large-star/small-star must resolve deep chains in
+  * O(log d) driver-synchronized rounds, not O(d).
+  */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Counts DRIVER ACTIONS: distinct SQL executions that actually ran a
+  // job. Raw job counts overcount (AQE submits one job per
+  // materialized query stage within a single action) and raw
+  // SQLExecutionStart events also overcount (a lazy localCheckpoint
+  // registers a job-less execution) — distinct execution ids over
+  // JobStart events measure exactly the driver synchronization points.
+  private def countJobs[A](body: => A): (A, Int) = {
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val bareJobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = Option(jobStart.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+        id match {
+          case Some(e) => execIds.add(e); ()
+          case None => bareJobs.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = body
+      // listener events are posted asynchronously; drain the bus so
+      // every job of `body` is counted before we read the counter
+      org.apache.spark.graft.ListenerBusBridge.drain(spark.sparkContext)
+      (out, execIds.size() + bareJobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("16-hop path graph resolves in <=5 driver actions") {
+    // path 1-2-3-...-17: diameter 16. Min-label propagation needs 16
+    // sequential steps (9 driver actions in the round-6 fused form);
+    // alternating star halves attachment depth per round.
+    val pairs = (1L to 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (_, jobs) = countJobs {
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(comps == (1L to 17L).map(_ -> 1L).toMap)
+    }
+    // rounds to fixpoint + 1 detection round + the final collect
+    assert(jobs <= 5, s"expected <=5 driver actions for a 16-hop path, got $jobs")
+  }
+
+  test("star topology and disjoint components resolve correctly") {
+    // star centered at 50 with leaves 51..60, plus a triangle 1-2-3
+    // expressed redundantly, plus an isolated pair
+    val pairs = ((51L to 60L).map(l => (50L, l)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (100L, 99L))).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert((51L to 60L).forall(comps(_) == 50L) && comps(50L) == 50L)
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(comps(99L) == 99L && comps(100L) == 99L)
+    assert(comps.size == 16)
+  }
+
+  test("duplicate and reversed input pairs do not change the labeling") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("binary-tree graph (depth 5) converges within the action budget") {
+    // 63-node complete binary tree rooted at 1: parent i has children
+    // 2i and 2i+1 — a bushier shape than the path
+    val pairs = (1L to 31L).flatMap(i => Seq((i, 2 * i), (i, 2 * i + 1)))
+      .toDF("doc_a", "doc_b")
+    val (_, jobs) = countJobs {
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(comps == (1L to 63L).map(_ -> 1L).toMap)
+    }
+    assert(jobs <= 5, s"expected <=5 driver actions for a depth-5 tree, got $jobs")
+  }
+}

@@ -1,0 +1,11 @@
+package org.apache.spark.graft
+
+import org.apache.spark.SparkContext
+
+/** Test-only bridge: `SparkContext.listenerBus` is `private[spark]`,
+  * but draining it is the only race-free way to count the jobs a block
+  * of code ran (listener events post asynchronously).
+  */
+object ListenerBusBridge {
+  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}
