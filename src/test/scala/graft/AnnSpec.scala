@@ -150,6 +150,34 @@ class AnnSpec extends SparkSpec {
     assert(multi >= 0.95, f"multi-probe recall@1 $multi%.2f below 0.95")
   }
 
+  test("multi-probe LSH: dim comes from the index side; empty/mismatched inputs are safe") {
+    // ADVICE r6: build and query sides must not infer the plane
+    // dimension independently — a disagreement used to generate
+    // different hyperplanes and silently match nothing
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    // empty bucket table -> typed empty result, no exception
+    val emptyBuckets = LshIndex.bucketTable(emb, "vec_id", "embedding",
+      numPlanes = 16, numBands = 1).limit(0)
+    val r0 = LshIndex.searchMultiProbe(emptyBuckets, queries,
+      "vec_id", "embedding", k = 3, numPlanes = 16, numBands = 1)
+    assert(r0.columns.toSeq === Seq("qid", "id", "cos_dist", "rank"))
+    assert(r0.count() === 0L)
+    // queries with the WRONG dimension are filtered, not silently
+    // keyed with different planes: correct-dim queries still match
+    val buckets = LshIndex.bucketTable(emb, "vec_id", "embedding",
+      numPlanes = 16, numBands = 1)
+    val badDim = queries.select(col("vec_id"),
+      slice(col("embedding"), 1, 3).as("embedding"))
+    val mixed = queries.unionByName(
+      badDim.select((col("vec_id") + 500L).as("vec_id"), col("embedding")))
+    val got = LshIndex.searchMultiProbe(buckets, mixed,
+      "vec_id", "embedding", k = 1, numPlanes = 16, numBands = 1)
+      .select(col("qid").cast("long")).as[Long].collect().toSet
+    assert(got.forall(_ < 500L), "wrong-dim queries must be dropped")
+    assert(got.nonEmpty, "correct-dim queries must still match their own bucket")
+  }
+
   test("nprobe is the recall/latency knob (K5): recall is monotone in nprobe") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = TopK.knnJoin(emb, "vec_id", "embedding",

@@ -169,10 +169,24 @@ class PlanSpec extends SparkSpec {
 
   test("boilerplate_strip broadcasts the one-row hot-chunk set; docs never hash-shuffle") {
     val p = plan("boilerplate_strip")
-    // the hot set is folded to a single array row and cross-joined
-    // broadcast — document rows must not appear on any join's shuffle side
+    // below exactArrayCap the hot set is folded to a single array row
+    // and cross-joined broadcast — document rows must not appear on
+    // any join's shuffle side
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("LeftAnti"), s"exact-array path must engage below the cap:\n$p")
+  }
+
+  test("boilerplate_strip above the hot-set cap switches to the anti-join fallback") {
+    // VERDICT r6 item 3: exactArrayCap = 0 forces the bounded-memory
+    // plan — chunk rows LEFT ANTI equi-join the hot table instead of
+    // folding it into one broadcast array row
+    val docs = SparkEntry.t(spark, dir, "documents")
+    val df = graft.operators.Curation.stripBoilerplate(docs, "doc_id", "text",
+      chunkTokens = 4, minFreq = 3, exactArrayCap = 0L)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("quality_rel_filter: cutoffs ride a broadcast join, never a corpus window") {

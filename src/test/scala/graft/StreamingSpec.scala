@@ -377,4 +377,24 @@ class StreamingSpec extends SparkSpec {
       assert(d10.getAs[Double]("quality") > cutA)
     } finally q.stop()
   }
+
+  test("streaming curation: cutoffs score CLEANED batch text (markup-carrying corpus)") {
+    import spark.implicits._
+    // ADVICE r6: a markup-carrying batch corpus must produce the same
+    // cutoffs as its clean twin — both sides of the stream-static
+    // contract score the identical cleaned-text distribution
+    val cleanTexts = Seq(
+      ("A", "the and of words " * 4), ("A", "the and of words " * 8),
+      ("A", "the and of words " * 12), ("A", "the and of words " * 16))
+      .zipWithIndex.map { case ((srcName, t), i) => (i.toLong, srcName, t.trim) }
+    val markup = cleanTexts.map { case (id, srcName, t) =>
+      (id, srcName, s"<div id='$id'><p>$t</p></div>&nbsp;")
+    }
+    def cutoff(rows: Seq[(Long, String, String)]): Double =
+      graft.streaming.StreamingCuration.qualityCutoffs(
+        rows.toDF("doc_id", "source", "text"), "source", "text", pct = 0.5)
+        .select("cutoff").as[Double].head
+    assert(cutoff(markup) === cutoff(cleanTexts),
+      "markup in the batch corpus must not shift the cutoff distribution")
+  }
 }
