@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodec}
+
+/** Round-7 [EXT] queries + DuckDB oracle twins: image near-duplicate
+  * detection over the multimodal binary column — the one LLM-pipeline
+  * modality that had no dedup path (text had exact/minhash/simhash/
+  * jaccard, embeddings had LSH). Split out of SparkEntry like
+  * Round6Queries to keep the contract file under its size cap.
+  */
+object Round7Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Deterministic synthetic 9×8 gray BMP for doc `id` (the fixtures
+    * carry no image files, so payloads are synthesized from doc ids —
+    * the multimodal_wav trick: what is verified is the real
+    * encode→decode→hash pipeline, with DuckDB re-deriving the hash
+    * from the same generator formula, never from Spark's output).
+    * Gray at index i (= y*9 + x) is (v·v) mod 256 with
+    * v = id·31 + i + 7 — quadratic, so rows are not arithmetic
+    * progressions and unrelated ids land far apart in hamming space.
+    * `plantedPx` ≥ 0 overwrites that pixel with 255 (never a value the
+    * quadratic generator produces), flipping at most 2 dHash bits —
+    * a controlled near-duplicate. */
+  private[graft] def syntheticBmp(id: Long, plantedPx: Int = -1): Array[Byte] = {
+    val px = new Array[Byte](9 * 8 * 3)
+    var i = 0
+    while (i < 72) {
+      val v = id * 31 + i + 7
+      val g = (if (i == plantedPx) 255L else (v * v) % 256).toByte
+      px(i * 3) = g; px(i * 3 + 1) = g; px(i * 3 + 2) = g
+      i += 1
+    }
+    MediaCodec.encodeBmp(MediaCodec.Rgb(9, 8, px))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- image near-dup [EXT]: perceptual hash + hamming buckets ----
+    // full pipeline over the opaque binary column: synthesize BMP
+    // payloads (ids < 60 get a planted one-pixel variant), decode with
+    // the real BMP parser, dHash64, then candidate pairs via 4×16-bit
+    // block buckets (equi-join, never a cross join) + exact popcount
+    // verify. The oracle recomputes every hash bit from the generator
+    // formula and cross-joins exhaustively — both engines must agree
+    // on exactly which pairs sit within hamming ≤ 3.
+    "multimodal_imagedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val orig = (id, syntheticBmp(id))
+          if (id < 60)
+            Seq(orig, (id + 100000L,
+              syntheticBmp(id, plantedPx = ((id % 8) * 9 + id % 9).toInt)))
+          else Seq(orig)
+        }
+        .toDF("media_id", "payload")
+      val hashes = media.as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val img = MediaCodec.decodeBmp(bytes)
+            .getOrElse(sys.error(s"undecodable BMP for media $id"))
+          (id, MediaCodec.dHash64(img))
+        }
+        .toDF("media_id", "phash")
+      Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming = 3)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    // the oracle derives every dHash bit straight from the generator:
+    // gray(i) = ((id*31 + i + 7)^2) % 256 (planted pixel → 255), bit
+    // j compares gray positions (j/8)*9 + j%8 and its right neighbor;
+    // hamming is summed over the two 64-bit vectors elementwise — no
+    // 2^63 packing, so signed BIGINT overflow never enters the twin
+    "multimodal_imagedup" ->
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |              WHERE doc_id < 300),
+         |imgs AS (
+         |  SELECT doc_id AS media_id, doc_id AS src, -1 AS px FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, doc_id,
+         |         CAST((doc_id % 8) * 9 + (doc_id % 9) AS INTEGER)
+         |  FROM base WHERE doc_id < 60),
+         |g AS (SELECT media_id,
+         |  list_transform(range(0, 72), i -> CASE WHEN i = px THEN 255
+         |    ELSE ((src*31 + i + 7) * (src*31 + i + 7)) % 256 END) AS gr
+         |  FROM imgs),
+         |bits AS (SELECT media_id,
+         |  list_transform(range(0, 64), j ->
+         |    CASE WHEN gr[(j//8)*9 + (j%8) + 1] > gr[(j//8)*9 + (j%8) + 2]
+         |         THEN 1 ELSE 0 END) AS b
+         |  FROM g),
+         |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(list_sum(list_transform(range(0, 64),
+         |    j -> CASE WHEN a.b[j+1] <> b.b[j+1] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS hamming
+         |  FROM bits a CROSS JOIN bits b WHERE a.media_id < b.media_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -52,6 +52,35 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** One partition's Misra–Gries summary of a token stream: insert if
+    * present or under capacity, else decrement-all-and-evict-zeros
+    * (the arriving element is implicitly decremented to 0, dropped).
+    *
+    * The MG invariant — pinned by CorpusOpsSpec's property test over
+    * adversarial near-uniform streams — is, for a stream of length N:
+    *   trueCount(g) ≥ est(g) ≥ trueCount(g) − N/(capacity+1)
+    * for EVERY g (est = 0 when absent), because each decrement round
+    * retires capacity+1 occurrences, so at most N/(capacity+1) rounds
+    * ever run, and a token loses at most 1 per round. Corollary: any
+    * token with trueCount > N/(capacity+1) is guaranteed present.
+    * A near-flat stream (no token clears N/(capacity+1)) therefore has
+    * NO presence guarantee — [[topNgramsSketch]]'s candidate set is
+    * trustworthy only when the true top-k clears the bound; that is
+    * the documented capacity contract, not a best-effort hope. */
+  private[graft] def mgSummarize(it: Iterator[String],
+                                 capacity: Int): Iterator[(String, Long)] = {
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    it.foreach { g =>
+      if (counts.contains(g) || counts.size < capacity)
+        counts.update(g, counts.getOrElse(g, 0L) + 1L)
+      else {
+        counts.mapValuesInPlace((_, v) => v - 1L)
+        counts.filterInPlace((_, v) => v > 0L)
+      }
+    }
+    counts.iterator
+  }
+
   /** Approximate corpus top-k n-grams via per-partition Misra–Gries
     * heavy-hitter summaries + one exact recount of the candidates —
     * the 100 TB upgrade over [[topNgrams]] when approximation of the
@@ -88,20 +117,8 @@ object CorpusStats {
     val ngrams = docs
       .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("__tk"))
       .select(col("doc"), explode(ngramArray(col("__tk"), n)).as("ngram"))
-    val partials = ngrams.select(col("ngram")).as[String].mapPartitions { it =>
-      val counts = new scala.collection.mutable.HashMap[String, Long]()
-      it.foreach { g =>
-        if (counts.contains(g) || counts.size < capacity)
-          counts.update(g, counts.getOrElse(g, 0L) + 1L)
-        else {
-          // classic MG step: decrement every counter, evict zeros; the
-          // arriving element is implicitly decremented to 0 (dropped)
-          counts.mapValuesInPlace((_, v) => v - 1L)
-          counts.filterInPlace((_, v) => v > 0L)
-        }
-      }
-      counts.iterator
-    }.toDF("ngram", "c")
+    val partials = ngrams.select(col("ngram")).as[String]
+      .mapPartitions(it => mgSummarize(it, capacity)).toDF("ngram", "c")
     // candidate strings are k·overscan rows — driver-side by design
     val candidates = partials.groupBy(col("ngram"))
       .agg(sum(col("c")).as("est"))

@@ -244,6 +244,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs over any precomputed 64-bit hash column (the
+    * perceptual-hash twin of [[simhashPairs]], which owns the 32-bit
+    * text simhash): rows whose hashes are within `maxHamming` bits.
+    * Candidates come from 4 × 16-bit block buckets — two hashes within
+    * hamming ≤ 3 agree on at least one of the 4 blocks (pigeonhole),
+    * so candidate generation is an equi-join on (block, key), never a
+    * cross join — then exact popcount-of-XOR verification. Used for
+    * image near-dup over MediaCodec.dHash64 ([[graft.Round7Queries]]).
+    */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-block pigeonhole guarantees recall only up to hamming 3")
+    val withH = hashes.select(col(idCol).as("doc"), col(hashCol).as("h"))
+    val blocks = (0 until 4).map { blk =>
+      // bitwiseAND, not % : for hashes with bit 63 set the arithmetic
+      // shift is negative, and signed % would key the negative side of
+      // a pair differently from its positive partner (same low bits,
+      // different remainder sign) — silently losing the candidate
+      withH.select(col("doc"), col("h"), lit(blk).as("blk"),
+        call_function("shiftright", col("h"), lit(16 * blk))
+          .bitwiseAND(lit(0xFFFFL)).as("key"))
+    }.reduce(_ unionByName _)
+    blocks.as("a").join(blocks.as("b"), Seq("blk", "key"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        TF.hammingDistance(col("a.h"), col("b.h")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** End-to-end corpus dedup: the surviving document set after
     * dropping (a) exact duplicates — every doc that is not the minimum
     * id of its content-hash group — and (b) near-duplicates — the

@@ -167,6 +167,72 @@ object MediaCodec {
     Some(Rgb(width, height, out))
   }
 
+  /** Encode packed RGB as a 24-bit uncompressed (BI_RGB) BMP —
+    * bottom-up rows, 4-byte-aligned, BGR order; the byte-exact inverse
+    * of [[decodeBmp]] (MediaCodecSpec pins the round-trip). */
+  def encodeBmp(img: Rgb): Array[Byte] = {
+    val rowSize = ((img.width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * img.height
+    val fileSize = 54 + dataSize
+    val b = new Array[Byte](fileSize)
+    def p16(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def p32(o: Int, v: Int): Unit = {
+      p16(o, v & 0xFFFF); p16(o + 2, (v >>> 16) & 0xFFFF)
+    }
+    b(0) = 'B'; b(1) = 'M'
+    p32(2, fileSize); p32(10, 54)              // file header
+    p32(14, 40); p32(18, img.width); p32(22, img.height) // info header
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, dataSize)
+    var y = 0
+    while (y < img.height) {
+      val dst = 54 + (img.height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val d = dst + x * 3
+        b(d) = img.pixels(s + 2)     // B
+        b(d + 1) = img.pixels(s + 1) // G
+        b(d + 2) = img.pixels(s)     // R
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Integer luminance (ITU-ish 77/150/29 weights, exact for gray
+    * pixels where R=G=B). */
+  def gray(r: Int, g: Int, bl: Int): Int = (r * 77 + g * 150 + bl * 29) >> 8
+
+  /** 64-bit difference hash (dHash, the standard perceptual hash for
+    * image near-dup): resize to 9×8, grayscale, bit (y*8+x) set iff
+    * gray(x,y) > gray(x+1,y). Robust to uniform brightness/contrast
+    * shifts; two near-duplicate images land within a few hamming bits.
+    */
+  def dHash64(img: Rgb): Long = {
+    val small = if (img.width == 9 && img.height == 8) img
+      else resizeNearest(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = (y * 9 + x) * 3
+        val b2 = a + 3
+        val ga = gray(small.pixels(a) & 0xFF, small.pixels(a + 1) & 0xFF,
+          small.pixels(a + 2) & 0xFF)
+        val gb = gray(small.pixels(b2) & 0xFF, small.pixels(b2 + 1) & 0xFF,
+          small.pixels(b2 + 2) & 0xFF)
+        if (ga > gb) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor resize of packed RGB — a real image resize with
     * no interpolation library. */
   def resizeNearest(img: Rgb, w2: Int, h2: Int): Rgb = {

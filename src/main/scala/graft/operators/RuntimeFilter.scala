@@ -28,15 +28,62 @@ import org.apache.spark.sql.types.BinaryType
   */
 object RuntimeFilter {
 
+  /** Largest `expectedItems` this module will size a bloom for. At the
+    * ~3% target fpp the serialized filter is ≈ 0.91 bytes/item, so the
+    * cap bounds the driver-collected literal at ~90 MB — already past
+    * comfortable task-broadcast size. Beyond it a bloom stops being the
+    * right tool (the filter itself approaches the dim side's size);
+    * use a real (shuffled or bucketed) semi-join instead. */
+  val MaxExpectedItems: Long = 100000000L
+
+  /** Sentinel for `expectedItems`: size the bloom from `dim.count()`. */
+  val AutoSize: Long = -1L
+
   /** Serialized bloom filter of `keys` (one binary cell). The build is
     * a full aggregate: partial blooms built map-side, OR-merged once —
-    * one row ever moves. */
+    * one row ever moves.
+    *
+    * `expectedItems` defaults to [[AutoSize]]: one `count()` action on
+    * the dim side (cheap — it is the SMALL side by contract) sizes the
+    * filter to the data. A fixed guess risks the silent failure mode
+    * this replaces: an undersized bloom saturates, fpp → 1, and the
+    * "filter" passes everything while looking like it works. Refuses
+    * (require) above [[MaxExpectedItems]] rather than quietly building
+    * an unusable or un-broadcastable filter. */
   def bloomOf(dim: DataFrame, key: String,
-              expectedItems: Long = 1000000L): Array[Byte] = {
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(ColumnBridge.expression(col(key)))), expectedItems)
-    dim.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+              expectedItems: Long = AutoSize): Array[Byte] = {
+    val n =
+      if (expectedItems == AutoSize) math.max(dim.count(), 1L)
+      else expectedItems
+    require(n > 0, s"expectedItems must be positive or AutoSize, got $n")
+    require(n <= MaxExpectedItems,
+      s"bloomOf: $n expected items exceeds MaxExpectedItems " +
+        s"($MaxExpectedItems, ~90 MB serialized); at that cardinality a " +
+        "bloom literal is the wrong mechanism — use a real semi-join")
+    // BloomFilterAggregate SILENTLY clamps to the runtime-filter confs
+    // (4M items / 67.1M bits by default) — exactly the saturation
+    // failure auto-sizing exists to prevent. Raise both to fit n for
+    // the duration of this one action, then restore.
+    val conf = dim.sparkSession.conf
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val neededBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, 0.03)
+    val prevItems = conf.getOption(maxItemsKey)
+    val prevBits = conf.getOption(maxBitsKey)
+    try {
+      conf.set(maxItemsKey, math.max(n, 4000000L).toString)
+      conf.set(maxBitsKey, math.max(neededBits, 67108864L).toString)
+      val agg = new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(col(key)))), n)
+      dim.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    } finally {
+      def restore(k: String, prev: Option[String]): Unit =
+        prev match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
+      restore(maxItemsKey, prevItems)
+      restore(maxBitsKey, prevBits)
+    }
   }
 
   /** might_contain(bloom, xxhash64(key)) as a codegen'd Column. */
@@ -58,6 +105,6 @@ object RuntimeFilter {
     */
   def bloomPrune(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String,
-                 expectedItems: Long = 1000000L): DataFrame =
+                 expectedItems: Long = AutoSize): DataFrame =
     fact.where(mightContain(bloomOf(dim, dimKey, expectedItems), col(factKey)))
 }

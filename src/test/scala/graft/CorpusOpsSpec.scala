@@ -62,6 +62,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1) == (("the same boiler", 100L, 100L)), got.toString)
   }
 
+  test("mgSummarize obeys the MG bound on adversarial near-uniform streams") {
+    // the regime the sketch's candidate heuristic is weakest in: no
+    // (or barely any) token clears N/(capacity+1), constant evictions.
+    // The estimates must still obey the deterministic MG invariant:
+    //   true ≥ est ≥ true − N/(capacity+1), absent ⇒ true ≤ bound
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = 200 + rnd.nextInt(1800)
+      val n = 5000 + rnd.nextInt(15000)
+      val capacity = 8 + rnd.nextInt(120)
+      val stream =
+        if (seed % 3 == 0)
+          // round-robin uniform: the textbook MG worst case
+          (0 until n).map(i => s"t${i % alphabet}")
+        else if (seed % 3 == 1)
+          // mildly tilted draw — near-flat with a soft head
+          (0 until n).map(_ =>
+            s"t${(math.pow(rnd.nextDouble(), 1.5) * alphabet).toInt}")
+        else
+          // flat random draw
+          (0 until n).map(_ => s"t${rnd.nextInt(alphabet)}")
+      val truth = stream.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+      val est = CorpusStats.mgSummarize(stream.iterator, capacity).toMap
+      val bound = n.toDouble / (capacity + 1)
+      assert(est.size <= capacity)
+      est.foreach { case (g, e) =>
+        assert(e >= 1L && e <= truth(g),
+          s"seed=$seed $g overestimated: est=$e true=${truth(g)}")
+        assert(truth(g) - e <= bound,
+          s"seed=$seed $g undercut past the bound: est=$e " +
+            s"true=${truth(g)} bound=$bound")
+      }
+      truth.foreach { case (g, t) =>
+        assert(est.contains(g) || t <= bound,
+          s"seed=$seed heavy hitter $g (true=$t > bound=$bound) missing")
+      }
+    }
+  }
+
   test("unigramLogProb: hand-computed nll on a two-doc corpus") {
     // corpus: a a a b  -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodec}
+
+/** Image near-dup pipeline (round 7): BMP encode↔decode round-trip,
+  * dHash semantics, and the hamming-bucket candidate join.
+  */
+class ImageDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grayImg(w: Int, h: Int, f: (Int, Int) => Int): MediaCodec.Rgb = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (f(x, y) & 0xFF).toByte
+      val i = (y * w + x) * 3
+      px(i) = g; px(i + 1) = g; px(i + 2) = g
+    }
+    MediaCodec.Rgb(w, h, px)
+  }
+
+  test("encodeBmp/decodeBmp round-trip is pixel-exact (incl. padded rows)") {
+    // 9 px wide -> 27-byte rows padded to 28: exercises the alignment
+    val img = grayImg(9, 8, (x, y) => x * 29 + y * 53)
+    val decoded = MediaCodec.decodeBmp(MediaCodec.encodeBmp(img))
+    assert(decoded.isDefined)
+    assert(decoded.get.width === 9 && decoded.get.height === 8)
+    assert(decoded.get.pixels.toSeq === img.pixels.toSeq)
+    // and a width that needs no padding (12*3 = 36)
+    val img2 = grayImg(12, 5, (x, y) => x + y * 7)
+    assert(MediaCodec.decodeBmp(MediaCodec.encodeBmp(img2)).get.pixels.toSeq
+      === img2.pixels.toSeq)
+  }
+
+  test("dHash64: known values — gradient all-ones row pattern, flat zero") {
+    // strictly decreasing left-to-right: every gray(x) > gray(x+1) ->
+    // all 64 bits set
+    val desc = grayImg(9, 8, (x, _) => 200 - x * 10)
+    assert(MediaCodec.dHash64(desc) === -1L)
+    // flat image: no comparison fires
+    val flat = grayImg(9, 8, (_, _) => 128)
+    assert(MediaCodec.dHash64(flat) === 0L)
+    // single bright pixel at (x=3, y=2): bit y*8+x-1 (left neighbor
+    // comparison is 'gray(2)>gray(3)'? no - bright at 3 means
+    // gray(3)>gray(4) -> bit 2*8+3; and gray(2)<gray(3) clears nothing)
+    val onePx = grayImg(9, 8, (x, y) => if (x == 3 && y == 2) 255 else 0)
+    assert(MediaCodec.dHash64(onePx) === (1L << (2 * 8 + 3)))
+  }
+
+  test("dHash64 is invariant to uniform brightness shift") {
+    val a = grayImg(9, 8, (x, y) => (x * 37 + y * 91) % 200)
+    val b = grayImg(9, 8, (x, y) => (x * 37 + y * 91) % 200 + 40)
+    assert(MediaCodec.dHash64(a) === MediaCodec.dHash64(b))
+  }
+
+  test("dHash64 resizes larger images down to the 9x8 grid") {
+    val big = grayImg(90, 80, (x, y) => (x / 10) * 29 + (y / 10) * 53)
+    val small = grayImg(9, 8, (x, y) => x * 29 + y * 53)
+    assert(MediaCodec.dHash64(big) === MediaCodec.dHash64(small))
+  }
+
+  test("hammingPairs64 finds planted near-dups via block buckets, not a cross join") {
+    // 40 synthetic images + 10 planted one-pixel variants: every
+    // (id, id+100000) pair must surface with hamming <= 2; no
+    // original-original pair collides at <= 3 for this generator
+    val hashes = (0L until 40L).flatMap { id =>
+      val orig = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id)).get
+      val base = Seq((id, MediaCodec.dHash64(orig)))
+      if (id < 10) {
+        val v = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(
+          id, plantedPx = ((id % 8) * 9 + id % 9).toInt)).get
+        base :+ (id + 100000L, MediaCodec.dHash64(v))
+      } else base
+    }.toDF("media_id", "phash")
+    val pairs = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach { id =>
+      assert(found.contains((id, id + 100000L)),
+        s"planted pair $id missing (found: $found)")
+    }
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.forall { case (a, b, _) => b - a == 100000L },
+      s"unexpected non-planted collision: $pairs")
+  }
+}

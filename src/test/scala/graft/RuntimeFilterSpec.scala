@@ -84,6 +84,40 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(fact.join(emptyDim, Seq("k")).count() === 0L)
   }
 
+  test("auto-sized bloom holds fpp <= 5% on a 10M-key dim side") {
+    // the failure mode AutoSize removes: Spark's BloomFilterAggregate
+    // silently clamps to its runtime-filter confs (4M items / 67.1M
+    // bits), so a fixed-guess bloom over 10M keys saturates — measured
+    // fpp climbs to ~37% while the API looks like it works. bloomOf
+    // must size from dim.count() AND lift the clamps for its one build.
+    val dim10m = spark.range(0L, 10000000L).toDF("k")
+    val bloom = RuntimeFilter.bloomOf(dim10m, "k")
+    // 1M keys strictly outside the dim set -> every hit is a false
+    // positive; the observed rate is binomial-tight around true fpp
+    val probes = 1000000L
+    val fp = spark.range(10000000L, 10000000L + probes).toDF("k")
+      .where(RuntimeFilter.mightContain(bloom, col("k"))).count()
+    assert(fp.toDouble / probes <= 0.05,
+      s"fpp ${fp.toDouble / probes} exceeds 5% ($fp/$probes)")
+    // and zero false negatives on a member sample
+    val misses = spark.range(0L, 10000000L, 997L).toDF("k")
+      .where(!RuntimeFilter.mightContain(bloom, col("k"))).count()
+    assert(misses === 0L)
+  }
+
+  test("bloomOf restores the session's bloom confs and refuses past the cap") {
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = spark.conf.getOption(maxItemsKey)
+    RuntimeFilter.bloomOf(dim, "k")
+    assert(spark.conf.getOption(maxItemsKey) === before)
+    val huge = spark.range(3).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomOf(huge, "k",
+        expectedItems = RuntimeFilter.MaxExpectedItems + 1)
+    }
+    assert(e.getMessage.contains("semi-join"))
+  }
+
   test("probe predicate is Catalyst's might_contain (codegen, not a UDF)") {
     val pruned = RuntimeFilter.bloomPrune(fact, dim, "k", "k", 1000L)
     val p = pruned.queryExecution.executedPlan.toString()
