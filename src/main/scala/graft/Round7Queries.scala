@@ -38,6 +38,24 @@ object Round7Queries {
     MediaCodec.encodeBmp(MediaCodec.Rgb(9, 8, px))
   }
 
+  /** Deterministic synthetic 16-bit PCM for doc `id`: 520 samples
+    * (65 windows × 8) with raw_i = ((id·31 + i + 7)²  mod 4096) − 2048
+    * — same quadratic family as [[syntheticBmp]], scaled to a 12-bit
+    * amplitude so unrelated ids land far apart in energy-gradient
+    * space. `mutedWin` ≥ 0 zeroes that whole window — a controlled
+    * near-duplicate flipping at most 2 fingerprint bits (the gradients
+    * into and out of the muted window). */
+  private[graft] def syntheticPcm(id: Long, mutedWin: Int = -1): Array[Short] = {
+    val s = new Array[Short](520)
+    var i = 0
+    while (i < 520) {
+      val v = id * 31 + i + 7
+      s(i) = if (i / 8 == mutedWin) 0 else ((v * v) % 4096 - 2048).toShort
+      i += 1
+    }
+    s
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- image near-dup [EXT]: perceptual hash + hamming buckets ----
@@ -72,6 +90,38 @@ object Round7Queries {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // ---- audio near-dup [EXT]: energy-gradient hash + hamming buckets
+    // the WAV twin of multimodal_imagedup: synthesize PCM payloads
+    // (ids < 60 get a one-window-muted variant), encode through the
+    // real RIFF writer, decode with the real RIFF parser, fingerprint
+    // with the integer energy-gradient hash, pair via the same 4-block
+    // pigeonhole equi-join. The oracle re-derives every bit from the
+    // generator formula and cross-joins exhaustively.
+    "multimodal_audiodup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val orig = (id, MediaCodec.encodeWav(1, 8000, syntheticPcm(id)))
+          if (id < 60)
+            Seq(orig, (id + 100000L, MediaCodec.encodeWav(1, 8000,
+              syntheticPcm(id, mutedWin = (id % 63).toInt + 1))))
+          else Seq(orig)
+        }
+        .toDF("media_id", "payload")
+      val hashes = media.as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val wav = MediaCodec.decodeWav(bytes)
+            .getOrElse(sys.error(s"undecodable WAV for media $id"))
+          (id, MediaCodec.audioHash64(wav))
+        }
+        .toDF("media_id", "ahash")
+      Dedup.hammingPairs64(hashes, "media_id", "ahash", maxHamming = 3)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +152,38 @@ object Round7Queries {
          |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
          |  CAST(list_sum(list_transform(range(0, 64),
          |    j -> CASE WHEN a.b[j+1] <> b.b[j+1] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS hamming
+         |  FROM bits a CROSS JOIN bits b WHERE a.media_id < b.media_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same exhaustive-rederivation shape as the image twin: raw
+    // sample i = ((id*31 + i + 7)^2 mod 4096) - 2048 (muted window ->
+    // 0), window energy = integer sum of |raw| over 8 samples, bit i
+    // compares window i against i+1 — all-integer math, so the twin
+    // never sees the float normalization inside the real decoder
+    "multimodal_audiodup" ->
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |              WHERE doc_id < 300),
+         |aud AS (
+         |  SELECT doc_id AS media_id, doc_id AS src, -1 AS win FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, doc_id,
+         |         CAST(doc_id % 63 + 1 AS INTEGER)
+         |  FROM base WHERE doc_id < 60),
+         |e AS (SELECT media_id,
+         |  list_transform(range(0, 65), wi -> CASE WHEN wi = win THEN 0
+         |    ELSE list_sum(list_transform(range(0, 8), j ->
+         |      abs(((src*31 + wi*8 + j + 7) * (src*31 + wi*8 + j + 7))
+         |          % 4096 - 2048))) END) AS en
+         |  FROM aud),
+         |bits AS (SELECT media_id,
+         |  list_transform(range(0, 64), i ->
+         |    CASE WHEN en[i+1] > en[i+2] THEN 1 ELSE 0 END) AS b
+         |  FROM e),
+         |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(list_sum(list_transform(range(0, 64),
+         |    i -> CASE WHEN a.b[i+1] <> b.b[i+1] THEN 1 ELSE 0 END)) AS BIGINT)
          |    AS hamming
          |  FROM bits a CROSS JOIN bits b WHERE a.media_id < b.media_id)
          |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3

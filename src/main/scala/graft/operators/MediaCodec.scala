@@ -233,6 +233,40 @@ object MediaCodec {
     h
   }
 
+  /** 64-bit audio fingerprint — the temporal analog of [[dHash64]]:
+    * split the PCM stream into 65 equal windows (tail samples beyond
+    * 65·⌊n/65⌋ dropped), per-window energy = INTEGER sum of \|raw
+    * 16-bit amplitude\| (recovered exactly — the decoder's /32768 is a
+    * power-of-two division, so `round(s·32768)` is lossless), bit i
+    * set iff energy(i) > energy(i+1). Integer math end-to-end so an
+    * independent engine can re-derive every bit; sign-of-gradient is
+    * invariant to uniform volume scaling (clipping aside), the audio
+    * counterpart of dHash's brightness invariance. Streams shorter
+    * than 65 samples hash to 0 (no windows to compare). */
+  def audioHash64(wav: Wav): Long = {
+    val w = wav.numFrames / 65
+    if (w == 0) return 0L
+    val energies = new Array[Long](65)
+    var i = 0
+    while (i < 65) {
+      var j = 0
+      var e = 0L
+      while (j < w) {
+        e += math.abs(math.round(wav.samples(i * w + j) * 32768.0))
+        j += 1
+      }
+      energies(i) = e
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (energies(i) > energies(i + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor resize of packed RGB — a real image resize with
     * no interpolation library. */
   def resizeNearest(img: Rgb, w2: Int, h2: Int): Rgb = {

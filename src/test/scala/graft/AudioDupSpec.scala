@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodec}
+
+/** Audio near-dup pipeline (round 7): energy-gradient fingerprint
+  * semantics and the full encode→decode→hash→bucket-join path — the
+  * WAV twin of ImageDupSpec.
+  */
+class AudioDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wavOf(samples: Array[Short]): MediaCodec.Wav =
+    MediaCodec.decodeWav(MediaCodec.encodeWav(1, 8000, samples)).get
+
+  test("audioHash64: known values — decaying energy, flat, single loud window") {
+    // 65 windows of 8 samples, amplitude strictly decreasing per
+    // window: every gradient fires -> all 64 bits set
+    val decay = Array.tabulate[Short](520)(i => (6500 - (i / 8) * 100).toShort)
+    assert(MediaCodec.audioHash64(wavOf(decay)) === -1L)
+    // constant amplitude: no gradient, hash 0
+    val flat = Array.fill[Short](520)(1000)
+    assert(MediaCodec.audioHash64(wavOf(flat)) === 0L)
+    // one loud window w=5 over silence: bit 4 (into it) stays 0,
+    // bit 5 (out of it) ... energy(4)=0 < energy(5) -> bit 4 clear;
+    // energy(5) > energy(6)=0 -> bit 5 set; nothing else fires
+    val spike = Array.tabulate[Short](520)(i => if (i / 8 == 5) 2000 else 0)
+    assert(MediaCodec.audioHash64(wavOf(spike)) === (1L << 5))
+  }
+
+  test("audioHash64 is invariant to uniform volume scaling") {
+    val base = Round7Queries.syntheticPcm(17L)
+    val doubled = base.map(s => (s * 2).toShort) // 12-bit amplitudes: no clip
+    assert(MediaCodec.audioHash64(wavOf(base)) ===
+      MediaCodec.audioHash64(wavOf(doubled)))
+  }
+
+  test("audioHash64: streams shorter than 65 samples hash to 0") {
+    assert(MediaCodec.audioHash64(wavOf(Array.fill[Short](64)(123))) === 0L)
+  }
+
+  test("muting one window flips at most 2 bits (the planted near-dup)") {
+    for (id <- 0L until 20L) {
+      val a = MediaCodec.audioHash64(wavOf(Round7Queries.syntheticPcm(id)))
+      val b = MediaCodec.audioHash64(wavOf(
+        Round7Queries.syntheticPcm(id, mutedWin = (id % 63).toInt + 1)))
+      val hamming = java.lang.Long.bitCount(a ^ b)
+      assert(hamming <= 2, s"id=$id hamming=$hamming")
+    }
+  }
+
+  test("hammingPairs64 over audio fingerprints finds every planted pair") {
+    val hashes = (0L until 40L).flatMap { id =>
+      val orig = (id, MediaCodec.audioHash64(wavOf(Round7Queries.syntheticPcm(id))))
+      if (id < 10)
+        Seq(orig, (id + 100000L, MediaCodec.audioHash64(wavOf(
+          Round7Queries.syntheticPcm(id, mutedWin = (id % 63).toInt + 1)))))
+      else Seq(orig)
+    }.toDF("media_id", "ahash")
+    val pairs = Dedup.hammingPairs64(hashes, "media_id", "ahash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 10L).foreach { id =>
+      assert(found.contains((id, id + 100000L)),
+        s"planted pair $id missing (found: $found)")
+    }
+    assert(pairs.forall(_._3 <= 3))
+  }
+}
