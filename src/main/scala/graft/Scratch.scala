@@ -172,6 +172,56 @@ object Scratch {
       }
     }
 
+    gated("repr") {
+      // --- dedup_representative stage breakdown at sf0.1 (r7) ---
+      val dir = "/root/testdata/sf0.1"
+      val path = "/tmp/graft_shingle/v1full_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val idx =
+        if (new java.io.File(s"$path/_SUCCESS").exists)
+          spark.read.parquet(path)
+        else {
+          operators.Dedup.corpusShingleIndex(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", n = 3, maxShingleFreq = 1000)
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        })
+      def pairsDf = operators.Dedup.jaccardPairsFromIndex(idx, minJaccard = 0.3)
+      timeIt("pairs only (noop)")(noop(pairsDf))
+      println(s"[scale] pairs rows=${pairsDf.count()}")
+      val pairs = timeIt("pairs -> localCheckpoint")(pairsDf.localCheckpoint(true))
+      jobs.set(0)
+      timeIt("CC only (from checkpointed pairs)")(
+        noop(operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")))
+      println(s"[scale] CC jobs=${jobs.get()}")
+      jobs.set(0)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timeIt("CC only, AQE off")(
+        noop(operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")))
+      println(s"[scale] CC jobs (AQE off)=${jobs.get()}")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      jobs.set(0)
+      timeIt("full representativesFromPairs (inline pairs)")(
+        noop(operators.Dedup.representativesFromPairs(pairsDf, docs,
+          "doc_id", col("n_chars"))))
+      println(s"[scale] full jobs=${jobs.get()}")
+      timeIt("full repr, warm 2nd run")(
+        noop(operators.Dedup.representativesFromPairs(pairsDf, docs,
+          "doc_id", col("n_chars"))))
+      timeIt("full repr, warm 3rd run")(
+        noop(operators.Dedup.representativesFromPairs(pairsDf, docs,
+          "doc_id", col("n_chars"))))
+    }
+
     spark.stop()
   }
 }

@@ -298,13 +298,34 @@ object Dedup {
     * Algorithm (round 7, VERDICT r6 item 2): min-label propagation
     * WITH POINTER DOUBLING (Shiloach–Vishkin style). Each round first
     * takes one propagation step — label'(v) = min(label(v),
-    * min_{u∈Γ(v)} label(u)) — then one doubling step — label''(v) =
-    * label'(label'(v)), a self-join of the label table that follows
-    * the parent pointer one hop. Doubling halves the pointer depth
-    * every round, so the loop converges in O(log d) rounds for
-    * diameter d versus O(d) for propagation alone, while each round
-    * stays just TWO equi-joins + one aggregate over (node, label)
-    * pairs.
+    * min_{u∈Γ(v)} label(u)) — then TWO doubling steps — label(v) ←
+    * label(label(v)) twice, self-joins of the label table that follow
+    * the parent pointer. Each doubling halves the pointer depth, so a
+    * round shrinks depth ~4× and the loop converges in O(log d)
+    * rounds for diameter d versus O(d) for propagation alone, while
+    * each round stays THREE equi-joins + one aggregate over
+    * (node, label) pairs. One up-front `count()` of the symmetric
+    * edge table fills its cache and statically sizes every round's
+    * shuffle (see the in-body comment).
+    *
+    * AQE is DISABLED inside the loop (session conf restored on exit;
+    * `adaptive = true` opts back in). Rationale: every round's inputs
+    * were just materialized by the previous round's checkpoint, and
+    * the plan shape is fixed — there is no join-strategy or stats
+    * surprise left for runtime re-planning to exploit, but adaptive
+    * execution splits each round's one action into 5–9 sequential
+    * query-stage jobs, multiplying the loop's driver-synchronization
+    * cost (measured: 18 jobs → 2, 2.5 s → sub-second on a 256-edge
+    * sf0.1 graph whose data volume is trivial). What AQE would still
+    * buy is runtime skew-splitting of the doubling join when a giant
+    * component concentrates one label value — pair graphs with
+    * mega-components should pass `adaptive = true` (or exact-dedup
+    * first, which removes exactly the mass that forms such
+    * components). The conf toggles (AQE + loop-sized
+    * shuffle.partitions) are session-visible for the duration of
+    * this driver-synchronous call and restored on exit — like
+    * [[RuntimeFilter.bloomOf]]'s clamp lift, concurrent queries in
+    * the same session during the loop would observe them.
     *
     * Scale design: exactly ONE driver action per round — an EAGER
     * localCheckpoint whose single execution materializes the round
@@ -322,14 +343,64 @@ object Dedup {
     * propagation loop.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          adaptive: Boolean = false): DataFrame = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val conf = pairs.sparkSession.conf
+    val prevAqe = conf.getOption(aqeKey)
+    val prevParts = conf.getOption(partsKey)
+    if (!adaptive) conf.set(aqeKey, "false")
+    try connectedComponentsLoop(pairs, aCol, bCol, maxIter, !adaptive)
+    finally if (!adaptive) {
+      def restore(k: String, prev: Option[String]): Unit =
+        prev match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
+      restore(aqeKey, prevAqe)
+      restore(partsKey, prevParts)
+    }
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String,
+                                      bCol: String, maxIter: Int,
+                                      sizeLoop: Boolean): DataFrame = {
     // symmetric edge view, joined against every round — cache it once;
     // released before return (the result plan reads only the final
-    // checkpointed label table, never edges)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // checkpointed label table, never edges). Symmetrization is an
+    // EXPLODE of both orientations from one scan, not a self-union:
+    // a union's two branches each re-execute the upstream pair
+    // generation (the whole candidate join, when pairs arrive inline),
+    // doubling the most expensive stage of the entire computation
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct().cache()
+    // ONE count action fills the cache AND sizes the loop: with AQE
+    // disabled the rounds' shuffle partition count must come from
+    // somewhere, and Catalyst stats can't provide it (a checkpointed
+    // table carries its ORIGIN plan's estimate — measured 710 GB for a
+    // 256-row pair table — because join-size estimation multiplies).
+    // The exact edge count is the statistic AQE's coalescing would
+    // have derived at runtime, paid once up front and amortized over
+    // every round instead of re-derived with extra stage barriers per
+    // round. ~4M (long,long) rows per partition ≈ the same 64 MB
+    // post-shuffle target AQE defaults to.
+    val edgeCount = edges.count()
+    if (edgeCount == 0) {
+      edges.unpersist()
+      return edges.select(col("src").as("node"), col("dst").as("component"))
+        .where(lit(false))
+    }
+    if (sizeLoop) {
+      val sessionParts =
+        try pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        catch { case _: NumberFormatException => 200 }
+      val loopParts = math.max(1L,
+        math.min(sessionParts.toLong, edgeCount / 4000000L + 1L)).toInt
+      pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", loopParts)
+    }
     // seed = one propagation step for free: label = min(node ∪ Γ(node)).
     // Not checkpointed — it folds into round 1's single action.
     var labels = edges.groupBy(col("src"))
@@ -350,14 +421,21 @@ object Dedup {
       val stepped = own.unionByName(viaNbr)
         .groupBy("node")
         .agg(min(col("label")).as("cand"), min(col("__prev")).as("prev"))
-      // double: follow the new parent pointer one hop. Every cand value
-      // is itself a node (labels are node ids), so the inner self-join
-      // is total; the two identical subtrees share exchanges via
-      // ReuseExchange/AQE stage reuse, not a per-round cache.
-      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val next = stepped
-        .join(stepped.select(col("node").as("cand"), col("cand").as("__dbl")),
+      // double TWICE: follow the new parent pointer two hops (pointer
+      // depth shrinks ~4× per round instead of ~2×). Every label value
+      // is itself a node id with its own row (labels only ever take
+      // node-id values and every node has a row), so the inner
+      // self-joins are total. Each doubling is one more \|V\|-row
+      // equi-join per round — bought back multiple times over in
+      // saved rounds, since each round is a full driver barrier.
+      val d1 = stepped
+        .join(stepped.select(col("node").as("cand"), col("cand").as("__d1")),
           "cand")
+        .select(col("node"), col("__d1").as("cand2"), col("prev"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val next = d1
+        .join(d1.select(col("node").as("cand2"), col("cand2").as("__dbl")),
+          "cand2")
         .select(col("node"), col("__dbl").as("label"),
           (col("__dbl") < col("prev")).as("__chg"))
         .observe(obs, coalesce(sum(when(col("__chg"), 1L).otherwise(0L)), lit(0L))
