@@ -62,7 +62,11 @@ object Bench {
     // min discards. Raw per-sweep timings are emitted so any surviving
     // load window is visible in the artifact instead of silently
     // becoming the number.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // 5 sweeps (was 3): with 59 interleaved queries per sweep, JIT and
+    // code-cache warming continues into the third sweep — per-sweep
+    // raws in the artifact show monotone decreases at repeats=3, i.e.
+    // min-of-3 had not reached steady state
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
     val names = headline.filter(SparkEntry.queries.contains)
     def once(name: String): Double = {
       val t0 = System.nanoTime()

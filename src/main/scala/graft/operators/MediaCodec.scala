@@ -169,7 +169,7 @@ object MediaCodec {
 
   /** Encode packed RGB as a 24-bit uncompressed (BI_RGB) BMP —
     * bottom-up rows, 4-byte-aligned, BGR order; the byte-exact inverse
-    * of [[decodeBmp]] (MediaCodecSpec pins the round-trip). */
+    * of [[decodeBmp]] (ImageDupSpec pins the round-trip). */
   def encodeBmp(img: Rgb): Array[Byte] = {
     val rowSize = ((img.width * 3 + 3) / 4) * 4
     val dataSize = rowSize * img.height
