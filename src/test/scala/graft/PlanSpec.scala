@@ -216,4 +216,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("zorder_key")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("multimodal near-dup candidates are an equi-join, never a cross join") {
+    // hammingPairs64's pigeonhole blocks must reach the join as equi
+    // keys; a refactor that loses the (blk, key) condition silently
+    // degrades to BroadcastNestedLoopJoin/CartesianProduct — the exact
+    // O(n²) shape the bucket design exists to avoid
+    for (name <- Seq("multimodal_imagedup", "multimodal_audiodup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+      // the exact popcount verify (bit_count over xor) must be present
+      assert(p.contains("bit_count"), s"$name: $p")
+    }
+  }
 }
