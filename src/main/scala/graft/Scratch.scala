@@ -222,6 +222,41 @@ object Scratch {
           "doc_id", col("n_chars"))))
     }
 
+    gated("hamming") {
+      // --- hammingPairs64 at 1M perceptual hashes (r7) ---
+      // worst case for bucket volume: uniformly random 64-bit hashes
+      // (real dHash corpora cluster, which concentrates buckets but
+      // shrinks the candidate count per true near-dup). Expected
+      // candidate pairs ≈ 4 blocks · C(n/2^16, 2) · 2^16 ≈ n²/2^15.
+      val n = 1000000L
+      val hashes = spark.range(n)
+        .select(col("id").as("media_id"),
+          xxhash64(col("id")).as("h"))
+        // plant 1k near-dups: flip 2 low bits of the original hash
+        .unionByName(spark.range(1000)
+          .select((col("id") + 10000000L).as("media_id"),
+            xxhash64(col("id")).bitwiseXOR(lit(3L)).as("h")))
+        .localCheckpoint(true)
+      val pairs = timeIt("hammingPairs64 over 1M+1k hashes (B=4)") {
+        val p = operators.Dedup.hammingPairs64(hashes, "media_id", "h")
+          .localCheckpoint(true)
+        println(s"[scale] pairs found=${p.count()}")
+        p
+      }
+      timeIt("hammingPairs64 over 1M+1k hashes (B=6, 20 tables)") {
+        val p = operators.Dedup.hammingPairs64(hashes, "media_id", "h",
+          maxHamming = 3, numBlocks = 6).localCheckpoint(true)
+        println(s"[scale] pairs found (B=6)=${p.count()}")
+      }
+      // bucket-occupancy profile: the skew the equi-join inherits
+      val occ = (0 until 4).map { blk =>
+        hashes.select(shiftright(col("h"), 16 * blk)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))
+          .groupBy("key").count().agg(max("count")).head.getLong(0)
+      }
+      println(s"[scale] max bucket size per block: ${occ.mkString(",")}")
+    }
+
     spark.stop()
   }
 }

@@ -247,27 +247,60 @@ object Dedup {
   /** Near-dup pairs over any precomputed 64-bit hash column (the
     * perceptual-hash twin of [[simhashPairs]], which owns the 32-bit
     * text simhash): rows whose hashes are within `maxHamming` bits.
-    * Candidates come from 4 × 16-bit block buckets — two hashes within
-    * hamming ≤ 3 agree on at least one of the 4 blocks (pigeonhole),
-    * so candidate generation is an equi-join on (block, key), never a
-    * cross join — then exact popcount-of-XOR verification. Used for
-    * image near-dup over MediaCodec.dHash64 ([[graft.Round7Queries]]).
+    *
+    * Candidate generation is the Manku/Jain/Das Sarma permute-split
+    * scheme (WWW 2007, §3 — the simhash dedup design Google published
+    * for 8B-page scale): split the 64 bits into `numBlocks` blocks; a
+    * pair within hamming ≤ d leaves at least numBlocks − d blocks
+    * untouched (pigeonhole), so keying on every (numBlocks − d)-subset
+    * of blocks guarantees each true pair shares at least one
+    * (subset, key) bucket — an EQUI-join, never a cross join — and
+    * exact popcount-of-XOR verification filters the candidates.
+    *
+    * `numBlocks` trades table count against candidate volume: subsets
+    * number C(B, B−d) and keys carry 64·(B−d)/B bits, so random-hash
+    * candidate volume scales as C(B,B−d) · n² / 2^(64·(B−d)/B).
+    *  - B = d+1 (default 4 at d=3): fewest tables (4), 16-bit keys —
+    *    candidates ≈ n²/2^15; right below ~10M hashes (measured: 1M+1k
+    *    hashes, 6.2 s, exactly the planted pairs).
+    *  - B = 6, d = 3: 20 tables, 32-bit keys — candidates ≈ n²/2^27,
+    *    the corpus-scale configuration (at 1B images: ~10^13 → ~10^7·
+    *    table-count candidates; the explode volume 20n is the cost).
+    * Used for image/audio near-dup over MediaCodec.dHash64/audioHash64
+    * ([[graft.Round7Queries]]).
     */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4-block pigeonhole guarantees recall only up to hamming 3")
+                     maxHamming: Int = 3, numBlocks: Int = 4): DataFrame = {
+    require(numBlocks > maxHamming && numBlocks <= 16,
+      s"pigeonhole needs maxHamming < numBlocks <= 16, " +
+        s"got d=$maxHamming B=$numBlocks")
+    val cleanBlocks = numBlocks - maxHamming
+    // block b spans bits [b*64/B, (b+1)*64/B) — widths differ by at
+    // most 1 when B does not divide 64
+    def start(b: Int): Int = b * 64 / numBlocks
+    def width(b: Int): Int = start(b + 1) - start(b)
+    // bitwiseAND mask, not % : for hashes with bit 63 set the
+    // arithmetic shift is negative, and signed % would key the
+    // negative side of a pair differently from its positive partner
+    // (same low bits, different remainder sign) — silently losing the
+    // candidate
+    def blockVal(b: Int): Column =
+      call_function("shiftright", col("h"), lit(start(b)))
+        .bitwiseAND(lit((1L << width(b)) - 1L))
+    val subsets = (0 until numBlocks).combinations(cleanBlocks).toSeq
     val withH = hashes.select(col(idCol).as("doc"), col(hashCol).as("h"))
-    val blocks = (0 until 4).map { blk =>
-      // bitwiseAND, not % : for hashes with bit 63 set the arithmetic
-      // shift is negative, and signed % would key the negative side of
-      // a pair differently from its positive partner (same low bits,
-      // different remainder sign) — silently losing the candidate
-      withH.select(col("doc"), col("h"), lit(blk).as("blk"),
-        call_function("shiftright", col("h"), lit(16 * blk))
-          .bitwiseAND(lit(0xFFFFL)).as("key"))
-    }.reduce(_ unionByName _)
-    blocks.as("a").join(blocks.as("b"), Seq("blk", "key"))
+    // one scan: every (subsetId, concatenated key) via explode of a
+    // straight-line shift/mask expression array
+    val keyed = withH.select(col("doc"), col("h"),
+      explode(array(subsets.zipWithIndex.map { case (subset, sid) =>
+        val key = subset.foldLeft(lit(0L): Column)((acc, b) =>
+          call_function("shiftleft", acc, lit(width(b)))
+            .bitwiseOR(blockVal(b)))
+        struct(lit(sid).as("blk"), key.as("key"))
+      }: _*)).as("__sk"))
+      .select(col("doc"), col("h"),
+        col("__sk.blk").as("blk"), col("__sk.key").as("key"))
+    keyed.as("a").join(keyed.as("b"), Seq("blk", "key"))
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         TF.hammingDistance(col("a.h"), col("b.h")).as("hamming"))

@@ -84,4 +84,30 @@ class ImageDupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => b - a == 100000L },
       s"unexpected non-planted collision: $pairs")
   }
+
+  test("corpus-scale block config (B=6, 20 multi-block tables) finds the same pairs") {
+    // the Manku-style wide-key configuration must be recall-identical
+    // to the default: pigeonhole guarantees hold for every B > d
+    val hashes = (0L until 40L).flatMap { id =>
+      val orig = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id)).get
+      val base = Seq((id, MediaCodec.dHash64(orig)))
+      if (id < 10) {
+        val v = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(
+          id, plantedPx = ((id % 8) * 9 + id % 9).toInt)).get
+        base :+ (id + 100000L, MediaCodec.dHash64(v))
+      } else base
+    }.toDF("media_id", "phash")
+    def run(b: Int) = Dedup.hammingPairs64(hashes, "media_id", "phash",
+      maxHamming = 3, numBlocks = b).as[(Long, Long, Int)].collect().toSet
+    assert(run(6) === run(4))
+    // and the exact-dup degenerate case: one full-width table
+    val withDup = hashes.unionByName(
+      Seq((777L, MediaCodec.dHash64(
+        MediaCodec.decodeBmp(Round7Queries.syntheticBmp(5L)).get)))
+        .toDF("media_id", "phash"))
+    val exact = Dedup.hammingPairs64(withDup, "media_id", "phash",
+      maxHamming = 0, numBlocks = 1).as[(Long, Long, Int)].collect().toSet
+    assert(exact.contains((5L, 777L, 0)))
+    assert(exact.forall(_._3 == 0))
+  }
 }
