@@ -270,14 +270,25 @@ object Dedup {
     * ([[graft.Round7Queries]]).
     */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3, numBlocks: Int = 4): DataFrame = {
+                     maxHamming: Int = 3, numBlocks: Int = 4): DataFrame =
+    hammingPairsOver(hashes, idCol, hashCol, 64, maxHamming, numBlocks)
+
+  /** Width-parameterized core of [[hammingPairs64]] / [[simhashPairs]]:
+    * permute-split candidate buckets + exact popcount verify over the
+    * low `bits` bits of `hashCol` (cast to long; sign-extension bits
+    * above `bits` never enter a block mask). private[graft] so the
+    * spec can pin the signed-shift trap with crafted hash values. */
+  private[graft] def hammingPairsOver(hashes: DataFrame, idCol: String,
+                                      hashCol: String, bits: Int,
+                                      maxHamming: Int,
+                                      numBlocks: Int): DataFrame = {
     require(numBlocks > maxHamming && numBlocks <= 16,
       s"pigeonhole needs maxHamming < numBlocks <= 16, " +
         s"got d=$maxHamming B=$numBlocks")
     val cleanBlocks = numBlocks - maxHamming
-    // block b spans bits [b*64/B, (b+1)*64/B) — widths differ by at
-    // most 1 when B does not divide 64
-    def start(b: Int): Int = b * 64 / numBlocks
+    // block b spans bits [b*bits/B, (b+1)*bits/B) — widths differ by
+    // at most 1 when B does not divide bits
+    def start(b: Int): Int = b * bits / numBlocks
     def width(b: Int): Int = start(b + 1) - start(b)
     // bitwiseAND mask, not % : for hashes with bit 63 set the
     // arithmetic shift is negative, and signed % would key the
