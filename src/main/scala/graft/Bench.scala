@@ -94,13 +94,17 @@ object Bench {
       "\"" + name + "\":" + sweeps.map(s => f"${s(name)}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
-    println(line)
-    // stdout under sbt arrives wrapped in "[info]" prefixes, which broke
-    // the driver's JSON parse in round 1 — also write the bare line to a
-    // file the driver (or a human) can read without de-prefixing.
+    // Raw per-sweep timings go ONLY to the bench.json file: the driver
+    // captures a bounded tail of stdout, and round 7's enlarged final
+    // line (5 sweeps × 59 queries of raws) overflowed that capture and
+    // left BENCH_r07 unparseable. The LAST stdout line is the compact
+    // summary (per-query mins, no raw arrays, ~1.2 kB) so the driver's
+    // artifact always parses; humans read the raws from the file.
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Run a query under temporary SQL-conf overrides WITHOUT mutating the
+  * caller's session — the concurrency-safe replacement for the
+  * set/restore pattern ([[Dedup.connectedComponents]]'s loop sizing,
+  * [[RuntimeFilter.bloomOf]]'s clamp lift), whose mutations were
+  * visible to every concurrent query in the session and whose
+  * restores could interleave across overlapping calls.
+  *
+  * Mechanism: `SparkSession.newSession()` gives an ISOLATED SQL conf
+  * over the SAME SparkContext, cache manager and temp-view-free
+  * catalog state — so cached relations (e.g. the CC loop's edge
+  * table) are still substituted during planning in the clone. The
+  * caller's DataFrame is handed across sessions through a uniquely
+  * named global temp view (global temp views are app-scoped, not
+  * session-scoped); the view only carries the analyzed plan, so no
+  * data moves and the view is dropped on exit. Because a fresh
+  * session starts from the SparkContext's builder-time conf, the
+  * caller's RUNTIME conf modifications are first copied over
+  * (modifiable keys only) so the scoped query sees exactly the
+  * caller's effective configuration plus the overrides.
+  */
+object IsolatedConf {
+
+  private def freshName(): String =
+    s"graft_iso_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  private def globalTempDb(s: SparkSession): String =
+    s.conf.get("spark.sql.globalTempDatabase")
+
+  /** Evaluate `body` on a clone of `df` bound to a session whose conf
+    * equals the caller's effective conf plus `overrides`. The caller's
+    * session conf is never written. DataFrames created inside `body`
+    * belong to the scoped session — materialize them (checkpoint /
+    * collect) or [[rehome]] them before returning if they must outlive
+    * the call.
+    */
+  def withConfs[A](df: DataFrame, overrides: Map[String, String])
+                  (body: DataFrame => A): A = {
+    val caller = df.sparkSession
+    val scoped = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (scoped.conf.isModifiable(k)) scoped.conf.set(k, v)
+    }
+    overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
+    val view = freshName()
+    df.createOrReplaceGlobalTempView(view)
+    try body(scoped.table(s"${globalTempDb(caller)}.$view"))
+    finally { caller.catalog.dropGlobalTempView(view); () }
+  }
+
+  /** Re-bind `df` (typically checkpoint-backed, so its plan is a plain
+    * scan of materialized blocks) to `target`'s session via the same
+    * global-temp-view hand-off. Analysis is eager, so the returned
+    * DataFrame keeps working after the transient view is dropped. */
+  def rehome(df: DataFrame, target: SparkSession): DataFrame = {
+    val view = freshName()
+    df.createOrReplaceGlobalTempView(view)
+    try target.table(s"${globalTempDb(target)}.$view")
+    finally { target.catalog.dropGlobalTempView(view); () }
+  }
+}

@@ -62,27 +62,23 @@ object RuntimeFilter {
         "bloom literal is the wrong mechanism — use a real semi-join")
     // BloomFilterAggregate SILENTLY clamps to the runtime-filter confs
     // (4M items / 67.1M bits by default) — exactly the saturation
-    // failure auto-sizing exists to prevent. Raise both to fit n for
-    // the duration of this one action, then restore.
-    val conf = dim.sparkSession.conf
-    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // failure auto-sizing exists to prevent. Raise both to fit n in a
+    // CLONED session (round 8): the one-action build runs under the
+    // lifted clamps without the caller's session conf ever changing,
+    // so concurrent queries (and overlapping bloomOf calls, whose
+    // set/restore pairs could previously interleave) observe nothing.
     val neededBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(n, 0.03)
-    val prevItems = conf.getOption(maxItemsKey)
-    val prevBits = conf.getOption(maxBitsKey)
-    try {
-      conf.set(maxItemsKey, math.max(n, 4000000L).toString)
-      conf.set(maxBitsKey, math.max(neededBits, 67108864L).toString)
+    val overrides = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(n, 4000000L).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(neededBits, 67108864L).toString)
+    IsolatedConf.withConfs(dim, overrides) { scopedDim =>
       val agg = new BloomFilterAggregate(
         new XxHash64(Seq(ColumnBridge.expression(col(key)))), n)
-      dim.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      scopedDim.select(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
         .head.getAs[Array[Byte]](0)
-    } finally {
-      def restore(k: String, prev: Option[String]): Unit =
-        prev match { case Some(v) => conf.set(k, v); case None => conf.unset(k) }
-      restore(maxItemsKey, prevItems)
-      restore(maxBitsKey, prevBits)
     }
   }
 

@@ -77,6 +77,66 @@ class DedupScaleSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("loop never mutates the caller session's confs (concurrent observer)") {
+    // VERDICT r7 item 2: the r7 loop set adaptive.enabled=false and
+    // shuffle.partitions as low as 1 SESSION-WIDE for its duration; a
+    // concurrent query inherited both. The round-8 loop runs in a
+    // cloned session (IsolatedConf), so an observer polling the caller
+    // session's conf THROUGHOUT the loop must never see a change.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqe0 = spark.conf.get(aqeKey)
+    val parts0 = spark.conf.get(partsKey)
+    val violations = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var running = true
+    val watcher = new Thread(() => {
+      while (running) {
+        val a = spark.conf.get(aqeKey)
+        val p = spark.conf.get(partsKey)
+        if (a != aqe0 || p != parts0) { violations.add(s"aqe=$a parts=$p"); () }
+        Thread.sleep(1)
+      }
+    })
+    watcher.start()
+    try {
+      val pairs = (1L to 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect()
+      assert(comps.length == 17)
+    } finally { running = false; watcher.join() }
+    assert(violations.isEmpty,
+      s"caller-session conf observed mutated during the loop: $violations")
+    assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partsKey) == parts0)
+  }
+
+  test("self-loop-only nodes are labeled with their own component") {
+    // ADVICE r7: a node appearing only as (a,a) must get an output row
+    // (component = itself), matching the pre-r7 behavior external
+    // callers may rely on.
+    val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("global-temp re-homing preserves cache reuse across sessions") {
+    // The scoped loop session must hit the edge table's cache (shared
+    // CacheManager): a silent cache miss would re-run the upstream
+    // candidate join every round.
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b").cache()
+    try {
+      df.count()
+      df.createOrReplaceGlobalTempView("graft_cc_cachetest")
+      try {
+        val other = spark.newSession()
+        val re = other.table("global_temp.graft_cc_cachetest")
+        assert(re.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+          "cross-session view lookup did not substitute the cached relation")
+        assert(re.as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
+      } finally { spark.catalog.dropGlobalTempView("graft_cc_cachetest"); () }
+    } finally { df.unpersist(); () }
+  }
+
   test("binary-tree graph (depth 5) converges within the action budget") {
     // 63-node complete binary tree rooted at 1: parent i has children
     // 2i and 2i+1 — a bushier shape than the path
