@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodec}
+
+/** Round-8 [EXT] queries + DuckDB oracle twins: INCREMENTAL multimodal
+  * near-dup — the X8 / jaccardPairsAgainstIndex pattern for media
+  * (VERDICT r7 item 3). A real crawl pipeline dedups each media batch
+  * against everything already kept; the corpus perceptual-hash bucket
+  * table is a compaction-cadence artifact (like the shingle index and
+  * the ANN indexes) and is never re-decoded or re-hashed per batch.
+  */
+object Round8Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private val phashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Build-once materialized perceptual-hash bucket index over the
+    * corpus media (the doc_id < 300 originals — the synthetic-BMP
+    * corpus of multimodal_imagedup, WITHOUT the planted variants,
+    * which play the incoming batch here). The path encodes the
+    * Manku-key configuration (64 bits, d=3, B=4) per the
+    * [[Dedup.hammingIndex]] contract. */
+  private def phashIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      s"/tmp/graft_phash/v1_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    phashCache.computeIfAbsent((s, path), { _ =>
+      if (!SparkEntry.successExists(s, path)) {
+        import s.implicits._
+        val hashes = t(s, dir, "documents").where(col("doc_id") < 300)
+          .select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val img = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id))
+              .getOrElse(sys.error(s"undecodable BMP for media $id"))
+            (id, MediaCodec.dHash64(img))
+          }
+          .toDF("media_id", "phash")
+        Dedup.hammingIndex(hashes, "media_id", "phash",
+          bits = 64, maxHamming = 3, numBlocks = 4)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- incremental image near-dup [EXT]: batch vs served index ----
+    // only the BATCH (the planted one-pixel variants of ids < 60) is
+    // synthesized, decoded and hashed at query time; the corpus side
+    // is the persisted (doc_corpus, h_c, blk, key) bucket table, so
+    // candidates are a batch×corpus equi-join on (blk, key) and the
+    // measured work is the incremental probe, not a corpus re-hash.
+    // The oracle re-derives BOTH sides' hash bits from the generator
+    // formula and cross-joins batch×corpus exhaustively — both engines
+    // must agree on exactly which pairs sit within hamming ≤ 3.
+    "multimodal_imagedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val index = phashIndexFor(s, dir)
+      val batch = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes = Round7Queries.syntheticBmp(id,
+            plantedPx = ((id % 8) * 9 + id % 9).toInt)
+          val img = MediaCodec.decodeBmp(bytes)
+            .getOrElse(sys.error(s"undecodable BMP for media $id"))
+          (id + 100000L, MediaCodec.dHash64(img))
+        }
+        .toDF("media_id", "phash")
+      Dedup.hammingPairsAgainstIndex(index, batch, "media_id", "phash",
+        bits = 64, maxHamming = 3, numBlocks = 4)
+        .select(col("doc_new").as("id_new"), col("doc_corpus").as("id_corpus"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    // same exhaustive-rederivation shape as multimodal_imagedup's twin
+    // (Round7Queries): gray(i) = ((src*31 + i + 7)^2) % 256, planted
+    // pixel -> 255, dHash bit j compares gray (j/8)*9 + j%8 with its
+    // right neighbor; the cross join is batch(60) x corpus(300)
+    "multimodal_imagedup_incremental" ->
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |              WHERE doc_id < 300),
+         |corpus AS (SELECT doc_id AS media_id, doc_id AS src, -1 AS px
+         |           FROM base),
+         |batch AS (SELECT doc_id + 100000 AS media_id, doc_id AS src,
+         |                 CAST((doc_id % 8) * 9 + (doc_id % 9) AS INTEGER) AS px
+         |          FROM base WHERE doc_id < 60),
+         |gc AS (SELECT media_id,
+         |  list_transform(range(0, 72),
+         |    i -> ((src*31 + i + 7) * (src*31 + i + 7)) % 256) AS gr
+         |  FROM corpus),
+         |gb AS (SELECT media_id,
+         |  list_transform(range(0, 72), i -> CASE WHEN i = px THEN 255
+         |    ELSE ((src*31 + i + 7) * (src*31 + i + 7)) % 256 END) AS gr
+         |  FROM batch),
+         |bc AS (SELECT media_id,
+         |  list_transform(range(0, 64), j ->
+         |    CASE WHEN gr[(j//8)*9 + (j%8) + 1] > gr[(j//8)*9 + (j%8) + 2]
+         |         THEN 1 ELSE 0 END) AS b
+         |  FROM gc),
+         |bb AS (SELECT media_id,
+         |  list_transform(range(0, 64), j ->
+         |    CASE WHEN gr[(j//8)*9 + (j%8) + 1] > gr[(j//8)*9 + (j%8) + 2]
+         |         THEN 1 ELSE 0 END) AS b
+         |  FROM gb),
+         |p AS (SELECT n.media_id AS id_new, c.media_id AS id_corpus,
+         |  CAST(list_sum(list_transform(range(0, 64),
+         |    j -> CASE WHEN n.b[j+1] <> c.b[j+1] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS hamming
+         |  FROM bb n CROSS JOIN bc c)
+         |SELECT id_new, id_corpus, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_new, id_corpus""".stripMargin,
+  )
+}

@@ -275,16 +275,39 @@ object Dedup {
 
   /** Width-parameterized core of [[hammingPairs64]] / [[simhashPairs]]:
     * permute-split candidate buckets + exact popcount verify over the
-    * low `bits` bits of `hashCol` (cast to long; sign-extension bits
-    * above `bits` never enter a block mask). private[graft] so the
+    * low `bits` bits of `hashCol` (cast to long; the hash is MASKED to
+    * those bits before keying AND verification, so sign-extension or
+    * stray high bits can neither split a bucket key nor fail the
+    * hamming check — round 8, ADVICE r7). private[graft] so the
     * spec can pin the signed-shift trap with crafted hash values. */
   private[graft] def hammingPairsOver(hashes: DataFrame, idCol: String,
                                       hashCol: String, bits: Int,
                                       maxHamming: Int,
                                       numBlocks: Int): DataFrame = {
+    val keyed = hammingKeyed(hashes, idCol, hashCol, bits, maxHamming, numBlocks)
+    keyed.as("a").join(keyed.as("b"), Seq("blk", "key"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        TF.hammingDistance(col("a.h"), col("b.h")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (doc, h, blk, key) rows: every permute-split bucket key for every
+    * hash — the shared candidate-generation core of the self-join
+    * ([[hammingPairsOver]]), the materialized index
+    * ([[hammingIndex]]), and the batch probe
+    * ([[hammingPairsAgainstIndex]]). One scan: all C(B, B−d) subset
+    * keys explode from a straight-line shift/mask expression array.
+    */
+  private def hammingKeyed(hashes: DataFrame, idCol: String,
+                           hashCol: String, bits: Int,
+                           maxHamming: Int, numBlocks: Int): DataFrame = {
     require(numBlocks > maxHamming && numBlocks <= 16,
       s"pigeonhole needs maxHamming < numBlocks <= 16, " +
         s"got d=$maxHamming B=$numBlocks")
+    require(bits >= numBlocks && bits <= 64,
+      s"hash width must satisfy numBlocks <= bits <= 64, got $bits")
     val cleanBlocks = numBlocks - maxHamming
     // block b spans bits [b*bits/B, (b+1)*bits/B) — widths differ by
     // at most 1 when B does not divide bits
@@ -299,10 +322,13 @@ object Dedup {
       call_function("shiftright", col("h"), lit(start(b)))
         .bitwiseAND(lit((1L << width(b)) - 1L))
     val subsets = (0 until numBlocks).combinations(cleanBlocks).toSeq
-    val withH = hashes.select(col(idCol).as("doc"), col(hashCol).as("h"))
-    // one scan: every (subsetId, concatenated key) via explode of a
-    // straight-line shift/mask expression array
-    val keyed = withH.select(col("doc"), col("h"),
+    // the low-`bits` mask up front makes the popcount verify honor the
+    // declared width too ((1L << 64) wraps to 1, hence the guard)
+    val masked =
+      if (bits == 64) col(hashCol).cast("long")
+      else col(hashCol).cast("long").bitwiseAND(lit((1L << bits) - 1L))
+    val withH = hashes.select(col(idCol).as("doc"), masked.as("h"))
+    withH.select(col("doc"), col("h"),
       explode(array(subsets.zipWithIndex.map { case (subset, sid) =>
         val key = subset.foldLeft(lit(0L): Column)((acc, b) =>
           call_function("shiftleft", acc, lit(width(b)))
@@ -311,10 +337,46 @@ object Dedup {
       }: _*)).as("__sk"))
       .select(col("doc"), col("h"),
         col("__sk.blk").as("blk"), col("__sk.key").as("key"))
-    keyed.as("a").join(keyed.as("b"), Seq("blk", "key"))
-      .where(col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        TF.hammingDistance(col("a.h"), col("b.h")).as("hamming"))
+  }
+
+  /** The corpus's perceptual-hash bucket index: (doc_corpus, h_c, blk,
+    * key) — the media twin of [[corpusShingleIndex]], the artifact a
+    * production pipeline MATERIALIZES on compaction cadence (write it
+    * bucketed/partitioned as suits the store) so per-batch media dedup
+    * never re-decodes or re-hashes the corpus. New corpus admissions
+    * append their own rows incrementally. The (bits, maxHamming,
+    * numBlocks) configuration is part of the artifact's contract:
+    * probes via [[hammingPairsAgainstIndex]] must use the SAME values
+    * (encode them in the table path, like the ANN index versions).
+    */
+  def hammingIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                   bits: Int = 64, maxHamming: Int = 3,
+                   numBlocks: Int = 4): DataFrame =
+    hammingKeyed(hashes, idCol, hashCol, bits, maxHamming, numBlocks)
+      .select(col("doc").as("doc_corpus"), col("h").as("h_c"),
+        col("blk"), col("key"))
+
+  /** Incremental media near-dup: hamming pairs between a batch of NEW
+    * hashes and an existing corpus served from its materialized
+    * [[hammingIndex]] table — the continuous-crawl shape (dedup each
+    * media batch against everything already kept; the X8 /
+    * [[jaccardPairsAgainstIndex]] pattern for perceptual hashes). Only
+    * the batch is decoded/hashed/keyed fresh; candidates come from the
+    * (blk, key) equi-join — batch×corpus, never corpus×corpus — and
+    * exact popcount verification filters them. A batch item already in
+    * the corpus shows up as a hamming-0 pair (the re-crawl signal).
+    * Returns (doc_new, doc_corpus, hamming ≤ maxHamming).
+    */
+  def hammingPairsAgainstIndex(index: DataFrame, newHashes: DataFrame,
+                               idCol: String, hashCol: String,
+                               bits: Int = 64, maxHamming: Int = 3,
+                               numBlocks: Int = 4): DataFrame = {
+    val batch = hammingKeyed(newHashes, idCol, hashCol, bits, maxHamming, numBlocks)
+      .select(col("doc").as("doc_new"), col("h").as("h_n"),
+        col("blk"), col("key"))
+    index.join(batch, Seq("blk", "key"))
+      .select(col("doc_new"), col("doc_corpus"),
+        TF.hammingDistance(col("h_n"), col("h_c")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

