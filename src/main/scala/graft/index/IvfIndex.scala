@@ -145,6 +145,56 @@ object IvfIndex {
         .otherwise(least(best: _*).getField("cluster")))
   }
 
+  /** Per-cluster index-health statistics: row count and mean distance
+    * to the assigned centroid, measured in the model's feature space
+    * (normalized for cosine, norm-augmented for MIPS — the spaces the
+    * clusters actually live in). Record the output at build time next
+    * to the index; recompute over each batch [[assign]] absorbs and
+    * compare with [[drift]] — a batch whose mean centroid distance
+    * runs well above the build-time baseline is drifting off the
+    * centroids (probes start missing true neighbors), the signal to
+    * schedule the compaction-cadence rebuild EARLY instead of on the
+    * fixed clock. One map-side-partial aggregate; the per-row pick of
+    * the assigned centroid's distance is an `element_at` over the
+    * centroid-distance array (nClusters small by construction).
+    */
+  def assignmentStats(assigned: DataFrame, model: Model, vecCol: String): DataFrame = {
+    val vec = model.metric match {
+      case DistanceMetric.Cosine =>
+        graft.functions.VectorFunctions.normalize(col(vecCol))
+      case DistanceMetric.DotProduct => augment(col(vecCol), model.phi)
+      case _ => col(vecCol)
+    }
+    val dists = model.centroids.map { c =>
+      FusedDistance.euclidean(vec, typedLit(c.toSeq))
+    }
+    assigned
+      .where(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        avg(element_at(array(dists: _*), col("cluster") + 1)).as("mean_dist"))
+  }
+
+  /** Drift of `current` [[assignmentStats]] against the build-time
+    * `baseline`: per-cluster mean-distance ratio. A sustained
+    * `drift_ratio` well above 1 (e.g. > 1.5 on clusters holding real
+    * mass) means the incoming data no longer matches the centroids —
+    * re-cluster. Inner join: a cluster absent from the batch carries
+    * no evidence either way. */
+  def drift(current: DataFrame, baseline: DataFrame): DataFrame =
+    current.select(col("cluster"), col("n").as("n_cur"),
+        col("mean_dist").as("d_cur"))
+      .join(baseline.select(col("cluster"), col("n").as("n_base"),
+        col("mean_dist").as("d_base")), "cluster")
+      .select(col("cluster"), col("n_cur"), col("n_base"),
+        // a singleton cluster's baseline distance is exactly 0 (its
+        // one member IS the centroid): same-zero current → no drift,
+        // any positive current → infinite drift (re-cluster signal)
+        when(col("d_base") === 0.0,
+          when(col("d_cur") === 0.0, lit(1.0))
+            .otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(col("d_cur") / col("d_base")).as("drift_ratio"))
+
   /** Persist the index: assignments PARTITIONED BY cluster (each probe
     * then reads only its cluster directories — file-level partition
     * pruning, the on-disk form of the inverted file) + centroids table.

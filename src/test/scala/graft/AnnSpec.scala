@@ -336,6 +336,65 @@ class AnnSpec extends SparkSpec {
     assert(agree >= (built.size * 0.99).toInt, s"$agree/${built.size}")
   }
 
+  test("absorbed batch is searchable: assign-then-search ≡ rebuild-then-search on planted near-dups") {
+    // round 8 (VERDICT r7 item 6): between compaction-cadence rebuilds
+    // the index absorbs log tails via assign() — a planted near-dup
+    // batch must become the TOP-1 hit for its source query through the
+    // incremental path exactly as it would after a full rebuild.
+    val batch = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.001)))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"), lit(0).as("label"))
+    val (assignedC, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val absorbed = assignedC.select("vec_id", "embedding", "cluster")
+      .unionByName(IvfIndex.assign(batch, model, "embedding")
+        .select("vec_id", "embedding", "cluster"))
+    val full = emb.select("vec_id", "embedding").unionByName(batch.select("vec_id", "embedding"))
+    val (rebuiltAll, modelAll) = IvfIndex.build(full, "vec_id", "embedding", nClusters = 16)
+    (0 until 10).foreach { qid =>
+      val q = emb.where(col("vec_id") === qid).select("embedding").as[Seq[Float]].head
+      // the query vector itself is in the corpus at distance 0; its
+      // planted near-dup must fill the other top-2 slot
+      def top2(assigned: org.apache.spark.sql.DataFrame, m: IvfIndex.Model): Seq[Long] =
+        IvfIndex.search(assigned, m, "vec_id", "embedding", q, k = 2, nprobe = 4)
+          .select(col("vec_id").cast("long")).as[Long].collect().toSeq
+      val inc = top2(absorbed, model)
+      val reb = top2(rebuiltAll, modelAll)
+      assert(inc.toSet == Set(qid.toLong, qid + 200000L),
+        s"incremental path missed the planted near-dup for query $qid: $inc")
+      assert(reb.toSet == inc.toSet,
+        s"assign-then-search != rebuild-then-search for query $qid: $inc vs $reb")
+    }
+  }
+
+  test("assignmentStats drift flags an out-of-distribution batch, stays ~1 in-distribution") {
+    val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
+    val baseline = IvfIndex.assignmentStats(assigned, model, "embedding")
+    // in-distribution batch: the corpus itself → drift_ratio ≈ 1
+    val inDist = IvfIndex.drift(
+      IvfIndex.assignmentStats(
+        IvfIndex.assign(emb, model, "embedding"), model, "embedding"),
+      baseline)
+      .select("drift_ratio").as[Double].collect()
+    assert(inDist.nonEmpty && inDist.forall(r => r > 0.95 && r < 1.05),
+      s"in-distribution drift should be ~1: ${inDist.toSeq}")
+    // shifted batch (every component + 2.0): mean centroid distance
+    // must rise well above the baseline on every populated cluster
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + 2.0d).cast("float"))
+        .as("embedding"))
+    val outDist = IvfIndex.drift(
+      IvfIndex.assignmentStats(
+        IvfIndex.assign(shifted, model, "embedding"), model, "embedding"),
+      baseline)
+      .select("drift_ratio").as[Double].collect()
+    assert(outDist.nonEmpty && outDist.forall(_ > 1.5),
+      s"shifted batch should drift > 1.5x: ${outDist.toSeq}")
+  }
+
   test("ingest → store → search end-to-end (JSON requests to ranked results)") {
     import graft.sources.Ingest
     import graft.store.VectorLog
