@@ -69,7 +69,12 @@ object Bench {
     // raws in the artifact show monotone decreases at repeats=3, i.e.
     // min-of-3 had not reached steady state
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
+    // comma-separated subset for local iteration on specific queries;
+    // the driver never sets it, so driver rounds always run the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

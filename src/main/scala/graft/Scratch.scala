@@ -39,7 +39,10 @@ object Scratch {
     // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    if (section == "all" || section == "curation") base.crossJoin(spark.range(1000).toDF("rep"))
+    if (section == "all" || section == "curation" ||
+        (section == "qrf" &&
+          !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
+      base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
         col("text"), col("lang"),
         concat(col("source"), lit("_"), (col("rep") % 32).cast("string")).as("source"),
@@ -220,6 +223,32 @@ object Scratch {
       timeIt("full repr, warm 3rd run")(
         noop(operators.Dedup.representativesFromPairs(pairsDf, docs,
           "doc_id", col("n_chars"))))
+    }
+
+    gated("qrf") {
+      // --- quality_rel_filter cache-policy adjudication (r8, VERDICT
+      // r7 item 5): the r7 no-cache refactor evaluates qualityScore
+      // (3 text scans) once for the cutoff aggregate and once for the
+      // filter pass; the r6 persist froze one evaluation but leaked a
+      // CacheManager entry per call. Candidate: eager localCheckpoint
+      // of the scored projection (3 narrow columns, ContextCleaner-
+      // reclaimable — the dsirWeights pattern).
+      val quality = graft.functions.TextFunctions.qualityScore(col("text"))
+      def noCache(): Unit =
+        noop(operators.Curation.qualityRelativeFilter(docs, "source", "doc_id",
+          quality, 0.25))
+      def ckpt(): Unit = {
+        val scored = docs.select(col("doc_id"), col("source"),
+          quality.as("quality")).localCheckpoint(true)
+        val cutoffs = scored.groupBy(col("source"))
+          .agg(percentile(col("quality"), lit(0.25)).as("cutoff"))
+        noop(scored.join(broadcast(cutoffs), Seq("source"))
+          .where(col("quality") > col("cutoff")))
+      }
+      timeIt("qrf 5M docs no-cache warmup")(noCache())
+      (1 to 3).foreach(i => timeIt(s"qrf 5M docs no-cache run$i")(noCache()))
+      timeIt("qrf 5M docs localCheckpoint warmup")(ckpt())
+      (1 to 3).foreach(i => timeIt(s"qrf 5M docs localCheckpoint run$i")(ckpt()))
     }
 
     gated("hamming") {

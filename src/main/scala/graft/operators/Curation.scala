@@ -132,16 +132,23 @@ object Curation {
     * occurring ≥ minFreq times in the corpus" applied to token chunks.
     * Builds the hot set inline and strips; production callers
     * materialize [[hotChunkHashes]] once and call
-    * [[stripBoilerplateWithHot]] per pass (then the corpus tokenizes
-    * once per strip, not twice — the inline form pays a second
-    * tokenize pass rather than registering a session-lifetime cache
-    * entry, ADVICE r6).
+    * [[stripBoilerplateWithHot]] per pass.
+    *
+    * The inline hot set is EAGERLY localCheckpoint'ed (round 8,
+    * ADVICE r7): stripBoilerplateWithHot consumes it twice (the
+    * |hot|-vs-cap count and then the broadcast or anti-join), and
+    * un-materialized each consumer re-ran the full corpus
+    * tokenize+chunk aggregate — ~3× the dominant stage. Checkpoint
+    * blocks are ContextCleaner-reclaimable, unlike a persist entry
+    * (ADVICE r6), and the hot table is |corpusChunks|/minFreq rows of
+    * one BIGINT — small by construction.
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        chunkTokens: Int = 4, minFreq: Long = 3,
                        exactArrayCap: Long = 10_000_000L): DataFrame =
     stripBoilerplateWithHot(df, idCol, textCol, chunkTokens,
-      hotChunkHashes(df, idCol, textCol, chunkTokens, minFreq),
+      hotChunkHashes(df, idCol, textCol, chunkTokens, minFreq)
+        .localCheckpoint(true),
       exactArrayCap)
 
   /** Strip pass against a prebuilt [[hotChunkHashes]] table. Two plans,
@@ -223,15 +230,23 @@ object Curation {
     */
   def qualityRelativeFilter(df: DataFrame, groupCol: String, idCol: String,
                             quality: Column, pct: Double = 0.25): DataFrame = {
-    // the score feeds the cutoff aggregate AND the filter pass. No
-    // persist: Dataset.persist registers the plan in the session's
-    // CacheManager with no reclaim path for an internal intermediate
-    // (ADVICE r6 — ContextCleaner only reclaims GC'd RDD-level
-    // caches, so each call would leak one cache entry for the
-    // session's lifetime). The quality expression instead evaluates
-    // twice — one extra projection scan inside the same action, fully
-    // streaming, no memory footprint.
+    // the score feeds the cutoff aggregate AND the filter pass —
+    // materialize it ONCE with an eager localCheckpoint (the
+    // dsirWeights pattern). NOT Dataset.persist: persist registers the
+    // plan in the session's CacheManager with no reclaim path for an
+    // internal intermediate (ADVICE r6), while localCheckpoint blocks
+    // are RDD-level and the ContextCleaner reclaims them once the
+    // returned DataFrame is GC'd. And not the r7 no-cache double
+    // evaluation either: qualityScore-style expressions re-scan the
+    // text several times, and re-measuring at 5M docs (Scratch `qrf`)
+    // put no-cache at 12.9 s vs 5.9 s checkpointed — the materialized
+    // projection is 3 narrow columns (id, group, quality), tiny next
+    // to the corpus text it spares re-tokenizing. Checkpointing also
+    // freezes ONE evaluation, so a nondeterministic quality column
+    // (sampling-based scores) keeps its cutoffs consistent with its
+    // filter decisions (ADVICE r7).
     val scored = df.select(col(idCol), col(groupCol), quality.as("quality"))
+      .localCheckpoint(true)
     val cutoffs = scored.groupBy(col(groupCol))
       .agg(percentile(col("quality"), lit(pct)).as("cutoff"))
     scored.join(broadcast(cutoffs), Seq(groupCol))
