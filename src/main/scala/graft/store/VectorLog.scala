@@ -218,6 +218,56 @@ object VectorLog {
   def recover(spark: SparkSession, root: String): DataFrame =
     liveView(spark, root)
 
+  /** Reference-faithful PREFIX replay of the log
+    * (src/persistence/wal.rs:66-110): entries replay in write order
+    * and replay STOPS at the first corrupted/truncated unit — the
+    * suffix is discarded even where intact. The Spark log's atomic
+    * unit is the append job's Parquet file; write order is the
+    * filesystem modification timestamp (ties broken by file name).
+    * A file whose footer fails to parse marks the cut — exactly the
+    * torn-tail artifact of a crashed writer, since Parquet commits
+    * its footer last.
+    *
+    * The DEFAULT recovery path ([[readPiece]]) instead keeps every
+    * intact file and only skips corrupt ones: Parquet part files are
+    * independent, so a bad file does not cast doubt on its
+    * successors the way a torn byte-stream WAL does. This entry
+    * exists for strict parity with the reference's crash model —
+    * use it when the log's writers are NOT job-atomic (an external
+    * process appending files) and a corrupt unit must invalidate
+    * everything after it, the conservative reading the reference
+    * chose. Footer validation is a driver-side metadata read per
+    * file (no Spark job), at the compaction-cadence file counts a
+    * log is kept to by compact().
+    */
+  def replayLogPrefix(spark: SparkSession, root: String): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
+    val dir = new org.apache.hadoop.fs.Path(logDir(root))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return empty
+    val files = fs.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val prefix = files.takeWhile { s =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(s, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter != null
+        finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (prefix.isEmpty) empty
+    else spark.read.schema(logSchema)
+      .parquet(prefix.map(_.getPath.toString): _*)
+  }
+
   // ---- bucketed snapshot layout (the 100 TB recovery shape) ----------
 
   /** Compact into a BUCKETED snapshot table: the folded live view is

@@ -85,6 +85,52 @@ class VectorLogSpec extends SparkSpec {
       .select("id").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("prefix replay stops at the first corrupt unit; default recovery keeps the suffix") {
+    // the reference's replay discards everything after the first bad
+    // entry (persistence/wal.rs:66-110) — replayLogPrefix mirrors that
+    // at file granularity, while recover() keeps later intact files
+    val root = Files.createTempDirectory("vlog-prefix").toString
+    VectorLog.append(batchDf(Seq(mutation(1, "insert", "a", Seq(1f, 0f)))), root)
+    Thread.sleep(15) // distinct mtimes order the log units
+    VectorLog.append(batchDf(Seq(mutation(2, "insert", "b", Seq(0f, 1f)))), root)
+    Thread.sleep(15)
+    VectorLog.append(batchDf(Seq(mutation(3, "insert", "c", Seq(1f, 1f)))), root)
+    val logDir = java.nio.file.Paths.get(VectorLog.logDir(root))
+    // corrupt the MIDDLE batch's file: clobber every data file whose
+    // content holds seq=2 (one file per one-row append) with garbage
+    val files = Files.list(logDir).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("torn"))
+    val mid = files.filter { f =>
+      spark.read.schema(VectorLog.logSchema).parquet(f)
+        .select("seq").as[Long].collect().contains(2L)
+    }
+    assert(mid.nonEmpty)
+    mid.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      // keep the file's original mtime: a real torn write sits at its
+      // own position in the log order, not at the end
+      val t0 = Files.getLastModifiedTime(p)
+      Files.write(p, "garbage, no parquet footer".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, t0)
+    }
+    // prefix semantics: only the pre-corruption prefix replays — the
+    // intact seq=3 file AFTER the corrupt unit is discarded too
+    val prefix = VectorLog.fold(VectorLog.replayLogPrefix(spark, root))
+      .select("id").as[String].collect().toSet
+    assert(prefix == Set("a"))
+    // default recovery keeps every intact file (documented divergence)
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet == Set("a", "c"))
+    // an undamaged log replays fully through the prefix path
+    val root2 = Files.createTempDirectory("vlog-prefix2").toString
+    VectorLog.append(batchDf(Seq(mutation(1, "insert", "x", Seq(1f, 0f)))), root2)
+    Thread.sleep(15)
+    VectorLog.append(batchDf(Seq(mutation(2, "delete", "x", null))), root2)
+    val all = VectorLog.replayLogPrefix(spark, root2)
+    assert(all.select("seq").as[Long].collect().toSet == Set(1L, 2L))
+    assert(VectorLog.fold(all).count() == 0)
+  }
+
   test("reinsert after a tail delete stays visible (raw maxSeq, not folded)") {
     // ADVICE r1: deriving next-seq from the folded view drops tombstone
     // seqs — a re-insert then ties/loses to the tombstone and vanishes
