@@ -19,6 +19,32 @@ object Round8Queries {
   private val phashCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Build-once materialized audio-fingerprint bucket index (the WAV
+    * twin of [[phashIndexFor]]): RIFF-encoded corpus originals decoded
+    * and fingerprinted once, keyed with the same Manku configuration. */
+  private def ahashIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      s"/tmp/graft_ahash/v1_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    phashCache.computeIfAbsent((s, path), { _ =>
+      if (!SparkEntry.successExists(s, path)) {
+        import s.implicits._
+        val hashes = t(s, dir, "documents").where(col("doc_id") < 300)
+          .select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val wav = MediaCodec.decodeWav(
+              MediaCodec.encodeWav(1, 8000, Round7Queries.syntheticPcm(id)))
+              .getOrElse(sys.error(s"undecodable WAV for media $id"))
+            (id, MediaCodec.audioHash64(wav))
+          }
+          .toDF("media_id", "ahash")
+        Dedup.hammingIndex(hashes, "media_id", "ahash",
+          bits = 64, maxHamming = 3, numBlocks = 4)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Build-once materialized perceptual-hash bucket index over the
     * corpus media (the doc_id < 300 originals — the synthetic-BMP
     * corpus of multimodal_imagedup, WITHOUT the planted variants,
@@ -77,6 +103,29 @@ object Round8Queries {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_new"), col("id_corpus"))
     }),
+
+    // ---- incremental audio near-dup [EXT]: batch vs served index ----
+    // the WAV twin: the batch (one-window-muted variants of ids < 60)
+    // runs the real RIFF encode→decode→fingerprint pipeline at query
+    // time; the corpus side is the persisted fingerprint bucket table.
+    "multimodal_audiodup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val index = ahashIndexFor(s, dir)
+      val batch = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val wav = MediaCodec.decodeWav(MediaCodec.encodeWav(1, 8000,
+            Round7Queries.syntheticPcm(id, mutedWin = (id % 63).toInt + 1)))
+            .getOrElse(sys.error(s"undecodable WAV for media $id"))
+          (id + 100000L, MediaCodec.audioHash64(wav))
+        }
+        .toDF("media_id", "ahash")
+      Dedup.hammingPairsAgainstIndex(index, batch, "media_id", "ahash",
+        bits = 64, maxHamming = 3, numBlocks = 4)
+        .select(col("doc_new").as("id_new"), col("doc_corpus").as("id_corpus"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,6 +163,46 @@ object Round8Queries {
          |p AS (SELECT n.media_id AS id_new, c.media_id AS id_corpus,
          |  CAST(list_sum(list_transform(range(0, 64),
          |    j -> CASE WHEN n.b[j+1] <> c.b[j+1] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS hamming
+         |  FROM bb n CROSS JOIN bc c)
+         |SELECT id_new, id_corpus, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // the all-integer audio twin (see multimodal_audiodup's oracle in
+    // Round7Queries): raw_i = ((src*31+i+7)^2 mod 4096) - 2048, muted
+    // window -> 0, window energy = sum |raw| over 8 samples, bit i
+    // compares window i with i+1; cross join batch(60) x corpus(300)
+    "multimodal_audiodup_incremental" ->
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |              WHERE doc_id < 300),
+         |corpus AS (SELECT doc_id AS media_id, doc_id AS src, -1 AS win
+         |           FROM base),
+         |batch AS (SELECT doc_id + 100000 AS media_id, doc_id AS src,
+         |                 CAST(doc_id % 63 + 1 AS INTEGER) AS win
+         |          FROM base WHERE doc_id < 60),
+         |ec AS (SELECT media_id,
+         |  list_transform(range(0, 65), wi ->
+         |    list_sum(list_transform(range(0, 8), j ->
+         |      abs(((src*31 + wi*8 + j + 7) * (src*31 + wi*8 + j + 7))
+         |          % 4096 - 2048)))) AS en
+         |  FROM corpus),
+         |eb AS (SELECT media_id,
+         |  list_transform(range(0, 65), wi -> CASE WHEN wi = win THEN 0
+         |    ELSE list_sum(list_transform(range(0, 8), j ->
+         |      abs(((src*31 + wi*8 + j + 7) * (src*31 + wi*8 + j + 7))
+         |          % 4096 - 2048))) END) AS en
+         |  FROM batch),
+         |bc AS (SELECT media_id,
+         |  list_transform(range(0, 64), i ->
+         |    CASE WHEN en[i+1] > en[i+2] THEN 1 ELSE 0 END) AS b
+         |  FROM ec),
+         |bb AS (SELECT media_id,
+         |  list_transform(range(0, 64), i ->
+         |    CASE WHEN en[i+1] > en[i+2] THEN 1 ELSE 0 END) AS b
+         |  FROM eb),
+         |p AS (SELECT n.media_id AS id_new, c.media_id AS id_corpus,
+         |  CAST(list_sum(list_transform(range(0, 64),
+         |    i -> CASE WHEN n.b[i+1] <> c.b[i+1] THEN 1 ELSE 0 END)) AS BIGINT)
          |    AS hamming
          |  FROM bb n CROSS JOIN bc c)
          |SELECT id_new, id_corpus, hamming FROM p WHERE hamming <= 3
