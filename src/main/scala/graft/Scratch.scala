@@ -284,6 +284,32 @@ object Scratch {
           .groupBy("key").count().agg(max("count")).head.getLong(0)
       }
       println(s"[scale] max bucket size per block: ${occ.mkString(",")}")
+
+      // --- incremental probe vs full self-join (r8) ---
+      // the crawl-pipeline shape: 1k new hashes against the 1M-corpus
+      // bucket index. The full self-join re-keys and joins all 1M+1k;
+      // the probe keys only the batch and equi-joins batch x corpus.
+      val corpus = spark.range(n)
+        .select(col("id").as("media_id"), xxhash64(col("id")).as("h"))
+      val idxPath = "/tmp/big_hamming_index"
+      timeIt("hammingIndex BUILD 1M hashes (compaction cadence)") {
+        operators.Dedup.hammingIndex(corpus, "media_id", "h")
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      val idx = spark.read.parquet(idxPath)
+      val batch = spark.range(1000)
+        .select((col("id") + 10000000L).as("media_id"),
+          xxhash64(col("id")).bitwiseXOR(lit(3L)).as("h"))
+        .localCheckpoint(true)
+      timeIt("hammingPairsAgainstIndex: 1k batch vs 1M-corpus index") {
+        val p = operators.Dedup.hammingPairsAgainstIndex(idx, batch,
+          "media_id", "h").localCheckpoint(true)
+        println(s"[scale] incremental pairs found=${p.count()}")
+      }
+      timeIt("hammingPairsAgainstIndex warm 2nd run") {
+        operators.Dedup.hammingPairsAgainstIndex(idx, batch, "media_id", "h")
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     spark.stop()

@@ -222,7 +222,8 @@ class PlanSpec extends SparkSpec {
     // keys; a refactor that loses the (blk, key) condition silently
     // degrades to BroadcastNestedLoopJoin/CartesianProduct — the exact
     // O(n²) shape the bucket design exists to avoid
-    for (name <- Seq("multimodal_imagedup", "multimodal_audiodup")) {
+    for (name <- Seq("multimodal_imagedup", "multimodal_audiodup",
+        "multimodal_imagedup_incremental", "multimodal_audiodup_incremental")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
