@@ -356,6 +356,27 @@ object Dedup {
       .select(col("doc").as("doc_corpus"), col("h").as("h_c"),
         col("blk"), col("key"))
 
+  /** Full-corpus near-dup pairs served from a MATERIALIZED
+    * [[hammingIndex]] table (the media twin of
+    * [[jaccardPairsFromIndex]]): the same (blk, key) candidate
+    * self-join + popcount verify as [[hammingPairsOver]], but hashing
+    * and keying never run at query time — at scale the bucket table is
+    * maintained on compaction cadence and each full-dedup pass is just
+    * the self-join. Identical output to the inline form over the same
+    * hashes and configuration. */
+  def hammingPairsFromIndex(index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val a = index.select(col("doc_corpus").as("doc_a"), col("h_c").as("h_a"),
+      col("blk"), col("key"))
+    val b = index.select(col("doc_corpus").as("doc_b"), col("h_c").as("h_b"),
+      col("blk"), col("key"))
+    a.join(b, Seq("blk", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TF.hammingDistance(col("h_a"), col("h_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Incremental media near-dup: hamming pairs between a batch of NEW
     * hashes and an existing corpus served from its materialized
     * [[hammingIndex]] table — the continuous-crawl shape (dedup each

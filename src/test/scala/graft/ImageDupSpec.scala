@@ -120,6 +120,25 @@ class ImageDupSpec extends SparkSpec {
     assert(hit.exists(p => p._1 == 555L && p._2 == 7L && p._3 == 0))
   }
 
+  test("hammingPairsFromIndex over the served table equals the inline self-join") {
+    val hashes = (0L until 40L).flatMap { id =>
+      val orig = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id)).get
+      val base = Seq((id, MediaCodec.dHash64(orig)))
+      if (id < 10) {
+        val v = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(
+          id, plantedPx = ((id % 8) * 9 + id % 9).toInt)).get
+        base :+ (id + 100000L, MediaCodec.dHash64(v))
+      } else base
+    }.toDF("media_id", "phash")
+    val inline = Dedup.hammingPairs64(hashes, "media_id", "phash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val served = Dedup.hammingPairsFromIndex(
+      Dedup.hammingIndex(hashes, "media_id", "phash"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("bits < 64: stray high bits neither split buckets nor fail the verify") {
     // ADVICE r7: two hashes equal in the low `bits` bits but differing
     // above (e.g. one sign-extended) must pair at hamming 0 — the mask
