@@ -88,8 +88,8 @@ class TopKSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the only rows-only entries are the approximate (recall-gated) ones
     assert(noOracle == Set("ann_ivf", "ann_pq", "ann_ivf_sq",
-      "ann_search_join", "ann_ivf_filtered", "dedup_embedding_lsh",
-      "ann_lsh_multiprobe"), noOracle)
+      "ann_search_join", "ann_search_join_filtered", "ann_ivf_filtered",
+      "dedup_embedding_lsh", "ann_lsh_multiprobe"), noOracle)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
