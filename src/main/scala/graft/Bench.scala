@@ -27,7 +27,7 @@ object Bench {
     "text_quality", "doc_fingerprint", "multimodal_wav",
     "multimodal_imagedup", "multimodal_audiodup",
     "multimodal_imagedup_incremental", "multimodal_audiodup_incremental",
-    "skew_salted_agg",
+    "multimodal_videodup", "skew_salted_agg",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_incremental", "dedup_embedding_lsh", "dedup_lsh_planted",
     "knn_radius", "pack_assemble", "corpus_ngrams", "corpus_ngrams_sketch",

@@ -73,7 +73,67 @@ object Round8Queries {
     })
   }
 
+  /** Deterministic synthetic 6-frame 9×8 gray AVI for doc `id` — the
+    * video member of the synthetic-media family (syntheticBmp/
+    * syntheticPcm): frame f's gray at index i is (v·v) mod 256 with
+    * v = id·31 + f·101 + i + 7, so frames of one video differ and
+    * unrelated ids land far apart per frame. `plantedPx` ≥ 0
+    * overwrites that pixel with 255 IN FRAME 2 ONLY (a sampled frame)
+    * — a controlled near-duplicate flipping ≤ 2 dHash bits of exactly
+    * one sampled frame. */
+  private[graft] def syntheticVideo(id: Long, plantedPx: Int = -1): Array[Byte] = {
+    val frames = (0 until 6).map { f =>
+      val px = new Array[Byte](9 * 8 * 3)
+      var i = 0
+      while (i < 72) {
+        val v = id * 31 + f * 101 + i + 7
+        val g = (if (f == 2 && i == plantedPx) 255L else (v * v) % 256).toByte
+        px(i * 3) = g; px(i * 3 + 1) = g; px(i * 3 + 2) = g
+        i += 1
+      }
+      MediaCodec.Rgb(9, 8, px)
+    }
+    MediaCodec.encodeAviRaw(frames)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- video near-dup [EXT]: frame-sampled perceptual matching ----
+    // the video member of the media-dedup family (X41 image, X42
+    // audio): synthesize 6-frame raw AVIs (ids < 30 get a planted
+    // one-pixel variant in frame 2), decode with the real RIFF/AVI
+    // parser, SAMPLE every 2nd frame, dHash each sampled frame, and
+    // call two videos near-dups when ≥ 2 sampled frames match within
+    // hamming ≤ 3 — shot-level matching, the shape real video dedup
+    // uses. Candidates ride ONE (frame_idx, blk, key) equi-join
+    // (hammingPairs64Grouped), never a cross join. The oracle
+    // re-derives every frame's dHash bits from the generator formula
+    // and cross-joins exhaustively per frame index.
+    "multimodal_videodup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          def sampled(mid: Long, payload: Array[Byte]) = {
+            val vid = MediaCodec.decodeAviRaw(payload)
+              .getOrElse(sys.error(s"undecodable AVI for media $mid"))
+            (0 until vid.frames.length by 2)
+              .map(f => (mid, f, MediaCodec.dHash64(vid.frames(f))))
+          }
+          val out = sampled(id, syntheticVideo(id))
+          if (id < 30)
+            out ++ sampled(id + 100000L, syntheticVideo(id,
+              plantedPx = ((id % 8) * 9 + id % 9).toInt))
+          else out
+        }
+        .toDF("media_id", "frame_idx", "fhash")
+      Dedup.hammingPairs64Grouped(hashes, "media_id", "fhash", "frame_idx",
+        maxHamming = 3)
+        .groupBy(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+        .agg(count(lit(1)).cast("long").as("n_frames"))
+        .where(col("n_frames") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- incremental image near-dup [EXT]: batch vs served index ----
     // only the BATCH (the planted one-pixel variants of ids < 60) is
@@ -129,6 +189,40 @@ object Round8Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // per-frame exhaustive rederivation: gray(f, i) = ((src*31 +
+    // f*101 + i + 7)^2) % 256 (planted pixel -> 255 in frame 2 only),
+    // dHash bit j of a frame compares gray (j/8)*9 + j%8 with its
+    // right neighbor; frames 0/2/4 are the sampled set; pairs join on
+    // the same frame index and survive at >= 2 matching frames
+    "multimodal_videodup" ->
+      s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |              WHERE doc_id < 120),
+         |vids AS (
+         |  SELECT doc_id AS media_id, doc_id AS src, -1 AS px FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, doc_id,
+         |         CAST((doc_id % 8) * 9 + (doc_id % 9) AS INTEGER)
+         |  FROM base WHERE doc_id < 30),
+         |fr AS (SELECT media_id, src, px, unnest([0, 2, 4]) AS f FROM vids),
+         |g AS (SELECT media_id, f,
+         |  list_transform(range(0, 72), i -> CASE WHEN f = 2 AND i = px THEN 255
+         |    ELSE ((src*31 + f*101 + i + 7) * (src*31 + f*101 + i + 7)) % 256
+         |    END) AS gr
+         |  FROM fr),
+         |bits AS (SELECT media_id, f,
+         |  list_transform(range(0, 64), j ->
+         |    CASE WHEN gr[(j//8)*9 + (j%8) + 1] > gr[(j//8)*9 + (j%8) + 2]
+         |         THEN 1 ELSE 0 END) AS b
+         |  FROM g),
+         |p AS (SELECT x.media_id AS id_a, y.media_id AS id_b, x.f,
+         |  list_sum(list_transform(range(0, 64),
+         |    j -> CASE WHEN x.b[j+1] <> y.b[j+1] THEN 1 ELSE 0 END)) AS hamming
+         |  FROM bits x JOIN bits y ON x.f = y.f AND x.media_id < y.media_id),
+         |m AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames
+         |      FROM p WHERE hamming <= 3 GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_frames FROM m WHERE n_frames >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same exhaustive-rederivation shape as multimodal_imagedup's twin
     // (Round7Queries): gray(i) = ((src*31 + i + 7)^2) % 256, planted

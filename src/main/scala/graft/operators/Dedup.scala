@@ -302,7 +302,8 @@ object Dedup {
     */
   private def hammingKeyed(hashes: DataFrame, idCol: String,
                            hashCol: String, bits: Int,
-                           maxHamming: Int, numBlocks: Int): DataFrame = {
+                           maxHamming: Int, numBlocks: Int,
+                           carry: Seq[String] = Nil): DataFrame = {
     require(numBlocks > maxHamming && numBlocks <= 16,
       s"pigeonhole needs maxHamming < numBlocks <= 16, " +
         s"got d=$maxHamming B=$numBlocks")
@@ -327,16 +328,39 @@ object Dedup {
     val masked =
       if (bits == 64) col(hashCol).cast("long")
       else col(hashCol).cast("long").bitwiseAND(lit((1L << bits) - 1L))
-    val withH = hashes.select(col(idCol).as("doc"), masked.as("h"))
-    withH.select(col("doc"), col("h"),
+    val carryCols = carry.map(col)
+    val withH = hashes.select(
+      (col(idCol).as("doc") +: masked.as("h") +: carryCols): _*)
+    withH.select((col("doc") +: col("h") +: carryCols :+
       explode(array(subsets.zipWithIndex.map { case (subset, sid) =>
         val key = subset.foldLeft(lit(0L): Column)((acc, b) =>
           call_function("shiftleft", acc, lit(width(b)))
             .bitwiseOR(blockVal(b)))
         struct(lit(sid).as("blk"), key.as("key"))
-      }: _*)).as("__sk"))
-      .select(col("doc"), col("h"),
-        col("__sk.blk").as("blk"), col("__sk.key").as("key"))
+      }: _*)).as("__sk")): _*)
+      .select((col("doc") +: col("h") +: carryCols :+
+        col("__sk.blk").as("blk") :+ col("__sk.key").as("key")): _*)
+  }
+
+  /** Per-group near-dup pairs: [[hammingPairs64]] with candidates
+    * restricted to rows sharing `groupCol` — the group key simply
+    * rides the bucket equi-join, so ONE join serves every group.
+    * The shape behind frame-indexed video matching (group = sampled
+    * frame index: two videos "match on frame f" iff their f-th frame
+    * hashes sit within maxHamming) and per-shard/per-language corpus
+    * dedup. Output: (groupCol, doc_a, doc_b, hamming), one row per
+    * group-and-pair. */
+  def hammingPairs64Grouped(hashes: DataFrame, idCol: String, hashCol: String,
+                            groupCol: String, maxHamming: Int = 3,
+                            numBlocks: Int = 4): DataFrame = {
+    val keyed = hammingKeyed(hashes, idCol, hashCol, 64, maxHamming,
+      numBlocks, carry = Seq(groupCol))
+    keyed.as("a").join(keyed.as("b"), Seq(groupCol, "blk", "key"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col(groupCol), col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        TF.hammingDistance(col("a.h"), col("b.h")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** The corpus's perceptual-hash bucket index: (doc_corpus, h_c, blk,

@@ -267,6 +267,120 @@ object MediaCodec {
     h
   }
 
+  def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
+
+  /** Decoded raw video: fixed-size frames, each normalized to the same
+    * row-major top-down packed RGB as [[Rgb]]. */
+  final case class RawVideo(width: Int, height: Int, frames: IndexedSeq[Rgb])
+
+  /** Parse a RIFF/AVI container holding UNCOMPRESSED 24-bit frames —
+    * the video member of the dependency-free codec family (RIFF like
+    * [[decodeWav]], DIB pixel layout like [[decodeBmp]]). Supported
+    * subset: an `hdrl` LIST whose `avih` carries the frame dimensions,
+    * and a `movi` LIST of `00db`/`00dc` chunks each holding one
+    * bottom-up 4-byte-row-aligned BGR frame (the standard BI_RGB DIB
+    * layout). Compressed streams (whose chunk sizes cannot match the
+    * raw frame size) and malformed payloads return None / skip the
+    * frame — same defensive degrade as the other decoders.
+    */
+  def decodeAviRaw(b: Array[Byte]): Option[RawVideo] = {
+    if (!isAvi(b)) return None
+    var off = 12
+    var dims: Option[(Int, Int)] = None
+    val slices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sizeL = u32(b, off + 4) // Long until bounds-checked (see decodeWav)
+      val body = off + 8
+      if (body + sizeL > b.length) return None
+      val size = sizeL.toInt
+      if (id == "LIST" && size >= 4) {
+        val listType = tag(b, body)
+        var o = body + 4
+        val end = body + size
+        while (o + 8 <= end) {
+          val cid = tag(b, o)
+          val csizeL = u32(b, o + 4)
+          val cbody = o + 8
+          if (cbody + csizeL > end) return None
+          val csize = csizeL.toInt
+          if (listType == "hdrl" && cid == "avih" && csize >= 40)
+            dims = Some((i32(b, cbody + 32), i32(b, cbody + 36)))
+          else if (listType == "movi" && (cid == "00db" || cid == "00dc"))
+            slices += ((cbody, csize))
+          o = cbody + csize + (csize & 1) // RIFF even padding
+        }
+      }
+      off = body + size + (size & 1)
+    }
+    for ((w, h) <- dims
+         if w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue - 1024) yield {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val frameBytes = rowSize * h
+      val frames = slices.collect { case (o, len) if len == frameBytes =>
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val src = o + (h - 1 - y) * rowSize // bottom-up like BMP
+          var x = 0
+          while (x < w) {
+            val s = src + x * 3
+            val d = (y * w + x) * 3
+            out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s)
+            x += 1
+          }
+          y += 1
+        }
+        Rgb(w, h, out)
+      }.toIndexedSeq
+      RawVideo(w, h, frames)
+    }
+  }
+
+  /** Encode same-sized RGB frames as a minimal RIFF/AVI with raw
+    * BI_RGB `00db` frames — the byte-exact inverse of [[decodeAviRaw]]
+    * (VideoDupSpec pins the round-trip). 25 fps nominal timing. */
+  def encodeAviRaw(frames: Seq[Rgb]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAviRaw needs at least one frame")
+    val w = frames.head.width
+    val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "all frames must share one dimension")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * h // multiple of 4 -> never odd-padded
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(riffSize).put("AVI ".getBytes)
+    buf.put("LIST".getBytes).putInt(hdrlSize).put("hdrl".getBytes)
+    buf.put("avih".getBytes).putInt(avihSize)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0) // usec/frame, bps, pad, flags
+    buf.putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    buf.put("LIST".getBytes).putInt(moviSize).put("movi".getBytes)
+    frames.foreach { f =>
+      buf.put("00db".getBytes).putInt(frameBytes)
+      var y = h - 1
+      while (y >= 0) { // bottom-up BGR rows, padded
+        var x = 0
+        while (x < w) {
+          val s = (y * w + x) * 3
+          buf.put(f.pixels(s + 2)).put(f.pixels(s + 1)).put(f.pixels(s))
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowSize) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+    }
+    buf.array
+  }
+
   /** Nearest-neighbor resize of packed RGB — a real image resize with
     * no interpolation library. */
   def resizeNearest(img: Rgb, w2: Int, h2: Int): Rgb = {

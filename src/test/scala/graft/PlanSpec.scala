@@ -223,7 +223,8 @@ class PlanSpec extends SparkSpec {
     // degrades to BroadcastNestedLoopJoin/CartesianProduct — the exact
     // O(n²) shape the bucket design exists to avoid
     for (name <- Seq("multimodal_imagedup", "multimodal_audiodup",
-        "multimodal_imagedup_incremental", "multimodal_audiodup_incremental")) {
+        "multimodal_imagedup_incremental", "multimodal_audiodup_incremental",
+        "multimodal_videodup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MediaCodec}
+
+/** Video near-dup pipeline (round 8): AVI encode↔decode round-trip,
+  * frame sampling + per-frame dHash matching, and the grouped
+  * hamming-bucket candidate join.
+  */
+class VideoDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grayFrame(w: Int, h: Int, f: (Int, Int) => Int): MediaCodec.Rgb = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (f(x, y) & 0xFF).toByte
+      val i = (y * w + x) * 3
+      px(i) = g; px(i + 1) = g; px(i + 2) = g
+    }
+    MediaCodec.Rgb(w, h, px)
+  }
+
+  test("encodeAviRaw/decodeAviRaw round-trip is frame- and pixel-exact") {
+    // 9 px wide -> padded rows, 3 frames with distinct content
+    val frames = (0 until 3).map(f => grayFrame(9, 8, (x, y) => x * 29 + y * 53 + f * 7))
+    val decoded = MediaCodec.decodeAviRaw(MediaCodec.encodeAviRaw(frames))
+    assert(decoded.isDefined)
+    val v = decoded.get
+    assert(v.width === 9 && v.height === 8 && v.frames.length === 3)
+    (0 until 3).foreach { f =>
+      assert(v.frames(f).pixels.toSeq === frames(f).pixels.toSeq, s"frame $f")
+    }
+    // an unpadded width too (4*3 = 12 bytes/row)
+    val f2 = Seq(grayFrame(4, 4, (x, y) => x + y * 5))
+    assert(MediaCodec.decodeAviRaw(MediaCodec.encodeAviRaw(f2)).get
+      .frames.head.pixels.toSeq === f2.head.pixels.toSeq)
+  }
+
+  test("decodeAviRaw is defensive: garbage, truncation, wrong-size frames") {
+    assert(MediaCodec.decodeAviRaw(null).isEmpty)
+    assert(MediaCodec.decodeAviRaw("not an avi at all".getBytes).isEmpty)
+    val good = MediaCodec.encodeAviRaw(Seq(grayFrame(9, 8, (x, y) => x + y)))
+    assert(MediaCodec.decodeAviRaw(good).isDefined)
+    // truncation mid-movi → None (chunk overruns the buffer)
+    assert(MediaCodec.decodeAviRaw(good.take(good.length - 10)).isEmpty)
+    // a WAV is RIFF but not AVI
+    assert(MediaCodec.decodeAviRaw(
+      MediaCodec.encodeWav(1, 8000, Array[Short](1, 2, 3))).isEmpty)
+  }
+
+  test("frame-sampled matching finds planted variants via the grouped bucket join") {
+    // 40 videos + 10 planted one-pixel-in-frame-2 variants: every
+    // (id, id+100000) pair must match on >= 2 sampled frames; no
+    // original-original pair reaches 2 matching frames
+    val hashes = (0L until 40L).flatMap { id =>
+      def sampled(mid: Long, payload: Array[Byte]) = {
+        val vid = MediaCodec.decodeAviRaw(payload).get
+        (0 until vid.frames.length by 2)
+          .map(f => (mid, f, MediaCodec.dHash64(vid.frames(f))))
+      }
+      val out = sampled(id, Round8Queries.syntheticVideo(id))
+      if (id < 10)
+        out ++ sampled(id + 100000L, Round8Queries.syntheticVideo(id,
+          plantedPx = ((id % 8) * 9 + id % 9).toInt))
+      else out
+    }.toDF("media_id", "frame_idx", "fhash")
+    val matches = Dedup.hammingPairs64Grouped(hashes, "media_id", "fhash",
+      "frame_idx", maxHamming = 3)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .as[(Long, Long, Long)].collect()
+    val found = matches.map(m => (m._1, m._2)).toSet
+    (0L until 10L).foreach { id =>
+      assert(found.contains((id, id + 100000L)), s"planted video pair $id missing")
+    }
+    assert(found.forall { case (a, b) => b - a == 100000L },
+      s"unexpected non-planted video match: $found")
+    // the planted pair matches on ALL 3 sampled frames (0 and 4 are
+    // untouched; frame 2 differs by <= 2 bits)
+    assert(matches.forall(_._3 == 3L), matches.mkString(","))
+  }
+
+  test("grouped pairs never cross group boundaries") {
+    // same hash in two different groups must NOT pair
+    val rows = Seq((1L, 0, 0x1234L), (2L, 1, 0x1234L), (3L, 0, 0x1234L))
+      .toDF("media_id", "frame_idx", "fhash")
+    val pairs = Dedup.hammingPairs64Grouped(rows, "media_id", "fhash", "frame_idx",
+      maxHamming = 0)
+      .as[(Int, Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((0, 1L, 3L, 0)))
+  }
+}
