@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * partition).
   *
   * Decode is REAL for uncompressed containers (MediaCodec: RIFF/WAVE
-  * PCM, 24-bit BMP — pure byte formats, no library needed; see
-  * `describe`). Only compressed codecs (JPEG/MP3/H.264), which would
-  * genuinely require libraries absent from this environment, fall back
-  * to `decodeStub` — a deterministic 16-bin byte histogram. The
+  * PCM, 24-bit BMP, raw-frame RIFF/AVI — pure byte formats, no library
+  * needed; see `describe`). Only compressed codecs (JPEG/MP3/H.264),
+  * which would genuinely require libraries absent from this
+  * environment, fall back to `decodeStub` — a deterministic 16-bin
+  * byte histogram. The
   * Spark-side plumbing — schema, batching, partitioning, chunking,
   * feature shape — is real and tested either way.
   */
@@ -127,10 +128,12 @@ object Multimodal {
   /** REAL decode where the format permits: sniffs the payload's magic
     * bytes and runs the dependency-free MediaCodec parsers — RIFF/WAVE
     * PCM → (channels, sample rate, frames, duration ms, rms, peak);
-    * 24-bit BMP → (width, height, mean R, mean G, mean B). Payloads in
-    * compressed formats (the ones that genuinely need absent codec
-    * libraries) fall back to the opaque histogram with kind="opaque".
-    * Same per-partition iterator shape as extractFeatures.
+    * 24-bit BMP → (width, height, mean R, mean G, mean B); raw-frame
+    * RIFF/AVI → (width, height, frame count, mean gray of frame 0).
+    * Payloads in compressed formats (the ones that genuinely need
+    * absent codec libraries) fall back to the opaque histogram with
+    * kind="opaque". Same per-partition iterator shape as
+    * extractFeatures.
     */
   def describe(media: DataFrame, idCol: String = "media_id",
                payloadCol: String = "payload"): Dataset[MediaInfo] = {
@@ -150,10 +153,18 @@ object Multimodal {
                 MediaInfo(id, "image/bmp", Seq(img.width.toDouble,
                   img.height.toDouble, img.meanChannel(0),
                   img.meanChannel(1), img.meanChannel(2)))
-              case None =>
-                MediaInfo(id, "opaque",
-                  decodeStub(if (payload == null) Array.emptyByteArray
-                             else payload).map(_.toDouble).toSeq)
+              case None => MediaCodec.decodeAviRaw(payload) match {
+                case Some(v) =>
+                  val g0 = v.frames.headOption
+                    .map(f => (f.meanChannel(0) + f.meanChannel(1)
+                      + f.meanChannel(2)) / 3.0).getOrElse(0.0)
+                  MediaInfo(id, "video/avi", Seq(v.width.toDouble,
+                    v.height.toDouble, v.frames.length.toDouble, g0))
+                case None =>
+                  MediaInfo(id, "opaque",
+                    decodeStub(if (payload == null) Array.emptyByteArray
+                               else payload).map(_.toDouble).toSeq)
+              }
             }
           }
         }
