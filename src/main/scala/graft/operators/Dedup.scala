@@ -300,10 +300,10 @@ object Dedup {
     * ([[hammingPairsAgainstIndex]]). One scan: all C(B, B−d) subset
     * keys explode from a straight-line shift/mask expression array.
     */
-  private def hammingKeyed(hashes: DataFrame, idCol: String,
-                           hashCol: String, bits: Int,
-                           maxHamming: Int, numBlocks: Int,
-                           carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def hammingKeyed(hashes: DataFrame, idCol: String,
+                                  hashCol: String, bits: Int,
+                                  maxHamming: Int, numBlocks: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
     require(numBlocks > maxHamming && numBlocks <= 16,
       s"pigeonhole needs maxHamming < numBlocks <= 16, " +
         s"got d=$maxHamming B=$numBlocks")

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming media near-duplicate detection ([EXT], round 8): the
+  * Manku permute-split bucketing of Dedup.hammingPairs64 run as a
+  * continuous query — every arriving perceptual hash (image dHash,
+  * audio fingerprint, sampled video frame) is checked against
+  * everything already seen that shares a block-subset bucket, without
+  * ever re-scanning the corpus. The streaming sibling of the served
+  * batch probe (Dedup.hammingPairsAgainstIndex), for the crawl
+  * front-line where batches are micro-batches.
+  *
+  * Shape mirrors [[StreamingDedup]]: stateless bucket-key projection →
+  * groupByKey on the (subset, key) bucket → flatMapGroupsWithState
+  * holding the (id, hash) pairs previously seen in that bucket. State
+  * shards by bucket key (the same short key the batch path equi-joins
+  * on) and is capped at `maxBucketState` entries per bucket — a
+  * degenerate hot bucket (e.g. flat-color images all hashing alike)
+  * becomes bounded memory instead of OOM, at the cost of missing pairs
+  * among the overflow.
+  *
+  * Unlike the text LSH stream (which emits candidates for downstream
+  * exact-Jaccard verification), the state here carries the full 64-bit
+  * hashes, so pairs are popcount-VERIFIED before they are emitted —
+  * the output contract is final pairs at ≤ maxHamming. A pair sharing
+  * several buckets emits once per shared bucket; downstream
+  * `dropDuplicates("doc_a","doc_b")` owns that dedup (same contract as
+  * the batch path's `.distinct()`).
+  */
+object StreamingMediaDedup {
+
+  final case class KeyedHash(bucket: String, doc: Long, h: Long)
+  final case class MediaPair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Verified near-dup pairs over a (possibly streaming) frame with a
+    * long id column and a 64-bit hash column. Works identically on a
+    * batch frame (state then lives within the single batch). */
+  def nearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3, numBlocks: Int = 4,
+                   maxBucketState: Int = 64): Dataset[MediaPair] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val keyed = Dedup.hammingKeyed(hashes, idCol, hashCol, 64,
+      maxHamming, numBlocks)
+      .select(concat_ws("_", col("blk"), col("key")).as("bucket"),
+        col("doc").cast("long").as("doc"), col("h"))
+    keyed.as[KeyedHash]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[KeyedHash],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[(Long, Long)])
+          val out = Vector.newBuilder[MediaPair]
+          // deterministic processing order within the micro-batch
+          rows.map(r => (r.doc, r.h)).toVector.distinct.sortBy(_._1)
+            .foreach { case (d, h) =>
+              if (!seen.exists(_._1 == d)) {
+                seen.foreach { case (sd, sh) =>
+                  val dist = java.lang.Long.bitCount(sh ^ h)
+                  if (dist <= maxHamming) {
+                    out += (if (sd < d) MediaPair(sd, d, dist)
+                            else MediaPair(d, sd, dist))
+                  }
+                }
+                if (seen.length < maxBucketState) seen = seen :+ ((d, h))
+              }
+            }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

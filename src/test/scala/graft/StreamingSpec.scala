@@ -331,6 +331,41 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), // cross-batch dup vs state, nothing else
       s"got $pairs")
   }
+  test("streaming media dedup: planted image dup found across micro-batches, verified") {
+    import spark.implicits._
+    import graft.operators.MediaCodec
+    def phash(id: Long, px: Int = -1): Long =
+      MediaCodec.dHash64(MediaCodec.decodeBmp(
+        Round7Queries.syntheticBmp(id, plantedPx = px)).get)
+    val dir = Files.createTempDirectory("stream-mediadedup")
+    // batch 1: 20 unrelated originals
+    (0L until 20L).map(id => (id, phash(id))).toDF("media_id", "h")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val hashes = spark.readStream.schema("media_id LONG, h LONG")
+      .parquet(dir.toString)
+    val out = graft.streaming.StreamingMediaDedup.nearDupPairs(
+      hashes, "media_id", "h", maxHamming = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mediadup_pairs").start()
+    q.processAllAvailable()
+    assert(spark.table("mediadup_pairs").count() == 0)
+    // batch 2: planted one-pixel variants of 0..4 + a fresh original
+    ((0L until 5L).map(id => (id + 100000L,
+      phash(id, ((id % 8) * 9 + id % 9).toInt))) :+ ((50L, phash(50L))))
+      .toDF("media_id", "h")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("mediadup_pairs")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 5L).map(id => (id, id + 100000L)).toSet,
+      s"got $pairs")
+    // emitted pairs are pre-verified: every hamming <= 3
+    assert(spark.table("mediadup_pairs")
+      .select(col("hamming")).as[Int].collect().forall(_ <= 3))
+  }
+
   test("streaming curation: stateless clean+score+relative-filter with static cutoffs") {
     import spark.implicits._
     // batch corpus fixes the cutoffs: source A's quality distribution
