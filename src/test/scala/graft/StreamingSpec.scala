@@ -331,6 +331,39 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), // cross-batch dup vs state, nothing else
       s"got $pairs")
   }
+  test("streaming IVF assign: a log tail absorbs into the index as a continuous query") {
+    import spark.implicits._
+    import graft.index.IvfIndex
+    // assign() is pure Column ops over broadcast centroid literals, so
+    // the same call runs on a readStream — the continuous form of
+    // tail absorption between compaction-cadence rebuilds
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (_, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 8)
+    val dir = Files.createTempDirectory("stream-ivf-assign")
+    emb.where(col("vec_id") < 50).select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val tail = spark.readStream
+      .schema(emb.select("vec_id", "embedding").schema).parquet(dir.toString)
+    val q = IvfIndex.assign(tail, model, "embedding")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_assign_tail").start()
+    q.processAllAvailable()
+    // second micro-batch
+    emb.where(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_assign_tail")
+      .select(col("vec_id").cast("long"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val batch = IvfIndex.assign(emb.where(col("vec_id") < 80), model, "embedding")
+      .select(col("vec_id").cast("long"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(streamed.size == 80)
+    assert(streamed == batch, "streaming assign diverged from batch assign")
+  }
+
   test("streaming media dedup: planted image dup found across micro-batches, verified") {
     import spark.implicits._
     import graft.operators.MediaCodec
