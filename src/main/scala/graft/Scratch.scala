@@ -203,15 +203,17 @@ object Scratch {
       println(s"[scale] pairs rows=${pairsDf.count()}")
       val pairs = timeIt("pairs -> localCheckpoint")(pairsDf.localCheckpoint(true))
       jobs.set(0)
+      // since round 8 the CC loop's AQE/partition policy is internal
+      // (IsolatedConf cloned session; AQE off below 50M edges, on
+      // above) — session-conf A/B toggling no longer reaches the loop
       timeIt("CC only (from checkpointed pairs)")(
         noop(operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")))
       println(s"[scale] CC jobs=${jobs.get()}")
       jobs.set(0)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      timeIt("CC only, AQE off")(
-        noop(operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")))
-      println(s"[scale] CC jobs (AQE off)=${jobs.get()}")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      timeIt("CC only, forced adaptive=true")(
+        noop(operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+          adaptive = true)))
+      println(s"[scale] CC jobs (adaptive)=${jobs.get()}")
       jobs.set(0)
       timeIt("full representativesFromPairs (inline pairs)")(
         noop(operators.Dedup.representativesFromPairs(pairsDf, docs,
