@@ -446,6 +446,13 @@ object Dedup {
     * transitive-closure form of corpus dedup (greedy pairwise dropping
     * in dedupedCorpus can orphan chains a-b-c).
     *
+    * TWO physical paths, chosen by exact symmetric-edge count (round
+    * 8): at or below `driverMaxEdges` a collected min-root union-find
+    * solves the graph in milliseconds on the driver (bounded like the
+    * bloom-literal and hot-set caps; DedupScaleSpec pins output
+    * equality between the paths); above it, the distributed
+    * pointer-doubling loop below.
+    *
     * Algorithm (round 7, VERDICT r6 item 2): min-label propagation
     * WITH POINTER DOUBLING (Shiloach–Vishkin style). Each round first
     * takes one propagation step — label'(v) = min(label(v),
@@ -497,7 +504,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          adaptive: Boolean = false): DataFrame = {
+                          adaptive: Boolean = false,
+                          driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val caller = pairs.sparkSession
     // symmetric edge view, joined against every round — cache it once;
     // released before return (the result plan reads only the final
@@ -532,6 +540,21 @@ object Dedup {
       return edges.select(col("src").as("node"), col("dst").as("component"))
         .where(lit(false))
     }
+    // Small-graph fast path (round 8): below `driverMaxEdges` the
+    // symmetric edge set is COLLECTED and solved with min-root
+    // union-find in milliseconds — the same dual-path-by-size
+    // principle as stripBoilerplateWithHot's exactArrayCap and
+    // RuntimeFilter's bloom cap: a deliberately bounded driver-side
+    // structure (≤ ~100 MB at the default cap) replacing 3-5 driver-
+    // synchronized distributed rounds whose per-round latency dwarfs
+    // the toy data they move. Near-dup pair graphs are USUALLY tiny
+    // relative to their corpus (pairs ≪ docs after exact dedup);
+    // above the cap the pointer-doubling loop below is the
+    // scale-correct path. Identical output by construction: min-root
+    // union-find computes exactly "label = smallest reachable id".
+    if (edgeCount <= driverMaxEdges)
+      try return driverComponents(caller, edges)
+      finally { edges.unpersist(); () }
     val sessionParts =
       try caller.conf.get("spark.sql.shuffle.partitions").toInt
       catch { case _: NumberFormatException => 200 }
@@ -547,6 +570,51 @@ object Dedup {
       // to the caller's session after the scoped one is abandoned
       IsolatedConf.rehome(connectedComponentsLoop(scopedEdges, maxIter), caller)
     } finally { edges.unpersist(); () }
+  }
+
+  /** Edge-count cap for [[connectedComponents]]' driver union-find
+    * fast path: 1M symmetric edges ≈ a ~100 MB driver structure worst
+    * case — the same order as the bloom-literal cap. Pass
+    * `driverMaxEdges = 0` to force the distributed loop. */
+  val DriverCcMaxEdges: Long = 1000000L
+
+  /** Min-root union-find over a collected (bounded) edge set: label of
+    * every node = smallest id reachable from it, the exact contract of
+    * the distributed loop. Works for any Comparable node type (long
+    * doc ids, string ids). */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               edges: DataFrame): DataFrame = {
+    val rows = edges.collect() // bounded by driverMaxEdges
+    val parent = new java.util.HashMap[Any, Any]()
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (cmp(ra, rb) <= 0) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodeType = edges.schema.fields(0).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", nodeType, nullable = false)))
+    val labeled = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach { n =>
+      labeled += org.apache.spark.sql.Row(n, find(n)); ()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(labeled.toSeq,
+        math.max(1, labeled.size / 4000000 + 1)), outSchema)
   }
 
   /** Symmetric-edge count above which [[connectedComponents]] runs its

@@ -48,7 +48,10 @@ class DedupScaleSpec extends SparkSpec {
     // alternating star halves attachment depth per round.
     val pairs = (1L to 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (_, jobs) = countJobs {
-      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      // driverMaxEdges = 0 forces the distributed loop (the default
+      // would take the driver union-find fast path at this size)
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0)
         .as[(Long, Long)].collect().toMap
       assert(comps == (1L to 17L).map(_ -> 1L).toMap)
     }
@@ -100,7 +103,8 @@ class DedupScaleSpec extends SparkSpec {
     watcher.start()
     try {
       val pairs = (1L to 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0) // the loop is what mutated confs pre-r8
         .as[(Long, Long)].collect()
       assert(comps.length == 17)
     } finally { running = false; watcher.join() }
@@ -109,14 +113,38 @@ class DedupScaleSpec extends SparkSpec {
     assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partsKey) == parts0)
   }
 
-  test("self-loop-only nodes are labeled with their own component") {
+  test("self-loop-only nodes are labeled with their own component (both paths)") {
     // ADVICE r7: a node appearing only as (a,a) must get an output row
     // (component = itself), matching the pre-r7 behavior external
     // callers may rely on.
     val pairs = Seq((7L, 7L), (1L, 2L), (2L, 2L)).toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    for (cap <- Seq(Dedup.DriverCcMaxEdges, 0L)) {
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(comps == Map(7L -> 7L, 1L -> 1L, 2L -> 1L), s"cap=$cap")
+    }
+  }
+
+  test("driver union-find fast path equals the distributed loop (incl. string ids)") {
+    val pairs = ((51L to 60L).map(l => (50L, l)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (100L, 99L), (7L, 7L)))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    val loop = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop)
+    // string node ids order lexicographically on both paths
+    val spairs = Seq(("b", "c"), ("a", "b"), ("z", "z")).toDF("doc_a", "doc_b")
+    val sfast = Dedup.connectedComponents(spairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    val sloop = Dedup.connectedComponents(spairs, "doc_a", "doc_b",
+      driverMaxEdges = 0)
+      .as[(String, String)].collect().toMap
+    assert(sfast == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+    assert(sfast == sloop)
   }
 
   test("global-temp re-homing preserves cache reuse across sessions") {
@@ -143,7 +171,8 @@ class DedupScaleSpec extends SparkSpec {
     val pairs = (1L to 31L).flatMap(i => Seq((i, 2 * i), (i, 2 * i + 1)))
       .toDF("doc_a", "doc_b")
     val (_, jobs) = countJobs {
-      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0)
         .as[(Long, Long)].collect().toMap
       assert(comps == (1L to 63L).map(_ -> 1L).toMap)
     }
