@@ -227,6 +227,44 @@ object Scratch {
           "doc_id", col("n_chars"))))
     }
 
+    gated("cc") {
+      // --- connectedComponents dual-path at scale (r8) ---
+      // (a) driver union-find AT the cap: ~1M symmetric edges collect
+      //     + solve, validating the cap's latency/memory budget;
+      // (b) distributed pointer-doubling loop ABOVE the cap: random
+      //     graph (giant component, low diameter) + a planted 64-hop
+      //     path to force multiple rounds.
+      val n = 490000L
+      val rand = spark.range(490000L)
+        .select(pmod(xxhash64(col("id")), lit(n)).as("doc_a"),
+          pmod(xxhash64(col("id") + 7), lit(n)).as("doc_b"))
+      val path = spark.range(64)
+        .select((col("id") + 10000000L).as("doc_a"),
+          (col("id") + 10000001L).as("doc_b"))
+      // ~980k symmetric edges: strictly UNDER the driver cap, so the
+      // first/third runs take the union-find and the cap=0 run is the
+      // loop on the same graph — the cliff at the boundary is the
+      // number that matters
+      val graph = rand.unionByName(path).localCheckpoint(true)
+      println(s"[scale] cc input pairs=${graph.count()}")
+      timeIt("CC driver union-find (~1M sym edges, at cap)")(
+        noop(operators.Dedup.connectedComponents(graph, "doc_a", "doc_b")))
+      timeIt("CC distributed loop (same graph, cap=0)")(
+        noop(operators.Dedup.connectedComponents(graph, "doc_a", "doc_b",
+          driverMaxEdges = 0)))
+      timeIt("CC driver union-find warm 2nd run")(
+        noop(operators.Dedup.connectedComponents(graph, "doc_a", "doc_b")))
+      // 5M-pair graph: decisively above the cap — the loop's real
+      // territory, where partition sizing and round count show up
+      val big = spark.range(5000000L)
+        .select(pmod(xxhash64(col("id")), lit(3000000L)).as("doc_a"),
+          pmod(xxhash64(col("id") + 7), lit(3000000L)).as("doc_b"))
+        .unionByName(path).localCheckpoint(true)
+      println(s"[scale] cc big input pairs=${big.count()}")
+      timeIt("CC distributed loop (10M sym edges)")(
+        noop(operators.Dedup.connectedComponents(big, "doc_a", "doc_b")))
+    }
+
     gated("qrf") {
       // --- quality_rel_filter cache-policy adjudication (r8, VERDICT
       // r7 item 5): the r7 no-cache refactor evaluates qualityScore

@@ -558,17 +558,41 @@ object Dedup {
     val sessionParts =
       try caller.conf.get("spark.sql.shuffle.partitions").toInt
       catch { case _: NumberFormatException => 200 }
+    // ~500k (long,long) rows ≈ 8 MB per partition — deliberately far
+    // below AQE's 64 MB byte target, because each loop round SORTS
+    // every partition for three sort-merge joins: single-core sort
+    // throughput, not shuffle bytes, bounds round latency (measured
+    // just above the driver cap: 1M edges on 1 partition = 26 s/loop,
+    // on 3 partitions = seconds; Scratch `cc`). Tiny graphs still
+    // collapse to 1 partition, which is what kills the toy-scale
+    // driver-round overhead the sizing exists for.
     val loopParts = math.max(1L,
-      math.min(sessionParts.toLong, edgeCount / 4000000L + 1L)).toInt
+      math.min(sessionParts.toLong, edgeCount / 500000L + 1L)).toInt
     val useAqe = adaptive || edgeCount > CcAqeAutoEdges
     val overrides = Map(
       "spark.sql.adaptive.enabled" -> useAqe.toString,
-      "spark.sql.shuffle.partitions" -> loopParts.toString)
+      "spark.sql.shuffle.partitions" -> loopParts.toString,
+      // shuffled-hash over sort-merge for the loop's equi-joins: the
+      // per-partition size is bounded by the loop's own sizing, so the
+      // hash build always fits and the per-round sorts disappear (a
+      // modest, consistent win — Scratch `cc`; the bigger levers are
+      // the partition sizing above and the pre-partitioned edge cache)
+      "spark.sql.join.preferSortMergeJoin" -> "false")
     try IsolatedConf.withConfs(edges, overrides) { scopedEdges =>
-      // every round's label table is an eager localCheckpoint, so the
-      // loop result is materialized-block-backed and survives re-homing
-      // to the caller's session after the scoped one is abandoned
-      IsolatedConf.rehome(connectedComponentsLoop(scopedEdges, maxIter), caller)
+      // re-cache the edge table PRE-PARTITIONED on the propagation
+      // join's key: the cached InMemoryRelation then reports
+      // hash(src, loopParts) output partitioning, so every round's
+      // edges⋈labels join reuses it without re-exchanging the 2|E|-row
+      // side — one extra up-front shuffle buys back the loop's biggest
+      // per-round exchange (rounds ≥ 2 always win)
+      val parted = scopedEdges.repartition(loopParts, col("src")).cache()
+      try {
+        // every round's label table is an eager localCheckpoint, so the
+        // loop result is materialized-block-backed and survives
+        // re-homing to the caller's session after the scoped one is
+        // abandoned
+        IsolatedConf.rehome(connectedComponentsLoop(parted, maxIter), caller)
+      } finally { parted.unpersist(); () }
     } finally { edges.unpersist(); () }
   }
 
