@@ -156,6 +156,41 @@ class ImageDupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L, 1)) && pairs.contains((2L, 3L, 1)))
   }
 
+  test("property: bucket pairs equal brute force for arbitrary bit patterns (B=4 and B=6)") {
+    // generator-based recall/precision pin: for random 64-bit hashes —
+    // including sign-bit-heavy and near-duplicate clusters — the
+    // pigeonhole candidate join must reproduce EXACTLY the brute-force
+    // hamming ≤ 3 pair set at every supported block config.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val anyBits = Gen.choose(Long.MinValue, Long.MaxValue)
+    // near-dup maker: flip 0..4 random bit positions of a base hash
+    val perturbed = for {
+      base <- anyBits
+      k <- Gen.choose(0, 4)
+      bits <- Gen.listOfN(k, Gen.choose(0, 63))
+    } yield bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val hashSet = Gen.listOfN(30, Gen.zip(anyBits, perturbed))
+      .map(_.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong * 2, a), (i.toLong * 2 + 1, b))
+      })
+    (0 until 5).foreach { trial =>
+      val rows = hashSet.apply(Gen.Parameters.default, Seed(77L + trial)).get
+      val want = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 3
+      } yield (ia, ib, d)).toSet
+      val df = rows.toDF("media_id", "phash")
+      for (b <- Seq(4, 6)) {
+        val got = Dedup.hammingPairs64(df, "media_id", "phash",
+          maxHamming = 3, numBlocks = b).as[(Long, Long, Int)].collect().toSet
+        assert(got === want, s"trial $trial B=$b")
+      }
+    }
+  }
+
   test("corpus-scale block config (B=6, 20 multi-block tables) finds the same pairs") {
     // the Manku-style wide-key configuration must be recall-identical
     // to the default: pigeonhole guarantees hold for every B > d
