@@ -352,6 +352,20 @@ object Scratch {
       }
     }
 
+    gated("lshplan") {
+      // round-8 explode refactor A/B: what join strategy does the
+      // banded self-join pick, and where does dedup_embedding_lsh's
+      // time go after the one-scan explode?
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val pairs = index.LshIndex.nearDupPairs(emb, "vec_id", "embedding",
+        maxCosDist = 0.58, numPlanes = 32, numBands = 16)
+      pairs.explain("formatted")
+      timeIt("nearDupPairs 32p/16b tau=0.58 (cold)")(noop(pairs))
+      timeIt("nearDupPairs 32p/16b tau=0.58 (warm)")(noop(
+        index.LshIndex.nearDupPairs(emb, "vec_id", "embedding",
+          maxCosDist = 0.58, numPlanes = 32, numBands = 16)))
+    }
+
     spark.stop()
   }
 }

@@ -79,10 +79,18 @@ object LshIndex {
       .where(col(vecCol).isNotNull && size(col(vecCol)) === planeDim)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         signature(col(vecCol), planes).as("sig"))
-    (0 until numBands).map { b =>
-      sigd.select(col("id"), col("v"), lit(b).as("band"),
-        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
-    }.reduce(_ unionByName _)
+    // one scan: every (band, key) via explode of a shift/mask struct
+    // array (round 8) — the previous per-band UNION re-evaluated the
+    // numPlanes-dot signature once PER BAND (the staged projection
+    // keeps the non-cheap multi-referenced sig from re-inlining)
+    sigd.select(col("id"), col("v"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("key"))
+      }: _*)).as("__bk"))
+      .select(col("id"), col("v"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
   }
 
   /** Multi-probe LSH top-k search (Lv et al., VLDB 2007): the query
@@ -133,16 +141,19 @@ object LshIndex {
       .where(col(qVecCol).isNotNull && size(col(qVecCol)) === planeDim)
       .select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
         signature(col(qVecCol), planes).as("sig"))
-    // per band: the exact key + (if probeBits=1) each single-bit flip
-    val probed = (0 until numBands).map { b =>
-      val key = shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
-      val probeKeys =
-        if (probeBits == 0) array(key)
-        else array(key +: (0 until bitsPerBand)
-          .map(i => key.bitwiseXOR(lit(1L << i))): _*)
-      qsig.select(col("qid"), col("qv"), lit(b).as("band"),
-        explode(probeKeys).as("key"))
-    }.reduce(_ unionByName _)
+    // per band: the exact key + (if probeBits=1) each single-bit flip —
+    // all probes from ONE explode over the once-computed signature
+    // (round 8; the per-band union re-evaluated it per branch)
+    val probed = qsig.select(col("qid"), col("qv"),
+      explode(array((0 until numBands).flatMap { b =>
+        val key = shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+        val keys =
+          if (probeBits == 0) Seq(key)
+          else key +: (0 until bitsPerBand).map(i => key.bitwiseXOR(lit(1L << i)))
+        keys.map(k => struct(lit(b).as("band"), k.as("key")))
+      }: _*)).as("__bk"))
+      .select(col("qid"), col("qv"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
     // score at the match site, THEN collapse duplicate (qid, id) cells
     // with a slim (qid, id, dist) partial-agg shuffle — the vectors
     // never shuffle; the per-query ranking is the bounded TopKAgg
@@ -192,11 +203,20 @@ object LshIndex {
     val sigd0 = clean.select(col("id"), col("v"),
       signature(col("v"), planes).as("sig"))
     val sigd = if (carryVectors) sigd0 else sigd0.drop("v")
-    val banded = (0 until numBands).map { b =>
-      sigd.withColumn("band", lit(b))
-        .withColumn("key",
-          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
-    }.reduce(_ unionByName _)
+    // one scan: all (band, key) rows from a single explode instead of
+    // a per-band union whose branches each re-evaluated the
+    // numPlanes-dot signature (round 8 — at 16 bands that was 16× the
+    // dominant cost; the staged projection keeps the non-cheap
+    // multi-referenced sig from re-inlining into the explode)
+    val carryCols = if (carryVectors) Seq(col("v")) else Nil
+    val banded = sigd.select((col("id") +: carryCols :+ col("sig") :+
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("key"))
+      }: _*)).as("__bk")): _*)
+      .select((col("id") +: carryCols :+ col("sig") :+
+        col("__bk.band").as("band") :+ col("__bk.key").as("key")): _*)
     // lowest band index where the two signatures agree (always defined
     // for joined rows — they matched on at least the joined band)
     val xorSig = col("a.sig").bitwiseXOR(col("b.sig"))
@@ -205,7 +225,17 @@ object LshIndex {
         when(shiftright(xorSig, j * bitsPerBand).bitwiseAND(lit(mask)) === 0,
           lit(j)).otherwise(acc)
     }
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+    // force a SHUFFLED join: Generate keeps its child's sizeInBytes, so
+    // the post-explode table looks broadcastable at test scale and the
+    // planner picks a BroadcastHashJoin whose stream side is the raw
+    // (often single-partition) scan — serializing the collision verify
+    // in one task. The shuffle_hash hint restores the (band, key)
+    // exchange (one, reused across both sides), spreading collisions
+    // over the shuffle partitions; at corpus scale that exchange is
+    // mandatory anyway, and SHJ skips the sort a merge join would pay
+    // on the amplified band table.
+    val cand = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"), Seq("band", "key"))
       .where(col("a.id") < col("b.id") && col("band") === firstMatch)
     if (carryVectors)
       cand.select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -232,4 +232,28 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("bit_count"), s"$name: $p")
     }
   }
+
+  test("LSH banded self-join is shuffled, one scan, never broadcast") {
+    // the round-8 one-scan explode keeps the child's sizeInBytes, so
+    // the planner would broadcast the banded table and stream the raw
+    // (single-partition at test scale) scan — serializing the entire
+    // collision verify in one task. The shuffle_hash hint pins the
+    // (band, key) exchange that spreads the verify; and there must be
+    // exactly two parquet scans of the embeddings table (self-join of
+    // ONE banded plan), not the 16 per-band scans the old union paid.
+    for (name <- Seq("dedup_embedding_lsh", "dedup_lsh_planted")) {
+      val p = plan(name)
+      assert(p.contains("ShuffledHashJoin"), s"$name: $p")
+    }
+    // carryVectors=true: the whole query is the one banded self-join —
+    // nothing may broadcast, and the banding must not re-scan per band.
+    // (dedup_lsh_planted's carryVectors=false re-fetch joins broadcast
+    // the small candidate set against the corpus — that shape is right.)
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // formatted mode prints "(N) Scan parquet" detail headers once
+    // per physical scan node — count those, not tree lines
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"$scans parquet scans (banding must not re-scan per band):\n$p")
+  }
 }
