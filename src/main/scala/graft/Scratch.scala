@@ -366,6 +366,32 @@ object Scratch {
           maxCosDist = 0.58, numPlanes = 32, numBands = 16)))
     }
 
+    gated("lshbuild") {
+      // bucketTable build cost at 2M vectors (the compaction-cadence
+      // job): one-scan explode vs the numBands-scan union it replaced.
+      // Replicate sf0.1 embeddings ×1000, perturb ids; 16 bands.
+      val emb2m = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .crossJoin(spark.range(1000).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 10000L).as("vec_id"),
+          col("embedding"))
+        .repartition(64)
+        .localCheckpoint(true)
+      println(s"[scale] vectors=${emb2m.count()}")
+      timeIt("bucketTable 32p/16b over 2M vectors (explode, one scan)")(
+        noop(index.LshIndex.bucketTable(emb2m, "vec_id", "embedding",
+          numPlanes = 32, numBands = 16)))
+      // the pre-round-8 shape, inlined for the A/B
+      timeIt("bucketTable 32p/16b over 2M vectors (per-band union)") {
+        val planes = index.LshIndex.makePlanes(32, 64)
+        val sigd = emb2m.select(col("vec_id").as("id"), col("embedding").as("v"),
+          index.LshIndex.signature(col("embedding"), planes).as("sig"))
+        noop((0 until 16).map { b =>
+          sigd.select(col("id"), col("v"), lit(b).as("band"),
+            shiftright(col("sig"), b * 2).bitwiseAND(lit(3L)).as("key"))
+        }.reduce(_ unionByName _))
+      }
+    }
+
     spark.stop()
   }
 }
