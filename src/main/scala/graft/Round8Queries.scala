@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MediaCodec}
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Classifier, Dedup, MediaCodec}
 
 /** Round-8 [EXT] queries + DuckDB oracle twins: INCREMENTAL multimodal
   * near-dup — the X8 / jaccardPairsAgainstIndex pattern for media
@@ -186,6 +187,25 @@ object Round8Queries {
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_new"), col("id_corpus"))
     }),
+
+    // ---- X45 quality classifier [EXT]: fastText-style NB log-odds ----
+    // hashed unigram+bigram features → multinomial-NB log-odds fit in
+    // ONE map-side-combined groupBy (≤ 4096 shuffle rows), scoring
+    // map-only from a plan-literal dense weight array. The demo labels
+    // come from the deterministic heuristic quality score (≥ 0.5 —
+    // ~75/25 at every SF), so the whole fit+score pipeline is
+    // oracle-reproducible: the DuckDB twin re-derives labels, bucket
+    // counts, smoothed weights, bias, and per-doc mean log-odds.
+    "quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = docs.select(col("doc_id"), col("text"),
+        (TF.qualityScore(col("text")) >= 0.5).as("__label"))
+      val model = Classifier.fitNb(lab, "text", "__label", numBuckets = 4096)
+      Classifier.scoreNb(docs, "doc_id", "text", model)
+        .select(col("doc_id"), round(col("logit"), 4).as("logit"),
+          round(col("prob"), 4).as("prob"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,5 +321,47 @@ object Round8Queries {
          |  FROM bb n CROSS JOIN bc c)
          |SELECT id_new, id_corpus, hamming FROM p WHERE hamming <= 3
          |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // full fit+score rederivation: hashed unigram+bigram buckets per
+    // doc, NB counts per bucket, Laplace log-odds vs the class totals,
+    // ln-prior bias, per-doc logit = bias + mean bucket weight. Every
+    // scored feature bucket appears in training (train set = score
+    // set), so the weight join is total; zero-feature docs keep the
+    // bias via the LEFT JOIN + COALESCE. Sum order differs from the
+    // engine's ordered fold — ~1e-12, absorbed by round(,4) (the
+    // unigram_logprob precedent).
+    "quality_classifier" -> {
+      val qual = s"""round(least(len(${SparkEntry.sqlTokens("text")}) / 64.0, 1.0)
+        | * (CASE WHEN ${SparkEntry.sqlStopFrac("text")} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+        | * (1.0 - ${SparkEntry.sqlPunctRatio("text")}), 4)""".stripMargin.replace("\n", "")
+      s"""WITH tha AS (SELECT doc_id, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |             FROM documents),
+         |f AS (SELECT doc_id, list_concat(
+         |    list_transform(th, h -> h % 4096),
+         |    list_transform(${SparkEntry.sqlShingleHashesOfTh(2)}, h -> h % 4096)) AS fs
+         |  FROM tha),
+         |lab AS (SELECT d.doc_id, f.fs, ($qual >= 0.5) AS pos
+         |        FROM documents d JOIN f ON d.doc_id = f.doc_id),
+         |ex AS (SELECT doc_id, pos, unnest(fs) AS b FROM lab),
+         |cnt AS (SELECT b, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pn,
+         |               CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |        FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(sum(pn) AS DOUBLE) AS pt,
+         |               CAST(sum(nn) AS DOUBLE) AS nt FROM cnt),
+         |pri AS (SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS DOUBLE)) AS bias
+         |        FROM lab),
+         |w AS (SELECT b, ln((CAST(pn AS DOUBLE) + 1.0) / (pt + 4096.0))
+         |             - ln((CAST(nn AS DOUBLE) + 1.0) / (nt + 4096.0)) AS wt
+         |      FROM cnt CROSS JOIN tot),
+         |sc AS (SELECT e.doc_id, sum(w.wt) AS ssum, count(*) AS c
+         |       FROM ex e JOIN w USING (b) GROUP BY 1),
+         |fin AS (SELECT l.doc_id,
+         |    pri.bias + COALESCE(sc.ssum / sc.c, 0.0) AS logit
+         |  FROM lab l CROSS JOIN pri LEFT JOIN sc ON l.doc_id = sc.doc_id)
+         |SELECT doc_id, round(logit, 4) AS logit,
+         |  round(1.0 / (1.0 + exp(-logit)), 4) AS prob
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
   )
 }

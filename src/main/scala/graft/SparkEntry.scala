@@ -198,12 +198,12 @@ object SparkEntry {
     s"list_filter(string_split($text, ' '), t -> t <> '')"
 
   /** DuckDB twin of TextFunctions.tokenHashes. */
-  private def sqlTokenHashes(text: String): String =
+  private[graft] def sqlTokenHashes(text: String): String =
     s"list_transform(${sqlTokens(text)}, t -> ${sqlRollHash("t")})"
 
   /** DuckDB twin of TextFunctions.shingleHashesFromTokens over a
     * column named `th` (n-gram fold of token hashes). */
-  private def sqlShingleHashesOfTh(n: Int): String = {
+  private[graft] def sqlShingleHashesOfTh(n: Int): String = {
     val fold = (0 until n).foldLeft(s"CAST(${TF.HashSeed} AS BIGINT)") {
       (acc, k) => s"(($acc * 31 + th[i+${k + 1}]) % ${TF.HashMod})"
     }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Hashed n-gram linear text classifier — the fastText shape (Joulin
+  * et al. 2016, "Bag of Tricks for Efficient Text Classification"):
+  * unigram + bigram features through the hashing trick into a fixed
+  * bucket space, a linear model over the buckets, scores averaged over
+  * features. The linear weights here are multinomial Naive Bayes
+  * log-odds with Laplace smoothing (the NB-SVM/NBLR family, Wang &
+  * Manning 2012) so fitting is ONE aggregation pass — no SGD loop —
+  * and every number is deterministic and oracle-reproducible.
+  *
+  * Scale shape (the reason this is Spark-first, not a UDF port):
+  *  - fit: tokenize/hash map-side → explode to (bucket, class) →
+  *    groupBy(bucket) with map-side partial aggregation. The shuffle
+  *    carries at most `numBuckets` rows per partition; the driver
+  *    collect is bounded by `numBuckets` (4096 default) regardless of
+  *    corpus size — the centroid-table pattern, never data-proportional.
+  *  - score: map-only. The dense weight array rides the plan as ONE
+  *    array literal (codegen constant, no join, no shuffle); scoring
+  *    100 TB is embarrassingly parallel with zero exchanges.
+  *
+  * All hashes are the repo's platform-independent polynomial rolling
+  * hashes (TextFunctions), so the DuckDB oracle re-derives the whole
+  * fit+score pipeline bit-for-bit.
+  */
+object Classifier {
+
+  /** Hashed feature buckets of a token-hash array column: unigrams and
+    * bigrams (fastText's default n-gram order), each mod `numBuckets`.
+    * Takes the ALREADY-projected token-hash column so callers stage the
+    * tokenization once (the shingleHashes caveat in TextFunctions). */
+  def featureBuckets(th: Column, numBuckets: Int): Column =
+    concat(
+      transform(th, h => h % numBuckets),
+      transform(TF.shingleHashesFromTokens(th, 2), h => h % numBuckets))
+
+  /** Fitted model: dense per-bucket log-odds, document-prior bias.
+    * `weights` has exactly `numBuckets` entries; buckets unseen in
+    * training carry the Laplace default ln((nt+D)/(pt+D)) — the same
+    * number the smoothed ratio yields at count 0, so out-of-vocabulary
+    * features at inference behave like rare training features. */
+  final case class NbModel(weights: Array[Double], bias: Double,
+                           numBuckets: Int)
+
+  /** Fit NB log-odds over hashed unigram+bigram features.
+    * `labelCol` must be boolean (true = positive class); both classes
+    * must be present. Two actions: a 2-long doc-prior aggregate and the
+    * bounded per-bucket count collect. */
+  def fitNb(docs: DataFrame, textCol: String, labelCol: String,
+            numBuckets: Int = 4096): NbModel = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val lab = docs
+      .select(col(labelCol).cast("boolean").as("__pos"),
+        TF.tokenHashes(col(textCol)).as("__th"))
+      .select(col("__pos"), featureBuckets(col("__th"), numBuckets).as("__fs"))
+    val pr = lab.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("n")).head
+    val (posDocs, negDocs) = (pr.getLong(0), pr.getLong(1))
+    require(posDocs > 0 && negDocs > 0,
+      s"fitNb needs both classes (pos=$posDocs neg=$negDocs)")
+    val cnt = lab.select(col("__pos"), explode(col("__fs")).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pn"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn"))
+      .collect() // bounded: ≤ numBuckets rows
+    val pn = new Array[Long](numBuckets)
+    val nn = new Array[Long](numBuckets)
+    cnt.foreach { r =>
+      val b = r.getLong(0).toInt
+      pn(b) = r.getLong(1); nn(b) = r.getLong(2)
+    }
+    val pt = pn.sum.toDouble
+    val nt = nn.sum.toDouble
+    val d = numBuckets.toDouble
+    val w = Array.tabulate(numBuckets) { i =>
+      math.log((pn(i) + 1.0) / (pt + d)) - math.log((nn(i) + 1.0) / (nt + d))
+    }
+    NbModel(w, math.log(posDocs.toDouble / negDocs.toDouble), numBuckets)
+  }
+
+  /** Score documents: logit = bias + mean per-feature log-odds (the
+    * fastText average), prob = sigmoid(logit). Zero-feature docs score
+    * the bias alone. Map-only — the weights are a plan constant. */
+  def scoreNb(docs: DataFrame, idCol: String, textCol: String,
+              model: NbModel): DataFrame = {
+    val wLit = typedLit(model.weights.toSeq)
+    docs
+      .select(col(idCol), TF.tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol),
+        featureBuckets(col("__th"), model.numBuckets).as("__fs"))
+      .select(col(idCol),
+        (lit(model.bias) + when(size(col("__fs")) === 0, lit(0.0)).otherwise(
+          aggregate(col("__fs"), lit(0.0),
+            (acc, f) => acc + element_at(wLit, f.cast("int") + 1))
+            / size(col("__fs")).cast("double"))).as("logit"))
+      .select(col(idCol), col("logit"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("prob"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** X45 hashed n-gram NB classifier: separability on a planted corpus,
+  * out-of-vocabulary and empty-doc behavior, model shape, and the
+  * map-only scoring plan (zero exchanges — the 100 TB property).
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val buckets = 512
+
+  private def corpus = Seq.tabulate(40) { i =>
+    val pos = i % 2 == 0
+    val text =
+      if (pos) s"alpha beta alpha gamma${i % 5} beta alpha"
+      else s"zork quux zork gamma${i % 5} quux zork"
+    (i.toLong, text, pos)
+  }.toDF("doc_id", "text", "label")
+
+  test("fit + score separates a planted two-class corpus") {
+    val model = Classifier.fitNb(corpus, "text", "label", buckets)
+    val scored = Classifier.scoreNb(corpus, "doc_id", "text", model)
+      .join(corpus.select(col("doc_id"), col("label")), "doc_id")
+      .select(col("label"), col("prob")).collect()
+    scored.foreach { r =>
+      val (label, prob) = (r.getBoolean(0), r.getDouble(1))
+      if (label) assert(prob > 0.5, s"positive doc scored $prob")
+      else assert(prob < 0.5, s"negative doc scored $prob")
+    }
+  }
+
+  test("balanced OOV text scores near the prior; empty text scores the bias") {
+    val model = Classifier.fitNb(corpus, "text", "label", buckets)
+    // balanced classes -> bias = ln(1) = 0; a doc of never-seen tokens
+    // gets the Laplace default weight ln((nt+D)/(pt+D)) per feature
+    assert(math.abs(model.bias) < 1e-12)
+    val oov = Seq((1L, "xylo phone wombat never seen tokens here")).toDF("doc_id", "text")
+    val pOov = Classifier.scoreNb(oov, "doc_id", "text", model)
+      .head.getDouble(2)
+    assert(pOov > 0.4 && pOov < 0.6, s"OOV doc should sit near the prior, got $pOov")
+    val empty = Seq((2L, "")).toDF("doc_id", "text")
+    val row = Classifier.scoreNb(empty, "doc_id", "text", model).head
+    assert(row.getDouble(1) === model.bias)
+  }
+
+  test("model shape: dense weight table of exactly numBuckets entries") {
+    val model = Classifier.fitNb(corpus, "text", "label", buckets)
+    assert(model.weights.length === buckets)
+    assert(model.numBuckets === buckets)
+    // every weight finite (Laplace smoothing forbids ±inf)
+    assert(model.weights.forall(w => !w.isNaN && !w.isInfinite))
+  }
+
+  test("fitNb requires both classes") {
+    val onePos = corpus.where(col("label"))
+    intercept[IllegalArgumentException] {
+      Classifier.fitNb(onePos, "text", "label", buckets)
+    }
+  }
+
+  test("scoring is map-only: zero exchanges, no join, no aggregate node") {
+    val model = Classifier.fitNb(corpus, "text", "label", buckets)
+    val p = Classifier.scoreNb(corpus, "doc_id", "text", model)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"weights must ride as a literal, not a join:\n$p")
+  }
+
+  test("adding a strongly positive token raises the logit (monotonicity)") {
+    val model = Classifier.fitNb(corpus, "text", "label", buckets)
+    val docs = Seq((1L, "gamma1 gamma2"), (2L, "gamma1 gamma2 alpha"))
+      .toDF("doc_id", "text")
+    val s = Classifier.scoreNb(docs, "doc_id", "text", model)
+      .orderBy("doc_id").select("logit").as[Double].collect()
+    assert(s(1) > s(0), s"adding 'alpha' should raise the logit: ${s.toSeq}")
+  }
+}
