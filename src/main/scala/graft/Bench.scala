@@ -35,7 +35,8 @@ object Bench {
     "pii_redact", "dedup_representative", "doc_similar", "skew_salted_join",
     "text_clean", "boilerplate_strip", "quality_rel_filter", "dsir_weights",
     "bloom_prune_join", "zorder_key", "ann_lsh_multiprobe", "semantic_dedup",
-    "corpus_vocab", "len_quantiles", "quality_classifier")
+    "corpus_vocab", "len_quantiles", "quality_classifier",
+    "knn_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Classifier, Dedup, MediaCodec}
+import graft.operators.{Classifier, Dedup, MediaCodec, TopK}
 
 /** Round-8 [EXT] queries + DuckDB oracle twins: INCREMENTAL multimodal
   * near-dup — the X8 / jaccardPairsAgainstIndex pattern for media
@@ -206,6 +206,25 @@ object Round8Queries {
           round(col("prob"), 4).as("prob"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- X46 hard-negative mining [EXT]: pair-predicate k-NN join ----
+    // contrastive training data (DPR/SimCSE shape): for each anchor
+    // (vec_id < 40), the 5 nearest candidates whose label DIFFERS from
+    // the anchor's — a predicate over BOTH sides of the join, which
+    // knn_batch_filtered's static candidate filter cannot express.
+    // Exact scan → deterministic → full DuckDB oracle (brute-force
+    // cross join + window rank).
+    "knn_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      TopK.knnJoinPairs(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 40), "vec_id", "embedding",
+        pairFilter = col("label") =!= col("q_label"), k = 5,
+        queryCarry = Seq("label"))
+        .select(col("query_id"), col("id"),
+          round(col("distance"), 4).as("distance"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -363,5 +382,20 @@ object Round8Queries {
          |  round(1.0 / (1.0 + exp(-logit)), 4) AS prob
          |FROM fin ORDER BY doc_id""".stripMargin
     },
+
+    // brute-force twin of the pair-predicate k-NN join: cross join with
+    // the label-mismatch condition, then window rank per anchor — the
+    // same (dist ASC, id ASC) total order the bounded TopKAgg emits
+    "knn_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 40),
+         |d AS (SELECT q.query_id, e.vec_id AS id,
+         |        ${SparkEntry.sqlSqDist("e.embedding", "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+         |r AS (SELECT query_id, id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+         |      FROM d)
+         |SELECT query_id, id, round(dist, 4) AS distance, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

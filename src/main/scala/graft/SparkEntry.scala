@@ -181,7 +181,7 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   /** Σ-style fold over two list columns: euclidean / dot in DuckDB. */
-  private def sqlSqDist(a: String, b: String): String =
+  private[graft] def sqlSqDist(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

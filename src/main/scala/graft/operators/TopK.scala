@@ -304,4 +304,42 @@ object TopK {
       .select(col("query_id"), col("col.id").as("id"),
         col("col.distance").as("distance"), (col("pos") + 1).as("rank"))
   }
+
+  /** Batch k-NN with a PAIR predicate: unlike [[knnJoin]]'s static
+    * per-candidate `filter`, the predicate here sees BOTH sides — the
+    * data row's columns plus the query row's carried columns (exposed
+    * with a `q_` prefix) — so conditions like "candidate label differs
+    * from the query's" are expressible. Canonical use: contrastive
+    * hard-negative mining (the DPR / SimCSE training-data shape): for
+    * each anchor, the k nearest candidates of a DIFFERENT class.
+    *
+    * Same scale shape as knnJoin: the (small) query side is broadcast
+    * with its carried columns; each data partition evaluates the pair
+    * predicate and scores survivors into a bounded top-k buffer, so
+    * the one shuffle carries only k-row partial lists per query —
+    * never the scored cross product.
+    */
+  def knnJoinPairs(data: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                   pairFilter: Column, k: Int,
+                   metric: DistanceMetric = DistanceMetric.Euclidean,
+                   queryCarry: Seq[String] = Nil): DataFrame = {
+    val qcols = col(queryIdCol).as("query_id") +:
+      col(queryVecCol).as("__qvec") +:
+      queryCarry.map(c => col(c).as(s"q_$c"))
+    val q = broadcast(queries.select(qcols: _*))
+    val scored = data
+      .crossJoin(q)
+      .where(pairFilter)
+      .select(col("query_id"), col(idCol).cast("long").as("id"),
+        metric.distance(col(vecCol), col("__qvec")).as("distance"))
+      .where(col("distance").isNotNull)
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("id"), col("distance")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("id"),
+        col("col.distance").as("distance"), (col("pos") + 1).as("rank"))
+  }
 }

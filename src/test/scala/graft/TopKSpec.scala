@@ -66,6 +66,33 @@ class TopKSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("knnJoinPairs: pair predicate excludes same-label candidates; trivial predicate equals knnJoin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 6)
+    val mined = TopK.knnJoinPairs(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      pairFilter = col("label") =!= col("q_label"), k = 4,
+      queryCarry = Seq("label"))
+    // every mined negative's label differs from its anchor's
+    val qLabels = queries.select(col("vec_id").as("query_id"),
+      col("label").as("ql"))
+    val cLabels = emb.select(col("vec_id").as("id"), col("label").as("cl"))
+    val violations = mined.join(qLabels, "query_id").join(cLabels, "id")
+      .where(col("ql") === col("cl")).count()
+    assert(violations === 0)
+    assert(mined.count() === 6 * 4)
+    // a pair predicate that is always true reduces to plain knnJoin
+    val trivial = TopK.knnJoinPairs(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", pairFilter = lit(true), k = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val plain = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4)
+      .select(col("query_id").cast("long"), col("id"),
+        col("distance"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(trivial == plain)
+  }
+
   test("knnJoinBulk matches knnJoin exactly for all metrics") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 6)
