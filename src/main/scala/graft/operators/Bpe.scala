@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Distributed BPE merge learning (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"): iteratively
+  * merge the most frequent adjacent symbol pair.
+  *
+  * Scale shape: the corpus collapses to its WORD-FREQUENCY table first
+  * (one map-side-combined groupBy — the only corpus-sized shuffle);
+  * the merge loop then runs on the vocabulary table, which is
+  * MB-sized even for a 100 TB corpus (the same reduction every
+  * production BPE trainer exploits). Each round is one aggregate +
+  * a 1-row argmax collect; the vocabulary is re-checkpointed per round
+  * so lineage stays flat. Segmentation with a learned merge list is
+  * map-ONLY: the merges ride the plan as literals (the classifier-
+  * weights pattern), so tokenizing 100 TB shuffles nothing.
+  *
+  * Words are represented as sentinel-prefixed symbols joined by
+  * single spaces ("ab" → "␟a ␟b" with ␟ = ): a merge of pair
+  * (a, b) is then a plain leftmost non-overlapping string replace of
+  * "␟a ␟b" with "␟ab" — the sentinel makes a symbol-BOUNDARY match
+  * impossible to confuse with a symbol-suffix match ("␟xa ␟b" does
+  * not contain "␟a ␟b"), and plain `replace` has identical scan-
+  * forward semantics in Spark and DuckDB, so the whole learner is
+  * oracle-reproducible (no regex dialect in play). No end-of-word
+  * marker: tokens are already whitespace-delimited in this corpus, so
+  * merges never cross a word boundary by construction.
+  */
+object Bpe {
+
+  /** Symbol-boundary sentinel:  (ASCII unit separator) — never
+    * appears in corpus text. */
+  val Sentinel = "\u001f"
+
+  /** One learned merge: the encoded pair to find, its encoded
+    * replacement, and the human-readable "left+right" form. */
+  final case class Merge(pair: String, merged: String, display: String)
+
+  /** Word-frequency table (word, cnt) — the corpus-sized step. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sentinel-encode a word into its initial character symbols:
+    * "ab" → "␟a ␟b". */
+  def encodeWord(w: Column): Column =
+    concat(lit(Sentinel),
+      concat_ws(" " + Sentinel, filter(split(w, ""), c => c =!= "")))
+
+  /** Adjacent symbol pairs of an encoded word, as "␟a ␟b" strings. */
+  private def adjacentPairs(ws: Column): Column = {
+    val syms = split(ws, " ")
+    // zip the array with its own tail; the unmatched last slot yields
+    // a null pair (concat propagates null), filtered out — exactly the
+    // n−1 pairs the oracle's range(1, len) produces
+    filter(
+      zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      p => p.isNotNull)
+  }
+
+  /** Learn `numMerges` merges from the corpus. Deterministic argmax:
+    * highest weighted pair count, ties broken by the lexicographically
+    * smallest encoded pair. Stops early if no pair remains. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[Merge] = {
+    var vocab = wordTable(docs, textCol)
+      .select(encodeWord(col("w")).as("ws"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var done = false
+    for (_ <- 0 until numMerges if !done) {
+      val top = vocab
+        .select(explode(adjacentPairs(col("ws"))).as("pr"), col("cnt"))
+        .groupBy(col("pr"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pr").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" " + Sentinel, "")
+        merges += Merge(pair, merged,
+          pair.replace(" ", "+").replace(Sentinel, ""))
+        val next = vocab
+          .select(replace(col("ws"), lit(pair), lit(merged)).as("ws"),
+            col("cnt"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Apply learned merges (in order) to every token of every doc and
+    * return (id, n_tokens, n_bpe_symbols): the corpus token count vs
+    * the post-BPE symbol count — the tokenizer-fertility statistic a
+    * data pipeline tracks. Map-only: merges are plan literals. */
+  def segmentStats(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val encodedTok: Column = encodeWord(col("__t"))
+    val mergedTok = merges.foldLeft(encodedTok) { (acc, m) =>
+      replace(acc, lit(m.pair), lit(m.merged))
+    }
+    docs
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), size(split(mergedTok, " ")).as("__n"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__n")).as("n_bpe_symbols"))
+  }
+}

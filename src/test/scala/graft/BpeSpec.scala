@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** X47 BPE merge learning: the Sennrich toy corpus produces the
+  * textbook merges, segmentation applies them leftmost-first, and the
+  * overlap/boundary traps the sentinel encoding exists for are pinned.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns the textbook merges on the Sennrich-style toy corpus") {
+    val docs = Seq(
+      "low low low lower lowest new newer newest",
+      "low lower newer newer wider wide").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 8)
+    // same corpus + tie-break as the DuckDB prototype: l+o first (both
+    // at count 6, "l o" < "o w" lexicographically), then lo+w, e+r, …
+    assert(merges.map(_.display) ===
+      Seq("l+o", "lo+w", "e+r", "e+w", "n+ew", "new+er", "e+s", "es+t"))
+  }
+
+  test("segmentStats counts post-merge symbols per doc") {
+    val docs = Seq((1L, "low lowest"), (2L, "wide")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(
+      Seq("low low lowest").toDF("text"), "text", numMerges = 2)
+    // merges: l+o then lo+w → "low" = [low] (1), "lowest" = [low,e,s,t]
+    // (4); "wide" untouched = 4 chars
+    val got = Bpe.segmentStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 5L), (2L, 1L, 4L)))
+  }
+
+  test("merge application is leftmost non-overlapping (a a a → [aa, a])") {
+    val merges = Seq(Bpe.Merge(
+      s"${Bpe.Sentinel}a ${Bpe.Sentinel}a", s"${Bpe.Sentinel}aa", "a+a"))
+    val got = Bpe.segmentStats(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((1L, 1L, 2L)), "aaa must segment to [aa, a], not [a, aa] or [aa, aa]")
+  }
+
+  test("sentinel prevents suffix confusion: merging (a,b) must not touch (xa,b)") {
+    // after merging x+a, the vocab holds symbol "xa"; a later (a,b)
+    // merge must NOT match inside "xa b" — the boundary sentinel is
+    // what makes the plain string replace safe
+    val merges = Seq(
+      Bpe.Merge(s"${Bpe.Sentinel}x ${Bpe.Sentinel}a", s"${Bpe.Sentinel}xa", "x+a"),
+      Bpe.Merge(s"${Bpe.Sentinel}a ${Bpe.Sentinel}b", s"${Bpe.Sentinel}ab", "a+b"))
+    val got = Bpe.segmentStats(
+      Seq((1L, "xab"), (2L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // "xab" → [xa, b] (2 symbols, NOT [xab]); "ab" → [ab] (1 symbol)
+    assert(got === Seq((1L, 1L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("early stop: single-char vocabulary yields no merges") {
+    val docs = Seq("a b c a b").toDF("text")
+    assert(Bpe.learnMerges(docs, "text", numMerges = 4).isEmpty)
+  }
+}

@@ -465,4 +465,43 @@ class StreamingSpec extends SparkSpec {
     assert(cutoff(markup) === cutoff(cleanTexts),
       "markup in the batch corpus must not shift the cutoff distribution")
   }
+
+  test("streaming classifier scoring: batch-fit NB model scores a stream (map-only ⇒ stream-safe)") {
+    import spark.implicits._
+    // fit on a static corpus (the compaction-cadence job), score the
+    // incoming stream with the SAME scoreNb projection — it is map-only
+    // (ClassifierSpec pins zero exchanges), so it lifts to a streaming
+    // DataFrame unchanged: no state, no watermark, no output-mode trap
+    val corpus = Seq.tabulate(40) { i =>
+      val pos = i % 2 == 0
+      (i.toLong,
+        if (pos) s"alpha beta alpha gamma${i % 5} beta alpha"
+        else s"zork quux zork gamma${i % 5} quux zork",
+        pos)
+    }.toDF("doc_id", "text", "label")
+    val model = graft.operators.Classifier.fitNb(corpus, "text", "label", 512)
+
+    val dir = Files.createTempDirectory("stream-classify")
+    Seq((100L, "alpha beta alpha"), (101L, "zork quux zork"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir.toString)
+    val q = graft.operators.Classifier.scoreNb(stream, "doc_id", "text", model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("classify_stream").start()
+    try {
+      q.processAllAvailable()
+      val byId = spark.table("classify_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob")).toMap
+      assert(byId(100L) > 0.5, s"positive-tokens doc scored ${byId(100L)}")
+      assert(byId(101L) < 0.5, s"negative-tokens doc scored ${byId(101L)}")
+      // streaming scores equal the batch scores exactly (same literal)
+      val batch = graft.operators.Classifier.scoreNb(
+        Seq((100L, "alpha beta alpha"), (101L, "zork quux zork"))
+          .toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob")).toMap
+      assert(byId === batch)
+    } finally q.stop()
+  }
 }
