@@ -392,6 +392,25 @@ object Scratch {
       }
     }
 
+    gated("clfbpe") {
+      // round-8 X45/X47 at 5M docs (requires /tmp/big_documents from a
+      // prior `curation`/`qrf` run): does the classifier fit stay
+      // bucket-bounded and the BPE loop vocab-bounded when the corpus
+      // is 1000× the bench fixture?
+      val labeled = docs.select(col("doc_id"), col("text"),
+        (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+          .as("__label"))
+      val model = timeIt("Classifier.fitNb over 5M docs (D=4096)")(
+        operators.Classifier.fitNb(labeled, "text", "__label", 4096))
+      timeIt("Classifier.scoreNb over 5M docs (map-only)")(
+        noop(operators.Classifier.scoreNb(docs, "doc_id", "text", model)))
+      val merges = timeIt("Bpe.learnMerges 8 rounds over 5M docs")(
+        operators.Bpe.learnMerges(docs, "text", numMerges = 8))
+      println(s"[scale] merges=${merges.map(_.display).mkString(",")}")
+      timeIt("Bpe.segmentStats over 5M docs (served merges)")(
+        noop(operators.Bpe.segmentStats(docs, "doc_id", "text", merges)))
+    }
+
     spark.stop()
   }
 }

@@ -49,26 +49,31 @@ object Classifier {
 
   /** Fit NB log-odds over hashed unigram+bigram features.
     * `labelCol` must be boolean (true = positive class); both classes
-    * must be present. Two actions: a 2-long doc-prior aggregate and the
-    * bounded per-bucket count collect. */
+    * must be present. ONE corpus pass: the doc-class prior rides the
+    * bucket-count job as an `observe` metric (the CC-loop pattern)
+    * instead of a second tokenize-everything aggregate — measured 2×
+    * on fit at 5M docs (Scratch `clfbpe`). */
   def fitNb(docs: DataFrame, textCol: String, labelCol: String,
             numBuckets: Int = 4096): NbModel = {
     require(numBuckets > 0, "numBuckets must be positive")
+    val obs = org.apache.spark.sql.Observation()
     val lab = docs
       .select(col(labelCol).cast("boolean").as("__pos"),
         TF.tokenHashes(col(textCol)).as("__th"))
+      .observe(obs,
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"))
       .select(col("__pos"), featureBuckets(col("__th"), numBuckets).as("__fs"))
-    val pr = lab.agg(
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
-      sum(when(!col("__pos"), 1L).otherwise(0L)).as("n")).head
-    val (posDocs, negDocs) = (pr.getLong(0), pr.getLong(1))
-    require(posDocs > 0 && negDocs > 0,
-      s"fitNb needs both classes (pos=$posDocs neg=$negDocs)")
     val cnt = lab.select(col("__pos"), explode(col("__fs")).as("b"))
       .groupBy(col("b"))
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pn"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn"))
       .collect() // bounded: ≤ numBuckets rows
+    val prior = obs.get
+    val (posDocs, negDocs) =
+      (prior("p").asInstanceOf[Long], prior("n").asInstanceOf[Long])
+    require(posDocs > 0 && negDocs > 0,
+      s"fitNb needs both classes (pos=$posDocs neg=$negDocs)")
     val pn = new Array[Long](numBuckets)
     val nn = new Array[Long](numBuckets)
     cnt.foreach { r =>
