@@ -36,7 +36,9 @@ object Bench {
     "text_clean", "boilerplate_strip", "quality_rel_filter", "dsir_weights",
     "bloom_prune_join", "zorder_key", "ann_lsh_multiprobe", "semantic_dedup",
     "corpus_vocab", "len_quantiles", "quality_classifier",
-    "knn_hard_negatives", "bpe_merges", "bpe_segment")
+    "knn_hard_negatives", "bpe_merges", "bpe_segment",
+    "embed_project", "knn_project_rerank", "label_propagate",
+    "data_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

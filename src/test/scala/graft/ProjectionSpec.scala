@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Projection
+
+/** X48 JL signed random projection: sign-matrix determinism, bit-exact
+  * driver/column parity (the fixed-order argument), the JL distance
+  * guarantee at k=16, shortlist recall for project-then-rerank, and
+  * the zero-exchange projection plan (the 100 TB property).
+  */
+class ProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = 64
+  private val k = 16
+
+  /** Deterministic pseudo-random unit-scale vectors (LCG — no RNG in
+    * tests; reruns see identical data). */
+  private def vec(seed: Long): Array[Float] = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    Array.fill(d) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33).toDouble / (1L << 31).toDouble) - 0.5).toFloat
+    }
+  }
+
+  test("sign matrix is deterministic, ±1, and roughly balanced") {
+    val s1 = Array.tabulate(d, k)((i, j) => Projection.sign(i, j, k))
+    val s2 = Array.tabulate(d, k)((i, j) => Projection.sign(i, j, k))
+    assert(s1.flatten.toSeq == s2.flatten.toSeq)
+    assert(s1.flatten.forall(s => s == 1 || s == -1))
+    val neg = s1.flatten.count(_ == -1)
+    val n = d * k
+    assert(neg > n * 0.35 && neg < n * 0.65,
+      s"suspiciously unbalanced sign matrix: $neg/$n negative")
+  }
+
+  test("column projection equals the driver-side twin bit-for-bit") {
+    val rows = Seq.tabulate(25)(i => (i.toLong, vec(i.toLong)))
+    val got = Projection.projectTable(rows.toDF("id", "v"), "id", "v", d, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val want = Projection.projectVector(v, k)
+      assert(got(id).toSeq == want.toSeq, s"row $id differs")
+    }
+  }
+
+  test("JL property: projected sq-distances track originals at k=16") {
+    val vs = Array.tabulate(120)(i => vec(1000L + i))
+    val ps = vs.map(Projection.projectVector(_, k))
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    def sqd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val ratios = (for (i <- 0 until 60) yield {
+      val (a, b) = (2 * i, 2 * i + 1)
+      sqd(ps(a), ps(b)) / sq(vs(a), vs(b))
+    }).sorted
+    // E[ratio] = 1, sd ≈ sqrt(2/k) ≈ 0.35: individual ratios vary but
+    // stay positive and bounded; the median concentrates near 1
+    assert(ratios.head > 0.05 && ratios.last < 3.5,
+      s"ratio range [${ratios.head}, ${ratios.last}] outside JL expectations")
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.7 && median < 1.4, s"median distortion $median")
+  }
+
+  test("project-then-rerank shortlist recovers planted near neighbors exactly") {
+    // JL preserves distance GAPS, not arbitrary rankings over uniform
+    // noise (where all pairwise distances concentrate and even ideal
+    // random signs rank within ±sqrt(2/k) noise — measured 5/10 for
+    // both this hash and Mersenne-Twister signs). The honest gate:
+    // 10 planted neighbors at radius ~0.6 against background at ~3.2
+    // must ALL survive a C=50 projected shortlist of 500.
+    val base = Array.tabulate(490)(i => vec(5000L + i))
+    val q = vec(99999L)
+    val planted = Array.tabulate(10) { i =>
+      val noise = vec(7000L + i)
+      q.indices.map(j => q(j) + 0.1f * noise(j)).toArray
+    }
+    val vs = Array(q) ++ planted ++ base // ids 0, 1..10, 11..500
+    def sq(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val exactTop = vs.indices.drop(1).sortBy(i => (sq(vs(i), q), i)).take(10).toSet
+    assert(exactTop == (1 to 10).toSet, "fixture: planted rows must be the true top-10")
+    val pq = Projection.projectVector(q, k)
+    val ps = vs.map(Projection.projectVector(_, k))
+    def sqd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val shortlist = vs.indices.drop(1).sortBy(i => (sqd(ps(i), pq), i)).take(50).toSet
+    val hits = exactTop.count(shortlist.contains)
+    assert(hits == 10, s"shortlist recall $hits/10 on gap-separated neighbors")
+  }
+
+  test("projectTable is a pure projection: zero exchanges") {
+    val df = Seq.tabulate(10)(i => (i.toLong, vec(i.toLong))).toDF("id", "v")
+    val p = Projection.projectTable(df, "id", "v", d, k)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
+
+  test("dimension guards") {
+    intercept[IllegalArgumentException] {
+      Projection.signProject(col("v"), 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Projection.signProject(col("v"), 4, -1)
+    }
+  }
+}
