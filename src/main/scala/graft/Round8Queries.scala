@@ -35,7 +35,7 @@ object Round8Queries {
     * and fingerprinted once, keyed with the same Manku configuration. */
   private def ahashIndexFor(s: SparkSession, dir: String): DataFrame = {
     val path =
-      s"/tmp/graft_ahash/v1_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      s"/tmp/graft_ahash/v2_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     phashCache.computeIfAbsent((s, path), { _ =>
       if (!SparkEntry.successExists(s, path)) {
         import s.implicits._
@@ -64,7 +64,7 @@ object Round8Queries {
     * [[Dedup.hammingIndex]] contract. */
   private def phashIndexFor(s: SparkSession, dir: String): DataFrame = {
     val path =
-      s"/tmp/graft_phash/v1_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      s"/tmp/graft_phash/v2_b64d3B4_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     phashCache.computeIfAbsent((s, path), { _ =>
       if (!SparkEntry.successExists(s, path)) {
         import s.implicits._

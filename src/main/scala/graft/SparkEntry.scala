@@ -19,6 +19,19 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts as epoch-nanos BIGINT regardless of the parquet physical
+    * type. TIMESTAMP(NANOS) files arrive as BIGINT already (the
+    * `nanosAsLong` conf); micro-precision files (driver testdata
+    * switched types in round 9) arrive as TIMESTAMP_NTZ and convert
+    * exactly — µs→ns is a lossless ×1000, and the NTZ→TZ cast is
+    * identity under the pinned UTC session timezone, matching DuckDB's
+    * naive `epoch_us`. */
+  private def tsNanos(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => col(c)
+      case _ => unix_micros(col(c).cast("timestamp")) * lit(1000L)
+    }
+
   /** embeddings with the reference-shaped metadata map: even ids carry
     * {label, parity}, odd ids only {parity} — so the Ne/Exists filters
     * exercise the absent-key semantics (src/storage.rs:64-66). */
@@ -567,12 +580,15 @@ object SparkEntry {
     }),
 
     // ---- streaming-shaped windowed agg (§2.10) -------------------
-    // ts arrives as epoch-nanos BIGINT (nanosAsLong); the hour bucket
+    // ts normalizes to epoch-nanos BIGINT (tsNanos); the hour bucket
     // uses integer `div` — double division would lose precision above
     // 2^53 and could misplace boundary rows.
     "events_windowed" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(expr("(ts div 3600000000000) * 3600").as("ws"), col("event_type"))
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("__tsn", tsNanos(ev, "ts"))
+        .groupBy(expr("(__tsn div 3600000000000) * 3600").as("ws"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .select(col("ws"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))
@@ -926,12 +942,14 @@ object SparkEntry {
 
     // ---- sessionization (gap > 30 min starts a new session) ---------
     "events_sessionized" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, dir, "events")
-        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .orderBy(col("__tsn").asc, col("event_id").asc)
+      ev
+        .withColumn("__tsn", tsNanos(ev, "ts"))
+        .withColumn("__prev", lag(col("__tsn"), 1).over(w))
         .withColumn("__new", when(col("__prev").isNull
-          || (col("ts") - col("__prev")) > 1800L * 1000000000L, 1L).otherwise(0L))
+          || (col("__tsn") - col("__prev")) > 1800L * 1000000000L, 1L).otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("__new")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
@@ -944,7 +962,9 @@ object SparkEntry {
       // µs granularity on BOTH engines: DuckDB truncates TIMESTAMP(NANOS)
       // parquet to µs at scan time, so the as-of ordering must be µs too
       // or sub-µs purchase/click pairs would join differently
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("__tsn", tsNanos(ev0, "ts"))
+        .withColumn("ts_us", expr("__tsn div 1000"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"),
           round(col("value"), 4).as("click_value"))

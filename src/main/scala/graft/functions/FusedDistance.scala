@@ -96,6 +96,56 @@ case class FusedEuclidean(left: Expression, right: Expression) extends FusedVecB
     copy(left = l, right = r)
 }
 
+/** Σ (aᵢ-bᵢ)² — FusedEuclidean without the sqrt. Rank-equivalent to
+  * euclidean but one transcendental cheaper per pair, and its exact
+  * left-to-right double accumulation is the arithmetic the DuckDB
+  * oracle twins replay (`list_sum(list_transform(...))`), so hash-gated
+  * queries that expose the distance can use it directly. */
+case class FusedSqEuclidean(left: Expression, right: Expression) extends FusedVecBinary {
+  override def prettyName: String = "fused_sq_euclidean"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = elemL(x, i) - elemR(y, i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${genElemL(a, i)} - ${genElemR(b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Σ aᵢ·bᵢ — fused form of VectorFunctions.dotProduct (not negated;
   * the DotProduct metric negates at the Column layer). */
 case class FusedDot(left: Expression, right: Expression) extends FusedVecBinary {
@@ -273,6 +323,8 @@ object FusedDistance {
 
   def euclidean(a: Column, b: Column): Column =
     ColumnBridge.column(FusedEuclidean(expr(a), expr(b)))
+  def sqEuclidean(a: Column, b: Column): Column =
+    ColumnBridge.column(FusedSqEuclidean(expr(a), expr(b)))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FusedDot(expr(a), expr(b)))
   def cosine(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -61,17 +61,29 @@ object Classifier {
       .select(col(labelCol).cast("boolean").as("__pos"),
         TF.tokenHashes(col(textCol)).as("__th"))
       .observe(obs,
-        sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
-        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n"))
+        // coalesce: sum over zero rows is NULL — empty input must hit
+        // the both-classes require below, not an unboxing NPE
+        coalesce(sum(when(col("__pos"), 1L).otherwise(0L)), lit(0L)).as("p"),
+        coalesce(sum(when(!col("__pos"), 1L).otherwise(0L)), lit(0L)).as("n"),
+        coalesce(sum(when(col("__pos").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nulls"))
       .select(col("__pos"), featureBuckets(col("__th"), numBuckets).as("__fs"))
     val cnt = lab.select(col("__pos"), explode(col("__fs")).as("b"))
       .groupBy(col("b"))
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pn"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn"))
       .collect() // bounded: ≤ numBuckets rows
-    val prior = obs.get
-    val (posDocs, negDocs) =
-      (prior("p").asInstanceOf[Long], prior("n").asInstanceOf[Long])
+    // a statically-empty input optimizes the CollectMetrics node away
+    // (PropagateEmptyRelation) — absent metrics mean zero docs, which
+    // must reach the both-classes require below, not throw here
+    val prior = scala.util.Try(obs.get).getOrElse(Map.empty[String, Any])
+    def metric(name: String): Long =
+      prior.get(name).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (posDocs, negDocs) = (metric("p"), metric("n"))
+    val nullDocs = metric("nulls")
+    require(nullDocs == 0,
+      s"fitNb: $nullDocs rows have a NULL $labelCol label — drop or " +
+        "impute them before fitting")
     require(posDocs > 0 && negDocs > 0,
       s"fitNb needs both classes (pos=$posDocs neg=$negDocs)")
     val pn = new Array[Long](numBuckets)
@@ -115,14 +127,20 @@ object Classifier {
     * human-labeled documents extend to a whole corpus as weak labels
     * (the step before fitting X45's classifier on them).
     *
-    * Scale shape: the seed set is bounded (`maxSeeds`, the
-    * centroid-table/bloom-literal collect pattern) and rides the plan
-    * as ONE array-of-struct literal; scoring is map-ONLY — per row a
-    * zip_with/aggregate fold per seed, an array_sort of |seeds|
-    * structs, and a counting argmax, all inside whole-stage codegen
-    * with zero exchanges at any corpus size. For seed sets past the
-    * literal cap, compose [[graft.operators.TopK.knnJoinPairs]] with
-    * the roles flipped instead (corpus-side partial top-k buffers).
+    * Scale shape (the [[TopK.knnJoin]] shape with the roles flipped):
+    * the seed side is BROADCAST — seed vectors never ride the plan as
+    * literals, so plan size stays flat in |seeds| and |labels| — and
+    * every corpus partition scores its rows against the broadcast
+    * seeds into a bounded [[TopKAgg]] buffer. ONE shuffle total,
+    * carrying ≤k (seed id, distance) structs per row: map-side partial
+    * aggregation collapses the |seeds| candidates before the exchange,
+    * and the vote reuses the same hash partitioning (explode +
+    * broadcast label join + groupBy on the same key needs no second
+    * exchange). The vote argmax folds over the ≤k in-row labels with
+    * array HOFs — constant-size expression tree at any seed or label
+    * count. (The previous plan-literal formulation doubled the argmax
+    * tree per distinct label and inlined every seed vector: 236 MiB
+    * task binaries and a dead bench at 80 seeds × 10 labels.)
     *
     * Output: (idCol, pred_label, votes) — votes is the winning label's
     * count among the k neighbors.
@@ -130,49 +148,44 @@ object Classifier {
   def knnPropagate(data: DataFrame, idCol: String, vecCol: String,
                    seeds: DataFrame, seedIdCol: String, seedVecCol: String,
                    seedLabelCol: String, k: Int,
-                   maxSeeds: Int = 4096): DataFrame = {
+                   maxSeeds: Int = 1000000): DataFrame = {
     require(k > 0, "k must be positive")
-    val rows = seeds
-      .select(col(seedIdCol).cast("long"), col(seedVecCol),
-        col(seedLabelCol).cast("int"))
-      .collect()
-    require(rows.nonEmpty, "seed set is empty")
-    require(rows.length <= maxSeeds,
-      s"${rows.length} seeds exceed the literal cap $maxSeeds — " +
-        "use the knnJoinPairs composition for large seed sets")
-    val collected = rows.map { r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))
-    }.sortBy(_._1)
-    val labels = collected.map(_._3).distinct.sorted
-
-    // one literal: array of (sid, label, svec) structs in sid order
-    val seedLit = array(collected.map { case (sid, v, l) =>
-      struct(lit(sid).as("sid"), lit(l).as("label"),
-        array(v.map(x => lit(x.toDouble)): _*).as("svec"))
-    }: _*)
-
-    val cands = transform(seedLit, s =>
-      struct(
-        aggregate(
-          zip_with(col(vecCol), s.getField("svec"),
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x).as("dist"),
-        s.getField("sid").as("sid"),
-        s.getField("label").as("label")))
-    // struct field order (dist, sid, label) makes array_sort's
-    // lexicographic compare exactly the (distance, seed id) rule
-    val top = slice(array_sort(cands), 1, k)
-
-    val cnts = labels.map { l =>
-      l -> size(filter(top, x => x.getField("label") === l))
-    }
-    // strict > while scanning labels ascending ⇒ vote ties keep the
-    // smaller label
-    val (pred, votes) = cnts.tail.foldLeft((lit(cnts.head._1), cnts.head._2)) {
-      case ((bl, bc), (l, c)) =>
-        (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
-    }
-    data.select(col(idCol), pred.as("pred_label"),
-      votes.cast("long").as("votes"))
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "seed set is empty")
+    require(nSeeds <= maxSeeds,
+      s"$nSeeds seeds exceed the broadcast cap $maxSeeds")
+    val sv = broadcast(seeds.select(
+      col(seedIdCol).cast("long").as("__sid"),
+      col(seedVecCol).as("__svec")))
+    val lab = broadcast(seeds.select(
+      col(seedIdCol).cast("long").as("__sid"),
+      col(seedLabelCol).cast("int").as("__slabel")))
+    // squared L2 in doubles, left-to-right — the exact arithmetic the
+    // DuckDB twin replays, as one fused primitive loop per pair (no
+    // per-pair intermediate array like the HOF form would allocate)
+    val sq = graft.functions.FusedDistance.sqEuclidean(
+      col(vecCol), col("__svec"))
+    val topkAgg = udaf(new TopKAgg(k), Encoders.product[Scored])
+    // TopKAgg's buffer order IS the (distance, seed id) tie-break rule
+    val top = data.select(col(idCol), col(vecCol))
+      .crossJoin(sv)
+      .select(col(idCol), col("__sid"), sq.as("__dist"))
+      .where(col("__dist").isNotNull)
+      .groupBy(col(idCol))
+      .agg(topkAgg(col("__sid"), col("__dist")).as("__topk"))
+    val perRow = top
+      .select(col(idCol), explode(col("__topk")).as("__n"))
+      .select(col(idCol), col("__n.id").as("__sid"))
+      .join(lab, "__sid")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__slabel"))).as("__ls"))
+    val dls = array_distinct(col("__ls")) // ascending (input sorted)
+    val cnts = transform(dls, l => size(filter(col("__ls"), x => x === l)))
+    // array_position picks the FIRST max ⇒ vote ties keep the smaller
+    // label (labels ascend in dls)
+    perRow.select(col(idCol),
+      element_at(dls, array_position(cnts, array_max(cnts)).cast("int"))
+        .as("pred_label"),
+      array_max(cnts).cast("long").as("votes"))
   }
 }

@@ -309,6 +309,14 @@ object Dedup {
         s"got d=$maxHamming B=$numBlocks")
     require(bits >= numBlocks && bits <= 64,
       s"hash width must satisfy numBlocks <= bits <= 64, got $bits")
+    // carried group columns ride next to the internal working columns;
+    // a collision would silently alias them (e.g. a group literally
+    // named "key" would corrupt the bucket join)
+    val reserved = Set("doc", "h", "blk", "key", "__sk")
+    val clash = carry.filter(reserved)
+    require(clash.isEmpty,
+      s"carried column(s) ${clash.mkString(", ")} collide with the " +
+        s"internal names ${reserved.mkString("/")} — rename them first")
     val cleanBlocks = numBlocks - maxHamming
     // block b spans bits [b*bits/B, (b+1)*bits/B) — widths differ by
     // at most 1 when B does not divide bits
@@ -378,7 +386,26 @@ object Dedup {
                    numBlocks: Int = 4): DataFrame =
     hammingKeyed(hashes, idCol, hashCol, bits, maxHamming, numBlocks)
       .select(col("doc").as("doc_corpus"), col("h").as("h_c"),
-        col("blk"), col("key"))
+        col("blk"), col("key"),
+        lit(hammingCfg(bits, maxHamming, numBlocks)).as("cfg"))
+
+  /** The (bits, maxHamming, numBlocks) stamp a [[hammingIndex]]
+    * artifact carries in its constant `cfg` column — the enforcement
+    * half of the "configuration is part of the artifact's contract"
+    * rule: probes validate it instead of trusting the caller to pass
+    * the build-time values (a mismatch would silently shrink the
+    * candidate set — recall loss with no error; round 10, ADVICE r8). */
+  private def hammingCfg(bits: Int, maxHamming: Int, numBlocks: Int): String =
+    s"b${bits}_d${maxHamming}_B${numBlocks}"
+
+  /** Read the cfg stamp off a served index (one column-pruned row).
+    * None for an EMPTY index — nothing to probe, any config matches. */
+  private def indexCfg(index: DataFrame): Option[String] = {
+    require(index.columns.contains("cfg"),
+      "hamming index has no cfg stamp — rebuild it with hammingIndex " +
+        "(pre-stamp artifacts cannot be validated against probe params)")
+    index.select("cfg").limit(1).collect().headOption.map(_.getString(0))
+  }
 
   /** Full-corpus near-dup pairs served from a MATERIALIZED
     * [[hammingIndex]] table (the media twin of
@@ -389,6 +416,15 @@ object Dedup {
     * the self-join. Identical output to the inline form over the same
     * hashes and configuration. */
   def hammingPairsFromIndex(index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // candidate completeness: the pigeonhole keys guarantee pairs up to
+    // the BUILD-time d share a bucket — probing past it silently loses
+    // recall, probing at or below it is a strict (complete) refinement
+    indexCfg(index).foreach { cfg =>
+      val builtD = cfg.split("_")(1).drop(1).toInt
+      require(maxHamming <= builtD,
+        s"index built for maxHamming=$builtD cannot serve " +
+          s"maxHamming=$maxHamming (candidates would be incomplete)")
+    }
     val a = index.select(col("doc_corpus").as("doc_a"), col("h_c").as("h_a"),
       col("blk"), col("key"))
     val b = index.select(col("doc_corpus").as("doc_b"), col("h_c").as("h_b"),
@@ -416,6 +452,14 @@ object Dedup {
                                idCol: String, hashCol: String,
                                bits: Int = 64, maxHamming: Int = 3,
                                numBlocks: Int = 4): DataFrame = {
+    // the batch keys join the index's keys — they MUST come from the
+    // same (bits, d, B) or candidates silently vanish
+    val expect = hammingCfg(bits, maxHamming, numBlocks)
+    indexCfg(index).foreach { cfg =>
+      require(cfg == expect,
+        s"hamming index was built with $cfg but probed with $expect — " +
+          "use the build-time configuration")
+    }
     val batch = hammingKeyed(newHashes, idCol, hashCol, bits, maxHamming, numBlocks)
       .select(col("doc").as("doc_new"), col("h").as("h_n"),
         col("blk"), col("key"))

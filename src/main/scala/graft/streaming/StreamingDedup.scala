@@ -17,8 +17,9 @@ import graft.operators.Dedup
   * key the batch path joins on), so it spreads across executors and no
   * single group holds more than `maxBucketState` ids — the cap turns a
   * degenerate hot bucket (e.g. empty-ish docs all colliding) into
-  * bounded memory instead of OOM, at the cost of missing pairs among
-  * the overflow; real pipelines exact-dedup first, making hot buckets
+  * bounded memory instead of OOM, at the cost of missing every pair
+  * involving an overflow doc (dropped silently, never re-emitted on
+  * re-arrival); real pipelines exact-dedup first, making hot buckets
   * rare.
   *
   * Emits CANDIDATE pairs (same contract as the batch LSH candidate
@@ -56,13 +57,16 @@ object StreamingDedup {
           var seen = state.getOption.getOrElse(Vector.empty[Long])
           val out = Vector.newBuilder[CandidatePair]
           // deterministic processing order within the micro-batch
+          // emit ONLY for admitted docs — same at-capacity rule as
+          // StreamingMediaDedup: a doc the full bucket cannot remember
+          // would re-emit all its pairs on re-arrival
           rows.map(_.doc).toVector.distinct.sorted.foreach { d =>
-            if (!seen.contains(d)) {
+            if (!seen.contains(d) && seen.length < maxBucketState) {
               seen.foreach { s =>
                 out += (if (s < d) CandidatePair(s, d, bucket)
                         else CandidatePair(d, s, bucket))
               }
-              if (seen.length < maxBucketState) seen = seen :+ d
+              seen = seen :+ d
             }
           }
           state.update(seen)

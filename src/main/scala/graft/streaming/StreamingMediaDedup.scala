@@ -21,8 +21,10 @@ import graft.operators.Dedup
   * shards by bucket key (the same short key the batch path equi-joins
   * on) and is capped at `maxBucketState` entries per bucket — a
   * degenerate hot bucket (e.g. flat-color images all hashing alike)
-  * becomes bounded memory instead of OOM, at the cost of missing pairs
-  * among the overflow.
+  * becomes bounded memory instead of OOM, at the cost of missing every
+  * pair involving an overflow doc: docs arriving at a full bucket are
+  * dropped silently (no state entry, no emission), so a re-arrival can
+  * never re-emit pairs the bucket already reported.
   *
   * Unlike the text LSH stream (which emits candidates for downstream
   * exact-Jaccard verification), the state here carries the full 64-bit
@@ -59,7 +61,13 @@ object StreamingMediaDedup {
           // deterministic processing order within the micro-batch
           rows.map(r => (r.doc, r.h)).toVector.distinct.sortBy(_._1)
             .foreach { case (d, h) =>
-              if (!seen.exists(_._1 == d)) {
+              // emit ONLY for docs admitted to state: a doc arriving at
+              // a full bucket must stay silent, because without a state
+              // entry a later re-arrival (re-crawl) would be
+              // indistinguishable from a new doc and re-emit every
+              // pair — the at-capacity contract is missed pairs, never
+              // duplicated ones (round 10, ADVICE r8)
+              if (!seen.exists(_._1 == d) && seen.length < maxBucketState) {
                 seen.foreach { case (sd, sh) =>
                   val dist = java.lang.Long.bitCount(sh ^ h)
                   if (dist <= maxHamming) {
@@ -67,7 +75,7 @@ object StreamingMediaDedup {
                             else MediaPair(d, sd, dist))
                   }
                 }
-                if (seen.length < maxBucketState) seen = seen :+ ((d, h))
+                seen = seen :+ ((d, h))
               }
             }
           state.update(seen)

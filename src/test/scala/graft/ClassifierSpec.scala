@@ -63,6 +63,24 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("fitNb rejects empty input and NULL labels with clear errors") {
+    // empty input: the both-classes require must fire, not an NPE
+    // unboxing a NULL observed sum
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.fitNb(corpus.where(col("doc_id") < 0), "text", "label",
+        buckets)
+    }
+    assert(e1.getMessage.contains("both classes"), e1.getMessage)
+    // NULL labels must be rejected loudly, not silently uncounted
+    val withNull = corpus.select(col("doc_id"), col("text"),
+      when(col("doc_id") === 0, lit(null)).otherwise(col("label"))
+        .as("label"))
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.fitNb(withNull, "text", "label", buckets)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("scoring is map-only: zero exchanges, no join, no aggregate node") {
     val model = Classifier.fitNb(corpus, "text", "label", buckets)
     val p = Classifier.scoreNb(corpus, "doc_id", "text", model)
@@ -115,13 +133,19 @@ class ClassifierSpec extends SparkSpec {
     assert(one.getInt(1) == 1 && one.getLong(2) == 1L)
   }
 
-  test("knnPropagate scoring is map-only: zero exchanges, no join") {
+  test("knnPropagate plan: broadcast seeds, one bounded shuffle, no sort-merge") {
     val data = Seq((10L, Array(0.5f, 0f, 0f, 0f))).toDF("id", "vec")
     val p = Classifier.knnPropagate(data, "id", "vec",
       seeds2, "sid", "svec", "slabel", k = 1)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!p.contains("Exchange"), s"propagation must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"seeds must ride as a literal, not a join:\n$p")
+    // seed vectors ride a broadcast, never the task binary as literals
+    assert(p.contains("BroadcastExchange"), s"seeds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled join allowed:\n$p")
+    // exactly ONE shuffle: the bounded (≤k structs per row) top-k
+    // aggregation; the vote groupBy reuses its hash partitioning
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
+    assert(exchanges == 1, s"expected 1 shuffle exchange, got $exchanges:\n$p")
   }
 
   test("knnPropagate rejects empty and oversized seed sets") {

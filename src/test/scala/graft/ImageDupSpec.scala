@@ -120,6 +120,41 @@ class ImageDupSpec extends SparkSpec {
     assert(hit.exists(p => p._1 == 555L && p._2 == 7L && p._3 == 0))
   }
 
+  test("served-index probes validate the build-time configuration stamp") {
+    val hashes = (0L until 8L).map(id => (id, id * 7919L))
+      .toDF("media_id", "phash")
+    val index = Dedup.hammingIndex(hashes, "media_id", "phash",
+      bits = 64, maxHamming = 3, numBlocks = 4)
+    val batch = Seq((100L, 7919L)).toDF("media_id", "phash")
+    // mismatched probe params -> loud error, not silent recall loss
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsAgainstIndex(index, batch, "media_id", "phash",
+        bits = 64, maxHamming = 2, numBlocks = 4)
+    }
+    assert(e.getMessage.contains("b64_d3_B4"), e.getMessage)
+    // full-corpus probe past the build d -> incomplete candidates, error
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsFromIndex(index, maxHamming = 5)
+    }
+    assert(e2.getMessage.contains("maxHamming=5"), e2.getMessage)
+    // at or below the build d is a complete refinement -> allowed
+    Dedup.hammingPairsFromIndex(index, maxHamming = 2).collect()
+    // an unstamped (pre-round-10) artifact is rejected up front
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.hammingPairsAgainstIndex(index.drop("cfg"), batch,
+        "media_id", "phash")
+    }
+    assert(e3.getMessage.contains("cfg"), e3.getMessage)
+  }
+
+  test("hammingPairs64Grouped rejects group columns shadowing internals") {
+    val df = Seq((1L, 5L, "g")).toDF("media_id", "phash", "key")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64Grouped(df, "media_id", "phash", "key")
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("hammingPairsFromIndex over the served table equals the inline self-join") {
     val hashes = (0L until 40L).flatMap { id =>
       val orig = MediaCodec.decodeBmp(Round7Queries.syntheticBmp(id)).get

@@ -16,6 +16,18 @@ class StreamingSpec extends SparkSpec {
   private def mutation(seq: Long, op: String, id: String, v: Seq[Float]) =
     (seq, op, id, v, Map("src" -> "s"))
 
+  /** events.ts as epoch-nanos BIGINT `tsn` whatever the parquet
+    * physical type (the SparkEntry.tsNanos rule: driver testdata
+    * switched TIMESTAMP(NANOS) → timestamp[us] in round 9). */
+  private def withTsNanos(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("tsn", col("ts"))
+      case _ =>
+        df.withColumn("tsn",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+
   test("logTail + liveState: streaming fold matches batch fold across batches") {
     val root = Files.createTempDirectory("stream-log").toString
     VectorLog.append(Seq(
@@ -239,10 +251,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("windowed counts with watermark over the events table match batch") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = withTsNanos(raw)
     // batch ground truth (same bucketing as the oracle query)
     val expected = events
-      .groupBy(expr("(ts div 3600000000000) * 3600").as("ws"), col("event_type"))
+      .groupBy(expr("(tsn div 3600000000000) * 3600").as("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .as[(Long, String, Long)].collect().toSet
 
@@ -251,10 +264,10 @@ class StreamingSpec extends SparkSpec {
     val streamDir = Files.createTempDirectory("events-stream")
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamed = spark.readStream
-      .schema(events.schema)
-      .parquet(streamDir.toString)
-    val q = EventStream.windowedCounts(streamed, "ts")
+    val streamed = withTsNanos(spark.readStream
+      .schema(raw.schema)
+      .parquet(streamDir.toString))
+    val q = EventStream.windowedCounts(streamed, "tsn")
       .writeStream.outputMode("complete")
       .format("memory").queryName("win_counts")
       .start()
@@ -268,13 +281,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("session windows over the event stream match the batch lag fold") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = withTsNanos(raw)
     // batch ground truth on the same µs-truncated timestamps the
     // stream uses: per user, number of >30min-gap sessions and events
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("__us").asc)
     val expected = events
-      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__us", expr("tsn div 1000"))
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new", when(col("__prev").isNull
         || (col("__us") - col("__prev")) >= 1800L * 1000000L, 1L).otherwise(0L))
@@ -285,9 +299,9 @@ class StreamingSpec extends SparkSpec {
     val streamDir = Files.createTempDirectory("events-sessions")
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamed = spark.readStream.schema(events.schema)
-      .parquet(streamDir.toString)
-    val q = EventStream.sessionizeStream(streamed, "ts")
+    val streamed = withTsNanos(spark.readStream.schema(raw.schema)
+      .parquet(streamDir.toString))
+    val q = EventStream.sessionizeStream(streamed, "tsn")
       .writeStream.outputMode("complete")
       .format("memory").queryName("sessions")
       .start()
@@ -397,6 +411,38 @@ class StreamingSpec extends SparkSpec {
     // emitted pairs are pre-verified: every hamming <= 3
     assert(spark.table("mediadup_pairs")
       .select(col("hamming")).as[Int].collect().forall(_ <= 3))
+  }
+
+  test("streaming media dedup: full bucket stays silent — no duplicate re-emission") {
+    import spark.implicits._
+    // identical hashes -> one shared bucket per block subset; cap 2
+    val dir = Files.createTempDirectory("stream-mediadedup-cap")
+    Seq((1L, 42L), (2L, 42L), (3L, 42L)).toDF("media_id", "h")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val hashes = spark.readStream.schema("media_id LONG, h LONG")
+      .parquet(dir.toString)
+    val out = graft.streaming.StreamingMediaDedup.nearDupPairs(
+      hashes, "media_id", "h", maxHamming = 3, maxBucketState = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mediadup_cap_pairs").start()
+    q.processAllAvailable()
+    // doc 3 arrived at a full bucket: dropped silently, only (1,2)
+    // survives (once per shared block-subset bucket — downstream owns
+    // that dedup per the contract)
+    val b1 = spark.table("mediadup_cap_pairs")
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    assert(b1.toSet == Set((1L, 2L)), s"got $b1")
+    val n1 = b1.size
+    // batch 2: doc 3 RE-arrives (re-crawl) plus a fresh doc 4 — the
+    // bucket is still full, so neither may (re-)emit anything
+    Seq((3L, 42L), (4L, 42L)).toDF("media_id", "h")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("mediadup_cap_pairs")
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    assert(all.size == n1 && all.toSet == Set((1L, 2L)),
+      s"full bucket re-emitted or leaked pairs: $all")
   }
 
   test("streaming curation: stateless clean+score+relative-filter with static cutoffs") {
