@@ -411,6 +411,30 @@ object Scratch {
         noop(operators.Bpe.segmentStats(docs, "doc_id", "text", merges)))
     }
 
+    gated("propagate") {
+      // round-10 audit of the rewritten X49: does knnPropagate stay
+      // flat when corpus and seed set are both far past the bench
+      // fixture (the literal-plan version died at 80 seeds x 10
+      // labels)? 800k rows x 64 dims, ~1200 seeds, 50 labels.
+      // Measured: map-only FusedKnnVote generator path 2.5/1.6 s;
+      // forcing the broadcast-join path (maxSeeds=1) 88.6/103 s — the
+      // join path pays |rows|·|seeds| rows through TopKAgg.
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val big = emb.crossJoin(spark.range(400).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+          col("embedding"), (col("label") + (col("rep") % 5) * 10).as("label"))
+      big.repartition(64).write.mode("overwrite").parquet("/tmp/big_embeddings")
+      val corpus = spark.read.parquet("/tmp/big_embeddings")
+      println(s"[scale] embeddings rows=${corpus.count()}")
+      val seeds = corpus.where(col("vec_id") % 2000 === 0)
+      timeIt("knnPropagate 800k rows x 1200 seeds x 50 labels (k=5)")(
+        noop(operators.Classifier.knnPropagate(corpus, "vec_id", "embedding",
+          seeds, "vec_id", "embedding", "label", k = 5)))
+      timeIt("knnPropagate warm 2nd run")(
+        noop(operators.Classifier.knnPropagate(corpus, "vec_id", "embedding",
+          seeds, "vec_id", "embedding", "label", k = 5)))
+    }
+
     spark.stop()
   }
 }

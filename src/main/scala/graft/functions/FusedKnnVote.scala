@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Map-only k-NN majority vote of a vector column against a BOUNDED
+  * in-plan seed matrix — the kernel behind
+  * [[graft.operators.Classifier.knnPropagate]]'s small-seed fast path.
+  *
+  * The seed matrix rides the expression as ONE reference object
+  * (serialized once into the task binary: 4·dims bytes per seed), NOT
+  * as Catalyst literal nodes — the formulation that serialized a
+  * 236 MiB task and died at 80 seeds × 10 labels inlined every seed
+  * component as its own `Literal` and doubled the argmax tree per
+  * label. Per row: one fused squared-L2 loop per seed (identical
+  * left-to-right double accumulation as [[FusedSqEuclidean]] and the
+  * DuckDB oracle), a k-bounded insertion top-k, and an O(k²) label
+  * vote.
+  *
+  * It is a GENERATOR (0 or 1 output rows), not a scalar struct, for
+  * two reasons: the optimizer cannot duplicate a generator, whereas a
+  * scalar struct referenced by a null-filter plus two field
+  * extractions gets substituted into all three (measured: the vote
+  * loop ran 3× per row); and emitting zero rows for a null/unmatched
+  * vector reproduces the join path's drop semantics natively. Zero
+  * exchanges at any corpus size; the per-row interpreted-eval cost of
+  * CodegenFallback is noise next to the |seeds|·dims flops.
+  *
+  * Seeds MUST be pre-sorted by seed id: distance ties rank the
+  * smaller array index = smaller id (the reference rule), and vote
+  * ties keep the smaller label. Output rows: (pred_label INT,
+  * votes BIGINT). Seeds whose dimension differs from the row's
+  * vector are skipped; a row with a null vector or no
+  * dimension-matching seed emits nothing.
+  */
+case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Float]],
+                        seedLabels: Array[Int], k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(seedVecs.nonEmpty && seedVecs.length == seedLabels.length && k > 0)
+
+  override def prettyName: String = "fused_knn_vote"
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pred_label", IntegerType, nullable = false),
+    StructField("votes", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<float|double> vector, got $other")
+  }
+
+  private def isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // row vector staged once into a primitive array: |seeds| passes
+    // over ArrayData getters would re-branch on every element
+    val row = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      row(j) = if (isDouble) x.getDouble(j) else x.getFloat(j).toDouble
+      j += 1
+    }
+    val kk = math.min(k, seedVecs.length)
+    val bestD = new Array[Double](kk)
+    val bestI = new Array[Int](kk)
+    var size = 0
+    var i = 0
+    while (i < seedVecs.length) {
+      val s = seedVecs(i)
+      if (s.length == n) {
+        var acc = 0.0
+        var c = 0
+        while (c < n) {
+          val d = row(c) - s(c)
+          acc += d * d
+          c += 1
+        }
+        // insertion by (dist, index): scanning i ascending means an
+        // equal-distance later seed never displaces an earlier one
+        if (size < kk || acc < bestD(size - 1)) {
+          var p = size
+          while (p > 0 && acc < bestD(p - 1)) p -= 1
+          val last = math.min(size, kk - 1)
+          var m = last
+          while (m > p) {
+            bestD(m) = bestD(m - 1); bestI(m) = bestI(m - 1); m -= 1
+          }
+          bestD(p) = acc; bestI(p) = i
+          if (size < kk) size += 1
+        }
+      }
+      i += 1
+    }
+    if (size == 0) Nil
+    else {
+      // O(k²) vote: max count, ties -> smaller label
+      var predLabel = Int.MaxValue
+      var predVotes = 0L
+      var a = 0
+      while (a < size) {
+        val l = seedLabels(bestI(a))
+        var cnt = 0L
+        var b = 0
+        while (b < size) {
+          if (seedLabels(bestI(b)) == l) cnt += 1
+          b += 1
+        }
+        if (cnt > predVotes || (cnt == predVotes && l < predLabel)) {
+          predLabel = l; predVotes = cnt
+        }
+        a += 1
+      }
+      Seq(InternalRow(predLabel, predVotes))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused JL signed random projection of a d-dim vector column to
+  * k = signs.length/d components — the kernel behind
+  * [[graft.operators.Projection.signProject]].
+  *
+  * The ±1 sign matrix rides as ONE reference object (k·d bytes; 1 KiB
+  * at d=64 k=16), replacing the unrolled chain of k·d per-element
+  * expression nodes whose analysis + codegen dominated the bench
+  * (embed_project 2.4 s at 2 000 rows — plan compile, not data) and
+  * whose task binary grew ~1 MiB. Arithmetic is EXACTLY the driver
+  * twin [[graft.operators.Projection.projectVector]]: per component a
+  * left-to-right fold acc ± element in doubles from 0.0, scaled once —
+  * the same fixed order the DuckDB oracle's SQL chain replays.
+  *
+  * `signs` is laid out component-major: sign of element i in
+  * component j sits at j·d + i. A vector whose length differs from d
+  * projects to NULL (the element_at-out-of-bounds semantics of the
+  * expression-chain formulation).
+  */
+case class FusedSignProject(child: Expression, d: Int, signs: Array[Byte],
+                            scale: Double)
+    extends UnaryExpression with CodegenFallback {
+  require(d > 0 && signs.nonEmpty && signs.length % d == 0)
+
+  private def k: Int = signs.length / d
+
+  override def prettyName: String = "fused_sign_project"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<float|double> vector, got $other")
+  }
+
+  private def isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != d) return null
+    val row = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      row(i) = if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val off = j * d
+      var acc = 0.0
+      var c = 0
+      while (c < d) {
+        val e = row(c)
+        acc = if (signs(off + c) > 0) acc + e else acc + (-e)
+        c += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -127,20 +127,31 @@ object Classifier {
     * human-labeled documents extend to a whole corpus as weak labels
     * (the step before fitting X45's classifier on them).
     *
-    * Scale shape (the [[TopK.knnJoin]] shape with the roles flipped):
-    * the seed side is BROADCAST — seed vectors never ride the plan as
-    * literals, so plan size stays flat in |seeds| and |labels| — and
-    * every corpus partition scores its rows against the broadcast
-    * seeds into a bounded [[TopKAgg]] buffer. ONE shuffle total,
-    * carrying ≤k (seed id, distance) structs per row: map-side partial
-    * aggregation collapses the |seeds| candidates before the exchange,
-    * and the vote reuses the same hash partitioning (explode +
-    * broadcast label join + groupBy on the same key needs no second
-    * exchange). The vote argmax folds over the ≤k in-row labels with
-    * array HOFs — constant-size expression tree at any seed or label
-    * count. (The previous plan-literal formulation doubled the argmax
-    * tree per distinct label and inlined every seed vector: 236 MiB
-    * task binaries and a dead bench at 80 seeds × 10 labels.)
+    * Two scale shapes, routed by seed count (`maxSeeds` is the
+    * threshold, not a rejection cap):
+    *
+    *  - ≤ maxSeeds (the typical human-labeled seed set): MAP-ONLY.
+    *    The seed matrix rides the plan as one reference object inside
+    *    a single [[graft.functions.FusedKnnVote]] expression (4·dims
+    *    bytes per seed in the task binary — NOT per-component Literal
+    *    nodes, the formulation that serialized 236 MiB and died at 80
+    *    seeds × 10 labels), and every row scores/votes in one fused
+    *    loop. Zero exchanges at any corpus size; measured ~55× over
+    *    the join path at 800k rows × 1200 seeds (1.6 s vs 88.6 s —
+    *    the join path pushes |rows|·|seeds| scored pairs through the
+    *    typed top-k aggregate, the generator path touches each row
+    *    exactly once).
+    *  - > maxSeeds: the [[TopK.knnJoin]] shape with the roles flipped
+    *    — seeds BROADCAST, each corpus partition scores into a
+    *    bounded [[TopKAgg]] buffer, ONE shuffle of ≤k (seed id,
+    *    distance) structs per row (map-side partial collapses the
+    *    |seeds| candidates first), and the vote reuses the same hash
+    *    partitioning (explode + broadcast label join + groupBy on the
+    *    same key needs no second exchange) with an array-HOF argmax.
+    *
+    * Both paths replay the oracle's exact arithmetic (left-to-right
+    * double squared-L2) and tie rules (distance ties → smaller seed
+    * id, vote ties → smaller label), so they are result-identical.
     *
     * Output: (idCol, pred_label, votes) — votes is the winning label's
     * count among the k neighbors.
@@ -148,12 +159,29 @@ object Classifier {
   def knnPropagate(data: DataFrame, idCol: String, vecCol: String,
                    seeds: DataFrame, seedIdCol: String, seedVecCol: String,
                    seedLabelCol: String, k: Int,
-                   maxSeeds: Int = 1000000): DataFrame = {
+                   maxSeeds: Int = 4096): DataFrame = {
     require(k > 0, "k must be positive")
-    val nSeeds = seeds.count()
-    require(nSeeds > 0, "seed set is empty")
-    require(nSeeds <= maxSeeds,
-      s"$nSeeds seeds exceed the broadcast cap $maxSeeds")
+    // bounded route probe: pull at most maxSeeds+1 rows — never a
+    // data-proportional collect. Null-vector/label seeds are dropped
+    // (they can never contribute a scored vote on either path).
+    val probe = seeds
+      .select(col(seedIdCol).cast("long"), col(seedVecCol),
+        col(seedLabelCol).cast("int"))
+      .where(col(seedVecCol).isNotNull && col(seedLabelCol).isNotNull)
+      .limit(maxSeeds + 1).collect()
+    require(probe.nonEmpty, "seed set is empty")
+    if (probe.length <= maxSeeds) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val sorted = probe
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+        .sortBy(_._1)
+      val vote = graft.functions.FusedKnnVote(
+        ColumnBridge.expression(col(vecCol)),
+        sorted.map(_._2), sorted.map(_._3), k)
+      // generator select: expands to (pred_label, votes), emits no row
+      // for null/unmatched vectors (the join path's drop semantics)
+      return data.select(col(idCol), ColumnBridge.column(vote))
+    }
     val sv = broadcast(seeds.select(
       col(seedIdCol).cast("long").as("__sid"),
       col(seedVecCol).as("__svec")))

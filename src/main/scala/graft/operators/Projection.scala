@@ -51,22 +51,21 @@ object Projection {
   /** 1/√k — the JL scale factor, applied once per component. */
   def scale(k: Int): Double = 1.0 / math.sqrt(k.toDouble)
 
-  /** Projected component j of a d-dim vector column: ±element terms
-    * summed in fixed index order i = 0..d−1 (left-assoc), then scaled.
-    * Straight-line arithmetic — whole-stage codegen keeps it in one
-    * compiled loop-free span. */
-  private def component(vec: Column, d: Int, k: Int, j: Int): Column = {
-    val terms = (0 until d).map { i =>
-      val e = element_at(vec, i + 1).cast("double")
-      if (sign(i, j, k) > 0) e else -e
-    }
-    terms.reduceLeft(_ + _) * lit(scale(k))
-  }
-
-  /** The k-dim projection of a d-dim vector column as array<double>. */
+  /** The k-dim projection of a d-dim vector column as array<double>:
+    * one fused [[graft.functions.FusedSignProject]] expression whose
+    * sign matrix rides as a k·d-byte reference object. Per component
+    * the ±element terms fold in fixed index order i = 0..d−1
+    * (left-assoc from 0.0, exactly [[projectVector]]), then scale —
+    * so Spark's and the oracle's doubles stay bit-identical. The
+    * previous unrolled formulation materialized k·d expression nodes;
+    * its analysis + codegen dominated the bench at small row counts
+    * and its task binary grew ~1 MiB at d=64 k=16. */
   def signProject(vec: Column, d: Int, k: Int): Column = {
     require(d > 0 && k > 0, s"dimensions must be positive, got d=$d k=$k")
-    array((0 until k).map(j => component(vec, d, k, j)): _*)
+    val signs = Array.tabulate(k * d)(idx => sign(idx % d, idx / d, k).toByte)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.FusedSignProject(
+      ColumnBridge.expression(vec), d, signs, scale(k)))
   }
 
   /** The narrow projected table (id, proj) — the compaction-cadence

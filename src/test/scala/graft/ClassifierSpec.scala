@@ -104,39 +104,53 @@ class ClassifierSpec extends SparkSpec {
     (0L, Array(0f, 0f, 0f, 0f), 0),
     (1L, Array(10f, 10f, 10f, 10f), 1)).toDF("sid", "svec", "slabel")
 
-  test("knnPropagate assigns each point its nearest seed cluster's label") {
+  test("knnPropagate assigns each point its nearest seed cluster's label (both paths)") {
     val data = Seq(
       (10L, Array(0.5f, 0f, 0f, 0f)),
       (11L, Array(0f, 1f, 0f, 0f)),
       (12L, Array(9.5f, 10f, 10f, 10f)),
       (13L, Array(10f, 10f, 11f, 10f))).toDF("id", "vec")
-    val byId = Classifier.knnPropagate(data, "id", "vec",
-      seeds2, "sid", "svec", "slabel", k = 1)
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
-    assert(byId(10L) == ((0, 1L)) && byId(11L) == ((0, 1L)))
-    assert(byId(12L) == ((1, 1L)) && byId(13L) == ((1, 1L)))
+    // maxSeeds default -> map-only expression; maxSeeds=1 -> join path
+    for (ms <- Seq(4096, 1)) {
+      val byId = Classifier.knnPropagate(data, "id", "vec",
+        seeds2, "sid", "svec", "slabel", k = 1, maxSeeds = ms)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(byId(10L) == ((0, 1L)) && byId(11L) == ((0, 1L)), s"maxSeeds=$ms")
+      assert(byId(12L) == ((1, 1L)) && byId(13L) == ((1, 1L)), s"maxSeeds=$ms")
+    }
   }
 
   test("knnPropagate: vote ties pick the smaller label, distance ties the smaller seed id") {
     // seeds at x=0 (label 1, sid 0) and x=2 (label 0, sid 1); the
-    // midpoint x=1 is exactly equidistant
+    // midpoint x=1 is exactly equidistant — pin the rule on BOTH paths
     val seeds = Seq((0L, Array(0f, 0f), 1), (1L, Array(2f, 0f), 0))
       .toDF("sid", "svec", "slabel")
     val mid = Seq((100L, Array(1f, 0f))).toDF("id", "vec")
-    // k=2: one vote each -> tie -> smaller label 0 wins
-    val tie = Classifier.knnPropagate(mid, "id", "vec",
-      seeds, "sid", "svec", "slabel", k = 2).collect().head
-    assert(tie.getInt(1) == 0 && tie.getLong(2) == 1L)
-    // k=1: equidistant seeds -> the smaller sid (0, label 1) wins
-    val one = Classifier.knnPropagate(mid, "id", "vec",
-      seeds, "sid", "svec", "slabel", k = 1).collect().head
-    assert(one.getInt(1) == 1 && one.getLong(2) == 1L)
+    for (ms <- Seq(4096, 1)) {
+      // k=2: one vote each -> tie -> smaller label 0 wins
+      val tie = Classifier.knnPropagate(mid, "id", "vec",
+        seeds, "sid", "svec", "slabel", k = 2, maxSeeds = ms).collect().head
+      assert(tie.getInt(1) == 0 && tie.getLong(2) == 1L, s"maxSeeds=$ms")
+      // k=1: equidistant seeds -> the smaller sid (0, label 1) wins
+      val one = Classifier.knnPropagate(mid, "id", "vec",
+        seeds, "sid", "svec", "slabel", k = 1, maxSeeds = ms).collect().head
+      assert(one.getInt(1) == 1 && one.getLong(2) == 1L, s"maxSeeds=$ms")
+    }
   }
 
-  test("knnPropagate plan: broadcast seeds, one bounded shuffle, no sort-merge") {
+  test("knnPropagate small-seed plan is map-only: zero exchanges, no join") {
     val data = Seq((10L, Array(0.5f, 0f, 0f, 0f))).toDF("id", "vec")
     val p = Classifier.knnPropagate(data, "id", "vec",
       seeds2, "sid", "svec", "slabel", k = 1)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"map-only path must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"seeds ride the expression, not a join:\n$p")
+  }
+
+  test("knnPropagate past-threshold plan: broadcast seeds, one bounded shuffle") {
+    val data = Seq((10L, Array(0.5f, 0f, 0f, 0f))).toDF("id", "vec")
+    val p = Classifier.knnPropagate(data, "id", "vec",
+      seeds2, "sid", "svec", "slabel", k = 1, maxSeeds = 1)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // seed vectors ride a broadcast, never the task binary as literals
     assert(p.contains("BroadcastExchange"), s"seeds must broadcast:\n$p")
@@ -148,15 +162,30 @@ class ClassifierSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle exchange, got $exchanges:\n$p")
   }
 
-  test("knnPropagate rejects empty and oversized seed sets") {
+  test("knnPropagate: map-only and join paths are result-identical on random data") {
+    // deterministic pseudo-random fixture: 60 points, 12 seeds, 4 dims,
+    // 3 labels — enough collisions to exercise both tie rules
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(4)(j => ((seed * 31 + j * 17) % 7).toFloat)
+    val data = (0L until 60L).map(i => (i, vec(i))).toDF("id", "vec")
+    val seeds = (0L until 12L).map(i => (i, vec(i * 5), (i % 3).toInt))
+      .toDF("sid", "svec", "slabel")
+    for (k <- Seq(1, 3, 5)) {
+      val fast = Classifier.knnPropagate(data, "id", "vec",
+        seeds, "sid", "svec", "slabel", k = k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val joined = Classifier.knnPropagate(data, "id", "vec",
+        seeds, "sid", "svec", "slabel", k = k, maxSeeds = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(fast == joined, s"paths diverged at k=$k")
+    }
+  }
+
+  test("knnPropagate rejects an empty seed set") {
     val data = Seq((10L, Array(0f, 0f))).toDF("id", "vec")
     intercept[IllegalArgumentException] {
       Classifier.knnPropagate(data, "id", "vec",
         seeds2.where(col("sid") < 0), "sid", "svec", "slabel", k = 1)
-    }
-    intercept[IllegalArgumentException] {
-      Classifier.knnPropagate(data, "id", "vec",
-        seeds2, "sid", "svec", "slabel", k = 1, maxSeeds = 1)
     }
   }
 }
