@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TrainingData
+
+/** Round-10 [EXT] queries: priority sampling (X51 — deterministic
+  * weight-proportional corpus subsampling with unbiased estimator
+  * weights, Duffield/Lund/Thorup JACM 2007). The DuckDB twin replays
+  * the exact IEEE arithmetic — the md5 sample key, the two exact
+  * divisions, the τ threshold — so the query is hash-gated.
+  */
+object Round10Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X51: priority sample of 25 docs weighted by length --------
+    "data_priority" -> ((s, dir) =>
+      TrainingData.prioritySample(t(s, dir, "documents"), "doc_id",
+        "n_chars", n = 25)
+        .orderBy("sample_rank")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "data_priority" ->
+      """WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |p AS (SELECT doc_id, weight,
+        |    CAST(weight AS DOUBLE) /
+        |      ((CAST(key AS DOUBLE) + 1.0) / 4503599627370496.0) AS q
+        |  FROM k),
+        |t AS (SELECT * FROM p ORDER BY q DESC, doc_id ASC LIMIT 26),
+        |r AS (SELECT doc_id, weight, q,
+        |    row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rk,
+        |    count(*) OVER () AS n_got,
+        |    min(q) OVER () AS minq
+        |  FROM t)
+        |SELECT doc_id, weight, CAST(rk AS BIGINT) AS sample_rank,
+        |  round(greatest(CAST(weight AS DOUBLE),
+        |    CASE WHEN n_got = 26 THEN minq ELSE 0.0 END), 4) AS est_weight
+        |FROM r WHERE rk <= 25""".stripMargin,
+  )
+}

@@ -296,7 +296,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
-      Round8Queries.queries ++ Round8bQueries.queries
+      Round8Queries.queries ++ Round8bQueries.queries ++ Round10Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -1789,6 +1789,7 @@ object SparkEntry {
            |  CAST(nm AS BIGINT) AS n_members
            |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
     ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
-      Round8Queries.oracleSql ++ Round8bQueries.oracleSql
+      Round8Queries.oracleSql ++ Round8bQueries.oracleSql ++
+      Round10Queries.oracleSql
   }
 }

@@ -214,4 +214,60 @@ object TrainingData {
         col("col.distance").cast("long").as("sample_key"),
         (col("pos") + 1).cast("long").as("sample_rank"))
   }
+
+  /** Deterministic weight-proportional corpus sampling WITH unbiased
+    * estimator weights — priority sampling (Duffield, Lund & Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums",
+    * JACM 2007): item i gets priority q_i = w_i / u_i with u_i
+    * uniform on (0,1]; keep the n largest priorities; with τ = the
+    * (n+1)-th largest priority, each kept item estimates its subset
+    * contribution as max(w_i, τ) — sums of these estimates are
+    * unbiased for the corresponding weight sums. The training-data
+    * use: subsample a corpus proportionally to a quality/length/
+    * domain weight while keeping the ability to compute unbiased
+    * corpus statistics from the sample alone.
+    *
+    * u_i derives from [[sampleKey]]: u = (key+1)/2⁵², exact in
+    * doubles (≤52-bit integer over a power of two), so q is ONE IEEE
+    * division of exact operands — no transcendentals, no RNG state —
+    * and any engine replays the sample bit-for-bit from (id, weight)
+    * alone.
+    *
+    * Scale shape: priorities are map-side pure functions; selection
+    * is orderBy-limit(n+1) = TakeOrderedAndProject (bounded
+    * per-partition heaps, driver merge of ≤ n+1 rows per partition —
+    * no shuffle, no global sort); τ, ranks, and estimator weights
+    * come from a window over the ≤ n+1 SELECTED rows only. Rows with
+    * null or non-positive weight are ineligible (q undefined).
+    *
+    * Emits (idCol, weight BIGINT, sample_rank 1..n, est_weight
+    * rounded 1e-4); when the eligible corpus has ≤ n rows the sample
+    * is exhaustive and est_weight = weight (τ = 0), per the paper.
+    */
+  def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (sampleKey(col(idCol)).cast("double") + lit(1.0)) /
+      lit(4503599627370496.0) // 2^52
+    val top = docs
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as(idCol),
+        col(weightCol).cast("long").as("weight"),
+        (col(weightCol).cast("double") / u).as("__q"))
+      .orderBy(col("__q").desc, col(idCol).asc)
+      .limit(n + 1)
+    val ord = Window.orderBy(col("__q").desc, col(idCol).asc)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("__tau",
+        when(count(lit(1)).over(all) === n + 1, min(col("__q")).over(all))
+          .otherwise(lit(0.0)))
+      .where(col("__rk") <= n)
+      .select(col(idCol), col("weight"),
+        col("__rk").cast("long").as("sample_rank"),
+        round(greatest(col("weight").cast("double"), col("__tau")), 4)
+          .as("est_weight"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, TrainingData}
@@ -124,5 +125,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == (1L to 10L))
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq,
       "sample_key must be non-decreasing in rank")
+  }
+
+  // ---- X51 priority sampling -------------------------------------
+
+  test("prioritySample matches a driver-side replay of the paper's scheme") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, (i % 7 + 1).toLong * 10))
+      .toDF("id", "w")
+    val n = 8
+    val got = TrainingData.prioritySample(docs, "id", "w", n)
+      .orderBy(col("sample_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent replay: same md5 key, u = (key+1)/2^52, q = w/u,
+    // top-n by (q desc, id asc), tau = (n+1)-th q, est = max(w, tau)
+    val keyed = docs
+      .withColumn("key", TrainingData.sampleKey(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qs = keyed.map { case (id, w, key) =>
+      (id, w, w.toDouble / ((key + 1.0) / 4503599627370496.0))
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val tau = qs(n)._3
+    val want = qs.take(n).zipWithIndex.map { case ((id, w, _), i) =>
+      (id, w, (i + 1).toLong,
+        BigDecimal(math.max(w.toDouble, tau))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == want.toSeq)
+    // estimator sanity: every kept row's est_weight >= its weight and
+    // >= tau (the threshold) — the max(w, tau) form
+    got.foreach { case (_, w, _, est) => assert(est >= w.toDouble) }
+  }
+
+  test("prioritySample: small corpus is exhaustive with est_weight = weight") {
+    val docs = Seq((1L, 5L), (2L, 50L), (3L, 500L)).toDF("id", "w")
+    val got = TrainingData.prioritySample(docs, "id", "w", n = 10)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    got.foreach { case (_, w, est) => assert(est == w.toDouble) }
+    // weight-proportional: across many corpora the high-weight item
+    // must be kept far more often — here just pin zero/negative
+    // weights are ineligible
+    val withBad = docs.union(Seq((4L, 0L), (5L, -3L)).toDF("id", "w"))
+    val kept = TrainingData.prioritySample(withBad, "id", "w", n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("prioritySample plan: TakeOrdered selection, no shuffle before the top-k") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, i.toLong + 1)).toDF("id", "w")
+    val p = TrainingData.prioritySample(docs, "id", "w", n = 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be a bounded distributed top-k:\n$p")
   }
 }
