@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.TrainingData
+import graft.operators.{Curation, TrainingData}
 
 /** Round-10 [EXT] queries: priority sampling (X51 — deterministic
   * weight-proportional corpus subsampling with unbiased estimator
-  * weights, Duffield/Lund/Thorup JACM 2007). The DuckDB twin replays
-  * the exact IEEE arithmetic — the md5 sample key, the two exact
-  * divisions, the τ threshold — so the query is hash-gated.
+  * weights, Duffield/Lund/Thorup JACM 2007) and the Gopher rule
+  * filter (X52 — Rae et al. 2021's composite document-quality rules).
+  * Every DuckDB twin replays the exact arithmetic — md5 sample keys,
+  * IEEE divisions, per-rule ratios — so both are hash-gated.
   */
 object Round10Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -20,6 +21,13 @@ object Round10Queries {
       TrainingData.prioritySample(t(s, dir, "documents"), "doc_id",
         "n_chars", n = 25)
         .orderBy("sample_rank")),
+
+    // ---- X52: Gopher rule filter (lowered word floor — the fixture
+    // corpus is short-doc; the rule SHAPE is what's gated) -----------
+    "quality_gopher" -> ((s, dir) =>
+      Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 10)
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -41,5 +49,44 @@ object Round10Queries {
         |  round(greatest(CAST(weight AS DOUBLE),
         |    CASE WHEN n_got = 26 THEN minq ELSE 0.0 END), 4) AS est_weight
         |FROM r WHERE rk <= 25""".stripMargin,
+
+    "quality_gopher" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(toks) AS n_words, len(lines) AS n_lines,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) * 1.0
+        |        / len(toks) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      ((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+        |        / len(toks) END AS symbol_ratio,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |      len(list_filter(lines, l -> starts_with(l, '- ')
+        |        OR starts_with(l, '* '))) * 1.0 / len(lines) END AS bullet_frac,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |      len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0
+        |        / len(lines) END AS ellipsis_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+        |        / len(toks) END AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+        |      AS stop_hits
+        |  FROM s)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(symbol_ratio, 4) AS symbol_ratio,
+        |  round(bullet_frac, 4) AS bullet_frac,
+        |  round(ellipsis_frac, 4) AS ellipsis_frac,
+        |  round(alpha_frac, 4) AS alpha_frac,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+        |   AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep_doc
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -323,4 +323,67 @@ object Curation {
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         sum(col("c").cast("double") * col("lr")).as("logw"))
   }
+
+  /** Gopher-style rule-based document filter (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", App. A1.1) — the deterministic pre-filter
+    * virtually every modern pretraining corpus applies before any
+    * model-based scoring: word-count bounds, mean word length in
+    * [3, 10], symbol-to-word ratio ("#"/"...") < 0.1, < 90% of lines
+    * bullet-started, < 30% of lines ellipsis-ended, ≥ 80% of words
+    * containing an alphabetic character, and ≥ 2 of the paper's eight
+    * required stopwords present.
+    *
+    * Map-ONLY: one tokenize and one line-split per doc, staged so
+    * neither runs twice; every rule is integer/ratio arithmetic over
+    * exact operands (no transcendentals), so a SQL oracle replays
+    * each per-rule column and the final verdict bit-for-bit. Emits
+    * the individual signals (rounded 1e-4) plus `keep_doc` — keeping
+    * the signals visible is deliberate: corpus curation tunes
+    * thresholds by inspecting marginal rule hit-rates, not just the
+    * conjunction.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords > 0 && maxWords >= minWords,
+      "need 0 < minWords <= maxWords")
+    val requiredStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val staged = df.select(col(idCol), col(textCol).as("__t"),
+      TF.tokens(col(textCol)).as("__toks"),
+      filter(split(col(textCol), "\n"), l => l =!= "").as("__lines"))
+    val nW = size(col("__toks"))
+    val nL = size(col("__lines"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val meanLen = frac(
+      aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t).cast("long")),
+      nW)
+    val hashCnt = length(col("__t")) -
+      length(call_function("replace", col("__t"), lit("#"), lit("")))
+    val ellCnt = (length(col("__t")) -
+      length(call_function("replace", col("__t"), lit("..."), lit("")))) / 3
+    val symbolRatio = frac(hashCnt + ellCnt, nW)
+    val bulletFrac = frac(
+      size(filter(col("__lines"),
+        l => l.startsWith("- ") || l.startsWith("* "))), nL)
+    val ellipsisFrac = frac(
+      size(filter(col("__lines"), l => l.endsWith("..."))), nL)
+    val alphaFrac = frac(
+      size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))), nW)
+    val lowered = transform(col("__toks"), t => lower(t))
+    val stopHits = size(filter(
+      array(requiredStops.map(lit): _*), w => array_contains(lowered, w)))
+    staged.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (nW.between(minWords, maxWords) && meanLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 && stopHits >= 2).as("keep_doc"))
+  }
 }

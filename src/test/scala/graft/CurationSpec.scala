@@ -367,4 +367,46 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(all(k) - mid(k)) < 1e-12)
     }
   }
+
+  // ---- X52 Gopher rule filter ------------------------------------
+
+  test("gopherRules: each rule flips the verdict on a targeted fixture") {
+    import spark.implicits._
+    // 20 good words with the required stopword mix, mean length in range
+    val good = "the quick brown fox jumps over that lazy dog pack " +
+      "with vigor and grace having chased rabbits down yonder hill"
+    val docs = Seq(
+      (0L, good),                                    // passes all rules
+      (1L, "the of and"),                            // too few words
+      (2L, good.replace("quick", "#quick#quick#")),  // symbol ratio
+      (3L, (1 to 20).map(i => s"- bullet $i line").mkString("\n")), // bullets
+      (4L, good.split(" ").map(_ + "...").mkString("\n")),  // ellipsis lines
+      (5L, (1 to 20).map(_.toString).mkString(" ") + " the of"), // non-alpha
+      (6L, "zebra quokka wombat lemur panda otter badger weasel " +
+        "marten stoat ferret mink fisher sable tayra grison " +
+        "ratel hogger civet genet")                  // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherRules(docs, "doc_id", "text", minWords = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(8), r.getLong(1), r.getLong(7))).toMap
+    assert(got(0L)._1, s"good doc must pass: ${got(0L)}")
+    assert(!got(1L)._1, "word floor must fail")
+    assert(!got(2L)._1, "symbol ratio must fail")
+    assert(!got(3L)._1, "bullet lines must fail")
+    assert(!got(4L)._1, "ellipsis lines must fail")
+    assert(!got(5L)._1, "alpha fraction must fail")
+    assert(!got(6L)._1 && got(6L)._3 < 2, "stopword requirement must fail")
+  }
+
+  test("gopherRules is map-only and handles empty docs") {
+    import spark.implicits._
+    val docs = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    val rows = Curation.gopherRules(docs, "doc_id", "text").collect()
+    assert(rows.forall(!_.getBoolean(8)))
+    assert(rows.forall(_.getLong(1) == 0L))
+    val p = Curation.gopherRules(docs, "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"rule filter must not shuffle:\n$p")
+  }
 }
