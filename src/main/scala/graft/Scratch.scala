@@ -40,7 +40,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (section == "qrf" &&
+        (Set("qrf", "r10ops").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -409,6 +409,20 @@ object Scratch {
       println(s"[scale] merges=${merges.map(_.display).mkString(",")}")
       timeIt("Bpe.segmentStats over 5M docs (served merges)")(
         noop(operators.Bpe.segmentStats(docs, "doc_id", "text", merges)))
+    }
+
+    gated("r10ops") {
+      // scale audit of the round-10 curation/sampling ops at 5M docs
+      // (re-uses the curation section's replicated corpus): both must
+      // stay map-only / TakeOrdered-bounded — corpus size should move
+      // wall time linearly (scan-bound), never through a shuffle.
+      println(s"[scale] rows=${docs.count()}")
+      timeIt("gopherRules over 5M docs (map-only)")(
+        noop(operators.Curation.gopherRules(docs, "doc_id", "text",
+          minWords = 10)))
+      timeIt("prioritySample n=1000 of 5M docs (TakeOrdered)")(
+        noop(operators.TrainingData.prioritySample(docs, "doc_id",
+          "n_chars", n = 1000)))
     }
 
     gated("propagate") {

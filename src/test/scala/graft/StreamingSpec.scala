@@ -445,6 +445,34 @@ class StreamingSpec extends SparkSpec {
       s"full bucket re-emitted or leaked pairs: $all")
   }
 
+  test("gopherRules is stateless: runs unchanged on a stream, matches batch") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over that lazy dog pack " +
+        "with vigor and grace having chased rabbits down yonder hill"),
+      (1L, "the of and"))
+    val dir = Files.createTempDirectory("stream-gopher")
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir.toString)
+    val q = graft.operators.Curation
+      .gopherRules(streamed, "doc_id", "text", minWords = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gopher_stream")
+      .select(col("doc_id"), col("keep_doc")).as[(Long, Boolean)]
+      .collect().toMap
+    val want = graft.operators.Curation
+      .gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 10)
+      .select(col("doc_id"), col("keep_doc")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == want && got(0L) && !got(1L), s"got $got want $want")
+  }
+
   test("streaming curation: stateless clean+score+relative-filter with static cutoffs") {
     import spark.implicits._
     // batch corpus fixes the cutoffs: source A's quality distribution
