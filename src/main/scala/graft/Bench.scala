@@ -38,7 +38,8 @@ object Bench {
     "corpus_vocab", "len_quantiles", "quality_classifier",
     "knn_hard_negatives", "bpe_merges", "bpe_segment",
     "embed_project", "knn_project_rerank", "label_propagate",
-    "data_stratified", "data_priority", "quality_gopher")
+    "data_stratified", "data_priority", "quality_gopher",
+    "ppl_bigram", "ppl_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, TrainingData}
+import graft.operators.{CorpusStats, Curation, TrainingData}
 
 /** Round-10 [EXT] queries: priority sampling (X51 — deterministic
   * weight-proportional corpus subsampling with unbiased estimator
@@ -28,6 +30,33 @@ object Round10Queries {
       Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text",
         minWords = 10)
         .orderBy("doc_id")),
+
+    // ---- X53a: interpolated bigram LM doc scoring (CCNet's
+    // perplexity signal) --------------------------------------------
+    "ppl_bigram" -> ((s, dir) =>
+      CorpusStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          round(col("nll"), 4).as("nll"))
+        .orderBy("doc_id")),
+
+    // ---- X53b: CCNet perplexity buckets — per-language terciles of
+    // the bigram nll (head = lowest perplexity). Ordering is on the
+    // ROUNDED nll (doc tiebreak) so tercile assignment is engine-
+    // independent ----------------------------------------------------
+    "ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nll = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), round(col("nll"), 4).as("__nll"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("__nll").asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"))
+        .join(nll, "doc_id")
+        .withColumn("__t", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +117,50 @@ object Round10Queries {
         |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
         |   AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep_doc
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ppl_bigram" -> pplSql(
+      """SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(nll, 4) AS nll
+        |FROM nlls ORDER BY doc_id""".stripMargin),
+
+    "ppl_buckets" -> pplSql(
+      """SELECT d.doc_id, d.lang,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY round(s.nll, 4) ASC, d.doc_id ASC)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM documents d JOIN nlls s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
   )
+
+  /** Shared DuckDB CTE pipeline replaying [[CorpusStats.bigramLogProb]]
+    * exactly — same λ = 0.75 / 0.25 literals (both exact binary
+    * doubles), same interpolation order, same ln-weighted mean. */
+  private def pplSql(select: String): String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+       |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+       |bgu AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM tk),
+       |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+       |  FROM bgu GROUP BY doc_id, bg),
+       |c12 AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c12 FROM dbg GROUP BY bg),
+       |model AS (SELECT c12.bg,
+       |    0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(f1.tf AS DOUBLE))
+       |      + 0.25 * (CAST(f2.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS p
+       |  FROM c12, tf f1, tf f2, tot
+       |  WHERE f1.t = string_split(c12.bg, ' ')[1]
+       |    AND f2.t = string_split(c12.bg, ' ')[2]),
+       |nlls AS (SELECT dbg.doc_id,
+       |    CAST(sum(dbg.c) AS BIGINT) AS n_bigrams,
+       |    sum(CAST(dbg.c AS DOUBLE) * -ln(m.p)) / sum(CAST(dbg.c AS DOUBLE))
+       |      AS nll
+       |  FROM dbg JOIN model m ON dbg.bg = m.bg
+       |  GROUP BY dbg.doc_id)
+       |$select""".stripMargin
 }

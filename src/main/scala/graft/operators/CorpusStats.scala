@@ -192,4 +192,65 @@ object CorpusStats {
           -log(col("tf").cast("double") / col("n").cast("double")))
           / sum(col("c")).cast("double")).as("nll"))
   }
+
+  /** Interpolated bigram language-model document scoring — the
+    * perplexity-filter machinery of CCNet (Wenzek et al. 2020: rank
+    * web text by LM perplexity, keep the low-perplexity head). The
+    * model is Jelinek–Mercer interpolation,
+    * p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N, so unseen bigrams
+    * at scoring time still get the unigram mass; per doc the score is
+    * the mean bigram negative log-likelihood (nll; perplexity =
+    * exp(nll)). λ defaults to 0.75 — both λ and 1−λ are EXACT binary
+    * doubles, so an oracle writing the literals reproduces the
+    * arithmetic bit-for-bit.
+    *
+    * Scale shape: the MODEL is vocabulary-scale, built with algebraic
+    * aggregations (per-doc combine first, the topNgrams two-phase
+    * shape) and vocab-side joins, materializable on compaction
+    * cadence. SCORING joins the per-doc bigram counts against the
+    * model with the unigramLogProb Zipf hybrid: the top-`headSize`
+    * bigrams by corpus count — exactly the hot join keys — ride a
+    * broadcast, the skew-free tail takes the equi-join, and the
+    * corpus-side shuffle keys are never hot. Docs with no bigram
+    * (fewer than two tokens) are absent from the output.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75, headSize: Int = 1024): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val toks = TF.tokens(col(textCol))
+    val docTok = docs
+      .select(col(idCol).as("doc"), explode(toks).as("t"))
+      .groupBy(col("doc"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val docBg = docs
+      .select(col(idCol).as("doc"), explode(ngramArray(toks, 2)).as("bg"))
+      .groupBy(col("doc"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val tf = docTok.groupBy(col("t")).agg(sum(col("c")).cast("long").as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n"))
+    val bgCnt = docBg.groupBy(col("bg"))
+      .agg(sum(col("c")).cast("long").as("c12"))
+    // tokens are space-split, so the space-joined bigram splits back
+    // unambiguously; the c1/c2 attachment joins are vocab-scale
+    val model = bgCnt
+      .withColumn("__w1", split(col("bg"), " ").getItem(0))
+      .withColumn("__w2", split(col("bg"), " ").getItem(1))
+      .join(tf.select(col("t").as("__w1"), col("tf").as("__c1")), Seq("__w1"))
+      .join(tf.select(col("t").as("__w2"), col("tf").as("__c2")), Seq("__w2"))
+      .crossJoin(total)
+      .select(col("bg"), col("c12"),
+        (lit(lambda) * (col("c12").cast("double") / col("__c1").cast("double"))
+          + lit(1.0 - lambda) *
+            (col("__c2").cast("double") / col("n").cast("double"))).as("p"))
+    val head = model.orderBy(col("c12").desc, col("bg").asc).limit(headSize)
+    val tail = model.join(broadcast(head.select(col("bg"))), Seq("bg"),
+      "left_anti")
+    val scored = docBg.join(broadcast(head.drop("c12")), Seq("bg"))
+      .unionByName(docBg.join(tail.drop("c12"), Seq("bg")))
+    scored
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        (sum(col("c").cast("double") * -log(col("p")))
+          / sum(col("c")).cast("double")).as("nll"))
+  }
 }

@@ -115,6 +115,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bigramLogProb: hand-computed interpolated nll on a tiny corpus") {
+    // corpus bigrams: doc1 "a b a b" -> [a b, b a, a b]; doc2 "a c"
+    // unigrams: a=3 b=2 c=1, N=6
+    // p(b|a) = .75*(2/3) + .25*(2/6); p(a|b) = .75*(1/2) + .25*(3/6)
+    // p(c|a) = .75*(1/3) + .25*(1/6)
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pba = 0.75 * (2.0 / 3.0) + 0.25 * (2.0 / 6.0)
+    val pab = 0.75 * (1.0 / 2.0) + 0.25 * (3.0 / 6.0)
+    val pca = 0.75 * (1.0 / 3.0) + 0.25 * (1.0 / 6.0)
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    val want1 = (2 * -math.log(pba) + -math.log(pab)) / 3.0
+    assert(math.abs(got(1L)._2 - want1) < 1e-12)
+    assert(math.abs(got(2L)._2 - -math.log(pca)) < 1e-12)
+    // the rare transition scores higher nll (CCNet keeps the head)
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("bigramLogProb: sub-bigram docs absent; scoring joins broadcast the head") {
+    val docs = Seq((1L, "a b a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+    assert(out.select("doc").as[Long].collect().toSet == Set(1L))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"head bigrams must broadcast (Zipf hybrid):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("Privacy.redact: known hits, counts, and ordering email>phone>ip") {
     val docs = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
