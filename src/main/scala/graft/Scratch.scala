@@ -423,6 +423,16 @@ object Scratch {
       timeIt("prioritySample n=1000 of 5M docs (TakeOrdered)")(
         noop(operators.TrainingData.prioritySample(docs, "doc_id",
           "n_chars", n = 1000)))
+      // X53 split build/serve: the model is the compaction-cadence
+      // artifact, the served scoring pass is the per-batch hot path
+      timeIt("bigramModel BUILD over 5M docs (compaction cadence)") {
+        operators.CorpusStats.bigramModel(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet("/tmp/big_bigram_model")
+      }
+      val model = spark.read.parquet("/tmp/big_bigram_model")
+      timeIt("bigramLogProbServed over 5M docs (stored model)")(
+        noop(operators.CorpusStats.bigramLogProbServed(docs, "doc_id",
+          "text", model)))
     }
 
     gated("propagate") {

@@ -215,7 +215,19 @@ object CorpusStats {
     * (fewer than two tokens) are absent from the output.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-                    lambda: Double = 0.75, headSize: Int = 1024): DataFrame = {
+                    lambda: Double = 0.75, headSize: Int = 1024): DataFrame =
+    bigramLogProbServed(docs, idCol, textCol,
+      bigramModel(docs, idCol, textCol, lambda), headSize)
+
+  /** The interpolated bigram model table (bg, c12, p) behind
+    * [[bigramLogProb]] — at production scale THIS is the materialized
+    * compaction-cadence artifact (like tfidfPostings / hammingIndex):
+    * build it once per corpus snapshot, persist it, and serve every
+    * scoring pass from the stored table. All aggregations are
+    * algebraic with per-doc combine first; the c1/c2 attachment joins
+    * are vocabulary-scale. */
+  def bigramModel(docs: DataFrame, idCol: String, textCol: String,
+                  lambda: Double = 0.75): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
     val toks = TF.tokens(col(textCol))
     val docTok = docs
@@ -232,7 +244,7 @@ object CorpusStats {
       .agg(sum(col("c")).cast("long").as("c12"))
     // tokens are space-split, so the space-joined bigram splits back
     // unambiguously; the c1/c2 attachment joins are vocab-scale
-    val model = bgCnt
+    bgCnt
       .withColumn("__w1", split(col("bg"), " ").getItem(0))
       .withColumn("__w2", split(col("bg"), " ").getItem(1))
       .join(tf.select(col("t").as("__w1"), col("tf").as("__c1")), Seq("__w1"))
@@ -242,6 +254,19 @@ object CorpusStats {
         (lit(lambda) * (col("c12").cast("double") / col("__c1").cast("double"))
           + lit(1.0 - lambda) *
             (col("__c2").cast("double") / col("n").cast("double"))).as("p"))
+  }
+
+  /** Score documents against a (possibly stored) [[bigramModel]] —
+    * the per-batch hot path: one explode + per-doc combine, the Zipf
+    * hybrid join, one final per-doc aggregate. */
+  def bigramLogProbServed(docs: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame,
+                          headSize: Int = 1024): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val docBg = docs
+      .select(col(idCol).as("doc"), explode(ngramArray(toks, 2)).as("bg"))
+      .groupBy(col("doc"), col("bg"))
+      .agg(count(lit(1)).as("c"))
     val head = model.orderBy(col("c12").desc, col("bg").asc).limit(headSize)
     val tail = model.join(broadcast(head.select(col("bg"))), Seq("bg"),
       "left_anti")
