@@ -473,6 +473,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got(0L) && !got(1L), s"got $got want $want")
   }
 
+  test("served bigram LM scores micro-batches via foreachBatch, matches batch") {
+    import spark.implicits._
+    // model from a BATCH corpus snapshot (the compaction-cadence
+    // artifact). The scoring pass aggregates twice (per-doc bigram
+    // combine, then the nll fold), so it is NOT a single streaming
+    // aggregation — the streaming form is foreachBatch: score each
+    // micro-batch as a batch against the stored model (the same shape
+    // as the incremental media-dedup probes).
+    val corpus = Seq((0L, "a b a b c"), (1L, "b c b c a"), (2L, "a b c a b"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.CorpusStats
+      .bigramModel(corpus, "doc_id", "text")
+    val dir = Files.createTempDirectory("stream-ppl")
+    corpus.coalesce(1).write.mode("append").parquet(dir.toString)
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir.toString)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.CorpusStats
+          .bigramLogProbServed(batch, "doc_id", "text", model)
+          .collect().foreach(r => acc.put(r.getLong(0), r.getDouble(2)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toMap
+    val want = graft.operators.CorpusStats
+      .bigramLogProbServed(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want && got.size == 3, s"got $got want $want")
+  }
+
   test("streaming curation: stateless clean+score+relative-filter with static cutoffs") {
     import spark.implicits._
     // batch corpus fixes the cutoffs: source A's quality distribution
