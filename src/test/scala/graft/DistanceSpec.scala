@@ -85,6 +85,29 @@ class DistanceSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("sqEuclidean equals the HOF squared form bitwise and euclidean squared") {
+    import graft.functions.FusedDistance
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // HOF twin with the exact left-to-right double accumulation
+    val hofSq = aggregate(
+      zip_with(col("embedding"), col("qv"),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val both = emb.crossJoin(q).select(
+      hofSq.as("s_hof"),
+      FusedDistance.sqEuclidean(col("embedding"), col("qv")).as("s_fused"),
+      FusedDistance.euclidean(col("embedding"), col("qv")).as("e_fused"))
+    assert(both.where(col("s_hof") =!= col("s_fused")).count() == 0)
+    // sqrt(sq) == euclidean bitwise (same accumulator, one sqrt apart)
+    assert(both.where(sqrt(col("s_fused")) =!= col("e_fused")).count() == 0)
+    // null contract: mismatched dims -> null, like the other kernels
+    val bad = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(FusedDistance.sqEuclidean(col("a"), col("b")).as("d"))
+    assert(bad.head.isNullAt(0))
+  }
+
   test("dimension check flags mismatched vectors (reference DimensionMismatch)") {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     val bad = df.where(!VF.dimCheck(col("v"), 2)).select("id").as[Long].collect()
