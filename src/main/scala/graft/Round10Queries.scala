@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CorpusStats, Curation, TrainingData}
@@ -39,22 +38,23 @@ object Round10Queries {
           round(col("nll"), 4).as("nll"))
         .orderBy("doc_id")),
 
-    // ---- X53b: CCNet perplexity buckets — per-language terciles of
-    // the bigram nll (head = lowest perplexity). Ordering is on the
-    // ROUNDED nll (doc tiebreak) so tercile assignment is engine-
-    // independent ----------------------------------------------------
+    // ---- X53b: CCNet perplexity buckets — per-language VALUE
+    // terciles of the rounded bigram nll (head = lowest perplexity).
+    // Cutoffs are one |langs|-row percentile aggregate broadcast back
+    // (Curation.quantileBuckets), NEVER an ntile window partitioned by
+    // language — the r10 weak: at 100 TB that window funnels each
+    // language's entire corpus slice through ONE reducer for a full
+    // sort. Value bucketing also makes ties engine-independent with no
+    // secondary sort key at all ---------------------------------------
     "ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nll = CorpusStats.bigramLogProb(docs, "doc_id", "text")
         .select(col("doc").as("doc_id"), round(col("nll"), 4).as("__nll"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("__nll").asc, col("doc_id").asc)
-      docs.select(col("doc_id"), col("lang"))
-        .join(nll, "doc_id")
-        .withColumn("__t", ntile(3).over(w))
-        .select(col("doc_id"), col("lang"),
-          when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
-            .otherwise("tail").as("bucket"))
+      Curation.quantileBuckets(
+        docs.select(col("doc_id"), col("lang")).join(nll, "doc_id"),
+        "lang", "__nll",
+        probs = Seq(1.0 / 3, 2.0 / 3), labels = Seq("head", "middle", "tail"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")
     }),
   )
@@ -114,8 +114,8 @@ object Round10Queries {
         |  round(alpha_frac, 4) AS alpha_frac,
         |  CAST(stop_hits AS BIGINT) AS stop_hits,
         |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
-        |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-        |   AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep_doc
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep_doc
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "ppl_bigram" -> pplSql(
@@ -123,20 +123,34 @@ object Round10Queries {
         |  round(nll, 4) AS nll
         |FROM nlls ORDER BY doc_id""".stripMargin),
 
+    // value-tercile twin: quantile_cont == Spark's exact interpolated
+    // `percentile` (the len_quantiles / quality_rel_filter precedent);
+    // CAST(1 AS DOUBLE)/3 forces the same IEEE double as Scala's
+    // 1.0/3, and both cutoffs are rounded 1e-4 before comparison
     "ppl_buckets" -> pplSql(
-      """SELECT d.doc_id, d.lang,
-        |  CASE ntile(3) OVER (PARTITION BY d.lang
-        |      ORDER BY round(s.nll, 4) ASC, d.doc_id ASC)
-        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-        |  END AS bucket
-        |FROM documents d JOIN nlls s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+      """j AS (SELECT d.doc_id, d.lang, round(s.nll, 4) AS nll4
+        |  FROM documents d JOIN nlls s ON d.doc_id = s.doc_id),
+        |cut AS (SELECT lang,
+        |    round(quantile_cont(nll4, CAST(1 AS DOUBLE)/3), 4) AS c0,
+        |    round(quantile_cont(nll4, CAST(2 AS DOUBLE)/3), 4) AS c1
+        |  FROM j GROUP BY lang)
+        |SELECT j.doc_id, j.lang,
+        |  CASE WHEN j.nll4 <= cut.c0 THEN 'head'
+        |       WHEN j.nll4 <= cut.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM j JOIN cut USING (lang)
+        |ORDER BY j.doc_id""".stripMargin, extraCte = true),
   )
 
   /** Shared DuckDB CTE pipeline replaying [[CorpusStats.bigramLogProb]]
     * exactly — same λ = 0.75 / 0.25 literals (both exact binary
-    * doubles), same interpolation order, same ln-weighted mean. */
-  private def pplSql(select: String): String =
+    * doubles), same interpolation order, same ln-weighted mean.
+    * `extraCte = true` when `select` CONTINUES the WITH-list (its text
+    * must then start with its own `name AS (...)` clause). */
+  private[graft] def pplSqlFor(select: String, extraCte: Boolean = false): String =
+    pplSql(select, extraCte)
+
+  private def pplSql(select: String, extraCte: Boolean = false): String =
     s"""WITH tk AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents),
@@ -161,6 +175,6 @@ object Round10Queries {
        |    sum(CAST(dbg.c AS DOUBLE) * -ln(m.p)) / sum(CAST(dbg.c AS DOUBLE))
        |      AS nll
        |  FROM dbg JOIN model m ON dbg.bg = m.bg
-       |  GROUP BY dbg.doc_id)
+       |  GROUP BY dbg.doc_id)${if (extraCte) "," else ""}
        |$select""".stripMargin
 }

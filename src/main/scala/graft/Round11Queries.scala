@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Round-11 [EXT] queries: the X53 served-LM contract surface. The
+  * r10 verdict flagged two gaps — the served scorer silently dropped
+  * out-of-model bigrams (biasing served nll optimistically on exactly
+  * the out-of-distribution docs a CCNet filter exists to catch), and
+  * the designed hot path (scoring from the PERSISTED model artifact)
+  * was benched only in Scratch, never oracle-gated. Both close here:
+  *
+  *  - `ppl_served_oov` builds the LM on the even-doc_id half of the
+  *    corpus and scores the odd half — a batch guaranteed to contain
+  *    unseen bigrams AND unseen unigrams, so the Jelinek–Mercer
+  *    backoff ((1−λ)·tf(w2)/N) and the OOV floor ((1−λ)·1/N) are
+  *    exercised under the hash gate, not just in specs.
+  *  - `ppl_bigram_served` scores the FULL corpus from the stored
+  *    bigram+unigram parquet artifact (built once per sf dir, the
+  *    shingle-index compaction-cadence pattern) — semantically equal
+  *    to `ppl_bigram` (every scored bigram is in-model), so it shares
+  *    that oracle, while the bench now measures the true serve-path
+  *    cost instead of an inline model rebuild.
+  */
+object Round11Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Build-once persisted LM artifact (bigram + unigram tables) per
+    * sf dir — compaction-cadence work; queries measure SERVING. */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+
+  private def bigramLmFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val path = s"/tmp/graft_bigramlm/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    lmCache.computeIfAbsent((s, path), { _ =>
+      if (!SparkEntry.successExists(s, s"$path/bigrams") ||
+        !SparkEntry.successExists(s, s"$path/unigrams")) {
+        val docs = t(s, dir, "documents")
+        CorpusStats.bigramModel(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$path/bigrams")
+        CorpusStats.unigramModel(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$path/unigrams")
+      }
+      (s.read.parquet(s"$path/bigrams"), s.read.parquet(s"$path/unigrams"))
+    })
+  }
+
+  private def asOutput(nll: DataFrame): DataFrame =
+    nll.select(col("doc").as("doc_id"), col("n_bigrams"),
+      round(col("nll"), 4).as("nll"))
+      .orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X53c: served scoring of a batch DISJOINT from the build
+    // corpus — unseen bigrams take the unigram backoff, double-OOV
+    // takes the pinned floor ------------------------------------------
+    "ppl_served_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      asOutput(CorpusStats.bigramLogProbServed(batch, "doc_id", "text",
+        CorpusStats.bigramModel(corpus, "doc_id", "text"),
+        CorpusStats.unigramModel(corpus, "doc_id", "text")))
+    }),
+
+    // ---- X53d: the serve-path bench entry — full corpus scored from
+    // the PERSISTED artifact (same semantics as ppl_bigram, which
+    // rebuilds the model inline; the delta between the two bench rows
+    // is the build cost the stored artifact amortizes) -----------------
+    "ppl_bigram_served" -> ((s, dir) => {
+      val (model, unis) = bigramLmFor(s, dir)
+      asOutput(CorpusStats.bigramLogProbServed(t(s, dir, "documents"),
+        "doc_id", "text", model, unis))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Replays bigramLogProbServed exactly: model CTEs over the even
+    // half (same λ literals/parenthesization as Round10Queries.pplSql),
+    // then the batch's per-doc bigram counts LEFT-join the model and
+    // the unigram table — COALESCE(m.p, 0.25·(COALESCE(tf,1)/N)) is
+    // precisely the seen / backoff / floor branch split.
+    "ppl_served_oov" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM corp),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+        |bgu AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM tk),
+        |dbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        |  FROM bgu GROUP BY doc_id, bg),
+        |c12 AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c12 FROM dbg GROUP BY bg),
+        |model AS (SELECT c12.bg,
+        |    0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(f1.tf AS DOUBLE))
+        |      + 0.25 * (CAST(f2.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS p
+        |  FROM c12, tf f1, tf f2, tot
+        |  WHERE f1.t = string_split(c12.bg, ' ')[1]
+        |    AND f2.t = string_split(c12.bg, ' ')[2]),
+        |btk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bbg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM btk),
+        |bdbg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+        |  FROM bbg GROUP BY doc_id, bg),
+        |scored AS (SELECT b.doc_id, b.c,
+        |    COALESCE(m.p, 0.25 *
+        |      (CAST(COALESCE(f2.tf, 1) AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS p
+        |  FROM bdbg b
+        |  LEFT JOIN model m ON b.bg = m.bg
+        |  LEFT JOIN tf f2 ON f2.t = string_split(b.bg, ' ')[2]
+        |  CROSS JOIN tot),
+        |nl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(c AS DOUBLE) * -ln(p)) / sum(CAST(c AS DOUBLE)) AS nll
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(nll, 4) AS nll
+        |FROM nl ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to ppl_bigram (full-corpus model scores its
+    // own build corpus: the backoff branches are provably empty)
+    "ppl_bigram_served" -> Round10Queries.pplSqlFor(
+      """SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(nll, 4) AS nll
+        |FROM nlls ORDER BY doc_id""".stripMargin),
+  )
+}

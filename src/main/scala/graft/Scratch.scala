@@ -428,11 +428,14 @@ object Scratch {
       timeIt("bigramModel BUILD over 5M docs (compaction cadence)") {
         operators.CorpusStats.bigramModel(docs, "doc_id", "text")
           .write.mode("overwrite").parquet("/tmp/big_bigram_model")
+        operators.CorpusStats.unigramModel(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet("/tmp/big_bigram_unis")
       }
       val model = spark.read.parquet("/tmp/big_bigram_model")
+      val unis = spark.read.parquet("/tmp/big_bigram_unis")
       timeIt("bigramLogProbServed over 5M docs (stored model)")(
         noop(operators.CorpusStats.bigramLogProbServed(docs, "doc_id",
-          "text", model)))
+          "text", model, unis)))
     }
 
     gated("propagate") {

@@ -12,7 +12,9 @@ import org.apache.spark.sql.types._
   * [[graft.operators.Classifier.knnPropagate]]'s small-seed fast path.
   *
   * The seed matrix rides the expression as ONE reference object
-  * (serialized once into the task binary: 4·dims bytes per seed), NOT
+  * (serialized once into the task binary: 8·dims bytes per seed —
+  * seeds are staged as doubles so float and double seed columns both
+  * score in the exact double arithmetic of the join path), NOT
   * as Catalyst literal nodes — the formulation that serialized a
   * 236 MiB task and died at 80 seeds × 10 labels inlined every seed
   * component as its own `Literal` and doubled the argmax tree per
@@ -37,7 +39,7 @@ import org.apache.spark.sql.types._
   * vector are skipped; a row with a null vector or no
   * dimension-matching seed emits nothing.
   */
-case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Float]],
+case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Double]],
                         seedLabels: Array[Int], k: Int)
     extends UnaryExpression with Generator with CodegenFallback {
   require(seedVecs.nonEmpty && seedVecs.length == seedLabels.length && k > 0)

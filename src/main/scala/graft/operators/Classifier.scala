@@ -161,19 +161,36 @@ object Classifier {
                    seedLabelCol: String, k: Int,
                    maxSeeds: Int = 4096): DataFrame = {
     require(k > 0, "k must be positive")
+    // ONE filtered seed frame feeds the probe AND both paths:
+    // null-vector/label seeds are dropped everywhere (they can never
+    // contribute a scored vote — the r10 join path broadcast `seeds`
+    // unfiltered, so a null-labeled seed could win top-k slots and
+    // then vanish in the vote's collect_list, skewing it).
+    val cleanSeeds = seeds
+      .select(col(seedIdCol).cast("long").as("__sid"),
+        col(seedVecCol).as("__svec"),
+        col(seedLabelCol).cast("int").as("__slabel"))
+      .where(col("__svec").isNotNull && col("__slabel").isNotNull)
     // bounded route probe: pull at most maxSeeds+1 rows — never a
-    // data-proportional collect. Null-vector/label seeds are dropped
-    // (they can never contribute a scored vote on either path).
-    val probe = seeds
-      .select(col(seedIdCol).cast("long"), col(seedVecCol),
-        col(seedLabelCol).cast("int"))
-      .where(col(seedVecCol).isNotNull && col(seedLabelCol).isNotNull)
-      .limit(maxSeeds + 1).collect()
+    // data-proportional collect
+    val probe = cleanSeeds.limit(maxSeeds + 1).collect()
     require(probe.nonEmpty, "seed set is empty")
     if (probe.length <= maxSeeds) {
       import org.apache.spark.sql.graft.ColumnBridge
+      // seed element type follows the column's schema — float widens
+      // to double EXACTLY, so both element types score in the same
+      // double arithmetic as the join path's sqEuclidean
       val sorted = probe
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+        .map { r =>
+          val vec = r.getSeq[Any](1).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case other => throw new IllegalArgumentException(
+              s"knnPropagate: $seedVecCol must be array<float|double>, " +
+                s"got element $other")
+          }.toArray
+          (r.getLong(0), vec, r.getInt(2))
+        }
         .sortBy(_._1)
       val vote = graft.functions.FusedKnnVote(
         ColumnBridge.expression(col(vecCol)),
@@ -182,12 +199,8 @@ object Classifier {
       // for null/unmatched vectors (the join path's drop semantics)
       return data.select(col(idCol), ColumnBridge.column(vote))
     }
-    val sv = broadcast(seeds.select(
-      col(seedIdCol).cast("long").as("__sid"),
-      col(seedVecCol).as("__svec")))
-    val lab = broadcast(seeds.select(
-      col(seedIdCol).cast("long").as("__sid"),
-      col(seedLabelCol).cast("int").as("__slabel")))
+    val sv = broadcast(cleanSeeds.select(col("__sid"), col("__svec")))
+    val lab = broadcast(cleanSeeds.select(col("__sid"), col("__slabel")))
     // squared L2 in doubles, left-to-right — the exact arithmetic the
     // DuckDB twin replays, as one fused primitive loop per pair (no
     // per-pair intermediate array like the HOF form would allocate)

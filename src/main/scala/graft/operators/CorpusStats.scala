@@ -213,11 +213,20 @@ object CorpusStats {
     * broadcast, the skew-free tail takes the equi-join, and the
     * corpus-side shuffle keys are never hot. Docs with no bigram
     * (fewer than two tokens) are absent from the output.
+    *
+    * This inline form scores the BUILD corpus itself, so every scored
+    * bigram is in the model by construction and the OOV backoff
+    * branches of [[bigramLogProbServed]] are provably empty — it uses
+    * the seen-only join. Serving a NEW batch against a stored model
+    * must go through [[bigramLogProbServed]], which carries the
+    * interpolation's unigram fallback for unseen bigrams.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-                    lambda: Double = 0.75, headSize: Int = 1024): DataFrame =
-    bigramLogProbServed(docs, idCol, textCol,
-      bigramModel(docs, idCol, textCol, lambda), headSize)
+                    lambda: Double = 0.75, headSize: Int = 1024): DataFrame = {
+    val docBg = perDocBigrams(docs, idCol, textCol)
+    perDocNll(scoreSeen(docBg, bigramModel(docs, idCol, textCol, lambda),
+      headSize))
+  }
 
   /** The interpolated bigram model table (bg, c12, p) behind
     * [[bigramLogProb]] — at production scale THIS is the materialized
@@ -256,26 +265,117 @@ object CorpusStats {
             (col("__c2").cast("double") / col("n").cast("double"))).as("p"))
   }
 
-  /** Score documents against a (possibly stored) [[bigramModel]] —
-    * the per-batch hot path: one explode + per-doc combine, the Zipf
-    * hybrid join, one final per-doc aggregate. */
-  def bigramLogProbServed(docs: DataFrame, idCol: String, textCol: String,
-                          model: DataFrame,
-                          headSize: Int = 1024): DataFrame = {
+  /** The unigram side of the served LM artifact: (t, tf BIGINT,
+    * n BIGINT) with n = total corpus tokens carried on every row so
+    * the table is a self-contained parquet artifact (no side-channel
+    * totals file). Persisted NEXT TO [[bigramModel]] on the same
+    * compaction cadence — [[bigramLogProbServed]] needs it to give
+    * unseen bigrams their interpolation backoff mass. Same two-phase
+    * shape as every aggregate here: per-doc combine first, then the
+    * vocab-scale rollup; the totals attach via a 1-row broadcast. */
+  def unigramModel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = docs
+      .select(col(idCol).as("doc"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tf = docTok.groupBy(col("t")).agg(sum(col("c")).cast("long").as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n"))
+    tf.crossJoin(broadcast(total))
+  }
+
+  /** Per-(doc, bigram) counts — the map-side combine every scoring
+    * pass starts from. */
+  private def perDocBigrams(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     val toks = TF.tokens(col(textCol))
-    val docBg = docs
+    docs
       .select(col(idCol).as("doc"), explode(ngramArray(toks, 2)).as("bg"))
       .groupBy(col("doc"), col("bg"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** In-model scoring join: per-doc bigram counts × model p, via the
+    * Zipf hybrid (head broadcast, tail equi-join). Emits (doc, c, p)
+    * only for bigrams PRESENT in the model. */
+  private def scoreSeen(docBg: DataFrame, model: DataFrame,
+                        headSize: Int): DataFrame = {
     val head = model.orderBy(col("c12").desc, col("bg").asc).limit(headSize)
     val tail = model.join(broadcast(head.select(col("bg"))), Seq("bg"),
       "left_anti")
-    val scored = docBg.join(broadcast(head.drop("c12")), Seq("bg"))
+    docBg.join(broadcast(head.drop("c12")), Seq("bg"))
       .unionByName(docBg.join(tail.drop("c12"), Seq("bg")))
+      .select(col("doc"), col("c"), col("p"))
+  }
+
+  /** Final per-doc rollup of (doc, c, p) scored rows. */
+  private def perDocNll(scored: DataFrame): DataFrame =
     scored
       .groupBy(col("doc"))
       .agg(sum(col("c")).cast("long").as("n_bigrams"),
         (sum(col("c").cast("double") * -log(col("p")))
           / sum(col("c")).cast("double")).as("nll"))
+
+  /** Score documents against a STORED LM artifact ([[bigramModel]] +
+    * [[unigramModel]]) — the per-batch hot path, and the only form
+    * valid for text OUTSIDE the build corpus. Unseen bigrams are not
+    * dropped (the r10 defect: two inner joins silently excluded them
+    * from both the nll numerator and the n_bigrams denominator,
+    * under-reporting the perplexity of exactly the out-of-distribution
+    * docs a CCNet filter exists to catch); they receive the Jelinek–
+    * Mercer backoff mass the model's λ-interpolation defines for a
+    * zero bigram count:
+    *
+    *   p = (1−λ)·tf(w2)/N        (w2 in the unigram table)
+    *   p = (1−λ)·1/N             (w2 itself unseen — scored as a
+    *                              singleton, the pinned OOV floor)
+    *
+    * so an all-novel document is scored (high), never absent.
+    *
+    * Scale shape: the per-doc combine splits into four disjoint
+    * branches, each an equi- or broadcast join — seen-head (broadcast:
+    * ALL the Zipf bigram skew), seen-tail (equi, skew-free by
+    * construction), backoff-head (broadcast on the unigram head, where
+    * a novel hot bigram's w2 — "the" — would otherwise be a hot key),
+    * backoff-tail (equi) — plus a 1-row totals broadcast for the OOV
+    * floor. The per-doc counts feed all four branches, so they are
+    * materialized ONCE (lazy localCheckpoint, the dsirWeights
+    * pattern) instead of re-tokenizing the batch per branch.
+    * `lambda` must equal the stored model's build λ — the bigram
+    * table's p already bakes it in, the backoff branches re-derive
+    * (1−λ) from this parameter. */
+  def bigramLogProbServed(docs: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame, unigrams: DataFrame,
+                          lambda: Double = 0.75,
+                          headSize: Int = 1024): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val docBg = perDocBigrams(docs, idCol, textCol).localCheckpoint(false)
+    val seen = scoreSeen(docBg, model, headSize)
+    // bigrams absent from the model: backoff on w2's unigram mass
+    val head = model.orderBy(col("c12").desc, col("bg").asc).limit(headSize)
+    val unseen = docBg
+      .join(broadcast(head.select(col("bg"))), Seq("bg"), "left_anti")
+      .join(model.select(col("bg")), Seq("bg"), "left_anti")
+      .withColumn("__w2", split(col("bg"), " ").getItem(1))
+    val uniHead = unigrams.orderBy(col("tf").desc, col("t").asc).limit(headSize)
+    val uniTail = unigrams.join(broadcast(uniHead.select(col("t"))), Seq("t"),
+      "left_anti")
+    def backoffP: org.apache.spark.sql.Column =
+      (lit(1.0 - lambda) *
+        (col("tf").cast("double") / col("n").cast("double"))).as("p")
+    def renamed(u: DataFrame): DataFrame =
+      u.select(col("t").as("__w2"), col("tf"), col("n"))
+    val boHead = unseen.join(broadcast(renamed(uniHead)), Seq("__w2"))
+      .select(col("doc"), col("c"), backoffP)
+    val boTail = unseen.join(renamed(uniTail), Seq("__w2"))
+      .select(col("doc"), col("c"), backoffP)
+    val totals = unigrams.agg(max(col("n")).cast("long").as("n"))
+    val oov = unseen
+      .join(broadcast(uniHead.select(col("t").as("__w2"))), Seq("__w2"),
+        "left_anti")
+      .join(uniTail.select(col("t").as("__w2")), Seq("__w2"), "left_anti")
+      .crossJoin(broadcast(totals))
+      .select(col("doc"), col("c"),
+        (lit(1.0 - lambda) * (lit(1.0) / col("n").cast("double"))).as("p"))
+    perDocNll(seen.unionByName(boHead).unionByName(boTail).unionByName(oov))
   }
 }

@@ -253,6 +253,46 @@ object Curation {
       .where(col("quality") > col("cutoff"))
   }
 
+  /** Assign every row a per-group VALUE-quantile bucket: cutoffs at
+    * `probs` (ascending, exclusive of 0/1) are exact interpolated
+    * percentiles of `valueCol` within each group, rounded to 1e-4 so
+    * the boundary comparison is engine-independent; row i gets
+    * labels(j) for the first j with value ≤ cutoff(j), else the last
+    * label. CCNet's perplexity terciles are
+    * `probs = [1/3, 2/3], labels = [head, middle, tail]`.
+    *
+    * Bucketing is by VALUE, not rank — equal values land in the same
+    * bucket (a rank form like `ntile` splits ties by a secondary sort
+    * key, which is exactly what forces it through a per-group total
+    * sort). Scale shape mirrors [[qualityRelativeFilter]]: ONE
+    * |groups|-row percentile aggregate, broadcast back, map-side
+    * `when`-chain assignment — never `ntile over
+    * Window.partitionBy(group)`, which at 100 TB funnels every
+    * group's whole corpus slice through a single reducer for a full
+    * sort (group keys like language are few and heavily skewed). The
+    * input is localCheckpoint-materialized once since it feeds both
+    * the cutoff aggregate and the assignment pass (the
+    * qualityRelativeFilter rationale verbatim).
+    */
+  def quantileBuckets(df: DataFrame, groupCol: String, valueCol: String,
+                      probs: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0 && p < 1), "probs must ascend within (0,1)")
+    require(labels.length == probs.length + 1,
+      s"need ${probs.length + 1} labels for ${probs.length} cutoffs")
+    val scored = df.localCheckpoint(true)
+    val cutCols = probs.zipWithIndex.map { case (p, i) =>
+      round(percentile(col(valueCol), lit(p)), 4).as(s"__cut$i") }
+    val cutoffs = scored.groupBy(col(groupCol))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bucket = probs.indices.reverse.foldLeft(lit(labels.last)) {
+      (acc, i) => when(col(valueCol) <= col(s"__cut$i"), labels(i))
+        .otherwise(acc)
+    }
+    scored.join(broadcast(cutoffs), Seq(groupCol))
+      .select(scored.columns.map(col) :+ bucket.as("bucket"): _*)
+  }
+
   // ---------------------------------------------------------------
   // DSIR importance weights
   // ---------------------------------------------------------------
@@ -329,10 +369,15 @@ object Curation {
     * Training Gopher", App. A1.1) — the deterministic pre-filter
     * virtually every modern pretraining corpus applies before any
     * model-based scoring: word-count bounds, mean word length in
-    * [3, 10], symbol-to-word ratio ("#"/"...") < 0.1, < 90% of lines
-    * bullet-started, < 30% of lines ellipsis-ended, ≥ 80% of words
+    * [3, 10], symbol-to-word ratio ("#"/"...") ≤ 0.1, ≤ 90% of lines
+    * bullet-started, ≤ 30% of lines ellipsis-ended, ≥ 80% of words
     * containing an alphabetic character, and ≥ 2 of the paper's eight
-    * required stopwords present.
+    * required stopwords present. Boundary docs are KEPT on every
+    * rule: the paper removes documents that EXCEED each threshold
+    * ("more than 90% bullet lines", "less than 80% alphabetic
+    * words"), so the keep-side comparisons are all closed (the r10
+    * form used strict inequalities, silently dropping exactly-80%-
+    * alphabetic docs both here and in the mirrored oracle).
     *
     * Map-ONLY: one tokenize and one line-split per doc, staged so
     * neither runs twice; every rule is integer/ratio arithmetic over
@@ -386,7 +431,7 @@ object Curation {
       round(alphaFrac, 4).as("alpha_frac"),
       stopHits.cast("long").as("stop_hits"),
       (nW.between(minWords, maxWords) && meanLen.between(3.0, 10.0) &&
-        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
-        alphaFrac > 0.8 && stopHits >= 2).as("keep_doc"))
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("keep_doc"))
   }
 }

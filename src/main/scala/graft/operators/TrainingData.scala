@@ -249,11 +249,17 @@ object TrainingData {
     require(n > 0, "n must be positive")
     val u = (sampleKey(col(idCol)).cast("double") + lit(1.0)) /
       lit(4503599627370496.0) // 2^52
+    // q derives from the BIGINT-truncated weight — the same operand
+    // the emitted `weight` column and the oracle use. Deriving it from
+    // the raw column (the r10 form) made selection order, τ, and
+    // est_weight diverge from the row's own reported weight whenever
+    // weightCol was non-integral.
+    val wTrunc = col(weightCol).cast("long")
     val top = docs
       .where(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol).cast("long").as(idCol),
-        col(weightCol).cast("long").as("weight"),
-        (col(weightCol).cast("double") / u).as("__q"))
+        wTrunc.as("weight"),
+        (wTrunc.cast("double") / u).as("__q"))
       .orderBy(col("__q").desc, col(idCol).asc)
       .limit(n + 1)
     val ord = Window.orderBy(col("__q").desc, col(idCol).asc)

@@ -164,11 +164,17 @@ class ClassifierSpec extends SparkSpec {
 
   test("knnPropagate: map-only and join paths are result-identical on random data") {
     // deterministic pseudo-random fixture: 60 points, 12 seeds, 4 dims,
-    // 3 labels — enough collisions to exercise both tie rules
+    // 3 labels — enough collisions to exercise both tie rules. Seeds
+    // with a null vector OR null label are interleaved: both paths
+    // must drop them BEFORE top-k selection (the r10 join path let a
+    // null-labeled seed win slots and then vanish in the vote).
     def vec(seed: Long): Array[Float] =
       Array.tabulate(4)(j => ((seed * 31 + j * 17) % 7).toFloat)
     val data = (0L until 60L).map(i => (i, vec(i))).toDF("id", "vec")
-    val seeds = (0L until 12L).map(i => (i, vec(i * 5), (i % 3).toInt))
+    val seeds = ((0L until 12L).map(i =>
+      (i, vec(i * 5), Integer.valueOf((i % 3).toInt))) ++ Seq(
+      (100L, null.asInstanceOf[Array[Float]], Integer.valueOf(0)),
+      (101L, vec(1), null.asInstanceOf[Integer])))
       .toDF("sid", "svec", "slabel")
     for (k <- Seq(1, 3, 5)) {
       val fast = Classifier.knnPropagate(data, "id", "vec",
@@ -178,6 +184,21 @@ class ClassifierSpec extends SparkSpec {
         seeds, "sid", "svec", "slabel", k = k, maxSeeds = 1)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(fast == joined, s"paths diverged at k=$k")
+    }
+  }
+
+  test("knnPropagate accepts array<double> seeds on both paths") {
+    // the r10 probe hard-cast getSeq[Float] — double seed columns blew
+    // up with ClassCastException on the fused path only
+    val data = Seq((10L, Array(0.5, 0.0)), (11L, Array(9.5, 10.0)))
+      .toDF("id", "vec")
+    val seeds = Seq((0L, Array(0.0, 0.0), 0), (1L, Array(10.0, 10.0), 1))
+      .toDF("sid", "svec", "slabel")
+    for (ms <- Seq(4096, 1)) {
+      val byId = Classifier.knnPropagate(data, "id", "vec",
+        seeds, "sid", "svec", "slabel", k = 1, maxSeeds = ms)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(byId == Map(10L -> 0, 11L -> 1), s"maxSeeds=$ms")
     }
   }
 

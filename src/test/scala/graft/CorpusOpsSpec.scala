@@ -134,6 +134,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bigramLogProbServed: disjoint batch takes unigram backoff and OOV floor") {
+    // model corpus: "a b a b" + "a c" -> unigrams a=3 b=2 c=1, N=6;
+    // bigrams "a b"=2, "b a"=1, "a c"=1
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = CorpusStats.bigramModel(corpus, "doc_id", "text")
+    val unis = CorpusStats.unigramModel(corpus, "doc_id", "text")
+    // batch disjoint from the corpus: seen + backoff + floor in one doc
+    // set — doc 12 is ALL-OOV and must be scored (the r10 inner-join
+    // form dropped it entirely)
+    val batch = Seq(
+      (10L, "a b c"),   // "a b" seen; "b c" unseen, w2=c known
+      (11L, "x b b"),   // both bigrams unseen, w2=b known
+      (12L, "z z")      // unseen bigram, unseen w2 -> pinned floor
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLogProbServed(batch, "doc_id", "text",
+      model, unis)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pab = 0.75 * (2.0 / 3.0) + 0.25 * (2.0 / 6.0) // seen
+    val pbc = 0.25 * (1.0 / 6.0)                      // backoff tf(c)=1
+    val pxb = 0.25 * (2.0 / 6.0)                      // backoff tf(b)=2
+    val pzz = 0.25 * (1.0 / 6.0)                      // OOV floor
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L)._1 == 2L)
+    assert(math.abs(got(10L)._2 - (-math.log(pab) + -math.log(pbc)) / 2.0) < 1e-12)
+    assert(got(11L)._1 == 2L)
+    assert(math.abs(got(11L)._2 - -math.log(pxb)) < 1e-12)
+    assert(got(12L)._1 == 1L)
+    assert(math.abs(got(12L)._2 - -math.log(pzz)) < 1e-12)
+    // the served batch form scores novel text HIGHER, never silently
+    // lower — the CCNet filter's whole point
+    assert(got(12L)._2 > got(10L)._2)
+  }
+
+  test("bigramLogProbServed on the build corpus matches the inline form") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val inline = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val served = CorpusStats.bigramLogProbServed(docs, "doc_id", "text",
+      CorpusStats.bigramModel(docs, "doc_id", "text"),
+      CorpusStats.unigramModel(docs, "doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inline == served)
+  }
+
   test("bigramLogProb: sub-bigram docs absent; scoring joins broadcast the head") {
     val docs = Seq((1L, "a b a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
     val out = CorpusStats.bigramLogProb(docs, "doc_id", "text")

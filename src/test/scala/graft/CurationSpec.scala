@@ -398,6 +398,43 @@ class CurationSpec extends SparkSpec {
     assert(!got(6L)._1 && got(6L)._3 < 2, "stopword requirement must fail")
   }
 
+  test("gopherRules: boundary docs are kept (Gopher removes only past thresholds)") {
+    import spark.implicits._
+    // exactly 80% alphabetic words: 16 alpha + 4 numeric of 20 — Rae
+    // et al. A1.1 removes docs with LESS than 80%, so 80% stays (the
+    // r10 strict inequality dropped it)
+    val alpha80 = "the quick brown fox jumps over that lazy dogs pack " +
+      "with vigor and grace having chased 123 456 789 1011"
+    val got = Curation.gopherRules(
+      Seq((0L, alpha80)).toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 10)
+      .select("alpha_frac", "keep_doc").as[(Double, Boolean)].collect().head
+    assert(got._1 == 0.8, s"fixture must sit exactly on the boundary: $got")
+    assert(got._2, "an exactly-80%-alphabetic doc must be kept")
+  }
+
+  test("quantileBuckets: per-group value terciles, no window, broadcast cutoffs") {
+    import spark.implicits._
+    // group A: values 1..6 -> tercile cutoffs at interpolated p=1/3
+    // (2.666...) and p=2/3 (4.333...): {1,2}=head {3,4}=middle
+    // {5,6}=tail; group B: constant value -> every row is head (ties
+    // share a bucket BY VALUE — no secondary sort key exists)
+    val df = ((1 to 6).map(i => ("A", i.toLong, i.toDouble)) ++
+      (10 to 12).map(i => ("B", i.toLong, 7.0))).toDF("g", "id", "v")
+    val out = Curation.quantileBuckets(df, "g", "v",
+      probs = Seq(1.0 / 3, 2.0 / 3), labels = Seq("head", "middle", "tail"))
+    val got = out.select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got(1L) == "head" && got(2L) == "head")
+    assert(got(3L) == "middle" && got(4L) == "middle")
+    assert(got(5L) == "tail" && got(6L) == "tail")
+    assert((10 to 12).forall(i => got(i.toLong) == "head"))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      s"bucket assignment must never window by the group key:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
+  }
+
   test("gopherRules is map-only and handles empty docs") {
     import spark.implicits._
     val docs = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")

@@ -156,6 +156,23 @@ class PipelineOpsSpec extends SparkSpec {
     got.foreach { case (_, w, _, est) => assert(est >= w.toDouble) }
   }
 
+  test("prioritySample: non-integral weights rank by the truncated operand") {
+    // fractional weight column: q MUST derive from the BIGINT-truncated
+    // weight (the operand the output row and the oracle both report) —
+    // the r10 form computed q from the raw double, so selection and
+    // est_weight disagreed with the row's own weight column
+    val docs = Seq((1L, 9.9), (2L, 9.2), (3L, 0.7)).toDF("id", "w")
+    val got = TrainingData.prioritySample(docs, "id", "w", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    // ids 1 and 2 truncate to the SAME weight 9 — identical q numerator
+    assert(got(1L)._1 == 9L && got(2L)._1 == 9L)
+    // 0.7 truncates to 0: eligible by the raw filter (w > 0), q = 0
+    assert(got(3L)._1 == 0L)
+    // exhaustive (n >= corpus) => est_weight equals the TRUNCATED weight
+    got.values.foreach { case (w, est) => assert(est == w.toDouble) }
+  }
+
   test("prioritySample: small corpus is exhaustive with est_weight = weight") {
     val docs = Seq((1L, 5L), (2L, 50L), (3L, 500L)).toDF("id", "w")
     val got = TrainingData.prioritySample(docs, "id", "w", n = 10)

@@ -485,6 +485,8 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val model = graft.operators.CorpusStats
       .bigramModel(corpus, "doc_id", "text")
+    val unis = graft.operators.CorpusStats
+      .unigramModel(corpus, "doc_id", "text")
     val dir = Files.createTempDirectory("stream-ppl")
     corpus.coalesce(1).write.mode("append").parquet(dir.toString)
     val streamed = spark.readStream.schema("doc_id LONG, text STRING")
@@ -493,7 +495,7 @@ class StreamingSpec extends SparkSpec {
     val q = streamed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.operators.CorpusStats
-          .bigramLogProbServed(batch, "doc_id", "text", model)
+          .bigramLogProbServed(batch, "doc_id", "text", model, unis)
           .collect().foreach(r => acc.put(r.getLong(0), r.getDouble(2)))
       }
       .start()
@@ -502,7 +504,7 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val got = acc.asScala.toMap
     val want = graft.operators.CorpusStats
-      .bigramLogProbServed(corpus, "doc_id", "text", model)
+      .bigramLogProbServed(corpus, "doc_id", "text", model, unis)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == want && got.size == 3, s"got $got want $want")
   }
