@@ -48,7 +48,13 @@ object Round10Queries {
     // secondary sort key at all ---------------------------------------
     "ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nll = CorpusStats.bigramLogProb(docs, "doc_id", "text")
+      // nll comes from the PERSISTED LM artifact (hash-identical to
+      // the inline build — ppl_bigram_served shares ppl_bigram's
+      // oracle — and it is how a production bucket pass would run:
+      // score from the stored model, never rebuild it per query)
+      val (model, unis) = Round11Queries.bigramLmFor(s, dir)
+      val nll = CorpusStats.bigramLogProbServed(docs, "doc_id", "text",
+        model, unis)
         .select(col("doc").as("doc_id"), round(col("nll"), 4).as("__nll"))
       Curation.quantileBuckets(
         docs.select(col("doc_id"), col("lang")).join(nll, "doc_id"),

@@ -34,7 +34,7 @@ object Round11Queries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, DataFrame)]()
 
-  private def bigramLmFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def bigramLmFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = s"/tmp/graft_bigramlm/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     lmCache.computeIfAbsent((s, path), { _ =>
       if (!SparkEntry.successExists(s, s"$path/bigrams") ||
