@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.CorpusStats
+import graft.operators.{CorpusStats, Curation}
 
 /** Round-11 [EXT] queries: the X53 served-LM contract surface. The
   * r10 verdict flagged two gaps — the served scorer silently dropped
@@ -67,6 +67,14 @@ object Round11Queries {
         CorpusStats.unigramModel(corpus, "doc_id", "text")))
     }),
 
+    // ---- X54: C4 page/line cleaning rules (Raffel et al. 2020) ------
+    "quality_c4" -> ((s, dir) =>
+      Curation.c4Rules(t(s, dir, "documents"), "doc_id", "text",
+        // fixture docs are single-line: one sentence suffices, the
+        // rule SHAPE (line retention + page tells) is what's gated
+        minSentences = 1)
+        .orderBy("doc_id")),
+
     // ---- X53d: the serve-path bench entry — full corpus scored from
     // the PERSISTED artifact (same semantics as ppl_bigram, which
     // rebuilds the model inline; the delta between the two bench rows
@@ -126,6 +134,39 @@ object Round11Queries {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(nll, 4) AS nll
         |FROM nl ORDER BY doc_id""".stripMargin,
+
+    // mirrors c4Rules column by column: trimmed nonempty lines, the
+    // ≥5-word + terminal-punct line retention, replace-diff sentence
+    // counts over the RETAINED text, page-level lorem/brace tells
+    "quality_c4" ->
+      """WITH s AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+        |      AND (ends_with(l, '.') OR ends_with(l, '!')
+        |        OR ends_with(l, '?') OR ends_with(l, '"'))) AS kept
+        |  FROM s),
+        |m AS (SELECT doc_id,
+        |    len(lines) AS n_lines, len(kept) AS n_kept,
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM k),
+        |f AS (SELECT doc_id, n_lines, n_kept, clean, has_lorem, has_brace,
+        |    (length(clean) - length(replace(clean, '.', ''))) +
+        |    (length(clean) - length(replace(clean, '!', ''))) +
+        |    (length(clean) - length(replace(clean, '?', ''))) AS n_sentences
+        |  FROM m)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  has_lorem, has_brace,
+        |  (n_sentences >= 1 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
+        |  clean
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // identical semantics to ppl_bigram (full-corpus model scores its
     // own build corpus: the backoff branches are provably empty)

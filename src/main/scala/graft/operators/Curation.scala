@@ -434,4 +434,60 @@ object Curation {
         symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
         alphaFrac >= 0.8 && stopHits >= 2).as("keep_doc"))
   }
+
+  /** C4-style page/line cleaning rules (Raffel et al. 2020, §2.2 —
+    * the other canonical pretraining rule filter next to
+    * [[gopherRules]]; most modern corpora run both): a LINE is
+    * retained iff it has ≥ `minLineWords` space-split words and ends
+    * in terminal punctuation (`.` `!` `?` or a closing quote); a PAGE
+    * is kept iff its retained text still holds ≥ `minSentences`
+    * sentence enders and the raw page contains neither the literal
+    * "lorem ipsum" (any case) nor a curly brace (the paper's
+    * placeholder-text and source-code tells). The paper's
+    * bad-word-list rule is a vocabulary lookup, not a structural rule
+    * — compose it from [[graft.functions.TextFunctions]] token ops if
+    * a deployment needs it.
+    *
+    * Map-ONLY like gopherRules: one line split per doc, every signal
+    * is integer arithmetic over exact operands, so the SQL oracle
+    * replays each column and the verdict bit-for-bit (no
+    * transcendentals, no floats at all). Emits the per-rule signals
+    * plus the retained text, because C4 is a line FILTER first — the
+    * cleaned page is the operator's real product, the verdict just
+    * gates empty husks.
+    *
+    * Output: (idCol, n_lines, n_kept, n_sentences, has_lorem,
+    * has_brace, keep_doc, clean).
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
+    require(minSentences >= 0 && minLineWords >= 0,
+      "thresholds must be non-negative")
+    // null text normalizes to "" (the cleanText rationale: a cleaning
+    // stage emits a row per input row)
+    val raw = coalesce(col(textCol), lit(""))
+    val staged = df.select(col(idCol), raw.as("__t"),
+      filter(transform(split(raw, "\n"), l => trim(l)), l => l =!= "")
+        .as("__lines"))
+    val kept = filter(col("__lines"), l =>
+      size(filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\"")))
+    val st2 = staged
+      .select(col(idCol), col("__t"), col("__lines"), kept.as("__kept"))
+      .withColumn("__clean", concat_ws("\n", col("__kept")))
+    def cnt(ch: String): Column = length(col("__clean")) -
+      length(call_function("replace", col("__clean"), lit(ch), lit("")))
+    val nSent = (cnt(".") + cnt("!") + cnt("?")).cast("long")
+    val hasLorem = lower(col("__t")).contains("lorem ipsum")
+    val hasBrace = col("__t").contains("{")
+    st2.select(col(idCol),
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(col("__kept")).cast("long").as("n_kept"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= minSentences && !hasLorem && !hasBrace).as("keep_doc"),
+      col("__clean").as("clean"))
+  }
 }

@@ -413,6 +413,48 @@ class CurationSpec extends SparkSpec {
     assert(got._2, "an exactly-80%-alphabetic doc must be kept")
   }
 
+  test("c4Rules: line retention, sentence floor, and page tells") {
+    import spark.implicits._
+    val keepLine = "this line has plenty of words and ends properly."
+    val docs = Seq(
+      // doc 0: three good lines + two dropped (short / no terminal punct)
+      (0L, s"$keepLine\nshort one.\nno terminal punctuation here at all\n" +
+        s"$keepLine\n$keepLine"),
+      // doc 1: lines fine but the page contains a curly brace
+      (1L, s"$keepLine\nfunction f() { return 1; }"),
+      // doc 2: placeholder text kills the page regardless of lines
+      (2L, s"$keepLine\nLorem Ipsum dolor sit amet."),
+      // doc 3: every line dropped -> zero sentences -> dropped page
+      (3L, "tiny line\nanother tiny"),
+      // doc 4: quote-terminated line retained (C4 keeps closing quotes)
+      (4L, "he said the words were quite famous and added \"hello\"")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4Rules(docs, "doc_id", "text", minSentences = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getString(7)))).toMap
+    // doc 0: 5 lines, 3 kept, 3 sentence enders, kept
+    assert(got(0L) == ((5L, 3L, 3L, false, false, true,
+      Seq(keepLine, keepLine, keepLine).mkString("\n"))))
+    assert(!got(1L)._6 && got(1L)._5, "curly brace must kill the page")
+    assert(!got(2L)._6 && got(2L)._4, "lorem ipsum must kill the page")
+    assert(got(3L) == ((2L, 0L, 0L, false, false, false, "")))
+    // doc 4: one kept line ending in '"', but only 0 sentence enders
+    // counted ('.' '!' '?') -> fails the 2-sentence floor
+    assert(got(4L)._2 == 1L && !got(4L)._6)
+  }
+
+  test("c4Rules is map-only and null-safe") {
+    import spark.implicits._
+    val docs = Seq((0L, null.asInstanceOf[String]), (1L, "")).toDF("doc_id", "text")
+    val rows = Curation.c4Rules(docs, "doc_id", "text").collect()
+    assert(rows.length == 2 && rows.forall(!_.getBoolean(6)))
+    val p = Curation.c4Rules(docs, "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"C4 rules must not shuffle:\n$p")
+  }
+
   test("quantileBuckets: per-group value terciles, no window, broadcast cutoffs") {
     import spark.implicits._
     // group A: values 1..6 -> tercile cutoffs at interpolated p=1/3
