@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Curation}
+import graft.operators.{CorpusStats, Curation, TrainingData}
 
 /** Round-11 [EXT] queries: the X53 served-LM contract surface. The
   * r10 verdict flagged two gaps — the served scorer silently dropped
@@ -75,6 +75,14 @@ object Round11Queries {
         minSentences = 1)
         .orderBy("doc_id")),
 
+    // ---- X55: per-source quota cap (FineWeb's per-domain cap) — the
+    // 20 longest docs per source via the bounded TopKAgg, never a
+    // rank window over the skewed domain key ---------------------------
+    "domain_cap" -> ((s, dir) =>
+      TrainingData.capPerGroup(t(s, dir, "documents"), "source", "doc_id",
+        col("n_chars").cast("double"), cap = 20)
+        .orderBy("source", "rank")),
+
     // ---- X53d: the serve-path bench entry — full corpus scored from
     // the PERSISTED artifact (same semantics as ppl_bigram, which
     // rebuilds the model inline; the delta between the two bench rows
@@ -134,6 +142,16 @@ object Round11Queries {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(nll, 4) AS nll
         |FROM nl ORDER BY doc_id""".stripMargin,
+
+    // the oracle MAY use the rank window — DuckDB runs at test scale;
+    // the operator under test is the one that must avoid it
+    "domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rank
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT source, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
 
     // mirrors c4Rules column by column: trimmed nonempty lines, the
     // ≥5-word + terminal-punct line retention, replace-diff sentence

@@ -55,6 +55,43 @@ object TrainingData {
       .withColumn("pack_id", expr(s"tok_start div $capacity"))
   }
 
+  /** Per-group quota capping: keep at most `cap` rows per group, the
+    * highest-scoring first (score DESC, id ASC on ties — fully
+    * deterministic). The FineWeb/RefinedWeb per-domain cap: a handful
+    * of gigantic domains would otherwise dominate a web corpus, so
+    * each domain contributes its `cap` best documents and no more.
+    *
+    * Scale shape: the bounded [[TopKAgg]] (score negated — the
+    * aggregate keeps smallest-first), so map-side partial aggregation
+    * caps the shuffle at |groups| × |partitions| × cap buffer rows.
+    * NEVER `row_number over Window.partitionBy(domain)`: domains are
+    * few and Zipf-skewed, so that window funnels the biggest domain's
+    * entire corpus slice through one reducer for a total sort — the
+    * same shape the r10 verdict flagged on ppl_buckets. Negation is
+    * IEEE-exact, so the emitted score equals the input bit-for-bit.
+    *
+    * Output: (groupCol, idCol, score, rank 1..cap). Null scores are
+    * ineligible (excluded before the aggregate, like knn's null rule).
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  score: Column, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val scored = docs
+      .select(col(groupCol), col(idCol).cast("long").as("__id"),
+        score.cast("double").as("__score"))
+      .where(col("__score").isNotNull)
+    val topk = org.apache.spark.sql.functions.udaf(new TopKAgg(cap),
+      org.apache.spark.sql.Encoders.product[Scored])
+    scored
+      .select(col(groupCol), col("__id"), (-col("__score")).as("__d"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("__id"), col("__d")).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        (-col("col.distance")).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic per-(id, epoch) sampling bucket in [0, 10000):
     * md5 over "id:epoch" so each oversampling epoch draws an
     * independent subsample. */

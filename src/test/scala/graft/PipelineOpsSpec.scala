@@ -189,6 +189,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("capPerGroup keeps the cap best per group, ties by id, no window") {
+    // skewed fixture: group A has 8 rows, B has 2, C has one null score
+    val docs = (Seq.tabulate(8)(i => ("A", i.toLong, (i % 4).toDouble)) ++
+      Seq(("B", 100L, 5.0), ("B", 101L, 5.0),
+        ("C", 200L, Double.NaN))).map {
+      case (g, id, s) => (g, id, if (s.isNaN) None else Some(s))
+    }.toDF("g", "id", "s")
+      .select(col("g"), col("id"), col("s").as("score"))
+    val out = TrainingData.capPerGroup(docs, "g", "id", col("score"), cap = 3)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // A: scores 0,1,2,3,0,1,2,3 -> top3 by (score desc, id asc):
+    // id 3 (3.0), id 7 (3.0), id 2 (2.0)
+    assert(got.filter(_._1 == "A").sortBy(_._4).toSeq ==
+      Seq(("A", 3L, 3.0, 1L), ("A", 7L, 3.0, 2L), ("A", 2L, 2.0, 3L)))
+    // B: tie at 5.0 -> smaller id first; cap larger than the group
+    assert(got.filter(_._1 == "B").sortBy(_._4).toSeq ==
+      Seq(("B", 100L, 5.0, 1L), ("B", 101L, 5.0, 2L)))
+    // C: null score ineligible -> group absent entirely
+    assert(!got.exists(_._1 == "C"))
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"),
+      s"quota capping must never rank-window by the group key:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded top-k aggregate expected (map-side partials):\n$p")
+  }
+
   test("prioritySample plan: TakeOrdered selection, no shuffle before the top-k") {
     val docs = Seq.tabulate(30)(i => (i.toLong, i.toLong + 1)).toDF("id", "w")
     val p = TrainingData.prioritySample(docs, "id", "w", n = 5)
