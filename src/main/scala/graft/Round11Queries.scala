@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Curation, TrainingData}
+import graft.operators.{CorpusStats, Curation, Dedup, TrainingData}
 
 /** Round-11 [EXT] queries: the X53 served-LM contract surface. The
   * r10 verdict flagged two gaps — the served scorer silently dropped
@@ -75,6 +75,14 @@ object Round11Queries {
         minSentences = 1)
         .orderBy("doc_id")),
 
+    // ---- X56: span-level exact-substring dedup (Lee et al. 2021's
+    // ExactSubstr as window fingerprints): duplicated 8-token spans
+    // are cut from every doc but their corpus-wide first occurrence --
+    "span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8)
+        .orderBy("doc_id")),
+
     // ---- X55: per-source quota cap (FineWeb's per-domain cap) — the
     // 20 longest docs per source via the bounded TopKAgg, never a
     // rank window over the skewed domain key ---------------------------
@@ -142,6 +150,34 @@ object Round11Queries {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, round(nll, 4) AS nll
         |FROM nl ORDER BY doc_id""".stripMargin,
+
+    // replays spanDedup with the shared rolling/shingle hash macros;
+    // canonical-first is the rn=1 row per fingerprint (the operator's
+    // min(struct(doc,pos)) — oracle-side windows are fine at test
+    // scale), coverage is the flattened distinct [pos, pos+8) union
+    "span_dedup" ->
+      s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokens("text")} AS toks,
+         |    ${SparkEntry.sqlTokenHashes("text")} AS th FROM documents),
+         |shs AS (SELECT doc, toks, ${SparkEntry.sqlShingleHashesOfTh(8)} AS shs FROM tha),
+         |sp AS (SELECT doc, unnest(range(0, len(shs))) AS pos, unnest(shs) AS sh
+         |  FROM shs),
+         |own AS (SELECT doc, pos, sh,
+         |    row_number() OVER (PARTITION BY sh ORDER BY doc, pos) AS rn,
+         |    count(*) OVER (PARTITION BY sh) AS cnt
+         |  FROM sp),
+         |dups AS (SELECT doc, pos FROM own WHERE cnt > 1 AND rn > 1),
+         |cov AS (SELECT doc, count(*) AS n_dup_spans,
+         |    list_sort(list_distinct(flatten(list(range(pos, pos + 8))))) AS covered
+         |  FROM dups GROUP BY doc)
+         |SELECT t.doc AS doc_id,
+         |  CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(list_filter(list_transform(range(0, len(t.toks)),
+         |    i -> CASE WHEN c.covered IS NULL OR NOT list_contains(c.covered, i)
+         |      THEN t.toks[i+1] END), x -> x IS NOT NULL), ' '), '') AS clean
+         |FROM shs t LEFT JOIN cov c USING (doc)
+         |ORDER BY doc_id""".stripMargin,
 
     // the oracle MAY use the rank window — DuckDB runs at test scale;
     // the operator under test is the one that must avoid it

@@ -804,4 +804,77 @@ object Dedup {
       .orderBy(col("cos_dist").asc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
   }
+
+  /** Span-level exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr
+    * pass removes the duplicated SUBSTRING itself, not the document):
+    * every `spanTokens`-token window is fingerprinted with the
+    * rolling shingle hash; a window whose fingerprint occurs more
+    * than once in the corpus is a duplicated span, the corpus-wide
+    * FIRST occurrence (smallest (doc, pos)) is canonical and kept,
+    * and every other occurrence's token range is removed from its
+    * document. The doc-level dedup family above can't catch this
+    * shape: two long documents sharing one boilerplate paragraph are
+    * nowhere near doc-level duplicates.
+    *
+    * Scale shape — the reference paper builds a monolithic suffix
+    * array, which has no distributed analogue; the window-fingerprint
+    * formulation is the standard shuffle-native equivalent:
+    *  - fingerprinting is map-only (one tokenize + rolling hash per
+    *    doc; each corpus character is hashed once);
+    *  - the only corpus-wide shuffle keys are span fingerprints —
+    *    short, uniform, and pre-filtered to `cnt > 1` before any
+    *    join;
+    *  - the dup-span join takes the Zipf hybrid: the `headSize`
+    *    most-duplicated fingerprints (a mega-viral boilerplate span
+    *    is EXACTLY a hot join key) ride a broadcast, the tail an
+    *    equi-join;
+    *  - interval merge + token filtering are per-doc array HOFs
+    *    (state bounded by document length, the doc_pack class —
+    *    O(tokens·covered) per doc, never corpus-wide).
+    *
+    * Output, one row per input doc: (idCol, n_dup_spans — duplicated
+    * windows removed from THIS doc, n_tokens, n_removed — tokens cut,
+    * clean — the text with covered token ranges removed).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 8, headSize: Int = 1024): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val staged = docs.select(col(idCol).cast("long").as("doc"),
+      TF.tokens(col(textCol)).as("__toks"))
+    val spans = staged
+      .select(col("doc"), TF.shingleHashesFromTokens(
+        transform(col("__toks"), t => TF.rollingHash(t)), spanTokens)
+        .as("__shs"))
+      .select(col("doc"), posexplode(col("__shs")).as(Seq("pos", "sh")))
+    // duplicated fingerprints only, with their canonical first owner;
+    // struct min orders lexicographically = (doc, pos)
+    val owners = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc"), col("pos"))).as("o"))
+      .where(col("cnt") > 1)
+      .select(col("sh"), col("cnt"),
+        col("o.doc").as("__odoc"), col("o.pos").as("__opos"))
+    val head = owners.orderBy(col("cnt").desc, col("sh").asc).limit(headSize)
+    val headS = broadcast(head.drop("cnt"))
+    val tailS = owners.drop("cnt")
+      .join(broadcast(head.select(col("sh"))), Seq("sh"), "left_anti")
+    val dups = spans.join(headS, Seq("sh"))
+      .unionByName(spans.join(tailS, Seq("sh")))
+      .where(!(col("doc") === col("__odoc") && col("pos") === col("__opos")))
+      .select(col("doc"), col("pos"))
+    val cov = dups.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        array_sort(array_distinct(flatten(collect_list(
+          sequence(col("pos"), col("pos") + spanTokens - 1))))).as("__cov"))
+    val covSafe = coalesce(col("__cov"), array().cast("array<int>"))
+    val marked = transform(col("__toks"),
+      (t, i) => when(array_contains(covSafe, i), lit(null)).otherwise(t))
+    staged.join(cov, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(marked, x => x.isNotNull)).as("clean"))
+  }
 }

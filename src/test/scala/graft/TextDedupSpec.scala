@@ -8,6 +8,33 @@ import graft.operators.Dedup
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spanDedup removes later span occurrences, keeps the canonical first") {
+    val docs = Seq(
+      (1L, "p q r s t"),             // owns the canonical "p q r"
+      (2L, "z z p q r u v"),         // repeats it at pos 2 -> cut
+      (3L, "m n o"),                 // unique window, untouched
+      (4L, "a b c a b c a b c"),     // in-doc repetition collapses
+      (5L, "q r")                    // sub-window doc, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 3)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((0L, 5L, 0L, "p q r s t")),
+      "canonical owner keeps its span")
+    assert(got(2L) == ((1L, 7L, 3L, "z z u v")),
+      "later occurrence loses the covered range")
+    assert(got(3L) == ((0L, 3L, 0L, "m n o")))
+    // windows at pos 3..6 are all non-canonical dups -> tokens 3..8 cut
+    assert(got(4L) == ((4L, 9L, 6L, "a b c")),
+      "self-repetition collapses to one copy")
+    assert(got(5L) == ((0L, 2L, 0L, "q r")))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot fingerprints must broadcast (Zipf hybrid):\n$p")
+  }
+
   // Scala reimplementation of the rolling hash (the cross-platform spec)
   private def rollHashRef(s: String): Long =
     s.foldLeft(TF.HashSeed)((acc, c) => (acc * 31 + c.toInt) % TF.HashMod)
