@@ -100,6 +100,25 @@ object Round11Queries {
       asOutput(CorpusStats.bigramLogProbServed(t(s, dir, "documents"),
         "doc_id", "text", model, unis))
     }),
+
+    // ---- X57: per-source unigram KL divergence to the corpus — the
+    // data-mixing diagnostic (which sources add diversity) ------------
+    "source_kl" -> ((s, dir) =>
+      CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // ---- X58: n-gram novelty — share of each doc's distinct 5-token
+    // shingles that occur in no other doc (df = 1) --------------------
+    "ngram_novelty" -> ((s, dir) =>
+      CorpusStats.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 5)
+        .orderBy("doc_id")),
+
+    // ---- X59: token-distribution Shannon entropy (information
+    // density; template/keyword-stuffed docs score low) ---------------
+    "token_entropy" -> ((s, dir) =>
+      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,5 +247,59 @@ object Round11Queries {
       """SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         |  round(nll, 4) AS nll
         |FROM nlls ORDER BY doc_id""".stripMargin),
+
+    // replays sourceKl: no smoothing constants to coordinate — the sum
+    // runs over each source's own support, where p_corpus > 0 by
+    // construction; kl rounds 1e-4 (ln/sum-order parity, the dsir
+    // precedent)
+    "source_kl" ->
+      s"""WITH st AS (SELECT source AS src, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |  FROM documents),
+         |c AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY src, t),
+         |tf AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf FROM c GROUP BY t),
+         |ns AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY src),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)
+         |SELECT c.src AS source, max(ns.ns) AS n_tokens,
+         |  round(sum((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
+         |    ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) /
+         |       (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)))), 4) AS kl
+         |FROM c JOIN tf USING (t) JOIN ns USING (src) CROSS JOIN tot
+         |GROUP BY c.src ORDER BY source""".stripMargin,
+
+    // replays ngramNovelty with the shared shingle-hash macros; the
+    // ratio divides the SAME integers in both engines, so novel_frac
+    // is bit-identical with no rounding
+    "ngram_novelty" ->
+      s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM documents),
+         |sha AS (SELECT doc, list_distinct(${SparkEntry.sqlShingleHashesOfTh(5)}) AS shs
+         |  FROM tha),
+         |sh AS (SELECT doc, unnest(shs) AS sh FROM sha),
+         |dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+         |SELECT s.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novel_frac
+         |FROM sh s JOIN dfq d USING (sh)
+         |GROUP BY s.doc ORDER BY doc_id""".stripMargin,
+
+    // replays tokenEntropy column by column; `0.0 - coalesce(sum)`
+    // mirrors the operator's +0.0-never-−0.0 rule, and the entropy
+    // rounds 1e-4 to absorb fold-order noise
+    "token_entropy" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    ${SparkEntry.sqlTokens("COALESCE(text, '')")} AS toks
+         |  FROM documents),
+         |ty AS (SELECT doc_id, toks, list_distinct(toks) AS types FROM s)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(types) AS BIGINT) AS n_types,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    round(0.0 - coalesce(list_sum(list_transform(types, t ->
+         |      (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+         |         / CAST(len(toks) AS DOUBLE))
+         |      * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+         |         / CAST(len(toks) AS DOUBLE)))), 0.0), 4)
+         |  END AS entropy
+         |FROM ty ORDER BY doc_id""".stripMargin,
   )
 }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -29,8 +30,7 @@ import org.apache.spark.sql.types._
   * extractions gets substituted into all three (measured: the vote
   * loop ran 3× per row); and emitting zero rows for a null/unmatched
   * vector reproduces the join path's drop semantics natively. Zero
-  * exchanges at any corpus size; the per-row interpreted-eval cost of
-  * CodegenFallback is noise next to the |seeds|·dims flops.
+  * exchanges at any corpus size.
   *
   * Seeds MUST be pre-sorted by seed id: distance ties rank the
   * smaller array index = smaller id (the reference rule), and vote
@@ -38,10 +38,20 @@ import org.apache.spark.sql.types._
   * votes BIGINT). Seeds whose dimension differs from the row's
   * vector are skipped; a row with a null vector or no
   * dimension-matching seed emits nothing.
+  *
+  * Codegen: the generator participates in whole-stage codegen
+  * (GenerateExec's codeGenIterableOnce path — its template consumes
+  * `value.iterator()`), so the scan→Generate→project span stays ONE
+  * compiled stage and the child array is fetched by generated
+  * accessors instead of interpreted `child.eval` boxing. The fused
+  * score/top-k/vote loop itself runs as the same JIT-compiled
+  * [[rowsFor]] method on both paths (the reference object is `this`),
+  * which also makes eval≡codegen parity structural rather than a
+  * duplicated 60-line Java-string transcription.
   */
 case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Double]],
                         seedLabels: Array[Int], k: Int)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator {
   require(seedVecs.nonEmpty && seedVecs.length == seedLabels.length && k > 0)
 
   override def prettyName: String = "fused_knn_vote"
@@ -61,8 +71,17 @@ case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Double]],
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
-    if (v == null) return Nil
-    val x = v.asInstanceOf[ArrayData]
+    if (v == null) Nil else rowsFor(v.asInstanceOf[ArrayData])
+  }
+
+  /** Empty result for a null input vector — called from generated code. */
+  def emptyRows(): Iterator[InternalRow] = Iterator.empty
+
+  /** The fused score → bounded-insertion top-k → O(k²) vote loop for
+    * one row. Shared verbatim by the interpreted [[eval]] and the
+    * generated code (which calls it through a `this` reference object),
+    * so the two execution paths cannot drift. */
+  def rowsFor(x: ArrayData): Iterator[InternalRow] = {
     val n = x.numElements()
     // row vector staged once into a primitive array: |seeds| passes
     // over ArrayData getters would re-branch on every element
@@ -103,7 +122,7 @@ case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Double]],
       }
       i += 1
     }
-    if (size == 0) Nil
+    if (size == 0) Iterator.empty
     else {
       // O(k²) vote: max count, ties -> smaller label
       var predLabel = Int.MaxValue
@@ -122,8 +141,25 @@ case class FusedKnnVote(child: Expression, seedVecs: Array[Array[Double]],
         }
         a += 1
       }
-      Seq(InternalRow(predLabel, predVotes))
+      Iterator.single(InternalRow(predLabel, predVotes))
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // seeds/labels/k ride the ONE reference object (`this`), same as
+    // the interpreted path — never expression-tree literals
+    val ref = ctx.addReferenceObj("fusedKnnVote", this)
+    val childGen = child.genCode(ctx)
+    // GenerateExec's codeGenIterableOnce template emits
+    // `value.iterator()`, so any IterableOnce-typed value works; the
+    // raw type keeps Janino happy
+    val resultCode =
+      code"""
+            |${childGen.code}
+            |scala.collection.Iterator ${ev.value} = ${childGen.isNull} ?
+            |  $ref.emptyRows() : $ref.rowsFor(${childGen.value});
+          """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,10 +23,16 @@ import org.apache.spark.sql.types._
   * component j sits at j·d + i. A vector whose length differs from d
   * projects to NULL (the element_at-out-of-bounds semantics of the
   * expression-chain formulation).
+  *
+  * Codegen: generated code calls the same JIT-compiled
+  * [[projectOrNull]] through a `this` reference object — no
+  * interpreted `eval` boxing in the row loop, eval≡codegen parity
+  * structural (one shared method), and the enclosing whole-stage span
+  * keeps its generated child accessors.
   */
 case class FusedSignProject(child: Expression, d: Int, signs: Array[Byte],
                             scale: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(d > 0 && signs.nonEmpty && signs.length % d == 0)
 
   private def k: Int = signs.length / d
@@ -45,8 +51,12 @@ case class FusedSignProject(child: Expression, d: Int, signs: Array[Byte],
   private def isDouble: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  protected override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(v: Any): Any =
+    projectOrNull(v.asInstanceOf[ArrayData])
+
+  /** One row's projection; null on dimension mismatch. Called by both
+    * the interpreted eval and the generated code. */
+  def projectOrNull(x: ArrayData): ArrayData = {
     if (x.numElements() != d) return null
     val row = new Array[Double](d)
     var i = 0
@@ -70,6 +80,15 @@ case class FusedSignProject(child: Expression, d: Int, signs: Array[Byte],
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("fusedSignProject", this)
+      s"""
+         |${ev.value} = $ref.projectOrNull($v);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

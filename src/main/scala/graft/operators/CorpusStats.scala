@@ -378,4 +378,88 @@ object CorpusStats {
         (lit(1.0 - lambda) * (lit(1.0) / col("n").cast("double"))).as("p"))
     perDocNll(seen.unionByName(boHead).unionByName(boTail).unionByName(oov))
   }
+
+  /** Per-source unigram KL divergence to the whole corpus,
+    * KL(P_s ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the standard
+    * data-MIXING diagnostic: when tuning per-source mixture weights
+    * (the data_mix / data_budget family), KL ranks how far each
+    * source's token distribution sits from the blend, i.e. which
+    * sources add diversity and which just re-weight the head.
+    *
+    * No smoothing constants: the sum runs over each source's OWN
+    * support, and every token a source contains is in the corpus by
+    * construction, so p_c(t) > 0 wherever p_s(t) > 0 and the
+    * divergence is finite as-is — the oracle replays the exact ratio
+    * arithmetic with no epsilon to coordinate.
+    *
+    * Scale shape: ONE corpus-sized shuffle — the (source, token)
+    * combine (map-side partials; keys are skew-free because the count
+    * collapses per pair). Everything downstream is vocabulary-scale:
+    * the token equi-join matches two POST-aggregate tables (≤ |vocab|
+    * and ≤ |vocab|·|sources| rows — a hot token contributes one row
+    * per source, not one per occurrence, so no Zipf hybrid is
+    * needed), and per-source totals broadcast. Output: (source,
+    * n_tokens, kl), kl rounded 1e-4 so cross-engine ln/sum-order
+    * noise never flips the hash (the dsir/unigram precedent). */
+  def sourceKl(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    // the (source, token) table is the hub of FOUR consumers (tf, ns,
+    // total, and the scoring join) — materialize it once or the
+    // corpus-wide explode re-runs per branch (the dsirWeights
+    // rationale; localCheckpoint, never Dataset.persist — ADVICE r6)
+    val st = docs
+      .select(col(sourceCol).as("src"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("src"), col("t"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val tf = st.groupBy(col("t")).agg(sum(col("c")).cast("long").as("tf"))
+    val ns = st.groupBy(col("src")).agg(sum(col("c")).cast("long").as("ns"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val pc = col("tf").cast("double") / col("n").cast("double")
+    st.join(tf, Seq("t"))
+      .join(broadcast(ns), Seq("src"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("src"))
+      .agg(max(col("ns")).as("n_tokens"),
+        round(sum(ps * log(ps / pc)), 4).as("kl"))
+      .select(col("src").as(sourceCol), col("n_tokens"), col("kl"))
+  }
+
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT
+    * `n`-token shingle fingerprints that occur in NO other document —
+    * the inverse of boilerplate coverage, and the cheap corpus-level
+    * "how much of this doc is original text" signal used when picking
+    * what survives aggressive dedup (a doc can escape every doc-level
+    * dup rule while being 95% assembled from seen fragments).
+    *
+    * Scale shape mirrors [[unigramLogProb]]'s Zipf hybrid: per-doc
+    * distinct shingles (map-side combine), a vocabulary-scale df
+    * aggregate, then the df attachment join — the `headSize` highest-
+    * df shingles (exactly the hot keys: viral boilerplate) ride a
+    * BROADCAST, the skew-free tail takes the equi-join. Docs shorter
+    * than `n` tokens have no shingle and are absent, like
+    * bigramLogProb's sub-bigram rule. Output: (idCol, n_shingles
+    * distinct, n_novel df=1, novel_frac exact ratio). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, headSize: Int = 1024): DataFrame = {
+    require(n > 0, "n must be positive")
+    // per-doc distinct shingles feed the df aggregate AND both halves
+    // of the hybrid join — lazily checkpoint so the tokenize+hash
+    // explode runs once (the bigramLogProbServed docBg pattern)
+    val docSh = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TF.shingleHashes(col(textCol), n))).as("sh"))
+      .localCheckpoint(false)
+    val df = docSh.groupBy(col("sh")).agg(count(lit(1)).cast("long").as("df"))
+    val head = df.orderBy(col("df").desc, col("sh").asc).limit(headSize)
+    val tail = df.join(broadcast(head.select(col("sh"))), Seq("sh"), "left_anti")
+    val attached = docSh.join(broadcast(head), Seq("sh"))
+      .unionByName(docSh.join(tail, Seq("sh")))
+    attached.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .select(col("doc").as(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novel_frac"))
+  }
 }

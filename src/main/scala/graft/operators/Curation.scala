@@ -490,4 +490,41 @@ object Curation {
       (nSent >= minSentences && !hasLorem && !hasBrace).as("keep_doc"),
       col("__clean").as("clean"))
   }
+
+  /** Per-document Shannon entropy of the TOKEN distribution,
+    * H(d) = −Σ_types (c/n)·ln(c/n) — the information-density quality
+    * signal: keyword-stuffed / template / repeated-phrase docs score
+    * far below prose of the same length (a length-normalized
+    * complement to doc_repetition's top-n-gram share, and the cheap
+    * proxy for X40's compression-ratio signal where no zlib exists).
+    * Also emits the type count and the type-token ratio.
+    *
+    * Map-ONLY, zero exchanges: the per-doc histogram is an array-HOF
+    * fold over the doc's own tokens — O(tokens · types) per doc,
+    * bounded because curation pipelines run AFTER length caps (Gopher
+    * caps docs at 10⁵ words; types plateau near the vocabulary a
+    * single doc can touch), and never a corpus-wide (doc, token)
+    * shuffle. Entropy rounds to 1e-4 (fold-order noise is ~1e-16·n,
+    * far below the round; the dsir/nll precedent), and the zero case
+    * is written `0.0 − Σ` so an empty or single-type doc emits +0.0
+    * in BOTH engines, never IEEE −0.0 (which hashes differently).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text normalizes to "" (the cleanText/c4Rules rationale: a
+    // quality signal emits a row per input row)
+    val staged = df
+      .select(col(idCol), TF.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        array_distinct(col("__toks")).as("__types"))
+    val n = size(col("__toks")).cast("double")
+    val cnts = transform(col("__types"),
+      t => size(filter(col("__toks"), x => x === t)).cast("double"))
+    val negH = aggregate(cnts, lit(0.0),
+      (acc, c) => acc + (c / n) * log(c / n))
+    staged.select(col(idCol),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      size(col("__types")).cast("long").as("n_types"),
+      when(size(col("__toks")) === 0, lit(0.0))
+        .otherwise(round(lit(0.0) - negH, 4)).as("entropy"))
+  }
 }

@@ -202,6 +202,35 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("FusedKnnVote generates inside a whole-stage span and matches interpreted eval") {
+    // r10 left the vote kernel on CodegenFallback — the Generate node
+    // broke the scan→project span and re-evaluated the child through
+    // interpreted boxing. Pin BOTH halves of the upgrade: the plan
+    // shows the Generate under a WholeStageCodegen stage (the `*(n)`
+    // prefix), and results are identical with codegen disabled
+    // (eval path) — structural parity, since both call rowsFor.
+    val data = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 13 + j * 7) % 5).toFloat)))
+      .toDF("id", "vec")
+    def run() = Classifier.knnPropagate(data, "id", "vec",
+      seeds2, "sid", "svec", "slabel", k = 3)
+    val planStr = run().queryExecution.executedPlan.toString
+    assert(planStr.linesIterator.exists(_.matches(""".*\*\(\d+\) Generate\b.*""")),
+      s"Generate must sit inside a WholeStageCodegen span:\n$planStr")
+    val on = run().collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val off = run().collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(on == off, "codegen and interpreted results diverged")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("knnPropagate rejects an empty seed set") {
     val data = Seq((10L, Array(0f, 0f))).toDF("id", "vec")
     intercept[IllegalArgumentException] {

@@ -189,6 +189,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("sourceKl: hand-computed divergences; identical sources score zero") {
+    // src A: a,a,b (Ns=3)  src B: b,b,c (Ns=3)  corpus: a:2 b:3 c:1 N=6
+    // KL(A) = 2/3·ln((2/3)/(2/6)) + 1/3·ln((1/3)/(3/6)) = 0.3269
+    // KL(B) = 2/3·ln((2/3)/(3/6)) + 1/3·ln((1/3)/(1/6)) = 0.4228
+    val docs = Seq(("A", "a a b"), ("B", "b b c")).toDF("source", "text")
+    val got = CorpusStats.sourceKl(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("A") == ((3L, 0.3269)) && got("B") == ((3L, 0.4228)))
+    // two sources with the same token distribution == the corpus
+    // distribution -> both diverge by exactly 0
+    val same = Seq(("X", "a b"), ("Y", "b a")).toDF("source", "text")
+    val kls = CorpusStats.sourceKl(same, "source", "text")
+      .collect().map(_.getDouble(2))
+    assert(kls.forall(_ == 0.0))
+  }
+
+  test("ngramNovelty: df=1 shingles counted per doc, sub-span docs absent") {
+    val docs = Seq(
+      (1L, "p q r"),   // (p q) shared with doc 2, (q r) unique
+      (2L, "p q z"),   // (p q) shared, (q z) unique
+      (3L, "m"),       // shorter than one shingle -> absent
+      (4L, "a a a")    // two windows, ONE distinct fingerprint, df=1
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      4L -> ((1L, 1L, 1.0))))
+  }
+
+  test("ngramNovelty: hot shingles ride a broadcast (Zipf hybrid plan)") {
+    val docs = Seq((1L, "p q r"), (2L, "p q z")).toDF("doc_id", "text")
+    val p = CorpusStats.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df head must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("Privacy.redact: known hits, counts, and ordering email>phone>ip") {
     val docs = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),

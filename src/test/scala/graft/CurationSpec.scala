@@ -477,6 +477,54 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$p")
   }
 
+  test("tokenEntropy: hand-computed values, +0.0 degenerate cases, map-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // uniform over 4 types -> ln 4
+      (2L, "a a b b"),            // uniform over 2 types -> ln 2
+      (3L, "a a a a"),            // single type -> exactly +0.0
+      (4L, ""),                   // empty -> 0 tokens, +0.0
+      (5L, null.asInstanceOf[String]), // null text normalizes to ""
+      (6L, "a a a b")             // 3/4·ln(4/3) + 1/4·ln 4 = 0.5623
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(docs, "doc_id", "text")
+    val got = out.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 4L, 1.3863)))
+    assert(got(2L) == ((4L, 2L, 0.6931)))
+    assert(got(3L) == ((4L, 1L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+    assert(got(6L) == ((4L, 2L, 0.5623)))
+    // +0.0, never IEEE -0.0 (a -0.0 would survive round() and flip
+    // the oracle hash): compare raw bits
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(java.lang.Double.doubleToRawLongBits(got(id)._3) == 0L,
+        s"doc $id entropy must be +0.0, got bits of ${got(id)._3}")
+    }
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+
+  test("quantileBuckets: a value exactly at a cutoff takes the LOWER bucket") {
+    import spark.implicits._
+    // 4 values {1,2,3,4}: interpolated tercile cutoffs land EXACTLY on
+    // data points (p=1/3 -> index 1.0 -> 2.0; p=2/3 -> index 2.0 ->
+    // 3.0), so the boundary rule is observable: `value <= cutoff` puts
+    // the at-cutoff doc in the lower bucket. The DuckDB twin
+    // (ppl_buckets) writes the same `nll4 <= c0/c1` over the same
+    // 1e-4-rounded operands, so both engines share the rule by
+    // construction — this pins the Spark half against regression.
+    val df = (1 to 4).map(i => ("A", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val got = Curation.quantileBuckets(df, "g", "v",
+      probs = Seq(1.0 / 3, 2.0 / 3), labels = Seq("head", "middle", "tail"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "tail"))
+  }
+
   test("gopherRules is map-only and handles empty docs") {
     import spark.implicits._
     val docs = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")

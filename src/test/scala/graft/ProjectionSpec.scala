@@ -47,6 +47,27 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("FusedSignProject codegen matches interpreted eval bit-for-bit") {
+    // the kernel left CodegenFallback this round: generated code calls
+    // the same projectOrNull, so parity is structural — pin it anyway
+    // (null vectors and dimension mismatches included)
+    val rows = Seq.tabulate(25)(i => (i.toLong, vec(i.toLong))) ++
+      Seq((100L, null.asInstanceOf[Array[Float]]),
+        (101L, Array(1f, 2f))) // wrong dimension -> NULL projection
+    def run() = Projection.projectTable(rows.toDF("id", "v"), "id", "v", d, k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toList)).toMap
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == on, "codegen and interpreted projections diverged")
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("JL property: projected sq-distances track originals at k=16") {
     val vs = Array.tabulate(120)(i => vec(1000L + i))
     val ps = vs.map(Projection.projectVector(_, k))
