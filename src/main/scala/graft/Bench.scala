@@ -40,7 +40,8 @@ object Bench {
     "embed_project", "knn_project_rerank", "label_propagate",
     "data_stratified", "data_priority", "quality_gopher",
     "ppl_bigram", "ppl_buckets", "ppl_bigram_served", "quality_c4",
-    "domain_cap", "span_dedup")
+    "domain_cap", "span_dedup",
+    "source_kl", "ngram_novelty", "token_entropy", "containment_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

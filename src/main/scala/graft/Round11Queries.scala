@@ -119,6 +119,13 @@ object Round11Queries {
     "token_entropy" -> ((s, dir) =>
       Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ---- X60: shingle containment pairs — the asymmetric excerpt
+    // signal (C = |A∩B|/min|A|,|B|) Jaccard structurally misses ------
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minContainment = 0.5)
+        .orderBy("doc_a", "doc_b")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,6 +289,30 @@ object Round11Queries {
          |    / CAST(count(*) AS DOUBLE) AS novel_frac
          |FROM sh s JOIN dfq d USING (sh)
          |GROUP BY s.doc ORDER BY doc_id""".stripMargin,
+
+    // replays containmentPairs over the shared shingle-hash macros:
+    // same distinct-shingle sets, same 2..1000 stop-shingle band, and
+    // both emitted metrics divide the SAME integers in both engines —
+    // no rounding needed
+    "containment_pairs" ->
+      s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM documents),
+         |sha AS (SELECT doc, list_distinct(${SparkEntry.sqlShingleHashesOfTh(3)}) AS shs
+         |  FROM tha),
+         |sh AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha),
+         |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+         |shf AS (SELECT s.doc, s.sz, s.sh FROM sh s JOIN freq USING (sh)
+         |  WHERE f BETWEEN 2 AND 1000),
+         |inter AS (SELECT a.doc AS doc_a, a.sz AS sz_a, b.doc AS doc_b,
+         |    b.sz AS sz_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) AS jaccard,
+         |  CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS containment
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // replays tokenEntropy column by column; `0.0 - coalesce(sum)`
     // mirrors the operator's +0.0-never-−0.0 rule, and the entropy

@@ -462,6 +462,48 @@ object Scratch {
           seeds, "vec_id", "embedding", "label", k = 5)))
     }
 
+    gated("codegen") {
+      // round-11: FusedKnnVote and FusedSignProject left
+      // CodegenFallback. Disabling whole-stage codegen + NO_CODEGEN
+      // factory reproduces the OLD interpreted path exactly
+      // (GenerateExec falls back to generator.eval with boxed child
+      // access), so the on/off delta on the NEW build IS the
+      // fallback-vs-codegen gap. Vote on the r10 fixture (800k x
+      // 1200 seeds — comparable to NOTES r10's 1.6 s); projection on
+      // a 5M-row replica (small per-row flops: the row-loop overhead
+      // is the signal).
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      if (!new java.io.File("/tmp/big_embeddings/_SUCCESS").exists)
+        emb.crossJoin(spark.range(400).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"), (col("label") + (col("rep") % 5) * 10).as("label"))
+          .repartition(64).write.mode("overwrite").parquet("/tmp/big_embeddings")
+      if (!new java.io.File("/tmp/big_embeddings5m/_SUCCESS").exists)
+        emb.crossJoin(spark.range(2500).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"))
+          .repartition(64).write.mode("overwrite").parquet("/tmp/big_embeddings5m")
+      val corpus = spark.read.parquet("/tmp/big_embeddings")
+      val corpus5m = spark.read.parquet("/tmp/big_embeddings5m")
+      println(s"[scale] vote rows=${corpus.count()} proj rows=${corpus5m.count()}")
+      val seeds = corpus.where(col("vec_id") % 2000 === 0)
+      for (mode <- Seq("interpreted", "codegen"); pass <- 1 to 2) {
+        spark.conf.set("spark.sql.codegen.wholeStage",
+          (mode == "codegen").toString)
+        if (mode == "interpreted")
+          spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        else spark.conf.unset("spark.sql.codegen.factoryMode")
+        timeIt(s"knnPropagate 800k x 1200 seeds k=5 [$mode pass$pass]")(
+          noop(operators.Classifier.knnPropagate(corpus, "vec_id",
+            "embedding", seeds, "vec_id", "embedding", "label", k = 5)))
+        timeIt(s"projectTable 5M rows d64->k16 [$mode pass$pass]")(
+          noop(operators.Projection.projectTable(corpus5m, "vec_id",
+            "embedding", 64, 16)))
+      }
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+
     spark.stop()
   }
 }

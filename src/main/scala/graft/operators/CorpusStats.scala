@@ -223,6 +223,14 @@ object CorpusStats {
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.75, headSize: Int = 1024): DataFrame = {
+    // Inline form = build + score in ONE plan; the model subplan fans
+    // out to three consumers (head limit, tail anti-join, scoring)
+    // but its exchanges are identical, so ReusedExchange dedupes the
+    // corpus-side work — an A/B with lazy localCheckpoints on model +
+    // docBg measured 0.5 s SLOWER at sf0.1 (materialization cost, no
+    // recomputation saved; r11 adjudication). Contrast spanDedup,
+    // whose fan-out arms are scan-side (no shared exchange) and DO
+    // need the checkpoint.
     val docBg = perDocBigrams(docs, idCol, textCol)
     perDocNll(scoreSeen(docBg, bigramModel(docs, idCol, textCol, lambda),
       headSize))

@@ -44,7 +44,18 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.1,
-                   maxShingleFreq: Long = 1000): DataFrame = {
+                   maxShingleFreq: Long = 1000): DataFrame =
+    interPairs(docs, idCol, textCol, n, maxShingleFreq)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+
+  /** Shared candidate-intersection stage behind [[jaccardPairs]] and
+    * [[containmentPairs]]: (doc_a, sz_a, doc_b, sz_b, inter) for every
+    * pair sharing ≥1 surviving shingle. */
+  private def interPairs(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxShingleFreq: Long): DataFrame = {
     // Set size rides along with every exploded shingle row, so no
     // join-back to a separate per-doc sizes table is needed. The
     // shingle frequency is a COUNT WINDOW over partition-by-shingle,
@@ -66,11 +77,31 @@ object Dedup {
       .groupBy(col("a.doc").as("doc_a"), col("a.sz").as("sz_a"),
         col("b.doc").as("doc_b"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Shingle CONTAINMENT pairs (Broder 1997's asymmetric resemblance):
+    * C = |A∩B| / min(|A|, |B|) — "is the smaller doc's shingle set
+    * (mostly) inside the bigger one's". The excerpt/quotation dedup
+    * signal Jaccard structurally cannot give: a 50-shingle doc fully
+    * embedded in a 5000-shingle doc has J ≈ 0.01 but C = 1.0, so pure
+    * Jaccard dedup keeps wholesale-quoted content forever. Emits both
+    * metrics so callers can see WHICH relation fired (J high = twins,
+    * C high + J low = excerpt).
+    *
+    * Same scale shape as [[jaccardPairs]] — one tokenize→shingle→
+    * explode pass, stop-shingle cap bounding the candidate join's
+    * fan-out, equi-join on the shingle hash, never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.5,
+                       maxShingleFreq: Long = 1000): DataFrame =
+    interPairs(docs, idCol, textCol, n, maxShingleFreq)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
-  }
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
+      .where(col("containment") >= minContainment)
 
   /** Incremental near-dup: Jaccard pairs between a batch of NEW docs
     * and an existing corpus — the continuous-ingest shape (dedup each
@@ -842,11 +873,17 @@ object Dedup {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val staged = docs.select(col(idCol).cast("long").as("doc"),
       TF.tokens(col(textCol)).as("__toks"))
+    // the span table is the hub of THREE consumers (the owners
+    // aggregate + both halves of the Zipf hybrid join) — lazily
+    // checkpoint so the tokenize→hash→posexplode pipeline runs once,
+    // not per consumer (r11: span_dedup was the most expensive bench
+    // entry, 4.5 s, mostly re-evaluation)
     val spans = staged
       .select(col("doc"), TF.shingleHashesFromTokens(
         transform(col("__toks"), t => TF.rollingHash(t)), spanTokens)
         .as("__shs"))
       .select(col("doc"), posexplode(col("__shs")).as(Seq("pos", "sh")))
+      .localCheckpoint(false)
     // duplicated fingerprints only, with their canonical first owner;
     // struct min orders lexicographically = (doc, pos)
     val owners = spans.groupBy(col("sh"))

@@ -35,6 +35,28 @@ class TextDedupSpec extends SparkSpec {
       s"hot fingerprints must broadcast (Zipf hybrid):\n$p")
   }
 
+  test("containmentPairs catches an embedded excerpt that Jaccard misses") {
+    // doc 2 is a verbatim excerpt of doc 1 (all its shingles embedded
+    // in doc 1's much larger set): containment 1.0, Jaccard far below
+    // any dedup threshold. doc 3 shares nothing.
+    val big = (1 to 40).map(i => s"w$i").mkString(" ") + " p q r s"
+    val docs = Seq(
+      (1L, big),
+      (2L, "p q r s"),
+      (3L, "x y z x y z")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0, "excerpt containment must be exactly 1")
+    assert(r.getDouble(2) < 0.1, "Jaccard misses the excerpt relation")
+    // the same pair never passes a Jaccard gate at the usual threshold
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   // Scala reimplementation of the rolling hash (the cross-platform spec)
   private def rollHashRef(s: String): Long =
     s.foldLeft(TF.HashSeed)((acc, c) => (acc * 31 + c.toInt) % TF.HashMod)
