@@ -126,6 +126,32 @@ object Round11Queries {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minContainment = 0.5)
         .orderBy("doc_a", "doc_b")),
+
+    // ---- X61: snapshot diff — added/removed/changed between two
+    // corpus versions (the %3 / %5 splits simulate old/new crawls;
+    // %7 docs get a deterministic ASCII edit so `changed` is real) ---
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      TrainingData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- X62a: winnowing fingerprints (MOSS selection rule) --------
+    "doc_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        kGram = 4, window = 4)
+        .orderBy("doc_id")),
+
+    // ---- X62b: near-dup candidates over the winnowed sets ----------
+    "winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        kGram = 4, window = 4, minShared = 2)
+        .orderBy("doc_a", "doc_b")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,6 +340,52 @@ object Round11Queries {
          |WHERE CAST(i AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // replays snapshotDiff: md5-hex parity is established (the
+    // data_priority key), the edit is pure ASCII concat (no locale),
+    // and the FULL JOIN's key coalesce is written out explicitly
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(COALESCE(text, '')) AS old_hash
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id, md5(COALESCE(
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, ''))
+        |    AS new_hash
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    o.old_hash, n.new_hash
+        |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_hash, new_hash
+        |FROM j
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the winnowing selection bit-for-bit: the position-packed
+    // key hash·2²¹+(2²¹−1−pos) makes "smallest hash, rightmost tie" a
+    // plain BIGINT min in both engines; fp recovery is key >> 21
+    "doc_winnow" -> winnowCtes(
+      """SELECT doc AS doc_id, CAST(m AS BIGINT) AS n_grams,
+        |  CAST(m - 3 AS BIGINT) AS n_windows,
+        |  CAST(len(selkeys) AS BIGINT) AS n_selected,
+        |  CAST(list_sum(list_transform(selkeys, x -> x >> 21)) AS BIGINT)
+        |    AS fp_sum
+        |FROM sel ORDER BY doc_id""".stripMargin),
+
+    "winnow_pairs" -> winnowCtes(
+      """fp AS (SELECT doc, unnest(list_distinct(
+        |    list_transform(selkeys, x -> x >> 21))) AS fp FROM sel),
+        |freq AS (SELECT fp, count(*) AS f FROM fp GROUP BY fp),
+        |fpf AS (SELECT p.doc, p.fp FROM fp p JOIN freq USING (fp)
+        |  WHERE f BETWEEN 2 AND 1000)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM fpf a JOIN fpf b USING (fp) WHERE a.doc < b.doc
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin, extraCte = true),
+
     // replays tokenEntropy column by column; `0.0 - coalesce(sum)`
     // mirrors the operator's +0.0-never-−0.0 rule, and the entropy
     // rounds 1e-4 to absorb fold-order noise
@@ -333,4 +405,22 @@ object Round11Queries {
          |  END AS entropy
          |FROM ty ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared CTE chain ending in `sel(doc, m, selkeys)` — the DuckDB
+    * twin of [[graft.operators.Dedup.winnowFingerprints]]'s selection
+    * stage at kGram = 4, window = 4. `extraCte = true` when `select`
+    * continues the WITH-list with its own `name AS (...)` clause. */
+  private def winnowCtes(select: String, extraCte: Boolean = false): String =
+    s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+       |  FROM documents),
+       |shs AS (SELECT doc, ${SparkEntry.sqlShingleHashesOfTh(4)} AS shs FROM tha),
+       |keys AS (SELECT doc, len(shs) AS m,
+       |    list_transform(range(0, len(shs)),
+       |      j -> shs[j+1] * 2097152 + (2097151 - j)) AS keys
+       |  FROM shs WHERE len(shs) >= 4),
+       |sel AS (SELECT doc, m, list_distinct(list_transform(range(0, m - 3),
+       |    i -> list_min(list_transform(range(i, i + 4), j -> keys[j+1]))))
+       |    AS selkeys
+       |  FROM keys)${if (extraCte) "," else ""}
+       |$select""".stripMargin
 }

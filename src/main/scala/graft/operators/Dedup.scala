@@ -103,6 +103,85 @@ object Dedup {
           least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
       .where(col("containment") >= minContainment)
 
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003)
+  // ---------------------------------------------------------------
+
+  /** Position-packing for the winnowing selection rule: the key
+    * `hash·2²¹ + (2²¹−1 − pos)` orders by (hash ASC, pos DESC), so
+    * `min(key)` over a window IS the paper's "smallest hash, rightmost
+    * on ties" pick — one integer comparison, replayable in any
+    * engine's BIGINT arithmetic (hash < 2³⁰, so key < 2⁵¹). Bounds
+    * positions at 2²¹−1 ≈ 2M k-grams per doc. */
+  private val WinnowPosBits = 21
+  private val WinnowPosMask = (1L << WinnowPosBits) - 1L
+
+  /** Per-doc winnowed key set: (doc, n_grams, n_windows, __selkeys).
+    * Docs with fewer than `window` k-grams have no window and are
+    * absent (the spanDedup sub-span rule). Map-only. */
+  private def winnowSelected(docs: DataFrame, idCol: String, textCol: String,
+                             kGram: Int, window: Int): DataFrame = {
+    require(kGram >= 1 && window >= 1, "kGram and window must be positive")
+    val shs = TF.shingleHashesFromTokens(
+      TF.tokenHashes(col(textCol)), kGram)
+    val staged = docs
+      .select(col(idCol).cast("long").as("doc"), shs.as("__shs"))
+      .where(size(col("__shs")) >= window)
+      .select(col("doc"), size(col("__shs")).as("__m"),
+        transform(col("__shs"), (h, j) =>
+          h * (WinnowPosMask + 1L) + (lit(WinnowPosMask) - j)).as("__keys"))
+    staged.select(col("doc"),
+      col("__m").cast("long").as("n_grams"),
+      (col("__m") - window + 1).cast("long").as("n_windows"),
+      array_distinct(transform(
+        sequence(lit(0), col("__m") - window),
+        i => array_min(slice(col("__keys"), i + 1, lit(window))))).as("__selkeys"))
+  }
+
+  /** Winnowing document fingerprints: from every window of `window`
+    * consecutive k-gram hashes keep the minimum (rightmost on ties —
+    * see [[WinnowPosBits]]), the MOSS selection rule. Guarantees of
+    * the paper: any shared run of ≥ window + kGram − 1 tokens yields
+    * at least one shared selected fingerprint, with expected density
+    * 2/(window+1) — i.e. spanDedup's detection power at a fraction of
+    * its index size, which is the whole point at 100 TB (the
+    * fingerprint table this op feeds is ~2/(w+1) the size of the
+    * every-window span table). Map-ONLY: selection is an O(m·w)
+    * array-HOF fold per doc, zero exchanges.
+    *
+    * Output: (idCol, n_grams, n_windows, n_selected, fp_sum — the sum
+    * of selected k-gram hashes, an order-free content checksum). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         kGram: Int = 4, window: Int = 4): DataFrame =
+    winnowSelected(docs, idCol, textCol, kGram, window)
+      .select(col("doc").as(idCol), col("n_grams"), col("n_windows"),
+        size(col("__selkeys")).cast("long").as("n_selected"),
+        aggregate(transform(col("__selkeys"),
+          k => shiftright(k, WinnowPosBits)), lit(0L), (a, b) => a + b)
+          .as("fp_sum"))
+
+  /** Candidate near-dup pairs over the winnowed fingerprint sets:
+    * docs sharing ≥ `minShared` DISTINCT selected k-gram hashes. The
+    * same inverted-index equi-join as [[jaccardPairs]] (count-window
+    * stop cap bounding hot-fingerprint fan-out) but over the 2/(w+1)-
+    * density selected set instead of every shingle. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  kGram: Int = 4, window: Int = 4, minShared: Long = 2,
+                  maxFpFreq: Long = 1000): DataFrame = {
+    val sel = winnowSelected(docs, idCol, textCol, kGram, window)
+      .select(col("doc"), explode(array_distinct(transform(
+        col("__selkeys"), k => shiftright(k, WinnowPosBits)))).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val f = sel.withColumn("__f", count(lit(1)).over(w))
+      .where(col("__f") <= maxFpFreq && col("__f") >= 2)
+      .drop("__f")
+    f.as("a").join(f.as("b"), "fp")
+      .where(col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Incremental near-dup: Jaccard pairs between a batch of NEW docs
     * and an existing corpus — the continuous-ingest shape (dedup each
     * crawl batch against everything already kept). Only the batch is

@@ -313,4 +313,35 @@ object TrainingData {
         round(greatest(col("weight").cast("double"), col("__tau")), 4)
           .as("est_weight"))
   }
+
+  /** Corpus snapshot diff by content fingerprint: which docs were
+    * ADDED, REMOVED, or CHANGED between two corpus versions — the
+    * bookkeeping every incremental ingest pipeline runs before
+    * deciding what to re-clean / re-dedup / re-embed (only the
+    * added+changed set flows downstream; the index maintenance ops —
+    * shingle/hamming/IVF — consume exactly this delta on compaction
+    * cadence).
+    *
+    * Scale shape: each side collapses to (id, md5) map-side — the
+    * fingerprint is 16 bytes regardless of text size — then ONE
+    * full-outer equi-join on the id (uniform key, skew-free). Null
+    * text fingerprints as the empty string so presence is never
+    * conflated with content. Output: one row per doc whose status is
+    * not `unchanged` — (idCol, status ∈ added|removed|changed,
+    * old_hash, new_hash). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      md5(coalesce(col(textCol), lit(""))).as("old_hash"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      md5(coalesce(col(textCol), lit(""))).as("new_hash"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_hash"), col("new_hash"))
+      .where(col("status") =!= "unchanged")
+  }
 }

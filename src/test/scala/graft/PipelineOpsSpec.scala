@@ -223,4 +223,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"selection must be a bounded distributed top-k:\n$p")
   }
+
+  test("snapshotDiff: all three statuses, unchanged absent, null text = empty") {
+    val oldSnap = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "same text"), (2L, "changed text"), (4L, "brand new"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TrainingData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 unchanged -> absent; doc 5: null and "" fingerprint equal
+    // by the coalesce rule -> also unchanged/absent
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // hash columns carry presence: added has no old_hash, removed no new
+    val rows = TrainingData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(rows(4L)._1.isEmpty && rows(4L)._2.nonEmpty)
+    assert(rows(3L)._1.nonEmpty && rows(3L)._2.isEmpty)
+    assert(rows(2L)._1.nonEmpty && rows(2L)._2.nonEmpty)
+  }
 }

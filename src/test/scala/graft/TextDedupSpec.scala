@@ -61,6 +61,57 @@ class TextDedupSpec extends SparkSpec {
   private def rollHashRef(s: String): Long =
     s.foldLeft(TF.HashSeed)((acc, c) => (acc * 31 + c.toInt) % TF.HashMod)
 
+  /** Driver-side replay of the winnowing selection at (kGram, window):
+    * k-gram hashes of token hashes, position-packed keys, window mins,
+    * distinct — the independent twin of Dedup.winnowSelected. */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    val th = text.split(" ").filter(_.nonEmpty).map(rollHashRef)
+    val shs = (0 to th.length - k).map(i =>
+      (i until i + k).foldLeft(TF.HashSeed)((acc, j) => (acc * 31 + th(j)) % TF.HashMod))
+    val keys = shs.zipWithIndex.map { case (h, j) => h * 2097152L + (2097151L - j) }
+    (0 to keys.length - w).map(i => keys.slice(i, i + w).min).distinct
+  }
+
+  test("winnowFingerprints matches a driver-side replay of the selection rule") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a a a a a a a a"),                       // all-equal hashes: rightmost ties
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "x y z"))                                 // 0 windows at k=4 -> absent
+    val out = Dedup.winnowFingerprints(texts.toDF("doc_id", "text"),
+      "doc_id", "text", kGram = 4, window = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.foreach { case (id, text) =>
+      val sel = winnowRef(text, 4, 4)
+      val m = text.split(" ").count(_.nonEmpty) - 3
+      if (m < 4) assert(!out.contains(id), s"doc $id should be absent")
+      else assert(out(id) == ((m.toLong, (m - 3).toLong, sel.length.toLong,
+        sel.map(_ >> 21).sum)), s"doc $id diverged")
+    }
+    // density sanity on the prose doc: expected 2/(w+1) = 0.4 of windows
+    val (_, w1, s1, _) = out(1L)
+    assert(s1 <= w1 && s1 >= 1)
+  }
+
+  test("winnowPairs: a shared run of window+kGram-1 tokens is always detected") {
+    // guarantee from the paper: any common substring of >= w + k - 1
+    // tokens (7 at k=4,w=4) yields >= 1 shared selected fingerprint.
+    // Give the pair TWO shared runs so minShared=2 also fires.
+    val run1 = "alpha beta gamma delta epsilon zeta eta"
+    val run2 = "uno dos tres cuatro cinco seis siete"
+    val docs = Seq(
+      (1L, s"$run1 filler1 mid text $run2 tail1 end1"),
+      (2L, s"start2 $run1 other2 words2 $run2 close2"),
+      (3L, "completely different content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", "text",
+      kGram = 4, window = 4, minShared = 2).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getLong(2) >= 2L)
+  }
+
   test("rollingHash matches the scalar reference implementation") {
     val texts = Seq("abc", "hello world", "", "Spark 4", "ααβ")
     val got = texts.toDF("t")
