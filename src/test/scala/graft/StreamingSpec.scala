@@ -473,6 +473,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got(0L) && !got(1L), s"got $got want $want")
   }
 
+  test("c4Rules and tokenEntropy are stateless: stream output matches batch") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "This line has at least five proper words here.\nshort one\n" +
+        "Another sentence that clearly qualifies for retention today!"),
+      (1L, "lorem ipsum dolor sit amet and then some more padding text."),
+      (2L, "alpha beta alpha gamma alpha"))
+    val dir = Files.createTempDirectory("stream-c4ent")
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir.toString)
+    val q = graft.operators.Curation
+      .c4Rules(streamed, "doc_id", "text", minSentences = 1)
+      .join(graft.operators.Curation.tokenEntropy(streamed, "doc_id", "text")
+        .select(col("doc_id"), col("entropy")), "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4ent_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("c4ent_stream")
+      .select(col("doc_id"), col("keep_doc"), col("entropy"))
+      .as[(Long, Boolean, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val batch = rows.toDF("doc_id", "text")
+    val want = graft.operators.Curation
+      .c4Rules(batch, "doc_id", "text", minSentences = 1)
+      .join(graft.operators.Curation.tokenEntropy(batch, "doc_id", "text")
+        .select(col("doc_id"), col("entropy")), "doc_id")
+      .select(col("doc_id"), col("keep_doc"), col("entropy"))
+      .as[(Long, Boolean, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == want && got.size == 3, s"got $got want $want")
+    assert(got(0L)._1 && !got(1L)._1, "page tells must fire on the stream")
+  }
+
   test("served bigram LM scores micro-batches via foreachBatch, matches batch") {
     import spark.implicits._
     // model from a BATCH corpus snapshot (the compaction-cadence
