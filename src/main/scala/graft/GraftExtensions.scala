@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DeflateRatio, FusedCosine, FusedDot, FusedEuclidean, FusedNorm, RollingHash, SimHash32, SortedLongContains}
+import graft.functions.{DeflateRatio, FusedCosine, FusedDot, FusedEuclidean, FusedNorm, FusedSqEuclidean, RollingHash, SimHash32, SortedLongContains}
 
 /** SQL surface for the engine's native kernels: registers the fused
   * Catalyst expressions as SQL functions so `spark.sql("SELECT
@@ -45,6 +45,9 @@ object GraftExtensions {
     * the kernels are the single source of truth for the math). */
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     binary("graft_euclidean", FusedEuclidean(_, _)),
+    // sqrt-free squared L2 (rank-equivalent to euclidean, one
+    // transcendental cheaper per pair — the r10 pair-scoring kernel)
+    binary("graft_sq_euclidean", FusedSqEuclidean(_, _)),
     binary("graft_dot", FusedDot(_, _)),
     binary("graft_cosine", FusedCosine(_, _)),
     unary("graft_norm", FusedNorm(_)),

@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends SparkSpec {
     // arity errors surface as analysis-time failures, not executor blowups
     intercept[Exception](spark.sql("SELECT graft_norm(a, b) FROM vecs").collect())
 
+    // sq_euclidean: SQL == Column kernel, and == euclidean² exactly
+    // on these small values
+    val sq = spark.sql("SELECT graft_sq_euclidean(a, b) FROM vecs")
+      .as[Double].collect().toSeq
+    val sqCol = df.select(
+      graft.functions.FusedDistance.sqEuclidean(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    assert(sq == sqCol && sq.head == 0.0)
+
     // r6 kernels compose in plain SQL like the rest
     val hit = spark.sql(
       "SELECT graft_sorted_contains(sort_array(array(9L, 1L, 5L)), 5L)")
@@ -63,7 +72,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // The injectFunction list is shared with register() — pin the names
     // so the config-based path stays in sync with the live-session path
     assert(GraftExtensions.definitions.map(_._1.funcName).toSet ==
-      Set("graft_euclidean", "graft_dot", "graft_cosine", "graft_norm",
+      Set("graft_euclidean", "graft_sq_euclidean", "graft_dot",
+        "graft_cosine", "graft_norm",
         "graft_rolling_hash", "graft_simhash32",
         "graft_sorted_contains", "graft_deflate_ratio"))
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)

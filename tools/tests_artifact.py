@@ -38,5 +38,15 @@ out = {
     "sbt_total_sec": sbt_total_s,
     "suites": sorted(set(suites)),
 }
+import subprocess
+def git(*args):
+    return subprocess.run(["git", *args], capture_output=True,
+                          text=True).stdout.strip()
+# the commit the run is evidence FOR (plus a dirty flag: a non-empty
+# status means the log may not match the committed tree)
+out["tree"] = git("rev-parse", "HEAD")
+out["tree_dirty"] = bool(git("status", "--porcelain",
+                             "--", "src", "build.sbt"))
+
 json.dump(out, open(out_path, "w"), indent=2)
 print(f"wrote {out_path}: {total} tests / {completed} suites, failed={failed}")
