@@ -141,6 +141,31 @@ object Round11Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- X63: incremental index maintenance — the X61 diff drives a
+    // delta-only update of the raw shingle postings, then a full dedup
+    // pass served from the UPDATED index must equal a fresh build over
+    // the new corpus (the oracle rebuilds from scratch) --------------
+    "index_update_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val diff = TrainingData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      val stale = diff.where(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      val fresh = newSnap.join(
+        diff.where(col("status").isin("added", "changed"))
+          .select(col("doc_id")), "doc_id")
+      val updated = Dedup.updateShingleIndex(
+        Dedup.rawShingleIndex(oldSnap, "doc_id", "text", n = 3),
+        stale, fresh, "doc_id", "text", n = 3)
+      Dedup.jaccardPairsFromIndex(Dedup.capShingleIndex(updated), 0.1)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- X62a: winnowing fingerprints (MOSS selection rule) --------
     "doc_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
@@ -362,6 +387,33 @@ object Round11Queries {
         |FROM j
         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id""".stripMargin,
+
+    // the X63 oracle REBUILDS from scratch over the new corpus — the
+    // update path must be indistinguishable from a fresh build; the
+    // f <= 1000 band (no >= 2) mirrors capShingleIndex, whose freq-1
+    // rows produce no cross-doc pairs
+    "index_update_pairs" ->
+      s"""WITH newc AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM newc),
+         |sha AS (SELECT doc, list_distinct(${SparkEntry.sqlShingleHashesOfTh(3)}) AS shs
+         |  FROM tha),
+         |sh AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha),
+         |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+         |shf AS (SELECT s.doc, s.sz, s.sh FROM sh s JOIN freq USING (sh)
+         |  WHERE f <= 1000),
+         |inter AS (SELECT a.doc AS doc_a, a.sz AS sz_a, b.doc AS doc_b,
+         |    b.sz AS sz_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+         |    AS jaccard
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // replays the winnowing selection bit-for-bit: the position-packed
     // key hash·2²¹+(2²¹−1−pos) makes "smallest hash, rightmost tie" a

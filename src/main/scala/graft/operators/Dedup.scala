@@ -224,21 +224,53 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** The corpus's inverted shingle index: (sh, doc_corpus, sz_c) rows
-    * after the stop-shingle cap — the artifact a production pipeline
-    * MATERIALIZES on compaction cadence (write it partitioned/bucketed
-    * by `sh`) so per-batch dedup never re-tokenizes the corpus. New
-    * corpus admissions append their own rows incrementally. */
-  def corpusShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, maxShingleFreq: Long = 1000): DataFrame = {
-    val corpusSh = shingleSets(corpus, idCol, textCol, n)
+  /** The UNCAPPED inverted postings (doc_corpus, sz_c, sh) — one row
+    * per (doc, distinct shingle). This is the form a production
+    * pipeline MAINTAINS, because the stop-shingle cap is not
+    * monotone under updates: a row dropped at cap time cannot be
+    * resurrected when removals later push its shingle back under the
+    * cap. Store this; apply [[capShingleIndex]] at read. */
+  def rawShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    shingleSets(corpus, idCol, textCol, n)
       .select(col("doc").as("doc_corpus"), size(col("shs")).as("sz_c"),
         explode(col("shs")).as("sh"))
+
+  /** The stop-shingle cap as a read-time view over the raw postings
+    * (the count window reuses the hash(sh) exchange downstream joins
+    * need anyway — the jaccardPairs rationale). */
+  def capShingleIndex(raw: DataFrame, maxShingleFreq: Long = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    corpusSh.withColumn("__f", count(lit(1)).over(w))
+    raw.withColumn("__f", count(lit(1)).over(w))
       .where(col("__f") <= maxShingleFreq)
       .drop("__f")
   }
+
+  /** Incremental maintenance of the raw postings (X63): drop every
+    * posting of `staleIds` (removed + changed docs — exactly
+    * [[graft.operators.TrainingData.snapshotDiff]]'s non-added
+    * statuses), append fresh postings for `freshDocs` (added +
+    * changed). `update(raw(old), diff) == raw(new)` EXACTLY (spec-
+    * pinned set equality), so the served index never drifts from a
+    * rebuild while touching only the delta: the anti-join keys on the
+    * uniform doc id and only the fresh docs are tokenized. */
+  def updateShingleIndex(raw: DataFrame, staleIds: DataFrame,
+                         freshDocs: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3): DataFrame =
+    raw.join(staleIds.select(col(staleIds.columns.head).as("doc_corpus")),
+        Seq("doc_corpus"), "left_anti")
+      .unionByName(rawShingleIndex(freshDocs, idCol, textCol, n))
+
+  /** The corpus's inverted shingle index: (sh, doc_corpus, sz_c) rows
+    * after the stop-shingle cap — the artifact a production pipeline
+    * MATERIALIZES on compaction cadence (write it partitioned/bucketed
+    * by `sh`) so per-batch dedup never re-tokenizes the corpus. For
+    * incrementally-maintained deployments store [[rawShingleIndex]]
+    * and cap at read instead (see the cap-monotonicity note there). */
+  def corpusShingleIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, maxShingleFreq: Long = 1000): DataFrame =
+    capShingleIndex(rawShingleIndex(corpus, idCol, textCol, n),
+      maxShingleFreq)
 
   /** Batch-vs-index form: only the batch is hashed here; the index side
     * is whatever corpusShingleIndex produced (typically read back from

@@ -94,6 +94,28 @@ class TextDedupSpec extends SparkSpec {
     assert(s1 <= w1 && s1 >= 1)
   }
 
+  test("updateShingleIndex: delta update equals a from-scratch rebuild exactly") {
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta"),      // unchanged
+      (2L, "one two three four five"),     // will change
+      (3L, "to be removed entirely now")   // removed
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five six"), // changed
+      (4L, "brand new document text here") // added
+    ).toDF("doc_id", "text")
+    val stale = Seq(2L, 3L).toDF("doc_id")
+    val fresh = newDocs.where(col("doc_id").isin(2L, 4L))
+    val updated = Dedup.updateShingleIndex(
+      Dedup.rawShingleIndex(oldDocs, "doc_id", "text", n = 3),
+      stale, fresh, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rebuilt = Dedup.rawShingleIndex(newDocs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(updated == rebuilt, "served index drifted from the rebuild")
+  }
+
   test("winnowPairs: a shared run of window+kGram-1 tokens is always detected") {
     // guarantee from the paper: any common substring of >= w + k - 1
     // tokens (7 at k=4,w=4) yields >= 1 shared selected fingerprint.
