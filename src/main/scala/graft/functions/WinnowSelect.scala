@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused winnowing selection (Schleimer/Wilkerson/Aiken 2003) over a
+  * k-gram hash array: emits the DISTINCT position-packed keys
+  * `hash·2²¹ + (2²¹−1 − pos)` selected by the "minimum of each
+  * `window`, rightmost on ties" rule.
+  *
+  * Replaces the array-HOF formulation
+  * `array_distinct(transform(sequence, i -> array_min(slice(keys))))`,
+  * which allocates a fresh `window`-element slice per window —
+  * O(m·w) time and O(m·w) garbage per doc. This kernel runs the
+  * classic monotonic-deque sliding minimum: O(m) time, one output
+  * buffer, zero slices. Packed keys are unique (the position rides
+  * the low bits), so the deque never sees ties, and a key can only be
+  * selected by a CONTIGUOUS run of windows (positions leave the
+  * window forever) — dedupe-on-change therefore equals the HOF form's
+  * `array_distinct` including order (first occurrence). Equivalence
+  * is property-pinned against the HOF form in TextDedupSpec.
+  *
+  * Input: array<long> of k-gram hashes (hash < 2³⁰, ≤ 2²¹−1 grams).
+  * Output: array<long> selected keys; fewer than `window` grams
+  * yields an EMPTY array (callers filter, keeping the absent-doc
+  * rule); null input yields null. Codegen calls the same
+  * JIT-compiled [[selectKeys]] through a reference object (the
+  * FusedSignProject pattern).
+  */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, "window must be positive")
+
+  private val posBits = 21
+  private val posMask = (1L << posBits) - 1L
+
+  override def prettyName: String = "winnow_select"
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<long> of k-gram hashes, got $other")
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    selectKeys(v.asInstanceOf[ArrayData])
+
+  /** One row's selection — shared by eval and generated code. */
+  def selectKeys(x: ArrayData): ArrayData = {
+    val m = x.numElements()
+    if (m < window) return new GenericArrayData(Array.emptyLongArray)
+    val keys = new Array[Long](m)
+    val dq = new Array[Int](m) // deque of indices, keys strictly increasing
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](m - window + 1) // ≤ one selection per window
+    var n = 0
+    var j = 0
+    while (j < m) {
+      keys(j) = x.getLong(j) * (posMask + 1L) + (posMask - j)
+      // packed keys are unique, so >= vs > is moot
+      while (tail > head && keys(dq(tail - 1)) >= keys(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      if (dq(head) <= j - window) head += 1
+      if (j >= window - 1) {
+        val sel = keys(dq(head))
+        if (n == 0 || out(n - 1) != sel) {
+          out(n) = sel
+          n += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("winnowSelect", this)
+      s"${ev.value} = $ref.selectKeys($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -118,24 +118,25 @@ object Dedup {
 
   /** Per-doc winnowed key set: (doc, n_grams, n_windows, __selkeys).
     * Docs with fewer than `window` k-grams have no window and are
-    * absent (the spanDedup sub-span rule). Map-only. */
+    * absent (the spanDedup sub-span rule). Map-only; selection is the
+    * fused O(m) [[graft.functions.WinnowSelect]] deque kernel (the
+    * HOF `array_min(slice(...))` form it replaced allocates a window-
+    * sized slice per window — property-pinned equivalent in
+    * TextDedupSpec). */
   private def winnowSelected(docs: DataFrame, idCol: String, textCol: String,
                              kGram: Int, window: Int): DataFrame = {
     require(kGram >= 1 && window >= 1, "kGram and window must be positive")
+    import org.apache.spark.sql.graft.ColumnBridge
     val shs = TF.shingleHashesFromTokens(
       TF.tokenHashes(col(textCol)), kGram)
-    val staged = docs
+    docs
       .select(col(idCol).cast("long").as("doc"), shs.as("__shs"))
       .where(size(col("__shs")) >= window)
-      .select(col("doc"), size(col("__shs")).as("__m"),
-        transform(col("__shs"), (h, j) =>
-          h * (WinnowPosMask + 1L) + (lit(WinnowPosMask) - j)).as("__keys"))
-    staged.select(col("doc"),
-      col("__m").cast("long").as("n_grams"),
-      (col("__m") - window + 1).cast("long").as("n_windows"),
-      array_distinct(transform(
-        sequence(lit(0), col("__m") - window),
-        i => array_min(slice(col("__keys"), i + 1, lit(window))))).as("__selkeys"))
+      .select(col("doc"),
+        size(col("__shs")).cast("long").as("n_grams"),
+        (size(col("__shs")) - window + 1).cast("long").as("n_windows"),
+        ColumnBridge.column(graft.functions.WinnowSelect(
+          ColumnBridge.expression(col("__shs")), window)).as("__selkeys"))
   }
 
   /** Winnowing document fingerprints: from every window of `window`

@@ -116,6 +116,41 @@ class TextDedupSpec extends SparkSpec {
     assert(updated == rebuilt, "served index drifted from the rebuild")
   }
 
+  test("property: WinnowSelect deque kernel equals the HOF slice-min form") {
+    // the fused O(m) kernel replaced array_distinct(transform(seq,
+    // i -> array_min(slice(keys, i+1, w)))) — pin equivalence on
+    // pseudo-random hash arrays across window sizes, including runs of
+    // equal hashes (rightmost-tie territory) and m < w (empty)
+    import org.apache.spark.sql.graft.ColumnBridge
+    def hashArr(seed: Long, len: Int): Seq[Long] =
+      (0 until len).map(i => math.abs((seed * 6364136223846793005L + i * 1442695040888963407L) % 97) % 17 + 1)
+    val rows = (0 until 60).map { r =>
+      (r.toLong, hashArr(r * 31L + 7, r % 13))
+    }
+    for (w <- Seq(1, 2, 4, 7)) {
+      val df = rows.toDF("id", "shs")
+      val kernel = df.select(col("id"), ColumnBridge.column(
+        graft.functions.WinnowSelect(ColumnBridge.expression(col("shs")), w))
+        .as("sel"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val hof = df
+        .where(size(col("shs")) >= w)
+        .select(col("id"),
+          array_distinct(transform(
+            sequence(lit(0), size(col("shs")) - w),
+            i => array_min(slice(
+              transform(col("shs"), (h, j) =>
+                h * 2097152L + (lit(2097151L) - j)), i + 1, lit(w)))))
+            .as("sel"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      rows.foreach { case (id, shs) =>
+        if (shs.length >= w)
+          assert(kernel(id) == hof(id), s"id=$id w=$w shs=$shs")
+        else assert(kernel(id) == Nil, s"short doc must select nothing")
+      }
+    }
+  }
+
   test("winnowPairs: a shared run of window+kGram-1 tokens is always detected") {
     // guarantee from the paper: any common substring of >= w + k - 1
     // tokens (7 at k=4,w=4) yields >= 1 shared selected fingerprint.
