@@ -42,7 +42,8 @@ object Bench {
     "ppl_bigram", "ppl_buckets", "ppl_bigram_served", "quality_c4",
     "domain_cap", "span_dedup",
     "source_kl", "ngram_novelty", "token_entropy", "containment_pairs",
-    "snapshot_diff", "doc_winnow", "winnow_pairs", "index_update_pairs")
+    "snapshot_diff", "doc_winnow", "winnow_pairs", "index_update_pairs",
+    "doc_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,6 +166,13 @@ object Round11Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- X64: per-doc top-5 TF-IDF keywords (document tagging) -----
+    "doc_keywords" -> ((s, dir) =>
+      graft.operators.Lexical.docKeywords(t(s, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .select(col("doc").as("doc_id"), col("rank"), col("keyword"), col("w"))
+        .orderBy("doc_id", "rank")),
+
     // ---- X62a: winnowing fingerprints (MOSS selection rule) --------
     "doc_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
@@ -387,6 +394,26 @@ object Round11Queries {
         |FROM j
         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id""".stripMargin,
+
+    // replays docKeywords: same tf/df/N/w operands, (w DESC, t ASC)
+    // rank — exact ties only at equal (c, df), identical doubles both
+    // engines; w rounds 1e-4 in OUTPUT only (the bm25 precedent)
+    "doc_keywords" ->
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |  FROM documents),
+         |counts AS (SELECT doc, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc, t),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM counts GROUP BY t),
+         |n AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM counts),
+         |w AS (SELECT doc, t,
+         |    CAST(c AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+         |  FROM counts JOIN dfq USING (t) CROSS JOIN n),
+         |r AS (SELECT doc, t, w,
+         |    row_number() OVER (PARTITION BY doc ORDER BY w DESC, t ASC) AS rank
+         |  FROM w)
+         |SELECT doc AS doc_id, CAST(rank AS BIGINT) AS rank, t AS keyword,
+         |  round(w, 4) AS w
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // the X63 oracle REBUILDS from scratch over the new corpus — the
     // update path must be indistinguishable from a fresh build; the

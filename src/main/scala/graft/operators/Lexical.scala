@@ -104,6 +104,35 @@ object Lexical {
     * partial-order sensitive; consumers comparing across engines
     * should round (the oracle twin rounds to 4, like unigram_logprob).
     */
+  /** Per-document top-k TF-IDF keywords: the classic document-tagging
+    * / corpus-inspection signal (what is this doc ABOUT), ranked by
+    * weight DESC with term-ASC ties. Inline form builds the postings;
+    * production serves [[docKeywordsServed]] from the materialized
+    * table. */
+  def docKeywords(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame =
+    docKeywordsServed(tfidfPostings(docs, idCol, textCol), k)
+
+  /** Postings-served keyword extraction. Scale shape: ONE aggregate
+    * keyed by doc (uniform, high-cardinality — not the skewed-group
+    * window anti-pattern), per-group state bounded by the doc's own
+    * distinct-token count; ranking is an in-array struct sort — the
+    * negated weight makes (w DESC, term ASC) one ascending struct
+    * order, and negation is IEEE-exact. Weight output rounds 1e-4;
+    * the RANKING compares raw doubles like bm25/moreLikeThis (exact
+    * ties only arise from equal (c, df), where both engines compute
+    * the identical double). */
+  def docKeywordsServed(postings: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val top = postings.groupBy(col("doc"))
+      .agg(slice(array_sort(collect_list(
+        struct(negate(col("w")).as("nw"), col("t")))), 1, k).as("__top"))
+    top.select(col("doc"), posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col("doc"), (col("__i") + 1).cast("long").as("rank"),
+        col("__kw.t").as("keyword"),
+        round(negate(col("__kw.nw")), 4).as("w"))
+  }
+
   /** Per-document vector norms of a postings table — materialized next
     * to the postings so serving never re-aggregates the corpus. */
   def tfidfNorms(postings: DataFrame): DataFrame =

@@ -45,6 +45,30 @@ class LexicalSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("docKeywords: rank by tf-idf desc then term asc; corpus-wide terms score 0") {
+    import org.apache.spark.sql.functions._
+    // N=3 docs. "common" in all 3 -> idf = ln(1) = 0 -> always ranked
+    // LAST among scored terms. "rare" only in doc 1 (idf ln 3), twice
+    // -> w = 2 ln 3 beats "mid" (in 2 docs, once -> ln(3/2)).
+    val docs = Seq(
+      (1L, "rare rare mid common"),
+      (2L, "mid common solo"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val got = graft.operators.Lexical.docKeywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(3))))
+      .toMap
+    val ln3 = math.log(3.0)
+    assert(got((1L, 1L)) == (("rare",
+      BigDecimal(2 * ln3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((1L, 2L))._1 == "mid")
+    // doc 2: solo (ln 3) > mid (ln 1.5) > common (0, cut by k=2)
+    assert(got((2L, 1L))._1 == "solo" && got((2L, 2L))._1 == "mid")
+    // doc 3: only two terms; other (ln 3) then common (0.0)
+    assert(got((3L, 1L))._1 == "other")
+    assert(got((3L, 2L)) == (("common", 0.0)))
+  }
+
   test("rrfFuse: known fusion scores, one-sided items still rank") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
