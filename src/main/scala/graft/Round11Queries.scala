@@ -121,10 +121,12 @@ object Round11Queries {
         .orderBy("doc_id")),
 
     // ---- X60: shingle containment pairs — the asymmetric excerpt
-    // signal (C = |A∩B|/min|A|,|B|) Jaccard structurally misses ------
+    // signal (C = |A∩B|/min|A|,|B|) Jaccard structurally misses.
+    // Served from the SAME materialized index as dedup_jaccard (the
+    // FromIndex precedent): identical results, no per-query tokenize -
     "containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minContainment = 0.5)
+      Dedup.containmentPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
+        minContainment = 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // ---- X61: snapshot diff — added/removed/changed between two

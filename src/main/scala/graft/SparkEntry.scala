@@ -116,7 +116,7 @@ object SparkEntry {
     * half) because the stop-shingle frequency cap is computed over the
     * index's own corpus, so the two tables are not filters of each
     * other. */
-  private def fullShingleIndexFor(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fullShingleIndexFor(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_shingle/v1full_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     shingleCache.computeIfAbsent((s, path), { _ =>
       if (!successExists(s, path)) {

@@ -103,6 +103,30 @@ object Dedup {
           least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
       .where(col("containment") >= minContainment)
 
+  /** Containment pairs served from the MATERIALIZED shingle index —
+    * the dedup_jaccard/FromIndex precedent: the tokenize→shingle→
+    * explode pipeline never runs at query time. Same candidate join
+    * as [[jaccardPairsFromIndex]]; freq-1 index rows produce no
+    * cross-doc candidates, so results equal [[containmentPairs]] at
+    * the same frequency cap. */
+  def containmentPairsFromIndex(index: DataFrame,
+                                minContainment: Double = 0.5): DataFrame = {
+    val a = index.select(col("doc_corpus").as("doc_a"),
+      col("sz_c").as("sz_a"), col("sh"))
+    val b = index.select(col("doc_corpus").as("doc_b"),
+      col("sz_c").as("sz_b"), col("sh"))
+    a.join(b, "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double")).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   // ---------------------------------------------------------------
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003)
   // ---------------------------------------------------------------

@@ -94,6 +94,22 @@ class TextDedupSpec extends SparkSpec {
     assert(s1 <= w1 && s1 >= 1)
   }
 
+  test("containmentPairsFromIndex over a materialized index == inline form") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ") + " p q r s"
+    val docs = Seq(
+      (1L, big), (2L, "p q r s"), (3L, "p q r s t u v"),
+      (4L, "x y z x y z")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val inline = norm(Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minContainment = 0.5))
+    val served = norm(Dedup.containmentPairsFromIndex(
+      Dedup.corpusShingleIndex(docs, "doc_id", "text", n = 3),
+      minContainment = 0.5))
+    assert(inline == served && inline.nonEmpty)
+  }
+
   test("updateShingleIndex: delta update equals a from-scratch rebuild exactly") {
     val oldDocs = Seq(
       (1L, "alpha beta gamma delta"),      // unchanged
