@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** Round-11 [EXT] batch B: X65 deterministic fixed-point k-means
+  * (cluster map, cluster-balanced coreset, embedding outlier flags).
+  * Unlike the MLlib-backed IVF build (recall-gated), every query here
+  * is HASH-gated: the fixed-point centroid arithmetic makes the whole
+  * Lloyd iteration replayable in DuckDB with zero FP-reduction-order
+  * exposure (see [[graft.operators.Clustering]]).
+  */
+object Round11bQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private val K = 8
+  private val Iters = 2
+
+  /** Memoized final centroids per (session, dir): training is the
+    * compaction-cadence cost; the three queries measure assignment /
+    * coreset / outlier serving (the dedup_jaccard-FromIndex
+    * precedent). k·dims doubles — driver-bounded. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Array[Array[Double]]]()
+
+  private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((s, dir), { _ =>
+      Clustering.kmeansFixed(t(s, dir, "embeddings"), "vec_id", "embedding",
+        K, Iters)
+    })
+
+  private def assigned(s: SparkSession, dir: String): DataFrame =
+    Clustering.assign(t(s, dir, "embeddings"), "embedding",
+      centroidsFor(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X65a: deterministic cluster map --------------------------
+    "cluster_assign" -> ((s, dir) =>
+      assigned(s, dir)
+        .select(col("vec_id"), col("cluster"),
+          round(col("dist2"), 4).as("dist2"))
+        .orderBy("vec_id")),
+
+    // ---- X65b: 3 most-central members per cluster (coreset) -------
+    "cluster_coreset" -> ((s, dir) =>
+      Clustering.coreset(assigned(s, dir), "vec_id", m = 3)
+        .select(col("cluster"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("dist2"), 4).as("dist2"))
+        .orderBy("cluster", "rank")),
+
+    // ---- X65c: per-cluster distance z-score outlier flags ---------
+    "cluster_outliers" -> ((s, dir) =>
+      Clustering.outliers(assigned(s, dir), "vec_id")
+        .select(col("vec_id"), col("cluster"), round(col("z"), 4).as("z"),
+          col("is_outlier"))
+        .orderBy("vec_id")),
+  )
+
+  /** Shared DuckDB replay of the full fixed-point Lloyd pipeline:
+    * quantize → seed → [[Iters]] × (assign → integer-sum update) →
+    * final assign, ending with CTE `a2` = (vec_id, cluster, d) against
+    * the final centroids (mirrors
+    * [[graft.operators.Clustering.kmeansAssign]] exactly: `iters`
+    * update rounds plus one serving assignment). `select` continues
+    * the WITH-list when `extraCte`. */
+  private def kmeansSql(select: String, extraCte: Boolean = false): String = {
+    // one Lloyd round: assign against c$p, integer-sum update → c$r
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""dr$r AS (SELECT q.vec_id, c$p.cluster, ${sqD("q.embedding", s"c$p.c")} AS d
+         |  FROM q, c$p),
+         |ar$r AS (SELECT vec_id, cluster FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY d ASC, cluster ASC) AS rn FROM dr$r) WHERE rn = 1),
+         |z$r AS (SELECT ar$r.cluster, unnest(range(1, len(q.qv)+1)) AS i,
+         |    unnest(q.qv) AS e
+         |  FROM ar$r JOIN q USING (vec_id)),
+         |s$r AS (SELECT cluster, i,
+         |    CAST(CAST(sum(e) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) * 10000 AS DOUBLE) AS ce
+         |  FROM z$r GROUP BY cluster, i),
+         |c$r AS (SELECT c$p.cluster, coalesce(n.c, c$p.c) AS c
+         |  FROM c$p LEFT JOIN (SELECT cluster, list(ce ORDER BY i) AS c
+         |    FROM s$r GROUP BY cluster) n USING (cluster)),""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*10000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seed AS (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)),
+       |c0 AS (SELECT cluster,
+       |    list_transform(qv, e -> CAST(e AS DOUBLE)/10000.0) AS c FROM seed),
+       |${(1 to Iters).map(round).mkString("\n")}
+       |df AS (SELECT q.vec_id, c$Iters.cluster,
+       |    ${sqD("q.embedding", s"c$Iters.c")} AS d
+       |  FROM q, c$Iters),
+       |a2 AS (SELECT vec_id, cluster, d FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY d ASC, cluster ASC) AS rn FROM df) WHERE rn = 1)${if (extraCte) "," else ""}
+       |$select""".stripMargin
+  }
+
+  /** Squared L2 with both operands cast to double — the engine-parity
+    * fold every knn oracle pins (sqlSqDist minus the sqrt). */
+  private def sqD(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  def oracleSql: Map[String, String] = Map(
+    "cluster_assign" -> kmeansSql(
+      """SELECT vec_id, CAST(cluster AS INT) AS cluster, round(d, 4) AS dist2
+        |FROM a2 ORDER BY vec_id""".stripMargin),
+
+    "cluster_coreset" -> kmeansSql(
+      """top AS (SELECT cluster, vec_id, d,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY d ASC, vec_id ASC) AS rank FROM a2)
+        |SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS BIGINT) AS rank,
+        |  vec_id, round(d, 4) AS dist2
+        |FROM top WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin,
+      extraCte = true),
+
+    "cluster_outliers" -> kmeansSql(
+      """qz AS (SELECT vec_id, cluster,
+        |    CAST(floor(d*10000.0 + 0.5) AS BIGINT) AS dq FROM a2),
+        |st AS (SELECT cluster, count(*) AS n,
+        |    CAST(CAST(sum(dq) AS BIGINT) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(dq*dq) AS BIGINT) AS DOUBLE) AS ss
+        |  FROM qz GROUP BY cluster),
+        |zz AS (SELECT qz.vec_id, qz.cluster,
+        |    CASE WHEN sqrt(greatest(st.ss/st.n - (st.s/st.n)*(st.s/st.n), 0.0)) > 0.0
+        |      THEN (CAST(qz.dq AS DOUBLE) - st.s/st.n)
+        |        / sqrt(greatest(st.ss/st.n - (st.s/st.n)*(st.s/st.n), 0.0))
+        |      ELSE 0.0 END AS z
+        |  FROM qz JOIN st USING (cluster))
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster, round(z, 4) AS z,
+        |  z > 2.0 AS is_outlier
+        |FROM zz ORDER BY vec_id""".stripMargin,
+      extraCte = true),
+  )
+}

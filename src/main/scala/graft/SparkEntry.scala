@@ -297,7 +297,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
-      Round10Queries.queries ++ Round11Queries.queries
+      Round10Queries.queries ++ Round11Queries.queries ++
+      Round11bQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -1791,6 +1792,7 @@ object SparkEntry {
            |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin,
     ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
       Round8Queries.oracleSql ++ Round8bQueries.oracleSql ++
-      Round10Queries.oracleSql ++ Round11Queries.oracleSql
+      Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
+      Round11bQueries.oracleSql
   }
 }

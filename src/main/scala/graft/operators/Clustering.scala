@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FusedDistance
+
+/** Deterministic fixed-point Lloyd k-means over an embedding column —
+  * the ORACLE-GATED clustering path, complementing the recall-gated
+  * MLlib KMeans inside [[graft.index.IvfIndex]] (which samples, seeds
+  * randomly, and is only reproducible statistically). This variant is
+  * bit-replayable by any engine, so cluster maps / coresets / outlier
+  * flags can be hash-compared across engines and across re-runs — the
+  * property a 100 TB curation pipeline needs when a re-ingest must
+  * produce the SAME shards (reference analogue: the deterministic-
+  * ordering refinements of SURVEY §1.3; clustering itself is an [EXT]
+  * op — the reference has no clustering, src/flat_index.rs is exact
+  * search only).
+  *
+  * Determinism comes from three pinned rules, each chosen so NO
+  * floating-point reduction order can leak in:
+  *   1. Seeds are the k rows with the smallest id (TakeOrdered — no
+  *      RNG), in id order, cluster = seed rank.
+  *   2. Centroid updates run on a FIXED-POINT grid: every element is
+  *      quantized once to `floor(x·Q + 0.5)` (Q = 10⁴) as a LONG, and
+  *      a centroid element is `Σq / (n·Q)` — the integer sum is
+  *      reduction-order-free, and the single double division is one
+  *      IEEE op on exact operands, so every engine lands on the same
+  *      centroid bits regardless of partitioning. (Same trick family
+  *      as the md5-52-bit sampling keys and the winnowing packed min.)
+  *   3. Assignment ties (exactly equal squared distances) go to the
+  *      lower cluster id; distances accumulate left-to-right per
+  *      element ([[FusedDistance.sqEuclidean]] ≡ DuckDB `list_sum`
+  *      fold — the parity every knn oracle already pins).
+  *
+  * Scale shape: one scan per iteration (assignment is map-only — the
+  * k·dims centroid matrix rides the plan as literals, the same
+  * broadcast-free form as [[graft.index.IvfIndex.assign]]); the
+  * update is ONE k·dims-row aggregate with map-side partials (key =
+  * (cluster, pos), cardinality k·dims — never the corpus); the driver
+  * holds only k·dims longs between iterations. `iters` is a fixed
+  * small constant — this is the exact/deterministic path; the cheap
+  * path for huge corpora stays IvfIndex's sample-trained build.
+  */
+object Clustering {
+  /** Quantization grid: 1e4 — matches the suite-wide 1e-4 rounding. */
+  val Quant = 10000L
+
+  val MaxK = 4096 // centroid matrix must stay a driver/plan-literal object
+
+  private def qvec(vecCol: Column): Column =
+    transform(vecCol.cast("array<double>"),
+      x => floor(x * lit(Quant.toDouble) + lit(0.5)).cast("long"))
+
+  /** Train: k seeds from the smallest ids, `iters` Lloyd iterations on
+    * the fixed-point grid. Returns the final centroid matrix
+    * (k × dims doubles, exact `Σq/(n·Q)` values). */
+  def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): Array[Array[Double]] = {
+    require(k > 0 && k <= MaxK, s"k must be in 1..$MaxK, got $k")
+    val seeds = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), qvec(col(vecCol)).as("__qv"))
+      .orderBy(col(idCol)).limit(k)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    var centroids = seeds.map(_.map(_.toDouble / Quant.toDouble))
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(df, vecCol, centroids)
+      // (cluster, pos) → (Σq, n): k·dims rows, map-side partials; the
+      // long sum is exact, so the division below is deterministic.
+      val sums = assigned
+        .where(col("cluster").isNotNull)
+        .select(col("cluster"), posexplode(qvec(col(vecCol))))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = r.getLong(2).toDouble / (r.getLong(3) * Quant).toDouble
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Map-only nearest-centroid assignment: adds `cluster` (INT, ties →
+    * lower id; NULL for a null/mismatched vector) and `dist2` (squared
+    * L2 to the assigned centroid). Same null rules as
+    * [[graft.index.IvfIndex.assign]]. */
+  def assign(df: DataFrame, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.map { c =>
+      FusedDistance.sqEuclidean(col(vecCol), typedLit(c.toSeq))
+    }
+    val best = dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("cluster"))
+    }
+    val win = if (best.length == 1) best.head else least(best: _*)
+    df.withColumn("__best",
+        when(dists.head.isNull, lit(null)).otherwise(win))
+      .withColumn("cluster", col("__best.cluster"))
+      .withColumn("dist2", col("__best.d"))
+      .drop("__best")
+  }
+
+  /** Train + assign in one call. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame =
+    assign(df, vecCol, kmeansFixed(df, idCol, vecCol, k, iters))
+
+  /** The m most-central rows per cluster (dist2 ASC, id ASC) — the
+    * cluster-balanced "coreset" sample a diversity-aware curation pass
+    * draws from. Bounded [[TopKAgg]] per cluster (map-side partial,
+    * shuffle ≤ k·partitions·m buffer rows) — NEVER a row_number window
+    * over the corpus (k is small ⇒ the window would funnel the whole
+    * corpus through k reducers; same rule as [[TopK.knnPerGroup]]). */
+  def coreset(assigned: DataFrame, idCol: String, m: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(m), Encoders.product[Scored])
+    assigned
+      .where(col("cluster").isNotNull)
+      .select(col("cluster"), col(idCol).cast("long").as("__id"),
+        col("dist2"))
+      .groupBy(col("cluster"))
+      .agg(topk(col("__id"), col("dist2")).as("topk"))
+      .select(col("cluster"), posexplode(col("topk")))
+      .select(col("cluster"), (col("pos") + 1).as("rank"),
+        col("col.id").as(idCol), col("col.distance").as("dist2"))
+  }
+
+  /** Per-cluster z-score of the (quantized) centroid distance — the
+    * embedding-space outlier signal: a doc far from every cluster of
+    * its corpus is OOD for the recipe that produced the clusters.
+    * Statistics run on the same fixed-point grid as the centroids
+    * (dq = floor(dist2·Q + 0.5) as LONG; Σdq and Σdq² kept exact in
+    * decimal(38,0) so no reduction order leaks), then ONE k-row stats
+    * table joins back broadcast — never a window. z of a zero-variance
+    * cluster is pinned 0. */
+  def outliers(assigned: DataFrame, idCol: String,
+               zThreshold: Double = 2.0): DataFrame = {
+    val dq = floor(col("dist2") * lit(Quant.toDouble) + lit(0.5)).cast("long")
+    val scored = assigned.where(col("cluster").isNotNull)
+      .select(col(idCol), col("cluster"), dq.as("__dq"))
+    val stats = scored.groupBy(col("cluster")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dq").cast("decimal(38,0)")).as("__s"),
+      sum((col("__dq") * col("__dq")).cast("decimal(38,0)")).as("__ss"))
+    val m = col("__s").cast("double") / col("__n").cast("double")
+    val variance = col("__ss").cast("double") / col("__n").cast("double") - m * m
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val z = when(sd > 0.0, (col("__dq").cast("double") - m) / sd)
+      .otherwise(lit(0.0))
+    scored.join(broadcast(stats), "cluster")
+      .select(col(idCol), col("cluster"), z.as("z"))
+      .withColumn("is_outlier", col("z") > lit(zThreshold))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap (range) join: each point row matches every
+  * interval row with `start <= ts <= end` — with NO equi-key required.
+  * The reference has no joins at all (SURVEY §2.6); Spark plans a pure
+  * range predicate as BroadcastNestedLoopJoin, which dies the moment
+  * the interval side outgrows a broadcast: this operator is the
+  * scale path ([EXT], the "range join" every event-attribution /
+  * incident-window / ad-session pipeline needs).
+  *
+  * Strategy — bucketize time and turn the θ-join into an equi-join:
+  *   1. every point maps to ONE bucket `floor(us / width)`;
+  *   2. every interval EXPLODES into the buckets it covers
+  *      (`sequence(bs, be)` — bounded: `(be - bs) < maxBuckets` is
+  *      enforced with a hard runtime error, because one unbounded
+  *      interval would otherwise fan out the build side silently);
+  *   3. shuffle both sides on the bucket (uniform-ish time key),
+  *      hash-join, then filter the exact containment predicate.
+  * A (point, interval) pair can meet in at most one bucket — the
+  * point's — so the join emits NO duplicates and needs NO distinct.
+  *
+  * At 100 TB: the shuffle is |points| + Σ spans/width rows on a
+  * high-cardinality key; pick `bucketUs` near the median interval
+  * length (explode factor ~2) and let AQE split the hot buckets a
+  * bursty hour produces. The window formulation cannot express this
+  * (no key), and the BNLJ formulation is O(|points|·|intervals|).
+  *
+  * Ties: both ends inclusive (`BETWEEN` semantics). Intervals with
+  * `end < start` are dropped (never emitted, never exploded).
+  */
+object IntervalJoin {
+
+  /** Join `points` to every overlapping interval.
+    *
+    * @param carry interval-side columns attached to each matched point
+    *   as `{prefix}{col}`; output = all point columns + carry.
+    * @param bucketUs bucket width in microseconds (default 1 hour).
+    * @param maxBuckets hard cap on buckets ONE interval may cover.
+    */
+  def pointInInterval(points: DataFrame, pointTs: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      carry: Seq[String], prefix: String = "ivl_",
+                      bucketUs: Long = 3600L * 1000000L,
+                      maxBuckets: Int = 10000): DataFrame = {
+    require(bucketUs > 0 && maxBuckets > 0)
+    val reserved = Set("__b", "__bs", "__be", "__i")
+    val clash = (points.columns ++ intervals.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"pointInInterval inputs must not use reserved column(s): ${clash.mkString(", ")}")
+
+    def bucketOf(ts: Column): Column = floor(unix_micros(ts) / lit(bucketUs))
+
+    // a runaway interval is a pipeline bug, not data to silently
+    // absorb: fail the job instead of exploding without bound. The
+    // guard rides INSIDE the sequence bound (the otherwise branch
+    // raises), so no optimizer rule can prune it away.
+    val guardedEnd = when(
+      col("__be") - col("__bs") < lit(maxBuckets.toLong), col("__be"))
+      .otherwise(raise_error(
+        lit(s"interval spans >= $maxBuckets buckets of $bucketUs us"))
+        .cast("long"))
+    val i2 = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("__bs", bucketOf(col(startCol)))
+      .withColumn("__be", bucketOf(col(endCol)))
+      .select(
+        explode(sequence(col("__bs"), guardedEnd)).as("__b") +:
+          col(startCol).as("__s") +: col(endCol).as("__e") +:
+          carry.map(c => col(c).as(s"$prefix$c")): _*)
+
+    val p2 = points.withColumn("__b", bucketOf(col(pointTs)))
+    p2.join(i2, "__b")
+      .where(col(pointTs) >= col("__s") && col(pointTs) <= col("__e"))
+      .drop("__b", "__s", "__e")
+  }
+}

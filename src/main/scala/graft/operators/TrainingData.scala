@@ -344,4 +344,62 @@ object TrainingData {
         col("old_hash"), col("new_hash"))
       .where(col("status") =!= "unchanged")
   }
+
+  /** Distribution drift between two corpus snapshots, per group: PSI
+    * (population stability index, the standard ingest-monitoring
+    * statistic) of a numeric column over FIXED bins, plus both side
+    * counts. [[snapshotDiff]] answers "WHICH docs changed"; this
+    * answers "did the SHAPE of the corpus move" — the alarm that a new
+    * crawl batch is longer/shorter/differently-sourced than what the
+    * recipe was tuned on, ahead of any quality gate.
+    *
+    * Pinned arithmetic (engine-replayable): bin =
+    * `least(floor(value/binWidth), nBins-1)` (nulls dropped); Laplace
+    * smoothing `p = (c+1)/(total+nBins)` so empty bins and even an
+    * empty SIDE stay defined; PSI = Σ_bins (p−q)·ln(p/q). PSI ≳ 0.2 is
+    * the conventional "significant shift" threshold — left to the
+    * caller, the operator reports the statistic.
+    *
+    * Scale shape: each side collapses map-side to (group, bin) counts
+    * — cardinality |groups|·nBins regardless of corpus size — and
+    * everything after runs on those tiny tables (the bin grid is
+    * generated per group so absent bins still carry their smoothed
+    * mass: with unequal totals, an empty bin's p ≠ q). No windows, no
+    * corpus-sized joins. */
+  def snapshotDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                    groupCol: String, valueCol: String,
+                    binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    def binned(df: DataFrame): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
+            lit((nBins - 1).toDouble)).cast("int").as("__b"))
+        .groupBy(col("__g"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+    val o = binned(oldDocs)
+    val n = binned(newDocs)
+    val totO = o.groupBy(col("__g")).agg(sum(col("__c")).as("__to"))
+    val totN = n.groupBy(col("__g")).agg(sum(col("__c")).as("__tn"))
+    val grid = totO.select(col("__g")).union(totN.select(col("__g")))
+      .distinct()
+      .select(col("__g"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("__b"))
+    val p = (coalesce(col("__co"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("__to"), lit(0L)).cast("double") + lit(nBins.toDouble))
+    val q = (coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("__tn"), lit(0L)).cast("double") + lit(nBins.toDouble))
+    grid
+      .join(o.withColumnRenamed("__c", "__co"), Seq("__g", "__b"), "left")
+      .join(n.withColumnRenamed("__c", "__cn"), Seq("__g", "__b"), "left")
+      .join(totO, Seq("__g"), "left")
+      .join(totN, Seq("__g"), "left")
+      .select(col("__g"), col("__to"), col("__tn"),
+        ((p - q) * log(p / q)).as("__term"))
+      .groupBy(col("__g"))
+      .agg(coalesce(max(col("__to")), lit(0L)).as("n_old"),
+        coalesce(max(col("__tn")), lit(0L)).as("n_new"),
+        sum(col("__term")).as("psi"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

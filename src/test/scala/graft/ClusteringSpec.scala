@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** X65 deterministic fixed-point Lloyd k-means: driver-side replay of
+  * the full pipeline (quantize → seed → assign → integer-sum update),
+  * convergence onto planted clusters, empty-cluster retention, the
+  * lower-cluster-id tie rule, coreset/outlier serving, and the
+  * map-only assignment plan (the 100 TB property).
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Deterministic LCG vectors around one of `k` planted centers. */
+  private def vec(seed: Long, center: Int): Array[Float] = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    Array.tabulate(dim) { i =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val noise = ((x >>> 33).toDouble / (1L << 31).toDouble - 0.5) * 0.2
+      (center * 3.0 + (if (i % 2 == 0) 1.0 else -1.0) * center + noise).toFloat
+    }
+  }
+
+  private def planted(n: Int, k: Int) =
+    (0L until n).map(i => (i, vec(i, (i % k).toInt))).toDF("id", "v")
+
+  test("kmeansFixed matches a driver-side replay of the pinned arithmetic") {
+    val df = planted(60, 3)
+    val got = Clustering.kmeansFixed(df, "id", "v", k = 3, iters = 2)
+
+    // driver twin: same quantize / seed / assign / update rules
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val q = rows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 10000.0 + 0.5).toLong))
+    }
+    var cents = q.take(3).map(_._2.map(_.toDouble / 10000.0))
+    for (_ <- 0 until 2) {
+      def nearest(v: Array[Float]): Int = {
+        val ds = cents.map { c =>
+          var s = 0.0; var i = 0
+          while (i < dim) {
+            val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+          s
+        }
+        ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      }
+      val byC = rows.map { case (id, v) => (nearest(v), id) }
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toSet) }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byC.get(c) match {
+          case None => old
+          case Some(ids) =>
+            val members = q.filter(t => ids.contains(t._1)).map(_._2)
+            Array.tabulate(dim) { i =>
+              members.map(_(i)).sum.toDouble / (members.length * 10000L).toDouble
+            }
+        }
+      }
+    }
+    assert(got.length == 3)
+    got.zip(cents).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("planted clusters are recovered exactly") {
+    val df = planted(90, 3)
+    val out = Clustering.kmeansAssign(df, "id", "v", k = 3, iters = 2)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    // every planted group lands in one cluster, groups in distinct ones
+    val groups = (0 until 3).map(g =>
+      (0L until 90L).filter(_ % 3 == g).map(out).toSet)
+    assert(groups.forall(_.size == 1), s"split groups: $groups")
+    assert(groups.flatten.toSet.size == 3)
+  }
+
+  test("empty cluster keeps its centroid; exact-tie goes to lower id") {
+    // two identical far points seed clusters 0/1; all mass sits on them
+    val df = Seq(
+      (0L, Array.fill(dim)(1.0f)),
+      (1L, Array.fill(dim)(1.0f)),
+      (2L, Array.fill(dim)(1.0f))).toDF("id", "v")
+    val cents = Clustering.kmeansFixed(df, "id", "v", k = 2, iters = 2)
+    // every point ties between the two identical seeds → cluster 0;
+    // cluster 1 never receives members and must keep its seed centroid
+    assert(cents(1).toSeq == Array.fill(dim)(1.0).toSeq)
+    val assignedC = Clustering.assign(df, "v", cents)
+      .select($"cluster").as[Int].collect()
+    assert(assignedC.forall(_ == 0))
+  }
+
+  test("null vector gets null cluster and is excluded downstream") {
+    val df = Seq((0L, Array.fill(dim)(0.0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val a = Clustering.assign(df, "v", Array(Array.fill(dim)(0.0)))
+    assert(a.where($"cluster".isNull).select($"id").as[Long].collect()
+      .toSeq == Seq(1L))
+    assert(Clustering.coreset(a, "id", 5).count() == 1)
+    assert(Clustering.outliers(a, "id").count() == 1)
+  }
+
+  test("coreset ranks by (dist2, id) within cluster, bounded at m") {
+    val df = planted(90, 3)
+    val a = Clustering.kmeansAssign(df, "id", "v", k = 3, iters = 2)
+    val top = Clustering.coreset(a, "id", m = 2)
+    val byCluster = top.select($"cluster", $"rank", $"id", $"dist2")
+      .as[(Int, Int, Long, Double)].collect().groupBy(_._1)
+    assert(byCluster.values.forall(_.length == 2))
+    byCluster.values.foreach { xs =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(x => (x._4, x._3)).toSeq ==
+        sorted.map(x => (x._4, x._3)).sortBy(identity).toSeq)
+    }
+    // full-membership check: ranks are the global per-cluster minima
+    val all = a.where($"cluster".isNotNull)
+      .select($"cluster", $"id", $"dist2").as[(Int, Long, Double)]
+      .collect().groupBy(_._1)
+    byCluster.foreach { case (c, xs) =>
+      val want = all(c).map(x => (x._3, x._2)).sorted.take(2).map(_._2).toSeq
+      assert(xs.sortBy(_._2).map(_._3).toSeq == want)
+    }
+  }
+
+  test("outliers: zero-variance cluster pins z=0; far point flags") {
+    val base = (0L until 20L).map(i => (i, Array.fill(dim)(0.0f)))
+    val far = Seq((99L, Array.fill(dim)(5.0f)))
+    val df = (base ++ far).toDF("id", "v")
+    // one centroid at origin: base points all at dist 0, far at 200
+    val a = Clustering.assign(df, "v", Array(Array.fill(dim)(0.0)))
+    val zs = Clustering.outliers(a, "id")
+      .select($"id", $"z", $"is_outlier").as[(Long, Double, Boolean)]
+      .collect()
+    val farRow = zs.find(_._1 == 99L).get
+    assert(farRow._3, s"far point not flagged: $farRow")
+    assert(zs.filter(_._1 != 99L).forall(!_._3))
+    // all-identical cluster: sd=0 → z pinned 0.0
+    val same = Clustering.assign(
+      base.toDF("id", "v"), "v", Array(Array.fill(dim)(0.0)))
+    assert(Clustering.outliers(same, "id").select($"z").as[Double]
+      .collect().forall(_ == 0.0))
+  }
+
+  test("assignment is map-only: no exchange in the plan") {
+    val df = planted(60, 3)
+    val cents = Array.tabulate(3)(c => Array.fill(dim)(c.toDouble))
+    val plan = Clustering.assign(df, "v", cents)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+  }
+}
