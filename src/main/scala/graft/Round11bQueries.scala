@@ -1,20 +1,34 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Clustering
+import graft.operators.{Clustering, IntervalJoin, TrainingData}
 
 /** Round-11 [EXT] batch B: X65 deterministic fixed-point k-means
-  * (cluster map, cluster-balanced coreset, embedding outlier flags).
-  * Unlike the MLlib-backed IVF build (recall-gated), every query here
-  * is HASH-gated: the fixed-point centroid arithmetic makes the whole
-  * Lloyd iteration replayable in DuckDB with zero FP-reduction-order
-  * exposure (see [[graft.operators.Clustering]]).
+  * (cluster map, cluster-balanced coreset, embedding outlier flags),
+  * X66 bucketized interval-overlap join (the range join Spark would
+  * otherwise plan as a nested-loop), X67 per-group PSI drift between
+  * corpus snapshots. Every query is HASH-gated: the fixed-point
+  * centroid arithmetic makes the whole Lloyd iteration replayable in
+  * DuckDB with zero FP-reduction-order exposure (see
+  * [[graft.operators.Clustering]]); the interval join's DuckDB twin is
+  * the plain range join the bucketization must exactly reproduce.
   */
 object Round11bQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
+
+  /** events.ts as a TIMESTAMP regardless of the parquet physical type
+    * (the tsNanos twin, for operators that consume real timestamps):
+    * BIGINT epoch-nanos → lossless ns→µs `div`; µs files arrive as
+    * TIMESTAMP_NTZ and cast identically under the pinned UTC zone. */
+  private def tsOf(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$c div 1000"))
+      case _ => col(c).cast("timestamp")
+    }
 
   private val K = 8
   private val Iters = 2
@@ -58,6 +72,43 @@ object Round11bQueries {
         .select(col("vec_id"), col("cluster"), round(col("z"), 4).as("z"),
           col("is_outlier"))
         .orderBy("vec_id")),
+
+    // ---- X66: interval-overlap join — incident windows (±2 min
+    // around a deterministic subset of error events) vs purchases.
+    // 1-minute buckets → each window explodes into ≤5 bucket rows; the
+    // DuckDB twin is the PLAIN range join the bucketization must
+    // exactly reproduce -------------------------------------------
+    "events_in_windows" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ts = tsOf(ev, "ts")
+      val wins = ev
+        .where(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"),
+          (ts - expr("INTERVAL 2 MINUTES")).as("w_start"),
+          (ts + expr("INTERVAL 2 MINUTES")).as("w_end"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("__pts", ts)
+      IntervalJoin.pointInInterval(purchases, "__pts",
+        wins, "w_start", "w_end", carry = Seq("win_id"),
+        bucketUs = 60L * 1000000L)
+        .groupBy(col("ivl_win_id").as("win_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("win_id")
+    }),
+
+    // ---- X67: per-language PSI drift between the %3 and %5 corpus
+    // snapshots over fixed 256-char length bins -----------------------
+    "snapshot_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.snapshotDrift(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars")
+        .select(col("lang"), col("n_old"), col("n_new"),
+          round(col("psi"), 4).as("psi"))
+        .orderBy("lang")
+    }),
   )
 
   /** Shared DuckDB replay of the full fixed-point Lloyd pipeline:
@@ -111,6 +162,48 @@ object Round11bQueries {
     s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
   def oracleSql: Map[String, String] = Map(
+    // the twin is the straightforward range join — the bucketized
+    // equi-join must be extensionally identical to it
+    "events_in_windows" ->
+      """WITH w AS (SELECT event_id AS win_id,
+        |    ts - INTERVAL 2 MINUTE AS ws, ts + INTERVAL 2 MINUTE AS we
+        |  FROM events WHERE event_type = 'error' AND event_id % 97 = 0),
+        |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(p.value), 4) AS sum_value
+        |FROM w JOIN p ON p.ts >= w.ws AND p.ts <= w.we
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
+
+    "snapshot_drift" ->
+      """WITH o AS (SELECT lang AS g,
+        |    CAST(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT lang AS g,
+        |    CAST(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |to_ AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM o GROUP BY g),
+        |tn AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM n GROUP BY g),
+        |grid AS (SELECT g, unnest(range(0, 16)) AS b FROM
+        |  (SELECT DISTINCT g FROM (SELECT g FROM to_ UNION ALL SELECT g FROM tn))),
+        |j AS (SELECT grid.g,
+        |    (CAST(coalesce(o.c, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(coalesce(to_.t, 0) AS DOUBLE) + 16.0) AS p,
+        |    (CAST(coalesce(n.c, 0) AS DOUBLE) + 1.0)
+        |      / (CAST(coalesce(tn.t, 0) AS DOUBLE) + 16.0) AS q,
+        |    coalesce(to_.t, 0) AS t_o, coalesce(tn.t, 0) AS t_n
+        |  FROM grid LEFT JOIN o ON grid.g = o.g AND grid.b = o.b
+        |    LEFT JOIN n ON grid.g = n.g AND grid.b = n.b
+        |    LEFT JOIN to_ ON grid.g = to_.g
+        |    LEFT JOIN tn ON grid.g = tn.g)
+        |SELECT g AS lang, CAST(max(t_o) AS BIGINT) AS n_old,
+        |  CAST(max(t_n) AS BIGINT) AS n_new,
+        |  round(sum((p - q) * ln(p / q)), 4) AS psi
+        |FROM j GROUP BY g ORDER BY lang""".stripMargin,
+
     "cluster_assign" -> kmeansSql(
       """SELECT vec_id, CAST(cluster AS INT) AS cluster, round(d, 4) AS dist2
         |FROM a2 ORDER BY vec_id""".stripMargin),

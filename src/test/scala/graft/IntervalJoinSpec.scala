@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntervalJoin
+
+/** X66 bucketized interval-overlap join: extensional equality with the
+  * brute-force range join across bucket widths (the whole point — the
+  * bucketization is an execution strategy, not a semantics change),
+  * duplicate-freeness, inclusive bounds, invalid-interval drop, the
+  * runaway-interval guard, and the no-nested-loop plan (the 100 TB
+  * property).
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  // deterministic fixture: points every 7 s, intervals of mixed spans
+  private def points = (0L until 300L).map(i => (i, ts(i * 7))).toDF("pid", "pts")
+  private def intervals = Seq(
+    (100L, ts(0), ts(60)),        // head window
+    (101L, ts(55), ts(300)),      // overlaps the first
+    (102L, ts(500), ts(500)),     // single instant
+    (103L, ts(1000), ts(900)),    // end < start: dropped
+    (104L, ts(1900), ts(2100))    // tail window
+  ).toDF("iid", "s", "e")
+
+  private def brute = points.crossJoin(intervals)
+    .where($"e" >= $"s" && $"pts" >= $"s" && $"pts" <= $"e")
+    .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+
+  test("equals the brute-force range join at several bucket widths") {
+    for (w <- Seq(1L, 13L, 60L, 3600L)) {
+      val got = IntervalJoin.pointInInterval(points, "pts", intervals,
+        "s", "e", carry = Seq("iid"), bucketUs = w * 1000000L)
+        .select($"pid", $"ivl_iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicates at bucket=$w s")
+      assert(got.toSet == brute, s"mismatch at bucket=$w s")
+    }
+  }
+
+  test("bounds are inclusive on both ends; instant interval matches") {
+    val got = IntervalJoin.pointInInterval(points, "pts", intervals,
+      "s", "e", carry = Seq("iid"), bucketUs = 60L * 1000000L)
+      .select($"pid", $"ivl_iid").as[(Long, Long)].collect().toSet
+    // point at exactly 0 and exactly 60·... boundary membership
+    assert(got.contains((0L, 100L)))
+    // 420/7 = 60 → pid 60 is NOT at ts 60; point lands every 7s so
+    // the instant interval at 500 has no 7-multiple → no match
+    assert(!got.exists(_._2 == 102L))
+    // but a point placed exactly on an instant interval does match
+    val p2 = Seq((1L, ts(500))).toDF("pid", "pts")
+    val g2 = IntervalJoin.pointInInterval(p2, "pts", intervals, "s", "e",
+      carry = Seq("iid"), bucketUs = 60L * 1000000L)
+      .select($"ivl_iid").as[Long].collect().toSeq
+    assert(g2 == Seq(102L))
+  }
+
+  test("a runaway interval fails the job instead of exploding") {
+    val bad = Seq((1L, ts(0), ts(100000))).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, "pts", bad, "s", "e",
+        carry = Seq("iid"), bucketUs = 1000000L, maxBuckets = 10).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("plan is an equi-join on the bucket, not a nested loop") {
+    val plan = IntervalJoin.pointInInterval(points, "pts", intervals,
+      "s", "e", carry = Seq("iid"), bucketUs = 60L * 1000000L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
+    // and the naive formulation IS a nested loop — the thing we avoid
+    val naive = points.join(intervals, $"pts" >= $"s" && $"pts" <= $"e")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(naive.contains("NestedLoop"))
+  }
+
+  test("reserved plumbing columns are rejected") {
+    val badPoints = points.withColumnRenamed("pid", "__b")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(badPoints, "pts", intervals, "s", "e",
+        carry = Seq("iid"))
+    }
+  }
+}

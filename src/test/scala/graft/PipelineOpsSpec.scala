@@ -244,4 +244,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(3L)._1.nonEmpty && rows(3L)._2.isEmpty)
     assert(rows(2L)._1.nonEmpty && rows(2L)._2.nonEmpty)
   }
+
+  test("snapshotDrift (X67): identical sides score 0; shift is detected; " +
+    "one-sided groups stay defined") {
+    def corpus(langs: Seq[(String, Long)]) =
+      langs.zipWithIndex.map { case ((l, len), i) => (i.toLong, l, len) }
+        .toDF("doc_id", "lang", "n_chars")
+    val base = corpus(Seq.tabulate(40)(i => ("en", (i % 8) * 256L + 10)))
+    val sameRows = TrainingData.snapshotDrift(base, base, "lang", "n_chars")
+      .collect()
+    assert(sameRows.length == 1)
+    val r = sameRows.head
+    assert(r.getLong(1) == 40 && r.getLong(2) == 40)
+    assert(math.abs(r.getDouble(3)) < 1e-12, s"psi not ~0: $r")
+
+    // shifted lengths: every doc moves up several bins → large psi
+    val shifted = corpus(Seq.tabulate(40)(i => ("en", (i % 8) * 256L + 2048L)))
+    val psiShift = TrainingData.snapshotDrift(base, shifted, "lang", "n_chars")
+      .collect().head.getDouble(3)
+    assert(psiShift > 0.5, s"shift not detected: $psiShift")
+
+    // a language present only on one side still gets a defined PSI row
+    val withNew = corpus(Seq.tabulate(10)(_ => ("fr", 100L)))
+    val rows2 = TrainingData.snapshotDrift(base, withNew, "lang", "n_chars")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(rows2("en")._2 == 0 && rows2("fr")._1 == 0)
+    assert(!rows2.values.exists(v => v._3.isNaN || v._3.isInfinite))
+
+    // nulls in the value column are dropped, not binned
+    val withNull = base.union(
+      Seq((999L, "en", null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "lang", "n_chars"))
+    assert(TrainingData.snapshotDrift(withNull, base, "lang", "n_chars")
+      .collect().head.getLong(1) == 40)
+  }
 }
