@@ -43,7 +43,9 @@ object Bench {
     "domain_cap", "span_dedup",
     "source_kl", "ngram_novelty", "token_entropy", "containment_pairs",
     "snapshot_diff", "doc_winnow", "winnow_pairs", "index_update_pairs",
-    "doc_keywords")
+    "doc_keywords",
+    "cluster_assign", "cluster_coreset", "cluster_outliers",
+    "events_in_windows", "snapshot_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
