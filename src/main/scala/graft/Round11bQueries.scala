@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, IntervalJoin, TrainingData}
+import graft.operators.{Clustering, Dedup, Graph, IntervalJoin, TrainingData}
 
 /** Round-11 [EXT] batch B: X65 deterministic fixed-point k-means
   * (cluster map, cluster-balanced coreset, embedding outlier flags),
@@ -97,6 +97,21 @@ object Round11bQueries {
         .orderBy("win_id")
     }),
 
+    // ---- X68: deterministic integer PageRank over the symmetrized
+    // near-dup graph (same edge construction as dedup_components) —
+    // ranks the CENTERS of duplicate clusters; the exact fixed-point
+    // rq LONG is what the hash gate compares -------------------------
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minJaccard = 0.3)
+      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      Graph.pageRank(sym, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("rq"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X67: per-language PSI drift between the %3 and %5 corpus
     // snapshots over fixed 256-char length bins -----------------------
     "snapshot_drift" -> ((s, dir) => {
@@ -161,7 +176,40 @@ object Round11bQueries {
   private def sqD(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
+  /** DuckDB twin of [[graft.operators.Graph.pageRank]] at 3 iterations
+    * over the dedup_components edge set: pure integer arithmetic
+    * (`//` ≡ Spark `div` on non-negatives), one unrolled CTE pair per
+    * iteration. */
+  private def pageRankSql: String = {
+    def iter(r: Int): String = {
+      val p = r - 1
+      s"""c$r AS (SELECT e.dst AS node, CAST(sum(r$p.rq // deg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg ON e.src = deg.src
+         |  JOIN r$p ON r$p.node = e.src GROUP BY e.dst),
+         |r$r AS (SELECT nodes.node,
+         |    CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         |      + (85 * coalesce(c$r.s, 0)) // 100 AS BIGINT) AS rq
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$r ON c$r.node = nodes.node),""".stripMargin
+    }
+    s"""WITH ${SparkEntry.sqlJaccardCtes},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3
+       |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS rq
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to 3).map(iter).mkString("\n")}
+       |fin AS (SELECT node, rq FROM r3)
+       |SELECT node AS doc_id, rq,
+       |  round(CAST(rq AS DOUBLE) / 1000000000.0, 6) AS rank
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql,
+
     // the twin is the straightforward range join — the bucketized
     // equi-join must be extensionally identical to it
     "events_in_windows" ->

@@ -225,7 +225,7 @@ object SparkEntry {
 
   /** Shared CTE chain ending in jpairs(doc_a, doc_b, jac) — the DuckDB
     * twin of Dedup.jaccardPairs (used by dedup_jaccard + dedup_corpus). */
-  private def sqlJaccardCtes: String =
+  private[graft] def sqlJaccardCtes: String =
     s"""tha AS (SELECT doc_id AS doc, ${sqlTokenHashes("text")} AS th FROM documents),
        |sha AS (SELECT doc, list_distinct(${sqlShingleHashesOfTh(3)}) AS shs FROM tha),
        |sh AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha),

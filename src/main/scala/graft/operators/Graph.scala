@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-arithmetic PageRank — connectivity scoring
+  * over the near-dup / citation / link graph a curation pipeline
+  * builds anyway (which document is the CENTER of a duplicate cluster;
+  * which page is most linked). Complements
+  * [[Dedup.connectedComponents]]: CC answers "which cluster", PageRank
+  * ranks within and across clusters. [EXT] — the reference has no
+  * graph surface at all.
+  *
+  * Every quantity is a LONG on a fixed-point grid (Q = 10⁹), and every
+  * operation is integer +, ·, and floor-division:
+  *   r₀ = Q div N
+  *   r'(v) = (15·Q) div (100·N)  +  (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+  * Integer sums are reduction-order-free, so the result is
+  * bit-identical across engines, partitionings, and re-runs — same
+  * trick family as the fixed-point k-means centroids (X65). The
+  * sub-ulp mass the floor-divisions shed (≤ deg·1e-9 per node per
+  * iteration) is noise for RANKING, which is the point of the
+  * operator; α = 0.85 is pinned as the rational 85/100.
+  *
+  * Pinned semantics: edges are DIRECTED and deduplicated (symmetrize
+  * upstream for an undirected graph); dangling mass is dropped, not
+  * redistributed (a node with no in-edges keeps the teleport term);
+  * `iters` is a fixed small constant — rank separation, not
+  * convergence proof, is the product.
+  *
+  * Scale shape (the Pregel loop done relationally): out-degrees are
+  * one |nodes|-row aggregate computed ONCE; each iteration is
+  * edges ⋈ ranks on src (shuffle on src) → sum by dst (map-side
+  * partial, shuffle on dst) → left join back to the node set. Edges
+  * are re-used across iterations — persist/pre-partition them by src
+  * upstream for the CC-loop treatment ([[Dedup.connectedComponents]]'s
+  * partitioning notes apply verbatim). The driver holds only N (one
+  * count), never the rank vector.
+  */
+object Graph {
+  val Q = 1000000000L // 1e-9 fixed-point rank grid
+
+  /** @return (node LONG, rq LONG, rank DOUBLE = rq/Q). `rq` is the
+    *   exact fixed-point rank — hash-gate on it, not on the derived
+    *   double. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 0 && iters <= 100)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
+    val baseQ = (15L * Q) / (100L * n)
+    var ranks = nodes.withColumn("rq", lit(Q / n))
+    var it = 0
+    while (it < iters) {
+      val sums = e.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rq div deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseQ) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rq"))
+      it += 1
+    }
+    ranks.select(col("node"), col("rq"),
+      (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))
+  }
+}

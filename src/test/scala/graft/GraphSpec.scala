@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** X68 deterministic integer PageRank: driver-side replay of the
+  * pinned integer arithmetic, ranking sanity (hubs above leaves),
+  * teleport-only isolated-receiver rank, determinism across
+  * partitionings, and mass conservation bounds.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star graph: 0 is the hub, 1..5 leaves, symmetrized
+  private def star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))
+    .toDF("src", "dst")
+
+  test("matches a driver-side replay of the integer recurrence") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select($"node", $"rq").as[(Long, Long)].collect().toMap
+
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => (s, xs.length.toLong) }
+    val q = Graph.Q
+    var r = nodes.map(_ -> q / n).toMap
+    for (_ <- 0 until 3) {
+      val sums = e.groupBy(_._2).map { case (d, in) =>
+        (d, in.map { case (s, _) => r(s) / deg(s) }.sum)
+      }
+      r = nodes.map(v =>
+        v -> ((15L * q) / (100L * n) + (85L * sums.getOrElse(v, 0L)) / 100L))
+        .toMap
+    }
+    assert(got == r, s"got=$got want=$r")
+  }
+
+  test("hub of a star outranks every leaf; leaves tie exactly") {
+    val got = Graph.pageRank(star, "src", "dst", iters = 3)
+      .select($"node", $"rq").as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => got(0L) > got(i)))
+    assert((1L to 5L).map(got).distinct.size == 1)
+  }
+
+  test("no-in-edge node gets exactly the teleport term") {
+    // 0 -> 1 only: node 0 receives nothing
+    val got = Graph.pageRank(Seq((0L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 3).select($"node", $"rq")
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == (15L * Graph.Q) / (100L * 2L))
+  }
+
+  test("bit-identical across partitionings (the fixed-point claim)") {
+    val e1 = star.repartition(1)
+    val e7 = star.repartition(7)
+    val a = Graph.pageRank(e1, "src", "dst", iters = 3)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    val b = Graph.pageRank(e7, "src", "dst", iters = 3)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("total rank stays within (teleport-floor, Q]") {
+    val got = Graph.pageRank(star, "src", "dst", iters = 3)
+      .select(sum($"rq")).as[Long].collect().head
+    // floor-divisions only shed mass: never above Q, never below the
+    // pure-teleport floor
+    assert(got <= Graph.Q)
+    assert(got > (15L * Graph.Q) / 100L - 6)
+  }
+
+  test("duplicate edges count once") {
+    val dup = star.union(star)
+    val a = Graph.pageRank(dup, "src", "dst", iters = 2)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    val b = Graph.pageRank(star, "src", "dst", iters = 2)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
