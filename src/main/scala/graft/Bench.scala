@@ -45,7 +45,8 @@ object Bench {
     "snapshot_diff", "doc_winnow", "winnow_pairs", "index_update_pairs",
     "doc_keywords",
     "cluster_assign", "cluster_coreset", "cluster_outliers",
-    "events_in_windows", "snapshot_drift", "graph_pagerank")
+    "events_in_windows", "snapshot_drift", "graph_pagerank",
+    "cluster_diverse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

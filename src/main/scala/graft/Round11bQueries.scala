@@ -73,6 +73,14 @@ object Round11bQueries {
           col("is_outlier"))
         .orderBy("vec_id")),
 
+    // ---- X69: greedy k-center diversity seeds (farthest-first) ----
+    "cluster_diverse" -> ((s, dir) =>
+      Clustering.kCenters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4)
+        .select(col("rank"), col("id").as("vec_id"),
+          round(col("mind"), 4).as("mind"))
+        .orderBy("rank")),
+
     // ---- X66: interval-overlap join — incident windows (±2 min
     // around a deterministic subset of error events) vs purchases.
     // 1-minute buckets → each window explodes into ≤5 bucket rows; the
@@ -207,7 +215,40 @@ object Round11bQueries {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Clustering.kCenters]] at k:
+    * unrolled farthest-first rounds — each selects the argmax of the
+    * min squared distance to every previously chosen center (ties to
+    * the smaller id, chosen ids excluded). */
+  private def kCentersSql(k: Int): String = {
+    def centers(r: Int): String = (1 until r).map(i => s"c$i").mkString(", ")
+    def minDist(r: Int): String = {
+      val ds = (1 until r).map(i => sqD("v.embedding", s"c$i.e"))
+      if (ds.length == 1) ds.head else s"least(${ds.mkString(", ")})"
+    }
+    def notIn(r: Int): String =
+      (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val rounds = (2 to k).map { r =>
+      s"""c${r - 1} AS (SELECT v.embedding AS e FROM v JOIN s${r - 1} USING (vec_id)),
+         |m$r AS (SELECT v.vec_id, ${minDist(r)} AS mind
+         |  FROM v CROSS JOIN ${centers(r)}
+         |  WHERE v.vec_id NOT IN (${notIn(r)})),
+         |s$r AS (SELECT vec_id, mind FROM m$r
+         |  ORDER BY mind DESC, vec_id ASC LIMIT 1),""".stripMargin
+    }.mkString("\n")
+    val out = (s"SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS mind FROM s1" +:
+      (2 to k).map(r =>
+        s"SELECT $r AS rank, vec_id, round(mind, 4) AS mind FROM s$r"))
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |s1 AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |fin AS ($out)
+       |SELECT CAST(rank AS INT) AS rank, vec_id, mind
+       |FROM fin ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "cluster_diverse" -> kCentersSql(4),
     "graph_pagerank" -> pageRankSql,
 
     // the twin is the straightforward range join — the bucketized

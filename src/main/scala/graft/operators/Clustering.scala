@@ -130,6 +130,68 @@ object Clustering {
         col("col.id").as(idCol), col("col.distance").as("dist2"))
   }
 
+  /** Greedy k-center (maxmin / farthest-first traversal, Gonzalez
+    * 1985 — the 2-approximation): pick the k most MUTUALLY DISTANT
+    * rows. The diversity complement of [[coreset]] (most-central):
+    * k-center seeds cover the embedding space's extremes — the
+    * "don't train on 10⁶ copies of the same mode" sample, and the
+    * classic deterministic seeding for a subsequent [[kmeansFixed]].
+    *
+    * Deterministic with NO quantization needed: centers are actual
+    * data vectors (float→double exact), distances are the pinned
+    * left-to-right fold, argmax ties go to the smaller id, and
+    * already-chosen ids are excluded explicitly (an all-duplicates
+    * corner would otherwise re-pick a center forever).
+    *
+    * Scale shape: k rounds, each ONE map-only scan (the chosen-center
+    * matrix rides as literals, bounded by k ≤ [[MaxK]]) feeding a
+    * TakeOrdered(1) — per-partition argmax, driver merges one row per
+    * partition. k is small by construction; for large-k diverse
+    * sampling use [[kmeansFixed]] + [[coreset]] instead.
+    *
+    * @return (rank 1..k, idCol, mind) — mind = squared L2 to the
+    *   previously-selected set at selection time; NULL for rank 1. */
+  def kCenters(df: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    require(k > 0 && k <= MaxK, s"k must be in 1..$MaxK, got $k")
+    val rows = df.where(col(vecCol).isNotNull)
+    val first = rows.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(first.nonEmpty, "kCenters needs at least one non-null vector")
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (first.head.getLong(0), first.head.getSeq[Double](1).toArray,
+        Option.empty[Double]))
+    while (chosen.length < k) {
+      val dists = chosen.map { case (_, c, _) =>
+        FusedDistance.sqEuclidean(col(vecCol), typedLit(c.toSeq))
+      }.toSeq
+      val mind = if (dists.length == 1) dists.head else least(dists: _*)
+      val next = rows
+        .where(!col(idCol).isin(chosen.map(_._1).toSeq: _*))
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+          mind.as("__mind"))
+        .orderBy(col("__mind").desc, col(idCol).asc)
+        .limit(1).collect()
+      if (next.isEmpty) {
+        // fewer distinct rows than k: return what exists
+        return centersDf(df, chosen.toSeq)
+      }
+      chosen += ((next.head.getLong(0), next.head.getSeq[Double](1).toArray,
+        Some(next.head.getDouble(2))))
+    }
+    centersDf(df, chosen.toSeq)
+  }
+
+  private def centersDf(df: DataFrame,
+                        chosen: Seq[(Long, Array[Double], Option[Double])]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, mind), i) => (i + 1, id, mind) }
+      .toDF("rank", "id", "mind")
+  }
+
   /** Per-cluster z-score of the (quantized) centroid distance — the
     * embedding-space outlier signal: a doc far from every cluster of
     * its corpus is OOD for the recipe that produced the clusters.

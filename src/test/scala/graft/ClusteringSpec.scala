@@ -144,6 +144,49 @@ class ClusteringSpec extends SparkSpec {
       .collect().forall(_ == 0.0))
   }
 
+  test("kCenters matches a driver-side greedy replay; corners hold") {
+    val df = planted(60, 3)
+    val got = Clustering.kCenters(df, "id", "v", k = 4)
+      .select($"rank", $"id", $"mind")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+
+    // driver replay of farthest-first with the same tie rules
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray.map(_.toDouble))).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var chosen = Vector((rows.head._1, rows.head._2, Option.empty[Double]))
+    while (chosen.length < 4) {
+      val cand = rows.filter(r => !chosen.exists(_._1 == r._1))
+        .map { case (id, v) =>
+          (id, v, chosen.map(c => d2(v, c._2)).min) }
+      val best = cand.minBy { case (id, _, m) => (-m, id) }
+      chosen :+= ((best._1, best._2, Some(best._3)))
+    }
+    assert(got.map(_._2).toSeq == chosen.map(_._1))
+    got.zip(chosen).foreach { case ((_, _, gm), (_, _, wm)) =>
+      assert(gm == wm, s"mind mismatch: $gm vs $wm") }
+    // first center: smallest id, null mind
+    assert(got.head._2 == 0L && got.head._3.isEmpty)
+
+    // all-duplicate vectors: k distinct ids in id order, mind 0
+    val dup = (0L until 10L).map(i => (i, Array.fill(dim)(1.0f)))
+      .toDF("id", "v")
+    val gd = Clustering.kCenters(dup, "id", "v", k = 3)
+      .select($"rank", $"id", $"mind")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(gd.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(gd.tail.forall(_._3.contains(0.0)))
+
+    // fewer rows than k: returns what exists
+    val tiny = Seq((5L, Array.fill(dim)(0.0f)), (7L, Array.fill(dim)(2.0f)))
+      .toDF("id", "v")
+    assert(Clustering.kCenters(tiny, "id", "v", k = 5).count() == 2)
+  }
+
   test("assignment is map-only: no exchange in the plan") {
     val df = planted(60, 3)
     val cents = Array.tabulate(3)(c => Array.fill(dim)(c.toDouble))
