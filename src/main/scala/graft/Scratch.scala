@@ -40,7 +40,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -502,6 +502,63 @@ object Scratch {
       }
       spark.conf.unset("spark.sql.codegen.wholeStage")
       spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+
+    gated("r11ops") {
+      // round-11 batch B at scale: fixed-point k-means / k-centers on
+      // 5M vectors, integer PageRank on a 10M-edge graph, the interval
+      // join at 5M points x 200k windows, PSI drift at 5M docs.
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      if (!new java.io.File("/tmp/big_embeddings5m/_SUCCESS").exists)
+        emb.crossJoin(spark.range(2500).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"))
+          .repartition(64).write.mode("overwrite").parquet("/tmp/big_embeddings5m")
+      val corpus5m = spark.read.parquet("/tmp/big_embeddings5m")
+      println(s"[scale] vec rows=${corpus5m.count()}")
+
+      val cents = timeIt("kmeansFixed k=8 iters=2 over 5M vectors")(
+        operators.Clustering.kmeansFixed(corpus5m, "vec_id", "embedding",
+          k = 8, iters = 2))
+      timeIt("assign 5M vectors to 8 centroids (map-only)")(
+        noop(operators.Clustering.assign(corpus5m, "embedding", cents)))
+      timeIt("coreset m=10 from 5M assigned")(
+        noop(operators.Clustering.coreset(
+          operators.Clustering.assign(corpus5m, "embedding", cents),
+          "vec_id", 10)))
+      timeIt("kCenters k=8 over 5M vectors (8 scans)")(
+        operators.Clustering.kCenters(corpus5m, "vec_id", "embedding", 8)
+          .collect())
+
+      // ring + hashed chords: 10M directed edges over 5M nodes
+      val nodes5m = spark.range(5000000L).toDF("id")
+      val ring = nodes5m.select(col("id").as("src"),
+        ((col("id") + 1L) % 5000000L).as("dst"))
+      val chords = nodes5m.select(col("id").as("src"),
+        pmod(xxhash64(col("id")), lit(5000000L)).as("dst"))
+      val edges10m = ring.union(chords)
+      timeIt("pageRank 3 iters over 10M edges / 5M nodes")(
+        noop(operators.Graph.pageRank(edges10m, "src", "dst", iters = 3)))
+
+      // interval join: 5M points over 30 days, 200k windows of ~10 min
+      val t0us = 1704067200000000L // 2024-01-01 UTC
+      val pts = spark.range(5000000L).toDF("pid")
+        .select(col("pid"), timestamp_micros(
+          lit(t0us) + pmod(xxhash64(col("pid")), lit(2592000000000L)))
+          .as("pts"))
+      val wins = spark.range(200000L).toDF("wid")
+        .select(col("wid"), timestamp_micros(
+          lit(t0us) + pmod(xxhash64(col("wid"), lit(7)), lit(2592000000000L)))
+          .as("ws"))
+        .withColumn("we", col("ws") + expr("INTERVAL 10 MINUTES"))
+      timeIt("intervalJoin 5M points x 200k 10-min windows (10-min buckets)")(
+        noop(operators.IntervalJoin.pointInInterval(pts, "pts", wins,
+          "ws", "we", carry = Seq("wid"), bucketUs = 600L * 1000000L)))
+
+      // PSI drift between two 5M-doc snapshots
+      timeIt("snapshotDrift per-lang over 5M vs 5M docs")(
+        noop(operators.TrainingData.snapshotDrift(
+          docs, docs.where(col("doc_id") % 17 =!= 0), "lang", "n_chars")))
     }
 
     spark.stop()

@@ -650,4 +650,41 @@ class StreamingSpec extends SparkSpec {
       assert(byId === batch)
     } finally q.stop()
   }
+
+  test("interval join is stream-safe: streaming points vs static windows " +
+    "match batch") {
+    // static side: intervals; stream side: points — the bucketized
+    // form is explode + stream-static equi-join + filter, all
+    // stateless, so it runs unchanged as a continuous query
+    val ptsDir = Files.createTempDirectory("ivl-points").toString
+    val pts = (0L until 200L)
+      .map(i => (i, new java.sql.Timestamp(1700000000000L + i * 7000L)))
+      .toDF("pid", "pts")
+    pts.write.mode("overwrite").parquet(ptsDir)
+    val wins = Seq(
+      (1L, new java.sql.Timestamp(1700000000000L),
+        new java.sql.Timestamp(1700000060000L)),
+      (2L, new java.sql.Timestamp(1700000300000L),
+        new java.sql.Timestamp(1700000900000L)))
+      .toDF("wid", "ws", "we")
+
+    val batch = graft.operators.IntervalJoin.pointInInterval(
+      pts, "pts", wins, "ws", "we", carry = Seq("wid"),
+      bucketUs = 60L * 1000000L)
+      .select(col("pid"), col("ivl_wid")).as[(Long, Long)].collect().toSet
+
+    val stream = spark.readStream.schema("pid BIGINT, pts TIMESTAMP")
+      .parquet(ptsDir)
+    val joined = graft.operators.IntervalJoin.pointInInterval(
+      stream.toDF(), "pts", wins, "ws", "we", carry = Seq("wid"),
+      bucketUs = 60L * 1000000L)
+      .select(col("pid"), col("ivl_wid"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivl_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ivl_stream").as[(Long, Long)].collect().toSet
+      assert(got == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
