@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Graph, IntervalJoin, TrainingData}
+import graft.operators.{Clustering, Dedup, Funnel, Graph, IntervalJoin, TrainingData}
 
 /** Round-11 [EXT] batch B: X65 deterministic fixed-point k-means
   * (cluster map, cluster-balanced coreset, embedding outlier flags),
@@ -118,6 +118,17 @@ object Round11bQueries {
         .select(col("node").as("doc_id"), col("rq"),
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
+    }),
+
+    // ---- X70: funnel analysis — first-touch greedy stage matching
+    // per user over view → click → purchase, k conditional-min
+    // aggregates on the user key, never a per-user sort --------------
+    "events_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      Funnel.stages(e2, "user_id", "event_type", "__tsus",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")
     }),
 
     // ---- X67: per-language PSI drift between the %3 and %5 corpus
@@ -248,6 +259,25 @@ object Round11bQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |f1 AS (SELECT user_id, min(tsu) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM e GROUP BY user_id),
+        |g1 AS (SELECT * FROM f1 WHERE t1 IS NOT NULL),
+        |f2 AS (SELECT g1.user_id, max(g1.t1) AS t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > g1.t1
+        |      THEN e.tsu END) AS t2
+        |  FROM g1 JOIN e USING (user_id) GROUP BY g1.user_id),
+        |f3 AS (SELECT f2.user_id, max(f2.t1) AS t1, max(f2.t2) AS t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > f2.t2
+        |      THEN e.tsu END) AS t3
+        |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
+        |  t1, t2, t3
+        |FROM f3 ORDER BY user_id""".stripMargin,
+
     "cluster_diverse" -> kCentersSql(4),
     "graph_pagerank" -> pageRankSql,
 

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis: how far does each user get through an ORDERED
+  * sequence of event types (view → click → purchase), matching each
+  * step to the EARLIEST occurrence strictly after the previous match
+  * (first-touch greedy — the standard product-analytics semantics).
+  * [EXT]: the reference has no event analytics at all; this is the
+  * companion to sessionization (X17) on the events surface.
+  *
+  * NOT a per-user sort: step i is ONE conditional-min aggregate
+  * `min(ts WHERE type = step_i AND ts > t_{i-1})` keyed by user — so
+  * the whole funnel is k rounds of (map-side-partial aggregate ⋈ the
+  * |users|-row previous round) on the high-cardinality user key. No
+  * window over event order, no collect_list of a user's history
+  * (unbounded state for a bot user), no skewed reducer. At 100 TB the
+  * k event-table passes can share one shuffle by pre-partitioning
+  * events on the user key (the CC-loop treatment); k is the funnel
+  * length, 3-5 in practice.
+  *
+  * Pinned semantics: strict `>` between steps (simultaneous events do
+  * not chain); a user with no step-1 event is absent from the output;
+  * `stage` = number of steps matched (1..k); step timestamps are
+  * epoch values in the input's own unit, emitted as t1..tk (NULL once
+  * unmatched).
+  */
+object Funnel {
+
+  /** @param tsCol numeric (epoch) timestamp column — normalize
+    *   upstream; comparisons and mins are exact integer ops. */
+  def stages(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("__u"), col(typeCol).as("__ty"),
+      col(tsCol).cast("long").as("__ts"))
+    var cur = e
+      .groupBy(col("__u"))
+      .agg(min(when(col("__ty") === steps.head, col("__ts"))).as("t1"))
+      .where(col("t1").isNotNull)
+    for (i <- 2 to steps.length) {
+      val prev = s"t${i - 1}"
+      val carried = (1 until i).map(j => max(col(s"t$j")).as(s"t$j"))
+      cur = e.join(cur.withColumnRenamed("__u", "__cu"),
+          col("__u") === col("__cu"))
+        .drop("__cu")
+        .groupBy(col("__u"))
+        .agg(carried.head, carried.tail :+
+          min(when(col("__ty") === steps(i - 1) &&
+            col("__ts") > col(prev), col("__ts"))).as(s"t$i"): _*)
+    }
+    val stage = steps.indices
+      .foldLeft(lit(0)) { (acc, j) =>
+        when(col(s"t${j + 1}").isNotNull, lit(j + 1)).otherwise(acc)
+      }
+    // a later step can only match if every earlier one did (ti is only
+    // searched past t_{i-1}), so `stage` = count of non-null ts
+    cur.select(col("__u").as(userCol) +: stage.as("stage") +:
+      steps.indices.map(j => col(s"t${j + 1}")): _*)
+  }
+
+  /** Per-stage reach: how many users matched AT LEAST each step —
+    * one |users|-row aggregate over [[stages]]. */
+  def reach(stagesDf: DataFrame, steps: Seq[String]): DataFrame = {
+    val exprs = steps.indices.map(j =>
+      sum(when(col("stage") >= j + 1, 1L).otherwise(0L))
+        .as(s"n_step${j + 1}"))
+    stagesDf.agg(exprs.head, exprs.tail: _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Funnel
+
+/** X70 funnel analysis: first-touch greedy matching semantics on hand
+  * fixtures — step order enforced, strict-after ties, absent step-1
+  * users dropped, reach counts.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def run(events: Seq[(Long, String, Long)]) =
+    Funnel.stages(events.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+      .select($"user_id", $"stage", $"t1", $"t2", $"t3")
+      .as[(Long, Int, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("greedy first-touch matching with strict ordering") {
+    val got = run(Seq(
+      // full funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // purchase BEFORE click: stops at stage 2
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // click before view: the later click counts, not the earlier
+      (3L, "click", 5L), (3L, "view", 10L), (3L, "click", 25L),
+      // no view at all: absent
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // view only
+      (5L, "view", 99L)))
+    assert(got(1L) == ((3, Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((2, Some(10L), Some(20L), None)))
+    assert(got(3L) == ((2, Some(10L), Some(25L), None)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((1, Some(99L), None, None)))
+  }
+
+  test("simultaneous events do not chain (strict >)") {
+    val got = run(Seq(
+      (1L, "view", 10L), (1L, "click", 10L), // same instant: no chain
+      (2L, "view", 10L), (2L, "click", 11L)))
+    assert(got(1L)._1 == 1)
+    assert(got(2L)._1 == 2)
+  }
+
+  test("earliest qualifying occurrence wins at every step") {
+    val got = run(Seq(
+      (1L, "view", 10L), (1L, "view", 5L), // earliest view
+      (1L, "click", 7L),                   // before t1=5? no: 7 > 5 ✓
+      (1L, "click", 50L)))
+    // t1 = 5 (earliest view), t2 = 7 (earliest click after 5)
+    assert(got(1L) == ((2, Some(5L), Some(7L), None)))
+  }
+
+  test("reach counts users at or past each stage") {
+    val st = Funnel.stages(Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "view", 1L), (2L, "click", 2L),
+      (3L, "view", 1L)).toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+    val r = Funnel.reach(st, steps)
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((3L, 2L, 1L)))
+  }
+}
