@@ -131,6 +131,14 @@ object Round11bQueries {
         .orderBy("user_id")
     }),
 
+    // ---- X71: weekly retention cohorts over the event stream ------
+    "events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      Funnel.retention(e2, "user_id", "__tsus", bucketUs = 604800000000L)
+        .orderBy("cohort", "week_offset")
+    }),
+
     // ---- X67: per-language PSI drift between the %3 and %5 corpus
     // snapshots over fixed 256-char length bins -----------------------
     "snapshot_drift" -> ((s, dir) => {
@@ -277,6 +285,16 @@ object Round11bQueries {
         |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
         |  t1, t2, t3
         |FROM f3 ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |act AS (SELECT DISTINCT user_id, wk FROM a),
+        |coh AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+        |SELECT coh.cohort, act.wk - coh.cohort AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
 
     "cluster_diverse" -> kCentersSql(4),
     "graph_pagerank" -> pageRankSql,

@@ -68,4 +68,28 @@ object Funnel {
         .as(s"n_step${j + 1}"))
     stagesDf.agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Retention cohorts: users bucketed by their FIRST activity period
+    * (integer `div` of the epoch timestamp — no calendar/locale
+    * exposure), counted in every later period they appear in. The
+    * product-analytics retention matrix, and for a training-data
+    * pipeline the contributor-churn view of a crawl source.
+    *
+    * Three aggregates, all on high-cardinality uniform keys: distinct
+    * (user, period) map-side; per-user min period; count per
+    * (cohort, offset). No windows, no sorts, nothing driver-side.
+    * Output: (cohort, week_offset ≥ 0, n_users) — n_users at offset 0 is
+    * the cohort size (every user appears in their own first period).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                bucketUs: Long): DataFrame = {
+    require(bucketUs > 0)
+    val a = events.select(col(userCol).as("__u"),
+      expr(s"CAST($tsCol AS BIGINT) div $bucketUs").as("__wk"))
+    val act = a.distinct()
+    val coh = a.groupBy(col("__u")).agg(min(col("__wk")).as("cohort"))
+    act.join(coh, "__u")
+      .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (u, wk) already distinct
+  }
 }

@@ -54,6 +54,21 @@ class FunnelSpec extends SparkSpec {
     assert(got(1L) == ((2, Some(5L), Some(7L), None)))
   }
 
+  test("retention (X71): cohort by first activity, counted per period") {
+    // bucket = 10 "us": user 1 active periods 0,1,3; user 2 periods
+    // 1,1 (dup collapses); user 3 period 3 only
+    val got = Funnel.retention(Seq(
+      (1L, 5L), (1L, 12L), (1L, 35L),
+      (2L, 10L), (2L, 19L),
+      (3L, 30L)).toDF("user_id", "ts"), "user_id", "ts", bucketUs = 10L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // user 1
+      (1L, 0L) -> 1L,                                 // user 2
+      (3L, 0L) -> 1L))                                // user 3
+  }
+
   test("reach counts users at or past each stage") {
     val st = Funnel.stages(Seq(
       (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
