@@ -51,7 +51,21 @@ object IntervalJoin {
     require(clash.isEmpty,
       s"pointInInterval inputs must not use reserved column(s): ${clash.mkString(", ")}")
 
-    def bucketOf(ts: Column): Column = floor(unix_micros(ts) / lit(bucketUs))
+    // integer `div`, NOT floor(a / b): a double division is exact for
+    // µs epochs only below 2^53 (~year 2255), and a misrounded bucket
+    // here is a silently MISSED match — the exact filter below removes
+    // only false positives. Integer division is exact by construction
+    // (the events_windowed hour-bucket rule). `div` truncates toward
+    // zero ⇒ pre-1970 timestamps would shift bucket boundaries; the
+    // pinned arithmetic assumes non-negative epochs.
+    def bucketOf(ts: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      ColumnBridge.column(IntegralDivide(
+        ColumnBridge.expression(unix_micros(ts)),
+        ColumnBridge.expression(lit(bucketUs)), evalMode =
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }
 
     // a runaway interval is a pipeline bug, not data to silently
     // absorb: fail the job instead of exploding without bound. The
