@@ -3,17 +3,19 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, Funnel, Graph, IntervalJoin, TrainingData}
+import graft.operators.{Clustering, Dedup, Funnel, Graph, IntervalJoin, Lexical, TrainingData}
 
 /** Round-11 [EXT] batch B: X65 deterministic fixed-point k-means
-  * (cluster map, cluster-balanced coreset, embedding outlier flags),
-  * X66 bucketized interval-overlap join (the range join Spark would
-  * otherwise plan as a nested-loop), X67 per-group PSI drift between
-  * corpus snapshots. Every query is HASH-gated: the fixed-point
-  * centroid arithmetic makes the whole Lloyd iteration replayable in
+  * (cluster map, coreset, outlier flags), X66 bucketized
+  * interval-overlap join (the range join Spark would otherwise plan as
+  * a nested loop), X67 per-group PSI snapshot drift, X68 deterministic
+  * integer PageRank, X69 greedy k-center diversity seeds, X70 funnel
+  * analysis, X71 retention cohorts. Every query is HASH-gated: the
+  * fixed-point / integer arithmetic makes each pipeline replayable in
   * DuckDB with zero FP-reduction-order exposure (see
-  * [[graft.operators.Clustering]]); the interval join's DuckDB twin is
-  * the plain range join the bucketization must exactly reproduce.
+  * [[graft.operators.Clustering]] and [[graft.operators.Graph]]); the
+  * interval join's DuckDB twin is the plain range join the
+  * bucketization must exactly reproduce.
   */
 object Round11bQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -72,6 +74,18 @@ object Round11bQueries {
         .select(col("vec_id"), col("cluster"), round(col("z"), 4).as("z"),
           col("is_outlier"))
         .orderBy("vec_id")),
+
+    // ---- X72: per-cluster topic keywords — the postings artifact
+    // (X25/X64) joined to the cluster map (X65): what is each region
+    // of embedding space ABOUT ---------------------------------------
+    "cluster_topics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val postings = Lexical.tfidfPostings(docs, "doc_id", "text")
+      val asg = assigned(s, dir)
+        .select(col("vec_id").as("doc"), col("cluster"))
+      Lexical.clusterKeywords(postings, asg, k = 5)
+        .orderBy("cluster", "rank")
+    }),
 
     // ---- X69: greedy k-center diversity seeds (farthest-first) ----
     "cluster_diverse" -> ((s, dir) =>
@@ -297,6 +311,29 @@ object Round11bQueries {
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
 
     "cluster_diverse" -> kCentersSql(4),
+
+    // cluster map (a2) + tf-idf postings, pooled per cluster
+    "cluster_topics" -> kmeansSql(
+      s"""tok AS (SELECT doc_id AS doc, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |  FROM documents),
+         |cnt AS (SELECT doc, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc, t),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM cnt GROUP BY t),
+         |nd AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM cnt),
+         |byc AS (SELECT a2.cluster, cnt.t, CAST(sum(cnt.c) AS BIGINT) AS c,
+         |    max(dfq.df) AS df
+         |  FROM cnt JOIN a2 ON cnt.doc = a2.vec_id JOIN dfq USING (t)
+         |  GROUP BY a2.cluster, cnt.t),
+         |wt AS (SELECT cluster, t,
+         |    CAST(c AS DOUBLE) * ln(CAST((SELECT n FROM nd) AS DOUBLE)
+         |      / CAST(df AS DOUBLE)) AS w
+         |  FROM byc),
+         |rk AS (SELECT cluster, t, w, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY w DESC, t ASC) AS rank FROM wt)
+         |SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS BIGINT) AS rank,
+         |  t AS keyword, round(w, 4) AS w
+         |FROM rk WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin,
+      extraCte = true),
     "graph_pagerank" -> pageRankSql,
 
     // the twin is the straightforward range join — the bucketized

@@ -63,6 +63,7 @@ object Clustering {
       .orderBy(col(idCol)).limit(k)
       .collect()
       .map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, "kmeansFixed needs at least one non-null vector")
     var centroids = seeds.map(_.map(_.toDouble / Quant.toDouble))
     var it = 0
     while (it < iters) {

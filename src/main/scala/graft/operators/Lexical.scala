@@ -133,6 +133,47 @@ object Lexical {
         round(negate(col("__kw.nw")), 4).as("w"))
   }
 
+  /** Per-CLUSTER topic keywords: top-k terms of each semantic cluster
+    * by pooled tf·idf — the corpus-inspection deliverable that ties
+    * the postings artifact (X25/X64) to the cluster map (X65): "what
+    * is each region of embedding space ABOUT". Pooled tf is the exact
+    * integer Σ of member-doc term counts; idf reuses the postings' own
+    * df against the doc count, so every weight is the same
+    * single-multiplication double in any engine.
+    *
+    * Scale shape: postings ⋈ assignment is an equi-join on the doc id
+    * (uniform key); the (cluster, term) aggregate is map-side partial;
+    * the per-cluster ranking is the bounded [[TopKStrAgg]] — NOT
+    * collect_list/array_sort (a cluster's distinct-term set is
+    * corpus-scale: unbounded per-group state), and NOT a rank window
+    * (k clusters ⇒ k reducers swallowing the whole term table).
+    *
+    * @param assign (doc, cluster) — e.g. [[graft.operators.Clustering.assign]]
+    *   keyed to the postings' doc ids. */
+  def clusterKeywords(postings: DataFrame, assign: DataFrame,
+                      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val byCluster = postings.join(assign, "doc")
+      .where(col("cluster").isNotNull)
+      .groupBy(col("cluster"), col("t"))
+      .agg(sum(col("c")).as("__c"), max(col("df")).as("__df"))
+    val nDocs = postings.select(col("doc")).distinct()
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val weighted = byCluster.crossJoin(broadcast(nDocs))
+      .select(col("cluster"), col("t"),
+        (col("__c").cast("double") *
+          log(col("__n").cast("double") / col("__df").cast("double")))
+          .as("__w"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    weighted.groupBy(col("cluster"))
+      .agg(topk(col("t"), negate(col("__w"))).as("__top"))
+      .select(col("cluster"), posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col("cluster"), (col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("keyword"),
+        round(negate(col("__kw.score")), 4).as("w"))
+  }
+
   /** Per-document vector norms of a postings table — materialized next
     * to the postings so serving never re-aggregates the corpus. */
   def tfidfNorms(postings: DataFrame): DataFrame =

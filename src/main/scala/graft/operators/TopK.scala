@@ -19,6 +19,50 @@ object Scored {
     Ordering.by((s: Scored) => (s.distance, s.id))
 }
 
+/** One scored STRING candidate (term, keyword, label) with the same
+  * deterministic total order as [[Scored]]: score ASC then key ASC —
+  * feed a NEGATED weight to rank descending. */
+final case class ScoredStr(key: String, score: Double)
+
+object ScoredStr {
+  implicit val ordering: Ordering[ScoredStr] =
+    Ordering.by((s: ScoredStr) => (s.score, s.key))
+}
+
+/** [[TopKAgg]] for string-keyed candidates — bounded per-group top-k
+  * where the payload is a term rather than a row id (cluster topics,
+  * per-group heavy hitters). Same scale property: the buffer never
+  * exceeds k, so map-side partials keep the shuffle at
+  * |groups|×|partitions|×k regardless of how many distinct terms a
+  * group accumulates — the collect_list/array_sort form is unbounded
+  * per-group state and dies on a corpus-sized group.
+  */
+final class TopKStrAgg(k: Int)
+    extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+  def zero: Seq[ScoredStr] = Vector.empty
+
+  def reduce(b: Seq[ScoredStr], a: ScoredStr): Seq[ScoredStr] =
+    if (b.length < k) insert(b, a)
+    else if (ScoredStr.ordering.lt(a, b.last)) insert(b, a).dropRight(1)
+    else b
+
+  private def insert(b: Seq[ScoredStr], a: ScoredStr): Seq[ScoredStr] = {
+    val i = b.indexWhere(x => ScoredStr.ordering.lt(a, x)) match {
+      case -1 => b.length
+      case n  => n
+    }
+    (b.take(i) :+ a) ++ b.drop(i)
+  }
+
+  def merge(b1: Seq[ScoredStr], b2: Seq[ScoredStr]): Seq[ScoredStr] =
+    b2.foldLeft(b1)(reduce)
+
+  def finish(r: Seq[ScoredStr]): Seq[ScoredStr] = r
+
+  def bufferEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder[Seq[ScoredStr]]()
+  def outputEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder[Seq[ScoredStr]]()
+}
+
 /** Bounded top-k typed aggregate. The buffer never exceeds k elements,
   * so map-side partial aggregation (ObjectHashAggregate) reduces the
   * shuffle for a batch k-NN join from |queries|×|data| rows to

@@ -112,4 +112,57 @@ class LexicalSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
   }
+
+  test("clusterKeywords (X72): pooled tf·idf per cluster, bounded ranking") {
+    // cluster 0 = docs 0,1 (about "alpha"), cluster 1 = doc 2 ("beta");
+    // "common" appears everywhere → idf 0 → ranked last
+    val docs = Seq(
+      (0L, "alpha alpha common"),
+      (1L, "alpha gamma common"),
+      (2L, "beta beta beta common")).toDF("doc_id", "text")
+    val postings = Lexical.tfidfPostings(docs, "doc_id", "text")
+    val assign = Seq((0L, 0), (1L, 0), (2L, 1)).toDF("doc", "cluster")
+    val got = Lexical.clusterKeywords(postings, assign, k = 2)
+      .select(col("cluster"), col("rank"), col("keyword"), col("w"))
+      .as[(Int, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)))
+      .toMap
+    val ln32 = math.log(3.0 / 2.0)
+    val ln31 = math.log(3.0)
+    // cluster 0: alpha pooled c=3 (df=2), gamma c=1 (df=1)
+    assert(got(0).map(_._1).toSeq == Seq("alpha", "gamma"))
+    assert(math.abs(got(0).head._2 - 3.0 * ln32) < 1e-3)
+    assert(math.abs(got(0)(1)._2 - 1.0 * ln31) < 1e-3)
+    // cluster 1: beta c=3 (df=1) first; "common" (idf 0) ranked below
+    assert(got(1).map(_._1).toSeq == Seq("beta", "common"))
+    assert(got(1)(1)._2 == 0.0)
+
+    // null clusters are excluded
+    val withNull = assign.union(Seq((0L, null.asInstanceOf[Integer]))
+      .toDF("doc", "cluster"))
+    assert(Lexical.clusterKeywords(postings,
+      withNull.where(col("cluster").isNull), 2).count() == 0)
+  }
+
+  test("TopKStrAgg equals a global sort on the same ordering") {
+    import graft.operators.{ScoredStr, TopKStrAgg}
+    val data = (0 until 500).map { i =>
+      val g = i % 3
+      (g, s"t${i % 47}_$g", ((i * 37) % 101).toDouble)
+    }.toDF("g", "term", "w")
+    val topk = org.apache.spark.sql.functions.udaf(new TopKStrAgg(5),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    val got = data.repartition(7)
+      .groupBy(col("g")).agg(topk(col("term"), negate(col("w"))).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.key"), col("col.score"))
+      .as[(Int, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, -x._4)))
+      .toMap
+    val want = data.as[(Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(x => (x._2, x._3)).sortBy { case (t, w) => (-w, t) }.take(5).toSeq)
+      .toMap
+    assert(got.view.mapValues(_.toSeq).toMap == want)
+  }
 }
