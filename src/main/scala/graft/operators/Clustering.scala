@@ -1,9 +1,54 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.FusedDistance
+
+/** Elementwise sum of long vectors + member count — the centroid-update
+  * aggregate. One buffer of dims longs per (partition, cluster) instead
+  * of the posexplode form's rows×dims exploded rows (measured 22.5 →
+  * 12.5 s for the full 2-iteration Lloyd loop at 5M×64, like-for-like
+  * first-call-after-warmup runs): map-side partials reduce each
+  * partition to k buffers before any shuffle. Integer adds in any
+  * order are exact — the determinism argument is unchanged. */
+final class LongVecSumAgg
+    extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+  def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
+
+  def reduce(b: (Array[Long], Long), a: Seq[Long]): (Array[Long], Long) = {
+    if (a == null) return b
+    if (b._1.isEmpty) (a.toArray, b._2 + 1L)
+    else {
+      val arr = b._1
+      require(arr.length == a.length,
+        s"vector length mismatch: ${arr.length} vs ${a.length}")
+      var i = 0
+      while (i < arr.length) { arr(i) += a(i); i += 1 }
+      (arr, b._2 + 1L)
+    }
+  }
+
+  def merge(b1: (Array[Long], Long), b2: (Array[Long], Long)): (Array[Long], Long) = {
+    if (b1._1.isEmpty) b2
+    else if (b2._1.isEmpty) b1
+    else {
+      val arr = b1._1
+      var i = 0
+      while (i < arr.length) { arr(i) += b2._1(i); i += 1 }
+      (arr, b1._2 + b2._2)
+    }
+  }
+
+  def finish(r: (Array[Long], Long)): (Seq[Long], Long) = (r._1.toSeq, r._2)
+
+  def bufferEncoder: Encoder[(Array[Long], Long)] =
+    ExpressionEncoder[(Array[Long], Long)]()
+  def outputEncoder: Encoder[(Seq[Long], Long)] =
+    ExpressionEncoder[(Seq[Long], Long)]()
+}
 
 /** Deterministic fixed-point Lloyd k-means over an embedding column —
   * the ORACLE-GATED clustering path, complementing the recall-gated
@@ -68,18 +113,27 @@ object Clustering {
     var it = 0
     while (it < iters) {
       val assigned = assign(df, vecCol, centroids)
-      // (cluster, pos) → (Σq, n): k·dims rows, map-side partials; the
-      // long sum is exact, so the division below is deterministic.
+      // cluster → (Σq elementwise, n): k buffers of dims longs with
+      // map-side partials (NOT posexplode — that's rows×dims exploded
+      // rows); the long sums are exact, so the division below is
+      // deterministic regardless of add order.
+      val vsum = udaf(new LongVecSumAgg, ExpressionEncoder[Seq[Long]]())
       val sums = assigned
         .where(col("cluster").isNotNull)
-        .select(col("cluster"), posexplode(qvec(col(vecCol))))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), qvec(col(vecCol)).as("__qv"))
+        .groupBy(col("cluster"))
+        .agg(vsum(col("__qv")).as("sn"))
+        .select(col("cluster"), col("sn._1").as("s"), col("sn._2").as("n"))
         .collect()
       val next = centroids.map(_.clone()) // empty cluster keeps its centroid
       sums.foreach { r =>
-        val c = r.getInt(0); val p = r.getInt(1)
-        next(c)(p) = r.getLong(2).toDouble / (r.getLong(3) * Quant).toDouble
+        val c = r.getInt(0)
+        val s = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        var p = 0
+        while (p < s.length) {
+          next(c)(p) = s(p).toDouble / (n * Quant).toDouble; p += 1
+        }
       }
       centroids = next
       it += 1
