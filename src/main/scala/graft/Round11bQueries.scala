@@ -124,8 +124,11 @@ object Round11bQueries {
     // ranks the CENTERS of duplicate clusters; the exact fixed-point
     // rq LONG is what the hash gate compares -------------------------
     "graph_pagerank" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id",
-        "text", n = 3, minJaccard = 0.3)
+      // pairs served from the materialized shingle index (the
+      // dedup_jaccard FromIndex precedent) — identical output to the
+      // inline build, so the oracle's sqlJaccardCtes twin is unchanged
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
       val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       Graph.pageRank(sym, "src", "dst", iters = 3)

@@ -40,14 +40,24 @@ import org.apache.spark.sql.functions._
 object Graph {
   val Q = 1000000000L // 1e-9 fixed-point rank grid
 
-  /** @return (node LONG, rq LONG, rank DOUBLE = rq/Q). `rq` is the
+  /** @param materialize eagerly localCheckpoint the deduped edge list
+    *   before the loop (default). The edge table is consumed iters+2
+    *   times (degrees, nodes, every iteration's join) across SEPARATE
+    *   jobs in the final plan, and its upstream (e.g. the shingle
+    *   self-join that produced the pairs) would otherwise replay each
+    *   time — the spanDedup rule: checkpoint when consumers cannot
+    *   share an exchange. Measured on the near-dup graph query
+    *   (with index-served pairs): 7.3 → 2.3 s. ContextCleaner
+    *   reclaims the blocks.
+    * @return (node LONG, rq LONG, rank DOUBLE = rq/Q). `rq` is the
     *   exact fixed-point rank — hash-gate on it, not on the derived
     *   double. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3, materialize: Boolean = true): DataFrame = {
     require(iters >= 0 && iters <= 100)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    val e = if (materialize) e0.localCheckpoint(true) else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
