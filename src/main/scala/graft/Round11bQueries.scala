@@ -148,6 +148,16 @@ object Round11bQueries {
         .orderBy("user_id")
     }),
 
+    // ---- X70b: funnel reach — users at or past each stage ---------
+    "events_reach" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      Funnel.reach(
+        Funnel.stages(e2, "user_id", "event_type", "__tsus",
+          Seq("view", "click", "purchase")),
+        Seq("view", "click", "purchase"))
+    }),
+
     // ---- X71: weekly retention cohorts over the event stream ------
     "events_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -302,6 +312,24 @@ object Round11bQueries {
         |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
         |  t1, t2, t3
         |FROM f3 ORDER BY user_id""".stripMargin,
+
+    "events_reach" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |f1 AS (SELECT user_id, min(tsu) FILTER (WHERE event_type = 'view') AS t1
+        |  FROM e GROUP BY user_id),
+        |g1 AS (SELECT * FROM f1 WHERE t1 IS NOT NULL),
+        |f2 AS (SELECT g1.user_id, max(g1.t1) AS t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > g1.t1
+        |      THEN e.tsu END) AS t2
+        |  FROM g1 JOIN e USING (user_id) GROUP BY g1.user_id),
+        |f3 AS (SELECT f2.user_id, max(f2.t1) AS t1, max(f2.t2) AS t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > f2.t2
+        |      THEN e.tsu END) AS t3
+        |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)
+        |SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_step1,
+        |  CAST(count(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT) AS n_step2,
+        |  CAST(count(*) FILTER (WHERE t3 IS NOT NULL) AS BIGINT) AS n_step3
+        |FROM f3""".stripMargin,
 
     "events_retention" ->
       """WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
