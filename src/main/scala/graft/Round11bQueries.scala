@@ -10,7 +10,9 @@ import graft.operators.{Clustering, Dedup, Funnel, Graph, IntervalJoin, Lexical,
   * interval-overlap join (the range join Spark would otherwise plan as
   * a nested loop), X67 per-group PSI snapshot drift, X68 deterministic
   * integer PageRank, X69 greedy k-center diversity seeds, X70 funnel
-  * analysis, X71 retention cohorts. Every query is HASH-gated: the
+  * analysis (stages / reach / nearest-rank conversion times), X71
+  * retention cohorts, X72 per-cluster topic keywords. Every query is
+  * HASH-gated: the
   * fixed-point / integer arithmetic makes each pipeline replayable in
   * DuckDB with zero FP-reduction-order exposure (see
   * [[graft.operators.Clustering]] and [[graft.operators.Graph]]); the
@@ -158,6 +160,27 @@ object Round11bQueries {
         Seq("view", "click", "purchase"))
     }),
 
+    // ---- X70c: conversion-time stats over completed funnels — the
+    // reference's nearest-rank percentile rule (integer-exact; the
+    // interpolated form differs from quantile_cont in the last ulp at
+    // µs magnitudes and fails the hash gate) -------------------------
+    "events_conversion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      val dl = Funnel.stages(e2, "user_id", "event_type", "__tsus",
+        Seq("view", "click", "purchase"))
+        .where(col("stage") === 3)
+        .select((col("t3") - col("t1")).as("d"))
+      val pct = graft.operators.Metrics.nearestRankPercentiles(dl, "d",
+        Seq(50, 90))
+      val tot = dl.agg(count(lit(1)).as("n_converted"),
+        round(sum(col("d").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_us"))
+      pct.select(col("p"), round(col("value"), 4).as("value"))
+        .crossJoin(tot)
+        .orderBy("p")
+    }),
+
     // ---- X71: weekly retention cohorts over the event stream ------
     "events_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -293,43 +316,51 @@ object Round11bQueries {
        |FROM fin ORDER BY rank""".stripMargin
   }
 
+  /** Shared DuckDB replay of the view→click→purchase conditional-min
+    * chain, ending with CTE `f3` = (user_id, t1, t2, t3). */
+  private def funnelSql(select: String, extraCte: Boolean = false): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+       |f1 AS (SELECT user_id, min(tsu) FILTER (WHERE event_type = 'view') AS t1
+       |  FROM e GROUP BY user_id),
+       |g1 AS (SELECT * FROM f1 WHERE t1 IS NOT NULL),
+       |f2 AS (SELECT g1.user_id, max(g1.t1) AS t1,
+       |    min(CASE WHEN e.event_type = 'click' AND e.tsu > g1.t1
+       |      THEN e.tsu END) AS t2
+       |  FROM g1 JOIN e USING (user_id) GROUP BY g1.user_id),
+       |f3 AS (SELECT f2.user_id, max(f2.t1) AS t1, max(f2.t2) AS t2,
+       |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > f2.t2
+       |      THEN e.tsu END) AS t3
+       |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)${if (extraCte) "," else ""}
+       |$select""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
-        |f1 AS (SELECT user_id, min(tsu) FILTER (WHERE event_type = 'view') AS t1
-        |  FROM e GROUP BY user_id),
-        |g1 AS (SELECT * FROM f1 WHERE t1 IS NOT NULL),
-        |f2 AS (SELECT g1.user_id, max(g1.t1) AS t1,
-        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > g1.t1
-        |      THEN e.tsu END) AS t2
-        |  FROM g1 JOIN e USING (user_id) GROUP BY g1.user_id),
-        |f3 AS (SELECT f2.user_id, max(f2.t1) AS t1, max(f2.t2) AS t2,
-        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > f2.t2
-        |      THEN e.tsu END) AS t3
-        |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)
-        |SELECT user_id,
+    "events_funnel" -> funnelSql(
+      """SELECT user_id,
         |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
         |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage,
         |  t1, t2, t3
-        |FROM f3 ORDER BY user_id""".stripMargin,
+        |FROM f3 ORDER BY user_id""".stripMargin),
 
-    "events_reach" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
-        |f1 AS (SELECT user_id, min(tsu) FILTER (WHERE event_type = 'view') AS t1
-        |  FROM e GROUP BY user_id),
-        |g1 AS (SELECT * FROM f1 WHERE t1 IS NOT NULL),
-        |f2 AS (SELECT g1.user_id, max(g1.t1) AS t1,
-        |    min(CASE WHEN e.event_type = 'click' AND e.tsu > g1.t1
-        |      THEN e.tsu END) AS t2
-        |  FROM g1 JOIN e USING (user_id) GROUP BY g1.user_id),
-        |f3 AS (SELECT f2.user_id, max(f2.t1) AS t1, max(f2.t2) AS t2,
-        |    min(CASE WHEN e.event_type = 'purchase' AND e.tsu > f2.t2
-        |      THEN e.tsu END) AS t3
-        |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)
-        |SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_step1,
+    // nearest-rank percentiles of the conversion time (the
+    // metrics_percentiles rule — integer-exact, no interpolation
+    // ulps); the mean divides exact integer sums
+    "events_conversion" -> funnelSql(
+      """cv AS (SELECT t3 - t1 AS d FROM f3 WHERE t3 IS NOT NULL),
+        |sr AS (SELECT CAST(d AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY d) - 1 AS rn FROM cv),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(CAST(sum(d) AS BIGINT) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 4) AS mean_us FROM cv)
+        |SELECT p, round(sr.v, 4) AS value, cc.n AS n_converted, cc.mean_us
+        |FROM (VALUES (50), (90)) t(p) CROSS JOIN cc
+        |JOIN sr ON sr.rn = least(CAST(round(p / 100.0 * (n - 1)) AS BIGINT), n - 1)
+        |ORDER BY p""".stripMargin, extraCte = true),
+
+    "events_reach" -> funnelSql(
+      """SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_step1,
         |  CAST(count(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT) AS n_step2,
         |  CAST(count(*) FILTER (WHERE t3 IS NOT NULL) AS BIGINT) AS n_step3
-        |FROM f3""".stripMargin,
+        |FROM f3""".stripMargin),
 
     "events_retention" ->
       """WITH a AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel ([EXT], the continuous form of
+  * [[graft.operators.Funnel.stages]]): per-user first-touch greedy
+  * stage matching maintained as a continuous query over the event
+  * tail. State per user is exactly k longs (the matched step
+  * timestamps) — bounded regardless of how many events a bot user
+  * produces, unlike any formulation that collects per-user history.
+  *
+  * Semantics vs the batch operator: within a micro-batch, a user's
+  * rows are sorted by event time and folded greedily left-to-right;
+  * across batches each tᵢ is a RUNNING MIN refined as new events
+  * arrive. This equals the batch result whenever each user's events
+  * arrive in non-decreasing event-time order (the log-tail case —
+  * pinned in StreamingSpec), and refines monotonically otherwise; an
+  * out-of-order arrival that retroactively LOWERS t₍ᵢ₋₁₎ cannot
+  * resurrect an already-discarded step-i event that only became
+  * eligible under the new t₍ᵢ₋₁₎ (a step-i event is kept only as the
+  * running min over events seen while it was eligible). Exactness for
+  * arbitrary disorder needs per-step event retention — unbounded
+  * state; this operator takes the k-long trade, like every production
+  * streaming funnel.
+  *
+  * Emits one row per (user, batch-with-activity) in Update mode:
+  * (user, stage, t1..tk) — downstream keeps the latest per user.
+  */
+object StreamingFunnel {
+
+  final case class FunnelEvent(user: Long, typ: String, ts: Long)
+  final case class FunnelRow(user: Long, stage: Int, ts: Seq[Long])
+
+  /** @param events streaming (or batch) frame; `tsCol` must be a
+    *   numeric epoch column (normalize upstream, as for the batch
+    *   operator). */
+  def stages(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events.select(col(userCol).cast("long").as("user"),
+      col(typeCol).as("typ"), col(tsCol).cast("long").as("ts"))
+      .where(col("typ").isin(steps: _*) && col("ts").isNotNull)
+      .as[FunnelEvent]
+    typed.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[Seq[Long]]) =>
+          // state(i) = running min of matched t_{i+1}, -1 = unmatched
+          val t = state.getOption.getOrElse(Seq.fill(k)(-1L)).toArray
+          // event-time order within the batch pins the greedy fold
+          val batch = rows.toArray.sortBy(e => (e.ts, stepIdx(e.typ)))
+          batch.foreach { e =>
+            val i = stepIdx(e.typ)
+            val prevOk = i == 0 || (t(i - 1) >= 0 && e.ts > t(i - 1))
+            if (prevOk && (t(i) < 0 || e.ts < t(i))) t(i) = e.ts
+          }
+          // a lowered t_{i-1} never invalidates a matched t_i (it was
+          // strictly after the OLD t_{i-1} ≥ the new one), so a single
+          // left-to-right pass keeps the chain consistent
+          if (t.exists(_ >= 0)) {
+            state.update(t.toSeq)
+            val stage = t.takeWhile(_ >= 0).length
+            if (stage > 0) Iterator.single(FunnelRow(user, stage, t.toSeq))
+            else Iterator.empty
+          } else Iterator.empty
+      }
+  }
+}

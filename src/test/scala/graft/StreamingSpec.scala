@@ -687,4 +687,49 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming funnel: in-order event tail matches the batch funnel; " +
+    "state is k longs") {
+    val steps = Seq("view", "click", "purchase")
+    val dir = Files.createTempDirectory("funnel-stream").toString
+    // batch 1: early activity; batch 2: later events complete chains
+    val b1 = Seq(
+      (1L, "view", 10L), (1L, "click", 20L),
+      (2L, "view", 10L), (2L, "purchase", 15L),
+      (3L, "click", 5L)) // no view yet: absent
+    val b2 = Seq(
+      (1L, "purchase", 30L),
+      (2L, "click", 20L),
+      (3L, "view", 10L), (3L, "click", 25L))
+    def toDf(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "event_type", "ts")
+
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_type STRING, ts BIGINT").parquet(dir)
+    val q = graft.streaming.StreamingFunnel.stages(
+      stream.toDF(), "user_id", "event_type", "ts", steps)
+      .toDF("user", "stage", "ts")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // latest emission per user (memory sink keeps every update row)
+      val got = spark.table("funnel_stream")
+        .groupBy(col("user"))
+        .agg(max_by(struct(col("stage"), col("ts")), col("stage")).as("s"))
+        .select(col("user"), col("s.stage"))
+        .as[(Long, Int)].collect().toMap
+      val batch = graft.operators.Funnel.stages(
+        toDf(b1 ++ b2), "user_id", "event_type", "ts", steps)
+        .select(col("user_id"), col("stage")).as[(Long, Int)]
+        .collect().toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // user 2's purchase@15 precedes its click@20: stalls at stage 2
+      assert(got(2L) == 2)
+      assert(got(1L) == 3)
+    } finally q.stop()
+  }
 }
