@@ -47,7 +47,8 @@ object Bench {
     "cluster_assign", "cluster_coreset", "cluster_outliers",
     "events_in_windows", "snapshot_drift", "graph_pagerank",
     "cluster_diverse", "events_funnel", "events_retention",
-    "cluster_topics", "events_reach", "events_conversion")
+    "cluster_topics", "events_reach", "events_conversion",
+    "graph_pagerank_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

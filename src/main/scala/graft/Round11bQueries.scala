@@ -139,6 +139,22 @@ object Round11bQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- X73: weighted PageRank — jaccard-weighted near-dup links
+    // (a strong duplicate link pulls more rank than a borderline one)
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val sym = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          col("jaccard"))
+        .union(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"), col("jaccard")))
+      Graph.pageRankWeighted(sym, "src", "dst", "jaccard", iters = 3)
+        .select(col("node").as("doc_id"), col("rq"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X70: funnel analysis — first-touch greedy stage matching
     // per user over view → click → purchase, k conditional-min
     // aggregates on the user key, never a per-user sort --------------
@@ -333,7 +349,44 @@ object Round11bQueries {
        |  FROM f2 JOIN e USING (user_id) GROUP BY f2.user_id)${if (extraCte) "," else ""}
        |$select""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Graph.pageRankWeighted]] at 3
+    * iterations over jaccard-weighted near-dup edges. */
+  private def pageRankWeightedSql: String = {
+    def iter(r: Int): String = {
+      val p = r - 1
+      s"""c$r AS (SELECT em.dst AS node,
+         |    CAST(sum((r$p.rq * em.wq) // deg.d) AS BIGINT) AS s
+         |  FROM em JOIN deg ON em.src = deg.src
+         |  JOIN r$p ON r$p.node = em.src GROUP BY em.dst),
+         |r$r AS (SELECT nodes.node,
+         |    CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         |      + (85 * coalesce(c$r.s, 0)) // 100 AS BIGINT) AS rq
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$r ON c$r.node = nodes.node),""".stripMargin
+    }
+    s"""WITH ${SparkEntry.sqlJaccardCtes},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst,
+       |    CAST(floor(jac*1000.0 + 0.5) AS BIGINT) AS wq
+       |  FROM jpairs WHERE jac >= 0.3
+       |  UNION ALL SELECT doc_b, doc_a, CAST(floor(jac*1000.0 + 0.5) AS BIGINT)
+       |  FROM jpairs WHERE jac >= 0.3),
+       |em AS (SELECT src, dst, CAST(sum(wq) AS BIGINT) AS wq
+       |  FROM edges GROUP BY src, dst HAVING sum(wq) > 0),
+       |deg AS (SELECT src, CAST(sum(wq) AS BIGINT) AS d FROM em GROUP BY src),
+       |nodes AS (SELECT src AS node FROM em UNION SELECT dst FROM em),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS rq
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to 3).map(iter).mkString("\n")}
+       |fin AS (SELECT node, rq FROM r3)
+       |SELECT node AS doc_id, rq,
+       |  round(CAST(rq AS DOUBLE) / 1000000000.0, 6) AS rank
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank_weighted" -> pageRankWeightedSql,
+
     "events_funnel" -> funnelSql(
       """SELECT user_id,
         |  CAST(CASE WHEN t3 IS NOT NULL THEN 3

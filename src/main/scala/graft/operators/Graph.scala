@@ -79,4 +79,55 @@ object Graph {
     ranks.select(col("node"), col("rq"),
       (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))
   }
+
+  /** Weight-quantization grid for [[pageRankWeighted]]: 1e-3 —
+    * similarity weights (jaccard, cosine) live in [0, 1]. */
+  val WQuant = 1000L
+
+  /** [[pageRank]] over a WEIGHTED multigraph: each out-edge carries
+    * mass proportional to its weight instead of 1/deg — a strong
+    * near-dup link should pull more rank than a borderline one.
+    * Pinned integer semantics, same determinism argument:
+    *   wq(edge)  = Σ floor(w·WQ + 0.5) over duplicate (src,dst) rows
+    *               (multigraph edges merge by weight sum; wq ≤ 0
+    *               edges are dropped)
+    *   contrib   = (r(u)·wq) div wdeg(u),  wdeg = Σ wq over u's edges
+    *   r'(v)     = (15·Q) div (100·N) + (85·Σ contribs) div 100
+    * With all weights equal, floor(r·wq/(deg·wq)) ≡ floor(r/deg), so
+    * this degenerates EXACTLY to [[pageRank]] (spec-pinned).
+    * Precondition: r·wq must fit a long ⇒ keep quantized weights
+    * under ~10⁹ (similarity weights are ≤ WQuant by construction).
+    * Same relational loop and scale shape as [[pageRank]]. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    require(iters >= 0 && iters <= 100)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        floor(col(weightCol).cast("double") * lit(WQuant.toDouble) +
+          lit(0.5)).cast("long").as("wq"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("wq")).as("wq"))
+      .where(col("wq") > 0L)
+    val e = if (materialize) e0.localCheckpoint(true) else e0
+    val deg = e.groupBy(col("src")).agg(sum(col("wq")).as("wdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted needs a non-empty edge set")
+    val baseQ = (15L * Q) / (100L * n)
+    var ranks = nodes.withColumn("rq", lit(Q / n))
+    var it = 0
+    while (it < iters) {
+      val sums = e.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(rq * wq) div wdeg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseQ) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rq"))
+      it += 1
+    }
+    ranks.select(col("node"), col("rq"),
+      (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))
+  }
 }

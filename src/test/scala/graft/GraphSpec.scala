@@ -72,6 +72,44 @@ class GraphSpec extends SparkSpec {
     assert(got > (15L * Graph.Q) / 100L - 6)
   }
 
+  test("weighted: equal weights degenerate exactly to the unweighted form") {
+    // floor(r·wq / (deg·wq)) ≡ floor(r/deg) for any constant weight
+    for (w <- Seq(0.001, 0.4, 1.0)) {
+      val we = star.withColumn("w", lit(w))
+      val a = Graph.pageRankWeighted(we, "src", "dst", "w", iters = 3)
+        .select($"node", $"rq").as[(Long, Long)].collect().toSet
+      val b = Graph.pageRank(star, "src", "dst", iters = 3)
+        .select($"node", $"rq").as[(Long, Long)].collect().toSet
+      assert(a == b, s"mismatch at w=$w")
+    }
+  }
+
+  test("weighted: the heavier link pulls more rank") {
+    // 0 links to 1 (heavy) and 2 (light); symmetric back-links equal
+    val e = Seq((0L, 1L, 0.9), (0L, 2L, 0.1),
+      (1L, 0L, 0.5), (2L, 0L, 0.5)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(e, "src", "dst", "w", iters = 3)
+      .select($"node", $"rq").as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L), s"heavy target not favored: $got")
+  }
+
+  test("weighted: duplicate directed edges merge by weight sum; " +
+    "non-positive quantized weights drop") {
+    val e1 = Seq((0L, 1L, 0.3), (0L, 1L, 0.3), (1L, 0L, 0.6))
+      .toDF("src", "dst", "w")
+    val e2 = Seq((0L, 1L, 0.6), (1L, 0L, 0.6)).toDF("src", "dst", "w")
+    val a = Graph.pageRankWeighted(e1, "src", "dst", "w", iters = 2)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    val b = Graph.pageRankWeighted(e2, "src", "dst", "w", iters = 2)
+      .select($"node", $"rq").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // an all-zero-weight graph has no nodes at all
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        Seq((0L, 1L, 0.0)).toDF("src", "dst", "w"), "src", "dst", "w", 2)
+    }
+  }
+
   test("duplicate edges count once") {
     val dup = star.union(star)
     val a = Graph.pageRank(dup, "src", "dst", iters = 2)
