@@ -197,6 +197,17 @@ object Round11bQueries {
         .orderBy("p")
     }),
 
+    // ---- X74: hourly volume anomaly z-scores per event type -------
+    "events_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      Funnel.volumeAnomalies(e2, "event_type", "__tsus",
+        bucketUs = 3600000000L)
+        .select(col("event_type"), col("period"), col("n"),
+          round(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy("event_type", "period")
+    }),
+
     // ---- X71: weekly retention cohorts over the event stream ------
     "events_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -408,6 +419,24 @@ object Round11bQueries {
         |FROM (VALUES (50), (90)) t(p) CROSS JOIN cc
         |JOIN sr ON sr.rn = least(CAST(round(p / 100.0 * (n - 1)) AS BIGINT), n - 1)
         |ORDER BY p""".stripMargin, extraCte = true),
+
+    "events_anomaly" ->
+      """WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS period,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(n*n) AS BIGINT) AS DOUBLE) AS ss
+        |  FROM cnt GROUP BY event_type),
+        |zz AS (SELECT cnt.event_type, cnt.period, cnt.n,
+        |    CASE WHEN sqrt(greatest(st.ss/st.m - (st.s/st.m)*(st.s/st.m), 0.0)) > 0.0
+        |      THEN (CAST(cnt.n AS DOUBLE) - st.s/st.m)
+        |        / sqrt(greatest(st.ss/st.m - (st.s/st.m)*(st.s/st.m), 0.0))
+        |      ELSE 0.0 END AS z
+        |  FROM cnt JOIN st USING (event_type))
+        |SELECT event_type, period, n, round(z, 4) AS z,
+        |  abs(z) > 3.0 AS is_anomaly
+        |FROM zz ORDER BY event_type, period""".stripMargin,
 
     "events_reach" -> funnelSql(
       """SELECT CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_step1,

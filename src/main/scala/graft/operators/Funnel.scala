@@ -69,6 +69,48 @@ object Funnel {
     stagesDf.agg(exprs.head, exprs.tail: _*)
   }
 
+  /** Volume anomaly detection: per-group (event type, source, …)
+    * z-score of the per-period event count against that group's own
+    * history — the ops-monitoring signal (an error-rate spike, a
+    * crawler gone quiet) on the same surface as sessionization and
+    * funnels. The z-statistics are computed from EXACT integer sums
+    * (counts are longs; Σc and Σc² ride decimal(38,0)), so the same
+    * engine-replay guarantee as the cluster outlier scores (X65)
+    * holds — no FP reduction order anywhere.
+    *
+    * Scale shape: ONE aggregate to (group, period) counts (map-side
+    * partials, cardinality |groups|·|periods|), ONE |groups|-row
+    * stats aggregate broadcast back, z assigned map-side. Empty
+    * periods are NOT imputed (a silent group is measured by the
+    * periods it does have — document the caveat; imputing zeros needs
+    * a period grid like snapshotDrift's bin grid).
+    *
+    * Pinned: z of a zero-variance group is 0; `is_anomaly` compares
+    * the RAW z against the threshold (identical doubles in every
+    * engine). */
+  def volumeAnomalies(events: DataFrame, groupCol: String, tsCol: String,
+                      bucketUs: Long, zThreshold: Double = 3.0): DataFrame = {
+    require(bucketUs > 0)
+    val counts = events.select(col(groupCol).as("__g"),
+        expr(s"CAST($tsCol AS BIGINT) div $bucketUs").as("__wk"))
+      .groupBy(col("__g"), col("__wk"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col("__g")).agg(
+      count(lit(1)).as("__m"),
+      sum(col("n").cast("decimal(38,0)")).as("__s"),
+      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__ss"))
+    val mean = col("__s").cast("double") / col("__m").cast("double")
+    val variance =
+      col("__ss").cast("double") / col("__m").cast("double") - mean * mean
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val z = when(sd > 0.0, (col("n").cast("double") - mean) / sd)
+      .otherwise(lit(0.0))
+    counts.join(broadcast(stats), "__g")
+      .select(col("__g").as(groupCol), col("__wk").as("period"),
+        col("n"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > lit(zThreshold))
+  }
+
   /** Retention cohorts: users bucketed by their FIRST activity period
     * (integer `div` of the epoch timestamp — no calendar/locale
     * exposure), counted in every later period they appear in. The

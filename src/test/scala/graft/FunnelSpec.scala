@@ -69,6 +69,29 @@ class FunnelSpec extends SparkSpec {
       (3L, 0L) -> 1L))                                // user 3
   }
 
+  test("volumeAnomalies (X74): spike flagged, steady groups quiet, " +
+    "zero-variance pins z=0") {
+    // type A: 25 steady periods of 10 events + one 100-event spike —
+    // a single outlier's z is bounded by √(m−1) over m periods (it IS
+    // exactly 3.0 at m=10 no matter how big the spike, which a strict
+    // >3.0 threshold can never flag), so the fixture needs m=26;
+    // type B: perfectly constant → sd=0 → z=0 everywhere
+    val rows =
+      (0 until 25).flatMap(p => Seq.fill(10)(("A", p * 10L + 1L))) ++
+        Seq.fill(100)(("A", 255L)) ++
+        (0 until 5).flatMap(p => Seq.fill(7)(("B", p * 10L + 2L)))
+    val got = Funnel.volumeAnomalies(rows.toDF("event_type", "ts"),
+      "event_type", "ts", bucketUs = 10L)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    val a = got.filter(_._1 == "A")
+    assert(a.length == 26)
+    val spike = a.find(_._2 == 25L).get
+    assert(spike._3 == 100L && spike._5, s"spike not flagged: $spike")
+    assert(a.filter(_._2 != 25L).forall(!_._5))
+    val b = got.filter(_._1 == "B")
+    assert(b.forall(r => r._4 == 0.0 && !r._5))
+  }
+
   test("reach counts users at or past each stage") {
     val st = Funnel.stages(Seq(
       (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
