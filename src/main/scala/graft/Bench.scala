@@ -48,7 +48,8 @@ object Bench {
     "events_in_windows", "snapshot_drift", "graph_pagerank",
     "cluster_diverse", "events_funnel", "events_retention",
     "cluster_topics", "events_reach", "events_conversion",
-    "graph_pagerank_weighted", "events_anomaly")
+    "graph_pagerank_weighted", "events_anomaly",
+    "source_concentration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

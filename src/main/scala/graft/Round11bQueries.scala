@@ -216,6 +216,15 @@ object Round11bQueries {
         .orderBy("cohort", "week_offset")
     }),
 
+    // ---- X75: per-language source concentration (HHI) -------------
+    "source_concentration" -> ((s, dir) =>
+      graft.operators.CorpusStats.sourceConcentration(
+        t(s, dir, "documents"), "lang", "source")
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(col("hhi"), 4).as("hhi"),
+          round(col("eff_sources"), 4).as("eff_sources"))
+        .orderBy("lang")),
+
     // ---- X67: per-language PSI drift between the %3 and %5 corpus
     // snapshots over fixed 256-char length bins -----------------------
     "snapshot_drift" -> ((s, dir) => {
@@ -419,6 +428,18 @@ object Round11bQueries {
         |FROM (VALUES (50), (90)) t(p) CROSS JOIN cc
         |JOIN sr ON sr.rn = least(CAST(round(p / 100.0 * (n - 1)) AS BIGINT), n - 1)
         |ORDER BY p""".stripMargin, extraCte = true),
+
+    "source_concentration" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY lang, source),
+        |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n AS n_docs, n_sources,
+        |  round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS hhi,
+        |  round(1.0 / (CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 4) AS eff_sources
+        |FROM g ORDER BY lang""".stripMargin,
 
     "events_anomaly" ->
       """WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS period,

@@ -470,4 +470,33 @@ object CorpusStats {
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novel_frac"))
   }
+
+  /** Source-concentration index per group (Herfindahl–Hirschman):
+    * HHI = Σ_s (n_s/N)² over the share each key (source/domain) holds
+    * of the group — the data-mix diversity alarm (HHI → 1 means one
+    * crawler dominates a language; the monitoring twin of the X55
+    * quota cap, which ENFORCES what this MEASURES). `eff_sources` =
+    * 1/HHI is the effective source count.
+    *
+    * Arithmetic is engine-exact with no reduction-order exposure:
+    * HHI = (Σ n_s²) / N² — both sums are exact integers (decimal(38)
+    * against n_s² overflow), and the single double division of exact
+    * operands is deterministic (the X65/X74 stats rule). Two
+    * aggregates with map-side partials — (group, key) counts, then a
+    * |groups|-row rollup; no windows, nothing driver-side. */
+  def sourceConcentration(df: DataFrame, groupCol: String,
+                          keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val hhi = col("__ss").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    counts.groupBy(col("__g"))
+      .agg(sum(col("__c").cast("decimal(38,0)")).as("__n"),
+        count(lit(1)).as("n_sources"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__ss"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n_docs"),
+        col("n_sources"), hhi.as("hhi"),
+        (lit(1.0) / hhi).as("eff_sources"))
+  }
 }

@@ -364,4 +364,23 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((1L, 2L, 3L))) // one component {1,2,3}, keeper 2
   }
+
+  test("sourceConcentration (X75): uniform mix scores 1/k, monopoly 1.0, " +
+    "nulls dropped") {
+    import graft.operators.CorpusStats
+    val docs = (
+      // en: 4 sources x 5 docs each (uniform) + one null-source row
+      (0 until 20).map(i => (i.toLong, "en", s"s${i % 4}")) ++
+        Seq((99L, "en", null.asInstanceOf[String])) ++
+        // fr: single source
+        (0 until 7).map(i => (100L + i, "fr", "only"))
+      ).toDF("doc_id", "lang", "source")
+    val got = CorpusStats.sourceConcentration(docs, "lang", "source")
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("hhi"),
+        col("eff_sources"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 20L, 4L, 0.25, 4.0))) // exact: ints/divide
+    assert(got("fr") == (("fr", 7L, 1L, 1.0, 1.0)))
+  }
 }
