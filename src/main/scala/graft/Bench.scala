@@ -134,7 +134,24 @@ object Bench {
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"raw":$raw,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
+    // The driver captures a 2000-char TAIL of stdout and json-parses
+    // the last line; r11's 103-query compact line outgrew that window
+    // and the round artifact recorded parsed:null (VERDICT r11 item 3).
+    // The final line must therefore stay under the window no matter
+    // how many queries the suite grows to: keep the per-query mins for
+    // as many of the SLOWEST queries as fit a fixed byte budget (the
+    // informative ones), count the elided rest, and point at
+    // bench.json (committed, always complete) for full detail.
+    val lineBudget = 1600
+    val entries = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val keptB = Seq.newBuilder[String]
+    var sz = 250 // fixed head + tail allowance
+    entries.foreach { e =>
+      if (sz + e.length + 1 <= lineBudget) { keptB += e; sz += e.length + 1 }
+    }
+    val kept = keptB.result()
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":${entries.size - kept.size},"queries_full":"bench.json","n_queries":${names.size},"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min"}"""
     println(compact)
     spark.stop()
   }

@@ -16,6 +16,40 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object Dedup {
 
+  /** Scale-safe stop-frequency cap over exploded postings: drop every
+    * row whose `keyCol` occurs more than `cap` times; with
+    * `minFreq = 2` additionally drop keys occurring once (pair
+    * candidate stages — a freq-1 key cannot produce a cross-doc
+    * pair). Replaces the r11 `count(1) over Window.partitionBy(key)`
+    * form, which materialized a hot key's ENTIRE posting list on one
+    * task (a mega-viral shingle in a 100 TB corpus has postings
+    * proportional to corpus size — the X49/ppl_buckets straggler
+    * shape). Here nothing key-skewed ever lands on one task:
+    *  - the postings are lazily localCheckpointed so the upstream
+    *    tokenize→shingle→explode pipeline evaluates ONCE across the
+    *    count aggregate and the filtered output (the spanDedup hub
+    *    rule — this is what makes agg+join no slower than the window);
+    *  - `groupBy(key).count()` collapses the hot key MAP-SIDE (partial
+    *    aggregation — each task emits one partial row per key);
+    *  - the over-cap set is tiny by construction (≤ |postings|/cap
+    *    keys can exceed cap) → broadcast `left_anti`, map-only;
+    *  - the optional minFreq semi-join runs AFTER de-hotting, so every
+    *    surviving key has ≤ cap rows — bounded fan-in, skew-free; its
+    *    build side is ≤ 1 row per key.
+    */
+  private[operators] def capPostings(postings: DataFrame, keyCol: String,
+                                     cap: Long, minFreq: Long = 1): DataFrame = {
+    val ck = postings.localCheckpoint(false)
+    val counts = ck.groupBy(col(keyCol)).agg(count(lit(1)).as("__f"))
+    val deHot = ck.join(
+      broadcast(counts.where(col("__f") > cap).select(col(keyCol))),
+      Seq(keyCol), "left_anti")
+    if (minFreq <= 1) deHot
+    else deHot.join(
+      counts.where(col("__f") <= cap && col("__f") >= minFreq).select(col(keyCol)),
+      Seq(keyCol), "left_semi")
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the canonical (minimum) doc id and the group size.
     * Shuffle key = md5 — uniformly distributed, skew-free.
@@ -58,20 +92,15 @@ object Dedup {
                          n: Int, maxShingleFreq: Long): DataFrame = {
     // Set size rides along with every exploded shingle row, so no
     // join-back to a separate per-doc sizes table is needed. The
-    // shingle frequency is a COUNT WINDOW over partition-by-shingle,
-    // not an aggregate + semi-join: the window reuses the hash(sh)
-    // exchange the self-join needs anyway, so the whole tokenize→
-    // shingle→explode pipeline is evaluated ONCE (the agg+join form
-    // evaluates it three times — measured 1.8× slower at sf0.1).
-    // Skew: a hot shingle puts O(f) tiny rows in one window group —
-    // linear, and the stop-shingle cap still keeps it out of the
-    // quadratic candidate join, which is the explosion that matters.
+    // stop-frequency cap is [[capPostings]] (groupBy-count → broadcast
+    // over-cap anti-join), NEVER a count window partitioned by the
+    // shingle hash: a mega-viral shingle's posting list is corpus-
+    // proportional and a window partition materializes all of it on
+    // one task (the r11 weak). minFreq = 2 prunes the freq-1 majority
+    // before the candidate self-join (they can produce no pairs).
     val sh = shingleSets(docs, idCol, textCol, n)
       .select(col("doc"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val shF = sh.withColumn("__f", count(lit(1)).over(w))
-      .where(col("__f") <= maxShingleFreq && col("__f") >= 2)
-      .drop("__f")
+    val shF = capPostings(sh, "sh", maxShingleFreq, minFreq = 2)
     shF.as("a").join(shF.as("b"), "sh")
       .where(col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("a.sz").as("sz_a"),
@@ -187,7 +216,7 @@ object Dedup {
 
   /** Candidate near-dup pairs over the winnowed fingerprint sets:
     * docs sharing ≥ `minShared` DISTINCT selected k-gram hashes. The
-    * same inverted-index equi-join as [[jaccardPairs]] (count-window
+    * same inverted-index equi-join as [[jaccardPairs]] ([[capPostings]]
     * stop cap bounding hot-fingerprint fan-out) but over the 2/(w+1)-
     * density selected set instead of every shingle. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -196,10 +225,7 @@ object Dedup {
     val sel = winnowSelected(docs, idCol, textCol, kGram, window)
       .select(col("doc"), explode(array_distinct(transform(
         col("__selkeys"), k => shiftright(k, WinnowPosBits)))).as("fp"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val f = sel.withColumn("__f", count(lit(1)).over(w))
-      .where(col("__f") <= maxFpFreq && col("__f") >= 2)
-      .drop("__f")
+    val f = capPostings(sel, "fp", maxFpFreq, minFreq = 2)
     f.as("a").join(f.as("b"), "fp")
       .where(col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -261,15 +287,12 @@ object Dedup {
       .select(col("doc").as("doc_corpus"), size(col("shs")).as("sz_c"),
         explode(col("shs")).as("sh"))
 
-  /** The stop-shingle cap as a read-time view over the raw postings
-    * (the count window reuses the hash(sh) exchange downstream joins
-    * need anyway — the jaccardPairs rationale). */
-  def capShingleIndex(raw: DataFrame, maxShingleFreq: Long = 1000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    raw.withColumn("__f", count(lit(1)).over(w))
-      .where(col("__f") <= maxShingleFreq)
-      .drop("__f")
-  }
+  /** The stop-shingle cap as a read-time view over the raw postings —
+    * [[capPostings]] with minFreq = 1 (freq-1 postings stay in: the
+    * index serves batch-vs-corpus probes, where a batch doc can hit
+    * a corpus shingle that is unique corpus-side). */
+  def capShingleIndex(raw: DataFrame, maxShingleFreq: Long = 1000): DataFrame =
+    capPostings(raw, "sh", maxShingleFreq)
 
   /** Incremental maintenance of the raw postings (X63): drop every
     * posting of `staleIds` (removed + changed docs — exactly
@@ -998,7 +1021,8 @@ object Dedup {
     *    equi-join;
     *  - interval merge + token filtering are per-doc array HOFs
     *    (state bounded by document length, the doc_pack class —
-    *    O(tokens·covered) per doc, never corpus-wide).
+    *    O(tokens·log covered) per doc via binary-searched coverage
+    *    membership, never corpus-wide).
     *
     * Output, one row per input doc: (idCol, n_dup_spans — duplicated
     * windows removed from THIS doc, n_tokens, n_removed — tokens cut,
@@ -1039,10 +1063,15 @@ object Dedup {
     val cov = dups.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_dup_spans"),
         array_sort(array_distinct(flatten(collect_list(
-          sequence(col("pos"), col("pos") + spanTokens - 1))))).as("__cov"))
-    val covSafe = coalesce(col("__cov"), array().cast("array<int>"))
+          sequence(col("pos").cast("long"),
+            (col("pos") + spanTokens - 1).cast("long")))))).as("__cov"))
+    val covSafe = coalesce(col("__cov"), array().cast("array<bigint>"))
+    // __cov is sorted — binary-search membership (O(T log C) per doc;
+    // array_contains made a fully-duplicated 50k-token doc ~2.5e9
+    // comparisons in ONE row, the r11 nit)
     val marked = transform(col("__toks"),
-      (t, i) => when(array_contains(covSafe, i), lit(null)).otherwise(t))
+      (t, i) => when(graft.functions.SortedLookup.containsSortedLong(
+        covSafe, i.cast("long")), lit(null)).otherwise(t))
     staged.join(cov, Seq("doc"), "left")
       .select(col("doc").as(idCol),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
