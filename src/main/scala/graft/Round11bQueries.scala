@@ -117,7 +117,12 @@ object Round11bQueries {
         bucketUs = 60L * 1000000L)
         .groupBy(col("ivl_win_id").as("win_id"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum(col("value")), 4).as("sum_value"))
+          // quantize-then-sum (the skew_salted_agg rule, ADVICE r11):
+          // a raw double sum's low digits are partial-order sensitive,
+          // so its 1e-4 rounding can flip at a boundary between
+          // engines; LONG sums are reduction-order-free
+          (sum(round(col("value") * 10000).cast("long")) / 10000.0)
+            .as("sum_value"))
         .orderBy("win_id")
     }),
 
@@ -300,7 +305,7 @@ object Round11bQueries {
          |  FROM edges e JOIN deg ON e.src = deg.src
          |  JOIN r$p ON r$p.node = e.src GROUP BY e.dst),
          |r$r AS (SELECT nodes.node,
-         |    CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         |    CAST((15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.n)
          |      + (85 * coalesce(c$r.s, 0)) // 100 AS BIGINT) AS rq
          |  FROM nodes CROSS JOIN nn
          |  LEFT JOIN c$r ON c$r.node = nodes.node),""".stripMargin
@@ -311,12 +316,12 @@ object Round11bQueries {
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS rq
+       |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rq
        |  FROM nodes CROSS JOIN nn),
        |${(1 to 3).map(iter).mkString("\n")}
        |fin AS (SELECT node, rq FROM r3)
        |SELECT node AS doc_id, rq,
-       |  round(CAST(rq AS DOUBLE) / 1000000000.0, 6) AS rank
+       |  round(CAST(rq AS DOUBLE) / 1000000000000.0, 6) AS rank
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
@@ -379,7 +384,7 @@ object Round11bQueries {
          |  FROM em JOIN deg ON em.src = deg.src
          |  JOIN r$p ON r$p.node = em.src GROUP BY em.dst),
          |r$r AS (SELECT nodes.node,
-         |    CAST((15 * CAST(1000000000 AS BIGINT)) // (100 * nn.n)
+         |    CAST((15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.n)
          |      + (85 * coalesce(c$r.s, 0)) // 100 AS BIGINT) AS rq
          |  FROM nodes CROSS JOIN nn
          |  LEFT JOIN c$r ON c$r.node = nodes.node),""".stripMargin
@@ -395,12 +400,12 @@ object Round11bQueries {
        |deg AS (SELECT src, CAST(sum(wq) AS BIGINT) AS d FROM em GROUP BY src),
        |nodes AS (SELECT src AS node FROM em UNION SELECT dst FROM em),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       |r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS rq
+       |r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rq
        |  FROM nodes CROSS JOIN nn),
        |${(1 to 3).map(iter).mkString("\n")}
        |fin AS (SELECT node, rq FROM r3)
        |SELECT node AS doc_id, rq,
-       |  round(CAST(rq AS DOUBLE) / 1000000000.0, 6) AS rank
+       |  round(CAST(rq AS DOUBLE) / 1000000000000.0, 6) AS rank
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
@@ -509,18 +514,18 @@ object Round11bQueries {
         |  FROM events WHERE event_type = 'error' AND event_id % 97 = 0),
         |p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
         |SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_purchases,
-        |  round(sum(p.value), 4) AS sum_value
+        |  sum(CAST(round(p.value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         |FROM w JOIN p ON p.ts >= w.ws AND p.ts <= w.we
         |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
 
     "snapshot_drift" ->
       """WITH o AS (SELECT lang AS g,
-        |    CAST(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0) AS INT) AS b,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
         |  GROUP BY 1, 2),
         |n AS (SELECT lang AS g,
-        |    CAST(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0) AS INT) AS b,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
         |  GROUP BY 1, 2),

@@ -263,7 +263,11 @@ object Clustering {
     val stats = scored.groupBy(col("cluster")).agg(
       count(lit(1)).as("__n"),
       sum(col("__dq").cast("decimal(38,0)")).as("__s"),
-      sum((col("__dq") * col("__dq")).cast("decimal(38,0)")).as("__ss"))
+      // cast EACH OPERAND before the multiply: long·long wraps silently
+      // in non-ANSI mode once dq > ~3.03e9 (ADVICE r11) — the decimal
+      // cast must happen before the product, not after
+      sum(col("__dq").cast("decimal(19,0)") *
+        col("__dq").cast("decimal(19,0)")).as("__ss"))
     val m = col("__s").cast("double") / col("__n").cast("double")
     val variance = col("__ss").cast("double") / col("__n").cast("double") - m * m
     val sd = sqrt(greatest(variance, lit(0.0)))

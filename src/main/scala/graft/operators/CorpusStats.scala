@@ -494,7 +494,11 @@ object CorpusStats {
     counts.groupBy(col("__g"))
       .agg(sum(col("__c").cast("decimal(38,0)")).as("__n"),
         count(lit(1)).as("n_sources"),
-        sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__ss"))
+        // operand-wise decimal cast: long·long wraps silently in
+        // non-ANSI mode once c > ~3e9 docs per (group, source) —
+        // realistic at 100 TB (ADVICE r11)
+        sum(col("__c").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).as("__ss"))
       .select(col("__g").as(groupCol), col("__n").cast("long").as("n_docs"),
         col("n_sources"), hhi.as("hhi"),
         (lit(1.0) / hhi).as("eff_sources"))

@@ -98,7 +98,10 @@ object Funnel {
     val stats = counts.groupBy(col("__g")).agg(
       count(lit(1)).as("__m"),
       sum(col("n").cast("decimal(38,0)")).as("__s"),
-      sum((col("n") * col("n")).cast("decimal(38,0)")).as("__ss"))
+      // operand-wise decimal cast: long·long wraps silently in
+      // non-ANSI mode once n > ~3e9 events per bucket (ADVICE r11)
+      sum(col("n").cast("decimal(19,0)") *
+        col("n").cast("decimal(19,0)")).as("__ss"))
     val mean = col("__s").cast("double") / col("__m").cast("double")
     val variance =
       col("__ss").cast("double") / col("__m").cast("double") - mean * mean

@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   * ranks within and across clusters. [EXT] — the reference has no
   * graph surface at all.
   *
-  * Every quantity is a LONG on a fixed-point grid (Q = 10⁹), and every
-  * operation is integer +, ·, and floor-division:
+  * Every quantity is a LONG on a fixed-point grid (Q = 10¹²), and
+  * every operation is integer +, ·, and floor-division:
   *   r₀ = Q div N
   *   r'(v) = (15·Q) div (100·N)  +  (85 · Σ_{u→v} (r(u) div deg(u))) div 100
   * Integer sums are reduction-order-free, so the result is
   * bit-identical across engines, partitionings, and re-runs — same
   * trick family as the fixed-point k-means centroids (X65). The
-  * sub-ulp mass the floor-divisions shed (≤ deg·1e-9 per node per
+  * sub-ulp mass the floor-divisions shed (≤ deg/Q per node per
   * iteration) is noise for RANKING, which is the point of the
   * operator; α = 0.85 is pinned as the rational 85/100.
   *
@@ -38,7 +38,25 @@ import org.apache.spark.sql.functions._
   * count), never the rank vector.
   */
 object Graph {
-  val Q = 1000000000L // 1e-9 fixed-point rank grid
+  val Q = 1000000000000L // 1e-12 fixed-point rank grid
+
+  /** Node-count ceiling (ADVICE r11): beyond this, the integer grid
+    * goes too coarse — baseQ = (15·Q)/(100·n) floors toward 0 and the
+    * documented invariant "a node with no in-edges keeps the teleport
+    * term" quietly degrades, so refuse loudly instead (the MaxK-style
+    * limit rule). At the cap, baseQ = 150 and the initial rank is
+    * 1000 grid units — still ~1e-3 relative precision. */
+  val MaxNodes: Long = Q / 1000L
+
+  /** Checkpoint the rank table every this many iterations (VERDICT
+    * r11 nit 4): each iteration nests one join-chain into the rank
+    * lineage, so at the permitted iters = 100 the un-checkpointed plan
+    * grows quadratically in analysis/optimization time (and the whole
+    * chain replays on a task retry). Integer ranks are bit-exact, so
+    * truncating the lineage cannot change results. Short loops (the
+    * pinned iters ≤ 3 of the bench queries) never hit this and pay no
+    * extra action. */
+  val CheckpointEvery = 5
 
   /** @param materialize eagerly localCheckpoint the deduped edge list
     *   before the loop (default). The edge table is consumed iters+2
@@ -63,6 +81,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
+    require(n <= MaxNodes,
+      s"pageRank: $n nodes exceeds MaxNodes=$MaxNodes — the fixed-point grid " +
+        "goes too coarse (teleport term floors toward 0); raise Graph.Q")
     val baseQ = (15L * Q) / (100L * n)
     var ranks = nodes.withColumn("rq", lit(Q / n))
     var it = 0
@@ -75,6 +96,8 @@ object Graph {
         .select(col("node"),
           (lit(baseQ) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rq"))
       it += 1
+      if (it % CheckpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("rq"),
       (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))
@@ -95,8 +118,10 @@ object Graph {
     *   r'(v)     = (15·Q) div (100·N) + (85·Σ contribs) div 100
     * With all weights equal, floor(r·wq/(deg·wq)) ≡ floor(r/deg), so
     * this degenerates EXACTLY to [[pageRank]] (spec-pinned).
-    * Precondition: r·wq must fit a long ⇒ keep quantized weights
-    * under ~10⁹ (similarity weights are ≤ WQuant by construction).
+    * Precondition: r·wq must fit a long ⇒ keep merged quantized
+    * weights under ~9·10⁶ at Q = 10¹² (similarity weights are ≤ WQuant
+    * per edge by construction, so this allows ~9000-fold multigraph
+    * duplication of a (src, dst) pair).
     * Same relational loop and scale shape as [[pageRank]]. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int = 3,
@@ -114,6 +139,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
     require(n > 0, "pageRankWeighted needs a non-empty edge set")
+    require(n <= MaxNodes,
+      s"pageRankWeighted: $n nodes exceeds MaxNodes=$MaxNodes — the fixed-point " +
+        "grid goes too coarse (teleport term floors toward 0); raise Graph.Q")
     val baseQ = (15L * Q) / (100L * n)
     var ranks = nodes.withColumn("rq", lit(Q / n))
     var it = 0
@@ -126,6 +154,8 @@ object Graph {
         .select(col("node"),
           (lit(baseQ) + expr("(85 * coalesce(__s, 0L)) div 100")).as("rq"))
       it += 1
+      if (it % CheckpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("rq"),
       (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))

@@ -46,7 +46,10 @@ object IntervalJoin {
                       bucketUs: Long = 3600L * 1000000L,
                       maxBuckets: Int = 10000): DataFrame = {
     require(bucketUs > 0 && maxBuckets > 0)
-    val reserved = Set("__b", "__bs", "__be", "__i")
+    // exactly the internal columns the implementation injects (__s/__e
+    // carry the interval bounds into the joined frame — ADVICE r11: the
+    // old set guarded __i, which is never used, and missed these two)
+    val reserved = Set("__b", "__bs", "__be", "__s", "__e")
     val clash = (points.columns ++ intervals.columns).filter(reserved).distinct
     require(clash.isEmpty,
       s"pointInInterval inputs must not use reserved column(s): ${clash.mkString(", ")}")

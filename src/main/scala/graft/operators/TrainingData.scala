@@ -373,8 +373,14 @@ object TrainingData {
     def binned(df: DataFrame): DataFrame =
       df.where(col(valueCol).isNotNull)
         .select(col(groupCol).as("__g"),
-          least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
-            lit((nBins - 1).toDouble)).cast("int").as("__b"))
+          // clamp BOTH ends (ADVICE r11): a negative value would land
+          // outside the 0..nBins-1 grid — counted into the totals but
+          // contributing no PSI term, silently deflating the statistic
+          // for signed value columns
+          greatest(
+            least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
+              lit((nBins - 1).toDouble)),
+            lit(0.0)).cast("int").as("__b"))
         .groupBy(col("__g"), col("__b"))
         .agg(count(lit(1)).as("__c"))
     val o = binned(oldDocs)
