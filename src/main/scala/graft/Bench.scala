@@ -43,7 +43,7 @@ object Bench {
     "domain_cap", "span_dedup",
     "source_kl", "ngram_novelty", "token_entropy", "containment_pairs",
     "snapshot_diff", "doc_winnow", "winnow_pairs", "index_update_pairs",
-    "doc_keywords",
+    "doc_keywords", "doc_keywords_served",
     "cluster_assign", "cluster_coreset", "cluster_outliers",
     "events_in_windows", "snapshot_drift", "graph_pagerank",
     "cluster_diverse", "events_funnel", "events_retention",

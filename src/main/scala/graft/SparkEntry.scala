@@ -133,7 +133,7 @@ object SparkEntry {
     * index) per sf dir — doc_similar serves the candidate join from
     * this table, never re-tokenizing the corpus per query (the
     * compaction-cadence pattern shared with the ANN/shingle indexes). */
-  private def postingsFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def postingsFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val path = s"/tmp/graft_postings/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     val post = shingleCache.computeIfAbsent((s, s"$path/postings"), { _ =>
       if (!successExists(s, s"$path/postings")) {
@@ -298,7 +298,7 @@ object SparkEntry {
     baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
       Round10Queries.queries ++ Round11Queries.queries ++
-      Round11bQueries.queries
+      Round11bQueries.queries ++ Round12Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -1793,6 +1793,6 @@ object SparkEntry {
     ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
       Round8Queries.oracleSql ++ Round8bQueries.oracleSql ++
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
-      Round11bQueries.oracleSql
+      Round11bQueries.oracleSql ++ Round12Queries.oracleSql
   }
 }

