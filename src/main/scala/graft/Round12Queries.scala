@@ -25,11 +25,92 @@ object Round12Queries {
       Lexical.docKeywordsServed(SparkEntry.postingsFor(s, dir)._1, k = 5)
         .select(col("doc").as("doc_id"), col("rank"), col("keyword"), col("w"))
         .orderBy("doc_id", "rank")),
+
+    // ---- X76: Heaps'-law vocabulary growth — is more crawl still
+    // buying vocabulary. All-integer outputs; the only window runs on
+    // the bounded ≤ maxBuckets-row bucket table --------------------
+    "vocab_growth" -> ((s, dir) =>
+      CorpusStats.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 500L)
+        .orderBy("bucket")),
+
+    // ---- X80: per-source top-5 trigrams — which boilerplate each
+    // provenance contributes; bounded TopKStrAgg, never a rank window
+    // over the Zipf-skewed source key --------------------------------
+    "source_top_ngrams" -> ((s, dir) =>
+      CorpusStats.sourceTopNgrams(t(s, dir, "documents"), "source", "text",
+        n = 3, k = 5)
+        .orderBy("source", "rank")),
+
+    // ---- X77: bigram PMI collocations — multi-word-expression mining
+    // (candidate tokenizer merges); exact-integer counts, fixed-order
+    // three-log double, raw-pmi selection ----------------------------
+    "bigram_pmi" -> ((s, dir) =>
+      CorpusStats.bigramPmi(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 50)
+        .orderBy(col("pmi").desc, col("ta"), col("tb"))),
   )
 
   def oracleSql: Map[String, String] = Map(
     // the oracle REBUILDS from raw text — identical to doc_keywords'
     // twin, which is the point: served ≡ inline ≡ oracle
     "doc_keywords_served" -> Round11Queries.oracleSql("doc_keywords"),
+
+    "vocab_growth" ->
+      s"""WITH tok AS (SELECT least(doc_id // 500, 1023) AS b,
+         |    ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
+         |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM tok GROUP BY b),
+         |fs AS (SELECT t, min(b) AS b
+         |  FROM (SELECT b, unnest(tk) AS t FROM tok) GROUP BY t),
+         |nt AS (SELECT b, CAST(count(*) AS BIGINT) AS new_types
+         |  FROM fs GROUP BY b)
+         |SELECT pb.b AS bucket, n_docs, n_tokens,
+         |  COALESCE(new_types, 0) AS new_types,
+         |  CAST(sum(COALESCE(new_types, 0))
+         |    OVER (ORDER BY pb.b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS vocab_size,
+         |  CAST(sum(n_tokens)
+         |    OVER (ORDER BY pb.b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS tokens_cum
+         |FROM pb LEFT JOIN nt ON pb.b = nt.b ORDER BY bucket""".stripMargin,
+
+    "source_top_ngrams" ->
+      s"""WITH tk AS (SELECT source, ${SparkEntry.sqlTokens("text")} AS tk
+         |  FROM documents),
+         |ng AS (SELECT source,
+         |    unnest(list_transform(range(0, greatest(len(tk) - 2, 0)),
+         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS ngram
+         |  FROM tk),
+         |c AS (SELECT source, ngram, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ng GROUP BY source, ngram),
+         |r AS (SELECT source, ngram, cnt,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, ngram ASC) AS rank
+         |  FROM c)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, ngram, cnt
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // same op order as the operator: ln(c_ab/Nb) − ln(c_a/N₁) −
+    // ln(c_b/N₁), raw-pmi selection, 1e-4 rounding in OUTPUT only
+    "bigram_pmi" ->
+      s"""WITH tok AS (SELECT ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t),
+         |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+         |bi0 AS (SELECT unnest(list_transform(range(0, greatest(len(tk) - 1, 0)),
+         |    i -> struct_pack(ta := tk[i+1], tb := tk[i+2]))) AS p FROM tok),
+         |bi AS (SELECT p.ta AS ta, p.tb AS tb, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM bi0 GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bi),
+         |s AS (SELECT ta, tb, c_ab,
+         |    ln(CAST(c_ab AS DOUBLE) / CAST(nb AS DOUBLE))
+         |      - ln(CAST(ua.c AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |      - ln(CAST(ub.c AS DOUBLE) / CAST(n1 AS DOUBLE)) AS pmi_raw
+         |  FROM bi JOIN uni ua ON bi.ta = ua.t JOIN uni ub ON bi.tb = ub.t
+         |  CROSS JOIN n1 CROSS JOIN nb
+         |  WHERE c_ab >= 5)
+         |SELECT ta, tb, c_ab, round(pmi_raw, 4) AS pmi
+         |FROM s ORDER BY pmi_raw DESC, ta, tb LIMIT 50""".stripMargin,
   )
 }

@@ -503,4 +503,131 @@ object CorpusStats {
         col("n_sources"), hhi.as("hhi"),
         (lit(1.0) / hhi).as("eff_sources"))
   }
+
+  /** Heaps'-law vocabulary growth curve (X76): vocabulary size and
+    * token totals at doc-id checkpoints — how fast the corpus is still
+    * discovering new types, the standard "is more crawl still buying
+    * vocabulary" signal (Heaps 1978: V(n) ≈ K·nᵝ).
+    *
+    * Buckets are a deterministic doc-id grid: bucket = min(doc_id div
+    * bucketWidth, maxBuckets−1) (the snapshotDrift clamp rule). A
+    * token's FIRST bucket is min(bucket) over its occurrences — the
+    * groupBy collapses hot tokens map-side ("the" contributes one
+    * partial row per task, never a posting list on one reducer). The
+    * cumulative fold runs on the ≤ maxBuckets-row result — the ONLY
+    * window in the pipeline is over that bounded table (enforced by
+    * the maxBuckets require, the MaxK-style limit rule), never over
+    * corpus-scale data.
+    *
+    * Output per non-empty bucket: (bucket, n_docs, n_tokens,
+    * new_types, vocab_size = cumulative new_types, tokens_cum) —
+    * all exact integers. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  bucketWidth: Long, maxBuckets: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBuckets > 1 && maxBuckets <= 65536,
+      s"maxBuckets=$maxBuckets outside (1, 65536]: the cumulative fold " +
+        "materializes one row per bucket")
+    val bucket = least(col("__doc") / bucketWidth,
+      lit((maxBuckets - 1).toLong)).cast("long")
+    val tok = docs.select(col(idCol).cast("long").as("__doc"),
+        TF.tokens(col(textCol)).as("__tk"))
+      .select(bucket.as("__b"), size(col("__tk")).cast("long").as("__nt"),
+        col("__tk"))
+    val perBucket = tok.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val firstSeen = tok
+      .select(col("__b"), explode(col("__tk")).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(firstSeen, Seq("__b"), "left")
+      .select(col("__b"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_size", sum(col("new_types")).over(w))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumnRenamed("__b", "bucket")
+  }
+
+  /** Per-source top-k n-grams (X80): the grouped form of [[topNgrams]]
+    * — which templates/boilerplate each SOURCE contributes, the
+    * per-provenance inspection view. Ranking is the bounded
+    * [[TopKStrAgg]] (k-row buffer, map-side partials), never a rank
+    * window — |sources| is low-cardinality and Zipf-skewed, exactly
+    * the key shape where a window partition swallows a corpus-sized
+    * term table (the r10 ppl_buckets lesson). Tie rule: count DESC,
+    * ngram ASC (the ScoredStr order over the negated count — exact:
+    * counts below 2⁵³ are exact doubles).
+    *
+    * Output: (sourceCol, rank 1..k, ngram, cnt). */
+  def sourceTopNgrams(docs: DataFrame, sourceCol: String, textCol: String,
+                      n: Int = 3, k: Int = 5): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val counts = docs
+      .select(col(sourceCol).as("__src"), TF.tokens(col(textCol)).as("__tk"))
+      .select(col("__src"), explode(ngramArray(col("__tk"), n)).as("ngram"))
+      .groupBy(col("__src"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    counts.groupBy(col("__src"))
+      .agg(topk(col("ngram"), negate(col("cnt").cast("double"))).as("__top"))
+      .select(col("__src"), posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col("__src").as(sourceCol),
+        (col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("ngram"),
+        negate(col("__kw.score")).cast("long").as("cnt"))
+  }
+
+  /** Corpus bigram PMI collocations (X77, Church & Hanks 1990):
+    * pmi(a,b) = ln p(ab) − ln p(a) − ln p(b) with p(ab) = c_ab/N_b,
+    * p(a) = c_a/N₁ — the classic collocation / multi-word-expression
+    * miner (vocabulary building, tokenizer diagnostics: a high-PMI
+    * pair is a candidate merge).
+    *
+    * Scale: all three count tables are map-side-combined aggregates;
+    * the unigram attachments are equi-joins keyed by token over the
+    * bigram TYPE table, whose per-key fan-in is the number of distinct
+    * bigram types containing the token — bounded by VOCABULARY size,
+    * not corpus size (unlike the token-occurrence joins that need the
+    * Zipf hybrid: here the heavy aggregation already happened).
+    * Selection is deterministic: c_ab ≥ minCount, order by the raw
+    * pmi DESC then (ta, tb) ASC — pmi is the identical
+    * three-log/three-division double in any engine (exact integer
+    * operands, fixed op order — the source_kl rule); output rounds
+    * 1e-4.
+    *
+    * Output: top `k` rows of (ta, tb, c_ab, pmi). */
+  def bigramPmi(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val toks = docs.select(TF.tokens(col(textCol)).as("__tk"))
+    val uni = toks.select(explode(col("__tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds N and both attachments
+    val n1 = uni.agg(sum(col("c")).as("__n1"))
+    val m = greatest(size(col("__tk")) - 1, lit(0))
+    val bi = toks.select(explode(zip_with(
+        slice(col("__tk"), lit(1), m), slice(col("__tk"), lit(2), m),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("__p"))
+      .groupBy(col("__p.ta").as("ta"), col("__p.tb").as("tb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false) // feeds N_b and the scored join
+    val nb = bi.agg(sum(col("c_ab")).as("__nb"))
+    val pmi =
+      log(col("c_ab").cast("double") / col("__nb").cast("double")) -
+        log(col("__ca").cast("double") / col("__n1").cast("double")) -
+        log(col("__cb").cast("double") / col("__n1").cast("double"))
+    bi.where(col("c_ab") >= minCount)
+      .join(uni.select(col("t").as("ta"), col("c").as("__ca")), "ta")
+      .join(uni.select(col("t").as("tb"), col("c").as("__cb")), "tb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
+      .select(col("ta"), col("tb"), col("c_ab"), pmi.as("__pmi"))
+      .orderBy(col("__pmi").desc, col("ta").asc, col("tb").asc)
+      .limit(k)
+      .select(col("ta"), col("tb"), col("c_ab"),
+        round(col("__pmi"), 4).as("pmi"))
+  }
 }

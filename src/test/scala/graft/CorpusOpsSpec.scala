@@ -383,4 +383,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("en") == (("en", 20L, 4L, 0.25, 4.0))) // exact: ints/divide
     assert(got("fr") == (("fr", 7L, 1L, 1.0, 1.0)))
   }
+
+  test("vocabGrowth (X76): cumulative vocabulary on a known corpus; bucket clamp") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), // bucket 0 (width 2)
+      (2L, "c d"), (3L, "d e a"), // bucket 1
+      (9L, "f")                   // bucket 4 → clamped to maxBuckets-1 = 3
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.vocabGrowth(docs, "doc_id", "text",
+      bucketWidth = 2, maxBuckets = 4)
+      .orderBy("bucket")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("new_types"), col("vocab_size"), col("tokens_cum"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: 2 docs, 5 tokens, first-seen {a,b,c}; bucket 1: 2 docs,
+    // 5 tokens, {d,e}; clamped bucket 3: 1 doc, 1 token, {f}
+    assert(got == Seq(
+      (0L, 2L, 5L, 3L, 3L, 5L),
+      (1L, 2L, 5L, 2L, 5L, 10L),
+      (3L, 1L, 1L, 1L, 6L, 11L)), got.toString)
+  }
+
+  test("sourceTopNgrams (X80): count-desc ngram-asc tie rule, k bound, no window") {
+    // A's trigrams: "x y z"×2, "y z x"×2, "z x y"×2, "x y w"×1
+    val docs = Seq(
+      ("A", "x y z x y z x y w"),
+      ("B", "p q r")
+    ).toDF("source", "text")
+    val df = CorpusStats.sourceTopNgrams(docs, "source", "text", n = 3, k = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"grouped top-k must not be a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p)
+    val got = df.orderBy("source", "rank")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, "x y z", 2L), ("A", 2L, "y z x", 2L),
+      ("B", 1L, "p q r", 1L)), got.toString)
+  }
+
+  test("bigramPmi (X77): hand-computed PMI of a planted collocation") {
+    // unigrams a:4 b:3 c:2 d:1 (N₁=10); bigrams (a,b):3 (c,d):1 (a,c):1
+    // (N_b=5); minCount=2 keeps only (a,b):
+    // pmi = ln(3/5) − ln(4/10) − ln(3/10) = ln 5 ≈ 1.6094
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "c d"), (5L, "a c")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramPmi(docs, "doc_id", "text",
+      minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L, 1.6094)), got.toString)
+  }
 }
