@@ -50,7 +50,8 @@ object Bench {
     "cluster_topics", "events_reach", "events_conversion",
     "graph_pagerank_weighted", "events_anomaly",
     "source_concentration",
-    "vocab_growth", "source_top_ngrams", "bigram_pmi")
+    "vocab_growth", "source_top_ngrams", "bigram_pmi",
+    "template_groups", "quality_winsorized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

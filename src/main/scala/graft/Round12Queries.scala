@@ -49,6 +49,21 @@ object Round12Queries {
       CorpusStats.bigramPmi(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5, k = 50)
         .orderBy(col("pmi").desc, col("ta"), col("tb"))),
+
+    // ---- X78: structural template groups — same token-length shape,
+    // different texts (the form-letter signal both exact dedup and
+    // low-Jaccard near-dup miss) -------------------------------------
+    "template_groups" -> ((s, dir) =>
+      Dedup.templateGroups(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64)
+        .orderBy("shape")),
+
+    // ---- X79: per-language winsorized mean doc length — the robust
+    // location estimate; broadcast percentiles, exact quantized mean --
+    "quality_winsorized" -> ((s, dir) =>
+      Curation.winsorizedMean(t(s, dir, "documents"), "lang", "n_chars",
+        pLo = 0.1, pHi = 0.9)
+        .orderBy("lang")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -93,6 +108,36 @@ object Round12Queries {
 
     // same op order as the operator: ln(c_ab/Nb) − ln(c_a/N₁) −
     // ln(c_b/N₁), raw-pmi selection, 1e-4 rounding in OUTPUT only
+    // shape = rolling hash of the space-joined token-length sequence —
+    // replayed with the sqlRollHash twin over the same string
+    "template_groups" ->
+      s"""WITH s AS (SELECT doc_id, md5(text) AS h,
+         |    ${SparkEntry.sqlRollHash(
+        s"array_to_string(list_transform(list_slice(${SparkEntry.sqlTokens("text")}, 1, 64), t -> CAST(length(t) AS VARCHAR)), ' ')")} AS shape
+         |  FROM documents)
+         |SELECT shape, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_texts,
+         |  min(doc_id) AS keeper
+         |FROM s GROUP BY shape
+         |HAVING count(*) > 1 AND count(DISTINCT h) > 1
+         |ORDER BY shape""".stripMargin,
+
+    // cutoffs: quantile_cont == Spark's exact interpolated percentile
+    // (the ppl_buckets precedent), 1e-4-rounded; mean replayed as the
+    // exact quantized-long sum divided once
+    "quality_winsorized" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT lang, round(quantile_cont(v, 0.1), 4) AS lo,
+        |    round(quantile_cont(v, 0.9), 4) AS hi
+        |  FROM s GROUP BY lang)
+        |SELECT s.lang, CAST(count(*) AS BIGINT) AS n,
+        |  lo AS p_lo, hi AS p_hi,
+        |  round(CAST(sum(CAST(round(greatest(least(v, hi), lo) * 10000)
+        |      AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0), 4) AS wmean
+        |FROM s JOIN c USING (lang)
+        |GROUP BY s.lang, lo, hi ORDER BY s.lang""".stripMargin,
+
     "bigram_pmi" ->
       s"""WITH tok AS (SELECT ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
          |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c

@@ -204,7 +204,7 @@ object SparkEntry {
     s"(1 - least(greatest(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}), -1), 1))"
 
   /** DuckDB twin of TextFunctions.rollingHash over a string expr. */
-  private def sqlRollHash(s: String): String =
+  private[graft] def sqlRollHash(s: String): String =
     s"list_reduce(list_prepend(CAST(${TF.HashSeed} AS BIGINT), list_transform(list_filter(string_split($s, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % ${TF.HashMod})"
 
   private[graft] def sqlTokens(text: String): String =

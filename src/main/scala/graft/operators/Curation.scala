@@ -293,6 +293,40 @@ object Curation {
       .select(scored.columns.map(col) :+ bucket.as("bucket"): _*)
   }
 
+  /** Per-group winsorized mean (X79): the robust location estimate a
+    * quality dashboard should report — clip each value at the group's
+    * own [pLo, pHi] percentiles (so one 10 MB crawl artifact cannot
+    * drag the "average document length" of its language), then the
+    * mean of the clipped values.
+    *
+    * Scale/determinism shape: cutoffs are the [[quantileBuckets]]
+    * broadcast-percentile pattern (1e-4-rounded, one |groups|-row
+    * aggregate, NEVER a per-group window); the mean is an exact
+    * quantized-long sum (round(clip·10⁴) — the skew_salted_agg rule)
+    * divided once, so any engine replays it bit-for-bit. The input is
+    * eagerly localCheckpointed: it feeds the cutoff aggregate and the
+    * clipped mean pass.
+    *
+    * Output: (groupCol, n, p_lo, p_hi, wmean). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi < 1, "need 0 < pLo < pHi < 1")
+    val scored = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol)).localCheckpoint(true)
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(round(percentile(col(valueCol), lit(pLo)), 4).as("__lo"),
+        round(percentile(col(valueCol), lit(pHi)), 4).as("__hi"))
+    val clipped = greatest(least(col(valueCol), col("__hi")), col("__lo"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(clipped * 10000).cast("long")).as("__s"),
+        min(col("__lo")).as("p_lo"), min(col("__hi")).as("p_hi"))
+      .select(col(groupCol), col("n"), col("p_lo"), col("p_hi"),
+        round(col("__s").cast("double") /
+          (col("n").cast("double") * 10000.0), 4).as("wmean"))
+  }
+
   // ---------------------------------------------------------------
   // DSIR importance weights
   // ---------------------------------------------------------------

@@ -50,6 +50,35 @@ object Dedup {
       Seq(keyCol), "left_semi")
   }
 
+  /** Structural template groups (X78): documents sharing the exact
+    * token-LENGTH sequence of their first `maxTokens` tokens — the
+    * form-letter / generated-template signal ("Dear X, your Y order
+    * shipped") where instances differ textually (exact dedup misses
+    * them) and can differ in most shingles (Jaccard scores them low),
+    * but the length SHAPE is identical. The shape key is the rolling
+    * hash of the space-joined length sequence — computed map-side,
+    * engine-replayable via the sqlRollHash twin — and the whole
+    * operator is ONE groupBy on that uniform 30-bit key (the exact-
+    * dedup scale shape). Only real template FAMILIES are reported:
+    * n_docs > 1 AND n_texts > 1 (all-identical groups are exact
+    * dedup's catch).
+    *
+    * Output: (shape, n_docs, n_texts, keeper = min doc id). */
+  def templateGroups(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int = 64): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val shape = TF.rollingHash(concat_ws(" ",
+      transform(slice(TF.tokens(col(textCol)), 1, maxTokens),
+        t => length(t).cast("string"))))
+    docs.select(col(idCol).cast("long").as("doc"), shape.as("shape"),
+        md5(col(textCol)).as("__h"))
+      .groupBy(col("shape"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__h")).as("n_texts"),
+        min(col("doc")).as("keeper"))
+      .where(col("n_docs") > 1 && col("n_texts") > 1)
+  }
+
   /** Exact duplicate groups by content hash: one row per distinct text
     * with the canonical (minimum) doc id and the group size.
     * Shuffle key = md5 — uniformly distributed, skew-free.

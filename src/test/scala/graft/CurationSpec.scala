@@ -536,4 +536,22 @@ class CurationSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Exchange"), s"rule filter must not shuffle:\n$p")
   }
+
+  test("winsorizedMean (X79): clips at interpolated percentiles, exact mean; " +
+    "no window") {
+    import spark.implicits._
+    // g: 1..10 — p10 = 1.9, p90 = 9.1; clipping moves 1→1.9 and
+    // 10→9.1 (±0.9 cancels), so the winsorized mean is exactly 5.5
+    val df = ((1 to 10).map(v => ("g", v.toLong)) :+ (("solo", 5L)))
+      .toDF("grp", "v")
+    val out = Curation.winsorizedMean(df, "grp", "v", pLo = 0.1, pHi = 0.9)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"cutoffs must broadcast, not window:\n$p")
+    val got = out.as[(String, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 10L, 1.9, 9.1, 5.5)), got.toString)
+    // a single-value group: both cutoffs equal the value
+    assert(got("solo") == (("solo", 1L, 5.0, 5.0, 5.0)), got.toString)
+  }
 }

@@ -302,4 +302,31 @@ class TextDedupSpec extends SparkSpec {
     val preds = df.select(TF.langIdHeuristic(col("t"))).as[String].collect().toSeq
     assert(preds == Seq("en", "other"))
   }
+
+  test("templateGroups (X78): same length shape + different texts only") {
+    val docs = Seq(
+      (1L, "aa bb cc"),      // shape (2 2 2), text A
+      (2L, "xx yy zz"),      // shape (2 2 2), text B — template family
+      (3L, "hello world"),   // shape (5 5), identical pair:
+      (4L, "hello world"),   //   n_texts = 1 → exact dedup's catch, excluded
+      (5L, "one two three")  // singleton shape, excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateGroups(docs, "doc_id", "text")
+      .select(col("n_docs"), col("n_texts"), col("keeper"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 1L)), got.toString)
+  }
+
+  test("templateGroups: shape looks only at the first maxTokens tokens") {
+    val docs = Seq(
+      (1L, "aa bb unshared"),
+      (2L, "cc dd different")  // same first-2 length shape (2 2)
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateGroups(docs, "doc_id", "text", maxTokens = 2)
+      .select(col("n_docs"), col("keeper")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)), got.toString)
+    // full shape differs ("unshared" vs "different" have lengths 8/9)
+    assert(Dedup.templateGroups(docs, "doc_id", "text", maxTokens = 3)
+      .count() == 0)
+  }
 }
