@@ -51,7 +51,8 @@ object Bench {
     "graph_pagerank_weighted", "events_anomaly",
     "source_concentration",
     "vocab_growth", "source_top_ngrams", "bigram_pmi",
-    "template_groups", "quality_winsorized")
+    "template_groups", "quality_winsorized",
+    "minhash_est_error", "embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

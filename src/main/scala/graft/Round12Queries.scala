@@ -64,6 +64,27 @@ object Round12Queries {
       Curation.winsorizedMean(t(s, dir, "documents"), "lang", "n_chars",
         pLo = 0.1, pHi = 0.9)
         .orderBy("lang")),
+
+    // ---- X81: minhash estimator calibration — exact J vs sketch
+    // estimate on the banding's own candidate pairs ------------------
+    "minhash_est_error" -> ((s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"),
+          round(col("est"), 4).as("est"), round(col("err"), 4).as("err"))
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- X82: per-label embedding-centroid drift between the %3/%5
+    // snapshot splits — the vector-side sibling of snapshot_drift ----
+    "embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      TrainingData.embeddingDrift(
+        emb.where(col("vec_id") % 3 =!= 0),
+        emb.where(col("vec_id") % 5 =!= 0),
+        "label", "embedding")
+        .orderBy("label")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,6 +158,73 @@ object Round12Queries {
         |      AS BIGINT)) AS DOUBLE) / (count(*) * 10000.0), 4) AS wmean
         |FROM s JOIN c USING (lang)
         |GROUP BY s.lang, lo, hi ORDER BY s.lang""".stripMargin,
+
+    // replays the full sketch: signatures, banding candidates, exact
+    // jaccard, component-agreement estimate — same op order throughout
+    "minhash_est_error" -> {
+      import graft.functions.{TextFunctions => TF}
+      val mhCols = (0 until 8).map { j =>
+        s"CASE WHEN len(sh) = 0 THEN NULL ELSE list_min(list_transform(sh, h -> (${TF.minhashA(j)} * h + ${TF.minhashB(j)}) % ${TF.HashMod})) END AS mh_$j"
+      }.mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, concat(mh_${2 * b}, '_', mh_${2 * b + 1}) AS sigk FROM sig WHERE mh_0 IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until 8)
+        .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tha AS (SELECT doc_id, ${SparkEntry.sqlTokenHashes("text")} AS th FROM documents),
+         |s AS (SELECT doc_id, ${SparkEntry.sqlShingleHashesOfTh(3)} AS sh FROM tha),
+         |shaset AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+         |sig AS (SELECT doc_id, $mhCols FROM s),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sigk = b.sigk
+         |         WHERE a.doc_id < b.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |    CASE WHEN (CAST(len(ssa.shs) + len(ssb.shs) AS DOUBLE)
+         |          - len(list_intersect(ssa.shs, ssb.shs))) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(ssa.shs, ssb.shs)) AS DOUBLE) /
+         |        (CAST(len(ssa.shs) + len(ssb.shs) AS DOUBLE)
+         |          - len(list_intersect(ssa.shs, ssb.shs))) END AS jac,
+         |    CAST($agree AS DOUBLE) / 8 AS est
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+         |            JOIN sig sb ON sb.doc_id = cand.doc_b
+         |            JOIN shaset ssa ON ssa.doc_id = cand.doc_a
+         |            JOIN shaset ssb ON ssb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, round(est, 4) AS est,
+         |  round(est - jac, 4) AS err
+         |FROM v ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // same quantization grid and op order as the operator: per-dim
+    // exact long sums, fixed-order centroid doubles, re-quantized
+    // squared diffs, one sqrt at the end
+    "embedding_drift" ->
+      """WITH o0 AS (SELECT label AS g, embedding,
+        |    unnest(range(0, len(embedding))) AS d
+        |  FROM embeddings WHERE vec_id % 3 <> 0 AND embedding IS NOT NULL),
+        |oo AS (SELECT g, d, CAST(count(*) AS BIGINT) AS no,
+        |    CAST(sum(CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS so
+        |  FROM o0 GROUP BY g, d),
+        |n0 AS (SELECT label AS g, embedding,
+        |    unnest(range(0, len(embedding))) AS d
+        |  FROM embeddings WHERE vec_id % 5 <> 0 AND embedding IS NOT NULL),
+        |nn AS (SELECT g, d, CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(sum(CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS sn
+        |  FROM n0 GROUP BY g, d),
+        |t AS (SELECT g, no, nc,
+        |    CAST(round(((CAST(so AS DOUBLE) / 1000000.0) / no
+        |        - (CAST(sn AS DOUBLE) / 1000000.0) / nc)
+        |      * ((CAST(so AS DOUBLE) / 1000000.0) / no
+        |        - (CAST(sn AS DOUBLE) / 1000000.0) / nc)
+        |      * 100000000) AS BIGINT) AS term
+        |  FROM oo JOIN nn USING (g, d))
+        |SELECT g AS label, max(no) AS n_old, max(nc) AS n_new,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE) / 100000000.0), 4) AS drift
+        |FROM t GROUP BY g ORDER BY label""".stripMargin,
 
     "bigram_pmi" ->
       s"""WITH tok AS (SELECT ${SparkEntry.sqlTokens("text")} AS tk FROM documents),

@@ -433,6 +433,59 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** MinHash estimator calibration (X81): for every LSH candidate
+    * pair, the EXACT shingle Jaccard next to its MinHash ESTIMATE
+    * (fraction of agreeing signature components) and the signed error
+    * — the "measure your sketch" report. Before trusting est ≈ J at a
+    * scale where exact verification is unaffordable, check the
+    * estimator's bias/spread on the pairs the banding actually
+    * surfaces (Broder 1997: E[agree_j] = J per component, so
+    * sd(est) ≈ √(J(1−J)/numHashes) — at k=8 that is ±0.17, which is
+    * exactly why this report exists).
+    *
+    * Scale: same banding equi-join candidate stage as
+    * [[minhashLshPairs]] (never all-pairs); the signature attachments
+    * key on the uniform doc id. est and err are exact/fixed-order
+    * doubles — engine-replayable.
+    *
+    * Output: (doc_a, doc_b, jaccard, est, err = est − jaccard). */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 8,
+                         rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand must be 0")
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      .where(col("mh_0").isNotNull)
+      .localCheckpoint(false) // feeds the banding + both signature joins
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(col(idCol).as("doc"), lit(b).as("band"),
+        concat_ws("_", parts: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "sig"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val sigA = sig.select(col(idCol).as("doc_a") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__a$j")): _*)
+    val sigB = sig.select(col(idCol).as("doc_b") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__b$j")): _*)
+    val agree = (0 until numHashes).map(j =>
+      when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+    val union = (size(col("__sa")) + size(col("__sb"))).cast("double") - inter
+    cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .join(sets.select(col("doc").as("doc_a"), col("shs").as("__sa")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("shs").as("__sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        when(union === 0.0, lit(0.0)).otherwise(inter / union).as("jaccard"),
+        (agree.cast("double") / numHashes).as("est"))
+      .withColumn("err", col("est") - col("jaccard"))
+  }
+
   /** Exact shingle-set Jaccard between two texts as a single Column
     * (used to verify LSH candidates without a second join). */
   def jaccardExact(a: Column, b: Column, n: Int): Column = {

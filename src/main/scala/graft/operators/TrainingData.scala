@@ -408,4 +408,44 @@ object TrainingData {
         sum(col("__term")).as("psi"))
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** Per-group embedding-centroid drift between two snapshots (X82):
+    * the semantic sibling of [[snapshotDrift]] — "did this label's
+    * region of embedding space MOVE between crawls", the
+    * embedding-model-regression / distribution-shift check on the
+    * vector side.
+    *
+    * Exactness (the X65 fixed-point rule): per-dim sums are exact
+    * quantized longs (round(x·10⁶)); each centroid coordinate is
+    * fixed-order double arithmetic on exact operands; each dim's
+    * squared diff re-quantizes to a long (round(d²·10⁸)) so the
+    * cross-dim accumulation is reduction-order-free; drift =
+    * √(Σ/10⁸). Scale: two (group, dim) aggregates — map-side partials
+    * collapse to |groups|·dims rows — one equi-join on (group, dim),
+    * one |groups|-row rollup. No windows, nothing driver-side.
+    *
+    * Output (groups present in BOTH snapshots): (groupCol, n_old,
+    * n_new, drift). */
+  def embeddingDrift(oldEmb: DataFrame, newEmb: DataFrame,
+                     groupCol: String, vecCol: String): DataFrame = {
+    def sums(df: DataFrame, nc: String, sc: String): DataFrame = df
+      .where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as(nc),
+        sum(round(col("__x").cast("double") * 1000000).cast("long")).as(sc))
+    val co = (col("__so").cast("double") / 1000000.0) / col("__no").cast("double")
+    val cn = (col("__sn").cast("double") / 1000000.0) / col("__nn").cast("double")
+    sums(oldEmb, "__no", "__so")
+      .join(sums(newEmb, "__nn", "__sn"), Seq("__g", "__d"))
+      .select(col("__g"), col("__no"), col("__nn"), (co - cn).as("__diff"))
+      .select(col("__g"), col("__no"), col("__nn"),
+        round(col("__diff") * col("__diff") * 100000000).cast("long").as("__t"))
+      .groupBy(col("__g"))
+      .agg(max(col("__no")).as("n_old"), max(col("__nn")).as("n_new"),
+        sum(col("__t")).as("__ss"))
+      .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
+        round(sqrt(col("__ss").cast("double") / 100000000.0), 4).as("drift"))
+  }
 }

@@ -279,4 +279,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TrainingData.snapshotDrift(withNull, base, "lang", "n_chars")
       .collect().head.getLong(1) == 40)
   }
+
+  test("embeddingDrift (X82): hand-computed centroid shift; identical sides score 0") {
+    import spark.implicits._
+    // old centroid (0.5, 0.5); new centroid (1, 1) →
+    // drift = √(0.25 + 0.25) = 0.7071
+    val o = Seq((1L, "g", Seq(1f, 0f)), (2L, "g", Seq(0f, 1f)))
+      .toDF("id", "label", "emb")
+    val n = Seq((3L, "g", Seq(1f, 1f))).toDF("id", "label", "emb")
+    val got = TrainingData.embeddingDrift(o, n, "label", "emb")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 2L, 1L, 0.7071)), got.toString)
+    // identical snapshots: exact zero (quantized longs, no FP residue)
+    val same = TrainingData.embeddingDrift(o, o, "label", "emb")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(same == Seq(("g", 2L, 2L, 0.0)), same.toString)
+    // a group absent from one side is not reported
+    val extra = n.union(Seq((4L, "h", Seq(0f, 0f))).toDF("id", "label", "emb"))
+    assert(TrainingData.embeddingDrift(o, extra, "label", "emb")
+      .count() == 1)
+  }
 }

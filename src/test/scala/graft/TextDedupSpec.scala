@@ -317,6 +317,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 1L)), got.toString)
   }
 
+  test("minhashCalibration (X81): identical docs estimate 1 with zero error; " +
+    "candidates stay an equi-join") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // exact dup
+      (3L, "entirely different content that shares no shingles at all"),
+      (4L, "the quick brown fox jumps over the lazy dog today")  // near dup
+    ).toDF("doc_id", "text")
+    val df = Dedup.minhashCalibration(docs, "doc_id", "text",
+      n = 3, numHashes = 8, rowsPerBand = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    val got = df.select(col("doc_a"), col("doc_b"), col("jaccard"),
+      col("est"), col("err"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the exact-dup pair: J = 1, est = 1, err = 0 exactly
+    assert(got((1L, 2L)) == ((1L, 2L, 1.0, 1.0, 0.0)), got.toString)
+    // near-dup pair surfaces with a high-but-imperfect J and est in [0,1]
+    assert(got.contains((1L, 4L)) || got.contains((2L, 4L)), got.toString)
+    got.values.foreach { case (_, _, j, e, err) =>
+      assert(j >= 0 && j <= 1 && e >= 0 && e <= 1 && err == e - j)
+    }
+    // the disjoint doc 3 never pairs with anything
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L), got.toString)
+  }
+
   test("templateGroups: shape looks only at the first maxTokens tokens") {
     val docs = Seq(
       (1L, "aa bb unshared"),
