@@ -52,7 +52,7 @@ object Bench {
     "source_concentration",
     "vocab_growth", "source_top_ngrams", "bigram_pmi",
     "template_groups", "quality_winsorized",
-    "minhash_est_error", "embedding_drift")
+    "minhash_est_error", "embedding_drift", "bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,13 @@ object Round12Queries {
           round(col("est"), 4).as("est"), round(col("err"), 4).as("err"))
         .orderBy("doc_a", "doc_b")),
 
+    // ---- X83: per-language tokenizer fertility under the served
+    // merge list — which languages the learned vocabulary under-serves
+    "bpe_fertility" -> ((s, dir) =>
+      graft.operators.Bpe.fertility(t(s, dir, "documents"), "lang", "text",
+        Round8Queries.mergesFor(s, dir))
+        .orderBy("lang")),
+
     // ---- X82: per-label embedding-centroid drift between the %3/%5
     // snapshot splits — the vector-side sibling of snapshot_drift ----
     "embedding_drift" -> ((s, dir) => {
@@ -195,6 +202,23 @@ object Round12Queries {
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, round(est, 4) AS est,
          |  round(est - jac, 4) AS err
          |FROM v ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // the bpe_segment twin grouped by lang: replay the 8 learned
+    // merges, count raw tokens vs post-BPE symbols per language
+    "bpe_fertility" -> {
+      val applies = (0 until 8).map(i =>
+        s"a${i + 1} AS (SELECT lang, replace(ws, b$i.pr, b$i.merged) AS ws " +
+          s"FROM a$i CROSS JOIN b$i)").mkString(",\n")
+      s"""WITH ${Round8Queries.sqlBpeCtes(8)},
+         |tok AS (SELECT lang, unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |a0 AS (SELECT lang, ${Round8Queries.sqlBpeEnc("t")} AS ws FROM tok),
+         |$applies
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(string_split(ws, ' '))) AS BIGINT) AS n_bpe_symbols,
+         |  round(CAST(sum(len(string_split(ws, ' '))) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 4) AS fertility
+         |FROM a8 GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // same quantization grid and op order as the operator: per-dim

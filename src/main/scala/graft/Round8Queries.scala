@@ -26,7 +26,7 @@ object Round8Queries {
     * it IS the training benchmark. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Bpe.Merge]]()
-  private def mergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+  private[graft] def mergesFor(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     bpeCache.computeIfAbsent((s, dir),
       _ => Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 8))
 
@@ -265,14 +265,14 @@ object Round8Queries {
 
   /** DuckDB twin of [[Bpe.encodeWord]]: chr(31)-prefixed chars joined
     * by " " + chr(31). */
-  private def sqlBpeEnc(w: String): String =
+  private[graft] def sqlBpeEnc(w: String): String =
     s"chr(31) || array_to_string(list_filter(string_split($w, ''), c -> c <> ''), ' ' || chr(31))"
 
   /** CTE chain replaying `numMerges` BPE rounds: w (word freq) → s0
     * (encoded vocab) → per round i: p_i (weighted pair counts), b_i
     * (argmax pair + its merged form), s_{i+1} (vocab after the
     * replace). Same plain leftmost string replace as the engine. */
-  private def sqlBpeCtes(numMerges: Int): String = {
+  private[graft] def sqlBpeCtes(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt FROM " +
       s"(SELECT unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents) GROUP BY 1),\n"

@@ -116,4 +116,32 @@ object Bpe {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("__n")).as("n_bpe_symbols"))
   }
+
+  /** Per-GROUP tokenizer fertility (X83): symbols-per-token under the
+    * served merge list, aggregated by language/source — the tokenizer
+    * diagnostic a multilingual pipeline tracks (a language whose
+    * fertility runs high is under-served by the learned vocabulary and
+    * burns sequence length). Same map-only merge application as
+    * [[segmentStats]] (merges are plan literals), ONE group aggregate
+    * of exact longs, one double division (engine-exact), rounded 1e-4.
+    *
+    * Output: (groupCol, n_tokens, n_bpe_symbols, fertility). */
+  def fertility(docs: DataFrame, groupCol: String, textCol: String,
+                merges: Seq[Merge]): DataFrame = {
+    val encodedTok: Column = encodeWord(col("__t"))
+    val mergedTok = merges.foldLeft(encodedTok) { (acc, m) =>
+      replace(acc, lit(m.pair), lit(m.merged))
+    }
+    docs
+      .select(col(groupCol).as("__grp"),
+        explode(TF.tokens(col(textCol))).as("__t"))
+      .select(col("__grp"), size(split(mergedTok, " ")).as("__n"))
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__n")).cast("long").as("n_bpe_symbols"))
+      .select(col("__grp").as(groupCol), col("n_tokens"),
+        col("n_bpe_symbols"),
+        round(col("n_bpe_symbols").cast("double") /
+          col("n_tokens").cast("double"), 4).as("fertility"))
+  }
 }

@@ -62,4 +62,23 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("a b c a b").toDF("text")
     assert(Bpe.learnMerges(docs, "text", numMerges = 4).isEmpty)
   }
+
+  test("fertility (X83): grouped symbols-per-token; no merges = chars per token") {
+    val docs = Seq(("en", "ab ab"), ("en", "abc"), ("zh", "a"))
+      .toDF("lang", "text")
+    // with no merges every token splits to its characters:
+    // en: 3 tokens → 2+2+3 = 7 symbols (7/3 = 2.3333); zh: 1 → 1
+    val bare = Bpe.fertility(docs, "lang", "text", Seq.empty)
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(bare == Seq(("en", 3L, 7L, 2.3333), ("zh", 1L, 1L, 1.0)),
+      bare.toString)
+    // one merge (a+b) fuses a pair in every "ab"-prefixed token:
+    // en symbols 1+1+2 = 4
+    val m = Seq(
+      Bpe.Merge(s"${Bpe.Sentinel}a ${Bpe.Sentinel}b", s"${Bpe.Sentinel}ab", "a+b"))
+    val merged = Bpe.fertility(docs, "lang", "text", m)
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(merged == Seq(("en", 3L, 4L, 1.3333), ("zh", 1L, 1L, 1.0)),
+      merged.toString)
+  }
 }
