@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Curation, Dedup, Lexical, TrainingData}
+import graft.operators.{CorpusStats, Curation, Dedup, Funnel, Lexical, TrainingData}
 
 /** Round-12 [EXT] batch: served-form keyword extraction
   * (doc_keywords_served — the ppl_bigram_served precedent: query-time
@@ -74,6 +74,27 @@ object Round12Queries {
           round(col("jaccard"), 4).as("jaccard"),
           round(col("est"), 4).as("est"), round(col("err"), 4).as("err"))
         .orderBy("doc_a", "doc_b")),
+
+    // ---- X84: one-pass column profiler — null/distinct/mode per
+    // column from a single exploded (col, value) shuffle -------------
+    "table_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))
+        .orderBy("col_name")),
+
+    // ---- X85: event-type transition matrix — per-user lag window
+    // (high-cardinality uniform key: the window shape that scales),
+    // then a |types|²-row rollup with exact counts -------------------
+    "event_transitions" -> ((s, dir) =>
+      Funnel.eventTransitions(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("prev", "next")),
+
+    // ---- X86: idf-weighted simhash fingerprints — the production
+    // variant where content tokens outvote boilerplate ---------------
+    "simhash_weighted" -> ((s, dir) =>
+      Dedup.simhashWeighted(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ---- X83: per-language tokenizer fertility under the served
     // merge list — which languages the learned vocabulary under-serves
@@ -202,6 +223,63 @@ object Round12Queries {
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, round(est, 4) AS est,
          |  round(est - jac, 4) AS err
          |FROM v ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "table_profile" ->
+      """WITH e AS (SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+        |vc AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |st AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_distinct
+        |  FROM vc GROUP BY 1),
+        |tp AS (SELECT col_name, v AS top_value, cnt AS top_count,
+        |    row_number() OVER (PARTITION BY col_name
+        |      ORDER BY cnt DESC, v ASC) AS rn
+        |  FROM vc WHERE v IS NOT NULL)
+        |SELECT st.col_name, n, n_null, n_distinct, tp.top_value,
+        |  COALESCE(tp.top_count, 0) AS top_count
+        |FROM st LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS next, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tt FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.cnt,
+        |  round(CAST(c.cnt AS DOUBLE) / CAST(tt AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (prev) ORDER BY prev, next""".stripMargin,
+
+    // full replay: distinct tokens, df/idf on the 1e4 grid, 30 exact
+    // per-bit integer sums, sign → bit
+    "simhash_weighted" -> {
+      val bitSums = (0 until 30).map(i =>
+        s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN wq ELSE -wq END) AS s$i")
+        .mkString(",\n    ")
+      val simExpr = (0 until 30).map(i =>
+        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH dt AS (SELECT DISTINCT doc, t FROM
+         |    (SELECT doc_id AS doc, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |     FROM documents)),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY t),
+         |nn AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM dt),
+         |sc AS (SELECT doc, ${SparkEntry.sqlRollHash("t")} AS h,
+         |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 10000)
+         |      AS BIGINT) AS wq
+         |  FROM dt JOIN dfq USING (t) CROSS JOIN nn),
+         |bs AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_types,
+         |    $bitSums
+         |  FROM sc GROUP BY doc)
+         |SELECT doc AS doc_id, n_types, CAST($simExpr AS BIGINT) AS sim
+         |FROM bs ORDER BY doc_id""".stripMargin
     },
 
     // the bpe_segment twin grouped by lang: replay the 8 learned

@@ -433,6 +433,57 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** IDF-weighted SimHash fingerprints (X86 — Charikar 2002 as
+    * deployed at crawl scale in Manku/Jain/Das Sarma WWW 2007): bit i
+    * of the fingerprint is the SIGN of Σ over the doc's DISTINCT
+    * tokens of ±idf(t) (+ if bit i of the token hash is set, − if
+    * not). Weighting by idf is what makes this the production variant:
+    * the plain [[simhashPairs]] hash lets 200 stop-words dominate a
+    * fingerprint, so two docs sharing only boilerplate collide —
+    * idf-weighting pushes the fingerprint toward the CONTENT tokens.
+    *
+    * Determinism: weights are idf quantized to a long grid
+    * (round(ln(N/df)·10⁴)), so every per-bit accumulation is an exact
+    * integer sum — reduction-order-free, engine-replayable; a zero
+    * bit-sum pins the bit to 0. 30 bits (the token hash is the 30-bit
+    * rolling hash both engines share).
+    *
+    * Scale: token df is one map-side-combined aggregate; the idf
+    * attachment takes the unigramLogProb Zipf hybrid — the
+    * top-headSize tokens by df (exactly the hot join keys) ride a
+    * broadcast, the tail an equi-join — and the per-doc rollup keys on
+    * the uniform doc id with 30 algebraic sums.
+    *
+    * Output: (idCol, n_types, sim). */
+  def simhashWeighted(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 30, headSize: Int = 1024): DataFrame = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    val dt = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TF.tokens(col(textCol)))).as("t"))
+    val df_ = dt.groupBy(col("t")).agg(count(lit(1)).as("__df"))
+    val nDocs = dt.select(col("doc")).distinct()
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val head = df_.orderBy(col("__df").desc, col("t").asc).limit(headSize)
+    val tail = df_.join(broadcast(head.select(col("t"))), Seq("t"), "left_anti")
+    val attached = dt.join(broadcast(head), Seq("t"))
+      .unionByName(dt.join(tail, Seq("t")))
+    val wq = round(log(col("__n").cast("double") / col("__df").cast("double"))
+      * 10000).cast("long")
+    val scored = attached.crossJoin(broadcast(nDocs))
+      .select(col("doc"), TF.rollingHash(col("t")).as("__h"), wq.as("__wq"))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L,
+        col("__wq")).otherwise(-col("__wq"))).as(s"__s$i")
+    }
+    val sim = (0 until bits).map { i =>
+      when(col(s"__s$i") > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    scored.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_types"), bitSums: _*)
+      .select(col("doc").as(idCol), col("n_types"), sim.as("sim"))
+  }
+
   /** MinHash estimator calibration (X81): for every LSH candidate
     * pair, the EXACT shingle Jaccard next to its MinHash ESTIMATE
     * (fraction of agreeing signature components) and the signed error

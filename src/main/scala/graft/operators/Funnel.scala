@@ -133,6 +133,38 @@ object Funnel {
       .withColumn("is_anomaly", abs(col("z")) > lit(zThreshold))
   }
 
+  /** Event-type transition matrix (X85): counts of consecutive
+    * (prev → next) event-type pairs per user in time order, with the
+    * row-normalized transition probability — the Markov view of user /
+    * session behavior (what follows a click; where do error loops
+    * live).
+    *
+    * The lag window partitions by the USER key — high-cardinality and
+    * uniform, the window shape that DOES scale (one partition = one
+    * user's few events; the r10/r11 scale-killers were windows over
+    * low-cardinality Zipf keys). Within-user order is pinned (ts,
+    * event id) so same-instant events chain deterministically. The
+    * |types|²-row count table then rolls up map-side; p is one double
+    * division of exact longs (engine-replayable), rounded 1e-4.
+    *
+    * Output: (prev, next, cnt, p). */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val seq2 = events
+      .select(col(userCol), col(typeCol).as("next"), col(tsCol), col(idCol))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .where(col("prev").isNotNull)
+    val counts = seq2.groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("prev")).agg(sum(col("cnt")).as("__t"))
+    counts.join(broadcast(tot), "prev")
+      .select(col("prev"), col("next"), col("cnt"),
+        round(col("cnt").cast("double") / col("__t").cast("double"), 4)
+          .as("p"))
+  }
+
   /** Retention cohorts: users bucketed by their FIRST activity period
     * (integer `div` of the epoch timestamp — no calendar/locale
     * exposure), counted in every later period they appear in. The

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiler ([EXT] X84): the data-quality report a pipeline
+  * runs on every new snapshot before anything downstream trusts it —
+  * per-column row count, null count, EXACT distinct count, and the
+  * modal value with a deterministic tie rule.
+  *
+  * Scale design: all requested columns stringify into ONE exploded
+  * (col_name, value) table, so the whole profile costs a single
+  * shuffle regardless of how many columns are profiled (per-column
+  * `count(distinct)` jobs would re-scan the table C times); the
+  * (col_name, value) counts aggregate with map-side partials (a
+  * 99%-null column collapses to one partial row per task, not a
+  * posting list on one reducer); the modal value is the bounded
+  * [[TopKStrAgg]] at k = 1 — count DESC, value ASC ties — never a
+  * rank window over the C-cardinality column key. Exact distinct is
+  * a row count over the counts table (already grouped), not a
+  * distinct aggregate.
+  */
+object Profile {
+
+  /** @param cols columns to profile; values compare AS STRINGS (cast
+    *   once, documented — profiling cares about identity, not order).
+    * Output: (col_name, n, n_null, n_distinct, top_value, top_count);
+    * an all-null column reports top_value = null, top_count = 0. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val exploded = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("col_name"), col("p.v").as("v"))
+    val vc = exploded.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds the stats rollup + the mode agg
+    val stats = vc.groupBy(col("col_name")).agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(0L)).cast("long")
+        .as("n_null"),
+      count(when(col("v").isNotNull, 1)).as("n_distinct"))
+    val topk = udaf(new TopKStrAgg(1),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    val mode = vc.where(col("v").isNotNull)
+      .groupBy(col("col_name"))
+      .agg(topk(col("v"), negate(col("cnt").cast("double"))).as("__top"))
+      .select(col("col_name"),
+        element_at(col("__top"), 1).getField("key").as("top_value"),
+        negate(element_at(col("__top"), 1).getField("score"))
+          .cast("long").as("top_count"))
+    stats.join(mode, Seq("col_name"), "left")
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("top_value"), coalesce(col("top_count"), lit(0L)).as("top_count"))
+  }
+}

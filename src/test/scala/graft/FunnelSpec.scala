@@ -102,4 +102,23 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(r == ((3L, 2L, 1L)))
   }
+
+  test("eventTransitions (X85): per-user chains, same-instant id tiebreak, " +
+    "row-normalized p") {
+    // user 1: a→b→b; user 2: a→b (its c@5 ties b@5 — event id 20 < 21
+    // pins b first), so counts: (a,b)=2, (b,b)=1, (b,c)=1
+    val ev = Seq(
+      (10L, 1L, "a", 1L), (11L, 1L, "b", 2L), (12L, 1L, "b", 3L),
+      (19L, 2L, "a", 4L), (20L, 2L, "b", 5L), (21L, 2L, "c", 5L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.eventTransitions(
+      ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy("prev", "next")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 1.0),
+      ("b", "b", 1L, 0.5), ("b", "c", 1L, 0.5)), got.toString)
+    // no cross-user transition leaked (user 2's first event has no prev)
+    assert(got.map(_._3).sum == 4L)
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** X84 column profiler: known-value fixture covering nulls, modal-value
+  * tie rule, and the all-null column corner. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: counts, nulls, exact distinct, mode with tie rule") {
+    val df = Seq(
+      ("a", java.lang.Long.valueOf(1L), "x"),
+      ("a", java.lang.Long.valueOf(2L), null),
+      ("b", java.lang.Long.valueOf(2L), null),
+      ("b", null, null),
+      ("c", null, null)
+    ).toDF("s", "num", "mostly_null")
+    val got = Profile.profile(df, Seq("s", "num", "mostly_null"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      // "mostly_null": one non-null value
+      ("mostly_null", 5L, 4L, 1L, Some("x"), 1L),
+      // num: 1 and 2 — 2 wins on count
+      ("num", 5L, 2L, 2L, Some("2"), 2L),
+      // s: a/b tie at 2 → value-ASC picks "a"
+      ("s", 5L, 0L, 3L, Some("a"), 2L)), got.toString)
+  }
+
+  test("profile: an all-null column reports no mode and top_count 0") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val got = Profile.profile(df, Seq("v"))
+      .as[(String, Long, Long, Long, Option[String], Long)].collect().toSeq
+    assert(got == Seq(("v", 2L, 2L, 0L, None, 0L)), got.toString)
+  }
+
+  test("profile is one shuffle wide: no per-column re-scan, no window") {
+    val df = Seq(("a", "b", "c")).toDF("c1", "c2", "c3")
+    val p = Profile.profile(df, Seq("c1", "c2", "c3"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    // the profile must not contain a distinct aggregate re-expansion
+    assert(!p.contains("count(distinct"), p)
+  }
+}

@@ -317,6 +317,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 1L)), got.toString)
   }
 
+  test("simhashWeighted (X86): idf-0 tokens are voteless; a single content " +
+    "token IS the fingerprint") {
+    // "common" appears in every doc → idf = ln(1) = 0 → weight 0: the
+    // fingerprint is decided ONLY by each doc's unique token, and with
+    // one positively-weighted token the sign rule reproduces that
+    // token's hash bits exactly
+    val docs = Seq(
+      (1L, "common alpha"), (2L, "common beta"),
+      (3L, "common gamma"), (4L, "common")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashWeighted(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val hashes = Seq("alpha", "beta", "gamma").map { w =>
+      spark.range(1).select(TF.rollingHash(lit(w))).as[Long].collect().head
+    }
+    assert(got == Seq(
+      (1L, 2L, hashes(0)), (2L, 2L, hashes(1)), (3L, 2L, hashes(2)),
+      (4L, 1L, 0L)), s"got=$got hashes=$hashes")
+    // weighting beats the unweighted hash on boilerplate: the three
+    // content docs get three DISTINCT fingerprints
+    assert(got.take(3).map(_._3).distinct.size == 3)
+  }
+
   test("minhashCalibration (X81): identical docs estimate 1 with zero error; " +
     "candidates stay an equi-join") {
     val docs = Seq(
