@@ -257,6 +257,16 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"$scans parquet scans (banding must not re-scan per band):\n$p")
   }
 
+  test("simhash_weighted: idf attachment rides the Zipf hybrid; no corpus window") {
+    // hot tokens ("the") have df ≈ N — they must ride the broadcast
+    // branch (the unigram_logprob rule); the per-doc bit rollup is an
+    // aggregate on the uniform doc key, never a window
+    val p = plan("simhash_weighted")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("stop-frequency cap is broadcast anti-join, never a count window on the postings key") {
     // VERDICT r11 weak: count(1) over Window.partitionBy(sh/fp)
     // materializes a mega-viral shingle's ENTIRE posting list on one
