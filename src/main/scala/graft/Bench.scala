@@ -53,7 +53,8 @@ object Bench {
     "vocab_growth", "source_top_ngrams", "bigram_pmi",
     "template_groups", "quality_winsorized",
     "minhash_est_error", "embedding_drift", "bpe_fertility",
-    "table_profile", "event_transitions", "simhash_weighted")
+    "table_profile", "event_transitions", "simhash_weighted",
+    "winnow_incremental", "zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

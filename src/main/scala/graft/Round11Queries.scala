@@ -491,7 +491,7 @@ object Round11Queries {
     * twin of [[graft.operators.Dedup.winnowFingerprints]]'s selection
     * stage at kGram = 4, window = 4. `extraCte = true` when `select`
     * continues the WITH-list with its own `name AS (...)` clause. */
-  private def winnowCtes(select: String, extraCte: Boolean = false): String =
+  private[graft] def winnowCtes(select: String, extraCte: Boolean = false): String =
     s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
        |  FROM documents),
        |shs AS (SELECT doc, ${SparkEntry.sqlShingleHashesOfTh(4)} AS shs FROM tha),

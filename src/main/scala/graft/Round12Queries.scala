@@ -75,6 +75,24 @@ object Round12Queries {
           round(col("est"), 4).as("est"), round(col("err"), 4).as("err"))
         .orderBy("doc_a", "doc_b")),
 
+    // ---- X87: batch-vs-corpus winnow probe — the dedup_incremental
+    // shape at the winnow index-size point (only the batch is
+    // fingerprinted; the corpus side is its materialized fp index) ---
+    "winnow_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.winnowIndex(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      Dedup.winnowPairsAgainstIndex(idx,
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_new", "doc_corpus")
+    }),
+
+    // ---- X88: Zipf rank-frequency fit per language — the one-number
+    // corpus-health gauge next to vocab_growth's curve ---------------
+    "zipf_fit" -> ((s, dir) =>
+      CorpusStats.zipfFit(t(s, dir, "documents"), "lang", "text", k = 100)
+        .orderBy("lang")),
+
     // ---- X84: one-pass column profiler — null/distinct/mode per
     // column from a single exploded (col, value) shuffle -------------
     "table_profile" -> ((s, dir) =>
@@ -224,6 +242,52 @@ object Round12Queries {
          |  round(est - jac, 4) AS err
          |FROM v ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // the corpus (odd) side takes the read-time cap (f <= 1000, no
+    // minimum — capPostings minFreq 1); the batch (even) side probes it
+    "winnow_incremental" -> Round11Queries.winnowCtes(
+      """fpc AS (SELECT doc AS doc_corpus, unnest(list_distinct(
+        |    list_transform(selkeys, x -> x >> 21))) AS fp
+        |  FROM sel WHERE doc % 2 = 1),
+        |freq AS (SELECT fp, count(*) AS f FROM fpc GROUP BY fp),
+        |fpcf AS (SELECT doc_corpus, fp FROM fpc JOIN freq USING (fp)
+        |  WHERE f <= 1000),
+        |fpn AS (SELECT doc AS doc_new, unnest(list_distinct(
+        |    list_transform(selkeys, x -> x >> 21))) AS fp
+        |  FROM sel WHERE doc % 2 = 0)
+        |SELECT doc_new, doc_corpus, CAST(count(*) AS BIGINT) AS shared
+        |FROM fpcf JOIN fpn USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_new, doc_corpus""".stripMargin, extraCte = true),
+
+    // same quantized-log grid and fixed-order regression arithmetic
+    "zipf_fit" ->
+      s"""WITH tok AS (SELECT lang, unnest(${SparkEntry.sqlTokens("text")}) AS t
+         |  FROM documents),
+         |c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+         |    ORDER BY c DESC, t ASC) AS rk FROM c),
+         |q AS (SELECT lang,
+         |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+         |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+         |  FROM r WHERE rk <= 100),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+         |  FROM q GROUP BY lang HAVING count(*) >= 2),
+         |sl AS (SELECT lang, n, sx, sy,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |  FROM s)
+         |SELECT lang, n AS n_terms, round(slope, 4) AS slope,
+         |  round((CAST(sy AS DOUBLE) / 1000000.0
+         |    - slope * (CAST(sx AS DOUBLE) / 1000000.0))
+         |    / CAST(n AS DOUBLE), 4) AS intercept
+         |FROM sl ORDER BY lang""".stripMargin,
 
     "table_profile" ->
       """WITH e AS (SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v FROM documents

@@ -581,6 +581,58 @@ object CorpusStats {
         negate(col("__kw.score")).cast("long").as("cnt"))
   }
 
+  /** Zipf rank-frequency fit (X88): regress ln(count) on ln(rank)
+    * over each group's top-k tokens — the slope is −s of Zipf's law.
+    * A corpus whose slope flattens toward 0 is template/spam-heavy
+    * (token mass spread unnaturally evenly); one that steepens lost
+    * diversity to boilerplate — the one-number corpus-health gauge
+    * next to [[vocabGrowth]]'s curve.
+    *
+    * Determinism: the per-group ranking is the bounded TopKStrAgg
+    * (count DESC, token ASC — never a rank window over the skewed
+    * group key); both regression coordinates are QUANTIZED logs
+    * (round(ln·10⁶) longs), so Σx, Σy, Σxy, Σx² are exact integer
+    * sums (per-term products bounded by ln(k)·ln(2⁶³)·10¹² ≈ 2·10¹⁴ —
+    * no overflow at any real k/count), and slope/intercept are
+    * fixed-order doubles of exact operands. Groups with < 2 distinct
+    * tokens are omitted (no regression line).
+    *
+    * Output: (groupCol, n_terms, slope, intercept) — intercept in ln
+    * units, both rounded 1e-4. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+              k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 10000, "k must be in [2, 10000]")
+    val counts = docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    val ranked = counts.groupBy(col("__g"))
+      .agg(topk(col("t"), negate(col("c").cast("double"))).as("__top"))
+      .select(col("__g"), posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col("__g"),
+        round(log((col("__i") + 1).cast("double")) * 1000000).cast("long")
+          .as("__xq"),
+        round(log(negate(col("__kw.score"))) * 1000000).cast("long")
+          .as("__yq"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy / 1000000.0 - slope * (sx / 1000000.0)) / n
+    ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__xq")).as("__sx"), sum(col("__yq")).as("__sy"),
+        sum(col("__xq") * col("__yq")).as("__sxy"),
+        sum(col("__xq") * col("__xq")).as("__sxx"))
+      .where(col("__n") >= 2)
+      .select(col("__g").as(groupCol), col("__n").as("n_terms"),
+        round(slope, 4).as("slope"), round(intercept, 4).as("intercept"))
+  }
+
   /** Corpus bigram PMI collocations (X77, Church & Hanks 1990):
     * pmi(a,b) = ln p(ab) − ln p(a) − ln p(b) with p(ab) = c_ab/N_b,
     * p(a) = c_a/N₁ — the classic collocation / multi-word-expression

@@ -262,6 +262,39 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** The corpus's winnow fingerprint index (X87): (doc_corpus, fp)
+    * distinct selected-fingerprint postings — ~2/(window+1) the size
+    * of the full shingle index (the X62 economics), the artifact a
+    * production pipeline MAINTAINS for span-level batch probes. Store
+    * uncapped (the X63 cap-monotonicity rule); cap at read with
+    * [[capPostings]]. */
+  def winnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  kGram: Int = 4, window: Int = 4): DataFrame =
+    winnowSelected(corpus, idCol, textCol, kGram, window)
+      .select(col("doc").as("doc_corpus"), explode(array_distinct(transform(
+        col("__selkeys"), k => shiftright(k, WinnowPosBits)))).as("fp"))
+
+  /** Batch-vs-corpus winnow probe (X87 — the dedup_incremental shape
+    * at the winnow index-size point): only the BATCH is tokenized and
+    * fingerprinted per run; the corpus side is the materialized
+    * [[winnowIndex]] with the stop cap applied at read. Candidate
+    * generation is the fp equi-join — batch×corpus, never
+    * corpus×corpus. Returns (doc_new, doc_corpus, shared ≥
+    * minShared). */
+  def winnowPairsAgainstIndex(index: DataFrame, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              kGram: Int = 4, window: Int = 4,
+                              minShared: Long = 2,
+                              maxFpFreq: Long = 1000): DataFrame = {
+    val batch = winnowSelected(newDocs, idCol, textCol, kGram, window)
+      .select(col("doc").as("doc_new"), explode(array_distinct(transform(
+        col("__selkeys"), k => shiftright(k, WinnowPosBits)))).as("fp"))
+    capPostings(index, "fp", maxFpFreq).join(batch, "fp")
+      .groupBy(col("doc_new"), col("doc_corpus"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Incremental near-dup: Jaccard pairs between a batch of NEW docs
     * and an existing corpus — the continuous-ingest shape (dedup each
     * crawl batch against everything already kept). Only the batch is

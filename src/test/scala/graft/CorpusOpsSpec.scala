@@ -422,6 +422,31 @@ class CorpusOpsSpec extends SparkSpec {
       ("B", 1L, "p q r", 1L)), got.toString)
   }
 
+  test("zipfFit (X88): matches a driver-side replay of the quantized regression; " +
+    "tiny groups omitted") {
+    val docs = Seq(
+      (1L, "g", ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim),
+      (2L, "solo", "x") // 1 distinct token → no regression line
+    ).toDF("doc_id", "grp", "text")
+    val got = CorpusStats.zipfFit(docs, "grp", "text", k = 100)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // replay: ranks by (count DESC, token ASC), quantized ln grid
+    val counts = Seq(8L, 4L, 2L, 1L) // a, b, c, d
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy / 1e6 - slope * (sx / 1e6)) / n
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("g", 4L, r4(slope), r4(intercept))), got.toString)
+    assert(slope < 0, "rank-frequency slope must be negative")
+  }
+
   test("bigramPmi (X77): hand-computed PMI of a planted collocation") {
     // unigrams a:4 b:3 c:2 d:1 (N₁=10); bigrams (a,b):3 (c,d):1 (a,c):1
     // (N_b=5); minCount=2 keeps only (a,b):

@@ -317,6 +317,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 1L)), got.toString)
   }
 
+  test("winnowPairsAgainstIndex (X87): batch probes the corpus index only — " +
+    "never corpus x corpus") {
+    val shared = "the winnowing fingerprint scheme selects the minimum " +
+      "hash of every window of consecutive k gram hashes"
+    val corpus = Seq(
+      (1L, shared + " corpus copy one"),
+      (3L, shared + " corpus copy two"),   // corpus-internal near-dup
+      (5L, "completely unrelated corpus text about nothing shared here " +
+        "with more filler words to clear the window minimum")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, shared + " batch copy"),
+      (4L, "fresh batch text with no overlap at all against anything " +
+        "stored in the corpus fingerprint index today")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.winnowIndex(corpus, "doc_id", "text")
+    val got = Dedup.winnowPairsAgainstIndex(idx, batch, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // batch doc 2 hits both corpus copies; the corpus-internal pair
+    // (1,3) and the batch-internal non-pair never appear
+    assert(got == Set((2L, 1L), (2L, 3L)), got.toString)
+  }
+
   test("simhashWeighted (X86): idf-0 tokens are voteless; a single content " +
     "token IS the fingerprint") {
     // "common" appears in every doc → idf = ln(1) = 0 → weight 0: the
