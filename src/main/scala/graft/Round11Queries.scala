@@ -491,9 +491,10 @@ object Round11Queries {
     * twin of [[graft.operators.Dedup.winnowFingerprints]]'s selection
     * stage at kGram = 4, window = 4. `extraCte = true` when `select`
     * continues the WITH-list with its own `name AS (...)` clause. */
-  private[graft] def winnowCtes(select: String, extraCte: Boolean = false): String =
+  private[graft] def winnowCtes(select: String, extraCte: Boolean = false,
+                                source: String = "documents"): String =
     s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
-       |  FROM documents),
+       |  FROM $source),
        |shs AS (SELECT doc, ${SparkEntry.sqlShingleHashesOfTh(4)} AS shs FROM tha),
        |keys AS (SELECT doc, len(shs) AS m,
        |    list_transform(range(0, len(shs)),

@@ -87,6 +87,29 @@ object Round12Queries {
         .orderBy("doc_new", "doc_corpus")
     }),
 
+    // ---- X87b: incremental winnow-index maintenance — the X63
+    // update≡rebuild proof at the winnow index-size point: the oracle
+    // REBUILDS from the new corpus while Spark serves the UPDATED
+    // index ----------------------------------------------------------
+    "winnow_index_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val diff = TrainingData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      val stale = diff.where(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      val fresh = newSnap.join(
+        diff.where(col("status").isin("added", "changed"))
+          .select(col("doc_id")), "doc_id")
+      val updated = Dedup.updateWinnowIndex(
+        Dedup.winnowIndex(oldSnap, "doc_id", "text"),
+        stale, fresh, "doc_id", "text")
+      Dedup.winnowPairsFromIndex(updated).orderBy("doc_a", "doc_b")
+    }),
+
     // ---- X88: Zipf rank-frequency fit per language — the one-number
     // corpus-health gauge next to vocab_growth's curve ---------------
     "zipf_fit" -> ((s, dir) =>
@@ -259,6 +282,24 @@ object Round12Queries {
         |FROM fpcf JOIN fpn USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_new, doc_corpus""".stripMargin, extraCte = true),
+
+    // rebuild-from-scratch twin over the NEW corpus (the
+    // index_update_pairs precedent): serving the updated index must be
+    // indistinguishable from a fresh build
+    "winnow_index_update" -> Round11Queries.winnowCtes(
+      """fp AS (SELECT doc, unnest(list_distinct(
+        |    list_transform(selkeys, x -> x >> 21))) AS fp FROM sel),
+        |freq AS (SELECT fp, count(*) AS f FROM fp GROUP BY fp),
+        |fpf AS (SELECT p.doc, p.fp FROM fp p JOIN freq USING (fp)
+        |  WHERE f BETWEEN 2 AND 1000)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM fpf a JOIN fpf b USING (fp) WHERE a.doc < b.doc
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin, extraCte = true,
+      source = "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || ' v2' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 5 <> 0) newc"),
 
     // same quantized-log grid and fixed-order regression arithmetic
     "zipf_fit" ->

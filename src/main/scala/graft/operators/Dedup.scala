@@ -274,6 +274,35 @@ object Dedup {
       .select(col("doc").as("doc_corpus"), explode(array_distinct(transform(
         col("__selkeys"), k => shiftright(k, WinnowPosBits)))).as("fp"))
 
+  /** Incremental maintenance of the winnow fingerprint index (the X63
+    * update≡rebuild rule at the winnow index-size point): drop every
+    * posting of `staleIds` (removed + changed docs), append fresh
+    * postings for `freshDocs` (added + changed) — the anti-join keys
+    * on the uniform doc id and only the fresh docs are tokenized.
+    * `update(winnowIndex(old), diff) == winnowIndex(new)` EXACTLY. */
+  def updateWinnowIndex(index: DataFrame, staleIds: DataFrame,
+                        freshDocs: DataFrame, idCol: String,
+                        textCol: String, kGram: Int = 4,
+                        window: Int = 4): DataFrame =
+    index.join(staleIds.select(col(staleIds.columns.head).as("doc_corpus")),
+        Seq("doc_corpus"), "left_anti")
+      .unionByName(winnowIndex(freshDocs, idCol, textCol, kGram, window))
+
+  /** Full-corpus winnow candidate pairs served from the MATERIALIZED
+    * fingerprint index — identical output to [[winnowPairs]] at the
+    * same cap (the jaccardPairsFromIndex precedent: fingerprinting
+    * never runs at query time). */
+  def winnowPairsFromIndex(index: DataFrame, minShared: Long = 2,
+                           maxFpFreq: Long = 1000): DataFrame = {
+    val f = capPostings(index, "fp", maxFpFreq, minFreq = 2)
+    f.as("a").join(f.as("b"), "fp")
+      .where(col("a.doc_corpus") < col("b.doc_corpus"))
+      .groupBy(col("a.doc_corpus").as("doc_a"),
+        col("b.doc_corpus").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Batch-vs-corpus winnow probe (X87 — the dedup_incremental shape
     * at the winnow index-size point): only the BATCH is tokenized and
     * fingerprinted per run; the corpus side is the materialized

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming event-type transitions ([EXT], the continuous form of
+  * [[graft.operators.Funnel.eventTransitions]]): per-user state is
+  * exactly the LAST event — (type, ts, id), three values — so the
+  * chain continues seamlessly across micro-batches with bounded state
+  * (the StreamingFunnel k-longs rule; the batch operator's lag window
+  * needs the whole history present at once).
+  *
+  * Emits one Append-mode (prev, next) row per consecutive event pair;
+  * the transition matrix is the running
+  * `groupBy(prev, next).count()` of the deltas. Within a batch events
+  * sort by the batch operator's pinned (ts, event id) order; across
+  * batches the stored last event heads the next batch's fold.
+  *
+  * Semantics vs batch (pinned in StreamingSpec): identical whenever
+  * each user's events arrive in non-decreasing (ts, id) order across
+  * batches (the log-tail case). A late event that lands BEFORE the
+  * stored last event would need history retention to splice into the
+  * chain — it is instead chained after (documented trade).
+  */
+object StreamingTransitions {
+
+  final case class TEvent(user: Long, typ: String, ts: Long, id: Long)
+  final case class Transition(prev: String, next: String)
+
+  def transitionDeltas(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"), col(typeCol).as("typ"),
+        col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"))
+      .as[TEvent]
+    typed.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TEvent],
+         state: GroupState[(String, Long, Long)]) =>
+          val batch = rows.toArray.sortBy(e => (e.ts, e.id))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption.orNull
+            val out = batch.map { e =>
+              val t = if (last == null) None else Some(Transition(last._1, e.typ))
+              last = (e.typ, e.ts, e.id)
+              t
+            }
+            state.update(last)
+            out.iterator.flatten
+          }
+      }
+  }
+}

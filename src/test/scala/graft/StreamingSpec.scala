@@ -769,6 +769,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions: cross-batch chains match the batch lag; " +
+    "state is one event") {
+    val dir = Files.createTempDirectory("transitions-stream").toString
+    // user 1 chains a→b within batch 1, then b→c ACROSS the batch
+    // boundary (the stored last event heads batch 2's fold); user 2's
+    // same-instant pair pins the (ts, id) tiebreak
+    val b1 = Seq((10L, 1L, "a", 1L), (11L, 1L, "b", 2L),
+      (20L, 2L, "a", 5L), (21L, 2L, "b", 5L))
+    val b2 = Seq((12L, 1L, "c", 3L), (22L, 2L, "a", 6L))
+    def toDf(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT")
+      .parquet(dir)
+    val q = graft.streaming.StreamingTransitions.transitionDeltas(
+      stream.toDF(), "user_id", "event_type", "ts", "event_id")
+      .toDF("prev", "next")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("transitions_stream")
+        .groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      val want = graft.operators.Funnel.eventTransitions(
+        toDf(b1 ++ b2), "user_id", "event_type", "ts", "event_id")
+        .select(col("prev"), col("next"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      // the cross-batch chain b→c was emitted (user 1's batch-2 event)
+      assert(got.contains(("b", "c", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming volume anomalies: running counts + foreachBatch scoring " +
     "match the batch operator") {
     val dir = Files.createTempDirectory("anomaly-stream").toString
