@@ -36,6 +36,22 @@ object Scratch {
     def gated(name: String)(body: => Unit): Unit =
       if (section == "all" || section == name) body
 
+    // plan dump: `Scratch explain q1,q2 [sfDir]` prints the formatted
+    // physical plan of each named SparkEntry query — the .explain
+    // audit loop without writing a throwaway main
+    if (section == "explain") {
+      val names = args.lift(1).getOrElse("").split(",").map(_.trim)
+        .filter(_.nonEmpty)
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+      names.foreach { n =>
+        println(s"===== $n =====")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
+      }
+      spark.stop(); return
+    }
+
     // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
