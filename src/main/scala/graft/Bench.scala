@@ -54,7 +54,8 @@ object Bench {
     "template_groups", "quality_winsorized",
     "minhash_est_error", "embedding_drift", "bpe_fertility",
     "table_profile", "event_transitions", "simhash_weighted",
-    "winnow_incremental", "zipf_fit", "winnow_index_update")
+    "winnow_incremental", "zipf_fit", "winnow_index_update",
+    "dedup_impact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

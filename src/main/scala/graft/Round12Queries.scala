@@ -87,6 +87,15 @@ object Round12Queries {
         .orderBy("doc_new", "doc_corpus")
     }),
 
+    // ---- X89: per-source dedup impact — the provenance dashboard for
+    // the drops dedup_corpus applies; near pairs served from the
+    // materialized index ---------------------------------------------
+    "dedup_impact" -> ((s, dir) =>
+      Dedup.dedupImpact(t(s, dir, "documents"), "doc_id", "source", "text",
+        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
+          minJaccard = 0.3))
+        .orderBy("source")),
+
     // ---- X87b: incremental winnow-index maintenance — the X63
     // update≡rebuild proof at the winnow index-size point: the oracle
     // REBUILDS from the new corpus while Spark serves the UPDATED
@@ -282,6 +291,29 @@ object Round12Queries {
         |FROM fpcf JOIN fpn USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_new, doc_corpus""".stripMargin, extraCte = true),
+
+    // the dedup_corpus drop rules grouped by source: exact = non-keeper
+    // of an md5 group, near = doc_b of a jac >= 0.3 pair
+    "dedup_impact" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |near AS (SELECT DISTINCT doc_b AS id FROM jpairs WHERE jac >= 0.3),
+         |exact AS (SELECT doc_id AS id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM documents) WHERE doc_id <> keeper),
+         |f AS (SELECT d.source, d.doc_id,
+         |    CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN n.id IS NOT NULL THEN 1 ELSE 0 END AS n
+         |  FROM documents d
+         |  LEFT JOIN exact e ON d.doc_id = e.id
+         |  LEFT JOIN near n ON d.doc_id = n.id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e) AS BIGINT) AS n_exact,
+         |  CAST(sum(n) AS BIGINT) AS n_near,
+         |  CAST(sum(CASE WHEN e = 1 OR n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_drop,
+         |  round(CAST(count(*) - sum(CASE WHEN e = 1 OR n = 1 THEN 1 ELSE 0
+         |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // rebuild-from-scratch twin over the NEW corpus (the
     // index_update_pairs precedent): serving the updated index must be

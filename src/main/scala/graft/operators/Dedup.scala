@@ -95,6 +95,41 @@ object Dedup {
       .where(col(idCol) =!= col("keeper"))
       .select(col(idCol))
 
+  /** Per-source dedup impact report (X89): how much of each source
+    * exact- and near-dup dedup would remove — the provenance-level
+    * "who is sending us duplicates" dashboard, the reporting twin of
+    * [[dedupedCorpus]] (which APPLIES the drops this MEASURES; same
+    * drop rules: exact = non-keeper of an md5 group, near = doc_b of a
+    * qualifying pair).
+    *
+    * Query-time cost is aggregate-only when `nearPairs` is served from
+    * the materialized shingle index: one md5 groupBy for the exact
+    * side, two left joins on the uniform doc id, one |sources|-row
+    * rollup. Output: (sourceCol, n_docs, n_exact, n_near, n_drop —
+    * distinct union of the two, keep_rate). */
+  def dedupImpact(docs: DataFrame, idCol: String, sourceCol: String,
+                  textCol: String, nearPairs: DataFrame,
+                  minJaccard: Double = 0.3): DataFrame = {
+    val near = nearPairs.where(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("__id")).distinct()
+      .withColumn("__n", lit(1L))
+    val exact = exactDropIds(docs, idCol, textCol)
+      .select(col(idCol).as("__id")).withColumn("__e", lit(1L))
+    docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+      .join(near, Seq("__id"), "left")
+      .join(exact, Seq("__id"), "left")
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_near"),
+        sum(when(col("__e").isNotNull || col("__n").isNotNull, 1L)
+          .otherwise(0L)).as("n_drop"))
+      .select(col("__src").as(sourceCol), col("n_docs"), col("n_exact"),
+        col("n_near"), col("n_drop"),
+        round((col("n_docs") - col("n_drop")).cast("double") /
+          col("n_docs").cast("double"), 4).as("keep_rate"))
+  }
+
   /** N-gram Jaccard similarity pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle (candidate pairs
     * share ≥1 shingle), count intersections, compute

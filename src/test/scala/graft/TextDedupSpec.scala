@@ -317,6 +317,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 1L)), got.toString)
   }
 
+  test("dedupImpact (X89): exact/near drops attributed per source; overlap " +
+    "counted once in n_drop") {
+    val shared = "a long shared passage of text that makes these two " +
+      "documents near duplicates of one another for sure"
+    val docs = Seq(
+      (1L, "A", "identical text"),
+      (2L, "A", "identical text"),          // exact dup → drop (keeper 1)
+      (3L, "B", shared + " alpha"),
+      (4L, "B", shared + " beta"),          // near dup of 3 → drop doc_b
+      (5L, "C", "unique and unrelated text here")
+    ).toDF("doc_id", "source", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.3)
+    val got = Dedup.dedupImpact(docs, "doc_id", "source", "text", pairs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 1L, 0L, 1L, 0.5),
+      ("B", 2L, 0L, 1L, 1L, 0.5),
+      ("C", 1L, 0L, 0L, 0L, 1.0)), got.toString)
+  }
+
   test("winnowPairsAgainstIndex (X87): batch probes the corpus index only — " +
     "never corpus x corpus") {
     val shared = "the winnowing fingerprint scheme selects the minimum " +
