@@ -55,7 +55,7 @@ object Bench {
     "minhash_est_error", "embedding_drift", "bpe_fertility",
     "table_profile", "event_transitions", "simhash_weighted",
     "winnow_incremental", "zipf_fit", "winnow_index_update",
-    "dedup_impact")
+    "dedup_impact", "readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

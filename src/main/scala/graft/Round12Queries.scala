@@ -87,6 +87,12 @@ object Round12Queries {
         .orderBy("doc_new", "doc_corpus")
     }),
 
+    // ---- X90: Flesch reading ease on a deterministic syllable proxy
+    // — map-only, three regexp counts, fixed-order double arithmetic -
+    "readability" -> ((s, dir) =>
+      Curation.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- X89: per-source dedup impact — the provenance dashboard for
     // the drops dedup_corpus applies; near pairs served from the
     // materialized index ---------------------------------------------
@@ -291,6 +297,23 @@ object Round12Queries {
         |FROM fpcf JOIN fpn USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_new, doc_corpus""".stripMargin, extraCte = true),
+
+    // same regex classes (plain char classes — identical under Java
+    // regex and RE2), same op order, same sentence floor
+    "readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len(${SparkEntry.sqlTokens("text")}) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |      AS BIGINT) AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 THEN round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+         |    4) END AS flesch
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // the dedup_corpus drop rules grouped by source: exact = non-keeper
     // of an md5 group, near = doc_b of a jac >= 0.3 pair

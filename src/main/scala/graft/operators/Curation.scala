@@ -327,6 +327,39 @@ object Curation {
           (col("n").cast("double") * 10000.0), 4).as("wmean"))
   }
 
+  /** Flesch reading-ease score (X90): the classic readability signal
+    * (Flesch 1948) on a deterministic syllable proxy — syllables ≈
+    * vowel-group runs `[aeiouy]+`, sentences ≈ terminal-punctuation
+    * runs `[.!?]+` (floored at 1 so punctuation-free fragments stay
+    * defined), words = whitespace tokens:
+    *
+    *   flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *
+    * Map-ONLY (three regexp counts + fixed-order double arithmetic on
+    * exact integers, zero exchanges — the gopherRules shape); both
+    * regexes are plain character classes, identical under Java regex
+    * and RE2-style engines, so the oracle replays the counts exactly.
+    * Empty docs (0 words) score null.
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch ·1e-4
+    * rounded). */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(graft.functions.TextFunctions.tokens(col(textCol)))
+      .cast("long")
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syll = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    docs.select(col(idCol),
+        words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0, round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 4)))
+  }
+
   // ---------------------------------------------------------------
   // DSIR importance weights
   // ---------------------------------------------------------------

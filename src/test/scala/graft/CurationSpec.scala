@@ -554,4 +554,24 @@ class CurationSpec extends SparkSpec {
     // a single-value group: both cutoffs equal the value
     assert(got("solo") == (("solo", 1L, 5.0, 5.0, 5.0)), got.toString)
   }
+
+  test("readability (X90): hand-counted Flesch terms; empty doc scores null; " +
+    "map-only") {
+    import spark.implicits._
+    // "See it run. It runs far!" — 6 words, 2 sentence runs,
+    // vowel runs: see(ee) it(i) run(u) it(i) runs(u) far(a) = 6
+    val docs = Seq((1L, "See it run. It runs far!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.readability(docs, "doc_id", "text")
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"readability must be map-only:\n$p")
+    val got = out.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    val flesch = BigDecimal(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 6L, 2L, 6L, Some(flesch)),
+      (2L, 0L, 1L, 0L, None)), got.toString)
+  }
 }
