@@ -55,7 +55,9 @@ object Bench {
     "minhash_est_error", "embedding_drift", "bpe_fertility",
     "table_profile", "event_transitions", "simhash_weighted",
     "winnow_incremental", "zipf_fit", "winnow_index_update",
-    "dedup_impact", "readability")
+    "dedup_impact", "readability",
+    "cross_source_pairs", "decontam_semantic", "events_trend",
+    "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

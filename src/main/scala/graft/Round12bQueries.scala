@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, Curation, Decontaminate, Dedup, Funnel, Skew}
+import graft.functions.{TextFunctions => TF}
+
+/** Round-12 [EXT] batch B: provenance/diagnostic operators — the
+  * cross-source duplication matrix (X91), semantic decontamination
+  * (X92), event-volume trend (X93), SQ8 reconstruction calibration
+  * (X94), the join-key skew histogram (X95), MAD robust outliers
+  * (X96), and the classifier confusion matrix (X97). Every entry is
+  * HASH-gated against a DuckDB twin.
+  */
+object Round12bQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private def tsOf(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$c div 1000"))
+      case _ => col(c).cast("timestamp")
+    }
+
+  /** The planted eval set for decontam_semantic: every 50th embedding,
+    * perturbed ±3% per-component (the semantic_dedup perturbation —
+    * deterministic, engine-replayable), re-idd +100000. Natural
+    * train/eval cosine distances in the fixture bottom out at ~0.58,
+    * so maxCosDist = 0.15 flags exactly the planted leaks. */
+  private def plantedEval(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X91: cross-source duplication matrix — which source PAIRS
+    // the near-dup mass bridges (mirrors, syndication, crawler
+    // overlap); pairs served from the materialized shingle index -----
+    "cross_source_pairs" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(t(s, dir, "documents"), "doc_id", "source",
+        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
+          minJaccard = 0.3))
+        .orderBy("src_a", "src_b")),
+
+    // ---- X92: semantic decontamination — train vectors within
+    // cosine 0.15 of a (broadcast) eval set; map-only scan, per-train
+    // rollup on the uniform id ---------------------------------------
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticHits(emb, plantedEval(emb),
+        "vec_id", "embedding", maxCosDist = 0.15)
+        .orderBy("doc_train")
+    }),
+
+    // ---- X93: per-type event-volume trend — daily counts regressed
+    // on the re-based period index; exact integer regression sums ----
+    "events_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e2 = ev.withColumn("__tsus", unix_micros(tsOf(ev, "ts")))
+      Funnel.volumeTrend(e2, "event_type", "__tsus",
+        bucketUs = 86400000000L)
+        .orderBy("event_type")
+    }),
+
+    // ---- X94: SQ8 reconstruction-error calibration per label — the
+    // "measure your sketch" report for the int8 storage tier ---------
+    "sq_recon_error" -> ((s, dir) =>
+      graft.index.SqIndex.reconErrorByGroup(t(s, dir, "embeddings"),
+        "label", "embedding")
+        .orderBy("label")),
+
+    // ---- X95: join-key skew histogram — log₂ frequency buckets of
+    // the per-key row counts, the pre-join skew diagnostic -----------
+    "skew_profile" -> ((s, dir) =>
+      Skew.keyFreqHistogram(t(s, dir, "events"), "user_id")
+        .orderBy("bucket")),
+
+    // ---- X96: MAD robust length outliers per language — the
+    // median/MAD sibling of the z-score (immune to the outliers it
+    // hunts); k=2 on the fixture's tight synthetic lengths -----------
+    "quality_mad" -> ((s, dir) =>
+      Curation.madOutliers(t(s, dir, "documents"), "lang", "doc_id",
+        "n_chars", k = 2.0)
+        .orderBy("doc_id")),
+
+    // ---- X97: lang-ID confusion matrix — predicted × actual counts
+    // with per-actual-class shares (the recall readout) --------------
+    "langid_confusion" -> ((s, dir) =>
+      Classifier.confusionMatrix(
+        t(s, dir, "documents").select(
+          TF.langIdHeuristic(col("text")).as("pred"),
+          col("lang").as("actual")),
+        "pred", "actual")
+        .orderBy("pred", "actual")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cross_source_pairs" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |np AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.3),
+         |src AS (SELECT doc_id, source FROM documents),
+         |cells AS (SELECT least(sa.source, sb.source) AS src_a,
+         |   greatest(sa.source, sb.source) AS src_b,
+         |   CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM np JOIN src sa ON np.doc_a = sa.doc_id
+         |          JOIN src sb ON np.doc_b = sb.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE)
+         |    / CAST((SELECT sum(n_pairs) FROM cells) AS DOUBLE), 4) AS share
+         |FROM cells ORDER BY src_a, src_b""".stripMargin,
+
+    "decontam_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id + 100000 AS e,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL))
+         |      AS embedding
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |hits AS (SELECT t.vec_id AS doc_train, ev.e,
+         |    ${SparkEntry.sqlCosDist("t.embedding", "ev.embedding")} AS cd
+         |  FROM embeddings t CROSS JOIN ev),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY doc_train
+         |                                   ORDER BY cd, e) AS rn
+         |  FROM hits WHERE cd <= 0.15)
+         |SELECT doc_train,
+         |  CAST(count(*) OVER (PARTITION BY doc_train) AS BIGINT) AS n_hits,
+         |  round(cd, 4) AS min_cos_dist, e AS closest_eval
+         |FROM f WHERE rn = 1 ORDER BY doc_train""".stripMargin,
+
+    "events_trend" ->
+      """WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS wk,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mins AS (SELECT event_type, min(wk) AS w0 FROM cnt GROUP BY 1),
+        |b AS (SELECT cnt.event_type, cnt.wk - mins.w0 AS x, cnt.n
+        |  FROM cnt JOIN mins USING (event_type)),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x*n) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, m AS n_periods,
+        |  round(CAST(sy AS DOUBLE) / CAST(m AS DOUBLE), 4) AS avg_volume,
+        |  round((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) AS slope
+        |FROM st WHERE m >= 2 ORDER BY event_type""".stripMargin,
+
+    "sq_recon_error" ->
+      """WITH s AS (SELECT label, embedding,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |  WHERE len(embedding) > 0
+        |    AND list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) > 0),
+        |e AS (SELECT label,
+        |  CAST(round(list_reduce(list_prepend(0.0,
+        |    list_transform(embedding, x ->
+        |      (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE)*scale)/scale) *
+        |      (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE)*scale)/scale))),
+        |    (a, b) -> a + b) * 100000000.0) AS BIGINT) AS q
+        |  FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(q) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS mean_err2_ppm,
+        |  round(CAST(max(q) AS DOUBLE) / 100.0, 4) AS max_err2_ppm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_freq
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "quality_mad" ->
+      """WITH med AS (SELECT lang,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS med
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT doc_id, documents.lang, CAST(n_chars AS DOUBLE) AS v,
+        |    med, abs(CAST(n_chars AS DOUBLE) - med) AS dev
+        |  FROM documents JOIN med ON documents.lang = med.lang),
+        |madt AS (SELECT lang, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT doc_id, d.lang, v AS n_chars, med, mad,
+        |  round(dev, 4) AS dev,
+        |  CASE WHEN mad > 0.0 THEN round(dev / mad, 4) END AS score
+        |FROM d JOIN madt USING (lang)
+        |WHERE dev > 2.0 * mad ORDER BY doc_id""".stripMargin,
+
+    "langid_confusion" ->
+      s"""WITH pr AS (SELECT doc_id,
+         |    CASE WHEN ${SparkEntry.sqlStopFrac("text")} >= 0.05
+         |      THEN 'en' ELSE 'other' END AS pred
+         |  FROM documents),
+         |j AS (SELECT pr.pred, d.lang AS actual
+         |  FROM pr JOIN documents d USING (doc_id)),
+         |cells AS (SELECT pred, actual, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2),
+         |tot AS (SELECT actual, CAST(sum(n) AS BIGINT) AS t
+         |  FROM cells GROUP BY 1)
+         |SELECT pred, actual, n,
+         |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS class_share
+         |FROM cells JOIN tot USING (actual) ORDER BY pred, actual""".stripMargin,
+  )
+}

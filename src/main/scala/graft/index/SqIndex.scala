@@ -59,6 +59,45 @@ object SqIndex {
         }),
       lit(0.0), (acc, x) => acc + x))
 
+  /** SQ8 reconstruction-error calibration (X94): per-group stats of
+    * the exact round-trip error the int8 tier injects — the "measure
+    * your sketch" report (the minhash-calibration precedent, X81)
+    * to run BEFORE trusting quantized distances at a new embedding
+    * model or dimensionality. Per vector: recon = code/scale under the
+    * [[encode]] contract, err² = Σ(x − recon)² folded in array order
+    * (a fixed-order IEEE chain both engines replay identically);
+    * per-group mean rides an exact quantized-long sum (round(err²·10⁸)
+    * — the skew_salted_agg rule: double sums are reduction-order
+    * sensitive, long sums are not), max is an exact long max.
+    *
+    * Map-only until one |groups|-row rollup; zero/NULL/empty vectors
+    * are excluded (they encode to NULL codes and carry no error).
+    * Errors are reported in PARTS-PER-MILLION of squared distance
+    * (int8 roundtrip error on unit-ish vectors is ~1e-5 — ppm keeps
+    * four significant digits under the gate's 1e-4 rounding).
+    *
+    * Output: (groupCol, n, mean_err2_ppm, max_err2_ppm — both ·1e-4
+    * rounded). */
+  def reconErrorByGroup(df: DataFrame, groupCol: String,
+                        vecCol: String): DataFrame = {
+    val errSq = aggregate(
+      transform(col(vecCol).cast("array<double>"),
+        x => {
+          val e = x - round(x * col("__scale")) / col("__scale")
+          e * e
+        }),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(col(groupCol), col(vecCol),
+        VF.quantizeScale(col(vecCol)).as("__scale"))
+      .where(col("__scale").isNotNull && size(col(vecCol)) > 0)
+      .select(col(groupCol), round(errSq * 100000000.0).cast("long").as("__q"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__q")).cast("double") /
+          (count(lit(1)).cast("double") * 100.0), 4).as("mean_err2_ppm"),
+        round(max(col("__q")).cast("double") / 100.0, 4).as("max_err2_ppm"))
+  }
+
   /** Persist: codes partitioned by cluster — the on-disk inverted file
     * with 4×-compressed payloads (probes read only their cluster
     * directories AND a quarter of the bytes). */

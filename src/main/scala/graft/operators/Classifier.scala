@@ -229,4 +229,28 @@ object Classifier {
         .as("pred_label"),
       array_max(cnts).cast("long").as("votes"))
   }
+
+  /** Confusion matrix (X97): predicted × actual label counts plus each
+    * cell's share of its ACTUAL class (the per-class recall readout) —
+    * the evaluation report every classifier in this suite (lang-ID
+    * heuristic, NB quality classifier, k-NN propagation) should be
+    * audited with before its predictions gate data.
+    *
+    * Scale: one map-side-partial count aggregate on the (pred, actual)
+    * pair key (|labels|² cells — tiny), one broadcast of the
+    * |labels|-row actual-class totals, one exact-operand division.
+    * Nothing row-proportional leaves the mappers. */
+  def confusionMatrix(scored: DataFrame, predCol: String,
+                      actualCol: String): DataFrame = {
+    val cells = scored
+      .groupBy(col(predCol).cast("string").as("pred"),
+        col(actualCol).cast("string").as("actual"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("actual"))
+      .agg(sum(col("n")).as("__t"))
+    cells.join(broadcast(totals), Seq("actual"))
+      .select(col("pred"), col("actual"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 4)
+          .as("class_share"))
+  }
 }

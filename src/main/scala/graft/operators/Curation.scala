@@ -327,6 +327,48 @@ object Curation {
           (col("n").cast("double") * 10000.0), 4).as("wmean"))
   }
 
+  /** Per-group MAD robust outliers (X96): flag documents whose value
+    * deviates from the group median by more than `k`× the group's
+    * median absolute deviation — the robust sibling of the z-score
+    * (X74): a handful of 10 MB crawl artifacts inflate a mean/sd badly
+    * enough to mask themselves, while the median/MAD pair is immune to
+    * 50% contamination.
+    *
+    * Scale/determinism shape: BOTH medians ride the
+    * [[quantileBuckets]] broadcast-percentile pattern (1e-4-rounded,
+    * one |groups|-row aggregate each, never a per-group sort window;
+    * Spark's exact percentile buffers value→count — memory ∝ distinct
+    * VALUES, which a length-like signal bounds, not rows). Deviations
+    * compare exactly: value and median are identical doubles in both
+    * engines (the len_quantiles parity), so `dev > k·mad` can't flip.
+    * Degenerate groups (mad = 0 — over half the values identical) flag
+    * any nonzero deviation and report a null score.
+    *
+    * Output: flagged docs (idCol, groupCol, valueCol, med, mad,
+    * dev ·1e-4 rounded, score = dev/mad ·1e-4 rounded or null). */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint(true)
+    val med = scored.groupBy(col(groupCol))
+      .agg(round(percentile(col("__v"), lit(0.5)), 4).as("__med"))
+    val dev = scored.join(broadcast(med), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__v"), col("__med"),
+        abs(col("__v") - col("__med")).as("__dev"))
+      .localCheckpoint(true)
+    val mad = dev.groupBy(col(groupCol))
+      .agg(round(percentile(col("__dev"), lit(0.5)), 4).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("__dev") > lit(k) * col("__mad"))
+      .select(col(idCol), col(groupCol), col("__v").as(valueCol),
+        col("__med").as("med"), col("__mad").as("mad"),
+        round(col("__dev"), 4).as("dev"),
+        when(col("__mad") > 0.0, round(col("__dev") / col("__mad"), 4))
+          .as("score"))
+  }
+
   /** Flesch reading-ease score (X90): the classic readability signal
     * (Flesch 1948) on a deterministic syllable proxy — syllables ≈
     * vowel-group runs `[aeiouy]+`, sentences ≈ terminal-punctuation

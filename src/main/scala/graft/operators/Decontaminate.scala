@@ -95,6 +95,42 @@ object Decontaminate {
     stats.foldLeft(counts)((acc, s) => acc.join(s, Seq("doc"), "left"))
   }
 
+  /** Semantic decontamination report (X92): training vectors whose
+    * embedding sits within `maxCosDist` of ANY eval-set embedding —
+    * the vector-space sibling of [[contaminationPairs]] (paraphrased
+    * or re-tokenized eval leakage that shares no 5-gram). One row per
+    * CONTAMINATED train vector: hit count, closest eval distance, and
+    * the closest eval id (ties on the raw distance break to the
+    * smaller eval id — pinned in both engines).
+    *
+    * Scale shape: eval sets are thousands of rows while the corpus is
+    * billions, so the eval side is broadcast and the whole scan is
+    * map-only — a broadcast nested-loop the size of |eval| per train
+    * row, with only hits reaching the (uniform train-id) rollup; no
+    * shuffle of the 100 TB side, no train×train pair ever forms. The
+    * fused cosine kernel keeps the inner loop codegen'd. */
+  def semanticHits(train: DataFrame, evalSet: DataFrame,
+                   idCol: String, vecCol: String,
+                   maxCosDist: Double): DataFrame = {
+    require(maxCosDist > 0 && maxCosDist < 1,
+      "maxCosDist must be in (0,1) — cosine distance space")
+    val tr = train.select(col(idCol).cast("long").as("doc_train"),
+      col(vecCol).as("__vt"))
+    val ev = evalSet.select(col(idCol).cast("long").as("__e"),
+      col(vecCol).as("__ve"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("doc_train"), col("__e"),
+        graft.functions.DistanceMetric.Cosine
+          .distance(col("__vt"), col("__ve")).as("__d"))
+      .where(col("__d") <= maxCosDist)
+      .groupBy(col("doc_train"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct(col("__d"), col("__e"))).as("__best"))
+      .select(col("doc_train"), col("n_hits"),
+        round(col("__best.__d"), 4).as("min_cos_dist"),
+        col("__best.__e").as("closest_eval"))
+  }
+
   /** Duplicate-line fraction (Gopher filter): share of a document's
     * non-empty lines that are repeats of an earlier line, plus the
     * share of line characters inside those repeats. Pure higher-order

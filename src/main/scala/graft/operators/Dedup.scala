@@ -130,6 +130,40 @@ object Dedup {
           col("n_docs").cast("double"), 4).as("keep_rate"))
   }
 
+  /** Cross-source duplication matrix (X91): near-dup pairs attributed
+    * to the SOURCE pair they bridge — the "who copies from whom"
+    * provenance view (mirror sites, syndication feeds, crawler
+    * overlap) that [[dedupImpact]]'s per-source totals cannot show.
+    * Sources are canonicalized (src_a <= src_b lexicographically) so
+    * each unordered source pair appears once; `within_share` is the
+    * fraction of a cell's pairs that are same-source.
+    *
+    * Scale: `pairs` is served from the materialized shingle index
+    * (candidate generation already bucketed); this adds two joins on
+    * the UNIFORM doc id, a |sources|²-row rollup, and one broadcast
+    * 1-row total for the share division — nothing corpus-proportional
+    * lands on one task. Output: (src_a, src_b, n_pairs, share) with
+    * share = n_pairs / total pairs (one double division of exact
+    * longs). */
+  def crossSourceMatrix(docs: DataFrame, idCol: String, sourceCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("__id"),
+      col(sourceCol).cast("string").as("__src"))
+    val cells = pairs
+      .select(col("doc_a").cast("long").as("__a"),
+        col("doc_b").cast("long").as("__b"))
+      .join(src.select(col("__id").as("__a"), col("__src").as("__sa")), Seq("__a"))
+      .join(src.select(col("__id").as("__b"), col("__src").as("__sb")), Seq("__b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = cells.agg(sum(col("n_pairs")).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("__total").cast("double"), 4)
+          .as("share"))
+  }
+
   /** N-gram Jaccard similarity pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle (candidate pairs
     * share ≥1 shingle), count intersections, compute

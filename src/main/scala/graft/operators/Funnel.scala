@@ -107,6 +107,48 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group event-volume trend (X93): least-squares slope of the
+    * per-period event count against the period index — is this event
+    * type (source, pipeline stage) growing or decaying, the monitoring
+    * twin of [[volumeAnomalies]] (which flags LEVEL breaks; this
+    * measures DIRECTION). Built on the same [[volumeCounts]] stage.
+    *
+    * Determinism: both regression coordinates are exact integers (the
+    * period bucket from integral division, the count), so Σx/Σy/Σxy/Σx²
+    * are exact integer sums — reduction-order-free, engine-replayable
+    * (the zipf_fit rule); slope/avg are fixed-order doubles of exact
+    * operands. Operand-wise decimal casts guard the product sums at
+    * 100 TB counts (the ADVICE r11 overflow rule). Scale: one map-side
+    * partial count aggregate + one |groups|-row rollup; periods are
+    * re-based per group (x = period − min period) so products stay
+    * small regardless of the epoch magnitude. Groups with < 2 periods
+    * are omitted (no slope). */
+  def volumeTrend(events: DataFrame, groupCol: String, tsCol: String,
+                  bucketUs: Long): DataFrame = {
+    val counts = volumeCounts(events, groupCol, tsCol, bucketUs)
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    // two-pass: the re-base needs min(__wk) per group BEFORE the
+    // product sums — broadcast the tiny per-group mins back
+    val mins = counts.groupBy(col("__g")).agg(min(col("__wk")).as("__w0"))
+    val based = counts.join(broadcast(mins), "__g")
+      .select(col("__g"), (col("__wk") - col("__w0")).as("__x"), col("n"))
+    val st = based.groupBy(col("__g")).agg(
+      count(lit(1)).as("__m"),
+      sum(dec(col("__x"))).as("__sx"),
+      sum(dec(col("n"))).as("__sy"),
+      sum(dec(col("__x")) * dec(col("n"))).as("__sxy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"))
+    val m = col("__m").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val slope = (m * col("__sxy").cast("double") - sx * sy) /
+      (m * col("__sxx").cast("double") - sx * sx)
+    st.where(col("__m") >= 2)
+      .select(col("__g").as(groupCol), col("__m").as("n_periods"),
+        round(sy / m, 4).as("avg_volume"),
+        round(slope, 4).as("slope"))
+  }
+
   /** z-score a (__g, __wk, n) counts table against its own per-group
     * stats — the serving half of [[volumeAnomalies]]. Streaming: keep
     * [[volumeCounts]] running continuously and foreachBatch this over

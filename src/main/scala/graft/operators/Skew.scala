@@ -55,6 +55,32 @@ object Skew {
     *
     * Reserved column: `__salt` must not exist on either input.
     */
+  /** Key-frequency histogram (X95): the skew DIAGNOSTIC to run before
+    * choosing between a plain shuffle join, [[saltedJoin]], or a
+    * broadcast — log₂ buckets of per-key row counts ("how many keys
+    * carry 2^b..2^(b+1)-1 rows, and how many rows do they carry"),
+    * plus each bucket's max frequency. A healthy uniform key puts
+    * everything in low buckets; a Zipf key shows a long bucket tail
+    * whose top bucket holds a corpus-proportional share — exactly the
+    * key you salt or pre-aggregate.
+    *
+    * Scale: one `groupBy(key).count()` (map-side combine collapses hot
+    * keys — counting a skewed key is NOT itself skewed), then a ≤64-row
+    * rollup on the bucket index. All-integer output; log₂ via integer
+    * bit-length (floor(log₂ c) = 63 − leading-zeros), engine-replayable
+    * without FP logs. */
+  def keyFreqHistogram(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    // floor(log2(c)) for c >= 1 via the bit length of the LONG count —
+    // exact integer arithmetic (FP log2 rounds at bucket boundaries:
+    // log2(2^47) can land at 46.99999999999999 in one engine)
+    val exactBucket = length(conv(col("__c"), 10, 2)) - 1
+    counts.groupBy(exactBucket.as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_freq"))
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-group quota cap ([EXT], the continuous form of
+  * [[graft.operators.TrainingData.capPerGroup]] / X55): admit each
+  * group's first `cap` documents as they arrive, then drop the rest —
+  * the online enforcement point of the per-domain recipe quota, run at
+  * ingest so the over-quota tail never reaches storage.
+  *
+  * Per-group state is exactly ONE long (admitted-so-far) — bounded
+  * regardless of how hot a domain is, the StreamingFunnel k-longs
+  * rule; output is Append-mode (an admission is never retracted).
+  *
+  * Semantics vs batch (the StreamingRetention trade, pinned in
+  * StreamingSpec): the batch operator keeps the top-`cap` BY SCORE;
+  * the stream cannot see future scores, so it admits by ARRIVAL
+  * order — exact whenever arrival order is score order per group
+  * (e.g. score = recency on a log tail), first-come-first-kept
+  * otherwise. Within one micro-batch, ties on arrival are broken by
+  * ascending doc id so replays are deterministic.
+  */
+object StreamingQuotaCap {
+
+  final case class GroupDoc(group: String, doc: Long)
+  final case class Admitted(group: String, doc: Long, rank: Long)
+
+  def admit(docs: DataFrame, groupCol: String, idCol: String,
+            cap: Int): Dataset[Admitted] = {
+    require(cap > 0, "cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs
+      .select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("doc"))
+      .as[GroupDoc]
+    typed.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[GroupDoc],
+         state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          if (admitted >= cap) Iterator.empty
+          else {
+            // deterministic replay: micro-batch arrival ties break by id
+            val take = rows.map(_.doc).toArray.sorted
+              .take((cap - admitted).toInt)
+            val out = take.map { id =>
+              admitted += 1
+              Admitted(group, id, admitted)
+            }
+            state.update(admitted)
+            out.iterator
+          }
+      }
+  }
+}

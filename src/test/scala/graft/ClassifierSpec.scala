@@ -238,4 +238,18 @@ class ClassifierSpec extends SparkSpec {
         seeds2.where(col("sid") < 0), "sid", "svec", "slabel", k = 1)
     }
   }
+
+  test("confusionMatrix: counts and per-actual-class shares") {
+    val scored = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),
+      ("other", "en"), ("other", "de"), ("other", "de"))
+      .toDF("pred", "actual")
+    val got = Classifier.confusionMatrix(scored, "pred", "actual")
+      .orderBy("pred", "actual")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("en", "de", 1L, 0.3333), ("en", "en", 2L, 0.6667),
+      ("other", "de", 2L, 0.6667), ("other", "en", 1L, 0.3333)),
+      got.toString)
+  }
 }

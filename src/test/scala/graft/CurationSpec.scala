@@ -574,4 +574,25 @@ class CurationSpec extends SparkSpec {
       (1L, 6L, 2L, 6L, Some(flesch)),
       (2L, 0L, 1L, 0L, None)), got.toString)
   }
+
+  test("madOutliers: flags beyond k·MAD; degenerate MAD=0 group flags " +
+    "any deviation with a null score") {
+    val docs = Seq(
+      // group a: 3× identical + one spike → med 10, MAD 0 (degenerate)
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 100L),
+      // group b: 1..7 + spike → med 4.5, MAD 2.0; only the spike
+      // clears 2·MAD (dev 95.5, score 47.75)
+      (11L, "b", 1L), (12L, "b", 2L), (13L, "b", 3L), (14L, "b", 4L),
+      (15L, "b", 5L), (16L, "b", 6L), (17L, "b", 7L), (18L, "b", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Curation.madOutliers(docs, "lang", "doc_id", "n_chars", k = 2.0)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        col("mad"), col("dev"), col("score"))
+      .as[(Long, String, Double, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (4L, "a", 100.0, 10.0, 0.0, 90.0, None),
+      (18L, "b", 100.0, 4.5, 2.0, 95.5, Some(47.75))), got.toString)
+  }
 }

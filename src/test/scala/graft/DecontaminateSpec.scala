@@ -136,4 +136,30 @@ class DecontaminateSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("semanticHits: flags only in-radius trains; ties break to the " +
+    "smaller eval id; null vectors never rank") {
+    val train = Seq(
+      (1L, Some(Seq(1f, 0f))),         // identical to evals 10 and 11
+      (2L, Some(Seq(0f, 1f))),         // orthogonal — outside radius
+      (3L, None: Option[Seq[Float]]))  // null vector
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((11L, Seq(1f, 0f)), (10L, Seq(1f, 0f)),
+      (12L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticHits(train, evalSet,
+      "vec_id", "embedding", maxCosDist = 0.1)
+      .orderBy("doc_train")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // train 1 hits evals 10+11 at distance 0 — the closest-eval tie
+    // must pick 10; train 2's only hit is eval 12
+    assert(got == Seq((1L, 2L, 0.0, 10L), (2L, 1L, 0.0, 12L)),
+      got.toString)
+  }
+
+  test("semanticHits: rejects thresholds outside (0,1)") {
+    val df = Seq((1L, Seq(1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticHits(df, df, "vec_id", "embedding", 1.5)
+    }
+  }
 }

@@ -121,4 +121,19 @@ class FunnelSpec extends SparkSpec {
     // no cross-user transition leaked (user 2's first event has no prev)
     assert(got.map(_._3).sum == 4L)
   }
+
+  test("volumeTrend: exact slope on a hand-computed series; " +
+    "single-period groups omitted") {
+    // type "up": counts 1,2,3 over periods 0,10,20 (bucket 10) —
+    // re-based x = 0,1,2, slope = 1.0, avg = 2.0; "flat": one period
+    val events = Seq(
+      (1L, "up", 5L), (2L, "up", 15L), (3L, "up", 16L),
+      (4L, "up", 25L), (5L, "up", 26L), (6L, "up", 27L),
+      (7L, "flat", 5L))
+      .toDF("event_id", "event_type", "ts")
+    val got = graft.operators.Funnel.volumeTrend(events, "event_type",
+      "ts", bucketUs = 10L)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("up", 3L, 2.0, 1.0)), got.toString)
+  }
 }

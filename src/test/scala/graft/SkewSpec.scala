@@ -51,4 +51,15 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(df, other, Seq("k"))
     }
   }
+
+  test("keyFreqHistogram: exact log2 buckets of per-key frequencies") {
+    // keys with frequencies 1, 2, 3, 8 → buckets 0, 1, 1, 3
+    val rows = Seq.fill(1)("k1") ++ Seq.fill(2)("k2") ++
+      Seq.fill(3)("k3") ++ Seq.fill(8)("k8")
+    val got = Skew.keyFreqHistogram(rows.toDF("k"), "k")
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 1L, 1L, 1L), (1, 2L, 5L, 3L), (3, 1L, 8L, 8L)),
+      got.toString)
+  }
 }

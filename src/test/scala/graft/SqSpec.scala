@@ -103,4 +103,26 @@ class SqSpec extends SparkSpec {
       .select(col("vec_id").cast("long")).as[Long].collect().toSet
     assert(top.size == 10 && !top.exists(_ >= 200000L))
   }
+
+  test("reconErrorByGroup: hand-computed int8 roundtrip error; " +
+    "zero vectors excluded") {
+    // [1.0, 0.5]: scale = 127, codes (127, round(63.5)=64) — only the
+    // 0.5 component carries error: (0.5 - 64/127)²
+    val d = 0.5 - 64.0 / 127.0
+    val q = BigDecimal(d * d * 1e8)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = BigDecimal(q / 100.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      ("a", Some(Seq(1f, 0.5f))),
+      ("a", Some(Seq(1f, 1f))),               // exact codes — zero error
+      ("b", Some(Seq(0f, 0f))),               // zero vector: no scale
+      ("b", None: Option[Seq[Float]]))        // null vector
+      .toDF("label", "embedding")
+    val got = SqIndex.reconErrorByGroup(df, "label", "embedding")
+      .orderBy("label")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // group b vanished entirely (both members excluded)
+    assert(got == Seq(("a", 2L, expected / 2, expected)), got.toString)
+  }
 }

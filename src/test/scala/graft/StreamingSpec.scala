@@ -853,4 +853,33 @@ class StreamingSpec extends SparkSpec {
       assert(got.filter(_._1 == "B").forall(_._4 == 0.0))
     } finally q.stop()
   }
+
+  test("streaming quota cap: first-cap admission across batches with " +
+    "one long of per-group state; in-batch ties break by id") {
+    val dir = Files.createTempDirectory("quota-stream").toString
+    // batch 1: A has 1 doc, B has 3 (cap 2 ⇒ B admits its two
+    // SMALLEST ids — the in-batch tiebreak); batch 2: A fills its
+    // second slot, B is already full and admits nothing
+    val b1 = Seq(("A", 10L), ("B", 23L), ("B", 21L), ("B", 22L))
+    val b2 = Seq(("A", 11L), ("A", 12L), ("B", 20L))
+    def toDf(rows: Seq[(String, Long)]) = rows.toDF("domain", "doc_id")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("domain STRING, doc_id BIGINT")
+      .parquet(dir)
+    val q = graft.streaming.StreamingQuotaCap.admit(
+      stream.toDF(), "domain", "doc_id", cap = 2)
+      .toDF("group", "doc", "rank")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quota_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("quota_stream")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("A", 10L, 1L), ("A", 11L, 2L),
+        ("B", 21L, 1L), ("B", 22L, 2L)), got.toString)
+    } finally q.stop()
+  }
 }

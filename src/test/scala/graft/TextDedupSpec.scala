@@ -425,4 +425,17 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.templateGroups(docs, "doc_id", "text", maxTokens = 3)
       .count() == 0)
   }
+
+  test("crossSourceMatrix: canonicalized source pairs with shares") {
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "A"))
+      .toDF("doc_id", "source")
+    // (1,2) bridges A↔B; (1,3) and (4,3) are within-A — the reversed
+    // (4,3) pair pins the least/greatest canonicalization
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.crossSourceMatrix(docs, "doc_id", "source", pairs)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "A", 2L, 0.6667), ("A", "B", 1L, 0.3333)),
+      got.toString)
+  }
 }
