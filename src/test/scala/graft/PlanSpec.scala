@@ -282,4 +282,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("winnow_pairs")
     assert(p.contains("LeftSemi"), s"winnow_pairs freq>=2 prune: $p")
   }
+
+  test("semantic decontam broadcasts the eval side; the train scan is map-only") {
+    val p = plan("decontam_semantic")
+    // the ONLY join is the broadcast nested-loop against the tiny eval
+    // set — the 100 TB train side must never shuffle pre-rollup or form
+    // an unbroadcast cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("skew histogram aggregates with map-side partials and no window") {
+    val p = plan("skew_profile")
+    assert(!p.contains("Window"), p)
+    // both levels (per-key count, per-bucket rollup) are hash
+    // aggregates with partial/final splits — counting a skewed key
+    // must itself be skew-free
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("MAD outliers broadcast the per-group medians, never sort per group") {
+    val p = plan("quality_mad")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
