@@ -56,7 +56,8 @@ object Bench {
     "table_profile", "event_transitions", "simhash_weighted",
     "winnow_incremental", "zipf_fit", "winnow_index_update",
     "dedup_impact", "readability",
-    "cross_source_pairs", "decontam_semantic", "events_trend",
+    "cross_source_pairs", "decontam_semantic", "decontam_semantic_lsh",
+    "events_trend",
     "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion")
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,19 @@ object Round12bQueries {
         .orderBy("doc_train")
     }),
 
+    // ---- X92 scale path: the same report through the sign-LSH band
+    // prefilter — numPlanes fixed dot products per train row instead
+    // of |eval| kernels; the exact fused cosine verifies candidates.
+    // Gated against the SAME exact-scan oracle: at the planted
+    // geometry (cd ~2e-4 vs natural ≥0.58) the 32/4 config misses
+    // nothing, the dedup_lsh_planted precedent -------------------------
+    "decontam_semantic_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticHitsLsh(emb, plantedEval(emb),
+        "vec_id", "embedding", maxCosDist = 0.15)
+        .orderBy("doc_train")
+    }),
+
     // ---- X93: per-type event-volume trend — daily counts regressed
     // on the re-based period index; exact integer regression sums ----
     "events_trend" -> ((s, dir) => {
@@ -100,6 +113,25 @@ object Round12bQueries {
         .orderBy("pred", "actual")),
   )
 
+  private lazy val oracleSqlDecontamSemantic: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id + 100000 AS e,
+       |    list_transform(range(1, len(embedding)+1),
+       |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+       |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL))
+       |      AS embedding
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |hits AS (SELECT t.vec_id AS doc_train, ev.e,
+       |    ${SparkEntry.sqlCosDist("t.embedding", "ev.embedding")} AS cd
+       |  FROM embeddings t CROSS JOIN ev),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY doc_train
+       |                                   ORDER BY cd, e) AS rn
+       |  FROM hits WHERE cd <= 0.15)
+       |SELECT doc_train,
+       |  CAST(count(*) OVER (PARTITION BY doc_train) AS BIGINT) AS n_hits,
+       |  round(cd, 4) AS min_cos_dist, e AS closest_eval
+       |FROM f WHERE rn = 1 ORDER BY doc_train""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cross_source_pairs" ->
       s"""WITH ${SparkEntry.sqlJaccardCtes},
@@ -116,24 +148,10 @@ object Round12bQueries {
          |    / CAST((SELECT sum(n_pairs) FROM cells) AS DOUBLE), 4) AS share
          |FROM cells ORDER BY src_a, src_b""".stripMargin,
 
-    "decontam_semantic" ->
-      s"""WITH ev AS (
-         |  SELECT vec_id + 100000 AS e,
-         |    list_transform(range(1, len(embedding)+1),
-         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
-         |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL))
-         |      AS embedding
-         |  FROM embeddings WHERE vec_id % 50 = 0),
-         |hits AS (SELECT t.vec_id AS doc_train, ev.e,
-         |    ${SparkEntry.sqlCosDist("t.embedding", "ev.embedding")} AS cd
-         |  FROM embeddings t CROSS JOIN ev),
-         |f AS (SELECT *, row_number() OVER (PARTITION BY doc_train
-         |                                   ORDER BY cd, e) AS rn
-         |  FROM hits WHERE cd <= 0.15)
-         |SELECT doc_train,
-         |  CAST(count(*) OVER (PARTITION BY doc_train) AS BIGINT) AS n_hits,
-         |  round(cd, 4) AS min_cos_dist, e AS closest_eval
-         |FROM f WHERE rn = 1 ORDER BY doc_train""".stripMargin,
+    // the LSH-prefiltered path is gated against the SAME exact-scan
+    // twin — at the planted geometry its prefilter loses nothing
+    "decontam_semantic" -> oracleSqlDecontamSemantic,
+    "decontam_semantic_lsh" -> oracleSqlDecontamSemantic,
 
     "events_trend" ->
       """WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS wk,

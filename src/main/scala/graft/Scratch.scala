@@ -56,7 +56,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -575,6 +575,66 @@ object Scratch {
       timeIt("snapshotDrift per-lang over 5M vs 5M docs")(
         noop(operators.TrainingData.snapshotDrift(
           docs, docs.where(col("doc_id") % 17 =!= 0), "lang", "n_chars")))
+    }
+
+    gated("r12ops") {
+      // round-12 batch B at scale: the broadcast-eval cosine scan,
+      // MAD percentile passes, the skew histogram on a Zipf key, the
+      // trend regression on wide counts, SQ calibration at 5M vectors
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      if (!new java.io.File("/tmp/big_embeddings5m/_SUCCESS").exists)
+        emb.crossJoin(spark.range(2500).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"))
+          .repartition(64).write.mode("overwrite").parquet("/tmp/big_embeddings5m")
+      val corpus5m = spark.read.parquet("/tmp/big_embeddings5m")
+      println(s"[scale] vec rows=${corpus5m.count()}")
+
+      val evalSet = corpus5m.where(pmod(col("vec_id"), lit(25000L)) === 0)
+      println(s"[scale] eval rows=${evalSet.count()}")
+      timeIt("semanticHits 5M train x 200 eval (broadcast cosine scan)")(
+        noop(operators.Decontaminate.semanticHits(
+          corpus5m, evalSet, "vec_id", "embedding", maxCosDist = 0.2)))
+
+      timeIt("semanticHitsLsh 5M train x same eval (32/4 band prefilter)")(
+        noop(operators.Decontaminate.semanticHitsLsh(
+          corpus5m, evalSet, "vec_id", "embedding", maxCosDist = 0.2)))
+
+      timeIt("reconErrorByGroup over 5M vectors")(
+        noop(index.SqIndex.reconErrorByGroup(
+          corpus5m.withColumn("label", pmod(col("vec_id"), lit(16L))),
+          "label", "embedding")))
+
+      timeIt("madOutliers per-lang over 5M docs")(
+        noop(operators.Curation.madOutliers(docs, "lang", "doc_id",
+          "n_chars", k = 2.0)))
+
+      // Zipf key: ~90% of 20M rows on one key
+      val zipf = spark.range(20000000L).toDF("i")
+        .select(when(pmod(col("i"), lit(10L)) =!= 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("i")), lit(1000000L))).as("k"))
+      timeIt("keyFreqHistogram over 20M rows, 90% one key")(
+        noop(operators.Skew.keyFreqHistogram(zipf, "k")))
+
+      // 20M synthetic events across 64 types x 365 daily buckets
+      val ev20m = spark.range(20000000L).toDF("i")
+        .select(concat(lit("t"), pmod(col("i"), lit(64L))).as("event_type"),
+          (pmod(xxhash64(col("i"), lit(3)), lit(365L)) * 86400000000L)
+            .as("tsus"))
+      timeIt("volumeTrend 20M events / 64 types / 365 daily buckets")(
+        noop(operators.Funnel.volumeTrend(ev20m, "event_type", "tsus",
+          bucketUs = 86400000000L)))
+
+      timeIt("crossSourceMatrix: 2M synthetic pairs against 5M-doc sources")(
+        noop(operators.Dedup.crossSourceMatrix(docs, "doc_id", "source",
+          spark.range(2000000L).toDF("i")
+            .select(pmod(xxhash64(col("i")), lit(5000000L)).as("doc_a"),
+              pmod(xxhash64(col("i"), lit(11)), lit(5000000L)).as("doc_b")))))
+
+      timeIt("confusionMatrix (lang-ID) over 5M docs")(
+        noop(operators.Classifier.confusionMatrix(
+          docs.select(functions.TextFunctions.langIdHeuristic(col("text"))
+            .as("pred"), col("lang").as("actual")), "pred", "actual")))
     }
 
     spark.stop()

@@ -162,4 +162,27 @@ class DecontaminateSpec extends SparkSpec {
       Decontaminate.semanticHits(df, df, "vec_id", "embedding", 1.5)
     }
   }
+
+  test("semanticHitsLsh == semanticHits on the planted near-copy geometry") {
+    // the decontam operating point: eval = slightly perturbed copies of
+    // some trains, everything else far away (the sf fixtures' natural
+    // floor is cos_dist ~0.58). The LSH prefilter must lose nothing.
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val eval = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_train")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val exact = rows(Decontaminate.semanticHits(
+      emb, eval, "vec_id", "embedding", 0.15))
+    val lsh = rows(Decontaminate.semanticHitsLsh(
+      emb, eval, "vec_id", "embedding", 0.15))
+    assert(exact.nonEmpty && lsh == exact, s"exact=$exact lsh=$lsh")
+  }
 }
