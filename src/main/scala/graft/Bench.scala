@@ -57,7 +57,7 @@ object Bench {
     "winnow_incremental", "zipf_fit", "winnow_index_update",
     "dedup_impact", "readability",
     "cross_source_pairs", "decontam_semantic", "decontam_semantic_lsh",
-    "events_trend",
+    "events_trend", "embedding_lsh_incremental",
     "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion")
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,32 @@ object Round12bQueries {
         .orderBy("doc_train")
     }),
 
+    // ---- X98: incremental embedding near-dup vs the SERVED LSH
+    // bucket index — only the crawl batch is signed; batch×corpus
+    // candidates from the (band, key) equi-join, exact-cosine
+    // verified. Batch = planted ±3% twins (%40) + exact resubmissions
+    // (%97); the oracle is the exact batch×corpus scan -----------------
+    "embedding_lsh_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.index.LshIndex.bucketTable(emb, "vec_id", "embedding",
+        numPlanes = 32, numBands = 4)
+      val planted = emb.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id"),
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") *
+              (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val resubmitted = emb.where(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      graft.index.LshIndex.pairsAgainstBuckets(idx,
+        planted.unionByName(resubmitted), "vec_id", "embedding",
+        maxCosDist = 0.15, numPlanes = 32, numBands = 4)
+        .select(col("id_new"), col("id_corpus"),
+          round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy("id_new", "id_corpus")
+    }),
+
     // ---- X93: per-type event-volume trend — daily counts regressed
     // on the re-based period index; exact integer regression sums ----
     "events_trend" -> ((s, dir) => {
@@ -152,6 +178,24 @@ object Round12bQueries {
     // twin — at the planted geometry its prefilter loses nothing
     "decontam_semantic" -> oracleSqlDecontamSemantic,
     "decontam_semantic_lsh" -> oracleSqlDecontamSemantic,
+
+    "embedding_lsh_incremental" ->
+      s"""WITH batch AS (
+         |  SELECT vec_id + 100000 AS id_new,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL))
+         |      AS embedding
+         |  FROM embeddings WHERE vec_id % 40 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000 AS id_new, embedding
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |p AS (SELECT b.id_new, c.vec_id AS id_corpus,
+         |    ${SparkEntry.sqlCosDist("b.embedding", "c.embedding")} AS cd
+         |  FROM batch b CROSS JOIN embeddings c)
+         |SELECT id_new, id_corpus, round(cd, 4) AS cos_dist
+         |FROM p WHERE cd <= 0.15
+         |ORDER BY id_new, id_corpus""".stripMargin,
 
     "events_trend" ->
       """WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS wk,

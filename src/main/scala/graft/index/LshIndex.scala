@@ -93,6 +93,37 @@ object LshIndex {
         col("__bk.band").as("band"), col("__bk.key").as("key"))
   }
 
+  /** Incremental near-dup pairs against a SERVED [[bucketTable]]
+    * (X98): only the BATCH is signed (same seed-pinned planes as the
+    * index build — the X63/X44 incremental contract at the embedding
+    * point); candidates are the (band, key) equi-join of the
+    * broadcast batch buckets against the corpus index, the exact
+    * fused cosine verifies survivors, and multi-band collisions
+    * dedupe on the uniform pair key. batch×corpus only — corpus
+    * vectors never pair with each other, and nothing re-signs the
+    * 100 TB side at query time.
+    *
+    * Output: (id_new, id_corpus, cos_dist). */
+  def pairsAgainstBuckets(index: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String,
+                          maxCosDist: Double, numPlanes: Int = 32,
+                          numBands: Int = 4, seed: Long = 42L,
+                          dim: Int = -1): DataFrame = {
+    val nb = bucketTable(batch, idCol, vecCol, numPlanes, numBands, seed, dim)
+      .select(col("band"), col("key"),
+        col("id").cast("long").as("id_new"), col("v").as("__vn"))
+    index
+      .select(col("band"), col("key"),
+        col("id").cast("long").as("id_corpus"), col("v").as("__vc"))
+      .join(broadcast(nb), Seq("band", "key"))
+      .where(col("id_new") =!= col("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        FusedDistance.cosine(col("__vn"), col("__vc")).as("cos_dist"))
+      .where(col("cos_dist") <= maxCosDist)
+      .groupBy(col("id_new"), col("id_corpus"))
+      .agg(min(col("cos_dist")).as("cos_dist"))
+  }
+
   /** Multi-probe LSH top-k search (Lv et al., VLDB 2007): the query
     * probes its own bucket PLUS every bucket at Hamming distance ≤
     * `probeBits` within each band — recall that would otherwise need

@@ -124,8 +124,15 @@ object Funnel {
     * small regardless of the epoch magnitude. Groups with < 2 periods
     * are omitted (no slope). */
   def volumeTrend(events: DataFrame, groupCol: String, tsCol: String,
-                  bucketUs: Long): DataFrame = {
-    val counts = volumeCounts(events, groupCol, tsCol, bucketUs)
+                  bucketUs: Long): DataFrame =
+    trendFromCounts(volumeCounts(events, groupCol, tsCol, bucketUs), groupCol)
+
+  /** The regression half of [[volumeTrend]] over a (__g, __wk, n)
+    * counts table — the serving split ([[scoreVolumeCounts]]'s
+    * pattern): keep [[volumeCounts]] running as a streaming Update
+    * aggregation (one long per live (group, period)) and foreachBatch
+    * this over each counts snapshot. */
+  def trendFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
     // two-pass: the re-base needs min(__wk) per group BEFORE the
     // product sums — broadcast the tiny per-group mins back

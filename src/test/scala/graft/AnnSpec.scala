@@ -516,4 +516,24 @@ class AnnSpec extends SparkSpec {
     info(f"LSH near-dup recall = $recall%.3f (|candidates|=${got.size})")
     assert(recall >= 0.8, f"recall $recall%.3f below threshold")
   }
+
+  test("pairsAgainstBuckets: batch x corpus only — planted twin and exact " +
+    "resubmission found, corpus-internal and batch-internal pairs never emitted") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = LshIndex.bucketTable(emb, "vec_id", "embedding",
+      numPlanes = 32, numBands = 4)
+    // batch: an exact copy of vec 0 (cos_dist 0) and a far-from-
+    // everything probe never expected to pair (vec 1 is itself in the
+    // corpus — resubmit under a fresh id, it must pair ONLY with 1)
+    val batch = emb.where(col("vec_id").isin(0L, 1L))
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val got = LshIndex.pairsAgainstBuckets(idx, batch,
+      "vec_id", "embedding", maxCosDist = 0.15,
+      numPlanes = 32, numBands = 4)
+      .select(col("id_new"), col("id_corpus"), col("cos_dist"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(p => (p._1, p._2)) == Seq((500000L, 0L), (500001L, 1L)),
+      got.toString)
+    assert(got.forall(_._3 == 0.0), got.toString)
+  }
 }

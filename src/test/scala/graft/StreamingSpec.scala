@@ -854,6 +854,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming volume trend: running counts + foreachBatch regression " +
+    "match the batch operator") {
+    val dir = Files.createTempDirectory("trend-stream").toString
+    // group A grows 1,2,3 across periods split over two batches;
+    // group B stays one period (omitted — no slope)
+    val b1 = Seq(("A", 5L), ("A", 15L), ("A", 16L), ("B", 5L))
+    val b2 = Seq(("A", 25L), ("A", 26L), ("A", 27L))
+    def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
+      .parquet(dir)
+    val q = graft.operators.Funnel.volumeCounts(
+      stream.toDF(), "event_type", "ts", bucketUs = 10L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("trend_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val counts = spark.table("trend_stream")
+        .groupBy(col("__g"), col("__wk"))
+        .agg(max(col("n")).as("n"))
+        .localCheckpoint(true)
+      val got = graft.operators.Funnel.trendFromCounts(counts, "event_type")
+        .as[(String, Long, Double, Double)].collect().toSet
+      val want = graft.operators.Funnel.volumeTrend(
+        toDf(b1 ++ b2), "event_type", "ts", bucketUs = 10L)
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got == want && got == Set(("A", 3L, 2.0, 1.0)),
+        s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
   test("streaming quota cap: first-cap admission across batches with " +
     "one long of per-group state; in-batch ties break by id") {
     val dir = Files.createTempDirectory("quota-stream").toString
