@@ -58,7 +58,8 @@ object Bench {
     "dedup_impact", "readability",
     "cross_source_pairs", "decontam_semantic", "decontam_semantic_lsh",
     "events_trend", "embedding_lsh_incremental",
-    "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion")
+    "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion",
+    "langid_ct", "table_profile_numeric")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classifier, Curation, Decontaminate, Dedup, Funnel, Skew}
+import graft.operators.{Classifier, Curation, Decontaminate, Dedup, Funnel, Lexical, Skew}
 import graft.functions.{TextFunctions => TF}
 
 /** Round-12 [EXT] batch B: provenance/diagnostic operators — the
@@ -127,6 +127,24 @@ object Round12bQueries {
       Curation.madOutliers(t(s, dir, "documents"), "lang", "doc_id",
         "n_chars", k = 2.0)
         .orderBy("doc_id")),
+
+    // ---- X100: numeric column profiler — min/max/mean + exact
+    // quartiles per column from ONE exploded shuffle -------------------
+    "table_profile_numeric" -> ((s, dir) =>
+      graft.operators.Profile.profileNumeric(t(s, dir, "documents"),
+        Seq("doc_id", "n_chars"))
+        .orderBy("col_name")),
+
+    // ---- X99: Cavnar–Trenkle n-gram language ID — rank-order
+    // char-trigram profiles (top-200/lang) vs each doc's own top-100,
+    // out-of-place distance, arg-min language; all-integer ------------
+    "langid_ct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val profiles = Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
+      Lexical.ctLangId(docs, "doc_id", "text", profiles,
+        langCol = "lang", m = 100, profileK = 200)
+        .orderBy("doc_id")
+    }),
 
     // ---- X97: lang-ID confusion matrix — predicted × actual counts
     // with per-actual-class shares (the recall readout) --------------
@@ -259,6 +277,56 @@ object Round12bQueries {
         |  CASE WHEN mad > 0.0 THEN round(dev / mad, 4) END AS score
         |FROM d JOIN madt USING (lang)
         |WHERE dev > 2.0 * mad ORDER BY doc_id""".stripMargin,
+
+    "table_profile_numeric" ->
+      """WITH e AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS DOUBLE) AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars' AS col_name, CAST(n_chars AS DOUBLE) AS v FROM documents)
+        |SELECT col_name, CAST(count(v) AS BIGINT) AS n,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  min(v) AS vmin, max(v) AS vmax,
+        |  round(CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(count(v) AS DOUBLE) * 10000.0), 4) AS mean,
+        |  round(quantile_cont(v, 0.25), 4) AS p25,
+        |  round(quantile_cont(v, 0.5), 4) AS p50,
+        |  round(quantile_cont(v, 0.75), 4) AS p75
+        |FROM e GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "langid_ct" ->
+      s"""WITH ch AS (SELECT doc_id, lang,
+         |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS th
+         |  FROM documents),
+         |tg AS (SELECT doc_id, lang, unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg
+         |  FROM ch),
+         |lc AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM tg GROUP BY 1, 2),
+         |lp AS (SELECT lang, tg,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rp
+         |  FROM lc QUALIFY rp <= 200),
+         |dc AS (SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM tg GROUP BY 1, 2),
+         |dt AS (SELECT doc_id, tg,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rd
+         |  FROM dc QUALIFY rd <= 100),
+         |dm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM dt GROUP BY 1),
+         |mt AS (SELECT dt.doc_id, lp.lang,
+         |    CAST(sum(abs(dt.rd - lp.rp)) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS nm
+         |  FROM dt JOIN lp USING (tg) GROUP BY 1, 2),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |fd AS (SELECT dm.doc_id, langs.lang,
+         |    COALESCE(mt.s, 0) + (dm.m - COALESCE(mt.nm, 0)) * 200 AS d
+         |  FROM dm CROSS JOIN langs
+         |  LEFT JOIN mt ON mt.doc_id = dm.doc_id AND mt.lang = langs.lang),
+         |r AS (SELECT doc_id, lang, d,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+         |  FROM fd)
+         |SELECT doc_id, lang AS pred, CAST(d AS BIGINT) AS dist
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "langid_confusion" ->
       s"""WITH pr AS (SELECT doc_id,

@@ -635,6 +635,13 @@ object Scratch {
         noop(operators.Classifier.confusionMatrix(
           docs.select(functions.TextFunctions.langIdHeuristic(col("text"))
             .as("pred"), col("lang").as("actual")), "pred", "actual")))
+
+      val ctProfiles = timeIt("ctLangProfiles top-200/lang over 5M docs")(
+        operators.Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
+          .localCheckpoint(true))
+      timeIt("ctLangId 5M docs vs served profiles (m=100)")(
+        noop(operators.Lexical.ctLangId(docs, "doc_id", "text", ctProfiles,
+          langCol = "lang", m = 100, profileK = 200)))
     }
 
     spark.stop()

@@ -85,6 +85,21 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     shingleHashesFromTokens(tokenHashes(text), n)
 
+  /** ASCII code array of a text's characters (including spaces — the
+    * Cavnar–Trenkle convention keeps word boundaries as signal).
+    * Engine-replayable: the DuckDB twin is
+    * `list_transform(list_filter(string_split(text,''), c -> c <> ''),
+    * c -> CAST(ascii(c) AS BIGINT))` — the rollingHash parity chars. */
+  def charCodes(text: Column): Column =
+    transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long"))
+
+  /** Rolling-hashed character trigrams — the [[shingleHashesFromTokens]]
+    * fold over [[charCodes]], so `sqlShingleHashesOfTh(3)` over the
+    * char-code column replays it verbatim. Texts under 3 chars yield
+    * an empty array. */
+  def charTrigramHashes(text: Column): Column =
+    shingleHashesFromTokens(charCodes(text), 3)
+
   /** Deterministic affine constants for the minhash family. Public
     * standard construction: h_j(x) = (a_j*x + b_j) mod P with fixed
     * odd a_j (Broder 1997 min-wise permutations). */

@@ -244,4 +244,80 @@ object Lexical {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Cavnar–Trenkle language-ID profiles (X99, Cavnar & Trenkle 1994):
+    * each language's top-k character trigrams ranked by frequency —
+    * the classic rank-order profile, learned from the labeled corpus
+    * at compaction cadence. Trigram hashes ride the shared rolling
+    * fold (engine-replayable); ranking is the bounded [[TopKAgg]]
+    * (count DESC, trigram-hash ASC ties — NEVER a rank window over
+    * the low-cardinality language key). Output: (langCol, tg, rank). */
+  def ctLangProfiles(docs: DataFrame, langCol: String, textCol: String,
+                     k: Int = 200): DataFrame = {
+    require(k >= 1 && k <= 10000, "k must be in [1, 10000]")
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[Scored])
+    docs
+      .select(col(langCol), explode(TF.charTrigramHashes(col(textCol))).as("tg"))
+      .groupBy(col(langCol), col("tg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(langCol))
+      .agg(topk(col("tg"), negate(col("__c").cast("double"))).as("__top"))
+      .select(col(langCol), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col(langCol), col("__s.id").as("tg"),
+        (col("__i") + 1).cast("long").as("rank"))
+  }
+
+  /** Cavnar–Trenkle classification against served profiles: each doc's
+    * own top-m trigram ranks compare to every language profile by
+    * out-of-place distance — Σ |rank_doc − rank_profile| over matched
+    * trigrams plus `profileK` (the max out-of-place value, the paper's
+    * convention) per unmatched one; the language with the smallest
+    * distance wins (ties break to the smaller language string).
+    *
+    * Scale shape: the doc side aggregates on the UNIFORM doc id
+    * (bounded TopKAgg buffers); profiles are |langs|·k rows →
+    * broadcast twice (match join + the langs×docs completion); every
+    * distance term is an exact integer. Docs under 3 chars have no
+    * trigrams and are omitted (no evidence, no prediction).
+    *
+    * Output: (idCol, pred = arg-min language, dist). */
+  def ctLangId(docs: DataFrame, idCol: String, textCol: String,
+               profiles: DataFrame, langCol: String = "lang",
+               m: Int = 100, profileK: Int = 200): DataFrame = {
+    require(m >= 1 && m <= 10000, "m must be in [1, 10000]")
+    val topm = udaf(new TopKAgg(m),
+      org.apache.spark.sql.Encoders.product[Scored])
+    val docTop = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(TF.charTrigramHashes(col(textCol))).as("tg"))
+      .groupBy(col("__doc"), col("tg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__doc"))
+      .agg(topm(col("tg"), negate(col("__c").cast("double"))).as("__top"))
+      .select(col("__doc"), posexplode(col("__top")).as(Seq("__i", "__s")))
+      .select(col("__doc"), col("__s.id").as("tg"),
+        (col("__i") + 1).cast("long").as("__rd"))
+      .localCheckpoint(false)
+    val prof = profiles.select(col(langCol).cast("string").as("__lang"),
+      col("tg"), col("rank").as("__rp"))
+    val matched = docTop.join(broadcast(prof), Seq("tg"))
+      .groupBy(col("__doc"), col("__lang"))
+      .agg(sum(abs(col("__rd") - col("__rp"))).as("__sum"),
+        count(lit(1)).as("__nm"))
+    val docM = docTop.groupBy(col("__doc")).agg(count(lit(1)).as("__m"))
+    val langs = prof.select(col("__lang")).distinct()
+    docM.crossJoin(broadcast(langs))
+      .join(matched, Seq("__doc", "__lang"), "left")
+      .select(col("__doc"),
+        struct(
+          (coalesce(col("__sum"), lit(0L)) +
+            (col("__m") - coalesce(col("__nm"), lit(0L))) * lit(profileK.toLong))
+            .as("d"),
+          col("__lang").as("l")).as("__dl"))
+      .groupBy(col("__doc"))
+      .agg(min(col("__dl")).as("__best"))
+      .select(col("__doc").as(idCol), col("__best.l").as("pred"),
+        col("__best.d").as("dist"))
+  }
 }

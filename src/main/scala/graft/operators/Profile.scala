@@ -52,4 +52,35 @@ object Profile {
       .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
         col("top_value"), coalesce(col("top_count"), lit(0L)).as("top_count"))
   }
+
+  /** Numeric sibling of [[profile]] (X100): per-column min/max/mean
+    * and the exact p25/p50/p75 — the distribution half of the snapshot
+    * gate (a schema-valid column whose median silently collapsed to 0
+    * passes [[profile]] but not this).
+    *
+    * Same one-shuffle shape: every column casts to DOUBLE into one
+    * exploded (col_name, value) table, then a single C-row aggregate.
+    * The mean is an exact quantized-long sum (round(v·10⁴), the
+    * winsorizedMean rule) divided once; percentiles are Spark's exact
+    * interpolated `percentile` 1e-4-rounded (the len_quantiles parity
+    * — safe at signal magnitudes, see the events_conversion trap for
+    * the µs-epoch exception); percentile state is ∝ distinct values.
+    * Nulls are excluded from every statistic and reported as a count.
+    * Output: (col_name, n, n_null, vmin, vmax, mean, p25, p50, p75). */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val exploded = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("col_name"), col("p.v").as("v"))
+    exploded.groupBy(col("col_name")).agg(
+      count(col("v")).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long").as("n_null"),
+      min(col("v")).as("vmin"),
+      max(col("v")).as("vmax"),
+      round(sum(round(col("v") * 10000).cast("long")).cast("double") /
+        (count(col("v")).cast("double") * 10000.0), 4).as("mean"),
+      round(percentile(col("v"), lit(0.25)), 4).as("p25"),
+      round(percentile(col("v"), lit(0.5)), 4).as("p50"),
+      round(percentile(col("v"), lit(0.75)), 4).as("p75"))
+  }
 }

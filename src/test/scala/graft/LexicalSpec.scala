@@ -165,4 +165,33 @@ class LexicalSpec extends SparkSpec {
       .toMap
     assert(got.view.mapValues(_.toSeq).toMap == want)
   }
+
+  test("Cavnar-Trenkle lang-ID: distinct char distributions classify " +
+    "correctly; sub-trigram docs are omitted") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "aa", "aaaa bbbb aaaa bbbb"),
+      (2L, "aa", "aaab bbba aaab"),
+      (3L, "zz", "zzzz yyyy zzzz yyyy"),
+      (4L, "zz", "zzzy yyyz zzzy"))
+      .toDF("doc_id", "lang", "text")
+    val profiles = Lexical.ctLangProfiles(train, "lang", "text", k = 50)
+    // both languages profiled; ranks run 1..n without gaps
+    val ranks = profiles.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(ranks.map(_._1).toSet == Set("aa", "zz"))
+    assert(ranks.forall(r => r._2 == r._3), ranks.toString)
+    // probe docs drawn from each distribution + one with no trigrams
+    val probe = Seq((10L, "aaaa bbbb"), (11L, "yyyy zzzz"), (12L, "ab"))
+      .toDF("doc_id", "text")
+    val got = Lexical.ctLangId(probe, "doc_id", "text", profiles,
+      langCol = "lang", m = 20, profileK = 50)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((10L, "aa"), (11L, "zz")),
+      got.toString)
+    // the winning distance always undercuts the all-miss ceiling m·K
+    assert(got.forall(_._3 < 20L * 50L), got.toString)
+  }
 }

@@ -47,4 +47,20 @@ class ProfileSpec extends SparkSpec {
     // the profile must not contain a distinct aggregate re-expansion
     assert(!p.contains("count(distinct"), p)
   }
+
+  test("profileNumeric: hand-checked stats with nulls excluded") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(10L)), (Some(2L), None),
+      (Some(3L), Some(30L)), (Some(4L), Some(20L)))
+      .toDF("a", "b")
+    val got = Profile.profileNumeric(df, Seq("a", "b"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      // a: 1..4 — mean 2.5, quartiles 1.75 / 2.5 / 3.25 (interpolated)
+      ("a", 4L, 0L, 1.0, 4.0, 2.5, 1.75, 2.5, 3.25),
+      // b: {10, 30, 20} with one null — mean 20, quartiles 15/20/25
+      ("b", 3L, 1L, 10.0, 30.0, 20.0, 15.0, 20.0, 25.0)), got.toString)
+  }
 }
