@@ -56,7 +56,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops", "r12ops").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -636,6 +636,9 @@ object Scratch {
           docs.select(functions.TextFunctions.langIdHeuristic(col("text"))
             .as("pred"), col("lang").as("actual")), "pred", "actual")))
 
+    }
+
+    gated("ct5m") {
       val ctProfiles = timeIt("ctLangProfiles top-200/lang over 5M docs")(
         operators.Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
           .localCheckpoint(true))

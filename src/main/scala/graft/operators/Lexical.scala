@@ -275,8 +275,12 @@ object Lexical {
     * convention) per unmatched one; the language with the smallest
     * distance wins (ties break to the smaller language string).
     *
-    * Scale shape: the doc side aggregates on the UNIFORM doc id
-    * (bounded TopKAgg buffers); profiles are |langs|·k rows →
+    * Scale shape: the doc side is ENTIRELY map-only — the per-doc
+    * rank list is one [[graft.functions.TopKFreqLongs]] expression per
+    * row (the explode → groupBy(doc, tg) → top-k-agg form shuffles a
+    * row per distinct (doc, trigram): corpus-proportional exchanges,
+    * measured dominating end-to-end at 5M docs), so only ≤ m rows per
+    * doc ever reach an exchange; profiles are |langs|·k rows →
     * broadcast twice (match join + the langs×docs completion); every
     * distance term is an exact integer. Docs under 3 chars have no
     * trigrams and are omitted (no evidence, no prediction).
@@ -286,26 +290,23 @@ object Lexical {
                profiles: DataFrame, langCol: String = "lang",
                m: Int = 100, profileK: Int = 200): DataFrame = {
     require(m >= 1 && m <= 10000, "m must be in [1, 10000]")
-    val topm = udaf(new TopKAgg(m),
-      org.apache.spark.sql.Encoders.product[Scored])
-    val docTop = docs
+    val sel = docs
       .select(col(idCol).cast("long").as("__doc"),
-        explode(TF.charTrigramHashes(col(textCol))).as("tg"))
-      .groupBy(col("__doc"), col("tg"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col("__doc"))
-      .agg(topm(col("tg"), negate(col("__c").cast("double"))).as("__top"))
-      .select(col("__doc"), posexplode(col("__top")).as(Seq("__i", "__s")))
-      .select(col("__doc"), col("__s.id").as("tg"),
+        graft.functions.TopKFreqLongs(
+          TF.charTrigramHashes(col(textCol)), m).as("__ta"))
+      .where(size(col("__ta")) > 0)
+      .localCheckpoint(false) // feeds the match join AND the m-count
+    val docTop = sel
+      .select(col("__doc"), posexplode(col("__ta")).as(Seq("__i", "tg")))
+      .select(col("__doc"), col("tg"),
         (col("__i") + 1).cast("long").as("__rd"))
-      .localCheckpoint(false)
     val prof = profiles.select(col(langCol).cast("string").as("__lang"),
       col("tg"), col("rank").as("__rp"))
     val matched = docTop.join(broadcast(prof), Seq("tg"))
       .groupBy(col("__doc"), col("__lang"))
       .agg(sum(abs(col("__rd") - col("__rp"))).as("__sum"),
         count(lit(1)).as("__nm"))
-    val docM = docTop.groupBy(col("__doc")).agg(count(lit(1)).as("__m"))
+    val docM = sel.select(col("__doc"), size(col("__ta")).cast("long").as("__m"))
     val langs = prof.select(col("__lang")).distinct()
     docM.crossJoin(broadcast(langs))
       .join(matched, Seq("__doc", "__lang"), "left")
