@@ -194,4 +194,25 @@ class LexicalSpec extends SparkSpec {
     // the winning distance always undercuts the all-miss ceiling m·K
     assert(got.forall(_._3 < 20L * 50L), got.toString)
   }
+
+  test("TopKFreqLongs: count-desc value-asc ranks, codegen == interpreted") {
+    import spark.implicits._
+    // 7×3 ties with 1 (count tie at 3 → smaller value first); 9×2; 5×1
+    val rows = Seq((1L, Seq(7L, 9L, 1L, 7L, 9L, 1L, 5L, 7L, 1L)),
+      (2L, Seq.empty[Long]))
+    def run() = rows.toDF("id", "a")
+      .select(col("id"), graft.functions.TopKFreqLongs(col("a"), 3).as("t"))
+      .orderBy("id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val on = run()
+    assert(on == Seq((1L, Seq(1L, 7L, 9L)), (2L, Seq.empty[Long])),
+      on.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == on, "codegen and interpreted top-k-freq diverged")
+    finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
