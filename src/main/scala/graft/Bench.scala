@@ -59,7 +59,9 @@ object Bench {
     "cross_source_pairs", "decontam_semantic", "decontam_semantic_lsh",
     "events_trend", "embedding_lsh_incremental",
     "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion",
-    "langid_ct", "table_profile_numeric")
+    "langid_ct", "table_profile_numeric",
+    "url_dedup", "blocklist_filter", "score_calibration", "source_js",
+    "snapshot_ks", "pii_density", "dup_cluster_sizes", "ngram_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, CorpusStats, Curation, Decontaminate,
+  Dedup, Privacy, Provenance, TrainingData}
+import graft.functions.{TextFunctions => TF}
+
+/** Round-12 [EXT] batch C: crawl-provenance and admission operators —
+  * canonical-URL latest-crawl dedup (X101), the C4 blocklist word
+  * filter (X102), classifier calibration bins (X103), per-source
+  * Jensen–Shannon divergence (X104), the two-sample KS snapshot test
+  * (X105), per-source PII density (X106), the near-dup cluster-size
+  * histogram (X107), and batch n-gram coverage vs the served shingle
+  * index (X108). Every entry is HASH-gated against a DuckDB twin.
+  */
+object Round12cQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Crawl-log fixture for X101: every doc arrives as a messy URL
+    * spelling (scheme/case noise, `www.`, a tracking query, a
+    * trailing slash, or a fragment, by doc_id % 3) over source ×
+    * (doc_id % 40) pages — ~‰-scale canonical collisions; the crawl
+    * seq is the doc id (monotone). Derived identically in the twin
+    * (the pii_redact plant-on-both-engines rule). */
+  private def crawlUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Page/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=rss"))
+          .when(col("doc_id") % 3 === 1, lit("/"))
+          .otherwise(lit("#section-2"))).as("url"))
+
+  /** X102's blocklist: two words that genuinely occur in the
+    * synthetic vocabulary, so both branches of the filter fire. */
+  private val Blocklist = Seq("slow", "vector")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X101: canonical-URL latest-crawl dedup — the cheapest dedup
+    // tier (pure string rewrite + one max-fold aggregate; never a
+    // per-URL row_number window) --------------------------------------
+    "url_dedup" -> ((s, dir) =>
+      Provenance.latestByUrl(crawlUrls(t(s, dir, "documents")),
+        "url", "doc_id")
+        .orderBy("canon_url")),
+
+    // ---- X102: C4 blocklist word filter — map-only, one O(log B)
+    // sorted-literal probe per token ----------------------------------
+    "blocklist_filter" -> ((s, dir) =>
+      Curation.blocklistFilter(t(s, dir, "documents"), "doc_id", "text",
+        Blocklist)
+        .orderBy("doc_id")),
+
+    // ---- X103: calibration curve of the stopword-fraction lang-ID
+    // score against the actual en label — fixed-width bins, one
+    // ≤nBins-row aggregate --------------------------------------------
+    "score_calibration" -> ((s, dir) =>
+      Classifier.calibrationBins(
+        t(s, dir, "documents").select(
+          TF.stopwordFraction(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", nBins = 10)
+        .orderBy("bin")),
+
+    // ---- X104: per-source Jensen–Shannon divergence vs the corpus —
+    // the symmetric, bounded mixing distance; source-support-only sum
+    // via the absent-mass identity ------------------------------------
+    "source_js" -> ((s, dir) =>
+      CorpusStats.sourceJs(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // ---- X105: two-sample KS between the %3 and %5 corpus snapshots
+    // per language — the binless sibling of snapshot_drift -----------
+    "snapshot_ks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.snapshotKs(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars")
+        .orderBy("lang")
+    }),
+
+    // ---- X106: per-source PII density — hits per 10k chars on the
+    // planted-PII corpus (the pii_redact plant, aggregated) ----------
+    "pii_density" -> ((s, dir) =>
+      Privacy.densityByGroup(
+        t(s, dir, "documents").select(col("source"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org or +1-555-"),
+            lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")).as("text")),
+        "source", "text")
+        .orderBy("source")),
+
+    // ---- X107: near-dup cluster-size histogram — pairs served from
+    // the materialized shingle index, CC labels, two count aggregates -
+    "dup_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      Dedup.componentSizeHistogram(
+        Dedup.connectedComponents(pairs, "doc_a", "doc_b"))
+        .orderBy("cluster_size")
+    }),
+
+    // ---- X108: batch n-gram coverage vs the served shingle index —
+    // the "is this crawl adding anything" admission report; batch =
+    // every 37th doc with three appended novel tokens -----------------
+    "ngram_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"),
+            lit(" zzq"), col("doc_id").cast("string"), lit("a zzq"),
+            col("doc_id").cast("string"), lit("b zzq"),
+            col("doc_id").cast("string"), lit("c")).as("text"))
+      Decontaminate.indexCoverage(
+        SparkEntry.fullShingleIndexFor(s, dir), batch, "doc_id", "text",
+        n = 3)
+        .orderBy("doc_new")
+    }),
+  )
+
+  /** Shared JS/KL token-distribution CTE prefix (the source_kl twin's
+    * shape). */
+  private def sqlTokenDistCtes: String =
+    s"""st AS (SELECT source AS src, unnest(${SparkEntry.sqlTokens("text")}) AS t
+       |  FROM documents),
+       |c AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY src, t),
+       |tf AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf FROM c GROUP BY t),
+       |ns AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY src),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "url_dedup" ->
+      """WITH cr AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM/Page/'
+        |      || CAST(doc_id % 40 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=rss'
+        |              WHEN doc_id % 3 = 1 THEN '/'
+        |              ELSE '#section-2' END AS url
+        |  FROM documents),
+        |k AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+        |    '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon_url
+        |  FROM cr)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_crawls,
+        |  max(doc_id) AS latest_seq
+        |FROM k GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "blocklist_filter" -> {
+      val inList = Blocklist.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> t IN $inList)) AS BIGINT) AS n_blocked
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, n_blocked,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+         |    ELSE 0.0 END AS blocked_frac,
+         |  n_blocked = 0 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "score_calibration" ->
+      s"""WITH sc AS (SELECT ${SparkEntry.sqlStopFrac("text")} AS score,
+         |    lang = 'en' AS label
+         |  FROM documents),
+         |b AS (SELECT CAST(greatest(least(floor(score * 10), 9), 0) AS INT) AS bin,
+         |    score, label
+         |  FROM sc WHERE score IS NOT NULL)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
+         |  round(CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS mean_score
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // replays sourceJs' support-of-the-source decomposition with the
+    // IDENTICAL per-row term order; ln 2 is the shared written literal
+    "source_js" ->
+      s"""WITH $sqlTokenDistCtes
+         |SELECT c.src AS source, max(ns.ns) AS n_tokens,
+         |  round(0.5 * sum(
+         |      (CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+         |        * ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) * 2.0
+         |          / ((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+         |            + (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+         |      + (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE))
+         |        * ln((CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 2.0
+         |          / ((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+         |            + (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)))))
+         |    + 0.5 * 0.6931471805599453
+         |      * (1.0 - sum(CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE))), 4)
+         |    AS js
+         |FROM c JOIN tf USING (t) JOIN ns USING (src) CROSS JOIN tot
+         |GROUP BY c.src ORDER BY source""".stripMargin,
+
+    "snapshot_ks" ->
+      """WITH o AS (SELECT lang AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS co
+        |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT lang AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS cn
+        |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |to_ AS (SELECT g, CAST(sum(co) AS BIGINT) AS t FROM o GROUP BY g),
+        |tn AS (SELECT g, CAST(sum(cn) AS BIGINT) AS t FROM n GROUP BY g),
+        |j AS (SELECT COALESCE(o.g, n.g) AS g, COALESCE(o.v, n.v) AS v,
+        |    COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+        |  FROM o FULL OUTER JOIN n ON o.g = n.g AND o.v = n.v),
+        |cum AS (SELECT g, v,
+        |    sum(co) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumo,
+        |    sum(cn) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumn
+        |  FROM j)
+        |SELECT cum.g AS lang, to_.t AS n_old, tn.t AS n_new,
+        |  round(max(abs(CAST(cumo AS DOUBLE) / CAST(to_.t AS DOUBLE)
+        |    - CAST(cumn AS DOUBLE) / CAST(tn.t AS DOUBLE))), 4) AS ks
+        |FROM cum JOIN to_ USING (g) JOIN tn ON tn.g = cum.g
+        |GROUP BY cum.g, to_.t, tn.t ORDER BY lang""".stripMargin,
+
+    "pii_density" ->
+      """WITH aug AS (SELECT source,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.org or +1-555-'
+        |      || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+        |    CAST(length(text) AS BIGINT) AS lc
+        |  FROM aug),
+        |r2 AS (SELECT source, ne, lc,
+        |    CAST(len(regexp_extract_all(t1, '\+\d{1,2}-\d{3}-\d{3,4}-?\d{0,4}')) AS BIGINT) AS np,
+        |    regexp_replace(t1, '\+\d{1,2}-\d{3}-\d{3,4}-?\d{0,4}', '<PHONE>', 'g') AS t2
+        |  FROM r),
+        |r3 AS (SELECT source, ne, np, lc,
+        |    CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ni
+        |  FROM r2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_email,
+        |  CAST(sum(np) AS BIGINT) AS n_phone,
+        |  CAST(sum(ni) AS BIGINT) AS n_ip,
+        |  CAST(sum(lc) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(ne) + sum(np) + sum(ni) AS DOUBLE) * 10000.0
+        |    / CAST(sum(lc) AS DOUBLE), 4) AS pii_per_10k
+        |FROM r3 GROUP BY source ORDER BY source""".stripMargin,
+
+    "dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${SparkEntry.sqlJaccardCtes},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs WHERE jac >= 0.3
+         |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY comp)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    // the idx CTE replays the served index's read-time frequency cap
+    // (f <= 1000, f = 1 kept — the jaccardPairsAgainstIndex contract)
+    "ngram_coverage" ->
+      s"""WITH tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM documents),
+         |sha AS (SELECT doc, list_distinct(${SparkEntry.sqlShingleHashesOfTh(3)}) AS shs FROM tha),
+         |sh AS (SELECT doc, unnest(shs) AS sh FROM sha),
+         |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+         |idx AS (SELECT sh FROM freq WHERE f <= 1000),
+         |b AS (SELECT doc_id + 700000 AS doc_new,
+         |    text || ' zzq' || CAST(doc_id AS VARCHAR) || 'a zzq'
+         |      || CAST(doc_id AS VARCHAR) || 'b zzq'
+         |      || CAST(doc_id AS VARCHAR) || 'c' AS text
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |btha AS (SELECT doc_new, ${SparkEntry.sqlTokenHashes("text")} AS th FROM b),
+         |bsha AS (SELECT doc_new, list_distinct(${SparkEntry.sqlShingleHashesOfTh(3)}) AS shs FROM btha),
+         |bsh AS (SELECT doc_new, unnest(shs) AS sh FROM bsha),
+         |cov AS (SELECT doc_new, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN idx.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_covered
+         |  FROM bsh LEFT JOIN idx ON bsh.sh = idx.sh GROUP BY doc_new)
+         |SELECT doc_new, n_shingles, n_covered,
+         |  round(CAST(n_covered AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+         |    AS coverage
+         |FROM cov ORDER BY doc_new""".stripMargin,
+  )
+}

@@ -56,7 +56,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -645,6 +645,58 @@ object Scratch {
       timeIt("ctLangId 5M docs vs served profiles (m=100)")(
         noop(operators.Lexical.ctLangId(docs, "doc_id", "text", ctProfiles,
           langCol = "lang", m = 100, profileK = 200)))
+    }
+
+    gated("r12c") {
+      // round-12 batch C at scale: the map-only filters (blocklist,
+      // calibration, PII density), the token-distribution JS combine,
+      // the value-collapsed KS windows, the canonical-URL fold, and
+      // the index-coverage probe at serve cadence
+      timeIt("blocklistFilter 5M docs, 400-word list (sorted-literal probes)")(
+        noop(operators.Curation.blocklistFilter(docs, "doc_id", "text",
+          (0 until 400).map(i => s"badword$i") ++ Seq("slow", "vector"))))
+
+      timeIt("calibrationBins 5M docs (stopword-fraction score)")(
+        noop(operators.Classifier.calibrationBins(
+          docs.select(functions.TextFunctions.stopwordFraction(col("text"))
+            .as("score"), (col("lang") === "en").as("label")),
+          "score", "label", nBins = 10)))
+
+      timeIt("densityByGroup 5M docs (three regex passes + rollup)")(
+        noop(operators.Privacy.densityByGroup(docs, "source", "text")))
+
+      timeIt("sourceJs 5M docs / 640 sources (corpus-sized combine)")(
+        noop(operators.CorpusStats.sourceJs(docs, "source", "text")))
+
+      timeIt("snapshotKs 5M-vs-5M per lang on n_chars")(
+        noop(operators.TrainingData.snapshotKs(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 5 =!= 0), "lang", "n_chars")))
+
+      // 20M crawl rows folding to ~4M canonical URLs
+      val crawls = spark.range(20000000L).toDF("i")
+        .select(col("i").as("seq"),
+          concat(lit("https://www.host"), pmod(xxhash64(col("i")), lit(200L)),
+            lit(".example.com/p/"), pmod(xxhash64(col("i"), lit(5)), lit(20000L)),
+            when(pmod(col("i"), lit(3L)) === 0, lit("?utm=x"))
+              .when(pmod(col("i"), lit(3L)) === 1, lit("/"))
+              .otherwise(lit("#f"))).as("url"))
+      timeIt("latestByUrl over 20M crawl rows -> 4M canonical URLs")(
+        noop(operators.Provenance.latestByUrl(crawls, "url", "seq")))
+
+      // index at compaction cadence; the per-batch cost is the probe
+      val idxPath = "/tmp/big_shingleidx_r12c"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists)
+        timeIt("corpusShingleIndex build over 5M docs (compaction cadence)")(
+          operators.Dedup.corpusShingleIndex(docs, "doc_id", "text", n = 3)
+            .write.mode("overwrite").parquet(idxPath))
+      val idx = spark.read.parquet(idxPath)
+      val batch = docs.where(pmod(col("doc_id"), lit(1000L)) === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" zzq1 zzq2 zzq3")).as("text"))
+      timeIt("indexCoverage: 5k-doc batch probe vs the 5M-doc index")(
+        noop(operators.Decontaminate.indexCoverage(idx, batch,
+          "doc_id", "text", n = 3)))
     }
 
     spark.stop()

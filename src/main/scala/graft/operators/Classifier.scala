@@ -253,4 +253,38 @@ object Classifier {
         round(col("n").cast("double") / col("__t").cast("double"), 4)
           .as("class_share"))
   }
+
+  /** Calibration curve over fixed-width score bins (X103): before a
+    * quality classifier's scores gate data at scale, check that score
+    * ≈ P(label) — a mis-calibrated threshold silently shifts the
+    * accept rate. `scoreCol` ∈ [0,1] is cut into `nBins` equal-width
+    * bins (floor(score·nBins), clamped into [0, nBins-1] so score=1.0
+    * and any out-of-range value land in an edge bin — fixed-width on
+    * purpose: quantile bins need a percentile pass and give back a
+    * curve whose x-axis moves with the corpus).
+    *
+    * Scale shape: map-only bin assignment + ONE ≤nBins-row aggregate
+    * (map-side combine). mean_score is an exact quantized-long sum
+    * (round(score·10⁴) — the winsorizedMean rule) divided once, so
+    * both engines replay it bit-for-bit; pos_rate is one division of
+    * exact counts.
+    *
+    * Output: (bin, n, n_pos, pos_rate, mean_score). */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+                      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val bin = greatest(least(floor(col(scoreCol) * nBins), lit(nBins - 1)),
+      lit(0)).cast("int")
+    scored
+      .where(col(scoreCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(round(col(scoreCol) * 10000).cast("long")).as("__s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+          .as("pos_rate"),
+        round(col("__s").cast("double") /
+          (col("n").cast("double") * 10000.0), 4).as("mean_score"))
+  }
 }

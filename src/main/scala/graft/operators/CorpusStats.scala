@@ -433,6 +433,47 @@ object CorpusStats {
       .select(col("src").as(sourceCol), col("n_tokens"), col("kl"))
   }
 
+  /** Per-source Jensen–Shannon divergence vs the corpus (X104): the
+    * SYMMETRIC, bounded (≤ ln 2) sibling of [[sourceKl]] — KL explodes
+    * on sources with missing mass and weights the source side only;
+    * JS is the distance data-mixing papers actually plot.
+    *
+    * The trick that keeps it [[sourceKl]]-shaped (support-of-the-
+    * source ONLY, no |sources|×|vocab| grid): with M = (P+Q)/2, every
+    * token ABSENT from the source contributes exactly
+    * ½·q·ln 2 to KL(Q‖M) and nothing to KL(P‖M), so
+    *
+    *   JS = ½·Σ_{t∈supp(P)} [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *        + ½·ln 2·(1 − Σ_{t∈supp(P)} q)
+    *
+    * — one corpus-sized (source, token) combine (shared shape with
+    * sourceKl), everything downstream vocabulary-scale. ln 2 is the
+    * written literal 0.6931471805599453 on both engines (computed
+    * ln(2) could differ in the last ulp across libms — the λ=0.75
+    * bigram rule). Output: (sourceCol, n_tokens, js). */
+  def sourceJs(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("src"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("src"), col("t"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val tf = st.groupBy(col("t")).agg(sum(col("c")).cast("long").as("tf"))
+    val ns = st.groupBy(col("src")).agg(sum(col("c")).cast("long").as("ns"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n"))
+    val ps = col("c").cast("double") / col("ns").cast("double")
+    val pc = col("tf").cast("double") / col("n").cast("double")
+    val ln2 = 0.6931471805599453
+    val term = ps * log(ps * 2.0 / (ps + pc)) + pc * log(pc * 2.0 / (ps + pc))
+    st.join(tf, Seq("t"))
+      .join(broadcast(ns), Seq("src"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("src"))
+      .agg(max(col("ns")).as("n_tokens"),
+        round(lit(0.5) * sum(term) +
+          lit(0.5) * lit(ln2) * (lit(1.0) - sum(pc)), 4).as("js"))
+      .select(col("src").as(sourceCol), col("n_tokens"), col("js"))
+  }
+
   /** Per-document n-gram novelty: the share of a doc's DISTINCT
     * `n`-token shingle fingerprints that occur in NO other document —
     * the inverse of boilerplate coverage, and the cheap corpus-level

@@ -636,4 +636,40 @@ object Curation {
       when(size(col("__toks")) === 0, lit(0.0))
         .otherwise(round(lit(0.0) - negH, 4)).as("entropy"))
   }
+
+  /** The C4/Gopher blocklist word filter (X102): flag documents whose
+    * token stream hits a curated blocklist (C4 drops any page with a
+    * "List of Dirty, Naughty …" word — Raffel et al. 2020 §2.2).
+    *
+    * Scale shape: map-ONLY. The blocklist is a few hundred words, so
+    * its ROLLING HASHES ride the plan as one sorted literal array and
+    * each token pays one O(log B) binary-search probe
+    * ([[graft.functions.SortedLookup]] — the stripBoilerplate hot-set
+    * pattern, exact up to hash collisions on the 1e9+7 grid like every
+    * shingle op in the suite); tokens never shuffle, no join, no
+    * broadcast variable. Null text normalizes to "" (a filter emits a
+    * row per input row, the c4Rules rule).
+    *
+    * Output: (idCol, n_tokens, n_blocked, blocked_frac exact ratio,
+    * keep = n_blocked == 0). */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must be non-empty")
+    // the same fold TextFunctions.rollingHash runs per token, computed
+    // once at plan time per blocklist word
+    def rollHash(w: String): Long =
+      w.foldLeft(TF.HashSeed)((a, c) => (a * 31 + c.toLong) % TF.HashMod)
+    val hot = blocked.map(rollHash).distinct.sorted.toArray
+    val th = TF.tokenHashes(coalesce(col(textCol), lit("")))
+    val nBlocked = size(filter(th,
+      h => graft.functions.SortedLookup.containsSortedLong(lit(hot), h)))
+    df.select(col(idCol),
+      size(th).cast("long").as("n_tokens"),
+      nBlocked.cast("long").as("n_blocked"))
+      .withColumn("blocked_frac",
+        when(col("n_tokens") > 0,
+          round(col("n_blocked").cast("double") /
+            col("n_tokens").cast("double"), 4)).otherwise(lit(0.0)))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
 }

@@ -201,4 +201,44 @@ object Decontaminate {
               .cast("double"))
           .as("dup_line_char_frac"))
   }
+
+  /** Per-document n-gram coverage of a new batch against the served
+    * corpus shingle index (X108): what fraction of each incoming doc's
+    * DISTINCT n-gram fingerprints the indexed corpus has already seen
+    * — the "is this crawl adding anything" admission report (near 1.0
+    * ⇒ re-crawl/syndication, near 0.0 ⇒ genuinely new material), and
+    * the batch-side mirror of [[graft.operators.CorpusStats.ngramNovelty]]
+    * (novelty is corpus-internal df=1; coverage is batch-vs-index).
+    *
+    * `index` is whatever [[graft.operators.Dedup.corpusShingleIndex]]
+    * produced (typically read back from its materialized table — the
+    * jaccardPairsAgainstIndex serving contract, including its
+    * read-time frequency cap: presence means "indexed", and an
+    * over-cap boilerplate shingle dropped by the cap counts as
+    * uncovered exactly like it is invisible to the pair stages).
+    *
+    * Scale shape: the index collapses to DISTINCT shingle hashes
+    * (map-side combine on the already-aggregated postings, ≤1 row per
+    * key afterwards — the build side of a SKEW-FREE equi-join by
+    * construction, the X65 rule); only the batch is tokenized; the
+    * left join attaches one presence flag per batch shingle; one
+    * uniform-doc-id aggregate ends it. Sub-n-token docs carry no
+    * shingle and are omitted (the ngramNovelty rule).
+    *
+    * Output: (doc_new, n_shingles, n_covered, coverage exact ratio). */
+  def indexCoverage(index: DataFrame, newDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val seen = index.select(col("sh")).distinct()
+      .withColumn("__seen", lit(1))
+    val batchSh = Dedup.shingleSets(newDocs, idCol, textCol, n)
+      .select(col("doc").as("doc_new"), explode(col("shs")).as("sh"))
+    batchSh.join(seen, Seq("sh"), "left")
+      .groupBy(col("doc_new"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("__seen"), lit(0))).cast("long").as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") /
+          col("n_shingles").cast("double"), 4))
+  }
 }

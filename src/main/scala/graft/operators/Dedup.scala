@@ -1000,6 +1000,26 @@ object Dedup {
     * a SparkListener counter) versus 9 for the round-6 fused
     * propagation loop.
     */
+  /** Near-dup cluster-size histogram (X107): from a
+    * [[connectedComponents]] labeling, (cluster_size, n_clusters) —
+    * the shape report that decides the dedup POLICY (a corpus whose
+    * dup mass sits in two razor-thin mega-clusters wants a
+    * boilerplate/template rule; ten thousand pairs wants plain
+    * keep-one), and the before/after evidence for [[dedupImpact]].
+    * Only nodes that appear in pairs are labeled, so every cluster
+    * here has size ≥ 2 — singletons are the corpus remainder by
+    * definition and are not materialized.
+    *
+    * Scale shape: two count aggregates, each with map-side combine —
+    * component ids are near-uniform (a mega-cluster is ONE key whose
+    * count partials collapse map-side, the skew_profile rule), and
+    * the second groupBy runs on the ≤|clusters|-row table. */
+  def componentSizeHistogram(cc: DataFrame): DataFrame =
+    cc.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           adaptive: Boolean = false,

@@ -42,4 +42,40 @@ object Privacy {
       .withColumn("n_ip", regexp_count(noPhone, lit(Ipv4Pattern)).cast("long"))
       .withColumn("redacted", regexp_replace(noPhone, Ipv4Pattern, "<IP>"))
   }
+
+  /** Per-group PII density report (X106): hits per 10k characters by
+    * provenance — the triage view that decides WHICH sources need the
+    * scrub pass (or exclusion) before anyone pays a corpus-wide
+    * redaction, and the audit metric regulators actually ask for.
+    * Counts ride the same staged patterns as [[redact]] (categories
+    * never double-count). Map-only per-doc counts + ONE |groups|-row
+    * aggregate (map-side combine); exact integer sums, one division.
+    * Empty groups cannot occur (a group exists only via its docs);
+    * zero total chars yields a null density rather than a division
+    * error. Output: (groupCol, n_docs, n_email, n_phone, n_ip,
+    * n_chars, pii_per_10k). */
+  def densityByGroup(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    // null text normalizes to "" (the c4Rules rule: an audit report
+    // counts every doc; a null would also null the group's sums)
+    val text = coalesce(col(textCol), lit(""))
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    docs
+      .select(col(groupCol),
+        regexp_count(text, lit(EmailPattern)).cast("long").as("__e"),
+        regexp_count(noEmail, lit(PhonePattern)).cast("long").as("__p"),
+        regexp_count(noPhone, lit(Ipv4Pattern)).cast("long").as("__i"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__len"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__e")).cast("long").as("n_email"),
+        sum(col("__p")).cast("long").as("n_phone"),
+        sum(col("__i")).cast("long").as("n_ip"),
+        sum(col("__len")).cast("long").as("n_chars"))
+      .withColumn("pii_per_10k",
+        when(col("n_chars") > 0,
+          round((col("n_email") + col("n_phone") + col("n_ip"))
+            .cast("double") * 10000.0 / col("n_chars").cast("double"), 4)))
+  }
 }

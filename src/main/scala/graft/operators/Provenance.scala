@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-provenance operators for crawl pipelines ([EXT] X101): the
+  * same page arrives under dozens of URL spellings (scheme/case
+  * variants, `www.` prefixes, tracking query params, fragments,
+  * trailing slashes), and crawl dedup has to fold them BEFORE any
+  * content hash runs — canonical-URL collapse is the cheapest dedup
+  * tier (pure string rewrite, no tokenize) and the only one that can
+  * drop a re-crawl without even fetching the body twice.
+  *
+  * Scale shape: [[canonicalizeUrl]] is a map-only regex chain (zero
+  * exchanges); [[latestByUrl]] is ONE aggregate on the canonical-URL
+  * key — latest-wins via `max` partial aggregation (map-side combine),
+  * NEVER a per-URL `row_number` window (the store's latest-wins fold
+  * rule: a window shuffles and sorts every crawl version; the max
+  * fold collapses them map-side). Canonical URLs are near-uniform
+  * keys — even a viral page contributes only its own re-crawl count.
+  */
+object Provenance {
+
+  /** Canonical form of a URL, in five deterministic rewrites:
+    * lowercase; drop the `scheme://`; drop one leading `www.`; drop
+    * query (`?...`) and fragment (`#...`); drop trailing slashes.
+    * Plain anchored character-class regexes — identical semantics
+    * under Java regex and any POSIX-ish engine, so an oracle can
+    * replay the chain verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val low = lower(url)
+    val noScheme = regexp_replace(low, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    regexp_replace(noQuery, "/+$", "")
+  }
+
+  /** Latest-crawl pick per canonical URL: (canon_url, n_crawls,
+    * latest_seq). `seqCol` is the crawl sequence (timestamp, fetch
+    * id — anything monotone); the winner is the max, folded map-side. */
+  def latestByUrl(crawls: DataFrame, urlCol: String,
+                  seqCol: String): DataFrame =
+    crawls
+      .select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+        col(seqCol).as("__seq"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).cast("long").as("n_crawls"),
+        max(col("__seq")).as("latest_seq"))
+}

@@ -448,4 +448,52 @@ object TrainingData {
       .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
         round(sqrt(col("__ss").cast("double") / 100000000.0), 4).as("drift"))
   }
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic between two
+    * snapshots (X105): max |ECDF_old − ECDF_new| over the pooled
+    * observed values — the BINLESS sibling of [[snapshotDrift]] (PSI
+    * needs a bin width chosen up front and saturates on within-bin
+    * shifts; KS is parameter-free and catches any distributional
+    * move). Groups present in only one snapshot carry no two-sample
+    * statistic and are omitted (inner join on the group totals).
+    *
+    * Scale shape: each side collapses map-side to (group, value)
+    * counts FIRST (map-side combine — the skew_profile rule: counting
+    * a hot value is not itself skewed), so the cumulative window runs
+    * over the collapsed distinct-value table: its partition size is
+    * ∝ DISTINCT VALUES per group, never corpus rows (the percentile-
+    * state bound that keeps quantileBuckets scale-safe; length-like
+    * signals bound it by construction). Per-row ECDFs divide exact
+    * integers, the max fold is order-free, so both engines replay the
+    * statistic bit-for-bit under 1e-4 rounding.
+    *
+    * Output: (groupCol, n_old, n_new, ks). */
+  def snapshotKs(oldDocs: DataFrame, newDocs: DataFrame,
+                 groupCol: String, valueCol: String): DataFrame = {
+    def counted(df: DataFrame): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+        .groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+    val o = counted(oldDocs).withColumnRenamed("__c", "__co")
+    val n = counted(newDocs).withColumnRenamed("__c", "__cn")
+    val totO = o.groupBy(col("__g")).agg(sum(col("__co")).as("__to"))
+    val totN = n.groupBy(col("__g")).agg(sum(col("__cn")).as("__tn"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(n, Seq("__g", "__v"), "full_outer")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__co"), lit(0L)).as("__co"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+      .withColumn("__cumo", sum(col("__co")).over(w))
+      .withColumn("__cumn", sum(col("__cn")).over(w))
+      .join(broadcast(totO), Seq("__g"))
+      .join(broadcast(totN), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__to")).as("n_old"), max(col("__tn")).as("n_new"),
+        round(max(abs(col("__cumo").cast("double") / col("__to").cast("double") -
+          col("__cumn").cast("double") / col("__tn").cast("double"))), 4)
+          .as("ks"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

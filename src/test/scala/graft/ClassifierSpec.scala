@@ -252,4 +252,32 @@ class ClassifierSpec extends SparkSpec {
       ("other", "de", 2L, 0.6667), ("other", "en", 1L, 0.3333)),
       got.toString)
   }
+
+  // ---------------- calibrationBins (X103) ----------------
+
+  test("calibrationBins: fixed-width bins, edge clamps, null scores excluded") {
+    val scored = Seq(
+      (Some(0.05), true), // bin 0
+      (Some(0.12), false), // bin 1
+      (Some(0.15), true), // bin 1
+      (Some(1.0), true), // floor(10) clamps into bin 9
+      (Some(0.95), false), // bin 9
+      (None, true) // excluded
+    ).toDF("score", "label")
+    val got = Classifier.calibrationBins(scored, "score", "label", nBins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 1L, 1L, 1.0, 0.05),
+      (1, 2L, 1L, 0.5, 0.135),
+      (9, 2L, 1L, 0.5, 0.975)), got.toString)
+  }
+
+  test("calibrationBins clamps out-of-range scores into the edge bins") {
+    val scored = Seq((-0.2, false), (1.7, true)).toDF("score", "label")
+    val got = Classifier.calibrationBins(scored, "score", "label", nBins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 9), got.toString)
+  }
 }

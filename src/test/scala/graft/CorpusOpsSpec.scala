@@ -458,4 +458,35 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("a", "b", 3L, 1.6094)), got.toString)
   }
+
+  // ---------------- sourceJs (X104) ----------------
+
+  test("sourceJs: a source matching the corpus distribution scores exactly 0") {
+    // two sources with IDENTICAL token distributions — each equals the
+    // corpus, every term is p·ln(1), and the tail mass is zero
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "a a b"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceJs(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 3L, 0.0), ("s2", 3L, 0.0)), got.toString)
+  }
+
+  test("sourceJs: hand-computed divergence incl. the absent-mass tail term") {
+    // srcA = [a,a,b], srcB = [b]; corpus = {a: 1/2, b: 1/2}.
+    // B's support misses 'a' (corpus mass 1/2), so its tail term is
+    // ½·ln2·½; full-support JS(B) = 0.215761 → 0.2158 (verified
+    // against the direct M=(P+Q)/2 definition by hand)
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "b"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.sourceJs(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("A", "B"))
+    assert(got(1)._3 === 0.2158, got.toString)
+    // bounded by ln 2, strictly positive for a diverging source
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 0.6932), got.toString)
+    // A diverges less than B (A covers the full corpus support)
+    assert(got(0)._3 > 0.0 && got(0)._3 < got(1)._3, got.toString)
+  }
 }

@@ -595,4 +595,41 @@ class CurationSpec extends SparkSpec {
       (4L, "a", 100.0, 10.0, 0.0, 90.0, None),
       (18L, "b", 100.0, 4.5, 2.0, 95.5, Some(47.75))), got.toString)
   }
+
+  // ---------------- blocklistFilter (X102) ----------------
+
+  test("blocklistFilter counts blocked tokens and keeps clean docs") {
+    val docs = Seq(
+      (1L, "slow data vector fast"),
+      (2L, "fast table"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.blocklistFilter(docs, "doc_id", "text",
+      Seq("slow", "vector"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5, false),
+      (2L, 2L, 0L, 0.0, true),
+      (3L, 0L, 0L, 0.0, true),
+      (4L, 0L, 0L, 0.0, true)), got.toString)
+  }
+
+  test("blocklistFilter matches whole tokens, not substrings") {
+    // "slower" contains "slow" but hashes as its own token
+    val docs = Seq((1L, "slower vectors")).toDF("doc_id", "text")
+    val r = Curation.blocklistFilter(docs, "doc_id", "text",
+      Seq("slow", "vector")).head
+    assert(r.getAs[Long]("n_blocked") === 0L)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("blocklistFilter is map-only: the list rides the plan, nothing shuffles") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Curation.blocklistFilter(docs, "doc_id", "text", Seq("x"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"blocklist filter must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"blocklist filter must not join:\n$p")
+  }
 }

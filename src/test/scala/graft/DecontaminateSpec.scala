@@ -185,4 +185,27 @@ class DecontaminateSpec extends SparkSpec {
       emb, eval, "vec_id", "embedding", 0.15))
     assert(exact.nonEmpty && lsh == exact, s"exact=$exact lsh=$lsh")
   }
+
+  // ---------------- indexCoverage (X108) ----------------
+
+  test("indexCoverage: covered / partial / novel / sub-n batch docs") {
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.corpusShingleIndex(
+      corpus, "doc_id", "text", n = 2)
+    val batch = Seq(
+      (10L, "a b c"), // ab, bc — both indexed → 1.0
+      (11L, "p q r"), // pq, qr — neither → 0.0
+      (12L, "a b z w"), // ab yes, bz no, zw yes → 2/3
+      (13L, "a") // no 2-gram → omitted
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.indexCoverage(index, batch, "doc_id", "text",
+      n = 2)
+      .orderBy("doc_new")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, 1.0),
+      (11L, 2L, 0L, 0.0),
+      (12L, 3L, 2L, 0.6667)), got.toString)
+  }
 }

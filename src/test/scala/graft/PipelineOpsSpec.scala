@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, TrainingData}
+import graft.operators.{AsOfJoin, Privacy, TrainingData}
 
 /** [EXT] corpus-pipeline operators: as-of join semantics, deterministic
   * hash splits, sequence packing — known-value tests; the DuckDB twins
@@ -298,5 +298,51 @@ class PipelineOpsSpec extends SparkSpec {
     val extra = n.union(Seq((4L, "h", Seq(0f, 0f))).toDF("id", "label", "emb"))
     assert(TrainingData.embeddingDrift(o, extra, "label", "emb")
       .count() == 1)
+  }
+
+  // ---------------- snapshotKs (X105) ----------------
+
+  test("snapshotKs: hand-computed ECDF max gap, identical snapshots at 0") {
+    // old g: [1,1,2,3], new g: [2,3,3,4]
+    // ECDFs at pooled values 1,2,3,4: old .5,.75,1,1; new 0,.25,.75,1
+    // → gaps .5,.5,.25,0 → ks = 0.5
+    val o = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L))
+      .toDF("grp", "v")
+    val n = Seq(("g", 2L), ("g", 3L), ("g", 3L), ("g", 4L))
+      .toDF("grp", "v")
+    val got = TrainingData.snapshotKs(o, n, "grp", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 4L, 4L, 0.5)), got.toString)
+    val same = TrainingData.snapshotKs(o, o, "grp", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(same == Seq(("g", 4L, 4L, 0.0)), same.toString)
+  }
+
+  test("snapshotKs omits groups present in only one snapshot") {
+    val o = Seq(("g", 1L), ("h", 1L)).toDF("grp", "v")
+    val n = Seq(("g", 2L)).toDF("grp", "v")
+    val got = TrainingData.snapshotKs(o, n, "grp", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // disjoint supports: ECDF gap is 1 at the old value
+    assert(got == Seq(("g", 1L, 1L, 1.0)), got.toString)
+  }
+
+  // ---------------- Privacy.densityByGroup (X106) ----------------
+
+  test("densityByGroup: per-group PII counts and per-10k-chars density") {
+    val docs = Seq(
+      ("g1", "contact a@b.com now"), // 1 email, 19 chars
+      ("g1", "ip 1.2.3.4"), // 1 IP, 10 chars
+      ("g2", "clean text"), // nothing, 10 chars
+      ("g3", null.asInstanceOf[String]) // null text = empty
+    ).toDF("source", "text")
+    val got = Privacy.densityByGroup(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g1", 2L, 1L, 0L, 1L, 29L, Some(689.6552)),
+      ("g2", 1L, 0L, 0L, 0L, 10L, Some(0.0)),
+      ("g3", 1L, 0L, 0L, 0L, 0L, None)), got.toString)
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Provenance
+
+/** Known-value specs for the X101 URL-provenance operators: the
+  * canonicalization rewrite chain and the latest-crawl max-fold.
+  * `url_dedup` is additionally hash-gated against its DuckDB twin.
+  */
+class ProvenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(Provenance.canonicalizeUrl(col("u")).as("c"))
+      .head.getString(0)
+
+  test("canonicalizeUrl folds scheme/case/www/query/fragment/slash variants") {
+    assert(canon("HTTPS://WWW.Example.COM/Page/1?utm=x") === "example.com/page/1")
+    assert(canon("http://example.com/page/1/") === "example.com/page/1")
+    assert(canon("example.com/page/1#frag") === "example.com/page/1")
+    assert(canon("https://www.example.com/page/1") === "example.com/page/1")
+  }
+
+  test("canonicalizeUrl: www needs its dot, slashes strip greedily, root folds") {
+    // wwwx is a real host prefix, not a www. decoration
+    assert(canon("ftp://wwwx.example.com/a") === "wwwx.example.com/a")
+    assert(canon("https://example.com/a///") === "example.com/a")
+    assert(canon("https://example.com/") === "example.com")
+    // query before fragment: one cut takes both
+    assert(canon("https://example.com/a?b=1#c") === "example.com/a")
+  }
+
+  test("latestByUrl counts crawl versions and keeps the max seq per canonical URL") {
+    val crawls = Seq(
+      (10L, "HTTPS://WWW.Example.COM/Page/1?utm=x"),
+      (20L, "http://example.com/page/1/"),
+      (15L, "example.com/page/1#frag"),
+      (7L, "https://example.com/other")).toDF("seq", "url")
+    val r = Provenance.latestByUrl(crawls, "url", "seq")
+      .orderBy("canon_url").collect()
+    assert(r.length === 2)
+    assert(r(0).getString(0) === "example.com/other")
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 7L)
+    assert(r(1).getString(0) === "example.com/page/1")
+    assert(r(1).getLong(1) === 3L && r(1).getLong(2) === 20L)
+  }
+}

@@ -438,4 +438,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(("A", "A", 2L, 0.6667), ("A", "B", 1L, 0.3333)),
       got.toString)
   }
+
+  // ---------------- componentSizeHistogram (X107) ----------------
+
+  test("componentSizeHistogram: cluster sizes from CC labels, sizes >= 2 only") {
+    // clusters: {1,2} size 2, {3,4,5} size 3, {6,7,8,9} size 4 (cyclic)
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (6L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val got = Dedup.componentSizeHistogram(cc)
+      .orderBy("cluster_size")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (3L, 1L), (4L, 1L)), got.toString)
+  }
 }
