@@ -61,7 +61,8 @@ object Bench {
     "sq_recon_error", "skew_profile", "quality_mad", "langid_confusion",
     "langid_ct", "table_profile_numeric",
     "url_dedup", "blocklist_filter", "score_calibration", "source_js",
-    "snapshot_ks", "pii_density", "dup_cluster_sizes", "ngram_coverage")
+    "snapshot_ks", "pii_density", "dup_cluster_sizes", "ngram_coverage",
+    "curation_funnel", "mix_budget_rates", "snapshot_churn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

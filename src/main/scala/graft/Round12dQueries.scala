@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TrainingData}
+import graft.functions.{TextFunctions => TF}
+
+/** Round-12 [EXT] batch D: pipeline-planning operators — the curation
+  * funnel report (X111), the token-budget recipe solver (X110), and
+  * the per-source snapshot churn report (X112). The streaming sibling
+  * (X109 `StreamingProvenance`) is spec-gated in StreamingSpec like
+  * every stateful stream. Every entry here is HASH-gated against a
+  * DuckDB twin.
+  */
+object Round12dQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** X110's demo recipe: four sources spanning saturated (weight
+    * outruns the source) and thin rates; the 16 unlisted sources
+    * report weight 0. */
+  private val Recipe = Seq(
+    ("src0", 0.3), ("src1", 0.2), ("src2", 0.1), ("src17", 0.4))
+  private val Budget = 5000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X111: curation funnel — first-fail attribution over an
+    // ordered rule chain; one map-only when-chain + a ≤4-row rollup --
+    "curation_funnel" -> ((s, dir) =>
+      Curation.filterFunnel(t(s, dir, "documents"), Seq(
+        "len_min" -> (col("n_chars") >= 100),
+        "stop_frac" -> (TF.stopwordFraction(col("text")) >= 0.01),
+        "len_max" -> (col("n_chars") <= 500)))
+        .orderBy("stage")),
+
+    // ---- X110: token-budget mixing rates — the recipe solver in
+    // front of data_mix; one corpus pass + a broadcast recipe join ---
+    "mix_budget_rates" -> ((s, dir) =>
+      TrainingData.budgetRates(t(s, dir, "documents"), "source", "text",
+        Recipe, Budget)
+        .orderBy("source")),
+
+    // ---- X112: per-source snapshot churn — the snapshot_diff
+    // statuses rolled up by provenance (re-crawl cadence report) -----
+    "snapshot_churn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      TrainingData.snapshotChurn(oldSnap, newSnap, "doc_id", "text",
+        "source")
+        .orderBy("source")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "curation_funnel" ->
+      s"""WITH d AS (SELECT
+         |    CASE WHEN NOT COALESCE(n_chars >= 100, FALSE) THEN 0
+         |         WHEN NOT COALESCE(${SparkEntry.sqlStopFrac("text")} >= 0.01, FALSE) THEN 1
+         |         WHEN NOT COALESCE(n_chars <= 500, FALSE) THEN 2
+         |         ELSE 3 END AS stage
+         |  FROM documents),
+         |c AS (SELECT stage, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY stage),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+         |meta(stage, rule) AS (VALUES
+         |  (0, 'len_min'), (1, 'stop_frac'), (2, 'len_max')),
+         |f AS (SELECT meta.stage, meta.rule, COALESCE(c.n, 0) AS n_dropped
+         |  FROM meta LEFT JOIN c ON meta.stage = c.stage),
+         |g AS (SELECT stage, rule, n_dropped,
+         |    t - COALESCE(sum(n_dropped) OVER (ORDER BY stage
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+         |  FROM f CROSS JOIN tot)
+         |SELECT CAST(stage AS BIGINT) AS stage, rule,
+         |  CAST(n_in AS BIGINT) AS n_in, n_dropped,
+         |  CAST(n_in - n_dropped AS BIGINT) AS n_out,
+         |  CASE WHEN n_in > 0
+         |    THEN round(CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE), 4)
+         |    ELSE 0.0 END AS drop_rate
+         |FROM g ORDER BY stage""".stripMargin,
+
+    "mix_budget_rates" -> {
+      val vals = Recipe.map { case (s, w) =>
+        s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH tk AS (SELECT source AS src,
+         |    CAST(len(${SparkEntry.sqlTokens("text")}) AS BIGINT) AS t
+         |  FROM documents),
+         |s AS (SELECT src, CAST(sum(t) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY src),
+         |r(src, w) AS (VALUES $vals)
+         |SELECT s.src AS source, n_tokens,
+         |  COALESCE(w, 0.0) AS weight,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(least(1.0, ${Budget.toDouble} * COALESCE(w, 0.0)
+         |      / CAST(n_tokens AS DOUBLE)), 4)
+         |    ELSE 1.0 END AS rate,
+         |  least(n_tokens,
+         |    CAST(floor(${Budget.toDouble} * COALESCE(w, 0.0)) AS BIGINT))
+         |    AS target_tokens
+         |FROM s LEFT JOIN r ON s.src = r.src ORDER BY source""".stripMargin
+    },
+
+    "snapshot_churn" ->
+      """WITH o AS (SELECT doc_id, source, md5(COALESCE(text, '')) AS ho
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id, source,
+        |    md5(COALESCE(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                      ELSE text END, '')) AS hn
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT COALESCE(n.source, o.source) AS g,
+        |    CASE WHEN ho IS NULL THEN 'added'
+        |         WHEN hn IS NULL THEN 'removed'
+        |         WHEN ho <> hn THEN 'changed'
+        |         ELSE 'unchanged' END AS st
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |c AS (SELECT g,
+        |    CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |    CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |    CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |  FROM j GROUP BY g)
+        |SELECT g AS source,
+        |  n_removed + n_changed + n_unchanged AS n_old,
+        |  n_added + n_changed + n_unchanged AS n_new,
+        |  n_added, n_removed, n_changed, n_unchanged,
+        |  CASE WHEN n_added + n_changed + n_unchanged > 0
+        |    THEN round(CAST(n_added + n_removed + n_changed AS DOUBLE)
+        |      / CAST(n_added + n_changed + n_unchanged AS DOUBLE), 4)
+        |    END AS churn_rate
+        |FROM c ORDER BY source""".stripMargin,
+  )
+}

@@ -672,4 +672,54 @@ object Curation {
             col("n_tokens").cast("double"), 4)).otherwise(lit(0.0)))
       .withColumn("keep", col("n_blocked") === 0L)
   }
+
+  /** Curation funnel report (X111): for an ORDERED rule chain, how
+    * many docs each rule drops FIRST — the attribution view every
+    * curation pipeline publishes (C4/Gopher/FineWeb papers all report
+    * exactly this table), and the one that catches a mis-ordered or
+    * shadowed rule (a rule whose first-fail count is ~0 because an
+    * earlier rule already drops its docs). A doc failing several rules
+    * counts ONLY against the first — the funnel is sequential by
+    * definition, so per-rule numbers sum to total drops.
+    *
+    * Scale shape: ONE map-only when-chain assigns each doc its
+    * first-failing stage, then one ≤(rules+1)-row count aggregate;
+    * the cumulative "n_in" recurrence runs as a window over that tiny
+    * table (partition size ∝ rule count, never corpus rows). A null
+    * rule verdict counts as a failure (an unevaluable doc must not
+    * silently pass a gate).
+    *
+    * Output per rule, in chain order: (stage, rule, n_in, n_dropped,
+    * n_out, drop_rate). The last rule's n_out is the survivor count. */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    // first-failing stage; rules.length = survived every rule
+    val stage = rules.zipWithIndex.reverse
+      .foldLeft(lit(rules.length)) { case (acc, ((_, cond), i)) =>
+        when(!coalesce(cond, lit(false)), lit(i)).otherwise(acc)
+      }
+    val counts = df.select(stage.as("__stage"))
+      .groupBy(col("__stage")).agg(count(lit(1)).cast("long").as("__n"))
+    import spark.implicits._
+    val meta = rules.zipWithIndex
+      .map { case ((name, _), i) => (i, name) }.toDF("__stage", "rule")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    meta.join(broadcast(counts), Seq("__stage"), "left")
+      .select(col("__stage"), col("rule"),
+        coalesce(col("__n"), lit(0L)).as("n_dropped"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).cast("long").as("__total"))))
+      .withColumn("n_in",
+        col("__total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("__stage").cast("long").as("stage"), col("rule"),
+        col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"),
+        when(col("n_in") > 0,
+          round(col("n_dropped").cast("double") /
+            col("n_in").cast("double"), 4)).otherwise(lit(0.0))
+          .as("drop_rate"))
+  }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** [EXT] corpus-preparation operators a training-data pipeline needs
   * on top of the reference's query surface: deterministic dataset
   * splits and context-window sequence packing. Both are pure column
@@ -495,5 +497,95 @@ object TrainingData {
           col("__cumn").cast("double") / col("__tn").cast("double"))), 4)
           .as("ks"))
       .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Token-budget mixing rates (X110): the data-recipe SOLVER that
+    * sits in front of [[mixSources]] — given a target weight per
+    * source and a total token budget, how hard can each source
+    * actually be sampled? rate = min(1, budget·w / tokens): a source
+    * too small for its target saturates at 1 (the shortfall is the
+    * signal the recipe needs re-balancing — exactly the check the
+    * LLaMA/Pile recipes publish).
+    *
+    * Scale shape: ONE corpus pass (map-side token counts combined per
+    * source), then a broadcast join against the few-row recipe;
+    * target_tokens = min(n_tokens, floor(budget·w)) — floor of one
+    * double product of written literals, engine-replayable. Sources
+    * absent from the recipe carry weight 0 (reported, not silently
+    * dropped); a zero-token source reports rate 1.0 (nothing to
+    * sample). Output: (sourceCol, n_tokens, weight, rate,
+    * target_tokens). */
+  def budgetRates(docs: DataFrame, sourceCol: String, textCol: String,
+                  recipe: Seq[(String, Double)],
+                  budgetTokens: Long): DataFrame = {
+    require(recipe.nonEmpty, "recipe must name at least one source")
+    require(budgetTokens > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col(sourceCol).as("__src"),
+        size(TF.tokens(coalesce(col(textCol), lit("")))).cast("long")
+          .as("__t"))
+      .groupBy(col("__src"))
+      .agg(sum(col("__t")).as("n_tokens"))
+    val recipeDf = recipe.toDF("__src", "__w")
+    val w = coalesce(col("__w"), lit(0.0))
+    toks.join(broadcast(recipeDf), Seq("__src"), "left")
+      .select(col("__src").as(sourceCol), col("n_tokens"),
+        w.as("weight"),
+        when(col("n_tokens") > 0,
+          round(least(lit(1.0),
+            lit(budgetTokens.toDouble) * w / col("n_tokens").cast("double")),
+            4)).otherwise(lit(1.0)).as("rate"),
+        least(col("n_tokens"),
+          floor(lit(budgetTokens.toDouble) * w).cast("long"))
+          .as("target_tokens"))
+  }
+
+  /** Per-group snapshot churn report (X112): [[snapshotDiff]]'s
+    * statuses rolled up by provenance — WHICH sources are stable
+    * archives vs rolling feeds, the report that sets each source's
+    * re-crawl and index-maintenance cadence (a 90%-churn feed
+    * invalidates its shingle/IVF postings every cycle; a 0%-churn
+    * archive never needs the delta path at all).
+    *
+    * Same scale shape as snapshotDiff: 16 B/doc fingerprints collapse
+    * map-side, ONE full-outer join on the uniform doc id, then a
+    * |groups|-row rollup (the group rides the join row — no second
+    * corpus join). churn = (added+removed+changed)/n_new, one exact
+    * division. Output: (groupCol, n_old, n_new, n_added, n_removed,
+    * n_changed, n_unchanged, churn_rate — null for an emptied
+    * group). */
+  def snapshotChurn(oldDocs: DataFrame, newDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    groupCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      col(groupCol).as("__go"),
+      md5(coalesce(col(textCol), lit(""))).as("__ho"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      col(groupCol).as("__gn"),
+      md5(coalesce(col(textCol), lit(""))).as("__hn"))
+    def cnt(st: String) =
+      sum(when(col("__st") === st, 1L).otherwise(0L)).cast("long")
+    o.join(n, Seq("__id"), "full_outer")
+      .select(coalesce(col("__gn"), col("__go")).as("__g"),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("__st"))
+      .groupBy(col("__g"))
+      .agg(cnt("added").as("n_added"), cnt("removed").as("n_removed"),
+        cnt("changed").as("n_changed"), cnt("unchanged").as("n_unchanged"))
+      .select(col("__g").as(groupCol),
+        (col("n_removed") + col("n_changed") + col("n_unchanged"))
+          .as("n_old"),
+        (col("n_added") + col("n_changed") + col("n_unchanged"))
+          .as("n_new"),
+        col("n_added"), col("n_removed"), col("n_changed"),
+        col("n_unchanged"))
+      .withColumn("churn_rate",
+        when(col("n_new") > 0,
+          round((col("n_added") + col("n_removed") + col("n_changed"))
+            .cast("double") / col("n_new").cast("double"), 4)))
   }
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming canonical-URL latest-crawl state ([EXT], the continuous
+  * form of [[graft.operators.Provenance.latestByUrl]] / X101): fold
+  * each arriving crawl into its canonical URL's running (n_crawls,
+  * latest_seq) — the online crawl-frontier view that answers "have we
+  * fetched this page, and how recently" at ingest time, before any
+  * content byte is stored twice.
+  *
+  * Per-URL state is exactly TWO longs (crawl count, max seq) — the
+  * StreamingFunnel bounded-state rule; a viral URL costs the same 16
+  * bytes as a cold one. Output is Update-mode (a newer crawl REVISES
+  * the URL's row — latest-wins is not append-able by nature); each
+  * micro-batch emits one row per touched URL, so the sink's last row
+  * per URL is exactly the batch operator's row over the same prefix
+  * (pinned batch-equivalent in StreamingSpec, in-order or not —
+  * unlike the quota cap, max/count folds are arrival-order-FREE).
+  */
+object StreamingProvenance {
+
+  final case class Crawl(url: String, seq: Long)
+  final case class UrlState(canon_url: String, n_crawls: Long,
+                            latest_seq: Long)
+
+  def latest(crawls: DataFrame, urlCol: String,
+             seqCol: String): Dataset[UrlState] = {
+    val spark = crawls.sparkSession
+    import spark.implicits._
+    val typed = crawls
+      .select(graft.operators.Provenance.canonicalizeUrl(col(urlCol))
+        .as("url"),
+        col(seqCol).cast("long").as("seq"))
+      .as[Crawl]
+    typed.groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[Crawl],
+         state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var n = n0
+          var s = s0
+          rows.foreach { c =>
+            n += 1
+            if (c.seq > s) s = c.seq
+          }
+          state.update((n, s))
+          Iterator.single(UrlState(url, n, s))
+      }
+  }
+}

@@ -632,4 +632,38 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"blocklist filter must not shuffle:\n$p")
     assert(!p.contains("Join"), s"blocklist filter must not join:\n$p")
   }
+
+  // ---------------- filterFunnel (X111) ----------------
+
+  test("filterFunnel: first-fail attribution, per-rule drops sum to total drops") {
+    // doc 1 fails rule 0 (and would fail rule 1 — counts ONLY at 0);
+    // doc 2 fails rule 1; doc 3 fails rule 2; docs 4,5 survive;
+    // doc 6's null verdict on rule 1 counts as a failure there
+    val docs = Seq(
+      (1L, 5L, Some(0.0)), (2L, 50L, Some(0.0)), (3L, 900L, Some(0.5)),
+      (4L, 60L, Some(0.4)), (5L, 70L, Some(0.3)),
+      (6L, 80L, None)).toDF("doc_id", "len", "frac")
+    val got = Curation.filterFunnel(docs, Seq(
+      "len_min" -> (col("len") >= 10),
+      "frac_min" -> (col("frac") >= 0.1),
+      "len_max" -> (col("len") <= 500)))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, "len_min", 6L, 1L, 5L, 0.1667),
+      (1L, "frac_min", 5L, 2L, 3L, 0.4),
+      (2L, "len_max", 3L, 1L, 2L, 0.3333)), got.toString)
+  }
+
+  test("filterFunnel: a rule that drops nothing still reports its zero row") {
+    val docs = Seq((1L, 50L)).toDF("doc_id", "len")
+    val got = Curation.filterFunnel(docs, Seq(
+      "never_fires" -> (col("len") >= 0),
+      "all_pass" -> (col("len") <= 100)))
+      .orderBy("stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, "never_fires", 1L, 0L, 1L, 0.0),
+      (1L, "all_pass", 1L, 0L, 1L, 0.0)), got.toString)
+  }
 }

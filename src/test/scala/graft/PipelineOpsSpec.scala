@@ -345,4 +345,50 @@ class PipelineOpsSpec extends SparkSpec {
       ("g2", 1L, 0L, 0L, 0L, 10L, Some(0.0)),
       ("g3", 1L, 0L, 0L, 0L, 0L, None)), got.toString)
   }
+
+  // ---------------- budgetRates (X110) ----------------
+
+  test("budgetRates: saturated, thin, and unlisted sources") {
+    // sA: 4 tokens, weight .5, budget 100 -> 50 target outruns the
+    // source: rate 1.0, target capped at 4. sB: 8 tokens, weight .1
+    // -> 10 target: rate 1.0? no — 100*.1/8 = 1.25 -> capped 1.0,
+    // target min(8, 10) = 8. Use weight .02 -> 2 target, rate .25.
+    // sC unlisted -> weight 0, rate 0, target 0.
+    val docs = Seq(
+      ("sA", "a b c d"), ("sB", "a b c d e f g h"), ("sC", "a b"))
+      .toDF("source", "text")
+    val got = TrainingData.budgetRates(docs, "source", "text",
+      Seq("sA" -> 0.5, "sB" -> 0.02), budgetTokens = 100L)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("sA", 4L, 0.5, 1.0, 4L),
+      ("sB", 8L, 0.02, 0.25, 2L),
+      ("sC", 2L, 0.0, 0.0, 0L)), got.toString)
+  }
+
+  // ---------------- snapshotChurn (X112) ----------------
+
+  test("snapshotChurn: per-source status counts and churn rate") {
+    val oldS = Seq(
+      (1L, "s1", "a"), (2L, "s1", "b"), (3L, "s1", "c"), // s1: keep/change/remove
+      (4L, "s2", "d") // s2: removed entirely
+    ).toDF("doc_id", "source", "text")
+    val newS = Seq(
+      (1L, "s1", "a"), (2L, "s1", "B2"), (5L, "s1", "e"), // s1: +1 added
+      (6L, "s3", "f") // s3: brand new
+    ).toDF("doc_id", "source", "text")
+    val got = TrainingData.snapshotChurn(oldS, newS, "doc_id", "text",
+      "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      // s1: old {1,2,3} new {1,2',5}: 1 unchanged, 1 changed, 1
+      // removed, 1 added -> churn (1+1+1)/3 = 1.0
+      ("s1", 3L, 3L, 1L, 1L, 1L, 1L, Some(1.0)),
+      // s2 emptied: n_new 0 -> null churn
+      ("s2", 1L, 0L, 0L, 1L, 0L, 0L, None),
+      ("s3", 0L, 1L, 1L, 0L, 0L, 0L, Some(1.0))), got.toString)
+  }
 }

@@ -887,6 +887,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL latest-wins: cross-batch canonical fold with two longs " +
+    "of per-URL state; last emission equals the batch operator") {
+    val dir = Files.createTempDirectory("url-stream").toString
+    // batch 1: two spellings of page/1 and one of /other; batch 2: a
+    // LOWER seq re-crawl of page/1 (out-of-order arrival — the max
+    // fold must not regress) plus a third spelling
+    val b1 = Seq(
+      (10L, "HTTPS://WWW.Example.COM/Page/1?utm=x"),
+      (20L, "http://example.com/page/1/"),
+      (7L, "https://example.com/other"))
+    val b2 = Seq(
+      (15L, "example.com/page/1#frag"),
+      (9L, "https://www.example.com/other"))
+    def toDf(rows: Seq[(Long, String)]) = rows.toDF("seq", "url")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("seq BIGINT, url STRING")
+      .parquet(dir)
+    val q = graft.streaming.StreamingProvenance.latest(
+      stream.toDF(), "url", "seq")
+      .toDF("canon_url", "n_crawls", "latest_seq")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("url_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: keep each URL's LAST emission (max n_crawls —
+      // the count is monotone, so it identifies the final revision)
+      val got = spark.table("url_stream")
+        .groupBy(col("canon_url"))
+        .agg(max(struct(col("n_crawls"), col("latest_seq"))).as("s"))
+        .select(col("canon_url"), col("s.n_crawls"), col("s.latest_seq"))
+        .as[(String, Long, Long)].collect().toSet
+      val want = graft.operators.Provenance.latestByUrl(
+        toDf(b1 ++ b2), "url", "seq")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want && got == Set(
+        ("example.com/page/1", 3L, 20L),
+        ("example.com/other", 2L, 9L)), s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
   test("streaming quota cap: first-cap admission across batches with " +
     "one long of per-group state; in-batch ties break by id") {
     val dir = Files.createTempDirectory("quota-stream").toString
