@@ -472,11 +472,16 @@ object TrainingData {
     * Output: (groupCol, n_old, n_new, ks). */
   def snapshotKs(oldDocs: DataFrame, newDocs: DataFrame,
                  groupCol: String, valueCol: String): DataFrame = {
+    // each collapsed side feeds BOTH the full-outer join and its own
+    // total — checkpoint the tiny (group, value) table once or the
+    // corpus scan behind it runs twice per side (the spanDedup hub
+    // rule; lazy — it materializes on the query's one action)
     def counted(df: DataFrame): DataFrame =
       df.where(col(valueCol).isNotNull)
         .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
         .groupBy(col("__g"), col("__v"))
         .agg(count(lit(1)).cast("long").as("__c"))
+        .localCheckpoint(false)
     val o = counted(oldDocs).withColumnRenamed("__c", "__co")
     val n = counted(newDocs).withColumnRenamed("__c", "__cn")
     val totO = o.groupBy(col("__g")).agg(sum(col("__co")).as("__to"))
