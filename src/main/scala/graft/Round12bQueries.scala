@@ -176,6 +176,41 @@ object Round12bQueries {
        |  round(cd, 4) AS min_cos_dist, e AS closest_eval
        |FROM f WHERE rn = 1 ORDER BY doc_train""".stripMargin
 
+  /** The Cavnar–Trenkle CTE chain ending in r(doc_id, lang, d, rn) —
+    * shared by langid_ct (rn = 1) and langid_margin (rn ≤ 2). */
+  private[graft] def sqlCtCtes: String =
+    s"""ch AS (SELECT doc_id, lang,
+       |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS th
+       |  FROM documents),
+       |tg AS (SELECT doc_id, lang, unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg
+       |  FROM ch),
+       |lc AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
+       |  FROM tg GROUP BY 1, 2),
+       |lp AS (SELECT lang, tg,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rp
+       |  FROM lc QUALIFY rp <= 200),
+       |dc AS (SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS c
+       |  FROM tg GROUP BY 1, 2),
+       |dt AS (SELECT doc_id, tg,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rd
+       |  FROM dc QUALIFY rd <= 100),
+       |dm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM dt GROUP BY 1),
+       |mt AS (SELECT dt.doc_id, lp.lang,
+       |    CAST(sum(abs(dt.rd - lp.rp)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS nm
+       |  FROM dt JOIN lp USING (tg) GROUP BY 1, 2),
+       |langs AS (SELECT DISTINCT lang FROM lp),
+       |fd AS (SELECT dm.doc_id, langs.lang,
+       |    COALESCE(mt.s, 0) + (dm.m - COALESCE(mt.nm, 0)) * 200 AS d
+       |  FROM dm CROSS JOIN langs
+       |  LEFT JOIN mt ON mt.doc_id = dm.doc_id AND mt.lang = langs.lang),
+       |r AS (SELECT doc_id, lang, d,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+       |  FROM fd)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cross_source_pairs" ->
       s"""WITH ${SparkEntry.sqlJaccardCtes},
@@ -294,37 +329,7 @@ object Round12bQueries {
         |FROM e GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     "langid_ct" ->
-      s"""WITH ch AS (SELECT doc_id, lang,
-         |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-         |      c -> CAST(ascii(c) AS BIGINT)) AS th
-         |  FROM documents),
-         |tg AS (SELECT doc_id, lang, unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg
-         |  FROM ch),
-         |lc AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
-         |  FROM tg GROUP BY 1, 2),
-         |lp AS (SELECT lang, tg,
-         |    CAST(row_number() OVER (PARTITION BY lang
-         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rp
-         |  FROM lc QUALIFY rp <= 200),
-         |dc AS (SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS c
-         |  FROM tg GROUP BY 1, 2),
-         |dt AS (SELECT doc_id, tg,
-         |    CAST(row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rd
-         |  FROM dc QUALIFY rd <= 100),
-         |dm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM dt GROUP BY 1),
-         |mt AS (SELECT dt.doc_id, lp.lang,
-         |    CAST(sum(abs(dt.rd - lp.rp)) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS nm
-         |  FROM dt JOIN lp USING (tg) GROUP BY 1, 2),
-         |langs AS (SELECT DISTINCT lang FROM lp),
-         |fd AS (SELECT dm.doc_id, langs.lang,
-         |    COALESCE(mt.s, 0) + (dm.m - COALESCE(mt.nm, 0)) * 200 AS d
-         |  FROM dm CROSS JOIN langs
-         |  LEFT JOIN mt ON mt.doc_id = dm.doc_id AND mt.lang = langs.lang),
-         |r AS (SELECT doc_id, lang, d,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
-         |  FROM fd)
+      s"""WITH $sqlCtCtes
          |SELECT doc_id, lang AS pred, CAST(d AS BIGINT) AS dist
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Lexical}
+
+/** Round-12 [EXT] batch E: the classic three-table OLAP join at exact
+  * money arithmetic (X115 — TPC-H Q3's shape), the source Pareto
+  * curve (X113), and confidence-margin language ID (X114). Every
+  * entry is HASH-gated against a DuckDB twin.
+  */
+object Round12eQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X115: shipping-priority revenue (TPC-H Q3 shape) — dim
+    // filters pushed to the scans, BUILDING customers broadcast, the
+    // one genuine big-big equi-join on the order key, money summed in
+    // exact integer 1e-4 units and divided ONCE ----------------------
+    "q_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 10000).cast("long")).as("__r"))
+        .select(col("l_orderkey"), (col("__r") / 10000.0).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- X113: source Pareto curve — ranked cumulative corpus share;
+    // the windows run over the collapsed |sources|-row table ---------
+    "source_pareto" -> ((s, dir) =>
+      CorpusStats.sourcePareto(t(s, dir, "documents"), "source")
+        .orderBy("rank")),
+
+    // ---- X114: language ID with a confidence margin — the runner-up
+    // gap a language gate actually thresholds on ---------------------
+    "langid_margin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val profiles = Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
+      Lexical.ctLangIdMargin(docs, "doc_id", "text", profiles,
+        langCol = "lang", m = 100, profileK = 200)
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "source_pareto" ->
+      """WITH c AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM c),
+        |r AS (SELECT s, n_docs,
+        |    CAST(row_number() OVER (ORDER BY n_docs DESC, s ASC) AS BIGINT)
+        |      AS rank,
+        |    sum(n_docs) OVER (ORDER BY n_docs DESC, s ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT rank, s AS source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "langid_margin" ->
+      s"""WITH ${Round12bQueries.sqlCtCtes}
+         |SELECT r1.doc_id, r1.lang AS pred, CAST(r1.d AS BIGINT) AS dist,
+         |  CAST(r2.d - r1.d AS BIGINT) AS margin
+         |FROM r r1 LEFT JOIN r r2
+         |  ON r1.doc_id = r2.doc_id AND r2.rn = 2
+         |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+  )
+}

@@ -474,6 +474,36 @@ object CorpusStats {
       .select(col("src").as(sourceCol), col("n_tokens"), col("js"))
   }
 
+  /** Source Pareto curve (X113): sources ranked by document count with
+    * cumulative corpus share — the "top N sources are X% of the data"
+    * dataset-card readout, and the complement of [[sourceConcentration]]'s
+    * single HHI number (the HHI says HOW concentrated; the curve says
+    * WHERE the knee is, which is what a crawl-budget decision needs).
+    *
+    * Scale shape: ONE count aggregate on the source key (map-side
+    * combine — counting a hot source is not itself skewed, the
+    * skew_profile rule); the rank/cumulative windows run over the
+    * COLLAPSED ≤\|sources\|-row table (provenance domains are
+    * thousands, never corpus-scale), with (count desc, source asc)
+    * ties pinned; shares divide exact longs by the broadcast 1-row
+    * total. Output: (rank, sourceCol, n_docs, share, cum_share). */
+  def sourcePareto(docs: DataFrame, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(sourceCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val ord = Window.orderBy(col("n_docs").desc, col("__s").asc)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("__t"))))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("n_docs")).over(cum))
+      .select(col("rank"), col("__s").as(sourceCol), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__t").cast("double"), 4)
+          .as("share"),
+        round(col("__cum").cast("double") / col("__t").cast("double"), 4)
+          .as("cum_share"))
+  }
+
   /** Per-document n-gram novelty: the share of a doc's DISTINCT
     * `n`-token shingle fingerprints that occur in NO other document —
     * the inverse of boilerplate coverage, and the cheap corpus-level

@@ -286,9 +286,13 @@ object Lexical {
     * trigrams and are omitted (no evidence, no prediction).
     *
     * Output: (idCol, pred = arg-min language, dist). */
-  def ctLangId(docs: DataFrame, idCol: String, textCol: String,
-               profiles: DataFrame, langCol: String = "lang",
-               m: Int = 100, profileK: Int = 200): DataFrame = {
+  /** The shared (doc, (distance, lang)) frame behind [[ctLangId]] and
+    * [[ctLangIdMargin]]: per doc, the out-of-place distance to EVERY
+    * language profile as a comparable (d, l) struct. */
+  private def ctLangDistances(docs: DataFrame, idCol: String,
+                              textCol: String, profiles: DataFrame,
+                              langCol: String, m: Int,
+                              profileK: Int): DataFrame = {
     require(m >= 1 && m <= 10000, "m must be in [1, 10000]")
     val sel = docs
       .select(col(idCol).cast("long").as("__doc"),
@@ -316,9 +320,36 @@ object Lexical {
             (col("__m") - coalesce(col("__nm"), lit(0L))) * lit(profileK.toLong))
             .as("d"),
           col("__lang").as("l")).as("__dl"))
+  }
+
+  def ctLangId(docs: DataFrame, idCol: String, textCol: String,
+               profiles: DataFrame, langCol: String = "lang",
+               m: Int = 100, profileK: Int = 200): DataFrame =
+    ctLangDistances(docs, idCol, textCol, profiles, langCol, m, profileK)
       .groupBy(col("__doc"))
       .agg(min(col("__dl")).as("__best"))
       .select(col("__doc").as(idCol), col("__best.l").as("pred"),
         col("__best.d").as("dist"))
-  }
+
+  /** [[ctLangId]] with a CONFIDENCE margin (X114): dist of the
+    * runner-up language minus dist of the winner — the number a
+    * language-filtering gate actually thresholds on (a prediction
+    * that barely beats the second language is noise; Cavnar–Trenkle's
+    * own cutoff is exactly this gap). The per-doc aggregate collects
+    * \|langs\| (d, l) structs — bounded by the profile set (a few
+    * hundred languages at most), the TopKAgg bounded-buffer rule, and
+    * sorts them once; null margin when only one profile exists. Ties
+    * break (d, lang) ascending in both engines. */
+  def ctLangIdMargin(docs: DataFrame, idCol: String, textCol: String,
+                     profiles: DataFrame, langCol: String = "lang",
+                     m: Int = 100, profileK: Int = 200): DataFrame =
+    ctLangDistances(docs, idCol, textCol, profiles, langCol, m, profileK)
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("__dl"))).as("__arr"))
+      .select(col("__doc").as(idCol),
+        col("__arr")(0).getField("l").as("pred"),
+        col("__arr")(0).getField("d").as("dist"),
+        when(size(col("__arr")) > 1,
+          col("__arr")(1).getField("d") - col("__arr")(0).getField("d"))
+          .as("margin"))
 }

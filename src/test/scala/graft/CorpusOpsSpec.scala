@@ -459,6 +459,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 3L, 1.6094)), got.toString)
   }
 
+  // ---------------- sourcePareto (X113) ----------------
+
+  test("sourcePareto: ranked cumulative shares, count ties break by source asc") {
+    val docs = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("b", 6L), ("b", 7L), ("b", 8L),
+      ("c", 9L), ("c", 10L), ("c", 11L)) // b=3, c=3: tie -> b first
+      .toDF("source", "doc_id")
+    val got = CorpusStats.sourcePareto(docs, "source")
+      .orderBy("rank")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 5L, 0.4545, 0.4545),
+      (2L, "b", 3L, 0.2727, 0.7273),
+      (3L, "c", 3L, 0.2727, 1.0)), got.toString)
+  }
+
   // ---------------- sourceJs (X104) ----------------
 
   test("sourceJs: a source matching the corpus distribution scores exactly 0") {

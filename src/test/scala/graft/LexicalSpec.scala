@@ -195,6 +195,39 @@ class LexicalSpec extends SparkSpec {
     assert(got.forall(_._3 < 20L * 50L), got.toString)
   }
 
+  test("ctLangIdMargin: margin = runner-up minus winner; single-profile " +
+    "margin is null; prediction matches ctLangId") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "aa", "aaaa bbbb aaaa bbbb"),
+      (2L, "aa", "aaab bbba aaab"),
+      (3L, "zz", "zzzz yyyy zzzz yyyy"),
+      (4L, "zz", "zzzy yyyz zzzy"))
+      .toDF("doc_id", "lang", "text")
+    val profiles = Lexical.ctLangProfiles(train, "lang", "text", k = 50)
+    val probe = Seq((10L, "aaaa bbbb"), (11L, "yyyy zzzz"))
+      .toDF("doc_id", "text")
+    val withMargin = Lexical.ctLangIdMargin(probe, "doc_id", "text",
+      profiles, langCol = "lang", m = 20, profileK = 50)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    val plain = Lexical.ctLangId(probe, "doc_id", "text", profiles,
+      langCol = "lang", m = 20, profileK = 50)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(withMargin.map(r => (r._1, r._2, r._3)) == plain,
+      s"margin=$withMargin plain=$plain")
+    // distinct char distributions: the wrong language misses a lot, so
+    // the margin is strictly positive
+    assert(withMargin.forall(_._4.exists(_ > 0L)), withMargin.toString)
+    // one-language profile set: no runner-up, margin null
+    val one = Lexical.ctLangIdMargin(probe, "doc_id", "text",
+      profiles.where(col("lang") === "aa"),
+      langCol = "lang", m = 20, profileK = 50)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(one.nonEmpty && one.forall(_._4.isEmpty), one.toString)
+  }
+
   test("TopKFreqLongs: count-desc value-asc ranks, codegen == interpreted") {
     import spark.implicits._
     // 7×3 ties with 1 (count tie at 3 → smaller value first); 9×2; 5×1
