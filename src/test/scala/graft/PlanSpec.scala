@@ -307,4 +307,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("ngram_coverage: the batch broadcasts and the served index streams " +
+    "map-side — the postings never shuffle at probe time") {
+    val p = plan("ngram_coverage")
+    // the probe is the only Inner join in the plan: if it regresses to
+    // a shuffled join (the 91.9 s shape), no BroadcastHashJoin remains
+    // (the one other join — totals vs covered, both ≤|batch| rows — is
+    // a LeftOuter and may legitimately sort-merge)
+    assert(p.contains("BroadcastHashJoin Inner"), p)
+    assert(!p.contains("SortMergeJoin Inner"), p)
+  }
+
+  test("url_dedup: latest-wins is a two-phase max fold, never a per-URL window") {
+    val p = plan("url_dedup")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p)
+  }
+
+  test("q_shipping_priority: date filters reach the scans, top-10 is TakeOrdered") {
+    val p = plan("q_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("source_js / sourceKl shape: no window anywhere in the JS combine") {
+    val p = plan("source_js")
+    assert(!p.contains("Window"), p)
+  }
 }
