@@ -1254,15 +1254,19 @@ object Dedup {
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
     val members = comps
       .join(docs.select(col(idCol).as("node"), qualityCol.as("quality")), "node")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-      .orderBy(col("quality").desc, col("node").asc)
+    // keeper = (quality desc, node asc) argmax as ONE max fold —
+    // max(struct(quality, −node)) combines map-side, so a viral
+    // mega-cluster (a Zipf component key) collapses per task instead
+    // of materializing on one reducer the way the previous
+    // row_number-over-component window did (the r10/r11 weak family)
     members
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("component")))
-      .where(col("__rn") === 1)
-      .select(col("component"), col("node").as("keeper"),
-        col("quality"), col("n_members").cast("long").as("n_members"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("quality"),
+        (-col("node").cast("long")).as("__negid"))).as("__best"),
+        count(lit(1)).cast("long").as("n_members"))
+      .select(col("component"),
+        (-col("__best.__negid")).as("keeper"),
+        col("__best.quality").as("quality"), col("n_members"))
   }
 
   /** Exact closest pairs by embedding cosine distance — O(n²) ground
