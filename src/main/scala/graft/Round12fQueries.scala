@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bitext, Dedup}
+
+/** Round-12 [EXT] batch F: corpus-level line dedup (X116 — the CCNet
+  * pass), margin-based bitext mining (X117 — the CCMatrix/LASER
+  * recipe), and the TPC-H Q17 shape (X118 — a correlated aggregate
+  * subquery DEcorrelated into a pre-aggregate join). Every entry is
+  * HASH-gated against a DuckDB twin.
+  *
+  * The documents fixture is single-line, so line_dedup PLANTS a
+  * deterministic multi-line structure on BOTH engines (the pii_redact
+  * precedent): a corpus-wide copyright line (planted in two CASE
+  * spellings so the lower(trim(·)) normalization is load-bearing), a
+  * %3 conditional banner, the doc's own text (duplicated only where
+  * the fixture has exact dups), and a per-doc unique line that must
+  * survive.
+  */
+object Round12fQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Planted multi-line corpus shared by the Spark and DuckDB sides. */
+  private def plantedLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 2 === 0, lit("Copyright Acme Corp"))
+          .otherwise(lit("copyright acme corp")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter")),
+        concat(lit("doc "), col("doc_id"))).as("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X116: CCNet line-level dedup — a normalized line in >= 2
+    // distinct docs is boilerplate and leaves EVERY doc; Zipf-hybrid
+    // join back (hotCap=100 forces the copyright/banner lines onto
+    // the broadcast hot path and the exact-dup texts onto the
+    // bounded-fan-out tail path) -------------------------------------
+    "line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(plantedLines(t(s, dir, "documents")), "doc_id", "text",
+        minDocs = 2, hotCap = 100L)
+        .orderBy("doc_id")),
+
+    // ---- X117: margin-based bitext mining — per-source best target
+    // by ratio margin over mutual k-NN neighborhoods; quantized-cosine
+    // integer arithmetic makes the margin bit-identical across
+    // engines (see Bitext scaladoc) ----------------------------------
+    "bitext_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Bitext.mineMargin(
+        e.where(col("vec_id") % 7 === 0), "vec_id", "embedding",
+        e.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        k = 8, minMargin = 1.35)
+        .orderBy("src_id")
+    }),
+
+    // ---- X118: TPC-H Q17 shape — "revenue lost to small orders":
+    // the correlated per-part average subquery decorrelated into a
+    // pre-aggregate joined back broadcast; the 0.2·avg predicate is
+    // the exact integer cross-multiplication 5·qty·cnt < sum_qty
+    // (l_quantity is integral), so no double compare near the gate --
+    "q_small_order_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#2" && col("p_size") < 5)
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("__q"),
+          round(col("l_extendedprice") * 10000).cast("long").as("__pu"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val pre = l.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__q")).as("__sq"), count(lit(1)).as("__cq"))
+      l.join(broadcast(pre), col("l_partkey") === col("__pk"))
+        .where(lit(5L) * col("__q") * col("__cq") < col("__sq"))
+        .agg(coalesce(sum(col("__pu")), lit(0L)).as("__u"))
+        .select(round(col("__u") / 70000.0, 4).as("avg_yearly"))
+    }),
+  )
+
+  private def sqlPlantedCtes: String =
+    s"""planted AS (SELECT doc_id, concat_ws(chr(10),
+       |    CASE WHEN doc_id % 2 = 0 THEN 'Copyright Acme Corp'
+       |         ELSE 'copyright acme corp' END,
+       |    text,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' END,
+       |    'doc ' || CAST(doc_id AS VARCHAR)) AS text FROM documents),
+       |ls AS (SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), chr(10)),
+       |      x -> trim(x) <> '') AS ls FROM planted),
+       |lh AS (SELECT doc_id, ls,
+       |    list_transform(ls, x -> ${SparkEntry.sqlRollHash("lower(trim(x))")})
+       |      AS lh FROM ls),
+       |dl AS (SELECT doc_id, unnest(list_distinct(lh)) AS h FROM lh),
+       |freq AS (SELECT h, count(*) AS f FROM dl GROUP BY h),
+       |dup AS (SELECT h FROM freq WHERE f >= 2),
+       |dropped AS (SELECT doc_id, list_sort(list(DISTINCT dl.h)) AS dr
+       |  FROM dl JOIN dup USING (h) GROUP BY doc_id),
+       |fin AS (SELECT lh.doc_id, ls, lh, coalesce(dr, []) AS dr
+       |  FROM lh LEFT JOIN dropped USING (doc_id)),
+       |reb AS (SELECT doc_id, len(ls) AS n_lines,
+       |    list_transform(list_filter(range(1, len(ls) + 1),
+       |      i -> NOT list_contains(dr, lh[i])), i -> ls[i]) AS kept
+       |  FROM fin)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "line_dedup" ->
+      s"""WITH $sqlPlantedCtes
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+         |  ${SparkEntry.sqlRollHash("array_to_string(kept, chr(10))")}
+         |    AS clean_fp
+         |FROM reb ORDER BY doc_id""".stripMargin,
+
+    "bitext_mine" ->
+      s"""WITH src AS (SELECT vec_id AS x, embedding AS ex FROM embeddings
+         |    WHERE vec_id % 7 = 0),
+         |tgt AS (SELECT vec_id AS y, embedding AS ey FROM embeddings
+         |    WHERE vec_id % 7 <> 0),
+         |cd AS (SELECT x, y, ${SparkEntry.sqlCosDist("ex", "ey")} AS cd
+         |  FROM src CROSS JOIN tgt),
+         |q AS (SELECT x, y, cd,
+         |    CAST(round((1 - cd) * 10000) AS BIGINT) AS qc FROM cd),
+         |fx AS (SELECT x, y, qc,
+         |    row_number() OVER (PARTITION BY x ORDER BY cd ASC, y ASC) AS r
+         |  FROM q),
+         |fxk AS (SELECT x, y, qc FROM fx WHERE r <= 8),
+         |ax AS (SELECT x, CAST(sum(qc) AS BIGINT) AS sa,
+         |    CAST(count(*) AS BIGINT) AS ca FROM fxk GROUP BY x),
+         |fy AS (SELECT x, y, qc,
+         |    row_number() OVER (PARTITION BY y ORDER BY cd ASC, x ASC) AS r
+         |  FROM q),
+         |fyk AS (SELECT x, y, qc FROM fy WHERE r <= 8),
+         |ay AS (SELECT y, CAST(sum(qc) AS BIGINT) AS sb,
+         |    CAST(count(*) AS BIGINT) AS cb FROM fyk GROUP BY y),
+         |m AS (SELECT f.x, f.y, f.qc,
+         |    (2.0 * f.qc * ca * cb) / (sa * cb + sb * ca) AS mar
+         |  FROM fxk f JOIN ax USING (x) JOIN ay USING (y)
+         |  WHERE sa * cb + sb * ca > 0
+         |    AND 2 * f.qc * ca * cb * 10000 >= 13500 * (sa * cb + sb * ca)),
+         |b AS (SELECT x, y, qc, mar,
+         |    row_number() OVER (PARTITION BY x ORDER BY mar DESC, y ASC) AS rb
+         |  FROM m)
+         |SELECT x AS src_id, y AS tgt_id, round(qc / 10000.0, 4) AS sim,
+         |  round(mar, 4) AS margin
+         |FROM b WHERE rb = 1 ORDER BY src_id""".stripMargin,
+
+    "q_small_order_revenue" ->
+      """WITH fp AS (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#2' AND p_size < 5),
+        |l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 10000) AS BIGINT) AS pu
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey),
+        |pre AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cq FROM l GROUP BY l_partkey)
+        |SELECT round(coalesce(sum(pu), 0) / 70000.0, 4) AS avg_yearly
+        |FROM l JOIN pre ON l_partkey = pk
+        |WHERE 5 * q * cq < sq""".stripMargin,
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FusedDistance => FD}
+
+/** Margin-based parallel-pair mining over embedding spaces (X117 —
+  * Artetxe & Schwenk 2019's ratio margin, the CCMatrix/LASER recipe):
+  * for a source-language sentence x and target candidates y,
+  *
+  *   margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+  *
+  * where avgk(·) is the mean cosine similarity to the point's own k
+  * nearest neighbors ON THE OTHER SIDE. The margin normalizes away
+  * hubness (a y that is close to EVERYTHING scores high raw cosine
+  * against every x; dividing by its neighborhood density cancels
+  * that), which is why raw-cosine thresholding over-mines hub
+  * sentences and margin thresholding does not.
+  *
+  * Exact-arithmetic formulation (what makes this hash-gateable): the
+  * cosine is quantized to the 1e-4 grid FIRST (qc = round(sim·10⁴) —
+  * one long per pair), so every average is a ratio of exact integers
+  * and the margin is ONE IEEE double division of exact-long operands:
+  *
+  *   margin = (2·qc·ca·cb) / (sa·cb + sb·ca)
+  *
+  * (sa, ca = sum/count of x's top-k quantized sims; sb, cb = y's) —
+  * bit-identical across engines and partitionings, because integer
+  * sums commute and a single division is deterministic. The
+  * threshold is applied as a cross-multiplied INTEGER predicate
+  * (2·qc·ca·cb·10⁴ ≥ M·(sa·cb + sb·ca), M = round(minMargin·10⁴)) —
+  * no double comparison anywhere near the gate boundary. Magnitudes:
+  * |qc| ≤ 10⁴, ca, cb ≤ k ≤ 64, |sa|, |sb| ≤ 64·10⁴ ⇒ every product
+  * stays below ~10¹³, no overflow.
+  *
+  * Scale shape (the broadcast-probe geometry of decontam_semantic):
+  *  - the SOURCE side is the probe batch (a translation-mining run
+  *    probes one language shard against another; the per-run batch is
+  *    bounded) and rides a broadcast nested-loop — each target
+  *    partition streams once through the fused cosine kernel,
+  *    map-only, no shuffle of the big side;
+  *  - both directional top-k's are bounded [[TopKAgg]] aggregates:
+  *    per-y candidates co-reside in their input partition (the
+  *    broadcast puts all |src| rows next to each y), so map-side
+  *    partial aggregation collapses each y to one k-buffer before any
+  *    exchange — the shuffle carries |tgt| k-buffers, never
+  *    |tgt|·|src| rows;
+  *  - the margin join back attaches avgk(x) map-side (it rides the
+  *    same row as x's exploded top-k) and avgk(y) via ONE equi-join
+  *    on the uniform y key;
+  *  - per-x best-pair selection is a `max(struct)` fold (map-side
+  *    combining — never a rank window over a skewed key).
+  *  At corpus×corpus scale both sides go through the IVF/LSH index
+  *  families (the dedup_embedding_lsh path) to generate candidates;
+  *  this operator is the exact scorer those candidates feed.
+  *
+  * Denominator guard: pairs whose combined neighborhoods have
+  * non-positive total similarity (sa·cb + sb·ca ≤ 0 — antipodal
+  * noise) are dropped before the ratio; a real mined pair's
+  * neighborhood is positive by construction.
+  *
+  * Output: one row per source point that mined a pair — (src_id,
+  * tgt_id, sim, margin), margin-descending ties broken by smaller
+  * tgt_id, both rounded to the 1e-4 grid.
+  */
+object Bitext {
+
+  def mineMargin(src: DataFrame, srcId: String, srcVec: String,
+                 tgt: DataFrame, tgtId: String, tgtVec: String,
+                 k: Int = 8, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val m = math.round(minMargin * 10000.0)
+    val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+
+    val s = src.select(col(srcId).as("__x"), col(srcVec).as("__vx"))
+    val t = tgt.select(col(tgtId).as("__y"), col(tgtVec).as("__vy"))
+    val cand = t.crossJoin(broadcast(s))
+      .select(col("__x"), col("__y"),
+        FD.cosine(col("__vx"), col("__vy")).as("__cd"))
+
+    // quantized similarity of a Scored buffer entry
+    def qc(d: org.apache.spark.sql.Column) =
+      round((lit(1.0) - d) * 10000).cast("long")
+
+    // forward: x's top-k targets (distance asc, id asc — the TopKAgg
+    // tie rule) with the neighborhood sum attached map-side
+    val fwd = cand
+      .groupBy(col("__x"))
+      .agg(topk(col("__y"), col("__cd")).as("__nn"))
+      .select(col("__x"),
+        aggregate(col("__nn"), lit(0L), (acc, e) => acc + qc(e("distance")))
+          .as("sa"),
+        size(col("__nn")).cast("long").as("ca"),
+        explode(col("__nn")).as("__e"))
+      .select(col("__x"), col("sa"), col("ca"),
+        col("__e")("id").as("__y"), qc(col("__e")("distance")).as("qc"))
+
+    // backward: y's neighborhood statistics over the source batch
+    val bwd = cand
+      .groupBy(col("__y"))
+      .agg(topk(col("__x"), col("__cd")).as("__nn"))
+      .select(col("__y"),
+        aggregate(col("__nn"), lit(0L), (acc, e) => acc + qc(e("distance")))
+          .as("sb"),
+        size(col("__nn")).cast("long").as("cb"))
+
+    val den = col("sa") * col("cb") + col("sb") * col("ca")
+    val scored = fwd.join(bwd, Seq("__y"))
+      .where(den > 0 &&
+        lit(2L) * col("qc") * col("ca") * col("cb") * 10000L >= lit(m) * den)
+      .select(col("__x"), col("__y"), col("qc"),
+        ((lit(2.0) * col("qc") * col("ca") * col("cb")) / den).as("__m"))
+
+    scored.groupBy(col("__x"))
+      .agg(max(struct(col("__m"), (-col("__y")).as("__ny"),
+        col("qc"))).as("__best"))
+      .select(col("__x").as("src_id"),
+        (-col("__best")("__ny")).as("tgt_id"),
+        round(col("__best")("qc") / 10000.0, 4).as("sim"),
+        round(col("__best")("__m"), 4).as("margin"))
+  }
+}

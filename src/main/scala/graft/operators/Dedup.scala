@@ -1367,4 +1367,77 @@ object Dedup {
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
         concat_ws(" ", filter(marked, x => x.isNotNull)).as("clean"))
   }
+
+  /** Corpus-level line deduplication (X116 — CCNet, Wenzek et al.
+    * 2020 §3.1): a line whose normalized form (`lower(trim(line))`)
+    * appears in at least `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, licence footers) and is removed from
+    * EVERY document that contains it. This is the line-granularity
+    * member of the dedup ladder — finer than doc-level
+    * [[jaccardPairs]], coarser than token-span [[spanDedup]] — and the
+    * first pass CCNet runs before any model-based filtering.
+    *
+    * Scale shape (none of this materializes a hot line on one task):
+    *  - per-doc DISTINCT line hashes are computed MAP-SIDE
+    *    (`array_distinct` on the per-row array), so the document
+    *    frequency aggregate `groupBy(h).count()` sees at most one row
+    *    per (doc, line) and collapses viral lines map-side (partial
+    *    aggregation — the capPostings rule);
+    *  - the duplicated-line set is NOT broadcastable in general (a
+    *    100 TB corpus has billions of ≥2-doc lines), so the join back
+    *    takes the Zipf hybrid: lines in more than `hotCap` docs are a
+    *    TINY set by construction (≤ |lines|/hotCap) and ride a
+    *    broadcast semi-join (map-only); the tail joins by equi-key
+    *    with per-key fan-out bounded by `hotCap`;
+    *  - the per-doc drop set folds to one sorted array bounded by
+    *    lines-per-doc, joined back on the UNIFORM doc id, and the
+    *    final line filter pays one O(log d) binary-search probe per
+    *    line ([[graft.functions.SortedLookup]] — the spanDedup rule).
+    *
+    * Output per document: `n_lines` (non-empty), `n_dropped`, and
+    * `clean_fp` — the rolling hash of the surviving lines re-joined
+    * with '\n' (fingerprint, not the text, so the gate compares a
+    * fixed-width value; the reassembly order is the original line
+    * order). Empty/null docs survive with n_lines = 0 and the
+    * empty-string fingerprint (= the hash seed).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2, hotCap: Long = 1000L): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every line")
+    require(hotCap >= minDocs, "hotCap must be >= minDocs")
+    val lines = filter(
+      split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l) =!= "")
+    // one hash per kept line, aligned with __ls; normalization is
+    // hash-side only (the surviving text keeps its original spelling)
+    val staged = docs
+      .select(col(idCol).as("doc"), lines.as("__ls"))
+      .select(col("doc"), col("__ls"),
+        transform(col("__ls"), l => TF.rollingHash(lower(trim(l)))).as("__lh"))
+      // the tokenize→split→hash pipeline feeds the frequency count AND
+      // the final rebuild — checkpoint so it evaluates once (the
+      // capPostings hub rule)
+      .localCheckpoint(false)
+    val dl = staged.select(col("doc"),
+      explode(array_distinct(col("__lh"))).as("h"))
+    val freq = dl.groupBy(col("h")).agg(count(lit(1)).as("__f"))
+    val hot = freq.where(col("__f") >= minDocs && col("__f") > hotCap)
+      .select(col("h"))
+    val tail = freq.where(col("__f") >= minDocs && col("__f") <= hotCap)
+      .select(col("h"))
+    val dropped = dl.join(tail, Seq("h"), "left_semi")
+      .union(dl.join(broadcast(hot), Seq("h"), "left_semi"))
+    val perDoc = dropped.groupBy(col("doc"))
+      .agg(array_sort(collect_set(col("h"))).as("__drop"))
+    val dropSafe = coalesce(col("__drop"), array().cast("array<bigint>"))
+    val kept = filter(
+      zip_with(col("__ls"), col("__lh"), (l, h) => struct(l.as("l"), h.as("h"))),
+      p => !graft.functions.SortedLookup.containsSortedLong(dropSafe, p("h")))
+    staged.join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(kept)).cast("long").as("n_dropped"),
+        TF.rollingHash(
+          concat_ws("\n", transform(kept, p => p("l")))).as("clean_fp"))
+  }
 }

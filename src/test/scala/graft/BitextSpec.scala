@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bitext
+
+/** Margin-based bitext mining (X117) on hand geometries where every
+  * quantized sum and the single margin division are computable by
+  * hand — the exact-integer formulation means the expected values are
+  * EXACT, not tolerance-checked.
+  */
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("margin favors the isolated match over the dense neighborhood") {
+    // x=(1,0); y1 identical (qc 10000), y2 orthogonal (qc 0).
+    // k=2: sa=10000, ca=2; y1: sb=10000 cb=1; y2: sb=0 cb=1.
+    // margin(x,y1) = 2*10000*2*1 / (10000*1 + 10000*2) = 4/3
+    val src = df(1L -> Array(1f, 0f))
+    val tgt = df(10L -> Array(1f, 0f), 11L -> Array(0f, 1f))
+    val got = Bitext.mineMargin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.0, 1.3333)), got.toString)
+  }
+
+  test("margin ties break to the smaller target id") {
+    // duplicate targets: both get margin exactly 1.0
+    val src = df(1L -> Array(1f, 0f))
+    val tgt = df(5L -> Array(1f, 0f), 3L -> Array(1f, 0f))
+    val got = Bitext.mineMargin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1.0, 1.0)), got.toString)
+  }
+
+  test("threshold and the non-positive-neighborhood guard drop pairs") {
+    val src = df(1L -> Array(1f, 0f))
+    // antipodal target: neighborhood similarity sums are negative —
+    // the den > 0 guard must drop it before any ratio
+    val tgtNeg = df(10L -> Array(-1f, 0f))
+    assert(Bitext.mineMargin(src, "vec_id", "embedding",
+      tgtNeg, "vec_id", "embedding", k = 2, minMargin = 0.0).count() == 0)
+    // identical-margin pair below a high threshold: filtered
+    val tgt = df(10L -> Array(1f, 0f), 11L -> Array(0f, 1f))
+    assert(Bitext.mineMargin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2, minMargin = 1.34).count() == 0)
+    // and kept exactly AT the threshold (>= is an integer compare)
+    val at = Bitext.mineMargin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2, minMargin = 4.0 / 3.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(at.map(_._2) == Seq(10L), at.toString)
+  }
+
+  test("k larger than the candidate pool uses the true neighborhood size") {
+    // single target: ca=1, cb=1, sa=sb=qc -> margin = 2qc/(2qc) = 1
+    val src = df(1L -> Array(3f, 4f))
+    val tgt = df(7L -> Array(3f, 4f))
+    val got = Bitext.mineMargin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 8, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 7L, 1.0, 1.0)), got.toString)
+  }
+}

@@ -336,4 +336,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("source_js")
     assert(!p.contains("Window"), p)
   }
+
+  test("line_dedup: doc-frequency count is a partial-agg groupBy and the " +
+    "hot half is a broadcast semi-join — never a window on the line key") {
+    val p = plan("line_dedup")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("bitext_mine: source batch broadcasts (BNLJ over the target scan), " +
+    "both directional top-k's shuffle only bounded buffers") {
+    val p = plan("bitext_mine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("partial_topkagg"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_small_order_revenue: part filters reach the scan, both joins " +
+    "broadcast, the per-part pre-aggregate has a partial phase") {
+    val p = plan("q_small_order_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#2)"), p)
+    assert(p.contains("LessThan(p_size,5)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
 }

@@ -451,4 +451,63 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L), (3L, 1L), (4L, 1L)), got.toString)
   }
+
+  // ---------------- lineDedup (X116, CCNet) ----------------
+
+  private def fpOf(s: String): Long =
+    spark.range(1).select(TF.rollingHash(lit(s))).as[Long].collect().head
+
+  test("lineDedup drops normalized >=minDocs-doc lines from every doc") {
+    val docs = Seq(
+      (1L, "Copyright Acme\nunique to one\nshared body"),
+      (2L, "  copyright acme  \nonly in two\nshared body"),
+      (3L, "no boilerplate here\nown line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "copyright acme" matches across case+padding; "shared body" in 2
+    // docs; everything else unique
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 3L, 2L), (2L, 3L, 2L), (3L, 2L, 0L)), out.toString)
+    assert(out(0)._4 == fpOf("unique to one"))
+    assert(out(1)._4 == fpOf("only in two"))
+    assert(out(2)._4 == fpOf("no boilerplate here\nown line"))
+  }
+
+  test("lineDedup: in-doc repetition alone does not drop; all-dup doc empties") {
+    val docs = Seq(
+      (1L, "same line\nsame line"),   // repeated in ONE doc only
+      (2L, "all dup\nalso dup"),
+      (3L, "all dup\nalso dup")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out(0)._3 == 0L, "distinct-doc frequency must ignore in-doc repeats")
+    assert(out(1)._3 == 2L && out(2)._3 == 2L)
+    assert(out(1)._4 == fpOf(""), "fully-boilerplate doc -> empty fingerprint")
+  }
+
+  test("lineDedup: hot-path (broadcast) and tail-path agree; null text survives") {
+    val docs = (1L to 8L).map(i => (i, s"viral line\nown $i"))
+      .toDF("doc_id", "text")
+      .union(Seq((9L, null: String)).toDF("doc_id", "text"))
+    // hotCap=2 forces "viral line" (freq 8) onto the broadcast hot path
+    val hot = Dedup.lineDedup(docs, "doc_id", "text", hotCap = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val tail = Dedup.lineDedup(docs, "doc_id", "text", hotCap = 1000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hot == tail, "Zipf-hybrid halves must be extensionally equal")
+    assert(hot.last == ((9L, 0L, 0L, fpOf(""))), hot.last.toString)
+    assert(hot.head._3 == 1L)
+  }
+
+  test("lineDedup minDocs=3 keeps 2-doc lines") {
+    val docs = Seq(
+      (1L, "twice\nthrice"), (2L, "twice\nthrice"), (3L, "thrice")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(1L, 1L, 1L), out.toString)
+    assert(out(0)._4 == fpOf("twice"))
+  }
 }
