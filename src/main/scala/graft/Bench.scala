@@ -64,7 +64,8 @@ object Bench {
     "snapshot_ks", "pii_density", "dup_cluster_sizes", "ngram_coverage",
     "curation_funnel", "mix_budget_rates", "snapshot_churn",
     "q_shipping_priority", "source_pareto", "langid_margin",
-    "line_dedup", "bitext_mine", "q_small_order_revenue")
+    "line_dedup", "bitext_mine", "q_small_order_revenue",
+    "q_local_supplier_revenue", "k_anonymity", "contrastive_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Privacy, TrainingData}
+
+/** Round-12 [EXT] batch G: the TPC-H Q5 shape (X119 — two broadcast
+  * dim chains feeding one big-big equi-join), a k-anonymity
+  * governance audit (X120), and contrastive training-triplet
+  * construction from the served near-dup pairs (X121). Every entry is
+  * HASH-gated against a DuckDB twin.
+  */
+object Round12gQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X119: local-supplier revenue (TPC-H Q5 shape) — revenue
+    // from orders where the supplier sits in the customer's own
+    // nation, by supplier nation, one year, one region. The nation ⋈
+    // region slice is a TINY broadcast; customer/supplier attach
+    // their nation via it; the date filter is PUSHED to the orders
+    // scan; the one genuine big-big join is lineitem ⋈ orders on the
+    // order key; the local-supplier condition rides the supplier
+    // broadcast join as an equi-key (s_nationkey = c_nationkey) ----
+    "q_local_supplier_revenue" -> ((s, dir) => {
+      val rn = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, dir, "customer")
+        .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val s2 = t(s, dir, "supplier")
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val oc = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__r"))
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(s2), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("__r")).as("__u"))
+        .select(col("n_name"), (col("__u") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- X120: k-anonymity audit — equivalence-class size histogram
+    // over (lang, source, bucketed length); classes below k are the
+    // linkage-attack exposure ----------------------------------------
+    "k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymity(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+        k = 5L, Seq("lang", "source", "len_bucket"))
+        .orderBy("class_size")),
+
+    // ---- X121: contrastive triplets — positives from the SERVED
+    // shingle-index near-dup pairs in a Jaccard band, negatives by
+    // deterministic bucket-hopping (no global row_number) ------------
+    "contrastive_pairs" -> ((s, dir) =>
+      TrainingData.contrastivePairs(
+        t(s, dir, "documents"), "doc_id",
+        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
+          minJaccard = 0.1),
+        loJaccard = 0.5, hiJaccard = 0.99, numBuckets = 16)
+        .orderBy("anchor", "positive")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_local_supplier_revenue" ->
+      """WITH rn AS (SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |SELECT rn.n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |    AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |JOIN rn ON s_nationkey = rn.n_nationkey
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM rn)
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY rn.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "k_anonymity" ->
+      """WITH cls AS (SELECT lang, source,
+        |    CAST(n_chars AS BIGINT) // 100 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows, sz < 5 AS violates
+        |FROM cls GROUP BY sz ORDER BY class_size""".stripMargin,
+
+    "contrastive_pairs" -> {
+      val negHash = SparkEntry.sqlRollHash(
+        "'neg' || CAST(doc_id AS VARCHAR)")
+      val abHash = SparkEntry.sqlRollHash(
+        "'neg' || CAST(anchor AS VARCHAR)")
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |pos AS (SELECT doc_a AS anchor, doc_b AS positive, jac
+         |  FROM jpairs WHERE jac >= 0.5 AND jac < 0.99),
+         |bm AS (SELECT $negHash % 16 AS b, min(doc_id) AS bmin
+         |  FROM documents GROUP BY 1),
+         |wb AS (SELECT anchor, positive, jac, $abHash % 16 AS ab FROM pos),
+         |j AS (SELECT anchor, positive, jac,
+         |    CASE WHEN b1.bmin <> anchor AND b1.bmin <> positive
+         |      THEN b1.bmin ELSE b2.bmin END AS negative
+         |  FROM wb
+         |  JOIN bm b1 ON (ab + 1) % 16 = b1.b
+         |  JOIN bm b2 ON (ab + 2) % 16 = b2.b)
+         |SELECT anchor, positive, negative, round(jac, 4) AS jaccard
+         |FROM j WHERE negative <> anchor AND negative <> positive
+         |ORDER BY anchor, positive""".stripMargin
+    },
+  )
+}

@@ -54,6 +54,39 @@ object Privacy {
     * zero total chars yields a null density rather than a division
     * error. Output: (groupCol, n_docs, n_email, n_phone, n_ip,
     * n_chars, pii_per_10k). */
+  /** k-anonymity audit over quasi-identifier columns (X120): the
+    * equivalence-class size histogram plus the re-identification
+    * exposure it implies. A release is k-anonymous iff every
+    * combination of quasi-identifier values (the columns an attacker
+    * can link to an external dataset — language, provenance, a
+    * bucketed length) is shared by at least k rows; classes below k
+    * are the rows a linkage attack can single out. This is the audit
+    * table a governance review asks for BEFORE metadata-bearing
+    * corpora ship.
+    *
+    * Scale shape (the dup_cluster_sizes rule): TWO count aggregates,
+    * both map-side combining — the QI groupBy collapses each
+    * equivalence class to one row per task partial, and the histogram
+    * groupBy runs on the already-collapsed class table; a mega-class
+    * ("en"/"web" at corpus scale) is ONE key whose partials fold per
+    * task, never a materialized partition. NULL QI values form their
+    * own class (SQL GROUP BY semantics — both engines agree).
+    *
+    * Output: one row per class size — (class_size, n_classes, n_rows,
+    * violates = size < k), size ascending; the violating row total is
+    * `sum(n_rows) where violates`. */
+  def kAnonymity(df: DataFrame, k: Long, qiCols: Seq[String]): DataFrame = {
+    require(k >= 2, "k < 2 makes every class anonymous")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__sz")).as("n_rows"))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        (col("class_size") < k).as("violates"))
+  }
+
   def densityByGroup(docs: DataFrame, groupCol: String,
                      textCol: String): DataFrame = {
     // null text normalizes to "" (the c4Rules rule: an audit report

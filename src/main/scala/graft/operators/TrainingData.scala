@@ -372,21 +372,36 @@ object TrainingData {
                     groupCol: String, valueCol: String,
                     binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
     require(binWidth > 0 && nBins > 1)
-    def binned(df: DataFrame): DataFrame =
-      df.where(col(valueCol).isNotNull)
-        .select(col(groupCol).as("__g"),
-          // clamp BOTH ends (ADVICE r11): a negative value would land
-          // outside the 0..nBins-1 grid — counted into the totals but
-          // contributing no PSI term, silently deflating the statistic
-          // for signed value columns
-          greatest(
-            least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
-              lit((nBins - 1).toDouble)),
-            lit(0.0)).cast("int").as("__b"))
-        .groupBy(col("__g"), col("__b"))
-        .agg(count(lit(1)).as("__c"))
-    val o = binned(oldDocs)
-    val n = binned(newDocs)
+    val o = binnedCounts(oldDocs, groupCol, valueCol, binWidth, nBins)
+    val n = binnedCounts(newDocs, groupCol, valueCol, binWidth, nBins)
+    psiFromCounts(o, n, groupCol, nBins)
+  }
+
+  /** The map-side collapse half of [[snapshotDrift]]: (group, bin)
+    * counts with the clamped fixed-width bin rule. Split out (the
+    * trendFromCounts precedent) so the streaming sibling's running
+    * counts feed the SAME PSI assembly. */
+  def binnedCounts(df: DataFrame, groupCol: String, valueCol: String,
+                   binWidth: Long, nBins: Int): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        // clamp BOTH ends (ADVICE r11): a negative value would land
+        // outside the 0..nBins-1 grid — counted into the totals but
+        // contributing no PSI term, silently deflating the statistic
+        // for signed value columns
+        greatest(
+          least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
+            lit((nBins - 1).toDouble)),
+          lit(0.0)).cast("int").as("__b"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** PSI assembly over two (__g, __b, __c) count tables — everything
+    * downstream of the corpus scans; cardinality |groups|·nBins. */
+  def psiFromCounts(oc: DataFrame, nc: DataFrame, groupCol: String,
+                    nBins: Int): DataFrame = {
+    val o = oc
+    val n = nc
     val totO = o.groupBy(col("__g")).agg(sum(col("__c")).as("__to"))
     val totN = n.groupBy(col("__g")).agg(sum(col("__c")).as("__tn"))
     val grid = totO.select(col("__g")).union(totN.select(col("__g")))
@@ -592,5 +607,58 @@ object TrainingData {
         when(col("n_new") > 0,
           round((col("n_added") + col("n_removed") + col("n_changed"))
             .cast("double") / col("n_new").cast("double"), 4)))
+  }
+
+  /** Contrastive training-pair construction (X121): (anchor, positive,
+    * negative) triplets for embedding-model training — positives are
+    * near-dup pairs in a Jaccard band [lo, hi) (similar enough to be
+    * semantically matched, below hi so exact/boilerplate copies are
+    * excluded — those teach nothing), negatives are deterministic
+    * pseudo-random corpus docs (the in-batch-negatives recipe, done
+    * reproducibly).
+    *
+    * Deterministic negative sampling WITHOUT a global row_number (a
+    * corpus-wide index would be a window over everything — the
+    * X49-class killer): each doc maps to one of `numBuckets` buckets
+    * by the engine-replayable rolling hash of `"neg" + id`; the
+    * per-bucket MIN doc id is a ≤numBuckets-row broadcast table; the
+    * anchor's negative is the min-doc of the NEXT bucket ((b+1) mod
+    * B), stepping to (b+2) when that collides with the anchor or the
+    * positive, and dropping the (vanishingly rare, tiny-corpus-only)
+    * row that collides on both. One corpus aggregate + two broadcast
+    * joins — nothing corpus-sized shuffles for the sampling.
+    *
+    * `pairs` is the near-dup pair table (doc_a, doc_b, jaccard) —
+    * served from the materialized shingle index in production (the
+    * FromIndex contract), so triplet assembly is join-only at query
+    * time. */
+  def contrastivePairs(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       loJaccard: Double = 0.3, hiJaccard: Double = 0.9,
+                       numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 3, "need >= 3 buckets for the collision step")
+    require(loJaccard < hiJaccard)
+    def bucketOf(id: Column): Column =
+      pmod(TF.rollingHash(concat(lit("neg"), id.cast("string"))),
+        lit(numBuckets.toLong))
+    val bmin = broadcast(
+      docs.select(col(idCol).as("__id"), bucketOf(col(idCol)).as("__bk"))
+        .groupBy(col("__bk")).agg(min(col("__id")).as("__bmin")))
+    val pos = pairs
+      .where(col("jaccard") >= loJaccard && col("jaccard") < hiJaccard)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+        col("jaccard"))
+    val b1 = bmin.select(col("__bk").as("__bk1"), col("__bmin").as("__n1"))
+    val b2 = bmin.select(col("__bk").as("__bk2"), col("__bmin").as("__n2"))
+    pos
+      .withColumn("__ab", bucketOf(col("anchor")))
+      .join(b1, pmod(col("__ab") + 1, lit(numBuckets.toLong)) === col("__bk1"))
+      .join(b2, pmod(col("__ab") + 2, lit(numBuckets.toLong)) === col("__bk2"))
+      .select(col("anchor"), col("positive"), round(col("jaccard"), 4)
+        .as("jaccard"),
+        when(col("__n1") =!= col("anchor") && col("__n1") =!= col("positive"),
+          col("__n1")).otherwise(col("__n2")).as("negative"))
+      .where(col("negative") =!= col("anchor") &&
+        col("negative") =!= col("positive"))
+      .select(col("anchor"), col("positive"), col("negative"), col("jaccard"))
   }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming distribution-drift monitor ([EXT], the continuous form of
+  * [[graft.operators.TrainingData.snapshotDrift]] / X67): fold each
+  * arriving document into its (group, clamped fixed-width bin) running
+  * count. Against a static reference histogram (the recipe-tuning
+  * snapshot's [[graft.operators.TrainingData.binnedCounts]] artifact),
+  * the emitted counts feed the SAME `psiFromCounts` assembly as the
+  * batch operator — the monitor that pages when a live crawl's length/
+  * score distribution walks away from what the mixing recipe was
+  * tuned on, without waiting for the snapshot diff.
+  *
+  * Per-(group, bin) state is ONE long; total state is bounded by
+  * |groups|·nBins regardless of stream volume (the StreamingFunnel
+  * bounded-state rule). Output is Update-mode (a count revision per
+  * touched key per micro-batch); count folds are arrival-order-FREE,
+  * so the last emission per key equals the batch collapse over the
+  * same prefix even on out-of-order tails — pinned in StreamingSpec,
+  * including the assembled PSI ≡ snapshotDrift end-to-end.
+  */
+object StreamingDrift {
+
+  final case class Binned(g: String, b: Int)
+  final case class BinCount(g: String, b: Int, n: Long)
+
+  /** Running (group, bin, count) over a streaming frame — the online
+    * twin of [[graft.operators.TrainingData.binnedCounts]] (same
+    * clamped bin rule, nulls dropped). */
+  def binCounts(stream: DataFrame, groupCol: String, valueCol: String,
+                binWidth: Long, nBins: Int): Dataset[BinCount] = {
+    require(binWidth > 0 && nBins > 1)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        greatest(
+          least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
+            lit((nBins - 1).toDouble)),
+          lit(0.0)).cast("int").as("b"))
+      .as[Binned]
+    typed.groupByKey(x => (x.g, x.b))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), rows: Iterator[Binned],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(BinCount(key._1, key._2, n))
+      }
+  }
+}

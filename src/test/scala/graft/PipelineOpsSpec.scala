@@ -391,4 +391,60 @@ class PipelineOpsSpec extends SparkSpec {
       ("s2", 1L, 0L, 0L, 1L, 0L, 0L, None),
       ("s3", 0L, 1L, 1L, 0L, 0L, 0L, Some(1.0))), got.toString)
   }
+
+  // ---------------- kAnonymity (X120) ----------------
+
+  test("kAnonymity: class-size histogram, violates flag, null QI class") {
+    val rows = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),     // class of 3
+      ("en", "books"),                                 // class of 1
+      ("de", null), ("de", null)                       // null QI -> class of 2
+    ).toDF("lang", "source")
+    val got = Privacy.kAnonymity(rows, k = 3L, Seq("lang", "source"))
+      .orderBy("class_size")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, true),   // the size-1 class violates k=3
+      (2L, 1L, 2L, true),   // the null-QI class counts as ONE class
+      (3L, 1L, 3L, false)), got.toString)
+  }
+
+  // ---------------- contrastivePairs (X121) ----------------
+
+  test("contrastivePairs: band filter, valid distinct negatives, determinism") {
+    val docs = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // pair members sit at high ids so the (low-id) bucket mins never
+    // exhaust the collision step
+    val pairs = Seq(
+      (21L, 22L, 0.95), // above hi: excluded
+      (23L, 24L, 0.60), // in band
+      (25L, 26L, 0.45), // in band
+      (27L, 28L, 0.10)  // below lo: excluded
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val got = TrainingData.contrastivePairs(docs, "doc_id", pairs,
+      loJaccard = 0.4, hiJaccard = 0.9, numBuckets = 4)
+      .orderBy("anchor")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((23L, 24L), (25L, 26L)),
+      got.toString)
+    got.foreach { case (a, p, n, _) =>
+      assert(n != a && n != p, s"negative collides: $a $p $n")
+      assert(n >= 1L && n <= 30L, s"negative not in corpus: $n")
+    }
+    // deterministic: same inputs, same triplets
+    val again = TrainingData.contrastivePairs(docs, "doc_id", pairs,
+      loJaccard = 0.4, hiJaccard = 0.9, numBuckets = 4)
+      .orderBy("anchor").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("contrastivePairs: the collision step avoids anchor and positive") {
+    // two docs only: every bucket min is one of the pair, so after
+    // the (b+1)/(b+2) steps both candidates collide -> row dropped
+    // rather than emitting a degenerate triplet
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.5)).toDF("doc_a", "doc_b", "jaccard")
+    assert(TrainingData.contrastivePairs(docs, "doc_id", pairs,
+      loJaccard = 0.4, hiJaccard = 0.9, numBuckets = 3).count() == 0L)
+  }
 }

@@ -364,4 +364,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
+
+  test("q_local_supplier_revenue: date filter reaches the orders scan, " +
+    "dim chains broadcast, no cartesian anywhere") {
+    val p = plan("q_local_supplier_revenue")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("k_anonymity: two map-side-combining aggregates, no window") {
+    val p = plan("k_anonymity")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("contrastive_pairs: negative sampling is a broadcast bucket-map " +
+    "join, never a global row_number over the corpus") {
+    val p = plan("contrastive_pairs")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }

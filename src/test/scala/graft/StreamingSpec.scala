@@ -957,4 +957,58 @@ class StreamingSpec extends SparkSpec {
         ("B", 21L, 1L), ("B", 22L, 2L)), got.toString)
     } finally q.stop()
   }
+
+  test("streaming drift: running (group, bin) counts ≡ batch collapse " +
+    "out-of-order, and the assembled PSI ≡ snapshotDrift end-to-end") {
+    val dir = Files.createTempDirectory("drift-stream").toString
+    // binWidth 100 / nBins 4; -50 clamps to bin 0, null is dropped;
+    // batch 2 arrives OUT OF ORDER (older values after newer ones) —
+    // count folds are arrival-order-free
+    val b1 = Seq(("en", 50L), ("en", 150L), ("de", 950L), ("en", -50L))
+    val b2 = Seq(("en", 120L), ("de", 10L), ("en", 55L), ("en", -999L))
+    def toDf(rows: Seq[(String, Long)]) =
+      rows.toDF("lang", "n_chars")
+        .select(col("lang"), when(col("n_chars") === -999L, lit(null))
+          .otherwise(col("n_chars")).as("n_chars"))
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("lang STRING, n_chars BIGINT")
+      .parquet(dir)
+    val q = graft.streaming.StreamingDrift.binCounts(
+      stream.toDF(), "lang", "n_chars", binWidth = 100L, nBins = 4)
+      .toDF("g", "b", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("drift_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: each key's LAST emission = max n (counts are
+      // monotone)
+      val streamed = spark.table("drift_stream")
+        .groupBy(col("g"), col("b")).agg(max(col("n")).as("__c"))
+        .withColumnRenamed("g", "__g").withColumnRenamed("b", "__b")
+      val got = streamed.as[(String, Int, Long)].collect().toSet
+      val want = graft.operators.TrainingData.binnedCounts(
+        toDf(b1 ++ b2), "lang", "n_chars", 100L, 4)
+        .as[(String, Int, Long)].collect().toSet
+      assert(got == want && got == Set(
+        ("en", 0, 3L), ("en", 1, 2L), ("de", 0, 1L), ("de", 3, 1L)),
+        s"stream=$got batch=$want")
+      // end-to-end: reference histogram + streamed counts through the
+      // SAME assembly == the batch snapshotDrift over the prefix
+      val ref = Seq(("en", 80L), ("en", 220L), ("de", 40L))
+        .toDF("lang", "n_chars")
+      val viaStream = graft.operators.TrainingData.psiFromCounts(
+        graft.operators.TrainingData.binnedCounts(ref, "lang", "n_chars",
+          100L, 4),
+        streamed, "lang", nBins = 4)
+        .orderBy("lang")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val viaBatch = graft.operators.TrainingData.snapshotDrift(
+        ref, toDf(b1 ++ b2), "lang", "n_chars", 100L, 4)
+        .orderBy("lang")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(viaStream == viaBatch, s"stream=$viaStream batch=$viaBatch")
+    } finally q.stop()
+  }
 }
