@@ -65,7 +65,8 @@ object Bench {
     "curation_funnel", "mix_budget_rates", "snapshot_churn",
     "q_shipping_priority", "source_pareto", "langid_margin",
     "line_dedup", "bitext_mine", "q_small_order_revenue",
-    "q_local_supplier_revenue", "k_anonymity", "contrastive_pairs")
+    "q_local_supplier_revenue", "k_anonymity", "contrastive_pairs",
+    "dataset_card", "quality_fineweb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Curation}
+
+/** Round-12 [EXT] batch H: the dataset-card capstone summary (X123)
+  * and FineWeb's custom line-shape filters (X124). Both HASH-gated
+  * against DuckDB twins. quality_fineweb plants a deterministic
+  * multi-line structure on both engines (the line_dedup precedent):
+  * the doc's text, a punctuation-terminated sentence, a %4 short
+  * menu line, and a %8 within-doc repeat of the text line.
+  */
+object Round12hQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X123: dataset card — the one-row release summary ----------
+    "dataset_card" -> ((s, dir) =>
+      CorpusStats.datasetCard(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source")),
+
+    // ---- X124: FineWeb line-shape filters --------------------------
+    "quality_fineweb" -> ((s, dir) =>
+      Curation.finewebRules(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            lit("This is a proper sentence."),
+            when(col("doc_id") % 4 === 0, lit("Menu")),
+            when(col("doc_id") % 8 === 0, col("text"))).as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dataset_card" -> {
+      val toks = SparkEntry.sqlTokens("coalesce(text, '')")
+      s"""WITH ps AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len($toks)) AS BIGINT) AS st,
+         |    CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sc
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(st) AS BIGINT) AS n_tokens,
+         |    CAST(sum(sc) AS BIGINT) AS n_chars,
+         |    CAST(count(*) AS BIGINT) AS n_sources FROM ps),
+         |top AS (SELECT s AS top_source, n AS top_n FROM ps
+         |  ORDER BY n DESC, s DESC LIMIT 1),
+         |lg AS (SELECT CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM (SELECT lang FROM documents GROUP BY lang)),
+         |dh AS (SELECT CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT md5(coalesce(text, '')) AS h FROM documents
+         |        GROUP BY h))
+         |SELECT n_docs, n_tokens, n_chars, n_sources, n_langs, top_source,
+         |  round(CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |    AS top_source_share,
+         |  round(CAST(n_docs - d AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |    AS exact_dup_rate,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |    AS mean_doc_tokens
+         |FROM tot CROSS JOIN top CROSS JOIN lg CROSS JOIN dh""".stripMargin
+    },
+
+    "quality_fineweb" ->
+      """WITH planted AS (SELECT doc_id, concat_ws(chr(10),
+        |    text,
+        |    'This is a proper sentence.',
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Menu' END,
+        |    CASE WHEN doc_id % 8 = 0 THEN text END) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), chr(10)),
+        |      x -> trim(x) <> '') AS ls FROM planted),
+        |sig AS (SELECT doc_id, ls,
+        |    list_transform(ls, x -> lower(trim(x))) AS norms,
+        |    len(ls) AS nl FROM ls),
+        |fr AS (SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |    CASE WHEN nl = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(ls, x -> ends_with(trim(x), '.')
+        |        OR ends_with(trim(x), '!') OR ends_with(trim(x), '?')
+        |        OR ends_with(trim(x), '"'))) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) END AS fp,
+        |    CASE WHEN nl = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) END AS fs,
+        |    coalesce(list_sum(list_transform(range(1, nl + 1),
+        |      i -> CASE WHEN list_contains(norms[1:i-1], norms[i])
+        |           THEN length(ls[i]) ELSE 0 END)), 0) AS dc,
+        |    coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS tc
+        |  FROM sig)
+        |SELECT doc_id, n_lines, round(fp, 4) AS frac_punct_lines,
+        |  round(fs, 4) AS frac_short_lines,
+        |  CASE WHEN tc = 0 THEN 0.0
+        |    ELSE round(CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE), 4) END
+        |    AS frac_dup_line_chars,
+        |  (round(fp, 4) >= 0.12 AND round(fs, 4) < 0.67 AND
+        |   (CASE WHEN tc = 0 THEN 0.0
+        |     ELSE round(CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE), 4) END)
+        |     <= 0.10) AS keep_doc
+        |FROM fr ORDER BY doc_id""".stripMargin,
+  )
+}

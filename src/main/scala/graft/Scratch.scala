@@ -699,6 +699,35 @@ object Scratch {
           "doc_id", "text", n = 3)))
     }
 
+    gated("r12g") {
+      // round-12 batch F/G at scale: CCNet line dedup over planted
+      // multi-line docs (copyright = 5M-doc hot line -> broadcast
+      // half; the 1000x-replicated body lines sit AT the 1000 cap ->
+      // tail half; "doc <id>" unique -> kept), and bitext margin
+      // mining of a 2k batch against 5M target vectors
+      val planted = docs.select(col("doc_id"),
+        concat_ws("\n", lit("copyright acme corp"), col("text"),
+          concat(lit("doc "), col("doc_id"))).as("text"))
+      timeIt("lineDedup over 5M planted multi-line docs")(
+        noop(operators.Dedup.lineDedup(planted, "doc_id", "text",
+          minDocs = 2, hotCap = 1000L)))
+
+      if (!new java.io.File("/tmp/big_embeddings5m/_SUCCESS").exists) {
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        emb.crossJoin(spark.range(2500).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"))
+          .repartition(64).write.mode("overwrite")
+          .parquet("/tmp/big_embeddings5m")
+      }
+      val tgt5m = spark.read.parquet("/tmp/big_embeddings5m")
+      val srcBatch = tgt5m.where(pmod(col("vec_id"), lit(2500L)) === 7)
+      timeIt("bitext mineMargin: 2k-source batch vs 5M targets (k=8)")(
+        noop(operators.Bitext.mineMargin(
+          srcBatch, "vec_id", "embedding",
+          tgt5m, "vec_id", "embedding", k = 8, minMargin = 1.05)))
+    }
+
     spark.stop()
   }
 }

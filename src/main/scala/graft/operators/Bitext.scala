@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{FusedDistance => FD}
@@ -34,23 +34,26 @@ import graft.functions.{FusedDistance => FD}
   * |qc| ≤ 10⁴, ca, cb ≤ k ≤ 64, |sa|, |sb| ≤ 64·10⁴ ⇒ every product
   * stays below ~10¹³, no overflow.
   *
-  * Scale shape (the broadcast-probe geometry of decontam_semantic):
-  *  - the SOURCE side is the probe batch (a translation-mining run
-  *    probes one language shard against another; the per-run batch is
-  *    bounded) and rides a broadcast nested-loop — each target
-  *    partition streams once through the fused cosine kernel,
-  *    map-only, no shuffle of the big side;
-  *  - both directional top-k's are bounded [[TopKAgg]] aggregates:
-  *    per-y candidates co-reside in their input partition (the
-  *    broadcast puts all |src| rows next to each y), so map-side
-  *    partial aggregation collapses each y to one k-buffer before any
-  *    exchange — the shuffle carries |tgt| k-buffers, never
-  *    |tgt|·|src| rows;
-  *  - the margin join back attaches avgk(x) map-side (it rides the
-  *    same row as x's exploded top-k) and avgk(y) via ONE equi-join
-  *    on the uniform y key;
-  *  - per-x best-pair selection is a `max(struct)` fold (map-side
-  *    combining — never a rank window over a skewed key).
+  * Scale shape — the SOURCE side is the bounded probe batch (a
+  * mining run probes one shard against the corpus; the per-run batch
+  * is bounded, the knn_batch contract) and rides as ONE broadcast
+  * row holding the (id, vector) array, so:
+  *  - the per-target cosine sweep is a PER-ROW array expression over
+  *    the fused cosine kernel — each target partition streams once,
+  *    map-only;
+  *  - the target-side neighborhood (sb, cb) is a per-row sorted-slice
+  *    fold over that array — NO aggregation state keyed by the 100 TB
+  *    side ever exists (the first formulation's |tgt|-key
+  *    ObjectHashAggregate spilled the shuffle disk at 5M×2k — a
+  *    corpus-keyed hash-agg over a dense cross product is the X49
+  *    shape in aggregate clothing; measured and removed);
+  *  - the forward top-k is the only exchange: bounded [[TopKAgg]]
+  *    buffers keyed by the BATCH id — partials collapse map-side to
+  *    |batch|·|tasks|·k rows;
+  *  - the per-y stats attach by joining the TINY mined-pair set
+  *    (≤ |batch|·k rows, auto-broadcast) against the map-only stats
+  *    frame — the corpus side never shuffles;
+  *  - per-x best-pair selection is a max(struct) fold.
   *  At corpus×corpus scale both sides go through the IVF/LSH index
   *  families (the dedup_embedding_lsh path) to generate candidates;
   *  this operator is the exact scorer those candidates feed.
@@ -58,7 +61,8 @@ import graft.functions.{FusedDistance => FD}
   * Denominator guard: pairs whose combined neighborhoods have
   * non-positive total similarity (sa·cb + sb·ca ≤ 0 — antipodal
   * noise) are dropped before the ratio; a real mined pair's
-  * neighborhood is positive by construction.
+  * neighborhood is positive by construction. Null cosines (zero-norm
+  * vectors) are dropped from both neighborhoods.
   *
   * Output: one row per source point that mined a pair — (src_id,
   * tgt_id, sim, margin), margin-descending ties broken by smaller
@@ -72,41 +76,66 @@ object Bitext {
     require(k >= 1 && k <= 64, "k must be in [1, 64]")
     val m = math.round(minMargin * 10000.0)
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    def qc(d: Column) = round((lit(1.0) - d) * 10000).cast("long")
 
-    val s = src.select(col(srcId).as("__x"), col(srcVec).as("__vx"))
-    val t = tgt.select(col(tgtId).as("__y"), col(tgtVec).as("__vy"))
-    val cand = t.crossJoin(broadcast(s))
-      .select(col("__x"), col("__y"),
-        FD.cosine(col("__vx"), col("__vy")).as("__cd"))
-
-    // quantized similarity of a Scored buffer entry
-    def qc(d: org.apache.spark.sql.Column) =
-      round((lit(1.0) - d) * 10000).cast("long")
-
-    // forward: x's top-k targets (distance asc, id asc — the TopKAgg
-    // tie rule) with the neighborhood sum attached map-side
-    val fwd = cand
-      .groupBy(col("__x"))
-      .agg(topk(col("__y"), col("__cd")).as("__nn"))
-      .select(col("__x"),
-        aggregate(col("__nn"), lit(0L), (acc, e) => acc + qc(e("distance")))
-          .as("sa"),
-        size(col("__nn")).cast("long").as("ca"),
-        explode(col("__nn")).as("__e"))
-      .select(col("__x"), col("sa"), col("ca"),
-        col("__e")("id").as("__y"), qc(col("__e")("distance")).as("qc"))
-
-    // backward: y's neighborhood statistics over the source batch
-    val bwd = cand
-      .groupBy(col("__y"))
-      .agg(topk(col("__x"), col("__cd")).as("__nn"))
+    // the whole batch as ONE broadcast row: (id, vector) structs
+    val srcArr = src
+      .agg(collect_list(struct(col(srcId).cast("long").as("i"),
+        col(srcVec).as("v"))).as("__srcs"))
+    val swept = tgt
+      .select(col(tgtId).as("__y"), col(tgtVec).as("__vy"))
+      .crossJoin(broadcast(srcArr))
+    // the per-row cosine sweep (shared TREE, evaluated once per
+    // branch — column pruning drops it from whichever branch doesn't
+    // use it, so the two map-only passes below each pay one sweep)
+    def cds: Column = filter(
+      transform(col("__srcs"), e =>
+        struct(FD.cosine(e("v"), col("__vy")).as("d"), e("i").as("i"))),
+      e => e("d").isNotNull)
+    // target-side neighborhood: row-local (distance, id)-sorted slice
+    // — the TopKAgg tie rule as an array_sort, NO corpus-keyed state
+    val yStats = swept
+      .select(col("__y"), slice(array_sort(cds), 1, k).as("__nn"))
       .select(col("__y"),
-        aggregate(col("__nn"), lit(0L), (acc, e) => acc + qc(e("distance")))
+        aggregate(col("__nn"), lit(0L), (acc, e) => acc + qc(e("d")))
           .as("sb"),
         size(col("__nn")).cast("long").as("cb"))
 
+    // forward: x's top-k targets over ALL pairs (bounded buffers on
+    // the batch key — the only exchange in the plan). The typed-buffer
+    // aggregate MUST stay hash-based: ObjectHashAggregate falls back
+    // to SORT-based aggregation once the per-task map exceeds
+    // `objectHashAggregate.sortBased.fallbackThreshold` DISTINCT keys
+    // (default 128!), and sort-based means sorting the ENTIRE dense
+    // |tgt|·|batch| explode — measured as a disk-filling spill at
+    // 5M×2k. A 1M-key map of k-row buffers is ~100s of MB per task —
+    // cheap — so the threshold is raised, scoped to THIS aggregate via
+    // an isolated session, and the tiny result is checkpointed and
+    // re-homed (batches beyond ~1M probes should shard the run).
+    val fwd = IsolatedConf.withConfs(swept, Map(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        (1 << 20).toString)) { sw =>
+      val f = sw
+        .select(col("__y"), explode(cds).as("__e"))
+        .select(col("__y"), col("__e")("i").as("__x"),
+          col("__e")("d").as("__cd"))
+        .groupBy(col("__x"))
+        .agg(topk(col("__y"), col("__cd")).as("__fnn"))
+        .select(col("__x"),
+          aggregate(col("__fnn"), lit(0L),
+            (acc, e) => acc + qc(e("distance"))).as("sa"),
+          size(col("__fnn")).cast("long").as("ca"),
+          explode(col("__fnn")).as("__e"))
+        .select(col("__x"), col("sa"), col("ca"),
+          col("__e")("id").as("__y"), qc(col("__e")("distance")).as("qc"))
+        .localCheckpoint(true)
+      IsolatedConf.rehome(f, tgt.sparkSession)
+    }
+
     val den = col("sa") * col("cb") + col("sb") * col("ca")
-    val scored = fwd.join(bwd, Seq("__y"))
+    // the mined-pair side is ≤ |batch|·k rows — broadcast it so the
+    // corpus-sized stats frame streams map-only through the join
+    val scored = yStats.join(broadcast(fwd), Seq("__y"))
       .where(den > 0 &&
         lit(2L) * col("qc") * col("ca") * col("cb") * 10000L >= lit(m) * den)
       .select(col("__x"), col("__y"), col("qc"),

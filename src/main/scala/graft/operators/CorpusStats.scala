@@ -753,4 +753,55 @@ object CorpusStats {
       .select(col("ta"), col("tb"), col("c_ab"),
         round(col("__pmi"), 4).as("pmi"))
   }
+
+  /** Dataset card (X123): the one-row summary table a released corpus
+    * ships with — sizes, provenance/language breadth, concentration,
+    * and the exact-duplication rate. The capstone readout over the
+    * [[sourcePareto]]/[[sourceConcentration]] family: one row a
+    * human reads, every number exact.
+    *
+    * Scale shape: ONE tokenizing corpus pass collapsed per source
+    * (map-side combine; |sources| rows carry doc/token/char sums), a
+    * second hash-only pass for the distinct-content count (groupBy on
+    * the uniform md5 key — count_distinct via EXPAND would triple the
+    * tokenizing scan instead), a |langs|-row count, and a final
+    * crossJoin assembly of three 1-row aggregates — every join input
+    * is ≤ 1 row or |sources| rows. Top source picks by
+    * max(struct(n_docs, source)) — count ties break to the
+    * LEXICALLY LARGER source name in BOTH engines (struct/tuple max
+    * semantics agree). Divisions happen once each, on exact longs,
+    * rounded 1e-4. */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, sourceCol: String): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("__s"),
+        TF.tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("__t"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__c"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__st"),
+        sum(col("__c")).as("__sc"))
+    val totals = perSource.agg(
+      sum(col("__n")).as("n_docs"),
+      sum(col("__st")).as("n_tokens"),
+      sum(col("__sc")).as("n_chars"),
+      count(lit(1)).as("n_sources"),
+      max(struct(col("__n"), col("__s"))).as("__top"))
+    val nLangs = docs.select(col(langCol).as("__l")).groupBy(col("__l"))
+      .agg(count(lit(1)).as("__ln"))
+      .agg(count(lit(1)).as("n_langs"))
+    val nDistinct = docs
+      .select(md5(coalesce(col(textCol), lit(""))).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__hc"))
+      .agg(count(lit(1)).as("__d"))
+    totals.crossJoin(nLangs).crossJoin(nDistinct)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_sources"), col("n_langs"),
+        col("__top")("__s").as("top_source"),
+        round(col("__top")("__n").cast("double") /
+          col("n_docs").cast("double"), 4).as("top_source_share"),
+        round((col("n_docs") - col("__d")).cast("double") /
+          col("n_docs").cast("double"), 4).as("exact_dup_rate"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 4).as("mean_doc_tokens"))
+  }
 }

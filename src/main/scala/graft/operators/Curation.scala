@@ -722,4 +722,67 @@ object Curation {
             col("n_in").cast("double"), 4)).otherwise(lit(0.0))
           .as("drop_rate"))
   }
+
+  /** FineWeb's custom line-shape filters (X124 — Penedo et al. 2024
+    * §3.6, the three filters FineWeb derived beyond C4/Gopher after
+    * ablating their own corpus): drop a document when
+    *  - the fraction of lines ending in terminal punctuation
+    *    (. ! ? ") is BELOW 0.12 (navigation/listing pages),
+    *  - the fraction of lines shorter than 30 characters reaches
+    *    0.67 (menu/link farms),
+    *  - the fraction of line-characters sitting in WITHIN-DOC
+    *    duplicated lines exceeds 0.10 (template scaffolding).
+    * Complements [[c4Rules]] (sentence shape) and [[gopherRules]]
+    * (token shape): these three look at LINE shape. Boundary
+    * semantics mirror the paper's removal conditions — keep needs
+    * `frac_punct_lines >= 0.12`, `frac_short_lines < 0.67`,
+    * `frac_dup_line_chars <= 0.10` — and a doc with NO non-empty
+    * lines fails the punctuation rule (0 < 0.12), so empty/null docs
+    * drop rather than passing unevaluated.
+    *
+    * Map-ONLY: one line split per doc, every signal an array HOF over
+    * that split; the within-doc dup scan is the O(L²) prefix check on
+    * the per-doc line list (L = lines per doc, curation runs
+    * post-length-cap) — no shuffle anywhere, so it rides whole-stage
+    * codegen next to whatever scan feeds it. Signals emitted rounded
+    * 1e-4 alongside `keep_doc` (the gopherRules rule: curation tunes
+    * thresholds by marginal hit-rates, not just the conjunction). */
+  def finewebRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l) =!= "")
+    val staged = df.select(col(idCol), lines.as("__ls"))
+    val nL = size(col("__ls"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+    val punct = frac(
+      size(filter(col("__ls"), l => {
+        val t = trim(l)
+        t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+          t.endsWith("\"")
+      })), nL)
+    val short = frac(
+      size(filter(col("__ls"), l => length(l) < 30)), nL)
+    // chars in every repeat occurrence (all but the first) of a
+    // trimmed-lowercased line, over total line chars
+    val norms = transform(col("__ls"), l => lower(trim(l)))
+    val dupChars = aggregate(
+      zip_with(col("__ls"),
+        transform(norms, (n, i) =>
+          array_position(slice(norms, lit(1), i), n) > 0),
+        (l, isDup) => when(isDup, length(l).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val totChars = aggregate(
+      transform(col("__ls"), l => length(l).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    staged.select(col(idCol),
+      nL.cast("long").as("n_lines"),
+      round(punct, 4).as("frac_punct_lines"),
+      round(short, 4).as("frac_short_lines"),
+      round(frac(dupChars, totChars), 4).as("frac_dup_line_chars"))
+      .withColumn("keep_doc",
+        col("frac_punct_lines") >= 0.12 &&
+          col("frac_short_lines") < 0.67 &&
+          col("frac_dup_line_chars") <= 0.10)
+  }
 }

@@ -506,4 +506,30 @@ class CorpusOpsSpec extends SparkSpec {
     // A diverges less than B (A covers the full corpus support)
     assert(got(0)._3 > 0.0 && got(0)._3 < got(1)._3, got.toString)
   }
+
+  // ---------------- datasetCard (X123) ----------------
+
+  test("datasetCard: one exact row — sizes, breadth, top source, dup rate") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1"), (2L, "a b", "en", "s1"), // exact dups
+      (3L, "c", "de", "s2"), (4L, "d e f", "en", "s1"),
+      (5L, null.asInstanceOf[String], "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusStats.datasetCard(docs, "doc_id", "text", "lang", "source")
+      .as[(Long, Long, Long, Long, Long, String, Double, Double, Double)]
+      .collect().toSeq
+    // tokens 2+2+1+3+0=8, chars 3+3+1+5+0=12, 4 distinct contents
+    // (null folds to "") -> dup rate 1/5
+    assert(got == Seq((5L, 8L, 12L, 2L, 3L, "s1", 0.6, 0.2, 1.6)),
+      got.toString)
+  }
+
+  test("datasetCard: top-source count ties break to the lexically larger") {
+    val docs = Seq(
+      (1L, "x", "en", "aa"), (2L, "y", "en", "zz")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusStats.datasetCard(docs, "doc_id", "text", "lang", "source")
+      .select(col("top_source")).as[String].collect().head
+    assert(got == "zz")
+  }
 }

@@ -666,4 +666,47 @@ class CurationSpec extends SparkSpec {
       (0L, "never_fires", 1L, 0L, 1L, 0.0),
       (1L, "all_pass", 1L, 0L, 1L, 0.0)), got.toString)
   }
+
+  // ---------------- finewebRules (X124) ----------------
+
+  test("finewebRules: hand signals — punct/short/dup-line fractions") {
+    val docs = Seq(
+      // 4 lines (4+35+4+31 = 74 chars): 1 punct-ending, 2 short (<30),
+      // one case-insensitive repeat of "Menu" (4 dup chars of 74)
+      (1L, "Menu\nThis is a real and proper sentence.\nmenu\n" +
+        "a line without terminal punct x"),
+      // all sentences, no dups, no short lines
+      (2L, "This line ends with a nice long period.\n" +
+        "And another proper long sentence is here!"),
+      // empty -> fails the punct rule (0 < 0.12), never passes silently
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.finewebRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
+    // doc 1: punct 1/4, short 2/4 ("Menu", "menu"), dup 4/74 = 0.0541
+    assert(got(0) == ((1L, 4L, 0.25, 0.5, 0.0541, true)), got(0).toString)
+    assert(got(1) == ((2L, 2L, 1.0, 0.0, 0.0, true)), got(1).toString)
+    assert(got(2) == ((3L, 0L, 0.0, 0.0, 0.0, false)), got(2).toString)
+    assert(got(3) == ((4L, 0L, 0.0, 0.0, 0.0, false)), got(3).toString)
+  }
+
+  test("finewebRules boundary semantics: keep AT 0.12 punct and 0.10 dup, " +
+    "drop AT 0.67 short") {
+    // 25 lines, exactly 3 punct-ending -> 0.12: kept (>=)
+    val punctAt = (1 to 3).map(i => s"sentence $i.") ++
+      (4 to 25).map(i => "a line that is long enough xx" + i)
+    // 3 lines, 2 short -> 0.6667 < 0.67 kept; 3 short of 3 -> 1.0 drop
+    val docs = Seq(
+      (1L, punctAt.mkString("\n")),
+      (2L, "short one\nshort two\nThis line is long enough to pass ok."),
+      (3L, "a.\nb!\nc?")  // 3/3 short -> frac_short 1.0 >= 0.67: drop
+    ).toDF("doc_id", "text")
+    val got = Curation.finewebRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got(0)._3 == 0.12 && got(0)._6, got(0).toString)
+    assert(got(1)._4 == 0.6667 && got(1)._6, got(1).toString)
+    assert(got(2)._4 == 1.0 && !got(2)._6, got(2).toString)
+  }
 }
