@@ -66,7 +66,8 @@ object Bench {
     "q_shipping_priority", "source_pareto", "langid_margin",
     "line_dedup", "bitext_mine", "q_small_order_revenue",
     "q_local_supplier_revenue", "k_anonymity", "contrastive_pairs",
-    "dataset_card", "quality_fineweb")
+    "dataset_card", "quality_fineweb",
+    "mojibake_score", "pack_efficiency", "q_returned_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

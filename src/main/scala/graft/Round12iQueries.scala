@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TrainingData}
+
+/** Round-12 [EXT] batch I: the TPC-H Q10 shape (X127 — aggregate the
+  * fact side BEFORE the dimension joins), encoding-artifact triage
+  * (X125), and the packing-efficiency report over the doc_pack layout
+  * (X126). Every entry is HASH-gated against a DuckDB twin.
+  * mojibake_score plants deterministic corruption on both engines
+  * (the quality_fineweb precedent) because the fixtures are clean.
+  */
+object Round12iQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X125: mojibake / encoding-artifact signals -----------------
+    // plant: %5 docs get a Latin-1-mangled accent pair, %7 a mangled
+    // right-quote, %11 a replacement char + a C0 control byte
+    "mojibake_score" -> ((s, dir) =>
+      Curation.mojibakeSignals(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ",
+            col("text"),
+            when(col("doc_id") % 5 === 0, lit("cafÃ© menu")),
+            when(col("doc_id") % 7 === 0, lit("itâ€™s")),
+            when(col("doc_id") % 11 === 0, lit("bad�byteend")))
+            .as("text")),
+        "doc_id", "text", maxPer10k = 5.0)
+        .orderBy("doc_id")),
+
+    // ---- X126: packing-efficiency report over the doc_pack layout ---
+    "pack_efficiency" -> ((s, dir) =>
+      TrainingData.packEfficiency(
+        t(s, dir, "documents"), "source", "doc_id",
+        floor(col("n_chars") / 4), capacity = 2048)
+        .orderBy("source")),
+
+    // ---- X127: returned-item revenue (TPC-H Q10 shape) — revenue
+    // lost to returns per customer over one quarter, top 20. The fact
+    // side (lineitem ⋈ date-filtered orders) aggregates to ≤|customers|
+    // rows FIRST; only the pre-aggregate joins the customer dims, and
+    // the top-20 is a TakeOrdered, never a global sort ---------------
+    "q_returned_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__r"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("__r")).as("__u"))
+      rev
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          (col("__u") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mojibake_score" ->
+      """WITH planted AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'caf' || chr(195) || chr(169) || ' menu' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'it' || chr(226) || chr(8364) || chr(8482) || 's' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'bad' || chr(65533) || 'byte' || chr(7) || 'end' END)
+        |    AS text FROM documents),
+        |sig AS (SELECT doc_id, coalesce(text, '') AS s FROM planted),
+        |cnt AS (SELECT doc_id,
+        |    CAST(length(s) - length(replace(s, chr(65533), '')) AS BIGINT) AS n_repl,
+        |    CAST((length(s) - length(replace(s, chr(195), ''))) +
+        |         (length(s) - length(replace(s, chr(226) || chr(8364), ''))) / 2 +
+        |         (length(s) - length(replace(s, chr(194), ''))) AS BIGINT) AS n_moji,
+        |    CAST(length(s) - length(regexp_replace(s,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |    CAST(length(s) AS BIGINT) AS n_chars_m
+        |  FROM sig)
+        |SELECT doc_id, n_repl, n_moji, n_ctrl, n_chars_m,
+        |  CASE WHEN n_chars_m = 0 THEN 0.0
+        |    ELSE round(CAST(n_repl + n_moji + n_ctrl AS DOUBLE) * 10000.0
+        |      / CAST(n_chars_m AS DOUBLE), 4) END AS artifacts_per_10k,
+        |  (CASE WHEN n_chars_m = 0 THEN 0.0
+        |    ELSE round(CAST(n_repl + n_moji + n_ctrl AS DOUBLE) * 10000.0
+        |      / CAST(n_chars_m AS DOUBLE), 4) END) <= 5.0 AS keep_doc
+        |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH d AS (SELECT doc_id, source, n_chars // 4 AS tokens FROM documents),
+        |c AS (SELECT doc_id, source, tokens,
+        |        CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |                          ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS tok_start
+        |      FROM d),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |        CAST(sum(CASE WHEN tokens > 0 AND
+        |          tok_start // 2048 <> (tok_start + tokens - 1) // 2048
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, total_tokens, n_split_docs,
+        |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_packs,
+        |  CASE WHEN total_tokens = 0 THEN 0.0
+        |    ELSE round(CAST(total_tokens AS DOUBLE) /
+        |      CAST(((total_tokens + 2047) // 2048) * 2048 AS DOUBLE), 4) END
+        |    AS fill_rate
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q_returned_revenue" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS u
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+        |    AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+        |  GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name, n.n_name, u / 10000.0 AS revenue
+        |FROM rev
+        |JOIN customer c ON rev.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
+  )
+}

@@ -785,4 +785,46 @@ object Curation {
           col("frac_short_lines") < 0.67 &&
           col("frac_dup_line_chars") <= 0.10)
   }
+
+  /** Encoding-artifact signals (X125): the mojibake/corruption triage
+    * a web corpus needs before any model sees it. Three exact counts
+    * per document:
+    *  - `n_repl`  — U+FFFD replacement characters (a decoder already
+    *    gave up once);
+    *  - `n_moji`  — tell-tale UTF-8-bytes-read-as-Latin-1 lead
+    *    sequences: "Ã" (all Latin-1-supplement two-byte letters:
+    *    Ã© Ã¤ Ã¼ …), "â€" (the U+2018..U+201D quote family: â€™ â€œ),
+    *    and the stray "Â" that NBSP double-encoding leaves behind —
+    *    counted as fixed LITERALS via replace-length deltas, the one
+    *    counting primitive whose semantics cannot drift between
+    *    engines/regex dialects;
+    *  - `n_ctrl`  — C0 control characters other than tab/LF/CR
+    *    (binary-in-text bleed).
+    * The rate normalizes per 10k characters (the [[Privacy]] density
+    * convention) and `keep_doc` applies `rate <= maxPer10k`; empty
+    * docs have rate 0 and pass (nothing is corrupt in nothing).
+    *
+    * Map-ONLY: replace/length and one codegen'd regexp_count per row,
+    * no shuffle — rides whole-stage codegen next to the scan. */
+  def mojibakeSignals(df: DataFrame, idCol: String, textCol: String,
+                      maxPer10k: Double = 5.0): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    def litCount(needle: String): Column =
+      ((length(txt) - length(
+        org.apache.spark.sql.functions.replace(txt, lit(needle), lit("")))) /
+        lit(needle.length)).cast("long")
+    val nRepl = litCount("�")
+    val nMoji = litCount("Ã") + litCount("â€") +
+      litCount("Â")
+    val nCtrl = regexp_count(txt,
+      lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")).cast("long")
+    val nChars = length(txt).cast("long")
+    val rate = when(nChars === 0, lit(0.0))
+      .otherwise(round((nRepl + nMoji + nCtrl).cast("double") * 10000.0 /
+        nChars.cast("double"), 4))
+    df.select(col(idCol),
+      nRepl.as("n_repl"), nMoji.as("n_moji"), nCtrl.as("n_ctrl"),
+      nChars.as("n_chars_m"), rate.as("artifacts_per_10k"))
+      .withColumn("keep_doc", col("artifacts_per_10k") <= maxPer10k)
+  }
 }

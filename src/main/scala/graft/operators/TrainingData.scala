@@ -661,4 +661,45 @@ object TrainingData {
         col("negative") =!= col("positive"))
       .select(col("anchor"), col("positive"), col("negative"), col("jaccard"))
   }
+
+  /** Packing-efficiency report (X126) over [[packSequences]]' layout:
+    * per shard, how well the concat-then-chunk packing uses the
+    * context budget — the readout that decides whether a capacity or
+    * shard-ordering change is worth a repack of the corpus.
+    *
+    * Because packing is CONTIGUOUS (doc i+1 starts where doc i ends),
+    * the pack count is `ceil(total_tokens / capacity)` — no distinct
+    * aggregate, no second pass; the only per-doc signal that needs the
+    * packed offsets is `n_split_docs` (docs straddling a pack
+    * boundary: `tok_start div cap != (tok_start+tokens-1) div cap`,
+    * zero-token docs never split). `fill_rate` is the used fraction of
+    * the allocated pack grid; `1 - fill_rate` is exactly the tail
+    * padding the trainer pays per shard.
+    *
+    * Scale shape: [[packSequences]]' per-shard prefix sum (a packing
+    * order is inherently sequential within its shard — shard finer if
+    * one shard outgrows a task), then ONE map-side-combining aggregate
+    * on the shard key; output is |shards| rows. Integer token math
+    * throughout; the fill ratio is the single division. */
+  def packEfficiency(docs: DataFrame, shardCol: String, idCol: String,
+                     tokensCol: Column, capacity: Int): DataFrame = {
+    val packed = packSequences(docs, shardCol, idCol, tokensCol, capacity)
+    packed
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(when(expr(s"tok_start div $capacity") =!=
+          expr(s"(tok_start + tokens - 1) div $capacity") &&
+          col("tokens") > 0, 1L).otherwise(0L)).as("n_split_docs"))
+      .select(col(shardCol),
+        col("n_docs"), col("total_tokens"), col("n_split_docs"),
+        // ceil-div on longs: (t + cap - 1) div cap
+        expr(s"(total_tokens + ${capacity - 1}) div $capacity")
+          .as("n_packs"))
+      .withColumn("fill_rate",
+        when(col("n_packs") === 0, lit(0.0))
+          .otherwise(round(col("total_tokens").cast("double") /
+            (col("n_packs") * capacity.toLong).cast("double"), 4)))
+  }
 }

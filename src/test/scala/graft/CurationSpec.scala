@@ -709,4 +709,43 @@ class CurationSpec extends SparkSpec {
     assert(got(1)._4 == 0.6667 && got(1)._6, got(1).toString)
     assert(got(2)._4 == 1.0 && !got(2)._6, got(2).toString)
   }
+
+  // ---------------- mojibakeSignals (X125) ----------------
+
+  test("mojibakeSignals: hand counts — repl chars, latin-1 leads, controls") {
+    val docs = Seq(
+      // one é-mangle (Ã + stray ©-as-is), one quote-mangle (â€™ read
+      // back as three chars), one NBSP residue Â: n_moji = 1+1+1
+      (1L, "cafÃ© itâ€™s badÂ here"),
+      // two replacement chars + one BEL control
+      (2L, "a�b�cd"),
+      // tab/LF/CR are NOT artifacts
+      (3L, "clean\ttext\nwith\rws"),
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.mojibakeSignals(docs, "doc_id", "text", maxPer10k = 500.0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    // doc 1: 22 chars, n_moji 3 -> 30000/22 = 1363.6364: dropped at 500
+    assert(got(0) == ((1L, 0L, 3L, 0L, 22L, 1363.6364, false)), got(0).toString)
+    // doc 2: 7 chars, 2 repl + 1 ctrl -> 3*10000/7 = 4285.7143
+    assert(got(1) == ((2L, 2L, 0L, 1L, 7L, 4285.7143, false)), got(1).toString)
+    assert(got(2) == ((3L, 0L, 0L, 0L, 18L, 0.0, true)), got(2).toString)
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L, 0.0, true)), got(3).toString)
+    assert(got(4) == ((5L, 0L, 0L, 0L, 0L, 0.0, true)), got(4).toString)
+  }
+
+  test("mojibakeSignals: keep AT the threshold, drop just above") {
+    // 10000 chars, 5 artifacts -> exactly 5.0 per 10k: kept (<=)
+    val base = "x" * 9995
+    val docs = Seq(
+      (1L, base + ("�" * 5)),
+      (2L, ("y" * 9994) + ("�" * 6))   // 6.0 per 10k: dropped
+    ).toDF("doc_id", "text")
+    val got = Curation.mojibakeSignals(docs, "doc_id", "text", maxPer10k = 5.0)
+      .orderBy("doc_id")
+      .select(col("artifacts_per_10k"), col("keep_doc"))
+      .as[(Double, Boolean)].collect().toSeq
+    assert(got == Seq((5.0, true), (6.0, false)), got.toString)
+  }
 }

@@ -72,6 +72,32 @@ class PipelineOpsSpec extends SparkSpec {
       5L -> ((0L, 0L)), 6L -> ((11L, 1L))))
   }
 
+  test("packEfficiency: pack counts, split docs, and fill rate by hand") {
+    // shard s: tokens 4,4,4,4 -> total 16, packs ceil(16/10)=2, doc 3
+    // straddles (start 8, end 11); shard t: 11,1 -> total 12, packs 2,
+    // doc 5 straddles (0..10); shard u: all zero-token docs -> 0 packs
+    val docs = Seq(
+      (1L, "s", 4L), (2L, "s", 4L), (3L, "s", 4L), (4L, "s", 4L),
+      (5L, "t", 11L), (6L, "t", 1L),
+      (7L, "u", 0L), (8L, "u", 0L)).toDF("doc_id", "source", "toks")
+    val got = TrainingData.packEfficiency(docs, "source", "doc_id",
+      col("toks"), capacity = 10)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s", 4L, 16L, 1L, 2L, 0.8),
+      ("t", 2L, 12L, 1L, 2L, 0.6),
+      ("u", 2L, 0L, 0L, 0L, 0.0)), got.toString)
+  }
+
+  test("packEfficiency: exact-fit shard has fill rate 1.0 and no splits") {
+    val docs = Seq((1L, "s", 10L), (2L, "s", 10L)).toDF("doc_id", "source", "toks")
+    val got = TrainingData.packEfficiency(docs, "source", "doc_id",
+      col("toks"), capacity = 10)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s", 2L, 20L, 0L, 2L, 1.0)), got.toString)
+  }
+
   test("packSequences: ROWS frame — order-peers get distinct offsets") {
     // duplicate (shard, id): the default RANGE frame would hand both
     // peers ONE cumulative sum; the ROWS frame keeps offsets distinct

@@ -393,4 +393,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q_returned_revenue: both fact filters reach their scans, the " +
+    "customer join sees the pre-aggregate, top-20 is a TakeOrdered") {
+    val p = plan("q_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("mojibake_score: map-only signal pass — no exchange of any kind") {
+    val p = plan("mojibake_score")
+    assert(!p.contains("Window"), p)
+    // the only allowed exchange is the final presentation orderBy's
+    // range partitioning; nothing else may shuffle
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
