@@ -67,7 +67,8 @@ object Bench {
     "line_dedup", "bitext_mine", "q_small_order_revenue",
     "q_local_supplier_revenue", "k_anonymity", "contrastive_pairs",
     "dataset_card", "quality_fineweb",
-    "mojibake_score", "pack_efficiency", "q_returned_revenue")
+    "mojibake_score", "pack_efficiency", "q_returned_revenue",
+    "chunk_overlap", "q_top_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Round-12 [EXT] batch J: overlapping retrieval-window chunking
+  * (X128) and the TPC-H Q15 shape (X129 — aggregate, take the max as
+  * a one-row broadcast, equi-join back; never a rank window). Both
+  * HASH-gated against DuckDB twins.
+  */
+object Round12jQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X128: sliding-window chunking for a retrieval index --------
+    "chunk_overlap" -> ((s, dir) =>
+      Curation.slidingChunks(t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 0),
+        "doc_id", "text", chunkTokens = 12, stride = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---- X129: top-revenue supplier (TPC-H Q15 shape) — revenue per
+    // supplier over one quarter, keep the supplier(s) AT the max. The
+    // per-supplier pre-aggregate is the only corpus-sized work; the
+    // max is a ONE-ROW broadcast the pre-aggregate equi-joins back
+    // against; supplier dims attach to the ≤|ties| winners broadcast —
+    // no rank window, no global sort ----------------------------------
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__r"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("__r")).as("__u"))
+      val mx = rev.agg(max(col("__u")).as("__mx"))
+      val top = rev.join(broadcast(mx), col("__u") === col("__mx"))
+      t(s, dir, "supplier")
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("__u") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "chunk_overlap" -> {
+      val toks = SparkEntry.sqlTokens("coalesce(text, '')")
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |w AS (SELECT doc_id, toks, len(toks) AS nt FROM tk WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |    unnest(range(0, CAST((nt + 7) // 8 AS BIGINT))) AS i FROM w)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk,
+         |  CAST(len(toks[i*8+1 : i*8+12]) AS BIGINT) AS n_tokens
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(u) AS m FROM rev)
+        |SELECT s.s_suppkey, s.s_name, rev.u / 10000.0 AS total_revenue
+        |FROM rev JOIN mx ON rev.u = mx.m
+        |JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+  )
+}

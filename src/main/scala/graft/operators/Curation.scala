@@ -827,4 +827,45 @@ object Curation {
       nChars.as("n_chars_m"), rate.as("artifacts_per_10k"))
       .withColumn("keep_doc", col("artifacts_per_10k") <= maxPer10k)
   }
+
+  /** Overlapping token-window chunking (X128): the sliding windows an
+    * embedding/retrieval index is built from — window w starts at
+    * token `w·stride` and spans `chunkTokens` tokens, so consecutive
+    * windows share `chunkTokens - stride` tokens of context and no
+    * boundary sentence is ever split away from both its neighbors
+    * (the failure mode of [[tokenChunks]]' disjoint chunks when the
+    * consumer is a retriever rather than a trainer). Windows exist
+    * while their start is inside the doc (`w·stride < n_tokens`); the
+    * ragged tail windows are kept (they may be shorter than
+    * chunkTokens); a doc with no tokens emits NO rows.
+    *
+    * Map-ONLY: the token array is staged as a COLUMN first, so the
+    * per-window `slice` lambdas index an attribute, never re-evaluate
+    * the split subtree (the tokenChunks 40× lesson); then one explode.
+    * Output fan-out is ~n_tokens/stride rows per doc — the same order
+    * as the corpus token count, exactly what an index build pays. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens] (gaps would drop tokens)")
+    val staged = df.select(col(idCol),
+      TF.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+    val nT = size(col("__toks"))
+    // ceil-div; token counts are far below 2^53, floor-of-double exact
+    val nWin = floor((nT.cast("double") + lit((stride - 1).toDouble)) /
+      lit(stride.toDouble))
+    val wins = when(nT === 0, array().cast("array<struct<i:long,c:array<string>>>"))
+      .otherwise(transform(
+        sequence(lit(0L), nWin - 1L),
+        w => struct(w.as("i"),
+          slice(col("__toks"), (w * stride + 1L).cast("int"), lit(chunkTokens))
+            .as("c"))))
+    staged
+      .select(col(idCol), explode(wins).as("__w"))
+      .select(col(idCol),
+        col("__w")("i").as("chunk_idx"),
+        concat_ws(" ", col("__w")("c")).as("chunk"),
+        size(col("__w")("c")).cast("long").as("n_tokens"))
+  }
 }

@@ -76,10 +76,23 @@ object Privacy {
     * violates = size < k), size ascending; the violating row total is
     * `sum(n_rows) where violates`. */
   def kAnonymity(df: DataFrame, k: Long, qiCols: Seq[String]): DataFrame = {
-    require(k >= 2, "k < 2 makes every class anonymous")
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    kAnonymityFromClassSizes(classSizes(df, qiCols), k)
+  }
+
+  /** The per-equivalence-class count table kAnonymity folds — split
+    * out (the binnedCounts/psiFromCounts precedent) so the streaming
+    * monitor's running class counts feed the SAME histogram assembly
+    * as the batch audit. One map-side-combining count on the QI key. */
+  def classSizes(df: DataFrame, qiCols: Seq[String]): DataFrame =
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("__sz"))
+
+  /** Histogram + violation assembly over any (..., __sz) class-size
+    * table — |classes| input rows, |distinct sizes| output rows. */
+  def kAnonymityFromClassSizes(sizes: DataFrame, k: Long): DataFrame = {
+    require(k >= 2, "k < 2 makes every class anonymous")
+    sizes
       .groupBy(col("__sz").as("class_size"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("__sz")).as("n_rows"))

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming k-anonymity monitor ([EXT], the continuous form of
+  * [[graft.operators.Privacy.kAnonymity]] / X120): fold each arriving
+  * row into its quasi-identifier equivalence class's running count.
+  * The emissions feed the SAME `kAnonymityFromClassSizes` histogram
+  * assembly as the batch audit (the binnedCounts/psiFromCounts
+  * split), so a governance dashboard can watch the violating-class
+  * total shrink as a live ingest accumulates — without re-scanning
+  * the corpus per refresh.
+  *
+  * Per-class state is ONE long; total state is bounded by the QI
+  * cross-product cardinality (|langs|·|sources|·|buckets| — the audit
+  * is only meaningful when that is small), never by stream volume.
+  * Update-mode; count folds are arrival-order-FREE, so the last
+  * emission per class equals the batch [[graft.operators.Privacy
+  * .classSizes]] over the same prefix even on out-of-order tails —
+  * pinned in StreamingSpec, including the assembled histogram ≡
+  * kAnonymity end-to-end.
+  *
+  * The class key is the QI tuple encoded with an explicit null marker
+  * (U+0000-prefixed) joined on U+0001 — concat_ws alone would merge a
+  * NULL QI value with the empty string, and batch GROUP BY keeps them
+  * distinct classes.
+  */
+object StreamingPrivacy {
+
+  final case class Keyed(qi: String)
+  final case class ClassCount(qi: String, n: Long)
+
+  /** The injective QI-tuple encoding shared by the stream and the
+    * spec's batch replay. */
+  def qiKey(qiCols: Seq[String]): Column =
+    concat_ws("\u0001", qiCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
+  /** Running (class, count) over a streaming frame — the online twin
+    * of [[graft.operators.Privacy.classSizes]]. */
+  def classCounts(stream: DataFrame, qiCols: Seq[String]): Dataset[ClassCount] = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream.select(qiKey(qiCols).as("qi")).as[Keyed]
+    typed.groupByKey(_.qi)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(ClassCount(key, n))
+      }
+  }
+}

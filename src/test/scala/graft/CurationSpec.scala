@@ -735,6 +735,37 @@ class CurationSpec extends SparkSpec {
     assert(got(4) == ((5L, 0L, 0L, 0L, 0L, 0.0, true)), got(4).toString)
   }
 
+  // ---------------- slidingChunks (X128) ----------------
+
+  test("slidingChunks: overlapping windows share stride-offset context, " +
+    "ragged tails kept") {
+    // 7 tokens, chunk 4, stride 2 -> starts 0,2,4,6: windows of len
+    // 4,4,3,1 — consecutive windows share 2 tokens
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Curation.slidingChunks(docs, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L)), got.toString)
+  }
+
+  test("slidingChunks: stride == chunk is disjoint; empty/null docs " +
+    "emit no rows; stride > chunk refuses") {
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.slidingChunks(docs, "doc_id", "text", 2, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b", 2L), (1L, 1L, "c d", 2L), (1L, 2L, "e", 1L)),
+      got.toString)
+    val e = intercept[IllegalArgumentException] {
+      Curation.slidingChunks(docs, "doc_id", "text", 2, 3)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
   test("mojibakeSignals: keep AT the threshold, drop just above") {
     // 10000 chars, 5 artifacts -> exactly 5.0 per 10k: kept (<=)
     val base = "x" * 9995

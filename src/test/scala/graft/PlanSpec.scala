@@ -404,6 +404,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 
+  test("q_top_supplier: the max is a one-row broadcast equi-joined back " +
+    "— no rank window, no global sort of the pre-aggregate") {
+    val p = plan("q_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("chunk_overlap: map-only fan-out — the doc filter reaches the " +
+    "scan and nothing shuffles before the presentation sort") {
+    val p = plan("chunk_overlap")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Generate"), p)  // the explode
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)

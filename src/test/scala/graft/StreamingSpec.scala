@@ -1011,4 +1011,51 @@ class StreamingSpec extends SparkSpec {
       assert(viaStream == viaBatch, s"stream=$viaStream batch=$viaBatch")
     } finally q.stop()
   }
+
+  test("streaming k-anonymity: running class counts ≡ batch classSizes " +
+    "out-of-order, and the assembled histogram ≡ kAnonymity end-to-end") {
+    val dir = Files.createTempDirectory("kanon-stream").toString
+    // classes: (en, web) ×3 across batches, (de, web) ×1, (en, null)
+    // ×2 — the null QI must stay its own class, distinct from ""
+    val b1 = Seq(("en", "web"), ("de", "web"), ("en", null: String))
+    val b2 = Seq(("en", "web"), ("en", null: String), ("en", "web"))
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("lang", "source")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("lang STRING, source STRING")
+      .parquet(dir)
+    val q = graft.streaming.StreamingPrivacy.classCounts(
+      stream.toDF(), Seq("lang", "source"))
+      .toDF("qi", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kanon_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: counts are monotone — last emission = max
+      val streamed = spark.table("kanon_stream")
+        .groupBy(col("qi")).agg(max(col("n")).as("__sz"))
+      val got = streamed.as[(String, Long)].collect().toMap
+      val want = graft.operators.Privacy.classSizes(
+        toDf(b1 ++ b2), Seq("lang", "source"))
+        .select(graft.streaming.StreamingPrivacy.qiKey(Seq("lang", "source"))
+          .as("qi"), col("__sz"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want && got.values.toSeq.sorted == Seq(1L, 2L, 3L),
+        s"stream=$got batch=$want")
+      // end-to-end: the streamed sizes through the SAME assembly ==
+      // the batch audit over the prefix
+      val viaStream = graft.operators.Privacy.kAnonymityFromClassSizes(
+        streamed.select(col("__sz")), k = 3)
+        .orderBy("class_size")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      val viaBatch = graft.operators.Privacy.kAnonymity(
+        toDf(b1 ++ b2), k = 3, Seq("lang", "source"))
+        .orderBy("class_size")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(viaStream == viaBatch && viaStream == Seq(
+        (1L, 1L, 1L, true), (2L, 1L, 2L, true), (3L, 1L, 3L, false)),
+        s"stream=$viaStream batch=$viaBatch")
+    } finally q.stop()
+  }
 }
