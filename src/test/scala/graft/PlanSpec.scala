@@ -421,6 +421,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)  // the explode
   }
 
+  test("q_order_priority: the EXISTS is a left-semi join (orders counted " +
+    "once), date filter pushed") {
+    val p = plan("q_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_shipmode_priority and q_promo_share: pushed date filters, " +
+    "map-side-combining conditional sums, no window") {
+    val p12 = plan("q_shipmode_priority")
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate"), p12)
+    assert(p12.contains("partial_sum"), p12)
+    assert(!p12.contains("Window"), p12)
+    val p14 = plan("q_promo_share")
+    assert(p14.contains("GreaterThanOrEqual(l_shipdate"), p14)
+    assert(p14.contains("partial_sum"), p14)
+    assert(!p14.toLowerCase.contains("cartesian"), p14)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
