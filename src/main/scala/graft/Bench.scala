@@ -69,7 +69,8 @@ object Bench {
     "dataset_card", "quality_fineweb",
     "mojibake_score", "pack_efficiency", "q_returned_revenue",
     "chunk_overlap", "q_top_supplier",
-    "q_order_priority", "q_shipmode_priority", "q_promo_share")
+    "q_order_priority", "q_shipmode_priority", "q_promo_share",
+    "events_asof_nearest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

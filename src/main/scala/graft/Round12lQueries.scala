@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch L: nearest-event as-of join with tolerance
+  * (X133 — merge_asof(direction='nearest'), both directions served by
+  * ONE union/shuffle). HASH-gated against a DuckDB range-join +
+  * QUALIFY replay (the oracle may be dumb; the engine may not).
+  */
+object Round12lQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private def tsUs(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X133: nearest as-of — each click matches its CLOSEST
+    // purchase within ±36 h (backward wins distance ties), not
+    // merely the latest prior one -------------------------------------
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", tsUs(ev0, "ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value"), 4).as("click_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin.asOfNearest(
+        clicks, purchases, "user_id", "ts_us", "ts_us",
+        Seq("purchase_value"), tolerance = 129600000000L)
+        .select(col("event_id"), col("user_id"), col("click_value"),
+          round(col("asof_purchase_value"), 4).as("purchase_value"),
+          col("asof_ts"), col("asof_dt").as("us_offset"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_asof_nearest" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS pts,
+        |    max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS cts,
+        |    round(value, 4) AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id, c.cts, p.pts, p.purchase_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND abs(c.cts - p.pts) <= 129600000000),
+        |b AS (SELECT event_id, pts, purchase_value,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY abs(cts - pts) ASC, (cts - pts) DESC) AS rn
+        |  FROM j)
+        |SELECT c.event_id, c.user_id, c.click_value,
+        |  round(b.purchase_value, 4) AS purchase_value,
+        |  b.pts AS asof_ts, c.cts - b.pts AS us_offset
+        |FROM c LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+        |  ON c.event_id = b.event_id""".stripMargin,
+  )
+}

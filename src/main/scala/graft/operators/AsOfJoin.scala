@@ -65,4 +65,67 @@ object AsOfJoin {
       .where(col("__tag") === 1)
       .select(outCols: _*)
   }
+
+  /** Nearest-event as-of join (X133): each left row picks the right
+    * row MINIMIZING |left.ts − right.ts| within `tolerance`, for the
+    * same key — the sensor/log alignment contract (pandas
+    * `merge_asof(direction='nearest', tolerance=...)`) that plain
+    * backward as-of gets wrong whenever the closest reading sits just
+    * ahead. Ties at equal distance resolve BACKWARD (the earlier right
+    * row), matching merge_asof.
+    *
+    * Same scale shape as [[asOf]], run in both directions over ONE
+    * union and ONE shuffle: the ascending cumulative window carries
+    * the latest right row at ts ≤ t (backward candidate), a descending
+    * twin carries the earliest right row at ts ≥ t (forward candidate)
+    * — both sorts reuse the same hash partitioning, and no range join
+    * ever fans out per-key candidates. The tolerance filter and the
+    * nearest pick are per-row expressions after the windows.
+    *
+    * Timestamps must be NUMERIC (epoch µs longs — what the event
+    * queries already use); `tolerance` is in the same unit, inclusive.
+    * Emits `{prefix}ts`, `{prefix}{carry}`, and `{prefix}dt` =
+    * left.ts − matched.ts (positive ⇒ matched backward), all NULL when
+    * neither direction has a row inside the tolerance. Right rows
+    * sharing (key, ts) are ambiguous — pre-aggregate, as with [[asOf]].
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, carry: Seq[String],
+                  tolerance: Long, prefix: String = "asof_"): DataFrame = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    val reserved = Set("__ts", "__tag", "__r", "__p", "__n")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asOfNearest inputs must not contain reserved column(s): ${clash.mkString(", ")}")
+    val r2 = right.select(
+      col(key), col(rightTs).cast("long").as("__ts"), lit(0).as("__tag"),
+      struct((col(rightTs).cast("long").as("ts") +: carry.map(col)): _*)
+        .as("__r"))
+    val l2 = left.withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__tag", lit(1))
+    // right rows sort before left on ties in BOTH directions, so an
+    // equal-ts right row is visible to its left row either way
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dtP = col("__ts") - col("__p.ts")   // >= 0 when present
+    val dtN = col("__n.ts") - col("__ts")   // >= 0 when present
+    val pOk = col("__p").isNotNull && dtP <= tolerance
+    val nOk = col("__n").isNotNull && dtN <= tolerance
+    val pick = when(pOk && (!nOk || dtP <= dtN), col("__p"))
+      .when(nOk, col("__n"))
+    val outCols = left.columns.map(col).toSeq ++
+      (col(s"__r.ts").as(s"${prefix}ts") +:
+        carry.map(c => col(s"__r.$c").as(s"$prefix$c")) :+
+        (col(leftTs).cast("long") - col(s"__r.ts")).as(s"${prefix}dt"))
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__p", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__n", last(col("__r"), ignoreNulls = true).over(wf))
+      .where(col("__tag") === 1)
+      .withColumn("__r", pick)
+      .select(outCols: _*)
+  }
 }

@@ -39,6 +39,45 @@ class PipelineOpsSpec extends SparkSpec {
       "carry struct must ride whole rows, not skip null fields")
   }
 
+  test("asOfNearest: closest within tolerance, backward wins ties, " +
+    "both directions, left-join nulls") {
+    val left = Seq(
+      (1L, "u1", 100L),  // prev at 90 (d=10), next at 105 (d=5) -> next
+      (2L, "u1", 95L),   // prev at 90 (d=5), next at 105 (d=10) -> prev
+      (3L, "u2", 50L),   // prev at 40 (d=10), next at 60 (d=10) -> TIE -> prev
+      (4L, "u2", 200L),  // nearest at 60 (d=140) > tol 20 -> unmatched
+      (5L, "u3", 10L),   // key absent on the right -> unmatched
+      (6L, "u4", 30L)    // right row AT the same ts -> dt 0, backward
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      ("u1", 90L, "a"), ("u1", 105L, "b"),
+      ("u2", 40L, "c"), ("u2", 60L, "d"),
+      ("u4", 30L, "e")).toDF("k", "ts", "tag")
+    val got = AsOfJoin.asOfNearest(left, right, "k", "ts", "ts",
+      Seq("tag"), tolerance = 20L)
+      .select(col("event_id"), col("asof_ts"), col("asof_tag"), col("asof_dt"))
+      .as[(Long, Option[Long], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(105L), Some("b"), Some(-5L))), got(1L).toString)
+    assert(got(2L) == ((Some(90L), Some("a"), Some(5L))), got(2L).toString)
+    assert(got(3L) == ((Some(40L), Some("c"), Some(10L))), got(3L).toString)
+    assert(got(4L) == ((None, None, None)), got(4L).toString)
+    assert(got(5L) == ((None, None, None)), got(5L).toString)
+    assert(got(6L) == ((Some(30L), Some("e"), Some(0L))), got(6L).toString)
+    assert(got.size == 6)
+  }
+
+  test("asOfNearest: tolerance is inclusive and one-sided matches work") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 9L)).toDF("event_id", "k", "ts")
+    val right = Seq(("u", 80L, "x")).toDF("k", "ts", "tag")
+    // d=20 AT tolerance 20: matched; forward-only row beyond: unmatched
+    val got = AsOfJoin.asOfNearest(left, right, "k", "ts", "ts",
+      Seq("tag"), tolerance = 20L)
+      .select(col("event_id"), col("asof_tag"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("x"), 2L -> None), got.toString)
+  }
+
   test("hashSplit: known md5 bucket and ~80/10/10 proportions") {
     // md5('42') first 8 hex chars = a1d0c6e8 -> 2714814184 -> bucket 84
     val one = TrainingData.hashSplit(Seq(42L).toDF("doc_id"), "doc_id")

@@ -442,6 +442,14 @@ class PlanSpec extends SparkSpec {
     assert(!p14.toLowerCase.contains("cartesian"), p14)
   }
 
+  test("events_asof_nearest: union-merge windows, never a range join — " +
+    "no join operator of any kind in the plan") {
+    val p = plan("events_asof_nearest")
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
