@@ -38,6 +38,16 @@ object Round12lQueries {
           round(col("asof_purchase_value"), 4).as("purchase_value"),
           col("asof_ts"), col("asof_dt").as("us_offset"))
     }),
+
+    // ---- X134: approximate k-NN graph over the embedding corpus —
+    // recall-gated (AnnSpec), like the other ann_* entries: LSH
+    // candidates are approximate by design, so there is no exact
+    // DuckDB twin; the driver records the rows-only check ------------
+    "knn_graph" -> ((s, dir) =>
+      graft.index.LshIndex.knnGraph(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, numPlanes = 16, numBands = 8)
+        .orderBy("src", "rank")),
   )
 
   def oracleSql: Map[String, String] = Map(

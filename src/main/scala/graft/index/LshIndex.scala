@@ -276,4 +276,51 @@ object LshIndex {
         .join(clean.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
         .join(clean.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
   }
+
+  /** Approximate k-NN GRAPH (X134): every node's k nearest neighbors
+    * by cosine, candidates from the banded self-join — the artifact
+    * semantic-clustering, label-propagation and graph-dedup passes
+    * consume (and the batch form of building an HNSW-style neighbor
+    * list for the whole corpus at once). A node whose buckets are all
+    * singletons emits no rows (no candidates ⇒ no edges — the LSH
+    * contract; raise numBands or lower bitsPerBand for denser graphs).
+    *
+    * Scale shape: [[candidatePairs]] generates each unique candidate
+    * pair ONCE (first-matching-band rule — no distinct), the exact
+    * fused cosine verifies it once, and ONE explode emits both
+    * directions of the edge (never a self-union, which would evaluate
+    * the candidate subtree twice); the per-node top-k is the bounded
+    * [[graft.operators.TopKAgg]] — map-side partials cap the shuffle
+    * at |nodes|·|tasks|·k buffer rows, never a rank window over the
+    * node key. Output: (src, rank, dst, cos_dist), rank 1..k by
+    * (distance asc, dst asc — the TopKAgg tie rule).
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               numPlanes: Int = 16, numBands: Int = 4, seed: Long = 42L,
+               dim: Int = -1): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.operators.TopKAgg(k),
+      Encoders.product[graft.operators.Scored])
+    val scored = candidatePairs(emb, idCol, vecCol, numPlanes, numBands,
+      seed, dim)
+      .select(col("id_a"), col("id_b"),
+        FusedDistance.cosine(col("__va"), col("__vb")).as("__d"))
+      .where(col("__d").isNotNull)
+    val directed = scored
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          col("__d").as("d")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          col("__d").as("d")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+        col("__e.d").as("__d"))
+    directed
+      .groupBy(col("src"))
+      .agg(topk(col("dst"), col("__d")).as("__nn"))
+      .select(col("src"), posexplode(col("__nn")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("col")("id").as("dst"),
+        round(col("col")("distance"), 4).as("cos_dist"))
+  }
 }

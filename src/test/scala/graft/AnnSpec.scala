@@ -536,4 +536,42 @@ class AnnSpec extends SparkSpec {
       got.toString)
     assert(got.forall(_._3 == 0.0), got.toString)
   }
+
+  test("knnGraph: planted clusters — high recall of true neighbor lists, " +
+    "ranks ordered, no self edges") {
+    // 40 clusters x 6 members: each point's exact 5-NN are its five
+    // cluster-mates (within-cluster cos_dist ~1e-4, across ~1)
+    val rng = new scala.util.Random(7)
+    val dim = 24
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian().toFloat)
+      (0 until 6).map { m =>
+        val v = center.map(x => x + (rng.nextGaussian() * 0.001).toFloat)
+        ((c * 6 + m).toLong, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = LshIndex.knnGraph(emb, "vec_id", "embedding", k = 5,
+      numPlanes = 16, numBands = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // structural invariants: no self edge, ranks 1..5 unique per src,
+    // distances non-decreasing with rank
+    assert(got.forall(e => e._1 != e._3), "self edge emitted")
+    val bySrc = got.groupBy(_._1)
+    bySrc.foreach { case (s, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size.toLong), s"ranks $s")
+      assert(sorted.map(_._4) == sorted.map(_._4).sorted, s"dist order $s")
+    }
+    // recall: of the 240*5 true (node, mate) edges, how many made the
+    // approximate top-5 lists
+    val truth = rows.map(_._1).map { id =>
+      val c = id / 6
+      id -> (0 until 6).map(m => c * 6 + m).filter(_ != id).toSet
+    }.toMap
+    val hits = got.count(e => truth(e._1).contains(e._3))
+    val recall = hits.toDouble / (240 * 5)
+    info(f"knnGraph planted-cluster recall = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below threshold")
+  }
 }
