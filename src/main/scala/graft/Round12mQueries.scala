@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch M: the TPC-H Q22 shape (X135 — scalar
+  * subquery as a one-row broadcast + NOT EXISTS as a left-anti join).
+  * HASH-gated against a DuckDB twin.
+  */
+object Round12mQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X135: idle high-balance customers (TPC-H Q22 shape) — the
+    // scalar AVG subquery decorrelated into a ONE-ROW broadcast
+    // crossJoin; the above-average test is an exact integer
+    // cross-multiplication (bal_cents · n > total_cents — no double
+    // compare at the gate); NOT EXISTS(orders) is a LEFT ANTI join on
+    // the uniform customer key; one |segments|-row aggregate last ----
+    "q_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("__bal"))
+      val avgPos = c.where(col("__bal") > 0)
+        .agg(sum(col("__bal")).as("__tot"), count(lit(1)).as("__n"))
+      c.crossJoin(broadcast(avgPos))
+        .where(col("__bal") * col("__n") > col("__tot"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("__bal")).as("__s"))
+        .select(col("c_mktsegment"), col("n_custs"),
+          (col("__s") / 100.0).as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |a AS (SELECT CAST(sum(bal) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n FROM c WHERE bal > 0)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+        |  sum(c.bal) / 100.0 AS total_acctbal
+        |FROM c CROSS JOIN a
+        |WHERE c.bal * a.n > a.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+  )
+}

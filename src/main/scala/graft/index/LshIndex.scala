@@ -294,6 +294,11 @@ object LshIndex {
     * at |nodes|·|tasks|·k buffer rows, never a rank window over the
     * node key. Output: (src, rank, dst, cos_dist), rank 1..k by
     * (distance asc, dst asc — the TopKAgg tie rule).
+    *
+    * Run AFTER exact dedup, like every LSH near-dup pass: a vector
+    * with d exact copies makes its bucket pair count quadratic in d
+    * (the standard LSH hot-bucket caveat — more planes shrink buckets
+    * but cannot split identical signatures).
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                numPlanes: Int = 16, numBands: Int = 4, seed: Long = 42L,

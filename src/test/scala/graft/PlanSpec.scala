@@ -450,6 +450,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 
+  test("q_idle_customers: scalar avg is a one-row broadcast, NOT EXISTS " +
+    "is a left-anti join, no window") {
+    val p = plan("q_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
