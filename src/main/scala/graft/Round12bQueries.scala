@@ -139,9 +139,12 @@ object Round12bQueries {
     // char-trigram profiles (top-200/lang) vs each doc's own top-100,
     // out-of-place distance, arg-min language; all-integer ------------
     "langid_ct" -> ((s, dir) => {
+      // profiles SERVED from the materialized per-dir artifact (the
+      // fastText-model analogue); the DuckDB twin rebuilds them, so
+      // the hash gate proves serve ≡ rebuild
       val docs = t(s, dir, "documents")
-      val profiles = Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
-      Lexical.ctLangId(docs, "doc_id", "text", profiles,
+      Lexical.ctLangId(docs, "doc_id", "text",
+        SparkEntry.ctProfilesFor(s, dir),
         langCol = "lang", m = 100, profileK = 200)
         .orderBy("doc_id")
     }),

@@ -47,9 +47,10 @@ object Round12eQueries {
     // ---- X114: language ID with a confidence margin — the runner-up
     // gap a language gate actually thresholds on ---------------------
     "langid_margin" -> ((s, dir) => {
+      // served profiles, rebuild-replaying twin — the langid_ct rule
       val docs = t(s, dir, "documents")
-      val profiles = Lexical.ctLangProfiles(docs, "lang", "text", k = 200)
-      Lexical.ctLangIdMargin(docs, "doc_id", "text", profiles,
+      Lexical.ctLangIdMargin(docs, "doc_id", "text",
+        SparkEntry.ctProfilesFor(s, dir),
         langCol = "lang", m = 100, profileK = 200)
         .orderBy("doc_id")
     }),

@@ -129,6 +129,25 @@ object SparkEntry {
     })
   }
 
+  /** Build-once materialized Cavnar–Trenkle language profiles per sf
+    * dir (|langs|·k rows — a fastText-model-sized artifact): the
+    * langid_ct / langid_margin queries serve classification from this
+    * table instead of re-counting the corpus trigrams per query (the
+    * compaction-cadence pattern shared with the shingle/postings/LSH
+    * indexes; the DuckDB twins still REBUILD the profiles from
+    * scratch, so the hash gate proves serve ≡ rebuild end-to-end). */
+  private[graft] def ctProfilesFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_ctprofiles/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, path)) {
+        graft.operators.Lexical.ctLangProfiles(
+          t(s, dir, "documents"), "lang", "text", k = 200)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Build-once materialized tf-idf postings (the lexical inverted
     * index) per sf dir — doc_similar serves the candidate join from
     * this table, never re-tokenizing the corpus per query (the
