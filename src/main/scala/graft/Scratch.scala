@@ -728,6 +728,61 @@ object Scratch {
           tgt5m, "vec_id", "embedding", k = 8, minMargin = 1.05)))
     }
 
+    gated("r12n") {
+      // round-12 batch L/L2 at scale.
+      // asOfNearest: 5M left rows vs 2.5M right rows over 1500 hot
+      // user keys (the REAL skew profile — every key holds ~3.3k rows
+      // and the window sorts them on one task each; uniform-key event
+      // data distributes further)
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val tsUs = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        tsUs.as("__us"), col("value"))
+      val big = ev.crossJoin(spark.range(50).toDF("rep"))
+        .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+          col("user_id"),
+          // spread the replicas in time so right rows interleave
+          (col("__us") + col("rep") * 977L).as("ts_us"),
+          col("value"))
+        .localCheckpoint(true)
+      val left = big.where(pmod(col("event_id"), lit(2L)) === 0)
+      val right = big.where(pmod(col("event_id"), lit(2L)) === 1)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("v"))
+      timeIt("asOfNearest: 2.5M left vs 2.5M right, 1500 keys")(
+        noop(operators.AsOfJoin.asOfNearest(left, right, "user_id",
+          "ts_us", "ts_us", Seq("v"), tolerance = 3600000000L)))
+
+      // knnGraph: 1M vectors in 167k planted 6-member clusters
+      // (±0.1% noise), 64 planes / 4 bands -> 16-bit bands: only
+      // near-identical signatures collide, candidates ~= within-
+      // cluster pairs, never a quadratic bucket
+      if (!new java.io.File("/tmp/big_clusters1m/_SUCCESS").exists) {
+        // centers must be ISOTROPIC pseudo-randoms (hash-mixed), not a
+        // smooth sin curve over the cluster id — a low-dimensional
+        // curve collapses sign signatures into a few mega-buckets and
+        // the self-join goes quadratic (measured: filled the disk)
+        val dim = 24
+        def u(seedCol: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+          (pmod(xxhash64(seedCol, i), lit(2000001L)) - 1000000L) / 1000000.0
+        spark.range(1000000L).toDF("vec_id")
+          .select(col("vec_id"), (col("vec_id") / 6L).cast("long").as("c"))
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              (u(col("c"), i) + u(col("vec_id"), i + 7000) * 0.001)
+                .cast("float")).as("embedding"))
+          .repartition(64).write.mode("overwrite")
+          .parquet("/tmp/big_clusters1m")
+      }
+      val vecs = spark.read.parquet("/tmp/big_clusters1m")
+      timeIt("knnGraph: 1M vectors, 167k planted clusters, k=5")(
+        noop(index.LshIndex.knnGraph(vecs, "vec_id", "embedding", k = 5,
+          numPlanes = 64, numBands = 4, dim = 24)))
+    }
+
     spark.stop()
   }
 }

@@ -320,12 +320,25 @@ object LshIndex {
           col("__d").as("d")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
         col("__e.d").as("__d"))
-    directed
-      .groupBy(col("src"))
-      .agg(topk(col("dst"), col("__d")).as("__nn"))
-      .select(col("src"), posexplode(col("__nn")))
-      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
-        col("col")("id").as("dst"),
-        round(col("col")("distance"), 4).as("cos_dist"))
+    // |nodes| distinct keys blow straight through ObjectHashAggregate's
+    // sort-fallback threshold (default 128 DISTINCT keys), and
+    // sort-based means sorting the whole directed candidate set — the
+    // bitext_mine lesson. A map of k-row buffers is bounded and cheap;
+    // raise the threshold scoped to THIS aggregate (measured at 1M
+    // nodes: 308 s → the hash path), checkpoint the |nodes|·k result,
+    // re-home it.
+    graft.operators.IsolatedConf.withConfs(directed, Map(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        (1 << 22).toString)) { d =>
+      val g = d
+        .groupBy(col("src"))
+        .agg(topk(col("dst"), col("__d")).as("__nn"))
+        .select(col("src"), posexplode(col("__nn")))
+        .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+          col("col")("id").as("dst"),
+          round(col("col")("distance"), 4).as("cos_dist"))
+        .localCheckpoint(true)
+      graft.operators.IsolatedConf.rehome(g, emb.sparkSession)
+    }
   }
 }
