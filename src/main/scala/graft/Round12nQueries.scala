@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch N: the two grouping-surface shapes the engine
+  * had not yet exercised — PIVOT (X136: long→wide with an explicit
+  * value list, so the schema is static and the plan is ONE pass of
+  * conditional aggregates, never a collect-distinct pre-query) and
+  * CUBE grouping sets (X137: all four (source, lang) marginal levels
+  * from ONE scan via EXPAND, replacing four separate aggregations).
+  * Both HASH-gated against DuckDB twins.
+  */
+object Round12nQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X136: source × language document matrix (PIVOT) ------------
+    // the explicit value list keeps the plan a single map-side-
+    // combining aggregate (pivot WITHOUT values runs a hidden
+    // collect-distinct job first and makes the output schema
+    // data-dependent — never acceptable in a production contract)
+    "source_lang_matrix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, Langs)
+        .orderBy("source")),
+
+    // ---- X137: token totals at every (source, lang) margin (CUBE) ---
+    // one scan, one EXPAND: (source, lang), source-only, lang-only and
+    // the grand total, each row tagged by grouping_id; exact long sums
+    "q_cube_matrix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(
+            coalesce(col("text"), lit(""))).cast("long").as("__t"))
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("source"), col("lang"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "source_lang_matrix" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_cube_matrix" -> {
+      val toks = SparkEntry.sqlTokens("coalesce(text, '')")
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+         |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+         |FROM documents
+         |GROUP BY CUBE (source, lang)
+         |ORDER BY gid, source, lang""".stripMargin
+    },
+  )
+}

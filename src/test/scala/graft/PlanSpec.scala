@@ -460,6 +460,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("source_lang_matrix: explicit-values pivot is ONE map-side-" +
+    "combining aggregate — no Expand, no window") {
+    val p = plan("source_lang_matrix")
+    assert(p.contains("partial_count") || p.contains("partial_pivotfirst") ||
+      p.contains("HashAggregate"), p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_cube_matrix: all four margins from one scan via Expand") {
+    val p = plan("q_cube_matrix")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
