@@ -73,4 +73,85 @@ object StreamingDedup {
           out.result().iterator
       }
   }
+
+  final case class BandRowT(bucket: String, doc: Long,
+                            ts: java.sql.Timestamp)
+
+  /** [[candidatePairs]] with EVENT-TIME state eviction (the shape that
+    * runs FOREVER on an unbounded firehose): a bucket's seen-set is
+    * dropped once the watermark passes `last arrival + ttlMs`, so
+    * total state is bounded by the watermark horizon instead of
+    * growing with every distinct bucket ever observed. Pairs spanning
+    * more than the horizon are missed — the same contract as
+    * `dropDuplicatesWithinWatermark`, and the right trade on a crawl
+    * firehose where near-dups cluster in time (re-crawls, mirror
+    * bursts); corpus-wide dedup stays the batch index's job.
+    *
+    * Mechanics: the band projection carries the event time; the input
+    * is watermarked `delay` behind max event time; the stateful op
+    * uses EventTimeTimeout with the timeout re-armed to
+    * `max(watermark, batch-max event time) + ttlMs` on every arrival
+    * (monotone — never behind the current watermark, which Spark
+    * rejects). On timeout the state is removed and a later re-arrival
+    * of the same doc is re-admitted as if new.
+    */
+  def candidatePairsTTL(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, delay: String = "10 minutes",
+                        ttlMs: Long = 3600000L,
+                        n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                        maxBucketState: Int = 64): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val numBands = numHashes / rowsPerBand
+    val sig = docs
+      .select(col(idCol).cast("long").as("doc"),
+        col(tsCol).cast("timestamp").as("ts"),
+        TF.shingleHashesFromTokens(TF.tokenHashes(col(textCol)), n).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select((col("doc") +: col("ts") +: (0 until numHashes).map { j =>
+        array_min(transform(col("__sh"),
+          h => (lit(TF.minhashA(j)) * h + lit(TF.minhashB(j))) % TF.HashMod))
+          .as(s"mh_$j")
+      }): _*)
+    val bands = sig.select(col("doc"), col("ts"),
+      explode(array((0 until numBands).map { b =>
+        val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+        concat_ws("_", (lit(b) +: parts): _*)
+      }: _*)).as("bucket"))
+    bands
+      .withWatermark("ts", delay)
+      .select(col("bucket"), col("doc"), col("ts"))
+      .as[BandRowT]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (bucket: String, rows: Iterator[BandRowT],
+         state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            var seen = state.getOption.getOrElse(Vector.empty[Long])
+            val out = Vector.newBuilder[CandidatePair]
+            batch.map(_.doc).distinct.sorted.foreach { d =>
+              if (!seen.contains(d) && seen.length < maxBucketState) {
+                seen.foreach { s =>
+                  out += (if (s < d) CandidatePair(s, d, bucket)
+                          else CandidatePair(d, s, bucket))
+                }
+                seen = seen :+ d
+              }
+            }
+            state.update(seen)
+            val maxTs = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

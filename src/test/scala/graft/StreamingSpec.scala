@@ -1012,6 +1012,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup with TTL: pairs within the horizon emit, " +
+    "evicted buckets forget, re-arrivals after eviction re-admit silently") {
+    val dir = Files.createTempDirectory("neardup-ttl").toString
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def write(rows: Seq[(Long, String, Long)], first: Boolean = false): Unit =
+      rows.map { case (id, tx, m) => (id, tx, ts(m)) }
+        .toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode(if (first) "overwrite" else "append")
+        .parquet(dir)
+    write(Seq((1L, dupText, 600L), (2L, dupText, 600L)), first = true)
+    val docs = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(dir)
+    val out = graft.streaming.StreamingDedup.candidatePairsTTL(
+      docs, "doc_id", "text", "ts",
+      delay = "10 minutes", ttlMs = 30L * 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl").start()
+    try {
+      q.processAllAvailable()
+      def pairs() = spark.table("neardup_ttl")
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs() == Set((1L, 2L)), pairs().toString)
+      // batch 2 (t=630, inside the horizon): a third copy pairs with both
+      write(Seq((3L, dupText, 630L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs().toString)
+      // batches 3+4: unrelated far-future docs walk the watermark past
+      // the bucket's timeout (630 + 30 min = 660 < wm 1190) — batch 3
+      // advances event time, batch 4's sweep evicts the idle bucket
+      write(Seq((7L, "completely different words entirely unrelated", 1200L)))
+      q.processAllAvailable()
+      write(Seq((8L, "yet another unrelated set of tokens right here", 1210L)))
+      q.processAllAvailable()
+      // batch 5: a fourth copy AFTER eviction — re-admitted as if new,
+      // so NO pair with 1/2/3 appears
+      write(Seq((9L, dupText, 1215L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs().toString)
+    } finally q.stop()
+  }
+
   test("streaming k-anonymity: running class counts ≡ batch classSizes " +
     "out-of-order, and the assembled histogram ≡ kAnonymity end-to-end") {
     val dir = Files.createTempDirectory("kanon-stream").toString
