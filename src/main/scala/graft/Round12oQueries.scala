@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Lexical
+
+/** Round-12 [EXT] batch O: the curation-diagnostics pair — a quality-
+  * signal Pearson correlation matrix (X139: are two filters measuring
+  * the same thing?) and Cohen's kappa between two language
+  * classifiers (X140: agreement beyond chance — the eval-hygiene
+  * readout before one classifier gates the other's training data).
+  * Both HASH-gated; every sum is exact (quantized longs / decimal
+  * products), each statistic is assembled from exact operands with
+  * the IDENTICAL operation order in both engines.
+  */
+object Round12oQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X139: quality-signal correlation matrix --------------------
+    // signals quantized to the 1e-4 grid FIRST, so Σx/Σxy/Σx² are
+    // exact integer sums (decimal for the products — the ADVICE r11
+    // operand-wise rule) folding map-side; ONE corpus pass, one row of
+    // sums, three assembled coefficients
+    "signal_corr" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val sig = t(s, dir, "documents")
+        .select(
+          round(TF.stopwordFraction(col("text")) * 10000).cast("long").as("x"),
+          round(TF.punctRatio(col("text")) * 10000).cast("long").as("y"),
+          coalesce(col("n_chars").cast("long"), lit(0L)).as("z"))
+      val sums = sig.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("z")) * dec(col("z"))).as("szz"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+        sum(dec(col("y")) * dec(col("z"))).as("syz"))
+      def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+        val n = col("n").cast("double")
+        val num = n * col(sxy).cast("double") -
+          col(sx).cast("double") * col(sy).cast("double")
+        val vx = n * col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")
+        val vy = n * col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double")
+        when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 4))
+      }
+      sums.select(explode(array(
+        struct(lit("stop_frac").as("sig_a"), lit("punct_ratio").as("sig_b"),
+          col("n"), r("sx", "sy", "sxx", "syy", "sxy").as("pearson_r")),
+        struct(lit("stop_frac").as("sig_a"), lit("n_chars").as("sig_b"),
+          col("n"), r("sx", "sz", "sxx", "szz", "sxz").as("pearson_r")),
+        struct(lit("punct_ratio").as("sig_a"), lit("n_chars").as("sig_b"),
+          col("n"), r("sy", "sz", "syy", "szz", "syz").as("pearson_r"))))
+        .as("__e"))
+        .select(col("__e.*"))
+        .orderBy("sig_a", "sig_b")
+    }),
+
+    // ---- X140: Cohen's kappa between the stopword heuristic and the
+    // served CT classifier, both collapsed to the en/other task -------
+    "langid_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = docs.select(col("doc_id"),
+        TF.langIdHeuristic(col("text")).as("p_h"))
+      val ct = Lexical.ctLangId(docs, "doc_id", "text",
+        SparkEntry.ctProfilesFor(s, dir), langCol = "lang",
+        m = 100, profileK = 200)
+        .select(col("doc_id"),
+          when(col("pred") === "en", "en").otherwise("other").as("p_ct"))
+      // inner join: the CT side only scores docs with >= 1 trigram
+      h.join(ct, "doc_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("p_h") === "en" && col("p_ct") === "en", 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("p_h") === "en" && col("p_ct") =!= "en", 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("p_h") =!= "en" && col("p_ct") === "en", 1L)
+            .otherwise(0L)).as("n01"),
+          sum(when(col("p_h") =!= "en" && col("p_ct") =!= "en", 1L)
+            .otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double"), 4).as("agree_rate"),
+          // exact-integer kappa: (n·agree − Σ r_i·c_i) / (n² − Σ r_i·c_i)
+          {
+            val chance = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00"))
+            val den = col("n") * col("n") - chance
+            when(den =!= 0, round(
+              (col("n") * (col("n11") + col("n00")) - chance).cast("double") /
+                den.cast("double"), 4)).as("kappa")
+          })
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "signal_corr" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      val punct = SparkEntry.sqlPunctRatio("text")
+      s"""WITH sig AS (SELECT
+         |    CAST(round($stop * 10000) AS BIGINT) AS x,
+         |    CAST(round($punct * 10000) AS BIGINT) AS y,
+         |    CAST(coalesce(n_chars, 0) AS BIGINT) AS z
+         |  FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(z) AS BIGINT) AS sz,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         |    sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+         |    sum(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+         |  FROM sig),
+         |rows3 AS (
+         |  SELECT 'stop_frac' AS sig_a, 'punct_ratio' AS sig_b, n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM s
+         |  UNION ALL
+         |  SELECT 'stop_frac', 'n_chars', n,
+         |    CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE),
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+         |    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+         |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) FROM s
+         |  UNION ALL
+         |  SELECT 'punct_ratio', 'n_chars', n,
+         |    CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE),
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+         |    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+         |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) FROM s)
+         |SELECT sig_a, sig_b, n,
+         |  CASE WHEN vx > 0 AND vy > 0
+         |    THEN round(num / sqrt(vx * vy), 4) END AS pearson_r
+         |FROM rows3 ORDER BY sig_a, sig_b""".stripMargin
+    },
+
+    "langid_kappa" -> {
+      s"""WITH ${Round12bQueries.sqlCtCtes},
+         |ct AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS p_ct
+         |  FROM r WHERE rn = 1),
+         |h AS (SELECT doc_id,
+         |    CASE WHEN ${SparkEntry.sqlStopFrac("text")} >= 0.05
+         |      THEN 'en' ELSE 'other' END AS p_h
+         |  FROM documents),
+         |c AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN p_h = 'en' AND p_ct = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN p_h = 'en' AND p_ct <> 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN p_h <> 'en' AND p_ct = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN p_h <> 'en' AND p_ct <> 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00
+         |  FROM h JOIN ct USING (doc_id))
+         |SELECT n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 4)
+         |    AS agree_rate,
+         |  CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+         |      + (n01 + n00) * (n10 + n00)) <> 0
+         |    THEN round(
+         |      CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+         |        + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+         |      / CAST(n * n - ((n11 + n10) * (n11 + n01)
+         |        + (n01 + n00) * (n10 + n00)) AS DOUBLE), 4) END AS kappa
+         |FROM c""".stripMargin
+    },
+  )
+}

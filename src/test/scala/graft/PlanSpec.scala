@@ -476,6 +476,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("signal_corr: one corpus pass — a single map-side-combining " +
+    "aggregate feeds all three coefficients") {
+    val p = plan("signal_corr")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+    // one scan of documents, not three
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("langid_kappa: one row out — conditional counts fold map-side, " +
+    "no window") {
+    val p = plan("langid_kappa")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
