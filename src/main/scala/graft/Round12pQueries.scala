@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch P: fixed-grid resampling with forward fill
+  * (X141 — pandas resample().ffill() as one broadcast-bounds grid +
+  * the asOf union-merge). HASH-gated against a DuckDB ASOF LEFT JOIN
+  * twin.
+  */
+object Round12pQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private def tsUs(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X141: daily forward-filled purchase value per user ---------
+    "events_resampled" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val purchases = ev0.where(col("event_type") === "purchase")
+        .withColumn("ts_us", tsUs(ev0, "ts"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(round(max(col("value")), 4).as("v"))
+      graft.operators.AsOfJoin.resampleFFill(
+        purchases, "user_id", "ts_us", Seq("v"),
+        stepUs = 86400000000L)
+        .select(col("user_id"), col("grid_ts"), col("asof_ts"),
+          col("asof_v").as("value"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_resampled" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts,
+        |    round(max(value), 4) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts)),
+        |b AS (SELECT (min(ts) // 86400000000) * 86400000000 AS lo,
+        |    max(ts) AS hi FROM p),
+        |g AS (SELECT u.user_id, gs.g
+        |  FROM (SELECT DISTINCT user_id FROM p) u
+        |  CROSS JOIN b
+        |  CROSS JOIN LATERAL unnest(range(b.lo, b.hi + 1, 86400000000))
+        |    AS gs(g))
+        |SELECT g.user_id, g.g AS grid_ts, p.ts AS asof_ts, p.v AS value
+        |FROM g ASOF LEFT JOIN p
+        |  ON g.user_id = p.user_id AND g.g >= p.ts""".stripMargin,
+  )
+}

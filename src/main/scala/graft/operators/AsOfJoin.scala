@@ -128,4 +128,37 @@ object AsOfJoin {
       .withColumn("__r", pick)
       .select(outCols: _*)
   }
+
+  /** Fixed-grid resampling with forward fill (X141): every key gets a
+    * row at every `stepUs` boundary of the GLOBAL observed range, each
+    * carrying the latest right-side value at or before that boundary —
+    * the gap-filling a telemetry/metrics series needs before any
+    * per-period arithmetic is meaningful (pandas
+    * `resample().ffill()`). Grid points before a key's first
+    * observation stay null (left-join semantics; nothing is invented).
+    *
+    * Scale shape: the global [min, max] range is ONE broadcast row;
+    * the grid is |keys| · |periods| rows by definition (the cost ANY
+    * gap-fill pays — choose stepUs accordingly); the fill itself is
+    * [[asOf]]'s union-merge window, one shuffle on the key, never a
+    * per-key range join. Timestamps are epoch-µs longs.
+    *
+    * Output: (keyCol, grid_ts, {prefix}ts, {prefix}{carry}). Multiple
+    * right rows per (key, ts) are ambiguous — pre-aggregate, as with
+    * [[asOf]]. */
+  def resampleFFill(right: DataFrame, keyCol: String, tsCol: String,
+                    carry: Seq[String], stepUs: Long,
+                    prefix: String = "asof_"): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val r = right.withColumn("__rts", col(tsCol).cast("long"))
+    val bounds = r.agg(
+      expr(s"(min(__rts) div $stepUs) * $stepUs").as("__lo"),
+      max(col("__rts")).as("__hi"))
+    val grid = r.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs)))
+          .as("grid_ts"))
+    asOf(grid, r, keyCol, "grid_ts", "__rts", carry, prefix)
+  }
 }

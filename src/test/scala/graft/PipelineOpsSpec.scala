@@ -78,6 +78,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> Some("x"), 2L -> None), got.toString)
   }
 
+  test("resampleFFill: global grid, forward fill per key, null leads") {
+    // step 10: global range [12, 47] -> grid starts 10,20,30,40
+    // u1 observes at 12 (v=1.0) and 33 (v=2.0); u2 only at 47 (v=9.0)
+    val right = Seq(("u1", 12L, 1.0), ("u1", 33L, 2.0), ("u2", 47L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.resampleFFill(right, "k", "ts", Seq("v"), stepUs = 10L)
+      .select(col("k"), col("grid_ts"), col("asof_v"))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("u1", 10L, None), ("u1", 20L, Some(1.0)), ("u1", 30L, Some(1.0)),
+      ("u1", 40L, Some(2.0)),
+      ("u2", 10L, None), ("u2", 20L, None), ("u2", 30L, None),
+      ("u2", 40L, None)), got.toString)
+  }
+
+  test("resampleFFill: an observation AT a grid point fills that point") {
+    val right = Seq(("u", 20L, 5.0)).toDF("k", "ts", "v")
+    val got = AsOfJoin.resampleFFill(right, "k", "ts", Seq("v"), stepUs = 10L)
+      .select(col("grid_ts"), col("asof_v"))
+      .as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((20L, Some(5.0))), got.toString)
+  }
+
   test("hashSplit: known md5 bucket and ~80/10/10 proportions") {
     // md5('42') first 8 hex chars = a1d0c6e8 -> 2714814184 -> bucket 84
     val one = TrainingData.hashSplit(Seq(42L).toDF("doc_id"), "doc_id")
