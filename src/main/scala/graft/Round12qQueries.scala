@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+/** Round-12 [EXT] batch Q: the dedup-method recall audit (X142) —
+  * which TRUE near-dup pairs does the MinHash-LSH banding actually
+  * surface, measured against the exact pair set. Banding is fully
+  * deterministic (fixed hash family), so this is HASH-gated, not
+  * recall-gated: the twin replays BOTH pipelines and must agree on
+  * every count.
+  */
+object Round12qQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X142: LSH recall vs the exact pair set --------------------
+    // exact truth from the SERVED shingle index; LSH pairs from the
+    // 8-hash / 4-band / 2-row banding (verified exact, so every LSH
+    // pair is also true); the audit is one broadcast-able left join
+    // of two pair sets + one row of counts
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val exact = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = Dedup.minhashLshPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,
+        minJaccard = 0.3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__f"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__f"), lit(0L))).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") > 0,
+            round(col("n_found").cast("double") /
+              col("n_true").cast("double"), 4)).as("lsh_recall"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_lsh_recall" -> {
+      val mh = (0 until 8).map { j =>
+        s"CASE WHEN len(shs) = 0 THEN NULL ELSE list_min(list_transform(shs, h -> (${TF.minhashA(j)} * h + ${TF.minhashB(j)}) % ${TF.HashMod})) END AS mh_$j"
+      }.mkString(",\n  ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc, $b AS band, concat(mh_${2 * b}, '_', mh_${2 * b + 1}) AS sigk FROM msig WHERE mh_0 IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |msig AS (SELECT doc, $mh FROM sha),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.sigk = b.sigk
+         |         WHERE a.doc < b.doc),
+         |ver AS (SELECT cand.doc_a, cand.doc_b FROM cand
+         |        JOIN sha sa ON sa.doc = cand.doc_a
+         |        JOIN sha sb ON sb.doc = cand.doc_b
+         |        WHERE len(list_intersect(sa.shs, sb.shs)) * 1.0 /
+         |          (len(sa.shs) + len(sb.shs)
+         |           - len(list_intersect(sa.shs, sb.shs))) >= 0.3),
+         |tr AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.3),
+         |j AS (SELECT tr.doc_a, tr.doc_b,
+         |        CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS f
+         |      FROM tr LEFT JOIN ver v USING (doc_a, doc_b))
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(f) AS BIGINT) AS n_found,
+         |  CASE WHEN count(*) > 0 THEN
+         |    round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) END
+         |    AS lsh_recall
+         |FROM j""".stripMargin
+    },
+  )
+}
