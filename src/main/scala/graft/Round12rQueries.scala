@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch R: the TPC-H Q19 shape (X143) — revenue under
+  * an OR-of-ANDs predicate spanning both join sides. The optimizer
+  * test: the COMMON conjuncts (the part-key equi-join, the quantity
+  * range) must still reach their scans / the join condition even
+  * though the user wrote them inside disjunctive branches. HASH-gated.
+  */
+object Round12rQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X143: disjunctive-branch revenue (TPC-H Q19 shape) ---------
+    // written EXACTLY as the reference query writes it — one OR of
+    // three AND-branches mixing lineitem and part columns — and the
+    // plan must still: equi-join on the part key, push the shared
+    // quantity lower bound, and evaluate the residual disjunction
+    // post-join without a cartesian or a double scan
+    "q_disjunctive_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__r"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11 &&
+        col("p_size") >= 1 && col("p_size") <= 5
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+        col("p_size") >= 1 && col("p_size") <= 10
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30 &&
+        col("p_size") >= 1 && col("p_size") <= 15
+      joined.where(branch1 || branch2 || branch3)
+        .agg(sum(col("__r")).as("__u"), count(lit(1)).as("n_lines"))
+        .select((coalesce(col("__u"), lit(0L)) / 10000.0).as("revenue"),
+          col("n_lines"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_disjunctive_revenue" ->
+      """WITH j AS (
+        |  SELECT CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+        |      * 10000) AS BIGINT) AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE (p.p_brand = 'Brand#12'
+        |         AND l.l_quantity BETWEEN 1 AND 11
+        |         AND p.p_size BETWEEN 1 AND 5)
+        |     OR (p.p_brand = 'Brand#23'
+        |         AND l.l_quantity BETWEEN 10 AND 20
+        |         AND p.p_size BETWEEN 1 AND 10)
+        |     OR (p.p_brand = 'Brand#34'
+        |         AND l.l_quantity BETWEEN 20 AND 30
+        |         AND p.p_size BETWEEN 1 AND 15))
+        |SELECT coalesce(CAST(sum(r) AS BIGINT), 0) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM j""".stripMargin,
+  )
+}

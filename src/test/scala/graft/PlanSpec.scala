@@ -492,6 +492,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_disjunctive_revenue: Catalyst extracts per-side filters from " +
+    "the OR-of-ANDs and pushes BOTH to their scans (the Q19 test)") {
+    val p = plan("q_disjunctive_revenue")
+    // lineitem scan got the derived quantity disjunction
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    // part scan got the derived brand/size disjunction
+    assert(p.contains("And(EqualTo(p_brand,Brand#12)"), p)
+    // still one equi-join with the residual OR as its condition
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
