@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch S: one-sided CUSUM change-point detection
+  * (X144) over per-type daily event volume, with a deterministic
+  * level shift PLANTED on the error type (the fixture is stationary,
+  * so the detector needs something to detect — the quality_fineweb
+  * planting precedent). HASH-gated against a list_reduce replay twin.
+  */
+object Round12sQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private def tsUs(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  private val Cut = 1706054400000000L // 2024-01-24 00:00 UTC, µs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X144: CUSUM — errors triple from Jan 24 on ----------------
+    "events_cusum" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("event_type"), tsUs(ev0, "ts").as("tu"))
+      val boost = ev.where(col("event_type") === "error" &&
+        col("tu") >= Cut)
+      val planted = ev.unionByName(boost).unionByName(boost)
+      graft.operators.Funnel.cusumChangePoints(planted,
+        "event_type", "tu", bucketUs = 86400000000L, k = 8.0, h = 50.0)
+        .orderBy("event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_cusum" ->
+      s"""WITH base AS (SELECT event_type, epoch_us(ts) AS tu FROM events),
+         |boost AS (SELECT * FROM base
+         |  WHERE event_type = 'error' AND tu >= $Cut),
+         |planted AS (SELECT * FROM base UNION ALL
+         |  SELECT * FROM boost UNION ALL SELECT * FROM boost),
+         |counts AS (SELECT event_type AS g, tu // 86400000000 AS wk,
+         |    CAST(count(*) AS BIGINT) AS n FROM planted GROUP BY 1, 2),
+         |b AS (SELECT min(wk) AS lo, max(wk) AS hi FROM counts),
+         |grid AS (SELECT u.g, gs.wk
+         |  FROM (SELECT DISTINCT g FROM counts) u CROSS JOIN b
+         |  CROSS JOIN LATERAL unnest(range(b.lo, b.hi + 1)) AS gs(wk)),
+         |dense AS (SELECT grid.g, grid.wk,
+         |    CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+         |  FROM grid LEFT JOIN counts USING (g, wk)),
+         |pg AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS m FROM dense GROUP BY g),
+         |dd AS (SELECT dense.g, wk, m,
+         |    m * n * 10000 - tot * 10000 - m * 80000 AS d
+         |  FROM dense JOIN pg USING (g)),
+         |-- the engine folds s_t = max(0, s_{t-1} + d_t); this twin uses
+         |-- the exact prefix-sum identity s_t = P_t - min(0, min_{j<=t} P_j)
+         |-- (pure windows - DuckDB 1.0's list_reduce mutates struct
+         |-- accumulator fields in place, so a struct fold misreads acc)
+         |pr AS (SELECT g, wk, m,
+         |    CAST(sum(d) OVER (PARTITION BY g ORDER BY wk
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+         |  FROM dd),
+         |st AS (SELECT g, wk, m,
+         |    p - least(CAST(0 AS BIGINT),
+         |      CAST(min(p) OVER (PARTITION BY g ORDER BY wk
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s
+         |  FROM pr),
+         |pk AS (SELECT g, m, max(s) AS mx FROM st GROUP BY g, m),
+         |res AS (SELECT st.g, st.m, pk.mx, min(st.wk) AS mwk
+         |  FROM st JOIN pk ON st.g = pk.g AND st.s = pk.mx
+         |  GROUP BY st.g, st.m, pk.mx)
+         |SELECT g AS event_type, m AS n_periods, mwk AS peak_wk,
+         |  round(CAST(mx AS DOUBLE) / CAST(m * 10000 AS DOUBLE), 4)
+         |    AS cusum_peak,
+         |  mx > m * 500000 AS changed
+         |FROM res ORDER BY event_type""".stripMargin,
+  )
+}

@@ -237,4 +237,68 @@ object Funnel {
       .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_users")) // (u, wk) already distinct
   }
+
+  /** One-sided CUSUM change-point detection (X144): per group, the
+    * running statistic s_t = max(0, s_{t-1} + (n_t − mean − k)) over
+    * the DENSE period grid (missing periods count 0 — a traffic stop
+    * is a change, not a gap in the math), its peak and the period
+    * where the peak was first reached. The SEQUENTIAL complement of
+    * [[volumeAnomalies]] (level z-scores catch single spikes; CUSUM
+    * accumulates small sustained shifts) and [[volumeTrend]] (a slope
+    * says direction; CUSUM says WHEN it broke).
+    *
+    * Exact arithmetic: with m periods, mean·m = total exactly, so the
+    * fold runs on d_t = m·n_t·10⁴ − total·10⁴ − m·K (K = k quantized
+    * 1e-4) — all longs, one division at the end. The fold itself is a
+    * per-group array HOF over the (period, count) list sorted
+    * ascending — bounded by the period count (|range|/bucketUs; pick
+    * bucketUs so it stays list-sized), with |groups|·|periods| total
+    * grid rows (the resampleFFill economics). Peak ties keep the
+    * FIRST period (strict >).
+    *
+    * Output: (groupCol, n_periods, peak_wk, cusum_peak, changed) with
+    * cusum_peak in count units (peak/(m·10⁴), round 4) and `changed` =
+    * peak > m·H exactly (H = h quantized 1e-4). */
+  def cusumChangePoints(events: DataFrame, groupCol: String, tsCol: String,
+                        bucketUs: Long, k: Double, h: Double): DataFrame = {
+    require(bucketUs > 0 && k >= 0 && h > 0)
+    val kq = math.round(k * 10000.0)
+    val hq = math.round(h * 10000.0)
+    val counts = volumeCounts(events, groupCol, tsCol, bucketUs)
+    val bounds = counts.agg(min(col("__wk")).as("__lo"),
+      max(col("__wk")).as("__hi"))
+    val dense = counts.select(col("__g")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi")))
+        .as("__wk"))
+      .join(counts, Seq("__g", "__wk"), "left")
+      .select(col("__g"), col("__wk"), coalesce(col("n"), lit(0L)).as("n"))
+    val perGroup = dense.groupBy(col("__g"))
+      .agg(sum(col("n")).as("__tot"), count(lit(1)).as("__m"),
+        sort_array(collect_list(struct(col("__wk"), col("n")))).as("__a"))
+    // unified fold struct {s, mx, mwk, d, wk} — elements carry (d, wk),
+    // the accumulator carries (s, mx, mwk); identical shape on both
+    // engines so the DuckDB list_reduce replay folds the same operands
+    val elems = transform(col("__a"), e =>
+      struct(lit(0L).as("s"), lit(-1L).as("mx"), lit(0L).as("mwk"),
+        (col("__m") * e("n") * 10000L - col("__tot") * 10000L -
+          col("__m") * kq).as("d"),
+        e("__wk").as("wk")))
+    val folded = aggregate(elems,
+      struct(lit(0L).as("s"), lit(-1L).as("mx"), lit(0L).as("mwk"),
+        lit(0L).as("d"), lit(0L).as("wk")),
+      (acc, x) => {
+        val s2 = greatest(lit(0L), acc("s") + x("d"))
+        struct(s2.as("s"),
+          when(s2 > acc("mx"), s2).otherwise(acc("mx")).as("mx"),
+          when(s2 > acc("mx"), x("wk")).otherwise(acc("mwk")).as("mwk"),
+          lit(0L).as("d"), lit(0L).as("wk"))
+      })
+    perGroup
+      .select(col("__g").as(groupCol), col("__m").as("n_periods"),
+        folded("mwk").as("peak_wk"),
+        round(folded("mx").cast("double") /
+          (col("__m") * 10000L).cast("double"), 4).as("cusum_peak"),
+        (folded("mx") > col("__m") * hq).as("changed"))
+  }
 }

@@ -136,4 +136,28 @@ class FunnelSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSeq
     assert(got == Seq(("up", 3L, 2.0, 1.0)), got.toString)
   }
+
+  test("cusumChangePoints: hand fold — level shift detected at its " +
+    "onset, dense grid fills the silent period, stationary group clean") {
+    // 5 periods (bucket 10, global grid wk 0..4).
+    // "shift": counts 2,2,0(missing->dense 0),6,6; "steady": 1 per wk.
+    def ids(n: Int, t0: Long, tag: String) =
+      (0 until n).map(i => (tag, t0 + i))
+    val rows =
+      ids(2, 0L, "shift") ++ ids(2, 10L, "shift") ++
+        ids(6, 30L, "shift") ++ ids(6, 40L, "shift") ++
+        (0L to 40L by 10L).map(t => ("steady", t + 1L))
+    val events = rows.toDF("event_type", "ts")
+    val got = graft.operators.Funnel.cusumChangePoints(events,
+      "event_type", "ts", bucketUs = 10L, k = 0.8, h = 1.5)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    // shift: m=5 tot=16; d(×10⁻⁴) = 5n−16−4 = {−10,−10,−20,+10,+10}
+    //   s = 0,0,0,10,20 -> peak 20·10⁴/(5·10⁴) = 4.0 first at wk 4;
+    //   changed: 20·10⁴ > 5·1.5·10⁴ ✓
+    // steady: m=5 tot=5; d(x1e-4) = 5n-5-4 = -4 each -> peak 0 at wk 0, clean
+    assert(got == Seq(
+      ("shift", 5L, 4L, 4.0, true),
+      ("steady", 5L, 0L, 0.0, false)), got.toString)
+  }
 }
