@@ -261,10 +261,22 @@ object Funnel {
     * peak > m·H exactly (H = h quantized 1e-4). */
   def cusumChangePoints(events: DataFrame, groupCol: String, tsCol: String,
                         bucketUs: Long, k: Double, h: Double): DataFrame = {
-    require(bucketUs > 0 && k >= 0 && h > 0)
+    require(bucketUs > 0)
+    cusumFromCounts(volumeCounts(events, groupCol, tsCol, bucketUs),
+      groupCol, k, h)
+  }
+
+  /** The detector assembly of [[cusumChangePoints]] over any
+    * (__g, __wk, n) count table — split out (the trendFromCounts /
+    * psiFromCounts precedent) so the STREAMING sibling's running
+    * counts ([[volumeCounts]] declared on a streaming frame, one long
+    * of state per live (group, period)) feed the SAME dense-grid fold
+    * from a foreachBatch scorer. */
+  def cusumFromCounts(counts: DataFrame, groupCol: String,
+                      k: Double, h: Double): DataFrame = {
+    require(k >= 0 && h > 0)
     val kq = math.round(k * 10000.0)
     val hq = math.round(h * 10000.0)
-    val counts = volumeCounts(events, groupCol, tsCol, bucketUs)
     val bounds = counts.agg(min(col("__wk")).as("__lo"),
       max(col("__wk")).as("__hi"))
     val dense = counts.select(col("__g")).distinct()

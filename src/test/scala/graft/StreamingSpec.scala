@@ -887,6 +887,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: running counts + foreachBatch detector match " +
+    "the batch operator, out-of-order arrivals included") {
+    val dir = Files.createTempDirectory("cusum-stream").toString
+    // "shift" doubles from period 3 on; period-1 rows arrive LATE in
+    // batch 2 (count folds are arrival-order-free)
+    val b1 = Seq.fill(2)(("shift", 1L)) ++ Seq.fill(2)(("shift", 21L)) ++
+      Seq.fill(6)(("shift", 31L)) ++ Seq.fill(6)(("shift", 41L))
+    val b2 = Seq.fill(2)(("shift", 11L)) ++
+      (0L to 40L by 10L).map(t => ("steady", t + 2L))
+    def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
+      .parquet(dir)
+    val q = graft.operators.Funnel.volumeCounts(
+      stream.toDF(), "event_type", "ts", bucketUs = 10L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cusum_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val counts = spark.table("cusum_stream")
+        .groupBy(col("__g"), col("__wk"))
+        .agg(max(col("n")).as("n"))
+        .localCheckpoint(true)
+      val got = graft.operators.Funnel.cusumFromCounts(counts,
+        "event_type", k = 0.8, h = 1.5)
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      val want = graft.operators.Funnel.cusumChangePoints(
+        toDf(b1 ++ b2), "event_type", "ts", bucketUs = 10L,
+        k = 0.8, h = 1.5)
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      assert(got.exists(r => r._1 == "shift" && r._5) &&
+        got.exists(r => r._1 == "steady" && !r._5), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming URL latest-wins: cross-batch canonical fold with two longs " +
     "of per-URL state; last emission equals the batch operator") {
     val dir = Files.createTempDirectory("url-stream").toString
