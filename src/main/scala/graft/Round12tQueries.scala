@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch T: the TPC-H Q18 shape (X145) — a HAVING on
+  * an aggregate feeding a semi-join back into the fact tables: find
+  * the large orders FIRST (one pre-aggregate + filter, exact integer
+  * quantities), then let only those order keys touch the wide join.
+  * HASH-gated.
+  */
+object Round12tQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X145: large-quantity orders (TPC-H Q18 shape) -------------
+    // the HAVING pre-aggregate reduces lineitem to the ≤|orders| total
+    // table, the > 250 cut makes it TINY, and the tiny key set then
+    // drives BROADCAST joins through orders/customer — the wide join
+    // never sees a non-qualifying row; top-100 is a TakeOrdered ------
+    "q_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("__q"))
+        .where(col("__q") > 25000L)
+      val o = t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      o.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("__tp"),
+          col("__q"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), (col("__tp") / 100.0).as("o_totalprice"),
+          (col("__q") / 100.0).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0
+        |    AS o_totalprice,
+        |  big.q / 100.0 AS total_qty
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+  )
+}

@@ -504,6 +504,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 
+  test("q_large_orders: the HAVING pre-aggregate drives broadcast joins " +
+    "and top-100 is a TakeOrdered") {
+    val p = plan("q_large_orders")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
