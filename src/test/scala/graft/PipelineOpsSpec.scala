@@ -67,6 +67,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("asOfNearest property: equals the brute-force nearest scan on " +
+    "seeded random inputs") {
+    val rng = new scala.util.Random(42)
+    (0 until 3).foreach { round =>
+      val keys = Seq("k1", "k2", "k3")
+      val left = (0 until 60).map(i =>
+        (i.toLong, keys(rng.nextInt(3)), rng.nextInt(1000).toLong))
+      // distinct (key, ts) on the right — the documented contract
+      val right = rng.shuffle(
+        (for (k <- keys; t <- 0 until 1000) yield (k, t.toLong)).toVector)
+        .take(40).map { case (k, t) => (k, t, s"v$k$t") }
+      val tol = 50L + rng.nextInt(200)
+      val got = AsOfJoin.asOfNearest(left.toDF("event_id", "k", "ts"),
+        right.toDF("k", "ts", "tag"), "k", "ts", "ts", Seq("tag"), tol)
+        .select(col("event_id"), col("asof_ts"))
+        .as[(Long, Option[Long])].collect().toMap
+      left.foreach { case (id, k, t) =>
+        val cands = right.filter(r => r._1 == k && math.abs(r._2 - t) <= tol)
+        val want =
+          if (cands.isEmpty) None
+          else Some(cands.minBy(r => (math.abs(r._2 - t), -(t - r._2)))._2)
+        assert(got(id) == want,
+          s"round $round id=$id k=$k t=$t tol=$tol got=${got(id)} want=$want")
+      }
+    }
+  }
+
   test("asOfNearest: tolerance is inclusive and one-sided matches work") {
     val left = Seq((1L, "u", 100L), (2L, "u", 9L)).toDF("event_id", "k", "ts")
     val right = Seq(("u", 80L, "x")).toDF("k", "ts", "tag")
