@@ -766,6 +766,43 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("stride"))
   }
 
+  test("slidingChunks property: every window matches tokens.slice and " +
+    "stride-th tokens reconstruct the doc, on seeded random inputs") {
+    val rng = new scala.util.Random(11)
+    (0 until 3).foreach { round =>
+      val chunk = 1 + rng.nextInt(6)
+      val stride = 1 + rng.nextInt(chunk)
+      val docs = (0 until 8).map { i =>
+        (i.toLong, (0 until rng.nextInt(20)).map(j => s"t${i}_$j")
+          .mkString(" "))
+      }
+      val got = Curation.slidingChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunk, stride)
+        .as[(Long, Long, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) assert(!got.contains(id))
+        else {
+          val wins = got(id)
+          val nWin = (toks.size + stride - 1) / stride
+          assert(wins.map(_._2).toSeq == (0L until nWin.toLong),
+            s"round $round doc $id window indices")
+          wins.foreach { case (_, w, c, n) =>
+            val want = toks.slice((w * stride).toInt,
+              (w * stride).toInt + chunk)
+            assert(c == want.mkString(" ") && n == want.size,
+              s"round $round doc $id win $w: got '$c' want '${want.mkString(" ")}'")
+          }
+          // stride-offset heads reconstruct the doc exactly
+          val heads = wins.flatMap { case (_, _, c, _) =>
+            c.split(" ").filter(_.nonEmpty).take(stride) }
+          assert(heads.toSeq == toks, s"round $round doc $id reconstruct")
+        }
+      }
+    }
+  }
+
   test("mojibakeSignals: keep AT the threshold, drop just above") {
     // 10000 chars, 5 artifacts -> exactly 5.0 per 10k: kept (<=)
     val base = "x" * 9995
