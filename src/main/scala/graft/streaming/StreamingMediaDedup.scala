@@ -82,4 +82,67 @@ object StreamingMediaDedup {
           out.result().iterator
       }
   }
+
+  final case class KeyedHashT(bucket: String, doc: Long, h: Long,
+                              ts: java.sql.Timestamp)
+
+  /** [[nearDupPairs]] with EVENT-TIME state eviction — the
+    * [[StreamingDedup.candidatePairsTTL]] contract at the media point:
+    * a bucket's (id, hash) set drops once the watermark passes
+    * `last arrival + ttlMs`, bounding total state by the watermark
+    * horizon instead of every block bucket ever seen. Pairs spanning
+    * more than the horizon are the batch hamming index's job
+    * (`Dedup.hammingPairsAgainstIndex`); the stream owns the re-crawl
+    * burst window. Timeout re-arms to `max(watermark, batch-max event
+    * time) + ttlMs` — monotone, never behind the watermark. */
+  def nearDupPairsTTL(hashes: DataFrame, idCol: String, hashCol: String,
+                      tsCol: String, delay: String = "10 minutes",
+                      ttlMs: Long = 3600000L,
+                      maxHamming: Int = 3, numBlocks: Int = 4,
+                      maxBucketState: Int = 64): Dataset[MediaPair] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    require(ttlMs > 0, "ttlMs must be positive")
+    val keyed = Dedup.hammingKeyed(
+      hashes.withColumn("__evt", col(tsCol).cast("timestamp")),
+      idCol, hashCol, 64, maxHamming, numBlocks, carry = Seq("__evt"))
+      .select(concat_ws("_", col("blk"), col("key")).as("bucket"),
+        col("doc").cast("long").as("doc"), col("h"),
+        col("__evt").as("ts"))
+    keyed
+      .withWatermark("ts", delay)
+      .as[KeyedHashT]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[KeyedHashT],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            var seen = state.getOption.getOrElse(Vector.empty[(Long, Long)])
+            val out = Vector.newBuilder[MediaPair]
+            batch.map(r => (r.doc, r.h)).distinct.sortBy(_._1)
+              .foreach { case (d, h) =>
+                if (!seen.exists(_._1 == d) && seen.length < maxBucketState) {
+                  seen.foreach { case (sd, sh) =>
+                    val dist = java.lang.Long.bitCount(sh ^ h)
+                    if (dist <= maxHamming) {
+                      out += (if (sd < d) MediaPair(sd, d, dist)
+                              else MediaPair(d, sd, dist))
+                    }
+                  }
+                  seen = seen :+ ((d, h))
+                }
+              }
+            state.update(seen)
+            val maxTs = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

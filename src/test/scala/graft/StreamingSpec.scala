@@ -1093,6 +1093,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media near-dup with TTL: in-horizon pairs verified and " +
+    "emitted, evicted buckets forget, post-eviction re-arrival silent") {
+    val dir = Files.createTempDirectory("mediadup-ttl").toString
+    val h0 = 0x0123456789abcdefL
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def write(rows: Seq[(Long, Long, Long)], first: Boolean = false): Unit =
+      rows.map { case (id, h, m) => (id, h, ts(m)) }
+        .toDF("media_id", "hash", "ts")
+        .coalesce(1).write.mode(if (first) "overwrite" else "append")
+        .parquet(dir)
+    // batch 1: two copies (hamming 0) at t=600
+    write(Seq((1L, h0, 600L), (2L, h0, 600L)), first = true)
+    val stream = spark.readStream
+      .schema("media_id BIGINT, hash BIGINT, ts TIMESTAMP").parquet(dir)
+    val out = graft.streaming.StreamingMediaDedup.nearDupPairsTTL(
+      stream.toDF(), "media_id", "hash", "ts",
+      delay = "10 minutes", ttlMs = 30L * 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mediadup_ttl").start()
+    try {
+      q.processAllAvailable()
+      def pairs() = spark.table("mediadup_ttl")
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs() == Set((1L, 2L)), pairs().toString)
+      // batch 2 (in-horizon): a 1-bit variant pairs with both
+      write(Seq((3L, h0 ^ 1L, 630L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs().toString)
+      // batches 3+4: far-future unrelated hashes advance the watermark
+      // past the bucket timeouts, then the sweep evicts
+      write(Seq((7L, 0x7777777777777777L, 1200L)))
+      q.processAllAvailable()
+      write(Seq((8L, 0x5555aaaa5555aaaaL, 1210L)))
+      q.processAllAvailable()
+      // batch 5: an exact copy AFTER eviction — silent re-admission
+      write(Seq((9L, h0, 1215L)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs().toString)
+    } finally q.stop()
+  }
+
   test("streaming k-anonymity: running class counts ≡ batch classSizes " +
     "out-of-order, and the assembled histogram ≡ kAnonymity end-to-end") {
     val dir = Files.createTempDirectory("kanon-stream").toString
