@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch U: the embedding-health report (X146 — norm
+  * scale, anisotropy, dead outputs; the one-row readout an embedding
+  * snapshot gets before any index build). HASH-gated: components
+  * quantize to the 1e-4 grid first, so the twin replays exact longs.
+  */
+object Round12uQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_health" -> ((s, dir) =>
+      graft.operators.Profile.embeddingHealth(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "embedding_health" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |dm AS (SELECT len(qv) AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1),
+        |alln AS (SELECT CAST(count(*) AS BIGINT) AS alln FROM q),
+        |st AS (SELECT q.vec_id, q.qv FROM q CROSS JOIN dm
+        |  WHERE len(q.qv) = dm.d),
+        |e AS (SELECT vec_id, i, qv[i] AS v
+        |  FROM st, LATERAL unnest(range(1, len(qv) + 1)) t(i)),
+        |c AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY i),
+        |cent AS (SELECT list(s ORDER BY i) AS cv,
+        |    CAST(list_sum(list_transform(list(s ORDER BY i), x -> x * x))
+        |      AS BIGINT) AS nc2 FROM c),
+        |per AS (SELECT st.vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nx2,
+        |    nc2
+        |  FROM st CROSS JOIN cent),
+        |sc AS (SELECT
+        |    CAST(round(sqrt(CAST(nx2 AS DOUBLE))) AS BIGINT) AS nq,
+        |    (nx2 = 0) AS iszero,
+        |    CASE WHEN nx2 > 0 AND nc2 > 0 THEN
+        |      CAST(round(CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(nx2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))
+        |        * 10000) AS BIGINT) END AS cq
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(dm.d AS BIGINT) AS dim,
+        |  alln.alln - dm.c AS n_dim_mismatch,
+        |  CAST(sum(CASE WHEN iszero THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  round(CAST(sum(nq) AS DOUBLE) / (count(*) * 10000.0), 4)
+        |    AS mean_norm,
+        |  CASE WHEN count(cq) > 0 THEN
+        |    round(CAST(sum(cq) AS DOUBLE) / (count(cq) * 10000.0), 4) END
+        |    AS mean_cos_centroid
+        |FROM sc CROSS JOIN dm CROSS JOIN alln
+        |GROUP BY dm.d, dm.c, alln.alln""".stripMargin,
+  )
+}

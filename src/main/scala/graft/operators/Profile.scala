@@ -83,4 +83,79 @@ object Profile {
       round(percentile(col("v"), lit(0.5)), 4).as("p50"),
       round(percentile(col("v"), lit(0.75)), 4).as("p75"))
   }
+
+  /** Embedding-health report (X146): the one-row sanity readout an
+    * embedding snapshot gets before any index build — mean vector
+    * norm (a silently re-scaled encoder shifts it), mean cosine to
+    * the corpus centroid (anisotropy: ≈1 means every vector points
+    * the same way and cosine retrieval is mush — Ethayarajh 2019),
+    * and the zero-norm count (dead encoder outputs).
+    *
+    * Exact under the hash gate: components quantize to the 1e-4 grid
+    * FIRST, so the per-dimension centroid sums, every dot product and
+    * every squared norm are exact longs (order-free); the only
+    * doubles are the final sqrt/divisions, fixed-order and replayed
+    * identically by the twin; per-row cosines re-quantize before the
+    * mean so the average is an exact sum divided once.
+    *
+    * Scale shape: the centroid is one |dims|-key aggregate (map-side
+    * partials) folded to ONE broadcast row; the per-row pass is
+    * map-only HOFs; the final fold is one row. Mixed-dimension rows
+    * are excluded against the modal dimension (the store invariant —
+    * reported via n_dim_mismatch rather than corrupting the sums). */
+  def embeddingHealth(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol),
+        transform(col(vecCol), x =>
+          round(x.cast("double") * 10000).cast("long")).as("__qv"))
+    // modal dimension (deterministic: count desc, dim asc)
+    val dims = q.groupBy(size(col("__qv")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(struct(col("__c").as("__c"), (-col("__d")).as("__nd")))
+        .as("__m"))
+      .select((-col("__m")("__nd")).as("__dim"),
+        col("__m")("__c").as("__ndim"))
+    val staged = q.crossJoin(broadcast(dims))
+      .where(size(col("__qv")) === col("__dim"))
+    val cent = staged
+      .select(posexplode(col("__qv")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("__s"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__s")))),
+        e => e("__s")).as("__cv"))
+    val scored = staged.crossJoin(broadcast(cent))
+      .select(col("__qv"), col("__dim"), col("__ndim"),
+        aggregate(zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("__dot"),
+        aggregate(transform(col("__qv"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("__nx2"),
+        aggregate(transform(col("__cv"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("__nc2"))
+      .select(col("__dim"), col("__ndim"),
+        round(sqrt(col("__nx2").cast("double"))).cast("long").as("__nq"),
+        (col("__nx2") === 0).as("__zero"),
+        when(col("__nx2") > 0 && col("__nc2") > 0,
+          round(col("__dot").cast("double") /
+            (sqrt(col("__nx2").cast("double")) *
+              sqrt(col("__nc2").cast("double"))) * 10000).cast("long"))
+          .as("__cq"))
+    val total = emb.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .agg(count(lit(1)).as("__all"))
+    scored
+      .groupBy(col("__dim"), col("__ndim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(col("__nq")).as("__snq"),
+        sum(col("__cq")).as("__scq"),
+        count(col("__cq")).as("__ncq"))
+      .crossJoin(broadcast(total))
+      .select(col("n"), col("__dim").as("dim"),
+        (col("__all") - col("__ndim")).as("n_dim_mismatch"),
+        col("n_zero_norm"),
+        round(col("__snq").cast("double") / (col("n") * lit(10000.0)), 4)
+          .as("mean_norm"),
+        when(col("__ncq") > 0,
+          round(col("__scq").cast("double") / (col("__ncq") * lit(10000.0)), 4))
+          .as("mean_cos_centroid"))
+  }
 }

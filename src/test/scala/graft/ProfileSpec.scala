@@ -63,4 +63,21 @@ class ProfileSpec extends SparkSpec {
       // b: {10, 30, 20} with one null — mean 20, quartiles 15/20/25
       ("b", 3L, 1L, 10.0, 30.0, 20.0, 15.0, 20.0, 25.0)), got.toString)
   }
+
+  test("embeddingHealth: hand row — centroid cosine, zero-norm count, " +
+    "dim-mismatch exclusion") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),            // unit x
+      (2L, Array(0.0f, 1.0f)),            // unit y
+      (3L, Array(0.0f, 0.0f)),            // dead output
+      (4L, Array(1.0f, 2.0f, 3.0f)),      // wrong dimension
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Profile.embeddingHealth(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // modal dim 2 keeps rows 1-3; centroid (1e4, 1e4); each unit
+    // vector's cosine to it is 1/sqrt(2) -> 0.7071; mean norm
+    // (1e4 + 1e4 + 0)/(3*1e4) = 0.6667; row 4 is the one mismatch
+    assert(got == Seq((3L, 2L, 1L, 1L, 0.6667, 0.7071)), got.toString)
+  }
 }
