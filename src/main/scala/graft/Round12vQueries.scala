@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch V: per-source language-mix entropy (X147) —
+  * the diversity readout that separates a genuinely multilingual
+  * source from a monolingual one before mixing decisions re-weight
+  * them. HASH-gated; each entropy TERM quantizes to the 1e-6 grid
+  * before the sum, so the aggregate is an order-free exact long sum
+  * (the token_entropy/zipf_fit rule — never a raw double sum under
+  * the hash gate).
+  */
+object Round12vQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_lang_entropy" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("__n"))
+      val totals = cells.groupBy(col("source"))
+        .agg(sum(col("__n")).as("__t"), count(lit(1)).as("n_langs"))
+      val p = col("__n").cast("double") / col("__t").cast("double")
+      cells.join(totals, "source")
+        .select(col("source"), col("__t"), col("n_langs"),
+          round(p * log(p) * 1000000).cast("long").as("__q"))
+        .groupBy(col("source"), col("__t"), col("n_langs"))
+        .agg(sum(col("__q")).as("__sq"))
+        .select(col("source"), col("__t").as("n_docs"), col("n_langs"),
+          round(-col("__sq").cast("double") / 1000000.0, 4)
+            .as("lang_entropy"))
+        .orderBy("source")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "source_lang_entropy" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM cells GROUP BY source),
+        |terms AS (SELECT cells.source, t, n_langs,
+        |    CAST(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |      * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM cells JOIN tot USING (source))
+        |SELECT source, t AS n_docs, n_langs,
+        |  round(-CAST(sum(q) AS DOUBLE) / 1000000.0, 4) AS lang_entropy
+        |FROM terms GROUP BY source, t, n_langs ORDER BY source""".stripMargin,
+  )
+}
