@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-12 [EXT] batch W: the dedup threshold-sweep curve (X148) —
+  * how many near-dup pairs each Jaccard band holds and how the pair
+  * count accumulates as the threshold drops: the ONE table a curation
+  * review reads to pick minJaccard (instead of re-running the dedup
+  * at five candidate thresholds). HASH-gated.
+  */
+object Round12wQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X148: pair count by Jaccard band, cumulative from the top —
+    // pairs come from the SERVED shingle index once (join-only at
+    // query time); the band histogram collapses map-side; the
+    // cumulative sum runs over the ≤10-row band table (the
+    // source_pareto rule: windows only over collapsed tables) --------
+    "dedup_threshold_curve" -> ((s, dir) => {
+      val bands = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.1)
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+          .as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("band").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      bands
+        .select(col("band"), (col("band").cast("double") / 10.0)
+          .as("threshold"),
+          col("n_pairs"),
+          sum(col("n_pairs")).over(w).as("cum_pairs_at_threshold"))
+        .orderBy(col("band").desc)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_threshold_curve" -> {
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |bands AS (SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS band,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM jpairs WHERE jac >= 0.1 GROUP BY 1)
+         |SELECT band, CAST(band AS DOUBLE) / 10.0 AS threshold, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY band DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs_at_threshold
+         |FROM bands ORDER BY band DESC""".stripMargin
+    },
+  )
+}
