@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Curation
+
+/** Round-12 [EXT] batch X: marginal rule attribution (X149) — which
+  * curation rule uniquely removes documents, the order-independent
+  * complement of the first-fail funnel. HASH-gated.
+  */
+object Round12xQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rule_attribution" -> ((s, dir) =>
+      Curation.ruleAttribution(t(s, dir, "documents"), Seq(
+        "len_min" -> (col("n_chars") >= 100),
+        "stop_frac" -> (TF.stopwordFraction(col("text")) >= 0.01),
+        "len_max" -> (col("n_chars") <= 500)))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rule_attribution" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH fl AS (SELECT
+         |    NOT coalesce(n_chars >= 100, FALSE) AS f1,
+         |    NOT coalesce($stop >= 0.01, FALSE) AS f2,
+         |    NOT coalesce(n_chars <= 500, FALSE) AS f3
+         |  FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS fail1,
+         |    CAST(sum(CASE WHEN f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS marg1,
+         |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS fail2,
+         |    CAST(sum(CASE WHEN f2 AND NOT f1 AND NOT f3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS marg2,
+         |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS fail3,
+         |    CAST(sum(CASE WHEN f3 AND NOT f1 AND NOT f2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS marg3
+         |  FROM fl)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'len_min' AS rule, n AS n_docs,
+         |    fail1 AS n_fail, marg1 AS n_marginal,
+         |    round(CAST(marg1 AS DOUBLE) / CAST(n AS DOUBLE), 4)
+         |      AS marginal_rate FROM a
+         |  UNION ALL
+         |  SELECT 1, 'stop_frac', n, fail2, marg2,
+         |    round(CAST(marg2 AS DOUBLE) / CAST(n AS DOUBLE), 4) FROM a
+         |  UNION ALL
+         |  SELECT 2, 'len_max', n, fail3, marg3,
+         |    round(CAST(marg3 AS DOUBLE) / CAST(n AS DOUBLE), 4) FROM a)
+         |ORDER BY rule_idx""".stripMargin
+    },
+  )
+}

@@ -828,6 +828,49 @@ object Curation {
       .withColumn("keep_doc", col("artifacts_per_10k") <= maxPer10k)
   }
 
+  /** Marginal rule attribution (X149): for each curation rule, how
+    * many docs fail it AT ALL vs how many it UNIQUELY removes (docs
+    * passing every other rule) — the order-independent complement of
+    * [[filterFunnel]]'s first-fail chain. A rule whose marginal count
+    * is ~0 costs review effort and false positives while removing
+    * nothing the rest of the battery would not; this is the table
+    * that justifies retiring it.
+    *
+    * Map-ONLY per-doc flags + ONE aggregate producing every rule's
+    * two counts as conditional sums (no per-rule scan, no explode of
+    * the corpus — the |rules|-wide row explodes AFTER the fold).
+    * Output: (rule, n_docs, n_fail, n_marginal, marginal_rate) in
+    * rule order. */
+  def ruleAttribution(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val flags = df.select(rules.map { case (n, c) =>
+      (!coalesce(c, lit(false))).as(s"__f_$n")
+    }: _*)
+    val aggs = count(lit(1)).as("__n") +: rules.flatMap { case (n, _) =>
+      val othersPass = rules.filter(_._1 != n)
+        .map(o => !col(s"__f_${o._1}"))
+        .foldLeft(lit(true))(_ && _)
+      Seq(
+        sum(when(col(s"__f_$n"), 1L).otherwise(0L)).as(s"__fail_$n"),
+        sum(when(col(s"__f_$n") && othersPass, 1L).otherwise(0L))
+          .as(s"__marg_$n"))
+    }
+    val folded = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(i.toLong).as("idx"), lit(n).as("rule"), col("__n").as("n"),
+        col(s"__fail_$n").as("f"), col(s"__marg_$n").as("m"))
+    }
+    folded.select(explode(array(rows: _*)).as("__e"))
+      .select(col("__e.idx").as("rule_idx"), col("__e.rule").as("rule"),
+        col("__e.n").as("n_docs"), col("__e.f").as("n_fail"),
+        col("__e.m").as("n_marginal"),
+        when(col("__e.n") > 0,
+          round(col("__e.m").cast("double") / col("__e.n").cast("double"), 4))
+          .as("marginal_rate"))
+      .orderBy("rule_idx")
+  }
+
   /** Overlapping token-window chunking (X128): the sliding windows an
     * embedding/retrieval index is built from — window w starts at
     * token `w·stride` and spans `chunkTokens` tokens, so consecutive

@@ -803,6 +803,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ruleAttribution: hand counts — fail-at-all vs uniquely-removed, " +
+    "null predicate counts as a failure") {
+    val docs = Seq(
+      (1L, 10L, "ok"),     // fails A only  -> marginal for A
+      (2L, 100L, "ok"),    // passes all
+      (3L, 10L, "bad"),    // fails A and B -> marginal for neither
+      (4L, 100L, null.asInstanceOf[String]) // null B -> fails B only
+    ).toDF("doc_id", "len", "tag")
+    val got = Curation.ruleAttribution(docs, Seq(
+      "A" -> (col("len") >= 50),
+      "B" -> (col("tag") === "ok")))
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, "A", 4L, 2L, 1L, 0.25),
+      (1L, "B", 4L, 2L, 1L, 0.25)), got.toString)
+  }
+
   test("mojibakeSignals: keep AT the threshold, drop just above") {
     // 10000 chars, 5 artifacts -> exactly 5.0 per 10k: kept (<=)
     val base = "x" * 9995
