@@ -71,7 +71,9 @@ object Bench {
     "chunk_overlap", "q_top_supplier",
     "q_order_priority", "q_shipmode_priority", "q_promo_share",
     "events_asof_nearest", "knn_graph", "q_idle_customers", "source_lang_matrix", "q_cube_matrix",
-    "signal_corr", "langid_kappa", "events_resampled", "dedup_lsh_recall", "q_disjunctive_revenue", "events_cusum", "q_large_orders", "embedding_health", "source_lang_entropy", "dedup_threshold_curve", "rule_attribution")
+    "signal_corr", "langid_kappa", "events_resampled", "dedup_lsh_recall", "q_disjunctive_revenue", "events_cusum", "q_large_orders", "embedding_health", "source_lang_entropy", "dedup_threshold_curve", "rule_attribution",
+    "q_min_cost_supplier", "q_nation_volume", "q_market_share",
+    "q_product_profit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch Y: four more TPC-H plan-shape families over
+  * the star schema — Q2's correlated-min decorrelation (X150), Q7's
+  * two-sided dim-filtered volume join (X151), Q8's market-share
+  * conditional fraction (X152), and Q9's profit expression over a
+  * name-sliced part dimension (X153). The reference tables lack
+  * partsupp and commit/receipt dates, so the classic queries are
+  * re-expressed over lineitem with the SAME decorrelation shapes.
+  * Every entry is HASH-gated against a DuckDB twin; all money math
+  * is exact integer cents / basis points divided once at the end.
+  */
+object Round12yQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X150: cheapest offer per part (TPC-H Q2 shape) ------------
+    // the correlated scalar `WHERE cost = (SELECT min(cost) ...)`
+    // decorrelates into ONE per-part min aggregate (tiny by
+    // construction: ≤ |parts in slice| rows) broadcast back as an
+    // equi-join — ties kept, exactly the subquery's semantics. Dims
+    // (nation⋈region, the sliced part table) ride as broadcasts; at
+    // 100 TB the only shuffles are the two lineitem scans' partial
+    // aggregates on the uniform part key ------------------------------
+    "q_min_cost_supplier" -> ((s, dir) => {
+      val euro = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val p = t(s, dir, "part").where(col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand"))
+      val offers = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val mins = offers.groupBy(col("l_partkey").as("__mk"))
+        .agg(min(col("__cents")).as("__min"))
+      offers.join(broadcast(mins),
+          col("l_partkey") === col("__mk") &&
+            col("__cents") === col("__min"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_brand"),
+          (col("__cents") / 100.0).as("min_price"))
+        .distinct()
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // ---- X151: bilateral shipping volume (TPC-H Q7 shape) ----------
+    // both fact sides are nation-filtered BEFORE the one big-big
+    // order-key join: the two-row nation slice broadcasts into
+    // supplier and customer, which then semi-reduce lineitem/orders.
+    // The OR-of-direction residual stays on the joined row ------------
+    "q_nation_volume" -> ((s, dir) => {
+      val ns = t(s, dir, "nation")
+        .where(col("n_name").isin("NATION_19", "NATION_18"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(ns), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(ns), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__bp"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_18") ||
+          (col("supp_nation") === "NATION_18" &&
+            col("cust_nation") === "NATION_19"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("__bp")).as("__r"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          (col("__r") / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- X152: supplier-nation market share (TPC-H Q8 shape) -------
+    // the share is TWO conditional exact sums in ONE aggregate over
+    // the region-sliced sales (never two scans), divided once; the
+    // denominator is > 0 for every emitted group by construction -----
+    "q_market_share" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").as("__bp"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_19", col("__bp"))
+            .otherwise(0L)).as("__num"),
+          sum(col("__bp")).as("__den"))
+        .select(col("o_year"),
+          round(col("__num").cast("double") / col("__den").cast("double"),
+            4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- X153: product profit by nation and year (TPC-H Q9 shape) --
+    // profit = revenue − cost, both EXACT 1e-4-dollar longs per row
+    // (cost proxies p_retailprice·quantity — the schema has no
+    // partsupp); the per-row longs are ≤ ~1e9 but a 100 TB sum is
+    // not, so the SUM operand casts to decimal(38,0) (ADVICE r11
+    // rule) and the division to dollars happens once ------------------
+    "q_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .where(col("p_name").like("%widget%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("__rc"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name"), year(col("l_shipdate")).cast("long")
+          .as("l_year"),
+          (round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long") -
+            col("__rc") * round(col("l_quantity") * 100).cast("long"))
+            .cast("decimal(38,0)").as("__amt"))
+        .groupBy(col("n_name"), col("l_year"))
+        .agg(sum(col("__amt")).as("__p"))
+        .select(col("n_name"), col("l_year"),
+          round(col("__p").cast("double") / 10000.0, 4).as("sum_profit"))
+        .orderBy(col("n_name"), col("l_year").desc)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_min_cost_supplier" ->
+      """WITH euro AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN euro ON s_nationkey = n_nationkey),
+        |offers AS (
+        |  SELECT l_partkey, p.p_brand, sup.s_name, sup.s_acctbal,
+        |    sup.n_name,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN part p ON l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+        |  JOIN sup ON l_suppkey = sup.s_suppkey),
+        |mins AS (
+        |  SELECT l_partkey AS mk, min(cents) AS mn
+        |  FROM offers GROUP BY 1)
+        |SELECT DISTINCT s_acctbal, s_name, n_name,
+        |  l_partkey AS p_partkey, p_brand, cents / 100.0 AS min_price
+        |FROM offers JOIN mins ON l_partkey = mk AND cents = mn
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_nation_volume" ->
+      """WITH ns AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_19', 'NATION_18'))
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN ns sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN ns cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        |    OR (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_market_share" ->
+      """WITH asia AS (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n.n_name = 'NATION_19'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount)
+        |        * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 10000) AS BIGINT)) AS DOUBLE), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n ON s_nationkey = n.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN asia ON c_nationkey = asia.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_product_profit" ->
+      """SELECT n_name,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |      AS BIGINT) -
+        |    CAST(round(p_retailprice * 100) AS BIGINT) *
+        |      CAST(round(l_quantity * 100) AS BIGINT)
+        |  ) AS DOUBLE) / 10000.0, 4) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, l_year DESC""".stripMargin,
+  )
+}
