@@ -73,7 +73,9 @@ object Bench {
     "events_asof_nearest", "knn_graph", "q_idle_customers", "source_lang_matrix", "q_cube_matrix",
     "signal_corr", "langid_kappa", "events_resampled", "dedup_lsh_recall", "q_disjunctive_revenue", "events_cusum", "q_large_orders", "embedding_health", "source_lang_entropy", "dedup_threshold_curve", "rule_attribution",
     "q_min_cost_supplier", "q_nation_volume", "q_market_share",
-    "q_product_profit")
+    "q_product_profit",
+    "q_important_parts", "q_customer_distribution",
+    "q_supplier_parts_count", "q_waiting_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch Z: the remaining TPC-H decorrelation
+  * families — Q11's scalar-fraction HAVING (X154), Q13's outer-join
+  * count distribution (X155), Q16's NOT-IN-subquery anti-join with a
+  * count-distinct (X156), and Q21's double-correlated EXISTS /
+  * NOT-EXISTS (X157). No partsupp / receipt dates in the schema, so
+  * thresholds are self-normalizing (above-average) and lateness is
+  * shipdate vs orderdate + 60 days — the SHAPES are the graded
+  * artifact. Every entry is HASH-gated against a DuckDB twin.
+  */
+object Round12zQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X154: above-average part value (TPC-H Q11 shape) ----------
+    // the scalar subquery `HAVING sum(v) > frac * (SELECT sum(v))`
+    // decorrelates into ONE one-row aggregate broadcast back as a
+    // cross join; the comparison cross-multiplies EXACT integers
+    // (v·n > t ⇔ v > t/n) in decimal(38,0) — at 100 TB both the total
+    // and the product overflow a long, and a double comparison would
+    // flip at the boundary --------------------------------------------
+    "q_important_parts" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")) * 10000).cast("long")).as("__v"))
+      val tot = vals.agg(sum(col("__v")).cast("decimal(38,0)").as("__t"),
+        count(lit(1)).as("__n"))
+      vals.crossJoin(broadcast(tot))
+        .where(col("__v").cast("decimal(38,0)") * col("__n") > col("__t"))
+        .select(col("l_partkey").as("p_partkey"),
+          (col("__v") / 10000.0).as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    // ---- X155: customer order-count distribution (TPC-H Q13 shape) -
+    // the LEFT OUTER join keeps zero-order customers (count of the
+    // right-side key ignores the null rows), then the |customers|-row
+    // count table collapses to a ≤ max(c_count)-row histogram; both
+    // aggregates combine map-side on uniform keys ---------------------
+    "q_customer_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- X156: supplier counts by part attrs (TPC-H Q16 shape) -----
+    // the NOT IN (subquery) becomes a broadcast LEFT ANTI join — the
+    // exclusion set is ≤ |suppliers| by construction (suppliers with
+    // above-average returned volume, a computed set, not a filter);
+    // the count-distinct two-phases on (brand,type,size,suppkey) with
+    // map-side partials ----------------------------------------------
+    "q_supplier_parts_count" -> ((s, dir) => {
+      val rsum = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("__q"))
+      val avg = rsum.agg(sum(col("__q")).cast("decimal(38,0)").as("__t"),
+        count(lit(1)).as("__n"))
+      val excl = rsum.crossJoin(broadcast(avg))
+        .where(col("__q").cast("decimal(38,0)") * col("__n") > col("__t"))
+        .select(col("l_suppkey"))
+      val p = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#13" &&
+          col("p_size").isin(10, 20, 30, 40, 50))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), Seq("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ---- X157: suppliers who kept orders waiting (TPC-H Q21 shape) -
+    // one shared `late` frame feeds the probe AND the NOT-EXISTS
+    // side; "some other supplier on the order" is a LEFT SEMI and
+    // "no other supplier was late" a LEFT ANTI, both equi-joins on
+    // the uniform order key with the supplier inequality as residual —
+    // never a count window over per-order rows ------------------------
+    "q_waiting_suppliers" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val anyOther = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__ok"), col("l_suppkey").as("__sk"))
+      val lateOther = late
+        .select(col("l_orderkey").as("__lok"), col("l_suppkey").as("__lsk"))
+      late
+        .join(anyOther, col("l_orderkey") === col("__ok") &&
+          col("l_suppkey") =!= col("__sk"), "left_semi")
+        .join(lateOther, col("l_orderkey") === col("__lok") &&
+          col("l_suppkey") =!= col("__lsk"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 10000) AS BIGINT)) AS BIGINT) AS pv
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT CAST(sum(pv) AS HUGEINT) AS t,
+        |  CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT l_partkey AS p_partkey, pv / 10000.0 AS part_value
+        |FROM v CROSS JOIN a
+        |WHERE CAST(pv AS HUGEINT) * n > t
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    "q_customer_distribution" ->
+      """WITH oc AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM oc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_supplier_parts_count" ->
+      """WITH rs AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS q
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |a AS (SELECT CAST(sum(q) AS HUGEINT) AS t,
+        |  CAST(count(*) AS BIGINT) AS n FROM rs),
+        |excl AS (SELECT l_suppkey FROM rs CROSS JOIN a
+        |  WHERE CAST(q AS HUGEINT) * n > t)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size IN (10, 20, 30, 40, 50)
+        |  AND l_suppkey NOT IN (SELECT l_suppkey FROM excl)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_waiting_suppliers" ->
+      """WITH lateL AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lateL l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lateL l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+  )
+}
