@@ -513,6 +513,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_min_cost_supplier: the Q2 correlated min decorrelates to a " +
+    "broadcast min-equijoin — ties kept, no window, top-k not a sort") {
+    val p = plan("q_min_cost_supplier")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_waiting_suppliers: Q21's EXISTS/NOT-EXISTS are a LeftSemi and " +
+    "a LeftAnti on the order key — never a per-order count window") {
+    val p = plan("q_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_supplier_parts_count: the NOT IN set rides a broadcast " +
+    "LeftAnti; the count-distinct has a map-side partial phase") {
+    val p = plan("q_supplier_parts_count")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count(distinct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_customer_distribution: both aggregates combine map-side; the " +
+    "outer join stays an equi-join") {
+    val p = plan("q_customer_distribution")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("mojibake_score: map-only signal pass — no exchange of any kind") {
     val p = plan("mojibake_score")
     assert(!p.contains("Window"), p)
