@@ -75,7 +75,8 @@ object Bench {
     "q_min_cost_supplier", "q_nation_volume", "q_market_share",
     "q_product_profit",
     "q_important_parts", "q_customer_distribution",
-    "q_supplier_parts_count", "q_waiting_suppliers")
+    "q_supplier_parts_count", "q_waiting_suppliers",
+    "session_lift", "sq_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Profile}
+
+/** Round-12 [EXT] batch AA: session-level market-basket lift over
+  * the events stream (X158) and the per-dimension int8-calibration
+  * table over embeddings (X159). Both HASH-gated.
+  */
+object Round12aaQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  // epoch-nanos normalization (the SparkEntry.tsNanos rule): LongType
+  // events.ts is already nanos; timestamp types convert exactly at µs
+  private def tsNanos(df: org.apache.spark.sql.DataFrame,
+                      c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => col(c)
+      case _ => unix_micros(col(c).cast("timestamp")) * 1000L
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X158: which event types co-occur in the SAME session more
+    // than independence predicts (lift) — the association-mining
+    // readout over the 30-min-gap sessionization ----------------------
+    "session_lift" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("__tsn", tsNanos(ev0, "ts"))
+      Funnel.sessionLift(ev, "user_id", "event_type", "__tsn",
+        "event_id", gap = 1800L * 1000000000L)
+        .orderBy("type_a", "type_b")
+    }),
+
+    // ---- X159: per-dimension clip-range calibration for the int8
+    // scalar quantizer — n, min/max, mean, std, ±3σ bounds -----------
+    "sq_calibration" -> ((s, dir) =>
+      Profile.sqCalibration(t(s, dir, "embeddings"), "embedding",
+        nSigma = 3.0)
+        .orderBy("dim")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "session_lift" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    sum(CASE WHEN prev IS NULL
+        |        OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM o),
+        |st AS (SELECT DISTINCT user_id AS u, seq AS q, event_type AS ty
+        |  FROM s),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT u, q FROM st)),
+        |ct AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM st
+        |  GROUP BY 1),
+        |p AS (SELECT a.ty AS type_a, b.ty AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.u = b.u AND a.q = b.q AND a.ty < b.ty
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ca.n AS n_a, cb.n AS n_b,
+        |  ns.n_sessions,
+        |  round(CAST(CAST(n_ab AS HUGEINT) * ns.n_sessions AS DOUBLE) /
+        |    CAST(CAST(ca.n AS HUGEINT) * cb.n AS DOUBLE), 4) AS lift
+        |FROM p
+        |JOIN ct ca ON p.type_a = ca.ty
+        |JOIN ct cb ON p.type_b = cb.ty
+        |CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "sq_calibration" ->
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |a AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    min(q) AS mn, max(q) AS mx,
+        |    CAST(sum(q) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+        |  FROM x GROUP BY 1),
+        |b AS (
+        |  SELECT dim, n, mn, mx,
+        |    CAST(s AS DOUBLE) / (n * 10000.0) AS m,
+        |    sqrt(CAST(ss * n - s * s AS DOUBLE)) / (n * 10000.0) AS sd
+        |  FROM a)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  mn / 10000.0 AS vmin, mx / 10000.0 AS vmax,
+        |  round(m, 4) AS mean, round(sd, 4) AS std,
+        |  round(m - 3.0 * sd, 4) AS lo, round(m + 3.0 * sd, 4) AS hi
+        |FROM b ORDER BY dim""".stripMargin,
+  )
+}

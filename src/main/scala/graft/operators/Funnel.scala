@@ -266,6 +266,69 @@ object Funnel {
       groupCol, k, h)
   }
 
+  /** Session co-occurrence lift ([EXT] X158): market-basket
+    * association over sessions — for every pair of event types, how
+    * much more often they land in the SAME session than independence
+    * predicts (lift = P(a,b) / (P(a)·P(b)), computed as the exact
+    * cross-multiplied ratio n_ab·n_sessions / (n_a·n_b)). The readout
+    * behind "users who search also export" product calls, and for a
+    * pipeline, which processing stages co-fire on a document batch.
+    *
+    * Scale shape: sessions are assigned with the sessionization
+    * window (lag + running sum over the uniform high-cardinality user
+    * key — the events_sessionized shape, bounded per-user partitions);
+    * the per-session TYPE SET is a distinct on (user, seq, type), so
+    * the pair join is an equi-join on the session key with ≤ |types|
+    * rows per key — the pair table is |types|²-bounded and every
+    * aggregate combines map-side. The session table feeds four
+    * consumers, so it rides ONE lazy localCheckpoint (the spanDedup
+    * hub rule). Numerator/denominator products go through
+    * decimal(38,0): at 100 TB session counts exceed √(2⁶³).
+    *
+    * Output: (type_a < type_b, n_ab, n_a, n_b, n_sessions, lift). */
+  def sessionLift(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, gap: Long): DataFrame = {
+    require(gap > 0)
+    val sess = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).as("__ts"), col(idCol).as("__id"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
+          .orderBy(col("__ts").asc, col("__id").asc)))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col("__ts") - col("__prev")) > gap, 1L).otherwise(0L))
+      .withColumn("__q", sum(col("__new")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
+          .orderBy(col("__ts").asc, col("__id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      .select(col("__u"), col("__q"), col("__t"))
+      .distinct()
+      .localCheckpoint(false)
+    val ns = sess.select(col("__u"), col("__q")).distinct()
+      .agg(count(lit(1)).as("__ns"))
+    val ct = sess.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val a = sess.select(col("__u"), col("__q"), col("__t").as("type_a"))
+    val b = sess.select(col("__u").as("__u2"), col("__q").as("__q2"),
+      col("__t").as("type_b"))
+    a.join(b, col("__u") === col("__u2") && col("__q") === col("__q2") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(ct.select(col("__t"), col("__n").as("n_a"))),
+        col("type_a") === col("__t")).drop("__t")
+      .join(broadcast(ct.select(col("__t"), col("__n").as("n_b"))),
+        col("type_b") === col("__t")).drop("__t")
+      .crossJoin(broadcast(ns))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("__ns").as("n_sessions"),
+        round((col("n_ab").cast("decimal(38,0)") * col("__ns"))
+          .cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double"),
+          4).as("lift"))
+  }
+
   /** The detector assembly of [[cusumChangePoints]] over any
     * (__g, __wk, n) count table — split out (the trendFromCounts /
     * psiFromCounts precedent) so the STREAMING sibling's running

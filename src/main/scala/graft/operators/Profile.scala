@@ -103,6 +103,48 @@ object Profile {
     * map-only HOFs; the final fold is one row. Mixed-dimension rows
     * are excluded against the modal dimension (the store invariant —
     * reported via n_dim_mismatch rather than corrupting the sums). */
+  /** Per-dimension quantization-calibration table ([EXT] X159): the
+    * readout an int8 scalar-quantizer ([[graft.index.SqIndex]]) reads
+    * before picking clip ranges — per dimension: n, observed min/max,
+    * mean, std, and the ±nσ clip bounds. A dimension whose max sits
+    * 100σ out wastes the int8 grid on one outlier; this table is how
+    * you see it before encoding 100 TB of vectors.
+    *
+    * Exact under the hash gate: components quantize to the 1e-4 grid
+    * FIRST, so per-dim sums are order-free longs; Σq and Σq² operands
+    * cast to decimal(38,0)/(19,0) BEFORE summing/multiplying (the
+    * ADVICE-r11 overflow rule — q² ≈ 1e8 per row and a 100 TB corpus
+    * has 1e12 rows per dim); variance = (n·Σq² − (Σq)²)/n² stays in
+    * decimal until ONE sqrt on an identical double operand. Scale
+    * shape: posexplode to (dim, q) then ONE aggregate on the |dims|-
+    * key — partials collapse every task to |dims| rows, the shuffle
+    * carries |dims|·|tasks| rows total, nothing else moves. */
+  def sqCalibration(emb: DataFrame, vecCol: String,
+                    nSigma: Double = 3.0): DataFrame = {
+    val q = emb
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(posexplode(transform(col(vecCol), x =>
+        round(x.cast("double") * 10000).cast("long"))))
+      .select(col("pos").cast("long").as("dim"), col("col").as("__q"))
+    val agged = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__q")).as("__mn"), max(col("__q")).as("__mx"),
+        sum(col("__q").cast("decimal(38,0)")).as("__s"),
+        sum(col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)")).as("__ss"))
+      .select(col("dim"), col("n"), col("__mn"), col("__mx"),
+        (col("__s").cast("double") / (col("n") * lit(10000.0))).as("__m"),
+        (sqrt((col("__ss") * col("n") - col("__s") * col("__s"))
+          .cast("double")) / (col("n") * lit(10000.0))).as("__sd"))
+    agged.select(col("dim"), col("n"),
+      (col("__mn") / 10000.0).as("vmin"),
+      (col("__mx") / 10000.0).as("vmax"),
+      round(col("__m"), 4).as("mean"),
+      round(col("__sd"), 4).as("std"),
+      round(col("__m") - lit(nSigma) * col("__sd"), 4).as("lo"),
+      round(col("__m") + lit(nSigma) * col("__sd"), 4).as("hi"))
+  }
+
   def embeddingHealth(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = emb
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)

@@ -122,6 +122,32 @@ class FunnelSpec extends SparkSpec {
     assert(got.map(_._3).sum == 4L)
   }
 
+  test("sessionLift (X158): hand sessions — gap splits, within-session " +
+    "type sets dedupe, exact cross-multiplied lift") {
+    // gap = 10: user 1 gets S1 = {view, click} (ts 1,2) and
+    // S2 = {view} (ts 100); user 2 gets S3 = {view, click, purchase}.
+    // duplicate click in S1 (ts 1 and 2) must count once.
+    val ev = Seq(
+      (10L, 1L, "view", 1L), (11L, 1L, "click", 2L),
+      (12L, 1L, "click", 3L), (13L, 1L, "view", 100L),
+      (20L, 2L, "view", 200L), (21L, 2L, "click", 201L),
+      (22L, 2L, "purchase", 202L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.sessionLift(
+      ev, "user_id", "event_type", "ts", "event_id", gap = 10L)
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // n_sessions = 3, n_view = 3, n_click = 2, n_purchase = 1
+    // (click,purchase) in S3: 1·3/(2·1) = 1.5
+    // (click,view) in S1,S3:  2·3/(2·3) = 1.0
+    // (purchase,view) in S3:  1·3/(1·3) = 1.0
+    assert(got == Seq(
+      ("click", "purchase", 1L, 2L, 1L, 3L, 1.5),
+      ("click", "view", 2L, 2L, 3L, 3L, 1.0),
+      ("purchase", "view", 1L, 1L, 3L, 3L, 1.0)), got.toString)
+  }
+
   test("volumeTrend: exact slope on a hand-computed series; " +
     "single-period groups omitted") {
     // type "up": counts 1,2,3 over periods 0,10,20 (bucket 10) —

@@ -80,4 +80,24 @@ class ProfileSpec extends SparkSpec {
     // (1e4 + 1e4 + 0)/(3*1e4) = 0.6667; row 4 is the one mismatch
     assert(got == Seq((3L, 2L, 1L, 1L, 0.6667, 0.7071)), got.toString)
   }
+
+  test("sqCalibration (X159): hand per-dim stats — exact mean/std, " +
+    "±3σ bounds, zero-variance dim, null/empty rows excluded") {
+    val emb = Seq(
+      (1L, Array(1.0f, -1.0f)),
+      (2L, Array(3.0f, -1.0f)),
+      (3L, Array.empty[Float]),
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Profile.sqCalibration(emb, "embedding")
+      .orderBy("dim")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // dim 0: q = {1e4, 3e4} → mean 2, var_q = (2·1e9 − 1.6e9)/4 =
+    // 1e8 → sd 1.0; lo/hi = 2 ∓ 3
+    // dim 1: constant −1 → sd 0, lo = hi = −1
+    assert(got == Seq(
+      (0L, 2L, 1.0, 3.0, 2.0, 1.0, -1.0, 5.0),
+      (1L, 2L, -1.0, -1.0, -1.0, 0.0, -1.0, -1.0)), got.toString)
+  }
 }
