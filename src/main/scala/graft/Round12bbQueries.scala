@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 [EXT] batch BB: the last two TPC-H shape families — Q6's
+  * scan-only predicate aggregate (X160) and Q20's aggregate-derived
+  * semi-join chain into the dimension tables (X161). With these the
+  * engine demonstrates every TPC-H query shape the schema can
+  * express (Q1–Q19, Q21–Q22 — there is no partsupp table, so
+  * availability-based quantities are re-expressed over lineitem with
+  * identical decorrelation structure). HASH-gated.
+  */
+object Round12bbQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X160: forecast revenue change (TPC-H Q6 shape) ------------
+    // the pure scan query: every predicate pushes to the parquet
+    // scan, the aggregate is one map-side-combining sum of exact
+    // 1e-4-dollar longs, nothing shuffles but |tasks| partial rows ----
+    "q_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long")).as("__r"), count(lit(1)).as("n_lines"))
+        .select((col("__r") / 10000.0).as("revenue"), col("n_lines"))),
+
+    // ---- X161: suppliers with above-average return share on blue
+    // parts (TPC-H Q20 shape) — the `s_suppkey IN (SELECT ... GROUP
+    // BY ... HAVING <correlated threshold>)` chain: ONE aggregate
+    // computes both the returned and total quantity per supplier
+    // (conditional sum, never two scans), the global ratio broadcasts
+    // as one row, the qualifying key set is ≤ |suppliers| and drives
+    // a LEFT SEMI into supplier⋈nation; the threshold comparison
+    // cross-multiplies exact integers in decimal(38,0) ---------------
+    "q_excess_returns" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_name").like("%blue%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(when(col("l_returnflag") === "R",
+            round(col("l_quantity") * 100).cast("long")).otherwise(0L))
+            .as("__r"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("__t"))
+      val g = b.agg(sum(col("__r")).cast("decimal(38,0)").as("__gr"),
+        sum(col("__t")).cast("decimal(38,0)").as("__gt"))
+      val keys = b.crossJoin(broadcast(g))
+        .where(col("__r").cast("decimal(38,0)") * col("__gt") >
+          col("__gr") * col("__t").cast("decimal(38,0)"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(keys), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |    AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_excess_returns" ->
+      """WITH b AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(round(l_quantity * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS t
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%blue%' GROUP BY 1),
+        |g AS (SELECT CAST(sum(r) AS HUGEINT) AS gr,
+        |  CAST(sum(t) AS HUGEINT) AS gt FROM b)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM b CROSS JOIN g
+        |  WHERE CAST(r AS HUGEINT) * gt > gr * CAST(t AS HUGEINT))
+        |ORDER BY s_name""".stripMargin,
+  )
+}
