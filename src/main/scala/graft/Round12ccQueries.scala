@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-12 [EXT] batch CC: content-defined chunking (X162) — the
+  * rsync/LBFS/restic storage-dedup primitive. HASH-gated: the DuckDB
+  * twin replays tokenization, the rolling w-token boundary hash, the
+  * mask cut rule, and the per-chunk md5 collapse end-to-end.
+  */
+object Round12ccQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X162: token-level CDC chunk store report ------------------
+    "cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        w = 4, mask = 8)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_chunks" -> {
+      val tk = SparkEntry.sqlTokens("text")
+      val th = SparkEntry.sqlTokenHashes("text")
+      val sh4 = SparkEntry.sqlShingleHashesOfTh(4)
+      s"""WITH tha AS (
+         |  SELECT doc_id, $tk AS tk, $th AS th
+         |  FROM documents WHERE len($tk) > 0),
+         |shc AS (SELECT doc_id, tk, $sh4 AS sh FROM tha),
+         |cut AS (SELECT doc_id, tk,
+         |    list_sort(list_distinct(list_concat(
+         |      list_filter(
+         |        list_transform(range(1, len(sh) + 1),
+         |          i -> CASE WHEN sh[i] % 8 = 0 THEN i + 3 END),
+         |        x -> x IS NOT NULL),
+         |      [len(tk)]))) AS b
+         |  FROM shc),
+         |ch AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(b) + 1), j ->
+         |      struct_pack(
+         |        h := md5(array_to_string(
+         |          tk[(CASE WHEN j = 1 THEN 0 ELSE b[j-1] END) + 1
+         |             : b[j]], ' ')),
+         |        ln := b[j] -
+         |          CASE WHEN j = 1 THEN 0 ELSE b[j-1] END))) AS c
+         |  FROM cut),
+         |byc AS (SELECT (c).h AS h, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(max((c).ln) AS BIGINT) AS ln
+         |  FROM ch GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tha)
+         |SELECT nd.n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_chunks,
+         |  CAST(count(*) AS BIGINT) AS distinct_chunks,
+         |  round(1.0 - CAST(count(*) AS DOUBLE) /
+         |    CAST(sum(n) AS DOUBLE), 4) AS dup_chunk_ratio,
+         |  CAST(sum(n * ln) AS BIGINT) AS total_tokens,
+         |  CAST(sum(ln) AS BIGINT) AS stored_tokens,
+         |  round(1.0 - CAST(sum(ln) AS DOUBLE) /
+         |    CAST(sum(n * ln) AS DOUBLE), 4) AS savings_ratio
+         |FROM byc CROSS JOIN nd GROUP BY nd.n_docs""".stripMargin
+    },
+  )
+}

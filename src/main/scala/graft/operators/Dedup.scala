@@ -1440,4 +1440,73 @@ object Dedup {
         TF.rollingHash(
           concat_ws("\n", transform(kept, p => p("l")))).as("clean_fp"))
   }
+
+  /** Content-defined chunking dedup report ([EXT] X162): the
+    * rsync/LBFS/restic storage-dedup primitive at the token level —
+    * chunk boundaries land where a rolling w-token window hash hits a
+    * mask residue (content-defined: inserting one token early in a
+    * doc shifts ONE chunk, not every fixed-size block downstream),
+    * then identical chunks across the corpus collapse by content
+    * hash. The one-row readout is what a storage layer reads to size
+    * its chunk store: total vs distinct chunks, duplicated-chunk
+    * ratio, and the token savings of storing each distinct chunk
+    * once.
+    *
+    * Scale shape: boundary detection is per-row array HOFs over the
+    * STAGED token/shingle columns (each O(tokens), the chunk_overlap
+    * staging rule — lambdas only reference bound attributes, never
+    * re-evaluable subtrees); the corpus-level fold is ONE aggregate
+    * on the uniform md5 chunk key (map-side partials) followed by a
+    * one-row rollup. Nothing shuffles but the (hash, len, n) chunk
+    * partials. Docs shorter than w tokens become one whole-doc chunk
+    * (boundary-hash undefined); empty docs are excluded.
+    *
+    * Output: (n_docs, total_chunks, distinct_chunks, dup_chunk_ratio,
+    * total_tokens, stored_tokens, savings_ratio). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 4, mask: Int = 8): DataFrame = {
+    require(w >= 1 && mask >= 2)
+    val toks = docs
+      .select(col(idCol).as("__doc"), TF.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("__doc"), col("__tk"),
+        TF.shingleHashesFromTokens(
+          transform(col("__tk"), t => TF.rollingHash(t)), w).as("__sh"))
+    // cut AFTER token i+w-1 (1-based) when window hash i hits residue 0;
+    // the final token is always a cut, so bounds is sorted+distinct
+    val cuts = toks.select(col("__doc"), col("__tk"),
+      array_sort(array_distinct(concat(
+        filter(
+          transform(sequence(lit(1), size(col("__sh"))), i =>
+            when(element_at(col("__sh"), i) % mask === 0,
+              (i + w - 1).cast("int"))),
+          x => x.isNotNull),
+        array(size(col("__tk")))))).as("__b"))
+    val chunks = cuts.select(col("__doc"),
+      explode(zip_with(
+        concat(array(lit(0)), slice(col("__b"), lit(1),
+          greatest(size(col("__b")) - 1, lit(0)))),
+        col("__b"),
+        (a, b) => struct(
+          md5(array_join(slice(col("__tk"), a + 1, b - a), " ")).as("h"),
+          (b - a).cast("long").as("len")))).as("__c"))
+      .select(col("__c.h").as("__h"), col("__c.len").as("__len"))
+    val byChunk = chunks.groupBy(col("__h"))
+      // all duplicates of a chunk share one length (same tokens) —
+      // max is the deterministic way to say "the" length
+      .agg(count(lit(1)).as("__n"), max(col("__len")).as("__len"))
+    val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+    byChunk.agg(
+        sum(col("__n")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("__n") * col("__len")).as("total_tokens"),
+        sum(col("__len")).as("stored_tokens"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("total_chunks"), col("distinct_chunks"),
+        round(lit(1.0) - col("distinct_chunks").cast("double") /
+          col("total_chunks").cast("double"), 4).as("dup_chunk_ratio"),
+        col("total_tokens"), col("stored_tokens"),
+        round(lit(1.0) - col("stored_tokens").cast("double") /
+          col("total_tokens").cast("double"), 4).as("savings_ratio"))
+  }
 }

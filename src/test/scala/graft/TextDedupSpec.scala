@@ -510,4 +510,45 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(1L, 1L, 1L), out.toString)
     assert(out(0)._4 == fpOf("twice"))
   }
+
+  test("cdcChunks (X162): duplicate docs collapse to one chunk set; " +
+    "chunk lengths partition the tokens; empty docs excluded") {
+    // A appears twice (all-distinct tokens -> its chunks are distinct
+    // within itself), B shares no vocabulary with A, C is empty
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b = (1 to 17).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, "")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.cdcChunks(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect().head
+    val (nDocs, total, distinct, dupRatio, totTok, storedTok, savings) = r
+    assert(nDocs == 3L, r.toString)                    // empty doc excluded
+    assert(totTok == 2L * 40 + 17, r.toString)         // chunks partition tokens
+    assert(storedTok == 40L + 17, r.toString)          // each distinct chunk once
+    assert(total == 2 * (total - distinct) + (2 * distinct - total)
+      || total >= distinct, r.toString)
+    // A's chunk set appears twice, B's once: total = 2·|A| + |B|,
+    // distinct = |A| + |B| -> total - distinct = |A|
+    val aChunks = total - distinct
+    assert(aChunks >= 1 && total == 2 * aChunks + (distinct - aChunks),
+      r.toString)
+    assert(dupRatio == math.rint((1.0 - distinct.toDouble / total) * 10000) / 10000,
+      r.toString)
+    assert(savings == math.rint((1.0 - storedTok.toDouble / totTok) * 10000) / 10000,
+      r.toString)
+  }
+
+  test("cdcChunks: content-defined shift — prepending tokens to one doc " +
+    "leaves the other doc's chunk contributions identical") {
+    val a = (1 to 60).map(i => s"t$i").mkString(" ")
+    val base = Seq((1L, a)).toDF("doc_id", "text")
+    val shifted = Seq((1L, "x1 x2 x3 " + a)).toDF("doc_id", "text")
+    val r1 = graft.operators.Dedup.cdcChunks(base, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect().head
+    val r2 = graft.operators.Dedup.cdcChunks(shifted, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect().head
+    // fixed-size blocks would shift EVERY boundary; CDC must keep the
+    // token budget exact and the chunk count within the prefix's reach
+    assert(r2._5 == r1._5 + 3, s"$r1 / $r2")           // total tokens
+    assert(math.abs(r2._2 - r1._2) <= 2, s"$r1 / $r2") // chunk count stable
+  }
 }
