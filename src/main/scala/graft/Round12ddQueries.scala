@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Round-12 [EXT] batch DD: cross-battery agreement (X163) — Cohen's
+  * kappa between the C4, Gopher, and FineWeb keep verdicts on the
+  * same corpus. HASH-gated: the twin replays all three batteries'
+  * flag pipelines (verbatim from their own gated twins) plus the
+  * exact-integer kappa.
+  */
+object Round12ddQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X163: which curation batteries actually agree, beyond the
+    // chance floor --------------------------------------------------
+    "battery_agreement" -> ((s, dir) => {
+      // planted variation (the quality_fineweb precedent): the raw
+      // synthetic docs fail EVERY battery identically (no terminal
+      // punctuation, ≤1 stop-word hit), which makes agreement a
+      // degenerate all-NULL-kappa readout. The plants flip each
+      // battery on a different deterministic subset: the stop-word
+      // sentence (evens) satisfies gopher/c4/fineweb, the brace (%6)
+      // and lorem (%10) tells fail C4 only, "Menu" (%4) pressures
+      // fineweb's short-line rule only
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("That is the end of the story.")),
+          when(col("doc_id") % 4 === 0, lit("Menu")),
+          when(col("doc_id") % 6 === 0, lit("data = {1}")),
+          when(col("doc_id") % 10 === 0, lit("lorem ipsum"))).as("text"))
+      val c4 = Curation.c4Rules(docs, "doc_id", "text", minSentences = 1)
+        .select(col("doc_id"), col("keep_doc").as("k_c4"))
+      val go = Curation.gopherRules(docs, "doc_id", "text", minWords = 10)
+        .select(col("doc_id"), col("keep_doc").as("k_gopher"))
+      val fw = Curation.finewebRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep_doc").as("k_fineweb"))
+      Curation.batteryAgreement(
+        c4.join(go, "doc_id").join(fw, "doc_id"), "doc_id",
+        Seq("k_c4", "k_fineweb", "k_gopher"))
+        .orderBy("battery_a", "battery_b")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "battery_agreement" ->
+      """WITH planted AS (SELECT doc_id, concat_ws(chr(10),
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'That is the end of the story.' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Menu' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'data = {1}' END,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'lorem ipsum' END) AS text
+        |  FROM documents),
+        |c4s AS (SELECT doc_id, COALESCE(text, '') AS text,
+        |    list_filter(list_transform(string_split(COALESCE(text, ''),
+        |      chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |  FROM planted),
+        |c4k AS (SELECT doc_id, text,
+        |    list_filter(lines, l ->
+        |      len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+        |      AND (ends_with(l, '.') OR ends_with(l, '!')
+        |        OR ends_with(l, '?') OR ends_with(l, '"'))) AS kept
+        |  FROM c4s),
+        |c4m AS (SELECT doc_id,
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM c4k),
+        |c4f AS (SELECT doc_id,
+        |    ((length(clean) - length(replace(clean, '.', ''))) +
+        |     (length(clean) - length(replace(clean, '!', ''))) +
+        |     (length(clean) - length(replace(clean, '?', '')))) >= 1
+        |      AND NOT has_lorem AND NOT has_brace AS k
+        |  FROM c4m),
+        |gos AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+        |  FROM planted),
+        |gom AS (SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+        |        * 1.0 / len(toks) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      ((length(text) - length(replace(text, '#', ''))) +
+        |       (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+        |        / len(toks) END AS symbol_ratio,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |      len(list_filter(lines, l -> starts_with(l, '- ')
+        |        OR starts_with(l, '* '))) * 1.0 / len(lines)
+        |      END AS bullet_frac,
+        |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+        |      len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0
+        |        / len(lines) END AS ellipsis_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |        * 1.0 / len(toks) END AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(list_transform(toks, t -> lower(t)), w)))
+        |      AS stop_hits
+        |  FROM gos),
+        |gof AS (SELECT doc_id,
+        |    (n_words BETWEEN 10 AND 100000
+        |     AND mean_word_len BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |     AND stop_hits >= 2) AS k
+        |  FROM gom),
+        |fls AS (SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), chr(10)),
+        |      x -> trim(x) <> '') AS ls
+        |  FROM planted),
+        |fsig AS (SELECT doc_id, ls,
+        |    list_transform(ls, x -> lower(trim(x))) AS norms,
+        |    len(ls) AS nl FROM fls),
+        |ffr AS (SELECT doc_id,
+        |    CASE WHEN nl = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(ls, x -> ends_with(trim(x), '.')
+        |        OR ends_with(trim(x), '!') OR ends_with(trim(x), '?')
+        |        OR ends_with(trim(x), '"'))) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) END AS fp,
+        |    CASE WHEN nl = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) END AS fs,
+        |    coalesce(list_sum(list_transform(range(1, nl + 1),
+        |      i -> CASE WHEN list_contains(norms[1:i-1], norms[i])
+        |           THEN length(ls[i]) ELSE 0 END)), 0) AS dc,
+        |    coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS tc
+        |  FROM fsig),
+        |fwf AS (SELECT doc_id,
+        |    (round(fp, 4) >= 0.12 AND round(fs, 4) < 0.67 AND
+        |     (CASE WHEN tc = 0 THEN 0.0
+        |       ELSE round(CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE), 4) END)
+        |       <= 0.10) AS k
+        |  FROM ffr),
+        |j AS (SELECT c4f.doc_id, coalesce(c4f.k, false) AS a,
+        |    coalesce(fwf.k, false) AS b, coalesce(gof.k, false) AS c
+        |  FROM c4f JOIN gof USING (doc_id) JOIN fwf USING (doc_id)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS ab11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS ab10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS ab01,
+        |    CAST(sum(CASE WHEN a AND c THEN 1 ELSE 0 END) AS BIGINT) AS ac11,
+        |    CAST(sum(CASE WHEN a AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS ac10,
+        |    CAST(sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END) AS BIGINT) AS ac01,
+        |    CAST(sum(CASE WHEN b AND c THEN 1 ELSE 0 END) AS BIGINT) AS bc11,
+        |    CAST(sum(CASE WHEN b AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS bc10,
+        |    CAST(sum(CASE WHEN NOT b AND c THEN 1 ELSE 0 END) AS BIGINT) AS bc01
+        |  FROM j),
+        |u AS (
+        |  SELECT 'k_c4' AS battery_a, 'k_fineweb' AS battery_b, n,
+        |    ab11 AS n11, ab10 AS n10, ab01 AS n01,
+        |    n - ab11 - ab10 - ab01 AS n00 FROM g
+        |  UNION ALL
+        |  SELECT 'k_c4', 'k_gopher', n, ac11, ac10, ac01,
+        |    n - ac11 - ac10 - ac01 FROM g
+        |  UNION ALL
+        |  SELECT 'k_fineweb', 'k_gopher', n, bc11, bc10, bc01,
+        |    n - bc11 - bc10 - bc01 FROM g),
+        |w AS (SELECT *,
+        |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+        |    CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe
+        |  FROM u)
+        |SELECT battery_a, battery_b, n, n11 AS n_both_keep,
+        |  n11 + n00 AS n_agree, n11 + n10 AS keep_a, n11 + n01 AS keep_b,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - pe = 0 THEN NULL
+        |    ELSE round(
+        |      CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE), 4) END AS kappa
+        |FROM w ORDER BY battery_a, battery_b""".stripMargin,
+  )
+}

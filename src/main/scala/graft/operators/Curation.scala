@@ -911,4 +911,57 @@ object Curation {
         concat_ws(" ", col("__w")("c")).as("chunk"),
         size(col("__w")("c")).cast("long").as("n_tokens"))
   }
+
+  /** Pairwise battery agreement ([EXT] X163): Cohen's kappa between
+    * boolean keep verdicts — the eval-hygiene table read before one
+    * curation battery replaces another (raw agreement flatters any
+    * pair when most docs pass both; kappa subtracts the chance
+    * floor). The cross-FAMILY complement of [[ruleAttribution]]
+    * (rules within one battery) and the boolean sibling of the
+    * langid kappa (X140).
+    *
+    * Scale shape: ONE aggregate over the joined flag frame computes
+    * every pair's contingency cells as conditional sums (map-side
+    * partials, no per-pair scan); the |pairs|-row table explodes
+    * AFTER the fold (the X149 rule). Kappa's products go through
+    * decimal(38,0) — n² overflows a long at 100 TB corpus counts —
+    * and the single division happens on exact operands. NULL flags
+    * count as "drop" (a battery that errored did not keep the doc).
+    *
+    * Output per pair: (battery_a, battery_b, n, n_both_keep,
+    * n_agree, keep_a, keep_b, kappa) — kappa NULL when a degenerate
+    * margin zeroes the denominator. */
+  def batteryAgreement(flags: DataFrame, idCol: String,
+                       cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "agreement needs at least two batteries")
+    val safe = flags.select(col(idCol) +:
+      cols.map(c => coalesce(col(c), lit(false)).as(c)): _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggExprs = pairs.flatMap { case (a, b) => Seq(
+      sum(when(col(a) && col(b), 1L).otherwise(0L)).as(s"__11_${a}_$b"),
+      sum(when(col(a) && !col(b), 1L).otherwise(0L)).as(s"__10_${a}_$b"),
+      sum(when(!col(a) && col(b), 1L).otherwise(0L)).as(s"__01_${a}_$b"))
+    } :+ count(lit(1)).as("__n")
+    val row = safe.agg(aggExprs.head, aggExprs.tail: _*)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pairStructs = array(pairs.map { case (a, b) =>
+      val n11 = col(s"__11_${a}_$b")
+      val n10 = col(s"__10_${a}_$b")
+      val n01 = col(s"__01_${a}_$b")
+      val n00 = col("__n") - n11 - n10 - n01
+      val agree = n11 + n00
+      val pe = dec(n11 + n10) * dec(n11 + n01) +
+        dec(n01 + n00) * dec(n10 + n00)
+      val num = dec(col("__n")) * dec(agree) - pe
+      val den = dec(col("__n")) * dec(col("__n")) - pe
+      struct(lit(a).as("battery_a"), lit(b).as("battery_b"),
+        col("__n").as("n"), n11.as("n_both_keep"), agree.as("n_agree"),
+        (n11 + n10).as("keep_a"), (n11 + n01).as("keep_b"),
+        when(den === dec(lit(0L)), lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 4))
+          .as("kappa"))
+    }: _*)
+    row.select(explode(pairStructs).as("__p")).select(col("__p.*"))
+  }
 }

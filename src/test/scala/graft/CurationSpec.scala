@@ -833,4 +833,27 @@ class CurationSpec extends SparkSpec {
       .as[(Double, Boolean)].collect().toSeq
     assert(got == Seq((5.0, true), (6.0, false)), got.toString)
   }
+
+  test("batteryAgreement (X163): hand kappa, degenerate margin -> null, " +
+    "null flag counts as drop") {
+    import spark.implicits._
+    val flags = Seq(
+      (1L, true, java.lang.Boolean.TRUE, true, true),
+      (2L, true, java.lang.Boolean.FALSE, true, true),
+      (3L, false, java.lang.Boolean.TRUE, true, true),
+      (4L, false, null.asInstanceOf[java.lang.Boolean], true, true)
+    ).toDF("doc_id", "a", "b", "c", "d")
+    val got = graft.operators.Curation
+      .batteryAgreement(flags, "doc_id", Seq("a", "b", "c", "d"))
+      .orderBy("battery_a", "battery_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    // a=[T,T,F,F], b(null->F)=[T,F,T,F]: agree 2, pe 8, kappa 0
+    val ab = got.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab == (("a", "b", 4L, 1L, 2L, 2L, 2L, Some(0.0))), ab.toString)
+    // c and d are constant-true: denominator 0 -> NULL kappa
+    val cd = got.find(r => r._1 == "c" && r._2 == "d").get
+    assert(cd == (("c", "d", 4L, 4L, 4L, 4L, 4L, None)), cd.toString)
+    assert(got.size == 6, got.toString)
+  }
 }
