@@ -78,7 +78,7 @@ object Bench {
     "q_supplier_parts_count", "q_waiting_suppliers",
     "session_lift", "sq_calibration",
     "q_forecast_revenue", "q_excess_returns", "cdc_chunks",
-    "battery_agreement")
+    "battery_agreement", "quantile_sketch", "events_seasonality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

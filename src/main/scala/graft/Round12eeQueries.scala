@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Profile}
+
+/** Round-12 [EXT] batch EE: the histogram quantile sketch (X164 —
+  * the 100 TB per-group quantile path: bounded bins instead of a
+  * per-group sort) and the hour-of-day seasonality profile (X165).
+  * Both HASH-gated.
+  */
+object Round12eeQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X164: per-language length quantiles from a 32-bin
+    // histogram — deterministic (hash-gateable) unlike t-digest/KLL,
+    // within one bin width of exact, and only |groups|·32 rows ever
+    // shuffle -----------------------------------------------------
+    "quantile_sketch" -> ((s, dir) =>
+      Profile.quantileSketch(t(s, dir, "documents"), "lang", "n_chars",
+        bins = 32, quantilesPpt = Seq(500, 900, 990))
+        .orderBy("lang")),
+
+    // ---- X165: hour-of-day traffic profile per event type ----------
+    "events_seasonality" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us",
+        unix_micros(col("ts").cast("timestamp")))
+      Funnel.seasonality(ev, "event_type", "ts_us")
+        .orderBy("event_type", "hour")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "quantile_sketch" ->
+      """WITH r AS (
+        |  SELECT lang AS g, min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT d.lang AS g, r.n, r.mn, r.mx,
+        |    least(((d.n_chars - r.mn) * 32) // (r.mx - r.mn + 1), 31)
+        |      AS bin
+        |  FROM documents d JOIN r ON d.lang = r.g
+        |  WHERE d.n_chars IS NOT NULL),
+        |h AS (SELECT g, n, mn, mx, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3, 4, 5),
+        |cu AS (SELECT *, sum(c) OVER (PARTITION BY g ORDER BY bin ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT g AS lang, max(n) AS n, max(mn) AS vmin, max(mx) AS vmax,
+        |  min(CASE WHEN cum * 1000 >= n * 500
+        |    THEN mn + ((bin + 1) * (mx - mn + 1) + 31) // 32 - 1 END) AS q500,
+        |  min(CASE WHEN cum * 1000 >= n * 900
+        |    THEN mn + ((bin + 1) * (mx - mn + 1) + 31) // 32 - 1 END) AS q900,
+        |  min(CASE WHEN cum * 1000 >= n * 990
+        |    THEN mn + ((bin + 1) * (mx - mn + 1) + 31) // 32 - 1 END) AS q990
+        |FROM cu GROUP BY g ORDER BY lang""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.hour, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE), 4) AS share
+        |FROM c JOIN tt USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
+  )
+}

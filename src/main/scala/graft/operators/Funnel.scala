@@ -376,4 +376,29 @@ object Funnel {
           (col("__m") * 10000L).cast("double"), 4).as("cusum_peak"),
         (folded("mx") > col("__m") * hq).as("changed"))
   }
+
+  /** Hour-of-day seasonality profile ([EXT] X165): counts and
+    * within-type shares per (event type, UTC hour-of-day) — the
+    * capacity-planning / bot-detection readout (organic traffic has a
+    * diurnal curve; a type whose 24 shares are flat is automation).
+    * One map-side-combining count on a ≤ \|types\|·24-key grid,
+    * then shares divide exact longs; hour derives from the epoch-µs
+    * timestamp by integer div (no calendar/locale exposure).
+    *
+    * Output: (event_type, hour, n, share) — share of the TYPE's
+    * events landing in that hour, rounded 1e-4. */
+  def seasonality(events: DataFrame, typeCol: String,
+                  tsUsCol: String): DataFrame = {
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"($tsUsCol div 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 4)
+          .as("share"))
+  }
 }

@@ -200,4 +200,65 @@ object Profile {
           round(col("__scq").cast("double") / (col("__ncq") * lit(10000.0)), 4))
           .as("mean_cos_centroid"))
   }
+
+  /** Histogram quantile sketch ([EXT] X164): approximate per-group
+    * quantiles from a fixed-B-bin histogram — the 100 TB quantile
+    * path. An exact per-group quantile needs every group's values on
+    * one task (a sort or an in-memory percentile buffer — the Zipf
+    * window family); the sketch is ONE map-side-combining count per
+    * (group, bin) — ≤ \|groups\|·B rows move, period — and the
+    * answer is off by at most one bin width. Deterministic (fixed
+    * integer bin rule), so it hash-gates — unlike t-digest/KLL whose
+    * merge order leaks into the result.
+    *
+    * Bin rule (exact integer arithmetic end to end): per group,
+    * bin(v) = (v − mn)·B div (mx − mn + 1) ∈ [0, B); the reported
+    * quantile is the UPPER boundary of the first bin whose cumulative
+    * count reaches ceil(p·n) — i.e. an upper bound of the true
+    * nearest-rank quantile, within one bin width. The min/max
+    * pre-pass is a second map-side aggregate on the same key (two
+    * scans total; at 100 TB both are scan-bound and shuffle-free).
+    * The cumulative window runs over the collapsed ≤B-row per-group
+    * histogram (the source_pareto collapsed-table rule).
+    *
+    * Output: (group, n, vmin, vmax, one column per requested
+    * per-mille quantile: q<ppt>). */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+                     bins: Int = 32,
+                     quantilesPpt: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(bins >= 2 && quantilesPpt.nonEmpty &&
+      quantilesPpt.forall(p => p > 0 && p <= 1000))
+    val v = col(valueCol).cast("long")
+    val ranges = df.groupBy(col(groupCol).as("__g"))
+      .agg(min(v).as("__mn"), max(v).as("__mx"), count(v).as("__n"))
+    val binned = df.select(col(groupCol).as("__g"), v.as("__v"))
+      .where(col("__v").isNotNull)
+      .join(broadcast(ranges), "__g")
+      .select(col("__g"), col("__n"), col("__mn"), col("__mx"),
+        least(expr(s"((__v - __mn) * $bins) div (__mx - __mn + 1)"),
+          lit(bins - 1L)).as("__b"))
+    val hist = binned.groupBy(col("__g"), col("__n"), col("__mn"),
+        col("__mx"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wcum))
+    val qCols = quantilesPpt.map { p =>
+      // first bin with cum ≥ ceil(p·n/1000); reported value = the
+      // bin's upper boundary mn + ⌈(b+1)·range/B⌉ − 1 — the exact
+      // max a value in that bin can take (CEILING division: the
+      // floor form under-reports by 1 whenever range < B, e.g. an
+      // all-equal group would report mn − 1)
+      min(when(col("__cum") * 1000 >= col("__n") * p,
+        col("__mn") +
+          expr(s"((__b + 1) * (__mx - __mn + 1) + ${bins - 1}) div $bins")
+          - 1L)).as(s"q$p")
+    }
+    val aggs = Seq(max(col("__n")).as("n"), max(col("__mn")).as("vmin"),
+      max(col("__mx")).as("vmax")) ++ qCols
+    cum.groupBy(col("__g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

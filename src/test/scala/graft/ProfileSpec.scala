@@ -100,4 +100,23 @@ class ProfileSpec extends SparkSpec {
       (0L, 2L, 1.0, 3.0, 2.0, 1.0, -1.0, 5.0),
       (1L, 2L, -1.0, -1.0, -1.0, 0.0, -1.0, -1.0)), got.toString)
   }
+
+  test("quantileSketch (X164): within one bin width of the exact " +
+    "nearest-rank quantile; all-equal group reports the value itself") {
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L))).toDF("g", "v")
+    val got = graft.operators.Profile
+      .quantileSketch(df, "g", "v", bins = 32, quantilesPpt = Seq(500, 900))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got.head
+    assert(a._1 == "a" && a._2 == 100L && a._3 == 1L && a._4 == 100L)
+    // guarantee: exact nearest-rank value ≤ approx < exact + bin width
+    val width = math.ceil(100.0 / 32).toLong + 1
+    assert(a._5 >= 50L && a._5 - 50L < width, a.toString)   // p50 exact = 50
+    assert(a._6 >= 90L && a._6 - 90L < width, a.toString)   // p90 exact = 90
+    // the all-equal group: range 1 < bins — the ceiling-division
+    // boundary must return the value, not value − 1
+    assert(got(1) == (("b", 3L, 7L, 7L, 7L, 7L)), got(1).toString)
+  }
 }
