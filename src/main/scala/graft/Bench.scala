@@ -78,7 +78,8 @@ object Bench {
     "q_supplier_parts_count", "q_waiting_suppliers",
     "session_lift", "sq_calibration",
     "q_forecast_revenue", "q_excess_returns", "cdc_chunks",
-    "battery_agreement", "quantile_sketch", "events_seasonality")
+    "battery_agreement", "quantile_sketch", "events_seasonality",
+    "entity_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

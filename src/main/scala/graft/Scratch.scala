@@ -56,7 +56,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c", "r12ee").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -781,6 +781,55 @@ object Scratch {
       timeIt("knnGraph: 1M vectors, 167k planted clusters, k=5")(
         noop(index.LshIndex.knnGraph(vecs, "vec_id", "embedding", k = 5,
           numPlanes = 64, numBands = 4, dim = 24)))
+    }
+
+    gated("r12ee") {
+      // --- the late round-12 additions at scale ---
+      // cdc chunking over 5M docs (replicas multiply chunk dup rates —
+      // fine for PERF; the semantics numbers live in the oracle gate)
+      timeIt("cdcChunks over 5M docs")(
+        noop(operators.Dedup.cdcChunks(docs, "doc_id", "text")))
+      // battery agreement = three map-only batteries + two joins on
+      // the uniform doc key + one conditional-sum fold
+      timeIt("batteryAgreement (c4×gopher×fineweb) over 5M docs") {
+        val c4 = operators.Curation.c4Rules(docs, "doc_id", "text",
+          minSentences = 1)
+          .select(col("doc_id"), col("keep_doc").as("k_c4"))
+        val go = operators.Curation.gopherRules(docs, "doc_id", "text",
+          minWords = 10)
+          .select(col("doc_id"), col("keep_doc").as("k_gopher"))
+        val fw = operators.Curation.finewebRules(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep_doc").as("k_fineweb"))
+        noop(operators.Curation.batteryAgreement(
+          c4.join(go, "doc_id").join(fw, "doc_id"), "doc_id",
+          Seq("k_c4", "k_fineweb", "k_gopher")))
+      }
+      // histogram quantile sketch: 5M rows, 320 groups — the shuffle
+      // carries ≤ groups·bins rows
+      timeIt("quantileSketch (320 groups, 32 bins) over 5M docs")(
+        noop(operators.Profile.quantileSketch(docs, "source", "n_chars")))
+      // session lift at 6M events / 1.5M users: replicate sf0.1 events
+      // with shifted user ids (sessionization cost scales with the
+      // per-user partition, which replication preserves)
+      if (!new java.io.File("/tmp/big_events6m/_SUCCESS").exists) {
+        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        ev.crossJoin(spark.range(10).toDF("rep"))
+          .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+            col("ts"), (col("user_id") + col("rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"))
+          .repartition(64).write.mode("overwrite")
+          .parquet("/tmp/big_events6m")
+      }
+      val ev6 = spark.read.parquet("/tmp/big_events6m")
+      val evN = ev6.withColumn("__tsn",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+      timeIt("sessionLift over 6M events / 1.5M users")(
+        noop(operators.Funnel.sessionLift(evN, "user_id", "event_type",
+          "__tsn", "event_id", gap = 1800L * 1000000000L)))
+      timeIt("seasonality over 6M events")(
+        noop(operators.Funnel.seasonality(
+          ev6.withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))),
+          "event_type", "ts_us")))
     }
 
     spark.stop()

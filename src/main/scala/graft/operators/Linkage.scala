@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage ([EXT] X166): fuzzy entity matching between two
+  * registries — the blocking-join + edit-distance-verify shape every
+  * production ER system uses (Fellegi–Sunter's candidate stage). A
+  * naive fuzzy join is |A|·|B| edit distances; blocking turns it
+  * into an EQUI-join on cheap deterministic keys (here: any column
+  * tuple the caller picks — nation + name length, a phonetic code, a
+  * q-gram sample), and the quadratic verify runs only WITHIN blocks.
+  *
+  * Scale contract: the block key is the caller's cardinality lever —
+  * candidates are Σ_blocks |A_b|·|B_b|, so keys must keep per-block
+  * sizes bounded (the same contract as the shingle/band/bucket
+  * candidate stages, documented rather than hidden). Recall trade is
+  * explicit: a true match whose rows land in different blocks is
+  * NEVER found (LinkageSpec pins one). The verify (levenshtein) is
+  * a codegen'd builtin on both engines with identical classic
+  * edit-distance semantics — no UDF.
+  */
+object Linkage {
+
+  /** Blocked fuzzy match. Emits (idA, idB, dist ≤ maxDist) for every
+    * candidate pair sharing the full block-key tuple. Null block keys
+    * never match (SQL equality semantics — a null-keyed row is
+    * unmatchable, not a wildcard). */
+  def blockedMatch(a: DataFrame, b: DataFrame,
+                   idA: String, nameA: String,
+                   idB: String, nameB: String,
+                   blockA: Seq[String], blockB: Seq[String],
+                   maxDist: Int): DataFrame = {
+    require(blockA.nonEmpty && blockA.size == blockB.size,
+      "block key tuples must be non-empty and the same arity")
+    require(maxDist >= 0)
+    val la = a.select(col(idA).as("__ida") +: col(nameA).as("__na") +:
+      blockA.zipWithIndex.map { case (c, i) => col(c).as(s"__ka$i") }: _*)
+    val lb = b.select(col(idB).as("__idb") +: col(nameB).as("__nb") +:
+      blockB.zipWithIndex.map { case (c, i) => col(c).as(s"__kb$i") }: _*)
+    val cond: Column = blockA.indices
+      .map(i => col(s"__ka$i") === col(s"__kb$i"))
+      .reduce(_ && _)
+    la.join(lb, cond)
+      .select(col("__ida"), col("__idb"), col("__na"), col("__nb"),
+        levenshtein(col("__na"), col("__nb")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("dist"))
+  }
+}

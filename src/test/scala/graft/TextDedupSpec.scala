@@ -551,4 +551,24 @@ class TextDedupSpec extends SparkSpec {
     assert(r2._5 == r1._5 + 3, s"$r1 / $r2")           // total tokens
     assert(math.abs(r2._2 - r1._2) <= 2, s"$r1 / $r2") // chunk count stable
   }
+
+  test("blockedMatch (X166): within-block fuzzy pairs, threshold " +
+    "respected, cross-block true match is MISSED (the blocking trade), " +
+    "null block key never matches") {
+    val a = Seq(
+      (1L, "alpha", "g1"), (2L, "delta", "g1"),
+      (3L, "omega", "g2"), (4L, "kappa", null.asInstanceOf[String])
+    ).toDF("id", "name", "blk")
+    val b = Seq(
+      (10L, "alphq", "g1"),   // dist 1 to alpha, same block -> match
+      (11L, "dxlta", "g1"),   // dist 1 to delta -> match
+      (12L, "omega", "g9"),   // dist 0 to omega but WRONG block -> missed
+      (13L, "kappa", null.asInstanceOf[String]) // null block -> no match
+    ).toDF("id", "name", "blk")
+    val got = graft.operators.Linkage.blockedMatch(
+      a, b, "id", "name", "id", "name", Seq("blk"), Seq("blk"), maxDist = 1)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1L), (2L, 11L, 1L)), got.toString)
+  }
 }
