@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Dedup, Graph, Privacy}
+
+/** Round-12 [EXT] batch GG: graph density diagnostics, discriminative
+  * vocabulary, and the l-diversity privacy gate (X167–X169).
+  */
+object Round12ggQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X167: per-node triangles + local clustering coefficient
+    // over the near-dup graph (same index-served edge construction as
+    // graph_pagerank) — triangle-dense nodes sit inside REAL duplicate
+    // clusters; triangle-free nodes hang off threshold accidents -----
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      Graph.triangles(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
+          col("clustering"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- X168: per-source discriminative tokens (smoothed log-odds
+    // z-scores, Monroe et al. 2008) — names WHAT makes each source
+    // different where source_kl only says HOW MUCH ------------------
+    "source_logodds" -> ((s, dir) =>
+      CorpusStats.logOddsTokens(
+        t(s, dir, "documents"), "source", "text", k = 5)
+        .orderBy("source", "rank")),
+
+    // ---- X169: l-diversity audit — every (event_type, hour) class
+    // must span ≥ l distinct users or the class attributes its events
+    // to a recoverable individual; the sensitive-value gate that
+    // k-anonymity (X120) cannot express ------------------------------
+    "l_diversity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_type"),
+          expr("(ts_us div 3600000000) % 24").as("hour"),
+          col("user_id"))
+      Privacy.lDiversity(ev, l = 5L, Seq("event_type", "hour"), "user_id")
+        .orderBy("n_sensitive")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM jpairs WHERE jac >= 0.3),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+         |  GROUP BY node),
+         |ori AS (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |      THEN u.a ELSE u.b END AS u,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |      THEN u.b ELSE u.a END AS v,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |      THEN db.deg ELSE da.deg END AS dv
+         |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+         |tri AS (SELECT x.u AS u, x.v AS v1, y.v AS v2
+         |  FROM ori x JOIN ori y ON x.u = y.u
+         |  WHERE (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+         |    AND EXISTS (SELECT 1 FROM ori e WHERE e.u = x.v AND e.v = y.v)),
+         |pern AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM (SELECT u AS node FROM tri UNION ALL SELECT v1 AS node FROM tri
+         |        UNION ALL SELECT v2 AS node FROM tri)
+         |  GROUP BY node)
+         |SELECT d.node AS doc_id, d.deg,
+         |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+         |  round(CASE WHEN d.deg >= 2
+         |    THEN 2.0 * CAST(coalesce(p.n_tri, 0) AS DOUBLE)
+         |      / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+         |    ELSE 0.0 END, 4) AS clustering
+         |FROM deg d LEFT JOIN pern p ON d.node = p.node
+         |ORDER BY doc_id""".stripMargin,
+
+    "source_logodds" ->
+      s"""WITH st AS (SELECT source AS g,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS y
+         |  FROM st GROUP BY 1, 2),
+         |tf AS (SELECT t, CAST(sum(y) AS BIGINT) AS tf FROM cnt GROUP BY t),
+         |ns AS (SELECT g, CAST(sum(y) AS BIGINT) AS ns FROM cnt GROUP BY g),
+         |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS v FROM tf),
+         |z AS (SELECT c.g, c.t,
+         |    (ln(CAST(c.y + 1 AS DOUBLE)
+         |        / CAST(ns.ns + sc.v - c.y - 1 AS DOUBLE))
+         |     - ln(CAST(tf.tf - c.y + 1 AS DOUBLE)
+         |        / CAST((sc.n - ns.ns) + sc.v - (tf.tf - c.y) - 1 AS DOUBLE)))
+         |    / sqrt(1.0 / CAST(c.y + 1 AS DOUBLE)
+         |         + 1.0 / CAST(tf.tf - c.y + 1 AS DOUBLE)) AS z
+         |  FROM cnt c JOIN tf USING (t) JOIN ns USING (g) CROSS JOIN sc),
+         |rk AS (SELECT g, t, z,
+         |    row_number() OVER (PARTITION BY g ORDER BY z DESC, t ASC) AS rank
+         |  FROM z)
+         |SELECT g AS source, CAST(rank AS BIGINT) AS rank, t AS token,
+         |  round(z, 4) AS z
+         |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "l_diversity" ->
+      """WITH pair AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, user_id,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cls AS (SELECT event_type, hour,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS sz
+        |  FROM pair GROUP BY 1, 2)
+        |SELECT nd AS n_sensitive, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows, nd < 5 AS violates
+        |FROM cls GROUP BY nd ORDER BY n_sensitive""".stripMargin,
+  )
+}

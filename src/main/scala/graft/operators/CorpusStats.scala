@@ -804,4 +804,66 @@ object CorpusStats {
         round(col("n_tokens").cast("double") /
           col("n_docs").cast("double"), 4).as("mean_doc_tokens"))
   }
+
+  /** Per-group discriminative tokens by smoothed log-odds z-score
+    * (X168; Monroe, Colaresi & Quinn 2008 "Fightin' Words"
+    * §3.4) — WHAT a source actually says, relative to the rest of
+    * the corpus. Raw counts over-select stopwords and raw tf-idf
+    * over-selects hapaxes; the log-odds z normalizes both: for group
+    * g and token w with y = count(g, w), n = tokens(g),
+    * y' = count(rest, w), n' = tokens(rest), V = |vocab|,
+    *
+    *   δ  = ln((y+1)/(n+V−y−1)) − ln((y'+1)/(n'+V−y'−1))
+    *   σ² = 1/(y+1) + 1/(y'+1)
+    *   z  = δ / √σ²
+    *
+    * (+1 = the symmetric Dirichlet prior α_w = 1). The mixing-report
+    * sibling of [[sourceKl]]: KL says HOW different a source is, this
+    * names the tokens that make it so.
+    *
+    * Determinism: every ln/√ input is a ratio of exact integer counts
+    * in a written-out op order, so both engines evaluate the same
+    * IEEE expression tree; z rounds 1e-4 only in the OUTPUT — ranking
+    * uses the full double (the clusterKeywords precedent). Ranking is
+    * the bounded [[TopKStrAgg]] (z DESC, token ASC), never a rank
+    * window over the vocab-sized per-group term table.
+    *
+    * Scale shape (the sourceKl chassis): ONE corpus-sized (group,
+    * token) combine with map-side partials; the rest-of-corpus counts
+    * come from joining the per-token table tf (y' = tf − y), per-key
+    * fan-in ≤ |groups|; per-group totals and the two scalars (N, V)
+    * broadcast. Output: (groupCol, rank, token, z). */
+  def logOddsTokens(docs: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val st = docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).cast("long").as("y"))
+      .localCheckpoint(true)
+    val tf = st.groupBy(col("t")).agg(sum(col("y")).cast("long").as("tf"))
+    val ns = st.groupBy(col("__g")).agg(sum(col("y")).cast("long").as("ns"))
+    val scalars = tf.agg(sum(col("tf")).cast("long").as("__n"),
+      count(lit(1)).cast("long").as("__v"))
+    val d = (a: org.apache.spark.sql.Column) => a.cast("double")
+    val y = col("y"); val yr = col("tf") - col("y")
+    val n = col("ns"); val nr = col("__n") - col("ns")
+    val delta =
+      log(d(y + 1L) / d(n + col("__v") - y - 1L)) -
+        log(d(yr + 1L) / d(nr + col("__v") - yr - 1L))
+    val z = delta / sqrt(lit(1.0) / d(y + 1L) + lit(1.0) / d(yr + 1L))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    st.join(tf, Seq("t"))
+      .join(broadcast(ns), Seq("__g"))
+      .crossJoin(broadcast(scalars))
+      .select(col("__g"), col("t"), z.as("__z"))
+      .groupBy(col("__g"))
+      .agg(topk(col("t"), negate(col("__z"))).as("__top"))
+      .select(col("__g"), posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col("__g").as(groupCol),
+        (col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("token"),
+        round(negate(col("__kw.score")), 4).as("z"))
+  }
 }

@@ -160,4 +160,83 @@ object Graph {
     ranks.select(col("node"), col("rq"),
       (col("rq").cast("double") / lit(Q.toDouble)).as("rank"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient (X167)
+    * over an UNDIRECTED graph — the density diagnostic for the
+    * near-dup graph: a duplicate CLUSTER (template family, mirror
+    * set) is triangle-dense, while a chain of borderline pairs is
+    * triangle-free, so clustering separates "real cluster" from
+    * "threshold accident" before anyone trusts the connected
+    * components. Input edges may be directed/duplicated — they are
+    * canonicalized to distinct a<b pairs first.
+    *
+    * Algorithm: degree-ordered orientation (the node-iterator /
+    * "forward" algorithm; Schank & Wagner 2005, Latapy 2008). Each
+    * undirected edge is directed from its lower to its higher
+    * endpoint in the total order (deg, id); every triangle then has
+    * exactly ONE wedge whose apex precedes both other corners, so
+    * each triangle is generated and counted once.
+    *
+    * Scale shape — the orientation IS the skew defense: wedge
+    * generation joins `oriented` with itself on the apex, and a
+    * node's out-degree in the oriented graph is bounded by O(√m)
+    * (a hub of degree d keeps only its ≥d-degree neighbors as
+    * out-edges), so Σ out-deg² — the wedge count — is O(m^1.5)
+    * worst-case instead of the hub's d². All joins are equi-joins on
+    * node keys; the closing-edge check is a left-semi on (v, w);
+    * per-node counts are one map-side-combining aggregate over the
+    * 3-corner explode. The edge list is consumed by the degree
+    * aggregate, the orientation join, and the closing-edge probe in
+    * separate subtrees, so it is localCheckpointed once (the
+    * spanDedup rule), bit-safe because the output is pure integers.
+    *
+    * Output: (node, deg, n_tri, clustering) — clustering =
+    * 2·tri / (deg·(deg−1)) for deg ≥ 2 else 0.0, rounded 1e-4; the
+    * one division runs on exact integer operands, so both engines
+    * agree bit-for-bit before the round. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+                materialize: Boolean = true): DataFrame = {
+    val und0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val und = if (materialize) und0.localCheckpoint(true) else und0
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+    // orient low → high in the (deg, id) total order; keep the HEAD's
+    // degree so wedge pairs can be ordered without re-joining deg
+    val lower = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lower, col("a")).otherwise(col("b")).as("u"),
+      when(lower, col("b")).otherwise(col("a")).as("v"),
+      when(lower, col("__db")).otherwise(col("__da")).as("__dv"))
+    val x = oriented.select(col("u"), col("v").as("v1"), col("__dv").as("__d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("__dv").as("__d2"))
+    val wedges = x.join(y, "u")
+      .where(col("__d1") < col("__d2") ||
+        (col("__d1") === col("__d2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val perNode = tris.select(col("u").as("node"))
+      .union(tris.select(col("v1").as("node")))
+      .union(tris.select(col("v2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("n_tri").cast("double") /
+            (col("deg").cast("double") *
+              (col("deg").cast("double") - lit(1.0))), 4))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -100,6 +100,38 @@ object Privacy {
         (col("class_size") < k).as("violates"))
   }
 
+  /** l-diversity audit (X169) — the companion gate [[kAnonymity]]
+    * cannot express: a class of 1000 rows is perfectly k-anonymous,
+    * but if all 1000 share ONE sensitive value (every event in the
+    * class belongs to the same user, every doc to the same author),
+    * the attacker learns the secret without singling anyone out
+    * (Machanavajjhala et al. 2007). A release is l-diverse iff every
+    * quasi-identifier class contains ≥ l DISTINCT sensitive values.
+    *
+    * Scale shape: exact distinct via the two-phase collapse — groupBy
+    * (QI, sensitive) first (map-side combine kills hot pairs), then
+    * count per class, then the histogram over the class table; no
+    * count_distinct shuffle of raw rows, no windows. NULL sensitive
+    * values count as one value (GROUP BY semantics, both engines).
+    *
+    * Output: one row per distinct-count — (n_sensitive, n_classes,
+    * n_rows, violates = n_sensitive < l), ascending. */
+  def lDiversity(df: DataFrame, l: Long, qiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, "l < 2 makes every class diverse")
+    val pair = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val cls = pair.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__nd"),
+        sum(col("__c")).cast("long").as("__sz"))
+    cls.groupBy(col("__nd").as("n_sensitive"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("__sz")).cast("long").as("n_rows"))
+      .select(col("n_sensitive"), col("n_classes"), col("n_rows"),
+        (col("n_sensitive") < l).as("violates"))
+  }
+
   def densityByGroup(docs: DataFrame, groupCol: String,
                      textCol: String): DataFrame = {
     // null text normalizes to "" (the c4Rules rule: an audit report

@@ -532,4 +532,38 @@ class CorpusOpsSpec extends SparkSpec {
       .select(col("top_source")).as[String].collect().head
     assert(got == "zz")
   }
+
+  test("logOddsTokens: driver replay of the smoothed z; rank order and k cap") {
+    // src A: a a b (ns=3)  src B: b c c c (ns=4); N=7, V=3
+    val docs = Seq(("A", "a a b"), ("B", "b c c c")).toDF("source", "text")
+    val got = CorpusStats.logOddsTokens(docs, "source", "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+
+    def z(y: Long, ns: Long, tf: Long): Double = {
+      val n = 7L; val v = 3L
+      val yr = tf - y; val nr = n - ns
+      val d = math.log((y + 1).toDouble / (ns + v - y - 1).toDouble) -
+        math.log((yr + 1).toDouble / (nr + v - yr - 1).toDouble)
+      d / math.sqrt(1.0 / (y + 1) + 1.0 / (yr + 1))
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-source z over its own support, ranked desc (token asc ties)
+    val aZ = Seq("a" -> z(2, 3, 2), "b" -> z(1, 3, 2))
+      .sortBy { case (t, s) => (-s, t) }
+    val bZ = Seq("b" -> z(1, 4, 2), "c" -> z(3, 4, 3))
+      .sortBy { case (t, s) => (-s, t) }
+    val want =
+      aZ.zipWithIndex.map { case ((t, s), i) => ("A", i + 1L, t, r4(s)) } ++
+        bZ.zipWithIndex.map { case ((t, s), i) => ("B", i + 1L, t, r4(s)) }
+    assert(got.sortBy(r => (r._1, r._2)) == want, got.toString)
+    // the source's OWN tokens must outrank the shared one
+    assert(got.filter(_._1 == "A").minBy(_._2)._3 == "a")
+    assert(got.filter(_._1 == "B").minBy(_._2)._3 == "c")
+    // k caps the output even when the support is larger
+    val capped = CorpusStats.logOddsTokens(docs, "source", "text", k = 1)
+    assert(capped.count() == 2L)
+  }
 }

@@ -146,4 +146,48 @@ class GraphSpec extends SparkSpec {
       .select($"node", $"rq").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  // ---------------- triangles (X167) ----------------
+
+  private def triRows(edges: Seq[(Long, Long)]) =
+    Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .orderBy("node")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+  test("triangles: K4 — every node in 3 triangles, clustering 1.0") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val got = triRows(k4)
+    assert(got == (0L to 3L).map(n => (n, 3L, 3L, 1.0)), got.toString)
+  }
+
+  test("triangles: triangle + pendant — corner counts and the deg<2 zero") {
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))
+    val got = triRows(g)
+    assert(got == Seq(
+      (0L, 3L, 1L, 0.3333), // 2·1/(3·2)
+      (1L, 2L, 1L, 1.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 1L, 0L, 0.0)), got.toString)
+  }
+
+  test("triangles: 4-cycle has none; duplicate + reversed edges count once") {
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(triRows(sq).forall(r => r._3 == 0L && r._4 == 0.0))
+    val noisy = sq ++ sq.map(_.swap) ++ sq
+    assert(triRows(noisy) == triRows(sq))
+  }
+
+  test("triangles: bit-identical across partitionings") {
+    // two triangles sharing node 0, plus a chord making a third
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L),
+      (4L, 0L), (1L, 3L)).toDF("src", "dst")
+    val a = Graph.triangles(g, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Graph.triangles(g.repartition(7), "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+    // sum of per-node counts = 3 × global triangles (here 3 tris:
+    // 012, 034, 013)
+    assert(a.toSeq.map(_._3).sum == 9L)
+  }
 }

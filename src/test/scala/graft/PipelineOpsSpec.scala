@@ -524,6 +524,33 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 1L, 3L, false)), got.toString)
   }
 
+  // ---------------- lDiversity (X169) ----------------
+
+  test("lDiversity: distinct-sensitive histogram; a large homogeneous " +
+    "class still violates") {
+    val rows = Seq(
+      // class (en, web): 4 rows but ONE user -> k-anonymous, NOT l-diverse
+      ("en", "web", 7L), ("en", "web", 7L), ("en", "web", 7L), ("en", "web", 7L),
+      // class (en, books): 3 rows, 3 distinct users
+      ("en", "books", 1L), ("en", "books", 2L), ("en", "books", 3L),
+      // class (de, web): 2 rows, 2 distinct users
+      ("de", "web", 4L), ("de", "web", 5L)
+    ).toDF("lang", "source", "user")
+    val got = Privacy.lDiversity(rows, l = 3L, Seq("lang", "source"), "user")
+      .orderBy("n_sensitive")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 4L, true),   // the homogeneous class: 4 rows, 1 value
+      (2L, 1L, 2L, true),
+      (3L, 1L, 3L, false)), got.toString)
+    // null sensitive values collapse to one value
+    val withNull = Seq(("en", "web", null), ("en", "web", null))
+      .toDF("lang", "source", "user")
+    val h = Privacy.lDiversity(withNull, l = 2L, Seq("lang", "source"), "user")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(h == Seq((1L, 1L, 2L, true)), h.toString)
+  }
+
   // ---------------- contrastivePairs (X121) ----------------
 
   test("contrastivePairs: band filter, valid distinct negatives, determinism") {
