@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, TrainingData}
+
+/** Round-12 [EXT] batch HH: corpus-statistics additions (X170–X172) —
+  * token burstiness, snapshot Wasserstein-1 distance, per-group Gini
+  * of source shares.
+  */
+object Round12hhQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X170: bursty tokens — cf/df top-k over the two-phase
+    // (doc, token) collapse; the boilerplate-sweep trigger ----------
+    "token_burstiness" -> ((s, dir) =>
+      CorpusStats.burstiness(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 2L, k = 10)
+        .orderBy("rank")),
+
+    // ---- X171: W₁ distance between the same old/new splits
+    // snapshot_drift PSI-scores — the magnitude-aware shift number --
+    "snapshot_w1" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.snapshotWasserstein(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars", binWidth = 256L, nBins = 16)
+        .orderBy("lang")
+    }),
+
+    // ---- X172: Gini of source shares per language — the whole-curve
+    // inequality gauge next to source_concentration's HHI -----------
+    "source_gini" -> ((s, dir) =>
+      CorpusStats.sourceGini(t(s, dir, "documents"), "lang", "source")
+        .orderBy("lang")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "token_burstiness" ->
+      s"""WITH dt AS (SELECT doc_id AS d,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |pc AS (SELECT d, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM dt GROUP BY 1, 2),
+         |st AS (SELECT t, CAST(sum(c) AS BIGINT) AS cf,
+         |    CAST(count(*) AS BIGINT) AS df FROM pc GROUP BY t),
+         |sc AS (SELECT t, cf, df, CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS b
+         |  FROM st WHERE df >= 2),
+         |rk AS (SELECT t, cf, df, b,
+         |    row_number() OVER (ORDER BY b DESC, t ASC) AS rank FROM sc)
+         |SELECT CAST(rank AS BIGINT) AS rank, t AS token, cf, df,
+         |  round(b, 4) AS burstiness
+         |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "snapshot_w1" ->
+      """WITH o AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |to_ AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM o GROUP BY g),
+        |tn AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM n GROUP BY g),
+        |grid AS (SELECT g, unnest(range(0, 16)) AS b FROM
+        |  (SELECT DISTINCT g FROM (SELECT g FROM to_ UNION ALL SELECT g FROM tn))),
+        |j AS (SELECT grid.g, grid.b,
+        |    coalesce(o.c, 0) AS co, coalesce(n.c, 0) AS cn,
+        |    coalesce(to_.t, 0) AS t_o, coalesce(tn.t, 0) AS t_n
+        |  FROM grid LEFT JOIN o ON grid.g = o.g AND grid.b = o.b
+        |    LEFT JOIN n ON grid.g = n.g AND grid.b = n.b
+        |    LEFT JOIN to_ ON grid.g = to_.g
+        |    LEFT JOIN tn ON grid.g = tn.g),
+        |cdf AS (SELECT g, t_o, t_n,
+        |    sum(co) OVER (PARTITION BY g ORDER BY b) AS fo,
+        |    sum(cn) OVER (PARTITION BY g ORDER BY b) AS fn FROM j),
+        |s AS (SELECT g, CAST(max(t_o) AS BIGINT) AS n_old,
+        |    CAST(max(t_n) AS BIGINT) AS n_new,
+        |    sum(abs(CAST(fo AS DECIMAL(19,0)) * CAST(t_n AS DECIMAL(19,0))
+        |      - CAST(fn AS DECIMAL(19,0)) * CAST(t_o AS DECIMAL(19,0)))) AS sa
+        |  FROM cdf GROUP BY g)
+        |SELECT g AS lang, n_old, n_new,
+        |  CASE WHEN n_old > 0 AND n_new > 0
+        |    THEN round((256.0 * CAST(sa AS DOUBLE))
+        |      / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)), 4)
+        |  END AS w1
+        |FROM s ORDER BY lang""".stripMargin,
+
+    "source_gini" ->
+      """WITH c AS (SELECT lang AS g, source AS s,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(x) AS BIGINT) AS n_docs FROM c GROUP BY g),
+        |p AS (SELECT a.g, sum(CAST(abs(a.x - b.x) AS DECIMAL(38,0))) AS sa
+        |  FROM c a JOIN c b ON a.g = b.g GROUP BY a.g)
+        |SELECT tot.g AS lang, n_sources, n_docs,
+        |  round(CAST(sa AS DOUBLE)
+        |    / (2.0 * CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
+        |    AS gini
+        |FROM tot JOIN p ON tot.g = p.g ORDER BY lang""".stripMargin,
+  )
+}

@@ -866,4 +866,78 @@ object CorpusStats {
         col("__kw.key").as("token"),
         round(negate(col("__kw.score")), 4).as("z"))
   }
+
+  /** Corpus-wide token burstiness (X170; Church & Gale 1995): cf/df —
+    * mean occurrences per CONTAINING document. Function words scatter
+    * (burstiness ≈ tf-expected), while boilerplate and topical markup
+    * tokens arrive in bursts (one page of "cookie" has thirty) — the
+    * one-number trigger for WHICH tokens deserve a boilerplate-strip
+    * or repetition-filter pass, upstream of the expensive n-gram
+    * sweeps. minDf floors out hapax noise.
+    *
+    * Scale shape: the topNgrams two-phase collapse — per-(doc, token)
+    * counts combine map-side (a million-repeat token inside one doc
+    * collapses locally), then ONE vocab-scale aggregate gives (cf,
+    * df); ranking is the bounded [[TopKStrAgg]] as a GLOBAL aggregate
+    * (one k-row buffer per partition partial — no window, no global
+    * sort); the k winners join stats back on the token key. cf/df is
+    * one exact-integer-operand division. Output: (rank, token, cf,
+    * df, burstiness). */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long = 2L, k: Int = 10): DataFrame = {
+    require(k >= 1 && minDf >= 1)
+    val stats = docs
+      .select(col(idCol).as("__d"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__d"), col("t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col("t"))
+      .agg(sum(col("__c")).cast("long").as("cf"),
+        count(lit(1)).cast("long").as("df"))
+      .where(col("df") >= minDf)
+    val scored = stats.withColumn("__b",
+      col("cf").cast("double") / col("df").cast("double"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    scored.agg(topk(col("t"), negate(col("__b"))).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select((col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("t"))
+      .join(scored, Seq("t"))
+      .select(col("rank"), col("t").as("token"), col("cf"), col("df"),
+        round(col("__b"), 4).as("burstiness"))
+  }
+
+  /** Per-group Gini coefficient of source shares (X172) — the
+    * inequality gauge next to [[sourceConcentration]]'s HHI: HHI is
+    * dominated by the single largest source, Gini reads the WHOLE
+    * share curve (a corpus of 100 equal sources and one of 1 giant +
+    * 99 crumbs can share an HHI band but never a Gini). Mean-absolute-
+    * difference form over the collapsed per-source counts:
+    * G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx) — no sort, no rank window.
+    *
+    * Scale shape: ONE map-side-combining count collapses the corpus
+    * to |groups|·|sources| rows; the pair join runs on that collapsed
+    * table (per-group fan-out |sources|² — provenance cardinality,
+    * not corpus size); |xᵢ−xⱼ| sums ride decimal(38,0) (|sources|²
+    * terms of up-to-2⁶³ magnitude — the ADVICE r11 overflow rule);
+    * the final division's operands are exact. Output: (groupCol,
+    * n_sources, n_docs, gini) — gini 0.0 for a single-source group. */
+  def sourceGini(df: DataFrame, groupCol: String,
+                 sourceCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("__g"), col(sourceCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("__x"))
+    val tot = c.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(col("__x")).cast("long").as("n_docs"))
+    val pairs = c.select(col("__g"), col("__x").as("__xa"))
+      .join(c.select(col("__g"), col("__x").as("__xb")), "__g")
+      .groupBy(col("__g"))
+      .agg(sum(abs(col("__xa") - col("__xb")).cast("decimal(38,0)"))
+        .as("__sa"))
+    tot.join(pairs, "__g")
+      .select(col("__g").as(groupCol), col("n_sources"), col("n_docs"),
+        round(col("__sa").cast("double") /
+          (lit(2.0) * col("n_sources").cast("double") *
+            col("n_docs").cast("double")), 4).as("gini"))
+  }
 }

@@ -426,6 +426,73 @@ object TrainingData {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Per-group 1-D Wasserstein-1 (earth-mover's) distance between two
+    * snapshots over a binned value column (X171) — the
+    * magnitude-aware sibling of [[snapshotDrift]]'s PSI and
+    * snapshot_ks's KS statistic: PSI and KS both read only the
+    * pointwise density/CDF gap, so "everything shifted one bin" and
+    * "everything shifted ten bins" can score alike; W₁ is the
+    * area between the CDFs — the actual mass·distance the crawl
+    * moved, in value units (the distribution-shift number the mixing
+    * papers report).
+    *
+    * Exactness: with F = CDF, W₁ = binWidth·Σ_b |F_o(b) − F_n(b)|,
+    * and each |co/to − cn/tn| = |co·tn − cn·to|/(to·tn), so the sum
+    * rides the EXACT integer numerators (decimal(19,0) operands,
+    * decimal(38,0) Σ — the ADVICE r11 overflow rule; cumulative
+    * counts reach corpus scale) and one fixed-order double division
+    * finishes. Both engines replay it bit-for-bit before the 1e-4
+    * round.
+    *
+    * Scale shape: two [[binnedCounts]] map-side collapses to
+    * |groups|·nBins rows; the ONLY window (the running CDF) is over
+    * the ≤nBins-row grid partitions — bounded by construction, the
+    * vocabGrowth bucket-table rule, never corpus-scale data. Groups
+    * with an EMPTY side get a null w1 (the snapshot_churn rule) —
+    * distance from nothing is undefined, not zero.
+    *
+    * Output: (groupCol, n_old, n_new, w1). */
+  def snapshotWasserstein(oldDocs: DataFrame, newDocs: DataFrame,
+                          groupCol: String, valueCol: String,
+                          binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val o = binnedCounts(oldDocs, groupCol, valueCol, binWidth, nBins)
+    val n = binnedCounts(newDocs, groupCol, valueCol, binWidth, nBins)
+    wassersteinFromCounts(o, n, groupCol, binWidth, nBins)
+  }
+
+  /** W₁ assembly over two (__g, __b, __c) count tables — everything
+    * downstream of the corpus scans; cardinality |groups|·nBins. */
+  def wassersteinFromCounts(oc: DataFrame, nc: DataFrame, groupCol: String,
+                            binWidth: Long, nBins: Int): DataFrame = {
+    val totO = oc.groupBy(col("__g")).agg(sum(col("__c")).as("__to"))
+    val totN = nc.groupBy(col("__g")).agg(sum(col("__c")).as("__tn"))
+    val grid = totO.select(col("__g")).union(totN.select(col("__g")))
+      .distinct()
+      .select(col("__g"), explode(sequence(lit(0), lit(nBins - 1))).as("__b"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    grid
+      .join(oc.withColumnRenamed("__c", "__co"), Seq("__g", "__b"), "left")
+      .join(nc.withColumnRenamed("__c", "__cn"), Seq("__g", "__b"), "left")
+      .join(totO, Seq("__g"), "left")
+      .join(totN, Seq("__g"), "left")
+      .select(col("__g"), col("__to"), col("__tn"),
+        sum(coalesce(col("__co"), lit(0L))).over(w).as("__fo"),
+        sum(coalesce(col("__cn"), lit(0L))).over(w).as("__fn"))
+      .groupBy(col("__g"))
+      .agg(coalesce(max(col("__to")), lit(0L)).as("n_old"),
+        coalesce(max(col("__tn")), lit(0L)).as("n_new"),
+        sum(abs(dec(col("__fo")) * dec(coalesce(col("__tn"), lit(0L))) -
+          dec(col("__fn")) * dec(coalesce(col("__to"), lit(0L))))).as("__s"))
+      .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
+        when(col("n_old") > 0L && col("n_new") > 0L,
+          round(lit(binWidth.toDouble) * col("__s").cast("double") /
+            (col("n_old").cast("double") * col("n_new").cast("double")), 4))
+          .as("w1"))
+  }
+
   /** Per-group embedding-centroid drift between two snapshots (X82):
     * the semantic sibling of [[snapshotDrift]] — "did this label's
     * region of embedding space MOVE between crawls", the

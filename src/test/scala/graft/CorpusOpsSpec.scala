@@ -566,4 +566,39 @@ class CorpusOpsSpec extends SparkSpec {
     val capped = CorpusStats.logOddsTokens(docs, "source", "text", k = 1)
     assert(capped.count() == 2L)
   }
+
+  test("burstiness: cf/df ranking, minDf floor, token-asc ties") {
+    val docs = Seq(
+      (1L, "a a a b"), // a bursts: 3 in one doc
+      (2L, "a b"),
+      (3L, "b c c")    // c has df=1 -> floored out at minDf=2
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.burstiness(docs, "doc_id", "text", minDf = 2L, k = 10)
+      .orderBy("rank")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 4L, 2L, 2.0),
+      (2L, "b", 3L, 3L, 1.0)), got.toString)
+    // equal ratios rank token-ascending
+    val tie = Seq((1L, "y x"), (2L, "x y")).toDF("doc_id", "text")
+    val t2 = CorpusStats.burstiness(tie, "doc_id", "text", minDf = 2L, k = 2)
+      .orderBy("rank").as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(t2.map(_._2) == Seq("x", "y"), t2.toString)
+  }
+
+  test("sourceGini: hand value, equal shares at zero, single source at zero") {
+    val docs = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(4)("c"))
+      .map(s => ("en", s)).toDF("lang", "source")
+    val got = CorpusStats.sourceGini(docs, "lang", "source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // counts [1,1,4]: Σij|xi−xj| = 12, gini = 12/(2·3·6) = 0.3333
+    assert(got == Seq(("en", 3L, 6L, 0.3333)), got.toString)
+    val equal = Seq(("en", "a"), ("en", "b"), ("en", "c"))
+      .toDF("lang", "source")
+    assert(CorpusStats.sourceGini(equal, "lang", "source")
+      .as[(String, Long, Long, Double)].collect().head._4 == 0.0)
+    val single = Seq(("de", "a"), ("de", "a")).toDF("lang", "source")
+    assert(CorpusStats.sourceGini(single, "lang", "source")
+      .as[(String, Long, Long, Double)].collect().head == (("de", 1L, 2L, 0.0)))
+  }
 }

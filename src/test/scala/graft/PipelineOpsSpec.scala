@@ -551,6 +551,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 2L, true)), h.toString)
   }
 
+  // ---------------- snapshotWasserstein (X171) ----------------
+
+  test("snapshotWasserstein: hand value, distance scales with shift, " +
+    "empty side -> null") {
+    def df(vals: (String, Long)*) = vals.toDF("lang", "n_chars")
+    // one of two points moves one 256-bin: W1 = 256·(1/2) = 128
+    val w = TrainingData.snapshotWasserstein(
+      df(("en", 0L), ("en", 300L)), df(("en", 300L), ("en", 300L)),
+      "lang", "n_chars")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(w == Seq(("en", 2L, 2L, Some(128.0))), w.toString)
+    // the same mass moving FARTHER scores strictly higher (the
+    // property PSI/KS cannot see)
+    val near = TrainingData.snapshotWasserstein(
+      df(("en", 0L)), df(("en", 300L)), "lang", "n_chars")
+      .as[(String, Long, Long, Option[Double])].collect().head._4.get
+    val far = TrainingData.snapshotWasserstein(
+      df(("en", 0L)), df(("en", 4000L)), "lang", "n_chars")
+      .as[(String, Long, Long, Option[Double])].collect().head._4.get
+    assert(near == 256.0 && far == 3840.0, s"near=$near far=$far")
+    // a group missing from one side reports null, not zero
+    val miss = TrainingData.snapshotWasserstein(
+      df(("de", 100L)), df(("en", 100L)), "lang", "n_chars")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(miss == Map("de" -> None, "en" -> None), miss.toString)
+  }
+
   // ---------------- contrastivePairs (X121) ----------------
 
   test("contrastivePairs: band filter, valid distinct negatives, determinism") {
