@@ -74,10 +74,10 @@ object Round12ggQueries {
          |  GROUP BY node)
          |SELECT d.node AS doc_id, d.deg,
          |  CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
-         |  round(CASE WHEN d.deg >= 2
-         |    THEN 2.0 * CAST(coalesce(p.n_tri, 0) AS DOUBLE)
-         |      / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
-         |    ELSE 0.0 END, 4) AS clustering
+         |  CASE WHEN d.deg >= 2
+         |    THEN ((40000 * coalesce(p.n_tri, 0) + d.deg * (d.deg - 1))
+         |      // (2 * (d.deg * (d.deg - 1)))) / 10000.0
+         |    ELSE 0.0 END AS clustering
          |FROM deg d LEFT JOIN pern p ON d.node = p.node
          |ORDER BY doc_id""".stripMargin,
 

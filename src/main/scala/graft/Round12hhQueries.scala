@@ -52,7 +52,7 @@ object Round12hhQueries {
          |rk AS (SELECT t, cf, df, b,
          |    row_number() OVER (ORDER BY b DESC, t ASC) AS rank FROM sc)
          |SELECT CAST(rank AS BIGINT) AS rank, t AS token, cf, df,
-         |  round(b, 4) AS burstiness
+         |  ((20000 * cf + df) // (2 * df)) / 10000.0 AS burstiness
          |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "snapshot_w1" ->
@@ -87,8 +87,9 @@ object Round12hhQueries {
         |  FROM cdf GROUP BY g)
         |SELECT g AS lang, n_old, n_new,
         |  CASE WHEN n_old > 0 AND n_new > 0
-        |    THEN round((256.0 * CAST(sa AS DOUBLE))
-        |      / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)), 4)
+        |    THEN CAST((5120000 * CAST(sa AS HUGEINT)
+        |        + CAST(n_old AS HUGEINT) * n_new)
+        |      // (2 * (CAST(n_old AS HUGEINT) * n_new)) AS BIGINT) / 10000.0
         |  END AS w1
         |FROM s ORDER BY lang""".stripMargin,
 
@@ -101,9 +102,10 @@ object Round12hhQueries {
         |p AS (SELECT a.g, sum(CAST(abs(a.x - b.x) AS DECIMAL(38,0))) AS sa
         |  FROM c a JOIN c b ON a.g = b.g GROUP BY a.g)
         |SELECT tot.g AS lang, n_sources, n_docs,
-        |  round(CAST(sa AS DOUBLE)
-        |    / (2.0 * CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4)
-        |    AS gini
+        |  CAST((20000 * CAST(sa AS HUGEINT)
+        |      + 2 * CAST(n_sources AS HUGEINT) * n_docs)
+        |    // (2 * (2 * CAST(n_sources AS HUGEINT) * n_docs)) AS BIGINT)
+        |    / 10000.0 AS gini
         |FROM tot JOIN p ON tot.g = p.g ORDER BY lang""".stripMargin,
   )
 }

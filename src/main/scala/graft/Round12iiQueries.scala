@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Curation, Profile}
+
+/** Round-12 [EXT] batch II: deterministic HLL distinct sketch, MATTR
+  * lexical diversity, and the range-shard boundary planner
+  * (X173–X175).
+  */
+object Round12iiQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X173: per-source distinct-token estimate from 64 replayable
+    // HLL registers — the promised 100 TB path next to corpus_vocab's
+    // exact form (ProfileSpec pins the accuracy against it) ----------
+    "hll_distinct" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      Profile.hllDistinct(st, "source", "tok")
+        .orderBy("source")
+    }),
+
+    // ---- X174: moving-average TTR — the length-invariant lexical-
+    // diversity score (plain TTR decays with length by Heaps' law) --
+    "doc_mattr" -> ((s, dir) =>
+      Curation.mattr(t(s, dir, "documents"), "doc_id", "text", window = 20)
+        .orderBy("doc_id")),
+
+    // ---- X175: balanced range-shard boundaries over n_chars without
+    // a global sort — the write-planning step for range-partitioned
+    // output ---------------------------------------------------------
+    "shard_bounds" -> ((s, dir) =>
+      Profile.shardBoundaries(t(s, dir, "documents"), "n_chars",
+        shards = 8, bins = 256)
+        .orderBy("shard")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "hll_distinct" ->
+      s"""WITH st AS (SELECT source AS g,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |h AS (SELECT g, CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) AS h
+         |  FROM st),
+         |rr AS (SELECT g, h % 64 AS b,
+         |    CASE WHEN h // 64 = 0 THEN 47
+         |      ELSE 47 - length(bin(h // 64)) END AS r
+         |  FROM h),
+         |regs AS (SELECT g, b, max(r) AS m FROM rr GROUP BY 1, 2),
+         |grid AS (SELECT g, unnest(range(0, 64)) AS b
+         |  FROM (SELECT DISTINCT g FROM regs)),
+         |tt AS (SELECT grid.g,
+         |    CAST(sum(CAST(power(2.0, 48 - coalesce(regs.m, 0)) AS BIGINT))
+         |      AS BIGINT) AS T,
+         |    CAST(sum(CASE WHEN regs.m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v
+         |  FROM grid LEFT JOIN regs ON grid.g = regs.g AND grid.b = regs.b
+         |  GROUP BY 1)
+         |SELECT g AS source, v AS n_empty,
+         |  round(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |        * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE) <= 160.0
+         |      AND v > 0
+         |    THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+         |    ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |      * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE) END, 4)
+         |    AS hll_distinct
+         |FROM tt ORDER BY source""".stripMargin,
+
+    "doc_mattr" ->
+      s"""WITH tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS tk
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, tk
+         |  FROM tk WHERE len(tk) > 0),
+         |t3 AS (SELECT doc_id, n, least(n, 20) AS we,
+         |    n - least(n, 20) + 1 AS cnt, tk FROM t2),
+         |s AS (SELECT doc_id, n, we, cnt,
+         |    CAST(list_sum(list_transform(range(1, cnt + 1),
+         |      i -> len(list_distinct(list_slice(tk, i, i + we - 1)))))
+         |      AS BIGINT) AS sm
+         |  FROM t3)
+         |SELECT doc_id, n AS n_tokens,
+         |  ((20000 * sm + cnt * we) // (2 * (cnt * we))) / 10000.0 AS mattr
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "shard_bounds" ->
+      """WITH r AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(n_chars) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT r.n, r.mn, r.mx,
+        |    least(((d.n_chars - r.mn) * 256) // (r.mx - r.mn + 1), 255) AS bin
+        |  FROM documents d, r WHERE d.n_chars IS NOT NULL),
+        |h AS (SELECT n, mn, mx, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT n, mn, mx, bin,
+        |    sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |j AS (SELECT unnest(range(1, 8)) AS shard)
+        |SELECT j.shard AS shard,
+        |  CAST(min(cum.mn + ((cum.bin + 1) * (cum.mx - cum.mn + 1) + 255) // 256
+        |    - 1) AS BIGINT) AS bound,
+        |  CAST(min(cum.cum) AS BIGINT) AS cum_rows
+        |FROM j CROSS JOIN cum
+        |WHERE cum.cum * 8 >= j.shard * cum.n
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
+  )
+}

@@ -903,8 +903,12 @@ object CorpusStats {
       .select((col("__i") + 1).cast("long").as("rank"),
         col("__kw.key").as("t"))
       .join(scored, Seq("t"))
+      // integer half-up rounding (the mattr rule): cf/df has SMALL
+      // denominators, so exact x.xxxx5 quotients occur and
+      // round(double, 4) splits engines on them
       .select(col("rank"), col("t").as("token"), col("cf"), col("df"),
-        round(col("__b"), 4).as("burstiness"))
+        (expr("(20000 * cf + df) div (2 * df)").cast("double") /
+          lit(10000.0)).as("burstiness"))
   }
 
   /** Per-group Gini coefficient of source shares (X172) — the
@@ -935,9 +939,14 @@ object CorpusStats {
       .agg(sum(abs(col("__xa") - col("__xb")).cast("decimal(38,0)"))
         .as("__sa"))
     tot.join(pairs, "__g")
+      // integer half-up rounding (the mattr rule) on the exact
+      // rational Σ|xi−xj| / (2·n·Σx); operands ride decimal(38,0)
+      .withColumn("__den", // the full G denominator 2·n·Σx
+        lit(2L).cast("decimal(19,0)") *
+          col("n_sources").cast("decimal(19,0)") *
+          col("n_docs").cast("decimal(19,0)"))
       .select(col("__g").as(groupCol), col("n_sources"), col("n_docs"),
-        round(col("__sa").cast("double") /
-          (lit(2.0) * col("n_sources").cast("double") *
-            col("n_docs").cast("double")), 4).as("gini"))
+        (expr("(20000 * __sa + __den) div (2 * __den)").cast("double") /
+          lit(10000.0)).as("gini"))
   }
 }

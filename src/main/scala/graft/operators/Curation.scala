@@ -964,4 +964,52 @@ object Curation {
     }: _*)
     row.select(explode(pairStructs).as("__p")).select(col("__p.*"))
   }
+
+  /** Moving-average type-token ratio (X174; Covington & McFall 2010
+    * MATTR) — the length-robust lexical-diversity score: plain TTR
+    * (distinct/total) decays mechanically with document length
+    * (Heaps' law), so it cannot compare a tweet to a book chapter;
+    * MATTR averages TTR over every fixed-size sliding window, making
+    * the score length-invariant — the curation signal that separates
+    * genuinely repetitive text (spam, keyword stuffing, template
+    * fill) from text that is merely long. Complements
+    * [[tokenEntropy]] (character-level) and docRepetition
+    * (n-gram-level) at the token level.
+    *
+    * Pinned rule: w_eff = min(n, window) (a doc shorter than the
+    * window scores its single whole-doc window — plain TTR); score =
+    * Σᵢ |distinct(window i)| / (n_windows · w_eff). The 4-decimal
+    * output is rounded in EXACT INTEGER arithmetic —
+    * (20000·Σ + den) div (2·den), then one /10⁴ — because the
+    * quotient's denominators are SMALL (≤ window·n), so exact
+    * x.xxxx5 values occur in practice (sf0.001 hit 581/800 =
+    * 0.72625), and `round(double, 4)` splits engines there: Spark
+    * rounds the shortest-decimal repr up while DuckDB rounds the
+    * binary value down. Integer half-up is one rule both replay.
+    * Docs with zero tokens are omitted (no window exists).
+    *
+    * Scale shape: pure per-row HOF map (slice/array_distinct/
+    * aggregate) — zero exchanges, rides whole-stage codegen next to
+    * whatever scan feeds it. Work is O(n·w) per doc — w is a small
+    * constant (default 20), so the pass stays scan-bound.
+    *
+    * Output: (idCol, n_tokens, mattr). */
+  def mattr(docs: DataFrame, idCol: String, textCol: String,
+            window: Int = 20): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
+        col("__tk"))
+      .where(col("n_tokens") > 0L)
+      .withColumn("__we", least(col("n_tokens"), lit(window.toLong)))
+      .withColumn("__cnt", col("n_tokens") - col("__we") + 1L)
+      .withColumn("__s", expr(
+        "aggregate(transform(sequence(1L, __cnt), " +
+          "i -> size(array_distinct(slice(__tk, CAST(i AS INT), " +
+          "CAST(__we AS INT))))), 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      .select(col(idCol), col("n_tokens"),
+        (expr("(20000 * __s + __cnt * __we) div (2 * (__cnt * __we))")
+          .cast("double") / lit(10000.0)).as("mattr"))
+  }
 }

@@ -232,11 +232,13 @@ object Graph {
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      // integer half-up rounding (the mattr rule): 2·tri/(deg·(deg−1))
+      // has SMALL denominators, so exact x.xxxx5 quotients occur and
+      // round(double, 4) splits engines on them
       .withColumn("clustering",
         when(col("deg") >= 2,
-          round(lit(2.0) * col("n_tri").cast("double") /
-            (col("deg").cast("double") *
-              (col("deg").cast("double") - lit(1.0))), 4))
+          expr("(40000 * n_tri + deg * (deg - 1)) div (2 * (deg * (deg - 1)))")
+            .cast("double") / lit(10000.0))
           .otherwise(lit(0.0)))
   }
 }

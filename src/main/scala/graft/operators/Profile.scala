@@ -261,4 +261,119 @@ object Profile {
       max(col("__mx")).as("vmax")) ++ qCols
     cum.groupBy(col("__g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** HLL bucket count for [[hllDistinct]]: 2⁶ registers. Fixed (not a
+    * parameter) so the α constant, the linear-counting threshold, and
+    * both engines' replay stay one pinned formula. */
+  val HllBuckets = 64
+
+  /** Deterministic HyperLogLog distinct-count sketch ([EXT] X173;
+    * Flajolet et al. 2007) — the 100 TB path for per-group distinct
+    * counts the corpus_vocab docs promise: EXACT distinct needs a
+    * corpus-sized (group, value) shuffle before anything collapses;
+    * the sketch needs ONE aggregate whose state is 64 longs per
+    * group, and duplicate values are absorbed by max() — no distinct,
+    * no second phase. Built-in approx_count_distinct is the same idea
+    * but its HLL++ registers are not engine-replayable; this one is
+    * DETERMINISTIC by construction (md5-52-bit hash, integer
+    * bucket/rank rule), so the DuckDB twin reproduces the estimate
+    * bit-for-bit and the hash gate applies — accuracy itself is
+    * spec-pinned against the exact count (±15% at m = 64; the
+    * standard error is 1.04/√64 ≈ 13%).
+    *
+    * Pinned arithmetic: h = first 13 md5 hex chars (52 bits);
+    * bucket = h mod 64; w = h div 64 (46 bits);
+    * rank = 47 − bitlength(w), w = 0 → 47 (leading zeros + 1);
+    * register M_b = max rank; T = Σ_b 2^(48−M_b) (empty ⇒ 2^48 — T
+    * is an EXACT long, ≤ 64·2^48); raw = α·m²·2^48/T with
+    * α·m²·2^48 the folded literal 0.709·4096·281474976710656;
+    * raw ≤ 2.5·m ∧ V > 0 ⇒ linear counting m·ln(m/V) (V = empty
+    * registers). One double division / ln at the end, exact-integer
+    * operands — both engines replay every step.
+    *
+    * Scale shape: map-only hash/bucket/rank columns, ONE map-side-
+    * combining max per (group, bucket) — ≤ \|groups\|·64 rows move —
+    * then the grid join and estimate run on the collapsed register
+    * table. Nulls are skipped (COUNT DISTINCT semantics).
+    *
+    * Output: (groupCol, n_empty, hll_distinct). */
+  def hllDistinct(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val m = HllBuckets
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val regs = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), h.as("__h"))
+      .select(col("__g"), (col("__h") % m).as("__b"),
+        expr(s"__h div $m").as("__w"))
+      .select(col("__g"), col("__b"),
+        when(col("__w") === 0L, lit(47L))
+          .otherwise(lit(47L) - length(bin(col("__w")))).as("__r"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(max(col("__r")).as("__m"))
+    val grid = regs.select(col("__g")).distinct()
+      .select(col("__g"), explode(sequence(lit(0L), lit(m - 1L))).as("__b"))
+    val terms = grid.join(regs, Seq("__g", "__b"), "left")
+      .select(col("__g"),
+        pow(lit(2.0), lit(48.0) - coalesce(col("__m"), lit(0L)).cast("double"))
+          .cast("long").as("__t"),
+        when(col("__m").isNull, 1L).otherwise(0L).as("__e"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t")).as("__T"), sum(col("__e")).as("__v"))
+    val raw = lit(0.709) * lit(4096.0) * lit(281474976710656.0) /
+      col("__T").cast("double")
+    terms.select(col("__g").as(groupCol),
+      col("__v").cast("long").as("n_empty"),
+      round(when(raw <= lit(160.0) && col("__v") > 0L,
+        lit(64.0) * log(lit(64.0) / col("__v").cast("double")))
+        .otherwise(raw), 4).as("hll_distinct"))
+  }
+
+  /** Balanced range-shard boundary planner ([EXT] X175): the write-
+    * path companion of [[quantileSketch]] — compute S−1 upper bounds
+    * that split a value column into S near-equal row ranges WITHOUT a
+    * global sort, the planning step before a sorted/range-partitioned
+    * parquet write (repartitionByRange samples non-deterministically;
+    * this is the deterministic, engine-replayable form).
+    *
+    * Same histogram chassis as quantileSketch (one min/max/count
+    * pass, one map-side-combining bin count, a cumulative window over
+    * the ≤bins-row collapsed histogram): boundary j = the upper edge
+    * of the first bin whose cumulative count reaches ⌈j·n/S⌉ — off
+    * by at most one bin width from the exact quantile, which for a
+    * shard planner means shard sizes balanced within one bin's
+    * population. Exact integer arithmetic end to end.
+    *
+    * Output: (shard 1..S−1, bound, cum_rows) — rows with value ≤
+    * bound(j) number cum_rows(j) ≥ ⌈j·n/S⌉. */
+  def shardBoundaries(df: DataFrame, valueCol: String, shards: Int,
+                      bins: Int = 256): DataFrame = {
+    require(shards >= 2 && bins >= 2)
+    val v = col(valueCol).cast("long")
+    val ranges = df.agg(min(v).as("__mn"), max(v).as("__mx"),
+      count(v).as("__n"))
+    val binned = df.select(v.as("__v")).where(col("__v").isNotNull)
+      .crossJoin(broadcast(ranges))
+      .select(col("__n"), col("__mn"), col("__mx"),
+        least(expr(s"((__v - __mn) * $bins) div (__mx - __mn + 1)"),
+          lit(bins - 1L)).as("__b"))
+    val hist = binned.groupBy(col("__n"), col("__mn"), col("__mx"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wcum))
+    val js = cum.sparkSession.range(1, shards.toLong)
+      .select(col("id").as("shard"))
+    js.crossJoin(cum)
+      // first bin with cum ≥ ⌈j·n/S⌉ ⇔ cum·S ≥ j·n
+      .where(col("__cum") * shards >= col("shard") * col("__n"))
+      .groupBy(col("shard"))
+      .agg(min(col("__mn") +
+        expr(s"((__b + 1) * (__mx - __mn + 1) + ${bins - 1}) div $bins")
+        - 1L).as("bound"),
+        min(col("__cum")).as("cum_rows"))
+  }
 }

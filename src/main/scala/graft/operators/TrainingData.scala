@@ -486,10 +486,15 @@ object TrainingData {
         coalesce(max(col("__tn")), lit(0L)).as("n_new"),
         sum(abs(dec(col("__fo")) * dec(coalesce(col("__tn"), lit(0L))) -
           dec(col("__fn")) * dec(coalesce(col("__to"), lit(0L))))).as("__s"))
+      // integer half-up rounding (the mattr rule): the quotient
+      // binWidth·Σ/(to·tn) is an exact rational, so round(double, 4)
+      // can split engines at x.xxxx5 values
+      .withColumn("__den",
+        col("n_old").cast("decimal(19,0)") * col("n_new").cast("decimal(19,0)"))
       .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
         when(col("n_old") > 0L && col("n_new") > 0L,
-          round(lit(binWidth.toDouble) * col("__s").cast("double") /
-            (col("n_old").cast("double") * col("n_new").cast("double")), 4))
+          expr(s"((20000 * $binWidth) * __s + __den) div (2 * __den)")
+            .cast("double") / lit(10000.0))
           .as("w1"))
   }
 

@@ -856,4 +856,32 @@ class CurationSpec extends SparkSpec {
     assert(cd == (("c", "d", 4L, 4L, 4L, 4L, 4L, None)), cd.toString)
     assert(got.size == 6, got.toString)
   }
+
+  // ---------------- mattr (X174) ----------------
+
+  test("mattr: repetitive vs diverse, short-doc TTR, integer half-up, " +
+    "zero-token docs omitted") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, ("a b " * 20).trim),               // 40 tokens of 2 types
+      (2L, (1 to 30).map(i => s"t$i").mkString(" ")), // all distinct
+      (3L, "a a b c c"),                       // n=5 < w: plain TTR 3/5
+      (4L, "a a a"),                           // 1/3 -> half-up 0.3333
+      (5L, "")                                 // zero tokens -> omitted
+    ).toDF("doc_id", "text")
+    val got = Curation.mattr(docs, "doc_id", "text", window = 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // every 20-window holds exactly 2 distinct: 2/20
+      (1L, 40L, 0.1),
+      (2L, 30L, 1.0),
+      (3L, 5L, 0.6),
+      (4L, 3L, 0.3333)), got.toString)
+    // length-invariance: the diverse doc scores 1.0 at 10x the length
+    val long = Seq((9L, (1 to 300).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Curation.mattr(long, "doc_id", "text", window = 20)
+      .select(col("mattr")).as[Double].collect().head == 1.0)
+  }
 }

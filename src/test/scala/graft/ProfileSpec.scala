@@ -119,4 +119,43 @@ class ProfileSpec extends SparkSpec {
     // boundary must return the value, not value − 1
     assert(got(1) == (("b", 3L, 7L, 7L, 7L, 7L)), got(1).toString)
   }
+
+  test("hllDistinct (X173): within the m=64 error band of exact; " +
+    "duplicate-invariant; null-only group absent") {
+    val vals = (1 to 5000).map(i => ("g", s"value_$i")).toDF("g", "v")
+    val est = Profile.hllDistinct(vals, "g", "v")
+      .as[(String, Long, Double)].collect().head
+    // standard error 1.04/√64 ≈ 13%; allow 2σ
+    assert(math.abs(est._3 - 5000.0) / 5000.0 < 0.26, est.toString)
+    // max() registers absorb duplicates: tripling the data changes nothing
+    val dup = Profile.hllDistinct(
+      vals.union(vals).union(vals), "g", "v")
+      .as[(String, Long, Double)].collect().head
+    assert(dup == est, s"dup=$dup est=$est")
+    // small counts take the linear-counting branch and stay close
+    val small = Profile.hllDistinct(
+      Seq(("g", "a"), ("g", "b"), ("g", "c"), ("g", "a")).toDF("g", "v"),
+      "g", "v").as[(String, Long, Double)].collect().head
+    assert(small._2 >= 61L && small._3 > 2.0 && small._3 < 5.0,
+      small.toString)
+    // a group with only nulls has no registers and no row
+    val withNull = Seq(("g", "a"), ("h", null)).toDF("g", "v")
+    val gs = Profile.hllDistinct(withNull, "g", "v")
+      .select("g").as[String].collect().toSeq
+    assert(gs == Seq("g"), gs.toString)
+  }
+
+  test("shardBoundaries (X175): uniform 1..100 splits exactly; " +
+    "all-equal column degenerates to one bound") {
+    val df = (1L to 100L).toDF("v")
+    val got = Profile.shardBoundaries(df, "v", shards = 4, bins = 100)
+      .orderBy("shard")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 25L, 25L), (2L, 50L, 50L), (3L, 75L, 75L)),
+      got.toString)
+    val eq = Seq.fill(10)(7L).toDF("v")
+    val g2 = Profile.shardBoundaries(eq, "v", shards = 3, bins = 16)
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((1L, 7L, 10L), (2L, 7L, 10L)), g2.toString)
+  }
 }
