@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, TrainingData}
+
+/** Round-12 [EXT] batch JJ: k-core peeling, degree assortativity, and
+  * within-source ECDF rank normalization (X176–X178).
+  */
+object Round12jjQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsFromIndex(
+      SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X176: 2-core of the near-dup graph — the template family
+    // once chains and pendants (threshold accidents) are peeled -----
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCore(nearDupPairs(s, dir), "doc_a", "doc_b", k = 2, rounds = 4)
+        .select(col("node").as("doc_id"), col("deg"))
+        .orderBy("doc_id")),
+
+    // ---- X177: hub-to-hub vs hub-to-leaf wiring of the near-dup
+    // graph — one exact-integer Pearson over edge-endpoint degrees --
+    "graph_assort" -> ((s, dir) =>
+      Graph.assortativity(nearDupPairs(s, dir), "doc_a", "doc_b")),
+
+    // ---- X178: n_chars percentile WITHIN each source — the portable
+    // cross-source threshold form of a raw score ---------------------
+    "score_rank_norm" -> ((s, dir) =>
+      TrainingData.rankNormalize(t(s, dir, "documents"),
+        "doc_id", "source", "n_chars", binWidth = 256L, nBins = 16)
+        .orderBy("doc_id")),
+  )
+
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b.append(s"WITH ${SparkEntry.sqlJaccardCtes},\n")
+    b.append("e0 AS (SELECT doc_a AS a, doc_b AS b FROM jpairs WHERE jac >= 0.3)")
+    for (r <- 1 to rounds) {
+      b.append(s""",
+        |d$r AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b AS node FROM e${r - 1})
+        |  GROUP BY node),
+        |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+        |  JOIN d$r da ON e.a = da.node JOIN d$r db ON e.b = db.node
+        |  WHERE da.deg >= $k AND db.deg >= $k)""".stripMargin)
+    }
+    b.append(s"""
+      |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds)
+      |GROUP BY node ORDER BY doc_id""".stripMargin)
+    b.toString
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_kcore" -> kCoreSql(k = 2, rounds = 4),
+
+    "graph_assort" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM jpairs WHERE jac >= 0.3),
+         |sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY 1),
+         |wd AS (SELECT CAST(dx.deg AS HUGEINT) AS x, CAST(dy.deg AS HUGEINT) AS y
+         |  FROM sym JOIN deg dx ON sym.a = dx.node
+         |    JOIN deg dy ON sym.b = dy.node),
+         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM wd)
+         |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN m * sxx - sx * sx > 0
+         |    THEN round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |      / CAST(m * sxx - sx * sx AS DOUBLE), 4)
+         |  END AS assortativity
+         |FROM mm""".stripMargin,
+
+    "score_rank_norm" ->
+      """WITH c AS (SELECT source AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+        |cum AS (SELECT g, b, CAST(coalesce(sum(c) OVER (PARTITION BY g
+        |      ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS below
+        |  FROM c),
+        |r AS (SELECT doc_id, source AS g, n_chars,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT r.doc_id, r.g AS source, r.n_chars,
+        |  ((20000 * cum.below + t.n) // (2 * t.n)) / 10000.0 AS pct
+        |FROM r JOIN cum ON r.g = cum.g AND r.b = cum.b
+        |  JOIN t ON r.g = t.g
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -241,4 +241,110 @@ object Graph {
             .cast("double") / lit(10000.0))
           .otherwise(lit(0.0)))
   }
+
+  /** k-core decomposition by bounded peeling (X176; Seidman 1983) —
+    * the cluster-CORE extractor for the near-dup graph: connected
+    * components (and even triangle counts) keep every chain and
+    * pendant that merely TOUCHES a duplicate family; the k-core is
+    * the maximal subgraph where every node keeps ≥ k neighbors, i.e.
+    * the actual template family once threshold accidents are peeled
+    * away. The standard curation read: pick representatives per
+    * 2-core, not per component.
+    *
+    * Bounded peel, NOT a convergence loop: exactly `rounds` rounds of
+    * (degree → drop nodes with deg < k → drop their edges) run in
+    * BOTH engines, so the oracle's unrolled replay is extensionally
+    * identical whether or not the peel has reached the fixpoint (a
+    * converged peel makes further rounds no-ops; an unconverged one
+    * is the same over-approximation on both sides — the pageRank
+    * "fixed small iters" rule). Each round strictly shrinks the edge
+    * set, and peels cascade one hop per round, so `rounds` bounds the
+    * CHAIN DEPTH peeled, not accuracy at the core.
+    *
+    * Scale shape: the pageRank relational-loop chassis — per round
+    * ONE map-side-combining degree aggregate and two left-semi joins
+    * on node keys; the edge set is localCheckpointed per round (it
+    * shrinks monotonically, and the loop's consumers cannot share an
+    * exchange across jobs — the spanDedup rule).
+    *
+    * Output: (node, deg) for every endpoint of the surviving edge
+    * set — at the fixpoint, exactly the k-core members with their
+    * within-core degrees. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 64)
+    val und0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    var e = und0.localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val alive = deg.where(col("deg") >= k).select(col("node"))
+      e = e
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      r += 1
+    }
+    e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Degree assortativity coefficient (X177; Newman 2002) — does the
+    * near-dup/link graph wire hubs to hubs (assortative, r > 0: one
+    * giant template blob) or hubs to leaves (disassortative, r < 0:
+    * hub-and-spoke boilerplate pointing at many singletons)? The
+    * one-number wiring diagnostic next to [[triangles]]' density and
+    * [[kCore]]'s depth.
+    *
+    * r = Pearson correlation of (deg(u), deg(v)) over DIRECTED edge
+    * occurrences (each undirected edge counted in both directions, so
+    * the statistic is symmetric and Σx = Σy by construction).
+    *
+    * Exactness: all four moments (M, Σx, Σxy, Σx²; Σy ≡ Σx by
+    * symmetry) are exact integer sums — products ride
+    * decimal(19,0)·decimal(19,0) per the overflow rule — and because
+    * the two variance terms coincide, r reduces to ONE division of
+    * exact integer operands (no sqrt at all). Degenerate variance
+    * (regular graph — every degree equal) yields null, not a 0/0.
+    *
+    * Scale shape: one degree aggregate, two equi-joins attaching
+    * deg(u)/deg(v) to edges (node keys), ONE scalar aggregate.
+    * Output: (n_edges, assortativity). */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val withDeg = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("__dx")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__dy")), "b")
+    val m = withDeg.agg(
+      count(lit(1)).cast("long").as("__m"),
+      sum(dec(col("__dx"))).as("__sx"),
+      sum(dec(col("__dx")) * dec(col("__dx"))).as("__sxx"),
+      sum(dec(col("__dx")) * dec(col("__dy"))).as("__sxy"))
+    // by symmetry the x- and y-variances coincide, so r needs no
+    // sqrt: r = (M·Σxy − Σx²)/(M·Σxx − Σx²) — numerator and
+    // denominator are EXACT integers (decimal(38,0); ~1e38 headroom),
+    // one double division finishes
+    val num = dec(col("__m")) * col("__sxy") - col("__sx") * col("__sx")
+    val den = dec(col("__m")) * col("__sxx") - col("__sx") * col("__sx")
+    m.select(
+      expr("__m div 2").as("n_edges"),
+      when(den > lit(0L), round(num.cast("double") / den.cast("double"), 4))
+        .as("assortativity"))
+  }
 }

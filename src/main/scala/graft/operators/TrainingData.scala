@@ -385,16 +385,61 @@ object TrainingData {
                    binWidth: Long, nBins: Int): DataFrame =
     df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
-        // clamp BOTH ends (ADVICE r11): a negative value would land
-        // outside the 0..nBins-1 grid — counted into the totals but
-        // contributing no PSI term, silently deflating the statistic
-        // for signed value columns
-        greatest(
-          least(floor(col(valueCol).cast("double") / lit(binWidth.toDouble)),
-            lit((nBins - 1).toDouble)),
-          lit(0.0)).cast("int").as("__b"))
+        binExpr(col(valueCol), binWidth, nBins).as("__b"))
       .groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__c"))
+
+  /** The clamped fixed-width bin rule shared by [[binnedCounts]] and
+    * [[rankNormalize]]'s row side (one definition so the two
+    * derivations cannot drift). Clamps BOTH ends (ADVICE r11): a
+    * negative value would land outside the 0..nBins-1 grid — counted
+    * into the totals but contributing no term, silently deflating the
+    * statistic for signed value columns. */
+  private[operators] def binExpr(value: Column, binWidth: Long,
+                                 nBins: Int): Column =
+    greatest(
+      least(floor(value.cast("double") / lit(binWidth.toDouble)),
+        lit((nBins - 1).toDouble)),
+      lit(0.0)).cast("int")
+
+  /** Per-row within-group ECDF rank normalization (X178) — maps a raw
+    * quality/length score to its percentile WITHIN its own source, so
+    * one global threshold means the same thing across sources whose
+    * raw score scales differ (a 0.6 classifier score on curated text
+    * and on web scrape are different animals; "top 20% of its source"
+    * is portable — the cross-source thresholding trick quality-
+    * filtered mixes use). pct = |group rows in strictly lower bins| /
+    * n_group ∈ [0, 1): bin-resolution ECDF — ties within a bin share
+    * a percentile (deterministic by construction, no rank window over
+    * corpus-scale groups).
+    *
+    * Scale shape: ONE [[binnedCounts]] map-side collapse; the
+    * exclusive running sum runs over ≤nBins-row grid partitions; the
+    * per-row attach is a BROADCAST join on (group, bin) —
+    * |groups|·nBins rows — so the corpus-side pass stays map-only.
+    * pct rides the integer half-up rounding rule (the mattr rule).
+    *
+    * Output: (idCol, groupCol, valueCol, pct); null values dropped. */
+  def rankNormalize(df: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String, binWidth: Long = 256L,
+                    nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val counts = binnedCounts(df, groupCol, valueCol, binWidth, nBins)
+    val tot = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val wExcl = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(wExcl), lit(0L)))
+      .join(tot, "__g")
+      .select(col("__g"), col("__b"), col("__below"), col("__n"))
+    df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol).as("__g"), col(valueCol),
+        binExpr(col(valueCol), binWidth, nBins).as("__b"))
+      .join(broadcast(cum), Seq("__g", "__b"))
+      .select(col(idCol), col("__g").as(groupCol), col(valueCol),
+        (expr("(20000 * __below + __n) div (2 * __n)").cast("double") /
+          lit(10000.0)).as("pct"))
+  }
 
   /** PSI assembly over two (__g, __b, __c) count tables — everything
     * downstream of the corpus scans; cardinality |groups|·nBins. */

@@ -190,4 +190,44 @@ class GraphSpec extends SparkSpec {
     // 012, 034, 013)
     assert(a.toSeq.map(_._3).sum == 9L)
   }
+
+  // ---------------- kCore (X176) ----------------
+
+  private def coreNodes(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+
+  test("kCore: a chain peels away round by round, the triangle survives") {
+    // chain 0-1-2-3-4 into triangle {4,5,6}, pendant 7 off 6
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L))
+    // converged: only the triangle, every member at within-core deg 2
+    assert(coreNodes(g, k = 2, rounds = 8) ==
+      Seq((4L, 2L), (5L, 2L), (6L, 2L)))
+    // bounded peel: 2 rounds only cascade 2 hops up the chain, so the
+    // over-approximation still holds nodes 2 and 3
+    val partial = coreNodes(g, k = 2, rounds = 2).map(_._1)
+    assert(partial.contains(2L) && partial.contains(3L) &&
+      !partial.contains(0L) && !partial.contains(7L), partial.toString)
+  }
+
+  test("kCore: K4 is its own 3-core; K4 minus an edge has none") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(coreNodes(k4, k = 3, rounds = 8) == (0L to 3L).map(n => (n, 3L)))
+    val broken = k4.filterNot(_ == (0L, 1L))
+    assert(coreNodes(broken, k = 3, rounds = 8).isEmpty)
+  }
+
+  // ---------------- assortativity (X177) ----------------
+
+  test("assortativity: star is exactly -1; a regular graph is null") {
+    val got = Graph.assortativity(star, "src", "dst")
+      .as[(Long, Option[Double])].collect().head
+    assert(got == ((5L, Some(-1.0))), got.toString)
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val reg = Graph.assortativity(cycle, "src", "dst")
+      .as[(Long, Option[Double])].collect().head
+    assert(reg == ((4L, None)), reg.toString)
+  }
 }

@@ -579,6 +579,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(miss == Map("de" -> None, "en" -> None), miss.toString)
   }
 
+  // ---------------- rankNormalize (X178) ----------------
+
+  test("rankNormalize: within-group ECDF percentiles, tied bins share, " +
+    "groups independent, nulls dropped") {
+    val rows = Seq(
+      (1L, "A", java.lang.Long.valueOf(0L)),
+      (2L, "A", java.lang.Long.valueOf(300L)),
+      (3L, "A", java.lang.Long.valueOf(600L)),
+      (4L, "A", java.lang.Long.valueOf(900L)),
+      (5L, "A", java.lang.Long.valueOf(10L)),   // ties bin 0 with id 1
+      (6L, "B", java.lang.Long.valueOf(9999L)), // own group: pct 0
+      (7L, "B", null)                           // dropped
+    ).toDF("doc_id", "source", "n_chars")
+    val got = TrainingData.rankNormalize(rows, "doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 0L, 0.0),
+      (2L, "A", 300L, 0.4),   // 2 of 5 strictly below bin 1
+      (3L, "A", 600L, 0.6),
+      (4L, "A", 900L, 0.8),
+      (5L, "A", 10L, 0.0),    // same bin as id 1 -> same percentile
+      (6L, "B", 9999L, 0.0)), got.toString)
+  }
+
   // ---------------- contrastivePairs (X121) ----------------
 
   test("contrastivePairs: band filter, valid distinct negatives, determinism") {
