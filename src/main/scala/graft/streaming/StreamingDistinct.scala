@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming distinct-count estimate ([EXT] X179, the continuous form
+  * of [[graft.operators.Profile.hllDistinct]] / X173): fold each
+  * arriving value into its group's 64 HLL registers and emit the
+  * revised estimate — "how many distinct tokens/users/URLs has this
+  * source shipped so far" at ingest time, with BOUNDED state where
+  * exact streaming distinct would hold every value ever seen.
+  *
+  * Per-group state is exactly 64 longs (the StreamingFunnel rule —
+  * a source with a billion distinct tokens costs the same 512 bytes
+  * as a cold one), and register max() is arrival-order-FREE, so the
+  * stream equals the batch operator over any prefix REGARDLESS of
+  * arrival order (pinned in StreamingSpec, including a shuffled
+  * replay — the StreamingProvenance property, not the quota cap's).
+  *
+  * The hash/bucket/rank/estimate arithmetic mirrors
+  * [[graft.operators.Profile.hllDistinct]] step for step (md5-52-bit
+  * hash, bucket = h mod 64, rank = 47 − bitlength(h div 64),
+  * T = Σ 2^(48−M), pinned α literal, linear-counting branch,
+  * 4-decimal HALF_UP) — StreamingSpec pins stream ≡ batch EXACTLY,
+  * not approximately.
+  */
+object StreamingDistinct {
+
+  final case class In(g: String, v: String)
+  final case class Estimate(group: String, n_empty: Long,
+                            hll_distinct: Double)
+
+  /** The Scala twin of the batch op's md5-52-bit hash:
+    * conv(substring(md5(v), 1, 13), 16, 10). */
+  private[graft] def hash52(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 13)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The Scala twin of the batch op's estimate assembly — one shared
+    * finish for the spec to compare against. */
+  private[graft] def finish(regs: Array[Long]): (Long, Double) = {
+    var t = 0L
+    var empty = 0L
+    regs.foreach { m =>
+      t += 1L << (48 - m)
+      if (m == 0L) empty += 1
+    }
+    val raw = 0.709 * 4096.0 * 281474976710656.0 / t.toDouble
+    val est =
+      if (raw <= 160.0 && empty > 0) 64.0 * math.log(64.0 / empty)
+      else raw
+    // Spark's round(col, 4): HALF_UP over the shortest-decimal repr
+    val r4 = java.math.BigDecimal.valueOf(est)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    (empty, r4)
+  }
+
+  def estimate(rows: DataFrame, groupCol: String,
+               valueCol: String): Dataset[Estimate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val typed = rows
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .as[In]
+    typed.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[In], state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(64)(0L))
+          it.foreach { r =>
+            val h = hash52(r.v)
+            val b = (h % 64L).toInt
+            val w = h / 64L
+            val rank =
+              if (w == 0L) 47L
+              else java.lang.Long.numberOfLeadingZeros(w).toLong - 17L
+            if (rank > regs(b)) regs(b) = rank
+          }
+          state.update(regs)
+          val (empty, est) = finish(regs)
+          Iterator.single(Estimate(g, empty, est))
+      }
+  }
+}

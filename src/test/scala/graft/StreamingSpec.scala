@@ -1181,4 +1181,51 @@ class StreamingSpec extends SparkSpec {
         s"stream=$viaStream batch=$viaBatch")
     } finally q.stop()
   }
+
+  test("streaming HLL distinct: 64 longs of per-group state, " +
+    "stream == batch EXACTLY, arrival-order-free") {
+    // 300 distinct values for g plus repeats, 5 for h, split so batch 2
+    // re-delivers some of batch 1's values (the max-fold must absorb)
+    val all = (1 to 300).map(i => ("g", s"tok_$i")) ++
+      (1 to 5).map(i => ("h", s"u$i"))
+    val (b1, b2x) = new scala.util.Random(7).shuffle(all).splitAt(120)
+    val b2 = b2x ++ b1.take(30) // re-deliveries
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("src", "tok")
+    def runStream(batches: Seq[Seq[(String, String)]], name: String) = {
+      val dir = Files.createTempDirectory(s"hll-$name").toString
+      toDf(batches.head).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema("src STRING, tok STRING")
+        .parquet(dir)
+      val q = graft.streaming.StreamingDistinct.estimate(
+        stream.toDF(), "src", "tok")
+        .toDF("group", "n_empty", "hll_distinct")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          toDf(b).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+        // Update sink: the estimate is monotone in the registers, so
+        // each group's final revision is its max (n_empty descends)
+        spark.table(name)
+          .groupBy(col("group"))
+          .agg(max(struct(col("hll_distinct"), col("n_empty"))).as("s"))
+          .select(col("group"), col("s.n_empty"), col("s.hll_distinct"))
+          .as[(String, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val got = runStream(Seq(b1, b2), "hll_stream")
+    val batch = graft.operators.Profile.hllDistinct(
+      toDf(b1 ++ b2), "src", "tok")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    // arrival order cannot matter: reversed batches, same final state
+    val rev = runStream(Seq(b2, b1), "hll_stream_rev")
+    assert(rev == batch, s"rev=$rev batch=$batch")
+    // and the estimate is actually in the m=64 error band
+    val gEst = batch.find(_._1 == "g").get._3
+    assert(math.abs(gEst - 300.0) / 300.0 < 0.3, batch.toString)
+  }
 }
