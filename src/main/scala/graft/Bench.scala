@@ -79,7 +79,11 @@ object Bench {
     "session_lift", "sq_calibration",
     "q_forecast_revenue", "q_excess_returns", "cdc_chunks",
     "battery_agreement", "quantile_sketch", "events_seasonality",
-    "entity_match")
+    "entity_match",
+    "graph_triangles", "source_logodds", "l_diversity",
+    "token_burstiness", "snapshot_w1", "source_gini",
+    "hll_distinct", "doc_mattr", "shard_bounds",
+    "graph_kcore", "graph_assort", "score_rank_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
