@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Round-12 [EXT] batch KK: Moore–Lewis targeted data selection and
+  * the vocabulary coverage curve (X180–X181).
+  */
+object Round12kkQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X180: cross-entropy-difference selection, in-domain = the
+    // English slice — rank docs by "looks like the target, not just
+    // easy" -----------------------------------------------------------
+    "moore_lewis" -> ((s, dir) =>
+      CorpusStats.mooreLewis(t(s, dir, "documents"), "doc_id", "text",
+        inDomain = col("lang") === "en")
+        .orderBy("doc")),
+
+    // ---- X181: occurrence coverage by log2-frequency vocab cut — the
+    // tokenizer vocab-size planning curve ------------------------------
+    "vocab_coverage" -> ((s, dir) =>
+      CorpusStats.vocabCoverage(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bucket")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "moore_lewis" ->
+      s"""WITH dt AS (SELECT doc_id AS doc, lang = 'en' AS ind,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |dc AS (SELECT doc, t, CAST(count(*) AS BIGINT) AS c, max(ind) AS ind
+         |  FROM dt GROUP BY 1, 2),
+         |st AS (SELECT t, CAST(sum(c) AS BIGINT) AS cfg,
+         |    CAST(sum(CASE WHEN ind THEN c ELSE 0 END) AS BIGINT) AS cfi
+         |  FROM dc GROUP BY t),
+         |sc AS (SELECT CAST(sum(cfg) AS BIGINT) AS ng,
+         |    CAST(sum(cfi) AS BIGINT) AS ni,
+         |    CAST(count(*) AS BIGINT) AS v FROM st)
+         |SELECT dc.doc AS doc, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+         |  round(sum(CAST(dc.c AS DOUBLE)
+         |      * (ln(CAST(st.cfg + 1 AS DOUBLE) / CAST(sc.ng + sc.v AS DOUBLE))
+         |       - ln(CAST(st.cfi + 1 AS DOUBLE) / CAST(sc.ni + sc.v AS DOUBLE))))
+         |    / CAST(sum(dc.c) AS DOUBLE), 4) AS ml_score
+         |FROM dc JOIN st USING (t) CROSS JOIN sc
+         |GROUP BY dc.doc ORDER BY doc""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH dt AS (SELECT doc_id AS d,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |dc AS (SELECT d, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM dt GROUP BY 1, 2),
+         |tf AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf FROM dc GROUP BY t),
+         |b AS (SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(tf) AS BIGINT) AS n_occ
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n FROM b),
+         |c AS (SELECT bucket, n_types, n_occ,
+         |    CAST(sum(n_types) OVER (ORDER BY bucket DESC) AS BIGINT)
+         |      AS cum_types,
+         |    CAST(sum(n_occ) OVER (ORDER BY bucket DESC) AS BIGINT)
+         |      AS cum_occ
+         |  FROM b)
+         |SELECT bucket, n_types, n_occ, cum_types, cum_occ,
+         |  ((20000 * cum_occ + tot.n) // (2 * tot.n)) / 10000.0 AS coverage
+         |FROM c CROSS JOIN tot ORDER BY bucket""".stripMargin,
+  )
+}

@@ -949,4 +949,111 @@ object CorpusStats {
         (expr("(20000 * __sa + __den) div (2 * __den)").cast("double") /
           lit(10000.0)).as("gini"))
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection (X180; Moore
+    * & Lewis 2010 — "Intelligent Selection of Language Model Training
+    * Data") — THE classic targeted-selection score: rank every doc by
+    * H_in(d) − H_gen(d), the per-token cross-entropy under an
+    * in-domain LM minus under the general-corpus LM; low scores =
+    * "looks like the target domain, not just easy text" (raw
+    * perplexity alone keeps generic fluent boilerplate). The named
+    * ancestor of the [[Curation]] DSIR weights — kept as the
+    * interpretable two-LM form.
+    *
+    * Both LMs are unigram with shared Laplace smoothing over the
+    * GENERAL vocabulary: p_X(w) = (cf_X(w)+1)/(N_X+V), so in-domain
+    * OOV is defined and the score is
+    * (1/|d|)·Σ c_w·(ln p_gen(w) − ln p_in(w)) — exact integer counts,
+    * fixed ln/division order, both engines replay (the sourceKl
+    * precedent).
+    *
+    * Scale shape (the unigramLogProb chassis): per-(doc, token)
+    * combine map-side; token stats are ONE vocab-scale table
+    * (cf_gen, cf_in via conditional sum — no second corpus pass);
+    * the scoring join takes the Zipf hybrid — top-`headSize` tokens
+    * by general count ride a broadcast, the skew-free tail takes the
+    * equi-join; scalars (N_in, N_gen, V) broadcast. Docs with zero
+    * tokens are absent.
+    *
+    * Output: (doc, n_tokens, ml_score) — ml_score ascending = most
+    * in-domain. */
+  def mooreLewis(docs: DataFrame, idCol: String, textCol: String,
+                 inDomain: org.apache.spark.sql.Column,
+                 headSize: Int = 1024): DataFrame = {
+    require(headSize >= 0)
+    val docTok = docs
+      .select(col(idCol).as("doc"), inDomain.as("__in"),
+        explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t"))
+      .agg(count(lit(1)).cast("long").as("c"),
+        max(col("__in")).as("__in"))
+    val stats = docTok.groupBy(col("t"))
+      .agg(sum(col("c")).cast("long").as("cf_gen"),
+        sum(when(col("__in"), col("c")).otherwise(0L)).cast("long")
+          .as("cf_in"))
+    val scalars = stats.agg(sum(col("cf_gen")).cast("long").as("__ng"),
+      sum(col("cf_in")).cast("long").as("__ni"),
+      count(lit(1)).cast("long").as("__v"))
+    val head = stats.orderBy(col("cf_gen").desc, col("t").asc).limit(headSize)
+    val tail = stats.join(broadcast(head.select(col("t"))), Seq("t"),
+      "left_anti")
+    val joined = docTok.join(broadcast(head), Seq("t"))
+      .unionByName(docTok.join(tail, Seq("t")))
+    val d = (x: org.apache.spark.sql.Column) => x.cast("double")
+    val perTok =
+      log(d(col("cf_gen") + 1L) / d(col("__ng") + col("__v"))) -
+        log(d(col("cf_in") + 1L) / d(col("__ni") + col("__v")))
+    joined.crossJoin(broadcast(scalars))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        round((sum(col("c").cast("double") * perTok) /
+          sum(col("c")).cast("double")), 4).as("ml_score"))
+  }
+
+  /** Vocabulary coverage curve by log2-frequency bucket (X181) — the
+    * tokenizer/vocab-size planning readout: "a vocabulary containing
+    * every token of corpus frequency ≥ 2^j holds `cum_types` types
+    * and covers `coverage` of all token OCCURRENCES". Answers how
+    * much OOV mass a vocab truncation leaves on the table — the same
+    * decision [[vocabGrowth]] informs from the docs axis and
+    * [[zipfFit]] from the rank axis, here cut along frequency.
+    *
+    * Scale shape: the two-phase token collapse (per-(doc, token)
+    * map-side first), ONE vocab-scale bucket aggregate —
+    * bucket = bitlength(cf) − 1 = ⌊log2 cf⌋, the exact integer rule
+    * both engines share via bin()-length (the Skew.exactBucket
+    * idiom) — then cumulative sums over the ≤64-row bucket table
+    * (bounded by construction). Coverage rides the integer half-up
+    * rounding rule.
+    *
+    * Output: (bucket, n_types, n_occ, cum_types, cum_occ, coverage),
+    * bucket DESCENDING cumulative (from the frequent side down). */
+  def vocabCoverage(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("__d"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__d"), col("t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col("t"))
+      .agg(sum(col("__c")).cast("long").as("__tf"))
+    val buckets = tf
+      .select((length(bin(col("__tf"))) - 1).cast("long").as("bucket"),
+        col("__tf"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("__tf")).cast("long").as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = buckets.agg(sum(col("n_occ")).cast("long").as("__n"))
+    buckets
+      .withColumn("cum_types", sum(col("n_types")).over(w).cast("long"))
+      .withColumn("cum_occ", sum(col("n_occ")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_types"), col("n_occ"),
+        col("cum_types"), col("cum_occ"),
+        (expr("(20000 * cum_occ + __n) div (2 * __n)").cast("double") /
+          lit(10000.0)).as("coverage"))
+  }
 }

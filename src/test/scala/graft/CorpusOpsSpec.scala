@@ -601,4 +601,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusStats.sourceGini(single, "lang", "source")
       .as[(String, Long, Long, Double)].collect().head == (("de", 1L, 2L, 0.0)))
   }
+
+  test("mooreLewis: driver replay; in-domain docs score below out-domain") {
+    // d1, d2 in-domain; d3 out. cf_gen a:3 b:1 c:2; cf_in a:3 b:1 c:0
+    // ng=6 ni=4 V=3
+    val docs = Seq(
+      (1L, "en", "a a"), (2L, "en", "a b"), (3L, "zh", "c c")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.mooreLewis(docs, "doc_id", "text",
+      inDomain = col("lang") === "en")
+      .orderBy("doc")
+      .as[(Long, Long, Double)].collect().toSeq
+    def tok(cfg: Long, cfi: Long): Double =
+      math.log((cfg + 1).toDouble / 9.0) - math.log((cfi + 1).toDouble / 7.0)
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (1L, 2L, r4(2 * tok(3, 3) / 2.0)),
+      (2L, 2L, r4((tok(3, 3) + tok(1, 1)) / 2.0)),
+      (3L, 2L, r4(2 * tok(2, 0) / 2.0)))
+    assert(got == want, s"got=$got want=$want")
+    // the out-domain doc scores strictly higher
+    assert(got(2)._3 > got(0)._3 && got(2)._3 > got(1)._3)
+  }
+
+  test("vocabCoverage: log2 buckets, descending cumulative, half-up " +
+    "coverage") {
+    // a×8 (bucket 3), b×3 c×2 (bucket 1), d×1 e×1 (bucket 0); N=15
+    val docs = Seq((1L, "a a a a a a a a b b b c c d e"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(docs, "doc_id", "text")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 5L, 15L, 1.0),
+      (1L, 2L, 5L, 3L, 13L, 0.8667),
+      (3L, 1L, 8L, 1L, 8L, 0.5333)), got.toString)
+  }
 }
