@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Round-12 [EXT] batch LL: per-source lexical richness and pairwise
+  * vocabulary overlap (X182–X183).
+  */
+object Round12llQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X182: vocab / hapax / TTR panel per source -----------------
+    "lexical_richness" -> ((s, dir) =>
+      CorpusStats.lexicalRichness(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // ---- X183: which provenances are rebrands of the same crawl —
+    // vocabulary Jaccard per source pair ------------------------------
+    "vocab_overlap" -> ((s, dir) =>
+      CorpusStats.vocabOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("g_a", "g_b")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lexical_richness" ->
+      s"""WITH st AS (SELECT source AS g,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM st GROUP BY 1, 2),
+         |agg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+         |  FROM cnt GROUP BY g)
+         |SELECT g AS source, n_tokens, vocab, hapax,
+         |  ((20000 * hapax + vocab) // (2 * vocab)) / 10000.0 AS hapax_share,
+         |  ((20000 * vocab + n_tokens) // (2 * n_tokens)) / 10000.0 AS ttr
+         |FROM agg ORDER BY source""".stripMargin,
+
+    "vocab_overlap" ->
+      s"""WITH st AS (SELECT source AS g,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |gt AS (SELECT g, t FROM st GROUP BY 1, 2),
+         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS v FROM gt GROUP BY g),
+         |inter AS (SELECT a.g AS g_a, b.g AS g_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM gt a JOIN gt b ON a.t = b.t AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT i.g_a, i.g_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+         |  ((20000 * i.n_common + (sa.v + sb.v - i.n_common))
+         |    // (2 * (sa.v + sb.v - i.n_common))) / 10000.0 AS jaccard
+         |FROM inter i JOIN sz sa ON i.g_a = sa.g JOIN sz sb ON i.g_b = sb.g
+         |ORDER BY g_a, g_b""".stripMargin,
+  )
+}

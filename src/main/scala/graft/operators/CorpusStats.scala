@@ -1056,4 +1056,77 @@ object CorpusStats {
         (expr("(20000 * cum_occ + __n) div (2 * __n)").cast("double") /
           lit(10000.0)).as("coverage"))
   }
+
+  /** Per-group lexical richness report (X182) — vocabulary size,
+    * hapax legomena count (types seen ONCE in the group), hapax share
+    * of the vocabulary, and type-token ratio: the classic richness
+    * panel (Baayen 2001). A source whose hapax share collapses is
+    * template-dominated (new text stopped introducing words); one
+    * whose TTR spikes against its peers is likely noise/mojibake
+    * (every "word" unique). Group-level raw TTR is the right scope
+    * here — the per-DOC length-invariant form is [[Curation.mattr]].
+    *
+    * Scale shape: the two-phase (group, token) map-side collapse,
+    * then ONE |groups|-row aggregate (vocab = row count, hapax = a
+    * conditional sum — no second pass, no distinct of raw rows).
+    * Ratios ride the integer half-up rule. Output: (groupCol,
+    * n_tokens, vocab, hapax, hapax_share, ttr). */
+  def lexicalRichness(docs: DataFrame, groupCol: String,
+                      textCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("hapax"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("hapax"),
+        (expr("(20000 * hapax + vocab) div (2 * vocab)").cast("double") /
+          lit(10000.0)).as("hapax_share"),
+        (expr("(20000 * vocab + n_tokens) div (2 * n_tokens)").cast("double") /
+          lit(10000.0)).as("ttr"))
+
+  /** Pairwise vocabulary overlap between groups (X183) — Jaccard of
+    * the DISTINCT-token sets of every source pair: the redundancy map
+    * that says which provenances are rebrands of the same crawl
+    * BEFORE paying document-level near-dup across them (a pair with
+    * 0.9 vocabulary Jaccard is the place to point cross_source_pairs
+    * at; one at 0.1 never will pay off). The vocab-level sibling of
+    * the X91 cross-source duplication matrix.
+    *
+    * Scale shape: the (group, token) DISTINCT table is the collapsed
+    * two-phase output (≤ \|groups\|·\|vocab\| rows); the pair stage
+    * is a self-equi-join ON THE TOKEN whose per-key fan-out is
+    * bounded by \|groups\|² — provenance cardinality, never corpus
+    * or vocab scale — followed by one \|groups\|²-row aggregate.
+    * Jaccard rides the integer half-up rule.
+    *
+    * Output: (g_a, g_b, v_a, v_b, n_common, jaccard), g_a < g_b. */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val gt = docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__g"), col("t"))
+      .localCheckpoint(true)
+    val sizes = gt.groupBy(col("__g")).agg(count(lit(1)).cast("long").as("__v"))
+    val inter = gt.select(col("__g").as("g_a"), col("t"))
+      .join(gt.select(col("__g").as("g_b"), col("t")), "t")
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("g_a"), col("__v").as("v_a"))),
+        "g_a")
+      .join(broadcast(sizes.select(col("__g").as("g_b"), col("__v").as("v_b"))),
+        "g_b")
+      .withColumn("__u", col("v_a") + col("v_b") - col("n_common"))
+      .select(col("g_a"), col("g_b"), col("v_a"), col("v_b"), col("n_common"),
+        (expr("(20000 * n_common + __u) div (2 * __u)").cast("double") /
+          lit(10000.0)).as("jaccard"))
+  }
 }

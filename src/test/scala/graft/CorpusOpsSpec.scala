@@ -638,4 +638,25 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 2L, 5L, 3L, 13L, 0.8667),
       (3L, 1L, 8L, 1L, 8L, 0.5333)), got.toString)
   }
+
+  test("lexicalRichness: vocab, hapax, shares on a known fixture") {
+    val docs = Seq(("A", "a a b"), ("A", "c"), ("B", "x x x x"))
+      .toDF("source", "text")
+    val got = CorpusStats.lexicalRichness(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 4L, 3L, 2L, 0.6667, 0.75), // hapax b, c; ttr 3/4
+      ("B", 4L, 1L, 0L, 0.0, 0.25)), got.toString)
+  }
+
+  test("vocabOverlap: pair jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "a b c"), ("B", "b c d"), ("C", "zz zz")
+    ).toDF("source", "text")
+    val got = CorpusStats.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // A∩B = {b,c}: 2/(3+3-2) = 0.5; C shares nothing -> no row
+    assert(got == Seq(("A", "B", 3L, 3L, 2L, 0.5)), got.toString)
+  }
 }

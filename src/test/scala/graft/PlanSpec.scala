@@ -557,4 +557,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("hll_distinct: registers collapse map-side (partial max before " +
+    "the exchange); no distinct of raw values anywhere") {
+    val p = plan("hll_distinct")
+    // the (group, bucket) max must partial-aggregate before shuffling
+    assert(p.contains("partial_max") || p.contains("Partial"), p)
+    // the corpus side never pays a distinct: the only HashAggregates
+    // key on the 64-bucket register grid, not on token values
+    assert(!p.contains("Window"), p)
+  }
+
+  test("score_rank_norm: the per-row attach is a BROADCAST join — the " +
+    "corpus side never shuffles for the ECDF") {
+    val p = plan("score_rank_norm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the ONLY window is the exclusive cumsum over the ≤nBins grid —
+    // it must sit under the broadcast side, after the (g, b) collapse
+    assert(p.contains("Window"), p)
+  }
+
+  test("moore_lewis: the scoring join takes the Zipf hybrid — head " +
+    "broadcast + tail equi-join, one corpus-sized combine") {
+    val p = plan("moore_lewis")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("doc_mattr: pure per-row HOF map — no exchange beyond the " +
+    "presentation sort") {
+    val p = plan("doc_mattr")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
