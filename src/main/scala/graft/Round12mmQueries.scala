@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lexical
+
+/** Round-12 [EXT] batch MM: Burrows' Delta stylometric distance
+  * between sources (X184).
+  */
+object Round12mmQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X184: function-word style fingerprint distance — which
+    // "different" sources are one generator wearing two names --------
+    "source_delta" -> ((s, dir) =>
+      Lexical.burrowsDelta(t(s, dir, "documents"), "source", "text", k = 50)
+        .orderBy("g_a", "g_b")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "source_delta" ->
+      s"""WITH stx AS (SELECT source AS g,
+         |    unnest(${SparkEntry.sqlTokens("text")}) AS t FROM documents),
+         |cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM stx GROUP BY 1, 2),
+         |tf AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf FROM cnt GROUP BY t),
+         |panel AS (SELECT t FROM tf ORDER BY tf DESC, t ASC LIMIT 50),
+         |np AS (SELECT CAST(count(*) AS BIGINT) * 1000000 AS k FROM panel),
+         |ns AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY g),
+         |grid AS (SELECT ns.g, panel.t,
+         |    (200000000 * coalesce(cnt.c, 0) + ns.n) // (2 * ns.n) AS fq
+         |  FROM panel CROSS JOIN ns
+         |  LEFT JOIN cnt ON cnt.g = ns.g AND cnt.t = panel.t),
+         |mo AS (SELECT t, CAST(count(*) AS HUGEINT) AS s,
+         |    sum(CAST(fq AS HUGEINT)) AS sf,
+         |    sum(CAST(fq AS HUGEINT) * CAST(fq AS HUGEINT)) AS sff
+         |  FROM grid GROUP BY t),
+         |zq AS (SELECT grid.g, grid.t,
+         |    CASE WHEN mo.s * mo.sff - mo.sf * mo.sf > 0
+         |      THEN CAST(floor(CAST(mo.s * CAST(grid.fq AS HUGEINT) - mo.sf
+         |          AS DOUBLE)
+         |        / sqrt(CAST(mo.s * mo.sff - mo.sf * mo.sf AS DOUBLE))
+         |        * 1000000.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END AS zq
+         |  FROM grid JOIN mo ON grid.t = mo.t),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b,
+         |    CAST(sum(abs(a.zq - b.zq)) AS BIGINT) AS sd
+         |  FROM zq a JOIN zq b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+         |SELECT g_a, g_b,
+         |  ((20000 * sd + np.k) // (2 * np.k)) / 10000.0 AS delta
+         |FROM p CROSS JOIN np ORDER BY g_a, g_b""".stripMargin,
+  )
+}

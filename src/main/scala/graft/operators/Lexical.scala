@@ -352,4 +352,80 @@ object Lexical {
         when(size(col("__arr")) > 1,
           col("__arr")(1).getField("d") - col("__arr")(0).getField("d"))
           .as("margin"))
+
+  /** Burrows' Delta stylometric distance between groups (X184;
+    * Burrows 2002 "'Delta': a Measure of Stylistic Difference") — the
+    * standard authorship-attribution distance, here pointed at
+    * provenance: two "different" sources with a near-zero Delta over
+    * FUNCTION-word usage are one generator/pipeline wearing two
+    * names (content words can differ completely while the style
+    * fingerprint matches — the signal vocab overlap and near-dup both
+    * miss). Delta(a, b) = meanₜ |z_a(t) − z_b(t)| over the corpus's
+    * k most frequent tokens, z-scored per token across groups.
+    *
+    * Determinism end to end (the zipfFit quantized-log recipe):
+    * relative frequencies quantize to exact longs on a 1e-8 grid
+    * (integer half-up); per-token mean/variance across the \|groups\|
+    * values use exact integer moments, so
+    * z = (S·fq − Σfq)/√(S·Σfq² − (Σfq)²) is ONE fixed-order double
+    * expression of exact operands; z quantizes to a 1e-6 long
+    * (floor(z·10⁶ + 0.5), a PINNED rule), so the pair sums
+    * Σ\|zqₐ − zq_b\| are exact integers and Delta finishes with one
+    * integer half-up division. A token every group uses identically
+    * (σ = 0) contributes zero by definition.
+    *
+    * Scale shape: the two-phase (group, token) collapse; the top-k
+    * panel is the bounded TopKStrAgg (never a vocab rank window) and
+    * BROADCASTS (k rows) into a k·\|groups\| grid (absent
+    * combinations count f = 0 — a source that never uses "the" is
+    * exactly the signal); the pair stage self-joins on the token with
+    * fan-out \|groups\|² — panel × provenance cardinality, never
+    * corpus scale. Output: (g_a, g_b, delta), g_a < g_b. */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 50): DataFrame = {
+    require(k >= 2, "the function-word panel needs at least 2 tokens")
+    val st = docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true)
+    val tf = st.groupBy(col("t")).agg(sum(col("__c")).cast("long").as("__tf"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    val panel = tf.agg(topk(col("t"), negate(col("__tf").cast("double")))
+        .as("__top"))
+      .select(explode(col("__top")).as("__kw"))
+      .select(col("__kw.key").as("t"))
+    val ns = st.groupBy(col("__g")).agg(sum(col("__c")).cast("long").as("__n"))
+    val grid = broadcast(panel).crossJoin(broadcast(ns))
+      .join(st, Seq("__g", "t"), "left")
+      .select(col("__g"), col("t"),
+        // f quantized to 1e-8: exact half-up of c/n
+        expr("(200000000 * coalesce(__c, 0L) + __n) div (2 * __n)")
+          .as("__fq"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val moments = grid.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("__s"),
+        sum(dec(col("__fq"))).as("__sf"),
+        sum(dec(col("__fq")) * dec(col("__fq"))).as("__sff"))
+    val den = dec(col("__s")) * col("__sff") - col("__sf") * col("__sf")
+    val zq = grid.join(broadcast(moments), "t")
+      .select(col("__g"), col("t"),
+        when(den > lit(0L),
+          floor((dec(col("__s")) * dec(col("__fq")) - col("__sf"))
+            .cast("double") / sqrt(den.cast("double")) * lit(1000000.0) +
+            lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("__zq"))
+    val nPanel = panel.count()
+    zq.select(col("__g").as("g_a"), col("t"), col("__zq").as("__za"))
+      .join(zq.select(col("__g").as("g_b"), col("t"), col("__zq").as("__zb")),
+        "t")
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(abs(col("__za") - col("__zb"))).as("__sd"))
+      .select(col("g_a"), col("g_b"),
+        (expr(s"(20000 * __sd + ${nPanel * 1000000L}) div " +
+          s"(2 * ${nPanel * 1000000L})").cast("double") /
+          lit(10000.0)).as("delta"))
+  }
 }

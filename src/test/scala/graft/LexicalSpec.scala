@@ -248,4 +248,28 @@ class LexicalSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  // ---------------- burrowsDelta (X184) ----------------
+
+  test("burrowsDelta: identical function-word profiles score 0; a " +
+    "divergent source scores > 0 symmetrically") {
+    // A and B share exact relative frequencies (x: 1/2, y: 1/2);
+    // C skews to x (3/4, 1/4)
+    val docs = Seq(
+      ("A", "x y x y"), ("B", "x y y x"), ("C", "x x x y")
+    ).toDF("source", "text")
+    val got = Lexical.burrowsDelta(docs, "source", "text", k = 50)
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Double)].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("A", "B")) == 0.0, got.toString)
+    assert(m(("A", "C")) > 0.0 && m(("A", "C")) == m(("B", "C")),
+      got.toString)
+    // all groups identical -> every sigma is 0 -> all deltas 0
+    val same = Seq(("A", "x y"), ("B", "x y"), ("C", "y x"))
+      .toDF("source", "text")
+    val zeros = Lexical.burrowsDelta(same, "source", "text", k = 50)
+      .as[(String, String, Double)].collect().toSeq
+    assert(zeros.size == 3 && zeros.forall(_._3 == 0.0), zeros.toString)
+  }
 }
