@@ -83,7 +83,9 @@ object Bench {
     "graph_triangles", "source_logodds", "l_diversity",
     "token_burstiness", "snapshot_w1", "source_gini",
     "hll_distinct", "doc_mattr", "shard_bounds",
-    "graph_kcore", "graph_assort", "score_rank_norm")
+    "graph_kcore", "graph_assort", "score_rank_norm",
+    "moore_lewis", "vocab_coverage", "lexical_richness",
+    "vocab_overlap", "source_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

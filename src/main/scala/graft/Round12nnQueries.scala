@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+/** Round-12 [EXT] batch NN: DAU/period-AU stickiness (X185). */
+object Round12nnQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X185: engagement stickiness per day over fixed 28-day
+    // periods — drive-by traffic / bot-fleet cycling detector --------
+    "events_stickiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      Funnel.stickiness(ev, "user_id", "ts_us")
+        .orderBy("day")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_stickiness" ->
+      """WITH du AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id AS u,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM du GROUP BY day),
+        |pu AS (SELECT DISTINCT day // 28 AS p, u FROM du),
+        |pau AS (SELECT p, CAST(count(*) AS BIGINT) AS period_au
+        |  FROM pu GROUP BY p)
+        |SELECT dau.day, dau.dau, pau.period_au,
+        |  ((20000 * dau.dau + pau.period_au) // (2 * pau.period_au))
+        |    / 10000.0 AS stickiness
+        |FROM dau JOIN pau ON dau.day // 28 = pau.p
+        |ORDER BY day""".stripMargin,
+  )
+}

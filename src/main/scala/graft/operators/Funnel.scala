@@ -401,4 +401,44 @@ object Funnel {
         round(col("n").cast("double") / col("__t").cast("double"), 4)
           .as("share"))
   }
+
+  /** Daily-active / period-active stickiness (X185) — the DAU/MAU
+    * engagement ratio per day, the product-analytics staple: a
+    * stickiness near 1 means the same users return every day, near
+    * 1/28 means every active user appears once a period (drive-by
+    * traffic, or a bot fleet cycling identities). Periods are FIXED
+    * 28-day windows on the integer day grid (day div 28) — the
+    * seasonality integer-div rule; calendar months would drag
+    * locale/calendar semantics into the cross-engine contract for no
+    * analytical gain.
+    *
+    * Scale shape: exact distincts via the two-phase collapse — ONE
+    * corpus-sized (day, user) combine (map-side partials absorb hot
+    * users), the period roll-up reuses that collapsed table (never
+    * re-scans events), both actives are row counts over collapsed
+    * tables; the per-day attach joins on the period key. The ratio
+    * rides the integer half-up rule (denominators are user counts —
+    * small in exactly the drive-by cases the metric flags).
+    *
+    * Output: (day, dau, period_au, stickiness), day = epoch days. */
+  def stickiness(events: DataFrame, userCol: String,
+                 tsUsCol: String): DataFrame = {
+    val du = events
+      .where(col(userCol).isNotNull)
+      .select(expr(s"$tsUsCol div 86400000000").as("day"),
+        col(userCol).as("__u"))
+      .groupBy(col("day"), col("__u"))
+      .agg(count(lit(1)).as("__c"))
+    val dau = du.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("dau"))
+    val pau = du.select(expr("day div 28").as("__p"), col("__u"))
+      .distinct()
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).cast("long").as("period_au"))
+    dau.withColumn("__p", expr("day div 28"))
+      .join(pau, "__p")
+      .select(col("day"), col("dau"), col("period_au"),
+        (expr("(20000 * dau + period_au) div (2 * period_au)")
+          .cast("double") / lit(10000.0)).as("stickiness"))
+  }
 }

@@ -186,4 +186,29 @@ class FunnelSpec extends SparkSpec {
       ("shift", 5L, 4L, 4.0, true),
       ("steady", 5L, 0L, 0.0, false)), got.toString)
   }
+
+  // ---------------- stickiness (X185) ----------------
+
+  test("stickiness: DAU over fixed 28-day period actives; repeat events " +
+    "collapse; null users dropped") {
+    val day = 86400000000L
+    val rows = Seq(
+      // day 0 (period 0): users 1, 2 — user 1 twice (collapses)
+      (0L * day + 5L, java.lang.Long.valueOf(1L)),
+      (0L * day + 9L, java.lang.Long.valueOf(1L)),
+      (0L * day + 7L, java.lang.Long.valueOf(2L)),
+      // day 1 (period 0): user 1 only
+      (1L * day + 3L, java.lang.Long.valueOf(1L)),
+      // day 29 (period 1): user 3
+      (29L * day + 1L, java.lang.Long.valueOf(3L)),
+      (29L * day + 2L, null)
+    ).toDF("ts_us", "user_id")
+    val got = Funnel.stickiness(rows, "user_id", "ts_us")
+      .orderBy("day")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1.0),   // period 0 actives {1, 2}
+      (1L, 1L, 2L, 0.5),
+      (29L, 1L, 1L, 1.0)), got.toString)
+  }
 }
