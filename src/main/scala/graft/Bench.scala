@@ -85,7 +85,8 @@ object Bench {
     "hll_distinct", "doc_mattr", "shard_bounds",
     "graph_kcore", "graph_assort", "score_rank_norm",
     "moore_lewis", "vocab_coverage", "lexical_richness",
-    "vocab_overlap", "source_delta")
+    "vocab_overlap", "source_delta", "events_stickiness",
+    "events_survival", "benford_digits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

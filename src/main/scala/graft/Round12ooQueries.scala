@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Profile}
+
+/** Round-12 [EXT] batch OO: Kaplan–Meier engagement survival and the
+  * Benford first-digit audit (X186–X187).
+  */
+object Round12ooQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X186: survival curve of user engagement lifetimes with
+    // right-censoring at the observation edge -------------------------
+    "events_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      Funnel.survival(ev, "user_id", "ts_us")
+        .orderBy("t")
+    }),
+
+    // ---- X187: Benford profile of a money column — fabricated or
+    // templated numerics flatten/spike the first-digit law -----------
+    "benford_digits" -> ((s, dir) =>
+      Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_survival" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS fd,
+        |    max(epoch_us(ts) // 86400000000) AS ld
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |mx AS (SELECT max(ld) AS maxd FROM u),
+        |lt AS (SELECT u.ld - u.fd AS t, u.ld < mx.maxd AS dead
+        |  FROM u CROSS JOIN mx),
+        |g AS (SELECT t,
+        |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+        |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM lt GROUP BY t),
+        |r AS (SELECT t, n_death, n_censored,
+        |    CAST(sum(n_death + n_censored) OVER
+        |      (ORDER BY t DESC) AS BIGINT) AS n_risk
+        |  FROM g),
+        |s AS (SELECT t, n_risk, n_death, n_censored,
+        |    CASE WHEN n_death < n_risk
+        |      THEN ln(1.0 - CAST(n_death AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS lnf,
+        |    CASE WHEN n_death = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |c AS (SELECT t, n_risk, n_death, n_censored,
+        |    sum(lnf) OVER (ORDER BY t ASC) AS slnf,
+        |    max(z) OVER (ORDER BY t ASC) AS zz
+        |  FROM s)
+        |SELECT t, n_risk, n_death, n_censored,
+        |  CASE WHEN zz = 1 THEN 0.0 ELSE round(exp(slnf), 4) END AS survival
+        |FROM c WHERE n_death > 0 ORDER BY t""".stripMargin,
+
+    "benford_digits" ->
+      // CAST(double AS BIGINT) ROUNDS in DuckDB but truncates in
+      // Spark — floor() first so both engines take the same integer
+      """WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+        |  FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM v WHERE v >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY digit),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |grid AS (SELECT unnest(range(1, 10)) AS digit)
+        |SELECT grid.digit, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+        |  ((20000 * coalesce(c.cnt, 0) + tot.n) // (2 * tot.n)) / 10000.0
+        |    AS share,
+        |  round(ln(1.0 + 1.0 / CAST(grid.digit AS DOUBLE)) / ln(10.0), 4)
+        |    AS expected
+        |FROM grid LEFT JOIN c ON grid.digit = c.digit CROSS JOIN tot
+        |ORDER BY grid.digit""".stripMargin,
+  )
+}

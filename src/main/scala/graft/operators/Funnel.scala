@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Funnel analysis: how far does each user get through an ORDERED
@@ -440,5 +441,78 @@ object Funnel {
       .select(col("day"), col("dau"), col("period_au"),
         (expr("(20000 * dau + period_au) div (2 * period_au)")
           .cast("double") / lit(10000.0)).as("stickiness"))
+  }
+
+  /** Kaplan–Meier engagement survival curve (X186; Kaplan & Meier
+    * 1958) — "what fraction of users are still active t days after
+    * their first event", with RIGHT-CENSORING done properly: a user
+    * whose last event falls on the corpus's final observed day has
+    * not churned, they ran out of observation window — counting them
+    * as deaths (the naive lifetime ECDF) biases survival DOWN
+    * exactly for the newest cohorts. The retention-cohort table
+    * (X71) reads grid cells; this is the principled single curve.
+    *
+    * Per user: lifetime t = last_day − first_day; death if their
+    * last day precedes the corpus max day, censored otherwise.
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct death times, where
+    * nᵢ = users with lifetime ≥ tᵢ (deaths and censored both count
+    * while at risk).
+    *
+    * Determinism: the survival product is a CUMULATIVE PRODUCT over
+    * the ordered ≤\|days\|-row lifetime grid — an ordered bounded
+    * window, so both engines multiply the SAME exact-operand factors
+    * in the SAME order (identical IEEE doubles; the 1e-4 round is
+    * presentation). The factors (1 − d/n) are exact-integer-operand
+    * divisions.
+    *
+    * Scale shape: per-user (first, last) is ONE map-side-combining
+    * min/max aggregate on the user key; everything downstream runs
+    * on the ≤\|days\| lifetime grid (at-risk counts via reverse
+    * cumulative sums over that grid — bounded by construction, the
+    * vocabGrowth rule). Output: (t, n_risk, n_death, n_censored,
+    * survival), t ascending over death times. */
+  def survival(events: DataFrame, userCol: String,
+               tsUsCol: String): DataFrame = {
+    val users = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"$tsUsCol div 86400000000").as("__d"))
+      .groupBy(col("__u"))
+      .agg(min(col("__d")).as("__first"), max(col("__d")).as("__last"))
+    val maxDay = users.agg(max(col("__last")).as("__maxd"))
+    val lifetimes = users.crossJoin(broadcast(maxDay))
+      .select((col("__last") - col("__first")).as("t"),
+        (col("__last") < col("__maxd")).as("__dead"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("__dead"), 1L).otherwise(0L)).cast("long")
+        .as("n_death"),
+        sum(when(col("__dead"), 0L).otherwise(1L)).cast("long")
+          .as("n_censored"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifetimes
+      .withColumn("n_risk",
+        sum(col("n_death") + col("n_censored")).over(wRisk).cast("long"))
+      // the cumulative product rides exp(Σ ln f) IDENTICALLY on both
+      // engines (same factors, same order — libm ulp noise washes at
+      // 1e-4); a death time that wipes the whole risk set (d = n,
+      // f = 0) would be ln(0) — null on Spark, an ERROR on DuckDB —
+      // so it is carried as a cumulative zero FLAG instead
+      .withColumn("__lnf",
+        when(col("n_death") < col("n_risk"),
+          log(lit(1.0) - col("n_death").cast("double") /
+            col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__z",
+        max(when(col("n_death") === col("n_risk"), 1L).otherwise(0L))
+          .over(wSurv))
+      .withColumn("survival",
+        when(col("__z") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wSurv)), 4)))
+      .where(col("n_death") > 0L)
+      .select(col("t"), col("n_risk"), col("n_death"), col("n_censored"),
+        col("survival"))
   }
 }

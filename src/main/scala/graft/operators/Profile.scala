@@ -376,4 +376,44 @@ object Profile {
         - 1L).as("bound"),
         min(col("__cum")).as("cum_rows"))
   }
+
+  /** Benford first-digit audit (X187; Newcomb 1881 / Benford 1938) —
+    * the data-forensics staple: naturally-grown magnitude data
+    * (prices, populations, file sizes) puts ~30.1% of first digits
+    * at 1, falling to 4.6% at 9; FABRICATED or templated numeric
+    * columns flatten or spike the profile. The one-pass numeric
+    * sibling of the mojibake/template detectors — point it at any
+    * numeric column a crawler claims is organic.
+    *
+    * Pinned rule: values cast to long, only v ≥ 1 participates
+    * (zero/negative/null have no Benford first digit — dropped);
+    * digit = first character of the decimal string (both engines
+    * print positive longs identically). Shares ride the integer
+    * half-up rule; the Benford expectation ln(1+1/d)/ln(10) is
+    * fixed-order double of exact operands. Digits absent from the
+    * data still emit a zero row (the 9-row grid is part of the
+    * contract — a MISSING digit is the loudest possible signal).
+    *
+    * Scale shape: one map-side-combining count on a ≤9-cardinality
+    * key; the grid join and share math run on 9 rows.
+    *
+    * Output: (digit 1..9, cnt, share, expected). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val counts = df.select(v.as("__v")).where(col("__v") >= 1L)
+      .select(expr("CAST(substring(CAST(__v AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("long").as("__n"))
+    val grid = counts.sparkSession.range(1, 10).select(col("id").as("digit"))
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        (expr("(20000 * coalesce(cnt, 0L) + __n) div (2 * __n)")
+          .cast("double") / lit(10000.0)).as("share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 4).as("expected"))
+  }
 }

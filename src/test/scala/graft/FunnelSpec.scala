@@ -211,4 +211,35 @@ class FunnelSpec extends SparkSpec {
       (1L, 1L, 2L, 0.5),
       (29L, 1L, 1L, 1.0)), got.toString)
   }
+
+  // ---------------- survival (X186) ----------------
+
+  test("survival: Kaplan-Meier with right-censoring at the observation " +
+    "edge; risk-set-wiping death time zeroes the curve") {
+    val day = 86400000000L
+    // u1: t=1 dead; u3: t=0 dead; u2, u4: last = max day -> censored
+    val rows = Seq(
+      (1L, 0L * day), (1L, 1L * day),
+      (2L, 0L * day), (2L, 3L * day),
+      (3L, 0L * day),
+      (4L, 0L * day), (4L, 3L * day)
+    ).toDF("user_id", "ts_us")
+    val got = Funnel.survival(rows, "user_id", "ts_us")
+      .orderBy("t")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 0.75),        // S = 3/4
+      (1L, 3L, 1L, 0L, 0.5)),        // S = 3/4 · 2/3
+      got.toString)
+    // all at-risk users die at t=1 (u3's later last day censors only
+    // itself at t=0): survival hits exactly 0, never ln(0)
+    val wipe = Seq(
+      (1L, 0L * day), (1L, 1L * day),
+      (2L, 0L * day), (2L, 1L * day),
+      (3L, 5L * day)
+    ).toDF("user_id", "ts_us")
+    val w = Funnel.survival(wipe, "user_id", "ts_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(w == Seq((1L, 2L, 2L, 0L, 0.0)), w.toString)
+  }
 }

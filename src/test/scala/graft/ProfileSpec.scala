@@ -158,4 +158,22 @@ class ProfileSpec extends SparkSpec {
       .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
     assert(g2 == Seq((1L, 7L, 10L), (2L, 7L, 10L)), g2.toString)
   }
+
+  test("benford (X187): digit shares on a known fixture, absent digits " +
+    "emit zero rows, non-positive values drop, doubles truncate") {
+    val df = Seq(1.9, 19.0, 150.0, 2.5, 9.0, 0.0, -31.0)
+      .toDF("v") // digits: 1, 1, 1, 2, 9 (0 and -31 drop; 1.9 -> 1)
+    val got = Profile.benford(df, "v")
+      .orderBy("digit")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 9, got.toString)
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((3L, 0.6)) && m(2L) == ((1L, 0.2)) &&
+      m(9L) == ((1L, 0.2)) && m(5L) == ((0L, 0.0)), got.toString)
+    // the Benford expectation column: ln(2)/ln(10) for digit 1
+    assert(got.head._4 == 0.3010, got.toString)
+    // shares sum to ~1 and expectations sum to ~1
+    assert(math.abs(got.map(_._3).sum - 1.0) < 0.001)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 0.001)
+  }
 }
