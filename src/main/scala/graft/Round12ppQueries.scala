@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, Curation}
+
+/** Round-12 [EXT] batch PP: binned ROC threshold sweep and exact
+  * binned AUC (X188–X189) — "does doc length predict passing the C4
+  * battery, and where should the cut go".
+  */
+object Round12ppQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** (doc_id, n_chars score, c4 keep_doc label) — the signal-vs-
+    * battery frame both queries consume. */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.c4Rules(docs, "doc_id", "text", minSentences = 1)
+      .select(col("doc_id"), col("keep_doc"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+  }
+
+  /** The quality_c4 oracle's CTE chain, cut down to (doc_id, keep,
+    * n_chars) — one definition so the label derivation cannot drift
+    * from the green quality_c4 twin. */
+  private val labelCtes: String =
+    """s AS (SELECT doc_id, COALESCE(text, '') AS text,
+      |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+      |      l -> trim(l)), l -> l <> '') AS lines
+      |  FROM documents),
+      |k AS (SELECT doc_id, text, lines,
+      |    list_filter(lines, l ->
+      |      len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+      |      AND (ends_with(l, '.') OR ends_with(l, '!')
+      |        OR ends_with(l, '?') OR ends_with(l, '"'))) AS kept
+      |  FROM s),
+      |m AS (SELECT doc_id,
+      |    COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |    contains(text, '{') AS has_brace
+      |  FROM k),
+      |f AS (SELECT doc_id, has_lorem, has_brace,
+      |    (length(clean) - length(replace(clean, '.', ''))) +
+      |    (length(clean) - length(replace(clean, '!', ''))) +
+      |    (length(clean) - length(replace(clean, '?', ''))) AS n_sentences
+      |  FROM m),
+      |sc AS (SELECT d.doc_id, d.n_chars,
+      |    (f.n_sentences >= 1 AND NOT f.has_lorem AND NOT f.has_brace)
+      |      AS keep
+      |  FROM documents d JOIN f ON d.doc_id = f.doc_id
+      |  WHERE d.n_chars IS NOT NULL),
+      |b AS (SELECT
+      |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0)
+      |      AS INT) AS bin,
+      |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |  FROM sc GROUP BY 1)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X188: threshold-sweep table — tpr/fpr of "admit score ≥
+    // bin" per bin ----------------------------------------------------
+    "roc_curve" -> ((s, dir) =>
+      Classifier.rocBins(scored(s, dir), "n_chars", "keep_doc",
+        binWidth = 256L, nBins = 16)
+        .orderBy("bin")),
+
+    // ---- X189: exact binned AUC — one number for "does the signal
+    // rank keepers above droppers" -------------------------------------
+    "signal_auc" -> ((s, dir) =>
+      Classifier.rocAuc(scored(s, dir), "n_chars", "keep_doc",
+        binWidth = 256L, nBins = 16)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "roc_curve" ->
+      s"""WITH $labelCtes,
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+         |    CAST(sum(n_neg) AS BIGINT) AS n FROM b),
+         |c AS (SELECT bin, n_pos, n_neg,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cp,
+         |    CAST(sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS cn
+         |  FROM b)
+         |SELECT c.bin, c.n_pos, c.n_neg,
+         |  CASE WHEN tot.p > 0
+         |    THEN ((20000 * c.cp + tot.p) // (2 * tot.p)) / 10000.0 END
+         |    AS tpr,
+         |  CASE WHEN tot.n > 0
+         |    THEN ((20000 * c.cn + tot.n) // (2 * tot.n)) / 10000.0 END
+         |    AS fpr
+         |FROM c CROSS JOIN tot ORDER BY c.bin""".stripMargin,
+
+    "signal_auc" ->
+      s"""WITH $labelCtes,
+         |c AS (SELECT bin, n_pos, n_neg,
+         |    CAST(coalesce(sum(n_neg) OVER (ORDER BY bin ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS nb
+         |  FROM b),
+         |agg AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         |    sum(CAST(n_pos AS HUGEINT) * (2 * CAST(nb AS HUGEINT) + n_neg))
+         |      AS u
+         |  FROM c)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN CAST((20000 * u + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |      // (2 * (2 * CAST(n_pos AS HUGEINT) * n_neg)) AS BIGINT)
+         |      / 10000.0
+         |  END AS auc
+         |FROM agg""".stripMargin,
+  )
+}

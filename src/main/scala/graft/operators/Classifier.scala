@@ -287,4 +287,85 @@ object Classifier {
         round(col("__s").cast("double") /
           (col("n").cast("double") * 10000.0), 4).as("mean_score"))
   }
+
+  /** The shared (bin, n_pos, n_neg) collapse behind [[rocBins]] and
+    * [[rocAuc]] — one map-side-combining count on the clamped
+    * fixed-width bin key (the binnedCounts rule). */
+  private def posNegBins(scored: DataFrame, scoreCol: String,
+                         labelCol: String, binWidth: Long,
+                         nBins: Int): DataFrame =
+    scored.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(TrainingData.binExpr(col(scoreCol), binWidth, nBins).as("bin"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).cast("long")
+        .as("n_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).cast("long").as("n_neg"))
+
+  /** Binned ROC curve (X188) — the threshold-sweep table for any
+    * quality signal against any keep/drop verdict: row b answers
+    * "admit everything scoring in bin ≥ b" with the true-positive and
+    * false-positive rates that policy buys. The decision view that
+    * calibrationBins (reliability) and signalCorrelations (linear
+    * association) don't give: WHERE to put the cut.
+    *
+    * Scale shape: ONE map-side (bin, pos/neg) collapse, then all
+    * cumulative work on the ≤nBins-row table (bounded windows);
+    * rates ride the integer half-up rule. Output: (bin, n_pos, n_neg,
+    * tpr, fpr) — tpr/fpr of the "score ≥ this bin" policy, bin
+    * descending = threshold sweep from strict to lax. */
+  def rocBins(scored: DataFrame, scoreCol: String, labelCol: String,
+              binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = bins.agg(sum(col("n_pos")).cast("long").as("__p"),
+      sum(col("n_neg")).cast("long").as("__n"))
+    bins
+      .withColumn("__cp", sum(col("n_pos")).over(w).cast("long"))
+      .withColumn("__cn", sum(col("n_neg")).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        when(col("__p") > 0L,
+          expr("(20000 * __cp + __p) div (2 * __p)").cast("double") /
+            lit(10000.0)).as("tpr"),
+        when(col("__n") > 0L,
+          expr("(20000 * __cn + __n) div (2 * __n)").cast("double") /
+            lit(10000.0)).as("fpr"))
+  }
+
+  /** Exact binned AUC (X189) — one number for "does this signal rank
+    * keepers above droppers at all": the probability a random
+    * positive outscores a random negative, ties-within-a-bin at half
+    * credit (the Mann–Whitney U identity on the binned scores). An
+    * EXACT rational of integer counts:
+    *   AUC·2PN = Σ_b pos_b·(2·neg_below(b) + neg_b)
+    * so both engines agree bit-for-bit before the one half-up
+    * division — never a corpus-wide rank window (the global-sort AUC
+    * is the textbook scale-killer; the bin grid bounds everything
+    * after ONE map-side collapse). Degenerate inputs (no positives or
+    * no negatives) yield null. Output: (n_pos, n_neg, auc). */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+             binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+    val wBelow = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    bins
+      .withColumn("__nb",
+        coalesce(sum(col("n_neg")).over(wBelow), lit(0L)).cast("long"))
+      .agg(sum(col("n_pos")).cast("long").as("n_pos"),
+        sum(col("n_neg")).cast("long").as("n_neg"),
+        sum(dec(col("n_pos")) * dec(lit(2L) * col("__nb") + col("n_neg")))
+          .as("__u"))
+      .withColumn("__d", // 2·P·N
+        lit(2L).cast("decimal(19,0)") * dec(col("n_pos")) * dec(col("n_neg")))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("(20000 * __u + __d) div (2 * __d)").cast("double") /
+            lit(10000.0)).as("auc"))
+  }
 }

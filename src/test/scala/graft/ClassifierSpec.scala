@@ -280,4 +280,43 @@ class ClassifierSpec extends SparkSpec {
       .as[(Int, Long, Long, Double, Double)].collect().toSeq
     assert(got.map(_._1) == Seq(0, 9), got.toString)
   }
+
+  // ---------------- rocBins / rocAuc (X188/X189) ----------------
+
+  test("rocAuc: perfect separation 1.0, inversion 0.0, one-bin ties 0.5, " +
+    "degenerate null") {
+    def auc(rows: Seq[(Long, Boolean)]): Option[Double] =
+      Classifier.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Option[Double])].collect().head._3
+    val perfect = Seq((1000L, true), (900L, true), (100L, false), (50L, false))
+    assert(auc(perfect).contains(1.0))
+    assert(auc(perfect.map { case (s, l) => (s, !l) }).contains(0.0))
+    // every row in one bin: ties at half credit
+    assert(auc(Seq((300L, true), (310L, false), (305L, true),
+      (302L, false))).contains(0.5))
+    // no negatives -> null
+    assert(auc(Seq((300L, true), (100L, true))).isEmpty)
+  }
+
+  test("rocBins: cumulative threshold sweep on a known fixture; AUC " +
+    "matches the hand identity") {
+    val rows = Seq(
+      (1000L, true), (999L, true),             // bin 3: 2 pos
+      (300L, true), (310L, false),             // bin 1: 1 pos 1 neg
+      (10L, false), (20L, false)               // bin 0: 2 neg
+    ).toDF("score", "label")
+    val got = Classifier.rocBins(rows, "score", "label")
+      .orderBy(col("bin").desc)
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (3, 2L, 0L, Some(0.6667), Some(0.0)),
+      (1, 1L, 1L, Some(1.0), Some(0.3333)),
+      (0, 0L, 2L, Some(1.0), Some(1.0))), got.toString)
+    // U = 1·(2·2+1) + 2·(2·3+0) = 17; AUC = 17/18 -> 0.9444 (floor of
+    // the half-up grid)
+    val a = Classifier.rocAuc(rows, "score", "label")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(a == ((3L, 3L, Some(0.9444))), a.toString)
+  }
 }
