@@ -832,6 +832,100 @@ object Scratch {
           "event_type", "ts_us")))
     }
 
+    // --- round-12 batches GG-PP (X167-X189) at scale ---
+    gated("r12gg") {
+      if (!new java.io.File("/tmp/big_documents/_SUCCESS").exists)
+        base.crossJoin(spark.range(1000).toDF("rep"))
+          .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
+            col("text"), col("lang"),
+            concat(col("source"), lit("_"),
+              (col("rep") % 32).cast("string")).as("source"),
+            col("n_chars"))
+          .repartition(64)
+          .write.mode("overwrite").parquet("/tmp/big_documents")
+      val docs5 = spark.read.parquet("/tmp/big_documents")
+      println(s"[scale] docs=${docs5.count()}")
+
+      // token-pipeline family over 5M docs / 320 sources
+      timeIt("hllDistinct (per-source distinct tokens) over 5M docs") {
+        val st = docs5.select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+        noop(operators.Profile.hllDistinct(st, "source", "tok"))
+      }
+      timeIt("mooreLewis over 5M docs")(
+        noop(operators.CorpusStats.mooreLewis(docs5, "doc_id", "text",
+          inDomain = col("lang") === "en")))
+      timeIt("vocabCoverage over 5M docs")(
+        noop(operators.CorpusStats.vocabCoverage(docs5, "doc_id", "text")))
+      timeIt("burstiness over 5M docs")(
+        noop(operators.CorpusStats.burstiness(docs5, "doc_id", "text")))
+      timeIt("logOddsTokens over 5M docs / 320 sources")(
+        noop(operators.CorpusStats.logOddsTokens(docs5, "source", "text")))
+      timeIt("mattr (w=20 HOF map) over 5M docs")(
+        noop(operators.Curation.mattr(docs5, "doc_id", "text")))
+      timeIt("lexicalRichness over 5M docs")(
+        noop(operators.CorpusStats.lexicalRichness(docs5, "source", "text")))
+      timeIt("burrowsDelta over 5M docs / 320 sources")(
+        noop(operators.Lexical.burrowsDelta(docs5, "source", "text")))
+      timeIt("vocabOverlap over 5M docs / 320 sources (51k pairs)")(
+        noop(operators.CorpusStats.vocabOverlap(docs5, "source", "text")))
+      timeIt("rankNormalize (per-doc ECDF pct) over 5M docs")(
+        noop(operators.TrainingData.rankNormalize(docs5, "doc_id", "source",
+          "n_chars")))
+      timeIt("shardBoundaries over 5M docs")(
+        noop(operators.Profile.shardBoundaries(docs5, "n_chars", 64)))
+      timeIt("sourceGini over 5M docs")(
+        noop(operators.CorpusStats.sourceGini(docs5, "lang", "source")))
+      timeIt("snapshotWasserstein 3.3M vs 4M docs")(
+        noop(operators.TrainingData.snapshotWasserstein(
+          docs5.where(col("doc_id") % 3 =!= 0),
+          docs5.where(col("doc_id") % 5 =!= 0), "lang", "n_chars")))
+
+      // graph family on a 10M-edge synthetic near-dup graph over 2M
+      // nodes: power-ish fan-out via modular hubs (node i links i/7,
+      // i/13 — hubs emerge at small ids), so degree skew is real
+      if (!new java.io.File("/tmp/big_edges10m/_SUCCESS").exists) {
+        spark.range(5000000L).toDF("i")
+          .select((col("i") % 2000000L).as("src"),
+            expr("i div 7 % 2000000").as("dst"))
+          .union(spark.range(5000000L).toDF("i")
+            .select((col("i") % 2000000L).as("src"),
+              expr("i div 13 % 2000000").as("dst")))
+          .repartition(64)
+          .write.mode("overwrite").parquet("/tmp/big_edges10m")
+      }
+      val edges = spark.read.parquet("/tmp/big_edges10m")
+      println(s"[scale] edges=${edges.count()}")
+      timeIt("triangles over 10M edges / 2M nodes")(
+        noop(operators.Graph.triangles(edges, "src", "dst")))
+      timeIt("kCore k=2 rounds=4 over 10M edges")(
+        noop(operators.Graph.kCore(edges, "src", "dst", k = 2, rounds = 4)))
+      timeIt("assortativity over 10M edges")(
+        noop(operators.Graph.assortativity(edges, "src", "dst")))
+
+      // events family at 6M events
+      if (!new java.io.File("/tmp/big_events6m/_SUCCESS").exists) {
+        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        ev.crossJoin(spark.range(10).toDF("rep"))
+          .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+            col("ts"), (col("user_id") + col("rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"))
+          .repartition(64).write.mode("overwrite")
+          .parquet("/tmp/big_events6m")
+      }
+      val ev6b = spark.read.parquet("/tmp/big_events6m")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      timeIt("stickiness over 6M events / 1.5M users")(
+        noop(operators.Funnel.stickiness(ev6b, "user_id", "ts_us")))
+      timeIt("survival (KM) over 6M events / 1.5M users")(
+        noop(operators.Funnel.survival(ev6b, "user_id", "ts_us")))
+      timeIt("rocAuc (n_chars vs id-parity label) over 5M docs")(
+        noop(operators.Classifier.rocAuc(
+          docs5.withColumn("lab", col("doc_id") % 2 === 0),
+          "n_chars", "lab")))
+    }
+
     spark.stop()
   }
 }

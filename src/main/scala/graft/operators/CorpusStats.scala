@@ -67,17 +67,25 @@ object CorpusStats {
     * NO presence guarantee — [[topNgramsSketch]]'s candidate set is
     * trustworthy only when the true top-k clears the bound; that is
     * the documented capacity contract, not a best-effort hope. */
+  /** One Misra–Gries step — shared by the batch per-partition
+    * summaries and the streaming per-group state (X190) so the two
+    * can never drift: insert if tracked or under capacity, else
+    * decrement every counter and evict zeros (the arriving item is
+    * NOT inserted on a decrement step — the classic formulation whose
+    * undercount bound is streamLength/capacity). */
+  private[graft] def mgFold(counts: scala.collection.mutable.HashMap[String, Long],
+                            g: String, capacity: Int): Unit =
+    if (counts.contains(g) || counts.size < capacity)
+      counts.update(g, counts.getOrElse(g, 0L) + 1L)
+    else {
+      counts.mapValuesInPlace((_, v) => v - 1L)
+      counts.filterInPlace((_, v) => v > 0L)
+    }
+
   private[graft] def mgSummarize(it: Iterator[String],
                                  capacity: Int): Iterator[(String, Long)] = {
     val counts = new scala.collection.mutable.HashMap[String, Long]()
-    it.foreach { g =>
-      if (counts.contains(g) || counts.size < capacity)
-        counts.update(g, counts.getOrElse(g, 0L) + 1L)
-      else {
-        counts.mapValuesInPlace((_, v) => v - 1L)
-        counts.filterInPlace((_, v) => v > 0L)
-      }
-    }
+    it.foreach(mgFold(counts, _, capacity))
     counts.iterator
   }
 

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-group Misra–Gries heavy hitters ([EXT] X190, the
+  * continuous form of the batch sketch behind
+  * [[graft.operators.CorpusStats.topNgramsSketch]]): track each
+  * source's hottest tokens/URLs/types AT INGEST with state bounded by
+  * `capacity` counters per group — exact streaming top-k would hold
+  * every distinct value ever seen. The live "what boilerplate is this
+  * crawl shipping right now" view, upstream of the batch recount.
+  *
+  * The fold is the SAME `CorpusStats.mgFold` step the batch summaries
+  * use (one definition, cannot drift), so the classic guarantee holds
+  * for ANY arrival order: every estimate undercounts its true count
+  * by at most n_group/capacity, and anything with true count above
+  * that bound is guaranteed present — StreamingSpec pins both bounds
+  * against exact batch counts rather than pinning stream ≡ batch
+  * (Misra–Gries is order-dependent BY DESIGN; the bound is the
+  * contract, the X179 HLL keeps the exact-parity lane).
+  *
+  * Emits each group's current top-k by estimate (count DESC, value
+  * ASC ties) per touched micro-batch, Update mode.
+  */
+object StreamingHeavyHitters {
+
+  final case class In(g: String, v: String)
+  final case class Hit(group: String, token: String, est: Long)
+
+  def track(rows: DataFrame, groupCol: String, valueCol: String,
+            capacity: Int = 1024, k: Int = 10): Dataset[Hit] = {
+    require(capacity >= 1 && k >= 1)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val typed = rows
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .as[In]
+    typed.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[In], state: GroupState[Map[String, Long]]) =>
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(counts ++= _)
+          it.foreach(r =>
+            graft.operators.CorpusStats.mgFold(counts, r.v, capacity))
+          state.update(counts.toMap)
+          counts.toSeq
+            .sortBy { case (t, c) => (-c, t) }
+            .take(k)
+            .map { case (t, c) => Hit(g, t, c) }
+            .iterator
+      }
+  }
+}

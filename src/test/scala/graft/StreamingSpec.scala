@@ -1228,4 +1228,45 @@ class StreamingSpec extends SparkSpec {
     val gEst = batch.find(_._1 == "g").get._3
     assert(math.abs(gEst - 300.0) / 300.0 < 0.3, batch.toString)
   }
+
+  test("streaming heavy hitters: Misra-Gries bounds hold across batches " +
+    "with capacity-bounded per-group state") {
+    // per group: one heavy token (60 of 100) + 40 distinct noise tokens;
+    // capacity 8 << 41 distinct forces evictions
+    def mk(g: String, off: Int) =
+      Seq.fill(60)((g, s"$g-heavy")) ++
+        (1 to 40).map(i => (g, s"$g-noise-${i + off}"))
+    val b1 = mk("s1", 0) ++ mk("s2", 0)
+    val b2 = mk("s1", 100) ++ mk("s2", 100)
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("src", "tok")
+    val dir = Files.createTempDirectory("hh-stream").toString
+    toDf(b1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("src STRING, tok STRING")
+      .parquet(dir)
+    val q = graft.streaming.StreamingHeavyHitters.track(
+      stream.toDF(), "src", "tok", capacity = 8, k = 3)
+      .toDF("group", "token", "est")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hh_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // final revision per (group, token) = max est (counts only grow
+      // for a surviving heavy hitter)
+      val last = spark.table("hh_stream")
+        .groupBy(col("group"), col("token"))
+        .agg(max(col("est")).as("est"))
+        .as[(String, String, Long)].collect()
+      val n = 200L // per-group stream length after both batches
+      for (g <- Seq("s1", "s2")) {
+        val heavy = last.filter(r => r._1 == g && r._2 == s"$g-heavy")
+        // MG guarantee: true count 120 > n/capacity = 25 -> present,
+        // and 0 <= true - est <= n/capacity
+        assert(heavy.nonEmpty, last.mkString(","))
+        val est = heavy.map(_._3).max
+        assert(est <= 120L && 120L - est <= n / 8, s"est=$est")
+      }
+    } finally q.stop()
+  }
 }
