@@ -832,6 +832,15 @@ object Scratch {
           "event_type", "ts_us")))
     }
 
+    gated("ml5m") {
+      val docs5 = spark.read.parquet("/tmp/big_documents")
+      timeIt("mooreLewis over 5M docs (checkpointed hub)")(
+        noop(operators.CorpusStats.mooreLewis(docs5, "doc_id", "text",
+          inDomain = col("lang") === "en")))
+      timeIt("unigramLogProb over 5M docs (the one-LM baseline)")(
+        noop(operators.CorpusStats.unigramLogProb(docs5, "doc_id", "text")))
+    }
+
     // --- round-12 batches GG-PP (X167-X189) at scale ---
     gated("r12gg") {
       if (!new java.io.File("/tmp/big_documents/_SUCCESS").exists)
