@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+/** Round-12 [EXT] batch QQ: Theil–Sen / Mann–Kendall robust volume
+  * trend (X191).
+  */
+object Round12qqQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X191: spike-proof growth check per event type --------------
+    "events_robust_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      Funnel.robustTrend(ev, "event_type", "ts_us")
+        .orderBy("event_type")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_robust_trend" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.g, a.d AS da, b.d AS db, a.n AS na, b.n AS nb,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s,
+        |    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+        |      AS sgn
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(sgn) AS BIGINT) AS s_mk FROM p GROUP BY g),
+        |nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY g),
+        |rk AS (SELECT g, da, db, na, nb, s,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY s ASC, da ASC, db ASC) AS rn
+        |  FROM p)
+        |SELECT rk.g AS event_type, nd.n_days, st.n_pairs, st.s_mk,
+        |  (CASE WHEN rk.nb >= rk.na THEN 1 ELSE -1 END *
+        |    ((20000 * abs(rk.nb - rk.na) + (rk.db - rk.da))
+        |      // (2 * (rk.db - rk.da)))) / 10000.0 AS slope
+        |FROM rk JOIN st ON rk.g = st.g JOIN nd ON rk.g = nd.g
+        |WHERE rk.rn = (st.n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+  )
+}

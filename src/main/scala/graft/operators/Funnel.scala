@@ -515,4 +515,68 @@ object Funnel {
       .select(col("t"), col("n_risk"), col("n_death"), col("n_censored"),
         col("survival"))
   }
+
+  /** Robust volume trend per event type (X191): Theil–Sen slope
+    * (median of pairwise daily-count slopes; Theil 1950, Sen 1968)
+    * plus the Mann–Kendall S statistic (Σ sign of pairwise change) —
+    * the spike-proof answer to "is this stream growing". The OLS
+    * trend (events_trend) hands one incident day the lever of its
+    * squared residual; the median slope ignores it, and S counts
+    * direction only.
+    *
+    * Determinism: every pairwise slope is ONE division of exact
+    * integer operands (identical IEEE double both engines), the
+    * median is nearest-rank LOWER at rank (n+1) div 2 under the
+    * pinned (slope, day_i, day_j) order, and S is an exact integer
+    * sum. No rounding anywhere until the output's 1e-4.
+    *
+    * Scale shape: events collapse map-side to the (type, day) grid;
+    * the pair stage and its rank window run on that grid's self-join
+    * — \|days\|²/2 rows per type, bounded by the CALENDAR (3650 days
+    * of history = 6.7M pairs per type), never by event volume. The
+    * statistic is defined on the daily grid, so this bound is the
+    * algorithm's own, not an implementation cap. Types with < 2
+    * active days are absent (no pair exists).
+    *
+    * Output: (typeCol, n_days, n_pairs, s_mk, slope). */
+  def robustTrend(events: DataFrame, typeCol: String,
+                  tsUsCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("__g"),
+        expr(s"$tsUsCol div 86400000000").as("__d"))
+      .groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val a = daily.select(col("__g"), col("__d").as("__da"),
+      col("__n").as("__na"))
+    val b = daily.select(col("__g"), col("__d").as("__db"),
+      col("__n").as("__nb"))
+    val pairs = a.join(b, "__g").where(col("__da") < col("__db"))
+      .select(col("__g"), col("__da"), col("__db"), col("__na"), col("__nb"),
+        ((col("__nb") - col("__na")).cast("double") /
+          (col("__db") - col("__da")).cast("double")).as("__s"),
+        when(col("__nb") > col("__na"), 1L)
+          .when(col("__nb") < col("__na"), -1L).otherwise(0L).as("__sgn"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").asc, col("__da").asc, col("__db").asc)
+    val stats = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("__sgn")).cast("long").as("s_mk"))
+    val nDays = daily.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .join(stats, "__g")
+      .where(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .join(nDays, "__g")
+      // sign-magnitude integer half-up (the mattr rule, extended for
+      // SIGNED rationals: Spark `div` truncates toward zero while
+      // DuckDB `//` floors toward −∞, so the magnitude must be
+      // divided non-negative on both engines)
+      .select(col("__g").as(typeCol), col("n_days"), col("n_pairs"),
+        col("s_mk"),
+        (when(col("__nb") >= col("__na"), 1L).otherwise(-1L) *
+          expr("(20000 * abs(__nb - __na) + (__db - __da)) div " +
+            "(2 * (__db - __da))")).cast("double")./(lit(10000.0))
+          .as("slope"))
+  }
 }

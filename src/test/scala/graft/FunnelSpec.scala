@@ -242,4 +242,27 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(w == Seq((1L, 2L, 2L, 0L, 0.0)), w.toString)
   }
+
+  // ---------------- robustTrend (X191) ----------------
+
+  test("robustTrend: steady growth reads slope 1; a spike day cannot " +
+    "move the median; single-day types absent") {
+    val day = 86400000000L
+    def evts(tp: String, countsByDay: Seq[Int]) =
+      countsByDay.zipWithIndex.flatMap { case (c, d) =>
+        (1 to c).map(j => (tp, d * day + j))
+      }
+    val rows = (evts("up", Seq(1, 2, 3, 4)) ++
+      evts("spike", Seq(1, 1, 100, 1)) ++
+      evts("lonely", Seq(3))).toDF("event_type", "ts_us")
+    val got = Funnel.robustTrend(rows, "event_type", "ts_us")
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // spike: sorted pair slopes -99, 0, 0, 0, 49.5, 99 -> lower
+      // median (rank 3) = 0; S = +2 rises, 1 fall, 3 flats = +1
+      ("spike", 4L, 6L, 1L, 0.0),
+      // up: every pair slope exactly 1; S = 6
+      ("up", 4L, 6L, 6L, 1.0)), got.toString)
+  }
 }
