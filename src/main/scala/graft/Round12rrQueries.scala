@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Privacy}
+
+/** Round-12 [EXT] batch RR: email-domain PII triage and the
+  * session-quality report (X192–X193).
+  */
+object Round12rrQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X192: which domains leak — emails planted deterministically
+    // (the synthetic corpus carries none; the entity_match typo-model
+    // precedent), every 3rd doc leaks user<id>@mail<id%4>.example.com
+    "pii_domains" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" reach user"),
+              col("doc_id").cast("string"), lit("@mail"),
+              (col("doc_id") % 4).cast("string"), lit(".example.com")))
+            .otherwise(col("text")))
+      Privacy.emailDomains(docs, "doc_id", "text", k = 10)
+        .orderBy("rank")
+    }),
+
+    // ---- X193: bounce rate + mean session size/duration over the
+    // 30-minute-gap sessionization -------------------------------------
+    "session_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      Funnel.sessionStats(ev, "user_id", "ts_us", "event_id",
+        gap = 1800L * 1000000L)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pii_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |        '@mail' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lower(unnest(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1)))
+        |    AS domain
+        |  FROM d),
+        |pc AS (SELECT doc_id, domain, CAST(count(*) AS BIGINT) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |st AS (SELECT domain, CAST(sum(c) AS BIGINT) AS n_hits,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM pc GROUP BY domain),
+        |rk AS (SELECT domain, n_hits, n_docs,
+        |    row_number() OVER (ORDER BY n_hits DESC, domain ASC) AS rank
+        |  FROM st)
+        |SELECT CAST(rank AS BIGINT) AS rank, domain, n_hits, n_docs
+        |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "session_stats" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |  FROM events),
+        |n AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR ts - prev > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS q
+        |  FROM o),
+        |sess AS (SELECT user_id, q, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(ts) - min(ts) AS BIGINT) AS dur
+        |  FROM n GROUP BY 1, 2),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM sess),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounce,
+        |    CAST(sum(n) AS BIGINT) AS ne,
+        |    CAST(sum(CAST(dur AS HUGEINT)) AS HUGEINT) AS sd
+        |  FROM sess)
+        |SELECT a.n_sessions, u.nu AS n_users, a.n_bounce,
+        |  ((20000 * a.n_bounce + a.n_sessions) // (2 * a.n_sessions))
+        |    / 10000.0 AS bounce_rate,
+        |  ((20000 * a.ne + a.n_sessions) // (2 * a.n_sessions))
+        |    / 10000.0 AS mean_events,
+        |  CAST((20000 * a.sd + CAST(a.n_sessions AS HUGEINT) * 1000000)
+        |    // (2 * (CAST(a.n_sessions AS HUGEINT) * 1000000)) AS BIGINT)
+        |    / 10000.0 AS mean_duration_s
+        |FROM a CROSS JOIN u""".stripMargin,
+  )
+}

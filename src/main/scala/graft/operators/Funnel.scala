@@ -287,6 +287,62 @@ object Funnel {
     * decimal(38,0): at 100 TB session counts exceed √(2⁶³).
     *
     * Output: (type_a < type_b, n_ab, n_a, n_b, n_sessions, lift). */
+  /** Session-level engagement report (X193): sessionize on the user
+    * key (same gap rule as [[sessionLift]] / events_sessionized),
+    * then ONE global row — session count, user count, bounce rate
+    * (single-event sessions: the classic drive-by metric), mean
+    * events per session, mean session duration. The session-QUALITY
+    * readout next to [[stickiness]]'s return-rate and
+    * [[seasonality]]'s clock profile.
+    *
+    * Scale shape: the sessionization window partitions on the user
+    * key (the sessionLift caveat applies: a pathological single-user
+    * firehose is one partition — salt upstream if a user can exceed
+    * a task); everything after is a per-(user, session) collapse
+    * (map-side) and one scalar aggregate. All ratios ride the
+    * integer half-up rule; duration sums ride decimal(38,0) (Σ of
+    * µs over a corpus exceeds 2⁶³ — the ADVICE r11 rule).
+    *
+    * Output: (n_sessions, n_users, n_bounce, bounce_rate,
+    * mean_events, mean_duration_s). */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, gap: Long): DataFrame = {
+    require(gap > 0)
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val sess = events
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        (col("__ts") - col("__prev")) > gap, 1L).otherwise(0L))
+      .withColumn("__q", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("__q"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        (max(col("__ts")) - min(col("__ts"))).cast("long").as("__dur"))
+    val users = sess.groupBy(col("__u")).agg(count(lit(1)).as("__sess"))
+      .agg(count(lit(1)).cast("long").as("__nu"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    sess.agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_bounce"),
+        sum(col("__n")).cast("long").as("__ne"),
+        sum(dec(col("__dur"))).as("__sd"))
+      .withColumn("__dd",
+        dec(col("n_sessions")) * lit(1000000L).cast("decimal(19,0)"))
+      .crossJoin(broadcast(users))
+      .select(col("n_sessions"), col("__nu").as("n_users"), col("n_bounce"),
+        (expr("(20000 * n_bounce + n_sessions) div (2 * n_sessions)")
+          .cast("double") / lit(10000.0)).as("bounce_rate"),
+        (expr("(20000 * __ne + n_sessions) div (2 * n_sessions)")
+          .cast("double") / lit(10000.0)).as("mean_events"),
+        // Σµs / (n·10⁶) seconds at 1e-4: integer half-up on decimal
+        // operands (div is IntegralDivide — exact on decimals too)
+        (expr("(20000 * __sd + __dd) div (2 * __dd)").cast("double") /
+          lit(10000.0)).as("mean_duration_s"))
+  }
+
   def sessionLift(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, idCol: String, gap: Long): DataFrame = {
     require(gap > 0)

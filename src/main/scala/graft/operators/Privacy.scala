@@ -132,6 +132,50 @@ object Privacy {
         (col("n_sensitive") < l).as("violates"))
   }
 
+  /** Email-domain pattern with the domain as capture group 1 — the
+    * SAME atom as [[EmailPattern]] so the two can never disagree on
+    * what counts as an email. */
+  val EmailDomainPattern = "[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})"
+
+  /** Top leaking email domains (X192) — the triage table that turns
+    * [[densityByGroup]]'s "source X has PII" into an actionable
+    * allow/deny decision: hits concentrated on a handful of
+    * role-account domains (noreply@, support@corp.com) can be
+    * pattern-scrubbed cheaply, while a long tail of personal domains
+    * means the source leaks real users and needs exclusion. The
+    * domain is extracted by capture group from the SAME email atom
+    * the redactor uses, lowercased (domains are case-insensitive).
+    *
+    * Scale shape: regexp_extract_all is a per-row map; per-(doc,
+    * domain) counts collapse map-side before the domain aggregate (a
+    * spam page repeating one address collapses locally — the
+    * topNgrams two-phase shape); ranking is the bounded global
+    * [[TopKStrAgg]]. Output: (rank, domain, n_hits, n_docs). */
+  def emailDomains(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val stats = docs
+      .select(col(idCol).as("__d"),
+        explode(regexp_extract_all(col(textCol),
+          lit(EmailDomainPattern), lit(1))).as("__dom"))
+      .select(col("__d"), lower(col("__dom")).as("domain"))
+      .groupBy(col("__d"), col("domain"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__c")).cast("long").as("n_hits"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    stats
+      .agg(topk(col("domain"),
+        negate(col("n_hits").cast("double"))).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select((col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("domain"))
+      .join(stats, Seq("domain"))
+      .select(col("rank"), col("domain"), col("n_hits"), col("n_docs"))
+  }
+
   def densityByGroup(docs: DataFrame, groupCol: String,
                      textCol: String): DataFrame = {
     // null text normalizes to "" (the c4Rules rule: an audit report

@@ -243,6 +243,24 @@ class FunnelSpec extends SparkSpec {
     assert(w == Seq((1L, 2L, 2L, 0L, 0.0)), w.toString)
   }
 
+  // ---------------- sessionStats (X193) ----------------
+
+  test("sessionStats: gap sessionization, bounce rate, mean size and " +
+    "duration") {
+    // gap 10 s (in µs). user 1: {0s, 5s} then a lone {100s};
+    // user 2: one lone event
+    val rows = Seq(
+      (1L, 0L, 10L), (1L, 5000000L, 11L), (1L, 100000000L, 12L),
+      (2L, 50000000L, 13L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val got = Funnel.sessionStats(rows, "user_id", "ts_us", "event_id",
+      gap = 10000000L)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    // 3 sessions, 2 users, 2 bounces; mean events 4/3; mean duration
+    // 5e6 µs over 3 sessions = 5/3 s
+    assert(got == ((3L, 2L, 2L, 0.6667, 1.3333, 1.6667)), got.toString)
+  }
+
   // ---------------- robustTrend (X191) ----------------
 
   test("robustTrend: steady growth reads slope 1; a spike day cannot " +

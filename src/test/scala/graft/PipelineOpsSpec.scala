@@ -551,6 +551,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 2L, true)), h.toString)
   }
 
+  // ---------------- emailDomains (X192) ----------------
+
+  test("emailDomains: domain extraction, case fold, per-doc collapse, " +
+    "k cap") {
+    val docs = Seq(
+      (1L, "mail a@x.com and b@x.com plus c@y.org"),
+      (2L, "shouting D@X.COM"),
+      (3L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = Privacy.emailDomains(docs, "doc_id", "text", k = 10)
+      .orderBy("rank")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x.com", 3L, 2L),
+      (2L, "y.org", 1L, 1L)), got.toString)
+    assert(Privacy.emailDomains(docs, "doc_id", "text", k = 1)
+      .count() == 1L)
+  }
+
   // ---------------- snapshotWasserstein (X171) ----------------
 
   test("snapshotWasserstein: hand value, distance scales with shift, " +
