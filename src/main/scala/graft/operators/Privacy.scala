@@ -166,12 +166,13 @@ object Privacy {
         count(lit(1)).cast("long").as("n_docs"))
     val topk = udaf(new TopKStrAgg(k),
       org.apache.spark.sql.Encoders.product[ScoredStr])
-    stats
+    broadcast(stats
       .agg(topk(col("domain"),
         negate(col("n_hits").cast("double"))).as("__top"))
       .select(posexplode(col("__top")).as(Seq("__i", "__kw")))
       .select((col("__i") + 1).cast("long").as("rank"),
-        col("__kw.key").as("domain"))
+        col("__kw.key").as("domain")))
+      // the k winners broadcast back into the domain stats table
       .join(stats, Seq("domain"))
       .select(col("rank"), col("domain"), col("n_hits"), col("n_docs"))
   }
