@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Profile
+
+/** Round-12 [EXT] batch SS: cross-table referential-integrity audit
+  * (X194).
+  */
+object Round12ssQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X194: the ship/no-ship gate before any doc⋈embedding join --
+    "integrity_audit" -> ((s, dir) =>
+      Profile.integrityAudit(
+        t(s, dir, "documents"), "doc_id",
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("check_name")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "integrity_audit" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |dd AS (SELECT 'dup_doc_id' AS check_name,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS c FROM d GROUP BY id HAVING count(*) > 1)),
+        |dv AS (SELECT 'dup_vec_id' AS check_name,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS c FROM e GROUP BY id HAVING count(*) > 1)),
+        |dne AS (SELECT 'doc_without_embedding' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM d WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.id = d.id)),
+        |endoc AS (SELECT 'embedding_without_doc' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id = e.id)),
+        |ne AS (SELECT 'null_embedding' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE v IS NULL OR len(v) = 0),
+        |dims AS (SELECT len(v) AS dim, CAST(count(*) AS BIGINT) AS c
+        |  FROM e WHERE v IS NOT NULL AND len(v) > 0 GROUP BY 1),
+        |modal AS (SELECT dim FROM dims ORDER BY c DESC, dim ASC LIMIT 1),
+        |mm AS (SELECT 'dim_mismatch' AS check_name,
+        |    CAST(coalesce(sum(dims.c), 0) AS BIGINT) AS n
+        |  FROM dims CROSS JOIN modal WHERE dims.dim <> modal.dim)
+        |SELECT * FROM dd UNION ALL SELECT * FROM dv
+        |UNION ALL SELECT * FROM dne UNION ALL SELECT * FROM endoc
+        |UNION ALL SELECT * FROM ne UNION ALL SELECT * FROM mm
+        |ORDER BY check_name""".stripMargin,
+  )
+}

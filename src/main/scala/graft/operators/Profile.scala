@@ -377,6 +377,65 @@ object Profile {
         min(col("__cum")).as("cum_rows"))
   }
 
+  /** Cross-table referential-integrity audit (X194) — the unglamorous
+    * check every real pipeline needs BEFORE joining documents to
+    * their embeddings: orphans on either side silently shrink joins,
+    * duplicate ids silently EXPLODE them, and a null or
+    * wrong-dimension vector detonates distance kernels mid-job. One
+    * fixed six-row report a scheduler can gate on (n = 0 everywhere
+    * or the batch doesn't ship).
+    *
+    * Checks: dup_doc_id / dup_vec_id (ids with > 1 row),
+    * doc_without_embedding / embedding_without_doc (anti-join
+    * orphans), null_embedding (null or empty), dim_mismatch (vectors
+    * whose length differs from the MODAL dimension — modal, not
+    * first/min, so one bad row can never redefine "correct"; ties
+    * break to the smaller dim, pinned).
+    *
+    * Scale shape: two map-side-combining id counts, two anti-joins on
+    * uniform id keys, one ≤\|distinct-dims\|-row mode table; no
+    * windows, nothing corpus-sized on one task. Output: (check_name, n) —
+    * "check" is a DuckDB reserved word — ascending. */
+  def integrityAudit(docs: DataFrame, docIdCol: String, emb: DataFrame,
+                     vecIdCol: String, embCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs.select(col(docIdCol).cast("long").as("__id"))
+    val e = emb.select(col(vecIdCol).cast("long").as("__id"),
+      col(embCol).as("__v"))
+    // each check collapses to one scalar; assemble via a union of
+    // one-row aggregates (all tiny, computed distributed)
+    def scalar(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"), col("n").cast("long").as("n"))
+    val dupDoc = scalar("dup_doc_id",
+      d.groupBy(col("__id")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1L)
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n")))
+    val dupVec = scalar("dup_vec_id",
+      e.groupBy(col("__id")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1L)
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n")))
+    val docNoEmb = scalar("doc_without_embedding",
+      d.join(e.select(col("__id")), Seq("__id"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val embNoDoc = scalar("embedding_without_doc",
+      e.select(col("__id")).join(d, Seq("__id"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val nullEmb = scalar("null_embedding",
+      e.where(col("__v").isNull || size(col("__v")) === 0)
+        .agg(count(lit(1)).as("n")))
+    val dims = e.where(col("__v").isNotNull && size(col("__v")) > 0)
+      .groupBy(size(col("__v")).as("__dim"))
+      .agg(count(lit(1)).as("__c"))
+    val modal = dims.orderBy(col("__c").desc, col("__dim").asc).limit(1)
+      .select(col("__dim").as("__modal"))
+    val mismatch = scalar("dim_mismatch",
+      dims.crossJoin(broadcast(modal))
+        .where(col("__dim") =!= col("__modal"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n")))
+    dupDoc.unionByName(dupVec).unionByName(docNoEmb).unionByName(embNoDoc)
+      .unionByName(nullEmb).unionByName(mismatch)
+  }
+
   /** Benford first-digit audit (X187; Newcomb 1881 / Benford 1938) —
     * the data-forensics staple: naturally-grown magnitude data
     * (prices, populations, file sizes) puts ~30.1% of first digits

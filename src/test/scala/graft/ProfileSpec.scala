@@ -159,6 +159,34 @@ class ProfileSpec extends SparkSpec {
     assert(g2 == Seq((1L, 7L, 10L), (2L, 7L, 10L)), g2.toString)
   }
 
+  test("integrityAudit (X194): every violation class counted on a " +
+    "planted fixture; clean tables read all-zero") {
+    val docs = Seq(1L, 2L, 2L, 3L).toDF("doc_id")
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (4L, Seq(1.0f, 2.0f)), (4L, Seq(1.0f, 2.0f)), // dup + orphan
+      (5L, null.asInstanceOf[Seq[Float]]),
+      (6L, Seq.empty[Float]),
+      (7L, Seq(1.0f, 2.0f, 3.0f))                   // dim mismatch
+    ).toDF("vec_id", "embedding")
+    val got = Profile.integrityAudit(docs, "doc_id", emb, "vec_id",
+      "embedding")
+      .orderBy("check_name").as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("dim_mismatch", 1L),
+      ("doc_without_embedding", 3L),  // rows 2, 2, 3
+      ("dup_doc_id", 2L),
+      ("dup_vec_id", 2L),
+      ("embedding_without_doc", 5L),  // rows 4, 4, 5, 6, 7
+      ("null_embedding", 2L)), got.toString)
+    // a clean pairing gates open
+    val cd = Seq(1L, 2L).toDF("doc_id")
+    val ce = Seq((1L, Seq(1.0f)), (2L, Seq(2.0f))).toDF("vec_id", "embedding")
+    val clean = Profile.integrityAudit(cd, "doc_id", ce, "vec_id",
+      "embedding").as[(String, Long)].collect()
+    assert(clean.forall(_._2 == 0L), clean.mkString(","))
+  }
+
   test("benford (X187): digit shares on a known fixture, absent digits " +
     "emit zero rows, non-positive values drop, doubles truncate") {
     val df = Seq(1.9, 19.0, 150.0, 2.5, 9.0, 0.0, -31.0)
