@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TrainingData
+
+/** Round-12 [EXT] batch TT: exact largest-remainder budget
+  * apportionment (X195).
+  */
+object Round12ttQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X195: split a 100-doc budget across (lang, source) cells
+    // with Σalloc = budget exactly ------------------------------------
+    "mix_apportion" -> ((s, dir) =>
+      TrainingData.apportion(t(s, dir, "documents"),
+        Seq("lang", "source"), total = 100L)
+        .orderBy("lang", "source")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mix_apportion" ->
+      """WITH cells AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS available
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(available) AS BIGINT) AS t FROM cells),
+        |b AS (SELECT lang, source, available,
+        |    (100 * available) // t.t AS base,
+        |    (100 * available) % t.t AS rem,
+        |    CAST(lang AS VARCHAR) || CAST(source AS VARCHAR) AS k
+        |  FROM cells CROSS JOIN t),
+        |s AS (SELECT CAST(100 - sum(base) AS BIGINT) AS short FROM b),
+        |r AS (SELECT lang, source, available, base,
+        |    row_number() OVER (ORDER BY rem DESC, k ASC) AS rn
+        |  FROM b)
+        |SELECT r.lang, r.source, r.available,
+        |  CAST(r.base + CASE WHEN r.rn <= s.short THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r CROSS JOIN s ORDER BY lang, source""".stripMargin,
+  )
+}

@@ -402,6 +402,53 @@ object TrainingData {
         lit((nBins - 1).toDouble)),
       lit(0.0)).cast("int")
 
+  /** Exact proportional budget apportionment (X195; Hamilton's
+    * largest-remainder method, 1792) — split a document budget across
+    * (lang, source) cells EXACTLY: naive floor(N·cᵢ/T) under-allocates
+    * by up to \|cells\| docs and naive rounding can overshoot the
+    * budget; largest-remainder gives every cell its floor share and
+    * hands the Σ shortfall to the largest fractional remainders, so
+    * the allocations sum to EXACTLY the budget — the integer-exact
+    * companion to budgetRates' real-valued mixing rates (rates need a
+    * downstream sampler; this emits per-cell integer quotas a
+    * deterministic take-first-k can execute directly).
+    *
+    * All integer arithmetic: base = (N·c) div T, remainder = (N·c)
+    * mod T, bonus to the (N − Σbase) largest remainders under the
+    * pinned (remainder DESC, cell ASC) order. The ONLY window ranks
+    * the ≤\|cells\|-row collapsed table (bounded by construction).
+    * Requires total ≤ T so every quota is satisfiable.
+    *
+    * Output: (cellCols…, available, alloc), Σalloc = total. */
+  def apportion(df: DataFrame, cellCols: Seq[String],
+                total: Long): DataFrame = {
+    require(cellCols.nonEmpty && total >= 0)
+    val cells = df.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("available"))
+    val t = cells.agg(sum(col("available")).cast("long").as("__t"))
+    val key = concat_ws("", cellCols.map(c => col(c).cast("string")): _*)
+    val based = cells.crossJoin(broadcast(t))
+      .select(cellCols.map(col) ++ Seq(col("available"),
+        // runtime guard riding the USED column (the X66 raise_error
+        // rule — a free-standing guard column would be pruned): a
+        // budget above the corpus size would silently over-allocate
+        when(lit(total) > col("__t"),
+          raise_error(lit("apportion: total exceeds available rows"))
+            .cast("long"))
+          .otherwise(expr(s"($total * available) div __t")).as("__base"),
+        expr(s"($total * available) % __t").as("__rem"),
+        key.as("__k")): _*)
+    val short = based.agg((lit(total) - sum(col("__base"))).as("__short"))
+    val w = Window.orderBy(col("__rem").desc, col("__k").asc)
+    based
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(short))
+      .select(cellCols.map(col) ++ Seq(col("available"),
+        (col("__base") +
+          when(col("__rn") <= col("__short"), 1L).otherwise(0L))
+          .as("alloc")): _*)
+  }
+
   /** Per-row within-group ECDF rank normalization (X178) — maps a raw
     * quality/length score to its percentile WITHIN its own source, so
     * one global threshold means the same thing across sources whose

@@ -551,6 +551,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 2L, true)), h.toString)
   }
 
+  // ---------------- apportion (X195) ----------------
+
+  test("apportion: allocations sum exactly to the budget, remainders " +
+    "rank, ties break by cell key, over-budget raises") {
+    val rows = (Seq.fill(3)("a") ++ Seq.fill(3)("b") ++ Seq.fill(4)("c"))
+      .toDF("cell")
+    val got = TrainingData.apportion(rows, Seq("cell"), total = 7L)
+      .orderBy("cell").as[(String, Long, Long)].collect().toSeq
+    // bases 2,2,2 (floor of 2.1, 2.1, 2.8); the one leftover goes to
+    // c's remainder 8 > a/b's 1
+    assert(got == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 4L, 3L)),
+      got.toString)
+    assert(got.map(_._3).sum == 7L)
+    // remainder tie -> key ascending
+    val tie = Seq("x", "y").toDF("cell")
+    val t2 = TrainingData.apportion(tie, Seq("cell"), total = 1L)
+      .orderBy("cell").as[(String, Long, Long)].collect().toSeq
+    assert(t2 == Seq(("x", 1L, 1L), ("y", 1L, 0L)), t2.toString)
+    // budget above the corpus raises instead of over-allocating
+    intercept[Exception] {
+      TrainingData.apportion(tie, Seq("cell"), total = 5L).collect()
+    }
+  }
+
   // ---------------- emailDomains (X192) ----------------
 
   test("emailDomains: domain extraction, case fold, per-doc collapse, " +
