@@ -660,7 +660,7 @@ class StreamingSpec extends SparkSpec {
     val pts = (0L until 200L)
       .map(i => (i, new java.sql.Timestamp(1700000000000L + i * 7000L)))
       .toDF("pid", "pts")
-    pts.write.mode("overwrite").parquet(ptsDir)
+    pts.coalesce(1).write.mode("overwrite").parquet(ptsDir)
     val wins = Seq(
       (1L, new java.sql.Timestamp(1700000000000L),
         new java.sql.Timestamp(1700000060000L)),
@@ -704,7 +704,7 @@ class StreamingSpec extends SparkSpec {
     def toDf(rows: Seq[(Long, String, Long)]) =
       rows.toDF("user_id", "event_type", "ts")
 
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream
       .schema("user_id BIGINT, event_type STRING, ts BIGINT").parquet(dir)
     val q = graft.streaming.StreamingFunnel.stages(
@@ -714,7 +714,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("funnel_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // latest emission per user (memory sink keeps every update row)
       val got = spark.table("funnel_stream")
@@ -743,7 +743,7 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq((1L, 1L), (1L, 5L), (2L, 3L), (3L, 12L))
     val b2 = Seq((1L, 21L), (1L, 25L), (2L, 10L), (3L, 22L), (2L, 31L))
     def toDf(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "ts")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("user_id BIGINT, ts BIGINT")
       .parquet(dir)
     val q = graft.streaming.StreamingRetention.retentionDeltas(
@@ -753,7 +753,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("retention_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val got = spark.table("retention_stream")
         .groupBy(col("cohort"), col("week_offset"))
@@ -780,7 +780,7 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq((12L, 1L, "c", 3L), (22L, 2L, "a", 6L))
     def toDf(rows: Seq[(Long, Long, String, Long)]) =
       rows.toDF("event_id", "user_id", "event_type", "ts")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream
       .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT")
       .parquet(dir)
@@ -791,7 +791,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("transitions_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val got = spark.table("transitions_stream")
         .groupBy(col("prev"), col("next"))
@@ -817,7 +817,7 @@ class StreamingSpec extends SparkSpec {
     val b2 = (0L until 8L).map(i => ("A", 30L + i)) ++
       Seq(("A", 40L), ("A", 41L), ("B", 20L), ("B", 30L))
     def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
       .parquet(dir)
     // the running Update-mode aggregation: one long of state per live
@@ -828,7 +828,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("volume_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // latest emission per (group, period) is the current count.
       // localCheckpoint: the scorer self-joins its input, and a memory
@@ -862,7 +862,7 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq(("A", 5L), ("A", 15L), ("A", 16L), ("B", 5L))
     val b2 = Seq(("A", 25L), ("A", 26L), ("A", 27L))
     def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
       .parquet(dir)
     val q = graft.operators.Funnel.volumeCounts(
@@ -871,7 +871,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("trend_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val counts = spark.table("trend_stream")
         .groupBy(col("__g"), col("__wk"))
@@ -897,7 +897,7 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq.fill(2)(("shift", 11L)) ++
       (0L to 40L by 10L).map(t => ("steady", t + 2L))
     def toDf(rows: Seq[(String, Long)]) = rows.toDF("event_type", "ts")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("event_type STRING, ts BIGINT")
       .parquet(dir)
     val q = graft.operators.Funnel.volumeCounts(
@@ -906,7 +906,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("cusum_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val counts = spark.table("cusum_stream")
         .groupBy(col("__g"), col("__wk"))
@@ -939,7 +939,7 @@ class StreamingSpec extends SparkSpec {
       (15L, "example.com/page/1#frag"),
       (9L, "https://www.example.com/other"))
     def toDf(rows: Seq[(Long, String)]) = rows.toDF("seq", "url")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("seq BIGINT, url STRING")
       .parquet(dir)
     val q = graft.streaming.StreamingProvenance.latest(
@@ -949,7 +949,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("url_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // Update sink: keep each URL's LAST emission (max n_crawls —
       // the count is monotone, so it identifies the final revision)
@@ -976,7 +976,7 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq(("A", 10L), ("B", 23L), ("B", 21L), ("B", 22L))
     val b2 = Seq(("A", 11L), ("A", 12L), ("B", 20L))
     def toDf(rows: Seq[(String, Long)]) = rows.toDF("domain", "doc_id")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("domain STRING, doc_id BIGINT")
       .parquet(dir)
     val q = graft.streaming.StreamingQuotaCap.admit(
@@ -986,7 +986,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("quota_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val got = spark.table("quota_stream")
         .as[(String, Long, Long)].collect().toSet
@@ -1008,7 +1008,7 @@ class StreamingSpec extends SparkSpec {
       rows.toDF("lang", "n_chars")
         .select(col("lang"), when(col("n_chars") === -999L, lit(null))
           .otherwise(col("n_chars")).as("n_chars"))
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("lang STRING, n_chars BIGINT")
       .parquet(dir)
     val q = graft.streaming.StreamingDrift.binCounts(
@@ -1018,7 +1018,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("drift_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // Update sink: each key's LAST emission = max n (counts are
       // monotone)
@@ -1143,7 +1143,7 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq(("en", "web"), ("de", "web"), ("en", null: String))
     val b2 = Seq(("en", "web"), ("en", null: String), ("en", "web"))
     def toDf(rows: Seq[(String, String)]) = rows.toDF("lang", "source")
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("lang STRING, source STRING")
       .parquet(dir)
     val q = graft.streaming.StreamingPrivacy.classCounts(
@@ -1153,7 +1153,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("kanon_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // Update sink: counts are monotone — last emission = max
       val streamed = spark.table("kanon_stream")
@@ -1193,7 +1193,7 @@ class StreamingSpec extends SparkSpec {
     def toDf(rows: Seq[(String, String)]) = rows.toDF("src", "tok")
     def runStream(batches: Seq[Seq[(String, String)]], name: String) = {
       val dir = Files.createTempDirectory(s"hll-$name").toString
-      toDf(batches.head).write.mode("overwrite").parquet(dir)
+      toDf(batches.head).coalesce(1).write.mode("overwrite").parquet(dir)
       val stream = spark.readStream.schema("src STRING, tok STRING")
         .parquet(dir)
       val q = graft.streaming.StreamingDistinct.estimate(
@@ -1204,7 +1204,7 @@ class StreamingSpec extends SparkSpec {
       try {
         q.processAllAvailable()
         batches.tail.foreach { b =>
-          toDf(b).write.mode("append").parquet(dir)
+          toDf(b).coalesce(1).write.mode("append").parquet(dir)
           q.processAllAvailable()
         }
         // Update sink: the estimate is monotone in the registers, so
@@ -1240,7 +1240,7 @@ class StreamingSpec extends SparkSpec {
     val b2 = mk("s1", 100) ++ mk("s2", 100)
     def toDf(rows: Seq[(String, String)]) = rows.toDF("src", "tok")
     val dir = Files.createTempDirectory("hh-stream").toString
-    toDf(b1).write.mode("overwrite").parquet(dir)
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema("src STRING, tok STRING")
       .parquet(dir)
     val q = graft.streaming.StreamingHeavyHitters.track(
@@ -1250,7 +1250,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("hh_stream").start()
     try {
       q.processAllAvailable()
-      toDf(b2).write.mode("append").parquet(dir)
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
       // final revision per (group, token) = max est (counts only grow
       // for a surviving heavy hitter)
