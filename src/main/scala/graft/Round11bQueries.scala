@@ -51,7 +51,7 @@ object Round11bQueries {
         K, Iters)
     })
 
-  private def assigned(s: SparkSession, dir: String): DataFrame =
+  private[graft] def assigned(s: SparkSession, dir: String): DataFrame =
     Clustering.assign(t(s, dir, "embeddings"), "embedding",
       centroidsFor(s, dir))
 
@@ -251,7 +251,7 @@ object Round11bQueries {
     * [[graft.operators.Clustering.kmeansAssign]] exactly: `iters`
     * update rounds plus one serving assignment). `select` continues
     * the WITH-list when `extraCte`. */
-  private def kmeansSql(select: String, extraCte: Boolean = false): String = {
+  private[graft] def kmeansSql(select: String, extraCte: Boolean = false): String = {
     // one Lloyd round: assign against c$p, integer-sum update → c$r
     def round(r: Int): String = {
       val p = r - 1

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, TrainingData}
+
+/** Round-12 [EXT] batch UU: split leakage through near-dup pairs and
+  * the cluster-balance index-health report (X196–X197).
+  */
+object Round12uuQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X196: did the md5 split separate near-duplicates? ----------
+    "split_leakage" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val splits = TrainingData.hashSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+      TrainingData.splitLeakage(pairs, "doc_a", "doc_b",
+        splits, "doc_id", "split")
+        .orderBy("split_a", "split_b")
+    }),
+
+    // ---- X197: per-cluster population balance of the fixed-point
+    // kmeans assignment (the oracle-gated clustering path) ------------
+    "cluster_balance" -> ((s, dir) =>
+      Clustering.clusterBalance(
+        Round11bQueries.assigned(s, dir), "cluster")
+        .orderBy("cluster")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "split_leakage" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |und AS (SELECT doc_a, doc_b FROM jpairs WHERE jac >= 0.3),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |j AS (SELECT least(sa.split, sb.split) AS split_a,
+         |    greatest(sa.split, sb.split) AS split_b
+         |  FROM und JOIN sp sa ON und.doc_a = sa.doc_id
+         |    JOIN sp sb ON und.doc_b = sb.doc_id)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  split_a <> split_b AS leaky
+         |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+
+    "cluster_balance" -> Round11bQueries.kmeansSql(
+      """cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM a2 GROUP BY cluster),
+        |tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k FROM cnt)
+        |SELECT CAST(cnt.cluster AS INT) AS cluster, cnt.n_members,
+        |  ((20000 * cnt.n_members + tot.n) // (2 * tot.n)) / 10000.0
+        |    AS share,
+        |  ((20000 * (cnt.n_members * tot.k) + tot.n) // (2 * tot.n))
+        |    / 10000.0 AS imbalance
+        |FROM cnt CROSS JOIN tot ORDER BY cluster""".stripMargin,
+      extraCte = true),
+  )
+}

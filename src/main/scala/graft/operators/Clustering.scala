@@ -88,6 +88,32 @@ final class LongVecSumAgg
   * path for huge corpora stays IvfIndex's sample-trained build.
   */
 object Clustering {
+
+  /** Per-cluster population balance (X197) — the index-health readout
+    * before anyone serves ANN probes from a clustering: a degenerate
+    * k-means (one hot cluster holding half the corpus) makes every
+    * probe of that cluster scan half the corpus, and the imbalance is
+    * invisible in recall numbers until tail latency explodes. Share
+    * rides the integer half-up rule; imbalance = share·k (1.0 =
+    * perfectly balanced) repeated per row so the gate reads one
+    * column.
+    *
+    * One map-side count on the ≤k-cardinality cluster key; everything
+    * after runs on k rows. Input: any (idCol, cluster) assignment —
+    * the served IVF table or the fixed-point kmeans assign. Output:
+    * (cluster, n_members, share, imbalance). */
+  def clusterBalance(assign: DataFrame, clusterCol: String): DataFrame = {
+    val counts = assign.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    val tot = counts.agg(sum(col("n_members")).cast("long").as("__n"),
+      count(lit(1)).cast("long").as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_members"),
+        (expr("(20000 * n_members + __n) div (2 * __n)").cast("double") /
+          lit(10000.0)).as("share"),
+        (expr("(20000 * (n_members * __k) + __n) div (2 * __n)")
+          .cast("double") / lit(10000.0)).as("imbalance"))
+  }
   /** Quantization grid: 1e4 — matches the suite-wide 1e-4 rounding. */
   val Quant = 10000L
 

@@ -402,6 +402,37 @@ object TrainingData {
         lit((nBins - 1).toDouble)),
       lit(0.0)).cast("int")
 
+  /** Train/val/test split leakage through near-duplicate pairs
+    * (X196) — the contamination channel the benchmark-decontamination
+    * ops don't see: if doc A sits in train and its near-duplicate B
+    * in test, the eval is graded on memorized text no matter how
+    * clean the benchmark overlap is. Deduplicate-BEFORE-split is the
+    * textbook rule (Lee et al. 2021 §6); this is the audit that
+    * proves a given split obeyed it, per split-pair class.
+    *
+    * Scale shape: two equi-joins attach each pair member's split on
+    * the uniform doc id; the canonicalized (split_a ≤ split_b) class
+    * aggregate has ≤ \|splits\|² rows. The pair table itself is the
+    * served near-dup index's output (candidate generation already
+    * paid on compaction cadence).
+    *
+    * Output: (split_a, split_b, n_pairs, leaky = split_a ≠ split_b),
+    * ordered; the leaky row total is the contamination count. */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+                   splits: DataFrame, idCol: String,
+                   splitCol: String): DataFrame = {
+    val sa = splits.select(col(idCol).as("__a"), col(splitCol).as("__sa"))
+    val sb = splits.select(col(idCol).as("__b"), col(splitCol).as("__sb"))
+    pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(sa, "__a")
+      .join(sb, "__b")
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+  }
+
   /** Exact proportional budget apportionment (X195; Hamilton's
     * largest-remainder method, 1792) — split a document budget across
     * (lang, source) cells EXACTLY: naive floor(N·cᵢ/T) under-allocates

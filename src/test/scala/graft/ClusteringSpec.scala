@@ -194,4 +194,22 @@ class ClusteringSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
   }
+
+  test("clusterBalance (X197): shares and imbalance on a known " +
+    "assignment; balanced clusters read 1.0") {
+    val assign = (Seq.fill(6)(0) ++ Seq.fill(3)(1) ++ Seq.fill(1)(2))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("vec_id", "cluster")
+    val got = Clustering.clusterBalance(assign, "cluster")
+      .orderBy("cluster")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 6L, 0.6, 1.8),
+      (1, 3L, 0.3, 0.9),
+      (2, 1L, 0.1, 0.3)), got.toString)
+    val even = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("vec_id", "cluster")
+    assert(Clustering.clusterBalance(even, "cluster")
+      .as[(Int, Long, Double, Double)].collect().forall(_._4 == 1.0))
+  }
 }

@@ -551,6 +551,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 2L, true)), h.toString)
   }
 
+  // ---------------- splitLeakage (X196) ----------------
+
+  test("splitLeakage: cross-split near-dup pairs flagged per class, " +
+    "canonical pair order") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val"), (6L, "train"))
+      .toDF("doc_id", "split")
+    val got = TrainingData.splitLeakage(pairs, "doc_a", "doc_b",
+      splits, "doc_id", "split")
+      .orderBy("split_a", "split_b")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("test", "train", 1L, true),
+      ("train", "train", 1L, false),
+      ("train", "val", 1L, true)), got.toString)
+  }
+
   // ---------------- apportion (X195) ----------------
 
   test("apportion: allocations sum exactly to the budget, remainders " +
