@@ -329,7 +329,7 @@ object Round11Queries {
          |SELECT c.src AS source, max(ns.ns) AS n_tokens,
          |  round(sum((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) *
          |    ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE)) /
-         |       (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)))), 4) AS kl
+         |       (CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)))), 4) + 0.0 AS kl
          |FROM c JOIN tf USING (t) JOIN ns USING (src) CROSS JOIN tot
          |GROUP BY c.src ORDER BY source""".stripMargin,
 

@@ -460,7 +460,7 @@ object Round11bQueries {
         |        / sqrt(greatest(st.ss/st.m - (st.s/st.m)*(st.s/st.m), 0.0))
         |      ELSE 0.0 END AS z
         |  FROM cnt JOIN st USING (event_type))
-        |SELECT event_type, period, n, round(z, 4) AS z,
+        |SELECT event_type, period, n, round(z, 4) + 0.0 AS z,
         |  abs(z) > 3.0 AS is_anomaly
         |FROM zz ORDER BY event_type, period""".stripMargin,
 
@@ -574,7 +574,7 @@ object Round11bQueries {
         |        / sqrt(greatest(st.ss/st.n - (st.s/st.n)*(st.s/st.n), 0.0))
         |      ELSE 0.0 END AS z
         |  FROM qz JOIN st USING (cluster))
-        |SELECT vec_id, CAST(cluster AS INT) AS cluster, round(z, 4) AS z,
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster, round(z, 4) + 0.0 AS z,
         |  z > 2.0 AS is_outlier
         |FROM zz ORDER BY vec_id""".stripMargin,
       extraCte = true),

@@ -277,7 +277,7 @@ object Round12Queries {
          |            JOIN shaset ssa ON ssa.doc_id = cand.doc_a
          |            JOIN shaset ssb ON ssb.doc_id = cand.doc_b)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, round(est, 4) AS est,
-         |  round(est - jac, 4) AS err
+         |  round(est - jac, 4) + 0.0 AS err
          |FROM v ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -312,7 +312,7 @@ object Round12Queries {
          |  CASE WHEN n_words > 0 THEN round(206.835
          |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
          |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
-         |    4) END AS flesch
+         |    4) + 0.0 END AS flesch
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // the dedup_corpus drop rules grouped by source: exact = non-keeper
@@ -379,10 +379,10 @@ object Round12Queries {
          |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
          |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
          |  FROM s)
-         |SELECT lang, n AS n_terms, round(slope, 4) AS slope,
+         |SELECT lang, n AS n_terms, round(slope, 4) + 0.0 AS slope,
          |  round((CAST(sy AS DOUBLE) / 1000000.0
          |    - slope * (CAST(sx AS DOUBLE) / 1000000.0))
-         |    / CAST(n AS DOUBLE), 4) AS intercept
+         |    / CAST(n AS DOUBLE), 4) + 0.0 AS intercept
          |FROM sl ORDER BY lang""".stripMargin,
 
     "table_profile" ->
@@ -505,7 +505,7 @@ object Round12Queries {
          |  FROM bi JOIN uni ua ON bi.ta = ua.t JOIN uni ub ON bi.tb = ub.t
          |  CROSS JOIN n1 CROSS JOIN nb
          |  WHERE c_ab >= 5)
-         |SELECT ta, tb, c_ab, round(pmi_raw, 4) AS pmi
+         |SELECT ta, tb, c_ab, round(pmi_raw, 4) + 0.0 AS pmi
          |FROM s ORDER BY pmi_raw DESC, ta, tb LIMIT 50""".stripMargin,
   )
 }

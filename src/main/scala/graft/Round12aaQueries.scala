@@ -97,8 +97,9 @@ object Round12aaQueries {
         |  FROM a)
         |SELECT CAST(dim AS BIGINT) AS dim, n,
         |  mn / 10000.0 AS vmin, mx / 10000.0 AS vmax,
-        |  round(m, 4) AS mean, round(sd, 4) AS std,
-        |  round(m - 3.0 * sd, 4) AS lo, round(m + 3.0 * sd, 4) AS hi
+        |  round(m, 4) + 0.0 AS mean, round(sd, 4) AS std,
+        |  round(m - 3.0 * sd, 4) + 0.0 AS lo,
+        |  round(m + 3.0 * sd, 4) + 0.0 AS hi
         |FROM b ORDER BY dim""".stripMargin,
   )
 }

@@ -176,7 +176,7 @@ object Round12bQueries {
        |  FROM hits WHERE cd <= 0.15)
        |SELECT doc_train,
        |  CAST(count(*) OVER (PARTITION BY doc_train) AS BIGINT) AS n_hits,
-       |  round(cd, 4) AS min_cos_dist, e AS closest_eval
+       |  round(cd, 4) + 0.0 AS min_cos_dist, e AS closest_eval
        |FROM f WHERE rn = 1 ORDER BY doc_train""".stripMargin
 
   /** The Cavnar–Trenkle CTE chain ending in r(doc_id, lang, d, rn) —
@@ -249,7 +249,7 @@ object Round12bQueries {
          |p AS (SELECT b.id_new, c.vec_id AS id_corpus,
          |    ${SparkEntry.sqlCosDist("b.embedding", "c.embedding")} AS cd
          |  FROM batch b CROSS JOIN embeddings c)
-         |SELECT id_new, id_corpus, round(cd, 4) AS cos_dist
+         |SELECT id_new, id_corpus, round(cd, 4) + 0.0 AS cos_dist
          |FROM p WHERE cd <= 0.15
          |ORDER BY id_new, id_corpus""".stripMargin,
 
@@ -269,7 +269,7 @@ object Round12bQueries {
         |  round((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
         |    / (CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) AS slope
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) + 0.0 AS slope
         |FROM st WHERE m >= 2 ORDER BY event_type""".stripMargin,
 
     "sq_recon_error" ->

@@ -171,7 +171,7 @@ object Round12ddQueries {
         |  CASE WHEN CAST(n AS HUGEINT) * n - pe = 0 THEN NULL
         |    ELSE round(
         |      CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe AS DOUBLE) /
-        |      CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE), 4) END AS kappa
+        |      CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE), 4) + 0.0 END AS kappa
         |FROM w ORDER BY battery_a, battery_b""".stripMargin,
   )
 }

@@ -102,7 +102,7 @@ object Round12ggQueries {
          |    row_number() OVER (PARTITION BY g ORDER BY z DESC, t ASC) AS rank
          |  FROM z)
          |SELECT g AS source, CAST(rank AS BIGINT) AS rank, t AS token,
-         |  round(z, 4) AS z
+         |  round(z, 4) + 0.0 AS z
          |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "l_diversity" ->

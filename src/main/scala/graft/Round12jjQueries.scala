@@ -74,7 +74,7 @@ object Round12jjQueries {
          |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
          |  CASE WHEN m * sxx - sx * sx > 0
          |    THEN round(CAST(m * sxy - sx * sx AS DOUBLE)
-         |      / CAST(m * sxx - sx * sx AS DOUBLE), 4)
+         |      / CAST(m * sxx - sx * sx AS DOUBLE), 4) + 0.0
          |  END AS assortativity
          |FROM mm""".stripMargin,
 

@@ -44,7 +44,7 @@ object Round12kkQueries {
          |  round(sum(CAST(dc.c AS DOUBLE)
          |      * (ln(CAST(st.cfg + 1 AS DOUBLE) / CAST(sc.ng + sc.v AS DOUBLE))
          |       - ln(CAST(st.cfi + 1 AS DOUBLE) / CAST(sc.ni + sc.v AS DOUBLE))))
-         |    / CAST(sum(dc.c) AS DOUBLE), 4) AS ml_score
+         |    / CAST(sum(dc.c) AS DOUBLE), 4) + 0.0 AS ml_score
          |FROM dc JOIN st USING (t) CROSS JOIN sc
          |GROUP BY dc.doc ORDER BY doc""".stripMargin,
 

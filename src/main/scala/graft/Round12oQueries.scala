@@ -49,7 +49,9 @@ object Round12oQueries {
           col(sx).cast("double") * col(sx).cast("double")
         val vy = n * col(syy).cast("double") -
           col(sy).cast("double") * col(sy).cast("double")
-        when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 4))
+        // + 0.0: zero-canonicalization of the signed round (the X180
+        // class fix — a tiny negative r rounds to -0.0 in DuckDB)
+        when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 4) + lit(0.0))
       }
       sums.select(explode(array(
         struct(lit("stop_frac").as("sig_a"), lit("punct_ratio").as("sig_b"),
@@ -146,7 +148,7 @@ object Round12oQueries {
          |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) FROM s)
          |SELECT sig_a, sig_b, n,
          |  CASE WHEN vx > 0 AND vy > 0
-         |    THEN round(num / sqrt(vx * vy), 4) END AS pearson_r
+         |    THEN round(num / sqrt(vx * vy), 4) + 0.0 END AS pearson_r
          |FROM rows3 ORDER BY sig_a, sig_b""".stripMargin
     },
 
@@ -179,7 +181,7 @@ object Round12oQueries {
          |      CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
          |        + (n01 + n00) * (n10 + n00)) AS DOUBLE)
          |      / CAST(n * n - ((n11 + n10) * (n11 + n01)
-         |        + (n01 + n00) * (n10 + n00)) AS DOUBLE), 4) END AS kappa
+         |        + (n01 + n00) * (n10 + n00)) AS DOUBLE), 4) + 0.0 END AS kappa
          |FROM c""".stripMargin
     },
   )

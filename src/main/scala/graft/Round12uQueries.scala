@@ -58,7 +58,7 @@ object Round12uQueries {
         |  round(CAST(sum(nq) AS DOUBLE) / (count(*) * 10000.0), 4)
         |    AS mean_norm,
         |  CASE WHEN count(cq) > 0 THEN
-        |    round(CAST(sum(cq) AS DOUBLE) / (count(cq) * 10000.0), 4) END
+        |    round(CAST(sum(cq) AS DOUBLE) / (count(cq) * 10000.0), 4) + 0.0 END
         |    AS mean_cos_centroid
         |FROM sc CROSS JOIN dm CROSS JOIN alln
         |GROUP BY dm.d, dm.c, alln.alln""".stripMargin,

@@ -48,7 +48,7 @@ object Round12vQueries {
         |      AS BIGINT) AS q
         |  FROM cells JOIN tot USING (source))
         |SELECT source, t AS n_docs, n_langs,
-        |  round(-CAST(sum(q) AS DOUBLE) / 1000000.0, 4) AS lang_entropy
+        |  round(-CAST(sum(q) AS DOUBLE) / 1000000.0, 4) + 0.0 AS lang_entropy
         |FROM terms GROUP BY source, t, n_langs ORDER BY source""".stripMargin,
   )
 }

@@ -304,7 +304,7 @@ object Round6Queries {
          |               - ln((CAST(raw_tf AS DOUBLE) + 1.0) / (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))) AS lr
          |      FROM model CROSS JOIN tot)
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |  round(sum(CAST(c AS DOUBLE) * lr), 4) AS logw
+         |  round(sum(CAST(c AS DOUBLE) * lr), 4) + 0.0 AS logw
          |FROM dtc JOIN lr USING (t) GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "bloom_prune_join" ->

@@ -463,7 +463,7 @@ object Round8Queries {
          |fin AS (SELECT l.doc_id,
          |    pri.bias + COALESCE(sc.ssum / sc.c, 0.0) AS logit
          |  FROM lab l CROSS JOIN pri LEFT JOIN sc ON l.doc_id = sc.doc_id)
-         |SELECT doc_id, round(logit, 4) AS logit,
+         |SELECT doc_id, round(logit, 4) + 0.0 AS logit,
          |  round(1.0 / (1.0 + exp(-logit)), 4) AS prob
          |FROM fin ORDER BY doc_id""".stripMargin
     },

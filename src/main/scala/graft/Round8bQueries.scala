@@ -104,7 +104,7 @@ object Round8bQueries {
 
   def oracleSql: Map[String, String] = {
     val projBranches = (0 until ProjK).map { j =>
-      s"SELECT vec_id, CAST($j AS BIGINT) AS comp, round(${sqlProjComp("embedding", j)}, 4) AS pval FROM embeddings"
+      s"SELECT vec_id, CAST($j AS BIGINT) AS comp, round(${sqlProjComp("embedding", j)}, 4) + 0.0 AS pval FROM embeddings"
     }.mkString("\nUNION ALL\n")
 
     val peCols = (0 until ProjK).map(j => s"${sqlProjComp("embedding", j)} AS p$j").mkString(",\n    ")

@@ -1233,7 +1233,7 @@ object SparkEntry {
     val dotNeg = s"(- ${sqlDot("e.embedding", "q.qv")})"
     def knnSql(dist: String, where: String = ""): String =
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id, round($dist, 4) AS distance
+         |SELECT e.vec_id, round($dist, 4) + 0.0 AS distance
          |FROM embeddings e CROSS JOIN q $where
          |ORDER BY $dist ASC, e.vec_id ASC LIMIT 10""".stripMargin
 
@@ -1328,17 +1328,17 @@ object SparkEntry {
       "vec_norm" ->
         s"SELECT vec_id, round(${sqlNorm("embedding")}, 4) AS nrm FROM embeddings ORDER BY vec_id",
       "vec_normalize" ->
-        s"SELECT vec_id, round(CAST(embedding[1] AS DOUBLE) / ${sqlNorm("embedding")}, 4) AS n0 FROM embeddings ORDER BY vec_id",
+        s"SELECT vec_id, round(CAST(embedding[1] AS DOUBLE) / ${sqlNorm("embedding")}, 4) + 0.0 AS n0 FROM embeddings ORDER BY vec_id",
       "vec_arith" ->
         s"""SELECT vec_id,
-           |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[len(embedding)] AS DOUBLE) * 2.0, 4) AS s0,
-           |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) * 2.0, 4) AS s1
+           |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[len(embedding)] AS DOUBLE) * 2.0, 4) + 0.0 AS s0,
+           |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[len(embedding)-1] AS DOUBLE) * 2.0, 4) + 0.0 AS s1
            |FROM embeddings ORDER BY vec_id""".stripMargin,
 
       "vec_centroid_by_label" ->
         """SELECT label,
-          |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
-          |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+          |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0.0 AS c0,
+          |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) + 0.0 AS c1,
           |  count(*) AS n
           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
       "vec_quantize" ->
@@ -1503,7 +1503,7 @@ object SparkEntry {
         s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    ${sqlCosDist("a.embedding", "b.embedding")} AS cd
            |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id)
-           |SELECT id_a, id_b, round(cd, 4) AS cos_dist
+           |SELECT id_a, id_b, round(cd, 4) + 0.0 AS cos_dist
            |FROM p ORDER BY cd ASC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
 
       // exact O(n²) pair scan over the SAME deterministic planting as
@@ -1523,7 +1523,7 @@ object SparkEntry {
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    ${sqlCosDist("a.embedding", "b.embedding")} AS cd
            |  FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
-           |SELECT id_a, id_b, round(cd, 4) AS cos_dist
+           |SELECT id_a, id_b, round(cd, 4) + 0.0 AS cos_dist
            |FROM p WHERE cd <= 0.15 ORDER BY id_a, id_b""".stripMargin,
 
       "multimodal_features" ->

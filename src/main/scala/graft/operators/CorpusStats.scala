@@ -1025,8 +1025,12 @@ object CorpusStats {
     joined.crossJoin(broadcast(scalars))
       .groupBy(col("doc"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
-        round((sum(col("c").cast("double") * perTok) /
-          sum(col("c")).cast("double")), 4).as("ml_score"))
+        // + 0.0 canonicalizes the zero: a raw score of −6e-6 rounds to
+        // -0.0 in DuckDB but 0.0 in Spark (BigDecimal has no signed
+        // zero) — the r12 X180 hash split. IEEE: −0.0 + 0.0 = +0.0;
+        // every other value is unchanged.
+        (round((sum(col("c").cast("double") * perTok) /
+          sum(col("c")).cast("double")), 4) + lit(0.0)).as("ml_score"))
   }
 
   /** Vocabulary coverage curve by log2-frequency bucket (X181) — the

@@ -154,7 +154,10 @@ object Funnel {
     st.where(col("__m") >= 2)
       .select(col("__g").as(groupCol), col("__m").as("n_periods"),
         round(sy / m, 4).as("avg_volume"),
-        round(slope, 4).as("slope"))
+        // + 0.0: a tiny negative slope rounds to -0.0 in DuckDB but
+        // 0.0 in Spark — canonicalize the zero on both engine sides
+        // (the X180 class fix)
+        (round(slope, 4) + lit(0.0)).as("slope"))
   }
 
   /** z-score a (__g, __wk, n) counts table against its own per-group

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** The X180 class gate: no contract query may emit a negative zero in
+  * any floating-point column. The r12 `moore_lewis` hash-red was a
+  * DuckDB `-0.0` vs Spark `0.0` split from a signed `round(double, n)`
+  * finisher; every signed finisher now canonicalizes the zero with
+  * `+ 0.0` on both engine sides. This spec pins the SPARK half over
+  * the queries whose finishers are signed-capable (the full
+  * both-engine scan — including the DuckDB side — runs in
+  * `tools/check_oracle.py`, which flags any `-0.0` as NEGZERO even
+  * when both engines agree).
+  */
+class NegativeZeroSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries with a signed floating finisher (slopes, correlations,
+    * log-ratios, z-scores, signed coordinates, negated dots) — the
+    * population the -0.0 hazard lives in. */
+  private val signedFinishers = Seq(
+    "moore_lewis", "events_trend", "signal_corr", "zipf_fit",
+    "bigram_pmi", "readability", "minhash_est_error", "embedding_health",
+    "events_anomaly", "cluster_outliers", "graph_assort",
+    "dsir_weights", "quality_classifier", "source_lang_entropy",
+    "langid_kappa", "battery_agreement", "knn_dot", "knn_cosine",
+    "vec_arith", "vec_centroid_by_label", "vec_normalize", "source_kl",
+    "dedup_embedding", "decontam_semantic", "embedding_drift",
+    "embed_project", "events_robust_trend", "source_delta", "snapshot_w1")
+
+  test("no contract query with a signed finisher emits -0.0 in any float column") {
+    val offenders = signedFinishers
+      .filter(SparkEntry.queries.contains)
+      .flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val floatCols = df.schema.fields.collect {
+          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+        }
+        if (floatCols.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions._
+          // -0.0 detection must not use === (IEEE: -0.0 == 0.0); the
+          // sign bit survives the string cast ("-0.0"), which is also
+          // exactly how a driver-style stringify-then-hash sees it
+          val negZero = floatCols.map(c =>
+            sum(when(col(c).cast("string") === "-0.0", 1L)
+              .otherwise(0L)).as(c))
+          val row = df.agg(negZero.head, negZero.tail: _*).collect()(0)
+          floatCols.zipWithIndex.collect {
+            case (c, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+              s"$name.$c: ${row.getLong(i)} row(s)"
+          }
+        }
+      }
+    assert(offenders.isEmpty, s"negative zeros emitted: $offenders")
+  }
+}

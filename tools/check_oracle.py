@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's correctness gate: run DuckDB on
-oracle_sql.json and diff against the Verify parquet dumps."""
+oracle_sql.json and diff against the Verify parquet dumps.
+
+Comparison is EXACT (the r12 lesson): the driver stringifies values and
+hashes them, so a DuckDB ``-0.0`` vs a Spark ``0.0`` is a hash mismatch
+even though ``-0.0 == 0.0`` numerically and abs-diff tolerance passes.
+Float columns are compared bit-for-bit (same value AND same sign bit;
+NaN==NaN allowed), and any negative zero emitted by EITHER engine is
+reported as a NEGZERO warning even when both sides agree — it marks a
+finisher one engine-version away from a split."""
 import json, sys, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -14,7 +23,7 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-ok, bad = [], []
+ok, bad, warn = [], [], []
 for name, sql in sorted(oracle.items()):
     try:
         exp = con.sql(sql).df()
@@ -26,15 +35,21 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         bad.append((name, f"spark output missing: {e}"))
         continue
-    # canonicalize: sort columns by name, sort rows, stringify
+    # canonicalize: sort columns by name, sort rows on stringified
+    # values (floats keyed on their 4-dp rounding so tiny float noise
+    # cannot reorder rows BEFORE the exact compare reports it as a
+    # value diff on the aligned rows)
     def canon(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        keys = {}
         for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].astype(str)
-            elif str(df[c].dtype).startswith("float"):
-                df[c] = df[c].round(4)
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+            if str(df[c].dtype).startswith("float"):
+                keys[c] = df[c].round(4)
+            else:
+                keys[c] = df[c].astype(str)
+        kdf = pd.DataFrame(keys)
+        order = kdf.sort_values(by=list(kdf.columns)).index
+        return df.loc[order].reset_index(drop=True)
     e, g = canon(exp), canon(got)
     if list(e.columns) != list(g.columns):
         bad.append((name, f"columns differ: oracle={list(e.columns)} spark={list(g.columns)}"))
@@ -46,20 +61,30 @@ for name, sql in sorted(oracle.items()):
     for c in e.columns:
         a, b = e[c], g[c]
         if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-            an, bn = pd.to_numeric(a, errors="coerce"), pd.to_numeric(b, errors="coerce")
-            eq = ((an - bn).abs() < 1e-9) | (an.isna() & bn.isna())
+            an = pd.to_numeric(a, errors="coerce").astype("float64").to_numpy()
+            bn = pd.to_numeric(b, errors="coerce").astype("float64").to_numpy()
+            # exact: equal value AND equal sign bit, or both NaN — the
+            # driver's stringify-then-hash semantics
+            eq = ((an == bn) & (np.signbit(an) == np.signbit(bn))) | \
+                 (np.isnan(an) & np.isnan(bn))
+            eq = pd.Series(eq, index=a.index)
+            for side, arr in (("oracle", an), ("spark", bn)):
+                nz = int((np.signbit(arr) & (arr == 0.0)).sum())
+                if nz:
+                    warn.append((name, f"NEGZERO {side} {c}: {nz} row(s) emit -0.0"))
         else:
             eq = a.astype(str) == b.astype(str)
         if not eq.all():
             i = (~eq).idxmax()
-            diff_cols.append(f"{c}[row{i}]: oracle={a[i]} spark={b[i]}")
+            diff_cols.append(f"{c}[row{i}]: oracle={a[i]!r} spark={b[i]!r}")
     if diff_cols:
         bad.append((name, "; ".join(diff_cols[:3])))
     else:
         ok.append(name)
 
 print(f"PASS {len(ok)}: {' '.join(ok)}")
+for name, why in warn:
+    print(f"WARN {name}: {why}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
-missing = set(oracle) - set(ok) - {n for n, _ in bad}
 sys.exit(1 if bad else 0)
