@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DistanceMetric
+import graft.operators.{Assoc, TopK}
+
+/** Round-13 [EXT] batch A: association / agreement measures
+  * (X198–X200) — Kendall's tau-b between quality signals (the
+  * rank-wise sibling of signal_corr's Pearson), source×language mutual
+  * information (the categorical mix-design readout), and rank-biased
+  * overlap between the euclidean and cosine top-k rankings (the
+  * metric-agreement prerequisite for project-then-rerank serving).
+  */
+object Round13Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X198: tau-b on the 1e-2 quantization lattice — are the two
+    // cheap quality filters rank-equivalent (so one can gate for the
+    // other), beyond Pearson's linear view -----------------------------
+    "signal_tau" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Assoc.kendallTau(t(s, dir, "documents"),
+        TF.stopwordFraction(col("text")), TF.punctRatio(col("text")),
+        grid = 100)
+        .select(col("n"), col("n_cells"),
+          col("concordant").cast("long").as("concordant"),
+          col("discordant").cast("long").as("discordant"),
+          col("tau_b"))
+    }),
+
+    // ---- X199: MI/NMI of the source × language contingency — does
+    // provenance determine language (one quota axis suffices) or are
+    // the axes independent (the mix must constrain both) ---------------
+    "source_lang_mi" -> ((s, dir) =>
+      Assoc.mutualInformation(t(s, dir, "documents"), "source", "lang")),
+
+    // ---- X200: RBO@20 between the euclidean and cosine rankings of
+    // the corpus from query vec 0 — top-weighted shortlist agreement --
+    "rank_overlap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+      def ranked(metric: DistanceMetric) =
+        TopK.knnOf(emb, "vec_id", "embedding", q, "embedding", 20, metric)
+          // bounded window: ranks the 20-row TakeOrdered result
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("distance").asc, col("vec_id").asc)))
+      Assoc.rankRbo(ranked(DistanceMetric.Euclidean),
+        ranked(DistanceMetric.Cosine), "vec_id", "r", k = 20)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "signal_tau" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      val punct = SparkEntry.sqlPunctRatio("text")
+      s"""WITH s AS (SELECT CAST(round($stop * 100) AS BIGINT) AS qx,
+         |    CAST(round($punct * 100) AS BIGINT) AS qy FROM documents),
+         |cells AS (SELECT qx, qy, CAST(count(*) AS BIGINT) AS m
+         |  FROM s GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         |tx AS (SELECT coalesce(sum(CAST(mm AS HUGEINT) * (mm - 1)), 0)
+         |    AS tx2 FROM (SELECT CAST(sum(m) AS BIGINT) AS mm
+         |      FROM cells GROUP BY qx)),
+         |ty AS (SELECT coalesce(sum(CAST(mm AS HUGEINT) * (mm - 1)), 0)
+         |    AS ty2 FROM (SELECT CAST(sum(m) AS BIGINT) AS mm
+         |      FROM cells GROUP BY qy)),
+         |p AS (SELECT
+         |    coalesce(sum(CASE WHEN (a.qx < b.qx AND a.qy < b.qy)
+         |        OR (a.qx > b.qx AND a.qy > b.qy)
+         |      THEN CAST(a.m AS HUGEINT) * b.m ELSE 0 END), 0) AS cc,
+         |    coalesce(sum(CASE WHEN (a.qx < b.qx AND a.qy > b.qy)
+         |        OR (a.qx > b.qx AND a.qy < b.qy)
+         |      THEN CAST(a.m AS HUGEINT) * b.m ELSE 0 END), 0) AS dd
+         |  FROM cells a JOIN cells b
+         |    ON a.qx < b.qx OR (a.qx = b.qx AND a.qy < b.qy))
+         |SELECT nn.n, nn.n_cells,
+         |  CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+         |  CASE WHEN nn.n >= 2 AND
+         |      sqrt(CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - tx2 AS DOUBLE)
+         |        * CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - ty2 AS DOUBLE)) > 0
+         |    THEN round(CAST(cc - dd AS DOUBLE) * 2.0 /
+         |      sqrt(CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - tx2 AS DOUBLE)
+         |        * CAST(CAST(nn.n AS HUGEINT) * (nn.n - 1) - ty2 AS DOUBLE)),
+         |      4) + 0.0 END AS tau_b
+         |FROM nn CROSS JOIN tx CROSS JOIN ty CROSS JOIN p""".stripMargin
+    },
+
+    "source_lang_mi" ->
+      """WITH cells AS (SELECT source AS a, lang AS b,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |mi AS (SELECT CAST(sum(cells.c *
+        |      CAST(round(ln(CAST(CAST(nn.n AS HUGEINT) * cells.c AS DOUBLE)
+        |        / CAST(CAST(ma.ca AS HUGEINT) * mb.cb AS DOUBLE)) * 1000000.0)
+        |        AS BIGINT)) AS BIGINT) AS tsum
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+        |ha AS (SELECT CAST(-sum(ca *
+        |      CAST(round(ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)) AS BIGINT) AS ha_q
+        |  FROM ma CROSS JOIN nn),
+        |hb AS (SELECT CAST(-sum(cb *
+        |      CAST(round(ln(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)) AS BIGINT) AS hb_q
+        |  FROM mb CROSS JOIN nn)
+        |SELECT nn.n, nn.n_cells,
+        |  round(CAST(tsum AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+        |    + 0.0 AS mi,
+        |  round(CAST(ha_q AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+        |    AS h_a,
+        |  round(CAST(hb_q AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+        |    AS h_b,
+        |  CASE WHEN least(ha_q, hb_q) > 0
+        |    THEN round(CAST(tsum AS DOUBLE) / CAST(least(ha_q, hb_q)
+        |      AS DOUBLE), 4) + 0.0 END AS nmi
+        |FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    "rank_overlap" -> {
+      val sq = SparkEntry.sqlSqDist("e.embedding", "q.qv")
+      val cd = SparkEntry.sqlCosDist("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |da AS (SELECT e.vec_id AS id, $sq AS dist
+         |  FROM embeddings e CROSS JOIN q),
+         |ra AS (SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC)
+         |    AS r FROM da WHERE dist IS NOT NULL),
+         |la AS (SELECT list(id ORDER BY r) AS aa FROM ra WHERE r <= 20),
+         |db AS (SELECT e.vec_id AS id, $cd AS dist
+         |  FROM embeddings e CROSS JOIN q),
+         |rb AS (SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC)
+         |    AS r FROM db WHERE dist IS NOT NULL),
+         |lb AS (SELECT list(id ORDER BY r) AS bb FROM rb WHERE r <= 20)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |  CAST(len(list_intersect(aa, bb)) AS BIGINT) AS n_common,
+         |  round(CAST(len(list_intersect(aa, bb)) AS DOUBLE)
+         |    / CAST(len(list_distinct(aa || bb)) AS DOUBLE), 4) AS jaccard_k,
+         |  round((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+         |    * CAST(list_sum(list_transform(
+         |      range(1, 21), dd -> CAST(round(power(CAST(0.9 AS DOUBLE),
+         |        CAST(dd AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         |      * CAST(len(list_intersect(list_slice(aa, 1, dd),
+         |          list_slice(bb, 1, dd))) AS DOUBLE)
+         |      / CAST(dd AS DOUBLE) * CAST(1000000000.0 AS DOUBLE))
+         |      AS BIGINT))) AS DOUBLE)
+         |    / CAST(1000000000.0 AS DOUBLE), 4) AS rbo
+         |FROM la CROSS JOIN lb""".stripMargin
+    },
+  )
+}

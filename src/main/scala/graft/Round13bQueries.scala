@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Privacy}
+
+/** Round-13 [EXT] batch B: degenerate-text and high-severity-PII
+  * screens (X201–X202) — the periodic-loop detector (model-generated
+  * text stuck in a cycle) and the Luhn-validated card-number scan.
+  * Both are pure per-row maps; fixtures are deterministically planted
+  * (the entity_match / pii_domains precedent — the synthetic corpus
+  * carries neither loops nor card numbers).
+  */
+object Round13bQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Every 53rd doc becomes a pure period-3 loop (40 repeats of a
+    * 3-token phrase); the rest keep their natural text, whose
+    * near-zero match fractions are the hash material proving the
+    * detector does not fire on prose. */
+  private def plantLoops(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 53 === 0,
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          _ => lit("buy now click"))))
+        .otherwise(coalesce(col("text"), lit(""))))
+
+  /** Card planting: every 37th doc appends a Luhn-VALID 16-digit run
+    * (15 deterministic digits + the computed check digit), every 41st
+    * a Luhn-INVALID one (check digit shifted by 5). The check digit
+    * rides the validator itself: luhn(d15 ∥ c) = luhn(d15 ∥ '0') + c,
+    * so c = (10 − luhn(d15∥'0') mod 10) mod 10. */
+  private def plantCards(docs: DataFrame): DataFrame = {
+    val d15 = lpad(((col("doc_id") * 7919L) % 100000000000000L)
+      .cast("string"), 15, "0")
+    val cv = (lit(10L) - Privacy.luhnSum(concat(d15, lit("0"))) % 10L) % 10L
+    docs.withColumn("text",
+      when(col("doc_id") % 37 === 0,
+        concat(col("text"), lit(" "), d15, cv.cast("string")))
+        .when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit(" "), d15,
+            ((cv + 5L) % 10L).cast("string")))
+        .otherwise(col("text")))
+      .withColumn("text", coalesce(col("text"), lit("")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X201: periodicity screen — best period in 1..8 by match
+    // fraction; planted loops read 1.0 at period 3, prose stays low --
+    "loop_detect" -> ((s, dir) =>
+      Curation.loopDetect(plantLoops(t(s, dir, "documents")),
+        "doc_id", "text", maxPeriod = 8, minFrac = 0.5)
+        .orderBy("doc_id")),
+
+    // ---- X202: Luhn-validated card-number scan — candidates are
+    // maximal 13–19-digit runs; only the checksum-valid ones count --
+    "pii_luhn" -> ((s, dir) =>
+      Privacy.luhnScan(plantCards(t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+  )
+
+  /** DuckDB Luhn sum over a digit-run lambda variable `r` (nested
+    * lambdas capture — verified on DuckDB 1.0). */
+  private def sqlLuhn(r: String): String = {
+    val ds = s"list_filter(string_split($r, ''), c -> c <> '')"
+    val d = s"CAST(ascii($ds[i]) - 48 AS BIGINT)"
+    s"CAST(list_sum(list_transform(range(1, len($ds) + 1), i -> " +
+      s"CASE WHEN (len($ds) - i) % 2 = 0 THEN $d " +
+      s"ELSE 2 * $d - CASE WHEN $d >= 5 THEN 9 ELSE 0 END END)) AS BIGINT)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "loop_detect" -> {
+      val encs = (1 to 8).map { p =>
+        s"""((20000 * CAST(list_sum(list_transform(range(1, len(th) - $p + 1),
+           |      i -> CASE WHEN th[i] = th[i + $p] THEN 1 ELSE 0 END))
+           |      AS BIGINT)
+           |    + (len(th) - $p)) // (2 * (len(th) - $p))) * 16
+           |    + ${8 - p}""".stripMargin
+      }.mkString("greatest(", ",\n    ", ")")
+      s"""WITH planted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 53 = 0 THEN array_to_string(
+         |      list_transform(range(1, 41), i -> 'buy now click'), ' ')
+         |    ELSE coalesce(text, '') END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM planted),
+         |f AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |    $encs AS best
+         |  FROM tk WHERE len(th) > 8)
+         |SELECT doc_id, n_tokens, CAST(8 - best % 16 AS BIGINT) AS period,
+         |  (best // 16) / 10000.0 AS match_frac,
+         |  best // 16 >= 5000 AS is_loopy
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "pii_luhn" -> {
+      val d15 = "lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 15, '0')"
+      val cv = s"(10 - ${sqlLuhn(s"($d15 || '0')")} % 10) % 10"
+      s"""WITH planted0 AS (SELECT doc_id, coalesce(text, '') AS text
+         |  FROM documents),
+         |planted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 37 = 0
+         |      THEN text || ' ' || $d15 || CAST($cv AS VARCHAR)
+         |    WHEN doc_id % 41 = 0
+         |      THEN text || ' ' || $d15 || CAST(($cv + 5) % 10 AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM planted0),
+         |runs AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[^0-9]+'),
+         |      r -> len(r) >= 13 AND len(r) <= 19) AS rs
+         |  FROM planted)
+         |SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_candidates,
+         |  CAST(len(list_filter(rs, r -> ${sqlLuhn("r")} % 10 = 0))
+         |    AS BIGINT) AS n_valid,
+         |  len(list_filter(rs, r -> ${sqlLuhn("r")} % 10 = 0)) > 0
+         |    AS has_card
+         |FROM runs ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association / agreement measures between corpus signals and
+  * rankings ([EXT], round 13) — the eval-hygiene layer next to
+  * [[graft.Round12oQueries]]'s Pearson matrix and Cohen's kappa:
+  * Pearson answers "do two quality signals move together linearly";
+  * Kendall's tau-b answers it rank-wise (immune to the monotone
+  * transforms quality scores routinely go through), mutual information
+  * answers it for CATEGORICAL columns (is language determined by
+  * source — the mix-design readout), and rank-biased overlap compares
+  * two retrieval rankings of the same corpus (is the cheap metric's
+  * shortlist the expensive metric's shortlist — the prerequisite for
+  * project-then-rerank serving).
+  *
+  * Scale discipline shared by all three: ONE map-side collapse of the
+  * corpus onto a BOUNDED key space (quantization cells, category
+  * cells, top-k rows), then all statistics on the bounded table.
+  * Nothing downstream of the first aggregate is data-proportional.
+  */
+object Assoc {
+
+  /** Kendall's tau-b between two [0,1] signals, exactly, via
+    * quantization cells (Kendall 1945's tie-corrected tau).
+    *
+    * The classic O(n log n) merge-sort formulation is inherently
+    * sequential; instead the signals are quantized to a `grid`-step
+    * lattice FIRST (deciding the tie structure explicitly — scores on
+    * a 1e-2 grid ARE equal at 1e-2), so the corpus collapses map-side
+    * to ≤ (grid+1)² occupied cells and every pair statistic is an
+    * exact integer over the cell table:
+    *   C/D  = Σ over cell pairs with both/opposite strict orders,
+    *   ties = per-axis Σ m(m−1)/2,
+    *   tau_b = (C−D)/√((T−Tx)(T−Ty)), T = n(n−1)/2.
+    * The cell cross-join is (grid+1)⁴/2 at worst (~5·10⁷ at grid 100)
+    * — constant in corpus size, broadcast-joined, and vectorizable on
+    * both engines. Counts ride decimal(38,0): C is O(n²).
+    *
+    * Output: one row (n, n_cells, concordant, discordant, tau_b). */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column,
+                 grid: Int = 100): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .select(round(xCol * grid).cast("long").as("qx"),
+        round(yCol * grid).cast("long").as("qy"))
+      .groupBy(col("qx"), col("qy"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .localCheckpoint(true) // 3 consumers: pairs (twice), margins
+    val n = cells.agg(sum(col("m")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    // per-axis tie mass: pairs sharing the x (resp. y) value
+    def tieMass(axis: String, out: String) = cells
+      .groupBy(col(axis)).agg(sum(col("m")).cast("long").as("mm"))
+      .agg(coalesce(sum(dec(col("mm")) * dec(col("mm") - 1L)), dec(lit(0L)))
+        .as(out)) // 2·ties, halved at assembly
+    val a = cells.select(col("qx").as("xa"), col("qy").as("ya"),
+      col("m").as("ma"))
+    val b = cells.select(col("qx").as("xb"), col("qy").as("yb"),
+      col("m").as("mb"))
+    // unordered cell pairs once: lexicographic (qx, qy) order
+    val pairs = a.join(broadcast(b),
+        col("xa") < col("xb") ||
+          (col("xa") === col("xb") && col("ya") < col("yb")))
+      .agg(
+        coalesce(sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")),
+          dec(col("ma")) * dec(col("mb"))).otherwise(dec(lit(0L)))),
+          dec(lit(0L))).as("cc"),
+        coalesce(sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")),
+          dec(col("ma")) * dec(col("mb"))).otherwise(dec(lit(0L)))),
+          dec(lit(0L))).as("dd"))
+    val d = (c: Column) => c.cast("double")
+    n.crossJoin(pairs)
+      .crossJoin(tieMass("qx", "tx2"))
+      .crossJoin(tieMass("qy", "ty2"))
+      .select(col("n"), col("n_cells"),
+        col("cc").cast("decimal(38,0)").as("concordant"),
+        col("dd").cast("decimal(38,0)").as("discordant"),
+        {
+          val t2 = dec(col("n")) * dec(col("n") - 1L) // 2·T
+          val den = sqrt(d(t2 - col("tx2")) * d(t2 - col("ty2")))
+          // + 0.0: the X180 signed-round rule
+          (when(col("n") >= 2L && den > 0.0,
+            round(d(col("cc") - col("dd")) * 2.0 / den, 4) + lit(0.0))
+            ).as("tau_b")
+        })
+  }
+
+  /** Mutual information (and normalized MI) between two categorical
+    * columns — "how much does source determine language": MI = 0 means
+    * the mix design can treat the axes independently; NMI → 1 means
+    * one axis is a relabeling of the other (and per-axis quotas
+    * collapse to one constraint).
+    *
+    * Scale shape: ONE map-side collapse to the |A|·|B| contingency
+    * cells (sources × languages — bounded by the schema, not the
+    * corpus), margins re-aggregated from the cells (no second corpus
+    * pass), every per-cell term quantized to the 1e-6 grid before the
+    * sum so both engines add the same longs in any order:
+    *   term(a,b) = c_ab · round(ln((n·c_ab)/(c_a·c_b))·1e6)
+    *   MI = Σ term / (n·1e6),  H(X) = −Σ c_x·round(ln(c_x/n)·1e6)/(n·1e6)
+    *   NMI = MI / min(H_A, H_B)  (the min-normalization variant).
+    * Products n·c_ab ride decimal(38,0) (n² territory at 100 TB).
+    *
+    * Output: one row (n, n_cells, mi, h_a, h_b, nmi). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // consumers: margins ×2, n, MI sum
+    val ma = cells.groupBy(col("a"))
+      .agg(sum(col("c")).cast("long").as("ca"))
+    val mb = cells.groupBy(col("b"))
+      .agg(sum(col("c")).cast("long").as("cb"))
+    val n = cells.agg(sum(col("c")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    val mi = cells
+      .join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(n.select(col("n"))))
+      .select((col("c") *
+        round(log(d(dec(col("n")) * dec(col("c"))) /
+          d(dec(col("ca")) * dec(col("cb")))) * 1e6).cast("long"))
+        .as("t"))
+      .agg(sum(col("t")).cast("long").as("tsum"))
+    def entropy(m: DataFrame, cnt: String, out: String) = m
+      .crossJoin(broadcast(n.select(col("n").as("__n"))))
+      .select((col(cnt) *
+        round(log(d(col(cnt)) / d(col("__n"))) * 1e6).cast("long")).as("t"))
+      .agg((-sum(col("t"))).cast("long").as(out))
+    n.crossJoin(mi)
+      .crossJoin(entropy(ma, "ca", "ha_q"))
+      .crossJoin(entropy(mb, "cb", "hb_q"))
+      .select(col("n"), col("n_cells"),
+        // MI ≥ 0 mathematically but the quantized terms can sum to a
+        // tiny negative: canonicalize (the X180 rule)
+        (round(d(col("tsum")) / (d(col("n")) * 1e6), 4) + lit(0.0))
+          .as("mi"),
+        round(d(col("ha_q")) / (d(col("n")) * 1e6), 4).as("h_a"),
+        round(d(col("hb_q")) / (d(col("n")) * 1e6), 4).as("h_b"),
+        (when(least(col("ha_q"), col("hb_q")) > 0L,
+          round(d(col("tsum")) / d(least(col("ha_q"), col("hb_q"))), 4)
+            + lit(0.0))).as("nmi"))
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * top-k rankings of the same corpus, truncated at k (no
+    * extrapolation — the "RBO_min at depth k" readout): the
+    * top-weighted agreement measure for "does the cheap ranking's
+    * shortlist match the expensive ranking's" (the
+    * project-then-rerank / ANN-vs-exact serving question — overlap at
+    * depth 1 matters more than at depth k, which plain Jaccard@k
+    * cannot express).
+    *
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * Inputs are (id, rank) tables with ranks 1..k — k BOUNDED rows
+    * each (TakeOrdered output), so everything here is a driver-scale
+    * fold: both rankings collapse to ONE array row, per-depth
+    * intersections are array HOFs, each addend is quantized to the
+    * 1e-9 grid before the sum (p^(d−1) is the identical double on
+    * both engines — same `power` call order).
+    *
+    * Output: one row (k, overlap_k, jaccard_k, rbo). */
+  def rankRbo(rankedA: DataFrame, rankedB: DataFrame,
+              idCol: String, rankCol: String, k: Int,
+              p: Double = 0.9): DataFrame = {
+    require(k > 0 && p > 0 && p < 1)
+    def toRow(r: DataFrame, out: String) = r
+      .where(col(rankCol) <= k)
+      .agg(array_sort(collect_list(struct(col(rankCol).as("r"),
+        col(idCol).as("id")))).as("s"))
+      .select(transform(col("s"), x => x.getField("id")).as(out))
+    val d = (c: Column) => c.cast("double")
+    toRow(rankedA, "aa").crossJoin(toRow(rankedB, "bb"))
+      .select(
+        lit(k).cast("long").as("k"),
+        size(array_intersect(col("aa"), col("bb"))).cast("long")
+          .as("n_common"),
+        col("aa"), col("bb"))
+      .select(col("k"), col("n_common"),
+        round(d(col("n_common")) /
+          d(size(array_union(col("aa"), col("bb")))), 4).as("jaccard_k"),
+        {
+          // Σ_d round(p^(d−1)·|A_d∩B_d|/d · 1e9): integer sum of
+          // identically-quantized addends — order-free on both engines
+          val terms = transform(sequence(lit(1), lit(k)), dd =>
+            round(pow(lit(p), dd.cast("double") - 1.0) *
+              size(array_intersect(slice(col("aa"), lit(1), dd),
+                slice(col("bb"), lit(1), dd))).cast("double") /
+              dd.cast("double") * 1e9).cast("long"))
+          round(lit(1.0 - p) *
+            aggregate(terms, lit(0L), (acc, t) => acc + t).cast("double")
+            / 1e9, 4).as("rbo")
+        })
+  }
+}

@@ -1012,4 +1012,52 @@ object Curation {
         (expr("(20000 * __s + __cnt * __we) div (2 * (__cnt * __we))")
           .cast("double") / lit(10000.0)).as("mattr"))
   }
+
+  /** Degenerate-loop detector ([EXT] X201, round 13) — the
+    * "model-generated text stuck in a cycle" screen: for each period
+    * p = 1..maxPeriod, the fraction of token positions i with
+    * tok[i] = tok[i+p]; a doc whose best fraction clears `minFrac` is
+    * dominated by a repeating cycle of that length. Catches the
+    * failure mode [[graft.operators.CorpusStats]]'s repetition ratios
+    * blur: "the the the" (p=1) and "buy now click here buy now click
+    * here" (p=4) both score ~1.0 at their period.
+    *
+    * Exactness: token HASHES compare (one rolling hash per token —
+    * the shingleHashes economics), match counts are integers,
+    * fractions take the integer half-up 1e-4 rule; the best period is
+    * picked through an INTEGER encoding frac_q·16 + (maxPeriod−p), so
+    * "highest fraction, smallest period on ties" is one `greatest`
+    * call both engines replay (no struct-ordering dependence).
+    *
+    * Scale shape: pure per-row HOF map — zero exchanges, O(n·maxPeriod)
+    * per doc, scan-bound at any corpus size. Docs with
+    * n_tokens ≤ maxPeriod are omitted (no full period window exists).
+    *
+    * Output: (idCol, n_tokens, period, match_frac, is_loopy). */
+  def loopDetect(docs: DataFrame, idCol: String, textCol: String,
+                 maxPeriod: Int = 8, minFrac: Double = 0.5): DataFrame = {
+    require(maxPeriod >= 1 && maxPeriod < 16, "maxPeriod in [1, 15]")
+    require(minFrac > 0 && minFrac <= 1)
+    val encs = (1 to maxPeriod).map { p =>
+      // frac_q = half-up 1e-4 of matches/(n-p), then integer-encoded
+      expr(s"""(
+        (20000 * aggregate(sequence(1L, __n - ${p}L), 0L,
+           (acc, i) -> acc + IF(element_at(__th, CAST(i AS INT)) =
+             element_at(__th, CAST(i + $p AS INT)), 1L, 0L))
+         + (__n - ${p}L)) div (2 * (__n - ${p}L))
+        ) * 16 + ${maxPeriod - p}""")
+    }
+    docs
+      .select(col(idCol), TF.tokenHashes(col(textCol)).as("__th"))
+      .withColumn("__n", size(col("__th")).cast("long"))
+      .where(col("__n") > maxPeriod.toLong)
+      .withColumn("__best",
+        if (encs.size == 1) encs.head else greatest(encs: _*))
+      .select(col(idCol), col("__n").as("n_tokens"),
+        (lit(maxPeriod.toLong) - col("__best") % 16L).as("period"),
+        (expr("__best div 16").cast("double") / lit(10000.0))
+          .as("match_frac"),
+        (expr("__best div 16") >=
+          math.round(minFrac * 10000.0)).as("is_loopy"))
+  }
 }

@@ -201,4 +201,51 @@ object Privacy {
           round((col("n_email") + col("n_phone") + col("n_ip"))
             .cast("double") * 10000.0 / col("n_chars").cast("double"), 4)))
   }
+
+  /** Luhn checksum of a digit string (ISO/IEC 7812): from the RIGHT,
+    * double every second digit and subtract 9 when the double exceeds
+    * 9; valid card-shaped numbers sum to 0 mod 10. Pure integer HOF —
+    * the DuckDB twin replays it character-for-character (the
+    * rollingHashHof shape). */
+  def luhnSum(digits: Column): Column = {
+    val chars = filter(split(digits, ""), c => c =!= "")
+    aggregate(
+      sequence(lit(1), size(chars)),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(element_at(chars, i)) - 48).cast("long")
+        val fromRight = (size(chars) - i).cast("long") // 0 = rightmost
+        acc + when(fromRight % 2 === 0L, d)
+          .otherwise(d * 2L - when(d >= 5L, 9L).otherwise(0L))
+      })
+  }
+
+  /** Card-number PII scan ([EXT] X202, round 13) — the high-severity
+    * sibling of the email/phone regex triage: a 13–19-digit run is
+    * only reportable PII when it Luhn-validates (ISO/IEC 7812), which
+    * is what separates card numbers from invoice ids and timestamps —
+    * the precision lever the pattern-only scanners lack.
+    *
+    * Candidates are MAXIMAL digit runs (split on non-digits, length
+    * filter 13–19 — RE2 in the oracle has no lookbehind, so the
+    * maximal-run + length-filter formulation is the one both engines
+    * share), each validated by [[luhnSum]] % 10 = 0.
+    *
+    * Scale shape: pure per-row map (regexp split + bounded HOF per
+    * candidate) — zero exchanges, scan-bound.
+    *
+    * Output: (idCol, n_candidates, n_valid, has_card). */
+  def luhnScan(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val runs = filter(
+      split(coalesce(col(textCol), lit("")), "[^0-9]+"),
+      r => length(r) >= 13 && length(r) <= 19)
+    docs
+      .select(col(idCol), runs.as("__runs"))
+      .select(col(idCol),
+        size(col("__runs")).cast("long").as("n_candidates"),
+        size(filter(col("__runs"), r => luhnSum(r) % 10L === 0L))
+          .cast("long").as("n_valid"))
+      .withColumn("has_card", col("n_valid") > 0L)
+  }
 }

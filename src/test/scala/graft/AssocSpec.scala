@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Assoc
+
+class AssocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kendallTau: perfect concordance 1, perfect discordance -1, ties shrink |tau|") {
+    val up = Seq((0.1, 0.1), (0.2, 0.2), (0.3, 0.3), (0.4, 0.4))
+      .toDF("x", "y")
+    val r1 = Assoc.kendallTau(up, col("x"), col("y")).collect()(0)
+    assert(r1.getAs[Long]("n") == 4L)
+    assert(r1.getAs[java.math.BigDecimal]("concordant").longValueExact == 6L)
+    assert(r1.getAs[java.math.BigDecimal]("discordant").longValueExact == 0L)
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+
+    val down = Seq((0.1, 0.4), (0.2, 0.3), (0.3, 0.2), (0.4, 0.1))
+      .toDF("x", "y")
+    assert(Assoc.kendallTau(down, col("x"), col("y"))
+      .collect()(0).getAs[Double]("tau_b") == -1.0)
+
+    // hand case with ties: (0,0),(0,1),(1,1): C=2 (cell pairs
+    // (0,0)-(1,1)? strict both: (0,0)<(1,1) ✓ and (0,1)? x ties) —
+    // C=1 [(0,0)->(1,1)... wait (0,1)->(1,1)? x 0<1, y 1=1 tie: no].
+    // pairs: {(0,0),(0,1)} x-tie; {(0,0),(1,1)} concordant;
+    // {(0,1),(1,1)} y-tie. C=1 D=0 Tx=1 Ty=1 T=3.
+    // tau_b = 1/sqrt((3-1)(3-1)) = 0.5
+    val ties = Seq((0.0, 0.0), (0.0, 0.01), (0.01, 0.01)).toDF("x", "y")
+    val r3 = Assoc.kendallTau(ties, col("x"), col("y")).collect()(0)
+    assert(r3.getAs[java.math.BigDecimal]("concordant").longValueExact == 1L)
+    assert(r3.getAs[java.math.BigDecimal]("discordant").longValueExact == 0L)
+    assert(r3.getAs[Double]("tau_b") == 0.5)
+  }
+
+  test("mutualInformation: independent -> 0, determined -> NMI 1") {
+    // 2x2 uniform independent: every cell n/4
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val r1 = Assoc.mutualInformation(indep, "s", "l").collect()(0)
+    assert(r1.getAs[Double]("mi") == 0.0)
+    assert(r1.getAs[Double]("nmi") == 0.0)
+
+    // one-to-one mapping: MI = H = ln 2 = 0.6931
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("s", "l")
+    val r2 = Assoc.mutualInformation(dep, "s", "l").collect()(0)
+    assert(r2.getAs[Double]("mi") == 0.6931)
+    assert(r2.getAs[Double]("h_a") == 0.6931)
+    assert(r2.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("rankRbo: identical rankings -> 1 - p^k, disjoint -> 0") {
+    val a = (1 to 20).map(i => (i.toLong * 10, i)).toDF("id", "r")
+    val b = (1 to 20).map(i => (i.toLong * 10 + 1000, i)).toDF("id", "r")
+    val same = Assoc.rankRbo(a, a, "id", "r", k = 20).collect()(0)
+    assert(same.getAs[Double]("jaccard_k") == 1.0)
+    // identical: rbo = (1-p)·Σ p^(d-1) = 1 - p^20 = 0.8784
+    assert(same.getAs[Double]("rbo") == 0.8784)
+    val diff = Assoc.rankRbo(a, b, "id", "r", k = 20).collect()(0)
+    assert(diff.getAs[Long]("n_common") == 0L)
+    assert(diff.getAs[Double]("rbo") == 0.0)
+    assert(diff.getAs[Double]("jaccard_k") == 0.0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Curation, Privacy}
+
+class LoopLuhnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("loopDetect: pure loops score 1.0 at their period, ties take the smallest period, prose stays low") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),              // period 1, frac 1.0
+      (2L, "x y x y x y x y x y"),              // period 2 (also 4,6,8 — tie -> 2)
+      (3L, "q w e r t z u i o p"),              // all distinct -> frac 0
+      (4L, "a b c d e f g h")                   // 8 tokens: excluded (n <= maxPeriod)
+    ).toDF("doc_id", "text")
+    val r = Curation.loopDetect(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("period") == 1L)
+    assert(r(0).getAs[Double]("match_frac") == 1.0)
+    assert(r(0).getAs[Boolean]("is_loopy"))
+    assert(r(1).getAs[Long]("period") == 2L)
+    assert(r(1).getAs[Double]("match_frac") == 1.0)
+    assert(r(2).getAs[Double]("match_frac") == 0.0)
+    assert(!r(2).getAs[Boolean]("is_loopy"))
+  }
+
+  test("luhnScan: validates the checksum, ignores wrong-length runs") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),           // classic valid Visa
+      (2L, "ref 4111111111111112 thanks"),        // checksum off by one
+      (3L, "id 123456789012 and 123456789012345678901"), // 12 + 21 digits: no candidates
+      (4L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val r = Privacy.luhnScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_candidates") == 1L)
+    assert(r(0).getAs[Long]("n_valid") == 1L)
+    assert(r(0).getAs[Boolean]("has_card"))
+    assert(r(1).getAs[Long]("n_candidates") == 1L)
+    assert(r(1).getAs[Long]("n_valid") == 0L)
+    assert(!r(1).getAs[Boolean]("has_card"))
+    assert(r(2).getAs[Long]("n_candidates") == 0L)
+    assert(r(3).getAs[Long]("n_candidates") == 0L)
+  }
+}
