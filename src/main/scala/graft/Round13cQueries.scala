@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{CorpusStats, TrainingData}
+
+/** Round-13 [EXT] batch C: sequence-information and sketch-audit
+  * corpus statistics (X203–X204) — per-language bigram conditional
+  * entropy rate (sequence novelty a next-token objective actually
+  * sees) and the corpus-level minhash-vs-exact vocabulary overlap
+  * audit between snapshots.
+  */
+object Round13cQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X203: H(next | current) per language — templates and
+    // degenerate generations collapse it even when unigram entropy
+    // stays high --------------------------------------------------------
+    "entropy_rate" -> ((s, dir) =>
+      CorpusStats.entropyRate(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
+
+    // ---- X204: k=16 minhash estimate of the %3-vs-%5 snapshot
+    // 3-shingle-vocabulary Jaccard against the exact value — pin the
+    // sketch error before a dashboard trusts the signatures ------------
+    "snapshot_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.snapshotMinhashOverlap(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "text", k = 16)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "entropy_rate" ->
+      s"""WITH tk AS (SELECT lang AS g,
+         |    ${SparkEntry.sqlTokenHashes("text")} AS th FROM documents),
+         |bi0 AS (SELECT g, unnest(list_transform(range(1, len(th)),
+         |    i -> struct_pack(a := th[i], b := th[i + 1]))) AS p FROM tk),
+         |bi AS (SELECT g, p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM bi0 GROUP BY 1, 2, 3),
+         |ctx AS (SELECT g, a, CAST(sum(c) AS BIGINT) AS ca
+         |  FROM bi GROUP BY g, a),
+         |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(count(*) AS BIGINT) AS n_distinct FROM bi GROUP BY g),
+         |nc AS (SELECT g, CAST(count(*) AS BIGINT) AS n_contexts
+         |  FROM ctx GROUP BY g),
+         |t AS (SELECT bi.g, CAST(sum(bi.c *
+         |      CAST(round(ln(CAST(bi.c AS DOUBLE) / CAST(ctx.ca AS DOUBLE))
+         |        * 1000000) AS BIGINT)) AS BIGINT) AS tsum
+         |  FROM bi JOIN ctx USING (g, a) GROUP BY bi.g)
+         |SELECT t.g AS lang, n_bigrams, n_contexts, n_distinct,
+         |  round(CAST(-tsum AS DOUBLE)
+         |    / (CAST(n_bigrams AS DOUBLE) * 1000000), 4) + 0.0
+         |    AS entropy_rate
+         |FROM t JOIN tot USING (g) JOIN nc USING (g) ORDER BY lang""".stripMargin,
+
+    "snapshot_overlap" -> {
+      val k = 16
+      def mins(pre: Char) = (0 until k).map(j =>
+        s"min((${TF.minhashA(j)} * h + ${TF.minhashB(j)}) % ${TF.HashMod}) AS $pre$j")
+        .mkString(",\n         |    ")
+      val matches = (0 until k)
+        .map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH tha AS (SELECT doc_id,
+         |    ${SparkEntry.sqlTokenHashes("text")} AS th FROM documents),
+         |a0 AS (SELECT unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS h
+         |  FROM tha WHERE doc_id % 3 <> 0),
+         |b0 AS (SELECT unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS h
+         |  FROM tha WHERE doc_id % 5 <> 0),
+         |sa AS (SELECT
+         |    ${mins('a')}
+         |  FROM a0),
+         |sb AS (SELECT
+         |    ${mins('b')}
+         |  FROM b0),
+         |fl AS (SELECT coalesce(ta.ok, false) AS ia,
+         |    coalesce(tb.ok, false) AS ib
+         |  FROM (SELECT DISTINCT h, true AS ok FROM a0) ta
+         |  FULL OUTER JOIN (SELECT DISTINCT h, true AS ok FROM b0) tb
+         |    USING (h)),
+         |ex AS (SELECT
+         |    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_common,
+         |    CAST(count(*) AS BIGINT) AS u FROM fl)
+         |SELECT CAST($k AS BIGINT) AS k, n_a, n_b, n_common,
+         |  round(CAST($matches AS DOUBLE) / CAST($k.0 AS DOUBLE), 4)
+         |    AS est_jaccard,
+         |  round(CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE), 4)
+         |    AS exact_jaccard,
+         |  round(CAST($matches AS DOUBLE) / CAST($k.0 AS DOUBLE)
+         |    - CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE), 4) + 0.0 AS err
+         |FROM sa CROSS JOIN sb CROSS JOIN ex""".stripMargin
+    },
+  )
+}

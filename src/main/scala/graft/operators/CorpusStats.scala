@@ -1152,4 +1152,71 @@ object CorpusStats {
         (expr("(20000 * n_common + __u) div (2 * __u)").cast("double") /
           lit(10000.0)).as("jaccard"))
   }
+
+  /** Bigram conditional entropy rate per group ([EXT] X203, round 13)
+    * — H(next | current) = −Σ_ab (c_ab/N)·ln(c_ab/c_a): the
+    * sequence-level information density next to [[Curation]]'s
+    * unigram tokenEntropy (which templated text can fool with a rich
+    * vocabulary in a fixed order; the CONDITIONAL entropy collapses
+    * exactly then). Low rate = deterministic continuations (templates,
+    * boilerplate, degenerate generations); the per-language readout
+    * ranks corpus slices by how much actual sequence novelty they
+    * feed a next-token objective.
+    *
+    * Exactness: bigrams are token-hash pairs (one rolling hash per
+    * token), counts exact integers, each term c_ab·round(ln(c_ab/c_a)
+    * ·1e6) quantized before the order-free long sum; terms ≤ 0 by
+    * construction so −sum ≥ 0.
+    *
+    * Scale shape: ONE per-(g, a, b) combine (hot bigrams collapse
+    * map-side); context counts c_a re-aggregate from the bigram table
+    * (no second corpus pass); the scoring join takes the Zipf hybrid —
+    * the top-`headSize` contexts by count ride a broadcast, the
+    * skew-free tail the equi-join (the mooreLewis shape; extensionally
+    * the plain join the oracle replays).
+    *
+    * Output: (groupCol, n_bigrams, n_contexts, n_distinct, entropy_rate). */
+  def entropyRate(docs: DataFrame, groupCol: String, textCol: String,
+                  headSize: Int = 1024): DataFrame = {
+    require(headSize >= 0)
+    val d = (x: org.apache.spark.sql.Column) => x.cast("double")
+    val bi = docs
+      .select(col(groupCol).as("__g"),
+        TF.tokenHashes(col(textCol)).as("__th"))
+      // sequence(1, 0) DESCENDS in Spark — guard the <2-token docs
+      .select(col("__g"), explode(expr(
+        "IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), " +
+          "i -> struct(__th[i - 1] AS a, __th[i] AS b)), " +
+          "CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>))"))
+        .as("__p"))
+      .groupBy(col("__g"), col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // consumers: contexts, totals, head, tail
+    val ctx = bi.groupBy(col("__g"), col("a"))
+      .agg(sum(col("c")).cast("long").as("ca"))
+      .localCheckpoint(true)
+    val tot = bi.groupBy(col("__g"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("n_distinct"))
+    val nCtx = ctx.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n_contexts"))
+    val head = ctx.orderBy(col("ca").desc, col("__g").asc, col("a").asc)
+      .limit(headSize)
+    val tail = ctx.join(broadcast(head.select(col("__g"), col("a"))),
+      Seq("__g", "a"), "left_anti")
+    val joined = bi.join(broadcast(head), Seq("__g", "a"))
+      .unionByName(bi.join(tail, Seq("__g", "a")))
+    joined
+      .select(col("__g"),
+        (col("c") * round(log(d(col("c")) / d(col("ca"))) * 1e6)
+          .cast("long")).as("t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("t")).cast("long").as("tsum"))
+      .join(tot, "__g").join(nCtx, "__g")
+      .select(col("__g").as(groupCol), col("n_bigrams"), col("n_contexts"),
+        col("n_distinct"),
+        // terms ≤ 0 so the rate is ≥ 0; + 0.0 per the X180 rule anyway
+        (round(d(-col("tsum")) / (d(col("n_bigrams")) * 1e6), 4)
+          + lit(0.0)).as("entropy_rate"))
+  }
 }

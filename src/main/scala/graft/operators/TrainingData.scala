@@ -897,4 +897,61 @@ object TrainingData {
           .otherwise(round(col("total_tokens").cast("double") /
             (col("n_packs") * capacity.toLong).cast("double"), 4)))
   }
+
+  /** Minhash estimate of the shingle-vocabulary Jaccard between two
+    * corpus snapshots, against the exact value ([EXT] X204, round 13)
+    * — the "measure your sketch" audit at CORPUS granularity (the
+    * minhash_est_error precedent measured per-PAIR): before trusting
+    * k-slot signatures to track snapshot drift in a dashboard, pin
+    * how far k hash mins actually land from the exact vocabulary
+    * overlap on this corpus shape. The unit is the `n`-token shingle
+    * (the dedup currency) — the token vocabulary saturates instantly
+    * on any large corpus, shingle sets genuinely differ.
+    *
+    * est = |{j : min_j(A) = min_j(B)}| / k over the repo's k fixed
+    * affine hashes of the shingle rolling hashes; min over a MULTISET
+    * equals min over the set, so the signature pass never
+    * deduplicates — one map-side fold to k longs per snapshot. The
+    * exact side pays the one distinct-shingle shuffle: per-shingle
+    * presence flags, Jaccard from two counts.
+    *
+    * Output: one row (k, n_a, n_b, n_common, est_jaccard,
+    * exact_jaccard, err). */
+  def snapshotMinhashOverlap(oldDocs: DataFrame, newDocs: DataFrame,
+                             textCol: String, k: Int = 16,
+                             n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 64)
+    require(n >= 1)
+    val d = (x: Column) => x.cast("double")
+    def sig(docs: DataFrame, pre: String) = {
+      val mins = (0 until k).map { j =>
+        min((lit(TF.minhashA(j)) * col("h") + lit(TF.minhashB(j)))
+          % lit(TF.HashMod)).as(s"$pre$j")
+      }
+      docs
+        .select(explode(TF.shingleHashes(col(textCol), n)).as("h"))
+        .agg(mins.head, mins.tail: _*)
+    }
+    def toks(docs: DataFrame, flag: String) = docs
+      .select(explode(TF.shingleHashes(col(textCol), n)).as("h"))
+      .groupBy(col("h")).agg(lit(true).as(flag))
+    val exact = toks(oldDocs, "ia")
+      .join(toks(newDocs, "ib"), Seq("h"), "full_outer")
+      .agg(
+        sum(when(col("ia"), 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).cast("long")
+          .as("n_common"),
+        count(lit(1)).cast("long").as("__u"))
+    val matches = (0 until k).map(j =>
+      when(col(s"__a$j") === col(s"__b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sig(oldDocs, "__a").crossJoin(sig(newDocs, "__b")).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(d(matches) / lit(k.toDouble), 4).as("est_jaccard"),
+        round(d(col("n_common")) / d(col("__u")), 4).as("exact_jaccard"),
+        (round(d(matches) / lit(k.toDouble) -
+          d(col("n_common")) / d(col("__u")), 4) + lit(0.0)).as("err"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{CorpusStats, TrainingData}
+
+class EntropyOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entropyRate: deterministic continuations -> 0, uniform branching -> ln 2") {
+    // every context has exactly one continuation: H(next|cur) = 0
+    val det = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("x"))
+    val r1 = CorpusStats.entropyRate(det, "lang", "text").collect()(0)
+    assert(r1.getAs[Double]("entropy_rate") == 0.0)
+
+    // context 'a' continues to b/c with equal mass: H = ln 2 = 0.6931
+    // bigrams: (a,b),(b,a),(a,c),(c,a) repeated — build it explicitly
+    val uni = Seq((1L, "a b a c a b a c a b a c a b a c a b a c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("x"))
+    val r2 = CorpusStats.entropyRate(uni, "lang", "text").collect()(0)
+    // contexts: a -> b (5), a -> c (5); b -> a (5); c -> a (4)
+    // H = (10·ln2 + 0 + 0)/19 = 0.3648
+    assert(r2.getAs[Long]("n_bigrams") == 19L)
+    assert(r2.getAs[Double]("entropy_rate") == 0.3648)
+
+    // a doc with fewer than 2 tokens contributes nothing
+    val tiny = Seq((1L, "a"), (2L, "b c")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("x"))
+    val r3 = CorpusStats.entropyRate(tiny, "lang", "text").collect()(0)
+    assert(r3.getAs[Long]("n_bigrams") == 1L)
+  }
+
+  test("snapshotMinhashOverlap: identical snapshots -> est = exact = 1, disjoint -> 0") {
+    val a = Seq((1L, "q w e r t y u i o p")).toDF("doc_id", "text")
+    val same = TrainingData.snapshotMinhashOverlap(a, a, "text")
+      .collect()(0)
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    assert(same.getAs[Double]("exact_jaccard") == 1.0)
+    assert(same.getAs[Double]("err") == 0.0)
+
+    val b = Seq((1L, "z x c v b n m k l j")).toDF("doc_id", "text")
+    val diff = TrainingData.snapshotMinhashOverlap(a, b, "text")
+      .collect()(0)
+    assert(diff.getAs[Long]("n_common") == 0L)
+    assert(diff.getAs[Double]("exact_jaccard") == 0.0)
+  }
+}
