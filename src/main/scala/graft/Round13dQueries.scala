@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Projection
+
+/** Round-13 [EXT] batch D: quantized power iteration for the top
+  * principal direction of the embedding table (X205) — iterative
+  * distributed linear algebra under the full oracle discipline (the
+  * kmeansSql precedent, applied to the spectrum). The DuckDB twin
+  * unrolls the same four quantized iterations as CTEs.
+  */
+object Round13dQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  private val Dim = 64
+  private val Iters = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X205: PC1 + top-eigenvalue estimate — the anisotropy
+    // readout that predicts IVF/LSH bucket skew --------------------
+    "embedding_pc1" -> ((s, dir) =>
+      Projection.pc1(t(s, dir, "embeddings"), "embedding", Dim, Iters)
+        .orderBy("dim")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "embedding_pc1" -> {
+      def iter(k: Int): String = {
+        val p = k - 1
+        s"""s$k AS (SELECT e, list_sum(list_transform(range(1, len(e)+1),
+           |    i -> CAST(e[i] AS DOUBLE) * v[i])) AS s
+           |  FROM x CROSS JOIN v$p),
+           |t$k AS (SELECT unnest(range(1, len(e)+1)) AS i,
+           |    unnest(list_transform(e, xd ->
+           |      CAST(round(CAST(xd AS DOUBLE) * s * 1000000) AS BIGINT)))
+           |      AS t
+           |  FROM s$k),
+           |w$k AS (SELECT list(w ORDER BY i) AS wl FROM
+           |  (SELECT i, CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1000000.0
+           |     AS w FROM t$k GROUP BY i)),
+           |n$k AS (SELECT sqrt(list_sum(list_transform(wl, y -> y * y)))
+           |    AS nrm, wl FROM w$k),
+           |v$k AS (SELECT list_transform(wl,
+           |    x -> round(x / nrm * 1000000) / 1000000.0 + 0.0) AS v
+           |  FROM n$k),""".stripMargin
+      }
+      s"""WITH x AS (SELECT embedding AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(1.0 AS DOUBLE)) AS v),
+         |${(1 to Iters).map(iter).mkString("\n")}
+         |fin AS (SELECT v FROM v$Iters)
+         |SELECT CAST(i - 1 AS BIGINT) AS dim, v[i] AS loading,
+         |  round(nrm * 10000) / 10000.0 AS lambda
+         |FROM fin CROSS JOIN n$Iters
+         |CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+         |ORDER BY dim""".stripMargin
+    },
+  )
+}

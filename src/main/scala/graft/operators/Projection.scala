@@ -100,4 +100,74 @@ object Projection {
     }
     terms.reduceLeft(_ + _)
   }
+
+  /** Round-half-away-from-zero to the 1e-`scalePow` grid — the rule
+    * Spark round / DuckDB round share; Scala math.round is half-UP
+    * (toward +∞) on negatives and must not be used here. */
+  private def qHalfAway(x: Double, grid: Double): Double = {
+    val z = x * grid
+    (if (z >= 0) math.floor(z + 0.5) else -math.floor(-z + 0.5)) / grid
+  }
+
+  /** Top principal direction of an embedding column by QUANTIZED
+    * power iteration ([EXT] X205, round 13) — the index-rotation /
+    * whitening diagnostic: a dominant PC1 (high λ share) means the
+    * cosine geometry is anisotropic and IVF/LSH bucket occupancy will
+    * skew along it (the cluster_balance failure mode, seen from the
+    * spectrum side). Uncentered second moment M = Σ x xᵀ: direction
+    * of maximal Σ(x·v)².
+    *
+    * Exactness (the kmeansSql discipline, on the spectrum): each
+    * iteration computes w = M·v in one corpus pass — s = x·v folds in
+    * ascending index order, per-row per-dim terms round(x_d·s·1e6)
+    * quantize BEFORE the order-free long sum — then v ←
+    * quantize(w/‖w‖, 1e-6) on the ≤dim-row driver side (the centroid
+    * collect pattern), half-away-from-zero so both engines replay the
+    * normalization bit-for-bit. Fixed `iters` (like Lloyd rounds):
+    * the contract is "the direction after N quantized iterations",
+    * deterministic on any engine regardless of convergence.
+    *
+    * Scale shape: `iters` corpus passes; the per-dim reduction
+    * map-side-combines onto `dim` keys (the shuffle carries dim rows
+    * per partition); driver traffic is dim longs per pass — never
+    * data-proportional.
+    *
+    * Output: (dim, loading, lambda) — λ = ‖w‖ of the final pass, the
+    * Rayleigh-quotient estimate of the top eigenvalue (1e-4 grid). */
+  def pc1(df: DataFrame, vecCol: String, dim: Int,
+          iters: Int = 4): DataFrame = {
+    require(dim > 0 && iters >= 1)
+    val data = df.where(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__x"))
+    var v = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit(_)): _*)
+      val sums = data
+        .withColumn("__s", aggregate(
+          zip_with(col("__x"), vLit, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, t) => acc + t))
+        .select(posexplode(col("__x")).as(Seq("__d", "__xd")),
+          col("__s"))
+        .select(col("__d"),
+          round(col("__xd").cast("double") * col("__s") * 1e6)
+            .cast("long").as("__t"))
+        .groupBy(col("__d"))
+        .agg(sum(col("__t")).cast("long").as("__w"))
+        .collect()
+      val w = Array.fill(dim)(0.0)
+      sums.foreach(r => w(r.getAs[Int]("__d")) =
+        r.getAs[Long]("__w").toDouble / 1e6)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) {
+        v = w.map(x => qHalfAway(x / nrm, 1e6) + 0.0) // no -0.0 out
+        lambda = qHalfAway(nrm, 1e4)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, x, lambda) }.toSeq
+      .toDF("dim", "loading", "lambda")
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Projection
+
+class Pc1Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("pc1: recovers the dominant axis of a known spectrum (diag(8, 2))") {
+    // M = Σ x·xᵀ = diag(8, 2): PC1 = ±e1, top eigenvalue 8
+    val data = Seq(
+      Array(2.0f, 0.0f), Array(-2.0f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.0f, -1.0f)
+    ).toDF("embedding")
+    val r = Projection.pc1(data, "embedding", dim = 2, iters = 8)
+      .orderBy("dim").collect()
+    val l0 = r(0).getAs[Double]("loading")
+    val l1 = r(1).getAs[Double]("loading")
+    assert(math.abs(l0) > 0.999, s"PC1 should align with e1, got $l0")
+    assert(math.abs(l1) < 0.04, s"e2 loading should vanish, got $l1")
+    // unit norm up to the 1e-6 quantization grid
+    assert(math.abs(math.sqrt(l0 * l0 + l1 * l1) - 1.0) < 1e-4)
+    val lambda = r(0).getAs[Double]("lambda")
+    assert(lambda > 7.9 && lambda < 8.01, s"lambda should approach 8, got $lambda")
+  }
+
+  test("pc1: deterministic across runs (quantized iterations)") {
+    val data = Seq(
+      Array(1.0f, 2.0f, 3.0f), Array(-2.0f, 1.0f, 0.5f),
+      Array(0.3f, -0.7f, 2.0f)
+    ).toDF("embedding")
+    val a = Projection.pc1(data, "embedding", 3).orderBy("dim")
+      .collect().map(_.getAs[Double]("loading")).toSeq
+    val b = Projection.pc1(data, "embedding", 3).orderBy("dim")
+      .collect().map(_.getAs[Double]("loading")).toSeq
+    assert(a == b)
+  }
+}
