@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Assoc
+
+/** Round-13 [EXT] batch E: independence testing and feature-selection
+  * readouts (X206–X207) — chi-square + Cramér's V on the
+  * source×language table (the significance companion to X199's MI)
+  * and binned MI between a quality signal and the target label (the
+  * "is this feature worth giving the classifier" number).
+  */
+object Round13eQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X206: chi2 independence of source × language + Cramér's V —
+    // the bounded-scale dashboard number next to MI's nats ------------
+    "source_lang_chi2" -> ((s, dir) =>
+      Assoc.chiSquare(t(s, dir, "documents"), "source", "lang")),
+
+    // ---- X207: binned MI between the stopword fraction and the en
+    // label — the feature-selection readout for the quality
+    // classifier's inputs (composes X199's operator over bins) --------
+    "signal_label_mi" -> ((s, dir) =>
+      Assoc.mutualInformation(
+        t(s, dir, "documents").select(
+          greatest(least(round(TF.stopwordFraction(col("text")) * 10),
+            lit(10.0)), lit(0.0)).cast("long").as("bin"),
+          (col("lang") === "en").as("label")),
+        "bin", "label")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "source_lang_chi2" ->
+      """WITH cells AS (SELECT source AS a, lang AS b,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ma),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM mb),
+        |grid AS (SELECT ca, cb, coalesce(c, 0) AS o
+        |  FROM ma CROSS JOIN mb LEFT JOIN cells USING (a, b)),
+        |q AS (SELECT CAST(sum(CAST(round(
+        |      CAST(CAST(o AS HUGEINT) * nn.n
+        |        - CAST(ca AS HUGEINT) * cb AS DOUBLE)
+        |      * CAST(CAST(o AS HUGEINT) * nn.n
+        |        - CAST(ca AS HUGEINT) * cb AS DOUBLE)
+        |      / CAST(CAST(nn.n AS HUGEINT) * ca * cb AS DOUBLE)
+        |      * 1000000) AS BIGINT)) AS BIGINT) AS chi2q
+        |  FROM grid CROSS JOIN nn)
+        |SELECT nn.n, n_a, n_b,
+        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  round(CAST(chi2q AS DOUBLE) / 1000000.0, 4) AS chi2,
+        |  CASE WHEN n_a > 1 AND n_b > 1
+        |    THEN round(sqrt(CAST(chi2q AS DOUBLE) / 1000000.0
+        |      / (CAST(nn.n AS DOUBLE)
+        |        * CAST(least(n_a, n_b) - 1 AS DOUBLE))), 4)
+        |  END AS cramers_v
+        |FROM nn CROSS JOIN na CROSS JOIN nb CROSS JOIN q""".stripMargin,
+
+    "signal_label_mi" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH s AS (SELECT
+         |    CAST(greatest(least(round($stop * 10), 10), 0) AS BIGINT) AS a,
+         |    lang = 'en' AS b FROM documents),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM s GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a),
+         |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         |mi AS (SELECT CAST(sum(cells.c *
+         |      CAST(round(ln(CAST(CAST(nn.n AS HUGEINT) * cells.c AS DOUBLE)
+         |        / CAST(CAST(ma.ca AS HUGEINT) * mb.cb AS DOUBLE)) * 1000000.0)
+         |        AS BIGINT)) AS BIGINT) AS tsum
+         |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+         |ha AS (SELECT CAST(-sum(ca *
+         |      CAST(round(ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         |        * 1000000.0) AS BIGINT)) AS BIGINT) AS ha_q
+         |  FROM ma CROSS JOIN nn),
+         |hb AS (SELECT CAST(-sum(cb *
+         |      CAST(round(ln(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         |        * 1000000.0) AS BIGINT)) AS BIGINT) AS hb_q
+         |  FROM mb CROSS JOIN nn)
+         |SELECT nn.n, nn.n_cells,
+         |  round(CAST(tsum AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+         |    + 0.0 AS mi,
+         |  round(CAST(ha_q AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+         |    AS h_a,
+         |  round(CAST(hb_q AS DOUBLE) / (CAST(nn.n AS DOUBLE) * 1000000.0), 4)
+         |    AS h_b,
+         |  CASE WHEN least(ha_q, hb_q) > 0
+         |    THEN round(CAST(tsum AS DOUBLE) / CAST(least(ha_q, hb_q)
+         |      AS DOUBLE), 4) + 0.0 END AS nmi
+         |FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+    },
+  )
+}

@@ -56,7 +56,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c", "r12ee").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c", "r12ee", "r13ops").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -933,6 +933,39 @@ object Scratch {
         noop(operators.Classifier.rocAuc(
           docs5.withColumn("lab", col("doc_id") % 2 === 0),
           "n_chars", "lab")))
+    }
+
+    gated("r13ops") {
+      // --- round-13 operators at 5M docs / 5M vectors ---
+      val docs5 = spark.read.parquet("/tmp/big_documents")
+      timeIt("entropyRate (lang) over 5M docs")(
+        noop(operators.CorpusStats.entropyRate(docs5, "lang", "text")))
+      timeIt("kendallTau stop-vs-punct grid=100 over 5M docs")(
+        noop(operators.Assoc.kendallTau(docs5,
+          graft.functions.TextFunctions.stopwordFraction(col("text")),
+          graft.functions.TextFunctions.punctRatio(col("text")),
+          grid = 100)))
+      timeIt("mutualInformation source x lang over 5M docs")(
+        noop(operators.Assoc.mutualInformation(docs5, "source", "lang")))
+      timeIt("loopDetect over 5M docs")(
+        noop(operators.Curation.loopDetect(docs5, "doc_id", "text")))
+      timeIt("luhnScan over 5M docs")(
+        noop(operators.Privacy.luhnScan(docs5, "doc_id", "text")))
+      timeIt("snapshotMinhashOverlap k=16 shingle n=3 over 2x ~4M docs")(
+        noop(operators.TrainingData.snapshotMinhashOverlap(
+          docs5.where(col("doc_id") % 3 =!= 0),
+          docs5.where(col("doc_id") % 5 =!= 0), "text")))
+      if (!new java.io.File("/tmp/big_embeddings/_SUCCESS").exists) {
+        val ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        ebase.crossJoin(spark.range(2500).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 100000L).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(64)
+          .write.mode("overwrite").parquet("/tmp/big_embeddings")
+      }
+      val emb5 = spark.read.parquet("/tmp/big_embeddings")
+      timeIt("pc1 4 quantized iterations over 5M x 64-dim vectors")(
+        noop(operators.Projection.pc1(emb5, "embedding", 64)))
     }
 
     spark.stop()

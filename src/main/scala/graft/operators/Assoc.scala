@@ -200,4 +200,52 @@ object Assoc {
             / 1e9, 4).as("rbo")
         })
   }
+
+  /** Pearson chi-square independence statistic + Cramér's V between
+    * two categorical columns ([EXT] X206, round 13) — the
+    * significance companion to [[mutualInformation]]: MI says how
+    * many nats the axes share, V ∈ [0,1] says how far the table sits
+    * from independence on a bounded scale (comparable across corpora
+    * of different size, the dashboard number).
+    *
+    * χ² needs the FULL grid including empty cells (a zero observed
+    * count still contributes its expectation): the grid is the
+    * broadcast margin cross-join (schema-bounded), left-joined to the
+    * occupied cells. Per-cell term (o·n − c_a·c_b)²/(n·c_a·c_b)
+    * evaluates in double from exact decimal(38,0) operands, quantizes
+    * to 1e-6 before the order-free sum.
+    *
+    * Output: one row (n, n_a, n_b, dof, chi2, cramers_v). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val ma = cells.groupBy(col("a")).agg(sum(col("c")).cast("long").as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("c")).cast("long").as("cb"))
+    val n = cells.agg(sum(col("c")).cast("long").as("n"))
+    val na = ma.agg(count(lit(1)).cast("long").as("n_a"))
+    val nb = mb.agg(count(lit(1)).cast("long").as("n_b"))
+    val grid = broadcast(ma).crossJoin(broadcast(mb))
+      .join(cells, Seq("a", "b"), "left_outer")
+      .select(col("ca"), col("cb"), coalesce(col("c"), lit(0L)).as("o"))
+    val chi2q = grid.crossJoin(broadcast(n))
+      .select({
+        val diff = d(dec(col("o")) * dec(col("n")) -
+          dec(col("ca")) * dec(col("cb")))
+        val den = d(dec(col("n")) * dec(col("ca")) * dec(col("cb")))
+        round(diff * diff / den * 1e6).cast("long").as("t")
+      })
+      .agg(sum(col("t")).cast("long").as("chi2q"))
+    n.crossJoin(na).crossJoin(nb).crossJoin(chi2q)
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+        round(d(col("chi2q")) / 1e6, 4).as("chi2"),
+        when(col("n_a") > 1L && col("n_b") > 1L,
+          round(sqrt(d(col("chi2q")) / 1e6 /
+            (d(col("n")) * d(least(col("n_a"), col("n_b")) - 1L))), 4))
+          .as("cramers_v"))
+  }
 }

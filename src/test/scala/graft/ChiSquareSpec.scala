@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Assoc
+
+class ChiSquareSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chiSquare: independence -> 0, perfect association -> V = 1") {
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val r1 = Assoc.chiSquare(indep, "s", "l").collect()(0)
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Double]("cramers_v") == 0.0)
+    assert(r1.getAs[Long]("dof") == 1L)
+
+    // perfect 2x2 association: chi2 = n = 4, V = sqrt(4/(4*1)) = 1
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("s", "l")
+    val r2 = Assoc.chiSquare(dep, "s", "l").collect()(0)
+    assert(r2.getAs[Double]("chi2") == 4.0)
+    assert(r2.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("chiSquare: zero cells contribute their expectation (2x2 with an empty cell)") {
+    // counts: (a,x)=2, (a,y)=0 <- empty, (b,x)=1, (b,y)=1
+    // margins: ca=2, cb=2; cx=3, cy=1; n=4
+    // chi2 = sum (o*n - ci*cj)^2/(n*ci*cj)
+    //  (a,x): (8-6)^2/(4*6)=4/24; (a,y): (0-2)^2/(4*2)=4/8
+    //  (b,x): (4-6)^2/24; (b,y): (4-2)^2/8 -> 4/24+4/8+4/24+4/8 = 4/3
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"))
+      .toDF("s", "l")
+    val r = Assoc.chiSquare(df, "s", "l").collect()(0)
+    assert(r.getAs[Double]("chi2") == 1.3333)
+  }
+}
