@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TrainingData}
+
+/** Round-13 [EXT] batch F: dedup/mix planners (X208–X210) — the
+  * MinHash-LSH (bands, rows) planner integrated against the corpus's
+  * own pair-similarity histogram, the mT5/Pile temperature-sampling
+  * plan, and the normalization-sensitivity dedup delta.
+  */
+object Round13fQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Case/whitespace variants planted for norm_dedup: every 29th doc
+    * (with a predecessor) becomes upper(text of doc−1) plus trailing
+    * spaces — merges with its predecessor under the normalized key
+    * only. Self-join on doc_id−1 (deterministic, both engines). */
+  private def plantVariants(docs: DataFrame): DataFrame = {
+    val prev = docs.select((col("doc_id") + 1L).as("doc_id"),
+      col("text").as("__prev"))
+    docs.join(prev, Seq("doc_id"), "left_outer")
+      .withColumn("text",
+        when(col("doc_id") % 29 === 0 && col("__prev").isNotNull,
+          concat(upper(col("__prev")), lit("  ")))
+          .otherwise(col("text")))
+      .drop("__prev")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X208: (bands, rows) planner from the served-index pair
+    // histogram — the S-curve integrated against THIS corpus ---------
+    "lsh_planner" -> ((s, dir) => {
+      val bands = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.1)
+        .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+          .as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      Dedup.lshPlanner(bands, totalSlots = 64, dupBand = 8L)
+    }),
+
+    // ---- X209: temperature sampling plan at alpha = 0.7 over a
+    // 10k-doc budget — natural vs boosted shares, repetition flags.
+    // Keyed on lang (skewed: en ~3x the others), so the boost column
+    // is informative — the uniform-by-design source axis reads 1.0
+    // everywhere -----------------------------------------------------
+    "temperature_mix" -> ((s, dir) =>
+      TrainingData.temperatureMix(t(s, dir, "documents"), "lang",
+        alpha = 0.7, budgetDocs = 10000L)),
+
+    // ---- X210: case/whitespace dedup delta — what a raw-hash-only
+    // pipeline trains on twice ---------------------------------------
+    "norm_dedup" -> ((s, dir) =>
+      Dedup.normDedup(plantVariants(t(s, dir, "documents")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "lsh_planner" -> {
+      val p = "(CAST(1.0 AS DOUBLE) - power(CAST(1.0 AS DOUBLE) - " +
+        "power((CAST(band AS DOUBLE) + 0.5) / 10.0, " +
+        "CAST(rows_per_band AS DOUBLE)), CAST(n_bands AS DOUBLE)))"
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |bands AS (SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS band,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM jpairs WHERE jac >= 0.1 GROUP BY 1),
+         |grid AS (SELECT * FROM (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
+         |    (4, 16), (2, 32), (1, 64)) AS g(n_bands, rows_per_band)),
+         |sc AS (SELECT n_bands, rows_per_band, band, n_pairs,
+         |    CAST(round($p * 1000000) AS BIGINT) AS pq
+         |  FROM grid CROSS JOIN bands),
+         |ag AS (SELECT n_bands, rows_per_band,
+         |    coalesce(sum(CASE WHEN band >= 8
+         |      THEN CAST(n_pairs AS HUGEINT) * pq END), 0) AS rn,
+         |    coalesce(sum(CASE WHEN band >= 8
+         |      THEN CAST(n_pairs AS HUGEINT) END), 0) AS rd,
+         |    coalesce(sum(CASE WHEN band < 8
+         |      THEN CAST(n_pairs AS HUGEINT) * pq END), 0) AS fn,
+         |    coalesce(sum(CASE WHEN band < 8
+         |      THEN CAST(n_pairs AS HUGEINT) END), 0) AS fd
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT CAST(n_bands AS INT) AS n_bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  CASE WHEN rd > 0 THEN
+         |    CAST((20000 * rn + 1000000 * rd) // (2000000 * rd) AS BIGINT)
+         |      / 10000.0 END AS exp_recall,
+         |  CASE WHEN fd > 0 THEN
+         |    CAST((20000 * fn + 1000000 * fd) // (2000000 * fd) AS BIGINT)
+         |      / 10000.0 END AS exp_fp_rate
+         |FROM ag ORDER BY rows_per_band""".stripMargin
+    },
+
+    "temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(round(power(CAST(count(*) AS DOUBLE), 0.7) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq FROM c)
+        |SELECT lang, n_docs,
+        |  ((20000 * n_docs + tot.n) // (2 * tot.n)) / 10000.0 AS nat_share,
+        |  ((20000 * q + tot.sq) // (2 * tot.sq)) / 10000.0 AS temp_share,
+        |  CAST((CAST(20000 AS HUGEINT) * q * tot.n
+        |      + CAST(tot.sq AS HUGEINT) * n_docs)
+        |    // (CAST(2 AS HUGEINT) * tot.sq * n_docs) AS BIGINT)
+        |    / 10000.0 AS boost,
+        |  CAST((CAST(20000 AS HUGEINT) * q * 10000
+        |      + CAST(tot.sq AS HUGEINT) * n_docs)
+        |    // (CAST(2 AS HUGEINT) * tot.sq * n_docs) AS BIGINT)
+        |    / 10000.0 AS eff_epochs
+        |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    "norm_dedup" ->
+      """WITH planted AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 29 = 0 AND p.text IS NOT NULL
+        |      THEN upper(p.text) || '  ' ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+        |keyed AS (SELECT doc_id,
+        |    md5(coalesce(text, '')) AS kr,
+        |    md5(lower(trim(regexp_replace(coalesce(text, ''),
+        |      '\s+', ' ', 'g')))) AS kn
+        |  FROM planted),
+        |mr AS (SELECT kr, min(doc_id) AS mnr FROM keyed GROUP BY kr),
+        |mn AS (SELECT kn, min(doc_id) AS mnn FROM keyed GROUP BY kn)
+        |SELECT doc_id, doc_id = mnr AS keep_raw, doc_id = mnn AS keep_norm,
+        |  (doc_id = mnr) AND NOT (doc_id = mnn) AS norm_only_dup
+        |FROM keyed JOIN mr USING (kr) JOIN mn USING (kn)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1509,4 +1509,99 @@ object Dedup {
         round(lit(1.0) - col("stored_tokens").cast("double") /
           col("total_tokens").cast("double"), 4).as("savings_ratio"))
   }
+
+  /** MinHash-LSH parameter planner ([EXT] X208, round 13) — turns the
+    * observed pair-similarity histogram (dedup_threshold_curve's
+    * output, served from the shingle index) into the (bands, rows)
+    * decision: for each split of `totalSlots` signature slots into
+    * b bands of r rows, the S-curve P(candidate | s) = 1 − (1 − sʳ)ᵇ
+    * is integrated against the ACTUAL pair mass — expected recall
+    * over duplicate-band pairs (s ≥ dupBand/10) and expected
+    * false-candidate rate over the sub-threshold mass. The planner
+    * every LSH deployment hand-waves, computed from this corpus's own
+    * geometry instead of a textbook s.
+    *
+    * Exactness: s = band midpoint, P quantized to 1e-6 per (config,
+    * band) — one `power` chain in identical order on both engines —
+    * pair-mass products ride decimal(38,0); ratios integer half-up
+    * via the 1e-4 rule.
+    *
+    * Scale shape: input is the ≤10-row histogram (the corpus pass
+    * already happened when the index was built); the planner itself
+    * is a ≤\|configs\|×10-row literal-grid cross join — driver-scale
+    * math, zero data passes.
+    *
+    * Output per config: (n_bands, rows_per_band, exp_recall,
+    * exp_fp_rate), ordered by rows_per_band. */
+  def lshPlanner(bandHistogram: DataFrame, totalSlots: Int = 64,
+                 dupBand: Long = 8L): DataFrame = {
+    require(totalSlots >= 1)
+    val d = (c: Column) => c.cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val configs = (0 to 6).map(1 << _).filter(_ <= totalSlots)
+      .map(r => (totalSlots / r, r)) // (bands, rows)
+    val spark = bandHistogram.sparkSession
+    import spark.implicits._
+    val grid = configs.toDF("n_bands", "rows_per_band")
+    val scored = broadcast(grid).crossJoin(bandHistogram)
+      .select(col("n_bands"), col("rows_per_band"), col("band"),
+        col("n_pairs"),
+        // P(candidate | s at the band midpoint), 1e-6 grid
+        round((lit(1.0) - pow(lit(1.0) -
+          pow((d(col("band")) + 0.5) / 10.0, d(col("rows_per_band"))),
+          d(col("n_bands")))) * 1e6).cast("long").as("pq"))
+    scored
+      .groupBy(col("n_bands"), col("rows_per_band"))
+      .agg(
+        coalesce(sum(when(col("band") >= dupBand,
+          dec(col("n_pairs")) * dec(col("pq")))), dec(lit(0L))).as("__rn"),
+        coalesce(sum(when(col("band") >= dupBand, dec(col("n_pairs")))),
+          dec(lit(0L))).as("__rd"),
+        coalesce(sum(when(col("band") < dupBand,
+          dec(col("n_pairs")) * dec(col("pq")))), dec(lit(0L))).as("__fn"),
+        coalesce(sum(when(col("band") < dupBand, dec(col("n_pairs")))),
+          dec(lit(0L))).as("__fd"))
+      .select(col("n_bands"), col("rows_per_band"),
+        // one exact half-up of num/(1e6*den) at the 1e-4 grid:
+        // (2e4*num + 1e6*den) div (2e6*den), all decimal(38,0)
+        when(col("__rd") > 0, (expr(
+          "CAST((20000 * __rn + 1000000 * __rd) div (2000000 * __rd) AS BIGINT)")
+          .cast("double") / lit(10000.0))).as("exp_recall"),
+        when(col("__fd") > 0, (expr(
+          "CAST((20000 * __fn + 1000000 * __fd) div (2000000 * __fd) AS BIGINT)")
+          .cast("double") / lit(10000.0))).as("exp_fp_rate"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** Normalization-sensitivity dedup delta ([EXT] X210, round 13) —
+    * how many "distinct" documents are the same text behind case and
+    * whitespace: exact dedup keyed on md5(text) vs md5(lower ∘
+    * collapse-whitespace ∘ trim), doc-level keep flags for both keys.
+    * `norm_only_dup` = survives raw dedup but loses normalized dedup —
+    * the mass a raw-only pipeline silently trains on twice. The
+    * cheapest rung of the near-dup ladder (below shingles), and the
+    * first thing to run before paying for minhash.
+    *
+    * Scale shape: two uniform-key (md5) group-min joins — the
+    * dedup_exact shape twice; normalization is a per-row map.
+    *
+    * Output: (idCol, keep_raw, keep_norm, norm_only_dup). */
+  def normDedup(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val normText = lower(trim(regexp_replace(
+      coalesce(col(textCol), lit("")), "\\s+", " ")))
+    val keyed = docs.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("__kr"),
+      md5(normText).as("__kn"))
+      .localCheckpoint(true)
+    def keepers(key: String) = keyed.groupBy(col(key))
+      .agg(min(col(idCol)).as(s"__min$key"))
+    keyed
+      .join(keepers("__kr"), "__kr")
+      .join(keepers("__kn"), "__kn")
+      .select(col(idCol),
+        (col(idCol) === col("__min__kr")).as("keep_raw"),
+        (col(idCol) === col("__min__kn")).as("keep_norm"))
+      .withColumn("norm_only_dup", col("keep_raw") && !col("keep_norm"))
+  }
 }

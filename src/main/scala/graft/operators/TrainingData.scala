@@ -954,4 +954,54 @@ object TrainingData {
         (round(d(matches) / lit(k.toDouble) -
           d(col("n_common")) / d(col("__u")), 4) + lit(0.0)).as("err"))
   }
+
+  /** Temperature-scaled source sampling plan ([EXT] X209, round 13) —
+    * the mT5/Pile mixing rule p_s ∝ n_sᵅ: α = 1 keeps natural
+    * proportions, α → 0 approaches uniform-over-sources; the standard
+    * lever for up-weighting small high-quality sources without
+    * hand-written per-source weights (the [[mixSources]] recipe this
+    * PLANS). Emits, per source: the natural share, the temperature
+    * share, the boost ratio, and the effective epochs a `budgetDocs`
+    * sample implies — eff_epochs > 1 flags the source the temperature
+    * forces into repetition (the mT5 §3.2 caveat).
+    *
+    * Exactness: the ONLY float step is q_s = round(n_sᵅ·1e6) (one
+    * `pow` both engines share); every ratio after is an exact-integer
+    * half-up — temp_share = q_s/Σq, boost = q_s·N/(Σq·n_s),
+    * eff_epochs = q_s·B/(Σq·n_s) — products on decimal(38,0).
+    *
+    * Scale shape: ONE map-side count to the schema-bounded source
+    * table; scalars re-aggregate from it; everything after is
+    * bounded-table math. Output ordered by source. */
+  def temperatureMix(docs: DataFrame, sourceCol: String,
+                     alpha: Double, budgetDocs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(budgetDocs > 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("q",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("n_docs")).cast("long").as("__n"),
+      sum(col("q")).cast("long").as("__sq"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        (expr("CAST((20000 * n_docs + __n) div (2 * __n) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("nat_share"),
+        (expr("CAST((20000 * q + __sq) div (2 * __sq) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("temp_share"),
+        // boost = (q·N) / (Σq·n_s), half-up 1e-4 on decimal products
+        (expr("CAST((CAST(20000 AS DECIMAL(38,0)) * q * __n " +
+          "+ CAST(__sq AS DECIMAL(38,0)) * n_docs) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __sq * n_docs) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("boost"),
+        (expr(s"CAST((CAST(20000 AS DECIMAL(38,0)) * q * $budgetDocs " +
+          "+ CAST(__sq AS DECIMAL(38,0)) * n_docs) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __sq * n_docs) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("eff_epochs"))
+      .orderBy(col(sourceCol))
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TrainingData}
+
+class PlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lshPlanner: r=1 catches everything, r=slots only near-exact pairs") {
+    // all pair mass at s=0.85 (band 8) and s=0.15 (band 1)
+    val hist = Seq((8L, 100L), (1L, 1000L)).toDF("band", "n_pairs")
+    val byRows = Dedup.lshPlanner(hist, 64, 8L).collect()
+      .map(x => x.getAs[Int]("rows_per_band") ->
+        (x.getAs[Double]("exp_recall"), x.getAs[Double]("exp_fp_rate")))
+      .toMap
+    // r=1, b=64: P(0.85) = 1-(0.15)^64 = 1.0; P(0.15) = 1-(0.85)^64 ~ 1
+    assert(byRows(1)._1 == 1.0)
+    assert(byRows(1)._2 > 0.99)
+    // r=64, b=1: P(0.85) = 0.85^64 ~ 3e-5 -> recall ~ 0; fp ~ 0
+    assert(byRows(64)._1 < 0.01)
+    assert(byRows(64)._2 == 0.0)
+    // monotone: recall decreases with rows
+    val recalls = Dedup.lshPlanner(hist, 64, 8L).orderBy("rows_per_band")
+      .collect().map(_.getAs[Double]("exp_recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("temperatureMix: alpha=1 is the natural mix; alpha<1 boosts the tail") {
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "src")
+    val nat = TrainingData.temperatureMix(docs, "src", alpha = 1.0,
+      budgetDocs = 100L).collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(nat("big").getAs[Double]("boost") == 1.0)
+    assert(nat("big").getAs[Double]("temp_share") == 0.9)
+    assert(nat("big").getAs[Double]("eff_epochs") == 1.0)
+    val cool = TrainingData.temperatureMix(docs, "src", alpha = 0.5,
+      budgetDocs = 100L).collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(cool("small").getAs[Double]("boost") > 1.0)
+    assert(cool("big").getAs[Double]("boost") < 1.0)
+    // shares still sum to ~1 on the 1e-4 grid
+    val sh = cool.values.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(sh - 1.0) < 2e-4)
+  }
+
+  test("normDedup: case/whitespace variants merge only under the normalized key") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "HELLO   world  "), // normalizes to doc 1's text
+      (3L, "hello world"),     // raw duplicate of doc 1
+      (4L, "different text")
+    ).toDF("doc_id", "text")
+    val r = Dedup.normDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep_raw") && r(0).getAs[Boolean]("keep_norm"))
+    assert(r(1).getAs[Boolean]("keep_raw") &&
+      !r(1).getAs[Boolean]("keep_norm") &&
+      r(1).getAs[Boolean]("norm_only_dup"))
+    assert(!r(2).getAs[Boolean]("keep_raw") && !r(2).getAs[Boolean]("keep_norm"))
+    assert(r(3).getAs[Boolean]("keep_raw") && r(3).getAs[Boolean]("keep_norm"))
+  }
+}
