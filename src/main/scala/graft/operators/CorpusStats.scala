@@ -1177,21 +1177,37 @@ object CorpusStats {
     *
     * Output: (groupCol, n_bigrams, n_contexts, n_distinct, entropy_rate). */
   def entropyRate(docs: DataFrame, groupCol: String, textCol: String,
-                  headSize: Int = 1024): DataFrame = {
+                  headSize: Int = 1024): DataFrame =
+    entropyRateFromCounts(
+      bigramCounts(docs, groupCol, textCol).localCheckpoint(true),
+      groupCol, headSize)
+
+  /** The (group, bigram) count table feeding [[entropyRate]] — per-row
+    * map + one combine. STREAMING: this aggregation (on a text stream,
+    * Update output mode) IS the streaming query — state is one long
+    * per live (g, a, b), vocab²-bounded per group (cap the state by
+    * hashing bigrams into a fixed bucket space upstream if the vocab
+    * is open); [[entropyRateFromCounts]] serves each counts snapshot
+    * via foreachBatch (the trendFromCounts serving split). */
+  def bigramCounts(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = docs
+    .select(col(groupCol).as("__g"),
+      TF.tokenHashes(col(textCol)).as("__th"))
+    // sequence(1, 0) DESCENDS in Spark — guard the <2-token docs
+    .select(col("__g"), explode(expr(
+      "IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), " +
+        "i -> struct(__th[i - 1] AS a, __th[i] AS b)), " +
+        "CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>))"))
+      .as("__p"))
+    .groupBy(col("__g"), col("__p.a").as("a"), col("__p.b").as("b"))
+    .agg(count(lit(1)).cast("long").as("c"))
+
+  /** The scoring half of [[entropyRate]] over a (__g, a, b, c) counts
+    * table — see [[bigramCounts]] for the streaming serving split. */
+  def entropyRateFromCounts(bi: DataFrame, groupCol: String,
+                            headSize: Int = 1024): DataFrame = {
     require(headSize >= 0)
     val d = (x: org.apache.spark.sql.Column) => x.cast("double")
-    val bi = docs
-      .select(col(groupCol).as("__g"),
-        TF.tokenHashes(col(textCol)).as("__th"))
-      // sequence(1, 0) DESCENDS in Spark — guard the <2-token docs
-      .select(col("__g"), explode(expr(
-        "IF(size(__th) >= 2, transform(sequence(1, size(__th) - 1), " +
-          "i -> struct(__th[i - 1] AS a, __th[i] AS b)), " +
-          "CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>))"))
-        .as("__p"))
-      .groupBy(col("__g"), col("__p.a").as("a"), col("__p.b").as("b"))
-      .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint(true) // consumers: contexts, totals, head, tail
     val ctx = bi.groupBy(col("__g"), col("a"))
       .agg(sum(col("c")).cast("long").as("ca"))
       .localCheckpoint(true)

@@ -887,6 +887,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming entropy rate: bigram counts as the streaming query + " +
+    "foreachBatch scorer match the batch operator across batches") {
+    val dir = Files.createTempDirectory("entropy-stream").toString
+    // doc texts split over two micro-batches; the (g, a, b) count
+    // aggregation is the streaming query (one long per live bigram),
+    // entropyRateFromCounts serves each snapshot (the trendFromCounts
+    // serving split)
+    val b1 = Seq(("x", "a b a b a c"), ("y", "q w q w"))
+    val b2 = Seq(("x", "a b a d"), ("y", "q w e r t"))
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("lang", "text")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("lang STRING, text STRING")
+      .parquet(dir)
+    val q = graft.operators.CorpusStats.bigramCounts(
+      stream.toDF(), "lang", "text")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("entropy_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val counts = spark.table("entropy_stream")
+        .groupBy(col("__g"), col("a"), col("b"))
+        .agg(max(col("c")).as("c"))
+        .localCheckpoint(true)
+      val got = graft.operators.CorpusStats
+        .entropyRateFromCounts(counts, "lang")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      val want = graft.operators.CorpusStats.entropyRate(
+        toDf(b1 ++ b2), "lang", "text")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      assert(got.map(_._1) == Set("x", "y"))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM: running counts + foreachBatch detector match " +
     "the batch operator, out-of-order arrivals included") {
     val dir = Files.createTempDirectory("cusum-stream").toString
