@@ -966,6 +966,17 @@ object Scratch {
       val emb5 = spark.read.parquet("/tmp/big_embeddings")
       timeIt("pc1 4 quantized iterations over 5M x 64-dim vectors")(
         noop(operators.Projection.pc1(emb5, "embedding", 64)))
+      timeIt("temperatureMix (lang) over 5M docs")(
+        noop(operators.TrainingData.temperatureMix(docs5, "lang",
+          alpha = 0.7, budgetDocs = 1000000L)))
+      timeIt("normDedup over 5M docs")(
+        noop(operators.Dedup.normDedup(docs5, "doc_id", "text")))
+      // lshPlanner input is the <=10-row histogram — measure it over a
+      // literal table to confirm the driver-scale claim
+      timeIt("lshPlanner over a literal 10-row histogram")(
+        noop(operators.Dedup.lshPlanner(
+          spark.range(10).toDF("band")
+            .select(col("band"), (col("band") * 1000L + 7L).as("n_pairs")))))
     }
 
     spark.stop()
