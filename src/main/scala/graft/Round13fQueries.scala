@@ -61,18 +61,20 @@ object Round13fQueries {
 
   def oracleSql: Map[String, String] = Map(
     "lsh_planner" -> {
-      val p = "(CAST(1.0 AS DOUBLE) - power(CAST(1.0 AS DOUBLE) - " +
-        "power((CAST(band AS DOUBLE) + 0.5) / 10.0, " +
-        "CAST(rows_per_band AS DOUBLE)), CAST(n_bands AS DOUBLE)))"
+      // the SAME literal S-curve table the Spark plan joins — neither
+      // engine evaluates pow (the libm-ulp boundary lesson)
+      val curve = Dedup.lshPlannerCurve(64)
+        .map { case (b, r, band, pq) => s"($b, $r, $band, $pq)" }
+        .mkString(", ")
       s"""WITH ${SparkEntry.sqlJaccardCtes},
          |bands AS (SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS band,
          |    CAST(count(*) AS BIGINT) AS n_pairs
          |  FROM jpairs WHERE jac >= 0.1 GROUP BY 1),
-         |grid AS (SELECT * FROM (VALUES (64, 1), (32, 2), (16, 4), (8, 8),
-         |    (4, 16), (2, 32), (1, 64)) AS g(n_bands, rows_per_band)),
-         |sc AS (SELECT n_bands, rows_per_band, band, n_pairs,
-         |    CAST(round($p * 1000000) AS BIGINT) AS pq
-         |  FROM grid CROSS JOIN bands),
+         |curve AS (SELECT * FROM (VALUES $curve)
+         |  AS c(n_bands, rows_per_band, band, pq)),
+         |sc AS (SELECT n_bands, rows_per_band, bands.band, n_pairs,
+         |    CAST(pq AS BIGINT) AS pq
+         |  FROM bands JOIN curve ON bands.band = curve.band),
          |ag AS (SELECT n_bands, rows_per_band,
          |    coalesce(sum(CASE WHEN band >= 8
          |      THEN CAST(n_pairs AS HUGEINT) * pq END), 0) AS rn,

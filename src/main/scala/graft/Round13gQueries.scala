@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.LshIndex
+import graft.operators.TrainingData
+
+/** Round-13 [EXT] batch G: the sign-LSH plane planner for embeddings
+  * (X211 — the X208 planner on the cosine side, with the θ→collision
+  * constants computed once in Scala and injected as identical
+  * literals into both engines) and the context-length truncation-loss
+  * report (X212).
+  */
+object Round13gQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** The dedup_lsh_planted corpus: 300 base vectors + 60 planted ±3%
+    * twins — test-scale exact ground truth whose band-0 mass makes the
+    * recall side of the planner informative. */
+  private def plantedCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.where(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    // two selects, NOT one: with a single select the rename
+    // (vec_id + 100000).as("vec_id") is a lateral column alias and
+    // Spark resolves the lambda's col("vec_id") to the NEW id — the
+    // perturbation factors silently shift (caught by the oracle gate:
+    // planted-pair cosines differed at the 3rd decimal)
+    val planted = base.where(col("vec_id") < 60)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") + i) % 7 - 3).cast("double") * lit(0.01)))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    base.unionByName(planted)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X211: (numBands, planesPerBand) decision for the sign-LSH
+    // semantic-dedup paths, integrated against this corpus's observed
+    // cosine-distance pair histogram ----------------------------------
+    "embedding_lsh_planner" -> ((s, dir) => {
+      val all = plantedCorpus(t(s, dir, "embeddings")).alias("a")
+      val b = all.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      val hist = all.crossJoin(b).where(col("vec_id") < col("idb"))
+        .select(least(floor(
+          graft.functions.VectorFunctions.cosineDistance(
+            col("embedding"), col("eb")) * 5).cast("long"), lit(9L))
+          .as("band"))
+        .where(col("band").isNotNull)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      LshIndex.planePlanner(hist, totalPlanes = 32, dupBand = 0L)
+    }),
+
+    // ---- X212: what a 64-token context costs, per source ------------
+    "truncation_loss" -> ((s, dir) =>
+      TrainingData.truncationLoss(t(s, dir, "documents"), "source",
+        "text", maxTokens = 64L)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "embedding_lsh_planner" -> {
+      // the SAME literal S-curve table the Spark plan joins — neither
+      // engine evaluates pow/acos (the libm-ulp boundary lesson: the
+      // first pow-in-SQL form split exp_fp_rate by one 1e-4 unit)
+      val curve = LshIndex.planePlannerCurve(32)
+        .map { case (b, r, band, pq) => s"($b, $r, $band, $pq)" }
+        .mkString(", ")
+      val cd = SparkEntry.sqlCosDist("a.embedding", "b.embedding")
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 300),
+         |all_v AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, len(embedding)+1),
+         |      i -> CAST(CAST(embedding[i] AS DOUBLE) *
+         |           (1.0 + CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE) * 1e-2) AS REAL)) AS embedding
+         |  FROM base WHERE vec_id < 60),
+         |pr AS (SELECT least(CAST(floor($cd * 5) AS BIGINT), 9) AS band
+         |  FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id),
+         |bands AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pr WHERE band IS NOT NULL GROUP BY band),
+         |curve AS (SELECT * FROM (VALUES $curve)
+         |  AS c(n_bands, planes_per_band, band, pq)),
+         |sc AS (SELECT n_bands, planes_per_band, bands.band, n_pairs,
+         |    CAST(pq AS BIGINT) AS pq
+         |  FROM bands JOIN curve ON bands.band = curve.band),
+         |ag AS (SELECT n_bands, planes_per_band,
+         |    coalesce(sum(CASE WHEN band <= 0
+         |      THEN CAST(n_pairs AS HUGEINT) * pq END), 0) AS rn,
+         |    coalesce(sum(CASE WHEN band <= 0
+         |      THEN CAST(n_pairs AS HUGEINT) END), 0) AS rd,
+         |    coalesce(sum(CASE WHEN band > 0
+         |      THEN CAST(n_pairs AS HUGEINT) * pq END), 0) AS fn,
+         |    coalesce(sum(CASE WHEN band > 0
+         |      THEN CAST(n_pairs AS HUGEINT) END), 0) AS fd
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT CAST(n_bands AS INT) AS n_bands,
+         |  CAST(planes_per_band AS INT) AS planes_per_band,
+         |  CASE WHEN rd > 0 THEN
+         |    CAST((20000 * rn + 1000000 * rd) // (2000000 * rd) AS BIGINT)
+         |      / 10000.0 END AS exp_recall,
+         |  CASE WHEN fd > 0 THEN
+         |    CAST((20000 * fn + 1000000 * fd) // (2000000 * fd) AS BIGINT)
+         |      / 10000.0 END AS exp_fp_rate
+         |FROM ag ORDER BY planes_per_band""".stripMargin
+    },
+
+    "truncation_loss" ->
+      s"""WITH c AS (SELECT source,
+         |    CAST(len(${SparkEntry.sqlTokens("text")}) AS BIGINT) AS n
+         |  FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_over,
+         |    CAST(sum(n) AS BIGINT) AS total_tokens,
+         |    CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS lost_tokens
+         |  FROM c GROUP BY source)
+         |SELECT source, n_docs, n_over, total_tokens, lost_tokens,
+         |  ((20000 * n_over + n_docs) // (2 * n_docs)) / 10000.0
+         |    AS share_docs_over,
+         |  CASE WHEN total_tokens > 0 THEN
+         |    ((20000 * lost_tokens + total_tokens) // (2 * total_tokens))
+         |      / 10000.0 END AS share_tokens_lost
+         |FROM g ORDER BY source""".stripMargin,
+  )
+}

@@ -341,4 +341,85 @@ object LshIndex {
       graft.operators.IsolatedConf.rehome(g, emb.sparkSession)
     }
   }
+
+  /** Sign-LSH plane planner ([EXT] X211, round 13) — the embedding
+    * twin of [[graft.operators.Dedup.lshPlanner]]: for each split of
+    * `totalPlanes` hyperplanes into b bands of r planes, the sign-LSH
+    * S-curve P(candidate | θ) = 1 − (1 − (1 − θ/π)ʳ)ᵇ integrates
+    * against the corpus's OWN cosine-distance pair histogram — picks
+    * the (numPlanes, numBands) the semantic-dedup / decontam LSH
+    * paths should run with, from observed geometry instead of a
+    * textbook θ.
+    *
+    * The per-band single-plane collision probability
+    * s = 1 − arccos(1 − cd_mid)/π is computed ONCE here (driver-side
+    * Scala) and injected as the identical literal into the Spark plan
+    * and the oracle SQL — no engine-side `acos`, whose last-ulp
+    * behavior is the one libm call this repo has never had to prove
+    * engine-identical. Everything after is the X208 discipline:
+    * P quantized 1e-6, mass products decimal(38,0), one exact
+    * half-up division per rate.
+    *
+    * Input: (band, n_pairs) with band = floor(cos_dist · 5) capped at
+    * 9 (ten 0.2-wide bands over [0, 2]). Output per config:
+    * (n_bands, planes_per_band, exp_recall, exp_fp_rate). */
+  def planePlanner(bandHistogram: DataFrame, totalPlanes: Int = 32,
+                   dupBand: Long = 0L): DataFrame = {
+    require(totalPlanes >= 1)
+    val spark = bandHistogram.sparkSession
+    import spark.implicits._
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // the quantized S-curve is a literal table computed once here and
+    // shared verbatim with the oracle SQL (see planePlannerCurve):
+    // neither engine evaluates pow/acos — a 1-ulp libm difference can
+    // flip the half-up at a ratio boundary (observed on this very
+    // query before the literal-table form)
+    val curve = planePlannerCurve(totalPlanes)
+      .toDF("n_bands", "planes_per_band", "band", "pq")
+    val scored = bandHistogram
+      .join(broadcast(curve), "band")
+      .select(col("n_bands"), col("planes_per_band"), col("band"),
+        col("n_pairs"), col("pq"))
+    scored
+      .groupBy(col("n_bands"), col("planes_per_band"))
+      .agg(
+        coalesce(sum(when(col("band") <= dupBand,
+          dec(col("n_pairs")) * dec(col("pq")))), dec(lit(0L))).as("__rn"),
+        coalesce(sum(when(col("band") <= dupBand, dec(col("n_pairs")))),
+          dec(lit(0L))).as("__rd"),
+        coalesce(sum(when(col("band") > dupBand,
+          dec(col("n_pairs")) * dec(col("pq")))), dec(lit(0L))).as("__fn"),
+        coalesce(sum(when(col("band") > dupBand, dec(col("n_pairs")))),
+          dec(lit(0L))).as("__fd"))
+      .select(col("n_bands"), col("planes_per_band"),
+        when(col("__rd") > 0, (expr(
+          "CAST((20000 * __rn + 1000000 * __rd) div (2000000 * __rd) AS BIGINT)")
+          .cast("double") / lit(10000.0))).as("exp_recall"),
+        when(col("__fd") > 0, (expr(
+          "CAST((20000 * __fn + 1000000 * __fd) div (2000000 * __fd) AS BIGINT)")
+          .cast("double") / lit(10000.0))).as("exp_fp_rate"))
+      .orderBy(col("planes_per_band"))
+  }
+
+  /** s(band) = 1 − arccos(1 − cd_mid)/π at the ten 0.2-band midpoints
+    * (cd_mid clamped into acos's domain). */
+  val sPlaneByBand: Seq[Double] = (0 until 10).map { b =>
+    val cdMid = (b + 0.5) * 0.2
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, 1.0 - cdMid))) / math.Pi
+  }
+
+  /** The quantized sign-LSH S-curve literal table behind
+    * [[planePlanner]]: pq = ⌊(1 − (1 − sʳ)ᵇ)·10⁶ + 0.5⌋ over
+    * [[sPlaneByBand]] — both engines consume THIS table. */
+  def planePlannerCurve(totalPlanes: Int): Seq[(Int, Int, Long, Long)] =
+    for {
+      r <- (0 to 5).map(1 << _).filter(_ <= totalPlanes)
+      band <- 0L to 9L
+    } yield {
+      val b = totalPlanes / r
+      val p = 1.0 - math.pow(
+        1.0 - math.pow(sPlaneByBand(band.toInt), r.toDouble), b.toDouble)
+      (b, r, band, math.floor(p * 1e6 + 0.5).toLong)
+    }
 }

@@ -1538,18 +1538,19 @@ object Dedup {
     require(totalSlots >= 1)
     val d = (c: Column) => c.cast("double")
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val configs = (0 to 6).map(1 << _).filter(_ <= totalSlots)
-      .map(r => (totalSlots / r, r)) // (bands, rows)
     val spark = bandHistogram.sparkSession
     import spark.implicits._
-    val grid = configs.toDF("n_bands", "rows_per_band")
-    val scored = broadcast(grid).crossJoin(bandHistogram)
+    // the quantized S-curve is a ≤|configs|×10 LITERAL table computed
+    // once here and shared verbatim with the oracle SQL (see
+    // lshPlannerCurve): a 1-ulp libm pow difference between engines
+    // can flip the half-up at a ratio boundary (observed on the X211
+    // sibling) — so NO engine evaluates pow at all
+    val curve = lshPlannerCurve(totalSlots)
+      .toDF("n_bands", "rows_per_band", "band", "pq")
+    val scored = bandHistogram
+      .join(broadcast(curve), "band")
       .select(col("n_bands"), col("rows_per_band"), col("band"),
-        col("n_pairs"),
-        // P(candidate | s at the band midpoint), 1e-6 grid
-        round((lit(1.0) - pow(lit(1.0) -
-          pow((d(col("band")) + 0.5) / 10.0, d(col("rows_per_band"))),
-          d(col("n_bands")))) * 1e6).cast("long").as("pq"))
+        col("n_pairs"), col("pq"))
     scored
       .groupBy(col("n_bands"), col("rows_per_band"))
       .agg(
@@ -1572,6 +1573,21 @@ object Dedup {
           .cast("double") / lit(10000.0))).as("exp_fp_rate"))
       .orderBy(col("rows_per_band"))
   }
+
+  /** The quantized S-curve literal table behind [[lshPlanner]]:
+    * (n_bands, rows_per_band, band, pq) with
+    * pq = ⌊(1 − (1 − s_midʳ)ᵇ)·10⁶ + 0.5⌋ — both engines consume THIS
+    * table, neither evaluates pow. */
+  def lshPlannerCurve(totalSlots: Int): Seq[(Int, Int, Long, Long)] =
+    for {
+      r <- (0 to 6).map(1 << _).filter(_ <= totalSlots)
+      band <- 0L to 9L
+    } yield {
+      val b = totalSlots / r
+      val sMid = (band + 0.5) / 10.0
+      val p = 1.0 - math.pow(1.0 - math.pow(sMid, r.toDouble), b.toDouble)
+      (b, r, band, math.floor(p * 1e6 + 0.5).toLong)
+    }
 
   /** Normalization-sensitivity dedup delta ([EXT] X210, round 13) —
     * how many "distinct" documents are the same text behind case and

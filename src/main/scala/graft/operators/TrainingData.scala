@@ -1004,4 +1004,41 @@ object TrainingData {
           .cast("double") / lit(10000.0)).as("eff_epochs"))
       .orderBy(col(sourceCol))
   }
+
+  /** Context-length truncation loss ([EXT] X212, round 13) — for a
+    * max sequence length `maxTokens`, the token mass each source
+    * loses to truncation and how many of its docs overflow: the
+    * "what does a 256-token context actually cost us, and WHO pays"
+    * readout that decides between truncate / split / drop per source
+    * before packing ([[packGreedy]]'s upstream question).
+    *
+    * Pure integers end-to-end (token counts, max(0, n−L) folds,
+    * half-up shares). ONE map-side collapse onto the schema-bounded
+    * source key.
+    *
+    * Output per source: (source, n_docs, n_over, total_tokens,
+    * lost_tokens, share_docs_over, share_tokens_lost). */
+  def truncationLoss(docs: DataFrame, sourceCol: String, textCol: String,
+                     maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1)
+    docs
+      .select(col(sourceCol),
+        TF.tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__n") > maxTokens, 1L).otherwise(0L)).cast("long")
+          .as("n_over"),
+        sum(col("__n")).cast("long").as("total_tokens"),
+        sum(greatest(col("__n") - maxTokens, lit(0L))).cast("long")
+          .as("lost_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("n_over"),
+        col("total_tokens"), col("lost_tokens"),
+        (expr("CAST((20000 * n_over + n_docs) div (2 * n_docs) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("share_docs_over"),
+        when(col("total_tokens") > 0, (expr(
+          "CAST((20000 * lost_tokens + total_tokens) div " +
+            "(2 * total_tokens) AS BIGINT)")
+          .cast("double") / lit(10000.0))).as("share_tokens_lost"))
+      .orderBy(col(sourceCol))
+  }
 }

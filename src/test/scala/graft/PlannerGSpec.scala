@@ -1,0 +1,46 @@
+package graft
+
+import graft.index.LshIndex
+import graft.operators.TrainingData
+
+class PlannerGSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planePlanner: more planes per band = stricter; dup band drives recall") {
+    // all dup mass at band 0 (cd < 0.2), fp mass at band 5 (cd ~ 1.1)
+    val hist = Seq((0L, 50L), (5L, 5000L)).toDF("band", "n_pairs")
+    val byPlanes = LshIndex.planePlanner(hist, totalPlanes = 32, dupBand = 0L)
+      .collect().map(r => r.getAs[Int]("planes_per_band") ->
+        (r.getAs[Double]("exp_recall"), r.getAs[Double]("exp_fp_rate"))).toMap
+    // r=1, b=32: collision prob per band s0 = 1 - acos(0.9)/pi ~ 0.856
+    // P = 1-(1-s0)^32 ~ 1.0
+    assert(byPlanes(1)._1 == 1.0)
+    // strictness is monotone in planes per band
+    val rs = LshIndex.planePlanner(hist, 32, 0L).orderBy("planes_per_band")
+      .collect().map(_.getAs[Double]("exp_recall"))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+    val fps = LshIndex.planePlanner(hist, 32, 0L).orderBy("planes_per_band")
+      .collect().map(_.getAs[Double]("exp_fp_rate"))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    // the curve table itself is engine-free integers
+    assert(LshIndex.planePlannerCurve(32).forall(c => c._4 >= 0 && c._4 <= 1000000))
+  }
+
+  test("truncationLoss: exact token accounting per source") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),      // 5 tokens, over L=3 by 2
+      (2L, "s1", "a b"),            // 2 tokens, under
+      (3L, "s2", "a b c")           // exactly L: not over
+    ).toDF("doc_id", "source", "text")
+    val r = TrainingData.truncationLoss(docs, "source", "text", maxTokens = 3L)
+      .orderBy("source").collect()
+    assert(r(0).getAs[Long]("n_docs") == 2L)
+    assert(r(0).getAs[Long]("n_over") == 1L)
+    assert(r(0).getAs[Long]("total_tokens") == 7L)
+    assert(r(0).getAs[Long]("lost_tokens") == 2L)
+    assert(r(0).getAs[Double]("share_docs_over") == 0.5)
+    assert(r(0).getAs[Double]("share_tokens_lost") == 0.2857)
+    assert(r(1).getAs[Long]("n_over") == 0L)
+    assert(r(1).getAs[Long]("lost_tokens") == 0L)
+  }
+}
