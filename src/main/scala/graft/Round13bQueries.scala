@@ -29,21 +29,36 @@ object Round13bQueries {
 
   /** Card planting: every 37th doc appends a Luhn-VALID 16-digit run
     * (15 deterministic digits + the computed check digit), every 41st
-    * a Luhn-INVALID one (check digit shifted by 5). The check digit
-    * rides the validator itself: luhn(d15 ∥ c) = luhn(d15 ∥ '0') + c,
-    * so c = (10 − luhn(d15∥'0') mod 10) mod 10. */
+    * a Luhn-INVALID one (check digit shifted by 5), every 43rd the
+    * VALID card SPACE-FORMATTED in groups of 4 (`dddd dddd dddd dddd`)
+    * — detectable only through the separator join (round-14 recall
+    * fix). The check digit rides the validator itself:
+    * luhn(d15 ∥ c) = luhn(d15 ∥ '0') + c, so
+    * c = (10 − luhn(d15∥'0') mod 10) mod 10.
+    *
+    * Text coalesces to '' BEFORE planting (concat with a NULL text
+    * would swallow the planted card — the oracle's planted0 ordering,
+    * round-14 advice fix), and cards append after a DOUBLE space so a
+    * digit-ending doc can't merge into the planted run under the
+    * separator join. */
   private def plantCards(docs: DataFrame): DataFrame = {
     val d15 = lpad(((col("doc_id") * 7919L) % 100000000000000L)
       .cast("string"), 15, "0")
     val cv = (lit(10L) - Privacy.luhnSum(concat(d15, lit("0"))) % 10L) % 10L
-    docs.withColumn("text",
-      when(col("doc_id") % 37 === 0,
-        concat(col("text"), lit(" "), d15, cv.cast("string")))
-        .when(col("doc_id") % 41 === 0,
-          concat(col("text"), lit(" "), d15,
-            ((cv + 5L) % 10L).cast("string")))
-        .otherwise(col("text")))
+    val card = concat(d15, cv.cast("string"))
+    val spaced = concat_ws(" ",
+      substring(card, 1, 4), substring(card, 5, 4),
+      substring(card, 9, 4), substring(card, 13, 4))
+    docs
       .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit("  "), card))
+          .when(col("doc_id") % 41 === 0,
+            concat(col("text"), lit("  "), d15,
+              ((cv + 5L) % 10L).cast("string")))
+          .when(col("doc_id") % 43 === 0,
+            concat(col("text"), lit("  "), spaced))
+          .otherwise(col("text")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,19 +115,29 @@ object Round13bQueries {
     "pii_luhn" -> {
       val d15 = "lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 15, '0')"
       val cv = s"(10 - ${sqlLuhn(s"($d15 || '0')")} % 10) % 10"
+      val card = s"$d15 || CAST($cv AS VARCHAR)"
       s"""WITH planted0 AS (SELECT doc_id, coalesce(text, '') AS text
          |  FROM documents),
          |planted AS (SELECT doc_id,
          |    CASE WHEN doc_id % 37 = 0
-         |      THEN text || ' ' || $d15 || CAST($cv AS VARCHAR)
+         |      THEN text || '  ' || $card
          |    WHEN doc_id % 41 = 0
-         |      THEN text || ' ' || $d15 || CAST(($cv + 5) % 10 AS VARCHAR)
+         |      THEN text || '  ' || $d15 || CAST(($cv + 5) % 10 AS VARCHAR)
+         |    WHEN doc_id % 43 = 0
+         |      THEN text || '  ' || concat_ws(' ',
+         |        substring($card, 1, 4), substring($card, 5, 4),
+         |        substring($card, 9, 4), substring($card, 13, 4))
          |    ELSE text END AS text
          |  FROM planted0),
+         |joined AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(text,
+         |        '([0-9])[ -]([0-9])', '\\1\\2', 'g'),
+         |      '([0-9])[ -]([0-9])', '\\1\\2', 'g') AS text
+         |  FROM planted),
          |runs AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '[^0-9]+'),
          |      r -> len(r) >= 13 AND len(r) <= 19) AS rs
-         |  FROM planted)
+         |  FROM joined)
          |SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_candidates,
          |  CAST(len(list_filter(rs, r -> ${sqlLuhn("r")} % 10 = 0))
          |    AS BIGINT) AS n_valid,

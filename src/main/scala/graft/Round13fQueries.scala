@@ -42,14 +42,17 @@ object Round13fQueries {
       Dedup.lshPlanner(bands, totalSlots = 64, dupBand = 8L)
     }),
 
-    // ---- X209: temperature sampling plan at alpha = 0.7 over a
-    // 10k-doc budget — natural vs boosted shares, repetition flags.
-    // Keyed on lang (skewed: en ~3x the others), so the boost column
-    // is informative — the uniform-by-design source axis reads 1.0
-    // everywhere -----------------------------------------------------
+    // ---- X209: temperature sampling plan at alpha = 0.5 (T = 2, the
+    // classic multilingual-sampling temperature) over a 10k-doc
+    // budget — natural vs boosted shares, repetition flags. Keyed on
+    // lang (skewed: en ~3x the others), so the boost column is
+    // informative — the uniform-by-design source axis reads 1.0
+    // everywhere. alpha = 0.5 rides sqrt (correctly rounded per IEEE
+    // in BOTH engines) so q_s = round(√n·1e6) carries none of the
+    // libm-pow 1-ulp boundary risk (round-14 advice fix) -------------
     "temperature_mix" -> ((s, dir) =>
       TrainingData.temperatureMix(t(s, dir, "documents"), "lang",
-        alpha = 0.7, budgetDocs = 10000L)),
+        alpha = 0.5, budgetDocs = 10000L)),
 
     // ---- X210: case/whitespace dedup delta — what a raw-hash-only
     // pipeline trains on twice ---------------------------------------
@@ -98,7 +101,7 @@ object Round13fQueries {
 
     "temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(round(power(CAST(count(*) AS DOUBLE), 0.7) * 1000000)
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
         |      AS BIGINT) AS q
         |  FROM documents GROUP BY lang),
         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,

@@ -411,8 +411,15 @@ object LshIndex {
 
   /** The quantized sign-LSH S-curve literal table behind
     * [[planePlanner]]: pq = ⌊(1 − (1 − sʳ)ᵇ)·10⁶ + 0.5⌋ over
-    * [[sPlaneByBand]] — both engines consume THIS table. */
-  def planePlannerCurve(totalPlanes: Int): Seq[(Int, Int, Long, Long)] =
+    * [[sPlaneByBand]] — both engines consume THIS table.
+    * `totalPlanes` must be a power of two: planes-per-band enumerates
+    * powers of two and b = totalPlanes / r by integer division, so a
+    * non-power-of-two budget would silently plan configs leaving
+    * hyperplanes unused (round-14 advice fix: fail loudly). */
+  def planePlannerCurve(totalPlanes: Int): Seq[(Int, Int, Long, Long)] = {
+    require(totalPlanes >= 1 && (totalPlanes & (totalPlanes - 1)) == 0,
+      s"totalPlanes must be a power of two so every enumerated " +
+        s"(bands, planes) split uses all planes; got $totalPlanes")
     for {
       r <- (0 to 5).map(1 << _).filter(_ <= totalPlanes)
       band <- 0L to 9L
@@ -422,4 +429,5 @@ object LshIndex {
         1.0 - math.pow(sPlaneByBand(band.toInt), r.toDouble), b.toDouble)
       (b, r, band, math.floor(p * 1e6 + 0.5).toLong)
     }
+  }
 }

@@ -1577,8 +1577,16 @@ object Dedup {
   /** The quantized S-curve literal table behind [[lshPlanner]]:
     * (n_bands, rows_per_band, band, pq) with
     * pq = ⌊(1 − (1 − s_midʳ)ᵇ)·10⁶ + 0.5⌋ — both engines consume THIS
-    * table, neither evaluates pow. */
-  def lshPlannerCurve(totalSlots: Int): Seq[(Int, Int, Long, Long)] =
+    * table, neither evaluates pow. `totalSlots` must be a power of
+    * two: rows-per-band is enumerated as powers of two and
+    * b = totalSlots / r by integer division, so a non-power-of-two
+    * budget (e.g. 48) would silently plan configs with b·r <
+    * totalSlots — unused signature slots with no warning (round-14
+    * advice fix: fail loudly instead). */
+  def lshPlannerCurve(totalSlots: Int): Seq[(Int, Int, Long, Long)] = {
+    require(totalSlots >= 1 && (totalSlots & (totalSlots - 1)) == 0,
+      s"totalSlots must be a power of two so every enumerated " +
+        s"(bands, rows) split uses all slots; got $totalSlots")
     for {
       r <- (0 to 6).map(1 << _).filter(_ <= totalSlots)
       band <- 0L to 9L
@@ -1588,6 +1596,7 @@ object Dedup {
       val p = 1.0 - math.pow(1.0 - math.pow(sMid, r.toDouble), b.toDouble)
       (b, r, band, math.floor(p * 1e6 + 0.5).toLong)
     }
+  }
 
   /** Normalization-sensitivity dedup delta ([EXT] X210, round 13) —
     * how many "distinct" documents are the same text behind case and

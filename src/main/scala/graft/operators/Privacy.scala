@@ -220,25 +220,49 @@ object Privacy {
       })
   }
 
+  /** Joins digit groups split by SINGLE space/dash separators —
+    * `4111 1111 1111 1111` and `4111-1111-1111-1111` become one
+    * 16-digit run. RE2-compatible (no lookaround): `([0-9])[ -]([0-9])`
+    * → `$1$2`, applied TWICE. One pass fully joins any run whose
+    * groups all have ≥ 2 digits (each boundary match consumes the last
+    * digit of the left group and the first of the right, leaving the
+    * right group's last digit for the next boundary); a lone
+    * single-digit group can leave one boundary unmatched, which the
+    * second pass closes. The DuckDB twin replays the same two passes
+    * verbatim. */
+  def joinDigitGroups(text: Column): Column = {
+    val p = "([0-9])[ -]([0-9])"
+    regexp_replace(regexp_replace(text, p, "$1$2"), p, "$1$2")
+  }
+
   /** Card-number PII scan ([EXT] X202, round 13) — the high-severity
     * sibling of the email/phone regex triage: a 13–19-digit run is
     * only reportable PII when it Luhn-validates (ISO/IEC 7812), which
     * is what separates card numbers from invoice ids and timestamps —
     * the precision lever the pattern-only scanners lack.
     *
-    * Candidates are MAXIMAL digit runs (split on non-digits, length
-    * filter 13–19 — RE2 in the oracle has no lookbehind, so the
-    * maximal-run + length-filter formulation is the one both engines
-    * share), each validated by [[luhnSum]] % 10 = 0.
+    * Candidates are MAXIMAL digit runs taken AFTER
+    * [[joinDigitGroups]] (round 14: realistically formatted cards —
+    * `4111 1111 1111 1111`, dash-separated — previously split into
+    * 4-digit groups and were never candidates, a large false-negative
+    * class for the high-severity screen). The join can merge adjacent
+    * independent numbers (e.g. a run of space-separated years) into a
+    * candidate; such merges still face the checksum, so they inflate
+    * `n_candidates` and pass `n_valid` only at the 1-in-10 Luhn
+    * base rate — the documented precision cost of separator recall.
+    * Split on non-digits + length filter 13–19 (RE2 in the oracle has
+    * no lookbehind, so the maximal-run + length-filter formulation is
+    * the one both engines share), each run validated by
+    * [[luhnSum]] % 10 = 0.
     *
-    * Scale shape: pure per-row map (regexp split + bounded HOF per
-    * candidate) — zero exchanges, scan-bound.
+    * Scale shape: pure per-row map (two regexp passes + bounded HOF
+    * per candidate) — zero exchanges, scan-bound.
     *
     * Output: (idCol, n_candidates, n_valid, has_card). */
   def luhnScan(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
     val runs = filter(
-      split(coalesce(col(textCol), lit("")), "[^0-9]+"),
+      split(joinDigitGroups(coalesce(col(textCol), lit(""))), "[^0-9]+"),
       r => length(r) >= 13 && length(r) <= 19)
     docs
       .select(col(idCol), runs.as("__runs"))

@@ -965,10 +965,16 @@ object TrainingData {
     * sample implies — eff_epochs > 1 flags the source the temperature
     * forces into repetition (the mT5 §3.2 caveat).
     *
-    * Exactness: the ONLY float step is q_s = round(n_sᵅ·1e6) (one
-    * `pow` both engines share); every ratio after is an exact-integer
-    * half-up — temp_share = q_s/Σq, boost = q_s·N/(Σq·n_s),
-    * eff_epochs = q_s·B/(Σq·n_s) — products on decimal(38,0).
+    * Exactness: the ONLY float step is q_s = round(n_sᵅ·1e6); every
+    * ratio after is an exact-integer half-up — temp_share = q_s/Σq,
+    * boost = q_s·N/(Σq·n_s), eff_epochs = q_s·B/(Σq·n_s) — products
+    * on decimal(38,0). α = 0.5 evaluates via `sqrt`, which IEEE 754
+    * requires to be CORRECTLY ROUNDED in both engines (Java
+    * Math.sqrt and libm sqrt agree bit-for-bit), so the round-14
+    * contract query pins α = 0.5 and carries zero cross-engine float
+    * risk; any other α rides `pow`, which is NOT correctly rounded
+    * (the embedding_lsh_planner 1-ulp libm lesson) and stays a
+    * documented half-up-boundary caveat for ad-hoc use.
     *
     * Scale shape: ONE map-side count to the schema-bounded source
     * table; scalars re-aggregate from it; everything after is
@@ -977,13 +983,13 @@ object TrainingData {
                      alpha: Double, budgetDocs: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
     require(budgetDocs > 0)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nAlpha =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
     val counts = docs
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).cast("long").as("n_docs"))
-      .withColumn("q",
-        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
-          .cast("long"))
+      .withColumn("q", round(nAlpha * 1e6).cast("long"))
       .localCheckpoint(true)
     val tot = counts.agg(sum(col("n_docs")).cast("long").as("__n"),
       sum(col("q")).cast("long").as("__sq"))

@@ -42,4 +42,28 @@ class LoopLuhnSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_candidates") == 0L)
     assert(r(3).getAs[Long]("n_candidates") == 0L)
   }
+
+  test("luhnScan: separator-formatted cards validate through the digit-group join") {
+    val docs = Seq(
+      (1L, "card 4111 1111 1111 1111 ok"),        // space groups of 4
+      (2L, "card 4111-1111-1111-1111 ok"),        // dash groups of 4
+      (3L, "amex 3714 496353 98431 ok"),          // 4-6-5 grouping, valid
+      (4L, "bad  4111 1111 1111 1112 no"),        // joined but checksum fails
+      (5L, "years 2024 2025 2026 meet 2027"),     // merged years -> candidate, not the 16-digit card
+      (6L, "double  4111  1111 is kept apart")    // two separators never join
+    ).toDF("doc_id", "text")
+    val r = Privacy.luhnScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_valid") == 1L && r(0).getAs[Boolean]("has_card"))
+    assert(r(1).getAs[Long]("n_valid") == 1L && r(1).getAs[Boolean]("has_card"))
+    assert(r(2).getAs[Long]("n_valid") == 1L && r(2).getAs[Boolean]("has_card"))
+    assert(r(3).getAs[Long]("n_candidates") == 1L)
+    assert(r(3).getAs[Long]("n_valid") == 0L)
+    // "2024 2025 2026" joins to a 12-digit run (below 13) but
+    // "2024202520262027"-style 4-group merges WOULD be candidates —
+    // here only "2026 meet 2027" stays split, so the joined runs are
+    // 12 and 4 digits: no candidate survives the length filter
+    assert(r(4).getAs[Long]("n_candidates") == 0L)
+    assert(r(5).getAs[Long]("n_candidates") == 0L)
+  }
 }

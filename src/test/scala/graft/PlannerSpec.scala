@@ -26,6 +26,18 @@ class PlannerSpec extends SparkSpec {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
   }
 
+  test("planner curves: non-power-of-two slot budgets are rejected loudly") {
+    // 48 slots with power-of-two rows would plan b*r < 48 (unused
+    // signature slots) — the curve must refuse instead (round-14 fix)
+    intercept[IllegalArgumentException](Dedup.lshPlannerCurve(48))
+    intercept[IllegalArgumentException](
+      graft.index.LshIndex.planePlannerCurve(24))
+    // powers of two enumerate cleanly and every config uses all slots
+    assert(Dedup.lshPlannerCurve(64).forall { case (b, r, _, _) => b * r == 64 })
+    assert(graft.index.LshIndex.planePlannerCurve(32)
+      .forall { case (b, r, _, _) => b * r == 32 })
+  }
+
   test("temperatureMix: alpha=1 is the natural mix; alpha<1 boosts the tail") {
     val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }
