@@ -1,0 +1,352 @@
+package graft.index
+
+import scala.collection.mutable
+
+import graft.functions.DistanceMetric
+import graft.operators.MetadataFilter
+
+/** HNSW construction/search parameters (reference
+  * src/hnsw/graph.rs:19-60): `m` connections per node on layers > 0,
+  * `2·m` at layer 0, `efConstruction` candidates while building,
+  * `efSearch` while querying, level factor ml = 1/ln(m). */
+final case class HnswParams(m: Int = 16,
+                            efConstruction: Int = 200,
+                            efSearch: Int = 50,
+                            maxLayers: Int = 16) {
+  require(m >= 2 && efConstruction >= 1 && efSearch >= 1 && maxLayers >= 1)
+  val mMax0: Int = 2 * m
+  val ml: Double = 1.0 / math.log(m.toDouble)
+}
+
+/** Driver-side Hierarchical Navigable Small World graph (Malkov &
+  * Yashunin 2016) — the engine's SERVING-PATH index tier.
+  *
+  * Everything else in this repo is a distributed Spark plan: right for
+  * batch k-NN joins over billions of rows, wrong for a single
+  * `POST /search` that must answer in milliseconds — a Spark job per
+  * point query is ~100 ms-class no matter how small the store. The
+  * reference serves point queries from an in-memory graph
+  * (src/hnsw/graph.rs:386-424 search_knn, :143-243 search_layer/insert)
+  * in µs–ms; this class is the same capability for [[graft.server.VectorServer]]:
+  * built on the driver from the compacted snapshot (compaction cadence,
+  * like every other served index here), updated incrementally per
+  * mutation, queried with zero Spark jobs.
+  *
+  * Scale position: the driver graph holds the SERVING replica of one
+  * collection (the reference's whole deployment model — an
+  * `Arc<RwLock<VectorStore>>` on one node, README.md:264-270 phase 2).
+  * The 100 TB batch paths stay on the distributed IVF/LSH/PQ tiers;
+  * this tier exists for request latency parity where the working set
+  * fits one node, exactly like the reference.
+  *
+  * Algorithms follow the paper (and the reference's choices):
+  * - insert (Algorithm 1, graph.rs:243-330): exponential random level
+  *   ⌊−ln(u)·ml⌋ capped at maxLayers−1; greedy descent with ef=1 above
+  *   the node's level; per-layer search with efConstruction, simple
+  *   closest-M neighbor selection (Algorithm 3's simple variant,
+  *   graph.rs:203-206), bidirectional links with overflow pruning back
+  *   to the M closest (graph.rs:209-241).
+  * - search (Algorithms 2+5, graph.rs:143-201, 386-424): greedy descent
+  *   to layer 1, then one layer-0 sweep with ef = max(ef, k) using a
+  *   min-heap of candidates and a bounded max-heap of results, stopping
+  *   when the closest candidate is farther than the worst kept result.
+  * - remove (graph.rs:333-378): unlink from all neighbor lists; if the
+  *   entry point dies, promote the highest-level survivor.
+  *
+  * Determinism: levels come from a SEEDED RNG (the reference seeds from
+  * entropy; a fixed seed makes recall gates and specs replayable).
+  * Distances are computed in Double over Float components with the same
+  * formulas as the columnar path (src/distance.rs:37-73): L2, cosine
+  * 1−clamp(dot/(‖a‖‖b‖)), negated dot. A zero-norm vector under cosine
+  * is unrankable (the columnar path yields NULL and excludes the row,
+  * TopK.knn): it surfaces as +∞ here, never enters results, and is
+  * filtered from final output.
+  *
+  * Not thread-safe for writes; concurrent reads are safe between
+  * mutations (the server serializes writes behind its write lock, same
+  * RwLock discipline as the reference's routes.rs).
+  */
+final class HnswIndex(val metric: DistanceMetric,
+                      val params: HnswParams = HnswParams(),
+                      seed: Long = 42L) {
+
+  private final class Node(val vector: Array[Float],
+                           val level: Int) {
+    /** neighbors(l) = ids adjacent at layer l, 0 ≤ l ≤ level. */
+    val neighbors: Array[mutable.ArrayBuffer[Int]] =
+      Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+  }
+
+  private val nodes = mutable.ArrayBuffer.empty[Node] // null = deleted slot
+  private var entryPoint: Int = -1
+  private var maxLevel: Int = 0
+  private var activeCount: Int = 0
+  private val rng = new java.util.Random(seed)
+
+  def size: Int = activeCount
+  def isEmpty: Boolean = activeCount == 0
+
+  /** ⌊−ln(u)·ml⌋ capped (graph.rs:118-123). */
+  private def randomLevel(): Int = {
+    val u = rng.nextDouble()
+    // nextDouble can return exactly 0.0 → ln(0) = -inf; clamp like the
+    // cap already does for any huge draw
+    val lvl = if (u <= 0.0) params.maxLayers - 1
+      else math.floor(-math.log(u) * params.ml).toInt
+    math.min(lvl, params.maxLayers - 1)
+  }
+
+  /** Scalar distance matching src/distance.rs:37-73 semantics; cosine
+    * zero-norm → +∞ (unrankable, excluded from results). */
+  def distance(a: Array[Float], b: Array[Float]): Double = metric match {
+    case DistanceMetric.Euclidean =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    case DistanceMetric.Cosine =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.PositiveInfinity
+      else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+    case DistanceMetric.DotProduct =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      -s
+  }
+
+  private def distTo(query: Array[Float], id: Int): Double =
+    distance(query, nodes(id).vector)
+
+  /** (distance, id) with the reference's tie rule (distance, then id —
+    * neighbor_queue.rs:37-43). */
+  private val ascending: Ordering[(Double, Int)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+
+  /** SEARCH-LAYER (Algorithm 2, graph.rs:143-201): the ef closest
+    * neighbors to `query` at `layer`, starting from entry `ep`.
+    * Returns ascending by (distance, id). */
+  private def searchLayer(query: Array[Float], ep: Int, ef: Int,
+                          layer: Int): mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = mutable.HashSet[Int](ep)
+    // candidates: closest first; results: farthest first (bounded to ef)
+    val candidates = mutable.PriorityQueue.empty[(Double, Int)](ascending.reverse)
+    val results = mutable.PriorityQueue.empty[(Double, Int)](ascending)
+    val d0 = distTo(query, ep)
+    candidates.enqueue((d0, ep))
+    results.enqueue((d0, ep))
+    while (candidates.nonEmpty) {
+      val (cd, cid) = candidates.dequeue()
+      if (cd > results.head._1 && results.size >= ef) {
+        candidates.clear() // closest candidate is worse than the worst kept result
+      } else {
+        val node = nodes(cid)
+        if (node != null && layer < node.neighbors.length) {
+          val nbrs = node.neighbors(layer)
+          var i = 0
+          while (i < nbrs.length) {
+            val nid = nbrs(i)
+            if (visited.add(nid) && nodes(nid) != null) {
+              val d = distTo(query, nid)
+              if (results.size < ef || d < results.head._1) {
+                candidates.enqueue((d, nid))
+                results.enqueue((d, nid))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.from(results)
+    out.sortInPlace()(ascending)
+    out
+  }
+
+  /** Prune `nodeId`'s layer-`layer` adjacency back to its `m` closest
+    * neighbors (graph.rs:209-241). */
+  private def pruneNeighbors(nodeId: Int, layer: Int, m: Int): Unit = {
+    val node = nodes(nodeId)
+    if (node == null || layer >= node.neighbors.length) return
+    val scored = node.neighbors(layer).iterator
+      .filter(nid => nodes(nid) != null)
+      .map(nid => (distance(node.vector, nodes(nid).vector), nid))
+      .toArray
+    java.util.Arrays.sort(scored, ascending)
+    node.neighbors(layer) =
+      mutable.ArrayBuffer.from(scored.iterator.take(m).map(_._2))
+  }
+
+  /** INSERT (Algorithm 1, graph.rs:243-330). Returns the internal id. */
+  def insert(vector: Array[Float]): Int = {
+    val id = nodes.length
+    insertAt(id, vector)
+    id
+  }
+
+  private def insertAt(id: Int, vector: Array[Float]): Unit = {
+    val level = randomLevel()
+    while (nodes.length <= id) nodes += null
+    nodes(id) = new Node(vector, level)
+    activeCount += 1
+    if (entryPoint < 0) { entryPoint = id; maxLevel = level; return }
+
+    var ep = entryPoint
+    // Phase 1: greedy descent (ef = 1) from the top down to level+1
+    var l = maxLevel
+    while (l > level) {
+      val nearest = searchLayer(vector, ep, 1, l)
+      if (nearest.nonEmpty) ep = nearest.head._2
+      l -= 1
+    }
+    // Phase 2: connect at layers min(level, maxLevel)..0
+    l = math.min(level, maxLevel)
+    while (l >= 0) {
+      val m = if (l == 0) params.mMax0 else params.m
+      val nearest = searchLayer(vector, ep, params.efConstruction, l)
+      val chosen = nearest.iterator.take(m).map(_._2).toArray
+      nodes(id).neighbors(l) = mutable.ArrayBuffer.from(chosen)
+      var i = 0
+      while (i < chosen.length) {
+        val nid = chosen(i)
+        val nn = nodes(nid)
+        if (nn != null && l < nn.neighbors.length) {
+          nn.neighbors(l) += id
+          if (nn.neighbors(l).length > m) pruneNeighbors(nid, l, m)
+        }
+        i += 1
+      }
+      if (nearest.nonEmpty) ep = nearest.head._2
+      l -= 1
+    }
+    if (level > maxLevel) { entryPoint = id; maxLevel = level }
+  }
+
+  /** Remove (graph.rs:333-378): unlink everywhere; re-elect the entry
+    * point if it died. */
+  def remove(id: Int): Unit = {
+    if (id < 0 || id >= nodes.length || nodes(id) == null) return
+    val node = nodes(id)
+    nodes(id) = null
+    activeCount -= 1
+    var l = 0
+    while (l < node.neighbors.length) {
+      val nbrs = node.neighbors(l)
+      var i = 0
+      while (i < nbrs.length) {
+        val nn = nodes(nbrs(i))
+        if (nn != null && l < nn.neighbors.length)
+          nn.neighbors(l).filterInPlace(_ != id)
+        i += 1
+      }
+      l += 1
+    }
+    if (entryPoint == id) {
+      entryPoint = -1; maxLevel = 0
+      var best = -1; var bestLevel = -1; var i = 0
+      while (i < nodes.length) {
+        val n = nodes(i)
+        if (n != null && n.level > bestLevel) { best = i; bestLevel = n.level }
+        i += 1
+      }
+      if (best >= 0) { entryPoint = best; maxLevel = bestLevel }
+    }
+  }
+
+  def getVector(id: Int): Option[Array[Float]] =
+    if (id >= 0 && id < nodes.length && nodes(id) != null)
+      Some(nodes(id).vector) else None
+
+  /** SEARCH (Algorithm 5, graph.rs:386-424): k nearest with
+    * ef = max(ef, k) at layer 0; ascending (distance, id); non-finite
+    * distances (cosine zero-norm) excluded like the columnar path. */
+  def search(query: Array[Float], k: Int, ef: Int = -1): Seq[(Int, Double)] = {
+    if (entryPoint < 0 || k <= 0) return Seq.empty
+    val efActual = math.max(if (ef > 0) ef else params.efSearch, k)
+    var ep = entryPoint
+    var l = maxLevel
+    while (l >= 1) {
+      val nearest = searchLayer(query, ep, 1, l)
+      if (nearest.nonEmpty) ep = nearest.head._2
+      l -= 1
+    }
+    searchLayer(query, ep, efActual, 0)
+      .iterator.filter(n => java.lang.Double.isFinite(n._1))
+      .take(k).map { case (d, id) => (id, d) }.toSeq
+  }
+}
+
+/** External-id serving wrapper over [[HnswIndex]] — what
+  * [[graft.server.VectorServer]] actually holds: string ids, metadata
+  * for filtered search, latest-wins upsert semantics matching the
+  * store fold (storage.rs:120-165).
+  *
+  * Filtered search replays the reference's serving heuristic VERBATIM
+  * (storage.rs:247-296): over-fetch 3×k from the graph, post-filter on
+  * [[MetadataFilter.matches]], truncate to k — the approximate-path
+  * tradeoff (can return < k matches when the filter is selective; the
+  * exact Spark path `TopK.knn` pre-filters instead and is the batch
+  * answer when completeness matters). */
+final class HnswServingIndex(metric: DistanceMetric,
+                             params: HnswParams = HnswParams(),
+                             seed: Long = 42L) {
+  private val graph = new HnswIndex(metric, params, seed)
+  private val extToInt = mutable.HashMap.empty[String, Int]
+  private val intToExt = mutable.HashMap.empty[Int, String]
+  private val metas = mutable.HashMap.empty[Int, Map[String, String]]
+
+  def size: Int = extToInt.size
+
+  /** Latest-wins upsert (storage.rs:120-133: insert replaces). */
+  def upsert(id: String, vector: Array[Float],
+             meta: Map[String, String] = Map.empty): Unit = {
+    delete(id)
+    val internal = graph.insert(vector)
+    extToInt(id) = internal
+    intToExt(internal) = id
+    if (meta.nonEmpty) metas(internal) = meta
+  }
+
+  def delete(id: String): Boolean = extToInt.remove(id) match {
+    case Some(internal) =>
+      graph.remove(internal); intToExt.remove(internal)
+      metas.remove(internal); true
+    case None => false
+  }
+
+  def contains(id: String): Boolean = extToInt.contains(id)
+
+  /** k nearest (extId, distance), optional runtime ef override
+    * (hnsw/mod.rs:44-53 search_with_ef). */
+  def search(query: Array[Float], k: Int, ef: Int = -1): Seq[(String, Double)] =
+    graph.search(query, k, ef).map { case (i, d) => (intToExt(i), d) }
+
+  /** 3× over-fetch post-filter (storage.rs:262-287). */
+  def searchFiltered(query: Array[Float], k: Int, filter: MetadataFilter,
+                     ef: Int = -1): Seq[(String, Double)] =
+    graph.search(query, k * 3, math.max(if (ef > 0) ef else 0, k * 3))
+      .iterator
+      .filter { case (i, _) =>
+        filter.matches(metas.getOrElse(i, Map.empty)) }
+      .take(k)
+      .map { case (i, d) => (intToExt(i), d) }
+      .toSeq
+}
+
+object HnswServingIndex {
+  /** Build from the compacted snapshot's rows — the server calls this
+    * once at startup / after compaction (the reference rebuilds its
+    * index from snapshot + WAL replay the same way,
+    * persistence/engine.rs recover path). */
+  def fromRows(rows: IterableOnce[(String, Array[Float], Map[String, String])],
+               metric: DistanceMetric,
+               params: HnswParams = HnswParams(),
+               seed: Long = 42L): HnswServingIndex = {
+    val idx = new HnswServingIndex(metric, params, seed)
+    rows.iterator.foreach { case (id, vec, meta) => idx.upsert(id, vec, meta) }
+    idx
+  }
+}

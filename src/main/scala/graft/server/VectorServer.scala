@@ -41,10 +41,24 @@ import graft.store.VectorLog
   *   (src/persistence/engine.rs:22-29, 199-204). 0 disables (compact
   *   on demand via the CLI). Safe here because the server is the
   *   single writer and serving is serial.
+  * @param hnswServing serve `POST /search` from a driver-side
+  *   [[graft.index.HnswServingIndex]] instead of a Spark job — the
+  *   reference's HNSW point-query path (src/hnsw/graph.rs:386-424):
+  *   ms-class latency, zero Spark jobs per query. The index is built
+  *   once from the recovered snapshot (the reference's own recover =
+  *   snapshot + WAL replay rebuild) and maintained incrementally per
+  *   mutation. Batch paths and all other routes still run on Spark;
+  *   filtered search under HNSW uses the reference's 3×-over-fetch
+  *   post-filter heuristic (storage.rs:262-287) rather than the Spark
+  *   path's exact pre-filter. Requests may pass `"ef"` for runtime
+  *   recall/latency tuning (hnsw/mod.rs:44-53 search_with_ef).
+  * @param hnswParams graph parameters when `hnswServing` is on.
   */
 final class VectorServer(spark: SparkSession, root: String,
                          metric: DistanceMetric = DistanceMetric.Euclidean,
-                         port: Int = 0, compactEvery: Int = 0) {
+                         port: Int = 0, compactEvery: Int = 0,
+                         hnswServing: Boolean = false,
+                         hnswParams: graft.index.HnswParams = graft.index.HnswParams()) {
 
   val metrics = new MetricsRecorder(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -70,6 +84,22 @@ final class VectorServer(spark: SparkSession, root: String,
     live.where(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
+
+  /** Driver-side serving graph (None when hnswServing is off). Built
+    * from the recovered snapshot once; mutations keep it current under
+    * writeLock, so no rebuild on compaction. @volatile so reader
+    * threads see the latest published graph reference. */
+  @volatile private var serving: Option[graft.index.HnswServingIndex] =
+    if (!hnswServing) None
+    else Some(graft.index.HnswServingIndex.fromRows(
+      live.select(col("id"), col("embedding"), col("meta"))
+        .collect().iterator.map { r =>
+          val vec = r.getSeq[Float](1).toArray
+          val meta = Option(r.getMap[String, String](2))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          (r.getString(0), vec, meta)
+        },
+      metric, hnswParams))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { metrics.flush(); server.stop(0); pool.shutdown() }
@@ -132,6 +162,16 @@ final class VectorServer(spark: SparkSession, root: String,
     import spark.implicits._
     VectorLog.append(rows.toDF("seq", "op", "id", "embedding", "meta"), root)
     refresh()
+    // incremental serving-index maintenance (the reference mutates the
+    // same in-memory index its searches read, storage.rs:120-165) —
+    // called under writeLock only, so the graph never sees concurrent
+    // writers
+    serving.foreach { idx =>
+      rows.foreach { case (_, op, id, vec, meta) =>
+        if (op == "insert") idx.upsert(id, vec.toArray, meta)
+        else idx.delete(id)
+      }
+    }
   }
 
   /** Enforce the store-wide dimension invariant (storage.rs:144-154):
@@ -161,11 +201,24 @@ final class VectorServer(spark: SparkSession, root: String,
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
       }
 
+  /** Point-query dispatch: the HNSW serving graph when enabled (µs–ms,
+    * zero Spark jobs — the reference's main query path), otherwise the
+    * exact Spark TopK job. `ef` tunes the HNSW candidate width per
+    * request and is ignored on the exact path. */
   private def runSearch(vec: Seq[Float], k: Int,
-                        filter: Option[MetadataFilter]): Seq[(String, Double)] =
-    TopK.knn(live, "id", "embedding", vec.map(_.toDouble), k, metric,
-      filter.map(_.compile(col("meta"))))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+                        filter: Option[MetadataFilter],
+                        ef: Int = -1): Seq[(String, Double)] =
+    serving match {
+      case Some(idx) =>
+        filter match {
+          case Some(f) => idx.searchFiltered(vec.toArray, k, f, ef)
+          case None    => idx.search(vec.toArray, k, ef)
+        }
+      case None =>
+        TopK.knn(live, "id", "embedding", vec.map(_.toDouble), k, metric,
+          filter.map(_.compile(col("meta"))))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
 
   private def searchResponse(hits: Seq[(String, Double)]): JValue =
     JArray(hits.map { case (id, d) =>
@@ -283,6 +336,7 @@ final class VectorServer(spark: SparkSession, root: String,
     val req = body(ex)
     val vec = vecOf(req \ "vector")
     val k = (req \ "k") match { case JInt(n) => n.toInt; case _ => 10 }
+    val ef = (req \ "ef") match { case JInt(n) => n.toInt; case _ => -1 }
     val filter = (req \ "filter") match {
       case JNothing | JNull => None
       case f => Some(MetadataFilter.fromJsonValue(f))
@@ -291,7 +345,7 @@ final class VectorServer(spark: SparkSession, root: String,
       case Some(msg) => err(ex, 400, msg)
       case None =>
         val t0 = System.nanoTime()
-        val hits = runSearch(vec, k, filter)
+        val hits = runSearch(vec, k, filter, ef)
         metrics.recordQuery((System.nanoTime() - t0) / 1e3)
         respond(ex, 200, searchResponse(hits))
     }
@@ -302,7 +356,8 @@ final class VectorServer(spark: SparkSession, root: String,
     val queries = (req \ "queries") match {
       case JArray(xs) => xs.map { q =>
         val k = (q \ "k") match { case JInt(n) => n.toInt; case _ => 10 }
-        (vecOf(q \ "vector"), k)
+        val ef = (q \ "ef") match { case JInt(n) => n.toInt; case _ => -1 }
+        (vecOf(q \ "vector"), k, ef)
       }
       case other => throw new IllegalArgumentException(s"'queries' not an array: $other")
     }
@@ -315,7 +370,7 @@ final class VectorServer(spark: SparkSession, root: String,
       case None =>
         // one latency record per HTTP call, like routes.rs:365-369
         val t0 = System.nanoTime()
-        val all = queries.map { case (vec, k) => runSearch(vec, k, filter) }
+        val all = queries.map { case (vec, k, ef) => runSearch(vec, k, filter, ef) }
         metrics.recordQuery((System.nanoTime() - t0) / 1e3)
         respond(ex, 200, JArray(all.map(searchResponse).toList))
     }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.functions.DistanceMetric
+import graft.index.{HnswIndex, HnswParams, HnswServingIndex}
+import graft.operators.MetadataFilter
+
+/** Driver-side HNSW graph: unit behaviors mirroring the reference's
+  * graph tests (src/hnsw/graph.rs:443-539) plus the three recall gates
+  * at the reference's OWN thresholds (tests/recall_test.rs:67-80):
+  * recall@10 ≥ 0.90 at n=100/dim=32, ≥ 0.90 at n=1000/dim=64,
+  * ≥ 0.85 at n=5000/dim=128 — each vs a brute-force ground truth with
+  * the reference's build (m=16, efc=200) and search (ef=100) params.
+  */
+class HnswSpec extends SparkSpec {
+
+  private def rndVecs(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(r.nextFloat()))
+  }
+
+  private def bruteTopK(idx: HnswIndex, vecs: Array[Array[Float]],
+                        q: Array[Float], k: Int): Set[Int] =
+    vecs.zipWithIndex.map { case (v, i) => (idx.distance(q, v), i) }
+      .sortBy(identity).take(k).map(_._2).toSet
+
+  private def recallGate(n: Int, dim: Int, k: Int, nQueries: Int,
+                         minRecall: Double): Unit = {
+    val vecs = rndVecs(n, dim, seed = n.toLong)
+    val idx = new HnswIndex(DistanceMetric.Euclidean,
+      HnswParams(m = 16, efConstruction = 200, efSearch = 50))
+    vecs.foreach(idx.insert)
+    val queries = rndVecs(nQueries, dim, seed = n.toLong + 1)
+    val total = queries.map { q =>
+      val truth = bruteTopK(idx, vecs, q, k)
+      val found = idx.search(q, k, ef = 100).count { case (id, _) => truth(id) }
+      found.toDouble / k
+    }.sum
+    val avg = total / nQueries
+    assert(avg >= minRecall,
+      s"recall $avg below $minRecall for n=$n dim=$dim k=$k")
+  }
+
+  test("recall@10 >= 0.90 on 100 x 32d (recall_test.rs:69)") {
+    recallGate(100, 32, 10, 50, 0.90)
+  }
+
+  test("recall@10 >= 0.90 on 1000 x 64d (recall_test.rs:74)") {
+    recallGate(1000, 64, 10, 50, 0.90)
+  }
+
+  test("recall@10 >= 0.85 on 5000 x 128d (recall_test.rs:79)") {
+    recallGate(5000, 128, 10, 20, 0.85)
+  }
+
+  test("self-search: every inserted vector finds itself first (graph.rs test_self_search)") {
+    val idx = new HnswIndex(DistanceMetric.Euclidean, HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    val vecs = (0 until 100).map(i =>
+      Array(i * 0.1f, (i * 7) * 0.1f, (i * 13) * 0.1f)).toArray
+    vecs.foreach(idx.insert)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val r = idx.search(v, 1, 16)
+      assert(r.nonEmpty && r.head._2 < 1e-5, s"self-search failed for $i")
+    }
+  }
+
+  test("knn on a line: the two straddling points win (graph.rs test_search_knn)") {
+    val idx = new HnswIndex(DistanceMetric.Euclidean, HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    (0 to 4).foreach(i => idx.insert(Array(i.toFloat, 0f)))
+    val ids = idx.search(Array(0.5f, 0f), 2, 16).map(_._1).toSet
+    assert(ids == Set(0, 1))
+  }
+
+  test("remove unlinks and re-elects the entry point (graph.rs test_remove*)") {
+    val idx = new HnswIndex(DistanceMetric.Euclidean, HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    val a = idx.insert(Array(1f, 0f))
+    val b = idx.insert(Array(0f, 1f))
+    val c = idx.insert(Array(1f, 1f))
+    assert(idx.size == 3)
+    idx.remove(a); idx.remove(c)
+    assert(idx.size == 1)
+    val r = idx.search(Array(0f, 1f), 3, 16)
+    assert(r.map(_._1) == Seq(b))
+  }
+
+  test("empty graph returns no results; oversize k returns all") {
+    val idx = new HnswIndex(DistanceMetric.Euclidean)
+    assert(idx.search(Array(1f, 2f), 5).isEmpty)
+    idx.insert(Array(1f, 2f))
+    assert(idx.search(Array(1f, 2f), 5).length == 1)
+  }
+
+  test("cosine zero-norm vectors are unrankable, never returned (distance.rs:51-55 analogue)") {
+    val idx = new HnswIndex(DistanceMetric.Cosine, HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    idx.insert(Array(0f, 0f)) // zero norm: excluded from any result
+    idx.insert(Array(1f, 0f))
+    idx.insert(Array(0.9f, 0.1f))
+    val r = idx.search(Array(1f, 0f), 3, 16)
+    assert(r.map(_._1).toSet == Set(1, 2))
+    assert(r.head._1 == 1 && math.abs(r.head._2) < 1e-12)
+  }
+
+  test("dot-product metric ranks by negated dot (distance.rs:30 analogue)") {
+    val idx = new HnswIndex(DistanceMetric.DotProduct, HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    idx.insert(Array(1f, 0f))
+    idx.insert(Array(3f, 0f))
+    idx.insert(Array(2f, 0f))
+    val r = idx.search(Array(1f, 0f), 3, 16)
+    assert(r.map(_._1) == Seq(1, 2, 0)) // biggest dot first
+    assert(r.head._2 == -3.0)
+  }
+
+  test("serving index: latest-wins upsert, delete, filtered 3x-over-fetch post-filter") {
+    val idx = new HnswServingIndex(DistanceMetric.Euclidean,
+      HnswParams(m = 4, efConstruction = 32, efSearch = 16))
+    idx.upsert("a", Array(0f, 0f), Map("color" -> "red"))
+    idx.upsert("b", Array(1f, 0f), Map("color" -> "blue"))
+    idx.upsert("c", Array(2f, 0f), Map("color" -> "red"))
+    // upsert replaces: move "a" far away
+    idx.upsert("a", Array(10f, 0f), Map("color" -> "red"))
+    assert(idx.size == 3)
+    assert(idx.search(Array(0f, 0f), 1).head._1 == "b")
+    val reds = idx.searchFiltered(Array(0f, 0f), 2,
+      MetadataFilter.Eq("color", "red"))
+    assert(reds.map(_._1) == Seq("c", "a"))
+    idx.delete("b")
+    assert(idx.size == 2 && !idx.contains("b"))
+    assert(idx.search(Array(0f, 0f), 1).head._1 == "c")
+  }
+
+  test("ef tuning: larger ef never lowers recall on a fixed graph (hnsw/mod.rs:44-53)") {
+    val vecs = rndVecs(500, 16, seed = 7L)
+    val idx = new HnswIndex(DistanceMetric.Euclidean,
+      HnswParams(m = 8, efConstruction = 64, efSearch = 10))
+    vecs.foreach(idx.insert)
+    val queries = rndVecs(20, 16, seed = 8L)
+    def recallAt(ef: Int): Double = queries.map { q =>
+      val truth = bruteTopK(idx, vecs, q, 10)
+      idx.search(q, 10, ef).count { case (id, _) => truth(id) } / 10.0
+    }.sum / queries.length
+    val narrow = recallAt(10)
+    val wide = recallAt(500) // ef = n: layer-0 sweep is exhaustive-ish
+    assert(wide >= narrow)
+    assert(wide >= 0.999) // ef = n on a connected graph reaches exact
+  }
+}

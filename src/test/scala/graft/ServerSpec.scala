@@ -317,4 +317,94 @@ class ServerSpec extends SparkSpec {
     val lat = log.where(org.apache.spark.sql.functions.col("latency_us").isNotNull)
     assert(lat.count() == 2)
   }
+
+  // ----- HNSW serving tier (round 14): the reference's point-query
+  // latency path — ms-class answers with ZERO Spark jobs per search ----
+
+  private def withHnswServer(f: (String, VectorServer) => Unit): Unit = {
+    val root = Files.createTempDirectory("server-store").toString
+    val srv = new VectorServer(spark, root, hnswServing = true,
+      hnswParams = graft.index.HnswParams(m = 8, efConstruction = 64, efSearch = 32))
+    val port = srv.start()
+    try f(s"http://127.0.0.1:$port", srv)
+    finally srv.stop()
+  }
+
+  test("hnsw serving: search answers match exact ranking, mutations maintain the graph") {
+    withHnswServer { (base, _) =>
+      insertV1V2(base)
+      val (_, hits) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":2}""")
+      val JArray(rs) = hits: @unchecked
+      assert((rs.head \ "id") == JString("v1"))
+      val JDouble(d0) = (rs.head \ "distance"): @unchecked
+      assert(d0 < 1e-9)
+      // filtered search through the 3x-over-fetch post-filter path
+      val (_, blue) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":1,"filter":{"op":"eq","field":"color","value":"blue"}}""")
+      val JArray(bs) = blue: @unchecked
+      assert(bs.map(h => h \ "id") == List(JString("v2")))
+      // delete unlinks from the serving graph immediately
+      send("DELETE", s"$base/vectors/v1")
+      val (_, after) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":2}""")
+      val JArray(as) = after: @unchecked
+      assert(as.map(h => h \ "id") == List(JString("v2")))
+      // upsert replaces: re-point v2 far away, nearest flips
+      send("POST", s"$base/vectors",
+        """{"id":"v3","vector":[1.0,2.0,3.0]}""")
+      send("POST", s"$base/vectors",
+        """{"id":"v2","vector":[100.0,100.0,100.0]}""")
+      val (_, fin) = send("POST", s"$base/search",
+        """{"vector":[1.0,2.0,3.0],"k":1}""")
+      val JArray(fs) = fin: @unchecked
+      assert(fs.map(h => h \ "id") == List(JString("v3")))
+    }
+  }
+
+  test("hnsw serving: point queries are ms-class and run zero Spark jobs") {
+    withHnswServer { (base, _) =>
+      // a store big enough that a Spark scan would dominate
+      val r = new java.util.Random(1)
+      val items = (0 until 500).map { i =>
+        s"""{"id":"p$i","vector":[${Array.fill(16)(r.nextFloat()).mkString(",")}]}"""
+      }.mkString("""{"vectors":[""", ",", "]}")
+      assert(send("POST", s"$base/vectors/batch", items)._1 == 201)
+      val q = s"""{"vector":[${Array.fill(16)(r.nextFloat()).mkString(",")}],"k":10,"ef":100}"""
+      send("POST", s"$base/search", q) // warmup (JIT, HTTP client)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        (0 until 20).foreach(_ => assert(send("POST", s"$base/search", q)._1 == 200))
+        val perQueryMs = (System.nanoTime() - t0) / 1e6 / 20
+        // listener events are async: give the bus a beat to drain
+        Thread.sleep(200)
+        assert(jobs.get() == 0, s"serving path launched ${jobs.get()} Spark jobs")
+        // ms-class including HTTP+JSON; the Spark path is ~100 ms-class
+        assert(perQueryMs < 50.0, f"point query took $perQueryMs%.1f ms")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("hnsw serving: recovery rebuilds the graph from snapshot + log (engine.rs recover analogue)") {
+    val root = Files.createTempDirectory("server-store").toString
+    val first = new VectorServer(spark, root)
+    val p1 = first.start()
+    insertV1V2(s"http://127.0.0.1:$p1")
+    first.stop()
+    // second server, HNSW serving on: index built from the recovered state
+    val srv = new VectorServer(spark, root, hnswServing = true)
+    val port = srv.start()
+    try {
+      val (_, hits) = send("POST", s"http://127.0.0.1:$port/search",
+        """{"vector":[4.0,5.0,6.0],"k":1}""")
+      val JArray(rs) = hits: @unchecked
+      assert(rs.map(h => h \ "id") == List(JString("v2")))
+    } finally srv.stop()
+  }
 }
