@@ -139,13 +139,15 @@ object Round12bQueries {
     // char-trigram profiles (top-200/lang) vs each doc's own top-100,
     // out-of-place distance, arg-min language; all-integer ------------
     "langid_ct" -> ((s, dir) => {
-      // profiles SERVED from the materialized per-dir artifact (the
-      // fastText-model analogue); the DuckDB twin rebuilds them, so
-      // the hash gate proves serve ≡ rebuild
-      val docs = t(s, dir, "documents")
-      Lexical.ctLangId(docs, "doc_id", "text",
+      // BOTH sides served from materialized per-dir artifacts: the
+      // profiles (fastText-model analogue) AND the per-doc top-m
+      // trigram frame (round 14 — the three CT queries shared one
+      // identical corpus-hashing map stage; now it runs once on
+      // compaction cadence). The DuckDB twin rebuilds everything from
+      // raw text, so the hash gate proves serve ≡ rebuild.
+      Lexical.ctLangIdFromTop(SparkEntry.ctDocTopFor(s, dir), "doc_id",
         SparkEntry.ctProfilesFor(s, dir),
-        langCol = "lang", m = 100, profileK = 200)
+        langCol = "lang", profileK = 200)
         .orderBy("doc_id")
     }),
 

@@ -47,11 +47,11 @@ object Round12eQueries {
     // ---- X114: language ID with a confidence margin — the runner-up
     // gap a language gate actually thresholds on ---------------------
     "langid_margin" -> ((s, dir) => {
-      // served profiles, rebuild-replaying twin — the langid_ct rule
-      val docs = t(s, dir, "documents")
-      Lexical.ctLangIdMargin(docs, "doc_id", "text",
-        SparkEntry.ctProfilesFor(s, dir),
-        langCol = "lang", m = 100, profileK = 200)
+      // served profiles AND served doc-side top-m frame (round 14),
+      // rebuild-replaying twin — the langid_ct rule
+      Lexical.ctLangIdMarginFromTop(SparkEntry.ctDocTopFor(s, dir),
+        "doc_id", SparkEntry.ctProfilesFor(s, dir),
+        langCol = "lang", profileK = 200)
         .orderBy("doc_id")
     }),
   )

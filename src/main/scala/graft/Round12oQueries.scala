@@ -71,9 +71,10 @@ object Round12oQueries {
       val docs = t(s, dir, "documents")
       val h = docs.select(col("doc_id"),
         TF.langIdHeuristic(col("text")).as("p_h"))
-      val ct = Lexical.ctLangId(docs, "doc_id", "text",
-        SparkEntry.ctProfilesFor(s, dir), langCol = "lang",
-        m = 100, profileK = 200)
+      // served doc-side top-m frame (round 14), like langid_ct/margin
+      val ct = Lexical.ctLangIdFromTop(SparkEntry.ctDocTopFor(s, dir),
+        "doc_id", SparkEntry.ctProfilesFor(s, dir), langCol = "lang",
+        profileK = 200)
         .select(col("doc_id"),
           when(col("pred") === "en", "en").otherwise("other").as("p_ct"))
       // inner join: the CT side only scores docs with >= 1 trigram

@@ -289,17 +289,37 @@ object Lexical {
   /** The shared (doc, (distance, lang)) frame behind [[ctLangId]] and
     * [[ctLangIdMargin]]: per doc, the out-of-place distance to EVERY
     * language profile as a comparable (d, l) struct. */
-  private def ctLangDistances(docs: DataFrame, idCol: String,
-                              textCol: String, profiles: DataFrame,
-                              langCol: String, m: Int,
-                              profileK: Int): DataFrame = {
+  /** The per-doc top-m trigram frame `(__doc, __ta)` — the ENTIRE
+    * doc-side cost of CT language ID (one fused TopKFreqLongs map over
+    * the corpus). Round 14: exposed so the frame can be materialized
+    * ONCE on compaction cadence (the tfidfPostings pattern) and shared
+    * by every CT consumer — langid_ct / langid_margin / langid_kappa
+    * each re-hashed the full corpus before (the top-3 bench entries,
+    * ~12 s combined at sf0.1 for one identical map stage × 3). */
+  def docTopTrigrams(docs: DataFrame, idCol: String, textCol: String,
+                     m: Int = 100): DataFrame = {
     require(m >= 1 && m <= 10000, "m must be in [1, 10000]")
-    val sel = docs
+    docs
       .select(col(idCol).cast("long").as("__doc"),
         graft.functions.TopKFreqLongs(
           TF.charTrigramHashes(col(textCol)), m).as("__ta"))
       .where(size(col("__ta")) > 0)
-      .localCheckpoint(false) // feeds the match join AND the m-count
+  }
+
+  private def ctLangDistances(docs: DataFrame, idCol: String,
+                              textCol: String, profiles: DataFrame,
+                              langCol: String, m: Int,
+                              profileK: Int): DataFrame =
+    ctLangDistancesFromTop(
+      docTopTrigrams(docs, idCol, textCol, m)
+        .localCheckpoint(false), // feeds the match join AND the m-count
+      profiles, langCol, profileK)
+
+  /** [[ctLangDistances]] over an already-built (served) top-m frame —
+    * no corpus pass at all; the artifact scan feeds both consumers. */
+  private def ctLangDistancesFromTop(sel: DataFrame, profiles: DataFrame,
+                                     langCol: String,
+                                     profileK: Int): DataFrame = {
     val docTop = sel
       .select(col("__doc"), posexplode(col("__ta")).as(Seq("__i", "tg")))
       .select(col("__doc"), col("tg"),
@@ -325,8 +345,18 @@ object Lexical {
   def ctLangId(docs: DataFrame, idCol: String, textCol: String,
                profiles: DataFrame, langCol: String = "lang",
                m: Int = 100, profileK: Int = 200): DataFrame =
-    ctLangDistances(docs, idCol, textCol, profiles, langCol, m, profileK)
-      .groupBy(col("__doc"))
+    ctBest(ctLangDistances(docs, idCol, textCol, profiles, langCol, m,
+      profileK), idCol)
+
+  /** [[ctLangId]] served from a materialized [[docTopTrigrams]] frame
+    * — zero corpus passes at query time (round 14). */
+  def ctLangIdFromTop(top: DataFrame, idCol: String, profiles: DataFrame,
+                      langCol: String = "lang",
+                      profileK: Int = 200): DataFrame =
+    ctBest(ctLangDistancesFromTop(top, profiles, langCol, profileK), idCol)
+
+  private def ctBest(dl: DataFrame, idCol: String): DataFrame =
+    dl.groupBy(col("__doc"))
       .agg(min(col("__dl")).as("__best"))
       .select(col("__doc").as(idCol), col("__best.l").as("pred"),
         col("__best.d").as("dist"))
@@ -343,8 +373,19 @@ object Lexical {
   def ctLangIdMargin(docs: DataFrame, idCol: String, textCol: String,
                      profiles: DataFrame, langCol: String = "lang",
                      m: Int = 100, profileK: Int = 200): DataFrame =
-    ctLangDistances(docs, idCol, textCol, profiles, langCol, m, profileK)
-      .groupBy(col("__doc"))
+    ctMargin(ctLangDistances(docs, idCol, textCol, profiles, langCol, m,
+      profileK), idCol)
+
+  /** [[ctLangIdMargin]] served from a materialized [[docTopTrigrams]]
+    * frame (round 14). */
+  def ctLangIdMarginFromTop(top: DataFrame, idCol: String,
+                            profiles: DataFrame,
+                            langCol: String = "lang",
+                            profileK: Int = 200): DataFrame =
+    ctMargin(ctLangDistancesFromTop(top, profiles, langCol, profileK), idCol)
+
+  private def ctMargin(dl: DataFrame, idCol: String): DataFrame =
+    dl.groupBy(col("__doc"))
       .agg(sort_array(collect_list(col("__dl"))).as("__arr"))
       .select(col("__doc").as(idCol),
         col("__arr")(0).getField("l").as("pred"),
