@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingData
+
+/** Round-14 [EXT] batch: the VERDICT r13 follow-ups — the binned KS
+  * scale path (X105's 100 TB variant) and the driver-literal closure
+  * of the DeflateRatio gate (X40, spec-gated since round 6).
+  */
+object Round14Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** The X40 fixture corpus: fixed literal strings spanning the
+    * compressibility range. The expected ratios are computed ONCE
+    * driver-side through the very same `DeflateRatio.ratio` zlib call
+    * the Catalyst expression's eval and codegen paths invoke, and
+    * injected into the oracle SQL as full-precision literals (the
+    * X211 planner-curve precedent: DuckDB 1.0.0 has no zlib scalar —
+    * re-confirmed every round since 6 — so the independent engine
+    * CANNOT recompute deflate; what the hash gate CAN prove exactly
+    * is that the distributed expression, through serialization,
+    * whole-stage codegen and the UTF8String byte path, reproduces the
+    * driver-computed contract values, and that the ordering/bounds
+    * the spec gate asserts hold as exact numbers). */
+  private[graft] val deflateFixture: Seq[(Long, String)] = Seq(
+    1L -> ("spam ham " * 100),                     // pure repetition
+    2L -> "The quick brown fox jumps over the lazy dog while mixed case Words and punctuation, numbers 12345, keep redundancy modest.",
+    3L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    4L -> (1 to 60).map(i => (i * 7919) % 104729).mkString(","), // digit noise
+    5L -> "",                                      // empty: ratio 1.0 by contract
+    6L -> ("{\"user\":1,\"ok\":true} " * 40),      // template JSON
+    7L -> "päällekkäisyys übersetzt naïve façade — ünïcodé bytes inflate the raw length",
+    8L -> ("buy now click here " * 25 + "limited offer act fast " * 25))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X105 scale path (round 14): binned two-sample KS over the
+    // shared fixed-width grid — the window runs on |groups|·16 rows,
+    // never a per-group distinct-VALUE table (corpus-scale for a
+    // continuous metric on one reducer); same splits/grid as
+    // snapshot_w1 so the two shift readouts are comparable ----------
+    "snapshot_ks_binned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.snapshotKsBinned(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars", binWidth = 256L, nBins = 16)
+        .orderBy("lang")
+    }),
+
+    // ---- X40 (round 14): the DeflateRatio hash gate — the Catalyst
+    // expression evaluated distributed over the fixture corpus must
+    // reproduce the driver-computed zlib ratios bit-for-bit ---------
+    "deflate_ratio" -> ((s, dir) => {
+      import s.implicits._
+      deflateFixture.toDF("fid", "text")
+        .select(col("fid"),
+          graft.functions.DeflateRatio.column(col("text")).as("ratio"))
+        .orderBy("fid")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "snapshot_ks_binned" ->
+      """WITH o AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |to_ AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM o GROUP BY g),
+        |tn AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM n GROUP BY g),
+        |grid AS (SELECT g, unnest(range(0, 16)) AS b FROM
+        |  (SELECT DISTINCT g FROM (SELECT g FROM to_ UNION ALL SELECT g FROM tn))),
+        |j AS (SELECT grid.g, grid.b,
+        |    coalesce(o.c, 0) AS co, coalesce(n.c, 0) AS cn,
+        |    coalesce(to_.t, 0) AS t_o, coalesce(tn.t, 0) AS t_n
+        |  FROM grid LEFT JOIN o ON grid.g = o.g AND grid.b = o.b
+        |    LEFT JOIN n ON grid.g = n.g AND grid.b = n.b
+        |    LEFT JOIN to_ ON grid.g = to_.g
+        |    LEFT JOIN tn ON grid.g = tn.g),
+        |cdf AS (SELECT g, t_o, t_n,
+        |    sum(co) OVER (PARTITION BY g ORDER BY b) AS fo,
+        |    sum(cn) OVER (PARTITION BY g ORDER BY b) AS fn FROM j),
+        |s AS (SELECT g, CAST(max(t_o) AS BIGINT) AS n_old,
+        |    CAST(max(t_n) AS BIGINT) AS n_new,
+        |    max(abs(CAST(fo AS DECIMAL(19,0)) * CAST(t_n AS DECIMAL(19,0))
+        |      - CAST(fn AS DECIMAL(19,0)) * CAST(t_o AS DECIMAL(19,0)))) AS m
+        |  FROM cdf GROUP BY g)
+        |SELECT g AS lang, n_old, n_new,
+        |  CASE WHEN n_old > 0 AND n_new > 0
+        |    THEN CAST((20000 * CAST(m AS HUGEINT)
+        |        + CAST(n_old AS HUGEINT) * n_new)
+        |      // (2 * (CAST(n_old AS HUGEINT) * n_new)) AS BIGINT) / 10000.0
+        |  END AS ks
+        |FROM s ORDER BY lang""".stripMargin,
+
+    "deflate_ratio" -> {
+      // the contract rides EXACT INTEGER literals (deflated bytes /
+      // raw bytes): IEEE division is correctly rounded in both
+      // engines, whereas a decimal double literal parses through
+      // DuckDB's DECIMAL→DOUBLE path and can land 1 ulp off (observed
+      // on this very query's first form — the mix_budget lesson again)
+      val rows = deflateFixture.map { case (fid, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) s"($fid, 1, 1)"
+        else s"($fid, ${graft.functions.DeflateRatio.deflatedLen(bytes)}, ${bytes.length})"
+      }.mkString(", ")
+      s"""SELECT fid, CAST(dl AS DOUBLE) / CAST(rl AS DOUBLE) AS ratio
+         |FROM (VALUES $rows) AS t(fid, dl, rl)
+         |ORDER BY fid""".stripMargin
+    },
+  )
+}

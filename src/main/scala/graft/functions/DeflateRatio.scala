@@ -50,9 +50,8 @@ object DeflateRatio {
       new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
   }
 
-  /** deflated size / raw size; 1.0 for empty input. */
-  def ratio(bytes: Array[Byte]): Double = {
-    if (bytes.length == 0) return 1.0
+  /** Deflated byte count (zlib stream size) of `bytes`. */
+  def deflatedLen(bytes: Array[Byte]): Long = {
     val d = local.get()
     d.reset()
     d.setInput(bytes)
@@ -60,7 +59,13 @@ object DeflateRatio {
     val buf = new Array[Byte](1024)
     var out = 0L
     while (!d.finished()) out += d.deflate(buf)
-    out.toDouble / bytes.length
+    out
+  }
+
+  /** deflated size / raw size; 1.0 for empty input. */
+  def ratio(bytes: Array[Byte]): Double = {
+    if (bytes.length == 0) return 1.0
+    deflatedLen(bytes).toDouble / bytes.length
   }
 
   def column(s: Column): Column =

@@ -714,6 +714,74 @@ object TrainingData {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Binned two-sample KS ([EXT] X105 scale path, round 14): max
+    * |F_o(b) − F_n(b)| over the clamped fixed-width bin grid — the
+    * [[snapshotKs]] statistic computed the [[snapshotWasserstein]]
+    * way. The binless form windows each group's DISTINCT-VALUE table
+    * ordered by value: exact KS needs it, but for a CONTINUOUS metric
+    * at 100 TB one group's value set is corpus-scale on a single
+    * reducer (the VERDICT r13 caveat). Here both sides collapse
+    * map-side to |groups|·nBins rows first, so the only window (the
+    * running CDF) runs over ≤nBins-row partitions — bounded by
+    * construction, never corpus rows. On integer-valued metrics with
+    * binWidth = 1 and a covering grid the two forms are EQUAL
+    * (spec-pinned); on continuous metrics this is the documented
+    * scale variant (KS against the binned CDF, a lower bound of exact
+    * KS that saturates only on within-bin shifts, like PSI).
+    *
+    * Exactness: per bin |cumo/to − cumn/tn| = |cumo·tn − cumn·to| /
+    * (to·tn) — the max folds over the EXACT integer numerators
+    * (decimal(19,0) operands, the shared denominator is constant per
+    * group), one integer half-up finishes at 1e-4. Groups with an
+    * empty side carry a null ks (the snapshot_churn rule).
+    *
+    * Output: (groupCol, n_old, n_new, ks). */
+  def snapshotKsBinned(oldDocs: DataFrame, newDocs: DataFrame,
+                       groupCol: String, valueCol: String,
+                       binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    ksFromCounts(
+      binnedCounts(oldDocs, groupCol, valueCol, binWidth, nBins),
+      binnedCounts(newDocs, groupCol, valueCol, binWidth, nBins),
+      groupCol, nBins)
+  }
+
+  /** KS assembly over two (__g, __b, __c) count tables — everything
+    * downstream of the corpus scans; cardinality |groups|·nBins (the
+    * [[wassersteinFromCounts]] shape, max instead of sum). Also the
+    * foreachBatch scorer for streamed bin counts. */
+  def ksFromCounts(oc: DataFrame, nc: DataFrame, groupCol: String,
+                   nBins: Int): DataFrame = {
+    val totO = oc.groupBy(col("__g")).agg(sum(col("__c")).as("__to"))
+    val totN = nc.groupBy(col("__g")).agg(sum(col("__c")).as("__tn"))
+    val grid = totO.select(col("__g")).union(totN.select(col("__g")))
+      .distinct()
+      .select(col("__g"), explode(sequence(lit(0), lit(nBins - 1))).as("__b"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    grid
+      .join(oc.withColumnRenamed("__c", "__co"), Seq("__g", "__b"), "left")
+      .join(nc.withColumnRenamed("__c", "__cn"), Seq("__g", "__b"), "left")
+      .join(totO, Seq("__g"), "left")
+      .join(totN, Seq("__g"), "left")
+      .select(col("__g"), col("__to"), col("__tn"),
+        sum(coalesce(col("__co"), lit(0L))).over(w).as("__fo"),
+        sum(coalesce(col("__cn"), lit(0L))).over(w).as("__fn"))
+      .groupBy(col("__g"))
+      .agg(coalesce(max(col("__to")), lit(0L)).as("n_old"),
+        coalesce(max(col("__tn")), lit(0L)).as("n_new"),
+        max(abs(dec(col("__fo")) * dec(coalesce(col("__tn"), lit(0L))) -
+          dec(col("__fn")) * dec(coalesce(col("__to"), lit(0L))))).as("__m"))
+      .withColumn("__den",
+        col("n_old").cast("decimal(19,0)") * col("n_new").cast("decimal(19,0)"))
+      .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
+        when(col("n_old") > 0L && col("n_new") > 0L,
+          expr("(20000 * __m + __den) div (2 * __den)")
+            .cast("double") / lit(10000.0))
+          .as("ks"))
+  }
+
   /** Token-budget mixing rates (X110): the data-recipe SOLVER that
     * sits in front of [[mixSources]] — given a target weight per
     * source and a total token budget, how hard can each source

@@ -442,6 +442,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("g", 1L, 1L, 1.0)), got.toString)
   }
 
+  test("snapshotKsBinned: equals binless KS on integer values with a unit covering grid") {
+    // binWidth = 1 and nBins past the max value: each integer value is
+    // its own bin, so the binned CDF steps exactly where the ECDF does
+    val o = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L),
+      ("h", 1L), ("h", 5L)).toDF("grp", "v")
+    val n = Seq(("g", 2L), ("g", 3L), ("g", 3L), ("g", 4L),
+      ("h", 5L), ("h", 5L)).toDF("grp", "v")
+    val binless = TrainingData.snapshotKs(o, n, "grp", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val binned = TrainingData.snapshotKsBinned(o, n, "grp", "v",
+      binWidth = 1L, nBins = 8)
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(binned == binless, s"binned=$binned binless=$binless")
+    assert(binned.head == (("g", 4L, 4L, 0.5)))
+  }
+
+  test("snapshotKsBinned: the CDF window runs on the bin grid, never the raw value column") {
+    // the 100 TB guard: exact KS windows per-group DISTINCT VALUES
+    // (corpus-scale for continuous metrics); the binned form must sort
+    // only the bounded __b grid inside its window
+    val o = Seq(("g", 100L), ("g", 900L)).toDF("grp", "v")
+    val n = Seq(("g", 500L)).toDF("grp", "v")
+    val plan = TrainingData.snapshotKsBinned(o, n, "grp", "v")
+      .queryExecution.optimizedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(l => l.contains("__b") && !l.contains("__v ASC")),
+      windowLines.mkString("\n"))
+  }
+
   // ---------------- Privacy.densityByGroup (X106) ----------------
 
   test("densityByGroup: per-group PII counts and per-10k-chars density") {
