@@ -35,7 +35,17 @@ object Round14Queries {
     7L -> "päällekkäisyys übersetzt naïve façade — ünïcodé bytes inflate the raw length",
     8L -> ("buy now click here " * 25 + "limited offer act fast " * 25))
 
+  private val Dim = 64
+  private val Iters = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X214: top-2 principal directions by quantized deflation —
+    // the whitening rotation the IVF-anisotropy diagnostic (X205)
+    // motivates; component 2 power-iterates against M − λ₁v₁v₁ᵀ ------
+    "embedding_pck" -> ((s, dir) =>
+      graft.operators.Projection.pcK(
+        t(s, dir, "embeddings"), "embedding", Dim, k = 2, iters = Iters)),
+
     // ---- X105 scale path (round 14): binned two-sample KS over the
     // shared fixed-width grid — the window runs on |groups|·16 rows,
     // never a per-group distinct-VALUE table (corpus-scale for a
@@ -63,6 +73,65 @@ object Round14Queries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "embedding_pck" -> {
+      // unrolled k·iters CTE chain (the embedding_pc1 twin, extended
+      // with the deflation arithmetic in the same operation order:
+      // m = λ₁·(v₁·v) once, then w_d − m·v₁_d)
+      def iter(c: Int, k: Int): String = {
+        val p = s"v${c}_${k - 1}"
+        val deflate = if (c == 1)
+          s"d${c}_$k AS (SELECT wl FROM w${c}_$k),"
+        else
+          s"""m${c}_$k AS (SELECT wl,
+             |    nrm1 * list_sum(list_transform(range(1, ${Dim + 1}),
+             |      i -> v1f[i] * v[i])) AS m
+             |  FROM w${c}_$k CROSS JOIN fin1 CROSS JOIN $p),
+             |d${c}_$k AS (SELECT list_transform(range(1, ${Dim + 1}),
+             |    i -> wl[i] - m * v1f[i]) AS wl
+             |  FROM m${c}_$k CROSS JOIN fin1),""".stripMargin
+        s"""s${c}_$k AS (SELECT e, list_sum(list_transform(range(1, len(e)+1),
+           |    i -> CAST(e[i] AS DOUBLE) * v[i])) AS s
+           |  FROM x CROSS JOIN $p),
+           |t${c}_$k AS (SELECT unnest(range(1, len(e)+1)) AS i,
+           |    unnest(list_transform(e, xd ->
+           |      CAST(round(CAST(xd AS DOUBLE) * s * 1000000) AS BIGINT)))
+           |      AS t
+           |  FROM s${c}_$k),
+           |w${c}_$k AS (SELECT list(w ORDER BY i) AS wl FROM
+           |  (SELECT i, CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) / 1000000.0
+           |     AS w FROM t${c}_$k GROUP BY i)),
+           |$deflate
+           |n${c}_$k AS (SELECT sqrt(list_sum(list_transform(wl, y -> y * y)))
+           |    AS nrm, wl FROM d${c}_$k),
+           |v${c}_$k AS (SELECT list_transform(wl,
+           |    x -> round(x / nrm * 1000000) / 1000000.0 + 0.0) AS v
+           |  FROM n${c}_$k),""".stripMargin
+      }
+      val chains = (1 to 2).map { c =>
+        (1 to Iters).map(k => iter(c, k)).mkString("\n")
+      }
+      s"""WITH x AS (SELECT embedding AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |v1_0 AS (SELECT list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(1.0 AS DOUBLE)) AS v),
+         |${chains(0)}
+         |fin1 AS (SELECT v AS v1f, nrm AS nrm1
+         |  FROM v1_$Iters CROSS JOIN n1_$Iters),
+         |v2_0 AS (SELECT list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(1.0 AS DOUBLE)) AS v),
+         |${chains(1)}
+         |comp1 AS (SELECT 1 AS component, v, nrm
+         |  FROM v1_$Iters CROSS JOIN n1_$Iters),
+         |comp2 AS (SELECT 2 AS component, v, nrm
+         |  FROM v2_$Iters CROSS JOIN n2_$Iters),
+         |f AS (SELECT * FROM comp1 UNION ALL SELECT * FROM comp2)
+         |SELECT CAST(component AS BIGINT) AS component,
+         |  CAST(i - 1 AS BIGINT) AS dim, v[i] AS loading,
+         |  round(nrm * 10000) / 10000.0 AS lambda
+         |FROM f CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)
+         |ORDER BY component, dim""".stripMargin
+    },
+
     "snapshot_ks_binned" ->
       """WITH o AS (SELECT lang AS g,
         |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,

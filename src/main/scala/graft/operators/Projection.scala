@@ -142,22 +142,7 @@ object Projection {
     var v = Array.fill(dim)(1.0)
     var lambda = 0.0
     for (_ <- 1 to iters) {
-      val vLit = array(v.map(lit(_)): _*)
-      val sums = data
-        .withColumn("__s", aggregate(
-          zip_with(col("__x"), vLit, (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, t) => acc + t))
-        .select(posexplode(col("__x")).as(Seq("__d", "__xd")),
-          col("__s"))
-        .select(col("__d"),
-          round(col("__xd").cast("double") * col("__s") * 1e6)
-            .cast("long").as("__t"))
-        .groupBy(col("__d"))
-        .agg(sum(col("__t")).cast("long").as("__w"))
-        .collect()
-      val w = Array.fill(dim)(0.0)
-      sums.foreach(r => w(r.getAs[Int]("__d")) =
-        r.getAs[Long]("__w").toDouble / 1e6)
+      val w = mvPass(data, v, dim)
       val nrm = math.sqrt(w.map(x => x * x).sum)
       if (nrm > 0) {
         v = w.map(x => qHalfAway(x / nrm, 1e6) + 0.0) // no -0.0 out
@@ -169,5 +154,93 @@ object Projection {
     v.zipWithIndex
       .map { case (x, i) => (i.toLong, x, lambda) }.toSeq
       .toDF("dim", "loading", "lambda")
+  }
+
+  /** One quantized power-iteration pass: w = M·v with M = Σ x xᵀ —
+    * s = x·v folds in ascending index order, per-row per-dim terms
+    * round(x_d·s·1e6) quantize BEFORE the order-free long sum; the
+    * returned components are exact multiples of 1e-6 (the [[pc1]]
+    * corpus pass, shared with [[pcK]]). */
+  private def mvPass(data: DataFrame, v: Array[Double],
+                     dim: Int): Array[Double] = {
+    val vLit = array(v.map(lit(_)): _*)
+    val sums = data
+      .withColumn("__s", aggregate(
+        zip_with(col("__x"), vLit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, t) => acc + t))
+      .select(posexplode(col("__x")).as(Seq("__d", "__xd")),
+        col("__s"))
+      .select(col("__d"),
+        round(col("__xd").cast("double") * col("__s") * 1e6)
+          .cast("long").as("__t"))
+      .groupBy(col("__d"))
+      .agg(sum(col("__t")).cast("long").as("__w"))
+      .collect()
+    val w = Array.fill(dim)(0.0)
+    sums.foreach(r => w(r.getAs[Int]("__d")) =
+      r.getAs[Long]("__w").toDouble / 1e6)
+    w
+  }
+
+  /** Top-k principal directions by sequential Hotelling DEFLATION
+    * ([EXT] X214, round 14) — [[pc1]] extended to the k directions a
+    * whitening/rotation step consumes (the IVF-anisotropy diagnostic's
+    * actionable output): component c power-iterates against
+    * M_c = M − Σ_{i<c} λ_i v_i v_iᵀ, realized matrix-free as
+    * w = M·v − Σ_i λ_i (v_i·v) v_i — the corpus pass stays the exact
+    * [[pc1]] quantized M·v; the deflation correction is driver-side
+    * dim-vector arithmetic on engine-replayable operands (v_i on the
+    * 1e-6 grid, λ_i the RAW final-pass norm — a deterministic double
+    * both engines reproduce: sums fold in index order, sqrt is IEEE
+    * correctly rounded).
+    *
+    * Contract: "the directions after `iters` quantized deflated
+    * iterations each" — deterministic on any engine regardless of
+    * convergence (the X205 rule). The DuckDB twin unrolls all
+    * k·iters passes as CTEs, including the deflation arithmetic in
+    * the same operation order (m = λ·dot once, then w_d − m·v_id).
+    *
+    * Scale shape: k·iters corpus passes, dim longs of driver traffic
+    * per pass — never data-proportional.
+    *
+    * Output: (component 1-based, dim, loading, lambda), ordered. */
+  def pcK(df: DataFrame, vecCol: String, dim: Int, k: Int,
+          iters: Int = 4): DataFrame = {
+    require(dim > 0 && k >= 1 && k <= dim && iters >= 1)
+    val data = df.where(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__x"))
+    val priors = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Double], Double)] // (quantized v_i, raw λ_i)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (c <- 1 to k) {
+      var v = Array.fill(dim)(1.0)
+      var lambda = 0.0
+      var nrmRaw = 0.0
+      for (_ <- 1 to iters) {
+        val w = mvPass(data, v, dim)
+        priors.foreach { case (vi, li) =>
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += vi(i) * v(i); i += 1 }
+          val m = li * dot
+          i = 0
+          while (i < dim) { w(i) -= m * vi(i); i += 1 }
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0) {
+          v = w.map(x => qHalfAway(x / nrm, 1e6) + 0.0)
+          lambda = qHalfAway(nrm, 1e4)
+          nrmRaw = nrm
+        }
+      }
+      priors += ((v, nrmRaw))
+      v.zipWithIndex.foreach { case (x, i) =>
+        out += ((c.toLong, i.toLong, x, lambda))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("component", "dim", "loading", "lambda")
+      .orderBy(col("component"), col("dim"))
   }
 }

@@ -34,4 +34,69 @@ class Pc1Spec extends SparkSpec {
       .collect().map(_.getAs[Double]("loading")).toSeq
     assert(a == b)
   }
+
+  test("pcK: deflation recovers the full planted spectrum, orthogonal components, pc1-consistent") {
+    // M = diag(8, 2): PC1 = ±e1 (λ 8), deflated PC2 = ±e2 (λ 2)
+    val data = Seq(
+      Array(2.0f, 0.0f), Array(-2.0f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.0f, -1.0f)
+    ).toDF("embedding")
+    val r = Projection.pcK(data, "embedding", dim = 2, k = 2, iters = 8)
+      .orderBy("component", "dim").collect()
+    val c1 = r.filter(_.getAs[Long]("component") == 1L)
+      .map(_.getAs[Double]("loading"))
+    val c2 = r.filter(_.getAs[Long]("component") == 2L)
+      .map(_.getAs[Double]("loading"))
+    assert(math.abs(c1(0)) > 0.999 && math.abs(c1(1)) < 0.04, c1.toSeq.toString)
+    assert(math.abs(c2(1)) > 0.999 && math.abs(c2(0)) < 0.04, c2.toSeq.toString)
+    val dot = c1.zip(c2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"components not orthogonal: $dot")
+    val l1 = r.filter(_.getAs[Long]("component") == 1L).head.getAs[Double]("lambda")
+    val l2 = r.filter(_.getAs[Long]("component") == 2L).head.getAs[Double]("lambda")
+    assert(l1 > 7.9 && l1 < 8.01, s"lambda1 $l1")
+    assert(l2 > 1.9 && l2 < 2.05, s"lambda2 $l2")
+    // component 1 IS pc1 (same passes, no deflation priors)
+    val p1 = Projection.pc1(data, "embedding", 2, iters = 8)
+      .orderBy("dim").collect().map(_.getAs[Double]("loading"))
+    assert(c1.toSeq == p1.toSeq)
+  }
+
+  test("pcK whitening improves sign-LSH bucket balance on anisotropic data") {
+    // anisotropic cloud: sd 4 along a 30-degree axis, sd 0.5 across it
+    // — the cluster_balance failure mode the X205/X214 diagnostic
+    // predicts. Whitening by the recovered components must spread
+    // sign-plane bucket occupancy (max bucket share drops).
+    val rnd = new java.util.Random(11)
+    val cos30 = math.cos(math.Pi / 6); val sin30 = math.sin(math.Pi / 6)
+    val pts = Array.fill(400) {
+      val a = rnd.nextGaussian() * 4.0
+      val b = rnd.nextGaussian() * 0.5
+      Array((a * cos30 - b * sin30).toFloat, (a * sin30 + b * cos30).toFloat)
+    }
+    val df = pts.toSeq.toDF("embedding")
+    val comps = Projection.pcK(df, "embedding", dim = 2, k = 2, iters = 8)
+      .orderBy("component", "dim").collect()
+    def comp(c: Long) = comps.filter(_.getAs[Long]("component") == c)
+    val v1 = comp(1).map(_.getAs[Double]("loading"))
+    val v2 = comp(2).map(_.getAs[Double]("loading"))
+    val l1 = comp(1).head.getAs[Double]("lambda")
+    val l2 = comp(2).head.getAs[Double]("lambda")
+    // fixed sign planes (2 planes -> 4 buckets)
+    val planes = Array(Array(0.31, 0.95), Array(-0.8, 0.6))
+    def maxShare(xs: Array[Array[Double]]): Double = {
+      val buckets = xs.groupBy(p => planes.map(h =>
+        if (h(0) * p(0) + h(1) * p(1) >= 0) 1 else 0).toSeq)
+      buckets.values.map(_.length).max.toDouble / xs.length
+    }
+    val raw = pts.map(p => Array(p(0).toDouble, p(1).toDouble))
+    val whitened = pts.map { p =>
+      val a = (p(0) * v1(0) + p(1) * v1(1)) / math.sqrt(l1)
+      val b = (p(0) * v2(0) + p(1) * v2(1)) / math.sqrt(l2)
+      Array(a, b)
+    }
+    assert(maxShare(whitened) < maxShare(raw),
+      s"whitened=${maxShare(whitened)} raw=${maxShare(raw)}")
+    // and the whitened cloud is near-balanced across the 4 buckets
+    assert(maxShare(whitened) < 0.40, maxShare(whitened).toString)
+  }
 }
