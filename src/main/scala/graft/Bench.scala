@@ -91,7 +91,8 @@ object Bench {
     "signal_tau", "source_lang_mi", "rank_overlap", "loop_detect", "pii_luhn", "entropy_rate", "snapshot_overlap", "embedding_pc1",
     "source_lang_chi2", "signal_label_mi", "lsh_planner", "temperature_mix",
     "norm_dedup", "embedding_lsh_planner", "truncation_loss",
-    "snapshot_ks_binned", "deflate_ratio", "embedding_pck")
+    "snapshot_ks_binned", "deflate_ratio", "embedding_pck",
+    "ann_ivf_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

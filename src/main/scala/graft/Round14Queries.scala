@@ -60,6 +60,21 @@ object Round14Queries {
         .orderBy("lang")
     }),
 
+    // ---- X215: search over the INCREMENTALLY-maintained IVF index —
+    // built on the 90% base, the %10 tail (including the query vector
+    // itself, vec_id 0) absorbed by centroid assignment without a
+    // rebuild; the self-match at distance 0 in the top-k proves the
+    // absorbed batch is immediately searchable. Approximate →
+    // rows-only here; recall-gated in AnnSpec + RECALL_r14.json ------
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val (assigned, model) = SparkEntry.ivfIncrFor(s, dir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
+        q, k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+
     // ---- X40 (round 14): the DeflateRatio hash gate — the Catalyst
     // expression evaluated distributed over the fixture corpus must
     // reproduce the driver-computed zlib ratios bit-for-bit ---------

@@ -210,6 +210,31 @@ object SparkEntry {
     (codes, model)
   }
 
+  /** Incrementally-maintained IVF index (round 14, VERDICT r13 item
+    * 6): built on the 90% base corpus, then the %10 tail is absorbed
+    * via [[graft.index.IvfIndex.assign]] — assignment to the EXISTING
+    * centroids, no rebuild (the shingle/winnow/hamming/LSH tiers'
+    * `AgainstIndex` maintenance discipline, now on the IVF tier).
+    * The drift trigger for scheduling the eventual re-cluster is
+    * `IvfIndex.assignmentStats` + `drift` (spec-gated in AnnSpec);
+    * assignment update≡rebuild parity is spec-pinned there too. */
+  private[graft] def ivfIncrFor(s: SparkSession, dir: String): (DataFrame, graft.index.IvfIndex.Model) = {
+    val path = s"/tmp/graft_ivf/v4incr_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    ivfCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, s"$path/assignments")) {
+        val emb = t(s, dir, "embeddings")
+        val (baseAssigned, model) = graft.index.IvfIndex.build(
+          emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          nClusters = 16)
+        val tail = graft.index.IvfIndex.assign(
+          emb.where(col("vec_id") % 10 === 0), model, "embedding")
+        graft.index.IvfIndex.write(
+          baseAssigned.unionByName(tail), model, path)
+      }
+      graft.index.IvfIndex.load(s, path)
+    })
+  }
+
   private def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
     // "v4" = on-disk layout version; bump when IvfIndex.write changes so

@@ -370,6 +370,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_incremental demo config: base-built index + absorbed %10 tail reaches recall@10 >= 0.85") {
+    // the X215 serving config: build on the 90% base, absorb the %10
+    // tail by centroid assignment, search the union — recall vs the
+    // exact scan must hold the ann_ivf gate even though 10% of the
+    // corpus (including some query vectors) never saw the KMeans fit
+    val (baseAssigned, model) = IvfIndex.build(
+      emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding", nClusters = 16)
+    val absorbed = baseAssigned.unionByName(
+      IvfIndex.assign(emb.where(col("vec_id") % 10 === 0), model, "embedding"))
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = TopK.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      val qv = emb.where(col("vec_id") === q).select("embedding")
+        .as[Seq[Float]].head
+      val got = IvfIndex.search(absorbed, model, "vec_id", "embedding",
+        qv, k = 10, nprobe = 8)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"incremental-IVF mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.85, f"recall $mean%.3f below threshold")
+  }
+
   test("assignmentStats drift flags an out-of-distribution batch, stays ~1 in-distribution") {
     val (assigned, model) = IvfIndex.build(emb, "vec_id", "embedding", nClusters = 16)
     val baseline = IvfIndex.assignmentStats(assigned, model, "embedding")
