@@ -75,7 +75,7 @@ object SparkEntry {
     * and served from disk like ivfFor — index build is
     * compaction-cadence work, queries measure ADC + rerank over the
     * stored codes. */
-  private def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
+  private[graft] def pqFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
     val path = s"/tmp/graft_pq/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     pqCache.computeIfAbsent((s, path), { _ =>
       if (!successExists(s, s"$path/codes")) {
@@ -195,7 +195,7 @@ object SparkEntry {
     * middle storage tier): cluster-partitioned int8 lists served from
     * disk; encode cost is compaction-cadence work like the other
     * indexes. */
-  private def sqFor(s: SparkSession, dir: String): (DataFrame, graft.index.IvfIndex.Model) = {
+  private[graft] def sqFor(s: SparkSession, dir: String): (DataFrame, graft.index.IvfIndex.Model) = {
     val (assigned, model) = ivfFor(s, dir)
     val path = s"/tmp/graft_sq/v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     val codes = sqCache.computeIfAbsent((s, path), { _ =>
@@ -235,7 +235,7 @@ object SparkEntry {
     })
   }
 
-  private def ivfFor(s: SparkSession, dir: String,
+  private[graft] def ivfFor(s: SparkSession, dir: String,
                      metric: DistanceMetric = DistanceMetric.Euclidean): (DataFrame, graft.index.IvfIndex.Model) = {
     // "v4" = on-disk layout version; bump when IvfIndex.write changes so
     // stale caches from earlier rounds can never be loaded
@@ -828,13 +828,19 @@ object SparkEntry {
     // INSIDE the partition-pruned probe scan — exact pre-filter
     // semantics (never fewer than k matches when k exist in the probed
     // clusters), not the reference's 3x over-fetch post-filter.
-    // Approximate → rows-only; recall-gated in AnnSpec.
+    // Approximate → rows-only; recall-gated in AnnSpec + RECALL_r14.
+    // nprobe 12 (not the unfiltered 8): a ~10%-selective predicate
+    // thins each probed cluster to a few eligible rows, so the true
+    // filtered top-k spreads across MORE clusters — the AnnSpec
+    // selectivity-stress config (round 14: the fair filtered ground
+    // truth in the recall audit read 0.60 at nprobe=8 on sf0.01,
+    // 0.90+ at 12; filtered probes must budget probes by selectivity)
     "ann_ivf_filtered" -> ((s, dir) => {
       val (assigned, model) = ivfFor(s, dir)
       val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
         .select("embedding").head.getSeq[Float](0)
       graft.index.IvfIndex.search(assigned, model, "vec_id", "embedding",
-        q, k = 10, nprobe = 8, filter = Some(col("label") === 3))
+        q, k = 10, nprobe = 12, filter = Some(col("label") === 3))
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
     // PQ shortlist-then-rerank: 32× compressed codes prune via ADC
