@@ -108,12 +108,23 @@ object Assoc {
     *
     * Output: one row (n, n_cells, mi, h_a, h_b, nmi). */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String)
-  : DataFrame = {
+  : DataFrame =
+    mutualInformationFromCells(df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("c")))
+
+  /** [[mutualInformation]] over pre-collapsed (a, b, c) contingency
+    * cells — the split-model form (round 14, the trendFromCounts
+    * pattern): [[graft.streaming.StreamingAssoc.cellCounts]] maintains
+    * the cells online and a foreachBatch sink scores each snapshot
+    * with THIS; count folds are arrival-order-free, so the scored
+    * snapshot equals the batch operator over the same prefix
+    * (StreamingSpec pins it cross-batch). */
+  def mutualInformationFromCells(cellsIn: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d = (c: Column) => c.cast("double")
-    val cells = df
-      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    val cells = cellsIn
+      .select(col("a"), col("b"), col("c"))
       .localCheckpoint(true) // consumers: margins ×2, n, MI sum
     val ma = cells.groupBy(col("a"))
       .agg(sum(col("c")).cast("long").as("ca"))
@@ -216,12 +227,18 @@ object Assoc {
     * to 1e-6 before the order-free sum.
     *
     * Output: one row (n, n_a, n_b, dof, chi2, cramers_v). */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCells(df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("c")))
+
+  /** [[chiSquare]] over pre-collapsed (a, b, c) cells — the streaming
+    * foreachBatch scorer twin (see [[mutualInformationFromCells]]). */
+  def chiSquareFromCells(cellsIn: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d = (c: Column) => c.cast("double")
-    val cells = df
-      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    val cells = cellsIn
+      .select(col("a"), col("b"), col("c"))
       .localCheckpoint(true)
     val ma = cells.groupBy(col("a")).agg(sum(col("c")).cast("long").as("ca"))
     val mb = cells.groupBy(col("b")).agg(sum(col("c")).cast("long").as("cb"))

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming association monitor ([EXT] X216, round 14) — the
+  * continuous form of [[graft.operators.Assoc.mutualInformation]] /
+  * [[graft.operators.Assoc.chiSquare]] (X199/X206): fold each arriving
+  * document into its running (a, b) contingency-cell count; a
+  * foreachBatch sink scores each emitted snapshot with
+  * `Assoc.mutualInformationFromCells` / `chiSquareFromCells` — the
+  * monitor that pages when a live crawl's source×language dependence
+  * walks away from what the mix design assumed (quota axes that were
+  * independent at tuning time collapsing into one), without waiting
+  * for the snapshot diff.
+  *
+  * Per-cell state is ONE long; total state is bounded by |A|·|B|
+  * (sources × languages — schema-bounded, the StreamingDrift rule),
+  * regardless of stream volume. Output is Update-mode (a count
+  * revision per touched cell per micro-batch); count folds are
+  * arrival-order-FREE, so the last emission per cell equals the batch
+  * collapse over the same prefix even on out-of-order tails — pinned
+  * in StreamingSpec including the assembled MI/χ² ≡ the batch
+  * operators end-to-end, cross-batch.
+  */
+object StreamingAssoc {
+
+  final case class Cell(a: String, b: String)
+  final case class CellCount(a: String, b: String, c: Long)
+
+  /** Running (a, b, count) over a streaming frame — the online twin
+    * of the batch contingency collapse inside `Assoc.mutualInformation`
+    * (null keys kept as their own cell, exactly like the batch
+    * groupBy). */
+  def cellCounts(stream: DataFrame, aCol: String, bCol: String)
+  : Dataset[CellCount] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .as[Cell]
+    typed.groupByKey(x => (x.a, x.b))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[Cell],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(CellCount(key._1, key._2, n))
+      }
+  }
+}

@@ -1086,6 +1086,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming association monitor: running (a, b) cells ≡ batch collapse " +
+    "cross-batch, and the scored MI/chi2 ≡ the batch operators end-to-end") {
+    val dir = Files.createTempDirectory("assoc-stream").toString
+    // two batches; batch 2 revises cells batch 1 opened (counts are
+    // arrival-order-free folds)
+    val b1 = Seq(("web", "en"), ("web", "en"), ("web", "de"),
+      ("books", "en"))
+    val b2 = Seq(("books", "de"), ("books", "de"), ("web", "en"),
+      ("books", "en"))
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("source", "lang")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("source STRING, lang STRING")
+      .parquet(dir)
+    val q = graft.streaming.StreamingAssoc.cellCounts(
+      stream.toDF(), "source", "lang")
+      .toDF("a", "b", "c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("assoc_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: last emission per cell = max c (monotone counts)
+      val streamed = spark.table("assoc_stream")
+        .groupBy(col("a"), col("b")).agg(max(col("c")).as("c"))
+      val got = streamed.as[(String, String, Long)].collect().toSet
+      assert(got == Set(("web", "en", 3L), ("web", "de", 1L),
+        ("books", "en", 2L), ("books", "de", 2L)), got.toString)
+      // snapshot scoring through the FromCells scorers == the batch
+      // operators over the same prefix (the foreachBatch contract)
+      val all = toDf(b1 ++ b2)
+      val miStream = graft.operators.Assoc.mutualInformationFromCells(streamed)
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+      val miBatch = graft.operators.Assoc.mutualInformation(all, "source", "lang")
+        .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+      assert(miStream == miBatch, s"stream=$miStream batch=$miBatch")
+      val chiStream = graft.operators.Assoc.chiSquareFromCells(streamed)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      val chiBatch = graft.operators.Assoc.chiSquare(all, "source", "lang")
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      assert(chiStream == chiBatch, s"stream=$chiStream batch=$chiBatch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup with TTL: pairs within the horizon emit, " +
     "evicted buckets forget, re-arrivals after eviction re-admit silently") {
     val dir = Files.createTempDirectory("neardup-ttl").toString
