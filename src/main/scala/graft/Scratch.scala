@@ -52,6 +52,45 @@ object Scratch {
       spark.stop(); return
     }
 
+    // round-14 serving-tier audit: driver-side HNSW vs flat scan at
+    // 100k × 64d — the BASELINE.md "HNSW speedup target" row measured
+    // directly on the point-query path (build time, per-query µs,
+    // recall@10 vs brute force at ef=100)
+    if (section == "r14hnsw") {
+      val n = args.lift(1).map(_.toInt).getOrElse(100000)
+      val dim = 64
+      val rnd = new java.util.Random(42)
+      val vecs = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+      val idx = new graft.index.HnswIndex(
+        graft.functions.DistanceMetric.Euclidean)
+      timeIt(s"hnsw build $n x $dim") { vecs.foreach(idx.insert) }
+      val queries = Array.fill(100)(Array.fill(dim)(rnd.nextFloat()))
+      def flatTopK(q: Array[Float], k: Int): Array[Int] = {
+        val ds = new Array[Double](n)
+        var i = 0
+        while (i < n) { ds(i) = idx.distance(q, vecs(i)); i += 1 }
+        ds.zipWithIndex.sortBy(_._1).take(k).map(_._2)
+      }
+      // warmup both paths
+      queries.take(10).foreach(q => { idx.search(q, 10, 100); flatTopK(q, 10) })
+      val flatNs = queries.map { q =>
+        val t0 = System.nanoTime(); flatTopK(q, 10); System.nanoTime() - t0
+      }.sorted
+      val truths = queries.map(q => flatTopK(q, 10).toSet)
+      for (ef <- Seq(50, 100, 200, 400)) {
+        val hnswNs = queries.map { q =>
+          val t0 = System.nanoTime(); idx.search(q, 10, ef); System.nanoTime() - t0
+        }.sorted
+        val recall = queries.zip(truths).map { case (q, truth) =>
+          idx.search(q, 10, ef).count { case (id, _) => truth(id) } / 10.0
+        }.sum / queries.length
+        println(f"[scale] hnsw ef=$ef p50 ${hnswNs(50) / 1e3}%.0f us / flat p50 " +
+          f"${flatNs(50) / 1e3}%.0f us = ${flatNs(50).toDouble / hnswNs(50)}%.0fx; " +
+          f"recall@10 $recall%.3f over 100 queries")
+      }
+      spark.stop(); return
+    }
+
     // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

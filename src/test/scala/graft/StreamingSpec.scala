@@ -1083,6 +1083,20 @@ class StreamingSpec extends SparkSpec {
         .orderBy("lang")
         .as[(String, Long, Long, Double)].collect().toSeq
       assert(viaStream == viaBatch, s"stream=$viaStream batch=$viaBatch")
+      // round 14: the binned-KS scorer consumes the SAME streamed
+      // counts — reference histogram vs streamed snapshot through
+      // ksFromCounts == the batch snapshotKsBinned over the prefix
+      val ksStream = graft.operators.TrainingData.ksFromCounts(
+        graft.operators.TrainingData.binnedCounts(ref, "lang", "n_chars",
+          100L, 4),
+        streamed, "lang", nBins = 4)
+        .orderBy("lang")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val ksBatch = graft.operators.TrainingData.snapshotKsBinned(
+        ref, toDf(b1 ++ b2), "lang", "n_chars", 100L, 4)
+        .orderBy("lang")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(ksStream == ksBatch, s"stream=$ksStream batch=$ksBatch")
     } finally q.stop()
   }
 

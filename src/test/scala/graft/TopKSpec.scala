@@ -116,7 +116,8 @@ class TopKSpec extends SparkSpec {
     // the only rows-only entries are the approximate (recall-gated) ones
     assert(noOracle == Set("ann_ivf", "ann_pq", "ann_ivf_sq",
       "ann_search_join", "ann_search_join_filtered", "ann_ivf_filtered",
-      "dedup_embedding_lsh", "ann_lsh_multiprobe", "knn_graph"), noOracle)
+      "dedup_embedding_lsh", "ann_lsh_multiprobe", "knn_graph",
+      "ann_ivf_incremental"), noOracle)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
