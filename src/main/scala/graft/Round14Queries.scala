@@ -75,6 +75,33 @@ object Round14Queries {
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // ---- X217: Spearman's rho between stopword fraction and the
+    // capped length signal — the third association view (Pearson:
+    // linear; tau: pairwise order; rho: quadratic rank displacement).
+    // Not the tau pair: the synthetic corpus carries ZERO punctuation,
+    // so punct_ratio is a constant margin and rho is undefined on it
+    // (observed at sf0.01 — rho_s correctly null); length varies ----
+    "signal_spearman" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      graft.operators.Assoc.spearman(t(s, dir, "documents"),
+        TF.stopwordFraction(col("text")),
+        least(coalesce(col("n_chars"), lit(0L)).cast("double") / 2048.0,
+          lit(1.0)),
+        grid = 1000)
+    }),
+
+    // ---- X218: binned Mann–Whitney U on the %3/%5 snapshot splits —
+    // the DIRECTIONAL drift readout next to snapshot_ks_binned (did
+    // n_chars get systematically longer, not just "did it move") ----
+    "snapshot_mw" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingData.mannWhitneyBinned(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "lang", "n_chars", binWidth = 256L, nBins = 16)
+        .orderBy("lang")
+    }),
+
     // ---- X40 (round 14): the DeflateRatio hash gate — the Catalyst
     // expression evaluated distributed over the fixture corpus must
     // reproduce the driver-computed zlib ratios bit-for-bit ---------
@@ -184,6 +211,86 @@ object Round14Queries {
         |      // (2 * (CAST(n_old AS HUGEINT) * n_new)) AS BIGINT) / 10000.0
         |  END AS ks
         |FROM s ORDER BY lang""".stripMargin,
+
+    "signal_spearman" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH s AS (SELECT CAST(round($stop * 1000) AS BIGINT) AS qx,
+         |    CAST(round(least(CAST(coalesce(n_chars, 0) AS DOUBLE)
+         |      / 2048.0, 1.0) * 1000) AS BIGINT) AS qy FROM documents),
+         |cells AS (SELECT qx, qy, CAST(count(*) AS BIGINT) AS m
+         |  FROM s GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         |rx AS (SELECT qx, 2 * coalesce(sum(c) OVER (ORDER BY qx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + c + 1 AS rx
+         |  FROM (SELECT qx, CAST(sum(m) AS BIGINT) AS c
+         |    FROM cells GROUP BY qx)),
+         |ry AS (SELECT qy, 2 * coalesce(sum(c) OVER (ORDER BY qy
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + c + 1 AS ry
+         |  FROM (SELECT qy, CAST(sum(m) AS BIGINT) AS c
+         |    FROM cells GROUP BY qy)),
+         |sums AS (SELECT
+         |    sum(CAST(m AS HUGEINT) * rx) AS sx,
+         |    sum(CAST(m AS HUGEINT) * ry) AS sy,
+         |    sum(CAST(m AS HUGEINT) * rx * rx) AS sxx,
+         |    sum(CAST(m AS HUGEINT) * ry * ry) AS syy,
+         |    sum(CAST(m AS HUGEINT) * rx * ry) AS sxy
+         |  FROM cells JOIN rx USING (qx) JOIN ry USING (qy))
+         |SELECT nn.n, nn.n_cells,
+         |  CASE WHEN nn.n >= 2 AND
+         |      sqrt(CAST(CAST(nn.n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |        * CAST(CAST(nn.n AS HUGEINT) * syy - sy * sy AS DOUBLE)) > 0
+         |    THEN round(CAST(CAST(nn.n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(CAST(nn.n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         |        * CAST(CAST(nn.n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+         |      4) + 0.0 END AS rho_s
+         |FROM nn CROSS JOIN sums""".stripMargin
+    },
+
+    "snapshot_mw" ->
+      """WITH o AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT lang AS g,
+        |    CAST(greatest(least(floor(CAST(n_chars AS DOUBLE)/256.0), 15.0), 0.0) AS INT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (SELECT coalesce(o.g, n.g) AS g, coalesce(o.b, n.b) AS b,
+        |    coalesce(o.c, 0) AS co, coalesce(n.c, 0) AS cn,
+        |    coalesce(o.c, 0) + coalesce(n.c, 0) AS t
+        |  FROM o FULL OUTER JOIN n ON o.g = n.g AND o.b = n.b),
+        |cum AS (SELECT g, co, cn, t,
+        |    2 * coalesce(sum(t) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + t + 1 AS r2
+        |  FROM j),
+        |s AS (SELECT g, CAST(sum(co) AS BIGINT) AS n_old,
+        |    CAST(sum(cn) AS BIGINT) AS n_new,
+        |    sum(CAST(co AS HUGEINT) * r2) AS rr2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS st
+        |  FROM cum GROUP BY g),
+        |f AS (SELECT g, n_old, n_new,
+        |    rr2 - CAST(n_old AS HUGEINT) * (n_old + 1) AS two_u,
+        |    CAST(n_old AS HUGEINT) + n_new AS nn_
+        |  FROM s)
+        |SELECT f.g AS lang, f.n_old, f.n_new,
+        |  CASE WHEN f.n_old > 0 AND f.n_new > 0
+        |    THEN CAST(two_u AS DOUBLE) / 2.0 END AS u,
+        |  CASE WHEN f.n_old > 0 AND f.n_new > 0 AND
+        |      sqrt(CAST(CAST(f.n_old AS HUGEINT) * f.n_new
+        |          * ((nn_ * nn_ * nn_ - nn_) - st) AS DOUBLE)
+        |        / CAST(3 * nn_ * (nn_ - 1) AS DOUBLE)) > 0
+        |    THEN round((CAST(two_u AS DOUBLE)
+        |        - CAST(CAST(f.n_old AS HUGEINT) * f.n_new AS DOUBLE))
+        |      / sqrt(CAST(CAST(f.n_old AS HUGEINT) * f.n_new
+        |          * ((nn_ * nn_ * nn_ - nn_) - st) AS DOUBLE)
+        |        / CAST(3 * nn_ * (nn_ - 1) AS DOUBLE)), 4) + 0.0 END AS z
+        |FROM f JOIN s ON f.g = s.g ORDER BY lang""".stripMargin,
 
     "deflate_ratio" -> {
       // the contract rides EXACT INTEGER literals (deflated bytes /

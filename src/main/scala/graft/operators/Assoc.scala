@@ -90,6 +90,70 @@ object Assoc {
         })
   }
 
+  /** Spearman's rho between two [0,1] signals ([EXT] X217, round 14)
+    * — Pearson on (tie-averaged) ranks: the third view next to
+    * [[kendallTau]] (pairwise order agreement) and Pearson (linear
+    * co-movement); rho weights rank DISPLACEMENT quadratically, so a
+    * few documents the two filters order very differently pull rho
+    * below tau — the readout that distinguishes "mostly consistent
+    * with a disagreeing tail" from "uniformly weakly consistent".
+    *
+    * Same lattice discipline as tau: signals quantize to the `grid`
+    * step FIRST (the tie structure made explicit), the corpus
+    * collapses map-side to ≤(grid+1)² cells, and everything after is
+    * exact-integer arithmetic on the bounded cell table. Tie-averaged
+    * ranks ride DOUBLED (2·rank is an integer: 2·cum_before + t + 1),
+    * under which Pearson is invariant (affine transform); the rank
+    * windows run over the ≤(grid+1)-row margin tables (bounded by
+    * construction, the vocabGrowth bucket-table rule). Moment sums
+    * ride decimal(38,0) (O(n³)–O(n⁴) products — same documented
+    * headroom class as tau's O(n²) pair counts); the finish is one
+    * double division over IEEE-exact operands, rounded 1e-4, +0.0.
+    *
+    * Output: one row (n, n_cells, rho_s). */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+               grid: Int = 100): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val cells = df
+      .select(round(xCol * grid).cast("long").as("qx"),
+        round(yCol * grid).cast("long").as("qy"))
+      .groupBy(col("qx"), col("qy"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .localCheckpoint(true) // consumers: margins ×2, n, moment sums
+    val n = cells.agg(sum(col("m")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    // doubled tie-averaged rank per axis value over the bounded margin
+    def ranks(axis: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(axis)).rowsBetween(Long.MinValue, -1)
+      cells.groupBy(col(axis)).agg(sum(col("m")).cast("long").as("__c"))
+        .select(col(axis),
+          (lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) +
+            col("__c") + lit(1L)).as(out))
+    }
+    val sums = cells
+      .join(broadcast(ranks("qx", "rx")), "qx")
+      .join(broadcast(ranks("qy", "ry")), "qy")
+      .agg(
+        sum(dec(col("m")) * dec(col("rx"))).as("sx"),
+        sum(dec(col("m")) * dec(col("ry"))).as("sy"),
+        sum(dec(col("m")) * dec(col("rx")) * dec(col("rx"))).as("sxx"),
+        sum(dec(col("m")) * dec(col("ry")) * dec(col("ry"))).as("syy"),
+        sum(dec(col("m")) * dec(col("rx")) * dec(col("ry"))).as("sxy"))
+    n.crossJoin(sums)
+      .select(col("n"), col("n_cells"), {
+        val nn = dec(col("n"))
+        val num = nn * col("sxy") - col("sx") * col("sy")
+        val denx = nn * col("sxx") - col("sx") * col("sx")
+        val deny = nn * col("syy") - col("sy") * col("sy")
+        val den = sqrt(d(denx) * d(deny))
+        (when(col("n") >= 2L && den > 0.0,
+          round(d(num) / den, 4) + lit(0.0))).as("rho_s")
+      })
+  }
+
   /** Mutual information (and normalized MI) between two categorical
     * columns — "how much does source determine language": MI = 0 means
     * the mix design can treat the axes independently; NMI → 1 means

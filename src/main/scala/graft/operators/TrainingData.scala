@@ -782,6 +782,83 @@ object TrainingData {
           .as("ks"))
   }
 
+  /** Binned two-sample Mann–Whitney U ([EXT] X218, round 14) — the
+    * LOCATION test next to [[snapshotKsBinned]]'s any-shape test: KS
+    * asks "did the distribution move at all", U asks the directional
+    * question a drift triage needs first — "is the new snapshot's
+    * metric systematically LARGER or smaller" (z < 0 = new stochastically
+    * dominates old), robust to outliers where a mean diff is not.
+    *
+    * Runs on the same clamped fixed-width bin grid (within-bin values
+    * are ties, handled by the standard tie-averaged ranks + tie-mass
+    * variance correction): both sides collapse map-side to
+    * |groups|·nBins rows, the rank window runs on ≤nBins-row
+    * partitions. Doubled tie-averaged ranks are exact integers
+    * (2·cum_before + t + 1), so 2U = Σ co·r2 − no(no+1) is exact; the
+    * tie-corrected variance 4σ² = no·nn·((N³−N) − ΣT)/(3N(N−1)) rides
+    * decimal(38,0) products (documented headroom: per-group N up to
+    * ~10⁷ before the O(N³)·no·nn product needs rescaling); the finish
+    * is one sqrt + one division over IEEE-exact operands, rounded
+    * 1e-4, +0.0 (z is signed — the X180 rule). Groups one-sided or
+    * tie-degenerate (σ = 0) carry a null z.
+    *
+    * Output: (groupCol, n_old, n_new, u, z) — u = U of the OLD side
+    * on the half-integer grid. */
+  def mannWhitneyBinned(oldDocs: DataFrame, newDocs: DataFrame,
+                        groupCol: String, valueCol: String,
+                        binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    mwFromCounts(
+      binnedCounts(oldDocs, groupCol, valueCol, binWidth, nBins),
+      binnedCounts(newDocs, groupCol, valueCol, binWidth, nBins),
+      groupCol)
+  }
+
+  /** U/z assembly over two (__g, __b, __c) count tables — the
+    * [[ksFromCounts]] sibling; also the foreachBatch scorer for
+    * streamed bin counts. */
+  def mwFromCounts(oc: DataFrame, nc: DataFrame, groupCol: String)
+  : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val joined = oc.withColumnRenamed("__c", "__co")
+      .join(nc.withColumnRenamed("__c", "__cn"), Seq("__g", "__b"),
+        "full_outer")
+      .select(col("__g"), col("__b"),
+        coalesce(col("__co"), lit(0L)).as("__co"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+      .withColumn("__t", col("__co") + col("__cn"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    joined
+      .withColumn("__r2",
+        lit(2L) * coalesce(sum(col("__t")).over(w), lit(0L)) +
+          col("__t") + lit(1L))
+      .groupBy(col("__g"))
+      .agg(
+        sum(col("__co")).cast("long").as("n_old"),
+        sum(col("__cn")).cast("long").as("n_new"),
+        sum(dec(col("__co")) * dec(col("__r2"))).as("__rr2"),
+        sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
+          dec(col("__t"))).as("__st"))
+      .select(col("__g"), col("n_old"), col("n_new"), {
+        val no = dec(col("n_old")); val nn = dec(col("n_new"))
+        val bigN = no + nn
+        val twoU = col("__rr2") - no * (no + dec(lit(1L)))
+        val varNum = no * nn * ((bigN * bigN * bigN - bigN) - col("__st"))
+        val varDen = dec(lit(3L)) * bigN * (bigN - dec(lit(1L)))
+        val twoSigma = sqrt(d(varNum) / d(varDen))
+        struct(
+          (d(twoU) / lit(2.0)).as("u"),
+          (when(col("n_old") > 0L && col("n_new") > 0L && twoSigma > 0.0,
+            round((d(twoU) - d(no * nn)) / twoSigma, 4) + lit(0.0)))
+            .as("z")).as("__uz")
+      })
+      .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
+        when(col("n_old") > 0L && col("n_new") > 0L, col("__uz.u")).as("u"),
+        col("__uz.z").as("z"))
+  }
+
   /** Token-budget mixing rates (X110): the data-recipe SOLVER that
     * sits in front of [[mixSources]] — given a target weight per
     * source and a total token budget, how hard can each source

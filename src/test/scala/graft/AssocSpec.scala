@@ -51,6 +51,26 @@ class AssocSpec extends SparkSpec {
     assert(r2.getAs[Double]("nmi") == 1.0)
   }
 
+  test("spearman: perfect monotone 1, reversed -1, textbook 0.8 case, tie-averaged ranks, constant margin null") {
+    import org.apache.spark.sql.functions.col
+    def rho(xs: Seq[Double], ys: Seq[Double]): Option[Double] = {
+      val df = xs.zip(ys).toDF("x", "y")
+      Option(Assoc.spearman(df, col("x"), col("y"), grid = 1000)
+        .collect()(0).getAs[java.lang.Double]("rho_s")).map(_.doubleValue)
+    }
+    assert(rho(Seq(0.001, 0.002, 0.003), Seq(0.01, 0.02, 0.03)) == Some(1.0))
+    assert(rho(Seq(0.001, 0.002, 0.003), Seq(0.03, 0.02, 0.01)) == Some(-1.0))
+    // classic: x=1..4, y=(1,3,2,4) -> 1 - 6*2/60 = 0.8
+    assert(rho(Seq(0.001, 0.002, 0.003, 0.004),
+      Seq(0.001, 0.003, 0.002, 0.004)) == Some(0.8))
+    // tie-averaged ranks: x ranks (1.5,1.5,3), y ranks (1,2.5,2.5)
+    // -> Pearson on ranks = 0.5
+    assert(rho(Seq(0.001, 0.001, 0.002),
+      Seq(0.001, 0.002, 0.002)) == Some(0.5))
+    // constant margin: correlation undefined -> null
+    assert(rho(Seq(0.001, 0.002, 0.003), Seq(0.5, 0.5, 0.5)).isEmpty)
+  }
+
   test("rankRbo: identical rankings -> 1 - p^k, disjoint -> 0") {
     val a = (1 to 20).map(i => (i.toLong * 10, i)).toDF("id", "r")
     val b = (1 to 20).map(i => (i.toLong * 10 + 1000, i)).toDF("id", "r")

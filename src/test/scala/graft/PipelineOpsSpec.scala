@@ -458,6 +458,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(binned.head == (("g", 4L, 4L, 0.5)))
   }
 
+  test("mannWhitneyBinned: hand U/z case, all-tied null z, one-sided group null") {
+    // old=[1,2], new=[3,4] in unit bins: R_old=3, U=0, mu=2,
+    // sigma = sqrt(5/3) -> z = -2/1.29099 = -1.5492
+    val o = Seq(("g", 1L), ("g", 2L), ("h", 7L)).toDF("grp", "v")
+    val n = Seq(("g", 3L), ("g", 4L)).toDF("grp", "v")
+    val got = TrainingData.mannWhitneyBinned(o, n, "grp", "v",
+      binWidth = 1L, nBins = 8)
+      .orderBy("grp").collect()
+    assert(got(0).getAs[Double]("u") == 0.0)
+    assert(got(0).getAs[Double]("z") == -1.5492)
+    // "h" exists only in old: no two-sample statistic
+    assert(got(1).isNullAt(got(1).fieldIndex("u")))
+    assert(got(1).isNullAt(got(1).fieldIndex("z")))
+    // all four values tied in one bin: U = n1*n2/2 = 2, sigma 0 -> z null
+    val to = Seq(("g", 5L), ("g", 5L)).toDF("grp", "v")
+    val tn = Seq(("g", 5L), ("g", 5L)).toDF("grp", "v")
+    val tied = TrainingData.mannWhitneyBinned(to, tn, "grp", "v",
+      binWidth = 1L, nBins = 8).collect()(0)
+    assert(tied.getAs[Double]("u") == 2.0)
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+  }
+
   test("snapshotKsBinned: the CDF window runs on the bin grid, never the raw value column") {
     // the 100 TB guard: exact KS windows per-group DISTINCT VALUES
     // (corpus-scale for continuous metrics); the binned form must sort
