@@ -92,7 +92,8 @@ object Bench {
     "source_lang_chi2", "signal_label_mi", "lsh_planner", "temperature_mix",
     "norm_dedup", "embedding_lsh_planner", "truncation_loss",
     "snapshot_ks_binned", "deflate_ratio", "embedding_pck",
-    "ann_ivf_incremental", "signal_spearman", "snapshot_mw")
+    "ann_ivf_incremental", "signal_spearman", "snapshot_mw",
+    "bootstrap_mean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

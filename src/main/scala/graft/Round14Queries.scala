@@ -102,6 +102,16 @@ object Round14Queries {
         .orderBy("lang")
     }),
 
+    // ---- X219: Poisson-bootstrap mean of n_chars per language — the
+    // distributed bootstrap (per-row Poisson(1) replicate weights, no
+    // resampling coordination): mean ± nearest-rank 95% CI from 40
+    // deterministic replicates. The error bar a drift dashboard needs
+    // before calling a snapshot shift "real" -------------------------
+    "bootstrap_mean" -> ((s, dir) =>
+      graft.operators.CorpusStats.bootstrapMean(
+        t(s, dir, "documents"), "doc_id", "lang", "n_chars", reps = 40)
+        .orderBy("lang")),
+
     // ---- X40 (round 14): the DeflateRatio hash gate — the Catalyst
     // expression evaluated distributed over the fixture corpus must
     // reproduce the driver-computed zlib ratios bit-for-bit ---------
@@ -291,6 +301,41 @@ object Round14Queries {
         |          * ((nn_ * nn_ * nn_ - nn_) - st) AS DOUBLE)
         |        / CAST(3 * nn_ * (nn_ - 1) AS DOUBLE)), 4) + 0.0 END AS z
         |FROM f JOIN s ON f.g = s.g ORDER BY lang""".stripMargin,
+
+    "bootstrap_mean" -> {
+      val ts = graft.operators.CorpusStats.PoissonThresholds
+      val w = ts.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang AS g,
+         |    CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS qv
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |ex AS (SELECT g, id, qv, unnest(range(0, 40)) AS j FROM base),
+         |uu AS (SELECT g, j, qv,
+         |    CAST(('0x' || substr(md5(id || ':' || CAST(j AS VARCHAR)), 1, 13))
+         |      AS BIGINT) AS u
+         |  FROM ex),
+         |ww AS (SELECT g, j, qv, $w AS w FROM uu),
+         |pr AS (SELECT g, j, CAST(sum(w) AS BIGINT) AS sw,
+         |    sum(CAST(w AS HUGEINT) * qv) AS swv
+         |  FROM ww GROUP BY g, j HAVING sum(w) > 0),
+         |m AS (SELECT g, CAST((20000 * swv + 1000000 * CAST(sw AS HUGEINT))
+         |    // (2000000 * CAST(sw AS HUGEINT)) AS BIGINT) / 10000.0 AS m
+         |  FROM pr),
+         |arr AS (SELECT g, list_sort(list(m)) AS a FROM m GROUP BY g),
+         |ci AS (SELECT g, CAST(len(a) AS BIGINT) AS n_reps,
+         |    a[CAST(round(0.025 * (len(a) - 1)) AS BIGINT) + 1] AS ci_lo,
+         |    a[CAST(round(0.975 * (len(a) - 1)) AS BIGINT) + 1] AS ci_hi
+         |  FROM arr),
+         |ov AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST((20000 * sum(CAST(qv AS HUGEINT))
+         |        + 1000000 * CAST(count(*) AS HUGEINT))
+         |      // (2000000 * CAST(count(*) AS HUGEINT)) AS BIGINT) / 10000.0
+         |      AS mean
+         |  FROM base GROUP BY g)
+         |SELECT ov.g AS lang, n, mean, ci_lo, ci_hi,
+         |  coalesce(n_reps, 0) AS n_reps
+         |FROM ov LEFT JOIN ci ON ov.g = ci.g ORDER BY lang""".stripMargin
+    },
 
     "deflate_ratio" -> {
       // the contract rides EXACT INTEGER literals (deflated bytes /

@@ -1235,4 +1235,96 @@ object CorpusStats {
         (round(d(-col("tsum")) / (d(col("n_bigrams")) * 1e6), 4)
           + lit(0.0)).as("entropy_rate"))
   }
+
+  /** Poisson(1) CDF thresholds on the 2⁵² integer grid — the literal
+    * table both engines consume verbatim (the X211 rule: neither
+    * engine evaluates exp/factorial). t_k = ⌊P(X ≤ k)·2⁵²⌋ for
+    * k = 0..5; a 52-bit uniform u draws weight w = #{k : t_k ≤ u}
+    * (capped at 6, total tail mass ~6e-4). */
+  val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var cdf = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) fact *= k
+      cdf += e1 / fact
+      math.floor(cdf * 4503599627370496.0).toLong // 2^52
+    }
+  }
+
+  /** Poisson-bootstrap mean with a percentile CI per group ([EXT]
+    * X219, round 14) — uncertainty quantification for corpus metrics
+    * the way it's actually done distributed (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams"): the classic
+    * resample-n-of-n bootstrap needs global coordination, but with
+    * per-row replicate weights w ~ Poisson(1) each replicate's
+    * weighted mean is a valid bootstrap draw and the whole thing is
+    * ONE map-side expansion — no shuffle of raw rows, no sampling
+    * coordination, embarrassingly parallel at any corpus size.
+    *
+    * Determinism (both engines replay bit-for-bit): the uniform draw
+    * is the 52-bit integer md5(id:replicate) prefix (the hllDistinct
+    * hash parity pattern), the Poisson inverse-CDF is the
+    * [[PoissonThresholds]] LITERAL table compared in pure integers,
+    * values quantize to the 1e-6 grid, each replicate mean is one
+    * exact-integer half-up at 1e-4, and the CI picks nearest-rank
+    * elements (round(p·(B−1)), the Metrics convention) from the
+    * sorted B-row replicate array — bounded per group.
+    *
+    * Scale shape: one map-only ×B expansion (B ≤ 256 — flag the IO
+    * multiplier), map-side combine onto |groups|·B keys, then a
+    * bounded per-group fold. Replicates whose weights all drew 0
+    * (tiny groups) are excluded from the CI ranks.
+    *
+    * Output: (groupCol, n, mean, ci_lo, ci_hi, n_reps). */
+  def bootstrapMean(df: DataFrame, idCol: String, groupCol: String,
+                    valueCol: String, reps: Int = 40): DataFrame = {
+    require(reps >= 8 && reps <= 256, "reps in [8, 256]")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(groupCol).as("__g"),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__qv"))
+    val expanded = base
+      .select(col("__g"), col("__id"), col("__qv"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__j"))
+      .withColumn("__u",
+        conv(substring(md5(concat(col("__id"), lit(":"),
+          col("__j").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("__w",
+        PoissonThresholds.map(t =>
+          when(col("__u") >= t, 1L).otherwise(0L)).reduce(_ + _))
+    val perRep = expanded
+      .groupBy(col("__g"), col("__j"))
+      .agg(sum(col("__w")).cast("long").as("__sw"),
+        sum(dec(col("__w")) * dec(col("__qv"))).as("__swv"))
+      .where(col("__sw") > 0L)
+      // replicate mean on the 1e-4 grid: (2e4·swv + 1e6·sw) div (2e6·sw)
+      .select(col("__g"),
+        (expr("CAST((20000 * __swv + 1000000 * __sw) div " +
+          "(2000000 * __sw) AS BIGINT)").cast("double") / lit(10000.0))
+          .as("__m"))
+    val ci = perRep
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__m"))).as("__arr"))
+      .select(col("__g"), size(col("__arr")).cast("long").as("n_reps"),
+        element_at(col("__arr"),
+          (round(lit(0.025) * (size(col("__arr")) - 1).cast("double"))
+            .cast("int") + 1)).as("ci_lo"),
+        element_at(col("__arr"),
+          (round(lit(0.975) * (size(col("__arr")) - 1).cast("double"))
+            .cast("int") + 1)).as("ci_hi"))
+    val overall = base.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(dec(col("__qv"))).as("__sv"))
+      .select(col("__g"), col("n"),
+        (expr("CAST((20000 * __sv + 1000000 * CAST(n AS DECIMAL(38,0))) div " +
+          "(2000000 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("mean"))
+    overall.join(ci, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"))
+  }
 }

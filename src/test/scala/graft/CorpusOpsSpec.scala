@@ -659,4 +659,31 @@ class CorpusOpsSpec extends SparkSpec {
     // A∩B = {b,c}: 2/(3+3-2) = 0.5; C shares nothing -> no row
     assert(got == Seq(("A", "B", 3L, 3L, 2L, 0.5)), got.toString)
   }
+
+  test("bootstrapMean: CI brackets the mean, collapses on constant data, deterministic") {
+    import graft.operators.CorpusStats
+    // Poisson(1) thresholds: P(X=0) = e^-1
+    assert(math.abs(CorpusStats.PoissonThresholds.head /
+      4503599627370496.0 - math.exp(-1.0)) < 1e-12)
+    // constant data: every replicate mean is the value itself
+    val const = (1L to 500L).map(i => (i, "g", 7.0)).toDF("id", "g", "v")
+    val c = CorpusStats.bootstrapMean(const, "id", "g", "v", reps = 40)
+      .collect()(0)
+    assert(c.getAs[Double]("mean") == 7.0)
+    assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+    assert(c.getAs[Long]("n_reps") == 40L)
+    // uniform 0..999: CI brackets the exact mean 499.5, width sane
+    // (se of the mean ~ 289/sqrt(1000) ~ 9 -> 95% CI half-width ~ 18)
+    val unif = (0L until 1000L).map(i => (i, "g", i.toDouble))
+      .toDF("id", "g", "v")
+    val u1 = CorpusStats.bootstrapMean(unif, "id", "g", "v", reps = 40)
+      .collect()(0)
+    assert(u1.getAs[Double]("ci_lo") < 499.5 && u1.getAs[Double]("ci_hi") > 499.5)
+    assert(u1.getAs[Double]("ci_hi") - u1.getAs[Double]("ci_lo") < 80.0)
+    assert(u1.getAs[Double]("ci_hi") - u1.getAs[Double]("ci_lo") > 10.0)
+    // hash-driven: identical across runs
+    val u2 = CorpusStats.bootstrapMean(unif, "id", "g", "v", reps = 40)
+      .collect()(0)
+    assert(u1.toSeq == u2.toSeq)
+  }
 }
