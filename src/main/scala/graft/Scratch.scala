@@ -1018,6 +1018,33 @@ object Scratch {
             .select(col("band"), (col("band") * 1000L + 7L).as("n_pairs")))))
     }
 
+    gated("r14ops") {
+      // --- round-14 operators at 5M docs / 5M vectors ---
+      val docs5 = spark.read.parquet("/tmp/big_documents")
+      timeIt("snapshotKsBinned (lang, 256x16) over 2x ~4M docs")(
+        noop(operators.TrainingData.snapshotKsBinned(
+          docs5.where(col("doc_id") % 3 =!= 0),
+          docs5.where(col("doc_id") % 5 =!= 0), "lang", "n_chars")))
+      timeIt("mannWhitneyBinned (lang, 256x16) over 2x ~4M docs")(
+        noop(operators.TrainingData.mannWhitneyBinned(
+          docs5.where(col("doc_id") % 3 =!= 0),
+          docs5.where(col("doc_id") % 5 =!= 0), "lang", "n_chars")))
+      timeIt("spearman stop-vs-length grid=1000 over 5M docs")(
+        noop(operators.Assoc.spearman(docs5,
+          graft.functions.TextFunctions.stopwordFraction(col("text")),
+          least(coalesce(col("n_chars"), lit(0L)).cast("double") / 2048.0,
+            lit(1.0)),
+          grid = 1000)))
+      timeIt("bootstrapMean B=40 (200M weighted rows) over 5M docs")(
+        noop(operators.CorpusStats.bootstrapMean(docs5, "doc_id", "lang",
+          "n_chars", reps = 40)))
+      timeIt("luhnScan with separator join over 5M docs")(
+        noop(operators.Privacy.luhnScan(docs5, "doc_id", "text")))
+      val emb5 = spark.read.parquet("/tmp/big_embeddings")
+      timeIt("pcK k=2 deflated (8 quantized passes) over 5M x 64-dim")(
+        noop(operators.Projection.pcK(emb5, "embedding", 64, k = 2)))
+    }
+
     spark.stop()
   }
 }
