@@ -102,6 +102,28 @@ object Round14Queries {
         .orderBy("lang")
     }),
 
+    // ---- X220: calibration error summary — ECE/MCE/Brier of the
+    // stopword-fraction score against the en label: the scalar
+    // verdict over score_calibration's bin table (is the score
+    // TRUSTABLE as a probability, and is it informative) ------------
+    "score_ece" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      graft.operators.Classifier.calibrationError(
+        t(s, dir, "documents").select(
+          TF.stopwordFraction(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", nBins = 10)
+    }),
+
+    // ---- X221: Chao1 richness estimator per language over 3-gram
+    // species — the asymptote projection next to vocab_growth's Heaps
+    // curve. n=3: the synthetic unigram vocabulary saturates (f1=0 ⇒
+    // chao1 = V, no signal); 3-grams keep a live hapax tail ----------
+    "vocab_chao1" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabChao1(
+        t(s, dir, "documents"), "lang", "text", n = 3)
+        .orderBy("lang")),
+
     // ---- X219: Poisson-bootstrap mean of n_chars per language — the
     // distributed bootstrap (per-row Poisson(1) replicate weights, no
     // resampling coordination): mean ± nearest-rank 95% CI from 40
@@ -299,8 +321,64 @@ object Round14Queries {
         |        - CAST(CAST(f.n_old AS HUGEINT) * f.n_new AS DOUBLE))
         |      / sqrt(CAST(CAST(f.n_old AS HUGEINT) * f.n_new
         |          * ((nn_ * nn_ * nn_ - nn_) - st) AS DOUBLE)
-        |        / CAST(3 * nn_ * (nn_ - 1) AS DOUBLE)), 4) + 0.0 END AS z
+        |        / CAST(3 * nn_ * (nn_ - 1) AS DOUBLE)), 4) + 0.0 END AS z,
+        |  CASE WHEN f.n_old > 0 AND f.n_new > 0 THEN
+        |    (CASE WHEN two_u - CAST(f.n_old AS HUGEINT) * f.n_new < 0
+        |       THEN -1.0 ELSE 1.0 END) *
+        |    (CAST((20000 * abs(two_u - CAST(f.n_old AS HUGEINT) * f.n_new)
+        |        + CAST(f.n_old AS HUGEINT) * f.n_new)
+        |      // (2 * CAST(f.n_old AS HUGEINT) * f.n_new) AS BIGINT)
+        |      / 10000.0) + 0.0
+        |  END AS cliffs_delta
         |FROM f JOIN s ON f.g = s.g ORDER BY lang""".stripMargin,
+
+    "score_ece" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH sc AS (SELECT $stop AS score, lang = 'en' AS label
+         |  FROM documents),
+         |b AS (SELECT
+         |    CAST(greatest(least(floor(score * 10), 9.0), 0.0) AS INT) AS b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(sum(CAST(round(score * 10000) AS BIGINT)) AS BIGINT) AS s,
+         |    sum(CAST((CAST(round(score * 10000) AS BIGINT)
+         |        - CASE WHEN label THEN 10000 ELSE 0 END) AS HUGEINT)
+         |      * (CAST(round(score * 10000) AS BIGINT)
+         |        - CASE WHEN label THEN 10000 ELSE 0 END)) AS br
+         |  FROM sc WHERE score IS NOT NULL GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_bins_occupied,
+         |  CAST((2 * sum(abs(CAST(pos AS HUGEINT) * 10000 - s))
+         |      + CAST(sum(n) AS HUGEINT))
+         |    // (2 * CAST(sum(n) AS HUGEINT)) AS BIGINT) / 10000.0 AS ece,
+         |  CAST(max(CAST((2 * abs(CAST(pos AS HUGEINT) * 10000 - s) + n)
+         |    // (2 * CAST(n AS HUGEINT)) AS BIGINT)) AS BIGINT) / 10000.0
+         |    AS mce,
+         |  CAST((2 * sum(br) + CAST(sum(n) AS HUGEINT) * 10000)
+         |    // (2 * CAST(sum(n) AS HUGEINT) * 10000) AS BIGINT) / 10000.0
+         |    AS brier
+         |FROM b""".stripMargin
+    },
+
+    "vocab_chao1" ->
+      s"""WITH th0 AS (SELECT lang AS g,
+         |    ${SparkEntry.sqlTokenHashes("coalesce(text, '')")} AS th
+         |  FROM documents),
+         |tk AS (SELECT g, unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS t
+         |  FROM th0),
+         |tc AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |agg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM tc GROUP BY g)
+         |SELECT g AS lang, n_tokens, vocab, f1, f2,
+         |  CAST((vocab * 10000 +
+         |    CAST((20000 * CAST(f1 AS HUGEINT) * (f1 - 1) + 2 * (f2 + 1))
+         |      // (CAST(4 AS HUGEINT) * (f2 + 1)) AS BIGINT)) AS BIGINT)
+         |    / 10000.0 AS chao1
+         |FROM agg ORDER BY lang""".stripMargin,
 
     "bootstrap_mean" -> {
       val ts = graft.operators.CorpusStats.PoissonThresholds

@@ -288,6 +288,63 @@ object Classifier {
           (col("n").cast("double") * 10000.0), 4).as("mean_score"))
   }
 
+  /** Calibration ERROR summary ([EXT] X220, round 14) — the scalar
+    * verdict over [[calibrationBins]]'s table: ECE (expected
+    * calibration error — the bin-mass-weighted |accuracy − confidence|
+    * gap, THE number reported for classifier calibration since Guo et
+    * al. 2017), MCE (the worst bin), and the Brier score (the proper
+    * scoring rule that decomposes into calibration + refinement, so a
+    * low-ECE/high-Brier classifier is calibrated-but-uninformative —
+    * the pair tells a data-quality gate whether to trust the scores
+    * or re-fit).
+    *
+    * Exactness: scores quantize to the 1e-4 grid; per-bin
+    * ECE mass is EXACTLY |pos_b·10⁴ − Σq_b| (integers — the n_b
+    * factors cancel), so ECE = Σ_b |…| / (10⁴·n) is one integer sum +
+    * one exact half-up; per-bin MCE quantizes each rational at 1e-4
+    * before the max; Brier terms (q − y·10⁴)² are exact longs ≤ 10⁸
+    * summed in decimal(38,0). Output: one row
+    * (n, n_bins_occupied, ece, mce, brier). */
+  def calibrationError(scored: DataFrame, scoreCol: String,
+                       labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val bin = greatest(least(floor(col(scoreCol) * nBins), lit(nBins - 1)),
+      lit(0)).cast("int")
+    val q = round(col(scoreCol) * 10000).cast("long")
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val bins = scored
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("__b"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(y).cast("long").as("__pos"),
+        sum(q).cast("long").as("__s"),
+        sum(dec((q - y * 10000L) * (q - y * 10000L))).as("__br"))
+    bins
+      .agg(sum(col("__n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins_occupied"),
+        sum(abs(dec(col("__pos")) * dec(lit(10000L)) - dec(col("__s"))))
+          .as("__gap"),
+        // per-bin |pos/n_b − mean_score|·10⁴ = |pos·10⁴ − Σq|/n_b,
+        // half-up to the integer 1e-4 grid, then max
+        max(expr("CAST((2 * abs(CAST(__pos AS DECIMAL(38,0)) * 10000 " +
+          "- __s) + __n) div (CAST(2 AS DECIMAL(38,0)) * __n) AS BIGINT)"))
+          .as("__mce_q"),
+        sum(col("__br")).as("__brs"))
+      .select(col("n"), col("n_bins_occupied"),
+        // ECE·10⁴ = G/n (the 10⁴ factors cancel), half-up
+        (expr("CAST((2 * __gap + CAST(n AS DECIMAL(38,0))) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("ece"),
+        (col("__mce_q").cast("double") / lit(10000.0)).as("mce"),
+        // Brier·10⁴ = Σ(q − y·10⁴)² / (n·10⁴), half-up
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * __brs + CAST(n AS " +
+          "DECIMAL(38,0)) * 10000) div (CAST(2 AS " +
+          "DECIMAL(38,0)) * n * 10000) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("brier"))
+  }
+
   /** The shared (bin, n_pos, n_neg) collapse behind [[rocBins]] and
     * [[rocAuc]] — one map-side-combining count on the clamped
     * fixed-width bin key (the binnedCounts rule). */

@@ -1236,6 +1236,49 @@ object CorpusStats {
           + lit(0.0)).as("entropy_rate"))
   }
 
+  /** Chao1 vocabulary-richness estimator per group ([EXT] X221,
+    * round 14; Chao 1984, bias-corrected form) — "how much vocabulary
+    * does this corpus slice have that we HAVEN'T seen yet": the
+    * species-richness lower bound V + f₁(f₁−1)/(2(f₂+1)) from the
+    * hapax (f₁) and dis-legomena (f₂) counts. The projection
+    * companion to [[vocabGrowth]]'s empirical Heaps curve: growth
+    * says how fast vocabulary accrued, Chao1 says where the asymptote
+    * plausibly is — the readout for "will more crawling buy new
+    * tokens or re-weigh old ones".
+    *
+    * The "species" is the n-gram SHINGLE HASH (n = 1 ⇒ token hash, the
+    * shared rolling fold): on a template-y corpus the unigram
+    * vocabulary saturates instantly (f₁ = 0 ⇒ chao1 = V, no signal),
+    * while 3-gram species keep a live hapax tail — pick n by where
+    * the growth curve still moves.
+    *
+    * Scale shape: ONE (group, species) collapse (map-side combine),
+    * then a |groups|-row rollup counting V/f₁/f₂. Exact integers into
+    * one half-up division (all operands non-negative).
+    *
+    * Output: (groupCol, n_tokens, vocab, f1, f2, chao1) —
+    * n_tokens = total species OCCURRENCES (n-gram positions). */
+  def vocabChao1(docs: DataFrame, groupCol: String,
+                 textCol: String, n: Int = 1): DataFrame =
+    docs
+      .select(col(groupCol).as("__g"),
+        explode(TF.shingleHashesFromTokens(
+          TF.tokenHashes(coalesce(col(textCol), lit(""))), n)).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).cast("long").as("f2"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        // chao1·10⁴ = V·10⁴ + half-up(f₁(f₁−1)·10⁴ / (2(f₂+1)))
+        ((col("vocab") * 10000L +
+          expr("CAST((20000 * CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) " +
+            "+ 2 * (f2 + 1)) div (CAST(4 AS DECIMAL(38,0)) * (f2 + 1)) " +
+            "AS BIGINT)")).cast("double") / lit(10000.0)).as("chao1"))
+
   /** Poisson(1) CDF thresholds on the 2⁵² integer grid — the literal
     * table both engines consume verbatim (the X211 rule: neither
     * engine evaluates exp/factorial). t_k = ⌊P(X ≤ k)·2⁵²⌋ for

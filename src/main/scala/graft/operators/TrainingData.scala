@@ -841,22 +841,34 @@ object TrainingData {
         sum(dec(col("__co")) * dec(col("__r2"))).as("__rr2"),
         sum(dec(col("__t")) * dec(col("__t")) * dec(col("__t")) -
           dec(col("__t"))).as("__st"))
-      .select(col("__g"), col("n_old"), col("n_new"), {
+      .withColumn("__twoU",
+        col("__rr2") - dec(col("n_old")) * (dec(col("n_old")) + dec(lit(1L))))
+      .withColumn("__pp", dec(col("n_old")) * dec(col("n_new")))
+      .withColumn("__dnum", col("__twoU") - col("__pp"))
+      .select(col("__g").as(groupCol), col("n_old"), col("n_new"), {
+        val both = col("n_old") > 0L && col("n_new") > 0L
+        when(both, d(col("__twoU")) / lit(2.0)).as("u")
+      }, {
         val no = dec(col("n_old")); val nn = dec(col("n_new"))
         val bigN = no + nn
-        val twoU = col("__rr2") - no * (no + dec(lit(1L)))
-        val varNum = no * nn * ((bigN * bigN * bigN - bigN) - col("__st"))
+        val varNum = col("__pp") * ((bigN * bigN * bigN - bigN) - col("__st"))
         val varDen = dec(lit(3L)) * bigN * (bigN - dec(lit(1L)))
         val twoSigma = sqrt(d(varNum) / d(varDen))
-        struct(
-          (d(twoU) / lit(2.0)).as("u"),
-          (when(col("n_old") > 0L && col("n_new") > 0L && twoSigma > 0.0,
-            round((d(twoU) - d(no * nn)) / twoSigma, 4) + lit(0.0)))
-            .as("z")).as("__uz")
+        (when(col("n_old") > 0L && col("n_new") > 0L && twoSigma > 0.0,
+          round(d(col("__dnum")) / twoSigma, 4) + lit(0.0))).as("z")
+      }, {
+        // Cliff's delta = 2U/(n₁n₂) − 1 ∈ [−1, 1]: the EFFECT SIZE the
+        // z-statistic's significance needs next to it (at corpus n
+        // everything is "significant"; delta says how BIG the
+        // stochastic dominance is). Exact signed rational → the
+        // sign-magnitude half-up (Spark div truncates toward zero,
+        // DuckDB // floors — the Mann-Kendall rule)
+        val q = expr("CAST((20000 * abs(__dnum) + __pp) div " +
+          "(2 * __pp) AS BIGINT)").cast("double") / lit(10000.0)
+        (when(col("n_old") > 0L && col("n_new") > 0L,
+          when(col("__dnum") < 0, -q).otherwise(q) + lit(0.0)))
+          .as("cliffs_delta")
       })
-      .select(col("__g").as(groupCol), col("n_old"), col("n_new"),
-        when(col("n_old") > 0L && col("n_new") > 0L, col("__uz.u")).as("u"),
-        col("__uz.z").as("z"))
   }
 
   /** Token-budget mixing rates (X110): the data-recipe SOLVER that

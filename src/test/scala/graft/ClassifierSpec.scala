@@ -319,4 +319,26 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().head
     assert(a == ((3L, 3L, Some(0.9444))), a.toString)
   }
+
+  test("calibrationError: hand-computed ECE/MCE/Brier, perfect calibration at 0") {
+    // bin0: 4 scores at 0.1 with 1 positive -> |1e4 - 4e3| = 6000
+    // bin9: 2 scores at 0.9 with 2 positive -> |2e4 - 1.8e4| = 2000
+    // ECE = 8000/6 -> 0.1333; MCE = max(6000/4, 2000/2) -> 0.15
+    // Brier = (81 + 3 + 2)e6 / 6e8 -> 0.1433
+    val rows = Seq(
+      (0.1, true), (0.1, false), (0.1, false), (0.1, false),
+      (0.9, true), (0.9, true)
+    ).toDF("score", "label")
+    val r = Classifier.calibrationError(rows, "score", "label", nBins = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_bins_occupied") == 2L)
+    assert(r.getAs[Double]("ece") == 0.1333, r.toString)
+    assert(r.getAs[Double]("mce") == 0.15, r.toString)
+    assert(r.getAs[Double]("brier") == 0.1433, r.toString)
+    // perfectly calibrated and perfectly confident: everything 0
+    val perfect = Seq((0.0, false), (1.0, true)).toDF("score", "label")
+    val p = Classifier.calibrationError(perfect, "score", "label")
+      .collect()(0)
+    assert(p.getAs[Double]("ece") == 0.0 && p.getAs[Double]("brier") == 0.0)
+  }
 }

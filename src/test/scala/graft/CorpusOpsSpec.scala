@@ -686,4 +686,21 @@ class CorpusOpsSpec extends SparkSpec {
       .collect()(0)
     assert(u1.toSeq == u2.toSeq)
   }
+
+  test("vocabChao1: hand-computed richness from hapax/dis-legomena counts") {
+    import graft.operators.CorpusStats
+    // unigram species (n=1): "a a b c" -> V=3, f1=2 (b, c), f2=1 (a)
+    // chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    val docs = Seq(("g", "a a b c")).toDF("grp", "text")
+    val r = CorpusStats.vocabChao1(docs, "grp", "text", n = 1).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Double]("chao1") == 3.5)
+    // saturated vocabulary (no hapaxes): chao1 = V exactly
+    val sat = Seq(("g", "x x y y")).toDF("grp", "text")
+    val s = CorpusStats.vocabChao1(sat, "grp", "text", n = 1).collect()(0)
+    assert(s.getAs[Long]("f1") == 0L)
+    assert(s.getAs[Double]("chao1") == s.getAs[Long]("vocab").toDouble)
+  }
 }

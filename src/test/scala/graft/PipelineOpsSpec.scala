@@ -468,6 +468,9 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("grp").collect()
     assert(got(0).getAs[Double]("u") == 0.0)
     assert(got(0).getAs[Double]("z") == -1.5492)
+    // Cliff's delta: (2U - n1n2)/(n1n2) = (0-4)/4 = -1 (complete
+    // dominance of new over old)
+    assert(got(0).getAs[Double]("cliffs_delta") == -1.0)
     // "h" exists only in old: no two-sample statistic
     assert(got(1).isNullAt(got(1).fieldIndex("u")))
     assert(got(1).isNullAt(got(1).fieldIndex("z")))
@@ -478,6 +481,7 @@ class PipelineOpsSpec extends SparkSpec {
       binWidth = 1L, nBins = 8).collect()(0)
     assert(tied.getAs[Double]("u") == 2.0)
     assert(tied.isNullAt(tied.fieldIndex("z")))
+    assert(tied.getAs[Double]("cliffs_delta") == 0.0) // no dominance
   }
 
   test("snapshotKsBinned: the CDF window runs on the bin grid, never the raw value column") {
