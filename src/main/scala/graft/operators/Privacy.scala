@@ -220,6 +220,50 @@ object Privacy {
       })
   }
 
+  // secret/credential patterns (X223) — all inside the common regex
+  // subset (no lookaround) so Java regex (Spark) and RE2 (the oracle)
+  // match identically
+  val AwsKeyPattern = "\\bAKIA[0-9A-Z]{16}\\b"
+  val ApiTokenPattern =
+    "\\b(ghp_[A-Za-z0-9]{36}|xox[bpars]-[A-Za-z0-9-]{10,48})\\b"
+  val PrivateKeyPattern = "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+  val GenericSecretPattern = "\\b[A-Za-z0-9+/]{40,}={0,2}\\b"
+
+  /** Secret/credential scan ([EXT] X223, round 14) — the leaked-key
+    * screen next to the PII triage: cloud access keys, API tokens,
+    * private-key blocks, and generic high-entropy base64-ish blobs.
+    * Training on leaked credentials is a worse failure mode than
+    * training on emails (models emit them verbatim — the "secrets in
+    * the training set" incident class), so the scan is doc-level and
+    * conservative: the generic-blob category demands BOTH length ≥ 40
+    * in the base64 alphabet AND ≥ `minDistinctChars` distinct
+    * characters (a 48-digit invoice number has ≤ 10 and never fires;
+    * hex/base64 material clears it), the structured categories are
+    * format-anchored (AKIA…, ghp_…, xox?-…, PEM headers).
+    *
+    * Scale shape: pure per-row map (regexp_count + one extract_all
+    * with a bounded HOF per candidate) — zero exchanges, scan-bound.
+    *
+    * Output: (idCol, n_aws_key, n_api_token, n_private_key,
+    * n_generic, has_secret). */
+  def secretScan(docs: DataFrame, idCol: String, textCol: String,
+                 minDistinctChars: Int = 12): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val generic = filter(
+      regexp_extract_all(t, lit(GenericSecretPattern), lit(0)),
+      m => size(array_distinct(filter(split(m, ""), c => c =!= ""))) >=
+        minDistinctChars)
+    docs.select(col(idCol),
+      regexp_count(t, lit(AwsKeyPattern)).cast("long").as("n_aws_key"),
+      regexp_count(t, lit(ApiTokenPattern)).cast("long").as("n_api_token"),
+      regexp_count(t, lit(PrivateKeyPattern)).cast("long")
+        .as("n_private_key"),
+      size(generic).cast("long").as("n_generic"))
+      .withColumn("has_secret",
+        col("n_aws_key") + col("n_api_token") + col("n_private_key") +
+          col("n_generic") > 0L)
+  }
+
   /** Joins digit groups split by SINGLE space/dash separators —
     * `4111 1111 1111 1111` and `4111-1111-1111-1111` become one
     * 16-digit run. RE2-compatible (no lookaround): `([0-9])[ -]([0-9])`
