@@ -1295,6 +1295,21 @@ object CorpusStats {
     }
   }
 
+  /** The 52-bit deterministic uniform for (id, replicate) — the
+    * md5-prefix hash parity pattern (hllDistinct); shared by the batch
+    * and streaming bootstrap paths. */
+  def uniform52(id: org.apache.spark.sql.Column,
+                j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"),
+      j.cast("string"))), 1, 13), 16, 10).cast("long")
+
+  /** Poisson(1) weight from a 52-bit uniform via the
+    * [[PoissonThresholds]] literal table — pure integer comparisons. */
+  def poissonWeightFromU(u: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    PoissonThresholds.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+
   /** Poisson-bootstrap mean with a percentile CI per group ([EXT]
     * X219, round 14) — uncertainty quantification for corpus metrics
     * the way it's actually done distributed (Chamandy et al. 2012,
@@ -1332,32 +1347,12 @@ object CorpusStats {
     val expanded = base
       .select(col("__g"), col("__id"), col("__qv"),
         explode(sequence(lit(0), lit(reps - 1))).as("__j"))
-      .withColumn("__u",
-        conv(substring(md5(concat(col("__id"), lit(":"),
-          col("__j").cast("string"))), 1, 13), 16, 10).cast("long"))
-      .withColumn("__w",
-        PoissonThresholds.map(t =>
-          when(col("__u") >= t, 1L).otherwise(0L)).reduce(_ + _))
-    val perRep = expanded
+      .withColumn("__u", uniform52(col("__id"), col("__j")))
+      .withColumn("__w", poissonWeightFromU(col("__u")))
+    val ci = bootstrapCiFromRepSums(expanded
       .groupBy(col("__g"), col("__j"))
       .agg(sum(col("__w")).cast("long").as("__sw"),
-        sum(dec(col("__w")) * dec(col("__qv"))).as("__swv"))
-      .where(col("__sw") > 0L)
-      // replicate mean on the 1e-4 grid: (2e4·swv + 1e6·sw) div (2e6·sw)
-      .select(col("__g"),
-        (expr("CAST((20000 * __swv + 1000000 * __sw) div " +
-          "(2000000 * __sw) AS BIGINT)").cast("double") / lit(10000.0))
-          .as("__m"))
-    val ci = perRep
-      .groupBy(col("__g"))
-      .agg(sort_array(collect_list(col("__m"))).as("__arr"))
-      .select(col("__g"), size(col("__arr")).cast("long").as("n_reps"),
-        element_at(col("__arr"),
-          (round(lit(0.025) * (size(col("__arr")) - 1).cast("double"))
-            .cast("int") + 1)).as("ci_lo"),
-        element_at(col("__arr"),
-          (round(lit(0.975) * (size(col("__arr")) - 1).cast("double"))
-            .cast("int") + 1)).as("ci_hi"))
+        sum(dec(col("__w")) * dec(col("__qv"))).as("__swv")))
     val overall = base.groupBy(col("__g"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(dec(col("__qv"))).as("__sv"))
@@ -1370,4 +1365,31 @@ object CorpusStats {
         col("ci_lo"), col("ci_hi"),
         coalesce(col("n_reps"), lit(0L)).as("n_reps"))
   }
+
+  /** CI assembly over per-replicate weighted sums (__g, __j, __sw,
+    * __swv) — everything downstream of the corpus pass; also the
+    * foreachBatch scorer for [[graft.streaming.StreamingBootstrap]]'s
+    * streamed replicate sums (count/weighted-sum folds are
+    * arrival-order-free, so scoring a streamed snapshot equals the
+    * batch bootstrap over the same prefix — StreamingSpec pins it).
+    * Zero-weight replicates (tiny groups) are excluded from the
+    * ranks. Output: (__g, n_reps, ci_lo, ci_hi). */
+  def bootstrapCiFromRepSums(rep: DataFrame): DataFrame =
+    rep
+      .where(col("__sw") > 0L)
+      // replicate mean on the 1e-4 grid: (2e4·swv + 1e6·sw) div (2e6·sw)
+      .select(col("__g"),
+        (expr("CAST((20000 * CAST(__swv AS DECIMAL(38,0)) " +
+          "+ 1000000 * CAST(__sw AS DECIMAL(38,0))) div " +
+          "(2000000 * CAST(__sw AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("__m"))
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__m"))).as("__arr"))
+      .select(col("__g"), size(col("__arr")).cast("long").as("n_reps"),
+        element_at(col("__arr"),
+          (round(lit(0.025) * (size(col("__arr")) - 1).cast("double"))
+            .cast("int") + 1)).as("ci_lo"),
+        element_at(col("__arr"),
+          (round(lit(0.975) * (size(col("__arr")) - 1).cast("double"))
+            .cast("int") + 1)).as("ci_hi"))
 }

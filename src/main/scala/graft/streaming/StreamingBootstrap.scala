@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.CorpusStats
+
+/** Streaming Poisson-bootstrap monitor ([EXT] X224, round 14) — the
+  * continuous form of [[CorpusStats.bootstrapMean]] (X219): every
+  * arriving document folds its deterministic Poisson(1) replicate
+  * weights into running per-(group, replicate) sums; a foreachBatch
+  * sink scores each snapshot with
+  * [[CorpusStats.bootstrapCiFromRepSums]] — the live ERROR BAR next
+  * to StreamingDrift's live histogram, so "the mean shifted" comes
+  * with "and the CI excludes the old mean" at ingest time instead of
+  * at the next snapshot diff.
+  *
+  * Per-(group, replicate) state is TWO longs (Σw, Σw·qv); total state
+  * is bounded by |groups|·B regardless of stream volume (the
+  * StreamingDrift rule). Weight folds are arrival-order-free AND
+  * deterministic per (id, replicate) — md5 uniforms + the literal
+  * threshold table — so the last emission per key equals the batch
+  * collapse over the same prefix even out of order; StreamingSpec
+  * pins the scored snapshot ≡ the batch bootstrap end-to-end.
+  * Headroom: the running Σw·qv rides a Long here (state must be
+  * flat) — bounded by 6·10⁶·Σ|v|, i.e. ~10¹² value-mass per group;
+  * the batch side uses decimal(38,0) and is the recount path beyond
+  * that.
+  */
+object StreamingBootstrap {
+
+  final case class RepRow(g: String, j: Int, w: Long, wqv: Long)
+  final case class RepSums(g: String, j: Int, sw: Long, swv: Long)
+
+  /** Running (group, replicate, Σw, Σw·qv) over a streaming frame —
+    * the online twin of the batch expansion inside
+    * [[CorpusStats.bootstrapMean]] (same hash, same thresholds, same
+    * 1e-6 value grid; null values dropped like the batch filter). */
+  def repSums(stream: DataFrame, idCol: String, groupCol: String,
+              valueCol: String, reps: Int = 40): Dataset[RepSums] = {
+    require(reps >= 8 && reps <= 256, "reps in [8, 256]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__qv"))
+      .select(col("g"), col("__id"), col("__qv"),
+        explode(sequence(lit(0), lit(reps - 1))).as("j"))
+      .withColumn("__w", CorpusStats.poissonWeightFromU(
+        CorpusStats.uniform52(col("__id"), col("j"))))
+      .select(col("g"), col("j").cast("int").as("j"),
+        col("__w").as("w"), (col("__w") * col("__qv")).as("wqv"))
+      .as[RepRow]
+    typed.groupByKey(x => (x.g, x.j))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), rows: Iterator[RepRow],
+         state: GroupState[(Long, Long)]) =>
+          val (sw0, swv0) = state.getOption.getOrElse((0L, 0L))
+          var sw = sw0; var swv = swv0
+          rows.foreach { r => sw += r.w; swv += r.wqv }
+          state.update((sw, swv))
+          Iterator.single(RepSums(key._1, key._2, sw, swv))
+      }
+  }
+}

@@ -1144,6 +1144,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bootstrap: running replicate sums ≡ batch, scored CI ≡ batch bootstrapMean") {
+    val dir = Files.createTempDirectory("boot-stream").toString
+    val b1 = (1L to 60L).map(i => (i, "g", (i % 13).toDouble))
+    val b2 = (61L to 120L).map(i => (i, "g", (i % 7).toDouble))
+    def toDf(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "grp", "v")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("id BIGINT, grp STRING, v DOUBLE")
+      .parquet(dir)
+    val q = graft.streaming.StreamingBootstrap.repSums(
+      stream.toDF(), "id", "grp", "v", reps = 16)
+      .toDF("g", "j", "sw", "swv")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("boot_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // last emission per (g, j) = max sums (monotone non-negative folds)
+      val streamed = spark.table("boot_stream")
+        .groupBy(col("g"), col("j"))
+        .agg(max(col("sw")).as("__sw"), max(col("swv")).as("__swv"))
+        .withColumnRenamed("g", "__g").withColumnRenamed("j", "__j")
+      val ciStream = graft.operators.CorpusStats
+        .bootstrapCiFromRepSums(streamed)
+        .select(col("__g"), col("n_reps"), col("ci_lo"), col("ci_hi"))
+        .as[(String, Long, Double, Double)].collect().toSeq
+      val ciBatch = graft.operators.CorpusStats
+        .bootstrapMean(toDf(b1 ++ b2), "id", "grp", "v", reps = 16)
+        .select(col("grp"), col("n_reps"), col("ci_lo"), col("ci_hi"))
+        .as[(String, Long, Double, Double)].collect().toSeq
+      assert(ciStream == ciBatch, s"stream=$ciStream batch=$ciBatch")
+      assert(ciStream.head._2 == 16L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup with TTL: pairs within the horizon emit, " +
     "evicted buckets forget, re-arrivals after eviction re-admit silently") {
     val dir = Files.createTempDirectory("neardup-ttl").toString
