@@ -438,7 +438,11 @@ object Round14Queries {
          |  CAST((vocab * 10000 +
          |    CAST((20000 * CAST(f1 AS HUGEINT) * (f1 - 1) + 2 * (f2 + 1))
          |      // (CAST(4 AS HUGEINT) * (f2 + 1)) AS BIGINT)) AS BIGINT)
-         |    / 10000.0 AS chao1
+         |    / 10000.0 AS chao1,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    CAST((20000 * CAST(f1 AS HUGEINT) + n_tokens)
+         |      // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) / 10000.0
+         |  END AS p_unseen
          |FROM agg ORDER BY lang""".stripMargin,
 
     "bootstrap_mean" -> {

@@ -1256,7 +1256,12 @@ object CorpusStats {
     * then a |groups|-row rollup counting V/f₁/f₂. Exact integers into
     * one half-up division (all operands non-negative).
     *
-    * Output: (groupCol, n_tokens, vocab, f1, f2, chao1) —
+    * Also emits the Good–Turing unseen-mass estimate p_unseen = f₁/N
+    * (Gale & Sampson 1995's simple form): the probability the NEXT
+    * n-gram drawn is a never-seen species — what an LM's smoothing
+    * must reserve, and the "is this slice still surprising us" rate.
+    *
+    * Output: (groupCol, n_tokens, vocab, f1, f2, chao1, p_unseen) —
     * n_tokens = total species OCCURRENCES (n-gram positions). */
   def vocabChao1(docs: DataFrame, groupCol: String,
                  textCol: String, n: Int = 1): DataFrame =
@@ -1277,7 +1282,10 @@ object CorpusStats {
         ((col("vocab") * 10000L +
           expr("CAST((20000 * CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) " +
             "+ 2 * (f2 + 1)) div (CAST(4 AS DECIMAL(38,0)) * (f2 + 1)) " +
-            "AS BIGINT)")).cast("double") / lit(10000.0)).as("chao1"))
+            "AS BIGINT)")).cast("double") / lit(10000.0)).as("chao1"),
+        when(col("n_tokens") > 0L,
+          expr("CAST((20000 * f1 + n_tokens) div (2 * n_tokens) AS BIGINT)")
+            .cast("double") / lit(10000.0)).as("p_unseen"))
 
   /** Poisson(1) CDF thresholds on the 2⁵² integer grid — the literal
     * table both engines consume verbatim (the X211 rule: neither

@@ -697,10 +697,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("vocab") == 3L)
     assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
     assert(r.getAs[Double]("chao1") == 3.5)
+    // Good-Turing unseen mass: f1/N = 2/4 = 0.5
+    assert(r.getAs[Double]("p_unseen") == 0.5)
     // saturated vocabulary (no hapaxes): chao1 = V exactly
     val sat = Seq(("g", "x x y y")).toDF("grp", "text")
     val s = CorpusStats.vocabChao1(sat, "grp", "text", n = 1).collect()(0)
     assert(s.getAs[Long]("f1") == 0L)
     assert(s.getAs[Double]("chao1") == s.getAs[Long]("vocab").toDouble)
+    assert(s.getAs[Double]("p_unseen") == 0.0)
   }
 }
