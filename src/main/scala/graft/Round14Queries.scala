@@ -102,6 +102,19 @@ object Round14Queries {
         .orderBy("lang")
     }),
 
+    // ---- X225: t-closeness — the third privacy gate next to
+    // k_anonymity/l_diversity: per (lang, length-bucket) class, the
+    // total-variation distance of its SOURCE distribution from the
+    // corpus's; classes whose provenance mix deviates past t = 0.2
+    // leak membership no matter how many distinct values they hold --
+    "t_closeness" -> ((s, dir) =>
+      Privacy.tCloseness(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 256").as("len_bucket")),
+        threshold = 0.2, Seq("lang", "len_bucket"), "source")
+        .orderBy("lang", "len_bucket")),
+
     // ---- X223: secret/credential scan — cloud keys, API tokens,
     // PEM headers, high-entropy blobs. Fixtures plant a digit AWS key
     // (%31), a ghp_ token (%47), a PEM header (%53) and a 48-hex-char
@@ -359,6 +372,33 @@ object Round14Queries {
         |      / 10000.0) + 0.0
         |  END AS cliffs_delta
         |FROM f JOIN s ON f.g = s.g ORDER BY lang""".stripMargin,
+
+    "t_closeness" ->
+      """WITH pair AS (SELECT lang, n_chars // 256 AS len_bucket, source,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS nc
+        |  FROM pair GROUP BY 1, 2),
+        |gl AS (SELECT source, CAST(sum(c) AS BIGINT) AS gv
+        |  FROM pair GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gv) AS BIGINT) AS n FROM gl),
+        |grid AS (SELECT cls.lang, cls.len_bucket, cls.nc, gl.source,
+        |    gl.gv, coalesce(pair.c, 0) AS c
+        |  FROM cls CROSS JOIN gl
+        |  LEFT JOIN pair ON pair.lang = cls.lang
+        |    AND pair.len_bucket = cls.len_bucket
+        |    AND pair.source = gl.source),
+        |s AS (SELECT lang, len_bucket, nc,
+        |    sum(abs(CAST(c AS HUGEINT) * tot.n
+        |      - CAST(gv AS HUGEINT) * nc)) AS sd
+        |  FROM grid CROSS JOIN tot GROUP BY 1, 2, 3),
+        |f AS (SELECT lang, len_bucket, nc,
+        |    CAST((20000 * sd + 2 * CAST(nc AS HUGEINT) * tot.n)
+        |      // (4 * CAST(nc AS HUGEINT) * tot.n) AS BIGINT) AS tq
+        |  FROM s CROSS JOIN tot)
+        |SELECT lang, len_bucket, nc AS class_size, tq / 10000.0 AS t,
+        |  tq > 2000 AS violates
+        |FROM f ORDER BY lang, len_bucket""".stripMargin,
 
     "pii_secrets" ->
       """WITH p0 AS (SELECT doc_id, coalesce(text, '') AS text

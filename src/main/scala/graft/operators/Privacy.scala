@@ -132,6 +132,64 @@ object Privacy {
         (col("n_sensitive") < l).as("violates"))
   }
 
+  /** t-closeness audit ([EXT] X225, round 14; Li, Li &
+    * Venkatasubramanian 2007) — the third gate of the privacy triad:
+    * a class can be k-anonymous AND l-diverse yet still leak when its
+    * sensitive-value DISTRIBUTION deviates from the global one (a
+    * class that is 90% one sensitive value in a corpus where that
+    * value is 1% tells the attacker plenty without singling anyone
+    * out). For a categorical sensitive attribute under the uniform
+    * ground distance, the paper's EMD reduces to total variation:
+    * t_class = ½ Σ_v |p_class(v) − p_global(v)|.
+    *
+    * Exactness: per (class, value) the deviation rides the exact
+    * integer |c·n − g_v·n_c| over the common denominator n_c·n
+    * (decimal(38,0) products — n·c is corpus² territory), one half-up
+    * finishes each class; the violation flag compares the QUANTIZED t
+    * against round(threshold·10⁴) — a driver-computed literal, no
+    * float compare at the boundary.
+    *
+    * Scale shape: one (QI, sensitive) collapse (map-side combine),
+    * class totals re-aggregated from it; the deviation grid is
+    * classes × GLOBAL support (broadcast — the chiSquare empty-cell
+    * rule: a value ABSENT from a class still contributes its global
+    * mass to the distance).
+    *
+    * Output per class: (qiCols…, class_size, t, violates), the
+    * max-t classes being the release blockers. */
+  def tCloseness(df: DataFrame, threshold: Double, qiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val thresholdQ = math.floor(threshold * 10000.0 + 0.5).toLong
+    val pair = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true) // consumers: class totals, global, grid
+    val cls = pair.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("__nc"))
+    val glob = pair.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).cast("long").as("__gv"))
+    val tot = glob.agg(sum(col("__gv")).cast("long").as("__n"))
+    cls
+      .crossJoin(broadcast(glob))
+      .join(pair, qiCols :+ sensitiveCol, "left")
+      .crossJoin(broadcast(tot))
+      .select((qiCols.map(col) :+ col("__nc") :+
+        abs(dec(coalesce(col("__c"), lit(0L))) * dec(col("__n")) -
+          dec(col("__gv")) * dec(col("__nc"))).as("__d")): _*)
+      .groupBy((qiCols :+ "__nc").map(col): _*)
+      .agg(sum(col("__d")).as("__s"))
+      .crossJoin(broadcast(tot))
+      // t·10⁴ = S·10⁴/(2·n_c·n), half-up: (2·10⁴·S + 2·n_c·n) div (4·n_c·n)
+      .withColumn("__tq",
+        expr("CAST((20000 * __s + 2 * CAST(__nc AS DECIMAL(38,0)) * __n) " +
+          "div (4 * CAST(__nc AS DECIMAL(38,0)) * __n) AS BIGINT)"))
+      .select((qiCols.map(col) :+ col("__nc").as("class_size") :+
+        (col("__tq").cast("double") / lit(10000.0)).as("t") :+
+        (col("__tq") > thresholdQ).as("violates")): _*)
+  }
+
   /** Email-domain pattern with the domain as capture group 1 — the
     * SAME atom as [[EmailPattern]] so the two can never disagree on
     * what counts as an email. */

@@ -607,6 +607,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(h == Seq((1L, 1L, 2L, true)), h.toString)
   }
 
+  // ---------------- tCloseness (X225) ----------------
+
+  test("tCloseness: TV distance of class vs global sensitive mix; " +
+    "l-diverse classes can still violate") {
+    // global source mix: web 4, books 4 -> 50/50
+    val rows = Seq(
+      // class (en): 4 rows ALL web -> TV = 0.5 (l-diverse under
+      // l=2 would fail too, but make it the distribution point:)
+      ("en", "web"), ("en", "web"), ("en", "web"), ("en", "web"),
+      // class (de): 2 web + 2 books -> exactly the global mix, t = 0
+      ("de", "web"), ("de", "books"), ("de", "web"), ("de", "books"),
+      // class (fr): 2 books -> TV = 0.5
+      ("fr", "books"), ("fr", "books")
+    ).toDF("lang", "source")
+    // recompute global with fr rows: web 6, books 4 -> 0.6/0.4
+    // class en (all web): ½(|1-0.6| + |0-0.4|) = 0.4
+    // class de (50/50):   ½(|0.5-0.6| + |0.5-0.4|) = 0.1
+    // class fr (all books): ½(|0-0.6| + |1-0.4|) = 0.6
+    val got = Privacy.tCloseness(rows, threshold = 0.2,
+      Seq("lang"), "source")
+      .orderBy("lang")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("de", 4L, 0.1, false),
+      ("en", 4L, 0.4, true),
+      ("fr", 2L, 0.6, true)), got.toString)
+  }
+
   // ---------------- splitLeakage (X196) ----------------
 
   test("splitLeakage: cross-split near-dup pairs flagged per class, " +
