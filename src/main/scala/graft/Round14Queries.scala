@@ -102,6 +102,27 @@ object Round14Queries {
         .orderBy("lang")
     }),
 
+    // ---- X226: HLL register MERGE — old/new/union/overlap distinct-
+    // token estimates per source from bucket-wise max over the two
+    // register tables (sketch mergeability: the union never re-reads
+    // raw data — the 100 TB roll-up property, next to
+    // snapshot_overlap's minhash view) -------------------------------
+    "hll_union" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = t(s, dir, "documents")
+      // 3-gram species (the vocab_chao1 rule): the unigram vocabulary
+      // saturates on this corpus, so old/new/union would all read the
+      // same number; 3-grams give the diff something to measure
+      def st(side: DataFrame) = side
+        .select(col("source"), explode(TF.shingleHashesFromTokens(
+          TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
+      graft.operators.Profile.hllUnionDiff(
+        st(docs.where(col("doc_id") % 3 =!= 0)),
+        st(docs.where(col("doc_id") % 5 =!= 0)),
+        "source", "tok")
+        .orderBy("source")
+    }),
+
     // ---- X225: t-closeness — the third privacy gate next to
     // k_anonymity/l_diversity: per (lang, length-bucket) class, the
     // total-variation distance of its SOURCE distribution from the
@@ -372,6 +393,58 @@ object Round14Queries {
         |      / 10000.0) + 0.0
         |  END AS cliffs_delta
         |FROM f JOIN s ON f.g = s.g ORDER BY lang""".stripMargin,
+
+    "hll_union" -> {
+      // the hll_distinct estimator tail, parameterized per register set
+      def est(sfx: String): String =
+        s"""grid_$sfx AS (SELECT g, unnest(range(0, 64)) AS b
+           |  FROM (SELECT DISTINCT g FROM regs_$sfx)),
+           |tt_$sfx AS (SELECT grid_$sfx.g,
+           |    CAST(sum(CAST(power(2.0, 48 - coalesce(regs_$sfx.m, 0))
+           |      AS BIGINT)) AS BIGINT) AS T,
+           |    CAST(sum(CASE WHEN regs_$sfx.m IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS v
+           |  FROM grid_$sfx LEFT JOIN regs_$sfx
+           |    ON grid_$sfx.g = regs_$sfx.g AND grid_$sfx.b = regs_$sfx.b
+           |  GROUP BY 1),
+           |e_$sfx AS (SELECT g,
+           |  round(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+           |        * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE)
+           |        <= 160.0 AND v > 0
+           |    THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+           |    ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+           |      * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE) END, 4)
+           |    AS est
+           |  FROM tt_$sfx)""".stripMargin
+      def regs(sfx: String, pred: String): String =
+        s"""th_$sfx AS (SELECT source AS g,
+           |    ${SparkEntry.sqlTokenHashes("coalesce(text, '')")} AS th
+           |  FROM documents WHERE $pred),
+           |st_$sfx AS (SELECT g,
+           |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS t
+           |  FROM th_$sfx),
+           |regs_$sfx AS (SELECT g,
+           |    CAST(('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 13)) AS BIGINT) % 64 AS b,
+           |    max(CASE WHEN CAST(('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 13)) AS BIGINT)
+           |        // 64 = 0 THEN 47
+           |      ELSE 47 - length(bin(CAST(('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 13))
+           |        AS BIGINT) // 64)) END) AS m
+           |  FROM st_$sfx GROUP BY 1, 2)""".stripMargin
+      s"""WITH ${regs("o", "doc_id % 3 <> 0")},
+         |${regs("n", "doc_id % 5 <> 0")},
+         |regs_u AS (SELECT g, b, max(m) AS m FROM
+         |  (SELECT * FROM regs_o UNION ALL SELECT * FROM regs_n)
+         |  GROUP BY 1, 2),
+         |${est("o")},
+         |${est("n")},
+         |${est("u")}
+         |SELECT e_o.g AS source, e_o.est AS n_old_est, e_n.est AS n_new_est,
+         |  e_u.est AS n_union_est,
+         |  round(greatest(e_o.est + e_n.est - e_u.est, 0.0), 4)
+         |    AS n_overlap_est
+         |FROM e_o JOIN e_n ON e_o.g = e_n.g JOIN e_u ON e_o.g = e_u.g
+         |ORDER BY source""".stripMargin
+    },
 
     "t_closeness" ->
       """WITH pair AS (SELECT lang, n_chars // 256 AS len_bucket, source,

@@ -298,11 +298,23 @@ object Profile {
     *
     * Output: (groupCol, n_empty, hll_distinct). */
   def hllDistinct(df: DataFrame, groupCol: String,
-                  valueCol: String): DataFrame = {
+                  valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol))
+      .select(col("__g").as(groupCol), col("n_empty"),
+        col("__est").as("hll_distinct"))
+
+  /** The (group, bucket, max-rank) register table behind
+    * [[hllDistinct]] — split out (round 14) because registers are
+    * where sketches earn their keep at 100 TB: they MERGE (max per
+    * bucket), so per-partition/per-snapshot register tables combine
+    * into union estimates without touching raw data again
+    * ([[hllUnionDiff]]). */
+  def hllRegisters(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
     val m = HllBuckets
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
       .cast("long")
-    val regs = df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), h.as("__h"))
       .select(col("__g"), (col("__h") % m).as("__b"),
         expr(s"__h div $m").as("__w"))
@@ -311,6 +323,13 @@ object Profile {
           .otherwise(lit(47L) - length(bin(col("__w")))).as("__r"))
       .groupBy(col("__g"), col("__b"))
       .agg(max(col("__r")).as("__m"))
+  }
+
+  /** The estimator over a (__g, __b, __m) register table — the
+    * [[hllDistinct]] tail, shared with the merged-register paths.
+    * Output: (__g, n_empty, __est). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = HllBuckets
     val grid = regs.select(col("__g")).distinct()
       .select(col("__g"), explode(sequence(lit(0L), lit(m - 1L))).as("__b"))
     val terms = grid.join(regs, Seq("__g", "__b"), "left")
@@ -322,11 +341,49 @@ object Profile {
       .agg(sum(col("__t")).as("__T"), sum(col("__e")).as("__v"))
     val raw = lit(0.709) * lit(4096.0) * lit(281474976710656.0) /
       col("__T").cast("double")
-    terms.select(col("__g").as(groupCol),
+    terms.select(col("__g"),
       col("__v").cast("long").as("n_empty"),
       round(when(raw <= lit(160.0) && col("__v") > 0L,
         lit(64.0) * log(lit(64.0) / col("__v").cast("double")))
-        .otherwise(raw), 4).as("hll_distinct"))
+        .otherwise(raw), 4).as("__est"))
+  }
+
+  /** Sketch-merge snapshot diff ([EXT] X226, round 14) — distinct
+    * counts of OLD, NEW, their UNION and the inclusion-exclusion
+    * overlap estimate, all from HLL REGISTERS: the union costs one
+    * bucket-wise max over two |groups|·64-row tables, never a second
+    * pass over raw data — the mergeability that makes sketches the
+    * 100 TB answer (per-partition registers roll up the same way).
+    * "How much of the new crawl's vocabulary is actually new" at
+    * sketch cost, next to snapshot_overlap's minhash view of the
+    * same question.
+    *
+    * Estimates are the standard HLL error class (~13% at 64 buckets);
+    * the overlap clamps at 0 (inclusion-exclusion can go slightly
+    * negative under sketch noise — clamped, not hidden). Groups are
+    * INNER-joined (one-sided groups have no diff; snapshot_churn
+    * reports adds/drops).
+    *
+    * Output: (groupCol, n_old_est, n_new_est, n_union_est,
+    * n_overlap_est). */
+  def hllUnionDiff(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val ro = hllRegisters(oldDf, groupCol, valueCol)
+      .localCheckpoint(true) // feeds its own estimate AND the merge
+    val rn = hllRegisters(newDf, groupCol, valueCol)
+      .localCheckpoint(true)
+    val merged = ro.unionByName(rn)
+      .groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m"))
+    def est(regs: DataFrame, out: String) = hllEstimate(regs)
+      .select(col("__g"), col("__est").as(out))
+    est(ro, "n_old_est")
+      .join(est(rn, "n_new_est"), "__g")
+      .join(est(merged, "n_union_est"), "__g")
+      .select(col("__g").as(groupCol),
+        col("n_old_est"), col("n_new_est"), col("n_union_est"),
+        round(greatest(
+          col("n_old_est") + col("n_new_est") - col("n_union_est"),
+          lit(0.0)), 4).as("n_overlap_est"))
   }
 
   /** Balanced range-shard boundary planner ([EXT] X175): the write-

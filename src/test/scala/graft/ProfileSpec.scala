@@ -204,4 +204,34 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got.map(_._3).sum - 1.0) < 0.001)
     assert(math.abs(got.map(_._4).sum - 1.0) < 0.001)
   }
+
+  test("hllUnionDiff (X226): merged registers equal a fresh sketch of the union; " +
+    "identical sides overlap fully, disjoint sides near zero") {
+    import graft.operators.Profile
+    val a = (0 until 400).map(i => ("g", s"tok_a_$i")).toDF("g", "v")
+    val b = (0 until 400).map(i => ("g", s"tok_b_$i")).toDF("g", "v")
+    // the mergeability LAW (exact, not approximate): bucket-wise max of
+    // two register tables IS the register table of the concatenation
+    val merged = Profile.hllRegisters(a, "g", "v")
+      .unionByName(Profile.hllRegisters(b, "g", "v"))
+      .groupBy(col("__g"), col("__b")).agg(max(col("__m")).as("__m"))
+      .as[(String, Long, Long)].collect().toSet
+    val fresh = Profile.hllRegisters(a.unionByName(b), "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == fresh)
+    // identical sides: union = each side, overlap = the full estimate
+    val same = Profile.hllUnionDiff(a, a, "g", "v").collect()(0)
+    assert(same.getAs[Double]("n_union_est") == same.getAs[Double]("n_old_est"))
+    assert(same.getAs[Double]("n_overlap_est") == same.getAs[Double]("n_old_est"))
+    // disjoint sides: overlap estimate small relative to either side
+    // (sketch noise at 64 buckets, clamped at 0 — never negative)
+    val disj = Profile.hllUnionDiff(a, b, "g", "v").collect()(0)
+    assert(disj.getAs[Double]("n_overlap_est") >= 0.0)
+    assert(disj.getAs[Double]("n_overlap_est") <
+      0.4 * disj.getAs[Double]("n_old_est"),
+      disj.toString)
+    // and the union estimate exceeds either side on disjoint data
+    assert(disj.getAs[Double]("n_union_est") > disj.getAs[Double]("n_old_est"))
+    assert(disj.getAs[Double]("n_union_est") > disj.getAs[Double]("n_new_est"))
+  }
 }
