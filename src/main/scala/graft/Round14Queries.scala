@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Privacy, TrainingData}
 
-/** Round-14 [EXT] batch: the VERDICT r13 follow-ups — the binned KS
-  * scale path (X105's 100 TB variant) and the driver-literal closure
-  * of the DeflateRatio gate (X40, spec-gated since round 6).
+/** Round-14 [EXT] batch — the VERDICT r13 follow-ups plus the
+  * second-wave operators: binned KS (X213) and its Mann–Whitney
+  * sibling with Cliff's delta (X218/X222), the DeflateRatio gate
+  * closure (X40), top-k PCA by deflation (X214), the incremental IVF
+  * serving query (X215), Spearman's rho (X217), the Poisson
+  * bootstrap (X219), calibration error (X220), Chao1 + Good–Turing
+  * (X221), the secret scan (X223), t-closeness (X225), and the HLL
+  * register merge (X226).
   */
 object Round14Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
