@@ -15,7 +15,7 @@ object Round12ppQueries {
 
   /** (doc_id, n_chars score, c4 keep_doc label) — the signal-vs-
     * battery frame both queries consume. */
-  private def scored(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Curation.c4Rules(docs, "doc_id", "text", minSentences = 1)
       .select(col("doc_id"), col("keep_doc"))
@@ -25,7 +25,7 @@ object Round12ppQueries {
   /** The quality_c4 oracle's CTE chain, cut down to (doc_id, keep,
     * n_chars) — one definition so the label derivation cannot drift
     * from the green quality_c4 twin. */
-  private val labelCtes: String =
+  private[graft] val labelCtes: String =
     """s AS (SELECT doc_id, COALESCE(text, '') AS text,
       |    list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
       |      l -> trim(l)), l -> l <> '') AS lines

@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, CorpusStats, Curation, Dedup, Graph}
+
+/** Round-14 [EXT] second batch — the NOTES round-15 leads landed
+  * early plus two new analysis operators: isotonic calibration by the
+  * closed minimax PAV form (X227), the DSIR effective-sample-size
+  * readout on the literal exp grid (X228), signed Dunning G² keyness
+  * (X229), and HITS hubs/authorities over the duplicate-provenance
+  * graph (X230).
+  */
+object Round14bQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X227: isotonic calibration (PAV, minimax form) — the
+    // actionable step after score_ece says "badly calibrated": the
+    // monotone score→probability map, every pooled rate on the exact
+    // 1e-6 integer grid BEFORE any min/max decides a boundary --------
+    "iso_calibration" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Classifier.isotonicCalibration(
+        t(s, dir, "documents").select(
+          TF.stopwordFraction(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    // ---- X228: DSIR effective sample size — does resampling ∝
+    // exp(logw) keep a usable corpus or collapse onto a few docs?
+    // Per-token log-ratios quantized 1e-6 BEFORE the doc sum (exact
+    // lattice, unlike dsir_weights' 1e-4-gated double sum); exp only
+    // ever read from the DsirExpGrid literal both engines share ------
+    "dsir_ess" -> ((s, dir) =>
+      Curation.dsirEss(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2"),
+        headSize = 16)),
+
+    // ---- X229: signed Dunning G² keyness — top-5 distinctive tokens
+    // per language vs the rest of the corpus (bounded TopKStrAgg,
+    // never a vocabulary-wide rank window) ---------------------------
+    "keyness" -> ((s, dir) =>
+      CorpusStats.keyness(t(s, dir, "documents"), "lang", "text", k = 5)
+        .orderBy("lang", "rank")),
+
+    // ---- X231: KMV/theta sketch set algebra on the %3/%5 splits —
+    // the DIRECT intersection/difference estimates HLL registers
+    // cannot give (same species and splits as hll_union, so the two
+    // sketch families answer the same question side by side) ---------
+    "theta_diff" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = t(s, dir, "documents")
+      def st(side: DataFrame) = side
+        .select(col("source"), explode(TF.shingleHashesFromTokens(
+          TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
+      graft.operators.Profile.kmvDiff(
+        st(docs.where(col("doc_id") % 3 =!= 0)),
+        st(docs.where(col("doc_id") % 5 =!= 0)),
+        "source", "tok", k = 32)
+        .orderBy("source")
+    }),
+
+    // ---- X232: binned average precision — the PR-side scalar next
+    // to signal_auc on the SAME signal/label frame (n_chars score vs
+    // the C4 keep verdict): AUC says "ranks keepers above droppers",
+    // AP says what an admission gate actually retrieves ---------------
+    "score_ap" -> ((s, dir) =>
+      Classifier.averagePrecision(Round12ppQueries.scored(s, dir),
+        "n_chars", "keep_doc", binWidth = 256L, nBins = 16)),
+
+    // ---- X230: HITS on the duplicate-provenance graph — edges point
+    // later near-dup → earlier original (the jaccard pairs served from
+    // the materialized shingle index, the graph_pagerank precedent);
+    // authorities = originals many later docs copy, hubs = docs
+    // assembled from many originals --------------------------------
+    "graph_hits" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val e = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
+      Graph.hits(e, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("hub_q"), col("auth_q"),
+          round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "iso_calibration" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH sc AS (SELECT $stop AS score, lang = 'en' AS label
+         |  FROM documents),
+         |b AS (SELECT
+         |    CAST(greatest(least(floor(score * 10), 9.0), 0.0) AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+         |  GROUP BY 1),
+         |cum AS (SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         |  FROM b),
+         |iv AS (SELECT j.bin AS bj, k.bin AS bk,
+         |    ((k.cp - (j.cp - j.pos)) * 2000000 + (k.cn - (j.cn - j.n)))
+         |      // ((k.cn - (j.cn - j.n)) * 2) AS pool_q
+         |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+         |inner_ AS (SELECT b.bin, b.n, b.pos, iv.bj, min(iv.pool_q) AS m
+         |  FROM b JOIN iv ON iv.bj <= b.bin AND iv.bk >= b.bin
+         |  GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT bin, n, pos, max(m) AS iso FROM inner_
+         |  GROUP BY 1, 2, 3)
+         |SELECT bin, n, pos AS n_pos,
+         |  CAST((20000 * pos + n) // (2 * n) AS BIGINT) / 10000.0 AS pos_rate,
+         |  CAST(iso AS DOUBLE) / 1000000.0 AS iso_prob
+         |FROM f ORDER BY bin""".stripMargin
+    },
+
+    "dsir_ess" -> {
+      val gridRows = Curation.DsirExpGrid
+        .map { case (g, w) => s"($g, $w)" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    ${SparkEntry.sqlTokens("text")} AS tk FROM documents),
+         |dt AS (SELECT doc_id, (source IN ('src0', 'src1', 'src2')) AS tgt,
+         |       unnest(tk) AS t FROM tk),
+         |dtc AS (SELECT doc_id, tgt, t, CAST(count(*) AS BIGINT) AS c
+         |        FROM dt GROUP BY 1, 2, 3),
+         |raw AS (SELECT t, CAST(sum(c) AS BIGINT) AS raw_tf FROM dtc GROUP BY 1),
+         |tgt AS (SELECT t, CAST(sum(c) AS BIGINT) AS tgt_tf FROM dtc WHERE tgt GROUP BY 1),
+         |model AS (SELECT r.t, r.raw_tf, coalesce(g.tgt_tf, 0) AS tgt_tf
+         |          FROM raw r LEFT JOIN tgt g USING (t)),
+         |tot AS (SELECT CAST(sum(raw_tf) AS BIGINT) AS n_raw,
+         |        CAST(sum(tgt_tf) AS BIGINT) AS n_tgt,
+         |        CAST(count(*) AS BIGINT) AS v FROM model),
+         |lr AS (SELECT t, CAST(round(
+         |        (ln((CAST(tgt_tf AS DOUBLE) + 1.0) / (CAST(n_tgt AS DOUBLE) + CAST(v AS DOUBLE)))
+         |       - ln((CAST(raw_tf AS DOUBLE) + 1.0) / (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE))))
+         |        * 1000000) AS BIGINT) AS lrq
+         |      FROM model CROSS JOIN tot),
+         |lw AS (SELECT doc_id, CAST(sum(c * lrq) AS BIGINT) AS logw_q
+         |  FROM dtc JOIN lr USING (t) GROUP BY 1),
+         |cells AS (SELECT greatest(least(
+         |    CAST(round(CAST(logw_q AS DOUBLE) / 100000.0) AS BIGINT),
+         |    80), -80) AS cell FROM lw),
+         |grid(cell, w) AS (VALUES $gridRows),
+         |j AS (SELECT w FROM cells JOIN grid USING (cell)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(CAST(w AS HUGEINT)) AS sw,
+         |    sum(CAST(w AS HUGEINT) * w) AS sw2,
+         |    CAST(max(w) AS HUGEINT) AS mx FROM j)
+         |SELECT n_docs,
+         |  CAST((20000 * sw * sw + sw2) // (2 * sw2) AS BIGINT) / 10000.0
+         |    AS ess,
+         |  CAST((20000 * sw * sw + n_docs * sw2)
+         |    // (2 * CAST(n_docs AS HUGEINT) * sw2) AS BIGINT) / 10000.0
+         |    AS ess_frac,
+         |  CAST((20000 * mx + sw) // (2 * sw) AS BIGINT) / 10000.0
+         |    AS max_w_share
+         |FROM agg""".stripMargin
+    },
+
+    "keyness" ->
+      s"""WITH tk0 AS (SELECT lang AS g, ${SparkEntry.sqlTokens("text")} AS tk
+         |  FROM documents),
+         |tk AS (SELECT g, unnest(tk) AS t FROM tk0),
+         |cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS o1
+         |  FROM tk GROUP BY 1, 2),
+         |bt AS (SELECT t, CAST(sum(o1) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |bg AS (SELECT g, CAST(sum(o1) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn FROM bg),
+         |cells AS (SELECT c.g, c.t, c.o1, bt.ct, bg.ng,
+         |    bt.ct - c.o1 AS o2, tot.nn - bg.ng AS n2, tot.nn AS nn
+         |  FROM cnt c JOIN bt USING (t) JOIN bg ON c.g = bg.g CROSS JOIN tot
+         |  WHERE tot.nn > bg.ng),
+         |sc AS (SELECT g, t,
+         |    (CAST(o1 AS HUGEINT) * CAST(round(ln(
+         |        CAST(CAST(o1 AS HUGEINT) * nn AS DOUBLE)
+         |        / CAST(CAST(ng AS HUGEINT) * ct AS DOUBLE)) * 1000000)
+         |        AS BIGINT)
+         |     + CASE WHEN o2 = 0 THEN 0
+         |       ELSE CAST(o2 AS HUGEINT) * CAST(round(ln(
+         |         CAST(CAST(o2 AS HUGEINT) * nn AS DOUBLE)
+         |         / CAST(CAST(n2 AS HUGEINT) * ct AS DOUBLE)) * 1000000)
+         |         AS BIGINT) END) * 2
+         |    * (CASE WHEN CAST(o1 AS HUGEINT) * n2 >= CAST(o2 AS HUGEINT) * ng
+         |       THEN 1 ELSE -1 END) AS kq
+         |  FROM cells),
+         |r AS (SELECT g, t, kq, row_number() OVER (PARTITION BY g
+         |    ORDER BY CAST(kq AS DOUBLE) DESC, t ASC) AS rk FROM sc)
+         |SELECT g AS lang, CAST(rk AS BIGINT) AS rank, t AS token,
+         |  CAST(kq AS DOUBLE) / 1000000.0 AS keyness
+         |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "theta_diff" -> {
+      val two52 = 4503599627370496L
+      val k = 32
+      def side(sfx: String, pred: String): String =
+        s"""th_$sfx AS (SELECT source AS g,
+           |    ${SparkEntry.sqlTokenHashes("coalesce(text, '')")} AS th
+           |  FROM documents WHERE $pred),
+           |st_$sfx AS (SELECT g,
+           |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS t
+           |  FROM th_$sfx),
+           |d_$sfx AS (SELECT DISTINCT g,
+           |    CAST(('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 13))
+           |      AS BIGINT) AS h
+           |  FROM st_$sfx),
+           |rk_$sfx AS (SELECT g, h,
+           |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           |  FROM d_$sfx),
+           |sk_$sfx AS (SELECT g, list(h ORDER BY h) AS m
+           |  FROM rk_$sfx WHERE rn <= $k GROUP BY g)""".stripMargin
+      def est(m: String): String =
+        s"""CASE WHEN len($m) < $k THEN CAST(len($m) AS DOUBLE)
+           |ELSE CAST((CAST(20000 AS HUGEINT) * ${k - 1} * $two52
+           |    + $m[$k]) // (2 * CAST($m[$k] AS HUGEINT)) AS BIGINT)
+           |  / 10000.0 END""".stripMargin.replace('\n', ' ')
+      s"""WITH ${side("o", "doc_id % 3 <> 0")},
+         |${side("n", "doc_id % 5 <> 0")},
+         |p AS (SELECT sk_o.g, sk_o.m AS ma, sk_n.m AS mb,
+         |    list_sort(list_distinct(list_concat(sk_o.m, sk_n.m)))[1:$k]
+         |      AS mu
+         |  FROM sk_o JOIN sk_n ON sk_o.g = sk_n.g),
+         |q AS (SELECT g, ma, mb, mu,
+         |    least(CASE WHEN len(ma) < $k THEN $two52 ELSE ma[$k] END,
+         |          CASE WHEN len(mb) < $k THEN $two52 ELSE mb[$k] END)
+         |      AS th
+         |  FROM p),
+         |r AS (SELECT g, ma, mb, mu,
+         |    list_filter(ma, x -> x < th) AS xa,
+         |    list_filter(mb, x -> x < th) AS xb
+         |  FROM q),
+         |s AS (SELECT g, ma, mb, mu,
+         |    CAST(len(list_filter(xa, x -> list_contains(xb, x)))
+         |      AS BIGINT) AS c,
+         |    CAST(len(list_distinct(list_concat(xa, xb))) AS BIGINT) AS u,
+         |    CASE WHEN len(mu) < $k THEN $two52 ELSE mu[$k] END AS thu
+         |  FROM r),
+         |f AS (SELECT g,
+         |    ${est("ma")} AS n_old_est,
+         |    ${est("mb")} AS n_new_est,
+         |    ${est("mu")} AS n_union_est,
+         |    CASE WHEN u > 0
+         |      THEN CAST((20000 * c + u) // (2 * u) AS BIGINT) / 10000.0
+         |      END AS jaccard_est,
+         |    CASE WHEN len(mu) < $k THEN CAST(c AS DOUBLE)
+         |      WHEN u > 0 THEN CAST((CAST(20000 AS HUGEINT) * c * ${k - 1}
+         |          * $two52 + CAST(u AS HUGEINT) * thu)
+         |        // (2 * CAST(u AS HUGEINT) * thu) AS BIGINT) / 10000.0
+         |      END AS n_inter_est
+         |  FROM s)
+         |SELECT g AS source, n_old_est, n_new_est, n_union_est,
+         |  jaccard_est, n_inter_est,
+         |  greatest(round(n_new_est - n_inter_est, 4), 0.0)
+         |    AS new_not_old_est
+         |FROM f ORDER BY source""".stripMargin
+    },
+
+    "score_ap" ->
+      s"""WITH ${Round12ppQueries.labelCtes},
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p FROM b),
+         |c AS (SELECT bin, n_pos, n_neg,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cp,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC)
+         |      + sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS ct
+         |  FROM b),
+         |terms AS (SELECT n_pos, n_neg,
+         |    CASE WHEN tot.p > 0 THEN
+         |      CAST((CAST(200000000 AS HUGEINT) * n_pos * cp
+         |          + CAST(tot.p AS HUGEINT) * ct)
+         |        // (2 * CAST(tot.p AS HUGEINT) * ct) AS BIGINT) END AS t
+         |  FROM c CROSS JOIN tot)
+         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         |  CAST(sum(t) AS DOUBLE) / 100000000.0 AS ap
+         |FROM terms""".stripMargin,
+
+    "graph_hits" -> {
+      def iter(r: Int): String = {
+        val p = r - 1
+        s"""hr$r AS (SELECT e.src AS node, sum(a$p.v) AS s
+           |  FROM edges e JOIN a$p ON a$p.node = e.dst GROUP BY 1),
+           |hm$r AS (SELECT max(s) AS mx FROM hr$r),
+           |h$r AS (SELECT nodes.node,
+           |    (coalesce(hr$r.s, 0) * 2000000 + mx) // (2 * mx) AS v
+           |  FROM nodes CROSS JOIN hm$r
+           |  LEFT JOIN hr$r ON hr$r.node = nodes.node),
+           |ar$r AS (SELECT e.dst AS node, sum(h$r.v) AS s
+           |  FROM edges e JOIN h$r ON h$r.node = e.src GROUP BY 1),
+           |am$r AS (SELECT max(s) AS mx FROM ar$r),
+           |a$r AS (SELECT nodes.node,
+           |    (coalesce(ar$r.s, 0) * 2000000 + mx) // (2 * mx) AS v
+           |  FROM nodes CROSS JOIN am$r
+           |  LEFT JOIN ar$r ON ar$r.node = nodes.node),""".stripMargin
+      }
+      s"""WITH ${SparkEntry.sqlJaccardCtes},
+         |edges AS (SELECT doc_b AS src, doc_a AS dst FROM jpairs
+         |  WHERE jac >= 0.3),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes),
+         |a0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes),
+         |${(1 to 3).map(iter).mkString("\n")}
+         |fin AS (SELECT h3.node, h3.v AS hq, a3.v AS aq
+         |  FROM h3 JOIN a3 ON h3.node = a3.node)
+         |SELECT node AS doc_id, CAST(hq AS BIGINT) AS hub_q,
+         |  CAST(aq AS BIGINT) AS auth_q,
+         |  round(CAST(hq AS DOUBLE) / 1000000.0, 6) AS hub,
+         |  round(CAST(aq AS DOUBLE) / 1000000.0, 6) AS auth
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
+  )
+}

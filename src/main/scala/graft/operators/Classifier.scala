@@ -425,4 +425,123 @@ object Classifier {
           expr("(20000 * __u + __d) div (2 * __d)").cast("double") /
             lit(10000.0)).as("auc"))
   }
+
+  /** Binned average precision ([EXT] X232, round 14) — the PR-side
+    * scalar next to [[rocAuc]]'s ROC-side one: AUC is blind to class
+    * imbalance (a 1:10⁴ keep/drop corpus can score 0.95 AUC while
+    * every retrieved doc is junk); AP = Σ_b ΔR(b)·P(b) over the
+    * threshold sweep weights precision by where the POSITIVES are —
+    * the number that actually ranks two quality signals for a
+    * high-precision admission gate.
+    *
+    * Pinned semantics: bin-granular sweep (descending score bins; a
+    * whole bin is admitted at once, its positives credited at the
+    * bin's inclusive precision — the Mann–Whitney tie treatment
+    * applied to PR space). Each term quantizes at 1e-8 by exact
+    * integer half-up — ΔR(b)·P(b) = (pos_b/P)·(cp_b/ct_b) rides
+    * decimal(38,0) products — then ONE order-free long sum; AP is the
+    * final exact /10⁸ division. Degenerate (no positives) → null.
+    *
+    * Scale shape: the posNegBins collapse (ONE map-side combine),
+    * then bounded ≤nBins windows. Output: (n_pos, n_neg, ap). */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+                       labelCol: String, binWidth: Long = 256L,
+                       nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bins
+      .withColumn("__cp", sum(col("n_pos")).over(wTop).cast("long"))
+      .withColumn("__ct",
+        (sum(col("n_pos")).over(wTop) + sum(col("n_neg")).over(wTop))
+          .cast("long"))
+      .withColumn("__p", sum(col("n_pos"))
+        .over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .unboundedFollowing)).cast("long"))
+      .select(col("n_pos"), col("n_neg"), col("__p"),
+        // per-bin term (pos_b·cp_b)/(P·ct_b) half-up on the 1e-8 grid
+        when(col("__p") > 0L,
+          expr("CAST((CAST(200000000 AS DECIMAL(38,0)) * n_pos * __cp " +
+            "+ CAST(__p AS DECIMAL(38,0)) * __ct) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * __p * __ct) AS BIGINT)"))
+          .as("__t"))
+      .agg(sum(col("n_pos")).cast("long").as("n_pos"),
+        sum(col("n_neg")).cast("long").as("n_neg"),
+        (sum(col("__t")).cast("double") / lit(100000000.0)).as("ap"))
+  }
+
+  /** Isotonic calibration by pool-adjacent-violators ([EXT] X227,
+    * round 14) — the ACTIONABLE step after [[calibrationError]] says
+    * "badly calibrated": the monotone step function g minimizing
+    * Σ(g(bin) − y)² maps raw scores to usable probabilities without
+    * assuming a parametric shape (Zadrozny & Elkan 2002 — the
+    * standard recalibration next to Platt scaling, preferred when the
+    * miscalibration isn't sigmoid-shaped).
+    *
+    * PAV itself is sequential, but over the ≤nBins bin table the
+    * closed MINIMAX form is bounded relational algebra (Robertson,
+    * Wright & Dykstra 1988, eq. 1.9):
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} pooled(j..k),
+    *   pooled(j..k) = Σ_{b ∈ j..k} pos_b / Σ_{b ∈ j..k} n_b
+    *
+    * so both engines replay it with NO iteration: occupied bins get
+    * inclusive cumsums over a ≤nBins-row window, intervals come from
+    * the bounded j ≤ k self-join (≤ nBins² rows), and iso(i) is two
+    * bounded aggregates. Every pooled rate is quantized onto the 1e-6
+    * grid by EXACT integer half-up BEFORE the min/max, so no float
+    * comparison ever decides a boundary (distinct rationals that
+    * collide on the grid tie identically in both engines — the X211
+    * rule applied to order statistics).
+    *
+    * Scale shape: ONE map-side (bin, n, pos) collapse over the corpus;
+    * everything after runs on ≤nBins rows. Output: (bin, n, n_pos,
+    * pos_rate, iso_prob) — iso_prob non-decreasing in bin by
+    * construction; equal-iso_prob runs mark the pooled blocks. */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0 && nBins <= 64, "nBins must be in [1, 64]")
+    val bin = greatest(least(floor(col(scoreCol) * nBins), lit(nBins - 1)),
+      lit(0)).cast("int")
+    val bins = scored
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // inclusive cumsums; "cum before j" = cum(j) − own(j)
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(w).cast("long"))
+      .withColumn("cp", sum(col("pos")).over(w).cast("long"))
+    // every interval j..k of occupied bins, its pooled rate already
+    // on the exact 1e-6 half-up grid (pden > 0 always: occupied bins)
+    val j = cum.select(col("bin").as("bj"),
+      (col("cn") - col("n")).as("bn"), (col("cp") - col("pos")).as("bp"))
+    val k = cum.select(col("bin").as("bk"), col("cn"), col("cp"))
+    val intervals = broadcast(j).join(broadcast(k), col("bj") <= col("bk"))
+      .select(col("bj"), col("bk"),
+        ((col("cp") - col("bp")) * lit(2000000L) + (col("cn") - col("bn")))
+          .as("__num"),
+        ((col("cn") - col("bn")) * lit(2L)).as("__den"))
+      .select(col("bj"), col("bk"), expr("__num div __den").as("pool_q"))
+    // iso(i) = max over j≤i of (min over k≥i of pool_q(j,k))
+    val inner = bins.select(col("bin"), col("n"), col("pos"))
+      .join(broadcast(intervals),
+        col("bj") <= col("bin") && col("bk") >= col("bin"))
+      .groupBy(col("bin"), col("n"), col("pos"), col("bj"))
+      .agg(min(col("pool_q")).as("__m"))
+    inner.groupBy(col("bin"), col("n"), col("pos"))
+      .agg(max(col("__m")).as("__iso"))
+      .select(col("bin"), col("n"), col("pos").as("n_pos"),
+        (expr("(20000 * pos + n) div (2 * n)").cast("double") /
+          lit(10000.0)).as("pos_rate"),
+        (col("__iso").cast("double") / lit(1000000.0)).as("iso_prob"))
+  }
 }

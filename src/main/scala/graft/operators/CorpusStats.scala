@@ -1400,4 +1400,73 @@ object CorpusStats {
         element_at(col("__arr"),
           (round(lit(0.975) * (size(col("__arr")) - 1).cast("double"))
             .cast("int") + 1)).as("ci_hi"))
+
+  /** Signed Dunning log-likelihood keyness ([EXT] X229, round 14) —
+    * the DISTINCTIVE-term extractor per group (Dunning 1993, the
+    * corpus-linguistics standard): for each (group, token), G² of the
+    * 2×2 contingency (token-in-group vs token-in-rest), signed + when
+    * the group OVER-uses the token. What tf-idf cannot give: tf-idf
+    * rewards rarity anywhere, keyness measures statistical surprise
+    * of THIS group's rate against the rest of the corpus — the
+    * "what is this source/language actually about" readout that mix
+    * design and contamination triage read per slice.
+    *
+    * Exactness: each G² addend oᵢ·ln(oᵢ/eᵢ) rides the entropy_rate
+    * lattice — the ratio is ONE correctly-rounded division of exact
+    * integer products ((oᵢ·N)/(nᵢ·ct), decimal(38,0) → double), the
+    * ln quantizes 1e-6 BEFORE the multiply, terms stay decimal — and
+    * the over/under sign compares o₁·n₂ vs o₂·n₁ in exact integers.
+    * Top-k per group is the BOUNDED TopKStrAgg (map-side combining,
+    * never a vocabulary-wide rank window — the zipfFit rule); ties
+    * break on the token string in both engines.
+    *
+    * Scale shape: one (group, token) collapse, one |vocab|-row token
+    * rollup joined back equi on token, group totals broadcast; the
+    * top-k shuffle carries ≤ |groups|·partitions·k rows. Output:
+    * (group, rank, token, keyness) — keyness in G² units (quantized
+    * 1e-6), positive = over-represented in the group. */
+  def keyness(docs: DataFrame, groupCol: String, textCol: String,
+              k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val counts = docs
+      .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("__g"), col("t"))
+      .agg(count(lit(1)).cast("long").as("o1"))
+    val byTok = counts.groupBy(col("t"))
+      .agg(sum(col("o1")).cast("long").as("ct"))
+    val byGrp = counts.groupBy(col("__g"))
+      .agg(sum(col("o1")).cast("long").as("ng"))
+    val tot = byGrp.agg(sum(col("ng")).cast("long").as("nn"))
+    val cells = counts
+      .join(byTok, Seq("t"))
+      .join(broadcast(byGrp), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .where(col("nn") > col("ng")) // single-group corpus: no contrast
+      .select(col("__g"), col("t"), col("o1"), col("ct"), col("ng"),
+        (col("ct") - col("o1")).as("o2"), (col("nn") - col("ng")).as("n2"),
+        col("nn"))
+    // addend oᵢ·round(ln((oᵢ·N)/(nᵢ·ct))·10⁶); o=0 contributes 0
+    def term(o: org.apache.spark.sql.Column, ng: org.apache.spark.sql.Column) =
+      when(o === 0L, dec(lit(0L))).otherwise(
+        dec(o) * dec(round(log((dec(o) * dec(col("nn"))).cast("double")
+          / (dec(ng) * dec(col("ct"))).cast("double")) * 1000000)
+          .cast("long")))
+    val scoredCells = cells.select(col("__g"), col("t"),
+      ((term(col("o1"), col("ng")) + term(col("o2"), col("n2")))
+        * dec(lit(2L))).as("__g2"),
+      when(dec(col("o1")) * dec(col("n2")) >= dec(col("o2")) * dec(col("ng")),
+        lit(1L)).otherwise(lit(-1L)).as("__sign"))
+      .select(col("__g"), col("t"),
+        (col("__g2") * dec(col("__sign"))).cast("double").as("__kq"))
+    val topk = udaf(new TopKStrAgg(k),
+      org.apache.spark.sql.Encoders.product[ScoredStr])
+    scoredCells.groupBy(col("__g"))
+      .agg(topk(col("t"), negate(col("__kq"))).as("__top"))
+      .select(col("__g").as(groupCol),
+        posexplode(col("__top")).as(Seq("__i", "__kw")))
+      .select(col(groupCol), (col("__i") + 1).cast("long").as("rank"),
+        col("__kw.key").as("token"),
+        (negate(col("__kw.score")) / lit(1000000.0)).as("keyness"))
+  }
 }

@@ -1060,4 +1060,105 @@ object Curation {
         (expr("__best div 16") >=
           math.round(minFrac * 10000.0)).as("is_loopy"))
   }
+
+  // ---------------------------------------------------------------
+  // DSIR effective sample size
+  // ---------------------------------------------------------------
+
+  /** The exp(·) literal grid behind [[dsirEss]]: cell g (tenths of a
+    * nat, clamped to ±8 nats) → round(exp(g/10)·10⁶). Computed ONCE
+    * here and consumed VERBATIM by both engines (the X211/X219 rule:
+    * exp is in the banned transcendental class — a 1-ulp libm
+    * difference at a half-up boundary splits the gate — so NEITHER
+    * engine ever evaluates it; the grid is the contract). ±8 nats
+    * spans weight ratios of e¹⁶ ≈ 8.9M:1 — beyond that the ESS
+    * verdict is already "degenerate". */
+  val DsirExpGrid: IndexedSeq[(Long, Long)] =
+    (-80L to 80L).map(g => g -> Math.round(Math.exp(g / 10.0) * 1e6))
+
+  /** Effective sample size of the DSIR importance weights ([EXT]
+    * X228, round 14) — the one number that says whether resampling
+    * ∝ exp(logw) toward the target domain keeps a usable corpus or
+    * collapses onto a handful of documents (Kong 1992's ESS =
+    * (Σw)²/Σw², the standard importance-sampling diagnostic; ESS/n
+    * near 1 = the reweighting is gentle, near 0 = a few docs carry
+    * all the mass and the "resampled 100 TB" is effectively tiny).
+    *
+    * Exactness discipline: unlike [[dsirWeights]] (whose logw is an
+    * order-dependent double sum, gated at 1e-4), the ESS path
+    * quantizes each token's log-ratio onto the 1e-6 grid FIRST
+    * (round(lr·10⁶) — the entropy_rate rule), so per-doc logw_q is an
+    * EXACT integer sum; the weight map logw_q → exp cell → w rides
+    * the [[DsirExpGrid]] literal; Σw and Σw² accumulate in
+    * decimal(38,0); ESS and ESS/n finish as single half-up divisions.
+    * No engine evaluates exp, and no float compare decides anything.
+    *
+    * Scale shape: the dsirWeights plumbing (per-doc collapse, Zipf
+    * head-broadcast/tail-equi-join model scoring), then ONE bounded
+    * aggregate. Σw² caps the decimal headroom at ~10¹² docs with the
+    * 1e-6 weight scale; past that drop the grid scale to 1e-3 (the
+    * Long-state note on StreamingBootstrap). Output: one row
+    * (n_docs, ess, ess_frac, max_w_share). */
+  def dsirEss(df: DataFrame, idCol: String, textCol: String,
+              isTarget: Column, headSize: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docTok = df
+      .select(col(idCol).as("doc"), isTarget.as("__tgt"),
+        explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("__tgt"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val model = docTok.groupBy(col("t")).agg(
+      sum(col("c")).cast("long").as("raw_tf"),
+      sum(when(col("__tgt"), col("c")).otherwise(lit(0L))).cast("long")
+        .as("tgt_tf"))
+    val totals = model.agg(
+      sum(col("raw_tf")).cast("long").as("n_raw"),
+      sum(col("tgt_tf")).cast("long").as("n_tgt"),
+      count(lit(1)).cast("long").as("v"))
+    // per-token log-ratio quantized 1e-6 BEFORE any sum (exact lattice)
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("t"), col("raw_tf"),
+        round((log((col("tgt_tf").cast("double") + 1.0)
+            / (col("n_tgt").cast("double") + col("v").cast("double")))
+          - log((col("raw_tf").cast("double") + 1.0)
+            / (col("n_raw").cast("double") + col("v").cast("double"))))
+          * 1000000).cast("long").as("lrq"))
+    val head = lr.orderBy(col("raw_tf").desc, col("t").asc).limit(headSize)
+      .select(col("t"), col("lrq"))
+    val tail = lr.select(col("t"), col("lrq"))
+      .join(broadcast(head.select(col("t"))), Seq("t"), "left_anti")
+    val scored = docTok.join(broadcast(head), Seq("t"))
+      .unionByName(docTok.join(tail, Seq("t")))
+    val logw = scored.groupBy(col("doc"))
+      .agg(sum(col("c") * col("lrq")).cast("long").as("logw_q"))
+    // exp cell: half-away-from-zero onto tenths of a nat, clamped ±80
+    // (round() is half-away in BOTH engines; the only .5 boundaries an
+    // exact-integer/10⁵ quotient can hit are exactly representable)
+    val cell = greatest(least(
+      round(col("logw_q").cast("double") / 100000.0).cast("long"),
+      lit(80L)), lit(-80L))
+    val grid = broadcast(DsirExpGrid.toDF("__cell", "__w"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    logw.select(cell.as("__cell"))
+      .join(grid, Seq("__cell"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(dec(col("__w"))).as("__sw"),
+        sum(dec(col("__w")) * dec(col("__w"))).as("__sw2"),
+        max(col("__w")).cast("long").as("__mx"))
+      .select(col("n_docs"),
+        // ESS = (Σw)²/Σw², half-up 1e-4
+        (expr("CAST((20000 * __sw * __sw + __sw2) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __sw2) AS BIGINT)").cast("double")
+          / lit(10000.0)).as("ess"),
+        // ESS/n, half-up 1e-4
+        (expr("CAST((20000 * __sw * __sw + n_docs * __sw2) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_docs * __sw2) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("ess_frac"),
+        // the heaviest doc's share of the total mass, half-up 1e-4
+        (expr("CAST((20000 * CAST(__mx AS DECIMAL(38,0)) + __sw) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __sw) AS BIGINT)").cast("double")
+          / lit(10000.0)).as("max_w_share"))
+  }
 }

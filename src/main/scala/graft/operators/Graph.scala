@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic integer-arithmetic PageRank — connectivity scoring
@@ -346,5 +346,78 @@ object Graph {
       expr("__m div 2").as("n_edges"),
       when(den > lit(0L), round(num.cast("double") / den.cast("double"), 4))
         .as("assortativity"))
+  }
+
+  /** HITS hubs & authorities ([EXT] X230, round 14; Kleinberg 1999) —
+    * the DIRECTED centrality pair PageRank's single score conflates:
+    * on the duplicate-provenance graph (edge later-doc → earlier-doc
+    * it near-duplicates) a high AUTHORITY is an original many later
+    * docs copy (the canonical doc a keep-one policy should keep) and
+    * a high HUB is a doc assembled from many originals (the
+    * aggregator/scraper signature — a drop candidate even when no
+    * single pair crosses the exact-dup bar).
+    *
+    * Pinned integer semantics (the pageRank discipline): scores live
+    * on the 1e-6 fixed-point grid (HQ); per iteration
+    *   h(u) = Σ_{u→v} a(v),  then h ← (h·HQ) div_half-up max(h)
+    *   a(v) = Σ_{u→v} h(u),  then a ← (a·HQ) div_half-up max(a)
+    * — L∞ normalization instead of the textbook L2 (no sqrt: every
+    * number stays an exact integer both engines replay; the ranking
+    * and the fixed point are the same up to scale). Sums are
+    * nonnegative longs; products h·HQ ≤ deg·HQ² need decimal(38,0)
+    * headroom at web scale — rides decimals throughout.
+    *
+    * Scale shape: per iteration two edge⋈score equi-joins + two
+    * map-side-combining groupBys (the pageRank shuffle class); the
+    * normalizing max is ONE broadcast scalar. Output: (node, hub_q,
+    * auth_q, hub, auth) with hub/auth = q/HQ ∈ [0, 1]. */
+  val HQ = 1000000L
+
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3, materialize: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50)
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val e = if (materialize) e0.localCheckpoint(true) else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // one normalized update: out = (Σ·HQ) div_half-up max(Σ), exact
+    // integers end-to-end (the half-up numerator trick on decimals,
+    // `div` — never `/`+cast, whose decimal re-cast rounds on its own)
+    def step(scores: DataFrame, joinKey: String, outKey: String,
+             outCol: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(col(scores.columns.last)).cast("long").as("__s"))
+      val mx = raw.agg(max(col("__s")).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          (dec(coalesce(col("__s"), lit(0L))) * dec(lit(2L * HQ))
+            + dec(col("__mx"))).as("__num"),
+          (dec(lit(2L)) * dec(col("__mx"))).as("__den"))
+        .select(col("node"),
+          expr("CAST(__num div __den AS BIGINT)").as(outCol))
+    }
+    var hub = nodes.withColumn("hq", lit(HQ))
+    var auth = nodes.withColumn("aq", lit(HQ))
+    var it = 0
+    while (it < iters) {
+      // h(u) = Σ a(v) over u's out-edges (nodes with no out-edges → 0),
+      // then a(v) = Σ h(u) over v's in-edges, each L∞-normalized
+      hub = step(auth, "dst", "src", "hq")
+      auth = step(hub, "src", "dst", "aq")
+      it += 1
+      if (it % CheckpointEvery == 0 && it < iters) {
+        hub = hub.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("hq").as("hub_q"), col("aq").as("auth_q"),
+        (col("hq").cast("double") / lit(HQ.toDouble)).as("hub"),
+        (col("aq").cast("double") / lit(HQ.toDouble)).as("auth"))
   }
 }

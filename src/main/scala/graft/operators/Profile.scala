@@ -532,4 +532,115 @@ object Profile {
         round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
           log(lit(10.0)), 4).as("expected"))
   }
+
+  // ---------------------------------------------------------------
+  // KMV (theta) sketch set algebra
+  // ---------------------------------------------------------------
+
+  /** KMV sketch size for [[kmvDiff]]: 32 minima per group. Standard
+    * error ~ 1/√(k−2) ≈ 18%; bump for tighter estimates. */
+  val KmvK = 32
+
+  /** KMV/theta-sketch snapshot set algebra ([EXT] X231, round 14) —
+    * the DIRECT intersection/difference estimates HLL registers
+    * cannot give (inclusion–exclusion is the only HLL option, and its
+    * variance explodes when the overlap is small relative to the
+    * union — exactly the "how much of the new crawl is genuinely
+    * new" regime [[hllUnionDiff]] serves from the other side).
+    * The k-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et
+    * al. 2007 unbiased form; the Apache DataSketches theta family):
+    * keep the k smallest distinct 52-bit hashes; N̂ = (k−1)·2⁵²/θ
+    * with θ = the k-th minimum. Sketches MERGE (k smallest of the
+    * combined minima ≡ the sketch of the union — spec-pinned as exact
+    * set equality, the X226 law), and two sketches support a direct
+    * Jaccard: under the common θ = min(θ_A, θ_B) the surviving minima
+    * are a uniform sample of the union, so ρ̂ = |common|/|either| and
+    * N̂_∩ = ρ̂·N̂_∪ as ONE exact rational (c·(k−1)·2⁵² / (u·θ_∪)).
+    *
+    * DETERMINISTIC by construction (the hllRegisters hash, integer
+    * order statistics, half-up finishes on decimal(38,0)) — both
+    * engines replay every estimate bit-for-bit; accuracy itself is
+    * spec-pinned. Sides with fewer than k distinct values are EXACT
+    * (the sketch holds everything; θ treated as 2⁵², the estimator
+    * short-circuits to the true count).
+    *
+    * Scale shape: one (group, hash) dedup collapse per side, then the
+    * BOUNDED TopKAgg (k longs per group through the shuffle — the
+    * k-NN join chassis reused for order statistics); all set algebra
+    * is row-local array arithmetic on ≤k-element arrays. Output:
+    * (groupCol, n_old_est, n_new_est, n_union_est, jaccard_est,
+    * n_inter_est, new_not_old_est). */
+  def kmvDiff(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+              valueCol: String, k: Int = KmvK): DataFrame = {
+    require(k >= 4 && k <= 4096, "k must be in [4, 4096]")
+    val two52 = 4503599627370496L
+    def mins(df: DataFrame, out: String): DataFrame = {
+      val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13),
+        16, 10).cast("long")
+      val topk = udaf(new TopKAgg(k),
+        org.apache.spark.sql.Encoders.product[Scored])
+      df.where(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"), h.as("__h"))
+        .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__g"))
+        .agg(topk(col("__h"), col("__h").cast("double")).as("__top"))
+        .select(col("__g"),
+          transform(col("__top"), s => s.getField("id")).as(out))
+    }
+    val a = mins(oldDf, "ma")
+    val b = mins(newDf, "mb")
+    val scalars = a.join(b, "__g")
+      .select(col("__g"), col("ma"), col("mb"),
+        // merged sketch: k smallest of the distinct union (the KMV
+        // union law — spec-pinned ≡ a fresh sketch of the concat)
+        slice(array_sort(array_distinct(concat(col("ma"), col("mb")))),
+          1, k).as("mu"))
+      .select(col("__g"), col("ma"), col("mb"), col("mu"),
+        // common θ: min of the FULL sides' θs; an exact side (sketch
+        // not full) covers its whole set, so its θ is the hash ceiling
+        least(
+          when(size(col("ma")) < k, lit(two52))
+            .otherwise(element_at(col("ma"), k)),
+          when(size(col("mb")) < k, lit(two52))
+            .otherwise(element_at(col("mb"), k))).as("__th"))
+      .select(col("__g"), col("ma"), col("mb"), col("mu"),
+        filter(col("ma"), x => x < col("__th")).as("__xa"),
+        filter(col("mb"), x => x < col("__th")).as("__xb"))
+      .select(col("__g"), col("ma"), col("mb"), col("mu"),
+        size(filter(col("__xa"),
+          x => array_contains(col("__xb"), x))).cast("long").as("__c"),
+        size(array_distinct(concat(col("__xa"), col("__xb"))))
+          .cast("long").as("__u"),
+        when(size(col("mu")) < k, lit(two52))
+          .otherwise(element_at(col("mu"), k)).as("__thu"))
+    // N̂ of one mins array: exact when the sketch isn't full, else the
+    // unbiased (k−1)·2⁵²/θ on the half-up 1e-4 grid
+    def est(m: String): String =
+      s"""CASE WHEN size($m) < $k THEN CAST(size($m) AS DOUBLE)
+         |ELSE CAST((CAST(20000 AS DECIMAL(38,0)) * ${k - 1} * $two52
+         |    + element_at($m, $k))
+         |  div (CAST(2 AS DECIMAL(38,0)) * element_at($m, $k))
+         |  AS BIGINT) / 10000.0 END""".stripMargin.replace('\n', ' ')
+    scalars.select(col("__g").as(groupCol),
+      expr(est("ma")).as("n_old_est"),
+      expr(est("mb")).as("n_new_est"),
+      expr(est("mu")).as("n_union_est"),
+      // ĵ = c/u half-up 1e-4 (u = 0 → null: both sides empty)
+      when(col("__u") > 0L,
+        expr("(20000 * __c + __u) div (2 * __u)").cast("double")
+          / lit(10000.0)).as("jaccard_est"),
+      // N̂_∩ = c·(k−1)·2⁵² / (u·θ_∪) — ONE exact rational when the
+      // merged sketch is full; exact mode: c IS the overlap count
+      when(size(col("mu")) < k, col("__c").cast("double"))
+        .otherwise(when(col("__u") > 0L,
+          expr(s"""CAST((CAST(20000 AS DECIMAL(38,0)) * __c * ${k - 1}
+                  |    * $two52 + CAST(__u AS DECIMAL(38,0)) * __thu)
+                  |  div (CAST(2 AS DECIMAL(38,0)) * __u * __thu)
+                  |  AS BIGINT)""".stripMargin.replace('\n', ' '))
+            .cast("double") / lit(10000.0))).as("n_inter_est"))
+      // what the new snapshot brings that the old never had — the
+      // question subtraction-free HLL cannot answer directly
+      .withColumn("new_not_old_est",
+        greatest(round(col("n_new_est") - col("n_inter_est"), 4), lit(0.0)))
+  }
 }

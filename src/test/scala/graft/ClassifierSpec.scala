@@ -341,4 +341,68 @@ class ClassifierSpec extends SparkSpec {
       .collect()(0)
     assert(p.getAs[Double]("ece") == 0.0 && p.getAs[Double]("brier") == 0.0)
   }
+
+  // ---------------- average precision (X232) ----------------
+
+  test("averagePrecision: hand case, perfect ranking, degenerate null") {
+    // bins (width 100, 10 bins): b9 = 2 pos, b5 = 1 pos 1 neg,
+    // b1 = 2 neg; P = 3. Terms: (2/3)(2/2) -> 66666667,
+    // (1/3)(3/4) -> 25000000, 0 -> AP = 0.91666667
+    val rows = Seq((950L, true), (950L, true), (550L, true), (550L, false),
+      (150L, false), (150L, false)).toDF("score", "label")
+    val r = Classifier.averagePrecision(rows, "score", "label",
+      binWidth = 100L, nBins = 10).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Double]("ap") == 0.91666667, r.toString)
+    // perfect separation: AP exactly 1
+    val perfect = Seq((950L, true), (950L, true), (150L, false))
+      .toDF("score", "label")
+    assert(Classifier.averagePrecision(perfect, "score", "label",
+      binWidth = 100L, nBins = 10).collect()(0).getAs[Double]("ap") == 1.0)
+    // no positives: null
+    val neg = Seq((950L, false), (150L, false)).toDF("score", "label")
+    assert(Classifier.averagePrecision(neg, "score", "label",
+      binWidth = 100L, nBins = 10).collect()(0).isNullAt(2))
+  }
+
+  // ---------------- isotonic calibration (X227) ----------------
+
+  private def isoOf(rows: Seq[(Double, Boolean)]): Seq[(Int, Double)] =
+    Classifier.isotonicCalibration(rows.toDF("score", "label"),
+      "score", "label", nBins = 10)
+      .orderBy("bin")
+      .select(col("bin"), col("iso_prob"))
+      .as[(Int, Double)].collect().toSeq
+
+  test("isotonicCalibration: already-monotone bins pass through unchanged") {
+    // bin1 rate 0/2, bin5 rate 1/2, bin9 rate 2/2 — monotone already
+    val rows = Seq((0.15, false), (0.15, false), (0.55, true), (0.55, false),
+      (0.95, true), (0.95, true))
+    assert(isoOf(rows) == Seq((1, 0.0), (5, 0.5), (9, 1.0)))
+  }
+
+  test("isotonicCalibration: a violation pools to the weighted mean") {
+    // bin1 rate 3/4 VIOLATES bin5 rate 1/4 -> pooled (3+1)/(4+4) = 0.5;
+    // bin9 rate 1/1 stays above the pool
+    val rows = Seq(
+      (0.15, true), (0.15, true), (0.15, true), (0.15, false),
+      (0.55, true), (0.55, false), (0.55, false), (0.55, false),
+      (0.95, true))
+    assert(isoOf(rows) == Seq((1, 0.5), (5, 0.5), (9, 1.0)))
+  }
+
+  test("isotonicCalibration: fully decreasing input pools to the global mean") {
+    // rates 1.0, 0.5, 0.0 -> one block at (2+1+0)/6 = 0.5
+    val rows = Seq(
+      (0.15, true), (0.15, true),
+      (0.55, true), (0.55, false),
+      (0.95, false), (0.95, false))
+    assert(isoOf(rows) == Seq((1, 0.5), (5, 0.5), (9, 0.5)))
+    // and output is ALWAYS non-decreasing on a mixed case
+    val mixed = Seq((0.05, true), (0.15, false), (0.25, true), (0.35, false),
+      (0.45, true), (0.55, true), (0.65, false), (0.75, true),
+      (0.85, false), (0.95, true))
+    val iso = isoOf(mixed).map(_._2)
+    assert(iso == iso.sorted, iso.toString)
+  }
 }

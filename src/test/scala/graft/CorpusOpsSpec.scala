@@ -706,4 +706,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s.getAs[Double]("chao1") == s.getAs[Long]("vocab").toDouble)
     assert(s.getAs[Double]("p_unseen") == 0.0)
   }
+
+  // ---------------- keyness (X229) ----------------
+
+  test("keyness: exclusive token hand case, sign and ranking") {
+    // A: "x x", B: "y y" — for (A, x): o1=2, ct=2, ng=2, n2=2, N=4
+    //   G² = 2·(2·round(ln(2)·1e6)) = 2772588 -> keyness 2.772588
+    // x is OVER-represented in A (positive) and y, absent, never gets
+    // a cell; in B the mirror holds
+    val docs = Seq(("A", "x x"), ("B", "y y")).toDF("grp", "text")
+    val got = CorpusStats.keyness(docs, "grp", "text", k = 2)
+      .orderBy("grp", "rank")
+      .select(col("grp"), col("rank"), col("token"), col("keyness"))
+      .as[(String, Long, String, Double)].collect().toSeq
+    assert(got == Seq(("A", 1L, "x", 2.772588), ("B", 1L, "y", 2.772588)),
+      got.toString)
+  }
+
+  test("keyness: shared token scores below exclusive, under-use is negative") {
+    // A over-uses 'hot', both use 'the' at the same rate (keyness ~0),
+    // B's view of 'hot' is negative (under-represented)
+    val docs = Seq(
+      ("A", "hot hot hot the the"),
+      ("B", "cold cold cold the the")).toDF("grp", "text")
+    val rows = CorpusStats.keyness(docs, "grp", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getAs[String]("token"),
+        r.getAs[Double]("keyness"))).toSeq
+    val aHot = rows.find(r => r._1 == "A" && r._2 == "hot").get._3
+    val aThe = rows.find(r => r._1 == "A" && r._2 == "the").get._3
+    val aCold = rows.find(r => r._1 == "A" && r._2 == "cold")
+    assert(aHot > 0 && aHot > aThe, rows.toString)
+    assert(aThe == 0.0, rows.toString) // identical rates: G² exactly 0
+    assert(aCold.isEmpty) // absent from A: no (A, cold) cell
+    // single-group corpus: no contrast, empty output
+    val single = Seq(("A", "x y z")).toDF("grp", "text")
+    assert(CorpusStats.keyness(single, "grp", "text").count() == 0L)
+  }
 }

@@ -884,4 +884,40 @@ class CurationSpec extends SparkSpec {
     assert(Curation.mattr(long, "doc_id", "text", window = 20)
       .select(col("mattr")).as[Double].collect().head == 1.0)
   }
+
+  // ---------------- DSIR effective sample size (X228) ----------------
+
+  test("dsirEss: exp grid anchors — cell 0 is exactly 1e6, symmetric decades") {
+    val g = Curation.DsirExpGrid.toMap
+    assert(g(0L) == 1000000L)
+    assert(g(10L) == Math.round(Math.E * 1e6))
+    assert(g(-10L) == Math.round(1e6 / Math.E))
+    assert(g.size == 161 && g(80L) > g(79L) && g(-80L) < g(-79L))
+  }
+
+  test("dsirEss: target == corpus gives uniform weights, ESS = n") {
+    // every token's target LM equals the raw LM -> lrq = 0 -> cell 0
+    // -> all weights equal -> ESS = n, ESS/n = 1, max share = 1/n
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b d d"),
+      (4L, "c c a")).toDF("doc_id", "text")
+    val r = Curation.dsirEss(docs, "doc_id", "text",
+      isTarget = lit(true), headSize = 2).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("ess") == 4.0, r.toString)
+    assert(r.getAs[Double]("ess_frac") == 1.0)
+    assert(r.getAs[Double]("max_w_share") == 0.25)
+  }
+
+  test("dsirEss: a concentrated target collapses ESS below n") {
+    // docs full of 'zzz' are the target; the rest of the corpus never
+    // uses the token, so their weights crash and ESS/n < 1
+    val docs = (1L to 20L).map { i =>
+      if (i <= 2) (i, "zzz zzz zzz zzz") else (i, s"w$i x$i y$i v$i")
+    }.toDF("doc_id", "text")
+    val r = Curation.dsirEss(docs, "doc_id", "text",
+      isTarget = col("doc_id") <= 2L, headSize = 4).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 20L)
+    assert(r.getAs[Double]("ess_frac") < 0.5, r.toString)
+    assert(r.getAs[Double]("max_w_share") > 0.1, r.toString)
+  }
 }

@@ -230,4 +230,32 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().head
     assert(reg == ((4L, None)), reg.toString)
   }
+
+  // ---------------- HITS (X230) ----------------
+
+  test("hits: in-star — center is the sole authority, leaves the hubs") {
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 3)
+      .orderBy("node")
+      .select(col("node"), col("hub"), col("auth"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 0.0, 1.0), (1L, 1.0, 0.0), (2L, 1.0, 0.0),
+      (3L, 1.0, 0.0)), got.toString)
+  }
+
+  test("hits: two-component case — exact fixed-point integers") {
+    // 1->0, 2->0 (strong authority 0) vs 3->4 (weak pair). Hand-run of
+    // the L∞-normalized integer iteration: each round h(3) copies the
+    // previous a(4) (its own max is the 1e6 pair), then a(4) = h(3)/2
+    // against max a(0) = 2e6 — so a(4) halves per iter: 5e5, 2.5e5,
+    // 1.25e5, and h(3) trails one step behind at 250000
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 3)
+      .orderBy("node")
+      .select(col("node"), col("hub_q"), col("auth_q"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1000000L), (1L, 1000000L, 0L),
+      (2L, 1000000L, 0L), (3L, 250000L, 0L), (4L, 0L, 125000L)),
+      got.toString)
+  }
 }

@@ -234,4 +234,53 @@ class ProfileSpec extends SparkSpec {
     assert(disj.getAs[Double]("n_union_est") > disj.getAs[Double]("n_old_est"))
     assert(disj.getAs[Double]("n_union_est") > disj.getAs[Double]("n_new_est"))
   }
+
+  // ---------------- KMV theta sketch (X231) ----------------
+
+  import spark.implicits._
+
+  private def kmvRow(old: Seq[String], nw: Seq[String], k: Int) =
+    Profile.kmvDiff(
+      old.map(("g", _)).toDF("g", "v"),
+      nw.map(("g", _)).toDF("g", "v"), "g", "v", k = k).collect()(0)
+
+  test("kmvDiff: exact mode — small sides are counted, not estimated") {
+    // 3 and 3 distinct values, 2 common, union 4 — all below k = 8,
+    // so every figure is EXACT
+    val r = kmvRow(Seq("a", "b", "c"), Seq("b", "c", "d"), k = 8)
+    assert(r.getAs[Double]("n_old_est") == 3.0, r.toString)
+    assert(r.getAs[Double]("n_new_est") == 3.0)
+    assert(r.getAs[Double]("n_union_est") == 4.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.5)
+    assert(r.getAs[Double]("n_inter_est") == 2.0)
+    assert(r.getAs[Double]("new_not_old_est") == 1.0)
+  }
+
+  test("kmvDiff: identical sides — jaccard exactly 1, nothing new") {
+    val vals = (1 to 200).map(i => s"tok$i")
+    val r = kmvRow(vals, vals, k = 16)
+    assert(r.getAs[Double]("jaccard_est") == 1.0, r.toString)
+    assert(r.getAs[Double]("n_inter_est") == r.getAs[Double]("n_old_est"))
+    assert(r.getAs[Double]("new_not_old_est") == 0.0)
+    // the full-sketch estimate lands within the KMV error class
+    val est = r.getAs[Double]("n_old_est")
+    assert(est > 100 && est < 400, est.toString)
+  }
+
+  test("kmvDiff: merge law — merged sketch ≡ fresh sketch of the union") {
+    val a = (1 to 150).map(i => s"a$i")
+    val b = (100 to 250).map(i => s"a$i") // overlap a100..a150
+    val diff = kmvRow(a, b, k = 16)
+    val fresh = kmvRow((a ++ b).distinct, (a ++ b).distinct, k = 16)
+    // the union estimate from MERGED minima equals the estimate a
+    // fresh sketch of the concatenation gives — exact equality, the
+    // X226 mergeability law on the KMV side
+    assert(diff.getAs[Double]("n_union_est") ==
+      fresh.getAs[Double]("n_old_est"), s"$diff vs $fresh")
+    // disjoint sides: direct intersection reads 0 exactly
+    val dj = kmvRow((1 to 100).map(i => s"x$i"), (1 to 100).map(i => s"y$i"),
+      k = 16)
+    assert(dj.getAs[Double]("jaccard_est") == 0.0)
+    assert(dj.getAs[Double]("n_inter_est") == 0.0)
+  }
 }
