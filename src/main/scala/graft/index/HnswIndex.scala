@@ -82,12 +82,18 @@ final class HnswIndex(val metric: DistanceMetric,
   private var maxLevel: Int = 0
   private var activeCount: Int = 0
   private val rng = new java.util.Random(seed)
+  /** Level draws made so far — persisted by [[save]] so a loaded graph
+    * fast-forwards a fresh Random(seed) to the same stream position:
+    * insert-after-load is BIT-IDENTICAL to insert-without-save (the
+    * update≡rebuild discipline applied to the serving tier). */
+  private var levelDraws: Long = 0L
 
   def size: Int = activeCount
   def isEmpty: Boolean = activeCount == 0
 
   /** ⌊−ln(u)·ml⌋ capped (graph.rs:118-123). */
   private def randomLevel(): Int = {
+    levelDraws += 1
     val u = rng.nextDouble()
     // nextDouble can return exactly 0.0 → ln(0) = -inf; clamp like the
     // cap already does for any huge draw
@@ -283,6 +289,102 @@ final class HnswIndex(val metric: DistanceMetric,
       .iterator.filter(n => java.lang.Double.isFinite(n._1))
       .take(k).map { case (d, id) => (id, d) }.toSeq
   }
+
+  /** Persist the full graph ([EXT] X233, round 14) — adjacency,
+    * vectors, entry point, and the RNG stream position. The reference
+    * never persists HNSW (it rebuilds from snapshot + WAL on recover,
+    * persistence/engine.rs) — this is the warm-start EXTENSION the
+    * NOTES r14 audit motivates: building 100k×64d takes ~269 s of
+    * sequential inserts, loading the serialized graph is one linear
+    * read. Layout: magic/version, metric name, params, seed,
+    * levelDraws, entryPoint/maxLevel, then per slot (null flag, level,
+    * vector, per-layer adjacency). */
+  def save(out: java.io.DataOutputStream): Unit = {
+    out.writeInt(HnswIndex.Magic)
+    out.writeInt(1)
+    out.writeUTF(metric.name)
+    out.writeInt(params.m); out.writeInt(params.efConstruction)
+    out.writeInt(params.efSearch); out.writeInt(params.maxLayers)
+    out.writeLong(seed)
+    out.writeLong(levelDraws)
+    out.writeInt(entryPoint); out.writeInt(maxLevel)
+    out.writeInt(nodes.length)
+    var i = 0
+    while (i < nodes.length) {
+      val n = nodes(i)
+      if (n == null) out.writeBoolean(false)
+      else {
+        out.writeBoolean(true)
+        out.writeInt(n.level)
+        out.writeInt(n.vector.length)
+        var d = 0
+        while (d < n.vector.length) { out.writeFloat(n.vector(d)); d += 1 }
+        var l = 0
+        while (l <= n.level) {
+          val nbrs = n.neighbors(l)
+          out.writeInt(nbrs.length)
+          var j = 0
+          while (j < nbrs.length) { out.writeInt(nbrs(j)); j += 1 }
+          l += 1
+        }
+      }
+      i += 1
+    }
+  }
+}
+
+object HnswIndex {
+  private[index] val Magic = 0x484e5357 // "HNSW"
+
+  private[index] def metricByName(name: String): DistanceMetric =
+    name match {
+      case "euclidean" => DistanceMetric.Euclidean
+      case "cosine" => DistanceMetric.Cosine
+      case _ => DistanceMetric.DotProduct
+    }
+
+  /** Rebuild a graph from [[HnswIndex.save]]'s stream; the fresh RNG
+    * is fast-forwarded by the persisted draw count, so subsequent
+    * inserts replay the exact level sequence a never-persisted graph
+    * would draw. */
+  def load(in: java.io.DataInputStream): HnswIndex = {
+    require(in.readInt() == Magic, "not an HNSW graph stream")
+    require(in.readInt() == 1, "unsupported HNSW stream version")
+    val metric = metricByName(in.readUTF())
+    val params = HnswParams(in.readInt(), in.readInt(), in.readInt(),
+      in.readInt())
+    val seed = in.readLong()
+    val idx = new HnswIndex(metric, params, seed)
+    idx.levelDraws = in.readLong()
+    var k = 0L
+    while (k < idx.levelDraws) { idx.rng.nextDouble(); k += 1 }
+    idx.entryPoint = in.readInt(); idx.maxLevel = in.readInt()
+    val slots = in.readInt()
+    var i = 0
+    while (i < slots) {
+      if (!in.readBoolean()) idx.nodes += null
+      else {
+        val level = in.readInt()
+        val dim = in.readInt()
+        val vec = new Array[Float](dim)
+        var d = 0
+        while (d < dim) { vec(d) = in.readFloat(); d += 1 }
+        val node = new idx.Node(vec, level)
+        var l = 0
+        while (l <= level) {
+          val cnt = in.readInt()
+          val buf = node.neighbors(l)
+          var j = 0
+          while (j < cnt) { buf += in.readInt(); j += 1 }
+          l += 1
+        }
+        idx.nodes += node
+        idx.activeCount += 1
+      }
+      i += 1
+    }
+    idx
+  }
 }
 
 /** External-id serving wrapper over [[HnswIndex]] — what
@@ -299,10 +401,13 @@ final class HnswIndex(val metric: DistanceMetric,
 final class HnswServingIndex(metric: DistanceMetric,
                              params: HnswParams = HnswParams(),
                              seed: Long = 42L) {
-  private val graph = new HnswIndex(metric, params, seed)
+  private var graph = new HnswIndex(metric, params, seed)
   private val extToInt = mutable.HashMap.empty[String, Int]
   private val intToExt = mutable.HashMap.empty[Int, String]
   private val metas = mutable.HashMap.empty[Int, Map[String, String]]
+
+  /** Swap in a graph rebuilt by [[HnswIndex.load]] (companion use). */
+  private def adopt(g: HnswIndex): Unit = { graph = g }
 
   def size: Int = extToInt.size
 
@@ -340,6 +445,27 @@ final class HnswServingIndex(metric: DistanceMetric,
       .take(k)
       .map { case (i, d) => (intToExt(i), d) }
       .toSeq
+
+  /** Persist graph + id maps + metadata ([EXT] X233): the server's
+    * warm-start artifact, written on compaction cadence next to the
+    * snapshot. */
+  def save(path: java.nio.file.Path): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      graph.save(out)
+      out.writeInt(extToInt.size)
+      extToInt.toSeq.sortBy(_._2).foreach { case (ext, internal) =>
+        out.writeUTF(ext)
+        out.writeInt(internal)
+        val meta = metas.getOrElse(internal, Map.empty)
+        out.writeInt(meta.size)
+        meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          out.writeUTF(k); out.writeUTF(v)
+        }
+      }
+    } finally out.close()
+  }
 }
 
 object HnswServingIndex {
@@ -354,5 +480,38 @@ object HnswServingIndex {
     val idx = new HnswServingIndex(metric, params, seed)
     rows.iterator.foreach { case (id, vec, meta) => idx.upsert(id, vec, meta) }
     idx
+  }
+
+  /** Warm-start from a [[HnswServingIndex.save]] artifact ([EXT]
+    * X233): one linear read instead of re-running the sequential
+    * insert loop (~269 s at 100k×64d, NOTES r14 audit). Searches on
+    * the loaded index are bit-identical to the saved one, and FUTURE
+    * upserts draw the same levels a never-persisted index would
+    * (the graph fast-forwards its seeded RNG) — spec-pinned. */
+  def load(path: java.nio.file.Path): HnswServingIndex = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path)))
+    try {
+      val graph = HnswIndex.load(in)
+      val idx = new HnswServingIndex(graph.metric, graph.params, 0L)
+      idx.adopt(graph)
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val ext = in.readUTF()
+        val internal = in.readInt()
+        idx.extToInt(ext) = internal
+        idx.intToExt(internal) = ext
+        val mSize = in.readInt()
+        if (mSize > 0) {
+          val b = Map.newBuilder[String, String]
+          var j = 0
+          while (j < mSize) { b += ((in.readUTF(), in.readUTF())); j += 1 }
+          idx.metas(internal) = b.result()
+        }
+        i += 1
+      }
+      idx
+    } finally in.close()
   }
 }

@@ -321,6 +321,17 @@ object Classifier {
         sum(y).cast("long").as("__pos"),
         sum(q).cast("long").as("__s"),
         sum(dec((q - y * 10000L) * (q - y * 10000L))).as("__br"))
+    calibrationErrorFromBins(bins)
+  }
+
+  /** The [[calibrationError]] tail over an already-collapsed
+    * (__b, __n, __pos, __s, __br) bin table — split out (round 14, the
+    * trendFromCounts pattern) so
+    * [[graft.streaming.StreamingCalibration]]'s foreachBatch sink can
+    * score each streamed bin snapshot with the exact batch
+    * arithmetic. */
+  def calibrationErrorFromBins(bins: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     bins
       .agg(sum(col("__n")).cast("long").as("n"),
         count(lit(1)).cast("long").as("n_bins_occupied"),

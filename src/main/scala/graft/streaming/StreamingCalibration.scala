@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming calibration monitor ([EXT] X234, round 14) — the
+  * continuous form of [[graft.operators.Classifier.calibrationError]]
+  * (X220) on the split-model pattern: every arriving scored document
+  * folds into its score-bin's running (n, pos, Σq, Σbrier-term)
+  * cell; a foreachBatch sink scores each snapshot with
+  * `Classifier.calibrationErrorFromBins` — the monitor that pages
+  * when a live quality classifier's scores drift away from the
+  * probabilities they claimed to be (retrain/recalibrate BEFORE the
+  * admission gate silently changes meaning), without waiting for the
+  * snapshot diff.
+  *
+  * Per-bin state is FOUR longs; total state is bounded by nBins
+  * regardless of stream volume (the StreamingDrift rule). All folds
+  * are sums — arrival-order-FREE, so the last emission per bin equals
+  * the batch collapse over the same prefix even out-of-order: pinned
+  * in StreamingSpec including the assembled ECE/MCE/Brier ≡ the
+  * batch operator end-to-end, cross-batch. Long-state headroom: the
+  * Brier term is ≤ 10⁸ per row, so the running cell saturates around
+  * 10¹⁰ rows per bin — the batch decimal path is the recount beyond
+  * (the StreamingBootstrap note).
+  */
+object StreamingCalibration {
+
+  final case class ScoredRow(score: Double, label: Boolean)
+  final case class BinCell(b: Int, n: Long, pos: Long, s: Long, br: Long)
+
+  /** Running per-bin calibration cells over a streaming frame — the
+    * online twin of the batch bin collapse inside
+    * `Classifier.calibrationError` (same clamped fixed-width bin rule,
+    * same 1e-4 score quantization). */
+  def binCounts(stream: DataFrame, scoreCol: String, labelCol: String,
+                nBins: Int = 10): Dataset[BinCell] = {
+    require(nBins > 0 && nBins <= 64)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("boolean").as("label"))
+      .where(col("score").isNotNull && col("label").isNotNull)
+      .as[ScoredRow]
+    typed.groupByKey { r =>
+      math.max(math.min(math.floor(r.score * nBins).toInt, nBins - 1), 0)
+    }.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (bin: Int, rows: Iterator[ScoredRow],
+       state: GroupState[(Long, Long, Long, Long)]) =>
+        var (n, pos, s, br) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+        rows.foreach { r =>
+          val q = math.round(r.score * 10000.0)
+          val y = if (r.label) 10000L else 0L
+          n += 1
+          if (r.label) pos += 1
+          s += q
+          br += (q - y) * (q - y)
+        }
+        state.update((n, pos, s, br))
+        Iterator.single(BinCell(bin, n, pos, s, br))
+    }
+  }
+
+  /** Score one emitted snapshot of [[binCounts]] cells — the
+    * foreachBatch body: rename to the batch column contract and run
+    * the exact batch tail. */
+  def scoreSnapshot(cells: DataFrame): DataFrame =
+    graft.operators.Classifier.calibrationErrorFromBins(
+      cells.select(col("b").as("__b"), col("n").as("__n"),
+        col("pos").as("__pos"), col("s").as("__s"), col("br").as("__br")))
+}

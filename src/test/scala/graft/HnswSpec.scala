@@ -142,4 +142,38 @@ class HnswSpec extends SparkSpec {
     assert(wide >= narrow)
     assert(wide >= 0.999) // ef = n on a connected graph reaches exact
   }
+
+  test("persistence: saved->loaded searches bit-identical; insert-after-load " +
+    "replays the never-persisted level stream (X233)") {
+    val vecs = rndVecs(300, 16, seed = 7L)
+    val idx = new HnswServingIndex(DistanceMetric.Euclidean,
+      HnswParams(m = 8, efConstruction = 64, efSearch = 32), seed = 11L)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      idx.upsert(s"v$i", v, if (i % 3 == 0) Map("even" -> "yes") else Map.empty)
+    }
+    idx.delete("v17") // exercise a null slot through the stream
+    val path = java.nio.file.Files.createTempFile("hnsw", ".bin")
+    try {
+      idx.save(path)
+      val loaded = HnswServingIndex.load(path)
+      assert(loaded.size == idx.size)
+      val queries = rndVecs(20, 16, seed = 99L)
+      queries.foreach { q =>
+        assert(loaded.search(q, 10) == idx.search(q, 10))
+        val f = MetadataFilter.Eq("even", "yes")
+        assert(loaded.searchFiltered(q, 5, f) == idx.searchFiltered(q, 5, f))
+      }
+      // the update≡rebuild law on the serving tier: inserting the SAME
+      // new vectors into the original and the loaded copy yields
+      // identical graphs (the loaded RNG was fast-forwarded), so
+      // identical search results afterwards
+      val more = rndVecs(50, 16, seed = 123L)
+      more.zipWithIndex.foreach { case (v, i) =>
+        idx.upsert(s"w$i", v); loaded.upsert(s"w$i", v)
+      }
+      queries.foreach { q =>
+        assert(loaded.search(q, 10) == idx.search(q, 10))
+      }
+    } finally java.nio.file.Files.deleteIfExists(path)
+  }
 }

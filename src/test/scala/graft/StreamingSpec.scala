@@ -1398,4 +1398,46 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming calibration monitor: running bin cells ≡ batch collapse " +
+    "cross-batch, and the scored ECE/MCE/Brier ≡ the batch operator") {
+    val dir = Files.createTempDirectory("cal-stream").toString
+    // scores hit bins 1, 5, 9; batch 2 revises bins batch 1 opened
+    val b1 = Seq((0.15, false), (0.15, true), (0.55, true), (0.95, true))
+    val b2 = Seq((0.15, false), (0.55, false), (0.95, true), (0.95, false))
+    def toDf(rows: Seq[(Double, Boolean)]) = rows.toDF("score", "label")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("score DOUBLE, label BOOLEAN")
+      .parquet(dir)
+    val q = graft.streaming.StreamingCalibration.binCounts(
+      stream.toDF(), "score", "label", nBins = 10)
+      .toDF("b", "n", "pos", "s", "br")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cal_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: last emission per bin = max n (monotone counts)
+      val streamed = spark.table("cal_stream")
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+            .orderBy(col("n").desc)))
+        .where(col("__rn") === 1).drop("__rn")
+      // cells ≡ the batch bin collapse over the same prefix
+      val all = toDf(b1 ++ b2)
+      val gotCells = streamed.select(col("b"), col("n"), col("pos"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(gotCells == Set((1, 3L, 1L), (5, 2L, 1L), (9, 3L, 2L)),
+        gotCells.toString)
+      // scored snapshot ≡ the batch operator end-to-end
+      val sStream = graft.streaming.StreamingCalibration
+        .scoreSnapshot(streamed)
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+      val sBatch = graft.operators.Classifier
+        .calibrationError(all, "score", "label", nBins = 10)
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+      assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
+    } finally q.stop()
+  }
 }
