@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Classifier, CorpusStats, Curation, Dedup, Graph}
 
 /** Round-14 [EXT] second batch — the NOTES round-15 leads landed
-  * early plus two new analysis operators: isotonic calibration by the
+  * early plus new analysis operators: isotonic calibration by the
   * closed minimax PAV form (X227), the DSIR effective-sample-size
   * readout on the literal exp grid (X228), signed Dunning G² keyness
-  * (X229), and HITS hubs/authorities over the duplicate-provenance
-  * graph (X230).
+  * (X229), HITS hubs/authorities over the duplicate-provenance graph
+  * (X230), KMV/theta sketch set algebra (X231), binned average
+  * precision (X232), and the exact prefix-filter similarity join
+  * (X235).
   */
 object Round14bQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -72,6 +74,18 @@ object Round14bQueries {
     "score_ap" -> ((s, dir) =>
       Classifier.averagePrecision(Round12ppQueries.scored(s, dir),
         "n_chars", "keep_doc", binWidth = 256L, nBins = 16)),
+
+    // ---- X235: EXACT jaccard join by prefix filtering — the
+    // zero-false-negative alternative to the LSH candidate tiers; the
+    // oracle computes the ALL-pairs join, so the hash gate is itself
+    // the completeness proof (no qualifying pair escaped the prefix
+    // candidate set on this corpus) ----------------------------------
+    "dedup_prefix_join" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefixFilter(
+        SparkEntry.fullShingleIndexFor(s, dir), tNum = 3, tDen = 10)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
 
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
@@ -277,6 +291,12 @@ object Round14bQueries {
          |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
          |  CAST(sum(t) AS DOUBLE) / 100000000.0 AS ap
          |FROM terms""".stripMargin,
+
+    "dedup_prefix_join" ->
+      s"""WITH ${SparkEntry.sqlJaccardCtes}
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+         |FROM jpairs WHERE jac >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "graph_hits" -> {
       def iter(r: Int): String = {

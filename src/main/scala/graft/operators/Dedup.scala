@@ -435,6 +435,71 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Exact jaccard join by PREFIX FILTERING ([EXT] X235, round 14;
+    * Bayardo, Ma & Srikant 2007 "Scaling Up All Pairs Similarity
+    * Search", Chaudhuri et al. 2006 SSJoin) — the EXACT alternative to
+    * the LSH candidate tiers: LSH trades recall for pruning (the
+    * planner quantifies the loss); prefix filtering prunes with ZERO
+    * false negatives. Order every doc's shingles by a global canonical
+    * order (corpus frequency ascending, hash tiebreak — rarest first
+    * minimizes candidates); a pair with |x∩y| ≥ α must share a token
+    * inside both docs' (c − α + 1)-prefixes (the All-Pairs lemma: the
+    * canonically-smallest common token cannot hide in either doc's
+    * α−1 suffix), and jac ≥ t forces α_x = ⌈t/(1+t)·sz_x⌉ overlap
+    * (i ≥ t/(1+t)·(sz_x+sz_y) ≥ t/(1+t)·sz_x ≥ t/(1+t)·c_x), so
+    * joining PREFIX rows on the shingle key yields a candidate
+    * superset; the exact jaccard verify on candidates reproduces
+    * [[jaccardPairsFromIndex]]'s output EXTENSIONALLY — the hash gate
+    * against the all-pairs oracle is itself the completeness proof.
+    *
+    * The threshold rides as an exact rational tNum/tDen so α computes
+    * by integer ceiling; the final filter replays the fromIndex
+    * double compare verbatim (same boundary behavior).
+    *
+    * Scale shape: freq rollup (one map-side combine), per-doc rank
+    * window on the uniform doc key, prefix self-equi-join (candidate
+    * volume ∝ shared RARE shingles — the pruning the all-pairs join
+    * lacks), then one verify join restricted to candidates. */
+  def jaccardPairsPrefixFilter(index: DataFrame, tNum: Long,
+                               tDen: Long): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      "threshold must be a rational in (0, 1]")
+    val minJaccard = tNum.toDouble / tDen.toDouble
+    val freq = index.groupBy(col("sh")).agg(count(lit(1)).as("__f"))
+    val ranked = index.join(freq, "sh")
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          col("doc_corpus"))))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_corpus"))
+          .orderBy(col("__f").asc, col("sh").asc)))
+    // α = ⌈t/(1+t)·c⌉ via integer ceiling; prefix length c − α + 1
+    val prefix = ranked
+      .where(col("__rn") <= col("__c")
+        - expr(s"($tNum * __c + ${tNum + tDen} - 1) div ${tNum + tDen}")
+        + lit(1))
+      .select(col("doc_corpus"), col("sz_c"), col("sh"))
+    val cands = prefix.select(col("doc_corpus").as("doc_a"),
+        col("sz_c").as("sz_a"), col("sh"))
+      .join(prefix.select(col("doc_corpus").as("doc_b"),
+        col("sz_c").as("sz_b"), col("sh")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+      .distinct()
+    // exact verify on candidates only: intersection via the postings
+    cands
+      .join(index.select(col("doc_corpus").as("doc_a"), col("sh")), "doc_a")
+      .join(index.select(col("doc_corpus").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** The UNCAPPED inverted postings (doc_corpus, sz_c, sh) — one row
     * per (doc, distinct shingle). This is the form a production
     * pipeline MAINTAINS, because the stop-shingle cap is not

@@ -339,6 +339,38 @@ class TextDedupSpec extends SparkSpec {
       ("C", 1L, 0L, 0L, 0L, 1.0)), got.toString)
   }
 
+  test("jaccardPairsPrefixFilter (X235): extensionally == the all-pairs " +
+    "join at every threshold, including exact-boundary pairs") {
+    // a spread of similarities: exact dup, strong near-dups, weak
+    // overlap, and unrelated docs — enough shingle diversity that the
+    // prefix actually prunes
+    val shared = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen"
+    val docs = Seq(
+      (1L, shared + " alpha beta"),
+      (2L, shared + " alpha beta"),              // exact dup of 1
+      (3L, shared + " gamma delta epsilon"),     // strong near-dup
+      (4L, "one two three four plus mostly different words here now " +
+        "with extra unrelated content trailing"), // weak overlap
+      (5L, "completely unrelated text with nothing in common at all " +
+        "whatsoever in any shingle")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.corpusShingleIndex(docs, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    for ((tn, td) <- Seq((1L, 10L), (3L, 10L), (1L, 2L), (9L, 10L))) {
+      val t = tn.toDouble / td.toDouble
+      val exact = Dedup.jaccardPairsFromIndex(idx, minJaccard = t)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val pref = Dedup.jaccardPairsPrefixFilter(idx, tn, td)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(pref == exact, s"t=$t pref=$pref exact=$exact")
+    }
+    // at t=0.3 the fixture produces real pairs (not a vacuous pass)
+    assert(Dedup.jaccardPairsPrefixFilter(idx, 3L, 10L).count() >= 2L)
+  }
+
   test("winnowPairsAgainstIndex (X87): batch probes the corpus index only — " +
     "never corpus x corpus") {
     val shared = "the winnowing fingerprint scheme selects the minimum " +
