@@ -94,7 +94,9 @@ object Bench {
     "snapshot_ks_binned", "deflate_ratio", "embedding_pck",
     "ann_ivf_incremental", "signal_spearman", "snapshot_mw",
     "bootstrap_mean", "score_ece", "vocab_chao1", "pii_secrets",
-    "t_closeness", "hll_union")
+    "t_closeness", "hll_union",
+    "iso_calibration", "dsir_ess", "keyness", "graph_hits",
+    "theta_diff", "score_ap", "dedup_prefix_join", "cm_freq", "assoc_mh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,6 +87,40 @@ object Round14bQueries {
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // ---- X236: count-min registers + point estimates — the global
+    // top-8 tokens' per-source frequencies read from the 4×64 grid
+    // next to their exact counts: overcount is visible (and one-sided
+    // by construction) -----------------------------------------------
+    "cm_freq" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val counts = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val regs = graft.operators.Profile.cmRegisters(
+        counts, "source", "t", "c")
+      val top = counts.groupBy(col("t"))
+        .agg(sum(col("c")).cast("long").as("tc"))
+        .orderBy(col("tc").desc, col("t").asc).limit(8)
+        .select(col("t"))
+      graft.operators.Profile.cmEstimate(regs, top, "t")
+        .join(counts.select(col("source").as("__g"), col("t").as("__i"),
+          col("c")), Seq("__g", "__i"), "left")
+        .select(col("__g").as("source"), col("__i").as("token"),
+          col("__est").as("est"),
+          coalesce(col("c"), lit(0L)).as("true_c"),
+          (col("__est") - coalesce(col("c"), lit(0L))).as("overcount"))
+        .orderBy("source", "token")
+    }),
+
+    // ---- X237: Mantel–Haenszel common odds ratio — is the src0↔en
+    // association real or an artifact of document-length strata? The
+    // crude-vs-MH gap is the Simpson's-paradox readout ----------------
+    "assoc_mh" -> ((s, dir) =>
+      graft.operators.Assoc.mantelHaenszel(t(s, dir, "documents"),
+        col("source") === "src0", col("lang") === "en",
+        least(expr("n_chars div 512"), lit(15L)))),
+
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
     // the materialized shingle index, the graph_pagerank precedent);
@@ -297,6 +331,69 @@ object Round14bQueries {
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
          |FROM jpairs WHERE jac >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "cm_freq" ->
+      s"""WITH tk0 AS (SELECT source AS g, ${SparkEntry.sqlTokens("text")}
+         |    AS tk FROM documents),
+         |cnt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM
+         |  (SELECT g, unnest(tk) AS t FROM tk0) GROUP BY 1, 2),
+         |regs AS (SELECT g, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 13))
+         |      AS BIGINT) % 64 AS b,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+         |  GROUP BY 1, 2, 3),
+         |top AS (SELECT t FROM (SELECT t, CAST(sum(c) AS BIGINT) AS tc
+         |    FROM cnt GROUP BY t) ORDER BY tc DESC, t LIMIT 8),
+         |addr AS (SELECT t, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 13))
+         |      AS BIGINT) % 64 AS b
+         |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+         |est AS (SELECT gs.g, addr.t,
+         |    CAST(min(coalesce(regs.c, 0)) AS BIGINT) AS est
+         |  FROM (SELECT DISTINCT g FROM regs) gs CROSS JOIN addr
+         |  LEFT JOIN regs ON regs.g = gs.g AND regs.r = addr.r
+         |    AND regs.b = addr.b
+         |  GROUP BY 1, 2)
+         |SELECT est.g AS source, est.t AS token, est.est AS est,
+         |  coalesce(cnt.c, 0) AS true_c,
+         |  est.est - coalesce(cnt.c, 0) AS overcount
+         |FROM est LEFT JOIN cnt ON cnt.g = est.g AND cnt.t = est.t
+         |ORDER BY source, token""".stripMargin,
+
+    "assoc_mh" ->
+      """WITH base AS (SELECT (source = 'src0') AS e, (lang = 'en') AS y,
+        |    least(n_chars // 512, 15) AS s
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |st AS (SELECT s,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM base GROUP BY s),
+        |t2 AS (SELECT a + b + c + d AS n,
+        |    (CAST(2000000 AS HUGEINT) * a * d + (a + b + c + d))
+        |      // (2 * CAST(a + b + c + d AS HUGEINT)) AS tn,
+        |    (CAST(2000000 AS HUGEINT) * b * c + (a + b + c + d))
+        |      // (2 * CAST(a + b + c + d AS HUGEINT)) AS td,
+        |    a, b, c, d
+        |  FROM st),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    sum(tn) AS sn, sum(td) AS sd,
+        |    sum(CAST(a AS HUGEINT)) AS ta, sum(CAST(b AS HUGEINT)) AS tb,
+        |    sum(CAST(c AS HUGEINT)) AS tc, sum(CAST(d AS HUGEINT)) AS td2
+        |  FROM t2)
+        |SELECT n, n_strata,
+        |  CASE WHEN tb * tc > 0
+        |    THEN CAST((20000 * ta * td2 + tb * tc) // (2 * tb * tc)
+        |      AS BIGINT) / 10000.0 END AS or_crude,
+        |  CASE WHEN sd > 0
+        |    THEN CAST((20000 * sn + sd) // (2 * sd) AS BIGINT) / 10000.0
+        |    END AS or_mh
+        |FROM agg""".stripMargin,
 
     "graph_hits" -> {
       def iter(r: Int): String = {

@@ -329,4 +329,66 @@ object Assoc {
             (d(col("n")) * d(least(col("n_a"), col("n_b")) - 1L))), 4))
           .as("cramers_v"))
   }
+
+  /** Mantel–Haenszel common odds ratio across strata ([EXT] X237,
+    * round 14; Mantel & Haenszel 1959) — the Simpson's-paradox guard
+    * the flat 2×2 association lacks: a crude exposure↔outcome odds
+    * ratio pooled over the whole corpus can point the WRONG WAY when a
+    * confounder (document length, language) correlates with both;
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) re-weights within strata, and
+    * the crude-vs-MH gap IS the confounding readout a mix designer
+    * acts on ("src0 looks quality-rich only because it's long-doc
+    * heavy").
+    *
+    * Exactness: per-stratum cells are exact counts; each term aᵢdᵢ/nᵢ
+    * quantizes 1e-6 by integer half-up on decimal(38,0) products
+    * BEFORE the order-free sum; crude OR = (AD)/(BC) finishes as one
+    * half-up on exact totals; OR_MH is ONE final division of the two
+    * quantized sums, 1e-4. Zero denominators → null (no finite OR).
+    *
+    * Scale shape: ONE map-side collapse onto the bounded
+    * strata×2×2 grid; everything after runs on ≤4·|strata| rows.
+    * Output: one row (n, n_strata, or_crude, or_mh). */
+  def mantelHaenszel(df: DataFrame, exposure: Column, outcome: Column,
+                     stratum: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .where(exposure.isNotNull && outcome.isNotNull && stratum.isNotNull)
+      .groupBy(stratum.as("__s"), exposure.as("__e"), outcome.as("__y"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val strata = cells.groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__y"), col("__c")).otherwise(0L))
+        .cast("long").as("__a"),
+        sum(when(col("__e") && !col("__y"), col("__c")).otherwise(0L))
+          .cast("long").as("__b"),
+        sum(when(!col("__e") && col("__y"), col("__c")).otherwise(0L))
+          .cast("long").as("__cc"),
+        sum(when(!col("__e") && !col("__y"), col("__c")).otherwise(0L))
+          .cast("long").as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__cc") + col("__d"))
+    strata
+      .select(col("__n"),
+        // terms (a·d/n), (b·c/n) half-up on the 1e-6 grid
+        expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * __a * __d + __n) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __n) AS DECIMAL(38,0))").as("__tn"),
+        expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * __b * __cc + __n) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __n) AS DECIMAL(38,0))").as("__td"),
+        col("__a"), col("__b"), col("__cc"), col("__d"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_strata"),
+        sum(col("__tn")).as("__sn"), sum(col("__td")).as("__sd"),
+        sum(dec(col("__a"))).as("__ta"), sum(dec(col("__b"))).as("__tb"),
+        sum(dec(col("__cc"))).as("__tc"), sum(dec(col("__d"))).as("__td2"))
+      .select(col("n"), col("n_strata"),
+        // crude OR = (ΣA·ΣD)/(ΣB·ΣC), half-up 1e-4
+        when(col("__tb") * col("__tc") > 0,
+          expr("CAST((CAST(20000 AS DECIMAL(38,0)) * __ta * __td2 " +
+            "+ __tb * __tc) div (CAST(2 AS DECIMAL(38,0)) * __tb * __tc) " +
+            "AS BIGINT)").cast("double") / lit(10000.0)).as("or_crude"),
+        // OR_MH = Σterms_num / Σterms_den, half-up 1e-4
+        when(col("__sd") > 0,
+          expr("CAST((CAST(20000 AS DECIMAL(38,0)) * __sn + __sd) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * __sd) AS BIGINT)")
+            .cast("double") / lit(10000.0)).as("or_mh"))
+  }
 }

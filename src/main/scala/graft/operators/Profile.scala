@@ -643,4 +643,67 @@ object Profile {
       .withColumn("new_not_old_est",
         greatest(round(col("n_new_est") - col("n_inter_est"), 4), lit(0.0)))
   }
+
+  // ---------------------------------------------------------------
+  // Count-min sketch
+  // ---------------------------------------------------------------
+
+  /** Count-min grid: 4 hash rows × 64 buckets (ε = e/64 ≈ 4.2% of the
+    * stream mass, δ = e⁻⁴ ≈ 1.8%). */
+  val CmRows = 4
+  val CmBuckets = 64L
+
+  /** Count-min registers ([EXT] X236, round 14; Cormode & Muthukrishnan
+    * 2005) — the FREQUENCY sketch completing the mergeable family
+    * (HLL: distinct counts; KMV: set algebra; minhash: similarity;
+    * Misra–Gries: heavy hitters; count-min: per-item frequency with a
+    * ONE-SIDED error): cell(r, h_r(x)) += c, point estimate =
+    * min over r — never an undercount, overcount bounded by the
+    * colliding mass. Registers MERGE by cell-wise ADDITION (exact —
+    * sums commute), so per-partition/per-snapshot grids roll up
+    * without touching raw data: the 100 TB property, pinned in
+    * ProfileSpec as exact equality.
+    *
+    * DETERMINISTIC: h_r(x) = 52-bit md5 of "r:x" mod 64 (the
+    * hllRegisters hash parity pattern, salted per row) — both engines
+    * replay every cell and every estimate bit-for-bit; the accuracy
+    * GUARANTEE (est ≥ true) is spec-pinned.
+    *
+    * Scale shape: map-only hash columns (×4 per item occurrence —
+    * ride the already-collapsed (group, item, count) table, never raw
+    * rows), ONE map-side-combining sum onto ≤ |groups|·256 keys.
+    * Output: (__g, __r, __b, __c). */
+  def cmRegisters(counts: DataFrame, groupCol: String, itemCol: String,
+                  countCol: String): DataFrame = {
+    val rows = explode(sequence(lit(0), lit(CmRows - 1))).as("__r")
+    counts
+      .select(col(groupCol).as("__g"), col(itemCol).cast("string").as("__i"),
+        col(countCol).cast("long").as("__c0"), rows)
+      .select(col("__g"), col("__r"),
+        (conv(substring(md5(concat_ws(":", col("__r"), col("__i"))), 1, 13),
+          16, 10).cast("long") % CmBuckets).as("__b"),
+        col("__c0"))
+      .groupBy(col("__g"), col("__r"), col("__b"))
+      .agg(sum(col("__c0")).cast("long").as("__c"))
+  }
+
+  /** Point estimates for `probes` (a bounded (item) table) against a
+    * register grid: est(x) = min over rows of the addressed cell —
+    * absent cells read 0 (an item never inserted estimates ≥ 0, still
+    * one-sided). Broadcast-joins the probes; the grid never shuffles
+    * at query time (the AgainstIndex rule). */
+  def cmEstimate(regs: DataFrame, probes: DataFrame,
+                 itemCol: String): DataFrame = {
+    val rows = explode(sequence(lit(0), lit(CmRows - 1))).as("__r")
+    val addressed = probes
+      .select(col(itemCol).cast("string").as("__i"), rows)
+      .select(col("__i"), col("__r"),
+        (conv(substring(md5(concat_ws(":", col("__r"), col("__i"))), 1, 13),
+          16, 10).cast("long") % CmBuckets).as("__b"))
+    regs.select(col("__g")).distinct()
+      .crossJoin(broadcast(addressed))
+      .join(regs, Seq("__g", "__r", "__b"), "left")
+      .groupBy(col("__g"), col("__i"))
+      .agg(min(coalesce(col("__c"), lit(0L))).cast("long").as("__est"))
+  }
 }

@@ -83,4 +83,45 @@ class AssocSpec extends SparkSpec {
     assert(diff.getAs[Double]("rbo") == 0.0)
     assert(diff.getAs[Double]("jaccard_k") == 0.0)
   }
+
+  // ---------------- Mantel-Haenszel (X237) ----------------
+
+  private def mhRows(cells: Seq[(Int, Boolean, Boolean, Int)]) = {
+    import spark.implicits._
+    cells.flatMap { case (s, e, y, n) => Seq.fill(n)((s, e, y)) }
+      .toDF("s", "e", "y")
+  }
+
+  test("mantelHaenszel: textbook Simpson's paradox — crude 2.25, MH exactly 1") {
+    // within each stratum OR = 1 (no association), but exposure and
+    // outcome both concentrate in stratum 1 -> crude OR = 2.25
+    val df = mhRows(Seq(
+      (1, true, true, 40), (1, true, false, 10),
+      (1, false, true, 20), (1, false, false, 5),
+      (2, true, true, 5), (2, true, false, 20),
+      (2, false, true, 10), (2, false, false, 40)))
+    val r = Assoc.mantelHaenszel(df, col("e"), col("y"), col("s"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 150L && r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Double]("or_crude") == 2.25, r.toString)
+    assert(r.getAs[Double]("or_mh") == 1.0, r.toString)
+  }
+
+  test("mantelHaenszel: single stratum degenerates to the crude OR; " +
+    "zero cells give null") {
+    val one = mhRows(Seq((1, true, true, 12), (1, true, false, 4),
+      (1, false, true, 6), (1, false, false, 8)))
+    val r = Assoc.mantelHaenszel(one, col("e"), col("y"), col("s"))
+      .collect()(0)
+    // OR = (12·8)/(4·6) = 4.0 on both views
+    assert(r.getAs[Double]("or_crude") == 4.0)
+    assert(r.getAs[Double]("or_mh") == 4.0)
+    // no unexposed positives anywhere: denominators zero -> nulls
+    val degen = mhRows(Seq((1, true, true, 5), (1, true, false, 5),
+      (1, false, false, 10)))
+    val d = Assoc.mantelHaenszel(degen, col("e"), col("y"), col("s"))
+      .collect()(0)
+    assert(d.isNullAt(d.fieldIndex("or_crude")))
+    assert(d.isNullAt(d.fieldIndex("or_mh")))
+  }
 }

@@ -283,4 +283,44 @@ class ProfileSpec extends SparkSpec {
     assert(dj.getAs[Double]("jaccard_est") == 0.0)
     assert(dj.getAs[Double]("n_inter_est") == 0.0)
   }
+
+  // ---------------- count-min sketch (X236) ----------------
+
+  test("cmSketch: estimates are one-sided (est >= true), exact when sparse") {
+    val counts = (1 to 120).map(i => ("g", s"tok$i", (i % 9 + 1).toLong))
+      .toDF("g", "t", "c")
+    val regs = Profile.cmRegisters(counts, "g", "t", "c")
+    val probes = (1 to 120).map(i => Tuple1(s"tok$i")).toDF("t")
+    val est = Profile.cmEstimate(regs, probes, "t")
+      .withColumnRenamed("__i", "t")
+    val joined = est.join(counts, Seq("t"))
+      .select(col("__est"), col("c"))
+      .as[(Long, Long)].collect()
+    joined.foreach { case (e, c) => assert(e >= c, s"est $e < true $c") }
+    // a probe never inserted still reads >= 0 (colliding mass only)
+    val ghost = Profile.cmEstimate(regs,
+      Seq(Tuple1("never-seen")).toDF("t"), "t").collect()(0)
+    assert(ghost.getAs[Long]("__est") >= 0L)
+    // 2 items cannot collide across all 4 rows at 64 buckets here:
+    // exact recovery on a 2-token corpus
+    val tiny = Seq(("g", "aa", 5L), ("g", "bb", 7L)).toDF("g", "t", "c")
+    val tr = Profile.cmRegisters(tiny, "g", "t", "c")
+    val te = Profile.cmEstimate(tr, Seq(Tuple1("aa"), Tuple1("bb")).toDF("t"),
+      "t").orderBy("__i").as[(String, String, Long)].collect().map(_._3).toSeq
+    assert(te == Seq(5L, 7L), te.toString)
+  }
+
+  test("cmSketch: registers merge by cell-wise addition == fresh sketch") {
+    val a = (1 to 80).map(i => ("g", s"t$i", 2L)).toDF("g", "t", "c")
+    val b = (40 to 140).map(i => ("g", s"t$i", 3L)).toDF("g", "t", "c")
+    val merged = Profile.cmRegisters(a, "g", "t", "c")
+      .unionByName(Profile.cmRegisters(b, "g", "t", "c"))
+      .groupBy(col("__g"), col("__r"), col("__b"))
+      .agg(org.apache.spark.sql.functions.sum(col("__c")).cast("long")
+        .as("__c"))
+    val fresh = Profile.cmRegisters(a.unionByName(b), "g", "t", "c")
+    val m = merged.as[(String, Int, Long, Long)].collect().toSet
+    val f = fresh.as[(String, Int, Long, Long)].collect().toSet
+    assert(m == f, "merged registers must equal a fresh sketch exactly")
+  }
 }
