@@ -112,6 +112,15 @@ object RecallAudit {
         ids(graft.index.IvfIndex.search(assigned, model, "vec_id",
           "embedding", q, k = 10, nprobe = 8))), 0.85, queryVecs.size.toLong)
     }
+    {
+      // PQ incremental tier gates where ann_pq does (0.8): absorbing
+      // the tail by encoding cannot beat the codebooks it rides on
+      val (codes, model) = SparkEntry.pqIncrFor(spark, sfDir)
+      results("ann_pq_incremental") = ("corpus-mean", 10, meanRecall(q =>
+        ids(graft.index.PqIndex.searchRerank(codes, emb, model, "vec_id",
+          "embedding", q, k = 10, overfetch = 10))), 0.8,
+        queryVecs.size.toLong)
+    }
 
     // ---- batch cluster-join tiers vs exact cosine join -------------
     def joinRecall(name: String, filtered: Boolean): (Double, Long) = {

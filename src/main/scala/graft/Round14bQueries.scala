@@ -121,6 +121,22 @@ object Round14bQueries {
         col("source") === "src0", col("lang") === "en",
         least(expr("n_chars div 512"), lit(15L)))),
 
+    // ---- X238: search over the INCREMENTALLY-maintained PQ index —
+    // codebooks trained on the 90% base, the %10 tail (incl. the query
+    // vector itself) absorbed by ENCODING against the existing
+    // codebooks, no re-training (the ivfIncrFor discipline on the PQ
+    // tier; the top-1 self-match at distance 0 proves the absorbed
+    // batch is immediately searchable). Approximate → rows-only;
+    // recall-gated in PqSpec + RECALL_r14.json ------------------------
+    "ann_pq_incremental" -> ((s, dir) => {
+      val (codes, model) = SparkEntry.pqIncrFor(s, dir)
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      graft.index.PqIndex.searchRerank(codes, t(s, dir, "embeddings"),
+        model, "vec_id", "embedding", q, k = 10, overfetch = 10)
+        .select(col("vec_id"), round(col("distance"), 4).as("distance"))
+    }),
+
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
     // the materialized shingle index, the graph_pagerank precedent);

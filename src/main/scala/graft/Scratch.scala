@@ -95,7 +95,7 @@ object Scratch {
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     if (section == "all" || section == "curation" ||
-        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c", "r12ee", "r13ops").contains(section) &&
+        (Set("qrf", "r10ops", "r11ops", "r12ops", "ct5m", "r12c", "r12ee", "r13ops", "r14ops", "r14bops").contains(section) &&
           !new java.io.File("/tmp/big_documents/_SUCCESS").exists))
       base.crossJoin(spark.range(1000).toDF("rep"))
       .select((col("doc_id") + col("rep") * 100000L).as("doc_id"),
@@ -1043,6 +1043,83 @@ object Scratch {
       val emb5 = spark.read.parquet("/tmp/big_embeddings")
       timeIt("pcK k=2 deflated (8 quantized passes) over 5M x 64-dim")(
         noop(operators.Projection.pcK(emb5, "embedding", 64, k = 2)))
+    }
+
+    gated("r14bops") {
+      // --- round-14 second-batch operators at 5M docs ---
+      val docs5 = spark.read.parquet("/tmp/big_documents")
+      timeIt("keyness top-5 per lang over 5M docs")(
+        noop(operators.CorpusStats.keyness(docs5, "lang", "text", k = 5)))
+      timeIt("dsirEss (quantized lattice + exp grid) over 5M docs")(
+        noop(operators.Curation.dsirEss(docs5, "doc_id", "text",
+          isTarget = col("source").startsWith("src0"), headSize = 1024)))
+      timeIt("isotonicCalibration 10 bins over 5M docs")(
+        noop(operators.Classifier.isotonicCalibration(
+          docs5.select(graft.functions.TextFunctions
+            .stopwordFraction(col("text")).as("score"),
+            (col("lang") === "en").as("label")), "score", "label")))
+      timeIt("averagePrecision (length vs en) over 5M docs")(
+        noop(operators.Classifier.averagePrecision(
+          docs5.select(col("n_chars").as("score"),
+            (col("lang") === "en").as("label")), "score", "label")))
+      timeIt("mantelHaenszel (src0 x en | len strata) over 5M docs")(
+        noop(operators.Assoc.mantelHaenszel(docs5,
+          col("source").startsWith("src0"), col("lang") === "en",
+          least(expr("n_chars div 512"), lit(15L)))))
+      def st5(side: org.apache.spark.sql.DataFrame) = side
+        .select(col("source"), explode(graft.functions.TextFunctions
+          .shingleHashesFromTokens(graft.functions.TextFunctions
+            .tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
+      timeIt("kmvDiff k=32 (640 sources, %3/%5 splits) over 5M docs")(
+        noop(operators.Profile.kmvDiff(
+          st5(docs5.where(col("doc_id") % 3 =!= 0)),
+          st5(docs5.where(col("doc_id") % 5 =!= 0)), "source", "tok")))
+      val counts5 = docs5
+        .select(col("source"), explode(graft.functions.TextFunctions
+          .tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(false)
+      timeIt("cmRegisters+estimate (4x64, top-8 probes) over 5M docs") {
+        val regs = operators.Profile.cmRegisters(counts5, "source", "t", "c")
+        val top = counts5.groupBy(col("t"))
+          .agg(sum(col("c")).cast("long").as("tc"))
+          .orderBy(col("tc").desc, col("t").asc).limit(8).select(col("t"))
+        noop(operators.Profile.cmEstimate(regs, top, "t"))
+      }
+      // prefix-filter exact join on the REAL 60k-doc corpus replicated
+      // 8x (the shingle-index cost dominates; candidates stay bounded
+      // because replication multiplies docs, not shingle diversity —
+      // measure at 480k docs where all-pairs verify is already hostile)
+      val docs480k = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(8).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          col("text"))
+      val idx480 = timeIt("corpusShingleIndex build 480k docs")(
+        operators.Dedup.corpusShingleIndex(docs480k, "doc_id", "text",
+          n = 3).localCheckpoint(true))
+      timeIt("jaccardPairsPrefixFilter t=0.3 over 480k docs")(
+        noop(operators.Dedup.jaccardPairsPrefixFilter(idx480, 3L, 10L)))
+      timeIt("jaccardPairsFromIndex (all-pairs) t=0.3 over 480k docs")(
+        noop(operators.Dedup.jaccardPairsFromIndex(idx480,
+          minJaccard = 0.3)))
+      // the crossover: prefix filtering earns its keep at HIGH
+      // thresholds (short prefixes, rare shared tokens required)
+      timeIt("jaccardPairsPrefixFilter t=0.8 over 480k docs")(
+        noop(operators.Dedup.jaccardPairsPrefixFilter(idx480, 8L, 10L)))
+      timeIt("jaccardPairsFromIndex (all-pairs) t=0.8 over 480k docs")(
+        noop(operators.Dedup.jaccardPairsFromIndex(idx480,
+          minJaccard = 0.8)))
+      // HITS on a 5M-node synthetic provenance graph (~10M edges,
+      // the pageRank audit shape: power-law-ish out-degrees)
+      val edges5 = spark.range(10000000L).toDF("i")
+        .select((col("i") % 5000000L).as("src"),
+          ((col("i") * 2654435761L) % ((col("i") % 97L) * 51000L + 1000L))
+            .as("dst"))
+        .where(col("src") =!= col("dst"))
+      timeIt("hits 3 iters over 5M nodes / 10M edges")(
+        noop(operators.Graph.hits(edges5, "src", "dst", iters = 3)))
     }
 
     spark.stop()

@@ -87,6 +87,31 @@ object SparkEntry {
     })
   }
 
+  /** Incrementally-maintained PQ index ([EXT] X238): codebooks train
+    * ONCE on the 90% base corpus; the %10 tail (including the standard
+    * query vector, vec_id 0) is absorbed by ENCODING against the
+    * existing codebooks — assignment-only, no re-training, the same
+    * AgainstIndex maintenance discipline as ivfIncrFor. Encoding with
+    * a fixed model is deterministic, so absorbed codes are bit-equal
+    * to what a rebuild WITH THOSE CODEBOOKS would produce
+    * (update≡rebuild pinned in PqSpec); codebook drift is scheduled by
+    * the same embedding_drift trigger as the IVF tier. */
+  private[graft] def pqIncrFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
+    val path = s"/tmp/graft_pq/v1incr_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    pqCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, s"$path/codes")) {
+        val emb = t(s, dir, "embeddings")
+        val (baseCodes, model) = graft.index.PqIndex.build(
+          emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          m = 8, codesPerSub = 16)
+        val tail = graft.index.PqIndex.encode(
+          emb.where(col("vec_id") % 10 === 0), model, "vec_id", "embedding")
+        graft.index.PqIndex.write(baseCodes.unionByName(tail), model, path)
+      }
+      graft.index.PqIndex.load(s, path)
+    })
+  }
+
   private val sqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -1429,10 +1429,14 @@ object CorpusStats {
               k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // the collapsed (group, token) table feeds three consumers (cells,
+    // token rollup, group totals) — checkpoint or the corpus-wide
+    // explode recomputes per consumer (the dsir docTok rule)
     val counts = docs
       .select(col(groupCol).as("__g"), explode(TF.tokens(col(textCol))).as("t"))
       .groupBy(col("__g"), col("t"))
       .agg(count(lit(1)).cast("long").as("o1"))
+      .localCheckpoint(false)
     val byTok = counts.groupBy(col("t"))
       .agg(sum(col("o1")).cast("long").as("ct"))
     val byGrp = counts.groupBy(col("__g"))

@@ -473,17 +473,26 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_corpus"))
           .orderBy(col("__f").asc, col("sh").asc)))
-    // α = ⌈t/(1+t)·c⌉ via integer ceiling; prefix length c − α + 1
+    // α = ⌈t/(1+t)·c⌉ via integer ceiling; prefix length c − α + 1.
+    // localCheckpoint: the prefix frame feeds BOTH sides of the
+    // candidate self-join — without it the freq join + two windows
+    // recompute per side (the dsir docTok rule; observed in the
+    // .explain audit)
     val prefix = ranked
       .where(col("__rn") <= col("__c")
         - expr(s"($tNum * __c + ${tNum + tDen} - 1) div ${tNum + tDen}")
         + lit(1))
       .select(col("doc_corpus"), col("sz_c"), col("sh"))
+      .localCheckpoint(false)
+    // candidate join with the LENGTH filter (jac ≥ t forces
+    // t·sz_a ≤ sz_b and t·sz_b ≤ sz_a — mismatched sizes can't qualify)
     val cands = prefix.select(col("doc_corpus").as("doc_a"),
         col("sz_c").as("sz_a"), col("sh"))
       .join(prefix.select(col("doc_corpus").as("doc_b"),
         col("sz_c").as("sz_b"), col("sh")), "sh")
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b")
+        && col("sz_a") * tNum <= col("sz_b") * tDen
+        && col("sz_b") * tNum <= col("sz_a") * tDen)
       .select(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
       .distinct()
     // exact verify on candidates only: intersection via the postings

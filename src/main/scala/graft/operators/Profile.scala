@@ -571,24 +571,38 @@ object Profile {
     * (groupCol, n_old_est, n_new_est, n_union_est, jaccard_est,
     * n_inter_est, new_not_old_est). */
   def kmvDiff(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
-              valueCol: String, k: Int = KmvK): DataFrame = {
+              valueCol: String, k: Int = KmvK): DataFrame =
+    kmvDiffFromMins(kmvMins(oldDf, groupCol, valueCol, k, "ma"),
+      kmvMins(newDf, groupCol, valueCol, k, "mb"), groupCol, k)
+
+  /** The bounded k-minima builder behind [[kmvDiff]] — split out
+    * (round 14, the FromCells pattern) so the streaming sibling
+    * ([[graft.streaming.StreamingKmv]]) can fold the same sketch
+    * online and score snapshots with [[kmvDiffFromMins]]. Output:
+    * (__g, `out`: ascending array of the k smallest distinct 52-bit
+    * hashes). */
+  def kmvMins(df: DataFrame, groupCol: String, valueCol: String,
+              k: Int, out: String): DataFrame = {
     require(k >= 4 && k <= 4096, "k must be in [4, 4096]")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13),
+      16, 10).cast("long")
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[Scored])
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), h.as("__h"))
+      .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(topk(col("__h"), col("__h").cast("double")).as("__top"))
+      .select(col("__g"),
+        transform(col("__top"), s => s.getField("id")).as(out))
+  }
+
+  /** The [[kmvDiff]] set algebra over two already-built mins frames
+    * ((__g, ma) and (__g, mb)) — the foreachBatch scorer for streamed
+    * sketches. */
+  def kmvDiffFromMins(a: DataFrame, b: DataFrame, groupCol: String,
+                      k: Int): DataFrame = {
     val two52 = 4503599627370496L
-    def mins(df: DataFrame, out: String): DataFrame = {
-      val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13),
-        16, 10).cast("long")
-      val topk = udaf(new TopKAgg(k),
-        org.apache.spark.sql.Encoders.product[Scored])
-      df.where(col(valueCol).isNotNull)
-        .select(col(groupCol).as("__g"), h.as("__h"))
-        .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
-        .groupBy(col("__g"))
-        .agg(topk(col("__h"), col("__h").cast("double")).as("__top"))
-        .select(col("__g"),
-          transform(col("__top"), s => s.getField("id")).as(out))
-    }
-    val a = mins(oldDf, "ma")
-    val b = mins(newDf, "mb")
     val scalars = a.join(b, "__g")
       .select(col("__g"), col("ma"), col("mb"),
         // merged sketch: k smallest of the distinct union (the KMV

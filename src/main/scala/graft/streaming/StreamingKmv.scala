@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming KMV sketch monitor ([EXT] X239, round 14) — the
+  * continuous form of [[graft.operators.Profile.kmvDiff]] (X231) on
+  * the split-model pattern: every arriving value folds its 52-bit
+  * hash into the group's running k-minima set; a foreachBatch sink
+  * joins each emitted snapshot against a REFERENCE sketch (yesterday's
+  * snapshot, the accepted corpus) through
+  * `Profile.kmvDiffFromMins` — the live "how much of what's arriving
+  * is genuinely new vs the reference" readout, with the DIRECT
+  * intersection/difference estimates HLL's streaming sibling cannot
+  * give.
+  *
+  * Per-group state is ≤ k longs; the min-set fold is commutative and
+  * idempotent (set-min over distinct hashes), so the last emission
+  * per group equals the batch [[graft.operators.Profile.kmvMins]]
+  * over the same prefix even on out-of-order arrival — pinned in
+  * StreamingSpec including the scored diff ≡ the batch `kmvDiff`
+  * end-to-end, cross-batch.
+  */
+object StreamingKmv {
+
+  final case class Keyed(g: String, h: Long)
+  final case class MinsState(g: String, mins: Seq[Long])
+
+  /** Running k-minima per group over a streaming frame — the online
+    * twin of the batch `Profile.kmvMins` (same md5-52-bit hash). */
+  def minCounts(stream: DataFrame, groupCol: String, valueCol: String,
+                k: Int = graft.operators.Profile.KmvK): Dataset[MinsState] = {
+    require(k >= 4 && k <= 4096)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        conv(substring(md5(col(valueCol).cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .as[Keyed]
+    typed.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[Keyed], state: GroupState[Seq[Long]]) =>
+          var mins = state.getOption.getOrElse(Vector.empty[Long])
+          rows.foreach { r =>
+            if (!mins.contains(r.h) && (mins.length < k || r.h < mins.last)) {
+              val ins = mins.indexWhere(r.h < _) match {
+                case -1 => mins :+ r.h
+                case i => (mins.take(i) :+ r.h) ++ mins.drop(i)
+              }
+              mins = if (ins.length > k) ins.dropRight(1) else ins
+            }
+          }
+          state.update(mins)
+          Iterator.single(MinsState(g, mins))
+      }
+  }
+
+  /** Score one emitted snapshot of [[minCounts]] states against a
+    * reference mins frame ((__g, ma), e.g. yesterday's
+    * `Profile.kmvMins`) — the foreachBatch body. Output columns as
+    * `Profile.kmvDiff`: the reference is "old", the stream "new", so
+    * `new_not_old_est` is the live novel-mass estimate. */
+  def scoreSnapshot(reference: DataFrame, states: DataFrame, groupCol: String,
+                    k: Int = graft.operators.Profile.KmvK): DataFrame =
+    graft.operators.Profile.kmvDiffFromMins(reference,
+      states.select(col("g").as("__g"), col("mins").as("mb")), groupCol, k)
+}

@@ -176,4 +176,37 @@ class PqSpec extends SparkSpec {
     assert(codes.select(size(col("codes"))).head.getInt(0) == 8)
     assert(model.codebooks.map(_.length).toSeq == Seq.fill(8)(16))
   }
+
+  test("incremental PQ (X238): absorbed-tail codes == rebuild with the same " +
+    "codebooks; base+tail search reaches recall@10 >= 0.8") {
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val tail = emb.where(col("vec_id") % 10 === 0)
+    val (baseCodes, model) = PqIndex.build(base, "vec_id", "embedding",
+      m = 8, codesPerSub = 16)
+    // update ≡ rebuild on the encode step: encoding the tail against
+    // the existing codebooks is bit-identical to what a full re-encode
+    // of the union with THOSE codebooks would assign
+    val tailCodes = PqIndex.encode(tail, model, "vec_id", "embedding")
+    val fullEncode = PqIndex.encode(emb, model, "vec_id", "embedding")
+    val inc = baseCodes.unionByName(tailCodes)
+      .as[(Long, Seq[Int])].collect().toMap
+    val reb = fullEncode.as[(Long, Seq[Int])].collect().toMap
+    assert(inc == reb, "absorbed codes must equal a same-codebook re-encode")
+    // the absorbed tail is immediately searchable at the tier's gate
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val recalls = queries.map { case (qid, qv) =>
+      val got = PqIndex.searchRerank(baseCodes.unionByName(tailCodes), emb,
+        model, "vec_id", "embedding", qv, k = 10, overfetch = 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val truth = TopK.knn(emb, "vec_id", "embedding",
+        qv.map(_.toDouble), k = 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      (got intersect truth).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"incremental-PQ mean recall@10 = $mean%.3f over ${recalls.length}")
+    assert(mean >= 0.8, f"recall $mean%.3f below the PQ tier gate")
+  }
 }

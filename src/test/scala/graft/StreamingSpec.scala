@@ -1399,6 +1399,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV monitor: running k-minima ≡ batch sketch cross-batch, " +
+    "and the scored diff vs a reference ≡ batch kmvDiff") {
+    val dir = Files.createTempDirectory("kmv-stream").toString
+    val b1 = (1 to 60).map(i => ("g", s"tok$i"))
+    val b2 = (40 to 110).map(i => ("g", s"tok$i")) // overlap + novel tail
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("grp", "v")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("grp STRING, v STRING").parquet(dir)
+    val q = graft.streaming.StreamingKmv.minCounts(
+      stream.toDF(), "grp", "v", k = 16)
+      .toDF("g", "mins")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: last emission per group = the largest mins set
+      // (min-set folds only grow toward the k floor)
+      val streamed = spark.table("kmv_stream")
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+            .orderBy(org.apache.spark.sql.functions.size(col("mins")).desc,
+              element_at(col("mins"), -1).asc)))
+        .where(col("__rn") === 1).drop("__rn")
+      // mins ≡ the batch sketch over the same prefix
+      val batchMins = graft.operators.Profile.kmvMins(
+        toDf(b1 ++ b2), "grp", "v", k = 16, "mins")
+        .select(col("mins")).as[Seq[Long]].collect().head
+      val gotMins = streamed.select(col("mins")).as[Seq[Long]]
+        .collect().head
+      assert(gotMins == batchMins, s"stream=$gotMins batch=$batchMins")
+      // scored snapshot vs a reference sketch ≡ the batch operator
+      val ref = graft.operators.Profile.kmvMins(
+        toDf(b1), "grp", "v", k = 16, "ma")
+      val sStream = graft.streaming.StreamingKmv.scoreSnapshot(
+        ref, streamed, "grp", k = 16)
+        .as[(String, Double, Double, Double, Double, Double, Double)]
+        .collect().toSeq
+      val sBatch = graft.operators.Profile.kmvDiff(
+        toDf(b1), toDf(b1 ++ b2), "grp", "v", k = 16)
+        .as[(String, Double, Double, Double, Double, Double, Double)]
+        .collect().toSeq
+      assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
+    } finally q.stop()
+  }
+
   test("streaming calibration monitor: running bin cells ≡ batch collapse " +
     "cross-batch, and the scored ECE/MCE/Brier ≡ the batch operator") {
     val dir = Files.createTempDirectory("cal-stream").toString
