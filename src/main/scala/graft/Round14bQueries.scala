@@ -137,6 +137,22 @@ object Round14bQueries {
         .select(col("vec_id"), round(col("distance"), 4).as("distance"))
     }),
 
+    // ---- X240: CUPED-adjusted A/B lift — deterministic user_id%2
+    // arms, pre/post split mid-month: the variance-reduced engagement
+    // readout (raw lift, CUPED lift, and how much variance the
+    // pre-period covariate removed) ----------------------------------
+    "ab_cuped" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsn = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp")) * 1000L
+      }
+      graft.operators.Funnel.abCuped(
+        ev0.withColumn("__tsn", tsn), "user_id", "__tsn",
+        splitTs = 1705363200000000000L, // 2024-01-16 00:00:00 UTC
+        arm = col("user_id") % 2 === 0)
+    }),
+
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
     // the materialized shingle index, the graph_pagerank precedent);
@@ -410,6 +426,47 @@ object Round14bQueries {
         |    THEN CAST((20000 * sn + sd) // (2 * sd) AS BIGINT) / 10000.0
         |    END AS or_mh
         |FROM agg""".stripMargin,
+
+    "ab_cuped" ->
+      """WITH u AS (SELECT user_id, (user_id % 2 = 0) AS arm,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CASE WHEN arm THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxt,
+        |    sum(CASE WHEN arm THEN CAST(y AS HUGEINT) ELSE 0 END) AS syt
+        |  FROM u),
+        |t AS (SELECT *, n - nt AS nc, n * sxy - sx * sy AS tn_,
+        |    n * sxx - sx * sx AS td_ FROM m),
+        |q AS (SELECT *, CASE WHEN td_ > 0 THEN
+        |    (CASE WHEN tn_ < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000 * abs(tn_) + td_) // (2 * td_) AS BIGINT)
+        |  END AS thq FROM t)
+        |SELECT n AS n_users, nt AS n_treat, nc AS n_ctrl,
+        |  CAST(thq AS DOUBLE) / 1000000.0 + 0.0 AS theta,
+        |  CASE WHEN nt > 0 AND nc > 0 THEN
+        |    round(CAST(syt AS DOUBLE) / nt
+        |      - CAST(sy - syt AS DOUBLE) / nc, 4) + 0.0 END AS lift_raw,
+        |  CASE WHEN nt > 0 AND nc > 0 AND thq IS NOT NULL THEN
+        |    round((CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc)
+        |      - (CAST(thq AS DOUBLE) / 1000000.0)
+        |      * (CAST(sxt AS DOUBLE) / nt - CAST(sx - sxt AS DOUBLE) / nc),
+        |      4) + 0.0 END AS lift_cuped,
+        |  CASE WHEN thq IS NOT NULL AND n * syy - sy * sy > 0 THEN
+        |    round((CAST(n * syy - sy * sy AS DOUBLE)
+        |      - 2.0 * (CAST(thq AS DOUBLE) / 1000000.0) * CAST(tn_ AS DOUBLE)
+        |      + (CAST(thq AS DOUBLE) / 1000000.0)
+        |        * (CAST(thq AS DOUBLE) / 1000000.0) * CAST(td_ AS DOUBLE))
+        |      / CAST(n * syy - sy * sy AS DOUBLE), 4) + 0.0
+        |    END AS var_reduction
+        |FROM q""".stripMargin,
 
     "graph_hits" -> {
       def iter(r: Int): String = {

@@ -638,4 +638,87 @@ object Funnel {
             "(2 * (__db - __da))")).cast("double")./(lit(10000.0))
           .as("slope"))
   }
+
+  /** CUPED-adjusted A/B lift ([EXT] X240, round 14; Deng, Xu, Kohavi &
+    * Walker WSDM 2013) — the industry-standard variance-reduced
+    * experiment readout: the raw treatment−control mean difference of
+    * a per-user metric is noisy exactly because users differ in
+    * baseline activity; regressing the post-period metric Y on the
+    * PRE-period covariate X (θ = cov/var, fitted pooled) and
+    * differencing Y − θ(X − X̄) removes the between-user variance X
+    * explains — same unbiased lift, tighter error bars, which is what
+    * decides "did the new data-mix variant move engagement" weeks
+    * earlier at the same traffic.
+    *
+    * Exactness: X and Y are per-user COUNTS, so every moment sum
+    * (Sx, Sy, Sxx, Sxy, Syy — decimal(38,0)) is exact; θ quantizes
+    * 1e-6 by sign-magnitude integer half-up (Spark div truncates
+    * toward zero, DuckDB // floors — the Mann-Kendall rule); lifts and
+    * the variance-reduction ratio finish as fixed-order double
+    * arithmetic over exact operands, rounded 1e-4 with −0.0
+    * canonicalized. Degenerate inputs (constant X, one-armed traffic,
+    * constant Y) yield nulls, never division noise.
+    *
+    * Scale shape: ONE per-(user, arm) collapse (map-side combine on
+    * the uniform user key), then a single bounded moment aggregate.
+    * Output: one row (n_users, n_treat, n_ctrl, theta, lift_raw,
+    * lift_cuped, var_reduction). */
+  def abCuped(events: DataFrame, userCol: String, tsCol: String,
+              splitTs: Long, arm: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val users = events
+      .select(col(userCol).as("__u"), arm.as("__arm"), col(tsCol).as("__ts"))
+      .where(col("__u").isNotNull && col("__arm").isNotNull)
+      .groupBy(col("__u"), col("__arm"))
+      .agg(sum(when(col("__ts") < splitTs, 1L).otherwise(0L)).cast("long")
+        .as("__x"),
+        sum(when(col("__ts") >= splitTs, 1L).otherwise(0L)).cast("long")
+          .as("__y"))
+    val m = users.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      sum(when(col("__arm"), 1L).otherwise(0L)).cast("long").as("n_treat"),
+      sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("__syy"),
+      sum(when(col("__arm"), dec(col("__x"))).otherwise(dec(lit(0L))))
+        .as("__sxt"),
+      sum(when(col("__arm"), dec(col("__y"))).otherwise(dec(lit(0L))))
+        .as("__syt"))
+      .withColumn("n_ctrl", col("n_users") - col("n_treat"))
+      // θ numerator/denominator: n·Sxy − Sx·Sy over n·Sxx − Sx²
+      .withColumn("__tn", expr("n_users * __sxy - __sx * __sy"))
+      .withColumn("__td", expr("n_users * __sxx - __sx * __sx"))
+      // sign-magnitude half-up onto the 1e-6 grid
+      .withColumn("__thq", when(col("__td") > 0,
+        when(col("__tn") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * abs(__tn) + __td) " +
+            "div (CAST(2 AS DECIMAL(38,0)) * __td) AS BIGINT)")))
+    val d = (c: Column) => c.cast("double")
+    m.select(col("n_users"), col("n_treat"), col("n_ctrl"),
+      (col("__thq").cast("double") / lit(1000000.0) + lit(0.0)).as("theta"),
+      // lift_raw = Syt/nt − Syc/nc as ONE exact-operand division pair
+      when(col("n_treat") > 0 && col("n_ctrl") > 0,
+        round(d(col("__syt")) / d(col("n_treat"))
+          - d(col("__sy") - col("__syt")) / d(col("n_ctrl")), 4) + lit(0.0))
+        .as("lift_raw"),
+      // lift_cuped = lift_raw − θ·(Sxt/nt − Sxc/nc), fixed op order
+      when(col("n_treat") > 0 && col("n_ctrl") > 0 && col("__thq").isNotNull,
+        round((d(col("__syt")) / d(col("n_treat"))
+          - d(col("__sy") - col("__syt")) / d(col("n_ctrl")))
+          - (col("__thq").cast("double") / lit(1000000.0))
+          * (d(col("__sxt")) / d(col("n_treat"))
+            - d(col("__sx") - col("__sxt")) / d(col("n_ctrl"))), 4)
+          + lit(0.0)).as("lift_cuped"),
+      // var(Y−θX)/var(Y) from the same exact moments and the SAME θq
+      when(col("__thq").isNotNull && expr("n_users * __syy - __sy * __sy")
+        > 0,
+        round((d(expr("n_users * __syy - __sy * __sy"))
+          - lit(2.0) * (col("__thq").cast("double") / lit(1000000.0))
+          * d(col("__tn"))
+          + (col("__thq").cast("double") / lit(1000000.0))
+          * (col("__thq").cast("double") / lit(1000000.0)) * d(col("__td")))
+          / d(expr("n_users * __syy - __sy * __sy")), 4) + lit(0.0))
+        .as("var_reduction"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Funnel
 
 /** X70 funnel analysis: first-touch greedy matching semantics on hand
@@ -282,5 +284,56 @@ class FunnelSpec extends SparkSpec {
       ("spike", 4L, 6L, 1L, 0.0),
       // up: every pair slope exactly 1; S = 6
       ("up", 4L, 6L, 6L, 1.0)), got.toString)
+  }
+
+  // ---------------- CUPED A/B lift (X240) ----------------
+
+  /** events rows for one user: `pre` events before ts 100, `post`
+    * after. */
+  private def userEvents(u: Long, pre: Int, post: Int): Seq[(Long, Long)] =
+    Seq.fill(pre)((u, 50L)) ++ Seq.fill(post)((u, 150L))
+
+  test("abCuped: Y = X + armEffect exactly -> theta 1, variance to ~0, " +
+    "CUPED lift == the planted effect") {
+    import spark.implicits._
+    // treat users (even ids) post = pre + 2; control post = pre. Y is
+    // perfectly predicted by X within arm, so CUPED removes ALL
+    // within-arm variance and the adjusted lift is exactly +2... with
+    // theta fitted POOLED the arm gap perturbs it slightly — use
+    // baselines symmetric across arms so pooled theta is exactly 1
+    val rows = (1L to 8L).flatMap { u =>
+      val pre = 2 + ((u - 1) / 2).toInt // baselines 2..5, identical per arm
+      val post = if (u % 2 == 0) pre + 2 else pre
+      userEvents(u, pre, post)
+    }.toDF("user_id", "ts")
+    val r = Funnel.abCuped(rows, "user_id", "ts", splitTs = 100L,
+      arm = col("user_id") % 2 === 0).collect()(0)
+    assert(r.getAs[Long]("n_users") == 8L)
+    assert(r.getAs[Long]("n_treat") == 4L && r.getAs[Long]("n_ctrl") == 4L)
+    assert(r.getAs[Double]("theta") == 1.0, r.toString)
+    assert(r.getAs[Double]("lift_raw") == 2.0, r.toString)
+    assert(r.getAs[Double]("lift_cuped") == 2.0, r.toString)
+    // var(Y − X) within the pooled frame = variance of the arm effect
+    // only (Y−X is 2 on treat, 0 on control): reduction well below 1
+    assert(r.getAs[Double]("var_reduction") < 0.6, r.toString)
+  }
+
+  test("abCuped: degenerate inputs go null, never noise") {
+    import spark.implicits._
+    // constant X (same pre count everywhere): theta undefined -> null
+    val constX = (1L to 6L).flatMap(u => userEvents(u, 2, (u % 3).toInt))
+      .toDF("user_id", "ts")
+    val c = Funnel.abCuped(constX, "user_id", "ts", splitTs = 100L,
+      arm = col("user_id") % 2 === 0).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("theta")))
+    assert(c.isNullAt(c.fieldIndex("lift_cuped")))
+    assert(!c.isNullAt(c.fieldIndex("lift_raw"))) // raw still reported
+    // one-armed traffic: lifts null
+    val oneArm = (2L to 6L by 2).flatMap(u => userEvents(u, (u % 3).toInt + 1,
+      2)).toDF("user_id", "ts")
+    val o = Funnel.abCuped(oneArm, "user_id", "ts", splitTs = 100L,
+      arm = col("user_id") % 2 === 0).collect()(0)
+    assert(o.isNullAt(o.fieldIndex("lift_raw")))
+    assert(o.isNullAt(o.fieldIndex("lift_cuped")))
   }
 }

@@ -117,7 +117,7 @@ class TopKSpec extends SparkSpec {
     assert(noOracle == Set("ann_ivf", "ann_pq", "ann_ivf_sq",
       "ann_search_join", "ann_search_join_filtered", "ann_ivf_filtered",
       "dedup_embedding_lsh", "ann_lsh_multiprobe", "knn_graph",
-      "ann_ivf_incremental"), noOracle)
+      "ann_ivf_incremental", "ann_pq_incremental"), noOracle)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
