@@ -153,6 +153,27 @@ object Round14bQueries {
         arm = col("user_id") % 2 === 0)
     }),
 
+    // ---- X241: windowed code-switch detector — every 41st doc gets
+    // its SUCCESSOR's text appended (often another language), then
+    // each 50-token window classifies independently against the served
+    // CT profiles; the doc-level verdict reads the window sequence.
+    // The screen doc-level langid structurally cannot provide --------
+    "langid_switch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val nb = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__nbt"))
+      val planted = docs.join(nb, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 41 === 0 && col("__nbt").isNotNull,
+            concat(col("text"), lit(" "), col("__nbt")))
+            .otherwise(col("text")))
+      graft.operators.Lexical.ctCodeSwitch(planted, "doc_id", "text",
+        SparkEntry.ctProfilesFor(s, dir), "lang",
+        windowTokens = 50, m = 100, profileK = 200, minSwitches = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
     // the materialized shingle index, the graph_pagerank precedent);
@@ -467,6 +488,74 @@ object Round14bQueries {
         |      / CAST(n * syy - sy * sy AS DOUBLE), 4) + 0.0
         |    END AS var_reduction
         |FROM q""".stripMargin,
+
+    "langid_switch" ->
+      s"""WITH ch AS (SELECT doc_id, lang,
+         |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS th
+         |  FROM documents),
+         |tg AS (SELECT doc_id, lang,
+         |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg FROM ch),
+         |lc AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM tg GROUP BY 1, 2),
+         |lp AS (SELECT lang, tg,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rp
+         |  FROM lc QUALIFY rp <= 200),
+         |p0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |nb AS (SELECT doc_id - 1 AS doc_id, text AS nbt FROM p0),
+         |pl AS (SELECT p0.doc_id,
+         |    CASE WHEN p0.doc_id % 41 = 0 AND nb.nbt IS NOT NULL
+         |      THEN p0.text || ' ' || nb.nbt ELSE p0.text END AS text
+         |  FROM p0 LEFT JOIN nb ON p0.doc_id = nb.doc_id),
+         |tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS ws FROM pl),
+         |win AS (SELECT doc_id, w,
+         |    array_to_string(ws[w * 50 + 1 : w * 50 + 50], ' ') AS wt
+         |  FROM tk CROSS JOIN (SELECT unnest(range(0, 4096)) AS w)
+         |  WHERE w = 0 OR w * 50 < len(ws)),
+         |wch AS (SELECT doc_id, w,
+         |    list_transform(list_filter(string_split(wt, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS th
+         |  FROM win),
+         |wtg AS (SELECT doc_id, w,
+         |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg FROM wch),
+         |wc AS (SELECT doc_id, w, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM wtg GROUP BY 1, 2, 3),
+         |wt_ AS (SELECT doc_id, w, tg,
+         |    CAST(row_number() OVER (PARTITION BY doc_id, w
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rd
+         |  FROM wc QUALIFY rd <= 100),
+         |wm AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS m
+         |  FROM wt_ GROUP BY 1, 2),
+         |wmt AS (SELECT wt_.doc_id, wt_.w, lp.lang,
+         |    CAST(sum(abs(wt_.rd - lp.rp)) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS nm
+         |  FROM wt_ JOIN lp USING (tg) GROUP BY 1, 2, 3),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |wfd AS (SELECT wm.doc_id, wm.w, langs.lang,
+         |    COALESCE(wmt.s, 0) + (wm.m - COALESCE(wmt.nm, 0)) * 200 AS d
+         |  FROM wm CROSS JOIN langs
+         |  LEFT JOIN wmt ON wmt.doc_id = wm.doc_id AND wmt.w = wm.w
+         |    AND wmt.lang = langs.lang),
+         |wp AS (SELECT doc_id, w, lang AS pred FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY doc_id, w
+         |     ORDER BY d, lang) AS rn FROM wfd) WHERE rn = 1),
+         |sw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> pred
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM (SELECT doc_id, pred,
+         |      lag(pred) OVER (PARTITION BY doc_id ORDER BY w) AS prev
+         |    FROM wp) GROUP BY 1),
+         |dmn AS (SELECT doc_id, pred AS dominant, c FROM
+         |  (SELECT doc_id, pred, CAST(count(*) AS BIGINT) AS c,
+         |     row_number() OVER (PARTITION BY doc_id
+         |                        ORDER BY count(*) DESC, pred ASC) AS rn
+         |   FROM wp GROUP BY 1, 2) WHERE rn = 1)
+         |SELECT sw.doc_id, n_windows, n_switches, dominant,
+         |  CAST((20000 * c + n_windows) // (2 * n_windows) AS BIGINT)
+         |    / 10000.0 AS dom_share,
+         |  n_switches >= 2 AS is_mixed
+         |FROM sw JOIN dmn USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "graph_hits" -> {
       def iter(r: Int): String = {

@@ -272,4 +272,44 @@ class LexicalSpec extends SparkSpec {
       .as[(String, String, Double)].collect().toSeq
     assert(zeros.size == 3 && zeros.forall(_._3 == 0.0), zeros.toString)
   }
+
+  // ---------------- windowed code-switch (X241) ----------------
+
+  test("ctCodeSwitch: A-B-A alternation reads 2 switches and flags mixed; " +
+    "pure docs read 0 switches, dominant share 1.0") {
+    import spark.implicits._
+    val aTok = "aaaa bbbb caca abab"
+    val zTok = "zzzz yyyy zyzy yzyz"
+    val train = Seq(
+      (1L, "aa", Seq.fill(10)(aTok).mkString(" ")),
+      (2L, "zz", Seq.fill(10)(zTok).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val profiles = Lexical.ctLangProfiles(train, "lang", "text", k = 50)
+    // 4-token blocks at windowTokens = 4: A A | B B | A A alternation
+    // (each window is one pure block) → preds A,A,B,B,A,A → 2 switches
+    val mixed = (Seq.fill(2)(aTok) ++ Seq.fill(2)(zTok) ++
+      Seq.fill(2)(aTok)).mkString(" ")
+    val probe = Seq(
+      (10L, mixed),
+      (11L, Seq.fill(6)(aTok).mkString(" ")),
+      (12L, Seq.fill(6)(zTok).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Lexical.ctCodeSwitch(probe, "doc_id", "text", profiles,
+      langCol = "lang", windowTokens = 4, m = 20, profileK = 50)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 6L, 2L, "aa", 0.6667, true),
+      (11L, 6L, 0L, "aa", 1.0, false),
+      (12L, 6L, 0L, "zz", 1.0, false)), got.toString)
+    // a single flip (A A A B B B) is below the default minSwitches
+    val oneFlip = Seq((20L,
+      (Seq.fill(3)(aTok) ++ Seq.fill(3)(zTok)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = Lexical.ctCodeSwitch(oneFlip, "doc_id", "text", profiles,
+      langCol = "lang", windowTokens = 4, m = 20, profileK = 50)
+      .collect()(0)
+    assert(f.getAs[Long]("n_switches") == 1L)
+    assert(!f.getAs[Boolean]("is_mixed"))
+  }
 }
