@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming count-min sketch ([EXT] X242, round 14) — the continuous
+  * form of [[graft.operators.Profile.cmRegisters]] (X236) on the
+  * split-model pattern: every arriving item folds into its 4 register
+  * cells; a foreachBatch sink probes each snapshot with
+  * `Profile.cmEstimate` — the live per-item frequency monitor with the
+  * ONE-SIDED guarantee (never an undercount) that Misra–Gries'
+  * heavy-hitter tail cannot give: MG tracks the top keys, count-min
+  * answers "how often has THIS specific item (a canary n-gram, a
+  * banned URL, a template fingerprint) arrived so far" for any item,
+  * in bounded state.
+  *
+  * Per-cell state is ONE long; total state is bounded by
+  * |groups|·4·64 regardless of stream volume or item cardinality (the
+  * StreamingDrift rule). Sum folds are arrival-order-free, so the
+  * last emission per cell equals the batch register over the same
+  * prefix even out-of-order — pinned in StreamingSpec including the
+  * probed estimates ≡ the batch `cmEstimate` end-to-end, cross-batch.
+  */
+object StreamingCm {
+
+  final case class CellKey(g: String, r: Int, b: Long)
+  final case class CellCount(g: String, r: Int, b: Long, c: Long)
+
+  /** Running count-min registers over a streaming frame — the online
+    * twin of the batch `Profile.cmRegisters` (same salted md5-52-bit
+    * row hashes, same 4×64 grid). */
+  def registers(stream: DataFrame, groupCol: String,
+                itemCol: String): Dataset[CellCount] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = explode(sequence(lit(0),
+      lit(graft.operators.Profile.CmRows - 1))).as("r")
+    val typed = stream
+      .where(col(itemCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("i"), rows)
+      .select(col("g"), col("r"),
+        (conv(substring(md5(concat_ws(":", col("r"), col("i"))), 1, 13),
+          16, 10).cast("long") % graft.operators.Profile.CmBuckets).as("b"))
+      .as[CellKey]
+    typed.groupByKey(k => (k.g, k.r, k.b))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int, Long), rows: Iterator[CellKey],
+         state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(CellCount(key._1, key._2, key._3, n))
+      }
+  }
+
+  /** Probe one emitted snapshot of [[registers]] cells with a bounded
+    * item table — the foreachBatch body: rename to the batch column
+    * contract and run the exact batch estimator. */
+  def probeSnapshot(cells: DataFrame, probes: DataFrame,
+                    itemCol: String): DataFrame =
+    graft.operators.Profile.cmEstimate(
+      cells.select(col("g").as("__g"), col("r").as("__r"),
+        col("b").as("__b"), col("c").as("__c")),
+      probes, itemCol)
+}

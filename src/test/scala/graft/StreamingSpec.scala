@@ -1399,6 +1399,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min: running register cells ≡ batch sketch " +
+    "cross-batch, and probed estimates ≡ batch cmEstimate") {
+    val dir = Files.createTempDirectory("cm-stream").toString
+    val b1 = (1 to 50).map(i => ("g", s"tok${i % 7}"))
+    val b2 = (1 to 30).map(i => ("g", s"tok${i % 5}"))
+    def toDf(rows: Seq[(String, String)]) = rows.toDF("grp", "v")
+    toDf(b1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("grp STRING, v STRING").parquet(dir)
+    val q = graft.streaming.StreamingCm.registers(stream.toDF(), "grp", "v")
+      .toDF("g", "r", "b", "c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cm_stream").start()
+    try {
+      q.processAllAvailable()
+      toDf(b2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // Update sink: last emission per cell = max c (monotone counts)
+      val streamed = spark.table("cm_stream")
+        .groupBy(col("g"), col("r"), col("b"))
+        .agg(max(col("c")).as("c"))
+      // cells ≡ the batch registers over the same prefix
+      val all = toDf(b1 ++ b2)
+      val batchRegs = graft.operators.Profile.cmRegisters(
+        all.groupBy(col("grp"), col("v"))
+          .agg(count(lit(1)).cast("long").as("c")), "grp", "v", "c")
+      val gotCells = streamed.as[(String, Int, Long, Long)].collect().toSet
+      val wantCells = batchRegs.as[(String, Int, Long, Long)].collect().toSet
+      assert(gotCells == wantCells)
+      // probed snapshot ≡ the batch estimator end-to-end
+      val probes = Seq("tok0", "tok3", "tok6", "never").toDF("v")
+      val sStream = graft.streaming.StreamingCm.probeSnapshot(
+        streamed, probes, "v")
+        .as[(String, String, Long)].collect().toSet
+      val sBatch = graft.operators.Profile.cmEstimate(batchRegs, probes, "v")
+        .as[(String, String, Long)].collect().toSet
+      assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
+      // the one-sided law holds on the live snapshot too
+      val exact = all.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+      sStream.foreach { case (_, i, est) =>
+        assert(est >= exact.getOrElse(i, 0L), s"$i: $est") }
+    } finally q.stop()
+  }
+
   test("streaming KMV monitor: running k-minima ≡ batch sketch cross-batch, " +
     "and the scored diff vs a reference ≡ batch kmvDiff") {
     val dir = Files.createTempDirectory("kmv-stream").toString
