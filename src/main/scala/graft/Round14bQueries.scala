@@ -174,6 +174,31 @@ object Round14bQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- X243: leakage-safe split — near-dup components (from the
+    // served shingle index) are the split unit, so no qualifying pair
+    // can cross folds; singletons fall back to the plain hash split --
+    "split_safe" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsFromIndex(
+        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      graft.operators.TrainingData.splitByComponent(
+        t(s, dir, "documents"), "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // ---- X244: operating-point picker — WHERE to cut the stopword
+    // score as an en-detector: Youden's J (balanced screen) and F1
+    // (retrieval) argmax rows over the 16-bin sweep (score ×10⁴,
+    // 139-wide bins covering the observed 0–0.22 stopword range) ------
+    "score_cut" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Classifier.bestThreshold(
+        t(s, dir, "documents").select(
+          (TF.stopwordFraction(col("text")) * 10000.0).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", binWidth = 139L, nBins = 16)
+        .orderBy("criterion")
+    }),
+
     // ---- X230: HITS on the duplicate-provenance graph — edges point
     // later near-dup → earlier original (the jaccard pairs served from
     // the materialized shingle index, the graph_pagerank precedent);
@@ -556,6 +581,73 @@ object Round14bQueries {
          |    / 10000.0 AS dom_share,
          |  n_switches >= 2 AS is_mixed
          |FROM sw JOIN dmn USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "split_safe" ->
+      s"""WITH RECURSIVE ${SparkEntry.sqlJaccardCtes},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |            WHERE jac >= 0.3
+         |          UNION SELECT doc_b, doc_a FROM jpairs WHERE jac >= 0.3),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |j AS (SELECT d.doc_id, comp.component,
+         |    coalesce(comp.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node)
+         |SELECT doc_id, component, group_key,
+         |  CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+         |    AS BIGINT) % 100 AS bucket,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "score_cut" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH sc AS (SELECT $stop * 10000.0 AS score, lang = 'en' AS label
+         |  FROM documents),
+         |b AS (SELECT
+         |    CAST(greatest(least(floor(CAST(score AS DOUBLE) / 139.0), 15.0),
+         |      0.0) AS INT) AS bin,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+         |    CAST(sum(n_neg) AS BIGINT) AS n FROM b),
+         |c AS (SELECT bin,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cp,
+         |    CAST(sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS cn
+         |  FROM b),
+         |pts AS (SELECT bin,
+         |    (20000 * cp + p) // (2 * p) AS tprq,
+         |    (20000 * cn + n) // (2 * n) AS fprq,
+         |    (CASE WHEN cp * n - cn * p < 0 THEN -1 ELSE 1 END) *
+         |      CAST((20000 * abs(CAST(cp AS HUGEINT) * n
+         |          - CAST(cn AS HUGEINT) * p)
+         |        + CAST(p AS HUGEINT) * n)
+         |        // (2 * CAST(p AS HUGEINT) * n) AS BIGINT) AS jq,
+         |    CASE WHEN cp + cn > 0
+         |      THEN (20000 * cp + (cp + cn)) // (2 * (cp + cn)) END AS precq,
+         |    (40000 * cp + (cp + cn + p)) // (2 * (cp + cn + p)) AS f1q
+         |  FROM c CROSS JOIN tot WHERE p > 0 AND n > 0),
+         |pj AS (SELECT 'youden_j' AS criterion, bin, jq AS v, tprq, fprq,
+         |    precq, row_number() OVER (ORDER BY jq DESC, bin DESC) AS rn
+         |  FROM pts),
+         |pf AS (SELECT 'f1' AS criterion, bin, f1q AS v, tprq, fprq,
+         |    precq, row_number() OVER (ORDER BY f1q DESC, bin DESC) AS rn
+         |  FROM pts)
+         |SELECT criterion, bin, CAST(v AS DOUBLE) / 10000.0 AS value,
+         |  CAST(tprq AS DOUBLE) / 10000.0 AS tpr,
+         |  CAST(fprq AS DOUBLE) / 10000.0 AS fpr,
+         |  CAST(precq AS DOUBLE) / 10000.0 AS "precision"
+         |FROM (SELECT * FROM pj WHERE rn = 1
+         |      UNION ALL SELECT * FROM pf WHERE rn = 1)
+         |ORDER BY criterion""".stripMargin
+    },
 
     "graph_hits" -> {
       def iter(r: Int): String = {

@@ -486,6 +486,71 @@ object Classifier {
         (sum(col("__t")).cast("double") / lit(100000000.0)).as("ap"))
   }
 
+  /** Operating-point picker over the ROC/PR sweep ([EXT] X244,
+    * round 14) — the DECISION layer over [[rocBins]] (the lsh_planner
+    * pattern: the curve is evidence, the pick is the deliverable):
+    * for every candidate cut "admit score-bin ≥ b", Youden's J =
+    * TPR − FPR (the balanced screening cut) and F1 (the
+    * precision/recall harmonic — the retrieval cut) evaluate as EXACT
+    * rationals of the cumulative counts — J = (cp·N − cn·P)/(P·N)
+    * sign-magnitude half-up 1e-4, F1 = 2·cp/(ct + P) half-up 1e-4 —
+    * and each criterion's argmax row ships with its full operating
+    * point (ties → the STRICTER cut, larger bin). One ≤nBins table
+    * end-to-end after the posNegBins collapse.
+    *
+    * Output: (criterion ∈ {youden_j, f1}, bin, value, tpr, fpr,
+    * precision). Degenerate inputs (no positives or no negatives) →
+    * empty. */
+  def bestThreshold(scored: DataFrame, scoreCol: String, labelCol: String,
+                    binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = bins.agg(sum(col("n_pos")).cast("long").as("__p"),
+      sum(col("n_neg")).cast("long").as("__n"))
+    val pts = bins
+      .withColumn("__cp", sum(col("n_pos")).over(wTop).cast("long"))
+      .withColumn("__cn", sum(col("n_neg")).over(wTop).cast("long"))
+      .crossJoin(broadcast(tot))
+      .where(col("__p") > 0L && col("__n") > 0L)
+      .select(col("bin"),
+        expr("(20000 * __cp + __p) div (2 * __p)").as("__tprq"),
+        expr("(20000 * __cn + __n) div (2 * __n)").as("__fprq"),
+        // J numerator cp·N − cn·P signed over P·N, half-up 1e-4
+        (when(expr("__cp * __n - __cn * __p") < 0L, lit(-1L))
+          .otherwise(lit(1L)) *
+          expr("(20000 * abs(CAST(__cp AS DECIMAL(38,0)) * __n " +
+            "- CAST(__cn AS DECIMAL(38,0)) * __p) " +
+            "+ CAST(__p AS DECIMAL(38,0)) * __n) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * __p * __n)").cast("long"))
+          .as("__jq"),
+        // precision cp/(cp+cn); cut admits nothing → null precision
+        when(col("__cp") + col("__cn") > 0L,
+          expr("(20000 * __cp + (__cp + __cn)) div (2 * (__cp + __cn))"))
+          .as("__precq"),
+        // F1 = 2cp/(ct + P), exact
+        expr("(40000 * __cp + (__cp + __cn + __p)) div " +
+          "(2 * (__cp + __cn + __p))").as("__f1q"))
+    def pick(metricQ: String, name: String): DataFrame =
+      pts.agg(min(struct(negate(col(metricQ)).as("m"),
+        negate(col("bin")).as("nb"), col("bin"), col("__tprq"),
+        col("__fprq"), col("__precq"), col(metricQ).as("v"))).as("__w"))
+        // a global agg always emits one row — a degenerate sweep (no
+        // positives or no negatives) must yield EMPTY, like the
+        // rocBins-family nulls
+        .where(col("__w").isNotNull)
+        .select(lit(name).as("criterion"),
+          col("__w.bin").as("bin"),
+          (col("__w.v").cast("double") / lit(10000.0)).as("value"),
+          (col("__w.__tprq").cast("double") / lit(10000.0)).as("tpr"),
+          (col("__w.__fprq").cast("double") / lit(10000.0)).as("fpr"),
+          (col("__w.__precq").cast("double") / lit(10000.0)).as("precision"))
+    pick("__jq", "youden_j").unionByName(pick("__f1q", "f1"))
+  }
+
   /** Isotonic calibration by pool-adjacent-violators ([EXT] X227,
     * round 14) — the ACTIONABLE step after [[calibrationError]] says
     * "badly calibrated": the monotone step function g minimizing

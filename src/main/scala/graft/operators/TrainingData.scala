@@ -21,6 +21,40 @@ object TrainingData {
   def splitBucket(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
+  /** Leakage-safe train/val/test split ([EXT] X243, round 14) — the
+    * FIX for what X148 `split_leakage` measures: a per-doc hash split
+    * scatters near-duplicate documents across folds, so the eval set
+    * contains soft copies of training docs and every metric reads
+    * optimistic. Here the whole near-dup COMPONENT (from the same
+    * jaccard pairs the dedup pipeline already produces) is the split
+    * unit: each component keys on its representative (the component
+    * id — the minimum member, [[graft.operators.Dedup.connectedComponents]]'
+    * pinned rule), singletons on their own id, and the standard
+    * [[splitBucket]] md5 rule assigns the fold. BY CONSTRUCTION no
+    * qualifying pair ever crosses folds — spec-pinned as
+    * zero cross-split pairs, the law `split_leakage` then verifies
+    * empirically on the planted corpus.
+    *
+    * Scale shape: the CC fixed point is the dedup_components cost
+    * (already paid on compaction cadence — pass its output table in
+    * production); everything else is one left join + map-only
+    * hashing. Output: (idCol, component — null for singletons,
+    * group_key, bucket, split). */
+  def splitByComponent(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "doc_a", bCol: String = "doc_b",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").cast("long").as(idCol), col("component"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol)))
+      .withColumn("bucket", splitBucket(col("group_key")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Deterministic train/val/test assignment by hash bucket
     * (train < trainPct <= val < trainPct+valPct <= test). */
   def hashSplit(df: DataFrame, idCol: String,

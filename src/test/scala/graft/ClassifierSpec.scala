@@ -365,6 +365,37 @@ class ClassifierSpec extends SparkSpec {
       binWidth = 100L, nBins = 10).collect()(0).isNullAt(2))
   }
 
+  // ---------------- operating-point picker (X244) ----------------
+
+  test("bestThreshold: clean separation picks the separating cut exactly; " +
+    "degenerate sweep is empty") {
+    // positives at 950, negatives at 150/250 (width 100, 10 bins):
+    // cut at bin 9 reads TPR 1 / FPR 0 -> J = 1, F1 = 1
+    val rows = Seq((950L, true), (950L, true), (950L, true),
+      (150L, false), (250L, false)).toDF("score", "label")
+    val got = Classifier.bestThreshold(rows, "score", "label",
+      binWidth = 100L, nBins = 10)
+      .orderBy("criterion")
+      .as[(String, Int, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("f1", 9, 1.0, 1.0, 0.0, 1.0),
+      ("youden_j", 9, 1.0, 1.0, 0.0, 1.0)), got.toString)
+    // overlapping scores: J picks the balanced cut, tie -> stricter
+    val mixed = Seq((950L, true), (550L, true), (550L, false),
+      (150L, false)).toDF("score", "label")
+    val m = Classifier.bestThreshold(mixed, "score", "label",
+      binWidth = 100L, nBins = 10)
+      .collect().map(r => r.getAs[String]("criterion") ->
+        ((r.getAs[Int]("bin"), r.getAs[Double]("value")))).toMap
+    // cuts: b9: tpr .5 fpr 0 -> J .5; b5: tpr 1 fpr .5 -> J .5 (tie ->
+    // stricter bin 9); b1: J 0. F1: b9 2/3; b5 .8 -> bin 5
+    assert(m("youden_j") == ((9, 0.5)), m.toString)
+    assert(m("f1") == ((5, 0.8)), m.toString)
+    // no positives: empty output, never a null row
+    val neg = Seq((950L, false), (150L, false)).toDF("score", "label")
+    assert(Classifier.bestThreshold(neg, "score", "label",
+      binWidth = 100L, nBins = 10).count() == 0L)
+  }
+
   // ---------------- isotonic calibration (X227) ----------------
 
   private def isoOf(rows: Seq[(Double, Boolean)]): Seq[(Int, Double)] =

@@ -787,4 +787,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TrainingData.contrastivePairs(docs, "doc_id", pairs,
       loJaccard = 0.4, hiJaccard = 0.9, numBuckets = 3).count() == 0L)
   }
+
+  // ---------------- leakage-safe split (X243) ----------------
+
+  test("splitByComponent: no pair crosses folds; singletons fall back to " +
+    "the plain hash split; components key on their representative") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = TrainingData.splitByComponent(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.get(r.fieldIndex("component"))), r.getAs[Long]("group_key"),
+          r.getAs[String]("split")))).toMap
+    // the LAW: every pair lands in one fold
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)))
+      assert(got(a)._3 == got(b)._3, s"pair ($a,$b) crossed folds")
+    // components key on their minimum member
+    assert(got(3L)._2 == 1L && got(11L)._2 == 10L)
+    // singletons: null component, own-id key, identical to hashSplit
+    assert(got(20L)._1.isEmpty && got(20L)._2 == 20L)
+    val plain = TrainingData.hashSplit(Seq(20L, 21L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(got(20L)._3 == plain(20L) && got(21L)._3 == plain(21L))
+    // and the whole component takes its REPRESENTATIVE's fold, not
+    // each member's own: doc 3 splits like doc 1 would alone
+    assert(got(3L)._3 == plain.getOrElse(1L,
+      TrainingData.hashSplit(Seq(1L).toDF("doc_id"), "doc_id")
+        .collect()(0).getAs[String]("split")))
+  }
 }
