@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Classifier, CorpusStats, Curation, Dedup, Graph}
 
 /** Round-14 [EXT] second batch — the NOTES round-15 leads landed
-  * early plus new analysis operators: isotonic calibration by the
-  * closed minimax PAV form (X227), the DSIR effective-sample-size
-  * readout on the literal exp grid (X228), signed Dunning G² keyness
-  * (X229), HITS hubs/authorities over the duplicate-provenance graph
-  * (X230), KMV/theta sketch set algebra (X231), binned average
-  * precision (X232), and the exact prefix-filter similarity join
-  * (X235).
+  * early plus the continuation operators X227–X244: isotonic
+  * calibration by the closed minimax PAV form (X227), DSIR effective
+  * sample size on the literal exp grid (X228), signed Dunning G²
+  * keyness (X229), HITS over the duplicate-provenance graph (X230),
+  * KMV/theta sketch set algebra (X231), binned average precision
+  * (X232), the exact prefix-filter similarity join (X235), count-min
+  * sketch (X236), Mantel–Haenszel (X237), incremental PQ (X238),
+  * CUPED A/B lift (X240), the windowed code-switch detector (X241),
+  * the leakage-safe component split (X243), and the ROC
+  * operating-point picker (X244). (X233/X234/X239/X242 are the
+  * spec-gated persistence/streaming siblings.)
   */
 object Round14bQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
