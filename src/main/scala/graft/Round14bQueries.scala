@@ -97,10 +97,13 @@ object Round14bQueries {
     // by construction) -----------------------------------------------
     "cm_freq" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
+      // three consumers (registers, top-probe pick, exact join) —
+      // checkpoint or the corpus explode re-runs per consumer
       val counts = t(s, dir, "documents")
         .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
         .groupBy(col("source"), col("t"))
         .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(false)
       val regs = graft.operators.Profile.cmRegisters(
         counts, "source", "t", "c")
       val top = counts.groupBy(col("t"))

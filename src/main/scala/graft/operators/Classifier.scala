@@ -504,7 +504,11 @@ object Classifier {
   def bestThreshold(scored: DataFrame, scoreCol: String, labelCol: String,
                     binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
     require(binWidth > 0 && nBins > 1)
+    // ≤nBins rows feeding the sweep window AND the totals; the pts
+    // frame below feeds BOTH criterion picks — checkpoint each or the
+    // corpus collapse re-scans once per consumer (.explain audit)
     val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+      .localCheckpoint(false)
     val wTop = org.apache.spark.sql.expressions.Window
       .orderBy(col("bin").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -534,6 +538,7 @@ object Classifier {
         // F1 = 2cp/(ct + P), exact
         expr("(40000 * __cp + (__cp + __cn + __p)) div " +
           "(2 * (__cp + __cn + __p))").as("__f1q"))
+      .localCheckpoint(false)
     def pick(metricQ: String, name: String): DataFrame =
       pts.agg(min(struct(negate(col(metricQ)).as("m"),
         negate(col("bin")).as("nb"), col("bin"), col("__tprq"),
@@ -584,11 +589,15 @@ object Classifier {
     require(nBins > 0 && nBins <= 64, "nBins must be in [1, 64]")
     val bin = greatest(least(floor(col(scoreCol) * nBins), lit(nBins - 1)),
       lit(0)).cast("int")
+    // ≤nBins rows feeding THREE consumers (own row, j-side, k-side of
+    // the interval self-join) — checkpoint or the corpus bin collapse
+    // re-scans per consumer (3 full passes at 100 TB; .explain audit)
     val bins = scored
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("pos"))
+      .localCheckpoint(false)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
