@@ -33,7 +33,7 @@ object RecallAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r14.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r15.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,10 +50,13 @@ object RecallAudit {
 
     // the point-query gates are MEANS over a query batch (the AnnSpec
     // measurement — a single demo query's recall is one Bernoulli-ish
-    // draw; at sf0.001 vec 0 alone reads 0.7 on a tier whose 20-query
-    // mean holds 0.9+). Queries vec_id < 20 run through the SAME
-    // served artifacts and configs as the SparkEntry entries.
-    val queryVecs: Seq[(Long, Seq[Float])] = emb.where(col("vec_id") < 20)
+    // draw; at sf0.001 vec 0 alone reads 0.7 on a tier whose batch
+    // mean holds 0.9+). Queries vec_id < 100 (raised from 20 in round
+    // 15, VERDICT r14 ask 3: at n = 20 a 0.85 ≥ 0.85 pass is one
+    // recall@10 miss from failing — n = 100 makes the margin
+    // statistically meaningful) run through the SAME served artifacts
+    // and configs as the SparkEntry entries.
+    val queryVecs: Seq[(Long, Seq[Float])] = emb.where(col("vec_id") < 100)
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
 
@@ -122,16 +125,24 @@ object RecallAudit {
         queryVecs.size.toLong)
     }
 
-    // ---- batch cluster-join tiers vs exact cosine join -------------
-    def joinRecall(name: String, filtered: Boolean): (Double, Long) = {
-      val queries = emb.where(col("vec_id") < 64)
+    // ---- batch cluster-join tiers vs exact cosine join (128-query
+    // batch through the SAME served IVF index and config as the
+    // SparkEntry entries, whose own contract batch is vec_id < 64 —
+    // a subset of this measurement; raised in round 15) --------------
+    def joinRecall(filtered: Boolean): (Double, Long) = {
+      val queries = emb.where(col("vec_id") < 128)
       val corpus = if (filtered) emb.where(col("label") % 2 === 0) else emb
       val truth = TopK.knnJoin(corpus, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5, metric = DistanceMetric.Cosine)
         .select(col("query_id").cast("long"), col("id").cast("long"))
         .as[(Long, Long)].collect().groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
-      val got = SparkEntry.queries(name)(spark, sfDir)
+      val (assigned, model) = SparkEntry.ivfFor(spark, sfDir,
+        DistanceMetric.Cosine)
+      val got = graft.index.IvfIndex.searchJoin(assigned, model,
+        "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, nprobe = 8,
+        filter = if (filtered) Some(col("label") % 2 === 0) else None)
         .select(col("query_id").cast("long"), col("id").cast("long"))
         .as[(Long, Long)].collect().groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
@@ -139,9 +150,9 @@ object RecallAudit {
         got.getOrElse(q, Set.empty).intersect(ts).size.toDouble / ts.size }
       (recalls.sum / recalls.size, truth.size.toLong)
     }
-    val (sjR, sjN) = joinRecall("ann_search_join", filtered = false)
+    val (sjR, sjN) = joinRecall(filtered = false)
     results("ann_search_join") = ("corpus", 5, sjR, 0.8, sjN)
-    val (sjfR, sjfN) = joinRecall("ann_search_join_filtered", filtered = true)
+    val (sjfR, sjfN) = joinRecall(filtered = true)
     results("ann_search_join_filtered") = ("corpus", 5, sjfR, 0.8, sjfN)
 
     // ---- selective LSH pair cut vs the exact pair scan -------------
@@ -162,9 +173,19 @@ object RecallAudit {
         ("corpus", 0, r, 0.95, truthPairs.size.toLong)
     }
 
-    // ---- multi-probe LSH: corpus self-match recall@1 + exact top-5 -
+    // ---- multi-probe LSH: corpus self-match recall@1 ---------------
     {
-      val got = SparkEntry.queries("ann_lsh_multiprobe")(spark, sfDir)
+      // the SparkEntry query's own batch is 8 vectors (its contract);
+      // the GATE measures 128 queries through the SAME served bucket
+      // table and config (round 15, VERDICT r14 ask 3: n = 8 is no
+      // sample) — a superset of the contract batch, so the entry's own
+      // queries are inside the measurement
+      val buckets = Round6Queries.lshBucketsFor(spark, sfDir)
+      val qs = emb.where(col("vec_id") < 128)
+        .select(col("vec_id"), col("embedding"))
+      val got = graft.index.LshIndex.searchMultiProbe(buckets, qs,
+        "vec_id", "embedding", k = 5, numPlanes = 16, numBands = 1,
+        probeBits = 1)
         .select(col("qid").cast("long"), col("id").cast("long"), col("rank"))
         .as[(Long, Long, Long)].collect()
       val byQ = got.groupBy(_._1)

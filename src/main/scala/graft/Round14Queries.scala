@@ -112,21 +112,18 @@ object Round14Queries {
     // register tables (sketch mergeability: the union never re-reads
     // raw data — the 100 TB roll-up property, next to
     // snapshot_overlap's minhash view) -------------------------------
-    "hll_union" -> ((s, dir) => {
-      import graft.functions.{TextFunctions => TF}
-      val docs = t(s, dir, "documents")
+    "hll_union" -> ((s, dir) =>
       // 3-gram species (the vocab_chao1 rule): the unigram vocabulary
       // saturates on this corpus, so old/new/union would all read the
-      // same number; 3-grams give the diff something to measure
-      def st(side: DataFrame) = side
-        .select(col("source"), explode(TF.shingleHashesFromTokens(
-          TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
-      graft.operators.Profile.hllUnionDiff(
-        st(docs.where(col("doc_id") % 3 =!= 0)),
-        st(docs.where(col("doc_id") % 5 =!= 0)),
-        "source", "tok")
-        .orderBy("source")
-    }),
+      // same number; 3-grams give the diff something to measure.
+      // Round 15: served from the persisted per-snapshot sketch
+      // artifacts — a |sources|-row scan + row-local register merge;
+      // the DuckDB twin still rebuilds from raw text (serve ≡ rebuild)
+      graft.operators.Profile.hllUnionDiffFromArtifacts(
+        SparkEntry.snapshotSketchFor(s, dir, "old"),
+        SparkEntry.snapshotSketchFor(s, dir, "new"),
+        "source")
+        .orderBy("source")),
 
     // ---- X225: t-closeness — the third privacy gate next to
     // k_anonymity/l_diversity: per (lang, length-bucket) class, the

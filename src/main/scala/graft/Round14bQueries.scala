@@ -58,18 +58,15 @@ object Round14bQueries {
     // the DIRECT intersection/difference estimates HLL registers
     // cannot give (same species and splits as hll_union, so the two
     // sketch families answer the same question side by side) ---------
-    "theta_diff" -> ((s, dir) => {
-      import graft.functions.{TextFunctions => TF}
-      val docs = t(s, dir, "documents")
-      def st(side: DataFrame) = side
-        .select(col("source"), explode(TF.shingleHashesFromTokens(
-          TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
-      graft.operators.Profile.kmvDiff(
-        st(docs.where(col("doc_id") % 3 =!= 0)),
-        st(docs.where(col("doc_id") % 5 =!= 0)),
-        "source", "tok", k = 32)
-        .orderBy("source")
-    }),
+    "theta_diff" -> ((s, dir) =>
+      // Round 15: served from the persisted per-snapshot sketch
+      // artifacts (KMV mins column) — pure artifact scan + row-local
+      // set algebra; the DuckDB twin still rebuilds (serve ≡ rebuild)
+      graft.operators.Profile.kmvDiffFromArtifacts(
+        SparkEntry.snapshotSketchFor(s, dir, "old"),
+        SparkEntry.snapshotSketchFor(s, dir, "new"),
+        "source", k = 32)
+        .orderBy("source")),
 
     // ---- X232: binned average precision — the PR-side scalar next
     // to signal_auc on the SAME signal/label frame (n_chars score vs
@@ -165,21 +162,16 @@ object Round14bQueries {
     // each 50-token window classifies independently against the served
     // CT profiles; the doc-level verdict reads the window sequence.
     // The screen doc-level langid structurally cannot provide --------
-    "langid_switch" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("text", coalesce(col("text"), lit("")))
-      val nb = docs.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("__nbt"))
-      val planted = docs.join(nb, Seq("doc_id"), "left")
-        .withColumn("text",
-          when(col("doc_id") % 41 === 0 && col("__nbt").isNotNull,
-            concat(col("text"), lit(" "), col("__nbt")))
-            .otherwise(col("text")))
-      graft.operators.Lexical.ctCodeSwitch(planted, "doc_id", "text",
-        SparkEntry.ctProfilesFor(s, dir), "lang",
-        windowTokens = 50, m = 100, profileK = 200, minSwitches = 2)
-        .orderBy("doc_id")
-    }),
+    "langid_switch" -> ((s, dir) =>
+      // Round 15: served from the materialized per-window top-m frame
+      // (shared with langid_switch_margin — the second consumer that
+      // pays for the artifact); the DuckDB twin still replants and
+      // rebuilds from raw text, so the hash gate proves serve≡rebuild
+      graft.operators.Lexical.ctCodeSwitchFromTop(
+        SparkEntry.ctWinTopFor(s, dir),
+        SparkEntry.ctProfilesFor(s, dir), "doc_id", "lang",
+        profileK = 200, minSwitches = 2)
+        .orderBy("doc_id")),
 
     // ---- X243: leakage-safe split — near-dup components (from the
     // served shingle index) are the split unit, so no qualifying pair
@@ -541,10 +533,15 @@ object Round14bQueries {
          |      THEN p0.text || ' ' || nb.nbt ELSE p0.text END AS text
          |  FROM p0 LEFT JOIN nb ON p0.doc_id = nb.doc_id),
          |tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS ws FROM pl),
+         |-- per-doc window range ⌊(len−1)/50⌋+1 (min 1) — exactly the
+         |-- engine's sequence(0, greatest(floor((size−1)/50), 0)), no
+         |-- window-count cap (the engine's only bound is the 2^20
+         |-- doc-key packing, documented at ctCodeSwitch)
          |win AS (SELECT doc_id, w,
          |    array_to_string(ws[w * 50 + 1 : w * 50 + 50], ' ') AS wt
-         |  FROM tk CROSS JOIN (SELECT unnest(range(0, 4096)) AS w)
-         |  WHERE w = 0 OR w * 50 < len(ws)),
+         |  FROM (SELECT doc_id, ws,
+         |      unnest(range(0, greatest(len(ws) + 49, 50) // 50)) AS w
+         |    FROM tk)),
          |wch AS (SELECT doc_id, w,
          |    list_transform(list_filter(string_split(wt, ''), c -> c <> ''),
          |      c -> CAST(ascii(c) AS BIGINT)) AS th
@@ -632,7 +629,8 @@ object Round14bQueries {
          |pts AS (SELECT bin,
          |    (20000 * cp + p) // (2 * p) AS tprq,
          |    (20000 * cn + n) // (2 * n) AS fprq,
-         |    (CASE WHEN cp * n - cn * p < 0 THEN -1 ELSE 1 END) *
+         |    (CASE WHEN CAST(cp AS HUGEINT) * n - CAST(cn AS HUGEINT) * p < 0
+         |      THEN -1 ELSE 1 END) *
          |      CAST((20000 * abs(CAST(cp AS HUGEINT) * n
          |          - CAST(cn AS HUGEINT) * p)
          |        + CAST(p AS HUGEINT) * n)

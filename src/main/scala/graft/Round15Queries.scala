@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, Profile}
+
+/** Round-15 [EXT] batch — the VERDICT r14 asks turned into contract
+  * queries: the cost-sensitive operating-point picker (X245, NOTES
+  * lead (d)), window-level code-switch confidence margins over the
+  * shared served per-window frame (X246, lead (c)), and the
+  * sketch-artifact union cardinality served from a MERGED artifact —
+  * the update≡rebuild law pushed through the two-engine gate (X247,
+  * completing ask 1).
+  */
+object Round15Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X245: cost-sensitive threshold picker — argmax of
+    // TP·benefit − FP·cost per (benefit, cost) config on the same
+    // exact-integer lattice as score_cut; asymmetric-cost rows move
+    // the cut where Youden/F1 structurally cannot -------------------
+    "score_cut_cost" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Classifier.bestThresholdCost(
+        t(s, dir, "documents").select(
+          (TF.stopwordFraction(col("text")) * 10000.0).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label",
+        configs = Seq((5L, 1L), (1L, 1L), (1L, 10L)),
+        binWidth = 139L, nBins = 16)
+        .orderBy("benefit", "cost")
+    }),
+
+    // ---- X246: window-level code-switch confidence — the runner-up
+    // margin (X114's gap) at WINDOW granularity over the SAME served
+    // per-window top-m frame langid_switch scans: a flip between
+    // confident windows is a language boundary, a flip between weak
+    // ones is sampler noise ------------------------------------------
+    "langid_switch_margin" -> ((s, dir) =>
+      graft.operators.Lexical.ctCodeSwitchMarginFromTop(
+        SparkEntry.ctWinTopFor(s, dir),
+        SparkEntry.ctProfilesFor(s, dir), "doc_id", "lang",
+        profileK = 200, weakMargin = 500L)
+        .orderBy("doc_id")),
+
+    // ---- X247: sketch-artifact union cardinality — per-source
+    // distinct-species estimates of the %3∪%5 union read from the
+    // MERGED persisted artifacts (bucket-wise register max + KMV
+    // k-smallest-of-union), both sketch families side by side; the
+    // oracle rebuilds from raw text, so the hash gate IS the
+    // merge≡rebuild proof through two engines -------------------------
+    "sketch_union" -> ((s, dir) => {
+      val merged = Profile.mergeSketches(
+        SparkEntry.snapshotSketchFor(s, dir, "old"),
+        SparkEntry.snapshotSketchFor(s, dir, "new"), k = 32)
+        .localCheckpoint(false) // HLL estimate + KMV estimate consumers
+      val two52 = 4503599627370496L
+      val kmvEst =
+        s"""CASE WHEN size(kmv) < 32 THEN CAST(size(kmv) AS DOUBLE)
+           |ELSE CAST((CAST(20000 AS DECIMAL(38,0)) * 31 * $two52
+           |    + element_at(kmv, 32))
+           |  div (CAST(2 AS DECIMAL(38,0)) * element_at(kmv, 32))
+           |  AS BIGINT) / 10000.0 END""".stripMargin.replace('\n', ' ')
+      Profile.hllEstimateFromDense(merged)
+        .select(col("__g"), col("n_empty"),
+          col("__est").as("hll_union_est"))
+        .join(merged.select(col("__g"), expr(kmvEst).as("kmv_union_est")),
+          "__g")
+        .select(col("__g").as("source"), col("n_empty"),
+          col("hll_union_est"), col("kmv_union_est"))
+        .orderBy("source")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "score_cut_cost" -> {
+      val stop = SparkEntry.sqlStopFrac("text")
+      s"""WITH sc AS (SELECT $stop * 10000.0 AS score, lang = 'en' AS label
+         |  FROM documents),
+         |b AS (SELECT
+         |    CAST(greatest(least(floor(CAST(score AS DOUBLE) / 139.0), 15.0),
+         |      0.0) AS INT) AS bin,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+         |    CAST(sum(n_neg) AS BIGINT) AS n FROM b),
+         |c AS (SELECT bin,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cp,
+         |    CAST(sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS cn
+         |  FROM b),
+         |cfg AS (SELECT * FROM (VALUES (CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+         |    (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+         |    (CAST(1 AS BIGINT), CAST(10 AS BIGINT))) AS t(benefit, cost)),
+         |pts AS (SELECT benefit, cost, bin,
+         |    CAST(cp AS HUGEINT) * benefit - CAST(cn AS HUGEINT) * cost AS u,
+         |    (20000 * cp + p) // (2 * p) AS tprq,
+         |    (20000 * cn + n) // (2 * n) AS fprq,
+         |    CASE WHEN cp + cn > 0
+         |      THEN (20000 * cp + (cp + cn)) // (2 * (cp + cn)) END AS precq
+         |  FROM c CROSS JOIN tot CROSS JOIN cfg WHERE p > 0 AND n > 0),
+         |pick AS (SELECT *, row_number() OVER (PARTITION BY benefit, cost
+         |    ORDER BY u DESC, bin DESC) AS rn FROM pts)
+         |SELECT benefit, cost, bin,
+         |  round(CAST(u AS DOUBLE), 4) AS utility,
+         |  CAST(tprq AS DOUBLE) / 10000.0 AS tpr,
+         |  CAST(fprq AS DOUBLE) / 10000.0 AS fpr,
+         |  CAST(precq AS DOUBLE) / 10000.0 AS "precision"
+         |FROM pick WHERE rn = 1 ORDER BY benefit, cost""".stripMargin
+    },
+
+    "langid_switch_margin" ->
+      s"""WITH ch AS (SELECT doc_id, lang,
+         |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS th
+         |  FROM documents),
+         |tg AS (SELECT doc_id, lang,
+         |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg FROM ch),
+         |lc AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM tg GROUP BY 1, 2),
+         |lp AS (SELECT lang, tg,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rp
+         |  FROM lc QUALIFY rp <= 200),
+         |p0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |nb AS (SELECT doc_id - 1 AS doc_id, text AS nbt FROM p0),
+         |pl AS (SELECT p0.doc_id,
+         |    CASE WHEN p0.doc_id % 41 = 0 AND nb.nbt IS NOT NULL
+         |      THEN p0.text || ' ' || nb.nbt ELSE p0.text END AS text
+         |  FROM p0 LEFT JOIN nb ON p0.doc_id = nb.doc_id),
+         |tk AS (SELECT doc_id, ${SparkEntry.sqlTokens("text")} AS ws FROM pl),
+         |win AS (SELECT doc_id, w,
+         |    array_to_string(ws[w * 50 + 1 : w * 50 + 50], ' ') AS wt
+         |  FROM (SELECT doc_id, ws,
+         |      unnest(range(0, greatest(len(ws) + 49, 50) // 50)) AS w
+         |    FROM tk)),
+         |wch AS (SELECT doc_id, w,
+         |    list_transform(list_filter(string_split(wt, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS th
+         |  FROM win),
+         |wtg AS (SELECT doc_id, w,
+         |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS tg FROM wch),
+         |wc AS (SELECT doc_id, w, tg, CAST(count(*) AS BIGINT) AS c
+         |  FROM wtg GROUP BY 1, 2, 3),
+         |wt_ AS (SELECT doc_id, w, tg,
+         |    CAST(row_number() OVER (PARTITION BY doc_id, w
+         |                            ORDER BY c DESC, tg ASC) AS BIGINT) AS rd
+         |  FROM wc QUALIFY rd <= 100),
+         |wm AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS m
+         |  FROM wt_ GROUP BY 1, 2),
+         |wmt AS (SELECT wt_.doc_id, wt_.w, lp.lang,
+         |    CAST(sum(abs(wt_.rd - lp.rp)) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS nm
+         |  FROM wt_ JOIN lp USING (tg) GROUP BY 1, 2, 3),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |wfd AS (SELECT wm.doc_id, wm.w, langs.lang,
+         |    COALESCE(wmt.s, 0) + (wm.m - COALESCE(wmt.nm, 0)) * 200 AS d
+         |  FROM wm CROSS JOIN langs
+         |  LEFT JOIN wmt ON wmt.doc_id = wm.doc_id AND wmt.w = wm.w
+         |    AND wmt.lang = langs.lang),
+         |wr AS (SELECT doc_id, w, d,
+         |    row_number() OVER (PARTITION BY doc_id, w
+         |                       ORDER BY d, lang) AS rn FROM wfd),
+         |mg AS (SELECT a.doc_id, a.w, b.d - a.d AS margin
+         |  FROM wr a JOIN wr b ON a.doc_id = b.doc_id AND a.w = b.w
+         |    AND a.rn = 1 AND b.rn = 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(min(margin) AS BIGINT) AS min_margin,
+         |  CAST((CAST(20000 AS HUGEINT) * sum(margin) + count(*))
+         |    // (CAST(2 AS HUGEINT) * count(*)) AS BIGINT) / 10000.0
+         |    AS mean_margin,
+         |  CAST(sum(CASE WHEN margin < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_weak,
+         |  CAST((20000 * sum(CASE WHEN margin < 500 THEN 1 ELSE 0 END)
+         |    + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+         |    AS weak_share
+         |FROM mg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sketch_union" -> {
+      val two52 = 4503599627370496L
+      val k = 32
+      // the theta_diff side builder pointed at the UNION split, and
+      // the hll_union register/estimator builders over the same rows —
+      // a doc is in the union iff it is in either snapshot
+      val pred = "(doc_id % 3 <> 0 OR doc_id % 5 <> 0)"
+      s"""WITH th_u AS (SELECT source AS g,
+         |    ${SparkEntry.sqlTokenHashes("coalesce(text, '')")} AS th
+         |  FROM documents WHERE $pred),
+         |st_u AS (SELECT g,
+         |    unnest(${SparkEntry.sqlShingleHashesOfTh(3)}) AS t
+         |  FROM th_u),
+         |d_u AS (SELECT DISTINCT g,
+         |    CAST(('0x' || substr(md5(CAST(t AS VARCHAR)), 1, 13))
+         |      AS BIGINT) AS h
+         |  FROM st_u),
+         |rk_u AS (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |  FROM d_u),
+         |sk_u AS (SELECT g, list(h ORDER BY h) AS m
+         |  FROM rk_u WHERE rn <= $k GROUP BY g),
+         |regs_u AS (SELECT g, h % 64 AS b,
+         |    max(CASE WHEN h // 64 = 0 THEN 47
+         |      ELSE 47 - length(bin(h // 64)) END) AS m
+         |  FROM d_u GROUP BY 1, 2),
+         |grid_u AS (SELECT g, unnest(range(0, 64)) AS b
+         |  FROM (SELECT DISTINCT g FROM regs_u)),
+         |tt_u AS (SELECT grid_u.g,
+         |    CAST(sum(CAST(power(2.0, 48 - coalesce(regs_u.m, 0))
+         |      AS BIGINT)) AS BIGINT) AS T,
+         |    CAST(sum(CASE WHEN regs_u.m IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v
+         |  FROM grid_u LEFT JOIN regs_u
+         |    ON grid_u.g = regs_u.g AND grid_u.b = regs_u.b
+         |  GROUP BY 1),
+         |e_u AS (SELECT g, v,
+         |  round(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |        * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE)
+         |        <= 160.0 AND v > 0
+         |    THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+         |    ELSE CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |      * CAST(281474976710656 AS DOUBLE) / CAST(T AS DOUBLE) END, 4)
+         |    AS est
+         |  FROM tt_u),
+         |kv AS (SELECT g,
+         |    CASE WHEN len(m) < $k THEN CAST(len(m) AS DOUBLE)
+         |      ELSE CAST((CAST(20000 AS HUGEINT) * ${k - 1} * $two52
+         |          + m[$k]) // (2 * CAST(m[$k] AS HUGEINT)) AS BIGINT)
+         |        / 10000.0 END AS kmv_union_est
+         |  FROM sk_u)
+         |SELECT e_u.g AS source, v AS n_empty, est AS hll_union_est,
+         |  kmv_union_est
+         |FROM e_u JOIN kv ON e_u.g = kv.g ORDER BY source""".stripMargin
+    },
+  )
+}

@@ -29,7 +29,7 @@ object Round6Queries {
     * re-checked on every call instead — a parquet re-read is one
     * footer fetch at plan time, noise next to any query that uses the
     * table. */
-  private def lshBucketsFor(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshBucketsFor(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_lshbuckets/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     this.synchronized {
       if (!SparkEntry.successExists(s, path)) {

@@ -154,6 +154,33 @@ object SparkEntry {
     })
   }
 
+  /** Build-once per-snapshot SKETCH ARTIFACTS (round 15): per-source
+    * KMV mins + dense HLL registers over the %3/%5 split's 3-gram
+    * token-shingle species — `theta_diff` / `hll_union` become pure
+    * \|sources\|-row artifact scans instead of re-deriving sketches
+    * with two corpus-wide (group, hash) dedups each (the 135.7 s/5M
+    * kmvDiff cost class in the r14 audit). The DuckDB twins still
+    * rebuild from raw text, so the hash gates prove serve ≡ rebuild
+    * end-to-end; merge≡rebuild is spec-pinned in SketchArtifactSpec. */
+  private[graft] def snapshotSketchFor(s: SparkSession, dir: String,
+                                       side: String): DataFrame = {
+    val path = s"/tmp/graft_sketch/v1_${side}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, path)) {
+        import graft.functions.{TextFunctions => TF}
+        val docs = t(s, dir, "documents")
+        val split = if (side == "old") docs.where(col("doc_id") % 3 =!= 0)
+          else docs.where(col("doc_id") % 5 =!= 0)
+        graft.operators.Profile.sketchArtifact(
+          split.select(col("source"), explode(TF.shingleHashesFromTokens(
+            TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok")),
+          "source", "tok", k = 32)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
   /** Build-once materialized Cavnar–Trenkle language profiles per sf
     * dir (|langs|·k rows — a fastText-model-sized artifact): the
     * langid_ct / langid_margin queries serve classification from this
@@ -186,6 +213,45 @@ object SparkEntry {
       if (!successExists(s, path)) {
         graft.operators.Lexical.docTopTrigrams(
           t(s, dir, "documents"), "doc_id", "text", m = 100)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+  }
+
+  /** The planted mixed-language corpus behind the code-switch queries
+    * (every 41st doc gets its successor's text appended — often
+    * another language): shared by the [[ctWinTopFor]] artifact builder
+    * so both window-level consumers read the same corpus the DuckDB
+    * twins replant in SQL. */
+  private def plantedDocsFor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val nb = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__nbt"))
+    docs.join(nb, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 41 === 0 && col("__nbt").isNotNull,
+          concat(col("text"), lit(" "), col("__nbt")))
+          .otherwise(col("text")))
+      .drop("__nbt")
+  }
+
+  /** Build-once materialized per-(doc, window) top-100-trigram frame
+    * over the planted corpus (round 15 — the [[ctDocTopFor]] pattern
+    * at WINDOW granularity): `langid_switch` and the new
+    * `langid_switch_margin` both scan THIS artifact instead of each
+    * re-exploding windows and re-hashing trigrams (the top bench entry
+    * × 2 consumers — exactly the second consumer the r14 NOTES said
+    * would justify the artifact). DuckDB twins still rebuild from raw
+    * text, so the hash gates prove serve ≡ rebuild. */
+  private[graft] def ctWinTopFor(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_ctwintop/v1_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, path)) {
+        graft.operators.Lexical.ctWindowTopFrame(
+          plantedDocsFor(s, dir), "doc_id", "text",
+          windowTokens = 50, m = 100)
           .write.mode("overwrite").parquet(path)
       }
       s.read.parquet(path)
@@ -386,7 +452,7 @@ object SparkEntry {
     baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
       Round10Queries.queries ++ Round11Queries.queries ++
-      Round11bQueries.queries ++ Round12Queries.queries ++ Round12bQueries.queries ++ Round12cQueries.queries ++ Round12dQueries.queries ++ Round12eQueries.queries ++ Round12fQueries.queries ++ Round12gQueries.queries ++ Round12hQueries.queries ++ Round12iQueries.queries ++ Round12jQueries.queries ++ Round12kQueries.queries ++ Round12lQueries.queries ++ Round12mQueries.queries ++ Round12nQueries.queries ++ Round12oQueries.queries ++ Round12pQueries.queries ++ Round12qQueries.queries ++ Round12rQueries.queries ++ Round12sQueries.queries ++ Round12tQueries.queries ++ Round12uQueries.queries ++ Round12vQueries.queries ++ Round12wQueries.queries ++ Round12xQueries.queries ++ Round12yQueries.queries ++ Round12zQueries.queries ++ Round12aaQueries.queries ++ Round12bbQueries.queries ++ Round12ccQueries.queries ++ Round12ddQueries.queries ++ Round12eeQueries.queries ++ Round12ffQueries.queries ++ Round12ggQueries.queries ++ Round12hhQueries.queries ++ Round12iiQueries.queries ++ Round12jjQueries.queries ++ Round12kkQueries.queries ++ Round12llQueries.queries ++ Round12mmQueries.queries ++ Round12nnQueries.queries ++ Round12ooQueries.queries ++ Round12ppQueries.queries ++ Round12qqQueries.queries ++ Round12rrQueries.queries ++ Round12ssQueries.queries ++ Round12ttQueries.queries ++ Round12uuQueries.queries ++ Round13Queries.queries ++ Round13bQueries.queries ++ Round13cQueries.queries ++ Round13dQueries.queries ++ Round13eQueries.queries ++ Round13fQueries.queries ++ Round13gQueries.queries ++ Round14Queries.queries ++ Round14bQueries.queries
+      Round11bQueries.queries ++ Round12Queries.queries ++ Round12bQueries.queries ++ Round12cQueries.queries ++ Round12dQueries.queries ++ Round12eQueries.queries ++ Round12fQueries.queries ++ Round12gQueries.queries ++ Round12hQueries.queries ++ Round12iQueries.queries ++ Round12jQueries.queries ++ Round12kQueries.queries ++ Round12lQueries.queries ++ Round12mQueries.queries ++ Round12nQueries.queries ++ Round12oQueries.queries ++ Round12pQueries.queries ++ Round12qQueries.queries ++ Round12rQueries.queries ++ Round12sQueries.queries ++ Round12tQueries.queries ++ Round12uQueries.queries ++ Round12vQueries.queries ++ Round12wQueries.queries ++ Round12xQueries.queries ++ Round12yQueries.queries ++ Round12zQueries.queries ++ Round12aaQueries.queries ++ Round12bbQueries.queries ++ Round12ccQueries.queries ++ Round12ddQueries.queries ++ Round12eeQueries.queries ++ Round12ffQueries.queries ++ Round12ggQueries.queries ++ Round12hhQueries.queries ++ Round12iiQueries.queries ++ Round12jjQueries.queries ++ Round12kkQueries.queries ++ Round12llQueries.queries ++ Round12mmQueries.queries ++ Round12nnQueries.queries ++ Round12ooQueries.queries ++ Round12ppQueries.queries ++ Round12qqQueries.queries ++ Round12rrQueries.queries ++ Round12ssQueries.queries ++ Round12ttQueries.queries ++ Round12uuQueries.queries ++ Round13Queries.queries ++ Round13bQueries.queries ++ Round13cQueries.queries ++ Round13dQueries.queries ++ Round13eQueries.queries ++ Round13fQueries.queries ++ Round13gQueries.queries ++ Round14Queries.queries ++ Round14bQueries.queries ++ Round15Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -1887,6 +1953,6 @@ object SparkEntry {
     ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
       Round8Queries.oracleSql ++ Round8bQueries.oracleSql ++
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
-      Round11bQueries.oracleSql ++ Round12Queries.oracleSql ++ Round12bQueries.oracleSql ++ Round12cQueries.oracleSql ++ Round12dQueries.oracleSql ++ Round12eQueries.oracleSql ++ Round12fQueries.oracleSql ++ Round12gQueries.oracleSql ++ Round12hQueries.oracleSql ++ Round12iQueries.oracleSql ++ Round12jQueries.oracleSql ++ Round12kQueries.oracleSql ++ Round12lQueries.oracleSql ++ Round12mQueries.oracleSql ++ Round12nQueries.oracleSql ++ Round12oQueries.oracleSql ++ Round12pQueries.oracleSql ++ Round12qQueries.oracleSql ++ Round12rQueries.oracleSql ++ Round12sQueries.oracleSql ++ Round12tQueries.oracleSql ++ Round12uQueries.oracleSql ++ Round12vQueries.oracleSql ++ Round12wQueries.oracleSql ++ Round12xQueries.oracleSql ++ Round12yQueries.oracleSql ++ Round12zQueries.oracleSql ++ Round12aaQueries.oracleSql ++ Round12bbQueries.oracleSql ++ Round12ccQueries.oracleSql ++ Round12ddQueries.oracleSql ++ Round12eeQueries.oracleSql ++ Round12ffQueries.oracleSql ++ Round12ggQueries.oracleSql ++ Round12hhQueries.oracleSql ++ Round12iiQueries.oracleSql ++ Round12jjQueries.oracleSql ++ Round12kkQueries.oracleSql ++ Round12llQueries.oracleSql ++ Round12mmQueries.oracleSql ++ Round12nnQueries.oracleSql ++ Round12ooQueries.oracleSql ++ Round12ppQueries.oracleSql ++ Round12qqQueries.oracleSql ++ Round12rrQueries.oracleSql ++ Round12ssQueries.oracleSql ++ Round12ttQueries.oracleSql ++ Round12uuQueries.oracleSql ++ Round13Queries.oracleSql ++ Round13bQueries.oracleSql ++ Round13cQueries.oracleSql ++ Round13dQueries.oracleSql ++ Round13eQueries.oracleSql ++ Round13fQueries.oracleSql ++ Round13gQueries.oracleSql ++ Round14Queries.oracleSql ++ Round14bQueries.oracleSql
+      Round11bQueries.oracleSql ++ Round12Queries.oracleSql ++ Round12bQueries.oracleSql ++ Round12cQueries.oracleSql ++ Round12dQueries.oracleSql ++ Round12eQueries.oracleSql ++ Round12fQueries.oracleSql ++ Round12gQueries.oracleSql ++ Round12hQueries.oracleSql ++ Round12iQueries.oracleSql ++ Round12jQueries.oracleSql ++ Round12kQueries.oracleSql ++ Round12lQueries.oracleSql ++ Round12mQueries.oracleSql ++ Round12nQueries.oracleSql ++ Round12oQueries.oracleSql ++ Round12pQueries.oracleSql ++ Round12qQueries.oracleSql ++ Round12rQueries.oracleSql ++ Round12sQueries.oracleSql ++ Round12tQueries.oracleSql ++ Round12uQueries.oracleSql ++ Round12vQueries.oracleSql ++ Round12wQueries.oracleSql ++ Round12xQueries.oracleSql ++ Round12yQueries.oracleSql ++ Round12zQueries.oracleSql ++ Round12aaQueries.oracleSql ++ Round12bbQueries.oracleSql ++ Round12ccQueries.oracleSql ++ Round12ddQueries.oracleSql ++ Round12eeQueries.oracleSql ++ Round12ffQueries.oracleSql ++ Round12ggQueries.oracleSql ++ Round12hhQueries.oracleSql ++ Round12iiQueries.oracleSql ++ Round12jjQueries.oracleSql ++ Round12kkQueries.oracleSql ++ Round12llQueries.oracleSql ++ Round12mmQueries.oracleSql ++ Round12nnQueries.oracleSql ++ Round12ooQueries.oracleSql ++ Round12ppQueries.oracleSql ++ Round12qqQueries.oracleSql ++ Round12rrQueries.oracleSql ++ Round12ssQueries.oracleSql ++ Round12ttQueries.oracleSql ++ Round12uuQueries.oracleSql ++ Round13Queries.oracleSql ++ Round13bQueries.oracleSql ++ Round13cQueries.oracleSql ++ Round13dQueries.oracleSql ++ Round13eQueries.oracleSql ++ Round13fQueries.oracleSql ++ Round13gQueries.oracleSql ++ Round14Queries.oracleSql ++ Round14bQueries.oracleSql ++ Round15Queries.oracleSql
   }
 }

@@ -301,7 +301,7 @@ final class HnswIndex(val metric: DistanceMetric,
     * vector, per-layer adjacency). */
   def save(out: java.io.DataOutputStream): Unit = {
     out.writeInt(HnswIndex.Magic)
-    out.writeInt(1)
+    out.writeInt(2)
     out.writeUTF(metric.name)
     out.writeInt(params.m); out.writeInt(params.efConstruction)
     out.writeInt(params.efSearch); out.writeInt(params.maxLayers)
@@ -330,6 +330,9 @@ final class HnswIndex(val metric: DistanceMetric,
       }
       i += 1
     }
+    // trailing sentinel: a truncated graph section fails at load with a
+    // descriptive error instead of parsing the id-map bytes as nodes
+    out.writeInt(HnswIndex.Magic)
   }
 }
 
@@ -349,23 +352,37 @@ object HnswIndex {
     * would draw. */
   def load(in: java.io.DataInputStream): HnswIndex = {
     require(in.readInt() == Magic, "not an HNSW graph stream")
-    require(in.readInt() == 1, "unsupported HNSW stream version")
+    require(in.readInt() == 2, "unsupported HNSW stream version")
     val metric = metricByName(in.readUTF())
     val params = HnswParams(in.readInt(), in.readInt(), in.readInt(),
       in.readInt())
     val seed = in.readLong()
     val idx = new HnswIndex(metric, params, seed)
     idx.levelDraws = in.readLong()
+    require(idx.levelDraws >= 0L, "corrupt HNSW stream: negative level draws")
     var k = 0L
     while (k < idx.levelDraws) { idx.rng.nextDouble(); k += 1 }
     idx.entryPoint = in.readInt(); idx.maxLevel = in.readInt()
     val slots = in.readInt()
+    // every structural field is validated HERE, not discovered as an
+    // ArrayIndexOutOfBounds mid-search on a corrupted warm-start file
+    require(slots >= 0, "corrupt HNSW stream: negative slot count")
+    require(idx.entryPoint >= -1 && idx.entryPoint < slots,
+      s"corrupt HNSW stream: entry point ${idx.entryPoint} outside " +
+        s"[-1, $slots)")
+    require(idx.maxLevel >= 0 && idx.maxLevel < params.maxLayers,
+      s"corrupt HNSW stream: max level ${idx.maxLevel} outside " +
+        s"[0, ${params.maxLayers})")
     var i = 0
     while (i < slots) {
       if (!in.readBoolean()) idx.nodes += null
       else {
         val level = in.readInt()
+        require(level >= 0 && level < params.maxLayers,
+          s"corrupt HNSW stream: node $i level $level outside " +
+            s"[0, ${params.maxLayers})")
         val dim = in.readInt()
+        require(dim >= 0, s"corrupt HNSW stream: node $i dim $dim < 0")
         val vec = new Array[Float](dim)
         var d = 0
         while (d < dim) { vec(d) = in.readFloat(); d += 1 }
@@ -373,9 +390,17 @@ object HnswIndex {
         var l = 0
         while (l <= level) {
           val cnt = in.readInt()
+          require(cnt >= 0 && cnt <= slots,
+            s"corrupt HNSW stream: node $i layer $l neighbor count $cnt")
           val buf = node.neighbors(l)
           var j = 0
-          while (j < cnt) { buf += in.readInt(); j += 1 }
+          while (j < cnt) {
+            val nb = in.readInt()
+            require(nb >= 0 && nb < slots,
+              s"corrupt HNSW stream: node $i layer $l neighbor id $nb " +
+                s"outside [0, $slots)")
+            buf += nb; j += 1
+          }
           l += 1
         }
         idx.nodes += node
@@ -383,6 +408,10 @@ object HnswIndex {
       }
       i += 1
     }
+    require(in.readInt() == Magic,
+      "corrupt HNSW stream: missing trailing sentinel (truncated graph)")
+    require(idx.entryPoint == -1 || idx.nodes(idx.entryPoint) != null,
+      "corrupt HNSW stream: entry point refers to a deleted slot")
     idx
   }
 }

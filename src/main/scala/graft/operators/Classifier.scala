@@ -523,8 +523,13 @@ object Classifier {
       .select(col("bin"),
         expr("(20000 * __cp + __p) div (2 * __p)").as("__tprq"),
         expr("(20000 * __cn + __n) div (2 * __n)").as("__fprq"),
-        // J numerator cp·N − cn·P signed over P·N, half-up 1e-4
-        (when(expr("__cp * __n - __cn * __p") < 0L, lit(-1L))
+        // J numerator cp·N − cn·P signed over P·N, half-up 1e-4.
+        // The sign compare rides decimal(38,0) like the magnitude
+        // expression: raw long products wrap past ~9.2e18 (a few
+        // billion positives × negatives — inside the 100 TB envelope)
+        // and would silently flip the sign.
+        (when(expr("CAST(__cp AS DECIMAL(38,0)) * __n " +
+            "- CAST(__cn AS DECIMAL(38,0)) * __p") < 0, lit(-1L))
           .otherwise(lit(1L)) *
           expr("(20000 * abs(CAST(__cp AS DECIMAL(38,0)) * __n " +
             "- CAST(__cn AS DECIMAL(38,0)) * __p) " +
@@ -554,6 +559,73 @@ object Classifier {
           (col("__w.__fprq").cast("double") / lit(10000.0)).as("fpr"),
           (col("__w.__precq").cast("double") / lit(10000.0)).as("precision"))
     pick("__jq", "youden_j").unionByName(pick("__f1q", "f1"))
+  }
+
+  /** Cost-sensitive operating-point picker ([EXT] X245, round 15 —
+    * the NOTES r14 lead (d), completing [[bestThreshold]]): Youden/F1
+    * assume symmetric error costs, but a production admission gate
+    * rarely does — letting a contaminated doc into a training corpus
+    * (FP) can cost orders of magnitude more than dropping a clean one
+    * (TN forgone). For each (benefit, cost) configuration, every
+    * candidate cut "admit score-bin ≥ b" scores the EXPECTED UTILITY
+    * U(b) = TP(b)·benefit − FP(b)·cost, and the argmax row ships with
+    * its full operating point. One criterion row per configuration —
+    * the lsh_planner pattern: the sweep is evidence, the pick is the
+    * deliverable.
+    *
+    * Exactness: U rides decimal(38,0) products (the [[bestThreshold]]
+    * sign-overflow lesson applied from the start — raw long products
+    * wrap inside the 100 TB envelope), so the argmax is decided on
+    * exact integers; ties break to the STRICTER cut (larger bin),
+    * pinned in both engines. The reported utility converts to double
+    * only at the output boundary (both engines round-to-nearest
+    * identically). Degenerate sweeps (no positives or no negatives) →
+    * empty, like the rocBins family.
+    *
+    * Scale shape: everything after the one posNegBins collapse runs on
+    * ≤ nBins·\|configs\| rows. Output: (benefit, cost, bin, utility,
+    * tpr, fpr, precision) ordered by (benefit, cost) at the caller. */
+  def bestThresholdCost(scored: DataFrame, scoreCol: String,
+                        labelCol: String, configs: Seq[(Long, Long)],
+                        binWidth: Long = 256L, nBins: Int = 16): DataFrame = {
+    require(binWidth > 0 && nBins > 1)
+    require(configs.nonEmpty && configs.forall { case (b, c) =>
+      b >= 0 && c >= 0 }, "configs must be non-negative (benefit, cost)")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val bins = posNegBins(scored, scoreCol, labelCol, binWidth, nBins)
+      .localCheckpoint(false)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = bins.agg(sum(col("n_pos")).cast("long").as("__p"),
+      sum(col("n_neg")).cast("long").as("__n"))
+    val cfg = configs.toDF("benefit", "cost")
+    bins
+      .withColumn("__cp", sum(col("n_pos")).over(wTop).cast("long"))
+      .withColumn("__cn", sum(col("n_neg")).over(wTop).cast("long"))
+      .crossJoin(broadcast(tot))
+      .where(col("__p") > 0L && col("__n") > 0L)
+      .crossJoin(broadcast(cfg))
+      .select(col("benefit"), col("cost"), col("bin"),
+        expr("CAST(__cp AS DECIMAL(38,0)) * benefit " +
+          "- CAST(__cn AS DECIMAL(38,0)) * cost").as("__u"),
+        expr("(20000 * __cp + __p) div (2 * __p)").as("__tprq"),
+        expr("(20000 * __cn + __n) div (2 * __n)").as("__fprq"),
+        when(col("__cp") + col("__cn") > 0L,
+          expr("(20000 * __cp + (__cp + __cn)) div (2 * (__cp + __cn))"))
+          .as("__precq"))
+      .groupBy(col("benefit"), col("cost"))
+      .agg(min(struct(negate(col("__u")).as("mu"),
+        negate(col("bin")).as("nb"), col("bin"), col("__u"),
+        col("__tprq"), col("__fprq"), col("__precq"))).as("__w"))
+      .select(col("benefit"), col("cost"),
+        col("__w.bin").as("bin"),
+        round(col("__w.__u").cast("double"), 4).as("utility"),
+        (col("__w.__tprq").cast("double") / lit(10000.0)).as("tpr"),
+        (col("__w.__fprq").cast("double") / lit(10000.0)).as("fpr"),
+        (col("__w.__precq").cast("double") / lit(10000.0)).as("precision"))
   }
 
   /** Isotonic calibration by pool-adjacent-violators ([EXT] X227,

@@ -611,22 +611,42 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5): DataFrame =
+    minhashLshPairsFromSets(shingleSets(docs, idCol, textCol, n),
+      numHashes, rowsPerBand, minJaccard)
+
+  /** [[minhashLshPairs]] over a prebuilt (doc, shs) shingle-set frame
+    * (round 15, the FromSets split): the corpus is tokenized ONCE —
+    * signatures derive from the distinct sets (array_min is
+    * duplicate-invariant, so mh_j over the set ≡ mh_j over the raw
+    * shingle stream — the [[minhashSignatures]] output is bit-equal)
+    * and the verify joins the SAME checkpointed frame, where the old
+    * shape tokenized a second time. This was the dedup_lsh_recall
+    * drift item (VERDICT r15): the LSH side was 2× the exact side
+    * purely from the double tokenize. */
+  def minhashLshPairsFromSets(sets0: DataFrame, numHashes: Int = 8,
+                              rowsPerBand: Int = 2,
+                              minJaccard: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    // consumers: the banding (via signatures) AND both verify sides
+    val sets = sets0.localCheckpoint(false)
+    val mhCols = (0 until numHashes).map { j =>
+      when(size(col("shs")) === 0, lit(null).cast("long"))
+        .otherwise(array_min(transform(col("shs"),
+          h => (lit(TF.minhashA(j)) * h + lit(TF.minhashB(j))) % TF.HashMod)))
+        .as(s"mh_$j")
+    }
+    val sig = sets.select((col("doc") +: mhCols): _*)
       .where(col("mh_0").isNotNull)
     val bands = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sig.select(col(idCol).as("doc"),
+      sig.select(col("doc"),
         lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
     }.reduce(_ unionByName _)
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "sig"))
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // verify candidates against the precomputed shingle sets (no
-    // re-tokenization of the text)
-    val sets = shingleSets(docs, idCol, textCol, n)
     val verified = cand
       .join(sets.select(col("doc").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("shs").as("shs_b")), "doc_b")

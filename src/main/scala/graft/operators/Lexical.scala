@@ -425,8 +425,23 @@ object Lexical {
   def ctCodeSwitch(docs: DataFrame, idCol: String, textCol: String,
                    profiles: DataFrame, langCol: String = "lang",
                    windowTokens: Int = 50, m: Int = 100,
-                   profileK: Int = 200, minSwitches: Int = 2): DataFrame = {
-    require(windowTokens >= 1 && m >= 1 && minSwitches >= 1)
+                   profileK: Int = 200, minSwitches: Int = 2): DataFrame =
+    ctCodeSwitchFromTop(
+      ctWindowTopFrame(docs, idCol, textCol, windowTokens, m),
+      profiles, idCol, langCol, profileK, minSwitches)
+
+  /** The per-(doc, window) top-m trigram frame behind [[ctCodeSwitch]]
+    * — split out (round 15, the docTopTrigrams pattern at window
+    * granularity) so the frame can be MATERIALIZED on compaction
+    * cadence and shared by every window-level consumer (switch
+    * detector + [[ctCodeSwitchMarginFromTop]] — the second consumer
+    * that pays for the artifact). Window key rides doc·2²⁰ + w (the
+    * [[ctCodeSwitch]] packing); windows with no trigrams (< 3 chars)
+    * drop. MAP-ONLY: one fused TopKFreqLongs per window row. Output:
+    * (__doc: packed key, __ta: ≤m trigram hashes rank-ascending). */
+  def ctWindowTopFrame(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int = 50, m: Int = 100): DataFrame = {
+    require(windowTokens >= 1 && m >= 1)
     val w = windowTokens
     val toks = TF.tokens(col(textCol))
     val winTexts = transform(
@@ -434,14 +449,23 @@ object Lexical {
         greatest(floor((size(toks) - lit(1)).cast("double") / w)
           .cast("int"), lit(0))),
       i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
-    val win = docs
+    docs
       .select(col(idCol).cast("long").as("__d0"),
         posexplode(winTexts).as(Seq("__w", "__wt")))
       .select((col("__d0") * lit(1048576L) + col("__w")).as("__doc"),
         graft.functions.TopKFreqLongs(
           TF.charTrigramHashes(col("__wt")), m).as("__ta"))
       .where(size(col("__ta")) > 0)
-      .localCheckpoint(false) // feeds the match join AND the m-count
+  }
+
+  /** [[ctCodeSwitch]] served from a prebuilt/materialized
+    * [[ctWindowTopFrame]] (round 15). */
+  def ctCodeSwitchFromTop(win0: DataFrame, profiles: DataFrame,
+                          idCol: String, langCol: String = "lang",
+                          profileK: Int = 200,
+                          minSwitches: Int = 2): DataFrame = {
+    require(minSwitches >= 1)
+    val win = win0.localCheckpoint(false) // match join AND the m-count
     val preds = ctLangDistancesFromTop(win, profiles, langCol, profileK)
       .groupBy(col("__doc"))
       .agg(min(col("__dl")).as("__best"))
@@ -470,6 +494,57 @@ object Lexical {
         (expr("(20000 * __dom.c + n_windows) div (2 * n_windows)")
           .cast("double") / lit(10000.0)).as("dom_share"),
         (col("n_switches") >= minSwitches.toLong).as("is_mixed"))
+  }
+
+  /** Window-level CONFIDENCE margins over the same served
+    * [[ctWindowTopFrame]] ([EXT] X246, round 15 — X114's
+    * runner-up gap at WINDOW granularity): [[ctCodeSwitch]] counts
+    * prediction flips, but a flip between two windows that each barely
+    * picked their winner is sampler noise, while a flip between two
+    * CONFIDENT windows is a real language boundary. Per window,
+    * margin = dist(runner-up) − dist(winner) (exact integers, ties
+    * (d, lang) ascending like everywhere in the CT stack); per doc:
+    * window count, min/mean margin, and the count/share of WEAK
+    * windows (margin < `weakMargin`) — the column that separates
+    * "mixed-language doc" from "short noisy windows" when read next
+    * to n_switches.
+    *
+    * Mean margin is one integer half-up on the 1e-4 grid over exact
+    * sums (decimal(38,0) products — window counts × 4·10⁴-class
+    * margins can pass 2⁶³ on a shard); weak_share likewise. A
+    * one-profile set has no runner-up: such windows drop, so the
+    * output is empty rather than null-margined.
+    *
+    * Scale shape: the artifact scan + broadcast profile join of the
+    * switch detector; the only per-doc work is one map-side-combining
+    * rollup on the uniform doc key. Output: (idCol, n_windows,
+    * min_margin, mean_margin, n_weak, weak_share). */
+  def ctCodeSwitchMarginFromTop(win0: DataFrame, profiles: DataFrame,
+                                idCol: String, langCol: String = "lang",
+                                profileK: Int = 200,
+                                weakMargin: Long = 500L): DataFrame = {
+    require(weakMargin >= 0)
+    val win = win0.localCheckpoint(false)
+    val margins = ctLangDistancesFromTop(win, profiles, langCol, profileK)
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("__dl"))).as("__arr"))
+      .where(size(col("__arr")) > 1)
+      .select(expr("__doc div 1048576").as("__d0"),
+        (col("__arr")(1).getField("d") - col("__arr")(0).getField("d"))
+          .as("__mg"))
+    margins.groupBy(col("__d0"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        min(col("__mg")).cast("long").as("min_margin"),
+        sum(col("__mg")).cast("long").as("__sm"),
+        sum(when(col("__mg") < weakMargin, 1L).otherwise(0L))
+          .cast("long").as("n_weak"))
+      .select(col("__d0").as(idCol), col("n_windows"), col("min_margin"),
+        (expr("CAST((CAST(20000 AS DECIMAL(38,0)) * __sm + n_windows) " +
+          "div (CAST(2 AS DECIMAL(38,0)) * n_windows) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("mean_margin"),
+        col("n_weak"),
+        (expr("(20000 * n_weak + n_windows) div (2 * n_windows)")
+          .cast("double") / lit(10000.0)).as("weak_share"))
   }
 
   /** Burrows' Delta stylometric distance between groups (X184;

@@ -339,6 +339,14 @@ object Profile {
         when(col("__m").isNull, 1L).otherwise(0L).as("__e"))
       .groupBy(col("__g"))
       .agg(sum(col("__t")).as("__T"), sum(col("__e")).as("__v"))
+    hllFinish(terms)
+  }
+
+  /** The shared estimator tail over (__g, __T: Σ 2^(48−M_b) exact long,
+    * __v: empty-bucket count) — one double division / ln at the end,
+    * exact-integer operands. Factored out (round 15) so the DENSE
+    * artifact path replays the sparse path bit-for-bit. */
+  private def hllFinish(terms: DataFrame): DataFrame = {
     val raw = lit(0.709) * lit(4096.0) * lit(281474976710656.0) /
       col("__T").cast("double")
     terms.select(col("__g"),
@@ -346,6 +354,21 @@ object Profile {
       round(when(raw <= lit(160.0) && col("__v") > 0L,
         lit(64.0) * log(lit(64.0) / col("__v").cast("double")))
         .otherwise(raw), 4).as("__est"))
+  }
+
+  /** [[hllEstimate]] over the DENSE register arrays a
+    * [[sketchArtifact]] stores — ROW-LOCAL (one HOF fold per group, no
+    * grid join, no shuffle): the per-bucket terms are the same exact
+    * longs the sparse grid produces (absent bucket ≡ rank 0 ≡ 2⁴⁸), so
+    * the estimate is bit-equal — spec-pinned. */
+  def hllEstimateFromDense(art: DataFrame): DataFrame = {
+    val terms = art.select(col("__g"),
+      aggregate(col("regs"), lit(0L),
+        (acc, r) => acc +
+          pow(lit(2.0), lit(48.0) - r.cast("double")).cast("long"))
+        .as("__T"),
+      size(filter(col("regs"), r => r === 0L)).cast("long").as("__v"))
+    hllFinish(terms)
   }
 
   /** Sketch-merge snapshot diff ([EXT] X226, round 14) — distinct
@@ -656,6 +679,126 @@ object Profile {
       // question subtraction-free HLL cannot answer directly
       .withColumn("new_not_old_est",
         greatest(round(col("n_new_est") - col("n_inter_est"), 4), lit(0.0)))
+  }
+
+  // ---------------------------------------------------------------
+  // Snapshot sketch artifact (round 15): per-group KMV mins + dense
+  // HLL registers, persisted on compaction cadence
+  // ---------------------------------------------------------------
+
+  /** The per-group SKETCH ARTIFACT a production pipeline persists on
+    * compaction cadence (round 15; the [[graft.operators.Dedup.rawShingleIndex]]
+    * pattern applied to the sketch family): one row per group holding
+    * BOTH the KMV k-minima ([[kmvMins]]) and the dense 64-bucket HLL
+    * register array ([[hllRegisters]]). The motivating cost class:
+    * [[kmvDiff]]/[[hllUnionDiff]] each re-derive per-group sketches
+    * with corpus-wide (group, hash) dedups — 135.7 s at 5M×640 sources
+    * in the r14 Scratch audit, the worst per-query scale number on the
+    * board — while the artifact is \|groups\| rows that BOTH diffs scan
+    * row-locally ([[kmvDiffFromMins]] / [[hllUnionDiffFromArtifacts]]).
+    *
+    * Both sketches ride ONE (group, hash) dedup collapse (HLL's
+    * bucket-max is insensitive to duplicates, so the deduped frame
+    * serves both sides — localCheckpointed, the two consumers never
+    * re-scan raw data). Mergeable by construction ([[mergeSketches]]:
+    * k-smallest-of-union / bucket-wise max), so per-snapshot artifacts
+    * absorb deltas without a rebuild — update≡rebuild spec-pinned as
+    * exact set equality, the X226/X231 laws materialized.
+    *
+    * Output: (__g, kmv: ascending array of the ≤k smallest distinct
+    * 52-bit hashes, regs: 64-long dense rank array, 0 = empty). */
+  def sketchArtifact(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Int = KmvK): DataFrame = {
+    require(k >= 4 && k <= 4096, "k must be in [4, 4096]")
+    val m = HllBuckets
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13),
+      16, 10).cast("long")
+    val dedup = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), h.as("__h"))
+      .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // feeds the mins AND the registers
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[Scored])
+    val mins = dedup.groupBy(col("__g"))
+      .agg(topk(col("__h"), col("__h").cast("double")).as("__top"))
+      .select(col("__g"),
+        transform(col("__top"), s => s.getField("id")).as("kmv"))
+    val regs = dedup
+      .select(col("__g"), (col("__h") % m).as("__b"),
+        expr(s"__h div $m").as("__w"))
+      .select(col("__g"), col("__b"),
+        when(col("__w") === 0L, lit(47L))
+          .otherwise(lit(47L) - length(bin(col("__w")))).as("__r"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(max(col("__r")).as("__m"))
+      .groupBy(col("__g"))
+      .agg(map_from_arrays(collect_list(col("__b")),
+        collect_list(col("__m"))).as("__mp"))
+      .select(col("__g"),
+        transform(sequence(lit(0L), lit(m - 1L)),
+          b => coalesce(element_at(col("__mp"), b), lit(0L))).as("regs"))
+    mins.join(regs, "__g")
+  }
+
+  /** Absorb one artifact into another ([[sketchArtifact]] maintenance):
+    * kmv = the k smallest of the distinct union (the KMV union law —
+    * the k smallest of A∪B always survive into the union of the two
+    * k-minima sets), regs = bucket-wise max. merge(sketch(A),
+    * sketch(B)) ≡ sketch(A ∪ B) EXACTLY — spec-pinned set equality, so
+    * a maintained artifact never drifts from a rebuild. Groups absent
+    * from one side pass through (full-outer: sketches of new groups
+    * append; the empty side contributes nothing). */
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    val emptyK = "CAST(array() AS ARRAY<BIGINT>)"
+    val zeros = s"array_repeat(CAST(0 AS BIGINT), $HllBuckets)"
+    a.select(col("__g"), col("kmv").as("__ka"), col("regs").as("__ra"))
+      .join(b.select(col("__g"), col("kmv").as("__kb"),
+        col("regs").as("__rb")), Seq("__g"), "full_outer")
+      .select(col("__g"),
+        slice(array_sort(array_distinct(concat(
+          expr(s"coalesce(__ka, $emptyK)"),
+          expr(s"coalesce(__kb, $emptyK)")))), 1, k).as("kmv"),
+        zip_with(expr(s"coalesce(__ra, $zeros)"),
+          expr(s"coalesce(__rb, $zeros)"),
+          (x, y) => greatest(x, y)).as("regs"))
+  }
+
+  /** [[kmvDiff]] served from two persisted artifacts — a pure
+    * \|groups\|-row scan + row-local set algebra; zero corpus passes
+    * at query time. Bit-equal to the rebuild (the mins ARE
+    * [[kmvMins]]'s output) — the driver hash gate proves it. */
+  def kmvDiffFromArtifacts(a: DataFrame, b: DataFrame, groupCol: String,
+                           k: Int = KmvK): DataFrame =
+    kmvDiffFromMins(a.select(col("__g"), col("kmv").as("ma")),
+      b.select(col("__g"), col("kmv").as("mb")), groupCol, k)
+
+  /** [[hllUnionDiff]] served from two persisted artifacts: the merge
+    * is one row-local zip_with(max) after the \|groups\|-row join, and
+    * all three estimates ride [[hllEstimateFromDense]] — zero corpus
+    * passes, zero shuffles past the artifact scan. Bit-equal to the
+    * rebuild (spec-pinned dense≡sparse estimator + the driver hash
+    * gate). */
+  def hllUnionDiffFromArtifacts(a: DataFrame, b: DataFrame,
+                                groupCol: String): DataFrame = {
+    val joined = a.select(col("__g"), col("regs").as("__ra"))
+      .join(b.select(col("__g"), col("regs").as("__rb")), "__g")
+      .localCheckpoint(false) // three estimator consumers
+    def est(regsCol: String, out: String) = hllEstimateFromDense(
+      joined.select(col("__g"), col(regsCol).as("regs")))
+      .select(col("__g"), col("__est").as(out))
+    val merged = hllEstimateFromDense(
+      joined.select(col("__g"),
+        zip_with(col("__ra"), col("__rb"), (x, y) => greatest(x, y))
+          .as("regs")))
+      .select(col("__g"), col("__est").as("n_union_est"))
+    est("__ra", "n_old_est")
+      .join(est("__rb", "n_new_est"), "__g")
+      .join(merged, "__g")
+      .select(col("__g").as(groupCol),
+        col("n_old_est"), col("n_new_est"), col("n_union_est"),
+        round(greatest(
+          col("n_old_est") + col("n_new_est") - col("n_union_est"),
+          lit(0.0)), 4).as("n_overlap_est"))
   }
 
   // ---------------------------------------------------------------

@@ -64,13 +64,22 @@ final class VectorServer(spark: SparkSession, root: String,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   // RwLock semantics like the reference (routes.rs store.read()/write()):
-  // reads run concurrently on a thread pool — each search is a Spark
-  // action over the immutable `live` snapshot, which is thread-safe —
-  // while mutations serialize on `writeLock` below.
+  // reads run concurrently on a thread pool — a Spark-path search is an
+  // action over the immutable `live` snapshot (thread-safe by itself),
+  // but an HNSW-path search walks the MUTABLE serving graph, which is
+  // not safe against a concurrent writer (HnswIndex doc) — so searches
+  // on that path take the read lock and mutations the write lock,
+  // exactly the reference's Arc<RwLock<VectorStore>> discipline.
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
-  private val writeLock = new Object
+  private val rwLock = new java.util.concurrent.locks.ReentrantReadWriteLock
+  private def withWrite[A](f: => A): A = {
+    val l = rwLock.writeLock(); l.lock(); try f finally l.unlock()
+  }
+  private def withRead[A](f: => A): A = {
+    val l = rwLock.readLock(); l.lock(); try f finally l.unlock()
+  }
 
   // The server is the single writer, so the next sequence number and the
   // enforced dimension are cached (seeded from the RAW log — tombstone
@@ -209,11 +218,12 @@ final class VectorServer(spark: SparkSession, root: String,
                         filter: Option[MetadataFilter],
                         ef: Int = -1): Seq[(String, Double)] =
     serving match {
-      case Some(idx) =>
+      case Some(idx) => withRead {
         filter match {
           case Some(f) => idx.searchFiltered(vec.toArray, k, f, ef)
           case None    => idx.search(vec.toArray, k, ef)
         }
+      }
       case None =>
         TopK.knn(live, "id", "embedding", vec.map(_.toDouble), k, metric,
           filter.map(_.compile(col("meta"))))
@@ -261,7 +271,7 @@ final class VectorServer(spark: SparkSession, root: String,
       case other => throw new IllegalArgumentException(s"'id' missing: $other")
     }
     val vec = vecOf(req \ "vector")
-    writeLock.synchronized {
+    withWrite {
       checkDims(Seq(vec)) match {
         case Some(msg) => err(ex, 400, msg)
         case None =>
@@ -286,7 +296,7 @@ final class VectorServer(spark: SparkSession, root: String,
       }
       case other => throw new IllegalArgumentException(s"'vectors' not an array: $other")
     }
-    writeLock.synchronized {
+    withWrite {
       checkDims(items.map(_._2)) match {
         case Some(msg) => err(ex, 400, msg) // atomic: nothing appended
         case None =>
@@ -319,7 +329,7 @@ final class VectorServer(spark: SparkSession, root: String,
     }
 
   private def delete(ex: HttpExchange, id: String): Unit =
-    writeLock.synchronized {
+    withWrite {
       liveRow(id) match {
         case None => err(ex, 404, s"Vector not found: $id")
         case Some(_) =>

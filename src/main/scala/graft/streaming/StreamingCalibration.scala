@@ -51,7 +51,13 @@ object StreamingCalibration {
        state: GroupState[(Long, Long, Long, Long)]) =>
         var (n, pos, s, br) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
         rows.foreach { r =>
-          val q = math.round(r.score * 10000.0)
+          // quantize with the SAME rounding as the batch path's Spark
+          // round() — HALF_UP away from zero; scala math.round is
+          // half-up toward +∞ and diverges on negative .5 boundaries
+          // (out-of-range scores are anticipated: the bin rule clamps)
+          val q = BigDecimal(r.score * 10000.0)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toLong
           val y = if (r.label) 10000L else 0L
           n += 1
           if (r.label) pos += 1

@@ -396,6 +396,32 @@ class ClassifierSpec extends SparkSpec {
       binWidth = 100L, nBins = 10).count() == 0L)
   }
 
+  // ------------- cost-sensitive picker (X245, round 15) -------------
+
+  test("bestThresholdCost: symmetric config tracks the J argmax bin; " +
+    "cost-dominant forces the strict cut, benefit-dominant admits all") {
+    // the bestThreshold mixed fixture: cuts b9 (cp 1, cn 0),
+    // b5 (cp 2, cn 1), b1 (cp 2, cn 2)
+    val mixed = Seq((950L, true), (550L, true), (550L, false),
+      (150L, false)).toDF("score", "label")
+    val got = Classifier.bestThresholdCost(mixed, "score", "label",
+      configs = Seq((1L, 1L), (1L, 10L), (10L, 1L)),
+      binWidth = 100L, nBins = 10)
+      .collect().map(r => (r.getAs[Long]("benefit"), r.getAs[Long]("cost")) ->
+        ((r.getAs[Int]("bin"), r.getAs[Double]("utility")))).toMap
+    // (1,1): U(b9)=1, U(b5)=1, U(b1)=0 — tie -> stricter bin 9 (the J
+    // argmax bin in the X244 fixture)
+    assert(got((1L, 1L)) == ((9, 1.0)), got.toString)
+    // (1,10): U(b9)=1, U(b5)=-8, U(b1)=-18 -> strictest non-trivial cut
+    assert(got((1L, 10L)) == ((9, 1.0)), got.toString)
+    // (10,1): U(b9)=10, U(b5)=19, U(b1)=18 -> the admit-more cut wins
+    assert(got((10L, 1L)) == ((5, 19.0)), got.toString)
+    // degenerate sweep (no positives) is empty, never a null row
+    val neg = Seq((950L, false), (150L, false)).toDF("score", "label")
+    assert(Classifier.bestThresholdCost(neg, "score", "label",
+      configs = Seq((1L, 1L)), binWidth = 100L, nBins = 10).count() == 0L)
+  }
+
   // ---------------- isotonic calibration (X227) ----------------
 
   private def isoOf(rows: Seq[(Double, Boolean)]): Seq[(Int, Double)] =

@@ -176,4 +176,53 @@ class HnswSpec extends SparkSpec {
       }
     } finally java.nio.file.Files.deleteIfExists(path)
   }
+
+  test("load rejects corrupted/truncated artifacts with descriptive " +
+    "errors, never a latent ArrayIndexOutOfBounds (round-15 hardening)") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+      DataInputStream, DataOutputStream}
+    def graphBytes(): Array[Byte] = {
+      val g = new HnswIndex(DistanceMetric.Euclidean,
+        HnswParams(m = 4, efConstruction = 16, efSearch = 8), seed = 3L)
+      rndVecs(40, 8, seed = 5L).foreach(g.insert)
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      g.save(out); out.flush()
+      bos.toByteArray
+    }
+    def loadOf(bytes: Array[Byte]) =
+      HnswIndex.load(new DataInputStream(new ByteArrayInputStream(bytes)))
+    // valid round-trip sanity
+    assert(loadOf(graphBytes()).size == 40)
+    // (a) truncated graph section: sentinel missing -> descriptive fail
+    val full = graphBytes()
+    val mangled = full.clone()
+    // overwrite the trailing sentinel with garbage
+    mangled(mangled.length - 1) = 0x7f
+    val eTrunc = intercept[Exception](loadOf(mangled))
+    assert(eTrunc.isInstanceOf[IllegalArgumentException] ||
+      eTrunc.isInstanceOf[java.io.EOFException])
+    val eCut = intercept[Exception](loadOf(full.dropRight(7)))
+    assert(eCut.isInstanceOf[IllegalArgumentException] ||
+      eCut.isInstanceOf[java.io.EOFException])
+    // (b) hand-built headers with out-of-range structural fields fail
+    // the load-time requires, not later at search/insert time
+    def header(entryPoint: Int, maxLevel: Int, slots: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      o.writeInt(0x484e5357); o.writeInt(2) // magic, version
+      o.writeUTF("euclidean")
+      o.writeInt(4); o.writeInt(16); o.writeInt(8); o.writeInt(16) // params
+      o.writeLong(3L) // seed
+      o.writeLong(0L) // levelDraws
+      o.writeInt(entryPoint); o.writeInt(maxLevel); o.writeInt(slots)
+      o.flush(); bos.toByteArray
+    }
+    val eEp = intercept[IllegalArgumentException](
+      loadOf(header(entryPoint = 5, maxLevel = 0, slots = 1)))
+    assert(eEp.getMessage.contains("entry point"))
+    val eLvl = intercept[IllegalArgumentException](
+      loadOf(header(entryPoint = -1, maxLevel = 99, slots = 0)))
+    assert(eLvl.getMessage.contains("max level"))
+  }
 }

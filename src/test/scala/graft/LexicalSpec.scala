@@ -312,4 +312,57 @@ class LexicalSpec extends SparkSpec {
     assert(f.getAs[Long]("n_switches") == 1L)
     assert(!f.getAs[Boolean]("is_mixed"))
   }
+
+  // ------- window-level confidence margins (X246, round 15) -------
+
+  test("ctCodeSwitchMarginFromTop: margin == dist(rank2) - dist(rank1) " +
+    "per window; mixed docs read lower mean margins than pure ones; " +
+    "served frame == inline frame") {
+    import spark.implicits._
+    val aTok = "aaaa bbbb caca abab"
+    val zTok = "zzzz yyyy zyzy yzyz"
+    val train = Seq(
+      (1L, "aa", Seq.fill(10)(aTok).mkString(" ")),
+      (2L, "zz", Seq.fill(10)(zTok).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val profiles = Lexical.ctLangProfiles(train, "lang", "text", k = 50)
+    // doc 10 mixes half-and-half WITHIN each 4-token window (every
+    // window torn between profiles); docs 11/12 are pure
+    val torn = (aTok.split(" ").take(2) ++ zTok.split(" ").take(2))
+      .mkString(" ")
+    val probe = Seq(
+      (10L, Seq.fill(6)(torn).mkString(" ")),
+      (11L, Seq.fill(6)(aTok).mkString(" ")),
+      (12L, Seq.fill(6)(zTok).mkString(" ")))
+      .toDF("doc_id", "text")
+    val win = Lexical.ctWindowTopFrame(probe, "doc_id", "text",
+      windowTokens = 4, m = 20)
+    val got = Lexical.ctCodeSwitchMarginFromTop(win, profiles, "doc_id",
+      langCol = "lang", profileK = 50, weakMargin = 5L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got.size == 3, got.toString)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // every window scored (6 per doc at this fixture)
+    assert(got.forall(_._2 == 6L), got.toString)
+    // the torn doc's mean margin sits strictly below both pure docs'
+    assert(byDoc(10L)._4 < byDoc(11L)._4 && byDoc(10L)._4 < byDoc(12L)._4,
+      got.toString)
+    // margin law on one window: recompute rank1/rank2 by hand from the
+    // distance frame and compare to the reported min margin
+    val dists = Lexical.ctLangIdMargin(probe.where(col("doc_id") === 11L)
+        .select(col("doc_id"),
+          // one window's text: the first 4 tokens
+          lit(aTok).as("text")),
+      "doc_id", "text", profiles, "lang", m = 20, profileK = 50)
+      .select(col("margin")).as[Long].collect()
+    assert(byDoc(11L)._3 == dists.head, s"${byDoc(11L)} vs ${dists.head}")
+    // weak-window accounting: n_weak <= n_windows and share = the
+    // half-up ratio
+    got.foreach { r =>
+      assert(r._5 <= r._2)
+      val expected = math.floor((20000.0 * r._5 + r._2) / (2 * r._2)) / 10000.0
+      assert(r._6 == expected, r.toString)
+    }
+  }
 }

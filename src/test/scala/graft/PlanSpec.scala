@@ -592,4 +592,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("global-window inventory is pinned: every Window.orderBy without " +
+    "partitionBy in main source is in the NOTES known-bounded table " +
+    "(round 15 — a NEW unpartitioned window must be adjudicated there)") {
+    // each of these runs over a COLLAPSED bounded table (bin grids,
+    // rule/source/band tables, ≤n+1 sample rows) — see the NOTES
+    // round-15 global-window index for the per-site bound. The count
+    // is pinned so an unreviewed global window fails THIS test instead
+    // of surfacing as WindowExec warning noise in the bench tail.
+    val pat = java.util.regex.Pattern.compile("Window\\s*\\.\\s*orderBy")
+    def count(dir: java.io.File): Int = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      fs.map { f =>
+        if (f.isDirectory) count(f)
+        else if (f.getName.endsWith(".scala")) {
+          val src = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          // drop comment lines so doc mentions don't count
+          val noComments = src.split("\n")
+            .filterNot(l => l.trim.startsWith("//") || l.trim.startsWith("*"))
+            .mkString("\n")
+          val m = pat.matcher(noComments)
+          Iterator.continually(m.find()).takeWhile(identity).size
+        } else 0
+      }.sum
+    }
+    val n = count(new java.io.File("src/main/scala"))
+    assert(n == 20,
+      s"found $n global Window.orderBy sites in main source, expected " +
+        "20 — a new unpartitioned window needs a bound recorded in the " +
+        "NOTES global-window index before this pin is raised")
+  }
 }

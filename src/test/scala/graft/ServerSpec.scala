@@ -391,6 +391,55 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("hnsw serving: concurrent reads under mutation (Arc<RwLock> " +
+    "discipline, routes.rs state sharing) — no torn reads, no 5xx") {
+    withHnswServer { (base, _) =>
+      // seed a store the searches can rank
+      val r = new java.util.Random(7)
+      val seedItems = (0 until 200).map { i =>
+        s"""{"id":"s$i","vector":[${Array.fill(8)(r.nextFloat()).mkString(",")}]}"""
+      }.mkString("""{"vectors":[""", ",", "]}")
+      assert(send("POST", s"$base/vectors/batch", seedItems)._1 == 201)
+      val q = s"""{"vector":[${Array.fill(8)(r.nextFloat()).mkString(",")}],"k":5,"ef":64}"""
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // 4 reader threads hammer /search (each its own HttpClient: the
+      // shared client is fine, but isolation keeps the failure signal
+      // attributable) while the main thread mutates the graph
+      val readers = (0 until 4).map { _ =>
+        new Thread(() => {
+          val c = HttpClient.newHttpClient()
+          while (!stop.get()) {
+            val resp = c.send(
+              HttpRequest.newBuilder(URI.create(s"$base/search"))
+                .POST(HttpRequest.BodyPublishers.ofString(q)).build(),
+              HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() != 200) failures.incrementAndGet()
+          }
+        })
+      }
+      readers.foreach(_.start())
+      try {
+        // interleave upserts (including replacements — the path that
+        // unlinks + relinks nodes) and deletes under live read load
+        (0 until 12).foreach { i =>
+          val v = Array.fill(8)(r.nextFloat()).mkString(",")
+          assert(send("POST", s"$base/vectors",
+            s"""{"id":"m${i % 5}","vector":[$v]}""")._1 == 201)
+          if (i % 4 == 3)
+            send("DELETE", s"$base/vectors/m${i % 5}")
+        }
+      } finally {
+        stop.set(true)
+        readers.foreach(_.join(10000))
+      }
+      assert(failures.get() == 0,
+        s"${failures.get()} searches failed under concurrent mutation")
+      // the store is still coherent after the storm
+      assert(send("POST", s"$base/search", q)._1 == 200)
+    }
+  }
+
   test("hnsw serving: recovery rebuilds the graph from snapshot + log (engine.rs recover analogue)") {
     val root = Files.createTempDirectory("server-store").toString
     val first = new VectorServer(spark, root)

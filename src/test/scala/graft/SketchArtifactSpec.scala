@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Round-15 snapshot-sketch artifact laws (the TextDedupSpec pattern
+  * applied to the sketch family): the persisted per-group KMV-mins +
+  * dense-HLL-register artifact must (a) merge without drifting from a
+  * rebuild — merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) as EXACT set
+  * equality, (b) estimate identically through the dense row-local path
+  * and the sparse grid path, and (c) serve kmvDiff / hllUnionDiff
+  * bit-equal to the from-raw rebuild the DuckDB oracles replay.
+  */
+class SketchArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two overlapping "snapshots" across three groups, with one group
+  // ("c") present only in B — exercises the full-outer merge path —
+  // and enough distinct values in "a" to overflow the k=8 sketch
+  private def sideA: DataFrame = (
+    (1 to 40).map(i => ("a", s"tok$i")) ++
+      (1 to 5).map(i => ("b", s"tok$i"))
+  ).toDF("g", "v")
+
+  private def sideB: DataFrame = (
+    (21 to 60).map(i => ("a", s"tok$i")) ++
+      (3 to 9).map(i => ("b", s"tok$i")) ++
+      (1 to 4).map(i => ("c", s"tok$i"))
+  ).toDF("g", "v")
+
+  private def rows(df: DataFrame): Set[(String, Seq[Long], Seq[Long])] =
+    df.select(col("__g"), col("kmv"), col("regs"))
+      .as[(String, Seq[Long], Seq[Long])].collect().toSet
+
+  test("merge(sketch(A), sketch(B)) == sketch(A union B) exactly " +
+    "(KMV union law + bucket-wise register max)") {
+    val merged = Profile.mergeSketches(
+      Profile.sketchArtifact(sideA, "g", "v", k = 8),
+      Profile.sketchArtifact(sideB, "g", "v", k = 8), k = 8)
+    val rebuilt = Profile.sketchArtifact(
+      sideA.unionByName(sideB), "g", "v", k = 8)
+    assert(rows(merged) == rows(rebuilt))
+  }
+
+  test("dense artifact estimator == sparse grid estimator bit-for-bit") {
+    val art = Profile.sketchArtifact(sideA, "g", "v", k = 8)
+    val dense = Profile.hllEstimateFromDense(art)
+      .as[(String, Long, Double)].collect().toSet
+    val sparse = Profile.hllEstimate(Profile.hllRegisters(sideA, "g", "v"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(dense == sparse)
+  }
+
+  test("kmvDiff served from artifacts == kmvDiff rebuilt from raw") {
+    val served = Profile.kmvDiffFromArtifacts(
+      Profile.sketchArtifact(sideA, "g", "v", k = 8),
+      Profile.sketchArtifact(sideB, "g", "v", k = 8), "g", k = 8)
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    val rebuilt = Profile.kmvDiff(sideA, sideB, "g", "v", k = 8)
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(served == rebuilt)
+  }
+
+  test("hllUnionDiff served from artifacts == hllUnionDiff rebuilt from raw") {
+    val served = Profile.hllUnionDiffFromArtifacts(
+      Profile.sketchArtifact(sideA, "g", "v", k = 8),
+      Profile.sketchArtifact(sideB, "g", "v", k = 8), "g")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    val rebuilt = Profile.hllUnionDiff(sideA, sideB, "g", "v")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(served == rebuilt)
+  }
+
+  test("artifact survives a parquet round-trip unchanged (the form the " +
+    "compaction cadence persists)") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch-art").toString
+    val art = Profile.sketchArtifact(sideB, "g", "v", k = 8)
+    art.write.mode("overwrite").parquet(dir)
+    assert(rows(spark.read.parquet(dir)) == rows(art))
+  }
+}

@@ -1531,4 +1531,37 @@ class StreamingSpec extends SparkSpec {
       assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
     } finally q.stop()
   }
+
+  test("streaming calibration quantizes negative .5 boundaries like the " +
+    "batch Spark round (HALF_UP away from zero, round-15 advice fix)") {
+    val dir = Files.createTempDirectory("cal-neg").toString
+    // −0.00005·10⁴ = −0.5: HALF_UP away from zero → −1; the old scala
+    // math.round (half-up toward +∞) said 0 and diverged the Σq cell.
+    // The bin rule clamps out-of-range scores to bin 0 on both paths.
+    val rows = Seq((-0.00005, false), (0.00005, true), (-0.25, false))
+    def toDf(r: Seq[(Double, Boolean)]) = r.toDF("score", "label")
+    toDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("score DOUBLE, label BOOLEAN")
+      .parquet(dir)
+    val q = graft.streaming.StreamingCalibration.binCounts(
+      stream.toDF(), "score", "label", nBins = 10)
+      .toDF("b", "n", "pos", "s", "br")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cal_neg").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cal_neg")
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+            .orderBy(col("n").desc)))
+        .where(col("__rn") === 1).drop("__rn")
+      val sStream = graft.streaming.StreamingCalibration
+        .scoreSnapshot(streamed)
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+      val sBatch = graft.operators.Classifier
+        .calibrationError(toDf(rows), "score", "label", nBins = 10)
+        .as[(Long, Long, Double, Double, Double)].collect().toSeq
+      assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
+    } finally q.stop()
+  }
 }
