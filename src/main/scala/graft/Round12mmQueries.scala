@@ -31,7 +31,8 @@ object Round12mmQueries {
          |np AS (SELECT CAST(count(*) AS BIGINT) * 1000000 AS k FROM panel),
          |ns AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY g),
          |grid AS (SELECT ns.g, panel.t,
-         |    (200000000 * coalesce(cnt.c, 0) + ns.n) // (2 * ns.n) AS fq
+         |    CAST((200000000 * CAST(coalesce(cnt.c, 0) AS HUGEINT) + ns.n)
+         |      // (2 * CAST(ns.n AS HUGEINT)) AS BIGINT) AS fq
          |  FROM panel CROSS JOIN ns
          |  LEFT JOIN cnt ON cnt.g = ns.g AND cnt.t = panel.t),
          |mo AS (SELECT t, CAST(count(*) AS HUGEINT) AS s,

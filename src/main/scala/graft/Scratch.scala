@@ -209,6 +209,44 @@ object Scratch {
       spark.stop(); return
     }
 
+    // round-15 incremental sketch maintenance at 5M: absorbing a 1%
+    // delta by mergeSketches vs the full rebuild — the maintenance
+    // cost the update≡rebuild law buys (SketchArtifactSpec pins the
+    // law at unit scale; HERE it is re-proved at 5M by exceptAll)
+    if (section == "r15sketchincr") {
+      import graft.functions.{TextFunctions => TF}
+      val docs5m = spark.read.parquet("/tmp/big_documents")
+      def st(side: org.apache.spark.sql.DataFrame) = side
+        .select(col("source"), explode(TF.shingleHashesFromTokens(
+          TF.tokenHashes(coalesce(col("text"), lit(""))), 3)).as("tok"))
+      val base = docs5m.where(col("doc_id") % 100 =!= 0)
+      val delta = docs5m.where(col("doc_id") % 100 === 0)
+      timeIt("full rebuild (base+delta together)") {
+        graft.operators.Profile.sketchArtifact(st(docs5m),
+          "source", "tok", 32)
+          .write.mode("overwrite").parquet("/tmp/sk_full")
+      }
+      timeIt("base artifact (amortized — already on disk in prod)") {
+        graft.operators.Profile.sketchArtifact(st(base),
+          "source", "tok", 32)
+          .write.mode("overwrite").parquet("/tmp/sk_base")
+      }
+      timeIt("delta absorb: 1% sketch + merge (the maintenance cost)") {
+        graft.operators.Profile.mergeSketches(
+          spark.read.parquet("/tmp/sk_base"),
+          graft.operators.Profile.sketchArtifact(st(delta),
+            "source", "tok", 32), 32)
+          .write.mode("overwrite").parquet("/tmp/sk_merged")
+      }
+      val full = spark.read.parquet("/tmp/sk_full")
+      val merged = spark.read.parquet("/tmp/sk_merged")
+      val d1 = merged.exceptAll(full).count()
+      val d2 = full.exceptAll(merged).count()
+      println(s"[scale] merge≡rebuild at 5M: exceptAll counts $d1/$d2 " +
+        s"(both must be 0)")
+      spark.stop(); return
+    }
+
     // 5000 × 1000 = 5M docs; ids unique per replica, sources spread so
     // group-keyed ops keep their real task-size distribution
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")

@@ -594,8 +594,12 @@ object Lexical {
     val grid = broadcast(panel).crossJoin(broadcast(ns))
       .join(st, Seq("__g", "t"), "left")
       .select(col("__g"), col("t"),
-        // f quantized to 1e-8: exact half-up of c/n
-        expr("(200000000 * coalesce(__c, 0L) + __n) div (2 * __n)")
+        // f quantized to 1e-8: exact half-up of c/n on decimal(38,0)
+        // (round 15 — 2e8·c wraps a raw long past c ≈ 4.6e10, which a
+        // hot token's per-group count reaches inside the 100 TB
+        // envelope; the quotient itself is ≤ 1e8, so BIGINT out)
+        expr("CAST((CAST(200000000 AS DECIMAL(38,0)) * coalesce(__c, 0L) " +
+          "+ __n) div (CAST(2 AS DECIMAL(38,0)) * __n) AS BIGINT)")
           .as("__fq"))
     val dec = (c: Column) => c.cast("decimal(19,0)")
     val moments = grid.groupBy(col("t"))
