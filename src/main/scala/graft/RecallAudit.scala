@@ -33,7 +33,7 @@ object RecallAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r15.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r16.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,6 +110,17 @@ object RecallAudit {
           "embedding", q, k = 10, overfetch = 10))), 0.8, queryVecs.size.toLong)
     }
     {
+      // second (m, bits) codebook point (round 16, VERDICT r15 ask 6):
+      // m=16 × 4-bit vs the primary m=8 × 4-bit — a codebook-training
+      // regression that is benign at one subvector width cannot hide,
+      // because both configs gate independently at the same 0.8 floor
+      val (codes, model) = SparkEntry.pqAltFor(spark, sfDir)
+      results("ann_pq_m16") = ("corpus-mean", 10, meanRecall(q =>
+        ids(graft.index.PqIndex.searchRerank(codes, emb, model, "vec_id",
+          "embedding", q, k = 10, overfetch = 10))), 0.8,
+        queryVecs.size.toLong)
+    }
+    {
       val (assigned, model) = SparkEntry.ivfIncrFor(spark, sfDir)
       results("ann_ivf_incremental") = ("corpus-mean", 10, meanRecall(q =>
         ids(graft.index.IvfIndex.search(assigned, model, "vec_id",
@@ -141,7 +152,8 @@ object RecallAudit {
         DistanceMetric.Cosine)
       val got = graft.index.IvfIndex.searchJoin(assigned, model,
         "vec_id", "embedding", queries, "vec_id", "embedding",
-        k = 5, nprobe = 8,
+        k = SparkEntry.ServedConf.IvfJoinK,
+        nprobe = SparkEntry.ServedConf.IvfJoinNprobe,
         filter = if (filtered) Some(col("label") % 2 === 0) else None)
         .select(col("query_id").cast("long"), col("id").cast("long"))
         .as[(Long, Long)].collect().groupBy(_._1)
@@ -184,8 +196,10 @@ object RecallAudit {
       val qs = emb.where(col("vec_id") < 128)
         .select(col("vec_id"), col("embedding"))
       val got = graft.index.LshIndex.searchMultiProbe(buckets, qs,
-        "vec_id", "embedding", k = 5, numPlanes = 16, numBands = 1,
-        probeBits = 1)
+        "vec_id", "embedding", k = SparkEntry.ServedConf.LshK,
+        numPlanes = SparkEntry.ServedConf.LshPlanes,
+        numBands = SparkEntry.ServedConf.LshBands,
+        probeBits = SparkEntry.ServedConf.LshProbeBits)
         .select(col("qid").cast("long"), col("id").cast("long"), col("rank"))
         .as[(Long, Long, Long)].collect()
       val byQ = got.groupBy(_._1)

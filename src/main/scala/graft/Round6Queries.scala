@@ -34,7 +34,9 @@ object Round6Queries {
     this.synchronized {
       if (!SparkEntry.successExists(s, path)) {
         graft.index.LshIndex.bucketTable(t(s, dir, "embeddings"),
-          "vec_id", "embedding", numPlanes = 16, numBands = 1)
+          "vec_id", "embedding",
+          numPlanes = SparkEntry.ServedConf.LshPlanes,
+          numBands = SparkEntry.ServedConf.LshBands)
           .repartitionByRange(8, col("key")).sortWithinPartitions("key")
           .write.mode("overwrite").parquet(path)
       }
@@ -152,7 +154,10 @@ object Round6Queries {
       val buckets = lshBucketsFor(s, dir)
       val qs = emb.where(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
       graft.index.LshIndex.searchMultiProbe(buckets, qs, "vec_id", "embedding",
-        k = 5, numPlanes = 16, numBands = 1, probeBits = 1)
+        k = SparkEntry.ServedConf.LshK,
+        numPlanes = SparkEntry.ServedConf.LshPlanes,
+        numBands = SparkEntry.ServedConf.LshBands,
+        probeBits = SparkEntry.ServedConf.LshProbeBits)
         .select(col("qid"), col("id"), round(col("cos_dist"), 4).as("cos_dist"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))

@@ -16,6 +16,22 @@ import graft.operators.{Dedup, MetadataFilter, Metrics, TopK}
   */
 object SparkEntry {
 
+  /** Served-query configs SHARED with RecallAudit's gates (ADVICE r15):
+    * the audit previously hard-coded these inline, so a config change
+    * in the served query would silently stop being what the gate
+    * measures. Both the query definitions and the audit now read these
+    * constants — drift is impossible by construction. */
+  object ServedConf {
+    // IVF batch cluster-join tier (ann_search_join[_filtered])
+    val IvfJoinK = 5
+    val IvfJoinNprobe = 8
+    // multi-probe LSH tier (ann_lsh_multiprobe + its bucket artifact)
+    val LshK = 5
+    val LshPlanes = 16
+    val LshBands = 1
+    val LshProbeBits = 1
+  }
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -81,6 +97,24 @@ object SparkEntry {
       if (!successExists(s, s"$path/codes")) {
         val (codes, model) = graft.index.PqIndex.build(
           t(s, dir, "embeddings"), "vec_id", "embedding", m = 8, codesPerSub = 16)
+        graft.index.PqIndex.write(codes, model, path)
+      }
+      graft.index.PqIndex.load(s, path)
+    })
+  }
+
+  /** Second PQ codebook point (round 16, VERDICT r15 ask 6): m=16
+    * subspaces × 16 codes (4-dim subvectors) vs pqFor's m=8 × 16
+    * (8-dim). Both RECALL gates ride the same build/encode/searchRerank
+    * code; gating TWO (m, bits) points means a codebook regression
+    * cannot hide in the config choice — a bug that happens to be
+    * benign at one subvector width still trips the other gate. */
+  private[graft] def pqAltFor(s: SparkSession, dir: String): (DataFrame, graft.index.PqIndex.Model) = {
+    val path = s"/tmp/graft_pq/v1alt_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    pqCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, s"$path/codes")) {
+        val (codes, model) = graft.index.PqIndex.build(
+          t(s, dir, "embeddings"), "vec_id", "embedding", m = 16, codesPerSub = 16)
         graft.index.PqIndex.write(codes, model, path)
       }
       graft.index.PqIndex.load(s, path)
@@ -153,6 +187,66 @@ object SparkEntry {
       s.read.parquet(path)
     })
   }
+
+  /** Build-once VERIFIED NEAR-DUP PAIR ARTIFACT (round 16, VERDICT r15
+    * ask 1 — the X247 sketch-artifact pattern applied to the pair
+    * set): the exact jac ≥ 0.1 pairs from [[fullShingleIndexFor]],
+    * persisted per sf dir on compaction cadence next to the index
+    * itself. ~20 contract queries (the whole graph family, dedup
+    * impact/matrix/representative reports, split_safe/split_leakage,
+    * dup_cluster_sizes, threshold curve, LSH planner/recall, …)
+    * previously re-ran the postings self-join + jaccard verify per
+    * query (23 call sites across 15 files); each is now a pure
+    * artifact SCAN + filter. One artifact serves every threshold ≥
+    * 0.1 because the candidate equi-join in
+    * [[Dedup.jaccardPairsFromIndex]] is threshold-INDEPENDENT — the
+    * threshold is only the final double compare, so
+    * `pairs(0.3) ≡ pairs(0.1).where(jaccard ≥ 0.3)` row-for-row (the
+    * same computed double on both paths). The DuckDB twins still
+    * rebuild pairs from raw text, so every consumer's hash gate
+    * proves serve ≡ rebuild end-to-end; incremental maintenance from
+    * a snapshot diff is [[Dedup.updateJaccardPairsFromIndex]] with an
+    * update≡rebuild set-equality pin (PairArtifactSpec). */
+  private[graft] def nearDupPairsFor(s: SparkSession, dir: String,
+                                     minJaccard: Double): DataFrame = {
+    val path = s"/tmp/graft_pairs/v1_t10_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val base = shingleCache.computeIfAbsent((s, path), { _ =>
+      if (!successExists(s, path)) {
+        Dedup.jaccardPairsFromIndex(fullShingleIndexFor(s, dir),
+          minJaccard = 0.1)
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+    })
+    require(minJaccard >= 0.1,
+      s"pair artifact covers jac >= 0.1 only, asked $minJaccard")
+    if (minJaccard == 0.1) base else base.where(col("jaccard") >= minJaccard)
+  }
+
+  /** Shared SYMMETRIC near-dup edge frame (round 16, VERDICT r15 ask
+    * 4): both directions of the t ≥ 0.3 pair artifact with the
+    * jaccard weight, hash-partitioned by `src` ONCE and
+    * localCheckpointed — the Pregel-style loops in the graph family
+    * (pageRank, ±weighted, HITS' src-side step) join edges on src
+    * every iteration, so the single up-front exchange is reused
+    * across all iterations AND across the graph queries in a session
+    * (the CC-loop treatment from Dedup.connectedComponents' notes).
+    * Rows are distinct by construction (pairs are canonical a < b),
+    * so consumers pass assumeDistinct and skip their own
+    * distinct-exchange. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def nearDupEdgesFor(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), { _ =>
+      val pairs = nearDupPairsFor(s, dir, 0.3)
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          col("jaccard"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"), col("jaccard")))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    })
 
   /** Build-once per-snapshot SKETCH ARTIFACTS (round 15): per-source
     * KMV mins + dense HLL registers over the %3/%5 split's 3-gram
@@ -963,7 +1057,8 @@ object SparkEntry {
       val (assigned, model) = ivfFor(s, dir, DistanceMetric.Cosine)
       val queries = t(s, dir, "embeddings").where(col("vec_id") < 64)
       graft.index.IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, nprobe = 8)
+        queries, "vec_id", "embedding",
+        k = ServedConf.IvfJoinK, nprobe = ServedConf.IvfJoinNprobe)
         .select(col("query_id"), col("id"),
           round(col("distance"), 4).as("distance"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -978,7 +1073,8 @@ object SparkEntry {
       val (assigned, model) = ivfFor(s, dir, DistanceMetric.Cosine)
       val queries = t(s, dir, "embeddings").where(col("vec_id") < 64)
       graft.index.IvfIndex.searchJoin(assigned, model, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, nprobe = 8,
+        queries, "vec_id", "embedding",
+        k = ServedConf.IvfJoinK, nprobe = ServedConf.IvfJoinNprobe,
         filter = Some(col("label") % 2 === 0))
         .select(col("query_id"), col("id"),
           round(col("distance"), 4).as("distance"), col("rank"))

@@ -352,7 +352,14 @@ object HnswIndex {
     * would draw. */
   def load(in: java.io.DataInputStream): HnswIndex = {
     require(in.readInt() == Magic, "not an HNSW graph stream")
-    require(in.readInt() == 2, "unsupported HNSW stream version")
+    // v1 streams are byte-identical to v2 minus the trailing sentinel
+    // (the v2 bump was purely additive: load validation + sentinel), so
+    // pre-upgrade serving artifacts stay loadable instead of silently
+    // forcing a full rebuild after upgrade (ADVICE r15); v1 just loses
+    // the truncation check that the sentinel provides.
+    val version = in.readInt()
+    require(version == 1 || version == 2,
+      s"unsupported HNSW stream version $version")
     val metric = metricByName(in.readUTF())
     val params = HnswParams(in.readInt(), in.readInt(), in.readInt(),
       in.readInt())
@@ -408,8 +415,9 @@ object HnswIndex {
       }
       i += 1
     }
-    require(in.readInt() == Magic,
-      "corrupt HNSW stream: missing trailing sentinel (truncated graph)")
+    if (version >= 2)
+      require(in.readInt() == Magic,
+        "corrupt HNSW stream: missing trailing sentinel (truncated graph)")
     require(idx.entryPoint == -1 || idx.nodes(idx.entryPoint) != null,
       "corrupt HNSW stream: entry point refers to a deleted slot")
     idx

@@ -435,6 +435,74 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental maintenance for the PERSISTED pair artifact (round
+    * 16, VERDICT r15 ask 1 — the sketch-artifact update law applied to
+    * the pair set): given the artifact built over `oldIndex` and the
+    * post-compaction `newIndex`, produce the pair set a full
+    * [[jaccardPairsFromIndex]] rebuild over `newIndex` would produce,
+    * touching only pairs with a CHANGED endpoint.
+    *
+    * "Changed" is decided on the CAPPED index rows themselves (full
+    * (doc, sz, sh) row symmetric difference), which is what makes the
+    * law exact despite the stop-shingle cap being non-monotone under
+    * updates: a shingle crossing the cap adds/removes index rows for
+    * every doc that carries it, so any doc whose capped postings —
+    * and therefore any pair intersection it participates in — could
+    * differ IS in the changed set, including docs whose raw text
+    * never changed. Pairs between two unchanged docs are computed
+    * from row-identical postings on both sides, so carrying them
+    * over verbatim is exact, not approximate.
+    *
+    * Scale shape: the symmetric row diff is two hash anti-joins on
+    * (doc, sh); carried pairs are two anti-joins of the (small) pair
+    * artifact against the changed-doc set; recomputation is
+    * changed×all + unchanged×changed candidate equi-joins on the
+    * shingle key — |changed| ≪ |corpus| on compaction cadence, so the
+    * rebuild's corpus×corpus self-join never runs. Update ≡ rebuild
+    * is spec-pinned (PairArtifactSpec) including cap-flip cases. */
+  def updateJaccardPairsFromIndex(oldPairs: DataFrame, oldIndex: DataFrame,
+                                  newIndex: DataFrame,
+                                  minJaccard: Double = 0.1): DataFrame = {
+    val cols = Seq("doc_corpus", "sz_c", "sh").map(col)
+    val changed = oldIndex.select(cols: _*)
+      .exceptAll(newIndex.select(cols: _*))
+      .unionByName(newIndex.select(cols: _*)
+        .exceptAll(oldIndex.select(cols: _*)))
+      .select(col("doc_corpus")).distinct()
+    // pairs with BOTH endpoints unchanged carry over verbatim
+    val carried = oldPairs
+      .join(changed.select(col("doc_corpus").as("doc_a")), Seq("doc_a"),
+        "left_anti")
+      .join(changed.select(col("doc_corpus").as("doc_b")), Seq("doc_b"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // pairs with >= 1 changed endpoint recompute from the new index:
+    // changed×all covers (changed, anything); unchanged×changed covers
+    // the rest without double-counting the both-changed pairs
+    val changedPost = newIndex.join(
+      changed.select(col("doc_corpus")), Seq("doc_corpus"), "left_semi")
+    val unchangedPost = newIndex.join(
+      changed.select(col("doc_corpus")), Seq("doc_corpus"), "left_anti")
+    def verify(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("doc_corpus").as("doc_a"), col("sz_c").as("sz_a"), col("sh"))
+        .join(b.select(col("doc_corpus").as("doc_b"), col("sz_c").as("sz_b"),
+          col("sh")), "sh")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("sz_a"), col("doc_b"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+            .as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+    // changed side appears on BOTH join inputs so the a<b canonical
+    // order never loses a (changed, unchanged) pair in either order
+    val all = newIndex
+    carried
+      .unionByName(verify(changedPost, all))
+      .unionByName(verify(unchangedPost, changedPost))
+  }
+
   /** Exact jaccard join by PREFIX FILTERING ([EXT] X235, round 14;
     * Bayardo, Ma & Srikant 2007 "Scaling Up All Pairs Similarity
     * Search", Chaudhuri et al. 2006 SSJoin) — the EXACT alternative to

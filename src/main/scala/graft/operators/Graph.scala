@@ -70,11 +70,20 @@ object Graph {
     * @return (node LONG, rq LONG, rank DOUBLE = rq/Q). `rq` is the
     *   exact fixed-point rank — hash-gate on it, not on the derived
     *   double. */
+  /** @param assumeDistinct caller guarantees the edge rows are already
+    *   deduplicated (e.g. the shared pre-partitioned near-dup edge
+    *   artifact, round 16): skips the distinct and its exchange, so an
+    *   input checkpointed WITH hash partitioning on src keeps it and
+    *   every iteration's edges⋈ranks join reuses that one exchange.
+    *   Pair with materialize = false when the input is already
+    *   materialized upstream. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, materialize: Boolean = true): DataFrame = {
+               iters: Int = 3, materialize: Boolean = true,
+               assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 100)
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e0 = if (assumeDistinct) cast else cast.distinct()
     val e = if (materialize) e0.localCheckpoint(true) else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
@@ -123,15 +132,22 @@ object Graph {
     * per edge by construction, so this allows ~9000-fold multigraph
     * duplication of a (src, dst) pair).
     * Same relational loop and scale shape as [[pageRank]]. */
+  /** @param assumeDistinct caller guarantees one row per (src, dst)
+    *   (the shared near-dup edge artifact): the multigraph
+    *   weight-merge groupBy degenerates to a map-only quantize (a sum
+    *   of one row is the row), skipping its exchange and preserving
+    *   the caller's src partitioning across all iterations. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int = 3,
-                       materialize: Boolean = true): DataFrame = {
+                       materialize: Boolean = true,
+                       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 100)
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"),
-        floor(col(weightCol).cast("double") * lit(WQuant.toDouble) +
-          lit(0.5)).cast("long").as("wq"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("wq")).as("wq"))
+    val quantized = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      floor(col(weightCol).cast("double") * lit(WQuant.toDouble) +
+        lit(0.5)).cast("long").as("wq"))
+    val e0 = (if (assumeDistinct) quantized
+      else quantized.groupBy(col("src"), col("dst")).agg(sum(col("wq")).as("wq")))
       .where(col("wq") > 0L)
     val e = if (materialize) e0.localCheckpoint(true) else e0
     val deg = e.groupBy(col("src")).agg(sum(col("wq")).as("wdeg"))
@@ -195,12 +211,15 @@ object Graph {
     * one division runs on exact integer operands, so both engines
     * agree bit-for-bit before the round. */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String,
-                materialize: Boolean = true): DataFrame = {
-    val und0 = edges.select(
+                materialize: Boolean = true,
+                assumeCanonical: Boolean = false): DataFrame = {
+    val cast = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
+    // assumeCanonical: caller guarantees distinct a < b rows (the pair
+    // artifact's shape), so the dedup exchange is skipped
+    val und0 = if (assumeCanonical) cast else cast.distinct()
     val und = if (materialize) und0.localCheckpoint(true) else und0
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
@@ -271,13 +290,14 @@ object Graph {
     * set — at the fixpoint, exactly the k-core members with their
     * within-core degrees. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, rounds: Int = 8): DataFrame = {
+            k: Int, rounds: Int = 8,
+            assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 64)
-    val und0 = edges.select(
+    val cast = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
+    val und0 = if (assumeCanonical) cast else cast.distinct()
     var e = und0.localCheckpoint(true)
     var r = 0
     while (r < rounds) {
@@ -318,12 +338,13 @@ object Graph {
     * deg(u)/deg(v) to edges (node keys), ONE scalar aggregate.
     * Output: (n_edges, assortativity). */
   def assortativity(edges: DataFrame, srcCol: String,
-                    dstCol: String): DataFrame = {
-    val und = edges.select(
+                    dstCol: String,
+                    assumeCanonical: Boolean = false): DataFrame = {
+    val cast = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
-      .distinct()
+    val und = if (assumeCanonical) cast else cast.distinct()
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -374,10 +395,12 @@ object Graph {
   val HQ = 1000000L
 
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 3, materialize: Boolean = true): DataFrame = {
+           iters: Int = 3, materialize: Boolean = true,
+           assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50)
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    val cast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e0 = if (assumeDistinct) cast else cast.distinct()
     val e = if (materialize) e0.localCheckpoint(true) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

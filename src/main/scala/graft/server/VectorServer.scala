@@ -380,7 +380,16 @@ final class VectorServer(spark: SparkSession, root: String,
       case None =>
         // one latency record per HTTP call, like routes.rs:365-369
         val t0 = System.nanoTime()
-        val all = queries.map { case (vec, k, ef) => runSearch(vec, k, filter, ef) }
+        // one read lock for the WHOLE batch (ADVICE r15): the reference
+        // holds a single store.read() across batch_search (routes.rs:342),
+        // so a response never straddles a concurrent mutation. The read
+        // lock is reentrant, so runSearch's own per-query withRead on the
+        // HNSW path nests harmlessly; mutations take the write lock and
+        // therefore cannot commit mid-batch, which also freezes `live`
+        // for the Spark path's duration.
+        val all = withRead {
+          queries.map { case (vec, k, ef) => runSearch(vec, k, filter, ef) }
+        }
         metrics.recordQuery((System.nanoTime() - t0) / 1e3)
         respond(ex, 200, JArray(all.map(searchResponse).toList))
     }

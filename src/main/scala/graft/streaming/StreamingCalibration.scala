@@ -42,7 +42,17 @@ object StreamingCalibration {
     val typed = stream
       .select(col(scoreCol).cast("double").as("score"),
         col(labelCol).cast("boolean").as("label"))
-      .where(col("score").isNotNull && col("label").isNotNull)
+      .where(col("score").isNotNull && col("label").isNotNull
+        // non-finite guard (ADVICE r15): BigDecimal(score * 1e4) in the
+        // fold throws NumberFormatException on NaN/±Inf (Double.toString
+        // parse), which would kill the long-running monitor on ONE
+        // degenerate score. The batch twin skips NaN (Spark round(NaN)
+        // casts to null); skipping ±Inf too keeps the monitor alive —
+        // a score that claims to be a probability is never ±Inf, so a
+        // non-finite value is upstream breakage to survive, not data.
+        && !isnan(col("score"))
+        && col("score") > Double.NegativeInfinity
+        && col("score") < Double.PositiveInfinity)
       .as[ScoredRow]
     typed.groupByKey { r =>
       math.max(math.min(math.floor(r.score * nBins).toInt, nBins - 1), 0)

@@ -224,5 +224,15 @@ class HnswSpec extends SparkSpec {
     val eLvl = intercept[IllegalArgumentException](
       loadOf(header(entryPoint = -1, maxLevel = 99, slots = 0)))
     assert(eLvl.getMessage.contains("max level"))
+    // (c) v1 compat (ADVICE r15): a pre-sentinel artifact — byte-equal
+    // to v2 minus the trailing sentinel, version field 1 — still loads,
+    // so upgrading does not silently force a serving-graph rebuild
+    val v1 = full.dropRight(4).clone()
+    v1(7) = 1 // version int is bytes 4-7 big-endian
+    assert(loadOf(v1).size == 40)
+    // and an unknown future version is still rejected loudly
+    val v9 = full.clone(); v9(7) = 9
+    val eVer = intercept[IllegalArgumentException](loadOf(v9))
+    assert(eVer.getMessage.contains("version"))
   }
 }

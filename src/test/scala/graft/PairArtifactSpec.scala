@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Update ≡ rebuild law for the persisted near-dup pair artifact
+  * (round 16, VERDICT r15 ask 1): maintaining the jac ≥ t pair set
+  * from a snapshot diff must reproduce the full
+  * [[Dedup.jaccardPairsFromIndex]] rebuild EXACTLY — including the
+  * nasty part, stop-shingle cap flips, where adding/removing docs
+  * changes the capped postings (and therefore the pairs) of docs
+  * whose own text never changed. */
+class PairArtifactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cap = 3L
+
+  // corpus A: (1,6) near-dups sharing {abc, bcd}; 2 shares abc with
+  // both; "a b c" has freq 3 (= cap, kept); "m m m" spans docs
+  // 9..12 (freq 4 > cap, suppressed — no pairs among them in A)
+  private val corpusA = Seq(
+    (1L, "a b c d e"),
+    (2L, "a b c x y"),
+    (3L, "x y z w v"),
+    (6L, "a b c d z"),
+    (9L, "m m m s9 t9"),
+    (10L, "m m m s10 t10"),
+    (11L, "m m m s11 t11"),
+    (12L, "m m m s12 t12"))
+
+  // snapshot diff: remove 2 and 12, add 7 and 8, modify 3.
+  // Two cap flips follow WITHOUT any text change to the docs involved:
+  //  - "a b c" freq 3 -> 4 (docs 1,6,7,8): crosses the cap, so the
+  //    (1,6) intersection loses abc and its jaccard drops 0.5 -> 0.2
+  //  - "m m m" freq 4 -> 3 (12 removed): comes back under the cap, so
+  //    pairs (9,10),(9,11),(10,11) APPEAR between unchanged docs
+  private val corpusB = Seq(
+    (1L, "a b c d e"),
+    (3L, "x y z w q"),
+    (6L, "a b c d z"),
+    (7L, "a b c p1 p2"),
+    (8L, "a b c p3 p4"),
+    (9L, "m m m s9 t9"),
+    (10L, "m m m s10 t10"),
+    (11L, "m m m s11 t11"))
+
+  private def idx(rows: Seq[(Long, String)]) =
+    Dedup.corpusShingleIndex(rows.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, maxShingleFreq = Cap)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+      col("jaccard")).as[(Long, Long, Double)].collect().toSet
+
+  test("updateJaccardPairsFromIndex == full rebuild across adds, " +
+    "removes, edits, and BOTH directions of stop-shingle cap flips") {
+    val idxA = idx(corpusA).localCheckpoint(false)
+    val idxB = idx(corpusB).localCheckpoint(false)
+    val pairsA = Dedup.jaccardPairsFromIndex(idxA, minJaccard = 0.1)
+    val rebuilt = pairSet(Dedup.jaccardPairsFromIndex(idxB, minJaccard = 0.1))
+    val updated = pairSet(Dedup.updateJaccardPairsFromIndex(
+      pairsA, idxA, idxB, minJaccard = 0.1))
+    assert(updated == rebuilt, s"updated=$updated rebuilt=$rebuilt")
+    // and the scenario actually exercised what it claims:
+    val a = pairSet(pairsA)
+    assert(a.contains((1L, 6L, 0.5)), s"A must pair (1,6) at 0.5: $a")
+    assert(!a.exists(p => p._1 >= 9L), s"mmm pairs must be capped out in A: $a")
+    assert(rebuilt.contains((1L, 6L, 0.2)),
+      s"cap flip must drop abc from the (1,6) intersection: $rebuilt")
+    assert(Set((9L, 10L), (9L, 11L), (10L, 11L))
+      .subsetOf(rebuilt.map(p => (p._1, p._2))),
+      s"mmm pairs must appear between UNCHANGED docs in B: $rebuilt")
+    assert(!rebuilt.exists(p => Set(2L, 12L)(p._1) || Set(2L, 12L)(p._2)),
+      "removed docs must vanish from the pair set")
+    assert(!rebuilt.exists(p => Set(7L, 8L)(p._2) || Set(7L, 8L)(p._1)),
+      "docs whose only shared shingle is capped must not pair")
+  }
+
+  test("update over an empty diff returns the artifact verbatim") {
+    val idxA = idx(corpusA).localCheckpoint(false)
+    val pairsA = Dedup.jaccardPairsFromIndex(idxA, minJaccard = 0.1)
+    val updated = pairSet(Dedup.updateJaccardPairsFromIndex(
+      pairsA, idxA, idxA, minJaccard = 0.1))
+    assert(updated == pairSet(pairsA))
+  }
+}

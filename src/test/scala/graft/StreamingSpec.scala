@@ -1564,4 +1564,32 @@ class StreamingSpec extends SparkSpec {
       assert(sStream == sBatch, s"stream=$sStream batch=$sBatch")
     } finally q.stop()
   }
+
+  test("streaming calibration survives NaN/±Inf scores instead of " +
+    "crashing the monitor (round-16 advice fix)") {
+    val dir = Files.createTempDirectory("cal-nonfinite").toString
+    // one degenerate score per flavor mixed with real rows: the old
+    // path died in the fold (BigDecimal(NaN.toString) throws) — the
+    // guard must skip them while folding the finite rows normally
+    val rows = Seq((Double.NaN, true), (Double.PositiveInfinity, false),
+      (Double.NegativeInfinity, true), (0.15, true), (0.15, false))
+    def toDf(r: Seq[(Double, Boolean)]) = r.toDF("score", "label")
+    toDf(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("score DOUBLE, label BOOLEAN")
+      .parquet(dir)
+    val q = graft.streaming.StreamingCalibration.binCounts(
+      stream.toDF(), "score", "label", nBins = 10)
+      .toDF("b", "n", "pos", "s", "br")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cal_nonfinite").start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+      // only the two finite rows folded, into bin 1
+      val cells = spark.table("cal_nonfinite")
+        .select(col("b"), col("n"), col("pos"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(cells == Set((1, 2L, 1L)), cells.toString)
+    } finally q.stop()
+  }
 }
