@@ -146,6 +146,27 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Machine-band calibration control (round 16, VERDICT r15 ask 3):
+    // a FIXED synthetic sort+agg over generated data — no artifacts,
+    // no parquet, no caches — timed at sweep start and end. Cross-
+    // round drift adjudication becomes one division: if this round's
+    // control is 1.3× last round's, a uniform 1.3× across untouched
+    // queries is machine band, not regression (the r15 244.8-vs-215.1
+    // adjudication took four artifacts without it). min-of-3 after one
+    // warmup, same discipline as the queries.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 1000003 AS k", "id % 97 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateOnce() // codegen + JIT warmup, discarded
+    def calibrate(): Double = (1 to 3).map(_ => calibrateOnce()).min
+
     val failed = scala.collection.mutable.Set.empty[String]
     def sweep(): Map[String, Double] = names.map { name =>
       name -> (if (failed(name)) -1.0 else try once(name) catch {
@@ -155,6 +176,7 @@ object Bench {
       })
     }.toMap
     sweep() // warmup sweep: codegen compile + JIT for every query
+    val calibStart = calibrate()
     val sweeps = Seq.fill(repeats)(sweep())
     val results = names.map { name =>
       val raws = sweeps.map(_(name))
@@ -189,13 +211,16 @@ object Bench {
     val isoJson = isolated
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val isoTotal = isolated.map(_._2).sum
+    val calibEnd = calibrate()
+    val calibJson =
+      f""""calibration_s":{"start":$calibStart%.3f,"end":$calibEnd%.3f}"""
     // Raw per-sweep timings go ONLY to the bench.json file: the driver
     // captures a bounded tail of stdout, and round 7's enlarged final
     // line (5 sweeps × 59 queries of raws) overflowed that capture and
     // left BENCH_r07 unparseable. The LAST stdout line is the compact
     // summary (per-query mins, no raw arrays, ~1.2 kB) so the driver's
     // artifact always parses; humans read the raws from the file.
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"raw":$raw,"isolated":$isoJson,"isolated_total":$isoTotal%.3f,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min+isolated_top$isoN"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$med,"raw":$raw,"isolated":$isoJson,"isolated_total":$isoTotal%.3f,$calibJson,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min+isolated_top$isoN"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     // The driver captures a 2000-char TAIL of stdout and json-parses
@@ -215,7 +240,7 @@ object Bench {
       if (sz + e.length + 1 <= lineBudget) { keptB += e; sz += e.length + 1 }
     }
     val kept = keptB.result()
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":${entries.size - kept.size},"queries_full":"bench.json","n_queries":${names.size},"isolated_total":$isoTotal%.3f,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min+isolated_top$isoN"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":${entries.size - kept.size},"queries_full":"bench.json","n_queries":${names.size},"isolated_total":$isoTotal%.3f,$calibJson,"sf":"$sfDir","repeats":$repeats,"method":"warmup_sweep+interleaved_min+isolated_top$isoN"}"""
     println(compact)
     spark.stop()
   }

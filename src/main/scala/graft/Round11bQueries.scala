@@ -131,14 +131,14 @@ object Round11bQueries {
     // ranks the CENTERS of duplicate clusters; the exact fixed-point
     // rq LONG is what the hash gate compares -------------------------
     "graph_pagerank" -> ((s, dir) => {
-      // pairs served from the materialized shingle index (the
-      // dedup_jaccard FromIndex precedent) — identical output to the
-      // inline build, so the oracle's sqlJaccardCtes twin is unchanged
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
-      val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      Graph.pageRank(sym, "src", "dst", iters = 3)
+      // round 16: edges served from the SHARED pre-partitioned
+      // symmetric pair-artifact frame (one exchange on edges per
+      // session, reused across iterations and across the graph
+      // queries) — identical edge set to the inline build, so the
+      // oracle's sqlJaccardCtes twin is unchanged
+      val sym = SparkEntry.nearDupEdgesFor(s, dir)
+      Graph.pageRank(sym, "src", "dst", iters = 3,
+        materialize = false, assumeDistinct = true)
         .select(col("node").as("doc_id"), col("rq"),
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")
@@ -147,14 +147,9 @@ object Round11bQueries {
     // ---- X73: weighted PageRank — jaccard-weighted near-dup links
     // (a strong duplicate link pulls more rank than a borderline one)
     "graph_pagerank_weighted" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
-      val sym = pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"),
-          col("jaccard"))
-        .union(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"), col("jaccard")))
-      Graph.pageRankWeighted(sym, "src", "dst", "jaccard", iters = 3)
+      val sym = SparkEntry.nearDupEdgesFor(s, dir)
+      Graph.pageRankWeighted(sym, "src", "dst", "jaccard", iters = 3,
+        materialize = false, assumeDistinct = true)
         .select(col("node").as("doc_id"), col("rq"),
           round(col("rank"), 6).as("rank"))
         .orderBy("doc_id")

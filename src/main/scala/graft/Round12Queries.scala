@@ -98,8 +98,7 @@ object Round12Queries {
     // materialized index ---------------------------------------------
     "dedup_impact" -> ((s, dir) =>
       Dedup.dedupImpact(t(s, dir, "documents"), "doc_id", "source", "text",
-        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
-          minJaccard = 0.3))
+        SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3))
         .orderBy("source")),
 
     // ---- X87b: incremental winnow-index maintenance — the X63

@@ -44,8 +44,7 @@ object Round12bQueries {
     // overlap); pairs served from the materialized shingle index -----
     "cross_source_pairs" -> ((s, dir) =>
       Dedup.crossSourceMatrix(t(s, dir, "documents"), "doc_id", "source",
-        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
-          minJaccard = 0.3))
+        SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3))
         .orderBy("src_a", "src_b")),
 
     // ---- X92: semantic decontamination — train vectors within

@@ -99,8 +99,7 @@ object Round12cQueries {
     // ---- X107: near-dup cluster-size histogram — pairs served from
     // the materialized shingle index, CC labels, two count aggregates -
     "dup_cluster_sizes" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val pairs = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
       Dedup.componentSizeHistogram(
         Dedup.connectedComponents(pairs, "doc_a", "doc_b"))
         .orderBy("cluster_size")

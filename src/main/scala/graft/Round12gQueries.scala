@@ -72,8 +72,7 @@ object Round12gQueries {
     "contrastive_pairs" -> ((s, dir) =>
       TrainingData.contrastivePairs(
         t(s, dir, "documents"), "doc_id",
-        Dedup.jaccardPairsFromIndex(SparkEntry.fullShingleIndexFor(s, dir),
-          minJaccard = 0.1),
+        SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.1),
         loJaccard = 0.5, hiJaccard = 0.99, numBuckets = 16)
         .orderBy("anchor", "positive")),
   )

@@ -18,9 +18,8 @@ object Round12ggQueries {
     // graph_pagerank) — triangle-dense nodes sit inside REAL duplicate
     // clusters; triangle-free nodes hang off threshold accidents -----
     "graph_triangles" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
-      Graph.triangles(pairs, "doc_a", "doc_b")
+      val pairs = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
+      Graph.triangles(pairs, "doc_a", "doc_b", assumeCanonical = true)
         .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
           col("clustering"))
         .orderBy("doc_id")

@@ -13,21 +13,22 @@ object Round12jjQueries {
     SparkEntry.t(s, dir, name)
 
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsFromIndex(
-      SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+    SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- X176: 2-core of the near-dup graph — the template family
     // once chains and pendants (threshold accidents) are peeled -----
     "graph_kcore" -> ((s, dir) =>
-      Graph.kCore(nearDupPairs(s, dir), "doc_a", "doc_b", k = 2, rounds = 4)
+      Graph.kCore(nearDupPairs(s, dir), "doc_a", "doc_b", k = 2, rounds = 4,
+        assumeCanonical = true)
         .select(col("node").as("doc_id"), col("deg"))
         .orderBy("doc_id")),
 
     // ---- X177: hub-to-hub vs hub-to-leaf wiring of the near-dup
     // graph — one exact-integer Pearson over edge-endpoint degrees --
     "graph_assort" -> ((s, dir) =>
-      Graph.assortativity(nearDupPairs(s, dir), "doc_a", "doc_b")),
+      Graph.assortativity(nearDupPairs(s, dir), "doc_a", "doc_b",
+        assumeCanonical = true)),
 
     // ---- X178: n_chars percentile WITHIN each source — the portable
     // cross-source threshold form of a raw score ---------------------

@@ -24,8 +24,7 @@ object Round12qQueries {
     // pair is also true); the audit is one broadcast-able left join
     // of two pair sets + one row of counts
     "dedup_lsh_recall" -> ((s, dir) => {
-      val exact = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val exact = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
         .select(col("doc_a"), col("doc_b"))
       val lsh = Dedup.minhashLshPairs(t(s, dir, "documents"),
         "doc_id", "text", n = 3, numHashes = 8, rowsPerBand = 2,

@@ -15,8 +15,7 @@ object Round12uuQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- X196: did the md5 split separate near-duplicates? ----------
     "split_leakage" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val pairs = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
       val splits = TrainingData.hashSplit(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("split"))
       TrainingData.splitLeakage(pairs, "doc_a", "doc_b",

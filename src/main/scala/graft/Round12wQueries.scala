@@ -22,8 +22,7 @@ object Round12wQueries {
     // cumulative sum runs over the ≤10-row band table (the
     // source_pareto rule: windows only over collapsed tables) --------
     "dedup_threshold_curve" -> ((s, dir) => {
-      val bands = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.1)
+      val bands = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.1)
         .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
           .as("band"))
         .groupBy(col("band"))

@@ -33,8 +33,7 @@ object Round13fQueries {
     // ---- X208: (bands, rows) planner from the served-index pair
     // histogram — the S-curve integrated against THIS corpus ---------
     "lsh_planner" -> ((s, dir) => {
-      val bands = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.1)
+      val bands = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.1)
         .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
           .as("band"))
         .groupBy(col("band"))

@@ -177,8 +177,7 @@ object Round14bQueries {
     // served shingle index) are the split unit, so no qualifying pair
     // can cross folds; singletons fall back to the plain hash split --
     "split_safe" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
+      val pairs = SparkEntry.nearDupPairsFor(s, dir, minJaccard = 0.3)
       graft.operators.TrainingData.splitByComponent(
         t(s, dir, "documents"), "doc_id", pairs)
         .orderBy("doc_id")
@@ -204,10 +203,14 @@ object Round14bQueries {
     // authorities = originals many later docs copy, hubs = docs
     // assembled from many originals --------------------------------
     "graph_hits" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsFromIndex(
-        SparkEntry.fullShingleIndexFor(s, dir), minJaccard = 0.3)
-      val e = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
-      Graph.hits(e, "src", "dst", iters = 3)
+      // round 16: later→earlier edges are the src>dst half of the
+      // shared pre-partitioned symmetric frame (pairs are canonical
+      // doc_a < doc_b, so (doc_b → doc_a) ≡ where src > dst); filter +
+      // project preserve the src hash partitioning for the a-step join
+      val e = SparkEntry.nearDupEdgesFor(s, dir)
+        .where(col("src") > col("dst")).select(col("src"), col("dst"))
+      Graph.hits(e, "src", "dst", iters = 3,
+        materialize = false, assumeDistinct = true)
         .select(col("node").as("doc_id"), col("hub_q"), col("auth_q"),
           round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
         .orderBy("doc_id")

@@ -240,6 +240,16 @@ object SparkEntry {
   private[graft] def nearDupEdgesFor(s: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent((s, dir), { _ =>
       val pairs = nearDupPairsFor(s, dir, 0.3)
+      // Both storage forms were measured (round 16): localCheckpoint
+      // keeps src partitioning only with AQE off (AQE drops LogicalRDD
+      // outputPartitioning and re-exchanges per join), while
+      // .repartition.cache() keeps it under AQE but its columnar
+      // InMemoryTableScan costs more per iteration scan than the tiny
+      // re-exchange it saves (graph sweep 11.0 s cached vs 8.1 s
+      // checkpointed at sf0.1). localCheckpoint wins at test scale; at
+      // production scale the same artifact would be WRITTEN bucketed
+      // by src so the co-location survives AQE, sessions, and
+      // executors — the repartition here documents that contract.
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
           col("jaccard"))
         .unionByName(pairs.select(col("doc_b").as("src"),
@@ -892,7 +902,10 @@ object SparkEntry {
     // never re-tokenized per dedup pass. Same output as the inline
     // Dedup.jaccardPairs form (DedupSpec pins the equivalence).
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairsFromIndex(fullShingleIndexFor(s, dir), minJaccard = 0.1)
+      // round 16: served from the PERSISTED pair artifact (this query's
+      // hash gate vs the DuckDB raw-text rebuild IS the artifact's
+      // serve≡rebuild proof — every other pair consumer rides it)
+      nearDupPairsFor(s, dir, minJaccard = 0.1)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -1457,7 +1470,7 @@ object SparkEntry {
     // id tiebreak) instead of blindly keeping the lowest id
     "dedup_representative" -> ((s, dir) =>
       Dedup.representativesFromPairs(
-        Dedup.jaccardPairsFromIndex(fullShingleIndexFor(s, dir), minJaccard = 0.3),
+        nearDupPairsFor(s, dir, minJaccard = 0.3),
         t(s, dir, "documents"), "doc_id", col("n_chars"))
         .select(col("component"), col("keeper"),
           col("quality").cast("long").as("quality"), col("n_members"))

@@ -258,4 +258,45 @@ class GraphSpec extends SparkSpec {
       (2L, 1000000L, 0L), (3L, 250000L, 0L), (4L, 0L, 125000L)),
       got.toString)
   }
+
+  test("assumeDistinct/assumeCanonical fast paths are bit-identical to " +
+    "the default paths on already-canonical input (round-16 artifact " +
+    "serving contract)") {
+    // canonical near-dup-pair-shaped input: distinct a < b rows with a
+    // weight; the fast paths skip the dedup/merge exchanges, so this
+    // pins that skipping them cannot change a single output bit
+    val rng = new scala.util.Random(11)
+    val pairs = (0 until 400).map { _ =>
+      val a = rng.nextInt(60).toLong; val b = rng.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b), 0.3 + rng.nextInt(7) / 10.0)
+    }.filter(p => p._1 != p._2)
+      // ONE row per (a, b) — the artifact's contract; duplicate keys
+      // with different weights would make the fast/default paths see
+      // legitimately different edge multisets
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq.sorted
+    val df = pairs.toDF("a", "b", "w").localCheckpoint(false)
+    val sym = df.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(df.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(col("src")).localCheckpoint(false)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(Graph.pageRank(sym, "src", "dst", iters = 3,
+        materialize = false, assumeDistinct = true))
+      == rows(Graph.pageRank(sym, "src", "dst", iters = 3)))
+    assert(rows(Graph.pageRankWeighted(sym, "src", "dst", "w", iters = 3,
+        materialize = false, assumeDistinct = true))
+      == rows(Graph.pageRankWeighted(sym, "src", "dst", "w", iters = 3)))
+    val directed = sym.where(col("src") > col("dst"))
+      .select(col("src"), col("dst"))
+    assert(rows(Graph.hits(directed, "src", "dst", iters = 3,
+        materialize = false, assumeDistinct = true))
+      == rows(Graph.hits(directed, "src", "dst", iters = 3)))
+    assert(rows(Graph.triangles(df, "a", "b", assumeCanonical = true))
+      == rows(Graph.triangles(df, "a", "b")))
+    assert(rows(Graph.kCore(df, "a", "b", k = 2, rounds = 4,
+        assumeCanonical = true))
+      == rows(Graph.kCore(df, "a", "b", k = 2, rounds = 4)))
+    assert(rows(Graph.assortativity(df, "a", "b", assumeCanonical = true))
+      == rows(Graph.assortativity(df, "a", "b")))
+  }
 }
