@@ -99,7 +99,8 @@ object Bench {
     "theta_diff", "score_ap", "dedup_prefix_join", "cm_freq", "assoc_mh",
     "ab_cuped", "ann_pq_incremental", "langid_switch", "split_safe",
     "score_cut",
-    "score_cut_cost", "langid_switch_margin", "sketch_union")
+    "score_cut_cost", "langid_switch_margin", "sketch_union",
+    "pair_artifact_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-16 [EXT] batch — the VERDICT r15 asks turned into contract
+  * queries: the persisted near-dup pair artifact's incremental
+  * maintenance law pushed through the two-engine gate (X248 — the
+  * X63/X247 update≡rebuild discipline applied to the pair set).
+  */
+object Round16Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- X248: incremental pair-artifact maintenance — the X61
+    // snapshot diff drives updateJaccardPairsFromIndex over the OLD
+    // artifact + old/new capped indexes; the result must equal a full
+    // rebuild over the new corpus (the oracle rebuilds from raw text,
+    // so the hash gate proves update ≡ rebuild through two engines,
+    // including stop-shingle cap flips the diff induces). Only pairs
+    // with a changed endpoint are recomputed — the compaction-cadence
+    // cost a 100 TB store pays instead of the corpus×corpus self-join
+    "pair_artifact_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 3 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val oldIdx = Dedup.corpusShingleIndex(oldSnap, "doc_id", "text", n = 3)
+        .localCheckpoint(false) // feeds the old artifact AND the row diff
+      val newIdx = Dedup.corpusShingleIndex(newSnap, "doc_id", "text", n = 3)
+        .localCheckpoint(false) // feeds the diff AND both verify joins
+      val oldPairs = Dedup.jaccardPairsFromIndex(oldIdx, minJaccard = 0.1)
+      Dedup.updateJaccardPairsFromIndex(oldPairs, oldIdx, newIdx,
+        minJaccard = 0.1)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the oracle REBUILDS the pair set from the new corpus's raw text
+    // (the index_update_pairs twin): the update path must be
+    // extensionally indistinguishable from a fresh build
+    "pair_artifact_update" ->
+      s"""WITH newc AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |tha AS (SELECT doc_id AS doc, ${SparkEntry.sqlTokenHashes("text")} AS th
+         |  FROM newc),
+         |sha AS (SELECT doc, list_distinct(${SparkEntry.sqlShingleHashesOfTh(3)}) AS shs
+         |  FROM tha),
+         |sh AS (SELECT doc, len(shs) AS sz, unnest(shs) AS sh FROM sha),
+         |freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+         |shf AS (SELECT s.doc, s.sz, s.sh FROM sh s JOIN freq USING (sh)
+         |  WHERE f <= 1000),
+         |inter AS (SELECT a.doc AS doc_a, a.sz AS sz_a, b.doc AS doc_b,
+         |    b.sz AS sz_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM shf a JOIN shf b USING (sh) WHERE a.doc < b.doc
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE), 4)
+         |    AS jaccard
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / CAST(sz_a + sz_b - i AS DOUBLE) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -132,6 +132,144 @@ object Scratch {
       spark.stop(); return
     }
 
+    // round-16 end-to-end serving boot at 1M (VERDICT r15 ask 5): a
+    // 1M-row store (snapshot + WAL tail), the serving graph built once
+    // (timed — this IS the boot-rebuild cost, the same insert loop the
+    // server's rebuild path runs), saved as the X233 artifact + .seq
+    // cursor, then a REAL VectorServer booted with hnswArtifact: the
+    // audit times recover + warm-start load + seq-ordered tail replay
+    // end-to-end and checks the replayed mutations are live
+    if (section == "r16boot") {
+      val n = args.lift(1).map(_.toInt).getOrElse(1000000)
+      val dim = 64
+      val root = "/tmp/graft_boot_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val batch = spark.range(0L, n.toLong).select(
+        (col("id") + 1L).as("seq"), lit("insert").as("op"),
+        concat(lit("v"), col("id").cast("string")).as("id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> CAST(pmod(hash(id, j), 1000) AS FLOAT) / 1000.0)")
+          .as("embedding"),
+        map(lit("parity"), (col("id") % 2).cast("string")).as("meta"))
+      timeIt(s"store build: append $n rows + compact (spark-side)") {
+        graft.store.VectorLog.append(batch, root)
+        graft.store.VectorLog.compact(spark, root)
+      }
+      val rows = graft.store.VectorLog.recover(spark, root)
+        .select(col("id"), col("embedding"), col("meta")).collect()
+      val idx = new graft.index.HnswServingIndex(
+        graft.functions.DistanceMetric.Euclidean)
+      timeIt(s"boot-REBUILD cost: $n sequential upserts (what a server " +
+        "without the artifact pays)") {
+        rows.foreach { r =>
+          idx.upsert(r.getString(0), r.getSeq[Float](1).toArray,
+            Option(r.getMap[String, String](2)).map(_.toMap)
+              .getOrElse(Map.empty))
+        }
+      }
+      val art = "/tmp/graft_boot_store/serving.hnsw"
+      timeIt("artifact save") {
+        idx.save(java.nio.file.Paths.get(art))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(art + ".seq"),
+          graft.store.VectorLog.maxSeq(spark, root).toString)
+      }
+      // WAL tail BEYOND the artifact: 1000 fresh inserts + 100 deletes
+      val tail = spark.range(0L, 1100L).select(
+        (col("id") + n.toLong + 1L).as("seq"),
+        when(col("id") < 100L, lit("delete")).otherwise(lit("insert")).as("op"),
+        when(col("id") < 100L, concat(lit("v"), col("id").cast("string")))
+          .otherwise(concat(lit("t"), col("id").cast("string"))).as("id"),
+        when(col("id") < 100L, lit(null).cast("array<float>"))
+          .otherwise(expr(s"transform(sequence(0, ${dim - 1}), " +
+            "j -> CAST(pmod(hash(id, j), 997) AS FLOAT) / 997.0)"))
+          .as("embedding"),
+        map(lit("src"), lit("tail")).as("meta"))
+      graft.store.VectorLog.append(tail, root)
+      val srv = timeIt(s"boot-from-ARTIFACT: new VectorServer(recover + " +
+        s"warm-start load + 1100-op tail replay) at $n") {
+        new graft.server.VectorServer(spark, root, hnswServing = true,
+          hnswArtifact = Some(art))
+      }
+      val port = srv.start()
+      // the replayed tail must be live: t500 findable, v0 deleted
+      val q = rows.head.getSeq[Float](1).toArray // any real vector
+      val client = java.net.http.HttpClient.newHttpClient()
+      def search(vec: Array[Float], k: Int): String = {
+        val body = s"""{"vector":[${vec.mkString(",")}],"k":$k}"""
+        client.send(java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/search"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      val hit = search(q, 1)
+      println(s"[scale] post-boot search ok: ${hit.take(80)}")
+      // the tail's tombstones must be applied: searching AT v0's own
+      // vector must not return v0 (its exact-match rank-1 spot goes to
+      // a neighbor instead)
+      val v0vec = rows.find(_.getString(0) == "v0").get
+        .getSeq[Float](1).toArray
+      val deletedVisible = search(v0vec, 10).contains("\"v0\"")
+      println(s"[scale] deleted v0 visible after tail replay " +
+        s"(must be false): $deletedVisible")
+      val lat = (1 to 100).map { i =>
+        val vec = rows(i * 1000 % rows.length).getSeq[Float](1).toArray
+        val t0 = System.nanoTime(); search(vec, 10); System.nanoTime() - t0
+      }.sorted
+      println(f"[scale] served p50 ${lat(50) / 1e6}%.1f ms / p99 " +
+        f"${lat(99) / 1e6}%.1f ms over HTTP at n=$n")
+      srv.stop()
+      spark.stop(); return
+    }
+
+    // round-16 pair-artifact economics at 480k docs (VERDICT r15 ask
+    // 1): REBUILD (the index self-join + verify every consumer used to
+    // pay) vs SERVE (the artifact parquet scan) vs incremental UPDATE
+    // (1%-delta via updateJaccardPairsFromIndex). 480k is the pair
+    // family's established scale point — corpus replication at 5M
+    // plants quadratic clone clusters (1000 replicas → 500k pairs per
+    // base doc), which measures the synthetic corpus, not the operator.
+    if (section == "r16pairs") {
+      val docs480k = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(8).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          col("text"))
+      val idx480 = timeIt("corpusShingleIndex build 480k docs " +
+        "(compaction-cadence, amortized)")(
+        operators.Dedup.corpusShingleIndex(docs480k, "doc_id", "text",
+          n = 3).localCheckpoint(true))
+      val artPath = "/tmp/graft_pairs_480k"
+      timeIt("pair-artifact BUILD t=0.3 (rebuild cost every consumer " +
+        "used to pay per query)") {
+        operators.Dedup.jaccardPairsFromIndex(idx480, minJaccard = 0.3)
+          .write.mode("overwrite").parquet(artPath)
+      }
+      val served = spark.read.parquet(artPath)
+      (1 to 3).foreach { i =>
+        timeIt(s"pair-artifact SERVE (scan) #$i")(noop(served))
+      }
+      // 1% delta: docs 0..599 of the first replica get new text; the
+      // update touches only their pairs + cap-flip neighbors
+      val changedIds = (0L until 600L).toSet
+      val newDocs = docs480k.withColumn("text",
+        when(col("doc_id") < 600L, concat(col("text"), lit(" xqz17 delta")))
+          .otherwise(col("text")))
+      val idxNew = timeIt("new index after 600-doc delta (compaction)")(
+        operators.Dedup.corpusShingleIndex(newDocs, "doc_id", "text",
+          n = 3).localCheckpoint(true))
+      timeIt("incremental UPDATE (changed-endpoint pairs only)") {
+        noop(operators.Dedup.updateJaccardPairsFromIndex(
+          served, idx480, idxNew, minJaccard = 0.3))
+      }
+      timeIt("full REBUILD over the new index (what update replaces)") {
+        noop(operators.Dedup.jaccardPairsFromIndex(idxNew, minJaccard = 0.3))
+      }
+      println(s"[scale] changed ids in delta: ${changedIds.size}")
+      spark.stop(); return
+    }
+
     // round-15 drift adjudication (VERDICT r14 wrong-item 1): which
     // half of dedup_lsh_recall moved 2.49 -> 3.66 s — the exact-truth
     // side (served index join) or the LSH side (corpus re-tokenize +

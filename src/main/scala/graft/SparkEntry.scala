@@ -556,7 +556,7 @@ object SparkEntry {
     baseQueries ++ Round6Queries.queries ++ Round7Queries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
       Round10Queries.queries ++ Round11Queries.queries ++
-      Round11bQueries.queries ++ Round12Queries.queries ++ Round12bQueries.queries ++ Round12cQueries.queries ++ Round12dQueries.queries ++ Round12eQueries.queries ++ Round12fQueries.queries ++ Round12gQueries.queries ++ Round12hQueries.queries ++ Round12iQueries.queries ++ Round12jQueries.queries ++ Round12kQueries.queries ++ Round12lQueries.queries ++ Round12mQueries.queries ++ Round12nQueries.queries ++ Round12oQueries.queries ++ Round12pQueries.queries ++ Round12qQueries.queries ++ Round12rQueries.queries ++ Round12sQueries.queries ++ Round12tQueries.queries ++ Round12uQueries.queries ++ Round12vQueries.queries ++ Round12wQueries.queries ++ Round12xQueries.queries ++ Round12yQueries.queries ++ Round12zQueries.queries ++ Round12aaQueries.queries ++ Round12bbQueries.queries ++ Round12ccQueries.queries ++ Round12ddQueries.queries ++ Round12eeQueries.queries ++ Round12ffQueries.queries ++ Round12ggQueries.queries ++ Round12hhQueries.queries ++ Round12iiQueries.queries ++ Round12jjQueries.queries ++ Round12kkQueries.queries ++ Round12llQueries.queries ++ Round12mmQueries.queries ++ Round12nnQueries.queries ++ Round12ooQueries.queries ++ Round12ppQueries.queries ++ Round12qqQueries.queries ++ Round12rrQueries.queries ++ Round12ssQueries.queries ++ Round12ttQueries.queries ++ Round12uuQueries.queries ++ Round13Queries.queries ++ Round13bQueries.queries ++ Round13cQueries.queries ++ Round13dQueries.queries ++ Round13eQueries.queries ++ Round13fQueries.queries ++ Round13gQueries.queries ++ Round14Queries.queries ++ Round14bQueries.queries ++ Round15Queries.queries
+      Round11bQueries.queries ++ Round12Queries.queries ++ Round12bQueries.queries ++ Round12cQueries.queries ++ Round12dQueries.queries ++ Round12eQueries.queries ++ Round12fQueries.queries ++ Round12gQueries.queries ++ Round12hQueries.queries ++ Round12iQueries.queries ++ Round12jQueries.queries ++ Round12kQueries.queries ++ Round12lQueries.queries ++ Round12mQueries.queries ++ Round12nQueries.queries ++ Round12oQueries.queries ++ Round12pQueries.queries ++ Round12qQueries.queries ++ Round12rQueries.queries ++ Round12sQueries.queries ++ Round12tQueries.queries ++ Round12uQueries.queries ++ Round12vQueries.queries ++ Round12wQueries.queries ++ Round12xQueries.queries ++ Round12yQueries.queries ++ Round12zQueries.queries ++ Round12aaQueries.queries ++ Round12bbQueries.queries ++ Round12ccQueries.queries ++ Round12ddQueries.queries ++ Round12eeQueries.queries ++ Round12ffQueries.queries ++ Round12ggQueries.queries ++ Round12hhQueries.queries ++ Round12iiQueries.queries ++ Round12jjQueries.queries ++ Round12kkQueries.queries ++ Round12llQueries.queries ++ Round12mmQueries.queries ++ Round12nnQueries.queries ++ Round12ooQueries.queries ++ Round12ppQueries.queries ++ Round12qqQueries.queries ++ Round12rrQueries.queries ++ Round12ssQueries.queries ++ Round12ttQueries.queries ++ Round12uuQueries.queries ++ Round13Queries.queries ++ Round13bQueries.queries ++ Round13cQueries.queries ++ Round13dQueries.queries ++ Round13eQueries.queries ++ Round13fQueries.queries ++ Round13gQueries.queries ++ Round14Queries.queries ++ Round14bQueries.queries ++ Round15Queries.queries ++ Round16Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing -------------------------------------
@@ -2062,6 +2062,6 @@ object SparkEntry {
     ) ++ Round6Queries.oracleSql ++ Round7Queries.oracleSql ++
       Round8Queries.oracleSql ++ Round8bQueries.oracleSql ++
       Round10Queries.oracleSql ++ Round11Queries.oracleSql ++
-      Round11bQueries.oracleSql ++ Round12Queries.oracleSql ++ Round12bQueries.oracleSql ++ Round12cQueries.oracleSql ++ Round12dQueries.oracleSql ++ Round12eQueries.oracleSql ++ Round12fQueries.oracleSql ++ Round12gQueries.oracleSql ++ Round12hQueries.oracleSql ++ Round12iQueries.oracleSql ++ Round12jQueries.oracleSql ++ Round12kQueries.oracleSql ++ Round12lQueries.oracleSql ++ Round12mQueries.oracleSql ++ Round12nQueries.oracleSql ++ Round12oQueries.oracleSql ++ Round12pQueries.oracleSql ++ Round12qQueries.oracleSql ++ Round12rQueries.oracleSql ++ Round12sQueries.oracleSql ++ Round12tQueries.oracleSql ++ Round12uQueries.oracleSql ++ Round12vQueries.oracleSql ++ Round12wQueries.oracleSql ++ Round12xQueries.oracleSql ++ Round12yQueries.oracleSql ++ Round12zQueries.oracleSql ++ Round12aaQueries.oracleSql ++ Round12bbQueries.oracleSql ++ Round12ccQueries.oracleSql ++ Round12ddQueries.oracleSql ++ Round12eeQueries.oracleSql ++ Round12ffQueries.oracleSql ++ Round12ggQueries.oracleSql ++ Round12hhQueries.oracleSql ++ Round12iiQueries.oracleSql ++ Round12jjQueries.oracleSql ++ Round12kkQueries.oracleSql ++ Round12llQueries.oracleSql ++ Round12mmQueries.oracleSql ++ Round12nnQueries.oracleSql ++ Round12ooQueries.oracleSql ++ Round12ppQueries.oracleSql ++ Round12qqQueries.oracleSql ++ Round12rrQueries.oracleSql ++ Round12ssQueries.oracleSql ++ Round12ttQueries.oracleSql ++ Round12uuQueries.oracleSql ++ Round13Queries.oracleSql ++ Round13bQueries.oracleSql ++ Round13cQueries.oracleSql ++ Round13dQueries.oracleSql ++ Round13eQueries.oracleSql ++ Round13fQueries.oracleSql ++ Round13gQueries.oracleSql ++ Round14Queries.oracleSql ++ Round14bQueries.oracleSql ++ Round15Queries.oracleSql
+      Round11bQueries.oracleSql ++ Round12Queries.oracleSql ++ Round12bQueries.oracleSql ++ Round12cQueries.oracleSql ++ Round12dQueries.oracleSql ++ Round12eQueries.oracleSql ++ Round12fQueries.oracleSql ++ Round12gQueries.oracleSql ++ Round12hQueries.oracleSql ++ Round12iQueries.oracleSql ++ Round12jQueries.oracleSql ++ Round12kQueries.oracleSql ++ Round12lQueries.oracleSql ++ Round12mQueries.oracleSql ++ Round12nQueries.oracleSql ++ Round12oQueries.oracleSql ++ Round12pQueries.oracleSql ++ Round12qQueries.oracleSql ++ Round12rQueries.oracleSql ++ Round12sQueries.oracleSql ++ Round12tQueries.oracleSql ++ Round12uQueries.oracleSql ++ Round12vQueries.oracleSql ++ Round12wQueries.oracleSql ++ Round12xQueries.oracleSql ++ Round12yQueries.oracleSql ++ Round12zQueries.oracleSql ++ Round12aaQueries.oracleSql ++ Round12bbQueries.oracleSql ++ Round12ccQueries.oracleSql ++ Round12ddQueries.oracleSql ++ Round12eeQueries.oracleSql ++ Round12ffQueries.oracleSql ++ Round12ggQueries.oracleSql ++ Round12hhQueries.oracleSql ++ Round12iiQueries.oracleSql ++ Round12jjQueries.oracleSql ++ Round12kkQueries.oracleSql ++ Round12llQueries.oracleSql ++ Round12mmQueries.oracleSql ++ Round12nnQueries.oracleSql ++ Round12ooQueries.oracleSql ++ Round12ppQueries.oracleSql ++ Round12qqQueries.oracleSql ++ Round12rrQueries.oracleSql ++ Round12ssQueries.oracleSql ++ Round12ttQueries.oracleSql ++ Round12uuQueries.oracleSql ++ Round13Queries.oracleSql ++ Round13bQueries.oracleSql ++ Round13cQueries.oracleSql ++ Round13dQueries.oracleSql ++ Round13eQueries.oracleSql ++ Round13fQueries.oracleSql ++ Round13gQueries.oracleSql ++ Round14Queries.oracleSql ++ Round14bQueries.oracleSql ++ Round15Queries.oracleSql ++ Round16Queries.oracleSql
   }
 }

@@ -53,12 +53,24 @@ import graft.store.VectorLog
   *   path's exact pre-filter. Requests may pass `"ef"` for runtime
   *   recall/latency tuning (hnsw/mod.rs:44-53 search_with_ef).
   * @param hnswParams graph parameters when `hnswServing` is on.
+  * @param hnswArtifact optional warm-start path (round 16, VERDICT r15
+  *   ask 5): a [[graft.index.HnswServingIndex.save]] file plus its
+  *   `.seq` sidecar recording the store seq the graph covers. At boot,
+  *   an artifact at exactly the store's maxSeq loads directly
+  *   (~860× faster than rebuild at 1M, NOTES r15); one BEHIND the
+  *   store loads then replays only the seq-ordered tail (the
+  *   reference's snapshot + WAL recover shape, persistence/engine.rs);
+  *   one AHEAD of the store (rolled-back store) is REFUSED and the
+  *   graph rebuilds from the recovered rows — stale state is never
+  *   served, pinned in ServerSpec. Write the artifact on compaction
+  *   cadence via [[saveServingArtifact]].
   */
 final class VectorServer(spark: SparkSession, root: String,
                          metric: DistanceMetric = DistanceMetric.Euclidean,
                          port: Int = 0, compactEvery: Int = 0,
                          hnswServing: Boolean = false,
-                         hnswParams: graft.index.HnswParams = graft.index.HnswParams()) {
+                         hnswParams: graft.index.HnswParams = graft.index.HnswParams(),
+                         hnswArtifact: Option[String] = None) {
 
   val metrics = new MetricsRecorder(spark, root)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -99,16 +111,63 @@ final class VectorServer(spark: SparkSession, root: String,
     * writeLock, so no rebuild on compaction. @volatile so reader
     * threads see the latest published graph reference. */
   @volatile private var serving: Option[graft.index.HnswServingIndex] =
-    if (!hnswServing) None
-    else Some(graft.index.HnswServingIndex.fromRows(
-      live.select(col("id"), col("embedding"), col("meta"))
-        .collect().iterator.map { r =>
-          val vec = r.getSeq[Float](1).toArray
-          val meta = Option(r.getMap[String, String](2))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-          (r.getString(0), vec, meta)
-        },
-      metric, hnswParams))
+    if (!hnswServing) None else Some(bootServingIndex())
+
+  /** Boot-time graph: warm-start from the artifact when it is provably
+    * current (its `.seq` cursor vs the store's maxSeq), replay only the
+    * seq-ordered tail when it is behind, rebuild when it is missing or
+    * AHEAD of the store — an artifact claiming seqs the store does not
+    * have describes a different (rolled-back) history and serving it
+    * would resurrect deleted rows. Constructor-only, single-threaded. */
+  private def bootServingIndex(): graft.index.HnswServingIndex = {
+    def rebuild(): graft.index.HnswServingIndex =
+      graft.index.HnswServingIndex.fromRows(
+        live.select(col("id"), col("embedding"), col("meta"))
+          .collect().iterator.map { r =>
+            val vec = r.getSeq[Float](1).toArray
+            val meta = Option(r.getMap[String, String](2))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            (r.getString(0), vec, meta)
+          },
+        metric, hnswParams)
+    import java.nio.file.{Files, Paths}
+    hnswArtifact match {
+      case Some(p) if Files.exists(Paths.get(p))
+          && Files.exists(Paths.get(p + ".seq")) =>
+        val covered = Files.readString(Paths.get(p + ".seq")).trim.toLong
+        if (covered > seqCounter) rebuild() // stale-vs-store: refuse
+        else {
+          val idx = graft.index.HnswServingIndex.load(Paths.get(p))
+          if (covered < seqCounter) {
+            // WAL-tail replay: every op after the artifact's cursor, in
+            // seq order — upserts are latest-wins, tombstones delete
+            VectorLog.raw(spark, root).where(col("seq") > covered)
+              .orderBy(col("seq"))
+              .select(col("op"), col("id"), col("embedding"), col("meta"))
+              .collect().foreach { r =>
+                if (r.getString(0) == "delete") idx.delete(r.getString(1))
+                else idx.upsert(r.getString(1), r.getSeq[Float](2).toArray,
+                  Option(r.getMap[String, String](3)).map(_.toMap)
+                    .getOrElse(Map.empty))
+              }
+          }
+          idx
+        }
+      case _ => rebuild()
+    }
+  }
+
+  /** Persist the serving graph + its covered-seq cursor (the X233
+    * artifact [[bootServingIndex]] warm-starts from) — compaction-
+    * cadence work; under the read lock so the saved graph and cursor
+    * are one consistent cut. No-op when hnswServing is off. */
+  def saveServingArtifact(p: String): Unit = withRead {
+    serving.foreach { idx =>
+      import java.nio.file.{Files, Paths}
+      idx.save(Paths.get(p))
+      Files.writeString(Paths.get(p + ".seq"), seqCounter.toString)
+    }
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = { metrics.flush(); server.stop(0); pool.shutdown() }

@@ -67,7 +67,14 @@ object VectorLog {
     * Rows must carry (seq, op, id, embedding, meta).
     */
   def append(batch: DataFrame, root: String): Unit =
-    batch.select(logSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // cast to the EXACT log schema types, not just the names (round
+    // 16): a batch carrying e.g. array<double> embeddings would write
+    // fine but then be silently dropped at READ time — readPiece reads
+    // with the declared float schema and ignoreCorruptFiles treats the
+    // mistyped file as a torn one. Casting up front turns that silent
+    // data loss into either a clean write or an analysis-time error.
+    batch.select(logSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .write.mode("append").parquet(logDir(root))
 
   /** Enforce the store's single-dimension invariant on an insert batch

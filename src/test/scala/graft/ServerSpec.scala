@@ -454,6 +454,68 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("hnsw serving: warm-start artifact boot — exact-cursor load, " +
+    "WAL-tail replay when behind, REFUSAL when ahead of the store " +
+    "(round 16, stale state is never served)") {
+    val root = Files.createTempDirectory("server-store").toString
+    val artifact = Files.createTempDirectory("server-art")
+      .resolve("serving.hnsw").toString
+    // populate, save the artifact at the v1+v2 cut
+    val a = new VectorServer(spark, root, hnswServing = true)
+    insertV1V2(s"http://127.0.0.1:${a.start()}")
+    a.saveServingArtifact(artifact)
+    a.stop()
+    // exact-cursor warm start: same answers as the rebuilt graph
+    val b = new VectorServer(spark, root, hnswServing = true,
+      hnswArtifact = Some(artifact))
+    val pb = b.start()
+    try {
+      val (_, hits) = send("POST", s"http://127.0.0.1:$pb/search",
+        """{"vector":[4.0,5.0,6.0],"k":1}""")
+      val JArray(rs) = hits: @unchecked
+      assert(rs.map(h => h \ "id") == List(JString("v2")))
+    } finally b.stop()
+    // advance the store past the artifact: insert v3, delete v1
+    val c = new VectorServer(spark, root)
+    val pc = c.start()
+    assert(send("POST", s"http://127.0.0.1:$pc/vectors",
+      """{"id":"v3","vector":[7.0,8.0,9.0]}""")._1 == 201)
+    assert(send("DELETE", s"http://127.0.0.1:$pc/vectors/v1")._1 == 200)
+    c.stop()
+    // behind-cursor warm start must replay the tail: v3 searchable,
+    // v1's tombstone applied (a stale graph would still return v1)
+    val d = new VectorServer(spark, root, hnswServing = true,
+      hnswArtifact = Some(artifact))
+    val pd = d.start()
+    try {
+      val (_, hits) = send("POST", s"http://127.0.0.1:$pd/search",
+        """{"vector":[1.0,2.0,3.0],"k":3}""")
+      val JArray(rs) = hits: @unchecked
+      val ids = rs.map(h => h \ "id").toSet
+      assert(ids == Set(JString("v2"), JString("v3")), ids.toString)
+    } finally d.stop()
+    // ahead-of-store artifact (rolled-back store): the cursor claims
+    // seqs a FRESH store never wrote — must rebuild from the store,
+    // never load the artifact's ghosts
+    val root2 = Files.createTempDirectory("server-store2").toString
+    val e = new VectorServer(spark, root2)
+    val pe = e.start()
+    assert(send("POST", s"http://127.0.0.1:$pe/vectors",
+      """{"id":"w1","vector":[1.0,1.0,1.0]}""")._1 == 201)
+    e.stop()
+    val f = new VectorServer(spark, root2, hnswServing = true,
+      hnswArtifact = Some(artifact))
+    val pf = f.start()
+    try {
+      val (_, hits) = send("POST", s"http://127.0.0.1:$pf/search",
+        """{"vector":[1.0,2.0,3.0],"k":5}""")
+      val JArray(rs) = hits: @unchecked
+      val ids = rs.map(h => h \ "id").toSet
+      assert(ids == Set(JString("w1")),
+        s"stale artifact must not be served: $ids")
+    } finally f.stop()
+  }
+
   test("hnsw serving: recovery rebuilds the graph from snapshot + log (engine.rs recover analogue)") {
     val root = Files.createTempDirectory("server-store").toString
     val first = new VectorServer(spark, root)

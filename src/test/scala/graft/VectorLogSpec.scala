@@ -200,4 +200,30 @@ class VectorLogSpec extends SparkSpec {
       .select("id").as[String].collect().toSeq
     assert(violations == Seq("b"))
   }
+
+  test("append coerces batch types to the log schema — a double-typed " +
+    "embedding batch stays READABLE instead of being silently dropped " +
+    "as a corrupt file (round-16 fix)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("log-coerce").toString
+    // the exact failure shape: float/double division makes array<double>
+    val batch = spark.range(0L, 5L).select(
+      (col("id") + 1L).as("seq"), lit("insert").as("op"),
+      concat(lit("v"), col("id").cast("string")).as("id"),
+      expr("transform(sequence(0, 3), " +
+        "j -> CAST(pmod(hash(id, j), 1000) AS FLOAT) / 1000.0)")
+        .as("embedding"),
+      map(lit("k"), lit("x")).as("meta"))
+    assert(batch.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, true),
+      "precondition: the batch really is double-typed")
+    VectorLog.append(batch, root)
+    // before the fix: raw().count saw 5 (footer metadata) but any
+    // full-row read returned 0 — ignoreCorruptFiles ate the file
+    assert(VectorLog.raw(spark, root).collect().length == 5)
+    assert(VectorLog.recover(spark, root)
+      .select("id").as[String].collect().toSet ==
+      Set("v0", "v1", "v2", "v3", "v4"))
+  }
 }
