@@ -624,4 +624,22 @@ class PlanSpec extends SparkSpec {
         "20 — a new unpartitioned window needs a bound recorded in the " +
         "NOTES global-window index before this pin is raised")
   }
+
+  test("graph queries are artifact-served: zero parquet scans at query " +
+    "time (round 16 — edges come from the shared checkpointed frame)") {
+    // the round-16 contract: pageRank/±weighted/HITS read the session's
+    // pre-partitioned near-dup edge frame (an in-memory RDD scan), so a
+    // query's own plan must contain NO parquet scan — not of documents
+    // (the pair rebuild this replaced) and not of the artifact either.
+    // kCore/triangles/assort read the pair-artifact parquet directly
+    // (single-pass ops — no reuse to amortize), so they are not pinned.
+    for (q <- Seq("graph_pagerank", "graph_pagerank_weighted",
+        "graph_hits")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q must serve edges from the checkpointed frame, found a " +
+          s"parquet scan:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$q plan:\n$p")
+    }
+  }
 }
