@@ -142,56 +142,67 @@ object Scratch {
     if (section == "r16boot") {
       val n = args.lift(1).map(_.toInt).getOrElse(1000000)
       val dim = 64
-      val root = "/tmp/graft_boot_store"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      val batch = spark.range(0L, n.toLong).select(
-        (col("id") + 1L).as("seq"), lit("insert").as("op"),
-        concat(lit("v"), col("id").cast("string")).as("id"),
-        expr(s"transform(sequence(0, ${dim - 1}), " +
-          "j -> CAST(pmod(hash(id, j), 1000) AS FLOAT) / 1000.0)")
-          .as("embedding"),
-        map(lit("parity"), (col("id") % 2).cast("string")).as("meta"))
-      timeIt(s"store build: append $n rows + compact (spark-side)") {
-        graft.store.VectorLog.append(batch, root)
-        graft.store.VectorLog.compact(spark, root)
-      }
-      val rows = graft.store.VectorLog.recover(spark, root)
-        .select(col("id"), col("embedding"), col("meta")).collect()
-      val idx = new graft.index.HnswServingIndex(
-        graft.functions.DistanceMetric.Euclidean)
-      timeIt(s"boot-REBUILD cost: $n sequential upserts (what a server " +
-        "without the artifact pays)") {
-        rows.foreach { r =>
-          idx.upsert(r.getString(0), r.getSeq[Float](1).toArray,
-            Option(r.getMap[String, String](2)).map(_.toMap)
-              .getOrElse(Map.empty))
+      // per-n store dir + artifact reuse: the one-time 1M graph build
+      // is ~73 min, so a re-measure (e.g. serving latency after a
+      // server-side change) boots from the existing artifact instead
+      // of paying the build again. Delete the dir to force a rebuild.
+      val root = s"/tmp/graft_boot_store_$n"
+      val art = s"$root/serving.hnsw"
+      val fresh = !new java.io.File(art + ".seq").exists()
+      if (fresh) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val batch = spark.range(0L, n.toLong).select(
+          (col("id") + 1L).as("seq"), lit("insert").as("op"),
+          concat(lit("v"), col("id").cast("string")).as("id"),
+          expr(s"transform(sequence(0, ${dim - 1}), " +
+            "j -> CAST(pmod(hash(id, j), 1000) AS FLOAT) / 1000.0)")
+            .as("embedding"),
+          map(lit("parity"), (col("id") % 2).cast("string")).as("meta"))
+        timeIt(s"store build: append $n rows + compact (spark-side)") {
+          graft.store.VectorLog.append(batch, root)
+          graft.store.VectorLog.compact(spark, root)
         }
-      }
-      val art = "/tmp/graft_boot_store/serving.hnsw"
-      timeIt("artifact save") {
-        idx.save(java.nio.file.Paths.get(art))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(art + ".seq"),
-          graft.store.VectorLog.maxSeq(spark, root).toString)
-      }
-      // WAL tail BEYOND the artifact: 1000 fresh inserts + 100 deletes
-      val tail = spark.range(0L, 1100L).select(
-        (col("id") + n.toLong + 1L).as("seq"),
-        when(col("id") < 100L, lit("delete")).otherwise(lit("insert")).as("op"),
-        when(col("id") < 100L, concat(lit("v"), col("id").cast("string")))
-          .otherwise(concat(lit("t"), col("id").cast("string"))).as("id"),
-        when(col("id") < 100L, lit(null).cast("array<float>"))
-          .otherwise(expr(s"transform(sequence(0, ${dim - 1}), " +
-            "j -> CAST(pmod(hash(id, j), 997) AS FLOAT) / 997.0)"))
-          .as("embedding"),
-        map(lit("src"), lit("tail")).as("meta"))
-      graft.store.VectorLog.append(tail, root)
+        val rows = graft.store.VectorLog.recover(spark, root)
+          .select(col("id"), col("embedding"), col("meta")).collect()
+        val idx = new graft.index.HnswServingIndex(
+          graft.functions.DistanceMetric.Euclidean)
+        timeIt(s"boot-REBUILD cost: $n sequential upserts (what a server " +
+          "without the artifact pays)") {
+          rows.foreach { r =>
+            idx.upsert(r.getString(0), r.getSeq[Float](1).toArray,
+              Option(r.getMap[String, String](2)).map(_.toMap)
+                .getOrElse(Map.empty))
+          }
+        }
+        timeIt("artifact save") {
+          idx.save(java.nio.file.Paths.get(art))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(art + ".seq"),
+            graft.store.VectorLog.maxSeq(spark, root).toString)
+        }
+        // WAL tail BEYOND the artifact: 1000 fresh inserts + 100 deletes
+        val tail = spark.range(0L, 1100L).select(
+          (col("id") + n.toLong + 1L).as("seq"),
+          when(col("id") < 100L, lit("delete")).otherwise(lit("insert")).as("op"),
+          when(col("id") < 100L, concat(lit("v"), col("id").cast("string")))
+            .otherwise(concat(lit("t"), col("id").cast("string"))).as("id"),
+          when(col("id") < 100L, lit(null).cast("array<float>"))
+            .otherwise(expr(s"transform(sequence(0, ${dim - 1}), " +
+              "j -> CAST(pmod(hash(id, j), 997) AS FLOAT) / 997.0)"))
+            .as("embedding"),
+          map(lit("src"), lit("tail")).as("meta"))
+        graft.store.VectorLog.append(tail, root)
+      } else println(s"[scale] reusing existing $n-row store + artifact")
+      val rows = graft.store.VectorLog.recover(spark, root)
+        .select(col("id"), col("embedding"), col("meta"))
+        .where(col("id").startsWith("v")).limit(200000).collect()
       val srv = timeIt(s"boot-from-ARTIFACT: new VectorServer(recover + " +
         s"warm-start load + 1100-op tail replay) at $n") {
         new graft.server.VectorServer(spark, root, hnswServing = true,
           hnswArtifact = Some(art))
       }
       val port = srv.start()
+      try {
       // the replayed tail must be live: t500 findable, v0 deleted
       val q = rows.head.getSeq[Float](1).toArray // any real vector
       val client = java.net.http.HttpClient.newHttpClient()
@@ -207,9 +218,17 @@ object Scratch {
       println(s"[scale] post-boot search ok: ${hit.take(80)}")
       // the tail's tombstones must be applied: searching AT v0's own
       // vector must not return v0 (its exact-match rank-1 spot goes to
-      // a neighbor instead)
-      val v0vec = rows.find(_.getString(0) == "v0").get
-        .getSeq[Float](1).toArray
+      // a neighbor instead). v0 is deleted from the folded view, so
+      // recompute its vector from the same literal generator
+      // NB the generator's hash(id, j) resolved to the LONG range id
+      // (input columns beat lateral aliases), so v0's vector hashes
+      // BIGINT 0, not the string 'v0'; the outer array<float> cast
+      // matches what VectorLog.append's schema coercion stored
+      val v0vec = spark.range(0L, 1L).select(
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> CAST(pmod(hash(id, j), 1000) AS FLOAT) / 1000.0)")
+          .cast("array<float>")
+          .as("e")).head.getSeq[Float](0).toArray
       val deletedVisible = search(v0vec, 10).contains("\"v0\"")
       println(s"[scale] deleted v0 visible after tail replay " +
         s"(must be false): $deletedVisible")
@@ -220,7 +239,14 @@ object Scratch {
       println(f"[scale] served p50 ${lat(50) / 1e6}%.1f ms / p99 " +
         f"${lat(99) / 1e6}%.1f ms over HTTP at n=$n")
       srv.stop()
-      spark.stop(); return
+      spark.stop()
+      // JDK 17 HttpClient has no close(); its non-daemon dispatcher
+      // thread keeps the runMain JVM alive until the client is GC'd,
+      // which hangs `sbt -batch` indefinitely — exit decisively, and
+      // on ANY failure too (an uncaught exception would hang the same
+      // way: main dies, the dispatcher thread lives on)
+      sys.exit(0)
+      } catch { case e: Throwable => e.printStackTrace(); sys.exit(1) }
     }
 
     // round-16 pair-artifact economics at 480k docs (VERDICT r15 ask
